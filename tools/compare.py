@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the
+matching SQL from oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet, sorts columns by name, and compares row counts,
+schemas (loosely), and exact values (floats: exact bitwise after
+float64 cast; tiny tolerance report if not).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            oracle_df = con.execute(sql).fetchdf()
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        oracle_df = oracle_df.reindex(sorted(oracle_df.columns), axis=1)
+        spark_df = spark_df.reindex(sorted(spark_df.columns), axis=1)
+        if list(oracle_df.columns) != list(spark_df.columns):
+            print(f"FAIL {name}: columns {list(spark_df.columns)} vs oracle {list(oracle_df.columns)}")
+            n_fail += 1
+            continue
+        if len(oracle_df) != len(spark_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs oracle {len(oracle_df)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in oracle_df.columns:
+            a, b = spark_df[c], oracle_df[c]
+            try:
+                if a.dtype.kind in "fc" or b.dtype.kind in "fc":
+                    a = a.astype("float64")
+                    b = b.astype("float64")
+                    eq = (a == b) | (a.isna() & b.isna())
+                else:
+                    a = a.astype(str)
+                    b = b.astype(str)
+                    eq = a == b
+            except Exception as e:
+                bad.append((c, f"compare error {e}"))
+                continue
+            if not eq.all():
+                i = (~eq).idxmax()
+                bad.append((c, f"{(~eq).sum()} diffs, first at row {i}: spark={spark_df[c][i]!r} oracle={oracle_df[c][i]!r}"))
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(f"[{c}] {m}" for c, m in bad))
+            n_fail += 1
+        else:
+            print(f"OK   {name} ({len(spark_df)} rows)")
+    missing = [n for n in oracle if n not in oracle]
+    print(f"\n{len(oracle) - n_fail}/{len(oracle)} queries match")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
