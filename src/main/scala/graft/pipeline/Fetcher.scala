@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Binary-document acquisition, the engine-side form of the
+  * reference's `get_pdf_content` download UDF
+  * (`01-download-pdfs.py:89-143`): GET a url, persist the bytes,
+  * return the filename — null on any failure (`:118-120`), skip work
+  * already done (`:100-101`).
+  *
+  * Behind a trait so tests use a deterministic local implementation
+  * and a real HTTP client is a drop-in (SURVEY.md §7.1). Implementers
+  * must be idempotent: Spark may re-run tasks (retries/speculation),
+  * so fetch-into-place must tolerate re-execution — same contract the
+  * reference's exists-check provides.
+  */
+trait DocumentFetcher extends Serializable {
+  /** Fetch `url`, persist under `destFile`; return byte count, None on failure. */
+  def fetch(url: String, destFile: String): Option[Long]
+}
+
+/** Local-filesystem fetcher: "url" is a source path. Deterministic,
+  * no network — the test stand-in for the HTTP GET at
+  * `01-download-pdfs.py:105`.
+  */
+final case class LocalFileFetcher() extends DocumentFetcher {
+  override def fetch(url: String, destFile: String): Option[Long] = Try {
+    val dest = Paths.get(destFile)
+    if (!Files.exists(dest)) {          // idempotent skip (ref :100-101)
+      Files.createDirectories(dest.getParent)
+      Files.copy(Paths.get(url), dest)
+    }
+    Files.size(dest)
+  }.toOption
+}
+
+/** Driver for the ingest stage (E1 of SURVEY.md §3). Side effects are
+  * isolated in ONE eagerly-executed stage (SURVEY.md §7.4: effects
+  * inside lazily re-evaluated plans re-fire on every action), and the
+  * "already downloaded" skip is a left-anti join — relational, not a
+  * per-row filesystem stat.
+  */
+object Ingest {
+
+  /** work(url, filename) minus done(filename) → fetch each remaining
+    * row inside `mapPartitions`, materializing results immediately.
+    * Returns (url, filename, filesize, ok) with filesize null on
+    * failure — the null-propagation contract of U1/U2
+    * (`01-download-pdfs.py:118-120,157-160`).
+    */
+  def fetchMissing(
+      spark: SparkSession,
+      work: DataFrame,
+      done: DataFrame,
+      fetcher: DocumentFetcher): DataFrame = {
+    import spark.implicits._
+    // note: a USING join moves the key column first — re-select to pin
+    // the (url, filename) order the tuple encoder below depends on
+    val pending = work.select($"url", $"filename")
+      .join(done.select($"filename"), Seq("filename"), "left_anti")
+      .select($"url", $"filename")
+    val fetched = pending.as[(String, String)].mapPartitions { it =>
+      it.map { case (url, filename) =>
+        val size = fetcher.fetch(url, filename)
+        (url, filename, size, size.isDefined)
+      }
+    }.toDF("url", "filename", "filesize", "ok")
+    fetched.persist()
+    fetched.count() // force effects exactly once, before any downstream reuse
+    fetched
+  }
+}

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's two heavy pipelines, Spark-first.
+  *
+  * E1 (metadata ingest, `01-download-pdfs.py:174-183`): select →
+  * limit → filters → derived filename/filesize → sink. The reference
+  * applies `limit(100)` BEFORE its filters (a semantic trap,
+  * SURVEY.md §2.2) — preserved here, but over a total order so the
+  * result is deterministic (a bare limit on a distributed scan isn't).
+  *
+  * E2 (OCR fan-out, `02-parallel-ocr-with-ray.py:125-296`): the
+  * reference leaves Spark for Ray because per-document OCR is
+  * minutes-heavy. We keep it in Spark: longest-processing-time-first
+  * placement (its `ORDER BY filesize DESC`, rationale at `:4-8,125`)
+  * becomes an explicit round-robin-by-rank repartition, then
+  * document-per-task `mapPartitions`. No driver collect, no
+  * positional re-join — chunks stay keyed by doc_id throughout
+  * (replacing the fragile ordinal join at `:274-282`).
+  */
+object OcrPipeline {
+
+  /** E1: the papers table derivation. `filename` mirrors
+    * `{vol}pdfs/{date[:10]}_{title.replace(' ','_')}.pdf`
+    * (`01-download-pdfs.py:135-136`) with fixture columns standing in
+    * (FIXTURES.md role mapping); `filesize` ≈ `n_chars`.
+    */
+  def buildPapers(docs: DataFrame, limitN: Int = 100): DataFrame =
+    docs
+      .orderBy(col("doc_id"))
+      .limit(limitN)                       // limit BEFORE filters, as in ref
+      .filter(col("source").isNotNull)
+      .filter(substring(col("source"), 1, 3) === "src")
+      .withColumn("filename",
+        concat(lit("pdfs/"), substring(col("source"), 1, 10), lit("_"),
+          translate(substring(col("text"), 1, 20), " ", "_"), lit(".pdf")))
+      .withColumn("filesize", col("n_chars"))
+      .select("doc_id", "source", "filename", "filesize")
+      .orderBy(col("filesize").desc, col("doc_id"))   // LPT order (O1)
+
+  /** Longest-processing-time-first placement: rank documents by
+    * descending cost, deal rank i to partition i mod n — each task
+    * gets an equal count of docs, with the heavy ones spread evenly
+    * and leading their task. `zipWithIndex` (one extra job to count
+    * partitions, no single-partition window) + a hash partitioner on
+    * the dealt key. RDD drop-down is deliberate: task placement is
+    * exactly the "genuine per-partition imperative logic" case.
+    */
+  def lptRepartition(df: DataFrame, sizeCol: String, numPartitions: Int): DataFrame = {
+    require(numPartitions > 0)
+    val spark = df.sparkSession
+    val schema = df.schema
+    val dealt = df.orderBy(col(sizeCol).desc).rdd
+      .zipWithIndex()
+      .map { case (row, rank) => ((rank % numPartitions).toInt, row) }
+      .partitionBy(new HashPartitioner(numPartitions))
+      .values
+    spark.createDataFrame(dealt, schema)
+  }
+
+  /** E2 OCR stage: (doc_id, content binary, filesize) → (doc_id, text),
+    * document-per-task with LPT placement. The OCR engine sits behind
+    * [[PdfPartitioner]]; elements are re-joined by newline, keyed by
+    * doc_id (never by position).
+    */
+  def extractText(
+      spark: SparkSession,
+      binDocs: DataFrame,
+      partitioner: PdfPartitioner,
+      strategy: PartitionStrategy = PartitionStrategy.OcrOnly,
+      parallelism: Int = 32): DataFrame = {
+    import spark.implicits._
+    val placed = lptRepartition(
+      binDocs.select(col("doc_id").cast("long"), col("content"), col("filesize").cast("long")),
+      "filesize", parallelism)
+    placed.as[(Long, Array[Byte], Long)].mapPartitions { it =>
+      it.map { case (id, content, _) =>
+        (id, partitioner.partition(content, strategy).mkString("\n"))
+      }
+    }.toDF("doc_id", "text")
+  }
+}

@@ -1,3 +1,136 @@
 package graft.queries
-import graft.QueryDef
-object PipelineQueries { def defs: Seq[QueryDef] = Seq() }
+
+import graft.{QueryDef, Tables}
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** The reference's document pipeline as driver-checkable queries:
+  * E1 papers derivation, chunking (U5/U6 → Generate), batched
+  * embedding inference (U4 → mapPartitions), and vector search
+  * (U10/U11 → score + TakeOrderedAndProject).
+  */
+object PipelineQueries {
+
+  /** Fixed 64-dim query vector shared between the Spark query and the
+    * DuckDB oracle literal: ((i % 7) - 3) / 3.
+    */
+  private val queryVec: Seq[Double] = (0 until 64).map(i => ((i % 7) - 3) / 3.0)
+  private val queryVecSql: String =
+    queryVec.map(_.toString).mkString("[", ",", "]")
+
+  def defs: Seq[QueryDef] = Seq(
+    // ----- q15: E1 papers pipeline (ordered limit BEFORE filters — the
+    // reference's semantic trap, made deterministic; LPT output order)
+    QueryDef(
+      "q15_papers_pipeline",
+      (s, d) => OcrPipeline.buildPapers(Tables.documents(s, d), limitN = 100),
+      Some("""SELECT doc_id, source,
+             |  'pdfs/' || substring(source, 1, 10) || '_' ||
+             |    replace(substring(text, 1, 20), ' ', '_') || '.pdf' AS filename,
+             |  n_chars AS filesize
+             |FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)
+             |WHERE source IS NOT NULL AND substring(source, 1, 3) = 'src'
+             |ORDER BY filesize DESC, doc_id""".stripMargin)),
+
+    // ----- q16: chunking as a generator (U5/U6): char windows +
+    // min-length filter + "i_j" composite ids
+    QueryDef(
+      "q16_chunks",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, length}
+        Inference.chunkDocuments(s, Tables.documents(s, d))
+          .toDF()
+          .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+            col("chunk_id"), col("chunk"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""SELECT doc_id, chunk_idx,
+             |  CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+             |  chunk
+             |FROM (
+             |  SELECT doc_id,
+             |    unnest(generate_series(0, CAST(ceil(length(text)/200.0) AS BIGINT) - 1)) AS chunk_idx,
+             |    unnest(regexp_extract_all(text, '.{1,200}')) AS chunk
+             |  FROM documents)
+             |WHERE length(chunk) > 50
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ----- q17: chunk statistics per language (generate → agg → join)
+    QueryDef(
+      "q17_chunk_stats",
+      (s, d) => {
+        import s.implicits._
+        val chunks = Inference.chunkDocuments(s, Tables.documents(s, d)).toDF()
+        val docs = Tables.documents(s, d).select($"doc_id", $"lang")
+        chunks.join(broadcast(docs), Seq("doc_id"))
+          .groupBy($"lang")
+          .agg(
+            countDistinct($"doc_id").as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(length($"chunk")).as("chunk_chars"),
+            max(length($"chunk")).as("max_chunk_len"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang,
+             |  COUNT(DISTINCT c.doc_id) AS n_docs,
+             |  COUNT(*) AS n_chunks,
+             |  SUM(length(chunk)) AS chunk_chars,
+             |  MAX(length(chunk)) AS max_chunk_len
+             |FROM (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '.{1,200}')) AS chunk
+             |  FROM documents) c
+             |JOIN documents d ON c.doc_id = d.doc_id
+             |WHERE length(chunk) > 50
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // ----- q18: batched embedding inference (U4: mapPartitions +
+    // grouped(150)). Not SQL-expressible (seeded hashing embedder) →
+    // rows-only check; embedding determinism is spec-tested.
+    QueryDef(
+      "q18_embed_chunks",
+      (s, d) => {
+        import s.implicits._
+        val chunks = Inference.chunkDocuments(s, Tables.documents(s, d))
+        Inference.embedChunks(chunks, HashingEmbedder(dim = 64), batchSize = 150)
+          .toDF()
+          .select($"doc_id", $"chunk_idx", $"chunk_id", $"embedding")
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      None),
+
+    // ----- q19: vector-search top-k against a constant query vector
+    // (U11/O3 → TakeOrderedAndProject over a scored scan)
+    QueryDef(
+      "q19_similarity_topk",
+      (s, d) => {
+        import s.implicits._
+        VectorSearch.topK(Tables.embeddings(s, d), "embedding", "vec_id", queryVec, 5)
+          .select($"vec_id", $"label", round($"sim", 6).as("sim"))
+      },
+      Some(s"""SELECT vec_id, label,
+              |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+              |                               CAST($queryVecSql AS DOUBLE[])), 6) AS sim
+              |FROM embeddings
+              |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+              |                                CAST($queryVecSql AS DOUBLE[])) DESC, vec_id
+              |LIMIT 5""".stripMargin)),
+
+    // ----- q20: full text search — embed query text with the same
+    // embedder that built the index, then score+top-k (the
+    // similarity_search(query, k=5) of ocr-tesseract-unstructured.py:167-171).
+    // Embedder isn't SQL-expressible → rows-only.
+    QueryDef(
+      "q20_search_text",
+      (s, d) => {
+        import s.implicits._
+        val embedder = HashingEmbedder(dim = 64)
+        val chunks = Inference.chunkDocuments(s, Tables.documents(s, d))
+        val index = Inference.embedChunks(chunks, embedder).toDF()
+        VectorSearch.searchText(index, "embedding", "chunk_id",
+            "spark join performance", embedder, k = 5)
+          .select($"chunk_id", $"doc_id", round($"sim", 6).as("sim"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OcrPipelineSpec extends SparkSpec {
+
+  test("lptRepartition: equal doc counts per task, heavy docs spread round-robin") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, i.toLong * 100)).toDF("doc_id", "filesize")
+    val placed = OcrPipeline.lptRepartition(docs, "filesize", 4)
+    val perPart = placed.rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.map(_.getLong(1)).toSeq))
+    }.collect().toMap
+    assert(perPart.size === 4)
+    assert(perPart.values.map(_.size).toSet === Set(10))
+    // each partition's max should be one of the 4 heaviest docs
+    val heads = perPart.values.map(_.max).toSet
+    assert(heads === Set(4000L, 3900L, 3800L, 3700L))
+  }
+
+  test("extractText: OCR seam, keyed (not positional) results") {
+    val docs = Seq(
+      (1L, "page one text here\f page two text".getBytes(StandardCharsets.UTF_8), 33L),
+      (2L, "solo page".getBytes(StandardCharsets.UTF_8), 9L),
+      (3L, Array.empty[Byte], 0L))
+    val df = spark.createDataFrame(docs).toDF("doc_id", "content", "filesize")
+    val out = OcrPipeline.extractText(spark, df, TextPartitioner(), parallelism = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "page one text here\npage two text")
+    assert(out(2L) === "solo page")
+    assert(out(3L) === "")
+  }
+
+  test("fetchMissing: idempotent skip via anti-join, null size on failure") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-src")
+    val dstDir = Files.createTempDirectory("graft-dst")
+    val okSrc = srcDir.resolve("a.pdf")
+    Files.write(okSrc, "hello pdf bytes".getBytes(StandardCharsets.UTF_8))
+    val work = Seq(
+      (okSrc.toString, s"$dstDir/a.pdf"),
+      (s"$srcDir/missing.pdf", s"$dstDir/missing.pdf"),
+      (s"$srcDir/already.pdf", s"$dstDir/done.pdf")
+    ).toDF("url", "filename")
+    val done = Seq(s"$dstDir/done.pdf").toDF("filename")
+
+    val res = Ingest.fetchMissing(spark, work, done, LocalFileFetcher())
+      .collect().map(r => (r.getString(1), Option(r.get(2)), r.getBoolean(3)))
+    assert(res.length === 2)                       // 'done.pdf' anti-joined away
+    val byName = res.map(t => (t._1, (t._2, t._3))).toMap
+    assert(byName(s"$dstDir/a.pdf") === (Some(15L), true))
+    assert(byName(s"$dstDir/missing.pdf") === (None, false))
+    assert(Files.exists(dstDir.resolve("a.pdf")))
+
+    // re-run with a.pdf now done: nothing refetched, file untouched
+    val before = Files.getLastModifiedTime(dstDir.resolve("a.pdf"))
+    val res2 = Ingest.fetchMissing(spark, work,
+      Seq(s"$dstDir/done.pdf", s"$dstDir/a.pdf").toDF("filename"), LocalFileFetcher())
+      .collect()
+    assert(res2.length === 1)
+    assert(Files.getLastModifiedTime(dstDir.resolve("a.pdf")) === before)
+  }
+
+  test("buildPapers: limit-before-filter semantics preserved") {
+    import spark.implicits._
+    val docs = (0 until 150).map { i =>
+      (i.toLong, s"word$i " * 30, "en", if (i % 10 == 0) null else s"src$i", 180L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val papers = OcrPipeline.buildPapers(docs, limitN = 100).collect()
+    // 100 taken first (doc_id 0..99), THEN null-source rows dropped: 90 remain
+    assert(papers.length === 90)
+    assert(papers.map(_.getLong(0)).max <= 99)
+    assert(papers.forall(r => r.getString(2).startsWith("pdfs/src")))
+  }
+}
