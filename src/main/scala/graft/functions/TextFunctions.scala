@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM training-data pipelines
+  * (project north star: language-ID, quality scoring, token counting,
+  * fingerprinting — BASELINE.json). All pure Catalyst expressions
+  * (split/filter/transform/aggregate — codegen-friendly, no UDFs), so
+  * they vectorize inside whole-stage codegen and their semantics are
+  * mirrorable in the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty/blank text → empty array (Spark's
+    * split("") would yield [""]).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token ratio — repetition signal; 0 for empty docs. */
+  def distinctRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** Ratio of tokens drawn from a stopword list; 0 for empty docs. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(
+        size(filter(t, tok => tok.isInCollection(stopwords))).cast("double") / size(t))
+  }
+
+  /** Mean token length; 0 for empty docs. */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(
+        aggregate(t, lit(0L), (acc, tok) => acc + length(tok)).cast("double") / size(t))
+  }
+
+  /** Heuristic document quality in [0,1] — the standard cheap
+    * pre-training filters (length, repetition, stopword density,
+    * token shape) combined with fixed weights. Deterministic and
+    * SQL-mirrorable; NOT a learned model.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = English.stopwords): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthTerm = least(nTok / 100.0, lit(1.0))
+    val shapeTerm = least(avgTokenLen(text) / 8.0, lit(1.0))
+    lit(0.3) * distinctRatio(text) +
+      lit(0.3) * lengthTerm +
+      lit(0.2) * (lit(1.0) - stopwordRatio(text, stopwords)) +
+      lit(0.2) * shapeTerm
+  }
+
+  /** Content fingerprint: md5 of case/whitespace-normalized text.
+    * Identical across engines (md5 hex), so exact dedup on the
+    * fingerprint is oracle-checkable.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** n-gram-free language ID: score each candidate language by its
+    * stopword hit count over the token stream, take the argmax
+    * (alphabetical language code wins ties — deterministic). Returns
+    * the language code column. A real system would use char n-gram
+    * profiles; the operator shape (per-doc classify → groupBy) is
+    * what matters at scale, and this heuristic is SQL-mirrorable.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])] = LangProfiles.default): Column = {
+    val t = tokens(text)
+    // argmax via greatest() over (score, pri, code) structs: compared
+    // field-by-field, so ties on score fall to pri — assigned so the
+    // alphabetically-first language code wins (deterministic).
+    val indexed = profiles.zipWithIndex.map { case ((code, words), i) =>
+      struct(
+        size(filter(t, tok => tok.isInCollection(words))).as("score"),
+        lit(profiles.size - i).as("pri"),
+        lit(code).as("code"))
+    }
+    greatest(indexed: _*).getField("code")
+  }
+
+  object English {
+    val stopwords: Seq[String] = Seq(
+      "the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "as", "with")
+  }
+
+  object LangProfiles {
+    /** Profiles ordered alphabetically by code; earlier code wins ties
+      * via the descending `pri` field in [[langId]].
+      */
+    val default: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+      "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+      "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (1L, base),
+      (2L, base),                                          // exact dup of 1
+      (3L, base + " extra"),                               // near dup of 1
+      (4L, "completely different text about spark shuffle partitions and joins"),
+      (5L, "THE  QUICK brown fox jumps over the lazy dog again and again today".toLowerCase),
+      (6L, "unrelated short doc")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups: dup group found, min id kept") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dupGroup = g.filter(_._3 > 1)
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head._2 === 1L)   // representative = min(doc_id)
+    assert(dupGroup.head._3 === 2L)
+  }
+
+  test("fingerprintDedup: whitespace/case-normalized dups collapse") {
+    // doc 5 differs from doc 1 only by double-space (post-lowercase):
+    // fingerprint normalization collapses it
+    val kept = Dedup.fingerprintDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 6L))   // 2 (exact) and 5 (normalized) deduped
+  }
+
+  test("minhash: planted near-dups found, unrelated docs not") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.dropRight(3) ++ Seq("x1", "x2", "x3")).mkString(" ")  // ~high overlap
+    val c = (1 to 60).map(i => s"z$i").mkString(" ")                     // disjoint
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, a)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(spark, df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))             // identical docs: est jaccard 1
+    assert(pairs.contains((1L, 2L)))             // planted near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))  // disjoint doc clean
+  }
+
+  test("minhash signature estimates true jaccard") {
+    val h = Dedup.MinHasher(numHashes = 256)
+    val a = (1 to 100).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 80).map(i => s"w$i") ++ (1 to 20).map(i => s"v$i")).mkString(" ")
+    val sa = h.signature(a); val sb = h.signature(b)
+    val est = h.estJaccard(sa, sb)
+    val shA = h.shingles(a); val shB = h.shingles(b)
+    val exact = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+    assert(h.estJaccard(sa, sa) === 1.0)
+  }
+
+  test("simhash: small perturbation → small hamming; disjoint → large") {
+    val h = Dedup.SimHasher()
+    val a = (1 to 100).map(i => s"w$i").mkString(" ")
+    val b = (1 to 100).map(i => if (i == 50) "CHANGED" else s"w$i").mkString(" ")
+    val c = (1 to 100).map(i => s"q$i").mkString(" ")
+    assert(h.hamming(h.simhash(a), h.simhash(a)) === 0)
+    assert(h.hamming(h.simhash(a), h.simhash(b)) < 12)
+    assert(h.hamming(h.simhash(a), h.simhash(c)) > 20)
+  }
+
+  test("simhashPairs: identical + trivially-perturbed docs pair up") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, (1 to 200).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(spark, df, "doc_id", "text", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("jaccardPairs: exact values, blocking respected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", "en", 7L),
+      (2L, "a b c e", "en", 7L),     // jaccard 3/5
+      (3L, "a b c d", "fr", 7L),     // same text, different block
+      (4L, "a b c d", "en", 500L)    // same text, size band excludes
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", "lang", "n_chars",
+        sizeBand = 30, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0.6)))
+  }
+}
