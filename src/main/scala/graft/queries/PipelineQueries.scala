@@ -116,6 +116,46 @@ object PipelineQueries {
               |                                CAST($queryVecSql AS DOUBLE[])) DESC, vec_id
               |LIMIT 5""".stripMargin)),
 
+    // ----- q30: ANN search — LSH-bucketed probe + exact rerank (the
+    // 100 TB path; seeded hyperplanes → deterministic but not SQL-
+    // expressible → rows-only; recall vs brute force is spec-tested)
+    QueryDef(
+      "q30_ann_search",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.AnnSearch
+        val lsh = AnnSearch.HyperplaneLsh(dim = 64, nBits = 8, seed = 1)
+        val index = AnnSearch.buildIndex(s, Tables.embeddings(s, d), "vec_id", "embedding", lsh)
+        AnnSearch.search(index, "vec_id", "embedding",
+            queryVec.map(_.toFloat).toArray, k = 5, lsh, nProbe = 16)
+          .select($"vec_id", round($"sim", 6).as("sim"))
+      },
+      None),
+
+    // ----- q31: native codegen cosine_sim Expression — same plan and
+    // oracle as q19, but through the custom Catalyst expression
+    // (registered per session), proving it end-to-end against DuckDB
+    QueryDef(
+      "q31_cosine_native",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions
+        GraftFunctions.register(s)
+        Tables.embeddings(s, d)
+          .withColumn("sim", GraftFunctions.cosine_sim(
+            $"embedding", VectorSearch.vecLit(queryVec).cast("array<double>")))
+          .orderBy($"sim".desc, $"vec_id")
+          .limit(5)
+          .select($"vec_id", $"label", round($"sim", 6).as("sim"))
+      },
+      Some(s"""SELECT vec_id, label,
+              |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+              |                               CAST($queryVecSql AS DOUBLE[])), 6) AS sim
+              |FROM embeddings
+              |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+              |                                CAST($queryVecSql AS DOUBLE[])) DESC, vec_id
+              |LIMIT 5""".stripMargin)),
+
     // ----- q20: full text search — embed query text with the same
     // embedder that built the index, then score+top-k (the
     // similarity_search(query, k=5) of ocr-tesseract-unstructured.py:167-171).

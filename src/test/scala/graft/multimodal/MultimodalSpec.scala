@@ -1,0 +1,45 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private val codec = Multimodal.FakeCodec()
+
+  private def mediaDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "image", codec.encode(640, 480, Array.fill[Byte](100)(7))),
+      (2L, "image", codec.encode(64, 64, Array.tabulate[Byte](256)(_.toByte))),
+      (3L, "image", "not an image at all".getBytes("UTF-8")),
+      (4L, "image", Array.empty[Byte])
+    ).toDF("media_id", "kind", "content")
+  }
+
+  test("withMeta: header parse into struct; invalid blobs flagged, not failed") {
+    import spark.implicits._
+    val out = Multimodal.withMeta(spark, mediaDf, codec)
+    val metas = out.select($"media_id", $"meta.width", $"meta.height", $"meta.valid")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(metas(1L) === ((640, 480, true)))
+    assert(metas(2L) === ((64, 64, true)))
+    assert(metas(3L) === ((-1, -1, false)))
+    assert(metas(4L) === ((-1, -1, false)))
+    import spark.implicits._
+    assert(out.schema("meta").dataType.typeName === "struct")
+  }
+
+  test("extractFeatures: deterministic, unit-norm, batch-shape invariant") {
+    import spark.implicits._
+    val f1 = Multimodal.extractFeatures(spark, mediaDf.repartition(1), codec, dim = 32, batchSize = 2)
+      .as[(Long, Array[Float])].collect().toMap
+    val f4 = Multimodal.extractFeatures(spark, mediaDf.repartition(4), codec, dim = 32, batchSize = 32)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(f1.keySet === Set(1L, 2L, 3L, 4L))
+    f1.foreach { case (id, v) => assert(v.toSeq === f4(id).toSeq, s"media $id") }
+    val norm = math.sqrt(f1(2L).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(f1(4L).forall(_ === 0.0f))   // empty payload → zero vector, no crash
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.pipeline.VectorSearch
+
+class AnnSearchSpec extends SparkSpec {
+
+  private def clustered(n: Int, dim: Int, seed: Int): Seq[(Long, Array[Float])] = {
+    val r = new Random(seed)
+    val centers = Array.fill(8)(Array.fill(dim)(r.nextGaussian()))
+    (0 until n).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.15 * r.nextGaussian()).toFloat))
+    }
+  }
+
+  test("ANN with multiprobe: high recall vs brute force, scans a fraction of rows") {
+    import spark.implicits._
+    val dim = 32
+    val vecs = clustered(2000, dim, seed = 7)
+    val df = vecs.toDF("vec_id", "embedding")
+    val lsh = AnnSearch.HyperplaneLsh(dim, nBits = 10, seed = 1)
+    val index = AnnSearch.buildIndex(spark, df, "vec_id", "embedding", lsh).persist()
+
+    // queries from the SAME distribution as the index (same centers,
+    // fresh noise) — off-manifold queries legitimately miss LSH buckets
+    val queries = clustered(30, dim, seed = 7).map(_._2)
+    var recallSum = 0.0
+    var candFrac = 0.0
+    for (q <- queries) {
+      val ann = AnnSearch.search(index, "vec_id", "embedding", q, 10, lsh, nProbe = 12)
+        .select("vec_id").as[Long].collect().toSet
+      val exact = VectorSearch.topK(df, "embedding", "vec_id", q.map(_.toDouble).toSeq, 10)
+        .select("vec_id").as[Long].collect().toSet
+      recallSum += ann.intersect(exact).size / 10.0
+      val probes = lsh.probeBuckets(q, 12)
+      candFrac += index.filter($"bucket".isin(probes: _*)).count().toDouble / 2000
+    }
+    val recall = recallSum / queries.size
+    val frac = candFrac / queries.size
+    assert(recall >= 0.8, s"recall@10 = $recall")
+    assert(frac < 0.5, s"candidate fraction = $frac")
+  }
+
+  test("bucket determinism and probe ordering") {
+    val lsh = AnnSearch.HyperplaneLsh(16, nBits = 8, seed = 5)
+    val v = Array.fill(16)(0.3f)
+    assert(lsh.bucket(v) === lsh.bucket(v.clone()))
+    val probes = lsh.probeBuckets(v, 5)
+    assert(probes.head === lsh.bucket(v))
+    assert(probes.distinct.size === probes.size)
+    assert(probes.size === 5)
+  }
+}
