@@ -25,5 +25,6 @@ object QueryDef {
     queries.CoreQueries.defs ++
       queries.PipelineQueries.defs ++
       queries.DedupQueries.defs ++
-      queries.TextQueries.defs
+      queries.TextQueries.defs ++
+      queries.ScaleQueries.defs
 }

@@ -194,9 +194,21 @@ object Dedup {
 
   // ---------- similarity joins (word-set Jaccard, embedding cosine) ----------
 
-  /** Word-set Jaccard similarity join under explicit blocking —
-    * array_intersect/size are pure Catalyst, SQL-mirrorable. Blocking
-    * keeps the self-join block-diagonal (lang equality + size band).
+  /** Word-set Jaccard similarity join — array_intersect/size are pure
+    * Catalyst, SQL-mirrorable.
+    *
+    * Scale shape: the size band is folded INTO the equi-join key, not
+    * left as a post-join filter. Each row gets `bucket = ⌊sz/band⌋`;
+    * the left side also emits `bucket+1`, so every pair within the
+    * band meets on an exact (block, bucket) key — the shuffle joins
+    * bucket-cohabiting rows only, Σ bucket² instead of Σ block².
+    * Pair uniqueness without distinct(): same-bucket matches require
+    * id< ; cross-bucket matches are unique by construction.
+    *
+    * Cheap pruning before the O(|toks|) intersect: jaccard > t implies
+    * min(|A|,|B|) > t·max(|A|,|B|) — proof: I > t(a+b−I) ⟹
+    * I(1+t) > t(a+b) ⟹ min(1+t) > t(min+max) ⟹ min > t·max — so the
+    * integer size-ratio test discards most candidates first.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -206,32 +218,49 @@ object Dedup {
       sizeCol: String,
       sizeBand: Long,
       threshold: Double): DataFrame = {
+    require(sizeBand > 0)
     val t = docs.select(
       col(idCol).as("id"), col(blockCol).as("blk"), col(sizeCol).as("sz"),
       array_distinct(TextFunctions.tokens(col(textCol))).as("toks"))
-    val l = t.select(col("id").as("id_a"), col("blk"), col("sz").as("sz_a"), col("toks").as("toks_a"))
-    val r = t.select(col("id").as("id_b"), col("blk"), col("sz").as("sz_b"), col("toks").as("toks_b"))
-    l.join(r, l("blk") === r("blk") && col("id_a") < col("id_b") &&
-        abs(col("sz_a") - col("sz_b")) <= sizeBand)
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .withColumn("bucket", floor(col("sz") / sizeBand))
+      .withColumn("nt", size(col("toks")))
+    val l = t.withColumn("jb", explode(array(col("bucket"), col("bucket") + 1)))
+      .select(col("id").as("id_l"), col("blk"), col("sz").as("sz_l"),
+        col("toks").as("toks_l"), col("nt").as("nt_l"),
+        col("bucket").as("bucket_l"), col("jb"))
+    val r = t.select(col("id").as("id_r"), col("blk").as("blk_r"), col("sz").as("sz_r"),
+      col("toks").as("toks_r"), col("nt").as("nt_r"), col("bucket").as("bucket_r"))
+    l.join(r,
+        col("blk") === col("blk_r") && col("jb") === col("bucket_r") &&
+          (col("jb") =!= col("bucket_l") || col("id_l") < col("id_r")))
+      .filter(abs(col("sz_l") - col("sz_r")) <= sizeBand)
+      .filter(least(col("nt_l"), col("nt_r")) > lit(threshold) * greatest(col("nt_l"), col("nt_r")))
+      .withColumn("inter", size(array_intersect(col("toks_l"), col("toks_r"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("nt_l") + col("nt_r") - col("inter")))
       .filter(col("jaccard") > threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Embedding-cosine near-duplicate pairs under a blocking column. */
+  /** Embedding-cosine near-duplicate pairs under a blocking column.
+    * Scoring uses the native codegen CosineSimilarity expression
+    * (bit-identical to the composed form, ~several× faster in the
+    * pairwise hot loop — this predicate runs once per candidate pair).
+    */
   def cosinePairs(
       embs: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
       threshold: Double): DataFrame = {
-    import graft.pipeline.VectorSearch.cosineSim
+    graft.functions.GraftFunctions.register(embs.sparkSession)
+    import graft.functions.GraftFunctions.cosine_sim
     val l = embs.select(col(idCol).as("id_a"), col(blockCol).as("blk"), col(vecCol).as("vec_a"))
     val r = embs.select(col(idCol).as("id_b"), col(blockCol).as("blk"), col(vecCol).as("vec_b"))
     l.join(r, l("blk") === r("blk") && col("id_a") < col("id_b"))
-      .withColumn("cos", cosineSim(col("vec_a"), col("vec_b")))
+      .withColumn("cos", cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique operators beyond the reference surface: multi-
+  * source union (D4), rollup aggregation, robust statistics, sketch
+  * aggregates, and skew-safe salted aggregation — each either
+  * oracle-checked or paired with an accuracy spec.
+  */
+object ScaleQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def defs: Seq[QueryDef] = Seq(
+    // ----- q32: multi-source union (D4) — unionByName aligns differing
+    // column orders from heterogeneous document feeds
+    QueryDef(
+      "q32_union_sources",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val a = docs.filter($"source" === "src0").select($"doc_id", $"lang", $"source")
+        val b = docs.filter($"source" =!= "src0").select($"source", $"lang", $"doc_id")
+        a.unionByName(b)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), countDistinct($"lang").as("n_langs"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
+             |FROM (
+             |  SELECT doc_id, lang, source FROM documents WHERE source = 'src0'
+             |  UNION ALL
+             |  SELECT doc_id, lang, source FROM documents WHERE source <> 'src0')
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    // ----- q33: rollup — hierarchical subtotals in one pass
+    QueryDef(
+      "q33_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ----- q34: robust statistics — exact interpolated median,
+    // stddev, correlation (rounded to absorb accumulation-order noise)
+    QueryDef(
+      "q34_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+            round(stddev_samp($"l_extendedprice"), 2).as("sd_price"),
+            round(corr($"l_quantity", $"l_extendedprice"), 6).as("qty_price_corr"),
+            round(avg($"l_discount"), 6).as("avg_disc"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+             |  round(avg(l_discount), 6) AS avg_disc
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- q35: sketch aggregates — HLL++ approx distinct next to the
+    // exact count (approx value is engine-specific → rows-only; the
+    // <2% relative-error bound is spec-tested)
+    QueryDef(
+      "q35_approx_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d).agg(
+          countDistinct($"l_orderkey").as("exact_orders"),
+          approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      },
+      None),
+
+    // ----- q36: skew-safe salted aggregation — two-phase (key, salt)
+    // partial then merge; result provably equals the direct groupBy
+    // (that's exactly what the oracle checks)
+    QueryDef(
+      "q36_salted_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("salt", pmod(hash($"event_id"), lit(8)))
+          .groupBy($"user_id", $"salt")
+          .agg(count(lit(1)).as("pn"), sum(dec($"value")).as("pv"))
+          .groupBy($"user_id")
+          .agg(sum($"pn").as("n_events"), sum($"pv").cast("double").as("sum_value"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin))
+  )
+}
