@@ -98,6 +98,22 @@ object DedupQueries {
       },
       None),
 
+    // ----- q37: LSH similarity JOIN over embeddings (D3) — bucket-
+    // cohabitation candidates + exact-cosine verify; no blocking
+    // column needed, works on unlabeled corpora (rows-only: seeded
+    // hyperplanes; pair recall vs brute force is spec-tested)
+    QueryDef(
+      "q37_lsh_similarity_join",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.AnnSearch
+        val lsh = AnnSearch.HyperplaneLsh(dim = 64, nBits = 10, seed = 2)
+        AnnSearch.lshJoin(s, Tables.embeddings(s, d), "vec_id", "embedding",
+            lsh, threshold = 0.4, nFlip = 6)
+          .orderBy($"id_a", $"id_b")
+      },
+      None),
+
     // ----- q29: SimHash near-dup pairs (pigeonhole-blocked; rows-only)
     QueryDef(
       "q29_simhash_pairs",

@@ -44,6 +44,31 @@ class AnnSearchSpec extends SparkSpec {
     assert(frac < 0.5, s"candidate fraction = $frac")
   }
 
+  test("lshJoin: high recall vs brute-force pairs, exact cosines, no duplicates") {
+    import spark.implicits._
+    val dim = 32
+    val vecs = clustered(600, dim, seed = 11)
+    val df = vecs.toDF("vec_id", "embedding")
+    val lsh = AnnSearch.HyperplaneLsh(dim, nBits = 10, seed = 2)
+    val approx = AnnSearch.lshJoin(spark, df, "vec_id", "embedding", lsh,
+        threshold = 0.9, nFlip = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // brute force ground truth via the blocked cosine join with a
+    // single constant block (all pairs)
+    val exact = graft.operators.Dedup.cosinePairs(
+        df.withColumn("blk", org.apache.spark.sql.functions.lit(1)),
+        "vec_id", "embedding", "blk", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    assert(exact.nonEmpty)
+    val recall = approx.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"pair recall = $recall (${approx.size} vs ${exact.size})")
+    assert(approx.keySet.subsetOf(exact.keySet))          // no false positives
+    approx.foreach { case (k, c) => assert(c === exact(k)) }  // exact cosines
+    assert(approx.keys.toSeq.distinct.size === approx.size)   // deduplicated
+  }
+
   test("bucket determinism and probe ordering") {
     val lsh = AnnSearch.HyperplaneLsh(16, nBits = 8, seed = 5)
     val v = Array.fill(16)(0.3f)
