@@ -101,6 +101,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.PushPredicateThroughExplode)
   }
 }
 
