@@ -92,6 +92,72 @@ object ScaleQueries {
       },
       None),
 
+    // ----- q38: as-of join — each event enriched with the latest
+    // preceding signup of the same user (DuckDB has native ASOF JOIN;
+    // Spark-side = union + partitioned window, one shuffle)
+    QueryDef(
+      "q38_asof_join",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.AsofJoin
+        val events = Tables.events(s, d)
+        val signups = events.filter($"event_type" === "signup")
+          .groupBy($"user_id", $"ts")
+          .agg(max($"value").as("signup_value"))   // unique (key, ts)
+        AsofJoin.asofJoin(events, signups, "user_id", "ts", "ts",
+            payloadCols = Seq("signup_value"))
+          .select($"event_id", $"user_id", $"event_type",
+            round($"__asof_signup_value", 2).as("signup_value"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, ts, max(value) AS signup_value
+             |  FROM events WHERE event_type = 'signup'
+             |  GROUP BY user_id, ts)
+             |SELECT e.event_id, e.user_id, e.event_type,
+             |  round(r.signup_value, 2) AS signup_value
+             |FROM events e ASOF LEFT JOIN r
+             |  ON e.user_id = r.user_id AND e.ts >= r.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ----- q39: sessionization — the CUSTOM STATEFUL operator
+    // (flatMapGroupsWithState) checked against a pure-SQL lag/
+    // running-sum sessionization in DuckDB: custom state logic vs
+    // declarative formulation must agree exactly
+    QueryDef(
+      "q39_sessionize",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.Sessionize
+        val events = Tables.events(s, d)
+          .select($"user_id", $"ts", $"value").as[Sessionize.Event]
+        Sessionize.sessionize(events, gapMs = 30 * 60000L, streaming = false)
+          .toDF()
+          .select($"user_id",
+            date_format($"session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            date_format($"session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+            $"n_events".cast("bigint").as("n_events"),
+            round($"sum_value", 2).as("sum_value"))
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+             |  FROM events),
+             |y AS (
+             |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x)
+             |SELECT user_id,
+             |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+             |  COUNT(*) AS n_events,
+             |  round(SUM(value), 2) AS sum_value
+             |FROM y
+             |GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ----- q36: skew-safe salted aggregation — two-phase (key, salt)
     // partial then merge; result provably equals the direct groupBy
     // (that's exactly what the oracle checks)
