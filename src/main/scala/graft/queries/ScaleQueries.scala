@@ -14,6 +14,60 @@ object ScaleQueries {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   def defs: Seq[QueryDef] = Seq(
+    // ----- q40: extended string-function surface (lpad, split_part,
+    // levenshtein, reverse, repeat — §2.8 breadth beyond F1-F8)
+    QueryDef(
+      "q40_string_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .select(
+            $"c_custkey",
+            lpad($"c_custkey".cast("string"), 8, "0").as("padded"),
+            split_part($"c_name", lit("#"), lit(2)).as("name_num"),
+            levenshtein($"c_name", lit("Customer#000000001")).as("edit_dist"),
+            reverse(substring($"c_name", 1, 8)).as("rev"),
+            repeat($"c_mktsegment", 2).as("seg2"),
+            trim(concat(lit("  "), $"c_name", lit(" "))).as("trimmed"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+             |  split_part(c_name, '#', 2) AS name_num,
+             |  levenshtein(c_name, 'Customer#000000001') AS edit_dist,
+             |  reverse(substring(c_name, 1, 8)) AS rev,
+             |  repeat(c_mktsegment, 2) AS seg2,
+             |  trim(concat('  ', c_name, ' ')) AS trimmed
+             |FROM customer
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ----- q41: date/time function surface (extract, arithmetic,
+    // truncation, boundary) — absent from the reference (strings only)
+    QueryDef(
+      "q41_datetime_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select(
+            $"o_orderkey",
+            year($"o_orderdate").as("y"),
+            month($"o_orderdate").as("m"),
+            date_format(date_add($"o_orderdate", 30), "yyyy-MM-dd").as("plus30"),
+            datediff($"o_orderdate", lit("1995-01-01").cast("date")).as("days_since"),
+            date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+            date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  date_part('year', o_orderdate) AS y,
+             |  date_part('month', o_orderdate) AS m,
+             |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+             |  date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ----- q32: multi-source union (D4) — unionByName aligns differing
     // column orders from heterogeneous document feeds
     QueryDef(
