@@ -226,23 +226,41 @@ object Dedup {
       sizeBand: Long,
       threshold: Double): DataFrame = {
     require(sizeBand > 0)
-    val t = docs.select(
-      col(idCol).as("id"), col(blockCol).as("blk"), col(sizeCol).as("sz"),
-      array_distinct(TextFunctions.tokens(col(textCol))).as("toks"))
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+
+    // tokens computed ONCE per row; sorted so the pairwise intersect
+    // is an allocation-free merge-count, not a per-pair hash build
+    val toks = docs.select(
+      col(idCol).as("id"),
+      sort_array(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
+      .withColumn("nt", size(col("toks"))).persist()
+
+    // semi-join reduction: candidate generation runs on SKINNY rows
+    // (ids + ints) — token arrays never ride the bucket-join shuffle;
+    // they are joined back only for pairs that survive the size-band
+    // and size-ratio prunes
+    val skinny = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        col(sizeCol).as("sz"))
+      .join(toks.select(col("id"), col("nt")), "id")
       .withColumn("bucket", floor(col("sz") / sizeBand))
-      .withColumn("nt", size(col("toks")))
-    val l = t.withColumn("jb", explode(array(col("bucket"), col("bucket") + 1)))
+    val l = skinny.withColumn("jb", explode(array(col("bucket"), col("bucket") + 1)))
       .select(col("id").as("id_l"), col("blk"), col("sz").as("sz_l"),
-        col("toks").as("toks_l"), col("nt").as("nt_l"),
-        col("bucket").as("bucket_l"), col("jb"))
-    val r = t.select(col("id").as("id_r"), col("blk").as("blk_r"), col("sz").as("sz_r"),
-      col("toks").as("toks_r"), col("nt").as("nt_r"), col("bucket").as("bucket_r"))
-    l.join(r,
+        col("nt").as("nt_l"), col("bucket").as("bucket_l"), col("jb"))
+    val r = skinny.select(col("id").as("id_r"), col("blk").as("blk_r"),
+      col("sz").as("sz_r"), col("nt").as("nt_r"), col("bucket").as("bucket_r"))
+
+    val cands = l.join(r,
         col("blk") === col("blk_r") && col("jb") === col("bucket_r") &&
           (col("jb") =!= col("bucket_l") || col("id_l") < col("id_r")))
       .filter(abs(col("sz_l") - col("sz_r")) <= sizeBand)
       .filter(least(col("nt_l"), col("nt_r")) > lit(threshold) * greatest(col("nt_l"), col("nt_r")))
-      .withColumn("inter", size(array_intersect(col("toks_l"), col("toks_r"))).cast("double"))
+      .select(col("id_l"), col("id_r"), col("nt_l"), col("nt_r"))
+
+    cands
+      .join(toks.select(col("id").as("id_l"), col("toks").as("toks_l")), "id_l")
+      .join(toks.select(col("id").as("id_r"), col("toks").as("toks_r")), "id_r")
+      .withColumn("inter", sorted_intersect_count(col("toks_l"), col("toks_r")).cast("double"))
       .withColumn("jaccard", col("inter") / (col("nt_l") + col("nt_r") - col("inter")))
       .filter(col("jaccard") > threshold)
       .select(
