@@ -212,6 +212,31 @@ object ScaleQueries {
              |GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ----- q42: SQL-string entry point (the reference's spark.sql
+    // surface, S3) with a correlated scalar subquery + EXISTS —
+    // Catalyst decorrelates both into joins (no per-row subquery
+    // re-execution at any scale)
+    QueryDef(
+      "q42_correlated_subquery",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""
+          |SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+          |FROM customer c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |ORDER BY c_custkey
+        """.stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+             |FROM customer c
+             |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+             |                   WHERE c2.c_nationkey = c.c_nationkey)
+             |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ----- q36: skew-safe salted aggregation — two-phase (key, salt)
     // partial then merge; result provably equals the direct groupBy
     // (that's exactly what the oracle checks)
