@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Cross-engine-deterministic 4-decimal rounding: floor(x*1e4+0.5)
+    * evaluates the SAME IEEE double on both engines, unlike round()
+    * (Spark rounds the shortest decimal repr HALF_UP, DuckDB rounds
+    * the binary value) — they disagree when a small-denominator
+    * rational lands exactly on the half boundary, which quality-score
+    * ratios do (seen at sf0.1).
+    */
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 10000.0 + 0.5) / 10000.0
+
   /** DuckDB-side whitespace tokenization matching TextFunctions.tokens. */
   private val toksSql =
     "list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)"
@@ -82,31 +92,31 @@ object TextQueries {
           .select(
             $"doc_id",
             TextFunctions.tokenCount($"text").as("n_tokens"),
-            round(TextFunctions.distinctRatio($"text"), 4).as("distinct_ratio"),
-            round(TextFunctions.stopwordRatio($"text", English.stopwords), 4).as("stopword_ratio"),
-            round(TextFunctions.avgTokenLen($"text"), 4).as("avg_token_len"),
-            round(TextFunctions.qualityScore($"text"), 4).as("quality"))
+            r4(TextFunctions.distinctRatio($"text")).as("distinct_ratio"),
+            r4(TextFunctions.stopwordRatio($"text", English.stopwords)).as("stopword_ratio"),
+            r4(TextFunctions.avgTokenLen($"text")).as("avg_token_len"),
+            r4(TextFunctions.qualityScore($"text")).as("quality"))
           .orderBy($"doc_id")
       },
       Some {
         val sw = inList(English.stopwords)
         s"""SELECT doc_id,
            |  len($toksSql) AS n_tokens,
-           |  round(CASE WHEN len($toksSql) = 0 THEN 0.0
-           |    ELSE len(list_distinct($toksSql)) * 1.0 / len($toksSql) END, 4) AS distinct_ratio,
-           |  round(CASE WHEN len($toksSql) = 0 THEN 0.0
-           |    ELSE len(list_filter($toksSql, x -> x IN $sw)) * 1.0 / len($toksSql) END, 4) AS stopword_ratio,
-           |  round(CASE WHEN len($toksSql) = 0 THEN 0.0
-           |    ELSE list_sum(list_transform($toksSql, x -> length(x))) * 1.0 / len($toksSql) END, 4) AS avg_token_len,
-           |  round(
+           |  floor((CASE WHEN len($toksSql) = 0 THEN 0.0
+           |    ELSE len(list_distinct($toksSql)) * 1.0 / len($toksSql) END) * 10000 + 0.5) / 10000 AS distinct_ratio,
+           |  floor((CASE WHEN len($toksSql) = 0 THEN 0.0
+           |    ELSE len(list_filter($toksSql, x -> x IN $sw)) * 1.0 / len($toksSql) END) * 10000 + 0.5) / 10000 AS stopword_ratio,
+           |  floor((CASE WHEN len($toksSql) = 0 THEN 0.0
+           |    ELSE list_sum(list_transform($toksSql, x -> length(x))) * 1.0 / len($toksSql) END) * 10000 + 0.5) / 10000 AS avg_token_len,
+           |  floor((
            |    0.3 * (CASE WHEN len($toksSql) = 0 THEN 0.0
            |      ELSE len(list_distinct($toksSql)) * 1.0 / len($toksSql) END) +
            |    0.3 * least(len($toksSql) / 100.0, 1.0) +
            |    0.2 * (1.0 - (CASE WHEN len($toksSql) = 0 THEN 0.0
            |      ELSE len(list_filter($toksSql, x -> x IN $sw)) * 1.0 / len($toksSql) END)) +
            |    0.2 * least((CASE WHEN len($toksSql) = 0 THEN 0.0
-           |      ELSE list_sum(list_transform($toksSql, x -> length(x))) * 1.0 / len($toksSql) END) / 8.0, 1.0),
-           |  4) AS quality
+           |      ELSE list_sum(list_transform($toksSql, x -> length(x))) * 1.0 / len($toksSql) END) / 8.0, 1.0)
+           |  ) * 10000 + 0.5) / 10000 AS quality
            |FROM documents
            |ORDER BY doc_id""".stripMargin
       })
