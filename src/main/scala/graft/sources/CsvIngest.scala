@@ -35,4 +35,29 @@ object CsvIngest {
       df.withColumn(c, regexp_replace(col(c), "[\\r\\n]+", " "))
     }
   }
+
+  /** Same read, with structurally-broken rows captured instead of
+    * silently nulled: PERMISSIVE mode routes each malformed line into
+    * `_corrupt_record`, so at 100 TB bad input is quarantined data
+    * (filterable, countable, reprocessable), not a task failure and
+    * not a silent drop. Returns (clean rows, corrupt rows).
+    */
+  def readQuarantined(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val withCorrupt = StructType(schema.fields :+ StructField("_corrupt_record", StringType))
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache() // corrupt-record column is only populated while the parse is live
+    val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val corrupt = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+    (clean, corrupt)
+  }
 }

@@ -50,6 +50,26 @@ object IncrementalIndex {
     query.awaitTermination()
   }
 
+  /** Streaming exact deduplication (D1 on a stream): content-hash
+    * dropDuplicates with watermark-bounded state — new documents are
+    * deduped against everything seen within the watermark horizon,
+    * and state older than the horizon is evicted (unbounded dedup
+    * state is the classic streaming-pipeline OOM). Works in batch
+    * mode too (plain dropDuplicates semantics).
+    */
+  def dedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.md5
+    val hashed = docs.withColumn("content_hash", md5(col(textCol)))
+    if (docs.isStreaming)
+      hashed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
   /** Event-time tumbling-window aggregation with a watermark (SURVEY
     * §2.11 D7). Same plan works in batch (q10 checks it against the
     * oracle) and streaming; the watermark bounds state: windows older

@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftFacadeSpec extends SparkSpec {
+
+  test("install is idempotent and wires functions + optimizer rules") {
+    Graft.install(spark)
+    Graft.install(spark)
+    assert(spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))")
+      .head().getDouble(0) === 1.0)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array('a','b'), array('b','c'))")
+      .head().getInt(0) === 1)
+    assert(spark.experimental.extraOptimizations
+      .count(_ == plans.PushPredicateThroughExplode) === 1)
+  }
+}

@@ -28,6 +28,20 @@ class CsvIngestSpec extends SparkSpec {
     assert(rows(2)._3 === None)            // empty url → null (P2's filter target)
   }
 
+  test("quarantine mode: malformed rows routed to corrupt side, clean rows typed") {
+    val dir = Files.createTempDirectory("graft-csv3")
+    val csv = dir.resolve("mixed.csv")
+    Files.write(csv,
+      "name,size\nok,123\nbroken,notanumber\nfine,456\n".getBytes(StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("size", LongType)))
+    val (clean, corrupt) = CsvIngest.readQuarantined(spark, csv.toString, schema)
+    assert(clean.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ===
+      Seq(("fine", 456L), ("ok", 123L)))
+    val bad = corrupt.collect().map(_.getString(0))
+    assert(bad.length === 1 && bad.head.contains("notanumber"))
+  }
+
   test("schema is explicit: malformed numeric cells become null, not strings") {
     val dir = Files.createTempDirectory("graft-csv2")
     val csv = dir.resolve("sizes.csv")
