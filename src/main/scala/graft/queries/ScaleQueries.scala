@@ -237,6 +237,23 @@ object ScaleQueries {
              |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ----- q43: quantile sketch (percentile_approx) next to the exact
+    // interpolated percentile — sketch values are engine-specific →
+    // rows-only; the accuracy bound is spec-tested
+    QueryDef(
+      "q43_percentile_sketch",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+            expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_median"),
+            expr("percentile_approx(l_extendedprice, 0.99, 1000)").as("approx_p99"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
     // ----- q36: skew-safe salted aggregation — two-phase (key, salt)
     // partial then merge; result provably equals the direct groupBy
     // (that's exactly what the oracle checks)
