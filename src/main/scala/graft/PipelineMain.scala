@@ -32,7 +32,7 @@ object PipelineMain {
     // E1: metadata → papers (select/limit/filter/derive/sort)
     val papers = OcrPipeline.buildPapers(Tables.documents(spark, sfDir), limitN = 100)
     papers.write.mode("overwrite").parquet(s"$outDir/papers")
-    println(s"[pipeline] papers: ${papers.count()}")
+    println(s"[pipeline] papers: ${spark.read.parquet(s"$outDir/papers").count()}")
 
     // E2: chunking (the OCR stage collapses: fixture documents carry
     // their text; with binary input this is OcrPipeline.extractText
@@ -41,14 +41,14 @@ object PipelineMain {
       .join(papers.select($"doc_id"), Seq("doc_id"), "left_semi")
     val chunks = Inference.chunkDocuments(spark, docsForChunks)
     chunks.toDF().write.mode("overwrite").parquet(s"$outDir/chunks")
-    println(s"[pipeline] chunks: ${chunks.count()}")
+    println(s"[pipeline] chunks: ${spark.read.parquet(s"$outDir/chunks").count()}")
 
     // E3: batched embedding inference → index table (U4/U10)
     val embedder = HashingEmbedder(dim = 64)
     val index = Inference.embedChunks(
       spark.read.parquet(s"$outDir/chunks").as[Chunk], embedder, batchSize = 150)
     index.toDF().write.mode("overwrite").parquet(s"$outDir/index")
-    println(s"[pipeline] index: ${index.count()}")
+    println(s"[pipeline] index: ${spark.read.parquet(s"$outDir/index").count()}")
 
     // U11: similarity search over the materialized index
     val results = VectorSearch.searchText(

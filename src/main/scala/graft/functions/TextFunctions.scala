@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization; empty/blank text → empty array (Spark's
-    * split("") would yield [""]).
+  /** Whitespace tokenization; null/empty/blank text → empty array
+    * (Spark's split("") would yield [""], and a null input would
+    * otherwise null-poison downstream argmax/ratio logic into
+    * oracle-divergent results).
     */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    filter(split(trim(coalesce(text, lit(""))), "\\s+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -64,6 +64,19 @@ object Dedup {
         else toks.sliding(shingleSize).map(s => MurmurHash3.arrayHash(s, seed)).toSet
       }
 
+    /** (a*b) mod 2^61-1 without 128-bit overflow: fold the high word
+      * using 2^64 ≡ 8 and the low word's top bits using 2^61 ≡ 1.
+      * (A plain `(a*h + b) % prime` wraps at 2^64 first — the result
+      * would not be the universal hash it claims to be.)
+      */
+    @inline private def mulmod61(a: Long, b: Long): Long = {
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      var r = 8L * hi + (lo & prime) + (lo >>> 61)
+      while (r >= prime) r -= prime
+      r
+    }
+
     def signature(text: String): Array[Long] = {
       val sh = shingles(text)
       val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -71,8 +84,8 @@ object Dedup {
         val h = s.toLong & 0xffffffffL
         var i = 0
         while (i < numHashes) {
-          // universal hash in [0, prime): (a*h + b) mod p via Math.multiplyHigh-free path
-          val v = (as(i) * h + bs(i)) % prime
+          var v = mulmod61(as(i), h) + bs(i)   // < 2p: one conditional subtract
+          if (v >= prime) v -= prime
           if (v < sig(i)) sig(i) = v
           i += 1
         }
@@ -110,7 +123,7 @@ object Dedup {
     val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) => (id, hasher.signature(text)) }
-      }.toDF("id", "sig").persist()
+      }.toDF("id", "sig").persist()  // reused by band-keys and verify; lifetime = returned plan's
 
     val bandKeys = sigs.as[(Long, Array[Long])].flatMap { case (id, sig) =>
       sig.grouped(rowsPerBand).zipWithIndex.map { case (slice, b) =>
@@ -180,7 +193,7 @@ object Dedup {
 
     val hashes = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions(it => it.map { case (id, t) => (id, hasher.simhash(t)) })
-      .toDF("id", "sh").persist()
+      .toDF("id", "sh").persist()    // reused by block-keys and pairs; lifetime = returned plan's
 
     val blocks = hashes.as[(Long, Long)].flatMap { case (id, sh) =>
       (0 until nBlocks).map { b =>

@@ -69,9 +69,11 @@ object Chunker {
     * is codegen'd) — no UDF, so predicate pushdown and whole-stage
     * codegen survive. Pair with `posexplode` for (chunk_idx, chunk)
     * rows; 0-based index matches DuckDB `generate_series(0, …)`.
+    * `(?s)` (DOTALL) is load-bearing: without it `.` skips newlines,
+    * silently dropping them and diverging from the Scala chunker.
     */
   def charWindowChunks(text: Column, width: Int = 200): Column =
-    regexp_extract_all(text, lit(s".{1,$width}"), lit(0))
+    regexp_extract_all(text, lit(s"(?s).{1,$width}"), lit(0))
 
   /** The reference's chunk filter (`len > 50`,
     * 02-parallel-ocr-with-ray.py:230) applied array-side, before the

@@ -32,7 +32,15 @@ final case class LocalFileFetcher() extends DocumentFetcher {
     val dest = Paths.get(destFile)
     if (!Files.exists(dest)) {          // idempotent skip (ref :100-101)
       Files.createDirectories(dest.getParent)
-      Files.copy(Paths.get(url), dest)
+      // write-to-temp + atomic rename: a task killed mid-copy must
+      // never leave a partial file that a retry would then "skip"
+      val tmp = Files.createTempFile(dest.getParent, ".fetch-", ".tmp")
+      try {
+        Files.copy(Paths.get(url), tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, dest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
     }
     Files.size(dest)
   }.toOption

@@ -50,7 +50,7 @@ object PipelineQueries {
              |FROM (
              |  SELECT doc_id,
              |    unnest(generate_series(0, CAST(ceil(length(text)/200.0) AS BIGINT) - 1)) AS chunk_idx,
-             |    unnest(regexp_extract_all(text, '.{1,200}')) AS chunk
+             |    unnest(regexp_extract_all(text, '(?s).{1,200}')) AS chunk
              |  FROM documents)
              |WHERE length(chunk) > 50
              |ORDER BY doc_id, chunk_idx""".stripMargin)),
@@ -77,7 +77,7 @@ object PipelineQueries {
              |  SUM(length(chunk)) AS chunk_chars,
              |  MAX(length(chunk)) AS max_chunk_len
              |FROM (
-             |  SELECT doc_id, unnest(regexp_extract_all(text, '.{1,200}')) AS chunk
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).{1,200}')) AS chunk
              |  FROM documents) c
              |JOIN documents d ON c.doc_id = d.doc_id
              |WHERE length(chunk) > 50

@@ -24,7 +24,7 @@ object TextQueries {
 
   /** DuckDB-side whitespace tokenization matching TextFunctions.tokens. */
   private val toksSql =
-    "list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)"
+    "list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), x -> length(x) > 0)"
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")

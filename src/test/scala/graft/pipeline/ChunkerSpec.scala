@@ -38,7 +38,10 @@ class ChunkerSpec extends SparkSpec {
     import spark.implicits._
     val texts = Seq(
       "w" * 499, "w" * 500, "", "short", ("ab " * 300).trim,
-      (1 to 120).map(i => s"tok$i").mkString(" "))
+      (1 to 120).map(i => s"tok$i").mkString(" "),
+      // newline-bearing: the column regex must be DOTALL or these diverge
+      ("line one\nline two\n" * 30).trim,
+      "a\n" * 260)
     val df = texts.toDF("text")
     val sparkSide = df
       .select(Chunker.filterShort(Chunker.charWindowChunks($"text", 200), 50).as("chunks"))

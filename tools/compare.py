@@ -67,7 +67,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
         else:
             print(f"OK   {name} ({len(spark_df)} rows)")
-    missing = [n for n in oracle if n not in oracle]
+    import os
+    missing = [n for n in oracle if not os.path.exists(f"{out_dir}/{n}")]
+    if missing:
+        print("missing spark outputs:", missing)
     print(f"\n{len(oracle) - n_fail}/{len(oracle)} queries match")
     return 1 if n_fail else 0
 
