@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.pipeline.VectorSearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * data-adaptive complement to [[AnnSearch]]'s hyperplane LSH.
+  *
+  * Train: a deterministic k-means coarse quantizer on a seeded sample
+  * (driver-side Lloyd iterations — the centroid table is tiny; the
+  * DATA never leaves executors except the bounded sample). Index:
+  * every vector assigned to its nearest centroid cell (narrow map,
+  * no shuffle; centroids ride the closure as a broadcast-sized
+  * array). Search: rank cells by centroid distance to the query,
+  * scan only the `nProbe` nearest cells, exact-cosine rerank.
+  *
+  * At scale the index is written `partitionBy("cell")`: the cell
+  * filter prunes partitions at the source, so a query touches
+  * ~nProbe/k of the data. Unlike LSH, cells track the data
+  * distribution, so recall holds on clustered corpora with far fewer
+  * probes; LSH needs no training pass — the engine offers both.
+  */
+object IvfSearch {
+
+  final case class IvfModel(centroids: Array[Array[Float]]) extends Serializable {
+    def nearestCell(v: Array[Float]): Int = {
+      var best = 0; var bestD = Float.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ctr = centroids(c)
+        var d = 0.0f; var i = 0
+        val n = math.min(ctr.length, v.length)
+        while (i < n) { val x = ctr(i) - v(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    /** Cells ordered by centroid distance to the query. */
+    def rankedCells(q: Array[Float]): Seq[Int] =
+      centroids.indices.sortBy { c =>
+        val ctr = centroids(c)
+        var d = 0.0; var i = 0
+        val n = math.min(ctr.length, q.length)
+        while (i < n) { val x = ctr(i) - q(i); d += x * x; i += 1 }
+        d
+      }
+  }
+
+  /** Deterministic training: seeded sample to the driver (bounded by
+    * `sampleSize`), k-means++-free init (first k distinct sampled
+    * vectors), fixed Lloyd iteration count — same inputs, same model,
+    * on every run and every cluster.
+    */
+  def train(
+      spark: SparkSession,
+      embs: DataFrame,
+      vecCol: String,
+      k: Int = 16,
+      iterations: Int = 10,
+      sampleSize: Int = 2000,
+      seed: Long = 42L): IvfModel = {
+    import spark.implicits._
+    // hash-ordered sample: deterministic regardless of partitioning
+    // (orderBy(rand(seed)) varies with partition layout)
+    val sample = embs.select(col(vecCol)).as[Array[Float]]
+      .orderBy(hash(col(vecCol), lit(seed)))
+      .limit(sampleSize)
+      .collect()
+    require(sample.nonEmpty, "cannot train IVF on an empty table")
+    val dim = sample.head.length
+    var centroids = sample.distinctBy(_.toSeq).take(k).map(_.clone())
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      val m = IvfModel(centroids)
+      sample.foreach { v =>
+        val c = m.nearestCell(v)
+        counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toArray
+      iter += 1
+    }
+    IvfModel(centroids)
+  }
+
+  /** Materialize the cell assignment. At scale, write the result
+    * `.partitionBy("cell")`.
+    */
+  def buildIndex(
+      spark: SparkSession,
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: IvfModel): DataFrame = {
+    import spark.implicits._
+    embs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(it => it.map { case (id, v) => (id, v, model.nearestCell(v)) })
+      .toDF(idCol, vecCol, "cell")
+  }
+
+  /** Scan the nProbe nearest cells, exact-cosine rerank, top-k. */
+  def search(
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      model: IvfModel,
+      nProbe: Int = 4): DataFrame = {
+    val cells = model.rankedCells(query).take(math.max(1, nProbe))
+    index
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("sim",
+        VectorSearch.cosineSim(col(vecCol), VectorSearch.vecLit(query.map(_.toDouble).toSeq)))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("sim"))
+  }
+}

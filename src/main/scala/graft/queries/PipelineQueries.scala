@@ -132,6 +132,23 @@ object PipelineQueries {
       },
       None),
 
+    // ----- q44: IVF ANN search — trained coarse quantizer, nearest-
+    // cell probing + exact rerank (rows-only: k-means model; recall
+    // and determinism are spec-tested)
+    QueryDef(
+      "q44_ivf_search",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.IvfSearch
+        val embs = Tables.embeddings(s, d)
+        val model = IvfSearch.train(s, embs, "embedding", k = 16)
+        val index = IvfSearch.buildIndex(s, embs, "vec_id", "embedding", model)
+        IvfSearch.search(index, "vec_id", "embedding",
+            queryVec.map(_.toFloat).toArray, k = 5, model, nProbe = 6)
+          .select($"vec_id", round($"sim", 6).as("sim"))
+      },
+      None),
+
     // ----- q31: native codegen cosine_sim Expression — same plan and
     // oracle as q19, but through the custom Catalyst expression
     // (registered per session), proving it end-to-end against DuckDB
