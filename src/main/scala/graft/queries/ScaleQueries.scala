@@ -14,6 +14,75 @@ object ScaleQueries {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   def defs: Seq[QueryDef] = Seq(
+    // ----- q45: pivot — long-to-wide reshape as one grouped pass
+    QueryDef(
+      "q45_pivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |  SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS "A",
+             |  SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS "N",
+             |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS "R"
+             |FROM lineitem
+             |GROUP BY l_linestatus
+             |ORDER BY l_linestatus""".stripMargin)),
+
+    // ----- q46: typed JSON parsing (from_json → struct access, the
+    // schema-full sibling of q09's get_json_object path)
+    QueryDef(
+      "q46_from_json",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("parsed", from_json($"props", lit("k INT")))
+          .withColumn("k_bucket", floor($"parsed.k" / 10).cast("int"))  // explicit floor: DuckDB CAST(double AS INT) rounds, Spark truncates
+          .groupBy($"event_type", $"k_bucket")
+          .agg(count(lit(1)).as("n"), max($"parsed.k").as("max_k"))
+          .orderBy($"event_type", $"k_bucket")
+      },
+      Some("""SELECT event_type,
+             |  CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS INT) AS k_bucket,
+             |  COUNT(*) AS n,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY event_type, k_bucket""".stripMargin)),
+
+    // ----- q47: window-function suite beyond row_number — lag/lead,
+    // dense_rank over a second ordering, running decimal-exact frame
+    QueryDef(
+      "q47_window_suite",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wp = Window.partitionBy($"o_custkey").orderBy($"o_orderpriority")
+        Tables.orders(s, d)
+          .select(
+            $"o_custkey", $"o_orderkey",
+            lag($"o_orderkey", 1).over(w).as("prev_ok"),
+            lead($"o_orderkey", 1).over(w).as("next_ok"),
+            dense_rank().over(wp).as("pr_rank"),
+            sum(dec($"o_totalprice")).over(wr).cast("double").as("running"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_orderkey) OVER w AS prev_ok,
+             |  lead(o_orderkey) OVER w AS next_ok,
+             |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS pr_rank,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ----- q40: extended string-function surface (lpad, split_part,
     // levenshtein, reverse, repeat — §2.8 breadth beyond F1-F8)
     QueryDef(
