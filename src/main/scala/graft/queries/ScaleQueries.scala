@@ -83,6 +83,43 @@ object ScaleQueries {
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ----- q48: cube — all grouping-set combinations in one pass
+    QueryDef(
+      "q48_cube",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec($"l_extendedprice")).cast("double").as("sum_price"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ----- q49: unpivot — wide-to-long melt, the inverse of q45
+    QueryDef(
+      "q49_unpivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .select($"p_partkey", $"p_retailprice",
+            $"p_size".cast("double").as("p_size_d"))
+          .unpivot(
+            ids = Array($"p_partkey"),
+            values = Array($"p_retailprice", $"p_size_d"),
+            variableColumnName = "metric",
+            valueColumnName = "value")
+          .orderBy($"p_partkey", $"metric")
+      },
+      Some("""SELECT p_partkey, metric, CAST(value AS DOUBLE) AS value FROM (
+             |  SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size_d FROM part)
+             |UNPIVOT (value FOR metric IN (p_retailprice, p_size_d))
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
     // ----- q40: extended string-function surface (lpad, split_part,
     // levenshtein, reverse, repeat — §2.8 breadth beyond F1-F8)
     QueryDef(
