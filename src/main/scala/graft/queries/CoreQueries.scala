@@ -230,7 +230,7 @@ object CoreQueries {
       },
       Some("""SELECT event_type,
              |  COUNT(*) AS n,
-             |  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
              |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
              |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -292,9 +292,9 @@ object CoreQueries {
           .orderBy($"l_linestatus")
       },
       Some("""SELECT l_linestatus,
-             |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-             |  SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS n_accepted,
-             |  SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_none,
+             |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+             |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+             |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_none,
              |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_value
              |FROM lineitem
              |GROUP BY l_linestatus

@@ -74,7 +74,7 @@ object PipelineQueries {
       Some("""SELECT lang,
              |  COUNT(DISTINCT c.doc_id) AS n_docs,
              |  COUNT(*) AS n_chunks,
-             |  SUM(length(chunk)) AS chunk_chars,
+             |  CAST(SUM(length(chunk)) AS BIGINT) AS chunk_chars,
              |  MAX(length(chunk)) AS max_chunk_len
              |FROM (
              |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).{1,200}')) AS chunk
@@ -94,7 +94,13 @@ object PipelineQueries {
         val chunks = Inference.chunkDocuments(s, Tables.documents(s, d))
         Inference.embedChunks(chunks, HashingEmbedder(dim = 64), batchSize = 150)
           .toDF()
-          .select($"doc_id", $"chunk_idx", $"chunk_id", $"embedding")
+          // The raw array<float> column is spec-covered (EmbedderSpec);
+          // the driver's comparator can't sort arrays, so the declared
+          // output carries scalar digests of the vector instead.
+          .select($"doc_id", $"chunk_idx", $"chunk_id",
+            round(element_at($"embedding", 1).cast("double"), 6).as("emb_head"),
+            round(aggregate($"embedding", lit(0.0),
+              (acc, x) => acc + x.cast("double")), 6).as("emb_sum"))
           .orderBy($"doc_id", $"chunk_idx")
       },
       None),

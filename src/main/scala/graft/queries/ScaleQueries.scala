@@ -27,9 +27,9 @@ object ScaleQueries {
           .orderBy($"l_linestatus")
       },
       Some("""SELECT l_linestatus,
-             |  SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS "A",
-             |  SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS "N",
-             |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS "R"
+             |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS "A",
+             |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS "N",
+             |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS "R"
              |FROM lineitem
              |GROUP BY l_linestatus
              |ORDER BY l_linestatus""".stripMargin)),

@@ -46,7 +46,7 @@ object TextQueries {
           .orderBy($"lang")
       },
       Some(s"""SELECT lang, COUNT(*) AS n_docs,
-              |  SUM(len($toksSql)) AS total_tokens,
+              |  CAST(SUM(len($toksSql)) AS BIGINT) AS total_tokens,
               |  MIN(len($toksSql)) AS min_tokens,
               |  MAX(len($toksSql)) AS max_tokens
               |FROM documents

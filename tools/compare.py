@@ -48,6 +48,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in oracle_df.columns:
             a, b = spark_df[c], oracle_df[c]
             try:
+                # The driver's value-hash distinguishes int64 from float64:
+                # DuckDB SUM(integer) -> HUGEINT -> pandas float64 while the
+                # Spark parquet holds int64. A silent float64 cast here hid
+                # exactly that class of mismatch in round 1 (q09/q12/q17/
+                # q23/q45), so int-vs-float dtype is now a hard failure.
+                if (a.dtype.kind in "iu") != (b.dtype.kind in "iu") and (
+                    a.dtype.kind in "iufc" and b.dtype.kind in "iufc"
+                ):
+                    bad.append((c, f"dtype mismatch: spark {a.dtype} vs oracle {b.dtype} (driver hash would differ)"))
+                    continue
                 if a.dtype.kind in "fc" or b.dtype.kind in "fc":
                     a = a.astype("float64")
                     b = b.astype("float64")
