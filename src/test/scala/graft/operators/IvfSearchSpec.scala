@@ -42,6 +42,41 @@ class IvfSearchSpec extends SparkSpec {
     assert(frac < 0.4, s"probe fraction = $frac")
   }
 
+  test("persisted index: quantizer round-trips, cell probes prune at the source") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import spark.implicits._
+    val dim = 16
+    val df = clustered(800, dim, seed = 17).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString + "/idx"
+
+    val (index, model) = IvfSearch.persistedIndex(
+      spark, df, "vec_id", "embedding", path, k = 8)
+    // reload path: the quantizer comes back bit-identical
+    val (_, model2) = IvfSearch.persistedIndex(
+      spark, df, "vec_id", "embedding", path, k = 8)
+    model.centroids.zip(model2.centroids).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+    }
+
+    val q = clustered(1, dim, seed = 17).head._2
+    val res = IvfSearch.search(index, "vec_id", "embedding", q, 5, model, nProbe = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cell"),
+      plan.take(800))
+    val cells = model.rankedCells(q).take(2).toSet
+    val files = index.filter(col("cell").isin(cells.toSeq: _*))
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty)
+    assert(files.forall(f => cells.exists(c => f.contains(s"cell=$c/"))),
+      files.mkString("\n"))
+
+    // identical results to the in-memory index
+    val mem = IvfSearch.search(
+      IvfSearch.buildIndex(spark, df, "vec_id", "embedding", model),
+      "vec_id", "embedding", q, 5, model, nProbe = 2)
+    assert(res.collect().toSeq === mem.collect().toSeq)
+  }
+
   test("deterministic training: same inputs, identical model") {
     import spark.implicits._
     val df = clustered(500, 16, seed = 3).toDF("vec_id", "embedding")
