@@ -21,6 +21,56 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ---------- candidate generation (shared by MinHash / SimHash / LSH) ----------
+
+  /** Buckets of `cap`+ members, for callers that want to log/inspect
+    * what [[bucketCandidates]] is about to star-link. Degenerate
+    * buckets are a data property (boilerplate corpora) — surfacing
+    * them is an explicit diagnostic, not driver-side logging buried
+    * in an operator.
+    */
+  def megaBuckets(keys: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    keys.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > cap)
+
+  /** Candidate (id_a < id_b) pairs by bucket cohabitation, with a
+    * mega-bucket cap. Buckets with ≤ cap members contribute all
+    * within-bucket pairs (Σ bucket² cost — the LSH contract). Buckets
+    * over the cap would go quadratic on degenerate input (thousands
+    * of identical boilerplate docs landing in one bucket), so they
+    * contribute STAR pairs instead — every member against the
+    * bucket's min id, linear in bucket size. For dedup purposes the
+    * star preserves the connected component (all members remain
+    * reachable through the representative); pairwise similarity
+    * output loses only member↔member edges of buckets that are
+    * near-cliques anyway. Verification stays exact downstream.
+    */
+  private[graft] def bucketCandidates(
+      keys: DataFrame,
+      idCol: String,
+      keyCols: Seq[String],
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 1, "bucket cap must exceed 1")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val sized = keys
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__min", min(col(idCol)).over(w))
+
+    val small = sized.filter(col("__n") <= cap)
+      .select(keyCols.map(col) :+ col(idCol): _*)
+    val allPairs = small.as("l").join(small.as("r"),
+        keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+
+    val starPairs = sized.filter(col("__n") > cap && col(idCol) =!= col("__min"))
+      .select(col("__min").as("id_a"), col(idCol).as("id_b"))
+
+    allPairs.union(starPairs).distinct()
+  }
+
   // ---------- exact ----------
 
   /** One row per distinct content hash: representative (min id), dup
@@ -77,11 +127,24 @@ object Dedup {
       r
     }
 
-    def signature(text: String): Array[Long] = {
-      val sh = shingles(text)
+    def signature(text: String): Array[Long] =
+      signatureOfHashes(shingles(text).iterator.map(_.toLong & 0xffffffffL))
+
+    /** Signature over pre-tokenized features — used by the
+      * exact-verify path so the MinHash features are BY CONSTRUCTION
+      * the same token set the verification (and the SQL oracle)
+      * measures Jaccard on.
+      */
+    def signatureOfTokens(toks: Iterable[String]): Array[Long] =
+      signatureOfHashes(toks.iterator.map(t => MurmurHash3.stringHash(t, seed).toLong & 0xffffffffL))
+
+    /** Same, over 64-bit feature hashes (e.g. xxhash64 of tokens). */
+    def signatureOfLongs(feats: Iterable[Long]): Array[Long] =
+      signatureOfHashes(feats.iterator.map(h => (h & Long.MaxValue) % prime))
+
+    private def signatureOfHashes(hashes: Iterator[Long]): Array[Long] = {
       val sig = Array.fill(numHashes)(Long.MaxValue)
-      for (s <- sh) {
-        val h = s.toLong & 0xffffffffL
+      for (h <- hashes) {
         var i = 0
         while (i < numHashes) {
           var v = mulmod61(as(i), h) + bs(i)   // < 2p: one conditional subtract
@@ -115,7 +178,8 @@ object Dedup {
       textCol: String,
       hasher: MinHasher = MinHasher(),
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      bucketCap: Int = 10000): DataFrame = {
     import spark.implicits._
     require(hasher.numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = hasher.numHashes / bands
@@ -131,10 +195,7 @@ object Dedup {
       }
     }.toDF("band", "bucket", "id")
 
-    val cands = bandKeys.as("l").join(bandKeys.as("r"),
-        $"l.band" === $"r.band" && $"l.bucket" === $"r.bucket" && $"l.id" < $"r.id")
-      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
-      .distinct()
+    val cands = bucketCandidates(bandKeys, "id", Seq("band", "bucket"), bucketCap)
 
     cands
       .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")
@@ -145,6 +206,108 @@ object Dedup {
       .toDF("id_a", "id_b", "est_jaccard")
       .filter($"est_jaccard" >= threshold)
       .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"))
+  }
+
+  /** MinHash-LSH near-dup pairs with EXACT Jaccard verification —
+    * the oracle-checkable variant. Candidates come from the band
+    * trick exactly as [[minhashPairs]], but the MinHash features are
+    * the document's distinct whitespace tokens (the same set the
+    * verification measures), and every candidate is verified with an
+    * exact sorted-merge intersect, so the output equals the
+    * brute-force all-pairs Jaccard join up to LSH recall.
+    *
+    * Recall: with numHashes=64 and bands=32 (2 rows/band), a pair at
+    * the default threshold 0.7 is missed with probability
+    * (1 − 0.7²)^32 ≈ 4·10⁻¹⁰ — full recall for any practical corpus,
+    * while candidate generation stays Σ bucket², never N².
+    *
+    * Cost shape, tuned on a near-dup-saturated corpus (the sf0.1
+    * fixture has 4.8M true pairs among 5k docs — DuckDB's single-node
+    * all-pairs join takes 133 s on it):
+    *  - a near-dup pair collides in MOST of its 32 bands; emitting
+    *    every collision and `distinct()`-ing shuffles ~20× the true
+    *    pair count. The bucket self-join is instead filtered by the
+    *    codegen [[graft.functions.FirstBandCollision]] predicate —
+    *    each pair is emitted from exactly its first joinable band,
+    *    in-task, before anything is shuffled;
+    *  - tokens are verified as sorted xxhash64 values, not strings:
+    *    the merge compares longs, and a 64-bit collision perturbing
+    *    one intersection count happens with p < 1e-11 per pair
+    *    (|A|·|B| / 2⁶⁴), vanishing even over millions of pairs;
+    *  - the verify joins hit the persisted skinny (id, hashes) table,
+    *    which AQE broadcasts at these sizes — candidate pairs never
+    *    drag token arrays through a shuffle.
+    */
+  def minhashPairsExact(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      hasher: MinHasher = MinHasher(numHashes = 64, shingleSize = 1),
+      bands: Int = 32,
+      threshold: Double = 0.7,
+      bucketCap: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(hasher.numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = hasher.numHashes / bands
+    graft.functions.SortedIntersectCount.register(spark)
+    graft.functions.FirstBandCollision.register(spark)
+    import graft.functions.FirstBandCollision.first_band_collision
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+
+    // tokens hashed to 64 bits ONCE per row, shared by signature
+    // computation and exact verification (identical feature set by
+    // construction)
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        sort_array(array_distinct(transform(
+          TextFunctions.tokens(col(textCol)), t => xxhash64(t)))).as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .persist()                    // band-keys + two verify joins; lifetime = returned plan's
+
+    // per-row band-key vector (kept whole for first-collision dedup)
+    val keyed = toks.select($"id", $"toks").as[(Long, Seq[Long])]
+      .map { case (id, ts) =>
+        val keys = hasher.signatureOfLongs(ts).grouped(rowsPerBand)
+          .map(slice => MurmurHash3.arrayHash(slice, 17)).toArray
+        (id, keys)
+      }.toDF("id", "keys")
+
+    val w = Window.partitionBy($"band", $"key")
+    val sized = keyed
+      .select($"id", $"keys", posexplode($"keys").as(Seq("band", "key")))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("bmin", min($"id").over(w))
+
+    // per-row flags: which of MY bands landed in an over-cap bucket —
+    // collisions there emit star pairs, so they must not suppress
+    // emission from a later normal bucket
+    val megas = sized.groupBy($"id").agg(
+      transform(array_sort(collect_list(struct($"band", ($"n" > bucketCap).as("m")))),
+        s => s.getField("m")).as("megas"))
+
+    val small = sized.filter($"n" <= bucketCap)
+      .join(megas, "id")
+      .select($"id", $"band", $"key", $"keys", $"megas")
+    val gridPairs = small.as("l").join(small.as("r"),
+        $"l.band" === $"r.band" && $"l.key" === $"r.key" && $"l.id" < $"r.id" &&
+          first_band_collision($"l.keys", $"r.keys", $"l.megas", $"l.band"))
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+
+    val starPairs = sized.filter($"n" > bucketCap && $"id" =!= $"bmin")
+      .select($"bmin".as("id_a"), $"id".as("id_b"))
+
+    // distinct is cheap here: gridPairs are already exact-once; it
+    // only dedups star pairs across bands / against the grid
+    gridPairs.union(starPairs).distinct()
+      .join(toks.select($"id".as("id_a"), $"toks".as("toks_a"), $"nt".as("nt_a")), "id_a")
+      .join(toks.select($"id".as("id_b"), $"toks".as("toks_b"), $"nt".as("nt_b")), "id_b")
+      // size-ratio prune (see jaccardPairs proof) before the O(|toks|) merge
+      .filter(least($"nt_a", $"nt_b") > lit(threshold) * greatest($"nt_a", $"nt_b"))
+      .withColumn("inter", sorted_intersect_count($"toks_a", $"toks_b").cast("double"))
+      .withColumn("jaccard", $"inter" / ($"nt_a" + $"nt_b" - $"inter"))
+      .filter($"jaccard" > threshold)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
   }
 
   // ---------- SimHash ----------
@@ -186,7 +349,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       hasher: SimHasher = SimHasher(),
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3,
+      bucketCap: Int = 10000): DataFrame = {
     import spark.implicits._
     val nBlocks = maxDistance + 1
     val blockBits = 64 / nBlocks
@@ -198,14 +362,14 @@ object Dedup {
     val blocks = hashes.as[(Long, Long)].flatMap { case (id, sh) =>
       (0 until nBlocks).map { b =>
         val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
-        (b, (sh >>> (b * blockBits)) & mask, id, sh)
+        (b, (sh >>> (b * blockBits)) & mask, id)
       }
-    }.toDF("block", "key", "id", "sh")
+    }.toDF("block", "key", "id")
 
-    blocks.as("l").join(blocks.as("r"),
-        $"l.block" === $"r.block" && $"l.key" === $"r.key" && $"l.id" < $"r.id")
-      .select($"l.id".as("id_a"), $"r.id".as("id_b"), $"l.sh".as("sh_a"), $"r.sh".as("sh_b"))
-      .distinct()
+    bucketCandidates(blocks, "id", Seq("block", "key"), bucketCap)
+      .join(hashes.select($"id".as("id_a"), $"sh".as("sh_a")), "id_a")
+      .join(hashes.select($"id".as("id_b"), $"sh".as("sh_b")), "id_b")
+      .select($"id_a", $"id_b", $"sh_a", $"sh_b")   // USING joins reorder — pin
       .as[(Long, Long, Long, Long)]
       .map { case (a, b, sa, sb) => (a, b, hasher.hamming(sa, sb)) }
       .toDF("id_a", "id_b", "hamming")
@@ -282,22 +446,59 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Embedding-cosine near-duplicate pairs under a blocking column.
-    * Scoring uses the native codegen CosineSimilarity expression
-    * (bit-identical to the composed form, ~several× faster in the
-    * pairwise hot loop — this predicate runs once per candidate pair).
+  /** Embedding-cosine near-duplicate pairs under a blocking column —
+    * grid-distributed (see [[cosineJoinGrid]]). Output is the exact
+    * blocked all-pairs join; the plan is a bounded-task grid, not a
+    * per-block nested loop, so fixed-cardinality blocking columns
+    * (e.g. a 10-value label over 100 TB) no longer cap parallelism
+    * at the block count.
     */
   def cosinePairs(
       embs: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    cosineJoinGrid(embs, idCol, vecCol, threshold, Some(blockCol))
+
+  /** EXACT cosine similarity join, grid-distributed — the
+    * 1-Bucket-Theta shape (Okcan & Riedewald, SIGMOD'11): right rows
+    * hash to one of `grid` cells; left rows replicate to every cell;
+    * the (block, cell) equi-join gives each unordered pair exactly
+    * one meeting (the `id_a < id_b` filter kills the mirror
+    * orientation), and the codegen cosine evaluates once per pair.
+    *
+    * Why brute force at all: exact low-threshold cosine joins admit
+    * NO sublinear candidate scheme with guaranteed recall — at the
+    * fixture's measured similarity ceiling (max pairwise cosine 0.6,
+    * every qualifying pair in [0.4, 0.6]) hyperplane-LSH banding
+    * needs 1-bit bands for full recall, which is a disguised cross
+    * join. The honest scale story is: work is Σ n_blk² FLOPs no
+    * matter what; the grid spreads it over |blocks|·grid equal tasks
+    * with bounded memory (each task holds one cell of the right side,
+    * streaming the left), so a 1000-executor cluster stays saturated
+    * even when the blocking column has 10 values — or none. The
+    * APPROXIMATE scale path (for corpora that do have high-similarity
+    * structure) is [[AnnSearch.bandJoin]] / [[AnnSearch.lshJoin]],
+    * recall-bounded and spec-measured.
+    */
+  def cosineJoinGrid(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blockCol: Option[String] = None,
+      grid: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.register(embs.sparkSession)
     import graft.functions.GraftFunctions.cosine_sim
-    val l = embs.select(col(idCol).as("id_a"), col(blockCol).as("blk"), col(vecCol).as("vec_a"))
-    val r = embs.select(col(idCol).as("id_b"), col(blockCol).as("blk"), col(vecCol).as("vec_b"))
-    l.join(r, l("blk") === r("blk") && col("id_a") < col("id_b"))
+    require(grid > 0)
+    val blk = blockCol.map(col).getOrElse(lit(0))
+    val l = embs.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("vec_a"), blk.as("blk"))
+      .withColumn("cell", explode(sequence(lit(0), lit(grid - 1))))
+    val r = embs.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("vec_b"), blk.as("blk"))
+      .withColumn("cell", pmod(hash(col("id_b")), lit(grid)))
+    l.join(r, Seq("blk", "cell"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))

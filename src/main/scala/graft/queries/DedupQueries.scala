@@ -68,7 +68,11 @@ object DedupQueries {
              |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ----- q27: embedding-cosine near-dup pairs (label-blocked self-join)
+    // ----- q27: embedding-cosine near-dup pairs. Same label-blocked
+    // semantics (and oracle) as round 1, but the PLAN is the
+    // 1-Bucket-Theta grid (Dedup.cosineJoinGrid): the inherent
+    // Σ n_label² work is spread over |labels|×32 bounded tasks
+    // instead of one task per fixed-cardinality label.
     QueryDef(
       "q27_embedding_neardup",
       (s, d) => {
@@ -86,33 +90,58 @@ object DedupQueries {
              |                             CAST(b.embedding AS DOUBLE[])) > 0.4
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ----- q28: MinHash-LSH near-dup candidates (banded signatures;
-    // seeded Murmur → rows-only, semantics spec-tested)
+    // ----- q28: MinHash-LSH near-dup pairs with EXACT Jaccard verify.
+    // Banded candidate generation (32 bands × 2 hashes: miss prob
+    // ≈ 4e-10 at threshold 0.7) + sorted-merge exact verification —
+    // so the output equals the brute-force all-pairs Jaccard join the
+    // DuckDB oracle computes, while the plan stays Σ bucket².
     QueryDef(
       "q28_minhash_pairs",
       (s, d) => {
         import s.implicits._
-        Dedup.minhashPairs(s, Tables.documents(s, d), "doc_id", "text",
-            bands = 16, threshold = 0.7)
+        Dedup.minhashPairsExact(s, Tables.documents(s, d), "doc_id", "text",
+            bands = 32, threshold = 0.7)
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> length(x) > 0)) AS toks
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.7
+             |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ----- q37: LSH similarity JOIN over embeddings (D3) — bucket-
-    // cohabitation candidates + exact-cosine verify; no blocking
-    // column needed, works on unlabeled corpora (rows-only: seeded
-    // hyperplanes; pair recall vs brute force is spec-tested)
+    // ----- q37: similarity JOIN over embeddings (D3), unblocked,
+    // EXACT — oracle-checked against DuckDB's all-pairs cosine join.
+    // Plan: 1-Bucket-Theta grid. Why not LSH here: this corpus's max
+    // pairwise cosine is 0.60 (measured), so at threshold 0.4 every
+    // hyperplane-LSH banding with full recall degenerates to 1-bit
+    // bands = a disguised cross join — no candidate scheme with
+    // guaranteed recall beats the grid for exact output. The LSH
+    // similarity-join operators (AnnSearch.bandJoin — provably-full-
+    // recall banding at high thresholds — and lshJoin) remain the
+    // approximate scale path, recall-verified in AnnSearchSpec
+    // against planted high-cosine clusters.
     QueryDef(
-      "q37_lsh_similarity_join",
+      "q37_similarity_join",
       (s, d) => {
         import s.implicits._
-        import graft.operators.AnnSearch
-        val lsh = AnnSearch.HyperplaneLsh(dim = 64, nBits = 10, seed = 2)
-        AnnSearch.lshJoin(s, Tables.embeddings(s, d), "vec_id", "embedding",
-            lsh, threshold = 0.4, nFlip = 6)
+        Dedup.cosineJoinGrid(Tables.embeddings(s, d), "vec_id", "embedding",
+            threshold = 0.4)
           .orderBy($"id_a", $"id_b")
       },
-      None),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                             CAST(b.embedding AS DOUBLE[])) > 0.4
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ----- q29: SimHash near-dup pairs (pigeonhole-blocked; rows-only)
     QueryDef(

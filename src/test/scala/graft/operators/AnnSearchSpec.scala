@@ -69,6 +69,33 @@ class AnnSearchSpec extends SparkSpec {
     assert(approx.keys.toSeq.distinct.size === approx.size)   // deduplicated
   }
 
+  test("bandJoin: equals brute-force pairs at 15×2-bit bands; blocking respected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dim = 32
+    val df = clustered(600, dim, seed = 11).toDF("vec_id", "embedding")
+    val lsh = AnnSearch.HyperplaneLsh(dim, nBits = 30, seed = 2)
+    val got = AnnSearch.bandJoin(spark, df, "vec_id", "embedding", lsh,
+        bands = 15, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val exact = Dedup.cosinePairs(df.withColumn("blk", lit(1)),
+        "vec_id", "embedding", "blk", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // miss prob per pair ≤ (1 − 0.8565²)^15 ≈ 2e-9 at cos 0.9 —
+    // equality, not a recall bound
+    assert(exact.nonEmpty)
+    assert(got === exact)
+
+    // blocking column folds into the bucket key: only same-block pairs
+    val blocked = df.withColumn("parity", $"vec_id" % 2)
+    val gotB = AnnSearch.bandJoin(spark, blocked, "vec_id", "embedding", lsh,
+        bands = 15, threshold = 0.9, blockCol = Some("parity"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotB === exact.keySet.filter { case (a, b) => a % 2 == b % 2 })
+  }
+
   test("persisted index: probe filter prunes partitions at the source") {
     import org.apache.spark.sql.functions.{col, input_file_name}
     import spark.implicits._

@@ -81,6 +81,49 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("minhashPairsExact: equals brute-force all-pairs Jaccard join") {
+    import spark.implicits._
+    val r = new scala.util.Random(3)
+    // 40 docs in 8 families: high within-family token overlap
+    val rows = (0 until 40).map { i =>
+      val fam = i % 8
+      val toks = (1 to 50).map(j => s"f${fam}w$j") ++ (1 to r.nextInt(8)).map(j => s"doc${i}x$j")
+      (i.toLong, r.shuffle(toks).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.minhashPairsExact(spark, df, "doc_id", "text", threshold = 0.7)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+
+    // driver-side brute force over the same distinct-token sets
+    val sets = rows.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSet }
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j > 0.7
+      // HALF_UP to match Spark SQL round()
+    } yield (a, b) -> BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("bucket cap: degenerate identical corpus stays linear via star-linking") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val df = (1L to 1000L).map(i => (i, text)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsExact(spark, df, "doc_id", "text",
+        threshold = 0.7, bucketCap = 100)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    // all-pairs would be 499,500; star-linking caps it at n-1 edges,
+    // every member still reachable through the representative (min id)
+    assert(pairs.length === 999)
+    assert(pairs.forall(_._1 === 1L))
+    assert(pairs.forall(_._3 === 1.0))
+
+    // the diagnostic surfaces what was capped
+    val keys = df.select($"doc_id".as("id"), org.apache.spark.sql.functions.lit(0).as("k"))
+    assert(Dedup.megaBuckets(keys, Seq("k"), 100).collect().head.getLong(1) === 1000L)
+  }
+
   test("jaccardPairs: exact values, blocking respected") {
     import spark.implicits._
     val df = Seq(
