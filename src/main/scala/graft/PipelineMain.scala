@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * notebooks, as a single deterministic Spark job graph.
   *
   * Usage: `runMain graft.PipelineMain <sfDir> <outDir> [queryText]`
-  * Writes: papers.parquet, chunks.parquet, index.parquet,
-  * search_results.parquet under outDir, and prints stage counts.
+  * Writes: `graft.papers` / `graft.chunks` / `graft.index` /
+  * `graft.search_results` catalog tables (data under outDir), and
+  * prints stage counts.
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
@@ -26,13 +27,30 @@ object PipelineMain {
     spark.stop()
   }
 
+  /** Managed-table sink (S4): `saveAsTable` into the `graft`
+    * database, the engine-side form of the reference's
+    * `df.write.mode("overwrite").saveAsTable(...)`
+    * (`01-download-pdfs.py:180-182`, `02-parallel-ocr-with-ray
+    * .py:294-296`). Tables are external with data under `outDir`
+    * (same artifact layout as before, now catalogued — `SHOW TABLES
+    * IN graft` reflects pipeline outputs); DROP first so a re-run
+    * with a different outDir never writes through a stale location.
+    */
+  private def sink(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      outDir: String, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS graft.$name")
+    df.write.mode("overwrite").option("path", s"$outDir/$name")
+      .saveAsTable(s"graft.$name")
+  }
+
   def run(spark: SparkSession, sfDir: String, outDir: String, queryText: String): Unit = {
     import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft")
 
     // E1: metadata → papers (select/limit/filter/derive/sort)
     val papers = OcrPipeline.buildPapers(Tables.documents(spark, sfDir), limitN = 100)
-    papers.write.mode("overwrite").parquet(s"$outDir/papers")
-    println(s"[pipeline] papers: ${spark.read.parquet(s"$outDir/papers").count()}")
+    sink(spark, papers, outDir, "papers")
+    println(s"[pipeline] papers: ${spark.table("graft.papers").count()}")
 
     // E2: chunking (the OCR stage collapses: fixture documents carry
     // their text; with binary input this is OcrPipeline.extractText
@@ -40,22 +58,22 @@ object PipelineMain {
     val docsForChunks = Tables.documents(spark, sfDir)
       .join(papers.select($"doc_id"), Seq("doc_id"), "left_semi")
     val chunks = Inference.chunkDocuments(spark, docsForChunks)
-    chunks.toDF().write.mode("overwrite").parquet(s"$outDir/chunks")
-    println(s"[pipeline] chunks: ${spark.read.parquet(s"$outDir/chunks").count()}")
+    sink(spark, chunks.toDF(), outDir, "chunks")
+    println(s"[pipeline] chunks: ${spark.table("graft.chunks").count()}")
 
     // E3: batched embedding inference → index table (U4/U10)
     val embedder = HashingEmbedder(dim = 64)
     val index = Inference.embedChunks(
-      spark.read.parquet(s"$outDir/chunks").as[Chunk], embedder, batchSize = 150)
-    index.toDF().write.mode("overwrite").parquet(s"$outDir/index")
-    println(s"[pipeline] index: ${spark.read.parquet(s"$outDir/index").count()}")
+      spark.table("graft.chunks").as[Chunk], embedder, batchSize = 150)
+    sink(spark, index.toDF(), outDir, "index")
+    println(s"[pipeline] index: ${spark.table("graft.index").count()}")
 
     // U11: similarity search over the materialized index
     val results = VectorSearch.searchText(
-      spark.read.parquet(s"$outDir/index"), "embedding", "chunk_id",
+      spark.table("graft.index"), "embedding", "chunk_id",
       queryText, embedder, k = 5)
       .select($"chunk_id", $"doc_id", $"chunk", round($"sim", 6).as("sim"))
-    results.write.mode("overwrite").parquet(s"$outDir/search_results")
+    sink(spark, results, outDir, "search_results")
     println(s"[pipeline] search('$queryText') top-5:")
     results.collect().foreach(r =>
       println(s"  ${r.getString(0)}  sim=${r.getDouble(3)}  ${r.getString(2).take(60)}…"))

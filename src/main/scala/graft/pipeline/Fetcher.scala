@@ -46,6 +46,49 @@ final case class LocalFileFetcher() extends DocumentFetcher {
   }.toOption
 }
 
+/** HTTP fetcher over `java.net.http` (JDK built-in — no added
+  * dependency), the production counterpart of the reference's
+  * `requests.get` download (`01-download-pdfs.py:105-120`):
+  * non-200 status → None (ref checks `status_code == 200` at `:108`),
+  * any exception → None (`:118-120`), idempotent skip when the
+  * destination exists (`:100-101`), and the same write-to-temp +
+  * atomic-rename discipline as [[LocalFileFetcher]] so a task killed
+  * mid-download never leaves a partial file a retry would "skip".
+  *
+  * One client per fetcher instance per executor (`@transient lazy`):
+  * the client is rebuilt after deserialization, mirroring the
+  * per-worker session the reference gets from module scope.
+  */
+final case class HttpFetcher(
+    connectTimeoutMs: Long = 10000,
+    requestTimeoutMs: Long = 60000) extends DocumentFetcher {
+  import java.net.URI
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  override def fetch(url: String, destFile: String): Option[Long] = Try {
+    val dest = Paths.get(destFile)
+    if (!Files.exists(dest)) {          // idempotent skip (ref :100-101)
+      Files.createDirectories(dest.getParent)
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .GET().build()
+      val tmp = Files.createTempFile(dest.getParent, ".fetch-", ".tmp")
+      try {
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
+        if (resp.statusCode() != 200)   // ref :108: only 200 persists
+          sys.error(s"HTTP ${resp.statusCode()} for $url")
+        Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
+    }
+    Files.size(dest)
+  }.toOption
+}
+
 /** Driver for the ingest stage (E1 of SURVEY.md §3). Side effects are
   * isolated in ONE eagerly-executed stage (SURVEY.md §7.4: effects
   * inside lazily re-evaluated plans re-fire on every action), and the

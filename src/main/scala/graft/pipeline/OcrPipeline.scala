@@ -41,6 +41,29 @@ object OcrPipeline {
       .select("doc_id", "source", "filename", "filesize")
       .orderBy(col("filesize").desc, col("doc_id"))   // LPT order (O1)
 
+  /** S10: filesystem glob → binary rows, the engine-side form of the
+    * reference's directory listing at `ocr-tesseract-unstructured
+    * .py:57-59`. `binaryFile` gives (path, modificationTime, length,
+    * content); `doc_id` is derived from the file name when it carries
+    * one (`..._<digits>.pdf`/`doc<digits>.pdf`), else a stable hash
+    * of the path — deterministic across runs, unlike the reference's
+    * listing-order ordinals. `length` doubles as the LPT `filesize`
+    * (real byte counts, not a proxy).
+    */
+  def readBinaryDocs(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "*.pdf"): DataFrame = {
+    val numbered = regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .withColumn("doc_id",
+        when(numbered =!= "", numbered.cast("long"))
+          .otherwise(abs(xxhash64(col("path")))))
+      .select(col("doc_id"), col("path"), col("length").as("filesize"), col("content"))
+  }
+
   /** Longest-processing-time-first placement: rank documents by
     * descending cost, deal rank i to partition i mod n — each task
     * gets an equal count of docs, with the heavy ones spread evenly
