@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every declared query at
@@ -9,6 +12,18 @@ import org.apache.spark.sql.SparkSession
   * each table (page cache + parquet footer + codegen compilation) so
   * per-query timings measure the query, not first-use setup. AQE is
   * on, as it would be on a real cluster.
+  *
+  * Observability (so a regression is attributable, not just visible):
+  *  - `queries`      — cold time per query (the headline, comparable
+  *    across rounds; `value` is their sum);
+  *  - `queries_warm` — an immediately-repeated run: cold−warm ≈
+  *    codegen/compile + first-read I/O, warm ≈ pure execution;
+  *  - `shuffle_bytes` — task-level shuffle WRITE bytes attributed to
+  *    the cold run via a SparkListener (each shuffle counted once at
+  *    its producer; includes work hidden behind persist()/cache that
+  *    plan-metric walks miss). Listener delivery is asynchronous, so
+  *    each query ends with a zero-work barrier job and a bounded
+  *    drain wait before the counter is read.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +38,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val shuffleBytes = new AtomicLong(0)
+    val tasksSeen = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        tasksSeen.incrementAndGet()
+        val m = te.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    /** Barrier + bounded listener drain: run a one-task no-op job,
+      * then wait until its task-end event has been delivered (all
+      * earlier events precede it on the bus) or 2 s elapse.
+      */
+    def settleListener(): Unit = {
+      val before = tasksSeen.get()
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (tasksSeen.get() <= before && System.nanoTime() < deadline)
+        Thread.sleep(10)
+    }
+
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")
     tables.foreach { t =>
@@ -31,22 +67,34 @@ object Bench {
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
+    final case class QueryResult(cold: Double, warm: Double, bytes: Long)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query reports -1, never a bogus "fast success" timing
-      val elapsed =
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // a failed query reports -1, never a bogus "fast success" timing
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      }
+      settleListener()
+      shuffleBytes.set(0)
+      val cold = once()
+      settleListener()
+      val bytes = shuffleBytes.get()
+      val warm = once()
       // operators that persist() intermediates (LSH signatures, token
-      // arrays) must not accumulate storage across 43 queries
+      // arrays) must not accumulate storage across the query set
       spark.catalog.clearCache()
-      name -> elapsed
+      name -> QueryResult(cold, warm, bytes)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: QueryResult => String): String =
+      results.map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    val total = results.map(_._2.cold).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(_.cold.toString)},""" +
+      s""""queries_warm":${jmap(_.warm.toString)},""" +
+      s""""shuffle_bytes":${jmap(_.bytes.toString)},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

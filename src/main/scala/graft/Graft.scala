@@ -33,7 +33,17 @@ object Graft {
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+    val preExisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = (if (master != null) b.master(master) else b).getOrCreate()
+    // getOrCreate() silently ignores builder configs when a session
+    // already exists (common in tests/notebooks) — re-apply the
+    // runtime-settable ones so the tuned-session contract holds
+    // either way. (master is JVM-fixed; nothing to do there.)
+    if (preExisting.contains(spark)) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     install(spark)
     spark
   }
@@ -44,6 +54,7 @@ object Graft {
   def install(spark: SparkSession): SparkSession = {
     functions.GraftFunctions.register(spark)
     functions.SortedIntersectCount.register(spark)
+    functions.FirstBandCollision.register(spark)
     plans.GraftOptimizations.install(spark)
     spark
   }

@@ -26,5 +26,6 @@ object QueryDef {
       queries.PipelineQueries.defs ++
       queries.DedupQueries.defs ++
       queries.TextQueries.defs ++
-      queries.ScaleQueries.defs
+      queries.ScaleQueries.defs ++
+      queries.MultimodalQueries.defs
 }

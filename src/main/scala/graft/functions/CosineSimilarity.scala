@@ -21,8 +21,11 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * results are bit-identical to the composed form and to DuckDB's
   * `list_cosine_similarity` on DOUBLE[].
   *
-  * Returns null for null inputs or length mismatch; 0-norm inputs
-  * yield NaN (0/0), matching the composed form.
+  * Returns null for null inputs, length mismatch, or any null
+  * ELEMENT (the composed form's `x * y` null-poisons the whole
+  * aggregate — matched here by an explicit isNullAt check, instead
+  * of reading a garbage 0 out of the null slot); 0-norm inputs yield
+  * NaN (0/0), matching the composed form.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -54,6 +57,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     val n = x.numElements()
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -78,11 +82,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double xv = (double) $a.$lGet($i);
          |    final double yv = (double) $b.$rGet($i);
          |    $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

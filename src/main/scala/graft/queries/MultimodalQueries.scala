@@ -1,0 +1,64 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column family as a driver-checkable query. The media
+  * table is DERIVED deterministically from the `documents` fixture
+  * (media_id = doc_id, content = FakeCodec "GIMG" binary whose header
+  * fields are arithmetic in fixture columns, every 7th row corrupted
+  * to a headerless blob), so the DuckDB oracle can recompute from
+  * first principles the metadata that the Spark side must recover by
+  * PARSING THE BINARY HEADERS — the oracle checks the codec plumbing,
+  * not a copy of it. Feature extraction (murmur-hashed byte 4-grams)
+  * is not SQL-expressible and stays spec-covered (MultimodalSpec).
+  */
+object MultimodalQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+    // ----- q50: binary media + typed meta struct → per-lang stats.
+    // Exercises: binary column construction, header parse into a
+    // struct (batched, no shuffle), invalid-blob tolerance
+    // (valid=false rows, never task failures), broadcast dimension
+    // join, grouped aggregation over struct fields.
+    QueryDef(
+      "q50_multimodal_meta",
+      (s, d) => {
+        import s.implicits._
+        val codec = Multimodal.FakeCodec()
+        val docs = Tables.documents(s, d)
+        val media = docs.select($"doc_id", $"lang", $"text", $"n_chars")
+          .as[(Long, String, String, Long)]
+          .map { case (id, _, text, nChars) =>
+            val payload = text.getBytes(StandardCharsets.UTF_8)
+            val content =
+              if (id % 7 == 0) payload   // corrupted: headerless blob
+              else codec.encode((nChars % 640 + 16).toInt, (id % 480 + 16).toInt, payload)
+            (id, "image", content)
+          }.toDF("media_id", "kind", "content")
+
+        Multimodal.withMeta(s, media, codec)
+          .join(broadcast(docs.select($"doc_id".as("media_id"), $"lang")), "media_id")
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_media"),
+            sum(when($"meta.valid", 1L).otherwise(0L)).as("n_valid"),
+            sum($"meta.n_bytes").as("total_bytes"),
+            max(when($"meta.valid", $"meta.width")).as("max_width"),
+            min(when($"meta.valid", $"meta.height")).as("min_height"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang,
+             |  CAST(COUNT(*) AS BIGINT) AS n_media,
+             |  CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+             |  CAST(SUM(strlen(text) + CASE WHEN doc_id % 7 <> 0 THEN 12 ELSE 0 END) AS BIGINT) AS total_bytes,
+             |  MAX(CASE WHEN doc_id % 7 <> 0 THEN n_chars % 640 + 16 END) AS max_width,
+             |  MIN(CASE WHEN doc_id % 7 <> 0 THEN doc_id % 480 + 16 END) AS min_height
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin))
+  )
+}

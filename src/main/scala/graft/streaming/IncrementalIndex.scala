@@ -26,8 +26,16 @@ object IncrementalIndex {
     StructField("chunk", StringType)))
 
   /** Drain new chunk files from `chunksDir` into the index at
-    * `indexDir`. Idempotent per input file via the checkpoint; safe
-    * to call repeatedly (the TRIGGERED-sync call pattern).
+    * `indexDir`. Idempotent per input file via the checkpoint AND per
+    * batch via the sink layout: each micro-batch overwrites its own
+    * deterministic `batch=<id>` directory, so a crash between the
+    * sink write and the checkpoint commit replays the batch onto the
+    * same path instead of appending duplicates (foreachBatch is
+    * at-least-once; a bare `append` there would be the classic
+    * double-write — the reference gets the equivalent guarantee from
+    * Delta's transactional sync). Read the index with
+    * `spark.read.parquet(indexDir)` — `batch` is just a partition
+    * column.
     */
   def syncOnce(
       spark: SparkSession,
@@ -41,9 +49,9 @@ object IncrementalIndex {
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         Inference.embedChunks(batch.as[Chunk], embedder, batchSize)
-          .write.mode("append").parquet(indexDir)
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         ()
       }
       .start()

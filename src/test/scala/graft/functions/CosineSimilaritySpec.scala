@@ -35,6 +35,21 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(nullRes.isNullAt(0))
   }
 
+  test("null ELEMENT null-poisons to null, matching the composed form") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)) AS a, " +
+        "array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS b")
+    val native = df.select(GraftFunctions.cosine_sim($"a", $"b")).head()
+    val composed = df.select(VectorSearch.cosineSim($"a", $"b")).head()
+    assert(composed.isNullAt(0))                  // zip_with null-poisons
+    assert(native.isNullAt(0))                    // expression must agree
+    // null on either side, interpreted path too
+    val flipped = df.select(GraftFunctions.cosine_sim($"b", $"a")).head()
+    assert(flipped.isNullAt(0))
+  }
+
   test("extensions class injects the function into a fresh session") {
     val s2 = SparkSpec.session.newSession()
     new GraftExtensions().apply(
