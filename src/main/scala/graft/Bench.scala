@@ -81,9 +81,13 @@ object Bench {
       val cold = once()
       settleListener()
       val bytes = shuffleBytes.get()
-      val warm = once()
       // operators that persist() intermediates (LSH signatures, token
-      // arrays) must not accumulate storage across the query set
+      // arrays) must not accumulate storage — clear BETWEEN cold and
+      // warm too: the warm run re-persists its own copies, and two
+      // generations side by side evict each other into GC churn
+      // (observed: a warm run 3× slower than its cold run)
+      spark.catalog.clearCache()
+      val warm = once()
       spark.catalog.clearCache()
       name -> QueryResult(cold, warm, bytes)
     }

@@ -71,6 +71,55 @@ object Dedup {
     allPairs.union(starPairs).distinct()
   }
 
+  /** Candidate (id_a < id_b) pairs from per-row BAND-KEY VECTORS —
+    * the shared core of MinHash/SimHash/hyperplane banded LSH.
+    * `keyed` must have columns `id: long, keys: array<int>` (one key
+    * per band, equal lengths). Each pair is emitted from exactly its
+    * FIRST band whose bucket both rows share and is under the cap
+    * (the codegen [[graft.functions.FirstBandCollision]] filter runs
+    * in-task during the bucket self-join) — no cross-band duplicate
+    * rows ever reach a shuffle, which on near-dup-saturated corpora
+    * is a ~20× reduction over emit-everywhere + distinct. Over-cap
+    * buckets star-link members to the bucket min id (linear,
+    * component-preserving — see [[bucketCandidates]]); the final
+    * distinct only reconciles star pairs with the grid.
+    */
+  private[graft] def bandedCandidates(keyed: DataFrame, bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    graft.functions.FirstBandCollision.register(spark)
+    import graft.functions.FirstBandCollision.first_band_collision
+
+    val w = Window.partitionBy($"band", $"key")
+    val sized = keyed
+      .select($"id", $"keys", posexplode($"keys").as(Seq("band", "key")))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("bmin", min($"id").over(w))
+
+    // per-row flags: which of MY bands landed in an over-cap bucket —
+    // collisions there emit star pairs, so they must not suppress
+    // emission from a later normal bucket
+    val megas = sized.groupBy($"id").agg(
+      transform(array_sort(collect_list(struct($"band", ($"n" > bucketCap).as("m")))),
+        s => s.getField("m")).as("megas"))
+
+    val small = sized.filter($"n" <= bucketCap)
+      .join(megas, "id")
+      .select($"id", $"band", $"key", $"keys", $"megas")
+    val gridPairs = small.as("l").join(small.as("r"),
+        $"l.band" === $"r.band" && $"l.key" === $"r.key" && $"l.id" < $"r.id" &&
+          first_band_collision($"l.keys", $"r.keys", $"l.megas", $"l.band"))
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+
+    val starPairs = sized.filter($"n" > bucketCap && $"id" =!= $"bmin")
+      .select($"bmin".as("id_a"), $"id".as("id_b"))
+
+    // distinct is cheap here: gridPairs are already exact-once; it
+    // only dedups star pairs across bands / against the grid
+    gridPairs.union(starPairs).distinct()
+  }
+
   // ---------- exact ----------
 
   /** One row per distinct content hash: representative (min id), dup
@@ -247,13 +296,10 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.7,
       bucketCap: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     require(hasher.numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = hasher.numHashes / bands
     graft.functions.SortedIntersectCount.register(spark)
-    graft.functions.FirstBandCollision.register(spark)
-    import graft.functions.FirstBandCollision.first_band_collision
     import graft.functions.SortedIntersectCount.sorted_intersect_count
 
     // tokens hashed to 64 bits ONCE per row, shared by signature
@@ -273,33 +319,7 @@ object Dedup {
         (id, keys)
       }.toDF("id", "keys")
 
-    val w = Window.partitionBy($"band", $"key")
-    val sized = keyed
-      .select($"id", $"keys", posexplode($"keys").as(Seq("band", "key")))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("bmin", min($"id").over(w))
-
-    // per-row flags: which of MY bands landed in an over-cap bucket —
-    // collisions there emit star pairs, so they must not suppress
-    // emission from a later normal bucket
-    val megas = sized.groupBy($"id").agg(
-      transform(array_sort(collect_list(struct($"band", ($"n" > bucketCap).as("m")))),
-        s => s.getField("m")).as("megas"))
-
-    val small = sized.filter($"n" <= bucketCap)
-      .join(megas, "id")
-      .select($"id", $"band", $"key", $"keys", $"megas")
-    val gridPairs = small.as("l").join(small.as("r"),
-        $"l.band" === $"r.band" && $"l.key" === $"r.key" && $"l.id" < $"r.id" &&
-          first_band_collision($"l.keys", $"r.keys", $"l.megas", $"l.band"))
-      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
-
-    val starPairs = sized.filter($"n" > bucketCap && $"id" =!= $"bmin")
-      .select($"bmin".as("id_a"), $"id".as("id_b"))
-
-    // distinct is cheap here: gridPairs are already exact-once; it
-    // only dedups star pairs across bands / against the grid
-    gridPairs.union(starPairs).distinct()
+    bandedCandidates(keyed, bucketCap)
       .join(toks.select($"id".as("id_a"), $"toks".as("toks_a"), $"nt".as("nt_a")), "id_a")
       .join(toks.select($"id".as("id_b"), $"toks".as("toks_b"), $"nt".as("nt_b")), "id_b")
       // size-ratio prune (see jaccardPairs proof) before the O(|toks|) merge
@@ -342,6 +362,12 @@ object Dedup {
     * Pigeonhole blocking: split 64 bits into (maxDistance+1) blocks —
     * any pair within distance shares ≥1 exact block, so candidates
     * come from equal-block buckets (a shuffle), never all pairs.
+    * Candidate generation goes through [[bandedCandidates]] (the
+    * pigeonhole blocks ARE bands): near-identical pairs share most
+    * blocks, and first-collision dedup emits each pair once instead
+    * of once per shared block. Block values are 64/nBlocks ≤ 16 bits
+    * for any maxDistance ≥ 3, so they fit int band keys; for
+    * maxDistance < 3 the sub-key folds the wide block through a hash.
     */
   def simhashPairs(
       spark: SparkSession,
@@ -359,14 +385,17 @@ object Dedup {
       .mapPartitions(it => it.map { case (id, t) => (id, hasher.simhash(t)) })
       .toDF("id", "sh").persist()    // reused by block-keys and pairs; lifetime = returned plan's
 
-    val blocks = hashes.as[(Long, Long)].flatMap { case (id, sh) =>
-      (0 until nBlocks).map { b =>
+    val keyed = hashes.as[(Long, Long)].map { case (id, sh) =>
+      val keys = Array.tabulate(nBlocks) { b =>
         val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
-        (b, (sh >>> (b * blockBits)) & mask, id)
+        val block = (sh >>> (b * blockBits)) & mask
+        if (blockBits <= 31) block.toInt
+        else MurmurHash3.productHash((block, b))    // wide block → int key
       }
-    }.toDF("block", "key", "id")
+      (id, keys)
+    }.toDF("id", "keys")
 
-    bucketCandidates(blocks, "id", Seq("block", "key"), bucketCap)
+    bandedCandidates(keyed, bucketCap)
       .join(hashes.select($"id".as("id_a"), $"sh".as("sh_a")), "id_a")
       .join(hashes.select($"id".as("id_b"), $"sh".as("sh_b")), "id_b")
       .select($"id_a", $"id_b", $"sh_a", $"sh_b")   // USING joins reorder — pin
@@ -374,6 +403,73 @@ object Dedup {
       .map { case (a, b, sa, sb) => (a, b, hasher.hamming(sa, sb)) }
       .toDF("id_a", "id_b", "hamming")
       .filter($"hamming" <= maxDistance)
+  }
+
+  // ---------- cluster resolution (pairs → canonical representative) ----------
+
+  /** Connected components over a near-dup pair list: every document
+    * gets the MIN doc id of its cluster as `rep` (singletons map to
+    * themselves). This is the step after any pairwise dedup — "keep
+    * one doc per cluster" needs the transitive closure, not pairs.
+    *
+    * Algorithm: distributed min-label propagation — each round every
+    * node adopts the smallest label among itself and its neighbors;
+    * converges in O(graph diameter) rounds, each one join of the
+    * edge list against the (tiny, broadcastable) label table plus a
+    * groupBy. Near-dup clusters are near-cliques (diameter ≤ ~2 —
+    * every member overlaps the template), so this settles in 2-3
+    * rounds; for adversarial long-chain graphs the O(log n)
+    * large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) swaps in behind
+    * the same signature.
+    *
+    * Every round is cut off with an EAGER `localCheckpoint` — the
+    * non-negotiable part of iterative DataFrame algorithms: without
+    * it round N's logical plan embeds rounds 1..N−1 plus the whole
+    * upstream pair-generation lineage, and analysis/planning cost
+    * grows until the driver stalls or overflows. Checkpointing makes
+    * each round O(1) to plan; the convergence check is a |V|-sized
+    * aggregate, never over edges. (localCheckpoint trades executor-
+    * loss recomputability for speed — the right call for a bounded
+    * iterative refinement; swap in reliable checkpoints on a
+    * preemptible cluster.)
+    */
+  def connectedComponents(
+      ids: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)        // materialize once, cut the pair-gen lineage
+
+    var labels = ids.select(col(idCol).cast("long").as("id"))
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    // convergence signal: reps only ever DECREASE, so Σrep strictly
+    // drops on any change — one scalar aggregate per round instead
+    // of a next-vs-previous join. (Σ of n ids fits a long well past
+    // 10^9 rows; use sum(rep as decimal) beyond that.)
+    def repSum(df: DataFrame): Long =
+      df.agg(sum($"rep")).head.getLong(0)
+    var prevSum = repSum(labels)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // smallest neighbor label per node (label table broadcast by AQE)
+      val nbrMin = edges.join(labels.select($"id".as("v"), $"rep".as("vrep")), "v")
+        .groupBy($"u").agg(min($"vrep").as("nrep"))
+      val next = labels.join(nbrMin.select($"u".as("id"), $"nrep"), Seq("id"), "left")
+        .select($"id", least($"rep", coalesce($"nrep", $"rep")).as("rep"))
+        .localCheckpoint(true)
+      val nextSum = repSum(next)
+      labels = next
+      done = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    labels
   }
 
   // ---------- similarity joins (word-set Jaccard, embedding cosine) ----------

@@ -152,6 +152,7 @@ object IvfSearch {
       val model = train(spark, e, vecCol, k, iterations, seed = seed)
       saveModel(spark, model, modelPath)
       buildIndex(spark, e, idCol, vecCol, model)
+        .repartition(col("cell"))   // one task per cell → one file per cell= dir
         .write.mode("overwrite").partitionBy("cell").parquet(dataPath)
     }
     val model = loadModel(spark, modelPath)

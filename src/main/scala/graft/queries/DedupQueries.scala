@@ -143,6 +143,44 @@ object DedupQueries {
              |                             CAST(b.embedding AS DOUBLE[])) > 0.4
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- q51: near-dup CLUSTER resolution — connected components
+    // over the q26-shaped Jaccard pair list; every doc maps to its
+    // cluster's min id (singletons to themselves). Min-label
+    // propagation, O(diameter) rounds (near-dup clusters are
+    // near-cliques → 2-3). Oracle: recursive-CTE reachability in
+    // DuckDB over the identical edge set.
+    QueryDef(
+      "q51_dedup_clusters",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          blockCol = "lang", sizeCol = "n_chars", sizeBand = 30, threshold = 0.8)
+        Dedup.connectedComponents(docs.select($"doc_id"), "doc_id", pairs)
+          .select($"id".as("doc_id"), $"rep")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> length(x) > 0)) AS toks
+             |  FROM documents),
+             |e AS (
+             |  SELECT a.doc_id AS u, b.doc_id AS v
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |    AND abs(a.n_chars - b.n_chars) <= 30
+             |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.8),
+             |edges AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+             |reach(src, node) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT r.src, ed.v FROM reach r JOIN edges ed ON r.node = ed.u
+             |)
+             |SELECT src AS doc_id, MIN(node) AS rep
+             |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     // ----- q29: SimHash near-dup pairs (pigeonhole-blocked; rows-only)
     QueryDef(
       "q29_simhash_pairs",

@@ -119,6 +119,42 @@ object TextQueries {
            |  ) * 10000 + 0.5) / 10000 AS quality
            |FROM documents
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ----- q52: BM25 keyword top-k (lexical retrieval, the sparse
+    // counterpart of q19/q31's dense search). Catalyst-composed:
+    // filtered explode → tf/df aggregates → Lucene-flavor idf —
+    // mirrored term for term in DuckDB. Scores are rounded BEFORE
+    // the ordering so libm ulp drift in ln() can never flip ranks.
+    QueryDef(
+      "q52_bm25_search",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TextSearch.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+            query = Seq("vector", "join", "stream"), k = 10)
+          .select($"id".as("doc_id"), $"score", $"n_hit")
+          .orderBy($"score".desc, $"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |tl AS (SELECT doc_id, toks, len(toks) AS len FROM t),
+             |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM tl),
+             |tf AS (
+             |  SELECT doc_id, len, term, COUNT(*) AS tf
+             |  FROM (SELECT doc_id, len,
+             |          unnest(list_filter(toks, x -> x IN ('vector', 'join', 'stream'))) AS term
+             |        FROM tl)
+             |  GROUP BY doc_id, len, term),
+             |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+             |SELECT doc_id,
+             |  round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+             |            (tf + 1.2 * (0.25 + 0.75 * len / (total_len * 1.0 / n_docs)))), 4) AS score,
+             |  CAST(COUNT(*) AS BIGINT) AS n_hit
+             |FROM tf JOIN dfq USING (term) CROSS JOIN stats
+             |GROUP BY doc_id
+             |ORDER BY score DESC, doc_id
+             |LIMIT 10""".stripMargin))
   )
 }

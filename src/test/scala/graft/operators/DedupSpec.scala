@@ -124,6 +124,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.megaBuckets(keys, Seq("k"), 100).collect().head.getLong(1) === 1000L)
   }
 
+  test("connectedComponents: min label per cluster, singletons map to self") {
+    import spark.implicits._
+    val ids = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(ids, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+    // chain: propagation needs diameter rounds, still converges
+    val chain = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val cc2 = Dedup.connectedComponents((1L to 6L).toDF("doc_id"), "doc_id", chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc2.values.toSet === Set(1L))
+  }
+
   test("jaccardPairs: exact values, blocking respected") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,97 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audit over the declared queries at sf0.001 — the
+  * properties the 100 TB story depends on, asserted so a regression
+  * in plan SHAPE fails CI even while results stay correct:
+  * broadcasts stay broadcasts, filters reach the scan, projections
+  * prune the read schema, top-k never becomes a global sort, and no
+  * pair-generation plan degenerates to a cartesian product.
+  *
+  * Queries run first (AQE finalizes the plan at runtime), then the
+  * executed plan string is inspected.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): SparkPlan = {
+    val df: DataFrame = graft.SparkEntry.queries(name)(spark, sf)
+    df.count()
+    spark.catalog.clearCache()
+    df.queryExecution.executedPlan
+  }
+
+  private def executed(name: String): String = executedPlan(name).toString
+
+  /** All parquet scans, descending through AQE wrappers (the
+    * tree-string form truncates long FileScan lines, so schema/filter
+    * assertions must read the nodes, not the string).
+    */
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case q: QueryStageExec => scans(q.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other =>
+      other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+  }
+
+  test("q04 star join: all dimension joins are broadcasts, no shuffle join") {
+    val plan = executed("q04_star_join")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(500))
+  }
+
+  test("q02 filter: predicate pushed to the parquet scan") {
+    val pushed = scans(executedPlan("q02_filter_topk"))
+      .flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.nonEmpty)
+    assert(pushed.exists(_ != "[]"), pushed.mkString("; "))
+  }
+
+  test("q01 aggregation: column-pruned scan and partial aggregation") {
+    val plan = executedPlan("q01_agg_pricing")
+    // partial-then-final hash aggregation (map-side combine before shuffle)
+    assert(plan.toString.contains("HashAggregate"), plan.toString.take(500))
+    // the lineitem scan must not read the full 16-column schema
+    val schemas = scans(plan).map(_.requiredSchema)
+    assert(schemas.nonEmpty)
+    assert(schemas.forall(_.size <= 8), schemas.mkString("\n"))
+  }
+
+  test("q19 top-k similarity: TakeOrderedAndProject, never a global sort") {
+    val plan = executed("q19_similarity_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("q28/q37 pair generation: equi-join buckets, no cartesian/BNL product") {
+    for (q <- Seq("q28_minhash_pairs", "q37_similarity_join")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(400)}")
+    }
+  }
+
+  test("q47 window suite: every window is partitioned (no single-partition WindowExec)") {
+    val plan = executed("q47_window_suite")
+    // every Window node must carry a partition spec:
+    // "Window [fns], [partitionExprs], [orderExprs]" → ≥2 "], [" separators
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, plan.take(800))
+    assert(windows.forall(w => "\\]\\s*,\\s*\\[".r.findAllIn(w).length >= 2), windows.mkString("\n"))
+  }
+
+  test("q31 native cosine stays inside whole-stage codegen") {
+    val plan = executed("q31_cosine_native")
+    // the compact tree prints codegen stages as "*(N) Op" — the
+    // Project evaluating cosine_sim must sit inside one
+    val line = plan.linesIterator.find(_.contains("cosine_sim(")).getOrElse("")
+    assert(line.contains("*("), plan.take(800))
+    assert(!plan.contains("BatchEval"), plan.take(500))
+  }
+}
