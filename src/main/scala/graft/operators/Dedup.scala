@@ -91,6 +91,31 @@ object Dedup {
     graft.functions.FirstBandCollision.register(spark)
     import graft.functions.FirstBandCollision.first_band_collision
 
+    val rows = keyed.select($"id", $"keys", posexplode($"keys").as(Seq("band", "key")))
+
+    // Eager pre-check on the skinny (|V|·bands)-row key table: when no
+    // bucket exceeds the cap — every non-degenerate corpus — the whole
+    // mega machinery (size window, per-row flags, star union, final
+    // distinct) is dead weight, and the distinct alone is the
+    // operator's largest shuffle. One cheap aggregation job here buys
+    // a plan where first-band-collision output IS the final pair set.
+    val anyMega = !rows.groupBy($"band", $"key").agg(count(lit(1)).as("n"))
+      .filter($"n" > bucketCap).isEmpty
+    if (!anyMega) {
+      // repartition on the bucket key BEFORE the self-join: the input
+      // is typically a handful of file splits, and a broadcast
+      // self-join would evaluate the entire Σ bucket² candidate
+      // stream on those few tasks (measured 3× slower than the
+      // window path at sf0.1) — the skinny shuffle here is megabytes
+      // and buys full-width parallelism
+      val small = rows.repartition($"band", $"key")
+        .withColumn("megas", array_repeat(lit(false), size($"keys")))
+      return small.as("l").join(small.as("r"),
+          $"l.band" === $"r.band" && $"l.key" === $"r.key" && $"l.id" < $"r.id" &&
+            first_band_collision($"l.keys", $"r.keys", $"l.megas", $"l.band"))
+        .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+    }
+
     val w = Window.partitionBy($"band", $"key")
     val sized = keyed
       .select($"id", $"keys", posexplode($"keys").as(Seq("band", "key")))
