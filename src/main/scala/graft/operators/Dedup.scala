@@ -477,7 +477,7 @@ object Dedup {
     // of a next-vs-previous join. (Σ of n ids fits a long well past
     // 10^9 rows; use sum(rep as decimal) beyond that.)
     def repSum(df: DataFrame): Long =
-      df.agg(sum($"rep")).head.getLong(0)
+      df.agg(coalesce(sum($"rep"), lit(0L))).head.getLong(0)   // empty input → 0, not NPE
     var prevSum = repSum(labels)
     var iter = 0
     var done = false
@@ -494,6 +494,11 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
+    // an unconverged result is silently WRONG (a component reported as
+    // several clusters) — fail loudly; raise maxIter or switch to the
+    // O(log n) star variant for pathological-diameter graphs
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds (graph diameter > maxIter)")
     labels
   }
 

@@ -54,7 +54,12 @@ object OcrPipeline {
       spark: SparkSession,
       dir: String,
       glob: String = "*.pdf"): DataFrame = {
-    val numbered = regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1)
+    // ≤18 digits: anything longer would overflow the long cast (an
+    // ANSI-mode exception killing the whole scan on one odd filename)
+    // → such names fall through to the path hash. Callers relying on
+    // numbered ids own filename uniqueness ("a_1.pdf"/"b_1.pdf" would
+    // collide); hash ids are unique per path.
+    val numbered = regexp_extract(col("path"), "(?<!\\d)(\\d{1,18})\\.[A-Za-z0-9]+$", 1)
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)

@@ -19,14 +19,20 @@ object PipelineQueries {
     queryVec.map(_.toString).mkString("[", ",", "]")
 
   /** Deterministic on-disk location for a materialized ANN index:
-    * keyed by source dir + index params, so a changed corpus or
-    * changed hyper-params rebuilds while repeat queries reuse the
-    * artifact (the 100 TB shape: index build is amortized, not
-    * per-query work).
+    * keyed by source dir + index params + a CONTENT stamp of the
+    * source table (file size + mtime), so a regenerated corpus at
+    * the same path rebuilds instead of silently serving a stale
+    * artifact, while repeat queries over unchanged data reuse it
+    * (the 100 TB shape: index build is amortized, not per-query
+    * work; there, the stamp is the table's snapshot/commit id).
     */
   private def indexPath(kind: String, sfDir: String, params: String): String = {
+    val src = java.nio.file.Paths.get(sfDir, "embeddings.parquet")
+    val stamp =
+      try s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      catch { case _: java.io.IOException => "nosrc" }
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$params".getBytes("UTF-8"))
+      .digest(s"$sfDir|$params|$stamp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft-indexes/$kind-$digest"
   }

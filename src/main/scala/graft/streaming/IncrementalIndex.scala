@@ -45,6 +45,19 @@ object IncrementalIndex {
       embedder: Embedder,
       batchSize: Int = 150): Unit = {
     import spark.implicits._
+    // Fail fast on a lost checkpoint with a surviving index: batch ids
+    // would restart at 0 and OVERWRITE old batch dirs while later ones
+    // survive — an undetectable mix of index generations. Rebuilding
+    // from scratch (empty index + empty checkpoint) is the safe reset.
+    val conf = spark.sessionState.newHadoopConf()
+    def exists(p: String) =
+      new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+        .exists(new org.apache.hadoop.fs.Path(p))
+    if (!exists(checkpointDir) && exists(indexDir))
+      throw new IllegalStateException(
+        s"index $indexDir exists but checkpoint $checkpointDir does not: " +
+          "restarting would interleave index generations; delete the index " +
+          "to rebuild, or restore the checkpoint")
     val stream = spark.readStream.schema(chunkSchema).parquet(chunksDir)
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())

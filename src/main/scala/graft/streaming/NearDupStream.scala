@@ -13,12 +13,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the shape a training-data ingest pipeline actually needs.
   *
   * State: per (band, bucket) key, the most recent `maxPerBucket`
-  * (id, signature) members — a FIFO ring, so memory is
-  * O(buckets × cap × signature), never O(corpus). A degenerate
-  * bucket (boilerplate flood) silently forgets oldest members: new
-  * dups still match the retained ones (they're near-identical), and
-  * the emission bound per arriving doc is cap × bands candidates,
-  * never corpus-sized.
+  * (id, signature) members — a FIFO ring. The cap bounds DEGENERATE
+  * buckets (a boilerplate flood silently forgets oldest members; new
+  * dups still match the retained near-identical ones, and emission
+  * per arriving doc is ≤ cap × bands candidates, never corpus-
+  * sized). Bucket COUNT still grows with distinct content, so
+  * buckets idle longer than `stateTtlMs` are evicted via processing-
+  * time timeout — total state is O(buckets active within the TTL
+  * window), and the dedup horizon is explicitly the TTL, not "all
+  * history" (unbounded history on an endless stream is unbounded
+  * memory in ANY exact design). `stateTtlMs = 0` disables eviction
+  * (bounded-corpus streams and tests only — note that with a TTL the
+  * engine schedules timeout-only micro-batches, which busy-loops a
+  * `Trigger.ProcessingTime(0)` test harness waiting on
+  * `processAllAvailable`).
   *
   * Emission is at-least-once across bands (a pair sharing several
   * buckets emits from each); route the output through
@@ -39,7 +47,8 @@ object NearDupStream {
       hasher: MinHasher = MinHasher(),
       bands: Int = 16,
       threshold: Double = 0.7,
-      maxPerBucket: Int = 64): Dataset[CandPair] = {
+      maxPerBucket: Int = 64,
+      stateTtlMs: Long = 6 * 3600 * 1000L): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(hasher.numHashes % bands == 0, "bands must divide numHashes")
@@ -58,6 +67,10 @@ object NearDupStream {
 
     def fn(key: (Int, Int), it: Iterator[BandRow],
         state: GroupState[BucketState]): Iterator[CandPair] = {
+      if (!it.hasNext) {               // TTL fired: bucket idle → evict
+        state.remove()
+        return Iterator.empty
+      }
       var st = state.getOption.getOrElse(BucketState(Nil, Nil))
       val out = Seq.newBuilder[CandPair]
       // arrival order within a batch is made deterministic by id —
@@ -69,18 +82,26 @@ object NearDupStream {
             val est = hasher.estJaccard(msig, row.sig)
             if (est >= threshold)
               out += CandPair(math.min(mid, row.doc_id), math.max(mid, row.doc_id),
-                math.rint(est * 10000) / 10000)
+                // HALF_UP like the batch operators' Spark round(), so
+                // stream and batch score a pair identically on exact
+                // .5 midpoints (est is ≥ 0)
+                math.floor(est * 10000 + 0.5) / 10000)
           }
         }
         // FIFO ring: newest first, oldest dropped at the cap
         st = BucketState((row.doc_id :: st.ids).take(maxPerBucket),
           (row.sig :: st.sigs).take(maxPerBucket))
       }
-      if (streaming) state.update(st) else state.remove()
+      if (streaming) {
+        state.update(st)
+        if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+      } else state.remove()
       out.result().iterator
     }
 
     bandRows.groupByKey(r => (r.band, r.key))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (streaming && stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
   }
 }

@@ -17,7 +17,9 @@ class NearDupStreamSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
-    val q = NearDupStream.nearDupPairs(mem.toDS(), threshold = 0.5)
+    // stateTtlMs = 0: a TTL schedules timeout-only batches that spin
+    // processAllAvailable under Trigger.ProcessingTime(0)
+    val q = NearDupStream.nearDupPairs(mem.toDS(), threshold = 0.5, stateTtlMs = 0)
       .writeStream.format("memory").queryName("neardup_out")
       .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
     try {
