@@ -22,6 +22,23 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, then
+    * space-prefixed letter runs / digit runs / punctuation runs, then
+    * residual whitespace. Both Java regex (Spark) and RE2 (DuckDB)
+    * resolve this alternation leftmost-first over the same character
+    * classes, so counts are oracle-mirrorable. A real BPE adds a
+    * learned merge table on top; the PRE-tokenizer is what determines
+    * token-count statistics' shape (chars/token ≈ compression rate),
+    * which is what corpus curation filters on.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Distinct-token ratio — repetition signal; 0 for empty docs. */
   def distinctRatio(text: Column): Column = {
     val t = tokens(text)

@@ -32,6 +32,10 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     def decodeMeta(content: Array[Byte]): MediaMeta
     def features(content: Array[Byte], dim: Int): Array[Float]
+    /** Number of frames in the media payload; 0 for invalid blobs. */
+    def frameCount(content: Array[Byte]): Int
+    /** Decoded bytes of frame `idx` (0-based; caller keeps idx < frameCount). */
+    def frameAt(content: Array[Byte], idx: Int): Array[Byte]
   }
 
   /** "GIMG" format: magic(4) | width(4, BE) | height(4, BE) | payload.
@@ -65,6 +69,25 @@ object Multimodal {
       v
     }
 
+    /** Frames = successive 64-byte payload slices (a stand-in "video"
+      * framing with deterministic boundaries; the last frame may be
+      * short).
+      */
+    val frameBytes = 64
+
+    override def frameCount(content: Array[Byte]): Int =
+      if (!decodeMeta(content).valid) 0
+      else {
+        val payload = content.length - 12
+        (payload + frameBytes - 1) / frameBytes
+      }
+
+    override def frameAt(content: Array[Byte], idx: Int): Array[Byte] = {
+      val from = 12 + idx * frameBytes
+      java.util.Arrays.copyOfRange(content, from,
+        math.min(from + frameBytes, content.length))
+    }
+
     def encode(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
       val bb = ByteBuffer.allocate(12 + payload.length)
       bb.put("GIMG".getBytes("ASCII")).putInt(width).putInt(height).put(payload)
@@ -93,6 +116,38 @@ object Multimodal {
       .toDF("media_id", "kind", "content", "width", "height", "n_bytes", "valid")
       .withColumn("meta", struct(col("width"), col("height"), col("n_bytes"), col("valid")))
       .drop("width", "height", "n_bytes", "valid")
+  }
+
+  /** Uniform frame sampling: each media row explodes into ≤
+    * `maxFrames` rows (media_id, frame_idx, frame binary), indices
+    * spread evenly across the stream (i·count/n — strictly
+    * increasing, hits the first frame, never duplicates). Invalid
+    * blobs yield zero rows, not failures. The row explosion is a
+    * narrow flatMap — no shuffle; downstream per-frame feature
+    * extraction then runs with frame-level parallelism after a
+    * repartition, which is the point of sampling BEFORE decoding
+    * whole videos at 100 TB.
+    */
+  def sampleFrames(
+      spark: SparkSession,
+      media: DataFrame,
+      codec: MediaCodec,
+      maxFrames: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(maxFrames > 0)
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, content) =>
+          val fc = codec.frameCount(content)
+          val n = math.min(fc, maxFrames)
+          (0 until n).iterator.map { i =>
+            val idx = (i.toLong * fc / n).toInt
+            (id, idx, codec.frameAt(content, idx))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame")
   }
 
   /** Batched media feature extraction — (media_id, features array).

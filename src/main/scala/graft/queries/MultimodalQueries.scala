@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** Deterministic media table derived from `documents` (shared by
+    * q50/q54): GIMG-framed text payload, every 7th row corrupted to a
+    * headerless blob.
+    */
+  private def mediaFromDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val codec = Multimodal.FakeCodec()
+    Tables.documents(s, d).select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val payload = text.getBytes(StandardCharsets.UTF_8)
+        val content =
+          if (id % 7 == 0) payload   // corrupted: headerless blob
+          else codec.encode((nChars % 640 + 16).toInt, (id % 480 + 16).toInt, payload)
+        (id, "image", content)
+      }.toDF("media_id", "kind", "content")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ----- q50: binary media + typed meta struct → per-lang stats.
     // Exercises: binary column construction, header parse into a
@@ -30,17 +49,7 @@ object MultimodalQueries {
         import s.implicits._
         val codec = Multimodal.FakeCodec()
         val docs = Tables.documents(s, d)
-        val media = docs.select($"doc_id", $"lang", $"text", $"n_chars")
-          .as[(Long, String, String, Long)]
-          .map { case (id, _, text, nChars) =>
-            val payload = text.getBytes(StandardCharsets.UTF_8)
-            val content =
-              if (id % 7 == 0) payload   // corrupted: headerless blob
-              else codec.encode((nChars % 640 + 16).toInt, (id % 480 + 16).toInt, payload)
-            (id, "image", content)
-          }.toDF("media_id", "kind", "content")
-
-        Multimodal.withMeta(s, media, codec)
+        Multimodal.withMeta(s, mediaFromDocs(s, d), codec)
           .join(broadcast(docs.select($"doc_id".as("media_id"), $"lang")), "media_id")
           .groupBy($"lang")
           .agg(
@@ -57,6 +66,43 @@ object MultimodalQueries {
              |  CAST(SUM(strlen(text) + CASE WHEN doc_id % 7 <> 0 THEN 12 ELSE 0 END) AS BIGINT) AS total_bytes,
              |  MAX(CASE WHEN doc_id % 7 <> 0 THEN n_chars % 640 + 16 END) AS max_width,
              |  MIN(CASE WHEN doc_id % 7 <> 0 THEN doc_id % 480 + 16 END) AS min_height
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // ----- q54: uniform frame sampling over "video" media — each
+    // valid blob explodes into ≤5 evenly-spaced frames (64-byte
+    // stand-in framing), invalid blobs into none. The oracle
+    // recomputes the sampled-frame arithmetic from first principles:
+    // frames = ceil(payload/64), sampled = least(frames, 5); the
+    // Spark side must get there by decoding the actual binary.
+    QueryDef(
+      "q54_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val codec = Multimodal.FakeCodec()
+        val docs = Tables.documents(s, d)
+        Multimodal.sampleFrames(s, mediaFromDocs(s, d), codec, maxFrames = 5)
+          .join(broadcast(docs.select($"doc_id".as("media_id"), $"lang")), "media_id")
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_frames"),
+            countDistinct($"media_id").as("n_media"),
+            sum(length($"frame")).cast("bigint").as("frame_bytes"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang,
+             |  CAST(SUM(CASE WHEN doc_id % 7 <> 0
+             |      THEN least(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 5) ELSE 0 END) AS BIGINT)
+             |    AS n_frames,
+             |  CAST(SUM(CASE WHEN doc_id % 7 <> 0 AND strlen(text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_media,
+             |  CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN
+             |      least(CAST(ceil(strlen(text) / 64.0) AS BIGINT), 5) * 64
+             |      - CASE WHEN CAST(ceil(strlen(text) / 64.0) AS BIGINT) <= 5
+             |             AND strlen(text) % 64 <> 0
+             |             THEN 64 - strlen(text) % 64 ELSE 0 END
+             |    ELSE 0 END) AS BIGINT) AS frame_bytes
              |FROM documents
              |GROUP BY lang
              |ORDER BY lang""".stripMargin))

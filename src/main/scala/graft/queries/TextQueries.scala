@@ -29,6 +29,11 @@ object TextQueries {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** [[TextFunctions.bpePattern]] with the apostrophe doubled for a
+    * single-quoted SQL literal.
+    */
+  private val bpePatternSql: String = TextFunctions.bpePattern.replace("'", "''")
+
   def defs: Seq[QueryDef] = Seq(
     // ----- q23: token statistics per language
     QueryDef(
@@ -120,6 +125,36 @@ object TextQueries {
            |FROM documents
            |ORDER BY doc_id""".stripMargin
       }),
+
+    // ----- q53: BPE-ish token statistics — subword-shaped counting
+    // next to q23's whitespace counts: per language, pre-tokenizer
+    // token totals and the chars-per-token compression signal corpus
+    // curation filters on. Same regex, same leftmost-first
+    // alternation in Java regex and RE2.
+    QueryDef(
+      "q53_bpe_token_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"lang", $"text",
+            TextFunctions.bpeTokenCount($"text").as("bpe"),
+            TextFunctions.tokenCount($"text").as("ws"))
+          .groupBy($"lang")
+          .agg(
+            sum($"bpe").cast("bigint").as("bpe_tokens"),
+            sum($"ws").cast("bigint").as("ws_tokens"),
+            r4(sum(length($"text")).cast("double") / sum($"bpe")).as("chars_per_token"))
+          .orderBy($"lang")
+      },
+      Some(s"""SELECT lang,
+              |  CAST(SUM(len(regexp_extract_all(text, '$bpePatternSql'))) AS BIGINT) AS bpe_tokens,
+              |  CAST(SUM(len($toksSql)) AS BIGINT) AS ws_tokens,
+              |  floor((SUM(length(text)) * 1.0 /
+              |         SUM(len(regexp_extract_all(text, '$bpePatternSql')))) * 10000 + 0.5) / 10000
+              |    AS chars_per_token
+              |FROM documents
+              |GROUP BY lang
+              |ORDER BY lang""".stripMargin)),
 
     // ----- q52: BM25 keyword top-k (lexical retrieval, the sparse
     // counterpart of q19/q31's dense search). Catalyst-composed:

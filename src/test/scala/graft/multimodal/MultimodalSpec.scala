@@ -30,6 +30,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.schema("meta").dataType.typeName === "struct")
   }
 
+  test("sampleFrames: uniform indices, short last frame, invalid blobs yield no rows") {
+    import spark.implicits._
+    // media 1: payload 100 bytes → 2 frames (64 + 36); media 2: 256 → 4 frames
+    val frames = Multimodal.sampleFrames(spark, mediaDf, codec, maxFrames = 5)
+      .as[(Long, Int, Array[Byte])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(frames.keySet === Set(1L, 2L))          // invalid (3) and empty (4) → nothing
+    assert(frames(1L).map(_._2).toSeq === Seq(0, 1))
+    assert(frames(1L).map(_._3.length).toSeq === Seq(64, 36))
+    assert(frames(2L).map(_._2).toSeq === Seq(0, 1, 2, 3))
+    // frame content is the exact payload slice
+    assert(frames(2L)(1)._3.toSeq === Array.tabulate[Byte](256)(_.toByte).slice(64, 128).toSeq)
+
+    // many frames, few samples: evenly spread, first frame always hit
+    val long = Seq((9L, "video", codec.encode(1, 1, Array.fill[Byte](64 * 20)(3))))
+      .toDF("media_id", "kind", "content")
+    val idx = Multimodal.sampleFrames(spark, long, codec, maxFrames = 5)
+      .as[(Long, Int, Array[Byte])].collect().map(_._2).sorted.toSeq
+    assert(idx === Seq(0, 4, 8, 12, 16))
+  }
+
   test("extractFeatures: deterministic, unit-norm, batch-shape invariant") {
     import spark.implicits._
     val f1 = Multimodal.extractFeatures(spark, mediaDf.repartition(1), codec, dim = 32, batchSize = 2)
