@@ -423,11 +423,11 @@ object Dedup {
     bandedCandidates(keyed, bucketCap)
       .join(hashes.select($"id".as("id_a"), $"sh".as("sh_a")), "id_a")
       .join(hashes.select($"id".as("id_b"), $"sh".as("sh_b")), "id_b")
-      .select($"id_a", $"id_b", $"sh_a", $"sh_b")   // USING joins reorder — pin
-      .as[(Long, Long, Long, Long)]
-      .map { case (a, b, sa, sb) => (a, b, hasher.hamming(sa, sb)) }
-      .toDF("id_a", "id_b", "hamming")
+      // Hamming distance as pure Catalyst (popcount of xor) — stays
+      // inside whole-stage codegen, no typed round-trip
+      .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
       .filter($"hamming" <= maxDistance)
+      .select($"id_a", $"id_b", $"hamming")
   }
 
   // ---------- cluster resolution (pairs → canonical representative) ----------
