@@ -34,6 +34,22 @@ object TextQueries {
     */
   private val bpePatternSql: String = TextFunctions.bpePattern.replace("'", "''")
 
+  /** DuckDB mirror of `r4(TextFunctions.qualityScore(text))` — shared
+    * by q25 (per-doc scores) and q55 (curation filter).
+    */
+  private def qualitySql: String = {
+    val sw = inList(English.stopwords)
+    s"""floor((
+       |    0.3 * (CASE WHEN len($toksSql) = 0 THEN 0.0
+       |      ELSE len(list_distinct($toksSql)) * 1.0 / len($toksSql) END) +
+       |    0.3 * least(len($toksSql) / 100.0, 1.0) +
+       |    0.2 * (1.0 - (CASE WHEN len($toksSql) = 0 THEN 0.0
+       |      ELSE len(list_filter($toksSql, x -> x IN $sw)) * 1.0 / len($toksSql) END)) +
+       |    0.2 * least((CASE WHEN len($toksSql) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform($toksSql, x -> length(x))) * 1.0 / len($toksSql) END) / 8.0, 1.0)
+       |  ) * 10000 + 0.5) / 10000""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ----- q23: token statistics per language
     QueryDef(
@@ -113,18 +129,51 @@ object TextQueries {
            |    ELSE len(list_filter($toksSql, x -> x IN $sw)) * 1.0 / len($toksSql) END) * 10000 + 0.5) / 10000 AS stopword_ratio,
            |  floor((CASE WHEN len($toksSql) = 0 THEN 0.0
            |    ELSE list_sum(list_transform($toksSql, x -> length(x))) * 1.0 / len($toksSql) END) * 10000 + 0.5) / 10000 AS avg_token_len,
-           |  floor((
-           |    0.3 * (CASE WHEN len($toksSql) = 0 THEN 0.0
-           |      ELSE len(list_distinct($toksSql)) * 1.0 / len($toksSql) END) +
-           |    0.3 * least(len($toksSql) / 100.0, 1.0) +
-           |    0.2 * (1.0 - (CASE WHEN len($toksSql) = 0 THEN 0.0
-           |      ELSE len(list_filter($toksSql, x -> x IN $sw)) * 1.0 / len($toksSql) END)) +
-           |    0.2 * least((CASE WHEN len($toksSql) = 0 THEN 0.0
-           |      ELSE list_sum(list_transform($toksSql, x -> length(x))) * 1.0 / len($toksSql) END) / 8.0, 1.0)
-           |  ) * 10000 + 0.5) / 10000 AS quality
+           |  $qualitySql AS quality
            |FROM documents
            |ORDER BY doc_id""".stripMargin
       }),
+
+    // ----- q55: the curation PIPELINE — the operators composed the
+    // way a training-data ingest actually runs them: fingerprint
+    // dedup survivors → token-count band → quality threshold →
+    // per-language corpus stats. Aggregates are integer sums and
+    // min/max of pre-rounded scores (order-independent), so the
+    // composition stays hash-exact against the oracle.
+    QueryDef(
+      "q55_curation_pipeline",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Dedup
+        val kept = Dedup.fingerprintDedup(Tables.documents(s, d), "doc_id", "text")
+          .withColumn("nt", TextFunctions.tokenCount($"text"))
+          .withColumn("q", r4(TextFunctions.qualityScore($"text")))
+          .filter($"nt".between(20, 1000) && $"q" >= 0.5)
+        kept.groupBy($"lang")
+          .agg(
+            count(lit(1)).cast("bigint").as("n_docs"),
+            sum($"n_chars").cast("bigint").as("total_chars"),
+            min($"q").as("min_q"),
+            max($"q").as("max_q"))
+          .orderBy($"lang")
+      },
+      Some(s"""WITH kept AS (
+              |  SELECT * FROM documents WHERE doc_id IN (
+              |    SELECT MIN(doc_id) FROM documents
+              |    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))),
+              |scored AS (
+              |  SELECT lang, n_chars,
+              |    len($toksSql) AS nt,
+              |    $qualitySql AS q
+              |  FROM kept)
+              |SELECT lang,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              |  MIN(q) AS min_q, MAX(q) AS max_q
+              |FROM scored
+              |WHERE nt BETWEEN 20 AND 1000 AND q >= 0.5
+              |GROUP BY lang
+              |ORDER BY lang""".stripMargin)),
 
     // ----- q53: BPE-ish token statistics — subword-shaped counting
     // next to q23's whitespace counts: per language, pre-tokenizer
