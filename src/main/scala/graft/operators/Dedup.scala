@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Cross-engine-deterministic 4-decimal rounding (the r4 convention,
+    * TextQueries.r4): floor(x*1e4+0.5) evaluates the same IEEE double
+    * on Spark and DuckDB, unlike round() — which disagrees on exact
+    * half-boundary values, and similarity ratios are small-denominator
+    * rationals that land there.
+    */
+  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
   // ---------- candidate generation (shared by MinHash / SimHash / LSH) ----------
 
   /** Buckets of `cap`+ members, for callers that want to log/inspect
@@ -50,9 +60,32 @@ object Dedup {
       keys: DataFrame,
       idCol: String,
       keyCols: Seq[String],
-      cap: Int): DataFrame = {
+      cap: Int,
+      strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cap > 1, "bucket cap must exceed 1")
+
+    // One skinny aggregation up front: how many buckets would star-link?
+    // Star-linking silently weakens pairwise output (see scaladoc), so
+    // tripping the cap must be OBSERVABLE — a log line in the default
+    // mode, a failure in strict mode — never a silent degradation.
+    val nMega = megaBuckets(keys, keyCols, cap).count()
+    if (nMega > 0 && strict) throw new IllegalStateException(
+      s"$nMega bucket(s) exceed cap=$cap; strict mode forbids star-linking " +
+        "(pairwise output would lose member-member edges of over-cap buckets)")
+    if (nMega == 0) {
+      // no over-cap bucket: skip the size window entirely; distinct
+      // still reconciles the same pair meeting in several buckets
+      val small = keys.select(keyCols.map(col) :+ col(idCol): _*)
+      return small.as("l").join(small.as("r"),
+          keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+            col(s"l.$idCol") < col(s"r.$idCol"))
+        .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+        .distinct()
+    }
+    log.warn(s"bucketCandidates: $nMega bucket(s) over cap=$cap will star-link " +
+      "members to the bucket representative (component-preserving, pairwise-lossy)")
+
     val w = Window.partitionBy(keyCols.map(col): _*)
     val sized = keys
       .withColumn("__n", count(lit(1)).over(w))
@@ -84,7 +117,10 @@ object Dedup {
     * component-preserving — see [[bucketCandidates]]); the final
     * distinct only reconciles star pairs with the grid.
     */
-  private[graft] def bandedCandidates(keyed: DataFrame, bucketCap: Int): DataFrame = {
+  private[graft] def bandedCandidates(
+      keyed: DataFrame,
+      bucketCap: Int,
+      strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = keyed.sparkSession
     import spark.implicits._
@@ -99,9 +135,15 @@ object Dedup {
     // distinct) is dead weight, and the distinct alone is the
     // operator's largest shuffle. One cheap aggregation job here buys
     // a plan where first-band-collision output IS the final pair set.
-    val anyMega = !rows.groupBy($"band", $"key").agg(count(lit(1)).as("n"))
-      .filter($"n" > bucketCap).isEmpty
-    if (!anyMega) {
+    // The count doubles as the degradation signal: star-linking in the
+    // mega path is pairwise-lossy, so tripping the cap either logs
+    // (default) or fails (strict) — never silently.
+    val nMega = rows.groupBy($"band", $"key").agg(count(lit(1)).as("n"))
+      .filter($"n" > bucketCap).count()
+    if (nMega > 0 && strict) throw new IllegalStateException(
+      s"$nMega LSH bucket(s) exceed cap=$bucketCap; strict mode forbids " +
+        "star-linking (exact pairwise semantics would degrade for those buckets)")
+    if (nMega == 0) {
       // repartition on the bucket key BEFORE the self-join: the input
       // is typically a handful of file splits, and a broadcast
       // self-join would evaluate the entire Σ bucket² candidate
@@ -115,6 +157,8 @@ object Dedup {
             first_band_collision($"l.keys", $"r.keys", $"l.megas", $"l.band"))
         .select($"l.id".as("id_a"), $"r.id".as("id_b"))
     }
+    log.warn(s"bandedCandidates: $nMega LSH bucket(s) over cap=$bucketCap will " +
+      "star-link members to the bucket min id (component-preserving, pairwise-lossy)")
 
     val w = Window.partitionBy($"band", $"key")
     val sized = keyed
@@ -253,7 +297,8 @@ object Dedup {
       hasher: MinHasher = MinHasher(),
       bands: Int = 16,
       threshold: Double = 0.7,
-      bucketCap: Int = 10000): DataFrame = {
+      bucketCap: Int = 10000,
+      strict: Boolean = false): DataFrame = {
     import spark.implicits._
     require(hasher.numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = hasher.numHashes / bands
@@ -269,7 +314,7 @@ object Dedup {
       }
     }.toDF("band", "bucket", "id")
 
-    val cands = bucketCandidates(bandKeys, "id", Seq("band", "bucket"), bucketCap)
+    val cands = bucketCandidates(bandKeys, "id", Seq("band", "bucket"), bucketCap, strict)
 
     cands
       .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")
@@ -279,7 +324,7 @@ object Dedup {
       .map { case (a, b, sa, sb) => (a, b, hasher.estJaccard(sa, sb)) }
       .toDF("id_a", "id_b", "est_jaccard")
       .filter($"est_jaccard" >= threshold)
-      .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"))
+      .select($"id_a", $"id_b", r4($"est_jaccard").as("est_jaccard"))
   }
 
   /** MinHash-LSH near-dup pairs with EXACT Jaccard verification —
@@ -320,7 +365,8 @@ object Dedup {
       hasher: MinHasher = MinHasher(numHashes = 64, shingleSize = 1),
       bands: Int = 32,
       threshold: Double = 0.7,
-      bucketCap: Int = 10000): DataFrame = {
+      bucketCap: Int = 10000,
+      strict: Boolean = false): DataFrame = {
     import spark.implicits._
     require(hasher.numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = hasher.numHashes / bands
@@ -344,7 +390,7 @@ object Dedup {
         (id, keys)
       }.toDF("id", "keys")
 
-    bandedCandidates(keyed, bucketCap)
+    bandedCandidates(keyed, bucketCap, strict)
       .join(toks.select($"id".as("id_a"), $"toks".as("toks_a"), $"nt".as("nt_a")), "id_a")
       .join(toks.select($"id".as("id_b"), $"toks".as("toks_b"), $"nt".as("nt_b")), "id_b")
       // size-ratio prune (see jaccardPairs proof) before the O(|toks|) merge
@@ -352,7 +398,7 @@ object Dedup {
       .withColumn("inter", sorted_intersect_count($"toks_a", $"toks_b").cast("double"))
       .withColumn("jaccard", $"inter" / ($"nt_a" + $"nt_b" - $"inter"))
       .filter($"jaccard" > threshold)
-      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
   }
 
   // ---------- SimHash ----------
@@ -401,7 +447,8 @@ object Dedup {
       textCol: String,
       hasher: SimHasher = SimHasher(),
       maxDistance: Int = 3,
-      bucketCap: Int = 10000): DataFrame = {
+      bucketCap: Int = 10000,
+      strict: Boolean = false): DataFrame = {
     import spark.implicits._
     val nBlocks = maxDistance + 1
     val blockBits = 64 / nBlocks
@@ -420,7 +467,7 @@ object Dedup {
       (id, keys)
     }.toDF("id", "keys")
 
-    bandedCandidates(keyed, bucketCap)
+    bandedCandidates(keyed, bucketCap, strict)
       .join(hashes.select($"id".as("id_a"), $"sh".as("sh_a")), "id_a")
       .join(hashes.select($"id".as("id_b"), $"sh".as("sh_b")), "id_b")
       // Hamming distance as pure Catalyst (popcount of xor) — stays
@@ -569,7 +616,7 @@ object Dedup {
       .select(
         least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"),
-        round(col("jaccard"), 4).as("jaccard"))
+        r4(col("jaccard")).as("jaccard"))
   }
 
   /** Embedding-cosine near-duplicate pairs under a blocking column —

@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
 trait DocumentFetcher extends Serializable {
   /** Fetch `url`, persist under `destFile`; return byte count, None on failure. */
   def fetch(url: String, destFile: String): Option[Long]
+
+  /** Atomic publish of a fully-written temp file. Two concurrent
+    * tasks (speculation/retry) can race here: the loser's ATOMIC_MOVE
+    * throws FileAlreadyExistsException even though the destination now
+    * holds valid bytes — that is a SUCCESS (the winner published), not
+    * a failed download, so swallow it and let the caller stat `dest`.
+    */
+  protected final def moveIntoPlace(tmp: java.nio.file.Path, dest: java.nio.file.Path): Unit =
+    try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException if Files.exists(dest) => ()
+    }
 }
 
 /** Local-filesystem fetcher: "url" is a source path. Deterministic,
@@ -38,8 +50,7 @@ final case class LocalFileFetcher() extends DocumentFetcher {
       try {
         Files.copy(Paths.get(url), tmp,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Files.move(tmp, dest,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        moveIntoPlace(tmp, dest)
       } finally Files.deleteIfExists(tmp)
     }
     Files.size(dest)
@@ -82,7 +93,7 @@ final case class HttpFetcher(
         val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
         if (resp.statusCode() != 200)   // ref :108: only 200 persists
           sys.error(s"HTTP ${resp.statusCode()} for $url")
-        Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        moveIntoPlace(tmp, dest)
       } finally Files.deleteIfExists(tmp)
     }
     Files.size(dest)

@@ -56,17 +56,38 @@ object OcrPipeline {
       glob: String = "*.pdf"): DataFrame = {
     // ≤18 digits: anything longer would overflow the long cast (an
     // ANSI-mode exception killing the whole scan on one odd filename)
-    // → such names fall through to the path hash. Callers relying on
-    // numbered ids own filename uniqueness ("a_1.pdf"/"b_1.pdf" would
-    // collide); hash ids are unique per path.
+    // → such names fall through to the path hash.
     val numbered = regexp_extract(col("path"), "(?<!\\d)(\\d{1,18})\\.[A-Za-z0-9]+$", 1)
-    spark.read.format("binaryFile")
+    val base = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
       .withColumn("doc_id",
         when(numbered =!= "", numbered.cast("long"))
           .otherwise(abs(xxhash64(col("path")))))
-      .select(col("doc_id"), col("path"), col("length").as("filesize"), col("content"))
+
+    // Downstream joins key on doc_id — a silent collision ("a/doc_1.pdf"
+    // vs "b/doc_1.pdf", or a numbered id landing on another path's
+    // hash) would MERGE two documents. Guard eagerly on the skinny
+    // (doc_id, path) projection (the binary `content` column is pruned
+    // at the source, so this is a listing-sized job): colliding ids
+    // fall back to the path hash, and if even that collides (p ≈ 2⁻⁶³
+    // per pair) the read fails loudly rather than corrupt joins.
+    val dupIds = base.select(col("doc_id")).groupBy(col("doc_id"))
+      .count().filter(col("count") > 1)
+      .select(col("doc_id")).collect().map(_.getLong(0))   // bounded: collisions only
+    val resolved =
+      if (dupIds.isEmpty) base
+      else base.withColumn("doc_id",
+        when(col("doc_id").isin(dupIds.toSeq: _*), abs(xxhash64(col("path"))))
+          .otherwise(col("doc_id")))
+    if (dupIds.nonEmpty) {
+      val still = resolved.select(col("doc_id")).groupBy(col("doc_id"))
+        .count().filter(col("count") > 1).count()
+      if (still > 0) throw new IllegalStateException(
+        s"readBinaryDocs: $still doc_id collision(s) persist after path-hash " +
+          s"fallback under $dir — rename the conflicting files")
+    }
+    resolved.select(col("doc_id"), col("path"), col("length").as("filesize"), col("content"))
   }
 
   /** Longest-processing-time-first placement: rank documents by

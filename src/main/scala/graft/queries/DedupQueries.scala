@@ -53,14 +53,17 @@ object DedupQueries {
             blockCol = "lang", sizeCol = "n_chars", sizeBand = 30, threshold = 0.8)
           .orderBy($"id_a", $"id_b")
       },
+      // jaccard uses the r4 floor convention (TextQueries.r4) on both
+      // sides: round() disagrees cross-engine on half-boundary rationals
       Some("""WITH t AS (
              |  SELECT doc_id, lang, n_chars,
              |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
              |                              x -> length(x) > 0)) AS toks
              |  FROM documents)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+             |  floor((len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+             |        * 10000 + 0.5) / 10000 AS jaccard
              |FROM t a JOIN t b
              |  ON a.lang = b.lang AND a.doc_id < b.doc_id
              |  AND abs(a.n_chars - b.n_chars) <= 30
@@ -103,14 +106,16 @@ object DedupQueries {
             bands = 32, threshold = 0.7)
           .orderBy($"id_a", $"id_b")
       },
+      // r4 floor convention on both sides (see q26 note)
       Some("""WITH t AS (
              |  SELECT doc_id,
              |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
              |                              x -> length(x) > 0)) AS toks
              |  FROM documents)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+             |  floor((len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+             |        * 10000 + 0.5) / 10000 AS jaccard
              |FROM t a JOIN t b ON a.doc_id < b.doc_id
              |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
              |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.7
