@@ -26,56 +26,9 @@ object PipelineQueries {
     * (the 100 TB shape: index build is amortized, not per-query
     * work; there, the stamp is the table's snapshot/commit id).
     */
-  private def indexPath(kind: String, sfDir: String, params: String): String = {
-    import java.nio.file.{Files, Path, Paths}
-    import scala.jdk.CollectionConverters._
-    // Content stamp over the LISTED DATA FILES (total size + max
-    // mtime): a parquet dataset path can be a directory, whose own
-    // size/mtime say nothing about content. A missing/unreadable
-    // source is a CACHE MISS (unique stamp), never a stable key that
-    // would happily reuse a stale artifact.
-    val src = Paths.get(sfDir, "embeddings.parquet")
-    val stamp =
-      try {
-        val files: Seq[Path] =
-          if (Files.isDirectory(src))
-            Files.list(src).iterator.asScala.filter(Files.isRegularFile(_)).toSeq
-          else if (Files.isRegularFile(src)) Seq(src)
-          else Seq.empty
-        if (files.isEmpty) s"miss-${java.util.UUID.randomUUID()}"
-        else {
-          val sizes = files.map(Files.size)
-          val mtimes = files.map(Files.getLastModifiedTime(_).toMillis)
-          s"${files.size}-${sizes.sum}-${mtimes.max}"
-        }
-      } catch { case _: java.io.IOException => s"miss-${java.util.UUID.randomUUID()}" }
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$params|$stamp".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val root = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-indexes")
-    // prune siblings of the same kind that have gone cold (>24 h since
-    // last touch) — param/corpus churn must not accumulate unbounded
-    try {
-      if (Files.isDirectory(root)) {
-        val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-        Files.list(root).iterator.asScala
-          .filter(p => p.getFileName.toString.startsWith(s"$kind-") &&
-            !p.getFileName.toString.endsWith(digest) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff)
-          .foreach(deleteRecursively)
-      }
-    } catch { case _: java.io.IOException => () }  // pruning is best-effort
-    s"$root/$kind-$digest"
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    try {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator.asScala.foreach(deleteRecursively)
-      java.nio.file.Files.deleteIfExists(p)
-    } catch { case _: java.io.IOException => () }
-  }
+  private def indexPath(kind: String, sfDir: String, params: String): String =
+    graft.ArtifactCache.path(kind,
+      java.nio.file.Paths.get(sfDir, "embeddings.parquet"), params)
 
   def defs: Seq[QueryDef] = Seq(
     // ----- q15: E1 papers pipeline (ordered limit BEFORE filters — the

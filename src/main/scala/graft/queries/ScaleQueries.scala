@@ -379,6 +379,48 @@ object ScaleQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events
              |GROUP BY user_id
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ----- q57: co-located fact⋈fact join over BUCKETED table copies
+    // — the shuffle-free join strategy when neither side broadcasts.
+    // Both sides are materialized once `bucketBy(orderkey)` (an
+    // amortized artifact, like the ANN indexes; stamped + cached via
+    // ArtifactCache) and the join then requires NO exchange on either
+    // side — asserted in BucketedJoinSpec, including on this exact
+    // query's plan. Values are oracle-identical to the plain join.
+    QueryDef(
+      "q57_bucketed_join",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.BucketedTables
+        val buckets = 8
+        // skinny projections: the artifact carries only the columns
+        // the recurring join needs — column pruning at build time
+        val li = BucketedTables.ensure(s,
+          Tables.lineitem(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+          "graft_li_bucketed",
+          graft.ArtifactCache.path("buck-li",
+            java.nio.file.Paths.get(d, "lineitem.parquet"), s"b$buckets"),
+          "l_orderkey", buckets)
+        val od = BucketedTables.ensure(s,
+          Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+          "graft_od_bucketed",
+          graft.ArtifactCache.path("buck-od",
+            java.nio.file.Paths.get(d, "orders.parquet"), s"b$buckets"),
+          "o_orderkey", buckets)
+        s.table(li).join(s.table(od), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(
+            sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -239,6 +239,82 @@ object TextQueries {
              |FROM tf JOIN dfq USING (term) CROSS JOIN stats
              |GROUP BY doc_id
              |ORDER BY score DESC, doc_id
-             |LIMIT 10""".stripMargin))
+             |LIMIT 10""".stripMargin)),
+
+    // ----- q56: corpus-frequency boilerplate detection (the n-gram
+    // form of CCNet shared-line removal): 5-grams occurring in ≥3
+    // distinct docs are boilerplate; per-doc gram totals + ratio.
+    // One gram-keyed shuffle for document frequency (array_distinct
+    // before explode), AQE-broadcast join-back for per-doc stats.
+    QueryDef(
+      "q56_boilerplate_ngrams",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Boilerplate.stats(Tables.documents(s, d), "doc_id", "text",
+            n = 5, minDf = 3)
+          .select($"id".as("doc_id"), $"n_grams", $"n_boiler", $"boiler_ratio")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (
+              |  SELECT doc_id, CASE WHEN len(toks) >= 5
+              |    THEN list_transform(generate_series(1, len(toks) - 4),
+              |                        i -> array_to_string(toks[i:i+4], ' '))
+              |    ELSE [] END AS grams
+              |  FROM t),
+              |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+              |dfreq AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY gram),
+              |boiler AS (SELECT gram FROM dfreq WHERE df >= 3),
+              |per AS (
+              |  SELECT e.doc_id,
+              |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+              |    CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+              |  FROM e LEFT JOIN boiler b ON e.gram = b.gram
+              |  GROUP BY e.doc_id)
+              |SELECT d.doc_id,
+              |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+              |  CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+              |  floor((CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+              |    ELSE n_boiler * 1.0 / n_grams END) * 10000 + 0.5) / 10000 AS boiler_ratio
+              |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ----- q58: per-language top-k bigrams — the n-gram frequency
+    // profile a curation pipeline inspects for repeated chrome /
+    // TLD-specific patterns. explode → (lang, gram) partial-agg
+    // shuffle → partitioned row_number window (never a global sort);
+    // ties broken by gram so the rank is total on both engines.
+    QueryDef(
+      "q58_top_ngrams",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"lang").orderBy($"n".desc, $"gram")
+        Tables.documents(s, d)
+          .select($"lang",
+            explode(graft.operators.Boilerplate.ngrams($"text", 2)).as("gram"))
+          .groupBy($"lang", $"gram")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 5)
+          .select($"lang", $"rk", $"gram", $"n")
+          .orderBy($"lang", $"rk")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT lang, $toksSql AS toks FROM documents),
+              |e AS (
+              |  SELECT lang, unnest(CASE WHEN len(toks) >= 2
+              |    THEN list_transform(generate_series(1, len(toks) - 1),
+              |                        i -> array_to_string(toks[i:i+1], ' '))
+              |    ELSE [] END) AS gram
+              |  FROM t),
+              |c AS (SELECT lang, gram, COUNT(*) AS n FROM e GROUP BY lang, gram),
+              |r AS (SELECT lang, gram, n,
+              |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rk
+              |      FROM c)
+              |SELECT lang, rk, gram, CAST(n AS BIGINT) AS n
+              |FROM r WHERE rk <= 5
+              |ORDER BY lang, rk""".stripMargin))
   )
 }

@@ -124,6 +124,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.megaBuckets(keys, Seq("k"), 100).collect().head.getLong(1) === 1000L)
   }
 
+  test("strict mode fails loudly instead of star-linking over-cap buckets") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val mega = (1L to 300L).map(i => (i, text)).toDF("doc_id", "text")
+    val eMh = intercept[IllegalStateException] {
+      Dedup.minhashPairsExact(spark, mega, "doc_id", "text",
+        threshold = 0.7, bucketCap = 100, strict = true).collect()
+    }
+    assert(eMh.getMessage.contains("strict"))
+    val eSh = intercept[IllegalStateException] {
+      Dedup.simhashPairs(spark, mega, "doc_id", "text",
+        bucketCap = 100, strict = true).collect()
+    }
+    assert(eSh.getMessage.contains("strict"))
+    // under the cap, strict is a no-op: identical output
+    val loose = Dedup.minhashPairsExact(spark, docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strictOut = Dedup.minhashPairsExact(spark, docs, "doc_id", "text",
+        threshold = 0.5, strict = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strictOut === loose)
+  }
+
   test("connectedComponents: min label per cluster, singletons map to self") {
     import spark.implicits._
     val ids = (1L to 8L).toDF("doc_id")

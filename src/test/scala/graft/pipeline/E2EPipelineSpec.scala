@@ -56,6 +56,24 @@ class E2EPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().head === ids.head)
   }
 
+  test("colliding numbered doc_ids fall back to path hashes, never merge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pdfs3")
+    // "doc_1.pdf" and "1.pdf" both parse the number 1 — a silent merge
+    // downstream would be data corruption; the reader must resolve it
+    Files.write(dir.resolve("doc_1.pdf"), "first".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("1.pdf"), "second".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("doc_2.pdf"), "third".getBytes(StandardCharsets.UTF_8))
+    val rows = OcrPipeline.readBinaryDocs(spark, dir.toString)
+      .select($"doc_id", $"path").as[(Long, String)].collect()
+    assert(rows.length === 3)
+    assert(rows.map(_._1).distinct.length === 3)   // all ids unique
+    // the non-colliding numbered file keeps its parsed id
+    assert(rows.find(_._2.endsWith("doc_2.pdf")).get._1 === 2L)
+    // colliding ones got path hashes (not the parsed 1)
+    assert(rows.filterNot(_._2.endsWith("doc_2.pdf")).forall(_._1 !== 1L))
+  }
+
   test("PipelineMain registers catalog tables (S4 saveAsTable + S12 SHOW TABLES)") {
     val out = Files.createTempDirectory("graft-pipe-out").toString
     graft.PipelineMain.run(spark, "/root/testdata/sf0.001", out, "spark join performance")

@@ -40,4 +40,51 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS od_bucketed")
     }
   }
+
+  test("q57 artifact: bucketed copies join shuffle-free with oracle-equal values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit}
+    val d = "/root/testdata/sf0.001"
+    val buckets = 8
+    val li = BucketedTables.ensure(spark,
+      graft.Tables.lineitem(spark, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+      "graft_li_bucketed",
+      graft.ArtifactCache.path("buck-li",
+        java.nio.file.Paths.get(d, "lineitem.parquet"), s"b$buckets"),
+      "l_orderkey", buckets)
+    val od = BucketedTables.ensure(spark,
+      graft.Tables.orders(spark, d).select($"o_orderkey", $"o_orderpriority"),
+      "graft_od_bucketed",
+      graft.ArtifactCache.path("buck-od",
+        java.nio.file.Paths.get(d, "orders.parquet"), s"b$buckets"),
+      "o_orderkey", buckets)
+
+    // second ensure over the already-built artifact: same table, no rewrite
+    assert(BucketedTables.ensure(spark,
+      graft.Tables.orders(spark, d).select($"o_orderkey", $"o_orderpriority"),
+      "graft_od_bucketed",
+      graft.ArtifactCache.path("buck-od",
+        java.nio.file.Paths.get(d, "orders.parquet"), s"b$buckets"),
+      "o_orderkey", buckets) === od)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(li).join(spark.table(od), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed artifact join must not shuffle:\n" + plan.take(1200))
+
+      // values equal the plain (shuffling) join — the artifact changes
+      // the plan, never the answer
+      val got = joined.groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = graft.Tables.lineitem(spark, d)
+        .join(graft.Tables.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
