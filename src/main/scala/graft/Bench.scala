@@ -71,8 +71,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        // a failed query reports -1, never a bogus "fast success" timing
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        // Materialize through the NOOP SINK, not count(): count() lets
+        // Catalyst prune everything not needed for the cardinality —
+        // projection-only queries lose their projections, and an
+        // aggregate-keyed left join is ELIMINATED outright (observed:
+        // q56 "measured" 0.2 s under count() vs its real multi-second
+        // plan). The noop sink executes the full declared plan and
+        // discards rows — timings measure what Verify materializes.
+        // A failed query reports -1, never a bogus "fast success".
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }

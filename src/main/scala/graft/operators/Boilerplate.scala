@@ -52,7 +52,8 @@ object Boilerplate {
     * directly — no (doc, gram) pre-distinct shuffle.
     */
   def ngramDocFreq(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(explode(array_distinct(ngrams(col(textCol), n))).as("gram"))
+    graft.Par.spread(docs.select(col(textCol)))
+      .select(explode(array_distinct(ngrams(col(textCol), n))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
 
   /** Per-document boilerplate statistics: total n-grams (with
@@ -71,8 +72,8 @@ object Boilerplate {
       .filter(col("df") >= minDf)
       .select(col("gram"), lit(1L).as("is_boiler"))
 
-    val exploded = docs.select(col(idCol).as("id"),
-      explode(ngrams(col(textCol), n)).as("gram"))
+    val exploded = graft.Par.spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(ngrams(col(textCol), n)).as("gram"))
     val perDoc = exploded
       .join(boiler, Seq("gram"), "left")
       .groupBy(col("id"))

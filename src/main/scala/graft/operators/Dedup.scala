@@ -195,7 +195,8 @@ object Dedup {
     * count. `groupBy(md5)` — shuffle carries (digest, partial agg).
     */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("content_hash"))
+    graft.Par.spread(df)
+      .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Keep one representative (min id) per normalized-content
@@ -206,7 +207,8 @@ object Dedup {
     */
   def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+    graft.Par.spread(df)
+      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
       .withColumn("keep", min(col(idCol)).over(Window.partitionBy(col("fp"))))
       .filter(col(idCol) === col("keep"))
       .drop("fp", "keep")
@@ -303,7 +305,8 @@ object Dedup {
     require(hasher.numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = hasher.numHashes / bands
 
-    val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    val sigs = graft.Par.spread(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) => (id, hasher.signature(text)) }
       }.toDF("id", "sig").persist()  // reused by band-keys and verify; lifetime = returned plan's
@@ -376,7 +379,8 @@ object Dedup {
     // tokens hashed to 64 bits ONCE per row, shared by signature
     // computation and exact verification (identical feature set by
     // construction)
-    val toks = df.select(col(idCol).cast("long").as("id"),
+    val toks = graft.Par.spread(df.select(col(idCol).cast("long").as("id"), col(textCol)))
+      .select(col("id"),
         sort_array(array_distinct(transform(
           TextFunctions.tokens(col(textCol)), t => xxhash64(t)))).as("toks"))
       .withColumn("nt", size(col("toks")))
@@ -453,7 +457,8 @@ object Dedup {
     val nBlocks = maxDistance + 1
     val blockBits = 64 / nBlocks
 
-    val hashes = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    val hashes = graft.Par.spread(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
       .mapPartitions(it => it.map { case (id, t) => (id, hasher.simhash(t)) })
       .toDF("id", "sh").persist()    // reused by block-keys and pairs; lifetime = returned plan's
 
@@ -581,9 +586,10 @@ object Dedup {
 
     // tokens computed ONCE per row; sorted so the pairwise intersect
     // is an allocation-free merge-count, not a per-pair hash build
-    val toks = docs.select(
-      col(idCol).as("id"),
-      sort_array(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
+    val toks = graft.Par.spread(docs.select(col(idCol).as("id"), col(textCol)))
+      .select(
+        col("id"),
+        sort_array(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
       .withColumn("nt", size(col("toks"))).persist()
 
     // semi-join reduction: candidate generation runs on SKINNY rows

@@ -45,8 +45,8 @@ object TextSearch {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val toks = docs.select(col(idCol).cast("long").as("id"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
+    val toks = graft.Par.spread(docs.select(col(idCol).cast("long").as("id"), col(textCol)))
+      .select($"id", TextFunctions.tokens(col(textCol)).as("toks"))
       .withColumn("len", size($"toks"))
       .persist()                     // one scan feeds stats + tf; released with the plan
 

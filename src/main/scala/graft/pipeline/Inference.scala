@@ -57,7 +57,7 @@ object Inference {
       minChars: Int = 50): Dataset[Chunk] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    docs
+    graft.Par.spread(docs)
       .select(
         col("doc_id"),
         posexplode(Chunker.charWindowChunks(col("text"), width)))

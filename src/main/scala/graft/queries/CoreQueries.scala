@@ -332,7 +332,7 @@ object CoreQueries {
       "q14_explode_words",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
+        graft.Par.spread(Tables.documents(s, d))
           .select($"doc_id", explode(split($"text", " ")).as("word"))
           .filter(length($"word") > 0)
           .groupBy($"word")

@@ -239,16 +239,26 @@ object ScaleQueries {
 
     // ----- q35: sketch aggregates — HLL++ approx distinct next to the
     // exact count (approx value is engine-specific → rows-only; the
-    // <2% relative-error bound is spec-tested)
+    // <2% relative-error bound is spec-tested).
+    // The exact and approx aggregates run as SEPARATE jobs joined on
+    // their 1-row outputs: multiple DISTINCT columns compile to an
+    // Expand (one input replica per distinct group), and putting the
+    // HLL buffers in the same aggregate rides every replica — measured
+    // 26 s vs 4.5 s split at sf0.1. The cross join is 1 row × 1 row.
     QueryDef(
       "q35_approx_distinct",
       (s, d) => {
         import s.implicits._
-        Tables.lineitem(s, d).agg(
+        val keys = graft.Par.spread(
+          Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey"))
+        val exact = keys.agg(
           countDistinct($"l_orderkey").as("exact_orders"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        val approx = keys.agg(
           approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
-          countDistinct($"l_partkey").as("exact_parts"),
           approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+        exact.crossJoin(approx)
+          .select($"exact_orders", $"approx_orders", $"exact_parts", $"approx_parts")
       },
       None),
 
@@ -421,6 +431,45 @@ object ScaleQueries {
              |  COUNT(*) AS n_lines
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- q59: multi-dimensional range query over a Z-ORDERED layout
+    // copy (the lakehouse OPTIMIZE ZORDER analogue): the clustered
+    // artifact (amortized, stamped like the ANN indexes) confines a
+    // 2-dim range predicate to a few contiguous-z files — skipping is
+    // asserted in ZOrderSpec; values are oracle-identical to the same
+    // query over the original table, because layout never changes
+    // answers.
+    QueryDef(
+      "q59_zorder_query",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.ZOrder
+        val path = ZOrder.ensureClustered(
+          Tables.lineitem(s, d)
+            .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_returnflag"),
+          Seq("l_quantity", "l_extendedprice"),
+          graft.ArtifactCache.path("zorder-li",
+            java.nio.file.Paths.get(d, "lineitem.parquet"), "q-ep-b4-f16"))
+        s.read.parquet(path)
+          .filter($"l_quantity".between(10, 20) &&
+            $"l_extendedprice".between(20000, 40000))
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+            sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+              .cast("double").as("revenue"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  COUNT(*) AS n_lines,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_quantity BETWEEN 10 AND 20
+             |  AND l_extendedprice BETWEEN 20000 AND 40000
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

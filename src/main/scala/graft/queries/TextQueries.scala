@@ -56,7 +56,7 @@ object TextQueries {
       "q23_token_stats",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
+        graft.Par.spread(Tables.documents(s, d))
           .select($"lang", TextFunctions.tokenCount($"text").as("n_tokens"))
           .groupBy($"lang")
           .agg(
@@ -79,7 +79,7 @@ object TextQueries {
       "q24_lang_id",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
+        graft.Par.spread(Tables.documents(s, d))
           .select($"lang", TextFunctions.langId($"text").as("pred"))
           .groupBy($"lang", $"pred")
           .agg(count(lit(1)).as("n"))
@@ -109,7 +109,7 @@ object TextQueries {
       "q25_quality_score",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
+        graft.Par.spread(Tables.documents(s, d))
           .select(
             $"doc_id",
             TextFunctions.tokenCount($"text").as("n_tokens"),
@@ -184,7 +184,7 @@ object TextQueries {
       "q53_bpe_token_stats",
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
+        graft.Par.spread(Tables.documents(s, d))
           .select($"lang", $"text",
             TextFunctions.bpeTokenCount($"text").as("bpe"),
             TextFunctions.tokenCount($"text").as("ws"))
@@ -291,7 +291,7 @@ object TextQueries {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy($"lang").orderBy($"n".desc, $"gram")
-        Tables.documents(s, d)
+        graft.Par.spread(Tables.documents(s, d))
           .select($"lang",
             explode(graft.operators.Boilerplate.ngrams($"text", 2)).as("gram"))
           .groupBy($"lang", $"gram")
