@@ -315,6 +315,70 @@ object TextQueries {
               |      FROM c)
               |SELECT lang, rk, gram, CAST(n AS BIGINT) AS n
               |FROM r WHERE rk <= 5
-              |ORDER BY lang, rk""".stripMargin))
+              |ORDER BY lang, rk""".stripMargin)),
+
+    // ----- q60: sequence packing — documents assigned to fixed-token-
+    // budget training sequences, packed independently per shard (no
+    // global ordering; see operators.Packing). budget 2048 is a power
+    // of two so the start-offset division is IEEE-exact cross-engine.
+    QueryDef(
+      "q60_sequence_packing",
+      (s, d) => {
+        import s.implicits._
+        val docs = graft.Par.spread(Tables.documents(s, d))
+          .select($"doc_id", TextFunctions.tokenCount($"text").as("n_tokens"))
+        graft.operators.Packing.manifest(docs, "doc_id", "n_tokens",
+            budget = 2048, shards = 8)
+          .select($"shard", $"pack_id", $"n_docs",
+            $"pack_tokens".cast("long").as("pack_tokens"))
+          .orderBy($"shard", $"pack_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id % 8 AS shard, doc_id,
+              |    len($toksSql) AS n_tokens
+              |  FROM documents),
+              |c AS (
+              |  SELECT shard, n_tokens,
+              |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+              |  FROM t)
+              |SELECT shard,
+              |  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+              |  COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+              |FROM c
+              |GROUP BY shard, pack_id
+              |ORDER BY shard, pack_id""".stripMargin)),
+
+    // ----- q61: benchmark decontamination — training docs sharing any
+    // 3-gram with the (deterministic ~1%) eval slice; the eval gram
+    // blocklist is broadcast, the training side never shuffles (see
+    // operators.Decontaminate). Real pipelines use 8-13-grams; the
+    // synthetic corpus is token soup with no long verbatim passages,
+    // so n=3 is where the fixture exercises the operator (longer n
+    // matches zero pairs at test scale).
+    QueryDef(
+      "q61_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val eval  = docs.filter($"doc_id" % 97 === 0)
+        val train = docs.filter($"doc_id" % 97 =!= 0)
+        graft.operators.Decontaminate.overlap(train, eval, "doc_id", "text", n = 3)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (
+              |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+              |    THEN list_transform(generate_series(1, len(toks) - 2),
+              |                        i -> array_to_string(toks[i:i+2], ' '))
+              |    ELSE [] END)) AS gram
+              |  FROM t),
+              |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+              |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+              |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+              |FROM tr JOIN ev ON tr.gram = ev.gram
+              |GROUP BY tr.doc_id
+              |ORDER BY tr.doc_id""".stripMargin))
   )
 }
