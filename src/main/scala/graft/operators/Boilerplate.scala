@@ -91,4 +91,19 @@ object Boilerplate {
         when(col("n_grams") === 0, lit(0.0))
           .otherwise(r4(col("n_boiler").cast("double") / col("n_grams"))))
   }
+
+  /** WITHIN-document repetition: the fraction of a document's n-grams
+    * that are repeats of an earlier one — `1 − distinct/total` — the
+    * Gopher-style repetition filter (Rae et al., "Scaling Language
+    * Models", 2021, §A1.1: duplicate-n-gram fraction): a looping
+    * generator or scraped chrome repeats itself long before it trips a
+    * corpus-frequency threshold. Pure per-row Catalyst (two array ops
+    * and a division) — no shuffle, no corpus pass; r4-rounded for the
+    * cross-engine gate. Documents with < n tokens score 0.
+    */
+  def repetitionRatio(textCol: Column, n: Int): Column = {
+    val g = ngrams(textCol, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(r4(lit(1.0) - size(array_distinct(g)).cast("double") / size(g)))
+  }
 }

@@ -379,6 +379,70 @@ object TextQueries {
               |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
               |FROM tr JOIN ev ON tr.gram = ev.gram
               |GROUP BY tr.doc_id
-              |ORDER BY tr.doc_id""".stripMargin))
+              |ORDER BY tr.doc_id""".stripMargin)),
+
+    // ----- q62: domain mixing — per-language deterministic
+    // subsampling to a target mixture (see operators.Mixing: a literal
+    // CASE cutoff against id mod 1000, a codegen'd scan filter with no
+    // shuffle). The post-mix per-stratum mass is what a training run
+    // consumes.
+    QueryDef(
+      "q62_domain_mixing",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Mixing.sampleStrata(
+            Tables.documents(s, d), "doc_id", "lang",
+            Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.1, "fr" -> 1.0))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_chars").cast("long").as("total_chars"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents
+             |WHERE doc_id % 1000 < CASE lang
+             |  WHEN 'en' THEN 500 WHEN 'de' THEN 250
+             |  WHEN 'es' THEN 100 WHEN 'fr' THEN 1000 ELSE 0 END
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // ----- q63: within-document repetition scores — the Gopher-style
+    // duplicate-n-gram fraction per doc (operators.Boilerplate
+    // .repetitionRatio), a pure per-row expression: corpus-frequency
+    // boilerplate (q56) catches cross-doc repeats, this catches a doc
+    // repeating ITSELF.
+    QueryDef(
+      "q63_repetition_score",
+      (s, d) => {
+        import s.implicits._
+        graft.Par.spread(Tables.documents(s, d))
+          .select(
+            $"doc_id",
+            graft.operators.Boilerplate.repetitionRatio($"text", 2).as("rep2"),
+            graft.operators.Boilerplate.repetitionRatio($"text", 3).as("rep3"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(toks) >= 2
+              |      THEN list_transform(generate_series(1, len(toks) - 1),
+              |                          i -> array_to_string(toks[i:i+1], ' '))
+              |      ELSE [] END AS g2,
+              |    CASE WHEN len(toks) >= 3
+              |      THEN list_transform(generate_series(1, len(toks) - 2),
+              |                          i -> array_to_string(toks[i:i+2], ' '))
+              |      ELSE [] END AS g3
+              |  FROM t)
+              |SELECT doc_id,
+              |  CASE WHEN len(g2) = 0 THEN 0.0
+              |    ELSE floor((1.0 - len(list_distinct(g2)) * 1.0 / len(g2)) * 10000 + 0.5) / 10000 END AS rep2,
+              |  CASE WHEN len(g3) = 0 THEN 0.0
+              |    ELSE floor((1.0 - len(list_distinct(g3)) * 1.0 / len(g3)) * 10000 + 0.5) / 10000 END AS rep3
+              |FROM g
+              |ORDER BY doc_id""".stripMargin))
   )
 }
