@@ -328,6 +328,45 @@ object ScaleQueries {
              |GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ----- q64: the SAME sessionization as pure window algebra
+    // (lag → gap flag → running count; Sessionize
+    // .sessionizeBatchWindows) — the mega-key-safe batch form: one
+    // shuffle, spillable window sort, codegen expressions. Checked
+    // against the identical oracle as q39, so the stateful operator
+    // and the window formulation are proven interchangeable.
+    QueryDef(
+      "q64_sessionize_window",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.Sessionize
+        val events = Tables.events(s, d)
+          .select($"user_id", $"ts", $"value").as[Sessionize.Event]
+        Sessionize.sessionizeBatchWindows(events, gapMs = 30 * 60000L)
+          .select($"user_id",
+            date_format($"session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            date_format($"session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+            $"n_events".cast("bigint").as("n_events"),
+            round($"sum_value", 2).as("sum_value"))
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+             |  FROM events),
+             |y AS (
+             |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x)
+             |SELECT user_id,
+             |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+             |  COUNT(*) AS n_events,
+             |  round(SUM(value), 2) AS sum_value
+             |FROM y
+             |GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ----- q42: SQL-string entry point (the reference's spark.sql
     // surface, S3) with a correlated scalar subquery + EXISTS —
     // Catalyst decorrelates both into joins (no per-row subquery

@@ -90,6 +90,42 @@ object Sessionize {
         else GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Batch sessionization as pure WINDOW algebra — the mega-key-safe
+    * form: lag → gap flag → running session count → session groupBy.
+    * [[sessionize]]'s batch mode materializes each user's events in
+    * one task's memory (fine until one user has millions of events);
+    * this plan sorts within Spark's spillable window sort instead, and
+    * both window functions share one partitioning so the whole thing
+    * is a SINGLE shuffle plus codegen'd expressions. Identical output
+    * to the stateful operator — q39 (stateful) and q64 (window) are
+    * checked against the same oracle.
+    *
+    * Gap arithmetic is in epoch MICROseconds (`unix_micros`) for the
+    * same sub-ms determinism reason as the stateful path.
+    */
+  def sessionizeBatchWindows(
+      events: Dataset[Event],
+      gapMs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"value")
+    events.toDF()
+      .withColumn("__us", unix_micros($"ts"))
+      .withColumn("__brk",
+        when(($"__us" - lag($"__us", 1).over(w)) <= gapMs * 1000L, 0)
+          .otherwise(1))                 // null lag (first event) → 1
+      .withColumn("__sid",
+        sum($"__brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"__sid")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum($"value").as("sum_value"))
+      .drop("__sid")
+  }
+
   /** Convenience: raw events DataFrame (ts timestamp) → sessions, with
     * the watermark that drives both late-data drop and state timeout.
     */

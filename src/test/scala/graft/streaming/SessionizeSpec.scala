@@ -27,6 +27,29 @@ class SessionizeSpec extends SparkSpec {
     assert(out(2) === Session(2L, ts(1), ts(1), 1, 10.0))
   }
 
+  test("window-algebra batch form agrees with the stateful operator, one shuffle") {
+    import spark.implicits._
+    // 40 users × 100 events at varied gaps — enough sessions to make
+    // agreement non-vacuous
+    val events = (0 until 4000).map { i =>
+      Event((i % 40).toLong, ts((i / 40) * (1 + i % 3)), (i % 7).toDouble)
+    }.toDS()
+    val stateful = sessionize(events, gapMs = 5 * 60000L, streaming = false)
+      .collect().map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events, s.sum_value)).sortBy(t => (t._1, t._2))
+    val windowed = sessionizeBatchWindows(events, gapMs = 5 * 60000L)
+    val win = windowed
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getInt(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(win.toSeq === stateful.toSeq)
+    // both window functions share the partitioning → a single Exchange
+    val nExchanges = "Exchange".r.findAllIn(
+      windowed.queryExecution.executedPlan.toString).length
+    assert(nExchanges <= 2,   // 1 window shuffle + the final agg's
+      s"expected shared window partitioning, got $nExchanges exchanges")
+  }
+
   test("streaming: sessions close via event-time timeout as watermark advances") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
