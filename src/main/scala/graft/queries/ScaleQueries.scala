@@ -509,6 +509,53 @@ object ScaleQueries {
              |WHERE l_quantity BETWEEN 10 AND 20
              |  AND l_extendedprice BETWEEN 20000 AND 40000
              |GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ----- q65: MERGE/upsert (operators.Upsert) — a deterministic
+    // delta (priority rewrite on every 50th key + inserts offset past
+    // the key space) merged into orders, checked by post-merge
+    // priority distribution. The oracle replays the same merge as a
+    // FULL JOIN — the operator IS that algebra, so this pins the
+    // matched/unmatched/insert semantics exactly.
+    QueryDef(
+      "q65_upsert",
+      (s, d) => {
+        import s.implicits._
+        val tgt = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderpriority", dec($"o_totalprice").as("o_totalprice"))
+        val mod = tgt.filter($"o_orderkey" % 50 === 0)
+          .withColumn("o_orderpriority", lit("X-URGENT"))
+        val ins = tgt.filter($"o_orderkey" % 97 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+        val merged = graft.operators.Upsert.upsert(tgt, mod.unionByName(ins), "o_orderkey")
+        merged.groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum($"o_totalprice").cast("double").as("total_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+             |  FROM orders),
+             |upd AS (
+             |  SELECT o_orderkey, 'X-URGENT' AS o_orderpriority, o_totalprice
+             |  FROM t WHERE o_orderkey % 50 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+             |  FROM t WHERE o_orderkey % 97 = 0),
+             |merged AS (
+             |  SELECT
+             |    CASE WHEN u.o_orderkey IS NOT NULL
+             |      THEN u.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority,
+             |    CASE WHEN u.o_orderkey IS NOT NULL
+             |      THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+             |  FROM t FULL JOIN upd u ON t.o_orderkey = u.o_orderkey)
+             |SELECT o_orderpriority,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(o_totalprice) AS DOUBLE) AS total_price
+             |FROM merged
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }
