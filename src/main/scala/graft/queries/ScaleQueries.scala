@@ -556,6 +556,42 @@ object ScaleQueries {
              |  CAST(SUM(o_totalprice) AS DOUBLE) AS total_price
              |FROM merged
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- q66: column profiling (operators.Profile) — the ANALYZE
+    // pass: every column's stats from ONE aggregate over one scan.
+    // The oracle checks the exact stats (count/nulls/min/max); mean
+    // (float-sum order) and ndv (HLL) are engine-specific and
+    // spec-checked instead.
+    QueryDef(
+      "q66_column_profile",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Profile.profile(Tables.lineitem(s, d),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .select($"column".as("col_name"), $"n", $"n_nulls", $"min", $"max")
+          .orderBy($"col_name")
+      },
+      Some("""SELECT col_name, n, n_nulls, min, max FROM (
+             |  SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS n,
+             |    COUNT(*) - COUNT(l_quantity) AS n_nulls,
+             |    MIN(CAST(l_quantity AS DOUBLE)) AS min,
+             |    MAX(CAST(l_quantity AS DOUBLE)) AS max FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', COUNT(l_extendedprice),
+             |    COUNT(*) - COUNT(l_extendedprice),
+             |    MIN(CAST(l_extendedprice AS DOUBLE)),
+             |    MAX(CAST(l_extendedprice AS DOUBLE)) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', COUNT(l_discount),
+             |    COUNT(*) - COUNT(l_discount),
+             |    MIN(CAST(l_discount AS DOUBLE)),
+             |    MAX(CAST(l_discount AS DOUBLE)) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_tax', COUNT(l_tax),
+             |    COUNT(*) - COUNT(l_tax),
+             |    MIN(CAST(l_tax AS DOUBLE)),
+             |    MAX(CAST(l_tax AS DOUBLE)) FROM lineitem)
+             |ORDER BY col_name""".stripMargin))
   )
 }
