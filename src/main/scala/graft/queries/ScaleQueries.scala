@@ -592,6 +592,32 @@ object ScaleQueries {
              |    COUNT(*) - COUNT(l_tax),
              |    MIN(CAST(l_tax AS DOUBLE)),
              |    MAX(CAST(l_tax AS DOUBLE)) FROM lineitem)
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // ----- q67: salted fact⋈dim join (operators.SkewJoin) — the hot
+    // join key spread over 8 reducers; the oracle is the PLAIN join,
+    // proving salting never changes answers (replicate-exactly-once).
+    QueryDef(
+      "q67_salted_join",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey", $"l_extendedprice", $"l_linenumber")
+        val part = Tables.part(s, d).select($"p_partkey", $"p_brand")
+        graft.operators.SkewJoin.saltedJoin(
+            li.withColumnRenamed("l_partkey", "p_partkey"), "l_orderkey",
+            part, "p_partkey", salts = 8)
+          .groupBy($"p_brand")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(dec($"l_extendedprice")).cast("double").as("revenue"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand,
+             |  COUNT(*) AS n_lines,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin))
   )
 }
