@@ -443,6 +443,47 @@ object TextQueries {
               |  CASE WHEN len(g3) = 0 THEN 0.0
               |    ELSE floor((1.0 - len(list_distinct(g3)) * 1.0 / len(g3)) * 10000 + 0.5) / 10000 END AS rep3
               |FROM g
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ----- q68: vocabulary build + token-id encoding (operators
+    // .Vocab) — the tokenize→ids trainer-input step. The id arrays
+    // are checked through order-sensitive digests (first_id) and an
+    // order-independent checksum (ids_sum): the driver's comparator
+    // can't sort raw array columns, and the digests pin both content
+    // and position order anyway.
+    QueryDef(
+      "q68_vocab_encode",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val vocab = graft.operators.Vocab.build(docs, "text", maxSize = 500)
+        graft.operators.Vocab.encode(docs, "doc_id", "text", vocab)
+          .select($"doc_id", $"n_tokens", $"n_oov",
+            aggregate($"ids", lit(0L), (a, x) => a + x).as("ids_sum"),
+            element_at($"ids", 1).as("first_id"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksSql AS toks FROM documents),
+              |e AS (SELECT doc_id, unnest(toks) AS token FROM t),
+              |freq AS (SELECT token, COUNT(*) AS n FROM e GROUP BY token),
+              |vocab AS (
+              |  SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS id
+              |  FROM (SELECT * FROM freq ORDER BY n DESC, token LIMIT 500)),
+              |enc AS (
+              |  SELECT e.doc_id, COALESCE(v.id, 0) AS tid
+              |  FROM e LEFT JOIN vocab v USING (token)),
+              |firsts AS (
+              |  SELECT t.doc_id, COALESCE(v.id, 0) AS first_id
+              |  FROM t LEFT JOIN vocab v ON v.token = t.toks[1]
+              |  WHERE len(t.toks) > 0)
+              |SELECT enc.doc_id,
+              |  COUNT(*) AS n_tokens,
+              |  CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              |  CAST(SUM(tid) AS BIGINT) AS ids_sum,
+              |  ANY_VALUE(firsts.first_id) AS first_id
+              |FROM enc JOIN firsts ON enc.doc_id = firsts.doc_id
+              |GROUP BY enc.doc_id
+              |ORDER BY enc.doc_id""".stripMargin))
   )
 }
