@@ -618,6 +618,47 @@ object ScaleQueries {
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand
-             |ORDER BY p_brand""".stripMargin))
+             |ORDER BY p_brand""".stripMargin)),
+
+    // ----- q69: embedding QA — per-label vector norm/dimension
+    // diagnostics, the curation gate that catches zero/degenerate
+    // vectors before they poison an ANN index. Norms computed in
+    // double with identical left-to-right accumulation on both
+    // engines (explicit casts before multiply), r4-rounded at the
+    // boundary. A narrow map + one small groupBy — no shuffle of the
+    // vectors themselves.
+    QueryDef(
+      "q69_embedding_stats",
+      (s, d) => {
+        import s.implicits._
+        def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+        val norm = sqrt(aggregate(
+          transform($"embedding", x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x))
+        Tables.embeddings(s, d)
+          .select($"label", size($"embedding").as("dim"), norm.as("norm"))
+          .groupBy($"label")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            min($"dim").as("min_dim"),
+            max($"dim").as("max_dim"),
+            r4(min($"norm")).as("min_norm"),
+            r4(max($"norm")).as("max_norm"),
+            sum(($"norm" < 1e-6).cast("long")).as("n_zero"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (
+             |  SELECT label, len(embedding) AS dim,
+             |    sqrt(COALESCE(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)) AS norm
+             |  FROM embeddings)
+             |SELECT label, COUNT(*) AS n_vecs,
+             |  MIN(dim) AS min_dim, MAX(dim) AS max_dim,
+             |  floor(MIN(norm) * 10000 + 0.5) / 10000 AS min_norm,
+             |  floor(MAX(norm) * 10000 + 0.5) / 10000 AS max_norm,
+             |  CAST(SUM(CASE WHEN norm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+             |FROM e
+             |GROUP BY label
+             |ORDER BY label""".stripMargin))
   )
 }
