@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance — the materialized-view pattern:
+  * keep per-key MERGEABLE STATE (n, sum, sumsq), fold each new batch
+  * into it, and finalize mean/variance on read. At 100 TB the
+  * alternative is re-aggregating the full history every refresh;
+  * mergeable state makes the refresh cost proportional to the DELTA.
+  *
+  * count/sum/min/max merge trivially; the value here is the SECOND
+  * moment: variance is not mergeable as a result, but is as raw
+  * moments — var_samp = (sumsq − sum²/n) / (n−1) computes exactly
+  * from summed state, so incremental stddev EQUALS batch stddev
+  * (q70's oracle proves it against DuckDB's stddev_samp over the
+  * unsplit history).
+  *
+  * The raw-moment form trades the numerical robustness of a running
+  * Welford/Chan update for exact mergeability with plain SUMs; in
+  * double it loses precision only when stddev/mean < ~1e-6 — metric
+  * streams (latencies, prices, scores) are orders of magnitude away.
+  */
+object IncrementalAgg {
+
+  /** Per-key moment state of one batch: (keys..., n, s1, s2). */
+  def momentsState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("n"),
+        sum(col(valueCol).cast("double")).as("s1"),
+        sum(col(valueCol).cast("double") * col(valueCol).cast("double")).as("s2"))
+
+  /** Merge any number of states: moments add per key. */
+  def merge(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"), sum(col("s2")).as("s2"))
+  }
+
+  /** Finalize state into (keys..., n, mean, var_samp, stddev_samp);
+    * keys with n < 2 report null variance (the SQL convention).
+    */
+  def finalize(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val mean = col("s1") / col("n")
+    val varS = when(col("n") < 2, lit(null).cast("double"))
+      .otherwise((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+    state.select(
+      keys.map(col) ++ Seq(
+        col("n"),
+        mean.as("mean"),
+        varS.as("var_samp"),
+        sqrt(varS).as("stddev_samp")): _*)
+  }
+}

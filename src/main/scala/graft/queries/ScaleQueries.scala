@@ -659,6 +659,38 @@ object ScaleQueries {
              |  CAST(SUM(CASE WHEN norm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
              |FROM e
              |GROUP BY label
-             |ORDER BY label""".stripMargin))
+             |ORDER BY label""".stripMargin)),
+
+    // ----- q70: incremental aggregate maintenance (operators
+    // .IncrementalAgg) — the corpus is split in two deterministic
+    // halves, each folded to mergeable moment state (n, Σx, Σx²),
+    // merged, finalized; the oracle computes mean/stddev over the
+    // UNSPLIT history, proving incremental == batch including the
+    // second moment.
+    QueryDef(
+      "q70_incremental_moments",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.IncrementalAgg
+        def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+        val ev = Tables.events(s, d).select($"event_type", $"event_id", $"value")
+        val h1 = IncrementalAgg.momentsState(
+          ev.filter($"event_id" % 2 === 0), Seq("event_type"), "value")
+        val h2 = IncrementalAgg.momentsState(
+          ev.filter($"event_id" % 2 =!= 0), Seq("event_type"), "value")
+        IncrementalAgg.finalize(
+            IncrementalAgg.merge(Seq(h1, h2), Seq("event_type")), Seq("event_type"))
+          .select($"event_type", $"n",
+            r4($"mean").as("mean"),
+            r4($"stddev_samp").as("stddev_samp"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+             |  COUNT(value) AS n,
+             |  floor(AVG(value) * 10000 + 0.5) / 10000 AS mean,
+             |  floor(STDDEV_SAMP(value) * 10000 + 0.5) / 10000 AS stddev_samp
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }
