@@ -195,6 +195,48 @@ object DedupQueries {
             maxDistance = 3)
           .orderBy($"id_a", $"id_b")
       },
-      None)
+      None),
+
+    // ----- q71: duplication profile — the cluster-SIZE histogram over
+    // the q51 components ("how duplicated is this corpus" is the
+    // curation dashboard number a dedup run is judged by). Two extra
+    // skinny groupBys on top of the component assignment; oracle =
+    // the same histogram over recursive-CTE reachability.
+    QueryDef(
+      "q71_cluster_histogram",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          blockCol = "lang", sizeCol = "n_chars", sizeBand = 30, threshold = 0.8)
+        Dedup.connectedComponents(docs.select($"doc_id"), "doc_id", pairs)
+          .groupBy($"rep").agg(count(lit(1)).as("cluster_size"))
+          .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy($"cluster_size")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> length(x) > 0)) AS toks
+             |  FROM documents),
+             |e AS (
+             |  SELECT a.doc_id AS u, b.doc_id AS v
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |    AND abs(a.n_chars - b.n_chars) <= 30
+             |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.8),
+             |edges AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+             |reach(src, node) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT r.src, ed.v FROM reach r JOIN edges ed ON r.node = ed.u
+             |),
+             |comp AS (SELECT src AS doc_id, MIN(node) AS rep FROM reach GROUP BY src),
+             |sizes AS (SELECT rep, COUNT(*) AS cluster_size FROM comp GROUP BY rep)
+             |SELECT cluster_size, COUNT(*) AS n_clusters
+             |FROM sizes
+             |GROUP BY cluster_size
+             |ORDER BY cluster_size""".stripMargin))
   )
 }

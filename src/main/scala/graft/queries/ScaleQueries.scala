@@ -691,6 +691,49 @@ object ScaleQueries {
              |  floor(STDDEV_SAMP(value) * 10000 + 0.5) / 10000 AS stddev_samp
              |FROM events
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ----- q72: robust outlier detection — median/MAD flagging (the
+    // z-score that one fat-fingered value can't drag): two grouped
+    // exact-percentile passes with the per-group medians broadcast
+    // back, a narrow flag pass, no full-table sort. The 4.4478
+    // threshold (3σ · the 1.4826 normal-consistency constant) is a
+    // decimal LITERAL on both engines so the comparison boundary is
+    // bit-identical.
+    QueryDef(
+      "q72_robust_outliers",
+      (s, d) => {
+        import s.implicits._
+        def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+        val ev = Tables.events(s, d).select($"event_type", $"value")
+        val med = ev.groupBy($"event_type")
+          .agg(percentile($"value", lit(0.5)).as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs($"value" - $"med"))
+        val mad = dev.groupBy($"event_type")
+          .agg(percentile($"adev", lit(0.5)).as("mad"), first($"med").as("med"))
+        dev.drop("med").join(broadcast(mad), "event_type")
+          .groupBy($"event_type")
+          .agg(
+            r4(first($"med")).as("med"),
+            r4(first($"mad")).as("mad"),
+            sum(($"adev" > lit(4.4478) * $"mad").cast("long")).as("n_outliers"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH med AS (
+             |  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+             |dev AS (
+             |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+             |  FROM events e JOIN med m USING (event_type)),
+             |mad AS (
+             |  SELECT event_type, median(adev) AS mad, ANY_VALUE(med) AS med
+             |  FROM dev GROUP BY event_type)
+             |SELECT d.event_type,
+             |  floor(ANY_VALUE(m.med) * 10000 + 0.5) / 10000 AS med,
+             |  floor(ANY_VALUE(m.mad) * 10000 + 0.5) / 10000 AS mad,
+             |  CAST(SUM(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev d JOIN mad m USING (event_type)
+             |GROUP BY d.event_type
+             |ORDER BY d.event_type""".stripMargin))
   )
 }
