@@ -484,6 +484,46 @@ object TextQueries {
               |  ANY_VALUE(firsts.first_id) AS first_id
               |FROM enc JOIN firsts ON enc.doc_id = firsts.doc_id
               |GROUP BY enc.doc_id
-              |ORDER BY enc.doc_id""".stripMargin))
+              |ORDER BY enc.doc_id""".stripMargin)),
+
+    // ----- q73: higher-order array functions (§2.8-9 breadth:
+    // transform / filter / exists / aggregate / zip_with / slice) —
+    // the codegen'd lambda surface Spark evaluates without a UDF,
+    // mirrored 1:1 by DuckDB list lambdas. Output is scalars only:
+    // the driver's comparator cannot sort raw array columns.
+    QueryDef(
+      "q73_array_functions",
+      (s, d) => {
+        import s.implicits._
+        val toks = TextFunctions.tokens($"text")
+        graft.Par.spread(Tables.documents(s, d))
+          .select(
+            $"doc_id",
+            size(filter(toks, t => length(t) > 5)).as("n_long"),
+            exists(toks, t => length(t) > 10).cast("int").as("has_giant"),
+            aggregate(transform(toks, t => length(t)), lit(0),
+              (a, x) => a + x).as("total_chars"),
+            // zip_with pairs each token length with its reverse-order
+            // counterpart; max of the sums is a position-sensitive
+            // scalar digest of the whole array
+            array_max(zip_with(
+              transform(toks, t => length(t)),
+              reverse(transform(toks, t => length(t))),
+              (a, b) => a + b)).as("max_sym_len"),
+            concat_ws("_", slice(toks, 1, 3)).as("head3"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+              |SELECT doc_id,
+              |  len(list_filter(toks, x -> length(x) > 5)) AS n_long,
+              |  CAST(CASE WHEN len(list_filter(toks, x -> length(x) > 10)) > 0
+              |    THEN 1 ELSE 0 END AS INT) AS has_giant,
+              |  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS INT) AS total_chars,
+              |  list_max(list_zip(list_transform(toks, x -> length(x)),
+              |                    list_reverse(list_transform(toks, x -> length(x))))
+              |    .list_transform(p -> p[1] + p[2])) AS max_sym_len,
+              |  array_to_string(toks[1:3], '_') AS head3
+              |FROM t
+              |ORDER BY doc_id""".stripMargin))
   )
 }
