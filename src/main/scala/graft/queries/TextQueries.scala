@@ -524,6 +524,81 @@ object TextQueries {
               |    .list_transform(p -> p[1] + p[2])) AS max_sym_len,
               |  array_to_string(toks[1:3], '_') AS head3
               |FROM t
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ----- q74: curation pipeline v2 — the ROUND-3 operators composed
+    // the way a training-data run chains them: domain mixing →
+    // benchmark decontamination (drop) → repetition filter → sequence
+    // packing, summarized per shard. Each stage is individually
+    // oracle-checked (q62/q61/q63/q60); this checks the COMPOSITION —
+    // stage boundaries (who filters before whom) are where pipeline
+    // bugs live.
+    QueryDef(
+      "q74_curation_v2",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{Decontaminate, Mixing, Packing}
+        val docs = Tables.documents(s, d)
+        val mixed = Mixing.sampleStrata(docs, "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.1, "fr" -> 1.0))
+        val eval = docs.filter($"doc_id" % 97 === 0)
+        val train = mixed.filter($"doc_id" % 97 =!= 0)
+        val contaminated = Decontaminate.overlap(train, eval, "doc_id", "text", n = 3)
+          .select($"doc_id")
+        val kept = train
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .filter(graft.operators.Boilerplate.repetitionRatio($"text", 2) <= 0.2)
+          .select($"doc_id", TextFunctions.tokenCount($"text").as("n_tokens"))
+        Packing.manifest(kept, "doc_id", "n_tokens", budget = 2048, shards = 4)
+          .groupBy($"shard")
+          .agg(
+            count(lit(1)).as("n_packs"),
+            sum($"n_docs").cast("long").as("n_docs"),
+            sum($"pack_tokens").cast("long").as("total_tokens"))
+          .orderBy($"shard")
+      },
+      Some(s"""WITH mixed AS (
+              |  SELECT doc_id, lang, text FROM documents
+              |  WHERE doc_id % 1000 < CASE lang
+              |    WHEN 'en' THEN 500 WHEN 'de' THEN 250
+              |    WHEN 'es' THEN 100 WHEN 'fr' THEN 1000 ELSE 0 END),
+              |t_all AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g_all AS (
+              |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+              |    THEN list_transform(generate_series(1, len(toks) - 2),
+              |                        i -> array_to_string(toks[i:i+2], ' '))
+              |    ELSE [] END)) AS gram
+              |  FROM t_all),
+              |ev AS (SELECT DISTINCT gram FROM g_all WHERE doc_id % 97 = 0),
+              |contam AS (
+              |  SELECT DISTINCT g.doc_id FROM g_all g JOIN ev USING (gram)
+              |  WHERE g.doc_id % 97 <> 0),
+              |surv AS (
+              |  SELECT m.doc_id FROM mixed m
+              |  WHERE m.doc_id % 97 <> 0
+              |    AND m.doc_id NOT IN (SELECT doc_id FROM contam)),
+              |rep AS (
+              |  SELECT t.doc_id, t.toks,
+              |    CASE WHEN len(t.toks) >= 2
+              |      THEN list_transform(generate_series(1, len(t.toks) - 1),
+              |                          i -> array_to_string(t.toks[i:i+1], ' '))
+              |      ELSE [] END AS g2
+              |  FROM t_all t JOIN surv USING (doc_id)),
+              |keep AS (
+              |  SELECT doc_id, len(toks) AS n_tokens FROM rep
+              |  WHERE (CASE WHEN len(g2) = 0 THEN 0.0
+              |    ELSE floor((1.0 - len(list_distinct(g2)) * 1.0 / len(g2)) * 10000 + 0.5) / 10000 END) <= 0.2),
+              |c AS (
+              |  SELECT doc_id % 4 AS shard, n_tokens,
+              |    SUM(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS cum
+              |  FROM keep),
+              |p AS (
+              |  SELECT shard, CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+              |    COUNT(*) AS nd, SUM(n_tokens) AS tok
+              |  FROM c GROUP BY shard, pack_id)
+              |SELECT shard, COUNT(*) AS n_packs,
+              |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+              |  CAST(SUM(tok) AS BIGINT) AS total_tokens
+              |FROM p GROUP BY shard ORDER BY shard""".stripMargin))
   )
 }
