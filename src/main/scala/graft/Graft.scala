@@ -55,6 +55,7 @@ object Graft {
     functions.GraftFunctions.register(spark)
     functions.SortedIntersectCount.register(spark)
     functions.FirstBandCollision.register(spark)
+    functions.TextFunctions.registerSql(spark)
     plans.GraftOptimizations.install(spark)
     spark
   }

@@ -108,6 +108,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    // the whole text-function family rides the same injection: one
+    // expression tree behind both the DataFrame and SQL surfaces
+    TextFunctions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(TextFunctions.getClass.getName, name), builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.PushPredicateThroughExplode)
   }
 }

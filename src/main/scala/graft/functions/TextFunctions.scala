@@ -120,4 +120,44 @@ object TextFunctions {
       "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
       "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"))
   }
+
+  // ---------- SQL surface ----------
+
+  /** The text functions as SQL function builders: each wraps the
+    * Column combinator above through the Expression↔Column bridge, so
+    * `spark.sql("SELECT token_count(text) ...")` runs the IDENTICAL
+    * expression tree as the DataFrame API — one implementation, two
+    * surfaces. Registered on live sessions by [[registerSql]] /
+    * `Graft.install`, and injected at session build by
+    * `GraftExtensions`.
+    */
+  private[graft] val sqlFunctions: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.{GraftSqlBridge => ExpressionUtils}
+    def fn1(f: Column => Column)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression =
+      exprs => ExpressionUtils.expression(f(ExpressionUtils.column(exprs.head)))
+    Seq(
+      "token_count" -> fn1(tokenCount),
+      "bpe_token_count" -> fn1(bpeTokenCount),
+      "lang_id" -> fn1(langId(_)),
+      "quality_score" -> fn1(qualityScore(_)),
+      "doc_fingerprint" -> fn1(fingerprint),
+      // second argument is the n-gram size — must be a literal int
+      "repetition_ratio" -> (exprs => ExpressionUtils.expression(
+        graft.operators.Boilerplate.repetitionRatio(
+          ExpressionUtils.column(exprs(0)),
+          exprs(1).eval().asInstanceOf[Number].intValue))))
+  }
+
+  /** Register every text function for SQL use on a live session
+    * (idempotent; `Graft.install` calls this).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }
