@@ -211,6 +211,83 @@ object PipelineQueries {
             "spark join performance", embedder, k = 5)
           .select($"chunk_id", $"doc_id", round($"sim", 6).as("sim"))
       },
-      None)
+      None),
+
+    // ----- q75: hybrid retrieval — BM25 keyword leg + cosine vector
+    // leg fused by reciprocal-rank fusion (operators.HybridSearch).
+    // Each leg is its own bounded top-20 (q52's and q31's plans);
+    // fusion is a union + groupBy over ≤40 rows regardless of corpus
+    // size. Vector ranks use the r4-rounded similarity so rank
+    // boundaries are cross-engine exact; ids share the vec_id<500 =
+    // doc_id domain.
+    QueryDef(
+      "q75_hybrid_search",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions
+        import graft.operators.{HybridSearch, TextSearch}
+        GraftFunctions.register(s)
+        def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0 + 0.5) / 10000.0
+        val kw = TextSearch.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          query = Seq("vector", "join", "stream"), k = 20)
+        val vec = Tables.embeddings(s, d)
+          .filter($"vec_id" < 500)
+          .withColumn("sim", r4(GraftFunctions.cosine_sim(
+            $"embedding", VectorSearch.vecLit(queryVec).cast("array<double>"))))
+          .orderBy($"sim".desc, $"vec_id").limit(20)
+        HybridSearch.rrfFuse(Seq(
+            HybridSearch.ranked(kw, "id", "score"),
+            HybridSearch.ranked(vec, "vec_id", "sim")), k = 10)
+          .select($"id", $"rrf_score", $"n_legs")
+          .orderBy($"rrf_score".desc, $"id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS toks
+              |  FROM documents),
+              |tl AS (SELECT doc_id, toks, len(toks) AS len FROM t),
+              |stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total_len FROM tl),
+              |tf AS (
+              |  SELECT doc_id, len, term, COUNT(*) AS tf
+              |  FROM (SELECT doc_id, len,
+              |          unnest(list_filter(toks, x -> x IN ('vector', 'join', 'stream'))) AS term
+              |        FROM tl)
+              |  GROUP BY doc_id, len, term),
+              |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+              |kw AS (
+              |  SELECT doc_id,
+              |    round(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+              |              (tf + 1.2 * (0.25 + 0.75 * len / (total_len * 1.0 / n_docs)))), 4) AS score
+              |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+              |  GROUP BY doc_id
+              |  ORDER BY score DESC, doc_id
+              |  LIMIT 20),
+              |kwr AS (
+              |  SELECT doc_id AS id,
+              |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+              |  FROM kw),
+              |vec AS (
+              |  SELECT vec_id,
+              |    floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+              |                                 CAST($queryVecSql AS DOUBLE[])) * 10000 + 0.5) / 10000 AS sim
+              |  FROM embeddings
+              |  WHERE vec_id < 500
+              |  ORDER BY sim DESC, vec_id
+              |  LIMIT 20),
+              |vecr AS (
+              |  SELECT vec_id AS id,
+              |    ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rank
+              |  FROM vec),
+              |parts AS (
+              |  SELECT id, 1.0 / (60 + rank) AS part FROM kwr
+              |  UNION ALL
+              |  SELECT id, 1.0 / (60 + rank) AS part FROM vecr)
+              |SELECT id,
+              |  floor(SUM(part) * 10000 + 0.5) / 10000 AS rrf_score,
+              |  COUNT(*) AS n_legs
+              |FROM parts
+              |GROUP BY id
+              |ORDER BY rrf_score DESC, id
+              |LIMIT 10""".stripMargin))
   )
 }
