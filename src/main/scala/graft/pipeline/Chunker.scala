@@ -81,4 +81,25 @@ object Chunker {
     */
   def filterShort(chunks: Column, minChars: Int = 50): Column =
     filter(chunks, c => length(c) > minChars)
+
+  /** OVERLAPPING sliding char windows — start offsets 0, stride,
+    * 2·stride, …: with stride < width consecutive chunks share
+    * width−stride chars, so a passage straddling a window boundary is
+    * wholly contained in some chunk (the retrieval-chunking layout;
+    * the reference's windows are non-overlapping). Pure Catalyst:
+    * a sequence of start offsets mapped through substring — codegen,
+    * no UDF, and exactly mirrorable by SQL list_transform. Null text
+    * → empty array; text shorter than one window → one chunk.
+    */
+  def slidingWindowChunks(text: Column, width: Int = 200, stride: Int = 150): Column = {
+    require(width > 0 && stride > 0 && stride <= width,
+      "need 0 < stride <= width (stride > width would drop characters)")
+    val len = length(text)
+    // last start index k: smallest k with k·stride + width ≥ len,
+    // i.e. ceil((len−width)/stride) — clamped to ≥ 0
+    val k = greatest(ceil((len - width).cast("double") / stride).cast("int"), lit(0))
+    when(text.isNull || len === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), k),
+        i => substring(text, i * stride + lit(1), lit(width))))
+  }
 }

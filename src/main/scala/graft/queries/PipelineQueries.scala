@@ -288,6 +288,44 @@ object PipelineQueries {
               |FROM parts
               |GROUP BY id
               |ORDER BY rrf_score DESC, id
-              |LIMIT 10""".stripMargin))
+              |LIMIT 10""".stripMargin)),
+
+    // ----- q76: OVERLAPPING sliding-window chunking (width 200,
+    // stride 150 → 50-char overlap), the retrieval-chunking layout
+    // next to q16's reference-faithful non-overlapping windows. The
+    // n_cover digest (chars covered counting overlap once) proves the
+    // windows tile the document with no gaps.
+    QueryDef(
+      "q76_sliding_chunks",
+      (s, d) => {
+        import s.implicits._
+        val chunks = graft.pipeline.Chunker.slidingWindowChunks($"text", 200, 150)
+        graft.Par.spread(Tables.documents(s, d))
+          .select(
+            $"doc_id",
+            size(chunks).as("n_chunks"),
+            aggregate(transform(chunks, c => length(c)), lit(0),
+              (a, x) => a + x).as("total_chars"),
+            length(element_at(chunks, -1)).as("last_len"))
+          .withColumn("n_cover",
+            // overlap counted once: total − (n−1)·(width−stride)
+            $"total_chars" - ($"n_chunks" - 1) * 50)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, length(text) AS len,
+             |    CASE WHEN length(text) = 0 THEN []
+             |      ELSE list_transform(
+             |        generate_series(0, greatest(CAST(ceil((length(text) - 200) / 150.0) AS INT), 0)),
+             |        i -> substring(text, i * 150 + 1, 200)) END AS chunks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(chunks) AS n_chunks,
+             |  CAST(COALESCE(list_sum(list_transform(chunks, x -> length(x))), 0) AS INT) AS total_chars,
+             |  length(chunks[-1]) AS last_len,
+             |  CAST(COALESCE(list_sum(list_transform(chunks, x -> length(x))), 0)
+             |    - (len(chunks) - 1) * 50 AS INT) AS n_cover
+             |FROM c
+             |ORDER BY doc_id""".stripMargin))
   )
 }

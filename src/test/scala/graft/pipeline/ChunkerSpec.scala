@@ -49,4 +49,34 @@ class ChunkerSpec extends SparkSpec {
     val scalaSide = texts.map(CharWindowChunker(200, 50).chunk)
     sparkSide.zip(scalaSide).foreach { case (a, b) => assert(a === b) }
   }
+
+  test("slidingWindowChunks: overlap, full coverage, reconstruction") {
+    import spark.implicits._
+    val text = ('a' to 'z').mkString * 20   // 520 chars
+    val chunks = Seq(Tuple1(text)).toDF("text")
+      .select(Chunker.slidingWindowChunks($"text", 200, 150).as("c"))
+      .as[Seq[String]].head
+    // starts at 0,150,300; last start k=ceil(320/150)=3 -> 4 windows
+    assert(chunks.length === 4)
+    assert(chunks.take(3).forall(_.length === 200))
+    assert(chunks(3).length === 520 - 450)
+    // consecutive windows share width-stride = 50 chars
+    chunks.sliding(2).zipWithIndex.foreach { case (Seq(a, b), _) =>
+      assert(a.takeRight(50) === b.take(50))
+    }
+    // stride-prefixes + final window reconstruct the document exactly
+    val rebuilt = chunks.dropRight(1).map(_.take(150)).mkString + chunks.last
+    assert(rebuilt === text)
+  }
+
+  test("slidingWindowChunks edges: short text one window, empty/null none") {
+    import spark.implicits._
+    val got = Seq(Tuple1("short"), Tuple1(""), Tuple1(null: String))
+      .toDF("text")
+      .select(Chunker.slidingWindowChunks($"text", 200, 150).as("c"))
+      .as[Option[Seq[String]]].collect()
+    assert(got(0) === Some(Seq("short")))
+    assert(got(1) === Some(Seq.empty))
+    assert(got(2) === Some(Seq.empty))
+  }
 }
