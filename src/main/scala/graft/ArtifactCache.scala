@@ -14,6 +14,16 @@ import scala.jdk.CollectionConverters._
   */
 object ArtifactCache {
 
+  /** `Files.list` holds an open directory stream until CLOSED, not
+    * until GC — and this object runs on the driver once per artifact
+    * query, so leaked streams accumulate toward EMFILE in a long-lived
+    * session.
+    */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator.asScala) finally s.close()
+  }
+
   /** Cache path for `kind` derived from dataset `src` under `params`.
     *
     * The content stamp is computed over the LISTED DATA FILES (count +
@@ -29,7 +39,7 @@ object ArtifactCache {
       try {
         val files: Seq[Path] =
           if (Files.isDirectory(src))
-            Files.list(src).iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+            listDir(src)(_.filter(Files.isRegularFile(_)).toSeq)
           else if (Files.isRegularFile(src)) Seq(src)
           else Seq.empty
         if (files.isEmpty) s"miss-${java.util.UUID.randomUUID()}"
@@ -46,11 +56,10 @@ object ArtifactCache {
     try {
       if (Files.isDirectory(root)) {
         val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-        Files.list(root).iterator.asScala
-          .filter(p => p.getFileName.toString.startsWith(s"$kind-") &&
+        listDir(root)(_.filter(p => p.getFileName.toString.startsWith(s"$kind-") &&
             !p.getFileName.toString.endsWith(digest) &&
             Files.getLastModifiedTime(p).toMillis < cutoff)
-          .foreach(deleteRecursively)
+          .toSeq).foreach(deleteRecursively)
       }
     } catch { case _: java.io.IOException => () }  // pruning is best-effort
     s"$root/$kind-$digest"
@@ -59,7 +68,7 @@ object ArtifactCache {
   private def deleteRecursively(p: Path): Unit = {
     try {
       if (Files.isDirectory(p))
-        Files.list(p).iterator.asScala.foreach(deleteRecursively)
+        listDir(p)(_.toSeq).foreach(deleteRecursively)
       Files.deleteIfExists(p)
     } catch { case _: java.io.IOException => () }
   }

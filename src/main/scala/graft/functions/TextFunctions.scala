@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** THE cross-engine-deterministic 4-decimal rounding — the "r4
+    * convention", the single definition every operator and oracle
+    * mirrors: floor(x·1e4 + 0.5)/1e4 evaluates the same IEEE double on
+    * Spark and DuckDB, unlike round(), whose half-boundary behavior
+    * differs between the engines (Spark rounds the shortest decimal
+    * repr HALF_UP, DuckDB rounds the binary value) — and similarity /
+    * quality ratios are small-denominator rationals that land exactly
+    * on those boundaries. Any drift here must change ALL call sites
+    * and oracle SQL together, which is why there is exactly one copy.
+    */
+  def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
   /** Whitespace tokenization; null/empty/blank text → empty array
     * (Spark's split("") would yield [""], and a null input would
     * otherwise null-poison downstream argmax/ratio logic into

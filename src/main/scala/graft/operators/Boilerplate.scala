@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object Boilerplate {
 
-  /** r4 cross-engine rounding convention (TextQueries.r4). */
-  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  /** The canonical r4 convention — see [[TextFunctions.r4]]. */
+  private def r4(c: Column): Column = TextFunctions.r4(c)
 
   /** Ordered word n-grams of `textCol` as an array column (empty when
     * the document has fewer than n tokens). 1-based slice positions —
@@ -50,8 +50,14 @@ object Boilerplate {
     * documents does each n-gram occur? Per-row `array_distinct` before
     * the explode makes the groupBy count the document frequency
     * directly — no (doc, gram) pre-distinct shuffle.
+    *
+    * CONTRACT: one input row per document (the documents-table shape).
+    * df counts ROWS containing the gram — a doc ingested twice would
+    * count twice; dedupe upstream (exactGroups/fingerprintDedup) if
+    * the source can repeat, rather than paying a per-gram distinct
+    * shuffle here on every corpus.
     */
-  def ngramDocFreq(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  def ngramDocFreq(docs: DataFrame, textCol: String, n: Int): DataFrame =
     graft.Par.spread(docs.select(col(textCol)))
       .select(explode(array_distinct(ngrams(col(textCol), n))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -68,7 +74,7 @@ object Boilerplate {
       n: Int = 5,
       minDf: Long = 3): DataFrame = {
     require(minDf >= 2, "minDf < 2 would flag every gram as boilerplate")
-    val boiler = ngramDocFreq(docs, idCol, textCol, n)
+    val boiler = ngramDocFreq(docs, textCol, n)
       .filter(col("df") >= minDf)
       .select(col("gram"), lit(1L).as("is_boiler"))
 

@@ -23,13 +23,8 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Cross-engine-deterministic 4-decimal rounding (the r4 convention,
-    * TextQueries.r4): floor(x*1e4+0.5) evaluates the same IEEE double
-    * on Spark and DuckDB, unlike round() — which disagrees on exact
-    * half-boundary values, and similarity ratios are small-denominator
-    * rationals that land there.
-    */
-  private def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  /** The canonical r4 convention — see [[graft.functions.TextFunctions.r4]]. */
+  private def r4(c: Column): Column = graft.functions.TextFunctions.r4(c)
 
   // ---------- candidate generation (shared by MinHash / SimHash / LSH) ----------
 

@@ -33,7 +33,7 @@ object HybridSearch {
     */
   def rrfFuse(legs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(legs.nonEmpty)
-    val r4 = (x: org.apache.spark.sql.Column) => floor(x * 10000.0 + 0.5) / 10000.0
+    val r4 = graft.functions.TextFunctions.r4 _
     legs.map(_.select(col("id"), (lit(1.0) / (lit(c) + col("rank"))).as("part")))
       .reduce(_ unionByName _)
       .groupBy(col("id"))

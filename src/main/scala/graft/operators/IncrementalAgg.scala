@@ -44,8 +44,13 @@ object IncrementalAgg {
     */
   def finalize(state: DataFrame, keys: Seq[String]): DataFrame = {
     val mean = col("s1") / col("n")
+    // clamped at zero: for a constant-valued key the raw-moment form
+    // can cancel to a tiny NEGATIVE (e.g. three 0.1s → −1.7e-18),
+    // which sqrt() would turn into NaN while batch STDDEV_SAMP says 0
     val varS = when(col("n") < 2, lit(null).cast("double"))
-      .otherwise((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .otherwise(greatest(
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1),
+        lit(0.0)))
     state.select(
       keys.map(col) ++ Seq(
         col("n"),

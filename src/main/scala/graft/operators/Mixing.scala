@@ -33,8 +33,11 @@ object Mixing {
       granularity: Int = 1000): Column = {
     require(granularity > 0, "granularity must be positive")
     require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0, 1]")
+    // round, don't truncate: 0.29 * 1000 is 289.999… in IEEE double,
+    // and .toInt would silently under-sample the stratum by one slot
     val cutoff = rates.foldLeft(lit(0)) { case (acc, (stratum, rate)) =>
-      when(strataCol === stratum, lit((rate * granularity).toInt)).otherwise(acc)
+      when(strataCol === stratum,
+        lit(math.round(rate * granularity).toInt)).otherwise(acc)
     }
     pmod(idCol, lit(granularity)) < cutoff
   }

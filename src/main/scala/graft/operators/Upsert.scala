@@ -38,6 +38,15 @@ object Upsert {
     require(target.columns.sorted.sameElements(updates.columns.sorted),
       s"schemas differ: target ${target.columns.mkString(",")} vs " +
         s"updates ${updates.columns.mkString(",")}")
+    // MERGE's cardinality contract: a duplicate key in the delta would
+    // silently MULTIPLY matched target rows through the join. Delta/
+    // Iceberg raise "multiple source rows matched" at runtime; we
+    // check eagerly — one skinny aggregation over the delta-sized side.
+    val dup = updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"updates contain duplicate $keyCol (e.g. ${dup.head.get(0)}); " +
+        "MERGE semantics require one update row per key")
     val dataCols = target.columns.filterNot(_ == keyCol).toSeq
     val ordered = keyCol +: dataCols
 

@@ -38,9 +38,11 @@ object ZOrder {
     val nCuts = (1 << bits) - 1
     val probs = (1 to nCuts).map(_.toDouble / (1 << bits)).toArray
     val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
-    cols.map { c =>
-      c -> casted.stat.approxQuantile(c, probs, relativeError)
-    }.toMap
+    // the multi-column overload sketches every dimension in ONE
+    // distributed pass — the per-column call would rescan the dataset
+    // once per dimension just to plan the layout
+    val cuts = casted.stat.approxQuantile(cols.toArray, probs, relativeError)
+    cols.zip(cuts).toMap
   }
 
   /** Bin a (double-cast) column against sorted boundary cuts: the bin

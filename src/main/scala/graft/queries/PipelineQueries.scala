@@ -227,7 +227,7 @@ object PipelineQueries {
         import graft.functions.GraftFunctions
         import graft.operators.{HybridSearch, TextSearch}
         GraftFunctions.register(s)
-        def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0 + 0.5) / 10000.0
+        def r4(c: org.apache.spark.sql.Column) = graft.functions.TextFunctions.r4(c)
         val kw = TextSearch.bm25TopK(Tables.documents(s, d), "doc_id", "text",
           query = Seq("vector", "join", "stream"), k = 20)
         val vec = Tables.embeddings(s, d)
@@ -314,7 +314,7 @@ object PipelineQueries {
       },
       Some("""WITH c AS (
              |  SELECT doc_id, length(text) AS len,
-             |    CASE WHEN length(text) = 0 THEN []
+             |    CASE WHEN text IS NULL OR length(text) = 0 THEN []
              |      ELSE list_transform(
              |        generate_series(0, greatest(CAST(ceil((length(text) - 200) / 150.0) AS INT), 0)),
              |        i -> substring(text, i * 150 + 1, 200)) END AS chunks

@@ -513,7 +513,9 @@ object ScaleQueries {
 
     // ----- q65: MERGE/upsert (operators.Upsert) — a deterministic
     // delta (priority rewrite on every 50th key + inserts offset past
-    // the key space) merged into orders, checked by post-merge
+    // the key space; 1e9 clears orders' keyspace at any plausible
+    // test SF — o_orderkey tops out near 6M·SF) merged into orders,
+    // checked by post-merge
     // priority distribution. The oracle replays the same merge as a
     // FULL JOIN — the operator IS that algebra, so this pins the
     // matched/unmatched/insert semantics exactly.
@@ -526,7 +528,7 @@ object ScaleQueries {
         val mod = tgt.filter($"o_orderkey" % 50 === 0)
           .withColumn("o_orderpriority", lit("X-URGENT"))
         val ins = tgt.filter($"o_orderkey" % 97 === 0)
-          .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+          .withColumn("o_orderkey", $"o_orderkey" + 1000000000L)
         val merged = graft.operators.Upsert.upsert(tgt, mod.unionByName(ins), "o_orderkey")
         merged.groupBy($"o_orderpriority")
           .agg(
@@ -542,7 +544,7 @@ object ScaleQueries {
              |  SELECT o_orderkey, 'X-URGENT' AS o_orderpriority, o_totalprice
              |  FROM t WHERE o_orderkey % 50 = 0
              |  UNION ALL
-             |  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+             |  SELECT o_orderkey + 1000000000, o_orderpriority, o_totalprice
              |  FROM t WHERE o_orderkey % 97 = 0),
              |merged AS (
              |  SELECT
@@ -631,7 +633,7 @@ object ScaleQueries {
       "q69_embedding_stats",
       (s, d) => {
         import s.implicits._
-        def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+        def r4(c: Column): Column = graft.functions.TextFunctions.r4(c)
         val norm = sqrt(aggregate(
           transform($"embedding", x => x.cast("double") * x.cast("double")),
           lit(0.0), (a, x) => a + x))
@@ -672,7 +674,7 @@ object ScaleQueries {
       (s, d) => {
         import s.implicits._
         import graft.operators.IncrementalAgg
-        def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+        def r4(c: Column): Column = graft.functions.TextFunctions.r4(c)
         val ev = Tables.events(s, d).select($"event_type", $"event_id", $"value")
         val h1 = IncrementalAgg.momentsState(
           ev.filter($"event_id" % 2 === 0), Seq("event_type"), "value")
@@ -704,7 +706,7 @@ object ScaleQueries {
       "q72_robust_outliers",
       (s, d) => {
         import s.implicits._
-        def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+        def r4(c: Column): Column = graft.functions.TextFunctions.r4(c)
         val ev = Tables.events(s, d).select($"event_type", $"value")
         val med = ev.groupBy($"event_type")
           .agg(percentile($"value", lit(0.5)).as("med"))

@@ -12,15 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** Cross-engine-deterministic 4-decimal rounding: floor(x*1e4+0.5)
-    * evaluates the SAME IEEE double on both engines, unlike round()
-    * (Spark rounds the shortest decimal repr HALF_UP, DuckDB rounds
-    * the binary value) — they disagree when a small-denominator
-    * rational lands exactly on the half boundary, which quality-score
-    * ratios do (seen at sf0.1).
-    */
+  /** The canonical r4 convention — see [[TextFunctions.r4]]. */
   private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * 10000.0 + 0.5) / 10000.0
+    TextFunctions.r4(c)
 
   /** DuckDB-side whitespace tokenization matching TextFunctions.tokens. */
   private val toksSql =

@@ -51,7 +51,7 @@ class BoilerplateSpec extends SparkSpec {
     import spark.implicits._
     // doc 1 repeats the same bigram three times; df must still be 2
     val docs = Seq((1L, "x y x y x y"), (2L, "x y z")).toDF("doc_id", "text")
-    val df2 = Boilerplate.ngramDocFreq(docs, "doc_id", "text", 2)
+    val df2 = Boilerplate.ngramDocFreq(docs, "text", 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(df2("x y") === 2L)
     assert(df2("y x") === 1L)

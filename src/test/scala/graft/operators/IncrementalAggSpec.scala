@@ -36,6 +36,16 @@ class IncrementalAggSpec extends SparkSpec {
     assert(fin.head.isNullAt(3))   // var_samp
   }
 
+  test("constant-valued keys report zero variance, never NaN") {
+    import spark.implicits._
+    // raw moments cancel to a tiny NEGATIVE for constants (0.1*3)
+    val const = Seq(("c", 0.1), ("c", 0.1), ("c", 0.1)).toDF("k", "v")
+    val fin = IncrementalAgg.finalize(
+      IncrementalAgg.momentsState(const, Seq("k"), "v"), Seq("k")).head
+    assert(fin.getDouble(3) === 0.0)            // var_samp
+    assert(fin.getDouble(4) === 0.0)            // stddev_samp, not NaN
+  }
+
   test("streaming foreachBatch + Upsert maintains the view across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -18,6 +18,14 @@ class MixingSpec extends SparkSpec {
     assert(kept("b") === 800L)
   }
 
+  test("rates that are inexact doubles round to the intended cutoff") {
+    import spark.implicits._
+    // 0.29 * 1000 = 289.999... in IEEE double; truncation would keep 289
+    val docs = (0L until 1000L).map(i => (i, "s")).toDF("id", "s")
+    val kept = Mixing.sampleStrata(docs, "id", "s", Map("s" -> 0.29)).count()
+    assert(kept === 290L)
+  }
+
   test("strata absent from the recipe are dropped; rate 1.0 keeps all") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, if (i < 50) "keep" else "unknown"))

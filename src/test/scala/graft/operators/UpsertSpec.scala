@@ -29,6 +29,16 @@ class UpsertSpec extends SparkSpec {
       "MERGE matched-row semantics take the update row wholesale")
   }
 
+  test("duplicate keys in the delta fail fast (MERGE cardinality contract)") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "name")
+    val updates = Seq((1L, "x"), (1L, "y")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsert(target, updates, "k")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("schema mismatch fails fast") {
     import spark.implicits._
     val target = Seq((1L, "a")).toDF("k", "name")
