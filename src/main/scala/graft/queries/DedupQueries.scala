@@ -237,6 +237,50 @@ object DedupQueries {
              |SELECT cluster_size, COUNT(*) AS n_clusters
              |FROM sizes
              |GROUP BY cluster_size
-             |ORDER BY cluster_size""".stripMargin))
+             |ORDER BY cluster_size""".stripMargin)),
+
+    // ----- q77: triangle census of the near-dup graph (operators
+    // .GraphOps) — triangles + global clustering coefficient over the
+    // q51 edge set: cliquey duplicates (template families) vs chained
+    // ones (drifting near-copies) need different curation responses.
+    // Oriented-edge join counts each triangle exactly once.
+    QueryDef(
+      "q77_dup_triangles",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          blockCol = "lang", sizeCol = "n_chars", sizeBand = 30, threshold = 0.8)
+        graft.operators.GraphOps.triangleStats(pairs, "id_a", "id_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> length(x) > 0)) AS toks
+             |  FROM documents),
+             |e AS (
+             |  SELECT least(a.doc_id, b.doc_id) AS a, greatest(a.doc_id, b.doc_id) AS b
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |    AND abs(a.n_chars - b.n_chars) <= 30
+             |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.8),
+             |tri AS (
+             |  SELECT COUNT(*) AS n_triangles
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+             |deg AS (
+             |  SELECT v, COUNT(*) AS d FROM (
+             |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+             |  GROUP BY v),
+             |w AS (
+             |  SELECT COUNT(*) AS n_nodes,
+             |    CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+             |  FROM deg),
+             |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+             |SELECT n_nodes, n_edges, n_triangles,
+             |  floor((CASE WHEN n_wedges = 0 THEN 0.0
+             |    ELSE 3.0 * n_triangles / n_wedges END) * 10000 + 0.5) / 10000
+             |    AS global_clustering
+             |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin))
   )
 }
