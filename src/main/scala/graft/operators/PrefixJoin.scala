@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered exact set-similarity self-join (the AllPairs/
+  * PPJoin candidate scheme — Bayardo et al. WWW'07, Xiao et al.
+  * WWW'08): order every document's distinct tokens by GLOBAL RARITY
+  * and join only on each document's first
+  * `|A| − ⌈t·|A|⌉ + 1` tokens (its "prefix").
+  *
+  * Guarantee (prefix-filter lemma): if J(A,B) ≥ t, the first common
+  * token in the global order lies inside BOTH prefixes — were it past
+  * A's prefix, the overlap would fit in A's ⌈t·|A|⌉−1 suffix slots,
+  * below the t·|A| floor that J ≥ t implies. So the prefix equi-join
+  * loses nothing, and candidates concentrate on RARE tokens (df-
+  * ascending order), whose inverted lists are short — the pruning
+  * complements LSH banding (Dedup.minhashPairsExact): deterministic
+  * full recall without signatures, best on dup-sparse corpora where
+  * rare tokens discriminate.
+  *
+  * Scale shape:
+  *  - the global order is a VOCABULARY-sized artifact (one df
+  *    aggregate); ranking uses a single window here — at a 100M-term
+  *    vocabulary build it with sort + zipWithIndex instead (same
+  *    contract, no single-partition window);
+  *  - token→rank translation is a broadcast join on the exploded
+  *    stream, re-grouped with sort_array (ranks are ints, so the
+  *    verify merge compares longs, not strings);
+  *  - candidate volume is Σ_token df_prefix(token)², bounded by the
+  *    rarity ordering; the verify stage is q28's exact sorted-merge.
+  */
+object PrefixJoin {
+
+  /** All pairs with exact Jaccard(token sets) > threshold:
+    * (id_a, id_b, jaccard), r4-rounded. Output is identical to the
+    * brute-force all-pairs join (and to minhashPairsExact at the same
+    * threshold, up to its vanishing LSH miss probability).
+    */
+  def jaccardPairsPrefix(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    graft.functions.SortedIntersectCount.register(spark)
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+
+    val toks = graft.Par.spread(docs.select(col(idCol).cast("long").as("id"), col(textCol)))
+      .select($"id",
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("tok"))
+
+    // global rarity order: df ascending, token as tie-break → one
+    // unique int rank per vocabulary term
+    val rank = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"df", $"tok")).cast("long"))
+      .select($"tok", $"r")
+
+    // per-doc rank array, ascending = rarest-first; prefix size
+    // p = nt − ceil(t·nt) + 1
+    val ranked = toks.join(broadcast(rank), Seq("tok"))
+      .groupBy($"id")
+      .agg(sort_array(collect_list($"r")).as("ranks"))
+      .withColumn("nt", size($"ranks"))
+      .withColumn("p", ($"nt" - ceil(lit(threshold) * $"nt") + 1).cast("int"))
+      .persist()  // feeds candidates + two verify joins; released with the plan
+
+    val prefixes = ranked.select($"id", explode(slice($"ranks", lit(1), col("p"))).as("r"))
+    val cands = prefixes.as("l").join(prefixes.as("r"),
+        $"l.r" === $"r.r" && $"l.id" < $"r.id")
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+      .distinct()
+
+    cands
+      .join(ranked.select($"id".as("id_a"), $"ranks".as("ra"), $"nt".as("na")), "id_a")
+      .join(ranked.select($"id".as("id_b"), $"ranks".as("rb"), $"nt".as("nb")), "id_b")
+      .filter(least($"na", $"nb") > lit(threshold) * greatest($"na", $"nb"))
+      .withColumn("inter", sorted_intersect_count($"ra", $"rb").cast("double"))
+      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" > threshold)
+      .select($"id_a", $"id_b",
+        graft.functions.TextFunctions.r4($"jaccard").as("jaccard"))
+  }
+}

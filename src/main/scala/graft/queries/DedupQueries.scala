@@ -281,6 +281,33 @@ object DedupQueries {
              |  floor((CASE WHEN n_wedges = 0 THEN 0.0
              |    ELSE 3.0 * n_triangles / n_wedges END) * 10000 + 0.5) / 10000
              |    AS global_clustering
-             |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin))
+             |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin)),
+
+    // ----- q78: the SAME all-pairs exact Jaccard join as q28, through
+    // the PREFIX-FILTER algorithm instead of LSH banding (operators
+    // .PrefixJoin — AllPairs/PPJoin candidates on rarity-ordered token
+    // prefixes). Two independent algorithms, one oracle: q28 and q78
+    // must both hash-match the identical brute-force SQL.
+    QueryDef(
+      "q78_prefix_jaccard",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.PrefixJoin.jaccardPairsPrefix(
+            s, Tables.documents(s, d), "doc_id", "text", threshold = 0.7)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> length(x) > 0)) AS toks
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  floor((len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+             |        * 10000 + 0.5) / 10000 AS jaccard
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.7
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

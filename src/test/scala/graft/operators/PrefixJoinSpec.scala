@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrefixJoinSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    // near-dup pairs at several sizes plus unrelated docs
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),       // J(1,2) = 5/7
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven nine"),   // J(3,4) = 7/9
+      (5L, "totally different words entirely here"),
+      (6L, "alpha beta gamma delta epsilon zeta"))      // exact dup of 1
+      .toDF("doc_id", "text")
+  }
+
+  test("prefix-filtered join equals brute force exactly") {
+    import spark.implicits._
+    val got = PrefixJoin.jaccardPairsPrefix(spark, corpus, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over the same token sets
+    val toks = corpus.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split("\\s+").toSet).toMap
+    val expected = (for {
+      a <- toks.keys; b <- toks.keys if a < b
+      inter = (toks(a) & toks(b)).size.toDouble
+      j = inter / (toks(a).size + toks(b).size - inter)
+      if j > 0.7
+    } yield (a, b, math.floor(j * 10000 + 0.5) / 10000)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)   // the fixture plants pairs above threshold
+  }
+
+  test("common-token corpora yield no pairs: rarity prefixes are disjoint") {
+    import spark.implicits._
+    // 100 docs share 4 COMMON tokens of 7 (J=0.4 per pair, under
+    // threshold); each prefix is the 2 rarest tokens (unique per doc),
+    // so prefixes are disjoint and the join sees zero candidates
+    // where all-pairs would verify 4,950
+    val docs = (1L to 100L).map(i =>
+      (i, s"common shared words everywhere unique_$i distinct_$i special_$i"))
+      .toDF("doc_id", "text")
+    val out = PrefixJoin.jaccardPairsPrefix(spark, docs, "doc_id", "text", 0.8)
+    assert(out.count() === 0)
+  }
+}
