@@ -736,6 +736,68 @@ object ScaleQueries {
              |  CAST(SUM(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM dev d JOIN mad m USING (event_type)
              |GROUP BY d.event_type
-             |ORDER BY d.event_type""".stripMargin))
+             |ORDER BY d.event_type""".stripMargin)),
+
+    // ----- q79: ranking-window breadth beyond q47 — ntile buckets,
+    // percent_rank, cume_dist, first/nth value frames. All ties are
+    // broken by o_orderkey inside the window ordering so every rank
+    // function is total cross-engine.
+    QueryDef(
+      "q79_window_ranks",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def r4(c: Column): Column = graft.functions.TextFunctions.r4(c)
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables.orders(s, d)
+          .filter($"o_custkey" % 100 === 0)    // skinny deterministic slice
+          .select(
+            $"o_orderpriority", $"o_orderkey",
+            ntile(4).over(w).as("quartile"),
+            r4(percent_rank().over(w)).as("pr"),
+            r4(cume_dist().over(w)).as("cd"),
+            first($"o_orderkey").over(w).as("top_key"),
+            nth_value($"o_orderkey", 2).over(w).as("second_key"))
+          .orderBy($"o_orderpriority", $"o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  ntile(4) OVER w AS quartile,
+             |  floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pr,
+             |  floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cd,
+             |  first_value(o_orderkey) OVER w AS top_key,
+             |  nth_value(o_orderkey, 2) OVER w AS second_key
+             |FROM orders
+             |WHERE o_custkey % 100 = 0
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // ----- q80: explicit GROUPING SETS with grouping_id (the general
+    // form rollup/cube specialize — q33/q48) plus ordered string_agg:
+    // order-insensitive aggregation of an ORDERED concatenation, the
+    // listagg surface.
+    QueryDef(
+      "q80_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""
+          |SELECT o_orderpriority, o_orderstatus,
+          |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid,
+          |  COUNT(*) AS n,
+          |  concat_ws(',', sort_array(collect_list(DISTINCT o_orderstatus))) AS statuses
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+          |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+          |""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid,
+             |  COUNT(*) AS n,
+             |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin))
   )
 }
