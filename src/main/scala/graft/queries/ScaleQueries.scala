@@ -240,24 +240,26 @@ object ScaleQueries {
     // ----- q35: sketch aggregates — HLL++ approx distinct next to the
     // exact count (approx value is engine-specific → rows-only; the
     // <2% relative-error bound is spec-tested).
-    // The exact and approx aggregates run as SEPARATE jobs joined on
-    // their 1-row outputs: multiple DISTINCT columns compile to an
-    // Expand (one input replica per distinct group), and putting the
-    // HLL buffers in the same aggregate rides every replica — measured
-    // 26 s vs 4.5 s split at sf0.1. The cross join is 1 row × 1 row.
+    // Each aggregate family runs as its OWN job joined on 1-row
+    // outputs: a SINGLE-column countDistinct plans as a plain
+    // two-phase distinct with no Expand at all, while multiple
+    // distinct columns in one aggregate compile to an Expand (one
+    // input replica per distinct group) and HLL buffers in the same
+    // aggregate ride every replica — measured 26 s combined, 5 s
+    // pairwise-split, 3.5 s fully split at sf0.1. The cross joins are
+    // 1 row × 1 row.
     QueryDef(
       "q35_approx_distinct",
       (s, d) => {
         import s.implicits._
         val keys = graft.Par.spread(
           Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey"))
-        val exact = keys.agg(
-          countDistinct($"l_orderkey").as("exact_orders"),
-          countDistinct($"l_partkey").as("exact_parts"))
+        val e1 = keys.agg(countDistinct($"l_orderkey").as("exact_orders"))
+        val e2 = keys.agg(countDistinct($"l_partkey").as("exact_parts"))
         val approx = keys.agg(
           approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
           approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
-        exact.crossJoin(approx)
+        e1.crossJoin(e2).crossJoin(approx)
           .select($"exact_orders", $"approx_orders", $"exact_parts", $"approx_parts")
       },
       None),
