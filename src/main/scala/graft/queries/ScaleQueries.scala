@@ -800,6 +800,46 @@ object ScaleQueries {
              |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
-             |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin))
+             |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+
+    // ----- q81: time-grid resampling with LOCF (last observation
+    // carried forward) — per-user daily grid generated from each
+    // user's own span (sequence + explode, so grid mass is
+    // Σ user-days, never users × global range), gap-filled via the
+    // as-of join. Grid points before a user's first event stay null
+    // on both engines.
+    QueryDef(
+      "q81_resample_locf",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.AsofJoin
+        val ev = Tables.events(s, d)
+          .groupBy($"user_id", $"ts").agg(max($"value").as("value"))  // unique (key, ts)
+        val bounds = ev.groupBy($"user_id")
+          .agg(date_trunc("day", min($"ts")).as("t0"), max($"ts").as("t1"))
+        val grid = bounds.select($"user_id",
+          explode(sequence($"t0", $"t1", expr("interval 1 day"))).as("grid_ts"))
+        AsofJoin.asofJoin(grid, ev, "user_id", "grid_ts", "ts",
+            payloadCols = Seq("value"))
+          .select($"user_id",
+            date_format($"grid_ts", "yyyy-MM-dd").as("grid_day"),
+            round($"__asof_value", 2).as("value"))
+          .orderBy($"user_id", $"grid_day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, max(value) AS value
+             |  FROM events GROUP BY user_id, ts),
+             |b AS (
+             |  SELECT user_id, date_trunc('day', MIN(ts)) AS t0, MAX(ts) AS t1
+             |  FROM ev GROUP BY user_id),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS grid_ts
+             |  FROM b)
+             |SELECT g.user_id,
+             |  strftime(g.grid_ts, '%Y-%m-%d') AS grid_day,
+             |  round(e.value, 2) AS value
+             |FROM grid g ASOF LEFT JOIN ev e
+             |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+             |ORDER BY g.user_id, grid_day""".stripMargin))
   )
 }
