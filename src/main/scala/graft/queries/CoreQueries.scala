@@ -345,6 +345,69 @@ object CoreQueries {
              |WHERE length(word) > 0
              |GROUP BY word
              |ORDER BY n DESC, word
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ----- q82: FULL OUTER join — the one §2.3 join type the other
+    // declared queries never exercise: per-nation customer counts vs
+    // supplier counts with BOTH unmatched sides surfaced (coalesced
+    // key, null-side counts to zero). Never broadcastable (see
+    // Upsert's scaladoc) — the plan is the shuffle join it must be.
+    QueryDef(
+      "q82_full_outer",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+          .filter($"c_custkey" % 3 === 0)     // make each side miss nations
+          .groupBy($"c_nationkey".as("nk")).agg(count(lit(1)).as("n_cust"))
+        val supp = Tables.supplier(s, d)
+          .filter($"s_suppkey" % 2 === 0)
+          .groupBy($"s_nationkey".as("nk")).agg(count(lit(1)).as("n_supp"))
+        cust.withColumnRenamed("nk", "cnk")
+          .join(supp.withColumnRenamed("nk", "snk"),
+            $"cnk" === $"snk", "full_outer")
+          .select(
+            coalesce($"cnk", $"snk").as("nationkey"),
+            coalesce($"n_cust", lit(0L)).as("n_cust"),
+            coalesce($"n_supp", lit(0L)).as("n_supp"))
+          .orderBy($"nationkey")
+      },
+      Some("""WITH c AS (
+             |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+             |  FROM customer WHERE c_custkey % 3 = 0 GROUP BY c_nationkey),
+             |s AS (
+             |  SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+             |  FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY s_nationkey)
+             |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+             |  COALESCE(n_cust, 0) AS n_cust,
+             |  COALESCE(n_supp, 0) AS n_supp
+             |FROM c FULL JOIN s ON c.nk = s.nk
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ----- q83: BAG-semantics set operations — INTERSECT ALL /
+    // EXCEPT ALL keep multiplicities (min / difference of per-value
+    // counts), unlike q06's distinct set ops; Spark plans them as
+    // count-compare aggregates + generate, no row-by-row matching.
+    QueryDef(
+      "q83_setops_all",
+      (s, d) => {
+        import s.implicits._
+        val custN = Tables.customer(s, d).select($"c_nationkey".as("nk"))
+        val suppN = Tables.supplier(s, d).select($"s_nationkey".as("nk"))
+        val inter = custN.intersectAll(suppN)
+          .groupBy($"nk").agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val diff = custN.exceptAll(suppN)
+          .groupBy($"nk").agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        inter.unionByName(diff)
+          .select($"op", $"nk", $"n")
+          .orderBy($"op", $"nk")
+      },
+      Some("""SELECT 'intersect_all' AS op, nk, COUNT(*) AS n FROM
+             |  (SELECT c_nationkey AS nk FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+             |GROUP BY nk
+             |UNION ALL
+             |SELECT 'except_all' AS op, nk, COUNT(*) AS n FROM
+             |  (SELECT c_nationkey AS nk FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+             |GROUP BY nk
+             |ORDER BY op, nk""".stripMargin))
   )
 }
