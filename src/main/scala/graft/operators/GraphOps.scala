@@ -36,6 +36,8 @@ object GraphOps {
     * wedge at all.
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // reused by the triangle join (×3) and the degree pass; storage
+    // released by the caller's clearCache (the repo convention)
     val e = orient(edges, srcCol, dstCol).cache()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
@@ -44,9 +46,13 @@ object GraphOps {
       .select(count(lit(1)).as("n_triangles"))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // coalesce: SUM over zero rows is NULL, and NULL n_wedges would
+    // slip past the ===0 guard below into a NULL clustering — the
+    // empty graph must report the documented 0.0
     val wedge = deg.select(
       count(lit(1)).as("n_nodes"),
-      (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+      coalesce((sum(col("d") * (col("d") - 1)) / 2).cast("long"), lit(0L))
+        .as("n_wedges"))
     val nEdges = e.select(count(lit(1)).as("n_edges"))
     val out = nEdges.crossJoin(wedge).crossJoin(tri)
       .select(

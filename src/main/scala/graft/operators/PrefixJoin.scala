@@ -48,7 +48,10 @@ object PrefixJoin {
     graft.functions.SortedIntersectCount.register(spark)
     import graft.functions.SortedIntersectCount.sorted_intersect_count
 
-    val toks = graft.Par.spread(docs.select(col(idCol).cast("long").as("id"), col(textCol)))
+    // id kept in its NATIVE type (string ids are legal, as in
+    // Dedup.jaccardPairs) — a long cast would NULL non-numeric ids
+    // and silently collapse the corpus into one NULL-keyed group
+    val toks = graft.Par.spread(docs.select(col(idCol).as("id"), col(textCol)))
       .select($"id",
         explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("tok"))
 
@@ -66,7 +69,10 @@ object PrefixJoin {
       .agg(sort_array(collect_list($"r")).as("ranks"))
       .withColumn("nt", size($"ranks"))
       .withColumn("p", ($"nt" - ceil(lit(threshold) * $"nt") + 1).cast("int"))
-      .persist()  // feeds candidates + two verify joins; released with the plan
+      // feeds candidates + two verify joins; storage released by the
+      // caller's clearCache between queries (Bench/Verify do), the
+      // repo-wide convention for operator-internal persists
+      .persist()
 
     val prefixes = ranked.select($"id", explode(slice($"ranks", lit(1), col("p"))).as("r"))
     val cands = prefixes.as("l").join(prefixes.as("r"),

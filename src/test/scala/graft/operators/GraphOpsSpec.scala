@@ -27,4 +27,8 @@ class GraphOpsSpec extends SparkSpec {
     val (n, e, t, _) = stats(messy)
     assert((n, e, t) === ((3L, 3L, 1L)))
   }
+
+  test("empty graph reports zeros, not nulls") {
+    assert(stats(Seq.empty) === ((0L, 0L, 0L, 0.0)))
+  }
 }

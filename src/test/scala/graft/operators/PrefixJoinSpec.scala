@@ -47,4 +47,15 @@ class PrefixJoinSpec extends SparkSpec {
     val out = PrefixJoin.jaccardPairsPrefix(spark, docs, "doc_id", "text", 0.8)
     assert(out.count() === 0)
   }
+
+  test("string ids survive: no silent long-cast collapse") {
+    import spark.implicits._
+    val docs = Seq(
+      ("doc-a", "alpha beta gamma delta epsilon zeta"),
+      ("doc-b", "alpha beta gamma delta epsilon eta"),
+      ("doc-c", "unrelated tokens only over here")).toDF("doc_id", "text")
+    val got = PrefixJoin.jaccardPairsPrefix(spark, docs, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("doc-a", "doc-b")))
+  }
 }
