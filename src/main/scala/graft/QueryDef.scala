@@ -27,5 +27,6 @@ object QueryDef {
       queries.DedupQueries.defs ++
       queries.TextQueries.defs ++
       queries.ScaleQueries.defs ++
-      queries.MultimodalQueries.defs
+      queries.MultimodalQueries.defs ++
+      queries.SamplingQueries.defs
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting — the reproducibility layer of a
+  * training-data pipeline. `df.sample()` is seeded per-partition, so
+  * its output changes whenever partitioning changes (repartition, AQE,
+  * file split size) — useless for a train/test split that must be
+  * stable across reruns AND recomputable by any other engine auditing
+  * the corpus. Everything here instead derives selection from a pure
+  * arithmetic hash of a stable row id: same row in → same decision
+  * out, on any cluster layout, in any engine (the DuckDB oracles run
+  * the identical arithmetic).
+  *
+  * The hash is a 32-bit multiplicative (Weyl) scheme chosen for
+  * portability, not cryptography: every step stays below 2^63 so it
+  * evaluates overflow-free in engines that trap on BIGINT overflow
+  * (DuckDB) and in Java's wrapping arithmetic alike. Selection
+  * quality: for any id set, `a*id mod 2^32` with odd `a` is a
+  * bijection on the low 32 bits, and thresholding it hits rate r with
+  * the Weyl equidistribution guarantee — no clumping on sequential
+  * ids (which `id % 100 < r*100` would clump badly).
+  *
+  * Scale shape: `stratifiedSample` / `assignSplits` are pure
+  * per-row projections — no shuffle, filter pushes to the scan,
+  * trivially parallel at 100 TB. `groupSample` (exact k-per-group)
+  * needs one shuffle on the group key; for k ≪ group size pass
+  * `preFilter` to cut the shuffled volume first (exact as long as
+  * every group keeps ≥ k survivors — see the method doc).
+  */
+object Sampling {
+
+  private val M31 = 2147483648L    // 2^31 — pre-reduction keeps products < 2^63
+  private val A   = 2654435761L    // Knuth's 32-bit golden-ratio multiplier
+  private val A2  = 1779033703L    // 2nd-round odd multiplier; (2^32)·A2 < 2^63
+  private val C   = 40503L
+  private val M32 = 4294967296L    // 2^32
+
+  /** Deterministic uniform-[0,1) fraction of a non-negative integral
+    * id. `salt` decorrelates independent decisions on the same id
+    * (sample-then-split must not reuse one hash: the split would be
+    * conditioned on the sample). Decorrelation requires NONLINEARITY:
+    * any purely affine salting (add/multiply mod 2^32) merely rotates
+    * the same sequence, so two thresholded selections stay almost
+    * perfectly correlated (measured: 0.5 joint rate for two 0.5-rate
+    * selections instead of the independent 0.25). The xor-shift
+    * between the two multiplicative rounds is the standard 32-bit
+    * finisher fix. Every intermediate stays below 2^63: overflow-free
+    * both in Java's wrapping arithmetic and in engines that trap on
+    * BIGINT overflow (DuckDB). The fraction is h/2^32 with h < 2^32 —
+    * exactly representable in double, so engines agree bit-for-bit.
+    */
+  def hashFraction(id: Column, salt: Long = 0L): Column = {
+    val h1 = ((id % M31 + salt * 7919L) * A + C) % M32
+    val h2 = h1.bitwiseXOR(shiftright(h1, 16))
+    val h3 = (h2 * A2) % M32
+    val h4 = h3.bitwiseXOR(shiftright(h3, 16))
+    h4.cast("double") / M32
+  }
+
+  /** SQL text of the identical arithmetic, for DuckDB oracle queries.
+    * The sub-expression duplication (each xor names its input twice)
+    * is fine: the oracle is machine-generated text, and DuckDB CSE's
+    * the repeated subtrees.
+    */
+  def hashFractionSql(idExpr: String, salt: Long = 0L): String = {
+    val h1 = s"(($idExpr % $M31 + ${salt * 7919L}) * $A + $C) % $M32"
+    val h2 = s"xor($h1, ($h1) >> 16)"
+    val h3 = s"(($h2) * $A2) % $M32"
+    val h4 = s"xor($h3, ($h3) >> 16)"
+    s"CAST($h4 AS DOUBLE) / $M32"
+  }
+
+  /** Per-stratum Bernoulli sampling at stratum-specific rates: keeps a
+    * row iff hashFraction(id, salt) < rate(stratum). One scan, no
+    * shuffle; the comparison is a pushable filter.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratum: Column,
+      id: Column,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: Long = 0L): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashFraction(id, salt) < rate)
+  }
+
+  /** Adds a `split` column assigning each row to exactly one named
+    * split by cumulative fraction thresholds — e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions
+    * must sum to 1 (the last split absorbs rounding). Pure projection.
+    */
+  def assignSplits(
+      df: DataFrame,
+      id: Column,
+      splits: Seq[(String, Double)],
+      salt: Long = 0L): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val f = hashFraction(id, salt)
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    // last split is the unconditional otherwise — absorbs float rounding
+    val expr0 = splits.init.zip(cums.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), cum), acc) => when(f < cum, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr0)
+  }
+
+  /** Exact uniform k-per-group sample without replacement: rank rows
+    * within each group by their hash fraction (ties broken by id — the
+    * hash is a bijection so ties are only possible across salts) and
+    * keep the first k. One shuffle on `groups`.
+    *
+    * `preFilter` < 1.0 drops rows with fraction ≥ preFilter BEFORE the
+    * shuffle — the result is identical as long as every group retains
+    * at least k survivors (survivor count per group is Binomial(n,
+    * preFilter); pick preFilter ≥ (k + 6·sqrt(k)) / n_min for a
+    * comfortably negligible failure probability). At 100 TB this is
+    * the difference between shuffling the corpus and shuffling ~k/
+    * preFilter rows per group.
+    */
+  def groupSample(
+      df: DataFrame,
+      groups: Seq[Column],
+      id: Column,
+      k: Int,
+      salt: Long = 0L,
+      preFilter: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = hashFraction(id, salt)
+    val base = if (preFilter < 1.0) df.filter(f < preFilter) else df
+    val w = Window.partitionBy(groups: _*).orderBy(f.asc, id.asc)
+    base
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

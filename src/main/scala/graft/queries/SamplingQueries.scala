@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting queries (operators/Sampling).
+  * All three are oracle-checked end to end: the DuckDB SQL reruns the
+  * identical hash arithmetic, so the oracle verifies not just the
+  * aggregate shape but that BOTH engines select the exact same rows —
+  * the property that makes the sample auditable and reproducible.
+  */
+object SamplingQueries {
+
+  private val fracSql = Sampling.hashFractionSql("doc_id")
+  private val fracSqlS1 = Sampling.hashFractionSql("doc_id", salt = 1L)
+
+  def defs: Seq[QueryDef] = Seq(
+    // ----- q84: stratified Bernoulli sample at per-language rates.
+    // Pure pushable filter — zero shuffle before the final tiny agg.
+    QueryDef(
+      "q84_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        val rates = Map("en" -> 0.5, "zh" -> 0.3)
+        val picked = Sampling.stratifiedSample(
+          Tables.documents(s, d), $"lang", $"doc_id", rates, defaultRate = 0.1)
+        picked.groupBy($"lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang")
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_sampled,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE $fracSql <
+             |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3 ELSE 0.1 END
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // ----- q85: train/val/test split assignment (0.8/0.1/0.1) under a
+    // different salt (a split must be independent of any sampling done
+    // with the base hash). Projection-only; the oracle proves row-level
+    // agreement on every document's split.
+    QueryDef(
+      "q85_split_assign",
+      (s, d) => {
+        import s.implicits._
+        Sampling.assignSplits(
+          Tables.documents(s, d), $"doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 1L)
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"split", $"lang")
+      },
+      Some(s"""SELECT
+             |  CASE WHEN $fracSqlS1 < 0.8 THEN 'train'
+             |       WHEN $fracSqlS1 < 0.9 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  lang, COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |GROUP BY 1, 2
+             |ORDER BY split, lang""".stripMargin)),
+
+    // ----- q86: exact k-per-source uniform sample (hash-ranked, no
+    // replacement). Row-level oracle: both engines must pick the SAME
+    // five documents per source.
+    QueryDef(
+      "q86_group_sample",
+      (s, d) => {
+        import s.implicits._
+        Sampling.groupSample(
+          Tables.documents(s, d), Seq($"source"), $"doc_id", k = 5)
+          .select($"source", $"doc_id", $"lang")
+          .orderBy($"source", $"doc_id")
+      },
+      Some(s"""SELECT source, doc_id, lang FROM (
+             |  SELECT source, doc_id, lang,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY $fracSql ASC, doc_id ASC) AS rk
+             |  FROM documents)
+             |WHERE rk <= 5
+             |ORDER BY source, doc_id""".stripMargin)))
+}
