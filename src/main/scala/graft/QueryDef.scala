@@ -28,5 +28,6 @@ object QueryDef {
       queries.TextQueries.defs ++
       queries.ScaleQueries.defs ++
       queries.MultimodalQueries.defs ++
-      queries.SamplingQueries.defs
+      queries.SamplingQueries.defs ++
+      queries.SequenceQueries.defs
 }

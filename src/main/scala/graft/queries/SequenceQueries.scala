@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.r4
+import graft.operators.Funnel
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics — funnel conversion, Markov transitions,
+  * activity streaks, time-range rolling aggregates, and histograms.
+  * These are the behavioral-analytics counterpart to the sessionize
+  * family (q39/q64): ordered-in-time semantics expressed through
+  * joins and windows, never per-entity collect.
+  */
+object SequenceQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def defs: Seq[QueryDef] = Seq(
+    // ----- q87: 3-stage conversion funnel with per-stage windows
+    // (click ≤24h after first view, purchase ≤72h after that click).
+    // Stage aggregates share one entity partitioning; output is k
+    // scalar rows.
+    QueryDef(
+      "q87_funnel",
+      (s, d) => {
+        import s.implicits._
+        val stages = Seq(
+          Funnel.Stage("view", $"event_type" === "view"),
+          Funnel.Stage("click", $"event_type" === "click", withinSeconds = 24 * 3600),
+          Funnel.Stage("purchase", $"event_type" === "purchase", withinSeconds = 72 * 3600))
+        val per = Funnel.funnel(Tables.events(s, d), $"user_id", $"ts", stages)
+        Funnel.funnelStats(per, stages)
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT v.user_id, min(e.ts) AS t2 FROM events e
+             |  JOIN v ON e.user_id = v.user_id
+             |   AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+             |  WHERE e.event_type = 'click' GROUP BY 1),
+             |p AS (
+             |  SELECT c.user_id, min(e.ts) AS t3 FROM events e
+             |  JOIN c ON e.user_id = c.user_id
+             |   AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 72 HOUR
+             |  WHERE e.event_type = 'purchase' GROUP BY 1),
+             |n AS (
+             |  SELECT 1 AS stage_idx, 'view' AS stage,
+             |         (SELECT count(*) FROM v) AS n_entities
+             |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+             |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+             |SELECT stage_idx, stage, n_entities,
+             |  floor(CAST(n_entities AS DOUBLE)
+             |    / (SELECT count(*) FROM v) * 10000 + 0.5) / 10000
+             |    AS conv_from_first
+             |FROM n ORDER BY stage_idx""".stripMargin)),
+
+    // ----- q88: first-order Markov transition matrix of event types
+    // per user (lead over the per-user time order), with per-source
+    // transition probabilities. One shuffle (the window), one agg.
+    QueryDef(
+      "q88_markov_transitions",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val pairs = Tables.events(s, d)
+          .select($"event_type".as("src"),
+            lead($"event_type", 1).over(w).as("dst"))
+          .filter($"dst".isNotNull)
+          .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+        pairs
+          .withColumn("p", r4($"n".cast("double") /
+            sum($"n").over(Window.partitionBy($"src"))))
+          .orderBy($"src", $"dst")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT src, dst, count(*) AS n FROM (
+             |    SELECT event_type AS src,
+             |      lead(event_type) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) AS dst
+             |    FROM events)
+             |  WHERE dst IS NOT NULL GROUP BY 1, 2)
+             |SELECT src, dst, n,
+             |  floor(CAST(n AS DOUBLE)
+             |    / SUM(n) OVER (PARTITION BY src) * 10000 + 0.5) / 10000 AS p
+             |FROM pairs ORDER BY src, dst""".stripMargin)),
+
+    // ----- q89: gaps-and-islands — longest consecutive-day activity
+    // streak per user. The classic day_num − row_number group key;
+    // integer day arithmetic on both engines (no interval semantics
+    // to disagree on).
+    QueryDef(
+      "q89_streaks",
+      (s, d) => {
+        import s.implicits._
+        val days = Tables.events(s, d)
+          .select($"user_id", to_date($"ts").as("day")).distinct()
+          .withColumn("day_num", datediff($"day", lit("1990-01-01")))
+        val w = Window.partitionBy($"user_id").orderBy($"day_num")
+        val isl = days
+          .withColumn("grp", $"day_num" - row_number().over(w))
+          .groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+        isl.groupBy($"user_id")
+          .agg(sum($"len").as("n_active_days"), max($"len").as("longest_streak"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |    datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day_num
+             |  FROM events),
+             |isl AS (
+             |  SELECT user_id, day_num,
+             |    day_num - ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY day_num) AS grp
+             |  FROM days),
+             |runs AS (
+             |  SELECT user_id, grp, count(*) AS len
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+             |  CAST(MAX(len) AS BIGINT) AS longest_streak
+             |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ----- q90: 30-day trailing rolling aggregate per customer — a
+    // RANGE window over integer day values (value-based frames, not
+    // row counts; same-day peers aggregate identically on both
+    // engines). Decimal-exact money sum.
+    QueryDef(
+      "q90_rolling_range",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+          .withColumn("day_num", datediff(to_date($"o_orderdate"), lit("1990-01-01")))
+        val w = Window.partitionBy($"o_custkey").orderBy($"day_num")
+          .rangeBetween(-30, Window.currentRow)
+        o.select($"o_custkey", $"o_orderkey",
+            sum(dec($"o_totalprice")).over(w).cast("double").as("roll_sum"),
+            count(lit(1)).over(w).as("roll_n"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             |    AS roll_sum,
+             |  COUNT(*) OVER w AS roll_n
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ----- q91: histogram, both flavors in one pass each — equi-depth
+    // (ntile deciles over a total order) and equi-width (fixed 60k
+    // price bins, capped). At 100 TB the equi-depth variant would use
+    // the percentile sketch (q43) instead of a global sort; this query
+    // pins the exact semantics the sketch approximates.
+    QueryDef(
+      "q91_histogram",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+        val depth = o
+          .withColumn("bucket",
+            ntile(10).over(Window.orderBy($"o_totalprice", $"o_orderkey")).cast("long"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), min($"o_totalprice").as("lo"),
+            max($"o_totalprice").as("hi"),
+            sum(dec($"o_totalprice")).cast("double").as("sum_price"))
+          .withColumn("kind", lit("depth"))
+        val width = o
+          .withColumn("bucket", least(floor($"o_totalprice" / 60000), lit(9)).cast("long"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), min($"o_totalprice").as("lo"),
+            max($"o_totalprice").as("hi"),
+            sum(dec($"o_totalprice")).cast("double").as("sum_price"))
+          .withColumn("kind", lit("width"))
+        depth.unionByName(width)
+          .select($"kind", $"bucket", $"n", $"lo", $"hi", $"sum_price")
+          .orderBy($"kind", $"bucket")
+      },
+      Some("""WITH depth AS (
+             |  SELECT 'depth' AS kind, bucket, count(*) AS n,
+             |    min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |  FROM (SELECT o_totalprice,
+             |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+             |      AS bucket FROM orders)
+             |  GROUP BY bucket),
+             |width AS (
+             |  SELECT 'width' AS kind, bucket, count(*) AS n,
+             |    min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |  FROM (SELECT o_totalprice,
+             |    CAST(least(floor(o_totalprice / 60000), 9) AS BIGINT) AS bucket
+             |    FROM orders)
+             |  GROUP BY bucket)
+             |SELECT * FROM depth UNION ALL SELECT * FROM width
+             |ORDER BY kind, bucket""".stripMargin)))
+}
