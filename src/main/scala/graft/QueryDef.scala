@@ -29,5 +29,6 @@ object QueryDef {
       queries.ScaleQueries.defs ++
       queries.MultimodalQueries.defs ++
       queries.SamplingQueries.defs ++
-      queries.SequenceQueries.defs
+      queries.SequenceQueries.defs ++
+      queries.MatchQueries.defs
 }
