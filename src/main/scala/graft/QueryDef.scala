@@ -30,5 +30,6 @@ object QueryDef {
       queries.MultimodalQueries.defs ++
       queries.SamplingQueries.defs ++
       queries.SequenceQueries.defs ++
-      queries.MatchQueries.defs
+      queries.MatchQueries.defs ++
+      queries.QualityQueries.defs
 }

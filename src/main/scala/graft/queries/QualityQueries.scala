@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Expectations, LanguageModel, TableDiff}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-contract and corpus-quality queries: declarative expectation
+  * checks (q94), snapshot diff / CDC classification (q95), and
+  * unigram-LM perplexity scoring (q96).
+  */
+object QualityQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def defs: Seq[QueryDef] = Seq(
+    // ----- q94: expectation suite over orders — five passing
+    // contracts plus one deliberately failing cap, so the report
+    // proves it can count, not just bless. Row-local checks share one
+    // scan; unique + FK add one job each.
+    QueryDef(
+      "q94_expectations",
+      (s, d) => {
+        import s.implicits._
+        Expectations.run(Tables.orders(s, d), Seq(
+          Expectations.NotNull("o_custkey"),
+          Expectations.InRange("o_totalprice", 0.0, 600000.0),
+          Expectations.InSet("o_orderstatus", Seq("F", "O", "P")),
+          Expectations.Unique(Seq("o_orderkey")),
+          Expectations.ForeignKey("o_custkey", Tables.customer(s, d),
+            "c_custkey", "customer"),
+          Expectations.Predicate("price_cap_400k", $"o_totalprice" <= 400000)))
+          .withColumnRenamed("check", "check_name")
+      },
+      Some("""SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
+             |  SELECT 'foreign_key(o_custkey->customer.c_custkey)' AS check_name,
+             |    (SELECT count(*) FROM orders o
+             |     WHERE o_custkey IS NOT NULL AND NOT EXISTS
+             |       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             |    AS n_violations
+             |  UNION ALL SELECT 'in_range(o_totalprice,0.0,600000.0)',
+             |    (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+             |     AND o_totalprice NOT BETWEEN 0 AND 600000)
+             |  UNION ALL SELECT 'in_set(o_orderstatus)',
+             |    (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+             |     AND o_orderstatus NOT IN ('F', 'O', 'P'))
+             |  UNION ALL SELECT 'not_null(o_custkey)',
+             |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+             |  UNION ALL SELECT 'predicate(price_cap_400k)',
+             |    (SELECT count(*) FROM orders
+             |     WHERE NOT coalesce(o_totalprice <= 400000, false))
+             |  UNION ALL SELECT 'unique(o_orderkey)',
+             |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
+             |ORDER BY check_name""".stripMargin)),
+
+    // ----- q95: snapshot diff — a deterministically perturbed orders
+    // v2 (drop %97 keys, double %13 prices, re-add %101 keys shifted)
+    // classified by TableDiff's full-outer plan; per-class counts and
+    // decimal-exact changed-price delta. All perturbations are exact
+    // float ops (×2, key+const), so both engines see identical values.
+    QueryDef(
+      "q95_table_diff",
+      (s, d) => {
+        import s.implicits._
+        val old = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        val newV = old.filter($"o_orderkey" % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 13 === 0, $"o_totalprice" * 2)
+              .otherwise($"o_totalprice"))
+          .unionByName(old.filter($"o_orderkey" % 101 === 0)
+            .select(($"o_orderkey" + 20000000L).as("o_orderkey"),
+              $"o_totalprice", $"o_orderstatus"))
+        TableDiff.diff(old, newV, Seq("o_orderkey"),
+            Seq("o_totalprice", "o_orderstatus"))
+          .groupBy($"change_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"change_type" === "changed",
+              dec($"new_o_totalprice") - dec($"old_o_totalprice"))
+              .otherwise(lit(0).cast("decimal(18,2)")))
+              .cast("double").as("sum_delta"))
+          .orderBy($"change_type")
+      },
+      Some("""WITH old AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+             |  FROM orders),
+             |newv AS (
+             |  SELECT k, CASE WHEN k % 13 = 0 THEN p * 2 ELSE p END AS p, st
+             |  FROM old WHERE k % 97 <> 0
+             |  UNION ALL
+             |  SELECT k + 20000000, p, st FROM old WHERE k % 101 = 0),
+             |d AS (
+             |  SELECT CASE WHEN o.k IS NULL THEN 'added'
+             |              WHEN n.k IS NULL THEN 'removed'
+             |              WHEN o.p = n.p AND o.st = n.st THEN 'unchanged'
+             |              ELSE 'changed' END AS change_type,
+             |         o.p AS op, n.p AS np
+             |  FROM old o FULL OUTER JOIN newv n ON o.k = n.k)
+             |SELECT change_type, count(*) AS n,
+             |  CAST(SUM(CASE WHEN change_type = 'changed'
+             |    THEN CAST(np AS DECIMAL(18,2)) - CAST(op AS DECIMAL(18,2))
+             |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_delta
+             |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin)),
+
+    // ----- q96: unigram-LM cross-entropy per document — the corpus
+    // scores itself (vocabulary-sized probability table broadcast
+    // into one scoring pass). exp(avg_nll) is the doc's perplexity.
+    QueryDef(
+      "q96_lm_perplexity",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val probs = LanguageModel.unigramProbs(docs, "text")
+        LanguageModel.scoreDocs(docs, "doc_id", "text", probs)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, word FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |    FROM documents)
+             |  WHERE length(word) > 0),
+             |counts AS (SELECT word, count(*) AS n FROM words GROUP BY 1),
+             |tot AS (SELECT SUM(n) AS total FROM counts),
+             |probs AS (
+             |  SELECT word, (CAST(n AS DOUBLE) + 0.0)
+             |    / (CAST((SELECT total FROM tot) AS DOUBLE) + 0.0) AS p
+             |  FROM counts)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  floor(avg(-ln(p)) * 10000 + 0.5) / 10000 AS avg_nll
+             |FROM words JOIN probs USING (word)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+}
