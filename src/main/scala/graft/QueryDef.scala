@@ -31,5 +31,6 @@ object QueryDef {
       queries.SamplingQueries.defs ++
       queries.SequenceQueries.defs ++
       queries.MatchQueries.defs ++
-      queries.QualityQueries.defs
+      queries.QualityQueries.defs ++
+      queries.AnalyticsQueries.defs
 }

@@ -63,4 +63,49 @@ object GraphOps {
           .as("global_clustering"))
     out
   }
+
+  /** PageRank over an UNDIRECTED edge list (each edge used in both
+    * directions), fixed `iterations` of the power method with
+    * damping `d`:  pr(v) ← (1−d)/N + d·Σ_{u∈N(v)} pr(u)/deg(u).
+    * Nodes are the edge endpoints (isolated nodes don't participate);
+    * a symmetric graph has no dangling mass, so no residual
+    * redistribution term is needed. Fixed iteration count (not
+    * convergence-tested) keeps the result exactly reproducible by any
+    * other engine running the same recurrence.
+    *
+    * Scale shape: per iteration one shuffle — edges join the
+    * N-sized rank frame on src (rank/deg are node-sized, usually the
+    * broadcast side) and re-aggregate on dst. Lineage is cut with an
+    * eager localCheckpoint per iteration, the repo's convention for
+    * iterative plans (Dedup.connectedComponents) — without it the
+    * plan doubles per round.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations >= 1")
+    val und = orient(edges, srcCol, dstCol)
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("v"), col("deg"))
+    val n = nodes.count()           // driver scalar: node count, bounded
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = dir
+        .join(pr.select(col("v").as("src"), (col("pr") / col("deg")).as("c")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      pr = nodes
+        .join(contrib.select(col("dst").as("v"), col("in_mass")), Seq("v"), "left")
+        .select(col("v"), col("deg"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("v"), col("pr"))
+  }
 }

@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.r4
+import graft.operators.GraphOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus/behavior analytics: skip-gram PMI co-occurrence (q97),
+  * cohort retention (q98), and PageRank centrality (q99).
+  */
+object AnalyticsQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+    // ----- q97: pointwise mutual information over skip-gram pairs
+    // (window ≤ 2). Pair generation is the linear "context slot"
+    // trick: each token announces itself at pos+1 and pos+2 and pairs
+    // form by an equi-join on (doc, slot) — no per-doc quadratic self
+    // join, no arrays held in memory. Unigram/pair totals ride along
+    // as 1-row crossJoins.
+    QueryDef(
+      "q97_pmi_cooccurrence",
+      (s, d) => {
+        import s.implicits._
+        val toks = graft.Par.spread(Tables.documents(s, d))
+          .select($"doc_id", posexplode(split($"text", " ")))
+          .toDF("doc_id", "pos", "word")
+          .filter(length($"word") > 0)
+        val contexts = toks.select($"doc_id",
+          explode(array($"pos" + 1, $"pos" + 2)).as("slot"), $"word".as("cword"))
+        val pairs = toks.join(contexts,
+            toks("doc_id") === contexts("doc_id") && toks("pos") === contexts("slot"))
+          .select(least($"word", $"cword").as("word_a"),
+            greatest($"word", $"cword").as("word_b"))
+        val nAb = pairs.groupBy($"word_a", $"word_b").agg(count(lit(1)).as("n_ab"))
+        val uni = toks.groupBy($"word").agg(count(lit(1)).as("n"))
+        val totalT = toks.agg(count(lit(1)).as("t_total"))
+        val totalP = nAb.agg(sum($"n_ab").as("p_total"))
+        nAb
+          .join(uni.select($"word".as("word_a"), $"n".as("n_a")), "word_a")
+          .join(uni.select($"word".as("word_b"), $"n".as("n_b")), "word_b")
+          .crossJoin(totalT).crossJoin(totalP)
+          .filter($"n_ab" >= 10)
+          .withColumn("pmi", r4(log(
+            ($"n_ab".cast("double") / $"p_total") /
+              (($"n_a".cast("double") / $"t_total") *
+                ($"n_b".cast("double") / $"t_total")))))
+          .select($"word_a", $"word_b", $"n_ab", $"pmi")
+          .orderBy($"pmi".desc, $"word_a", $"word_b")
+          .limit(100)
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id, unnest(ws) AS word,
+             |    unnest(list_transform(range(0, len(ws)), x -> x)) AS pos
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+             |toks AS (SELECT * FROM toks0 WHERE length(word) > 0),
+             |pairs AS (
+             |  SELECT least(t.word, c.word) AS word_a,
+             |    greatest(t.word, c.word) AS word_b
+             |  FROM toks t JOIN toks c ON t.doc_id = c.doc_id
+             |   AND (t.pos = c.pos + 1 OR t.pos = c.pos + 2)),
+             |nab AS (SELECT word_a, word_b, count(*) AS n_ab
+             |        FROM pairs GROUP BY 1, 2),
+             |uni AS (SELECT word, count(*) AS n FROM toks GROUP BY 1),
+             |tt AS (SELECT count(*) AS t_total FROM toks),
+             |pt AS (SELECT SUM(n_ab) AS p_total FROM nab)
+             |SELECT word_a, word_b, n_ab,
+             |  floor(ln((CAST(n_ab AS DOUBLE) / (SELECT p_total FROM pt))
+             |    / ((CAST(ua.n AS DOUBLE) / (SELECT t_total FROM tt))
+             |       * (CAST(ub.n AS DOUBLE) / (SELECT t_total FROM tt))))
+             |    * 10000 + 0.5) / 10000 AS pmi
+             |FROM nab
+             |JOIN uni ua ON nab.word_a = ua.word
+             |JOIN uni ub ON nab.word_b = ub.word
+             |WHERE n_ab >= 10
+             |ORDER BY pmi DESC, word_a, word_b
+             |LIMIT 100""".stripMargin)),
+
+    // ----- q98: cohort retention matrix — users grouped by first-
+    // activity week, tracked over weeks-since; the product-analytics
+    // staple. Two aggregates and a node-sized join.
+    QueryDef(
+      "q98_cohort_retention",
+      (s, d) => {
+        import s.implicits._
+        val uw = Tables.events(s, d)
+          .select($"user_id",
+            floor(datediff(to_date($"ts"), lit("1990-01-01")) / 7).cast("long").as("wk"))
+          .distinct()
+        val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+        val sizes = cohort.groupBy($"cohort_wk")
+          .agg(count_distinct($"user_id").as("cohort_size"))
+        uw.join(cohort, "user_id")
+          .withColumn("weeks_since", $"wk" - $"cohort_wk")
+          .groupBy($"cohort_wk", $"weeks_since")
+          .agg(count_distinct($"user_id").as("n_users"))
+          .join(sizes, "cohort_wk")
+          .withColumn("retention",
+            r4($"n_users".cast("double") / $"cohort_size"))
+          .select($"cohort_wk", $"weeks_since", $"n_users", $"cohort_size", $"retention")
+          .orderBy($"cohort_wk", $"weeks_since")
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(floor(datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) / 7)
+             |      AS BIGINT) AS wk
+             |  FROM events),
+             |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
+             |sizes AS (SELECT cohort_wk, count(DISTINCT user_id) AS cohort_size
+             |          FROM cohort GROUP BY 1),
+             |m AS (
+             |  SELECT c.cohort_wk, uw.wk - c.cohort_wk AS weeks_since,
+             |    count(DISTINCT uw.user_id) AS n_users
+             |  FROM uw JOIN cohort c ON uw.user_id = c.user_id
+             |  GROUP BY 1, 2)
+             |SELECT m.cohort_wk, weeks_since, n_users, cohort_size,
+             |  floor(CAST(n_users AS DOUBLE) / cohort_size * 10000 + 0.5) / 10000
+             |    AS retention
+             |FROM m JOIN sizes ON m.cohort_wk = sizes.cohort_wk
+             |ORDER BY m.cohort_wk, weeks_since""".stripMargin)),
+
+    // ----- q99: PageRank over the part co-purchase graph (parts
+    // linked when they appear in the same order), 5 fixed power
+    // iterations at d = 0.85. The oracle reruns the identical
+    // recurrence as five chained CTEs — float constants are cast to
+    // DOUBLE so both engines compute (1 − 0.85) in the same IEEE
+    // arithmetic. Ranks scaled ×N (mean 1) and r7-rounded.
+    QueryDef(
+      "q99_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val e = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+        val pr = GraphOps.pageRank(e, "pa", "pb", iterations = 5, damping = 0.85)
+        val n = pr.agg(count(lit(1)).as("nn"))
+        pr.crossJoin(n)
+          .select($"v".as("p_partkey"),
+            (floor($"pr" * $"nn" * 1e7 + 0.5) / 1e7).as("pr_scaled"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS (
+             |  SELECT a.l_partkey AS a, b.l_partkey AS b FROM li a
+             |  JOIN li b ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2),
+             |dir AS (SELECT a AS src, b AS dst FROM e0
+             |        UNION ALL SELECT b, a FROM e0),
+             |deg AS (SELECT src AS v, count(*) AS deg FROM dir GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM deg),
+             |p0 AS (SELECT v, deg, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
+             |       FROM deg),
+             |p1 AS (SELECT d0.v, d0.deg,
+             |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
+             |  FROM p0 d0 LEFT JOIN (
+             |    SELECT dir.dst AS v, SUM(p0.pr / p0.deg) AS m
+             |    FROM dir JOIN p0 ON dir.src = p0.v GROUP BY 1) s USING (v)),
+             |p2 AS (SELECT d0.v, d0.deg,
+             |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
+             |  FROM p1 d0 LEFT JOIN (
+             |    SELECT dir.dst AS v, SUM(p1.pr / p1.deg) AS m
+             |    FROM dir JOIN p1 ON dir.src = p1.v GROUP BY 1) s USING (v)),
+             |p3 AS (SELECT d0.v, d0.deg,
+             |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
+             |  FROM p2 d0 LEFT JOIN (
+             |    SELECT dir.dst AS v, SUM(p2.pr / p2.deg) AS m
+             |    FROM dir JOIN p2 ON dir.src = p2.v GROUP BY 1) s USING (v)),
+             |p4 AS (SELECT d0.v, d0.deg,
+             |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
+             |  FROM p3 d0 LEFT JOIN (
+             |    SELECT dir.dst AS v, SUM(p3.pr / p3.deg) AS m
+             |    FROM dir JOIN p3 ON dir.src = p3.v GROUP BY 1) s USING (v)),
+             |p5 AS (SELECT d0.v, d0.deg,
+             |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
+             |  FROM p4 d0 LEFT JOIN (
+             |    SELECT dir.dst AS v, SUM(p4.pr / p4.deg) AS m
+             |    FROM dir JOIN p4 ON dir.src = p4.v GROUP BY 1) s USING (v))
+             |SELECT v AS p_partkey,
+             |  floor(pr * (SELECT n FROM nn) * 1e7 + 0.5) / 1e7 AS pr_scaled
+             |FROM p5 ORDER BY p_partkey""".stripMargin)))
+}

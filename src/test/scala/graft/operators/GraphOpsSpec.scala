@@ -31,4 +31,25 @@ class GraphOpsSpec extends SparkSpec {
   test("empty graph reports zeros, not nulls") {
     assert(stats(Seq.empty) === ((0L, 0L, 0L, 0.0)))
   }
+
+  test("pageRank: ranks sum to 1 and order follows centrality") {
+    import spark.implicits._
+    // star graph: hub 1 connected to 2..6, plus a detached edge 7–8
+    val edges = ((2L to 6L).map(v => (1L, v)) :+ (7L, 8L)).toDF("u", "v")
+    val pr = GraphOps.pageRank(edges, "u", "v", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)       // conserved mass
+    assert(pr(1L) > pr(2L), "hub outranks leaves")
+    assert((2L to 6L).map(pr).distinct.size === 1, "leaves tie by symmetry")
+    assert(math.abs(pr(7L) - pr(8L)) < 1e-15, "detached pair ties")
+    assert(pr(1L) > pr(7L))
+  }
+
+  test("pageRank on a cycle is uniform") {
+    import spark.implicits._
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    val pr = GraphOps.pageRank(cyc, "u", "v", iterations = 3)
+      .collect().map(_.getDouble(1))
+    assert(pr.forall(p => math.abs(p - 0.25) < 1e-12))
+  }
 }
