@@ -68,7 +68,13 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     final case class QueryResult(cold: Double, warm: Double, bytes: Long)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (comma-separated name prefixes); the
+    // driver never sets it → full suite
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         // Materialize through the NOOP SINK, not count(): count() lets

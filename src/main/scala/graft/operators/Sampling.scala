@@ -140,4 +140,40 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    * Spirakis A-ES): each row gets priority ln(u)/w with u =
+    * hashFraction(id) — monotone-equivalent to the classic u^(1/w) —
+    * and the top-k priorities are the sample. Inclusion probability
+    * is proportional to weight; the whole draw is reproducible from
+    * ids alone.
+    *
+    * The priority is ROUNDED (r7) before ranking with the id as tie-
+    * break, the repo's BM25 convention: ln() differs across libm
+    * implementations by an ulp, and an unrounded order could flip a
+    * rank at the k boundary between engines. Top-k is
+    * TakeOrderedAndProject — no global sort.
+    *
+    * Weights must be strictly positive; u > 0 always holds (h = 0
+    * maps to u = 0 only for h exactly 0, excluded by the +C offset in
+    * the hash... not quite: guard with a floor at 2^-33).
+    */
+  def weightedSample(
+      df: DataFrame,
+      id: Column,
+      weight: Column,
+      k: Int,
+      salt: Long = 0L): DataFrame = {
+    val u = greatest(hashFraction(id, salt), lit(1.16415321826934814e-10)) // 2^-33
+    val pri = floor(log(u) / weight * 1e7 + 0.5) / 1e7
+    df.withColumn("__pri", pri)
+      .orderBy(col("__pri").desc, id.asc)
+      .limit(k)
+      .drop("__pri")
+  }
+
+  /** SQL text of [[weightedSample]]'s priority, for DuckDB oracles. */
+  def prioritySql(idExpr: String, weightExpr: String, salt: Long = 0L): String =
+    s"floor(ln(greatest(${hashFractionSql(idExpr, salt)}, 1.16415321826934814e-10))" +
+      s" / ($weightExpr) * 1e7 + 0.5) / 1e7"
 }

@@ -184,5 +184,35 @@ object AnalyticsQueries {
              |    FROM dir JOIN p4 ON dir.src = p4.v GROUP BY 1) s USING (v))
              |SELECT v AS p_partkey,
              |  floor(pr * (SELECT n FROM nn) * 1e7 + 0.5) / 1e7 AS pr_scaled
-             |FROM p5 ORDER BY p_partkey""".stripMargin)))
+             |FROM p5 ORDER BY p_partkey""".stripMargin)),
+
+    // ----- q102: grouped linear regression — price-over-time trend
+    // per order priority via the SQL-standard regr_* aggregates (one
+    // pass, mergeable moment state on both engines). Slope/r² at r4;
+    // the intercept (~1e5 magnitude) at r2, inside both engines'
+    // merge-order float drift.
+    QueryDef(
+      "q102_grouped_regression",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+          .withColumn("x", datediff(to_date($"o_orderdate"), lit("1990-01-01"))
+            .cast("double"))
+        o.groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            r4(regr_slope($"o_totalprice", $"x")).as("slope"),
+            (floor(regr_intercept($"o_totalprice", $"x") * 100 + 0.5) / 100)
+              .as("intercept"),
+            r4(regr_r2($"o_totalprice", $"x")).as("r2"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  floor(regr_slope(o_totalprice, x) * 10000 + 0.5) / 10000 AS slope,
+             |  floor(regr_intercept(o_totalprice, x) * 100 + 0.5) / 100 AS intercept,
+             |  floor(regr_r2(o_totalprice, x) * 10000 + 0.5) / 10000 AS r2
+             |FROM (SELECT o_orderpriority, o_totalprice,
+             |  CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+             |    AS DOUBLE) AS x FROM orders)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
 }

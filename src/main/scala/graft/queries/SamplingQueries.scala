@@ -81,5 +81,28 @@ object SamplingQueries {
              |      ORDER BY $fracSql ASC, doc_id ASC) AS rk
              |  FROM documents)
              |WHERE rk <= 5
-             |ORDER BY source, doc_id""".stripMargin)))
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    // ----- q100: weighted sampling without replacement (A-ES
+    // priorities on the portable hash) — longer documents
+    // proportionally likelier; top-k by r7-rounded priority so libm
+    // ulp drift in ln() can't flip the boundary rank between engines.
+    QueryDef(
+      "q100_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        Sampling.weightedSample(
+          Tables.documents(s, d).filter($"n_chars" > 0),
+          $"doc_id", $"n_chars".cast("double"), k = 25)
+          .select($"doc_id", $"lang", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some({
+        val pri = Sampling.prioritySql("doc_id", "CAST(n_chars AS DOUBLE)")
+        s"""SELECT doc_id, lang, n_chars FROM (
+           |  SELECT doc_id, lang, n_chars FROM documents
+           |  WHERE n_chars > 0
+           |  ORDER BY $pri DESC, doc_id ASC LIMIT 25)
+           |ORDER BY doc_id""".stripMargin
+      })))
 }

@@ -195,5 +195,45 @@ object SequenceQueries {
              |    FROM orders)
              |  GROUP BY bucket)
              |SELECT * FROM depth UNION ALL SELECT * FROM width
-             |ORDER BY kind, bucket""".stripMargin)))
+             |ORDER BY kind, bucket""".stripMargin)),
+
+    // ----- q101: SCD2 (slowly-changing dimension) construction — each
+    // user's event stream becomes validity intervals [ts, next_ts)
+    // via one lead window, then an as-of snapshot reads the version
+    // current at a fixed instant. The build is ONE shuffle; the
+    // snapshot is a filter, not a join.
+    QueryDef(
+      "q101_scd2_versions",
+      (s, d) => {
+        import s.implicits._
+        val snapT = lit("2024-01-15 00:00:00").cast("timestamp")
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val versions = Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id", $"value")
+          .withColumn("valid_to", lead($"ts", 1).over(w))
+          .withColumn("version", row_number().over(w))
+        val current = versions
+          .filter($"ts" <= snapT && ($"valid_to".isNull || $"valid_to" > snapT))
+          .select($"user_id", $"version".as("version_at_snap"),
+            r4($"value").as("value_at_snap"))
+        versions.groupBy($"user_id").agg(max($"version").as("n_versions"))
+          .join(current, Seq("user_id"), "left")
+          .orderBy($"user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, ts, value,
+             |    lead(ts) OVER w AS valid_to,
+             |    ROW_NUMBER() OVER w AS version
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |cur AS (
+             |  SELECT user_id, version AS version_at_snap,
+             |    floor(value * 10000 + 0.5) / 10000 AS value_at_snap
+             |  FROM v
+             |  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+             |    AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00'))
+             |SELECT n.user_id, n.n_versions, cur.version_at_snap, cur.value_at_snap
+             |FROM (SELECT user_id, max(version) AS n_versions FROM v GROUP BY 1) n
+             |LEFT JOIN cur ON n.user_id = cur.user_id
+             |ORDER BY n.user_id""".stripMargin)))
 }
