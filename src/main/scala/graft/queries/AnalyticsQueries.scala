@@ -214,5 +214,30 @@ object AnalyticsQueries {
              |FROM (SELECT o_orderpriority, o_totalprice,
              |  CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
              |    AS DOUBLE) AS x FROM orders)
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- q103: Count-Min heavy hitters — the exact top-20 word
+    // counts next to their estimates from the custom mergeable-state
+    // Aggregator. Rows-only BY DESIGN, like the q35/q43 sketches: the
+    // CMS column is engine-specific state no SQL oracle can replay
+    // (the exact columns ARE oracle-shaped, but a split query would
+    // just duplicate q14); correctness is pinned by CountMinSketchSpec
+    // (overestimate-only, ε·N error bound, partitioning invariance).
+    QueryDef(
+      "q103_cms_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.CountMinSketch
+        val words = graft.Par.spread(Tables.documents(s, d))
+          .select(explode(split($"text", " ")).as("word"))
+          .filter(length($"word") > 0)
+        val exact = words.groupBy($"word").agg(count(lit(1)).as("n_exact"))
+          .orderBy($"n_exact".desc, $"word").limit(20)
+        val sk = words.agg(CountMinSketch.sketch($"word").as("sk"))
+        exact.crossJoin(sk)
+          .select($"word", $"n_exact",
+            CountMinSketch.estimateCol($"sk", $"word").as("n_cms"))
+          .orderBy($"n_exact".desc, $"word")
+      },
+      None))
 }
