@@ -32,6 +32,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(coalesce(text, lit(""))), "\\s+"), t => length(t) > 0)
 
+  /** SINGLE-SPACE tokenization — the oracle-mirrorable convention
+    * (DuckDB: `unnest(string_split(text, ' ')) ... WHERE length(word)
+    * > 0`, the q14 pattern). Distinct from [[tokens]] (\s+ with
+    * trim): a tab or newline is a token CHARACTER here, exactly as in
+    * DuckDB's string_split. One copy — every space-split query
+    * (q14/q96/q97/q103) and its hand-written oracle depend on these
+    * semantics moving together.
+    */
+  def spaceTokens(text: Column): Column =
+    filter(split(coalesce(text, lit("")), " ", -1), t => length(t) > 0)
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** GPT-2-style pre-tokenizer pattern: contraction suffixes, then

@@ -102,11 +102,21 @@ object GraphOps {
     val nodes = deg.select(col("src").as("v"), col("deg"))
     val n = nodes.count()           // driver scalar: node count, bounded
     var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    // Contributions are QUANTIZED to integer multiples of 2^-40 before
+    // summation: an integer sum is exact and ORDER-FREE, so the
+    // aggregate is bit-identical across partition layouts, retries,
+    // and engines — a raw double sum drifts with accumulation order,
+    // and over 5 iterations that drift would make the r7-rounded
+    // oracle comparison flaky. Truncation loses < |E|·2^-40 total
+    // mass per iteration (~1e-11 on a 10M-edge graph) —
+    // deterministically, on both sides of the comparison.
+    val Q = 1099511627776L          // 2^40
     for (_ <- 1 to iterations) {
       val contrib = dir
         .join(broadcast(pr.select(col("v").as("src"), (col("pr") / col("deg")).as("c"))),
           Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+        .withColumn("cq", floor(col("c") * Q).cast("long"))
+        .groupBy(col("dst")).agg((sum(col("cq")).cast("double") / Q).as("in_mass"))
       pr = nodes
         .join(broadcast(contrib.select(col("dst").as("v"), col("in_mass"))), Seq("v"), "left")
         .select(col("v"), col("deg"),

@@ -52,7 +52,13 @@ object Sampling {
     * exactly representable in double, so engines agree bit-for-bit.
     */
   def hashFraction(id: Column, salt: Long = 0L): Column = {
-    val h1 = ((id % M31 + salt * 7919L) * A + C) % M32
+    // salt bound keeps (M31 + salt·7919)·A < 2^63 — the overflow-free
+    // guarantee the scaladoc makes; abs() makes negative ids (signed
+    // fingerprints) hash into [0,1) instead of yielding a NEGATIVE
+    // "fraction" that every `f < rate` filter would accept (±id
+    // collide — acceptable for sampling, documented)
+    require(salt >= 0 && salt <= 100000L, s"salt must be in [0, 100000], got $salt")
+    val h1 = ((abs(id % M31) + salt * 7919L) * A + C) % M32
     val h2 = h1.bitwiseXOR(shiftright(h1, 16))
     val h3 = (h2 * A2) % M32
     val h4 = h3.bitwiseXOR(shiftright(h3, 16))
@@ -65,7 +71,8 @@ object Sampling {
     * the repeated subtrees.
     */
   def hashFractionSql(idExpr: String, salt: Long = 0L): String = {
-    val h1 = s"(($idExpr % $M31 + ${salt * 7919L}) * $A + $C) % $M32"
+    require(salt >= 0 && salt <= 100000L, s"salt must be in [0, 100000], got $salt")
+    val h1 = s"((abs($idExpr % $M31) + ${salt * 7919L}) * $A + $C) % $M32"
     val h2 = s"xor($h1, ($h1) >> 16)"
     val h3 = s"(($h2) * $A2) % $M32"
     val h4 = s"xor($h3, ($h3) >> 16)"
@@ -154,9 +161,11 @@ object Sampling {
     * rank at the k boundary between engines. Top-k is
     * TakeOrderedAndProject — no global sort.
     *
-    * Weights must be strictly positive; u > 0 always holds (h = 0
-    * maps to u = 0 only for h exactly 0, excluded by the +C offset in
-    * the hash... not quite: guard with a floor at 2^-33).
+    * Rows with weight ≤ 0 (or null) are EXCLUDED by the operator —
+    * ln(u) < 0 divided by a non-positive weight would flip to a
+    * POSITIVE priority and put exactly the weightless rows at the top
+    * of the sample. u is floored at 2^-33 so the h = 0 hash value
+    * can't produce ln(0).
     */
   def weightedSample(
       df: DataFrame,
@@ -166,13 +175,17 @@ object Sampling {
       salt: Long = 0L): DataFrame = {
     val u = greatest(hashFraction(id, salt), lit(1.16415321826934814e-10)) // 2^-33
     val pri = floor(log(u) / weight * 1e7 + 0.5) / 1e7
-    df.withColumn("__pri", pri)
+    df.filter(weight > 0)
+      .withColumn("__pri", pri)
       .orderBy(col("__pri").desc, id.asc)
       .limit(k)
       .drop("__pri")
   }
 
-  /** SQL text of [[weightedSample]]'s priority, for DuckDB oracles. */
+  /** SQL text of [[weightedSample]]'s priority, for DuckDB oracles.
+    * The oracle query must also mirror the operator's `weight > 0`
+    * filter.
+    */
   def prioritySql(idExpr: String, weightExpr: String, salt: Long = 0L): String =
     s"floor(ln(greatest(${hashFractionSql(idExpr, salt)}, 1.16415321826934814e-10))" +
       s" / ($weightExpr) * 1e7 + 0.5) / 1e7"

@@ -156,31 +156,31 @@ object AnalyticsQueries {
              |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
              |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
              |  FROM p0 d0 LEFT JOIN (
-             |    SELECT dir.dst AS v, SUM(p0.pr / p0.deg) AS m
+             |    SELECT dir.dst AS v, CAST(SUM(CAST(floor(p0.pr / p0.deg * 1099511627776) AS BIGINT)) AS DOUBLE) / 1099511627776 AS m
              |    FROM dir JOIN p0 ON dir.src = p0.v GROUP BY 1) s USING (v)),
              |p2 AS (SELECT d0.v, d0.deg,
              |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
              |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
              |  FROM p1 d0 LEFT JOIN (
-             |    SELECT dir.dst AS v, SUM(p1.pr / p1.deg) AS m
+             |    SELECT dir.dst AS v, CAST(SUM(CAST(floor(p1.pr / p1.deg * 1099511627776) AS BIGINT)) AS DOUBLE) / 1099511627776 AS m
              |    FROM dir JOIN p1 ON dir.src = p1.v GROUP BY 1) s USING (v)),
              |p3 AS (SELECT d0.v, d0.deg,
              |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
              |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
              |  FROM p2 d0 LEFT JOIN (
-             |    SELECT dir.dst AS v, SUM(p2.pr / p2.deg) AS m
+             |    SELECT dir.dst AS v, CAST(SUM(CAST(floor(p2.pr / p2.deg * 1099511627776) AS BIGINT)) AS DOUBLE) / 1099511627776 AS m
              |    FROM dir JOIN p2 ON dir.src = p2.v GROUP BY 1) s USING (v)),
              |p4 AS (SELECT d0.v, d0.deg,
              |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
              |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
              |  FROM p3 d0 LEFT JOIN (
-             |    SELECT dir.dst AS v, SUM(p3.pr / p3.deg) AS m
+             |    SELECT dir.dst AS v, CAST(SUM(CAST(floor(p3.pr / p3.deg * 1099511627776) AS BIGINT)) AS DOUBLE) / 1099511627776 AS m
              |    FROM dir JOIN p3 ON dir.src = p3.v GROUP BY 1) s USING (v)),
              |p5 AS (SELECT d0.v, d0.deg,
              |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
              |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
              |  FROM p4 d0 LEFT JOIN (
-             |    SELECT dir.dst AS v, SUM(p4.pr / p4.deg) AS m
+             |    SELECT dir.dst AS v, CAST(SUM(CAST(floor(p4.pr / p4.deg * 1099511627776) AS BIGINT)) AS DOUBLE) / 1099511627776 AS m
              |    FROM dir JOIN p4 ON dir.src = p4.v GROUP BY 1) s USING (v))
              |SELECT v AS p_partkey,
              |  floor(pr * (SELECT n FROM nn) * 1e7 + 0.5) / 1e7 AS pr_scaled
@@ -229,8 +229,8 @@ object AnalyticsQueries {
         import s.implicits._
         import graft.functions.CountMinSketch
         val words = graft.Par.spread(Tables.documents(s, d))
-          .select(explode(split($"text", " ")).as("word"))
-          .filter(length($"word") > 0)
+          .select(explode(
+            graft.functions.TextFunctions.spaceTokens($"text")).as("word"))
         val exact = words.groupBy($"word").agg(count(lit(1)).as("n_exact"))
           .orderBy($"n_exact".desc, $"word").limit(20)
         val sk = words.agg(CountMinSketch.sketch($"word").as("sk"))

@@ -333,8 +333,8 @@ object CoreQueries {
       (s, d) => {
         import s.implicits._
         graft.Par.spread(Tables.documents(s, d))
-          .select($"doc_id", explode(split($"text", " ")).as("word"))
-          .filter(length($"word") > 0)
+          .select($"doc_id",
+            explode(graft.functions.TextFunctions.spaceTokens($"text")).as("word"))
           .groupBy($"word")
           .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
           .orderBy($"n".desc, $"word")

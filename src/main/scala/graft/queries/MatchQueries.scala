@@ -35,7 +35,11 @@ object MatchQueries {
           .select($"l_quantity", $"ls", $"le")
         RangeJoin.overlapJoin(l, "ls", "le", o, "os", "oe", binWidth = 8)
           .groupBy($"o_orderkey")
-          .agg(count(lit(1)).as("n_overlap"), sum($"l_quantity").as("sum_qty"))
+          .agg(count(lit(1)).as("n_overlap"),
+            // decimal accumulation (repo determinism contract): a raw
+            // double sum is partition-order-dependent; exact today only
+            // because fixture quantities are integral
+            sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
           .orderBy($"o_orderkey")
       },
       Some("""WITH o AS (
@@ -48,7 +52,7 @@ object MatchQueries {
              |    datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS ls
              |  FROM lineitem WHERE l_returnflag = 'R')
              |SELECT o_orderkey, count(*) AS n_overlap,
-             |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM o JOIN l ON l.ls <= o.os + 3 AND o.os <= l.ls + 7
              |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
 

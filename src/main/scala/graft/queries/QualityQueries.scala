@@ -50,7 +50,9 @@ object QualityQueries {
              |    (SELECT count(*) FROM orders
              |     WHERE NOT coalesce(o_totalprice <= 400000, false))
              |  UNION ALL SELECT 'unique(o_orderkey)',
-             |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
+             |    (SELECT count(*) - count(DISTINCT o_orderkey)
+             |       - CASE WHEN count(*) > count(o_orderkey) THEN 1 ELSE 0 END
+             |     FROM orders))
              |ORDER BY check_name""".stripMargin)),
 
     // ----- q95: snapshot diff — a deterministically perturbed orders

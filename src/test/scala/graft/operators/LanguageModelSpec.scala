@@ -43,6 +43,19 @@ class LanguageModelSpec extends SparkSpec {
     assert(s(3L)._2 === expected)
   }
 
+  test("cross-corpus scoring with k>0 assigns unseen tokens the OOV floor") {
+    val probs = LanguageModel.unigramProbs(docs, "text", k = 1.0)
+    val other = Seq((9L, "zzz zzz"), (8L, "a a")).toDF("doc_id", "text")
+    val s = LanguageModel.scoreDocs(other, "doc_id", "text", probs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // all-OOV doc scores the floor k/(N+k(V+1)) = 1/17 — HIGH nll, not null
+    val floorNll = math.floor(math.log(17.0) * 10000 + 0.5) / 10000
+    assert(s(9L) === floorNll)
+    // common-word doc scores ln(17/9), far below the OOV doc
+    val aNll = math.floor(math.log(17.0 / 9) * 10000 + 0.5) / 10000
+    assert(s(8L) === aNll && s(8L) < s(9L))
+  }
+
   test("cross-corpus scoring with k=0 drops unseen tokens from the average") {
     val probs = LanguageModel.unigramProbs(docs, "text")
     val other = Seq((9L, "a zzz")).toDF("doc_id", "text")
