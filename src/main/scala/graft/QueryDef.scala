@@ -32,5 +32,6 @@ object QueryDef {
       queries.SequenceQueries.defs ++
       queries.MatchQueries.defs ++
       queries.QualityQueries.defs ++
-      queries.AnalyticsQueries.defs
+      queries.AnalyticsQueries.defs ++
+      queries.SurfaceQueries.defs
 }
