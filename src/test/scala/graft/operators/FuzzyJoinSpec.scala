@@ -43,6 +43,16 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(out === naive)
   }
 
+  test("candidate generation is an equi-join on prefix ranks, not a product") {
+    val rnd = new Random(13)
+    val strs = (1 to 200).map(_ => (1 to 10).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString).distinct
+    val out = FuzzyJoin.editDistancePairs(spark, strs.toDF("s"), "s", tau = 1)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy join fell back to a product plan:\n$plan")
+  }
+
   test("prefix join avoids the stop-gram blowup: candidates stay near true pairs") {
     // 500 strings sharing a common prefix "the" — joining on ALL grams
     // would pair everything with everything through "th"/"he"

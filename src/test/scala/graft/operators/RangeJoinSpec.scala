@@ -33,6 +33,16 @@ class RangeJoinSpec extends SparkSpec {
       === Seq((1L, 1L)))
   }
 
+  test("overlapJoin plans as a shuffled EQUI-join on the bin — never a nested-loop product") {
+    val left = (1 to 50).map(i => (i.toLong, i.toLong, i + 5L)).toDF("lid", "ls", "le")
+    val right = (1 to 50).map(i => (i.toLong, i.toLong, i + 3L)).toDF("rid", "rs", "re")
+    val out = RangeJoin.overlapJoin(left, "ls", "le", right, "rs", "re", binWidth = 8)
+    out.collect()  // execute so the AQE final plan materializes
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a product plan:\n$plan")
+  }
+
   test("pointInInterval matches the naive formulation") {
     val rnd = new Random(7)
     val pts = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong)).toDF("pid", "p")
