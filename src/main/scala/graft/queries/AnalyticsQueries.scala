@@ -239,5 +239,26 @@ object AnalyticsQueries {
             CountMinSketch.estimateCol($"sk", $"word").as("n_cms"))
           .orderBy($"n_exact".desc, $"word")
       },
-      None))
+      None),
+
+    // ----- q107: Pareto frontier (skyline) of parts — cheapest price
+    // vs largest size. Spark runs the two-phase partition-local sweep
+    // (dominated rows never cross the network); the oracle is the
+    // quadratic NOT EXISTS dominance test.
+    QueryDef(
+      "q107_skyline",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Skyline.frontier2d(
+          Tables.part(s, d).select($"p_partkey", $"p_retailprice", $"p_size"),
+          minCol = "p_retailprice", maxCol = "p_size")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_retailprice, p_size FROM part p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part q
+             |  WHERE q.p_retailprice <= p.p_retailprice
+             |    AND q.p_size >= p.p_size
+             |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+             |ORDER BY p_partkey""".stripMargin)))
 }

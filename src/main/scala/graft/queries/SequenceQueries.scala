@@ -235,5 +235,36 @@ object SequenceQueries {
              |SELECT n.user_id, n.n_versions, cur.version_at_snap, cur.value_at_snap
              |FROM (SELECT user_id, max(version) AS n_versions FROM v GROUP BY 1) n
              |LEFT JOIN cur ON n.user_id = cur.user_id
-             |ORDER BY n.user_id""".stripMargin)))
+             |ORDER BY n.user_id""".stripMargin)),
+
+    // ----- q108: time-weighted average (TWAP) per user — each event's
+    // value held until the next event (LOCF), weighted by exact
+    // integer microsecond durations; the standard irregular-time-
+    // series mean. One lead window, one aggregate.
+    QueryDef(
+      "q108_time_weighted_avg",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val seg = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"ts", $"value")
+          .withColumn("dur_us", unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts"))
+          .filter($"dur_us".isNotNull)
+        seg.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum($"dur_us").as("span_us"),
+            r4(sum($"value" * $"dur_us") / sum($"dur_us")).as("twap"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH seg AS (
+             |  SELECT user_id, value,
+             |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_segments,
+             |  CAST(SUM(dur_us) AS BIGINT) AS span_us,
+             |  floor(SUM(value * dur_us) / SUM(dur_us) * 10000 + 0.5) / 10000
+             |    AS twap
+             |FROM seg WHERE dur_us IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }
