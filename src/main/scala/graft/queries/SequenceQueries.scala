@@ -266,5 +266,55 @@ object SequenceQueries {
              |  floor(SUM(value * dur_us) / SUM(dur_us) * 10000 + 0.5) / 10000
              |    AS twap
              |FROM seg WHERE dur_us IS NOT NULL
-             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ----- q109: session path analysis — the top session-opening
+    // event-type sequences (first 5 events per 30-min session),
+    // sessions built with the q64 window algebra. Order-stable
+    // collection via sort_array over (ts, event_id, type) structs —
+    // collect_list alone is shuffle-order-nondeterministic, the Vocab
+    // convention.
+    QueryDef(
+      "q109_session_paths",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val sess = Tables.events(s, d)
+          .withColumn("brk",
+            when(unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))
+              <= 30 * 60000000L, 0).otherwise(1))
+          .withColumn("sid", sum($"brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val paths = sess.groupBy($"user_id", $"sid")
+          .agg(sort_array(collect_list(
+            struct($"ts", $"event_id", $"event_type"))).as("evs"))
+          .select(array_join(
+            transform(slice($"evs", 1, 5), e => e.getField("event_type")), "->")
+            .as("path"), $"user_id")
+        paths.groupBy($"path")
+          .agg(count(lit(1)).as("n_sessions"),
+            count_distinct($"user_id").as("n_users"))
+          .orderBy($"n_sessions".desc, $"path")
+          .limit(20)
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) <= INTERVAL 30 MINUTE
+             |      THEN 0 ELSE 1 END AS brk
+             |  FROM events),
+             |y AS (
+             |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x),
+             |p AS (
+             |  SELECT user_id,
+             |    array_to_string(
+             |      (list(event_type ORDER BY ts, event_id))[1:5], '->') AS path
+             |  FROM y GROUP BY user_id, sid)
+             |SELECT path, count(*) AS n_sessions,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM p GROUP BY path
+             |ORDER BY n_sessions DESC, path
+             |LIMIT 20""".stripMargin)))
 }
