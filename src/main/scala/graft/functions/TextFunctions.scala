@@ -36,9 +36,13 @@ object TextFunctions {
     * (DuckDB: `unnest(string_split(text, ' ')) ... WHERE length(word)
     * > 0`, the q14 pattern). Distinct from [[tokens]] (\s+ with
     * trim): a tab or newline is a token CHARACTER here, exactly as in
-    * DuckDB's string_split. One copy — every space-split query
-    * (q14/q96/q97/q103) and its hand-written oracle depend on these
-    * semantics moving together.
+    * DuckDB's string_split. One copy — the space-split queries
+    * (q14/q96/q103) and their hand-written oracles depend on these
+    * semantics moving together. q97 (PMI) deliberately does NOT use
+    * this helper: it needs POSITIONS assigned before empty tokens are
+    * filtered (posexplode over the raw split, mirrored by the
+    * oracle's range(0, len(ws))), so empty tokens consume position
+    * slots there.
     */
   def spaceTokens(text: Column): Column =
     filter(split(coalesce(text, lit("")), " ", -1), t => length(t) > 0)

@@ -250,10 +250,15 @@ object SequenceQueries {
           .select($"user_id", $"event_id", $"ts", $"value")
           .withColumn("dur_us", unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts"))
           .filter($"dur_us".isNotNull)
+        // numerator quantized to whole units before summing (the q99
+        // convention): an integer sum is exact and order-free, where a
+        // raw double sum drifts with partition layout; the ≤1-unit
+        // truncation per term is ~1e-11 relative on month-long spans
         seg.groupBy($"user_id")
           .agg(count(lit(1)).as("n_segments"),
             sum($"dur_us").as("span_us"),
-            r4(sum($"value" * $"dur_us") / sum($"dur_us")).as("twap"))
+            r4(sum(floor($"value" * $"dur_us").cast("long")).cast("double")
+              / sum($"dur_us")).as("twap"))
           .orderBy($"user_id")
       },
       Some("""WITH seg AS (
@@ -263,8 +268,8 @@ object SequenceQueries {
              |  FROM events)
              |SELECT user_id, count(*) AS n_segments,
              |  CAST(SUM(dur_us) AS BIGINT) AS span_us,
-             |  floor(SUM(value * dur_us) / SUM(dur_us) * 10000 + 0.5) / 10000
-             |    AS twap
+             |  floor(CAST(SUM(CAST(floor(value * dur_us) AS BIGINT)) AS DOUBLE)
+             |    / SUM(dur_us) * 10000 + 0.5) / 10000 AS twap
              |FROM seg WHERE dur_us IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
