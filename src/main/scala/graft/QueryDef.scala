@@ -33,5 +33,6 @@ object QueryDef {
       queries.MatchQueries.defs ++
       queries.QualityQueries.defs ++
       queries.AnalyticsQueries.defs ++
-      queries.SurfaceQueries.defs
+      queries.SurfaceQueries.defs ++
+      queries.BusinessQueries.defs
 }

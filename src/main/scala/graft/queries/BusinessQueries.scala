@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.r4
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Business-analytics staples: ABC/Pareto classification (q110),
+  * market-basket association rules (q111), period-over-period
+  * comparison (q112), and the native session_window surface (q113).
+  */
+object BusinessQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def defs: Seq[QueryDef] = Seq(
+    // ----- q110: ABC classification — parts ranked by revenue,
+    // cumulative-share classes (A < 80%, B < 95%, C rest). The
+    // cumulative window is a global order — correct here because the
+    // frame it runs on is already aggregated to part cardinality
+    // (dimension-sized), never the raw fact table.
+    QueryDef(
+      "q110_abc_classification",
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.lineitem(s, d)
+          .groupBy($"l_partkey")
+          .agg(sum(dec($"l_extendedprice")).as("rev"))
+        val w = Window.orderBy($"rev".desc, $"l_partkey")
+        val tot = rev.agg(sum($"rev").as("tot"))
+        val classed = rev.crossJoin(tot)
+          .withColumn("cum", sum($"rev").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("share", ($"cum".cast("double") / $"tot".cast("double")))
+          .withColumn("abc",
+            when($"share" <= 0.80, "A").when($"share" <= 0.95, "B").otherwise("C"))
+        classed.groupBy($"abc")
+          .agg(count(lit(1)).as("n_parts"),
+            r4(sum($"rev").cast("double") / first($"tot").cast("double"))
+              .as("rev_share"))
+          .orderBy($"abc")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT SUM(rev) AS tot FROM rev),
+             |classed AS (
+             |  SELECT rev, CASE
+             |    WHEN CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+             |        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             |      / CAST((SELECT tot FROM tot) AS DOUBLE) <= 0.80 THEN 'A'
+             |    WHEN CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+             |        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             |      / CAST((SELECT tot FROM tot) AS DOUBLE) <= 0.95 THEN 'B'
+             |    ELSE 'C' END AS abc
+             |  FROM rev)
+             |SELECT abc, count(*) AS n_parts,
+             |  floor(CAST(SUM(rev) AS DOUBLE) / CAST((SELECT tot FROM tot) AS DOUBLE)
+             |    * 10000 + 0.5) / 10000 AS rev_share
+             |FROM classed GROUP BY abc ORDER BY abc""".stripMargin)),
+
+    // ----- q111: market-basket association rules over order baskets —
+    // support / directional confidence / lift for part pairs
+    // co-purchased in ≥3 orders. The pair join is the oriented
+    // co-occurrence equi-join (q99's edge builder), never basket ×
+    // basket.
+    QueryDef(
+      "q111_association_rules",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val nOrders = li.select($"l_orderkey").distinct().count()
+        val itemN = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
+        val pairs = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 3)
+        pairs
+          .join(itemN.select($"l_partkey".as("pa"), $"n_item".as("n_a")), "pa")
+          .join(itemN.select($"l_partkey".as("pb"), $"n_item".as("n_b")), "pb")
+          .withColumn("support", r4($"n_ab".cast("double") / nOrders))
+          .withColumn("conf_ab", r4($"n_ab".cast("double") / $"n_a"))
+          .withColumn("conf_ba", r4($"n_ab".cast("double") / $"n_b"))
+          .withColumn("lift", r4(($"n_ab".cast("double") * nOrders) /
+            ($"n_a".cast("double") * $"n_b")))
+          .select($"pa", $"pb", $"n_ab", $"support", $"conf_ab", $"conf_ba", $"lift")
+          .orderBy($"lift".desc, $"pa", $"pb")
+          .limit(50)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+             |item AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT pa, pb, n_ab,
+             |  floor(CAST(n_ab AS DOUBLE) / (SELECT n_orders FROM n)
+             |    * 10000 + 0.5) / 10000 AS support,
+             |  floor(CAST(n_ab AS DOUBLE) / ia.n_item * 10000 + 0.5) / 10000
+             |    AS conf_ab,
+             |  floor(CAST(n_ab AS DOUBLE) / ib.n_item * 10000 + 0.5) / 10000
+             |    AS conf_ba,
+             |  floor(CAST(n_ab AS DOUBLE) * (SELECT n_orders FROM n)
+             |    / (CAST(ia.n_item AS DOUBLE) * ib.n_item) * 10000 + 0.5) / 10000
+             |    AS lift
+             |FROM pairs
+             |JOIN item ia ON pairs.pa = ia.l_partkey
+             |JOIN item ib ON pairs.pb = ib.l_partkey
+             |ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin)),
+
+    // ----- q112: period-over-period — monthly revenue with
+    // month-over-month and year-over-year growth via lag windows.
+    QueryDef(
+      "q112_period_comparison",
+      (s, d) => {
+        import s.implicits._
+        val monthly = Tables.orders(s, d)
+          .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+          .agg(sum(dec($"o_totalprice")).cast("double").as("rev"))
+        val w = Window.orderBy($"month")
+        monthly
+          .withColumn("mom", r4($"rev" / lag($"rev", 1).over(w) - 1))
+          .withColumn("yoy", r4($"rev" / lag($"rev", 12).over(w) - 1))
+          .orderBy($"month")
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |  FROM orders GROUP BY 1)
+             |SELECT month, rev,
+             |  floor((rev / lag(rev, 1) OVER (ORDER BY month) - 1)
+             |    * 10000 + 0.5) / 10000 AS mom,
+             |  floor((rev / lag(rev, 12) OVER (ORDER BY month) - 1)
+             |    * 10000 + 0.5) / 10000 AS yoy
+             |FROM m ORDER BY month""".stripMargin)),
+
+    // ----- q113: the NATIVE session_window surface — Spark's built-in
+    // gap-based session windows must agree with the hand-built q64
+    // window algebra (session_window merges an event arriving
+    // STRICTLY before last_ts + gap; the oracle mirrors that strict
+    // inequality). Span measured on exact integer microseconds.
+    QueryDef(
+      "q113_native_session_window",
+      (s, d) => {
+        import s.implicits._
+        val sess = Tables.events(s, d)
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            (unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("span_us"))
+        sess.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum($"n_events").as("n_events"),
+            sum($"span_us").as("active_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+             |  FROM events),
+             |y AS (
+             |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x),
+             |sess AS (
+             |  SELECT user_id, sid, count(*) AS n_events,
+             |    epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+             |  FROM y GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions,
+             |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+             |  CAST(SUM(span_us) AS BIGINT) AS active_us
+             |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)))
+}
