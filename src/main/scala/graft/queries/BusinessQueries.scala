@@ -174,5 +174,122 @@ object BusinessQueries {
              |SELECT user_id, count(*) AS n_sessions,
              |  CAST(SUM(n_events) AS BIGINT) AS n_events,
              |  CAST(SUM(span_us) AS BIGINT) AS active_us
-             |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ----- q114: inverted index materialized AS DATA — per term: df,
+    // total tf, and the sorted posting list (capped at 20 entries for
+    // the output; the full list is the same array uncapped). Postings
+    // are sort_array'd — the Vocab order-stability convention.
+    QueryDef(
+      "q114_inverted_index",
+      (s, d) => {
+        import s.implicits._
+        val tok = graft.Par.spread(Tables.documents(s, d))
+          .select($"doc_id",
+            explode(graft.functions.TextFunctions.spaceTokens($"text")).as("word"))
+        tok.groupBy($"word", $"doc_id").agg(count(lit(1)).as("tf"))
+          .groupBy($"word")
+          .agg(count(lit(1)).as("df"),
+            sum($"tf").as("total_tf"),
+            slice(sort_array(collect_list($"doc_id")), 1, 20).as("postings"))
+          .filter($"df" >= 50)
+          .withColumn("postings", array_join(transform($"postings",
+            x => x.cast("string")), ","))
+          .orderBy($"df".desc, $"word")
+      },
+      Some("""WITH tf AS (
+             |  SELECT word, doc_id, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |    FROM documents)
+             |  WHERE length(word) > 0 GROUP BY 1, 2)
+             |SELECT word, count(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+             |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+             |    AS postings
+             |FROM tf GROUP BY word HAVING count(*) >= 50
+             |ORDER BY df DESC, word""".stripMargin)),
+
+    // ----- q115: chi-square independence test of lang × source — the
+    // contingency table, expected counts under independence, and the
+    // χ² statistic, all in two aggregates and a broadcast of the
+    // margin frames.
+    QueryDef(
+      "q115_chi_square",
+      (s, d) => {
+        import s.implicits._
+        val obs = Tables.documents(s, d)
+          .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+        val rowM = obs.groupBy($"lang").agg(sum($"o").as("n_lang"))
+        val colM = obs.groupBy($"source").agg(sum($"o").as("n_source"))
+        val tot = obs.agg(sum($"o").as("n"))
+        obs.join(broadcast(rowM), "lang").join(broadcast(colM), "source")
+          .crossJoin(tot)
+          .withColumn("expected",
+            $"n_lang".cast("double") * $"n_source" / $"n")
+          .withColumn("chi2_term",
+            ($"o" - $"expected") * ($"o" - $"expected") / $"expected")
+          .agg(count(lit(1)).as("n_cells"),
+            // χ² summed exactly: quantize terms to 2^-30 integers (the
+            // q99/q108 order-free convention)
+            (sum(floor($"chi2_term" * 1073741824L).cast("long")).cast("double")
+              / 1073741824L).as("chi2_raw"))
+          .select($"n_cells",
+            (floor($"chi2_raw" * 10000 + 0.5) / 10000).as("chi2"))
+      },
+      Some("""WITH obs AS (
+             |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+             |rm AS (SELECT lang, SUM(o) AS n_lang FROM obs GROUP BY 1),
+             |cm AS (SELECT source, SUM(o) AS n_source FROM obs GROUP BY 1),
+             |tot AS (SELECT SUM(o) AS n FROM obs),
+             |terms AS (
+             |  SELECT (o - e) * (o - e) / e AS chi2_term FROM (
+             |    SELECT o, CAST(n_lang AS DOUBLE) * n_source
+             |      / (SELECT n FROM tot) AS e
+             |    FROM obs JOIN rm USING (lang) JOIN cm USING (source)))
+             |SELECT count(*) AS n_cells,
+             |  floor(CAST(SUM(CAST(floor(chi2_term * 1073741824) AS BIGINT))
+             |      AS DOUBLE) / 1073741824 * 10000 + 0.5) / 10000 AS chi2
+             |FROM terms""".stripMargin)),
+
+    // ----- q116: KL divergence of each source's language mix from the
+    // corpus-wide mix — the domain-shift diagnostic a mixture
+    // controller (q62) reads. Margin frames broadcast; the per-source
+    // sum is ≤ |langs| terms.
+    QueryDef(
+      "q116_kl_divergence",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.documents(s, d)
+          .groupBy($"source", $"lang").agg(count(lit(1)).as("o"))
+        val bySrc = c.groupBy($"source").agg(sum($"o").as("n_src"))
+        val byLang = c.groupBy($"lang").agg(sum($"o").as("n_lang"))
+        val tot = c.agg(sum($"o").as("n"))
+        c.join(broadcast(bySrc), "source").join(broadcast(byLang), "lang")
+          .crossJoin(tot)
+          .withColumn("term",
+            ($"o".cast("double") / $"n_src") *
+              log(($"o".cast("double") / $"n_src") /
+                ($"n_lang".cast("double") / $"n")))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_langs"),
+            (sum(floor($"term" * 1073741824L).cast("long")).cast("double")
+              / 1073741824L).as("kl_raw"))
+          .select($"source", $"n_langs",
+            (floor($"kl_raw" * 10000 + 0.5) / 10000).as("kl"))
+          .orderBy($"source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+             |bs AS (SELECT source, SUM(o) AS n_src FROM c GROUP BY 1),
+             |bl AS (SELECT lang, SUM(o) AS n_lang FROM c GROUP BY 1),
+             |tot AS (SELECT SUM(o) AS n FROM c),
+             |terms AS (
+             |  SELECT source,
+             |    (CAST(o AS DOUBLE) / n_src)
+             |      * ln((CAST(o AS DOUBLE) / n_src)
+             |          / (CAST(n_lang AS DOUBLE) / (SELECT n FROM tot))) AS term
+             |  FROM c JOIN bs USING (source) JOIN bl USING (lang))
+             |SELECT source, count(*) AS n_langs,
+             |  floor(CAST(SUM(CAST(floor(term * 1073741824) AS BIGINT)) AS DOUBLE)
+             |    / 1073741824 * 10000 + 0.5) / 10000 AS kl
+             |FROM terms GROUP BY source ORDER BY source""".stripMargin)))
 }
