@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Oriented co-occurrence pairs: one row per (pa < pb) item pair
+    * sharing a group value — the basket/co-purchase edge builder
+    * shared by PageRank (q99) and association rules (q111). The
+    * strict `<` both orients the pair and drops self-pairs; pass a
+    * DISTINCT (group, item) frame when multiplicity must not inflate
+    * pair counts. One row PER co-occurrence — `.distinct()` or a
+    * count aggregate downstream chooses multigraph vs simple-graph
+    * semantics.
+    */
+  def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.as("a").join(df.as("b"),
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
+          col(s"a.$itemCol") < col(s"b.$itemCol"))
+      .select(col(s"a.$itemCol").as("pa"), col(s"b.$itemCol").as("pb"))
+
   /** Undirected edges normalized to one row per edge, endpoints
     * ordered (a < b), self-loops dropped.
     */

@@ -130,9 +130,8 @@ object AnalyticsQueries {
       (s, d) => {
         import s.implicits._
         val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-        val e = li.as("a").join(li.as("b"),
-            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-          .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+        // multigraph pairs are fine here: pageRank's orient() dedups
+        val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
         val pr = GraphOps.pageRank(e, "pa", "pb", iterations = 5, damping = 0.85)
         val n = pr.agg(count(lit(1)).as("nn"))
         pr.crossJoin(n)

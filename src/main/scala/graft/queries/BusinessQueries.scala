@@ -69,22 +69,27 @@ object BusinessQueries {
       "q111_association_rules",
       (s, d) => {
         import s.implicits._
+        // persisted: li feeds the basket count, the item margins, and
+        // both sides of the pair join — one distinct shuffle, not four
         val li = Tables.lineitem(s, d)
-          .select($"l_orderkey", $"l_partkey").distinct()
-        val nOrders = li.select($"l_orderkey").distinct().count()
+          .select($"l_orderkey", $"l_partkey").distinct().persist()
+        // lazy 1-row crossJoin (the q110/q115 pattern), NOT a driver
+        // count(): an eager count forces a second full scan job
+        val nOrders = li.agg(count_distinct($"l_orderkey").as("n_orders"))
         val itemN = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
-        val pairs = li.as("a").join(li.as("b"),
-            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-          .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+        val pairs = graft.operators.GraphOps
+          .coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb")
           .agg(count(lit(1)).as("n_ab"))
           .filter($"n_ab" >= 3)
         pairs
           .join(itemN.select($"l_partkey".as("pa"), $"n_item".as("n_a")), "pa")
           .join(itemN.select($"l_partkey".as("pb"), $"n_item".as("n_b")), "pb")
-          .withColumn("support", r4($"n_ab".cast("double") / nOrders))
+          .crossJoin(nOrders)
+          .withColumn("support", r4($"n_ab".cast("double") / $"n_orders"))
           .withColumn("conf_ab", r4($"n_ab".cast("double") / $"n_a"))
           .withColumn("conf_ba", r4($"n_ab".cast("double") / $"n_b"))
-          .withColumn("lift", r4(($"n_ab".cast("double") * nOrders) /
+          .withColumn("lift", r4(($"n_ab".cast("double") * $"n_orders") /
             ($"n_a".cast("double") * $"n_b")))
           .select($"pa", $"pb", $"n_ab", $"support", $"conf_ab", $"conf_ba", $"lift")
           .orderBy($"lift".desc, $"pa", $"pb")
@@ -114,7 +119,10 @@ object BusinessQueries {
              |ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin)),
 
     // ----- q112: period-over-period — monthly revenue with
-    // month-over-month and year-over-year growth via lag windows.
+    // month-over-month and year-over-year growth. Comparison is by
+    // CALENDAR month index (year·12+month), joined at idx−1 / idx−12
+    // — a lag() over the months PRESENT would silently compare
+    // against the wrong month whenever a month has zero orders.
     QueryDef(
       "q112_period_comparison",
       (s, d) => {
@@ -122,28 +130,37 @@ object BusinessQueries {
         val monthly = Tables.orders(s, d)
           .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
           .agg(sum(dec($"o_totalprice")).cast("double").as("rev"))
-        val w = Window.orderBy($"month")
+          .withColumn("idx", year($"month") * 12 + month($"month"))
+        val prev1 = monthly.select(($"idx" + 1).as("idx"), $"rev".as("rev_m1"))
+        val prev12 = monthly.select(($"idx" + 12).as("idx"), $"rev".as("rev_m12"))
         monthly
-          .withColumn("mom", r4($"rev" / lag($"rev", 1).over(w) - 1))
-          .withColumn("yoy", r4($"rev" / lag($"rev", 12).over(w) - 1))
+          .join(prev1, Seq("idx"), "left")
+          .join(prev12, Seq("idx"), "left")
+          .select($"month", $"rev",
+            r4($"rev" / $"rev_m1" - 1).as("mom"),
+            r4($"rev" / $"rev_m12" - 1).as("yoy"))
           .orderBy($"month")
       },
       Some("""WITH m AS (
              |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-             |  FROM orders GROUP BY 1)
-             |SELECT month, rev,
-             |  floor((rev / lag(rev, 1) OVER (ORDER BY month) - 1)
-             |    * 10000 + 0.5) / 10000 AS mom,
-             |  floor((rev / lag(rev, 12) OVER (ORDER BY month) - 1)
-             |    * 10000 + 0.5) / 10000 AS yoy
-             |FROM m ORDER BY month""".stripMargin)),
+             |  FROM orders GROUP BY 1),
+             |mi AS (SELECT *, year(month) * 12 + month(month) AS idx FROM m)
+             |SELECT mi.month, mi.rev,
+             |  floor((mi.rev / p1.rev - 1) * 10000 + 0.5) / 10000 AS mom,
+             |  floor((mi.rev / p12.rev - 1) * 10000 + 0.5) / 10000 AS yoy
+             |FROM mi
+             |LEFT JOIN mi p1 ON p1.idx = mi.idx - 1
+             |LEFT JOIN mi p12 ON p12.idx = mi.idx - 12
+             |ORDER BY mi.month""".stripMargin)),
 
     // ----- q113: the NATIVE session_window surface — Spark's built-in
     // gap-based session windows must agree with the hand-built q64
-    // window algebra (session_window merges an event arriving
-    // STRICTLY before last_ts + gap; the oracle mirrors that strict
-    // inequality). Span measured on exact integer microseconds.
+    // window algebra. The merge is NON-strict (Spark's
+    // MergingSessionsIterator merges when sessionStart <= sessionEnd,
+    // so an event arriving exactly gap after the last one still joins
+    // the session) — the oracle mirrors with <=, the same boundary
+    // rule as q64's. Span measured on exact integer microseconds.
     QueryDef(
       "q113_native_session_window",
       (s, d) => {
@@ -161,7 +178,7 @@ object BusinessQueries {
       Some("""WITH x AS (
              |  SELECT user_id, ts,
              |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-             |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+             |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
              |  FROM events),
              |y AS (
              |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
@@ -228,10 +245,14 @@ object BusinessQueries {
           .withColumn("chi2_term",
             ($"o" - $"expected") * ($"o" - $"expected") / $"expected")
           .agg(count(lit(1)).as("n_cells"),
-            // χ² summed exactly: quantize terms to 2^-30 integers (the
-            // q99/q108 order-free convention)
-            (sum(floor($"chi2_term" * 1073741824L).cast("long")).cast("double")
-              / 1073741824L).as("chi2_raw"))
+            // χ² summed exactly: quantize terms to 2^-20 integers (the
+            // q99/q108 order-free convention). 2^20, not 2^30: a χ²
+            // term is bounded only by n (total rows), and term·2^30
+            // would overflow long past n ≈ 8.6e9 — where Spark's cast
+            // saturates while DuckDB errors. 2^20 pushes the bound to
+            // n ≈ 8.8e12 at 1e-6 precision per cell.
+            (sum(floor($"chi2_term" * 1048576L).cast("long")).cast("double")
+              / 1048576L).as("chi2_raw"))
           .select($"n_cells",
             (floor($"chi2_raw" * 10000 + 0.5) / 10000).as("chi2"))
       },
@@ -246,8 +267,8 @@ object BusinessQueries {
              |      / (SELECT n FROM tot) AS e
              |    FROM obs JOIN rm USING (lang) JOIN cm USING (source)))
              |SELECT count(*) AS n_cells,
-             |  floor(CAST(SUM(CAST(floor(chi2_term * 1073741824) AS BIGINT))
-             |      AS DOUBLE) / 1073741824 * 10000 + 0.5) / 10000 AS chi2
+             |  floor(CAST(SUM(CAST(floor(chi2_term * 1048576) AS BIGINT))
+             |      AS DOUBLE) / 1048576 * 10000 + 0.5) / 10000 AS chi2
              |FROM terms""".stripMargin)),
 
     // ----- q116: KL divergence of each source's language mix from the
