@@ -259,5 +259,67 @@ object AnalyticsQueries {
              |  WHERE q.p_retailprice <= p.p_retailprice
              |    AND q.p_size >= p.p_size
              |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-             |ORDER BY p_partkey""".stripMargin)))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ----- q117: label centroids + inter-class cosine — "how separable
+    // are my classes in embedding space", the diagnostic read before
+    // trusting embedding-cosine dedup thresholds (q27) or IVF cells
+    // (q44). Centroid components and dot-product terms are BOTH
+    // quantized to 2^-40 integers (the q99 convention), so every
+    // value — centroid, norm, cosine — is bit-identical across
+    // engines and partition layouts; the oracle replays the identical
+    // integer arithmetic. Plan: one posexplode shuffle to (label,
+    // dim), label-sized frames after.
+    QueryDef(
+      "q117_label_centroids",
+      (s, d) => {
+        import s.implicits._
+        val Q = 1099511627776L      // 2^40
+        val dims = Tables.embeddings(s, d)
+          .select($"label", posexplode($"embedding"))
+          .toDF("label", "pos", "v")
+        val cent = dims.groupBy($"label", $"pos")
+          .agg(((sum(floor($"v".cast("double") * Q).cast("long")).cast("double") / Q)
+            / count(lit(1))).as("c"))
+        val pairsTerms = cent.as("a").join(cent.as("b"),
+            $"a.pos" === $"b.pos" && $"a.label" < $"b.label")
+          .select($"a.label".as("label_a"), $"b.label".as("label_b"),
+            floor($"a.c" * $"b.c" * Q).cast("long").as("dot_q"))
+        val norms = cent.groupBy($"label")
+          .agg((sum(floor($"c" * $"c" * Q).cast("long")).cast("double") / Q).as("n2"))
+        pairsTerms.groupBy($"label_a", $"label_b")
+          .agg((sum($"dot_q").cast("double") / Q).as("dot"))
+          .join(norms.select($"label".as("label_a"), $"n2".as("na")), "label_a")
+          .join(norms.select($"label".as("label_b"), $"n2".as("nb")), "label_b")
+          .select($"label_a", $"label_b",
+            (floor($"dot" / (sqrt($"na") * sqrt($"nb")) * 10000 + 0.5) / 10000)
+              .as("cos"))
+          .orderBy($"label_a", $"label_b")
+      },
+      Some("""WITH dims AS (
+             |  SELECT label, unnest(embedding) AS v,
+             |    unnest(list_transform(range(0, len(embedding)), x -> x)) AS pos
+             |  FROM embeddings),
+             |cent AS (
+             |  SELECT label, pos,
+             |    CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1099511627776) AS BIGINT))
+             |      AS DOUBLE) / 1099511627776 / count(*) AS c
+             |  FROM dims GROUP BY 1, 2),
+             |dots AS (
+             |  SELECT a.label AS label_a, b.label AS label_b,
+             |    CAST(SUM(CAST(floor(a.c * b.c * 1099511627776) AS BIGINT))
+             |      AS DOUBLE) / 1099511627776 AS dot
+             |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+             |  GROUP BY 1, 2),
+             |norms AS (
+             |  SELECT label,
+             |    CAST(SUM(CAST(floor(c * c * 1099511627776) AS BIGINT))
+             |      AS DOUBLE) / 1099511627776 AS n2
+             |  FROM cent GROUP BY 1)
+             |SELECT label_a, label_b,
+             |  floor(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000 + 0.5) / 10000 AS cos
+             |FROM dots
+             |JOIN norms na ON dots.label_a = na.label
+             |JOIN norms nb ON dots.label_b = nb.label
+             |ORDER BY label_a, label_b""".stripMargin)))
 }
