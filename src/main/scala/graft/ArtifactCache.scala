@@ -26,9 +26,11 @@ object ArtifactCache {
 
   /** Cache path for `kind` derived from dataset `src` under `params`.
     *
-    * The content stamp is computed over the LISTED DATA FILES (count +
-    * total size + max mtime): a parquet dataset path can be a
-    * directory, whose own size/mtime say nothing about content. A
+    * The content stamp is computed over the data files of the WHOLE
+    * TREE (count + total size + max mtime): a parquet dataset path can
+    * be a directory — and a PARTITIONED dataset keeps its files under
+    * `key=value/` subdirectories, so a top-level-only listing would see
+    * zero files and defeat the cache on every call. A
     * missing/unreadable source is a CACHE MISS (unique stamp), never a
     * stable key that would reuse a stale artifact. Cold sibling
     * entries of the same kind (>24 h untouched) are pruned so
@@ -38,8 +40,11 @@ object ArtifactCache {
     val stamp =
       try {
         val files: Seq[Path] =
-          if (Files.isDirectory(src))
-            listDir(src)(_.filter(Files.isRegularFile(_)).toSeq)
+          if (Files.isDirectory(src)) {
+            val s = Files.walk(src)
+            try s.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+            finally s.close()
+          }
           else if (Files.isRegularFile(src)) Seq(src)
           else Seq.empty
         if (files.isEmpty) s"miss-${java.util.UUID.randomUUID()}"

@@ -34,5 +34,6 @@ object QueryDef {
       queries.QualityQueries.defs ++
       queries.AnalyticsQueries.defs ++
       queries.SurfaceQueries.defs ++
-      queries.BusinessQueries.defs
+      queries.BusinessQueries.defs ++
+      queries.ClusterQueries.defs
 }

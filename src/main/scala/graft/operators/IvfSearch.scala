@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** IVF (inverted-file) approximate nearest-neighbor search — the
   * data-adaptive complement to [[AnnSearch]]'s hyperplane LSH.
   *
-  * Train: a deterministic k-means coarse quantizer on a seeded sample
-  * (driver-side Lloyd iterations — the centroid table is tiny; the
-  * DATA never leaves executors except the bounded sample). Index:
+  * Train: a deterministic k-means coarse quantizer — seed centroids
+  * from a bounded hash-ordered sample, then DISTRIBUTED Lloyd
+  * iterations over the full table ([[KMeans.lloydStep]]: the centroid
+  * table is tiny; the DATA never leaves executors except the k seed
+  * candidates). Index:
   * every vector assigned to its nearest centroid cell (narrow map,
   * no shuffle; centroids ride the closure as a broadcast-sized
   * array). Search: rank cells by centroid distance to the query,
@@ -49,10 +51,17 @@ object IvfSearch {
       }
   }
 
-  /** Deterministic training: seeded sample to the driver (bounded by
-    * `sampleSize`), k-means++-free init (first k distinct sampled
-    * vectors), fixed Lloyd iteration count — same inputs, same model,
-    * on every run and every cluster.
+  /** Deterministic DISTRIBUTED training: init from a seeded
+    * hash-ordered sample (bounded by `sampleSize` — only the k seed
+    * CANDIDATES ever reach the driver; sampling more than k lets the
+    * distinct-filter skip duplicate vectors), then `iterations` full
+    * Lloyd passes over the WHOLE table via [[KMeans.lloydStep]] — a
+    * broadcast-assign narrow map plus a treeAggregate of quantized
+    * per-cell (count, Σvec) longs per pass. Same inputs, same model,
+    * on every run, every partition layout, and every cluster: the
+    * quantized-integer accumulation makes the recurrence exactly
+    * order-free (KMeans scaladoc), where the previous driver-side
+    * sample trainer saw only `sampleSize` rows of the corpus.
     */
   def train(
       spark: SparkSession,
@@ -70,25 +79,15 @@ object IvfSearch {
       .limit(sampleSize)
       .collect()
     require(sample.nonEmpty, "cannot train IVF on an empty table")
-    val dim = sample.head.length
-    var centroids = sample.distinctBy(_.toSeq).take(k).map(_.clone())
-    var iter = 0
-    while (iter < iterations) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      val m = IvfModel(centroids)
-      sample.foreach { v =>
-        val c = m.nearestCell(v)
-        counts(c) += 1
-        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
-        else sums(c).map(x => (x / counts(c)).toFloat)
-      }.toArray
-      iter += 1
-    }
-    IvfModel(centroids)
+    var model = KMeans.Model(
+      sample.distinctBy(_.toSeq).take(k).map(_.map(_.toDouble)))
+    val vecs = embs.select(col(vecCol)).as[Array[Float]].rdd
+    vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var iter = 0
+      while (iter < iterations) { model = KMeans.lloydStep(vecs, model); iter += 1 }
+    } finally vecs.unpersist(blocking = false)
+    IvfModel(model.centroids.map(_.map(_.toFloat)))
   }
 
   /** Materialize the cell assignment. At scale, write the result

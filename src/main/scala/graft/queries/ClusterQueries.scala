@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{KMeans, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering + semantic dedup (SURVEY §2.12): the
+  * distributed k-means primitive (operators.KMeans) declared as
+  * oracle-checked queries. The oracle REPLAYS the full Lloyd
+  * recurrence in SQL — init by the portable hash, every iteration's
+  * quantized-integer assignment and centroid update unrolled as CTE
+  * pairs — so the cluster assignments are checked value-for-value, not
+  * just shape-checked. That is only possible because every step of the
+  * trainer is exact integer arithmetic (KMeans scaladoc); a float
+  * k-means could never hash-match across engines.
+  */
+object ClusterQueries {
+
+  private val K = 8
+  private val Iters = 4
+  private val Salt = 118L
+
+  /** CTE chain shared by q118/q119: dims (exploded components), init
+    * (portable-hash seed rows), cent0..centN / a0..aN (the unrolled
+    * Lloyd recurrence — aI assigns against centI, uI re-aggregates,
+    * centI+1 coalesces empty cells back to their previous centroid).
+    * The final `a$Iters` is the converged assignment both queries
+    * read.
+    */
+  private def lloydCtes(k: Int, iters: Int, salt: Long): String = {
+    val frac = Sampling.hashFractionSql("vec_id", salt)
+    val header =
+      s"""WITH dims AS (
+         |  SELECT vec_id, unnest(embedding) AS v,
+         |    unnest(list_transform(range(0, len(embedding)), x -> x)) AS pos
+         |  FROM embeddings),
+         |init AS (
+         |  SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY $frac, vec_id) AS rn
+         |    FROM embeddings) WHERE rn <= $k),
+         |cent0 AS (
+         |  SELECT i.cell, d.pos, CAST(d.v AS DOUBLE) AS c
+         |  FROM init i JOIN dims d ON i.vec_id = d.vec_id)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, CAST(min(ord) % $k AS INT) AS cell FROM (
+         |    SELECT d.vec_id, c.cell,
+         |      SUM(CAST(floor((CAST(d.v AS DOUBLE) - c.c) * (CAST(d.v AS DOUBLE) - c.c)
+         |                     * ${KMeans.DistQuantum}) AS BIGINT)) * $k + c.cell AS ord
+         |    FROM dims d JOIN cent$i c ON d.pos = c.pos
+         |    GROUP BY d.vec_id, c.cell)
+         |  GROUP BY vec_id),
+         |u$i AS (
+         |  SELECT a.cell, d.pos,
+         |    CAST(SUM(CAST(floor(CAST(d.v AS DOUBLE) * ${KMeans.SumQuantum}) AS BIGINT))
+         |      AS DOUBLE) / count(*) / ${KMeans.SumQuantum} AS c
+         |  FROM a$i a JOIN dims d ON a.vec_id = d.vec_id
+         |  GROUP BY a.cell, d.pos),
+         |cent${i + 1} AS (
+         |  SELECT p.cell, p.pos, COALESCE(u.c, p.c) AS c
+         |  FROM cent$i p LEFT JOIN u$i u ON p.cell = u.cell AND p.pos = u.pos)""".stripMargin
+    }
+    val finalAssign =
+      s"""a$iters AS (
+         |  SELECT vec_id, CAST(min(ord) % $k AS INT) AS cell FROM (
+         |    SELECT d.vec_id, c.cell,
+         |      SUM(CAST(floor((CAST(d.v AS DOUBLE) - c.c) * (CAST(d.v AS DOUBLE) - c.c)
+         |                     * ${KMeans.DistQuantum}) AS BIGINT)) * $k + c.cell AS ord
+         |    FROM dims d JOIN cent$iters c ON d.pos = c.pos
+         |    GROUP BY d.vec_id, c.cell)
+         |  GROUP BY vec_id)""".stripMargin
+    (header +: steps :+ finalAssign).mkString(",\n")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ----- q118: distributed k-means cluster assignments — portable-
+    // hash init, 4 full-table Lloyd iterations, every arithmetic step
+    // quantized-exact so the DuckDB oracle replays the identical
+    // recurrence (unrolled CTEs) and the assignment hash-matches.
+    QueryDef(
+      "q118_kmeans_clusters",
+      (s, d) => {
+        import s.implicits._
+        val embs = Tables.embeddings(s, d)
+        val model = KMeans.train(embs, "vec_id", "embedding", K, Iters, Salt)
+        val assigned = KMeans.assignCells(embs, "vec_id", "embedding", model)
+          .select($"vec_id", $"cell")
+        val sizes = assigned.groupBy($"cell")
+          .agg(count(lit(1)).as("cell_size"))
+        assigned.join(sizes, "cell")
+          .select($"vec_id", $"cell", $"cell_size")
+          .orderBy($"vec_id")
+      },
+      Some(
+        s"""${lloydCtes(K, Iters, Salt)}
+           |SELECT a.vec_id, a.cell, s.cell_size
+           |FROM a$Iters a JOIN (
+           |  SELECT cell, CAST(count(*) AS BIGINT) AS cell_size
+           |  FROM a$Iters GROUP BY cell) s ON a.cell = s.cell
+           |ORDER BY a.vec_id""".stripMargin)),
+
+    // ----- q119: SemDeDup semantic near-dup pairs — exact grid cosine
+    // join WITHIN the q118 cells (Σ n_cell² instead of n²; the
+    // clustering is the recall trade SemDeDup makes). Oracle: replay
+    // the assignment, then all-pairs cosine within cells.
+    QueryDef(
+      "q119_semantic_dedup",
+      (s, d) => {
+        import s.implicits._
+        KMeans.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+            K, Iters, threshold = 0.4, salt = Salt)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(
+        s"""${lloydCtes(K, Iters, Salt)}
+           |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |  round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+           |                               CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+           |FROM a$Iters x JOIN a$Iters y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           |JOIN embeddings ea ON ea.vec_id = x.vec_id
+           |JOIN embeddings eb ON eb.vec_id = y.vec_id
+           |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+           |                             CAST(eb.embedding AS DOUBLE[])) > 0.4
+           |ORDER BY id_a, id_b""".stripMargin)))
+}

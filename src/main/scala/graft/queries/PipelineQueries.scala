@@ -165,7 +165,7 @@ object PipelineQueries {
         import s.implicits._
         import graft.operators.IvfSearch
         val (index, model) = IvfSearch.persistedIndex(s, Tables.embeddings(s, d),
-          "vec_id", "embedding", indexPath("ivf", d, "k16-it10-seed42"), k = 16)
+          "vec_id", "embedding", indexPath("ivf", d, "k16-it10-seed42-dtrain"), k = 16)
         IvfSearch.search(index, "vec_id", "embedding",
             queryVec.map(_.toFloat).toArray, k = 5, model, nProbe = 6)
           .select($"vec_id", round($"sim", 6).as("sim"))
