@@ -103,13 +103,15 @@ object Boilerplate {
     * Gopher-style repetition filter (Rae et al., "Scaling Language
     * Models", 2021, §A1.1: duplicate-n-gram fraction): a looping
     * generator or scraped chrome repeats itself long before it trips a
-    * corpus-frequency threshold. Pure per-row Catalyst (two array ops
-    * and a division) — no shuffle, no corpus pass; r4-rounded for the
-    * cross-engine gate. Documents with < n tokens score 0.
+    * corpus-frequency threshold. One single-pass codegen scalar
+    * ([[graft.functions.RepetitionScore]] — no gram-array
+    * materialization; the composed `ngrams`/`array_distinct` form
+    * built three arrays per row to read two lengths) — no shuffle, no
+    * corpus pass; r4-rounded for the cross-engine gate. Documents with
+    * < n tokens score 0.
     */
   def repetitionRatio(textCol: Column, n: Int): Column = {
-    val g = ngrams(textCol, n)
-    when(size(g) === 0, lit(0.0))
-      .otherwise(r4(lit(1.0) - size(array_distinct(g)).cast("double") / size(g)))
+    graft.functions.RepetitionScore.register(org.apache.spark.sql.SparkSession.active)
+    graft.functions.RepetitionScore.repetition_score(textCol, n)
   }
 }
