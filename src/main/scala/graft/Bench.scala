@@ -114,7 +114,12 @@ object Bench {
     // count(), which let Catalyst prune most of each plan (see once());
     // noop-sink timings are HIGHER for the same code because they
     // finally measure the whole declared query — not a regression.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop",""" +
+    // a BENCH_ONLY-filtered run is labeled partial so its total can
+    // never be mistaken for a full-suite number in round comparisons
+    val partial = only.map(f =>
+      s""""partial":true,"filter":"${f.mkString(",")}","n_queries":${results.size},""")
+      .getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop",$partial""" +
       s""""queries":${jmap(_.cold.toString)},""" +
       s""""queries_warm":${jmap(_.warm.toString)},""" +
       s""""shuffle_bytes":${jmap(_.bytes.toString)},""" +

@@ -18,6 +18,10 @@ object Par {
   def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df    // micro-batch sizing is the stream's own concern
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    // the SCAN partition count, not the file count: maxPartitionBytes
+    // coalesces many small files into few splits (measured: a 32-file
+    // 272 KB artifact scanned as ONE partition, serializing the whole
+    // downstream signature stage on one task)
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

@@ -364,7 +364,8 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.7,
       bucketCap: Int = 10000,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      pretokenized: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     require(hasher.numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = hasher.numHashes / bands
@@ -373,11 +374,21 @@ object Dedup {
 
     // tokens hashed to 64 bits ONCE per row, shared by signature
     // computation and exact verification (identical feature set by
-    // construction)
-    val toks = graft.Par.spread(df.select(col(idCol).cast("long").as("id"), col(textCol)))
-      .select(col("id"),
-        sort_array(array_distinct(transform(
-          TextFunctions.tokens(col(textCol)), t => xxhash64(t)))).as("toks"))
+    // construction). `pretokenized` (idCol + `toks` =
+    // sort_array(array_distinct(transform(tokens(text), xxhash64))),
+    // i.e. THIS select, materialized) lets several set-similarity
+    // operators over one corpus share a single tokenization pass —
+    // long arrays decode far cheaper from parquet than the raw text
+    // re-split (and than string-token arrays).
+    val toks = (pretokenized match {
+      case Some(pt) =>
+        graft.Par.spread(pt.select(col(idCol).cast("long").as("id"), col("toks")))
+      case None =>
+        graft.Par.spread(df.select(col(idCol).cast("long").as("id"), col(textCol)))
+          .select(col("id"),
+            sort_array(array_distinct(transform(
+              TextFunctions.tokens(col(textCol)), t => xxhash64(t)))).as("toks"))
+    })
       .withColumn("nt", size(col("toks")))
       .persist()                    // band-keys + two verify joins; lifetime = returned plan's
 

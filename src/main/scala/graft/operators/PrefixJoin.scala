@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape:
   *  - the global order is a VOCABULARY-sized artifact (one df
-  *    aggregate); ranking uses a single window here — at a 100M-term
-  *    vocabulary build it with sort + zipWithIndex instead (same
-  *    contract, no single-partition window);
+  *    aggregate), ranked by sort + zipWithIndex — contiguous global
+  *    ordinals with NO single-partition window (plan-pinned in
+  *    PlanAuditSpec);
   *  - token→rank translation is a broadcast join on the exploded
   *    stream, re-grouped with sort_array (ranks are ints, so the
   *    verify merge compares longs, not strings);
@@ -42,7 +42,8 @@ object PrefixJoin {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      pretokenized: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     graft.functions.SortedIntersectCount.register(spark)
@@ -50,17 +51,46 @@ object PrefixJoin {
 
     // id kept in its NATIVE type (string ids are legal, as in
     // Dedup.jaccardPairs) — a long cast would NULL non-numeric ids
-    // and silently collapse the corpus into one NULL-keyed group
-    val toks = graft.Par.spread(docs.select(col(idCol).as("id"), col(textCol)))
-      .select($"id",
-        explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("tok"))
+    // and silently collapse the corpus into one NULL-keyed group.
+    // `pretokenized` (idCol + `toks` = sorted distinct xxhash64 token
+    // arrays, the minhashPairsExact contract) shares one materialized
+    // tokenization pass across the corpus's set-similarity operators
+    // (q28/q78 read the same artifact). Hashed tokens are a valid
+    // feature set here: the prefix lemma needs only SOME fixed total
+    // order over features, and df/rarity ranks of hashed tokens equal
+    // those of the strings up to vanishing 64-bit collisions (the
+    // same p < 1e-11/pair bound minhashPairsExact documents).
+    val toks = pretokenized match {
+      case Some(pt) =>
+        graft.Par.spread(pt.select(col(idCol).as("id"), col("toks")))
+          .select($"id", explode($"toks").as("tok"))
+      case None =>
+        graft.Par.spread(docs.select(col(idCol).as("id"), col(textCol)))
+          .select($"id",
+            explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("tok"))
+    }
 
     // global rarity order: df ascending, token as tie-break → one
-    // unique int rank per vocabulary term
-    val rank = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"df", $"tok")).cast("long"))
-      .select($"tok", $"r")
+    // unique long rank per vocabulary term. sort + zipWithIndex, NOT
+    // an unpartitioned row_number window: the sorted frame stays
+    // range-partitioned and zipWithIndex numbers it contiguously
+    // across partitions (partition order = range order), so the
+    // vocabulary-sized ranking never serializes on one task — at a
+    // 100M-term vocabulary the window form is a single-partition
+    // bottleneck. (zipWithIndex runs its partition-size job at build
+    // time; Bench times construction, so the cost stays measured.)
+    // Row-generic so `tok` may be a string or a hashed long.
+    val sortedVocab = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .sort($"df", $"tok")
+      .select($"tok")
+    val rank = spark.createDataFrame(
+      sortedVocab.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row(row.get(0), i + 1L)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        sortedVocab.schema("tok"),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.LongType, nullable = false))))
 
     // per-doc rank array, ascending = rarest-first; prefix size
     // p = nt − ceil(t·nt) + 1

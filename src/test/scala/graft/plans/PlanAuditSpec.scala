@@ -86,6 +86,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.forall(w => "\\]\\s*,\\s*\\[".r.findAllIn(w).length >= 2), windows.mkString("\n"))
   }
 
+  test("q78 prefix join: vocabulary ranking has no single-partition window") {
+    // the global-rarity rank is sort + zipWithIndex; a regression back
+    // to row_number().over(Window.orderBy(...)) would re-introduce the
+    // one-task vocabulary bottleneck — assert NO Window node at all
+    val plan = executed("q78_prefix_jaccard")
+    assert(!plan.contains("Window ["), plan.linesIterator
+      .filter(_.contains("Window")).mkString("\n"))
+  }
+
   test("q31 native cosine stays inside whole-stage codegen") {
     val plan = executed("q31_cosine_native")
     // the compact tree prints codegen stages as "*(N) Op" — the
