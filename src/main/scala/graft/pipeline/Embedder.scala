@@ -60,3 +60,70 @@ final case class HashingEmbedder(dim: Int = 64, seed: Int = 42) extends Embedder
     v(bucket) += sign
   }
 }
+
+/** Production endpoint client over `java.net.http` + the Jackson that
+  * ships with Spark (no added dependency) — the embed-side counterpart
+  * of [[HttpFetcher]], mirroring the reference's model-serving call
+  * (`03-model-inference-on-chunks.py:96-109`, POST
+  * `{"input": [texts...]}` → `{"data": [{"embedding": [...]}, ...]}`,
+  * the serving protocol of its `databricks-bge-large-en` endpoint).
+  *
+  * Failure contract (the U1/U2 null discipline): a failed REQUEST —
+  * timeout, non-200, malformed/mis-sized response — yields a null
+  * vector per affected text, never a throw that would kill the task
+  * over one bad batch; rows stay aligned with inputs. Batches larger
+  * than `batchCap` are re-split defensively (the endpoint rejects
+  * >150, ref `:102-104`), though `Inference.embedChunks` already
+  * groups upstream.
+  *
+  * One client per embedder instance per executor (`@transient lazy`,
+  * rebuilt after deserialization) — the per-worker session the
+  * reference gets from module scope.
+  */
+final case class HttpEmbedder(
+    endpoint: String,
+    dim: Int = 64,
+    batchCap: Int = 150,
+    connectTimeoutMs: Long = 10000,
+    requestTimeoutMs: Long = 60000) extends Embedder {
+  import java.net.URI
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+  require(dim > 0)
+  require(batchCap > 0)
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+    .build()
+
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def embed(texts: Seq[String]): Seq[Array[Float]] =
+    texts.grouped(batchCap).flatMap(embedBatch).toSeq
+
+  private def embedBatch(batch: Seq[String]): Seq[Array[Float]] =
+    tryEmbedBatch(batch).getOrElse(Seq.fill(batch.size)(null))
+
+  /** One POST for one ≤batchCap batch; None on any failure. */
+  def tryEmbedBatch(batch: Seq[String]): Option[Seq[Array[Float]]] = scala.util.Try {
+    val payload = mapper.createObjectNode()
+    val arr = payload.putArray("input")
+    batch.foreach(t => arr.add(if (t == null) "" else t))
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(payload)))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200) sys.error(s"HTTP ${resp.statusCode()} from $endpoint")
+    val data = mapper.readTree(resp.body()).path("data")
+    require(data.isArray && data.size() == batch.size,
+      s"endpoint returned ${data.size()} embeddings for ${batch.size} inputs")
+    (0 until data.size()).map { i =>
+      val e = data.get(i).path("embedding")
+      require(e.isArray && e.size() == dim,
+        s"embedding $i has ${e.size()} dims, expected $dim")
+      Array.tabulate(dim)(j => e.get(j).floatValue())
+    }
+  }.toOption
+}
