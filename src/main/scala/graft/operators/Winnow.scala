@@ -93,8 +93,10 @@ object Winnow {
     * winnowing guarantee makes that exact for passages ≥ w+k−1
     * chars), capped per fingerprint by the shared star-linking
     * machinery; the sorted-merge intersect verifies exactly.
-    * Not SQL-mirrorable (the rolling hash) → spec-checked, including
-    * the winnowing guarantee itself.
+    * Oracle-checked (q120): the winnowed VALUE set is tie-rule-
+    * insensitive, so DuckDB replays the mod-(2^61−1) polynomial
+    * hashes in HUGEINT arithmetic and re-winnows with windowed
+    * least(); the spec additionally pins the winnowing guarantee.
     */
   def winnowPairs(
       spark: SparkSession,
@@ -123,6 +125,10 @@ object Winnow {
       .withColumn("inter", sorted_intersect_count($"fps_a", $"fps_b").cast("double"))
       .withColumn("containment", $"inter" / least($"nf_a", $"nf_b"))
       .filter($"containment" >= minContainment)
-      .select($"id_a", $"id_b", round($"containment", 4).as("containment"))
+      // r4 floor convention, not round(): containment is a small-
+      // denominator rational (e.g. 1/32), where Spark HALF_UP and
+      // DuckDB half-even disagree on the .xxxx5 boundary
+      .select($"id_a", $"id_b",
+        graft.functions.TextFunctions.r4($"containment").as("containment"))
   }
 }

@@ -339,6 +339,76 @@ object DedupQueries {
              |FROM t a JOIN t b ON a.doc_id < b.doc_id
              |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
              |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.7
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----- q120: winnowed-fingerprint passage-overlap pairs (the MOSS
+    // algorithm, operators.Winnow) over an id-hash-sampled sub-corpus,
+    // FULLY oracle-checked: the winnowed fingerprint SET is order-
+    // insensitive (the rightmost-tie rule picks an index, not a
+    // value), so DuckDB replays the exact mod-(2^61−1) polynomial
+    // k-gram hashes in HUGEINT arithmetic and re-winnows with
+    // windowed least() — value-identical to the Scala rolling-hash
+    // implementation (the corpus is ASCII, so charAt == unicode()).
+    QueryDef(
+      "q120_winnow_pairs",
+      (s, d) => {
+        import s.implicits._
+        val sub = Tables.documents(s, d)
+          .filter(graft.operators.Sampling.hashFraction($"doc_id", 120L) < 0.25)
+        graft.operators.Winnow.winnowPairs(s, sub, "doc_id", "text",
+            minContainment = 0.3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(winnowOracleSql(k = 8, w = 4, salt = 120L, rate = "0.25",
+        minContainment = "0.3")))
   )
+
+  /** DuckDB replay of [[graft.operators.Winnow.Winnower]] — the
+    * polynomial rolling hash as direct k-term polynomials (HUGEINT
+    * keeps every product exact below 2^81 where BIGINT would trap),
+    * then per-window least() + list_distinct ≡ the winnowed value set.
+    */
+  private def winnowOracleSql(
+      k: Int, w: Int, salt: Long, rate: String, minContainment: String): String = {
+    val P = BigInt("2305843009213693951")  // 2^61 − 1, Winnower.prime
+    val B = BigInt(1000003)                // Winnower.base
+    // k-gram hash at 1-based position i: Σ_j cs[i+j]·B^{k−1−j} mod P
+    val terms = (0 until k).map { j =>
+      val pow = B.modPow(BigInt(k - 1 - j), P)
+      if (j == k - 1) s"cs[i+$j]" else s"cs[i+$j] * $pow"
+    }.mkString(" + ")
+    val wins = (0 until w).map(o => s"hs[s+$o]").mkString("least(", ", ", ")")
+    val frac = graft.operators.Sampling.hashFractionSql("doc_id", salt)
+    s"""WITH sub AS (
+       |  SELECT doc_id, text FROM documents WHERE $frac < $rate),
+       |codes AS (
+       |  -- empty/null texts yield no fingerprints and are dropped on
+       |  -- the Spark side (nf > 0); mirror before list_reduce, which
+       |  -- errors on an empty list
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cs
+       |  FROM sub WHERE length(text) > 0),
+       |hashed AS (
+       |  SELECT doc_id, n, cs,
+       |    CASE WHEN n >= $k THEN
+       |      list_transform(range(1, n - ${k - 2}), i -> ($terms) % $P)
+       |    END AS hs
+       |  FROM codes),
+       |fps AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN n < $k THEN [list_reduce(cs, (h, c) -> (h * $B + c) % $P)]
+       |      WHEN n - ${k - 1} < $w THEN [list_min(hs)]
+       |      ELSE list_distinct(list_transform(range(1, n - ${k + w - 3}), s -> $wins))
+       |    END AS f
+       |  FROM hashed),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.f, b.f)) * 1.0 / least(len(a.f), len(b.f)) AS c
+       |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  floor(c * 10000 + 0.5) / 10000 AS containment
+       |FROM pairs WHERE c >= $minContainment
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

@@ -131,5 +131,76 @@ object QualityQueries {
              |SELECT doc_id, count(*) AS n_tokens,
              |  floor(avg(-ln(p)) * 10000 + 0.5) / 10000 AS avg_nll
              |FROM words JOIN probs USING (word)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- q121: PII redaction (operators.Redact) over a PLANTED
+    // VALUES table — the fixture corpus is word-soup with no PII
+    // (a documented true negative), so the oracle row comes from
+    // literal rows mirrored verbatim on both sides. Patterns are
+    // RE2-compatible by design (Redact scaladoc), so Java regex
+    // (Spark) and RE2 (DuckDB) agree; the oracle SQL and the planted
+    // rows are both GENERATED from Redact.patterns / plantedPii — one
+    // source of truth, no transcription drift.
+    QueryDef(
+      "q121_redact",
+      (s, _) => {
+        import s.implicits._
+        plantedPii.toDF("pii_id", "txt")
+          .select($"pii_id",
+            graft.operators.Redact.scrub($"txt").as("scrubbed"),
+            graft.operators.Redact.counts($"txt").as("c"))
+          .select(Seq($"pii_id", $"scrubbed") ++
+            graft.operators.Redact.patterns.map { case (n, _, _) =>
+              col(s"c.n_$n").cast("long").as(s"n_$n")
+            }: _*)
+          .orderBy($"pii_id")
+      },
+      Some(redactOracleSql)))
+
+  /** Planted PII rows (no single quotes — they embed in SQL literals
+    * verbatim): one shape per pattern, the URL-masks-embedded-email
+    * ordering case, multiples per row, a too-short digit run that
+    * must NOT match, a no-PII row, and a null.
+    */
+  private val plantedPii: Seq[(Long, String)] = Seq(
+    1L -> "contact alice.smith+spam@example.co.uk today",
+    2L -> "see https://example.com/a?b=c#f and http://foo.bar/baz",
+    3L -> "servers 192.168.0.1 and 10.0.0.255 rebooted",
+    4L -> "call +1 (415) 555-0199 or 555 867 5309 now",
+    5L -> "https://x.io/mail?to=bob@x.io hides the address",
+    6L -> "mix a@b.cc ip 1.2.3.4 url https://q.z tel 0123456789",
+    7L -> "digits 12-34-56 are too short to be a phone",
+    8L -> "nothing sensitive here",
+    9L -> null.asInstanceOf[String])
+
+  /** VALUES + regexp replay generated from the SAME pattern list the
+    * operator folds over: scrub = chained global regexp_replace;
+    * count_i runs against the text with EARLIER patterns already
+    * masked (the attribution order Redact.counts documents). DuckDB
+    * needs the explicit global flag — its regexp_replace defaults to
+    * first-match-only, where Spark always replaces all.
+    */
+  private def redactOracleSql: String = {
+    val pats = graft.operators.Redact.patterns
+    val values = plantedPii.map { case (id, t) =>
+      val lit = if (t == null) "NULL" else s"'$t'"
+      s"(CAST($id AS BIGINT), $lit)"
+    }.mkString(",\n       ")
+    val scrub = pats.foldLeft("txt") { case (e, (_, p, r)) =>
+      s"regexp_replace($e, '$p', '$r', 'g')"
+    }
+    val counts = pats.zipWithIndex.map { case ((n, p, _), i) =>
+      val priorMasked = pats.take(i).foldLeft("coalesce(txt, '')") {
+        case (e, (_, pp, rr)) => s"regexp_replace($e, '$pp', '$rr', 'g')"
+      }
+      s"CAST(len(regexp_extract_all($priorMasked, '$p')) AS BIGINT) AS n_$n"
+    }.mkString(",\n  ")
+    s"""WITH planted(pii_id, txt) AS (VALUES
+       |       $values)
+       |SELECT pii_id,
+       |  $scrub AS scrubbed,
+       |  $counts
+       |FROM planted
+       |ORDER BY pii_id""".stripMargin
+  }
 }
