@@ -9,14 +9,13 @@ import org.apache.spark.sql.functions._
   * chained?" — cliques mean template families, chains mean drifting
   * near-copies, and the two need different curation responses).
   *
-  * Triangles via the ORIENTED edge join (each undirected edge stored
-  * once as a < b): a triangle {x<y<z} is counted exactly once as the
-  * path x→y→z closed by x→z — no ×6 overcount, no post-dedup.
-  * Scale shape: two equi-joins on node keys; candidate volume is
-  * Σ_v d⁺(v)² over OUT-degrees, which the a<b orientation caps for
-  * the common skew (one hub node) since a hub's edges spread across
-  * its lower-id neighbors. The heavy-hitter refinement (orient by
-  * degree, not id) drops in without changing the contract.
+  * Triangles via the DEGREE-ORIENTED edge join (each undirected edge
+  * directed from its lower-(degree, id) endpoint): a triangle
+  * {x≺y≺z} is counted exactly once as the path x→y→z closed by
+  * x→z — no ×6 overcount, no post-dedup. Scale shape: two equi-joins
+  * on node keys; the orientation caps every out-degree at O(√m), so
+  * wedge candidates stay O(m^1.5) on ANY degree distribution — a
+  * power-law hub never pivots a wedge (see orientByDegree).
   */
 object GraphOps {
 
@@ -45,22 +44,61 @@ object GraphOps {
       .filter(col("a") < col("b"))
       .distinct()
 
+  /** Undirected degrees of the ORIENTED edge frame (one row per edge,
+    * endpoints in `a`/`b`). */
+  private def degrees(oriented: DataFrame): DataFrame =
+    oriented.select(col("a").as("v")).unionAll(oriented.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+
+  /** Each undirected edge directed from its LOWER-(degree, id)
+    * endpoint (u → w): the Chiba–Nishizeki / Latapy orientation. The
+    * out-degree of every vertex is then O(√m), so the wedge-candidate
+    * volume Σ_v d_in(v)·d_out(v) of the triangle join is O(m^1.5)
+    * REGARDLESS of degree skew — a hub's edges all point INTO it
+    * (its neighbors have lower degree), so no wedge ever pivots on
+    * the hub. Orientation by id alone leaves a mid-id hub with in×out
+    * ≈ deg²/4 candidates (measured in GraphOpsSpec). Triangle
+    * {x≺y≺z} under the (degree, id) total order appears exactly once
+    * as x→y, y→z closed by x→z — same single-count contract as the
+    * id orientation, so q77's output is invariant.
+    */
+  def orientByDegree(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = orient(edges, srcCol, dstCol)
+    val deg = degrees(e)
+    val sa = struct(col("da").as("d"), col("a").as("n"))
+    val sb = struct(col("db").as("d"), col("b").as("n"))
+    e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        least(sa, sb).getField("n").as("u"),
+        greatest(sa, sb).getField("n").as("w"))
+  }
+
   /** One row: (n_nodes, n_edges, n_triangles, global_clustering).
     * Global clustering = 3·triangles / wedges, where wedges =
     * Σ deg·(deg−1)/2 over undirected degrees; 0 when the graph has no
     * wedge at all.
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // reused by the triangle join (×3) and the degree pass; storage
-    // released by the caller's clearCache (the repo convention)
+    // reused by the degree pass, the degree-orientation joins, and the
+    // edge count; storage released by the caller's clearCache (the
+    // repo convention)
     val e = orient(edges, srcCol, dstCol).cache()
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+    val deg = degrees(e)
+    val sa = struct(col("da").as("d"), col("a").as("n"))
+    val sb = struct(col("db").as("d"), col("b").as("n"))
+    val dirE = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        least(sa, sb).getField("n").as("u"),
+        greatest(sa, sb).getField("n").as("w"))
+      .cache()                      // three self-join sides
+    val tri = dirE.as("e1")
+      .join(dirE.as("e2"), col("e1.w") === col("e2.u"))
+      .join(dirE.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.w") === col("e3.w"))
       .select(count(lit(1)).as("n_triangles"))
-    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // coalesce: SUM over zero rows is NULL, and NULL n_wedges would
     // slip past the ===0 guard below into a NULL clustering — the
     // empty graph must report the documented 0.0

@@ -32,6 +32,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(stats(Seq.empty) === ((0L, 0L, 0L, 0.0)))
   }
 
+  test("degree orientation collapses hub wedge candidates (skewed graph)") {
+    import spark.implicits._
+    // mid-id hub 500 joined to 0..999 (so ids straddle it), plus rim
+    // edges closing 100 triangles through the hub
+    val star = (0L until 1000L).filter(_ != 500L).map(v => (500L, v))
+    val rim = (0L until 100L).map(i => (2 * i, 2 * i + 1))
+    val edges = (star ++ rim).toDF("u", "v")
+
+    def wedgeCandidates(dirE: org.apache.spark.sql.DataFrame): Long =
+      dirE.as("e1").join(dirE.as("e2"), col("e1.w") === col("e2.u")).count()
+
+    // id orientation: the hub keeps in- AND out-edges → in×out ≈ deg²/4
+    val byId = GraphOps.orient(edges, "u", "v")
+      .select(col("a").as("u"), col("b").as("w"))
+    // degree orientation: every hub edge points INTO it → no hub wedge
+    val byDeg = GraphOps.orientByDegree(edges, "u", "v")
+    val (cid, cdeg) = (wedgeCandidates(byId), wedgeCandidates(byDeg))
+    assert(cid > 100000L, s"skew fixture lost its hub blowup (id-oriented: $cid)")
+    assert(cdeg < cid / 100, s"degree orientation: $cdeg vs id: $cid")
+
+    // and the count itself is unchanged by the orientation swap
+    val t = GraphOps.triangleStats(edges, "u", "v").head.getLong(2)
+    assert(t === 100L)
+  }
+
   test("pageRank: ranks sum to 1 and order follows centrality") {
     import spark.implicits._
     // star graph: hub 1 connected to 2..6, plus a detached edge 7–8
