@@ -14,13 +14,18 @@ import org.apache.spark.sql.functions._
   * per-partition init + bounded batches), because at 100 TB media
   * decode is "heavy fn, narrow map": no shuffle, document-per-task.
   *
-  * CODEC SEAM: real decoders (libjpeg/ffmpeg/…) are not available in
-  * this environment. [[MediaCodec]] is the drop-in boundary; the
-  * deterministic [[FakeCodec]] implements a tiny structured format
-  * ("GIMG" header + payload) so every piece of Spark plumbing —
-  * binary schema, header parsing into struct metadata, batched
-  * feature extraction, partition-shape invariance — is real and
-  * tested even though the codec itself is a stand-in.
+  * CODEC SEAM: [[MediaCodec]] is the drop-in boundary with two
+  * implementations. [[ImageIoCodec]] is a REAL still-image decoder
+  * (`javax.imageio` PNG/JPEG/GIF/BMP — JDK built-in, no added
+  * dependency): header-only dimension reads, luma-grid pixel
+  * features, PNG frame re-encode. The deterministic [[FakeCodec]]
+  * implements a tiny structured format ("GIMG" header + payload) for
+  * the ORACLE-CHECKED queries, whose DuckDB side must recompute
+  * header fields from first principles — so the Spark plumbing
+  * (binary schema, header parse into struct metadata, batched feature
+  * extraction, partition-shape invariance) is exercised by both a
+  * production codec and a cross-engine-checkable one. Video/audio
+  * containers (ffmpeg-class decoding) remain behind the same seam.
   */
 object Multimodal {
 
@@ -93,6 +98,99 @@ object Multimodal {
       bb.put("GIMG".getBytes("ASCII")).putInt(width).putInt(height).put(payload)
       bb.array()
     }
+  }
+
+  /** Real still-image codec over `javax.imageio` (JDK built-in PNG/
+    * JPEG/GIF/BMP readers — no added dependency): the production
+    * implementation behind the same [[MediaCodec]] seam the
+    * deterministic [[FakeCodec]] fills for oracle-checked queries.
+    *
+    *  - `decodeMeta` reads dimensions from the image HEADER
+    *    (`ImageReader.getWidth/getHeight` — no pixel decode), the
+    *    shape that matters when 100 TB of media flows through a
+    *    metadata-only audit;
+    *  - `features` decodes pixels once and pools mean luma
+    *    (ITU-R BT.601 weights) over a ⌈√dim⌉ grid, L2-normalized —
+    *    same output shape as FakeCodec and a vision embedding;
+    *  - frames: a still image is a 1-frame stream, but multi-image
+    *    containers (animated GIF) report their real frame count and
+    *    re-encode the requested frame as PNG bytes.
+    *
+    * Undecodable/null blobs degrade exactly like FakeCodec's contract:
+    * `valid=false` metadata, zero features, zero frames — bad media at
+    * scale is data, not an error.
+    */
+  final case class ImageIoCodec() extends MediaCodec {
+    import javax.imageio.ImageIO
+
+    /** Header-only reader access; None when no installed reader
+      * recognizes the bytes.
+      */
+    private def withReader[A](content: Array[Byte])(f: javax.imageio.ImageReader => A): Option[A] = {
+      if (content == null || content.length == 0) return None
+      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some(f(r)) finally r.dispose()
+        }
+      } catch { case _: Exception => None } finally iis.close()
+    }
+
+    override def decodeMeta(content: Array[Byte]): MediaMeta =
+      withReader(content)(r => MediaMeta(r.getWidth(0), r.getHeight(0),
+          content.length.toLong, valid = true))
+        .getOrElse(MediaMeta(-1, -1,
+          if (content == null) 0L else content.length.toLong, valid = false))
+
+    override def features(content: Array[Byte], dim: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      val img = withReader(content)(_.read(0)).orNull
+      if (img != null) {
+        val grid = math.ceil(math.sqrt(dim.toDouble)).toInt
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        var y = 0
+        while (y < h) {
+          val gy = y * grid / h
+          var x = 0
+          while (x < w) {
+            val cell = (gy * grid + x * grid / w) % dim
+            val rgb = img.getRGB(x, y)
+            val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            sums(cell) += luma
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < dim) {
+          if (counts(i) > 0) v(i) = (sums(i) / counts(i) / 255.0).toFloat
+          i += 1
+        }
+      }
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+      if (n > 0) { var j = 0; while (j < dim) { v(j) /= n; j += 1 } }
+      v
+    }
+
+    override def frameCount(content: Array[Byte]): Int =
+      withReader(content) { r =>
+        try r.getNumImages(true) catch { case _: Exception => 1 }
+      }.getOrElse(0)
+
+    override def frameAt(content: Array[Byte], idx: Int): Array[Byte] =
+      withReader(content) { r =>
+        val out = new java.io.ByteArrayOutputStream()
+        ImageIO.write(r.read(idx), "png", out)
+        out.toByteArray
+      }.getOrElse(Array.empty[Byte])
   }
 
   /** Parse binary headers into a typed metadata struct column.

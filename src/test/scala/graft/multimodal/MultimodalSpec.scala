@@ -63,4 +63,66 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-5)
     assert(f1(4L).forall(_ === 0.0f))   // empty payload → zero vector, no crash
   }
+
+  // ---------- real bytes through the same seam (ImageIoCodec) ----------
+
+  /** In-memory encoded image: left half dark, right half bright. */
+  private def realImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x101010 else 0xf0f0f0)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  private def realMediaDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "image", realImage(64, 48, "png")),
+      (2L, "image", realImage(20, 20, "jpg")),
+      (3L, "image", "definitely not an image".getBytes("UTF-8")),
+      (4L, "image", Array.empty[Byte])
+    ).toDF("media_id", "kind", "content")
+  }
+
+  test("ImageIoCodec: header-only metadata for real PNG/JPEG, invalid degrades like Fake") {
+    import spark.implicits._
+    val out = Multimodal.withMeta(spark, realMediaDf, Multimodal.ImageIoCodec())
+      .select($"media_id", $"meta.width", $"meta.height", $"meta.valid")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((64, 48, true)))
+    assert(out(2L) === ((20, 20, true)))
+    assert(out(3L) === ((-1, -1, false)))
+    assert(out(4L) === ((-1, -1, false)))
+  }
+
+  test("ImageIoCodec: luma-grid features see real pixels (q50/q54 feature path)") {
+    import spark.implicits._
+    val codec = Multimodal.ImageIoCodec()
+    val f = Multimodal.extractFeatures(spark, realMediaDf, codec, dim = 4, batchSize = 2)
+      .as[(Long, Array[Float])].collect().toMap
+    // dim=4 → 2×2 grid: right cells (bright) must dominate left cells
+    val v = f(1L)
+    assert(v(1) > v(0) * 3 && v(3) > v(2) * 3, v.toSeq.toString)
+    assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    assert(f(3L).forall(_ === 0.0f))     // undecodable → zero vector
+    // deterministic across partition layouts
+    val f2 = Multimodal.extractFeatures(spark, realMediaDf.repartition(4), codec,
+      dim = 4, batchSize = 32).as[(Long, Array[Float])].collect().toMap
+    f.foreach { case (id, vec) => assert(vec.toSeq === f2(id).toSeq) }
+  }
+
+  test("ImageIoCodec: still image is a 1-frame stream; frame round-trips as PNG") {
+    import spark.implicits._
+    val codec = Multimodal.ImageIoCodec()
+    val frames = Multimodal.sampleFrames(spark, realMediaDf, codec, maxFrames = 5)
+      .as[(Long, Int, Array[Byte])].collect()
+    assert(frames.map(f => (f._1, f._2)).toSet === Set((1L, 0), (2L, 0)))
+    // the sampled frame decodes back to the source dimensions
+    val frame1 = frames.find(_._1 == 1L).get._3
+    val meta = codec.decodeMeta(frame1)
+    assert(meta.valid && meta.width === 64 && meta.height === 48)
+  }
 }
