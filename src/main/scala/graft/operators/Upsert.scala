@@ -47,6 +47,12 @@ object Upsert {
     if (dup.nonEmpty) throw new IllegalArgumentException(
       s"updates contain duplicate $keyCol (e.g. ${dup.head.get(0)}); " +
         "MERGE semantics require one update row per key")
+    // a NULL-keyed delta row would sail through both joins (null never
+    // equals) and silently append as a null-keyed insert — Delta/
+    // Iceberg MERGE surfaces it; so do we, eagerly
+    if (updates.filter(col(keyCol).isNull).limit(1).collect().nonEmpty)
+      throw new IllegalArgumentException(
+        s"updates contain a NULL $keyCol; MERGE requires non-null merge keys")
     val dataCols = target.columns.filterNot(_ == keyCol).toSeq
     val ordered = keyCol +: dataCols
 

@@ -48,6 +48,17 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("a NULL merge key in the delta fails fast, never a silent null insert") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val updates = Seq((java.lang.Long.valueOf(2L), "b"), (null.asInstanceOf[java.lang.Long], "c"))
+      .toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsert(target, updates, "k")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("delta-sized updates broadcast: the target side never shuffles") {
     import spark.implicits._
     val target = (1L to 50000L).map(i => (i, s"n$i", i * 1.0)).toDF("k", "name", "v")
