@@ -840,6 +840,48 @@ object ScaleQueries {
              |  round(e.value, 2) AS value
              |FROM grid g ASOF LEFT JOIN ev e
              |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts
-             |ORDER BY g.user_id, grid_day""".stripMargin))
+             |ORDER BY g.user_id, grid_day""".stripMargin)),
+
+    // ----- q122: Bloom-pruned join (functions.BloomFilter) — the
+    // runtime-filter pattern for a selective dim side that is too big
+    // to broadcast as a hash relation: aggregate the dim keys into a
+    // fixed 128 KiB bit set (mergeable OR-monoid, map-side combined),
+    // broadcast THAT, and drop non-matching fact rows at the scan,
+    // BEFORE the join exchange moves them. The exact join downstream
+    // removes Bloom false positives, so the result is bit-identical
+    // to the unpruned plan — which is precisely what the oracle
+    // checks (it knows nothing of the Bloom stage). The exact join is
+    // pinned to sort-merge (`hint("merge")`) to model the
+    // non-broadcastable-dim scenario the filter exists for;
+    // BloomFilterSpec additionally pins no-false-negatives, the FP
+    // bound, and merge-layout invariance.
+    QueryDef(
+      "q122_bloom_prune_join",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.BloomFilter
+        val dim = Tables.customer(s, d)
+          .filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey")
+        val bloom = dim.agg(BloomFilter.sketch($"c_custkey").as("bf"))
+        val pruned = Tables.orders(s, d)
+          .join(broadcast(bloom)) // one-row bit set, broadcast to every scan task
+          .filter(BloomFilter.mightContainCol($"bf", $"o_custkey"))
+          .drop("bf")
+        pruned
+          .join(dim.hint("merge"), pruned("o_custkey") === dim("c_custkey"))
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(dec($"o_totalprice")).cast("double").as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }
