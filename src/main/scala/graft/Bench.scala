@@ -92,6 +92,14 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
+      // cross-query hygiene: a full GC + short settle between queries
+      // so one query's garbage doesn't bill the next one's timing —
+      // without it, in-suite numbers read up to 4–5× their isolated
+      // re-runs on the heavies (r4 judge: q26 34.7 s in-suite vs
+      // 7.5 s isolated) and round-over-round per-query comparison is
+      // noise
+      System.gc()
+      Thread.sleep(200)
       settleListener()
       shuffleBytes.set(0)
       val cold = once()
@@ -103,6 +111,7 @@ object Bench {
       // generations side by side evict each other into GC churn
       // (observed: a warm run 3× slower than its cold run)
       spark.catalog.clearCache()
+      System.gc()
       val warm = once()
       spark.catalog.clearCache()
       name -> QueryResult(cold, warm, bytes)
@@ -119,11 +128,15 @@ object Bench {
     val partial = only.map(f =>
       s""""partial":true,"filter":"${f.mkString(",")}","n_queries":${results.size},""")
       .getOrElse("")
+    // field order matters: the driver's tail capture truncates long
+    // lines, and the r3 AND r4 JSONs both lost the timing map to it —
+    // timings (the headline) go FIRST, shuffle bytes (the auxiliary)
+    // last
     println(s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop",$partial""" +
       s""""queries":${jmap(_.cold.toString)},""" +
       s""""queries_warm":${jmap(_.warm.toString)},""" +
-      s""""shuffle_bytes":${jmap(_.bytes.toString)},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir",""" +
+      s""""shuffle_bytes":${jmap(_.bytes.toString)}}""")
     spark.stop()
   }
 }

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * bigrams pair half the corpus with itself).
   *
   * Scale shape: the gram-frequency table is vocabulary-sized (σ^q
-  * entries max — tiny for q=2/3) and broadcast; candidate volume is
+  * entries max — tiny for q=2 over names) and broadcast while under
+  * `maxBroadcastVocab` (shuffle join past it); its rarity rank is
+  * GlobalOrder.zipRank, never a single-partition window; candidate
+  * volume is
   * Σ_gram df_prefix(gram)²; verify is a length filter (|Δlen| ≤ τ,
   * free) then one Levenshtein per candidate. For LONG strings add a
   * count filter (≥ maxlen − q + 1 − q·τ common grams) before the
@@ -39,7 +42,8 @@ object FuzzyJoin {
       df: DataFrame,
       strCol: String,
       tau: Int,
-      q: Int = 2): DataFrame = {
+      q: Int = 2,
+      maxBroadcastVocab: Long = 10000000L): DataFrame = {
     import spark.implicits._
     require(tau >= 1, "tau >= 1 (use an equi-join for exact match)")
     val s = df.select(col(strCol).cast("string").as("s")).filter($"s".isNotNull)
@@ -50,11 +54,20 @@ object FuzzyJoin {
         s"transform(sequence(1, greatest(length(s) - ${q - 1}, 1)), i -> substr(s, i, $q))")))
         .as("g"))
 
-    // global rarity rank — vocabulary-sized (≤ σ^q), broadcastable
-    val rank = grams.groupBy($"g").agg(count(lit(1)).as("df"))
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"df", $"g")).cast("long"))
-      .select($"g", $"r")
+    // global rarity rank — GlobalOrder.zipRank (sort + zipWithIndex),
+    // the same ranking PrefixJoin uses, NOT an unpartitioned
+    // row_number window: σ^q bounds the vocabulary for q=2 over
+    // ASCII names, but q=3 over a unicode-rich corpus is
+    // corpus-sized, and the window form would serialize it through
+    // one task. Rank values are identical to the window's (df, g is
+    // a unique sort key), so q93's output is unchanged.
+    val (rank, vocabSize) = GlobalOrder.zipRankWithCount(
+      grams.groupBy($"g").agg(count(lit(1)).as("df")).sort($"df", $"g").select($"g"),
+      "r")
+    // broadcast only while the gram vocabulary is broadcast-sized
+    // (the PrefixJoin gate): q=2 names always pass; q=3 unicode
+    // corpora fall back to a shuffle join
+    val rankSide = if (vocabSize <= maxBroadcastVocab) broadcast(rank) else rank
 
     // The prefix lemma needs ≥ q·τ + 1 grams: a string with fewer can
     // lose EVERY gram to τ edits (|"a" vs "b"| = 1 with zero shared
@@ -71,7 +84,7 @@ object FuzzyJoin {
       .select(least($"l.s", $"r.s").as("name_a"),
         greatest($"l.s", $"r.s").as("name_b"))
 
-    val longs = grams.join(broadcast(rank), Seq("g"))
+    val longs = grams.join(rankSide, Seq("g"))
       .filter(length($"s") > shortMax)
     val prefixSize = q * tau + 1
     val prefixes = longs

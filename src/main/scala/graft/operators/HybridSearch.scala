@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al.,
@@ -14,18 +13,22 @@ import org.apache.spark.sql.functions._
   * bounded — BM25 via aggregate pruning, vector via
   * TakeOrderedAndProject), so fusion operates on k-sized inputs —
   * a union + groupBy over ≤ Σk rows regardless of corpus size. The
-  * per-leg rank window is over those k rows, never the corpus.
+  * per-leg rank pass is over those k rows, never the corpus.
   */
 object HybridSearch {
 
   /** Attach 1-based ranks to a leg's results: highest `scoreCol`
-    * first, ties broken by id — input is a top-k list, so the single-
-    * partition rank window is k rows by construction.
+    * first, ties broken by id — input is a top-k list (k rows by
+    * construction), ranked by GlobalOrder.zipRank so no
+    * single-partition WindowExec appears anywhere in the fused plan
+    * (rank is a long; rrf arithmetic is unchanged).
     */
   def ranked(leg: DataFrame, idCol: String, scoreCol: String): DataFrame =
-    leg.select(col(idCol).as("id"),
-        row_number().over(
-          Window.orderBy(col(scoreCol).desc, col(idCol))).as("rank"))
+    GlobalOrder.zipRank(
+        leg.select(col(idCol).as("id"), col(scoreCol).as("__s"))
+          .sort(col("__s").desc, col("id")),
+        "rank")
+      .select(col("id"), col("rank"))
 
   /** Fuse ranked legs ((id, rank) each) into (id, rrf_score, n_legs),
     * top `k` by score (ties → id). `c` damps the head of each list

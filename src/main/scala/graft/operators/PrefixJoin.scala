@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   *    aggregate), ranked by sort + zipWithIndex — contiguous global
   *    ordinals with NO single-partition window (plan-pinned in
   *    PlanAuditSpec);
-  *  - token→rank translation is a broadcast join on the exploded
-  *    stream, re-grouped with sort_array (ranks are ints, so the
-  *    verify merge compares longs, not strings);
+  *  - token→rank translation joins the exploded stream — broadcast
+  *    while the vocabulary fits `maxBroadcastVocab`, shuffle join
+  *    past it (a 100M-term vocabulary is not broadcastable) —
+  *    re-grouped with sort_array (ranks are longs, so the verify
+  *    merge compares longs, not strings);
   *  - candidate volume is Σ_token df_prefix(token)², bounded by the
   *    rarity ordering; the verify stage is q28's exact sorted-merge.
   */
@@ -43,7 +45,8 @@ object PrefixJoin {
       idCol: String,
       textCol: String,
       threshold: Double,
-      pretokenized: Option[DataFrame] = None): DataFrame = {
+      pretokenized: Option[DataFrame] = None,
+      maxBroadcastVocab: Long = 10000000L): DataFrame = {
     import spark.implicits._
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     graft.functions.SortedIntersectCount.register(spark)
@@ -71,30 +74,33 @@ object PrefixJoin {
     }
 
     // global rarity order: df ascending, token as tie-break → one
-    // unique long rank per vocabulary term. sort + zipWithIndex, NOT
-    // an unpartitioned row_number window: the sorted frame stays
-    // range-partitioned and zipWithIndex numbers it contiguously
-    // across partitions (partition order = range order), so the
-    // vocabulary-sized ranking never serializes on one task — at a
-    // 100M-term vocabulary the window form is a single-partition
-    // bottleneck. (zipWithIndex runs its partition-size job at build
-    // time; Bench times construction, so the cost stays measured.)
-    // Row-generic so `tok` may be a string or a hashed long.
-    val sortedVocab = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
-      .sort($"df", $"tok")
-      .select($"tok")
-    val rank = spark.createDataFrame(
-      sortedVocab.rdd.zipWithIndex().map { case (row, i) =>
-        org.apache.spark.sql.Row(row.get(0), i + 1L)
-      },
-      org.apache.spark.sql.types.StructType(Seq(
-        sortedVocab.schema("tok"),
-        org.apache.spark.sql.types.StructField("r",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    // unique long rank per vocabulary term. GlobalOrder.zipRank (sort
+    // + zipWithIndex), NOT an unpartitioned row_number window: the
+    // sorted frame stays range-partitioned and zipWithIndex numbers
+    // it contiguously across partitions (partition order = range
+    // order), so the vocabulary-sized ranking never serializes on one
+    // task — at a 100M-term vocabulary the window form is a single-
+    // partition bottleneck. (zipWithIndex runs its partition-size job
+    // at build time; Bench times construction, so the cost stays
+    // measured.) Row-generic so `tok` may be a string or a hashed
+    // long.
+    val (rank, vocabSize) = GlobalOrder.zipRankWithCount(
+      toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+        .sort($"df", $"tok")
+        .select($"tok"),
+      "r")
+
+    // token→rank translation: broadcast the vocabulary ONLY while it
+    // is broadcast-sized (zipRankWithCount measured it for free) — a
+    // 100M-term vocabulary is a multi-GB relation, and an
+    // unconditional hint would force it onto every executor. Past the
+    // threshold the hint is dropped and the planner/AQE picks the
+    // shuffle join.
+    val rankSide = if (vocabSize <= maxBroadcastVocab) broadcast(rank) else rank
 
     // per-doc rank array, ascending = rarest-first; prefix size
     // p = nt − ceil(t·nt) + 1
-    val ranked = toks.join(broadcast(rank), Seq("tok"))
+    val ranked = toks.join(rankSide, Seq("tok"))
       .groupBy($"id")
       .agg(sort_array(collect_list($"r")).as("ranks"))
       .withColumn("nt", size($"ranks"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Word-level vocabulary building and token-id encoding — the
@@ -14,7 +13,7 @@ import org.apache.spark.sql.functions._
   *  - BUILD is one gram-keyed shuffle with map-side partial counts
   *    (the q56 document-frequency shape) followed by a rank over the
   *    top `maxSize` tokens — maxSize rows, not corpus rows, pass the
-  *    ranking window (WindowGroupLimit keeps k per task map-side);
+  *    zipRank id assignment (TakeOrdered cuts k per task map-side);
   *  - ENCODE joins the exploded (doc, pos, token) stream against the
   *    vocab — vocab tables are ≤ a few hundred thousand rows, so the
   *    join BROADCASTS and encoding is a narrow pass over the corpus;
@@ -29,16 +28,17 @@ object Vocab {
     */
   def build(docs: DataFrame, textCol: String, maxSize: Int): DataFrame = {
     require(maxSize > 0, "maxSize must be positive")
-    val byFreq = Window.orderBy(col("n").desc, col("token"))
-    graft.Par.spread(docs.select(col(textCol)))
-      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      // single-partition ranking window — but only over candidate
-      // rows already cut to the top maxSize by the global sort-limit
-      // (TakeOrdered), so the window input is vocab-sized, not
-      // corpus-sized
-      .orderBy(col("n").desc, col("token")).limit(maxSize)
-      .withColumn("id", row_number().over(byFreq).cast("long"))
+    // ids via GlobalOrder.zipRank over the top-maxSize cut
+    // (TakeOrdered): the input is vocab-sized by construction, and
+    // the TakeOrdered result is a single sorted partition, so the
+    // ranking is one narrow pass — no single-partition WindowExec,
+    // no ranking warning in the logs
+    GlobalOrder.zipRank(
+      graft.Par.spread(docs.select(col(textCol)))
+        .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(maxSize),
+      "id")
       .select(col("token"), col("id"), col("n"))
   }
 

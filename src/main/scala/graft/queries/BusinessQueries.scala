@@ -3,7 +3,6 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions.r4
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Business-analytics staples: ABC/Pareto classification (q110),
@@ -17,9 +16,12 @@ object BusinessQueries {
   def defs: Seq[QueryDef] = Seq(
     // ----- q110: ABC classification — parts ranked by revenue,
     // cumulative-share classes (A < 80%, B < 95%, C rest). The
-    // cumulative window is a global order — correct here because the
-    // frame it runs on is already aggregated to part cardinality
-    // (dimension-sized), never the raw fact table.
+    // cumulative sum is GlobalOrder.runningSum — a two-pass
+    // range-partitioned prefix sum, NOT a global unpartitioned
+    // window: the frame is part-cardinality today, but part catalogs
+    // grow with the corpus, and at 100× a single-window-task running
+    // sum over tens of millions of rows is the q93-class
+    // serialization point PrefixJoin eliminated.
     QueryDef(
       "q110_abc_classification",
       (s, d) => {
@@ -27,11 +29,10 @@ object BusinessQueries {
         val rev = Tables.lineitem(s, d)
           .groupBy($"l_partkey")
           .agg(sum(dec($"l_extendedprice")).as("rev"))
-        val w = Window.orderBy($"rev".desc, $"l_partkey")
         val tot = rev.agg(sum($"rev").as("tot"))
-        val classed = rev.crossJoin(tot)
-          .withColumn("cum", sum($"rev").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val classed = graft.operators.GlobalOrder
+          .runningSum(rev, Seq($"rev".desc, $"l_partkey"), "rev", "cum")
+          .crossJoin(tot)
           .withColumn("share", ($"cum".cast("double") / $"tot".cast("double")))
           .withColumn("abc",
             when($"share" <= 0.80, "A").when($"share" <= 0.95, "B").otherwise("C"))

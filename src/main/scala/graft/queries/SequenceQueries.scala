@@ -150,8 +150,12 @@ object SequenceQueries {
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ----- q91: histogram, both flavors in one pass each — equi-depth
-    // (ntile deciles over a total order) and equi-width (fixed 60k
-    // price bins, capped). At 100 TB the equi-depth variant would use
+    // (exact ntile deciles over a total order) and equi-width (fixed
+    // 60k price bins, capped). The decile assignment is
+    // GlobalOrder.ntileRank — a two-pass range-partitioned tile
+    // assignment over the fact table, NOT ntile() over an
+    // unpartitioned window (which would pull every order through one
+    // WindowExec task). At 100 TB the equi-depth variant would use
     // the percentile sketch (q43) instead of a global sort; this query
     // pins the exact semantics the sketch approximates.
     QueryDef(
@@ -159,9 +163,8 @@ object SequenceQueries {
       (s, d) => {
         import s.implicits._
         val o = Tables.orders(s, d)
-        val depth = o
-          .withColumn("bucket",
-            ntile(10).over(Window.orderBy($"o_totalprice", $"o_orderkey")).cast("long"))
+        val depth = graft.operators.GlobalOrder
+          .ntileRank(o, Seq($"o_totalprice", $"o_orderkey"), 10, "bucket")
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n"), min($"o_totalprice").as("lo"),
             max($"o_totalprice").as("hi"),

@@ -24,7 +24,7 @@ class HybridSearchSpec extends SparkSpec {
     import spark.implicits._
     val leg = Seq((5L, 0.9), (3L, 0.9), (7L, 0.5)).toDF("doc", "s")
     val got = HybridSearch.ranked(leg, "doc", "s")
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(got === Map(3L -> 1, 5L -> 2, 7L -> 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 1L, 5L -> 2L, 7L -> 3L))
   }
 }

@@ -48,6 +48,40 @@ class PrefixJoinSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("vocab-rank broadcast flips to a shuffle join past maxBroadcastVocab") {
+    // same query, two gates: with the default threshold the rank
+    // translation is a hinted broadcast; with the threshold below the
+    // vocabulary size the hint must disappear so a 100M-term
+    // vocabulary never forces a multi-GB broadcast. Auto-broadcast is
+    // disabled so the planner can't re-broadcast the small test frame
+    // on its own.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.toDF("doc_id", "text")
+
+    def plan(maxVocab: Long): String = {
+      val df = PrefixJoin.jaccardPairsPrefix(
+        s2, docs, "doc_id", "text", 0.7, maxBroadcastVocab = maxVocab)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      s2.catalog.clearCache()
+      p
+    }
+    assert(plan(Long.MaxValue).contains("BroadcastHashJoin"))
+    assert(!plan(0L).contains("BroadcastHashJoin"))
+  }
+
+  test("results identical whether the vocab rank broadcasts or shuffles") {
+    val a = PrefixJoin.jaccardPairsPrefix(spark, corpus, "doc_id", "text", 0.7)
+      .collect().map(_.toSeq).toSet
+    val b = PrefixJoin.jaccardPairsPrefix(spark, corpus, "doc_id", "text", 0.7,
+        maxBroadcastVocab = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("string ids survive: no silent long-cast collapse") {
     import spark.implicits._
     val docs = Seq(

@@ -95,6 +95,47 @@ class PlanAuditSpec extends SparkSpec {
       .filter(_.contains("Window")).mkString("\n"))
   }
 
+  test("q93 fuzzy join: gram rarity ranking has no single-partition window") {
+    // the rank is GlobalOrder.zipRank (the PrefixJoin scheme); a
+    // regression to row_number().over(Window.orderBy(df, g)) would
+    // serialize the gram vocabulary through one task on q=3 /
+    // unicode-rich corpora
+    val plan = executed("q93_fuzzy_join")
+    assert(!plan.contains("Window ["), plan.linesIterator
+      .filter(_.contains("Window")).mkString("\n"))
+  }
+
+  test("q110 ABC classification: cumulative share is the two-pass prefix sum, not a global window") {
+    val plan = executed("q110_abc_classification")
+    assert(!plan.contains("Window ["), plan.linesIterator
+      .filter(_.contains("Window")).mkString("\n"))
+  }
+
+  test("q91 histogram: equi-depth deciles use ntileRank, not a global ntile window") {
+    val plan = executed("q91_histogram")
+    assert(!plan.contains("Window ["), plan.linesIterator
+      .filter(_.contains("Window")).mkString("\n"))
+  }
+
+  test("no declared query plans an unpartitioned window (suite-wide)") {
+    // the class of scale-killer eliminated in r4/r5 (q78→q93/q110/q91
+    // plus the bounded Vocab/HybridSearch ranks): every Window in
+    // every declared query's optimized plan must carry a partition
+    // spec, so Spark's "No Partition Defined for Window operation"
+    // can never fire from a declared query again. Logical-plan check:
+    // no job execution, so auditing all queries stays cheap.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = graft.QueryDef.all.flatMap { qd =>
+      val bad =
+        try qd.fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        finally spark.catalog.clearCache()
+      if (bad.nonEmpty) Some(qd.name) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
+  }
+
   test("q31 native cosine stays inside whole-stage codegen") {
     val plan = executed("q31_cosine_native")
     // the compact tree prints codegen stages as "*(N) Op" — the
