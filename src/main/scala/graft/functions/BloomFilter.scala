@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   * selective but NOT broadcastable as a hash relation (tens of
   * millions of surviving keys), the shuffle moves every fact row —
   * including the ~99% that will never match — through the exchange.
-  * A 128 KiB bit set summarizing the dim keys IS broadcastable at any
-  * dim cardinality, and filtering the fact side against it BEFORE the
-  * exchange drops non-matching rows at the scan. False positives only
+  * A small bit set summarizing the dim keys IS broadcastable at any
+  * dim cardinality (128 KiB default, sized up via `sketch(c,
+  * numWords)` before the ~10M-key saturation point), and filtering
+  * the fact side against it BEFORE the exchange drops non-matching
+  * rows at the scan. False positives only
   * cost wasted shuffle rows; the exact join downstream removes them,
   * so the query result is bit-identical to the unpruned plan (exactly
   * what the q122 oracle checks).
@@ -40,11 +42,13 @@ import org.apache.spark.sql.types._
   */
 object BloomFilter {
 
-  /** 2^14 longs = 2^20 bits = 128 KiB per filter. At n = 100k keys,
-    * k = 5: FP ≈ (1 − e^(−kn/m))^k ≈ 2.7%; at n = 30k: 4·10^−5.
-    * One size for the engine keeps partial-merge buffers predictable;
-    * the constant is a parameter of the aggregator below if a query
-    * ever needs a bigger set.
+  /** Default size: 2^14 longs = 2^20 bits = 128 KiB per filter. At
+    * n = 100k keys, k = 5: FP ≈ (1 − e^(−kn/m))^k ≈ 0.8%; at n = 30k:
+    * 4·10^−5. The filter saturates (FP → 1, pruning a silent no-op)
+    * near n ≳ 10M at this size — size it up via `sketch(c, numWords)`
+    * for large dim cardinalities: the probe reads m off the array
+    * length, so filters of any power-of-two size interoperate with
+    * the same `might_contain`.
     */
   val NumWords = 16384
   val NumBits: Long = NumWords.toLong * 64L
@@ -60,13 +64,16 @@ object BloomFilter {
     z ^ (z >>> 31)
   }
 
-  /** Set the k probe bits of `key` in `words`. */
+  /** Set the k probe bits of `key` in `words` — m read off the array
+    * length (power of two), so any filter size probes uniformly.
+    */
   private[functions] def put(words: Array[Long], key: Long): Unit = {
+    val mask = (words.length.toLong << 6) - 1L
     val h1 = mix(key)
     val h2 = mix(h1) | 1L // odd → walks all of the power-of-two range
     var i = 0
     while (i < NumHashes) {
-      val bit = ((h1 + i * h2) & (NumBits - 1)).toInt
+      val bit = ((h1 + i * h2) & mask).toInt
       words(bit >>> 6) |= (1L << (bit & 63))
       i += 1
     }
@@ -74,20 +81,32 @@ object BloomFilter {
 
   /** Probe — the scalar mirrored by the codegen below. */
   def mightContain(words: Array[Long], key: Long): Boolean = {
+    val mask = (words.length.toLong << 6) - 1L
     val h1 = mix(key)
     val h2 = mix(h1) | 1L
     var i = 0
     while (i < NumHashes) {
-      val bit = ((h1 + i * h2) & (NumBits - 1)).toInt
+      val bit = ((h1 + i * h2) & mask).toInt
       if ((words(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
       i += 1
     }
     true
   }
 
-  private object BloomAgg extends Aggregator[Long, Array[Long], Array[Long]] {
-    def zero: Array[Long] = new Array[Long](NumWords)
-    def reduce(st: Array[Long], key: Long): Array[Long] = { put(st, key); st }
+  /** Boxed input + explicit null skip: SQL aggregates ignore NULL
+    * inputs (Spark's own BloomFilterAggregate does; so does
+    * [[CountMinSketch]].reduce) — a primitive-Long encoder would
+    * silently decode NULL to 0L and plant a spurious key-0 bit.
+    */
+  private case class BloomAgg(numWords: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    require(numWords > 0 && (numWords & (numWords - 1)) == 0,
+      s"numWords must be a positive power of two, got $numWords")
+    def zero: Array[Long] = new Array[Long](numWords)
+    def reduce(st: Array[Long], key: java.lang.Long): Array[Long] = {
+      if (key != null) put(st, key.longValue())
+      st
+    }
     def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
       var i = 0
       while (i < x.length) { x(i) |= y(i); i += 1 }
@@ -104,9 +123,13 @@ object BloomFilter {
 
   /** `bloom_sketch(keyCol)` aggregate column: one `array<bigint>` bit
     * set for the group (normally one global row, cross-joined onto the
-    * fact side by broadcast).
+    * fact side by broadcast). `numWords` sizes the filter (64 bits per
+    * word, power of two) — raise it past the default 128 KiB when the
+    * dim side carries tens of millions of keys, where the default
+    * saturates.
     */
-  def sketch(c: Column): Column = udaf(BloomAgg, Encoders.scalaLong).apply(c)
+  def sketch(c: Column, numWords: Int = NumWords): Column =
+    udaf(BloomAgg(numWords), Encoders.LONG).apply(c)
 
   /** `might_contain(bloomCol, keyCol)` — true if `key` may be in the
     * set, false only if it is definitely absent.
@@ -137,11 +160,13 @@ case class MightContainLong(left: Expression, right: Expression)
   override def nullSafeEval(words: Any, key: Any): Any = {
     val w = words.asInstanceOf[ArrayData]
     val k = key.asInstanceOf[Long]
+    // m off the array length — probes any power-of-two filter size
+    val mask = (w.numElements().toLong << 6) - 1L
     val h1 = BloomFilter.mix(k)
     val h2 = BloomFilter.mix(h1) | 1L
     var i = 0
     while (i < BloomFilter.NumHashes) {
-      val bit = ((h1 + i * h2) & (BloomFilter.NumBits - 1)).toInt
+      val bit = ((h1 + i * h2) & mask).toInt
       if ((w.getLong(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
       i += 1
     }
@@ -156,6 +181,7 @@ case class MightContainLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val bit = ctx.freshName("bit")
       val hit = ctx.freshName("hit")
+      val mask = ctx.freshName("mask")
       // splitmix64 inlined twice (h1 = mix(key), h2 = mix(h1) | 1);
       // `z` is reused across both rounds, so assign, don't declare
       def mixCode(src: String, dst: String): String =
@@ -167,11 +193,12 @@ case class MightContainLong(left: Expression, right: Expression)
       s"""
          |boolean $hit = true;
          |long $z; long $h1; long $h2;
+         |final long $mask = (((long) $w.numElements()) << 6) - 1L;
          |${mixCode(k, h1)}
          |${mixCode(h1, h2)}
          |$h2 |= 1L;
          |for (int $i = 0; $i < ${BloomFilter.NumHashes}; $i++) {
-         |  final int $bit = (int) (($h1 + $i * $h2) & ${BloomFilter.NumBits - 1}L);
+         |  final int $bit = (int) (($h1 + $i * $h2) & $mask);
          |  if (($w.getLong($bit >>> 6) & (1L << ($bit & 63))) == 0L) { $hit = false; break; }
          |}
          |${ev.value} = $hit;

@@ -56,6 +56,33 @@ class BloomFilterSpec extends SparkSpec {
     assert(keys.take(100).forall(got(_)))
   }
 
+  test("NULL keys are skipped, matching SQL aggregate semantics") {
+    // a null input must not plant key-0 bits: the filter over
+    // (nulls ++ keys) is byte-identical to the filter over keys alone
+    val withNulls = (keys.map(Option(_)) ++ Seq(None, None)).toDF("k")
+      .agg(BloomFilter.sketch(col("k"))).as[Array[Long]].head()
+    val without = spark.createDataset(keys).toDF("k")
+      .agg(BloomFilter.sketch(col("k"))).as[Array[Long]].head()
+    assert(java.util.Arrays.equals(withNulls, without))
+  }
+
+  test("numWords sizes the filter; probe reads m off the array length") {
+    for (words <- Seq(256, 65536)) {
+      val bloom = spark.createDataset(keys).toDF("k")
+        .agg(BloomFilter.sketch(col("k"), numWords = words).as("bf"))
+      val arr = bloom.select(col("bf")).as[Array[Long]].head()
+      assert(arr.length === words)
+      assert(keys.forall(k => BloomFilter.mightContain(arr, k)))
+      // codegen column path agrees at the non-default size
+      val hits = spark.createDataset(keys.take(50)).toDF("k")
+        .join(broadcast(bloom))
+        .select(BloomFilter.mightContainCol(col("bf"), col("k")))
+        .as[Boolean].collect()
+      assert(hits.forall(identity))
+    }
+    intercept[IllegalArgumentException] { BloomFilter.sketch(col("k"), 1000) }
+  }
+
   test("q122 pruning drops most non-matching fact rows before the join") {
     val dimKeys = (0L until 500L).map(_ * 3L)
     val factKeys = (0L until 50000L)
