@@ -41,25 +41,21 @@ object Winnow {
       p
     }
 
-    /** Sorted distinct winnowed fingerprints of `text`. Texts shorter
-      * than k yield a single whole-text hash (so short docs still
-      * compare), empty/null texts none.
-      */
-    def fingerprints(text: String): Array[Long] = {
-      if (text == null || text.isEmpty) return Array.empty
-      val n = text.length
-      def hashRange(from: Int, until: Int): Long = {
-        var h = 0L
-        var i = from
-        while (i < until) { h = (mulmod61(h, base) + text.charAt(i)) % prime; i += 1 }
-        h
-      }
-      if (n < k) return Array(hashRange(0, n))
+    private def hashRange(text: String, from: Int, until: Int): Long = {
+      var h = 0L
+      var i = from
+      while (i < until) { h = (mulmod61(h, base) + text.charAt(i)) % prime; i += 1 }
+      h
+    }
 
-      // rolling k-gram hashes: h_{i+1} = (h_i − c_i·B^{k−1})·B + c_{i+k}
+    /** All k-gram rolling hashes of `text` (length n − k + 1);
+      * requires n ≥ k. h_{i+1} = (h_i − c_i·B^{k−1})·B + c_{i+k}.
+      */
+    private def gramHashes(text: String): Array[Long] = {
+      val n = text.length
       val m = n - k + 1
       val hs = new Array[Long](m)
-      hs(0) = hashRange(0, k)
+      hs(0) = hashRange(text, 0, k)
       var i = 1
       while (i < m) {
         val drop = mulmod61(text.charAt(i - 1).toLong, basePowK1)
@@ -67,12 +63,17 @@ object Winnow {
         hs(i) = (mulmod61(stripped, base) + text.charAt(i + k - 1)) % prime
         i += 1
       }
+      hs
+    }
 
-      // winnow: rightmost minimum of every w-window (w is small — the
-      // per-window scan beats a deque for cache behavior here)
+    /** Winnowed value set over a full k-gram hash array: rightmost
+      * minimum of every w-window (w is small — the per-window scan
+      * beats a deque for cache behavior here), distinct + sorted.
+      */
+    private def winnowValues(hs: Array[Long]): Array[Long] = {
       val out = scala.collection.mutable.TreeSet.empty[Long]
       var start = 0
-      val last = m - w
+      val last = hs.length - w
       if (last < 0) { out += hs.min }
       else while (start <= last) {
         var best = start
@@ -82,6 +83,47 @@ object Winnow {
         start += 1
       }
       out.toArray
+    }
+
+    /** Sorted distinct winnowed fingerprints of `text`. Texts shorter
+      * than k yield a single whole-text hash (so short docs still
+      * compare), empty/null texts none.
+      */
+    def fingerprints(text: String): Array[Long] = {
+      if (text == null || text.isEmpty) return Array.empty
+      val n = text.length
+      if (n < k) return Array(hashRange(text, 0, n))
+      winnowValues(gramHashes(text))
+    }
+
+    /** Winnowed fingerprints WITH localization: per fingerprint value,
+      * (fp, lo, hi) where [lo, hi) is the char range spanned by ALL
+      * k-gram occurrences of that value in `text` (first gram start
+      * to last gram end). Occurrences are found by value over the
+      * FULL hash array, not just the winnow-selected indices — so the
+      * spans are tie-rule-insensitive (an oracle replaying the hash
+      * values reproduces them exactly) and tighter evidence than the
+      * sampled selection. Sorted by fp; values align 1:1 with
+      * [[fingerprints]].
+      */
+    def fingerprintSpans(text: String): Array[(Long, Int, Int)] = {
+      if (text == null || text.isEmpty) return Array.empty
+      val n = text.length
+      if (n < k) return Array((hashRange(text, 0, n), 0, n))
+      val hs = gramHashes(text)
+      val values = winnowValues(hs)
+      val first = scala.collection.mutable.LongMap.empty[Int]
+      val last = scala.collection.mutable.LongMap.empty[Int]
+      val keep = values.toSet
+      var i = 0
+      while (i < hs.length) {
+        if (keep(hs(i))) {
+          if (!first.contains(hs(i))) first(hs(i)) = i
+          last(hs(i)) = i
+        }
+        i += 1
+      }
+      values.map(v => (v, first(v), last(v) + k))
     }
   }
 
@@ -130,5 +172,69 @@ object Winnow {
       // DuckDB half-even disagree on the .xxxx5 boundary
       .select($"id_a", $"id_b",
         graft.functions.TextFunctions.r4($"containment").as("containment"))
+  }
+
+  /** [[winnowPairs]] with MOSS-style passage LOCALIZATION: each
+    * overlap pair additionally carries the char span the shared
+    * fingerprints cover in each document — `[a_start, a_end)` /
+    * `[b_start, b_end)` (0-based, end-exclusive) plus the shared-
+    * fingerprint count. q120 says THAT documents share passages; a
+    * curation pipeline needs WHERE to cut, and these bounds are the
+    * cut evidence (min gram start / max gram end over the shared
+    * fingerprint values — see [[Winnower.fingerprintSpans]] for why
+    * spans are derived by value, not by winnow-selected index).
+    *
+    * Scale shape: candidates from the same capped inverted-
+    * fingerprint join as [[winnowPairs]]; the span evidence comes
+    * from re-joining candidate pairs to each side's per-value span
+    * list on fingerprint equality — per-pair volume is the shared-
+    * fingerprint count, never positions × positions — then one
+    * groupBy(pair) computes |A∩B| and the four bounds in a single
+    * aggregate.
+    */
+  def winnowSpanPairs(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      win: Winnower = Winnower(),
+      minContainment: Double = 0.5,
+      bucketCap: Int = 10000): DataFrame = {
+    import spark.implicits._
+
+    val spans = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, t) => (id, win.fingerprintSpans(t)) })
+      .toDF("id", "spans")
+      .withColumn("nf", size($"spans"))
+      .filter($"nf" > 0)
+      .persist()                    // inverted index + two span joins
+
+    val keys = spans.select($"id", explode($"spans._1").as("key"))
+    val cands = Dedup.bucketCandidates(keys, "id", Seq("key"), bucketCap)
+
+    // per-side exploded (id, fp, lo, hi) — the join on fp yields one
+    // row per SHARED fingerprint per candidate pair
+    def side(tag: String) = spans.select(
+      $"id".as(s"id_$tag"), $"nf".as(s"nf_$tag"), explode($"spans").as("s"))
+      .select(col(s"id_$tag"), col(s"nf_$tag"), $"s._1".as("fp"),
+        $"s._2".as(s"lo_$tag"), $"s._3".as(s"hi_$tag"))
+
+    cands
+      .join(side("a"), "id_a")
+      .join(side("b"), Seq("id_b", "fp"))
+      .groupBy($"id_a", $"id_b")
+      .agg(
+        count(lit(1)).as("n_shared"),
+        (count(lit(1)).cast("double") /
+          least(first($"nf_a"), first($"nf_b"))).as("containment"),
+        min($"lo_a").cast("long").as("a_start"),
+        max($"hi_a").cast("long").as("a_end"),
+        min($"lo_b").cast("long").as("b_start"),
+        max($"hi_b").cast("long").as("b_end"))
+      .filter($"containment" >= minContainment)
+      .select($"id_a", $"id_b",
+        graft.functions.TextFunctions.r4($"containment").as("containment"),
+        $"n_shared", $"a_start", $"a_end", $"b_start", $"b_end")
   }
 }

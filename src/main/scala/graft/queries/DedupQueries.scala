@@ -360,6 +360,27 @@ object DedupQueries {
           .orderBy($"id_a", $"id_b")
       },
       Some(winnowOracleSql(k = 8, w = 4, salt = 120L, rate = "0.25",
+        minContainment = "0.3"))),
+
+    // ----- q123: winnow pairs WITH passage localization (MOSS
+    // evidence spans) — q120's pairs plus, per pair, the char range
+    // the shared fingerprints cover in each document. Spans are
+    // derived from shared fingerprint VALUES over the full k-gram
+    // hash array (first gram start → last gram end), which keeps the
+    // output tie-rule-insensitive, so the same HUGEINT replay that
+    // oracle-checks q120 localizes the passages too (list_position
+    // forward and over the reversed list for first/last occurrence).
+    QueryDef(
+      "q123_winnow_spans",
+      (s, d) => {
+        import s.implicits._
+        val sub = Tables.documents(s, d)
+          .filter(graft.operators.Sampling.hashFraction($"doc_id", 120L) < 0.25)
+        graft.operators.Winnow.winnowSpanPairs(s, sub, "doc_id", "text",
+            minContainment = 0.3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(winnowSpansOracleSql(k = 8, w = 4, salt = 120L, rate = "0.25",
         minContainment = "0.3")))
   )
 
@@ -408,6 +429,71 @@ object DedupQueries {
        |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
        |SELECT id_a, id_b,
        |  floor(c * 10000 + 0.5) / 10000 AS containment
+       |FROM pairs WHERE c >= $minContainment
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** [[winnowOracleSql]] extended with passage localization — the
+    * q123 oracle. Spans come from shared fingerprint VALUES over the
+    * full k-gram hash list: first occurrence via list_position, last
+    * via list_position over the reversed list (DuckDB has no
+    * rightmost-index builtin), so 0-based char bounds are
+    * `min(pos)−1` and `max(len−revpos)+glen`, matching
+    * Winnower.fingerprintSpans exactly. Short docs (n < k) carry one
+    * whole-text hash spanning [0, n).
+    */
+  private def winnowSpansOracleSql(
+      k: Int, w: Int, salt: Long, rate: String, minContainment: String): String = {
+    val P = BigInt("2305843009213693951")  // 2^61 − 1, Winnower.prime
+    val B = BigInt(1000003)                // Winnower.base
+    val terms = (0 until k).map { j =>
+      val pow = B.modPow(BigInt(k - 1 - j), P)
+      if (j == k - 1) s"cs[i+$j]" else s"cs[i+$j] * $pow"
+    }.mkString(" + ")
+    val wins = (0 until w).map(o => s"hs[s+$o]").mkString("least(", ", ", ")")
+    val frac = graft.operators.Sampling.hashFractionSql("doc_id", salt)
+    s"""WITH sub AS (
+       |  SELECT doc_id, text FROM documents WHERE $frac < $rate),
+       |codes AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cs
+       |  FROM sub WHERE length(text) > 0),
+       |hashed AS (
+       |  SELECT doc_id, n, cs,
+       |    CASE WHEN n >= $k THEN
+       |      list_transform(range(1, n - ${k - 2}), i -> ($terms) % $P)
+       |    END AS hs
+       |  FROM codes),
+       |fps AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n < $k THEN [list_reduce(cs, (h, c) -> (h * $B + c) % $P)]
+       |         ELSE hs END AS hsx,
+       |    CASE WHEN n < $k THEN n ELSE $k END AS glen,
+       |    CASE
+       |      WHEN n < $k THEN [list_reduce(cs, (h, c) -> (h * $B + c) % $P)]
+       |      WHEN n - ${k - 1} < $w THEN [list_min(hs)]
+       |      ELSE list_distinct(list_transform(range(1, n - ${k + w - 3}), s -> $wins))
+       |    END AS f
+       |  FROM hashed),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    list_intersect(a.f, b.f) AS shared,
+       |    len(list_intersect(a.f, b.f)) * 1.0 / least(len(a.f), len(b.f)) AS c,
+       |    a.hsx AS ha, b.hsx AS hb, a.glen AS ga, b.glen AS gb
+       |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  floor(c * 10000 + 0.5) / 10000 AS containment,
+       |  CAST(len(shared) AS BIGINT) AS n_shared,
+       |  CAST(list_min(list_transform(shared, v -> list_position(ha, v))) - 1
+       |    AS BIGINT) AS a_start,
+       |  CAST(list_max(list_transform(shared,
+       |    v -> len(ha) - list_position(list_reverse(ha), v))) + ga
+       |    AS BIGINT) AS a_end,
+       |  CAST(list_min(list_transform(shared, v -> list_position(hb, v))) - 1
+       |    AS BIGINT) AS b_start,
+       |  CAST(list_max(list_transform(shared,
+       |    v -> len(hb) - list_position(list_reverse(hb), v))) + gb
+       |    AS BIGINT) AS b_end
        |FROM pairs WHERE c >= $minContainment
        |ORDER BY id_a, id_b""".stripMargin
   }

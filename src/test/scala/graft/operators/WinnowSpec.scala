@@ -38,6 +38,61 @@ class WinnowSpec extends SparkSpec {
     assert(win.fingerprints("abc").length === 1)       // sub-k doc: whole-text hash
   }
 
+  test("fingerprintSpans: values align with fingerprints; spans bound every occurrence") {
+    val rnd = new scala.util.Random(11)
+    val text = Seq.fill(200)(rnd.alphanumeric.take(5).mkString).mkString(" ")
+    val spans = win.fingerprintSpans(text)
+    assert(spans.map(_._1).toSeq === win.fingerprints(text).toSeq)
+    // every span must contain at least one k-gram hashing to its value
+    spans.foreach { case (fp, lo, hi) =>
+      assert(lo >= 0 && hi <= text.length && hi - lo >= win.k, s"($fp,$lo,$hi)")
+      val grams = (lo to hi - win.k).map(i => text.substring(i, i + win.k))
+      assert(grams.exists(g => win.fingerprints(g).headOption.contains(fp) ||
+        win.fingerprints(g).contains(fp)), s"no gram in [$lo,$hi) hashes to $fp")
+    }
+    // short/empty contracts mirror fingerprints
+    assert(win.fingerprintSpans("").isEmpty)
+    assert(win.fingerprintSpans(null).isEmpty)
+    assert(win.fingerprintSpans("abc").toSeq === Seq((win.fingerprints("abc").head, 0, 3)))
+  }
+
+  test("winnowSpanPairs: localized spans contain the planted passage in both docs") {
+    import spark.implicits._
+    val passage = "call me ishmael some years ago never mind how long precisely"
+    val prefixA = "completely unrelated preamble text goes right here first. "
+    val suffixB = " and then entirely different material follows afterwards."
+    val docs = Seq(
+      (1L, prefixA + passage),
+      (2L, passage + suffixB),
+      (3L, "nothing in common with the others at all, plain filler words only."),
+      (4L, "more disjoint content that shares no passage with anything above.")
+    ).toDF("doc_id", "text")
+    val rows = Winnow.winnowSpanPairs(spark, docs, "doc_id", "text", win,
+        minContainment = 0.1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(rows.keySet === Set((1L, 2L)))
+    val (c, nShared, aStart, aEnd, bStart, bEnd) = rows((1L, 2L))
+    assert(c >= 0.1 && nShared >= 1)
+    // doc 1 holds the passage at [prefixA.length, end); the reported
+    // A-span must sit inside the passage region (shared fingerprints
+    // can only come from the copied chars), likewise B at the front
+    assert(aStart >= prefixA.length && aEnd <= (prefixA + passage).length,
+      s"a=[$aStart,$aEnd) vs passage=[${prefixA.length},${(prefixA + passage).length})")
+    assert(bStart >= 0 && bEnd <= passage.length,
+      s"b=[$bStart,$bEnd) vs passage=[0,${passage.length})")
+    // and must actually cover a detectable chunk (≥ one gram window)
+    assert(aEnd - aStart >= win.k && bEnd - bStart >= win.k)
+    // the localized substring is IDENTICAL in both docs — the cut a
+    // curation pipeline would make
+    val aTxt = (prefixA + passage).substring(aStart.toInt, aEnd.toInt)
+    val bTxt = (passage + suffixB).substring(bStart.toInt, bEnd.toInt)
+    assert(aTxt === bTxt)
+  }
+
   test("winnowPairs: copied passage detected across unrelated documents") {
     import spark.implicits._
     val passage = "call me ishmael some years ago never mind how long precisely " * 3
