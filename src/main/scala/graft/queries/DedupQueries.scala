@@ -381,7 +381,146 @@ object DedupQueries {
           .orderBy($"id_a", $"id_b")
       },
       Some(winnowSpansOracleSql(k = 8, w = 4, salt = 120L, rate = "0.25",
-        minContainment = "0.3")))
+        minContainment = "0.3"))),
+
+    // ----- q124: SPAN-level corpus dedup with document reassembly —
+    // the C4 / RefinedWeb operation (Raffel et al. 2020 dedup
+    // three-sentence spans corpus-wide; Penedo et al. 2023 dedup
+    // paragraphs): cut every document into consecutive 10-token
+    // spans, keep each distinct span's FIRST occurrence corpus-wide
+    // (lexicographic-min (doc_id, pos) — deterministic, not
+    // arrival-order), drop every other occurrence, and reassemble
+    // each document from its surviving spans. Output is per-doc
+    // evidence: span counts and the md5 of the cleaned text (both
+    // engines reassemble independently and must agree on the exact
+    // string).
+    //
+    // Scale shape: one groupBy on span CONTENT (the corpus shuffles
+    // once, keyed by spans), a min(struct) owner aggregate (map-side
+    // partial), one ownership equi-join back, one per-doc aggregate.
+    // No window, no N². At 100 TB the span key would be a 128-bit
+    // hash instead of the raw string (collision-safe, 10× narrower
+    // shuffle); the raw string is kept here so DuckDB can mirror the
+    // semantics exactly.
+    QueryDef(
+      "q124_span_dedup",
+      (s, d) => {
+        import s.implicits._
+        val W = 10
+        val segs = graft.Par.spread(Tables.documents(s, d).select($"doc_id", $"text"))
+          .withColumn("toks", graft.functions.TextFunctions.tokens($"text"))
+          .select($"doc_id", posexplode(expr(
+            s"""CASE WHEN size(toks) = 0 THEN array()
+               |ELSE transform(sequence(0, cast(ceil(size(toks) / $W.0) as int) - 1),
+               |               i -> array_join(slice(toks, i * $W + 1, $W), ' '))
+               |END""".stripMargin)))
+          .toDF("doc_id", "pos", "seg")
+        val owner = segs.groupBy($"seg")
+          .agg(min(struct($"doc_id", $"pos")).as("o"))
+        segs.join(owner, "seg")
+          .withColumn("keep", $"doc_id" === $"o.doc_id" && $"pos" === $"o.pos")
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+            // reassembly: kept spans in position order, one space
+            // between spans — md5 keeps the checked value small while
+            // still pinning the exact cleaned string
+            md5(array_join(
+              transform(
+                array_sort(collect_list(when($"keep", struct($"pos", $"seg")))),
+                x => x.getField("seg")),
+              " ")).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |sp AS (
+             |  SELECT doc_id,
+             |    list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+             |                   i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS spans
+             |  FROM t),
+             |segs AS (
+             |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+             |    spans[CAST(u.i AS INT) + 1] AS seg
+             |  FROM sp, UNNEST(range(0, len(spans))) AS u(i)),
+             |own AS (SELECT seg, min(doc_id) AS od FROM segs GROUP BY seg),
+             |own2 AS (
+             |  SELECT s.seg, o.od, min(s.pos) AS op
+             |  FROM segs s JOIN own o ON s.seg = o.seg AND s.doc_id = o.od
+             |  GROUP BY s.seg, o.od),
+             |flagged AS (
+             |  SELECT s.doc_id, s.pos, s.seg,
+             |    (s.doc_id = o.od AND s.pos = o.op) AS keep
+             |  FROM segs s JOIN own2 o ON s.seg = o.seg)
+             |SELECT doc_id, count(*) AS n_spans,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+             |                          ORDER BY pos), '')) AS clean_md5
+             |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- q125: cluster SURVIVOR selection — the resolution step a
+    // near-dup pass feeds: per q51 component, keep ONE canonical
+    // document (longest by n_chars, ties broken by min doc_id — the
+    // deterministic "best of cluster" rule) and report what the
+    // dedup would drop. Two skinny aggregates + one equi-join on top
+    // of the component assignment; the oracle replays components via
+    // the recursive CTE and applies the identical two-step argmax.
+    QueryDef(
+      "q125_cluster_survivors",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          blockCol = "lang", sizeCol = "n_chars", sizeBand = 30, threshold = 0.8)
+        val sized = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id", pairs)
+          .select($"id".as("doc_id"), $"rep")
+          .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+        val stats = sized.groupBy($"rep")
+          .agg(max($"n_chars").cast("long").as("max_chars"),
+            count(lit(1)).as("cluster_size"))
+        sized.join(stats, "rep")
+          .filter($"n_chars".cast("long") === $"max_chars")
+          .groupBy($"rep", $"cluster_size", $"max_chars")
+          .agg(min($"doc_id").as("survivor"))
+          .select($"rep", $"survivor", $"cluster_size", $"max_chars")
+          .orderBy($"rep")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> length(x) > 0)) AS toks
+             |  FROM documents),
+             |e AS (
+             |  SELECT a.doc_id AS u, b.doc_id AS v
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |    AND abs(a.n_chars - b.n_chars) <= 30
+             |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.8),
+             |edges AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+             |reach(src, node) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT r.src, ed.v FROM reach r JOIN edges ed ON r.node = ed.u
+             |),
+             |comp AS (SELECT src AS doc_id, MIN(node) AS rep FROM reach GROUP BY src),
+             |sized AS (
+             |  SELECT c.doc_id, c.rep, d.n_chars
+             |  FROM comp c JOIN documents d USING (doc_id)),
+             |stats AS (
+             |  SELECT rep, CAST(max(n_chars) AS BIGINT) AS max_chars,
+             |    count(*) AS cluster_size
+             |  FROM sized GROUP BY rep)
+             |SELECT s.rep, min(s.doc_id) AS survivor,
+             |  st.cluster_size, st.max_chars
+             |FROM sized s JOIN stats st
+             |  ON s.rep = st.rep AND CAST(s.n_chars AS BIGINT) = st.max_chars
+             |GROUP BY s.rep, st.cluster_size, st.max_chars
+             |ORDER BY s.rep""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Winnow.Winnower]] — the
