@@ -184,13 +184,15 @@ object Winnow {
     * fingerprint values — see [[Winnower.fingerprintSpans]] for why
     * spans are derived by value, not by winnow-selected index).
     *
-    * Scale shape: candidates from the same capped inverted-
-    * fingerprint join as [[winnowPairs]]; the span evidence comes
-    * from re-joining candidate pairs to each side's per-value span
-    * list on fingerprint equality — per-pair volume is the shared-
-    * fingerprint count, never positions × positions — then one
-    * groupBy(pair) computes |A∩B| and the four bounds in a single
-    * aggregate.
+    * Scale shape: EXACTLY q120's plan — the same capped inverted-
+    * fingerprint candidates and the same two array joins — with the
+    * verify kernel swapped from an intersect-count to
+    * `sorted_span_merge` ([[graft.functions.SortedSpanMerge]]): one
+    * codegen sorted merge per candidate pair computes |A∩B| and all
+    * four span bounds together. (The first cut joined candidate
+    * pairs against both sides' EXPLODED span lists and re-aggregated
+    * — |cands| × nf intermediate rows; the r5 bench read 19 s for it
+    * vs 5 s for q120. The merge expression removes the blowup.)
     */
   def winnowSpanPairs(
       spark: SparkSession,
@@ -201,6 +203,8 @@ object Winnow {
       minContainment: Double = 0.5,
       bucketCap: Int = 10000): DataFrame = {
     import spark.implicits._
+    graft.functions.SortedSpanMerge.register(spark)
+    import graft.functions.SortedSpanMerge.sorted_span_merge
 
     val spans = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
@@ -211,30 +215,17 @@ object Winnow {
       .persist()                    // inverted index + two span joins
 
     val keys = spans.select($"id", explode($"spans._1").as("key"))
-    val cands = Dedup.bucketCandidates(keys, "id", Seq("key"), bucketCap)
-
-    // per-side exploded (id, fp, lo, hi) — the join on fp yields one
-    // row per SHARED fingerprint per candidate pair
-    def side(tag: String) = spans.select(
-      $"id".as(s"id_$tag"), $"nf".as(s"nf_$tag"), explode($"spans").as("s"))
-      .select(col(s"id_$tag"), col(s"nf_$tag"), $"s._1".as("fp"),
-        $"s._2".as(s"lo_$tag"), $"s._3".as(s"hi_$tag"))
-
-    cands
-      .join(side("a"), "id_a")
-      .join(side("b"), Seq("id_b", "fp"))
-      .groupBy($"id_a", $"id_b")
-      .agg(
-        count(lit(1)).as("n_shared"),
-        (count(lit(1)).cast("double") /
-          least(first($"nf_a"), first($"nf_b"))).as("containment"),
-        min($"lo_a").cast("long").as("a_start"),
-        max($"hi_a").cast("long").as("a_end"),
-        min($"lo_b").cast("long").as("b_start"),
-        max($"hi_b").cast("long").as("b_end"))
+    Dedup.bucketCandidates(keys, "id", Seq("key"), bucketCap)
+      .join(spans.select($"id".as("id_a"), $"spans".as("sp_a"), $"nf".as("nf_a")), "id_a")
+      .join(spans.select($"id".as("id_b"), $"spans".as("sp_b"), $"nf".as("nf_b")), "id_b")
+      .withColumn("m", sorted_span_merge($"sp_a", $"sp_b"))
+      .withColumn("containment",
+        $"m.inter".cast("double") / least($"nf_a", $"nf_b"))
       .filter($"containment" >= minContainment)
       .select($"id_a", $"id_b",
         graft.functions.TextFunctions.r4($"containment").as("containment"),
-        $"n_shared", $"a_start", $"a_end", $"b_start", $"b_end")
+        $"m.inter".as("n_shared"),
+        $"m.a_start".as("a_start"), $"m.a_end".as("a_end"),
+        $"m.b_start".as("b_start"), $"m.b_end".as("b_end"))
   }
 }
