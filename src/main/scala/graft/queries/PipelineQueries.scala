@@ -172,6 +172,26 @@ object PipelineQueries {
       },
       None),
 
+    // ----- q126: product-quantization ADC search — the COMPRESSED
+    // leg of the ANN family (rows-only: k-means codebooks; exactness-
+    // when-lossless, recall, and determinism are spec-tested in
+    // PqSearchSpec). Each 64-float vector stores as 8 code ids; the
+    // query scans only the code table with per-block ADC lookups.
+    QueryDef(
+      "q126_pq_search",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.PqSearch
+        val embs = Tables.embeddings(s, d)
+        val model = PqSearch.train(s, embs, "embedding", m = 8, k = 16,
+          iterations = 5)
+        val enc = PqSearch.encode(s, embs, "vec_id", "embedding", model)
+        PqSearch.search(enc, "vec_id", queryVec.map(_.toFloat).toArray,
+            k = 5, model)
+          .select($"vec_id", round($"dist2", 6).as("dist2"))
+      },
+      None),
+
     // ----- q31: native codegen cosine_sim Expression — same plan and
     // oracle as q19, but through the custom Catalyst expression
     // (registered per session), proving it end-to-end against DuckDB
