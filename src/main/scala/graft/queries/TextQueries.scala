@@ -593,6 +593,24 @@ object TextQueries {
               |SELECT shard, COUNT(*) AS n_packs,
               |  CAST(SUM(nd) AS BIGINT) AS n_docs,
               |  CAST(SUM(tok) AS BIGINT) AS total_tokens
-              |FROM p GROUP BY shard ORDER BY shard""".stripMargin))
+              |FROM p GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // ----- q127: BPE tokenizer TRAINING (operators.Bpe) — the ranked
+    // merge table learned from the corpus's word-frequency dict.
+    // Rows-only: the merge recurrence is iterative (argmax → re-
+    // segment → recount) and not SQL-expressible; BpeSpec pins the
+    // trainer merge-for-merge against a single-threaded reference
+    // implementation and proves partition-layout invariance, which
+    // makes this output deterministic.
+    QueryDef(
+      "q127_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Bpe.train(Tables.documents(s, d), "text", numMerges = 30)
+          .toDF()
+          .select($"rank".cast("long").as("rank"), $"left", $"right", $"pairCount".as("pair_count"))
+          .orderBy($"rank")
+      },
+      None)
   )
 }
