@@ -102,6 +102,13 @@ object BloomFilter {
       extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
     require(numWords > 0 && (numWords & (numWords - 1)) == 0,
       s"numWords must be a positive power of two, got $numWords")
+    // the probe computes bit indices in an int (bit = (hash & mask)
+    // .toInt): past 2^26 words = 2^32 bits the high bits would be
+    // silently truncated and the upper filter half never touched —
+    // reject rather than degrade FP quietly (512 MiB is already far
+    // past broadcast-sensible sizes)
+    require(numWords <= (1 << 26),
+      s"numWords capped at 2^26 (2^32 bits, 512 MiB), got $numWords")
     def zero: Array[Long] = new Array[Long](numWords)
     def reduce(st: Array[Long], key: java.lang.Long): Array[Long] = {
       if (key != null) put(st, key.longValue())

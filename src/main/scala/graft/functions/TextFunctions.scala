@@ -32,6 +32,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(coalesce(text, lit(""))), "\\s+"), t => length(t) > 0)
 
+  /** Scalar twin of [[tokens]] for typed executor-side code (the BPE
+    * encoder) — one tokenizer contract, not two drifting copies: a
+    * subword segmenter is only valid on words produced exactly like
+    * its training words. (String.trim strips a wider char class than
+    * SQL trim, but every extra char it strips is \s, which the split
+    * + non-empty filter discards anyway — same output.)
+    */
+  def tokensScalar(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.trim.split("\\s+").filter(_.nonEmpty)
+
   /** SINGLE-SPACE tokenization — the oracle-mirrorable convention
     * (DuckDB: `unnest(string_split(text, ' ')) ... WHERE length(word)
     * > 0`, the q14 pattern). Distinct from [[tokens]] (\s+ with

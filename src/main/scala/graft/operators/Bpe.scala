@@ -103,12 +103,14 @@ object Bpe {
           val Array(a, b) = pair.split(' ')
           merges += Merge(rank, a, b, cnt)
           val prev = words
-          words = words.map { case (syms, n) => (applyMerge(syms, a, b), n) }
-            .persist()
-          // lineage truncation every few rounds, then release the
-          // superseded generation
-          if ((rank + 1) % 5 == 0) words = words.localCheckpoint()
-          words.count()
+          val mapped = words.map { case (syms, n) => (applyMerge(syms, a, b), n) }
+          // lineage truncation every few rounds: localCheckpoint is
+          // eager, so the checkpointed generation needs no persist of
+          // its own (persisting `mapped` first would orphan a cache
+          // entry nothing ever releases)
+          words =
+            if ((rank + 1) % 5 == 0) mapped.localCheckpoint()
+            else { val p = mapped.persist(); p.count(); p }
           prev.unpersist(blocking = false)
           rank += 1
         case _ => done = true
@@ -144,9 +146,9 @@ object Bpe {
         // per-task memoization: corpora repeat words heavily
         val cache = scala.collection.mutable.HashMap.empty[String, Array[String]]
         it.map { case (id, text) =>
-          val words =
-            if (text == null) Array.empty[String]
-            else text.split("\\s+").filter(_.nonEmpty)
+          // the trainer's tokenizer contract, scalar form — encode
+          // words MUST be produced exactly like training words
+          val words = graft.functions.TextFunctions.tokensScalar(text)
           (id, words.flatMap(w => cache.getOrElseUpdate(w, segmentWord(w, merges))))
         }
       }

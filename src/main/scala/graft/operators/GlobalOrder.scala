@@ -39,6 +39,14 @@ object GlobalOrder {
   private def appended(schema: StructType, col: String, tpe: org.apache.spark.sql.types.DataType) =
     StructType(schema.fields :+ StructField(col, tpe, nullable = false))
 
+  // Iterator.size returns Int — it would silently wrap on a >2^31-row
+  // partition, exactly the scale these helpers exist for
+  private def countLong(it: Iterator[_]): Long = {
+    var n = 0L
+    while (it.hasNext) { it.next(); n += 1 }
+    n
+  }
+
   /** Contiguous 1-based long ordinals (`rankCol`) appended to
     * `sorted`, numbering rows in the frame's current global sort
     * order. Equivalent to `row_number().over(Window.orderBy(…))` with
@@ -50,7 +58,7 @@ object GlobalOrder {
   def zipRankWithCount(sorted: DataFrame, rankCol: String): (DataFrame, Long) = {
     val rdd = sorted.rdd
     val counts = rdd
-      .mapPartitionsWithIndex((pi, it) => Iterator((pi, it.size.toLong)))
+      .mapPartitionsWithIndex((pi, it) => Iterator((pi, countLong(it))))
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val out = rdd.mapPartitionsWithIndex { (pi, it) =>
@@ -69,12 +77,14 @@ object GlobalOrder {
     * `valueCol` appended as `cumCol` — semantics of
     * `sum(valueCol).over(Window.orderBy(sortCols).rowsBetween(
     * unboundedPreceding, currentRow))`, computed as a two-pass
-    * range-partitioned prefix sum: pass 1 collects one partial sum
-    * per partition, pass 2 re-streams each partition with its prefix
-    * offset. NULLs contribute nothing (SQL SUM semantics) but still
-    * carry the running value. `valueCol` must be a decimal column
-    * (exact, order-independent — the repo's money-sum discipline);
-    * output is decimal(38, scale of input).
+    * range-partitioned prefix sum: pass 1 collects one partial
+    * (sum, non-null count) per partition, pass 2 re-streams each
+    * partition with its prefix offset. NULL semantics match the
+    * window exactly: NULLs contribute nothing, and rows BEFORE the
+    * first non-null value in the global order carry NULL (not 0) —
+    * SQL SUM over an all-NULL frame is NULL. `valueCol` must be a
+    * decimal column (exact, order-independent — the repo's money-sum
+    * discipline); output is decimal(38, scale of input), nullable.
     */
   def runningSum(
       df: DataFrame,
@@ -89,24 +99,32 @@ object GlobalOrder {
         s"runningSum needs a decimal value column, got $other")
     }
     val rdd = sorted.rdd
-    val partSums = rdd
+    val partAggs = rdd
       .mapPartitionsWithIndex { (pi, it) =>
         var s = java.math.BigDecimal.ZERO
-        it.foreach(r => if (!r.isNullAt(vIdx)) s = s.add(r.getDecimal(vIdx)))
-        Iterator((pi, s))
+        var nn = 0L
+        it.foreach { r =>
+          if (!r.isNullAt(vIdx)) { s = s.add(r.getDecimal(vIdx)); nn += 1 }
+        }
+        Iterator((pi, s, nn))
       }
-      .collect().sortBy(_._1).map(_._2)
-    // offsets(i) = Σ partSums(<i): the only cross-partition state
-    val offsets = partSums.scanLeft(java.math.BigDecimal.ZERO)(_ add _)
+      .collect().sortBy(_._1)
+    // offsets(i) = Σ partial(<i): the only cross-partition state —
+    // the sum for the running value, the non-null count so a prefix
+    // of all-NULL rows yields NULL (not 0), matching the window
+    val offsets = partAggs.map(_._2).scanLeft(java.math.BigDecimal.ZERO)(_ add _)
+    val seenOffsets = partAggs.map(_._3).scanLeft(0L)(_ + _)
     val out = rdd.mapPartitionsWithIndex { (pi, it) =>
       var run = offsets(pi)
+      var seen = seenOffsets(pi) > 0L
       it.map { r =>
-        if (!r.isNullAt(vIdx)) run = run.add(r.getDecimal(vIdx))
-        Row.fromSeq(r.toSeq :+ run.setScale(scale))
+        if (!r.isNullAt(vIdx)) { run = run.add(r.getDecimal(vIdx)); seen = true }
+        Row.fromSeq(r.toSeq :+ (if (seen) run.setScale(scale) else null))
       }
     }
     df.sparkSession.createDataFrame(out,
-      appended(sorted.schema, cumCol, DecimalType(38, scale)))
+      StructType(sorted.schema.fields :+
+        StructField(cumCol, DecimalType(38, scale), nullable = true)))
   }
 
   /** `df` sorted by `sortCols` with the exact `ntile(tiles)` bucket
@@ -124,7 +142,7 @@ object GlobalOrder {
     val sorted = df.sort(sortCols: _*)
     val rdd = sorted.rdd
     val counts = rdd
-      .mapPartitionsWithIndex((pi, it) => Iterator((pi, it.size.toLong)))
+      .mapPartitionsWithIndex((pi, it) => Iterator((pi, countLong(it))))
       .collect().sortBy(_._1).map(_._2)
     val n = counts.sum
     val offsets = counts.scanLeft(0L)(_ + _)

@@ -21,7 +21,10 @@ object HybridSearch {
     * first, ties broken by id — input is a top-k list (k rows by
     * construction), ranked by GlobalOrder.zipRank so no
     * single-partition WindowExec appears anywhere in the fused plan
-    * (rank is a long; rrf arithmetic is unchanged).
+    * (rank is a long; rrf arithmetic is unchanged). NOTE: zipRank is
+    * EAGER — calling this executes the leg's plan (k-bounded, cheap)
+    * and pins the ranked rows as an RDD boundary; don't expect
+    * downstream predicates to push below the rank.
     */
   def ranked(leg: DataFrame, idCol: String, scoreCol: String): DataFrame =
     GlobalOrder.zipRank(

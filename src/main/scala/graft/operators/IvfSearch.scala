@@ -73,9 +73,10 @@ object IvfSearch {
       seed: Long = 42L): IvfModel = {
     import spark.implicits._
     // hash-ordered sample: deterministic regardless of partitioning
-    // (orderBy(rand(seed)) varies with partition layout)
+    // (orderBy(rand(seed)) varies with partition layout); the vector
+    // itself breaks 32-bit hash ties at the limit() cutoff
     val sample = embs.select(col(vecCol)).as[Array[Float]]
-      .orderBy(hash(col(vecCol), lit(seed)))
+      .orderBy(hash(col(vecCol), lit(seed)), col(vecCol))
       .limit(sampleSize)
       .collect()
     require(sample.nonEmpty, "cannot train IVF on an empty table")

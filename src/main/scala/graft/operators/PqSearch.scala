@@ -92,8 +92,11 @@ object PqSearch {
       seed: Long = 42L): PqModel = {
     import spark.implicits._
     require(m > 0 && k > 1)
+    // vector itself as the secondary sort key: a 32-bit hash tie at
+    // the limit() cutoff would otherwise let the partition layout
+    // pick the seed set
     val sample = embs.select(col(vecCol)).as[Array[Float]]
-      .orderBy(hash(col(vecCol), lit(seed)))
+      .orderBy(hash(col(vecCol), lit(seed)), col(vecCol))
       .limit(sampleSize)
       .collect()
     require(sample.nonEmpty, "cannot train PQ on an empty table")

@@ -32,7 +32,10 @@ object Vocab {
     // (TakeOrdered): the input is vocab-sized by construction, and
     // the TakeOrdered result is a single sorted partition, so the
     // ranking is one narrow pass — no single-partition WindowExec,
-    // no ranking warning in the logs
+    // no ranking warning in the logs. NOTE: zipRank is EAGER — build()
+    // executes the frequency aggregation at call time and returns the
+    // vocab pinned behind an RDD boundary (vocab-sized, the frame is
+    // about to be broadcast by encode() anyway)
     GlobalOrder.zipRank(
       graft.Par.spread(docs.select(col(textCol)))
         .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))

@@ -39,7 +39,7 @@ object NearDupStream {
 
   final case class Doc(doc_id: Long, text: String)
   final case class BandRow(band: Int, key: Int, doc_id: Long, sig: Array[Long])
-  final case class BucketState(ids: List[Long], sigs: List[Array[Long]])
+  final case class BucketState(size: Int, ids: List[Long], sigs: List[Array[Long]])
   final case class CandPair(id_a: Long, id_b: Long, est_jaccard: Double)
 
   def nearDupPairs(
@@ -71,7 +71,7 @@ object NearDupStream {
         state.remove()
         return Iterator.empty
       }
-      var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+      var st = state.getOption.getOrElse(BucketState(0, Nil, Nil))
       val out = Seq.newBuilder[CandPair]
       // arrival order within a batch is made deterministic by id —
       // emission (which member-set each doc sees) must not depend on
@@ -88,9 +88,15 @@ object NearDupStream {
                 math.floor(est * 10000 + 0.5) / 10000)
           }
         }
-        // FIFO ring: newest first, oldest dropped at the cap
-        st = BucketState((row.doc_id :: st.ids).take(maxPerBucket),
-          (row.sig :: st.sigs).take(maxPerBucket))
+        // FIFO ring: newest first, oldest dropped at the cap; tracked
+        // size keeps below-cap arrivals an O(1) prepend (the O(cap)
+        // rebuild only happens once full, where the comparison work
+        // is O(cap) anyway)
+        st = if (st.size < maxPerBucket)
+          BucketState(st.size + 1, row.doc_id :: st.ids, row.sig :: st.sigs)
+        else
+          BucketState(maxPerBucket, (row.doc_id :: st.ids).take(maxPerBucket),
+            (row.sig :: st.sigs).take(maxPerBucket))
       }
       if (streaming) {
         state.update(st)

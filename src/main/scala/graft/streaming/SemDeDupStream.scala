@@ -36,7 +36,7 @@ object SemDeDupStream {
 
   final case class EmbDoc(doc_id: Long, vec: Array[Float])
   final case class CellRow(cell: Int, doc_id: Long, vec: Array[Float])
-  final case class CellState(ids: List[Long], vecs: List[Array[Float]])
+  final case class CellState(size: Int, ids: List[Long], vecs: List[Array[Float]])
   final case class SemPair(id_a: Long, id_b: Long, cos: Double)
 
   /** Left-to-right double cosine, the scalar twin of the codegen
@@ -77,7 +77,7 @@ object SemDeDupStream {
         state.remove()
         return Iterator.empty
       }
-      var st = state.getOption.getOrElse(CellState(Nil, Nil))
+      var st = state.getOption.getOrElse(CellState(0, Nil, Nil))
       val out = Seq.newBuilder[SemPair]
       // deterministic arrival order within a batch (emission must not
       // depend on task scheduling)
@@ -92,9 +92,15 @@ object SemDeDupStream {
                   .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
           }
         }
-        // FIFO ring: newest first, oldest dropped at the cap
-        st = CellState((row.doc_id :: st.ids).take(maxPerCell),
-          (row.vec :: st.vecs).take(maxPerCell))
+        // FIFO ring: newest first, oldest dropped at the cap. The
+        // tracked size keeps the common below-cap arrival an O(1)
+        // prepend; the O(cap) rebuild only happens once full, where
+        // the required cosine work is O(cap) anyway
+        st = if (st.size < maxPerCell)
+          CellState(st.size + 1, row.doc_id :: st.ids, row.vec :: st.vecs)
+        else
+          CellState(maxPerCell, (row.doc_id :: st.ids).take(maxPerCell),
+            (row.vec :: st.vecs).take(maxPerCell))
       }
       if (streaming) {
         state.update(st)

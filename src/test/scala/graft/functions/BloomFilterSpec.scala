@@ -81,6 +81,9 @@ class BloomFilterSpec extends SparkSpec {
       assert(hits.forall(identity))
     }
     intercept[IllegalArgumentException] { BloomFilter.sketch(col("k"), 1000) }
+    // > 2^26 words would truncate bit indices past Int — rejected,
+    // never a silent FP degradation
+    intercept[IllegalArgumentException] { BloomFilter.sketch(col("k"), 1 << 27) }
   }
 
   test("q122 pruning drops most non-matching fact rows before the join") {

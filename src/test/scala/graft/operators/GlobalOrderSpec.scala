@@ -12,10 +12,11 @@ class GlobalOrderSpec extends SparkSpec {
 
   private def fixture = {
     import spark.implicits._
-    // ties in the sort value + a null amount + enough rows to span
-    // the 4 test shuffle partitions
+    // ties in the sort value, scattered nulls, an ALL-NULL leading
+    // group (grp 0 — the running sum must be NULL there, not 0), and
+    // enough rows to span the 4 test shuffle partitions
     (1 to 257).map { i =>
-      (i.toLong, (i % 17).toLong, if (i % 29 == 0) null
+      (i.toLong, (i % 17).toLong, if (i % 17 == 0 || i % 29 == 0) null
       else new java.math.BigDecimal(s"${(i * 7) % 100}.${i % 100}"))
     }.toDF("id", "grp", "amt")
       .withColumn("amt", col("amt").cast("decimal(18,2)"))
@@ -38,17 +39,19 @@ class GlobalOrderSpec extends SparkSpec {
     assert(ranked.count() === 257L)
   }
 
-  test("runningSum equals sum over an unbounded-preceding window, nulls skipped") {
+  test("runningSum equals sum over an unbounded-preceding window, incl. NULL prefix") {
     import spark.implicits._
     val df = fixture
     val got = GlobalOrder.runningSum(df, Seq($"grp", $"id"), "amt", "cum")
       .select($"id", $"cum".cast("decimal(38,2)"))
     val want = df.select($"id",
-      coalesce(
-        sum($"amt").over(Window.orderBy($"grp", $"id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        lit(0).cast("decimal(18,2)")).cast("decimal(38,2)").as("cum"))
+      sum($"amt").over(Window.orderBy($"grp", $"id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,2)").as("cum"))
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the all-NULL leading group really is NULL, not 0 (SQL SUM over
+    // an all-NULL frame)
+    assert(got.filter($"cum".isNull).count() > 0)
   }
 
   test("runningSum rejects non-decimal value columns") {

@@ -122,8 +122,12 @@ class PlanAuditSpec extends SparkSpec {
     // plus the bounded Vocab/HybridSearch ranks): every Window in
     // every declared query's optimized plan must carry a partition
     // spec, so Spark's "No Partition Defined for Window operation"
-    // can never fire from a declared query again. Logical-plan check:
-    // no job execution, so auditing all queries stays cheap.
+    // can never fire from a declared query again. The audit inspects
+    // optimized plans without executing the final query, but note
+    // that CONSTRUCTING some queries is itself eager at sf0.001
+    // (GlobalOrder's two-pass jobs, PQ/BPE training loops) — this
+    // test costs a couple of minutes and that is an accepted price
+    // for a suite-wide plan pin.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = graft.QueryDef.all.flatMap { qd =>
       val bad =
