@@ -163,4 +163,42 @@ object PqSearch {
       .limit(k)
       .select(col(idCol), col("dist2"))
   }
+
+  /** The classic IVF-PQ composition: (id, cell, codes) — IVF's coarse
+    * quantizer decides WHICH rows a query scans (cell filter →
+    * partition pruning when written `partitionBy("cell")`), the PQ
+    * codes decide what each scanned row COSTS (m lookups instead of
+    * d float ops). One narrow map; both models ride the closure.
+    */
+  def encodeWithCells(
+      spark: SparkSession,
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      pq: PqModel,
+      ivf: IvfSearch.IvfModel): DataFrame = {
+    import spark.implicits._
+    embs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(it => it.map { case (id, v) =>
+        (id, ivf.nearestCell(v), pq.encodeOne(v))
+      })
+      .toDF(idCol, "cell", "codes")
+  }
+
+  /** ADC top-k over the `nProbe` nearest IVF cells only — the query
+    * touches ~nProbe/k of the corpus AND pays only table lookups per
+    * touched row.
+    */
+  def searchIvfPq(
+      encoded: DataFrame,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      pq: PqModel,
+      ivf: IvfSearch.IvfModel,
+      nProbe: Int = 4): DataFrame = {
+    val cells = ivf.rankedCells(query).take(math.max(1, nProbe))
+    search(encoded.filter(col("cell").isin(cells: _*)), idCol, query, k, pq)
+  }
 }

@@ -76,6 +76,47 @@ class PqSearchSpec extends SparkSpec {
     assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
   }
 
+  test("IVF-PQ composition: cell pruning + ADC keeps recall while scanning a fraction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val centers = (0 until 40).map(_ => Array.fill(64)(rnd.nextFloat() * 4 - 2))
+    val vecs = (0L until 800L).map { id =>
+      val c = centers((id % 40).toInt)
+      (id, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val pq = PqSearch.train(spark, df, "embedding", m = 8, k = 16,
+      iterations = 5, seed = 21L)
+    // one coarse cell per true cluster — fewer cells than clusters
+    // forces multi-cluster centroids and the probe ranking degrades
+    // (the IvfSearchSpec trade-off); 40 cells ≙ the corpus structure
+    val ivf = IvfSearch.train(spark, df, "embedding", k = 40, iterations = 5)
+    val enc = PqSearch.encodeWithCells(spark, df, "vec_id", "embedding", pq, ivf)
+      .persist()
+    val q = centers(23).map(x => x + 0.02f)
+    // PQ resolution limit: every member of a tight cluster quantizes
+    // to the SAME codes, so ADC can rank clusters, not members — the
+    // honest recall target is the whole home cluster (= exact top-20)
+    val got20 = PqSearch.searchIvfPq(enc, "vec_id", q, k = 20, pq, ivf, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val want20 = exactTopK(vecs, q, 20).toSet
+    assert(got20.intersect(want20).size / 20.0 >= 0.7,
+      s"cluster recall=${got20.intersect(want20).size / 20.0}")
+    // member-level ranking comes from the standard exact-rerank tier:
+    // ADC shortlist (3k..5k) re-scored against the raw vectors
+    val shortlist = PqSearch.searchIvfPq(enc, "vec_id", q, k = 50, pq, ivf, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val reranked = exactTopK(vecs.filter(v => shortlist(v._1)), q, 10).toSet
+    val want10 = exactTopK(vecs, q, 10).toSet
+    assert(reranked.intersect(want10).size / 10.0 >= 0.9,
+      s"reranked recall=${reranked.intersect(want10).size / 10.0}")
+    // the probe really prunes: ≤ nProbe of 40 cells scanned
+    val probed = ivf.rankedCells(q).take(4).toSet
+    val scanned = enc.filter($"cell".isin(probed.toSeq: _*)).count()
+    assert(scanned < 800 * 0.3, s"scanned=$scanned of 800")
+    enc.unpersist()
+  }
+
   test("search plan: TakeOrderedAndProject over the code scan, never a global sort") {
     import spark.implicits._
     val df = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
