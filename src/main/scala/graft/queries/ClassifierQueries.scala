@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{LogReg, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Supervised quality-classifier queries (SURVEY §2.12): the
+  * distributed fixed-point GD trainer (operators.LogReg) declared as
+  * oracle-checked queries. Like q118's Lloyd replay, the oracle
+  * REPLAYS the full training recurrence in SQL — zero-init weights,
+  * every iteration's hard-sigmoid errors, weighted gradient sums and
+  * fixed-point update unrolled as CTE chains — so the learned weights,
+  * margins, and predictions are checked value-for-value across
+  * engines. Possible only because every trainer step is exact integer
+  * arithmetic plus IEEE-identical floor-divisions (LogReg scaladoc).
+  *
+  * Task: one-vs-rest on `embeddings.label` (positives = label 0, ~10%
+  * of rows, integer-rebalanced ×9) — the embedding-space stand-in for
+  * a fastText/CCNet-style corpus quality filter.
+  */
+object ClassifierQueries {
+
+  private val Dim = 64          // fixture embedding dim (FIXTURES.md §B)
+  private val Iters = 8
+  private val PosWeight = 9L    // ≈ neg/pos ratio of the 10-class fixture
+  private val EtaDen = 2L       // learning rate 1/2
+  private val Salt = 129L       // q129 split salt
+  private val TrainFrac = 0.8
+
+  private val Sx = LogReg.FeatScale      // 1024
+  private val Qw = LogReg.WeightScale    // 65536
+  private val ClampDen = 4L * Qw         // 262144
+  private val StepDen = EtaDen * Sx * Sx // 2097152
+
+  /** floor of the IEEE double quotient — textual mirror of
+    * [[LogReg.fdiv]].
+    */
+  private def fdiv(a: String, b: String): String =
+    s"CAST(floor(CAST($a AS DOUBLE) / CAST($b AS DOUBLE)) AS BIGINT)"
+
+  /** The hard-sigmoid score from a margin expression (scale Sx). */
+  private def scoreExpr(z: String): String =
+    s"LEAST(GREATEST(${Sx / 2} + ${fdiv(z, ClampDen.toString)}, 0), $Sx)"
+
+  /** CTE chain replaying LogReg.train: lab (labels + class weights),
+    * feats (quantized components + bias), tr (training rows), cnt
+    * (weighted row count), w0..wN (the GD recurrence: zI margins over
+    * training rows, eI weighted hard-sigmoid errors, gI gradient sums,
+    * wI+1 the fixed-point update). `trainPred` None → train on all
+    * rows.
+    */
+  private def gdCtes(iters: Int, trainPred: Option[String]): String = {
+    val trJoin = trainPred
+      .map(p => s"(SELECT vec_id FROM embeddings WHERE $p)")
+      .getOrElse("(SELECT vec_id FROM embeddings)")
+    val header =
+      s"""WITH lab AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+         |    CASE WHEN label = 0 THEN $PosWeight ELSE 1 END AS wy
+         |  FROM embeddings),
+         |feats AS MATERIALIZED (
+         |  SELECT vec_id, pos, CAST(floor(CAST(v AS DOUBLE) * $Sx) AS BIGINT) AS x
+         |  FROM (
+         |    SELECT vec_id, unnest(embedding) AS v,
+         |      unnest(list_transform(range(0, len(embedding)), p -> p)) AS pos
+         |    FROM embeddings)
+         |  UNION ALL
+         |  SELECT vec_id, $Dim AS pos, $Sx AS x FROM embeddings),
+         |tr AS MATERIALIZED $trJoin,
+         |cnt AS MATERIALIZED (
+         |  SELECT CAST(SUM(l.wy) AS BIGINT) AS c
+         |  FROM lab l JOIN tr t ON l.vec_id = t.vec_id),
+         |w0 AS MATERIALIZED (
+         |  SELECT CAST(unnest(range(0, ${Dim + 1})) AS INT) AS pos,
+         |    CAST(0 AS BIGINT) AS w)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""z$i AS MATERIALIZED (
+         |  SELECT f.vec_id, SUM(f.x * w.w) AS z
+         |  FROM feats f JOIN w$i w ON f.pos = w.pos
+         |  JOIN tr t ON f.vec_id = t.vec_id
+         |  GROUP BY f.vec_id),
+         |e$i AS MATERIALIZED (
+         |  SELECT z.vec_id, (${scoreExpr("z.z")} - $Sx * l.y) * l.wy AS err
+         |  FROM z$i z JOIN lab l ON z.vec_id = l.vec_id),
+         |g$i AS MATERIALIZED (
+         |  SELECT f.pos, SUM(e.err * f.x) AS g
+         |  FROM e$i e JOIN feats f ON e.vec_id = f.vec_id
+         |  GROUP BY f.pos),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT w.pos,
+         |    w.w - ${fdiv(s"${fdiv("COALESCE(g.g, 0)", "c.c")} * $Qw",
+                          StepDen.toString)} AS w
+         |  FROM w$i w LEFT JOIN g$i g ON w.pos = g.pos CROSS JOIN cnt c)""".stripMargin
+    }
+    (header +: steps).mkString(",\n")
+  }
+
+  /** Final margins of `who` (a CTE of vec_ids) against the trained
+    * weights w`iters`.
+    */
+  private def finalMargins(iters: Int, who: String): String =
+    s"""zf AS MATERIALIZED (
+       |  SELECT f.vec_id, SUM(f.x * w.w) AS z
+       |  FROM feats f JOIN w$iters w ON f.pos = w.pos
+       |  JOIN $who t ON f.vec_id = t.vec_id
+       |  GROUP BY f.vec_id)""".stripMargin
+
+  private def withY(embs: org.apache.spark.sql.DataFrame) =
+    embs.withColumn("y", when(col("label") === 0, 1).otherwise(0))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ----- q128: corpus quality scoring — train the fixed-point GD
+    // classifier on the full table, score every row. The oracle
+    // replays all 8 GD iterations and hash-matches margins, scores,
+    // and predictions value-for-value.
+    QueryDef(
+      "q128_quality_classifier",
+      (s, d) => {
+        import s.implicits._
+        val embs = withY(Tables.embeddings(s, d))
+        val model = LogReg.train(embs, "embedding", "y", Iters, EtaDen, PosWeight)
+        LogReg.scoreAll(embs, "vec_id", "embedding", "y", model)
+          .orderBy($"vec_id")
+      },
+      Some(
+        s"""${gdCtes(Iters, None)},
+           |${finalMargins(Iters, "tr")}
+           |SELECT l.vec_id, CAST(z.z AS BIGINT) AS margin,
+           |  CAST(${scoreExpr("z.z")} AS BIGINT) AS score,
+           |  CAST(CASE WHEN z.z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+           |  CAST(l.y AS BIGINT) AS y
+           |FROM zf z JOIN lab l ON z.vec_id = l.vec_id
+           |ORDER BY l.vec_id""".stripMargin)),
+
+    // ----- q129: holdout calibration — train on the hash-selected 80%
+    // split, confusion matrix + milli-accuracy on the held-out 20%.
+    // The oracle re-trains on the identical split (portable hash) and
+    // re-scores the identical holdout.
+    QueryDef(
+      "q129_classifier_eval",
+      (s, d) => {
+        val embs = withY(Tables.embeddings(s, d))
+        LogReg.splitEval(embs, "vec_id", "embedding", "y",
+          Iters, EtaDen, PosWeight, TrainFrac, Salt)
+      },
+      Some {
+        val frac = Sampling.hashFractionSql("vec_id", Salt)
+        s"""${gdCtes(Iters, Some(s"$frac < $TrainFrac"))},
+           |te AS (SELECT vec_id FROM embeddings WHERE $frac >= $TrainFrac),
+           |${finalMargins(Iters, "te")},
+           |scored AS (
+           |  SELECT CASE WHEN z.z >= 0 THEN 1 ELSE 0 END AS pred, l.y
+           |  FROM zf z JOIN lab l ON z.vec_id = l.vec_id),
+           |cm AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |    CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |  FROM scored)
+           |SELECT tp, fp, fn, tn,
+           |  ${fdiv("1000 * (tp + tn)", "tp + fp + fn + tn")} AS acc_milli
+           |FROM cm""".stripMargin
+      }))
+}
