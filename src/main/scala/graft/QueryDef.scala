@@ -35,5 +35,7 @@ object QueryDef {
       queries.AnalyticsQueries.defs ++
       queries.SurfaceQueries.defs ++
       queries.BusinessQueries.defs ++
-      queries.ClusterQueries.defs
+      queries.ClusterQueries.defs ++
+      queries.ClassifierQueries.defs ++
+      queries.QuantQueries.defs
 }

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Sampling, SqSearch}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar-quantized vector search + retrieval evaluation (SURVEY
+  * §2.12). Every arithmetic step is either exact integer math or an
+  * IEEE-identical double expression, so — uniquely in the ANN family —
+  * the SEARCH RESULTS themselves are DuckDB-oracle-checked, not just
+  * spec-bounded: q130 hash-matches the top-k list, q131 hash-matches
+  * recall@10 / reciprocal-rank metrics of the quantized search against
+  * exact ground truth.
+  */
+object QuantQueries {
+
+  private val QueryId = 7L   // q130's probe row
+  private val K = 20
+  private val QSalt = 131L   // q131 query-set salt
+  private val QRate = 0.02   // ≈10 probe queries at 500 rows
+  private val DistQuantum = 1048576L // 2^20 — exact-ground-truth quantum (= KMeans.DistQuantum)
+
+  /** Shared oracle CTEs: per-dim components, range stats, and the SQ8
+    * codes — the textual mirror of [[SqSearch.train]]/`encodeOne`.
+    * MATERIALIZED so DuckDB evaluates each once (the chain is
+    * multiply-referenced).
+    */
+  private val codeCtes: String =
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |    unnest(list_transform(range(0, len(embedding)), p -> p)) AS pos
+       |  FROM embeddings),
+       |stats AS MATERIALIZED (
+       |  SELECT pos, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+       |  FROM dims GROUP BY pos),
+       |codes AS MATERIALIZED (
+       |  SELECT d.vec_id, d.pos,
+       |    CASE WHEN s.mx = s.mn THEN 0
+       |         ELSE LEAST(GREATEST(CAST(floor(
+       |           (CAST(d.v AS DOUBLE) - s.mn) * ${SqSearch.Levels}.0 / (s.mx - s.mn))
+       |           AS BIGINT), 0), ${SqSearch.Levels})
+       |    END AS code
+       |  FROM dims d JOIN stats s ON d.pos = s.pos)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ----- q130: SQ8 top-k search — per-dim linear int8 codes under
+    // corpus range stats, symmetric integer-L2 ranking. The oracle
+    // re-derives the identical codes and re-ranks; the top-20 list
+    // hash-matches end to end.
+    QueryDef(
+      "q130_sq_search",
+      (s, d) => {
+        import s.implicits._
+        val embs = Tables.embeddings(s, d)
+        val query = embs.filter($"vec_id" === QueryId)
+          .select($"embedding").as[Array[Float]].first()
+        SqSearch.searchRaw(embs, "vec_id", "embedding", query, K)
+      },
+      Some(
+        s"""$codeCtes,
+           |q AS MATERIALIZED (SELECT pos, code FROM codes WHERE vec_id = $QueryId)
+           |SELECT c.vec_id,
+           |  CAST(SUM((c.code - q.code) * (c.code - q.code)) AS BIGINT) AS qdist
+           |FROM codes c JOIN q ON c.pos = q.pos
+           |GROUP BY c.vec_id
+           |ORDER BY qdist, c.vec_id
+           |LIMIT $K""".stripMargin)),
+
+    // ----- q131: retrieval-eval harness — recall@10 and reciprocal
+    // rank of the SQ8 ranking against exact (quantized-integer L2)
+    // ground truth, per hash-sampled probe query. The eval loop every
+    // ANN deployment needs before trading recall for scan cost; both
+    // rankings and both metrics replay exactly in SQL.
+    QueryDef(
+      "q131_retrieval_eval",
+      (s, d) => {
+        import s.implicits._
+        val embs = Tables.embeddings(s, d)
+        val model = SqSearch.train(embs, "embedding")
+        val corpus = SqSearch.encode(embs, "vec_id", "embedding", model)
+          .join(embs.select($"vec_id", $"embedding"), "vec_id")
+        val qs = corpus
+          .filter(Sampling.hashFraction($"vec_id", QSalt) < QRate)
+          .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+            $"codes".as("qcodes"))
+        // probe set is hash-bounded (~QRate·n queries) and broadcast;
+        // the nested-loop pair build is the eval harness's point — a
+        // sampled diagnostic, not a corpus-scale operator
+        val edist = aggregate(
+          zip_with($"embedding", $"qvec", (a, b) => {
+            val diff = a.cast("double") - b.cast("double")
+            floor(diff * diff * lit(DistQuantum.toDouble)).cast("long")
+          }),
+          lit(0L), (acc, x) => acc + x)
+        val sdist = aggregate(
+          zip_with($"codes", $"qcodes", (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x.cast("long"))
+        val pairs = corpus.join(broadcast(qs), $"vec_id" =!= $"qid")
+          .withColumn("edist", edist)
+          .withColumn("sdist", sdist)
+        val er = row_number().over(
+          Window.partitionBy($"qid").orderBy($"edist", $"vec_id"))
+        val sr = row_number().over(
+          Window.partitionBy($"qid").orderBy($"sdist", $"vec_id"))
+        pairs
+          .withColumn("er", er)
+          .withColumn("sr", sr)
+          .groupBy($"qid".as("query_id"))
+          .agg(
+            sum(when($"er" <= 10 && $"sr" <= 10, 1L).otherwise(0L))
+              .as("recall10"),
+            max(when($"er" === 1, lit(1.0) / $"sr")).as("rr"))
+          .orderBy($"query_id")
+      },
+      Some {
+        val frac = Sampling.hashFractionSql("vec_id", QSalt)
+        s"""$codeCtes,
+           |qs AS MATERIALIZED (
+           |  SELECT vec_id AS qid FROM embeddings WHERE $frac < $QRate),
+           |exact AS MATERIALIZED (
+           |  SELECT q.qid, d.vec_id,
+           |    SUM(CAST(floor((CAST(d.v AS DOUBLE) - CAST(e.v AS DOUBLE))
+           |      * (CAST(d.v AS DOUBLE) - CAST(e.v AS DOUBLE))
+           |      * $DistQuantum.0) AS BIGINT)) AS dist
+           |  FROM qs q
+           |  JOIN dims e ON e.vec_id = q.qid
+           |  JOIN dims d ON d.pos = e.pos AND d.vec_id <> q.qid
+           |  GROUP BY q.qid, d.vec_id),
+           |sq AS MATERIALIZED (
+           |  SELECT q.qid, c.vec_id,
+           |    SUM((c.code - qc.code) * (c.code - qc.code)) AS dist
+           |  FROM qs q
+           |  JOIN codes qc ON qc.vec_id = q.qid
+           |  JOIN codes c ON c.pos = qc.pos AND c.vec_id <> q.qid
+           |  GROUP BY q.qid, c.vec_id),
+           |er AS MATERIALIZED (
+           |  SELECT qid, vec_id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS r
+           |  FROM exact),
+           |sr AS MATERIALIZED (
+           |  SELECT qid, vec_id,
+           |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS r
+           |  FROM sq)
+           |SELECT e.qid AS query_id,
+           |  CAST(SUM(CASE WHEN e.r <= 10 AND s.r <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS recall10,
+           |  MAX(CASE WHEN e.r = 1 THEN CAST(1 AS DOUBLE) / s.r END) AS rr
+           |FROM er e JOIN sr s ON e.qid = s.qid AND e.vec_id = s.vec_id
+           |GROUP BY e.qid
+           |ORDER BY query_id""".stripMargin
+      }))
+}
