@@ -37,5 +37,6 @@ object QueryDef {
       queries.BusinessQueries.defs ++
       queries.ClusterQueries.defs ++
       queries.ClassifierQueries.defs ++
-      queries.QuantQueries.defs
+      queries.QuantQueries.defs ++
+      queries.RetrievalQueries.defs
 }

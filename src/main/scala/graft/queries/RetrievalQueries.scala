@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Retrieval, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Retrieval training-data queries (SURVEY §2.12): hard-negative
+  * mining for contrastive retriever training and MMR result
+  * diversification — both on the engine's quantized-integer L2
+  * convention, so every ranking, score, and the greedy MMR recurrence
+  * itself (unrolled per-step CTEs) hash-match the DuckDB replay.
+  */
+object RetrievalQueries {
+
+  private val NegSalt = 132L
+  private val NegRate = 0.02  // ≈10 probe queries at 500 rows
+  private val NegK = 5
+  private val MmrQueryId = 7L
+  private val PoolSize = 20
+  private val MmrK = 5
+  private val Quantum = "1048576.0" // 2^20 = KMeans.DistQuantum
+
+  /** Component rows (vec_id, pos, v) — the shared unnest. */
+  private val dimsCte: String =
+    s"""dims AS MATERIALIZED (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |    unnest(list_transform(range(0, len(embedding)), p -> p)) AS pos
+       |  FROM embeddings)""".stripMargin
+
+  /** Σ floor((a−b)²·2^20) between two component aliases. */
+  private def qDist(a: String, b: String): String =
+    s"""SUM(CAST(floor((CAST($a.v AS DOUBLE) - CAST($b.v AS DOUBLE))
+       | * (CAST($a.v AS DOUBLE) - CAST($b.v AS DOUBLE)) * $Quantum) AS BIGINT))""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ----- q132: hard-negative mining — for each hash-sampled probe,
+    // the 5 nearest corpus vectors with a DIFFERENT label (quantized-
+    // exact L2, ties by id): the negatives that most confuse a
+    // retriever, ready for contrastive training.
+    QueryDef(
+      "q132_hard_negatives",
+      (s, d) => {
+        Retrieval.hardNegatives(Tables.embeddings(s, d),
+            "vec_id", "embedding", "label", NegRate, NegSalt, NegK)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val frac = Sampling.hashFractionSql("vec_id", NegSalt)
+        s"""WITH $dimsCte,
+           |probes AS MATERIALIZED (
+           |  SELECT vec_id AS qid, label AS qlabel FROM embeddings
+           |  WHERE $frac < $NegRate),
+           |dists AS MATERIALIZED (
+           |  SELECT p.qid, d.vec_id, ${qDist("d", "q")} AS dist
+           |  FROM probes p
+           |  JOIN dims q ON q.vec_id = p.qid
+           |  JOIN dims d ON d.pos = q.pos
+           |  JOIN embeddings e ON e.vec_id = d.vec_id AND e.label <> p.qlabel
+           |  GROUP BY p.qid, d.vec_id),
+           |ranked AS MATERIALIZED (
+           |  SELECT qid AS query_id, vec_id AS neg_id, CAST(dist AS BIGINT) AS dist,
+           |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+           |  FROM dists)
+           |SELECT query_id, neg_id, CAST(rank AS INT) AS rank, dist
+           |FROM ranked WHERE rank <= $NegK
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // ----- q133: MMR diversified top-k — greedy maximal-marginal-
+    // relevance (λ=1/2) over the top-20 pool nearest vec_id 7: seed =
+    // nearest, each later pick maximizes min-distance-to-selected
+    // minus distance-to-query. The oracle unrolls all five greedy
+    // steps as CTEs and hash-matches picks, ranks, and scores.
+    QueryDef(
+      "q133_mmr_diversify",
+      (s, d) => {
+        import s.implicits._
+        val embs = Tables.embeddings(s, d)
+        val query = embs.filter($"vec_id" === MmrQueryId)
+          .select($"embedding").as[Array[Float]].first()
+        Retrieval.mmrSelect(embs, "vec_id", "embedding", query,
+          PoolSize, MmrK, excludeId = Some(MmrQueryId))
+      },
+      Some {
+        val steps = (2 to MmrK).map { t =>
+          s"""cand$t AS MATERIALIZED (
+             |  SELECT p.vec_id, min(dd.dist) - p.dq AS score
+             |  FROM pool p
+             |  JOIN dd ON dd.ida = p.vec_id
+             |  JOIN sel${t - 1} s ON dd.idb = s.vec_id
+             |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+             |  GROUP BY p.vec_id, p.dq),
+             |pick$t AS MATERIALIZED (
+             |  SELECT vec_id, $t AS rank, score FROM cand$t
+             |  ORDER BY score DESC, vec_id LIMIT 1),
+             |sel$t AS MATERIALIZED (
+             |  SELECT vec_id FROM sel${t - 1} UNION ALL SELECT vec_id FROM pick$t)""".stripMargin
+        }.mkString(",\n")
+        val picks = (2 to MmrK).map(t => s"SELECT vec_id, rank, score FROM pick$t")
+          .mkString(" UNION ALL ")
+        s"""WITH $dimsCte,
+           |qv AS MATERIALIZED (SELECT pos, v FROM dims WHERE vec_id = $MmrQueryId),
+           |dq AS MATERIALIZED (
+           |  SELECT d.vec_id, CAST(${qDist("d", "q")} AS BIGINT) AS dist
+           |  FROM dims d JOIN qv q ON d.pos = q.pos
+           |  WHERE d.vec_id <> $MmrQueryId
+           |  GROUP BY d.vec_id),
+           |pool AS MATERIALIZED (
+           |  SELECT vec_id, dist AS dq FROM dq ORDER BY dist, vec_id LIMIT $PoolSize),
+           |dd AS MATERIALIZED (
+           |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+           |    CAST(${qDist("da", "db")} AS BIGINT) AS dist
+           |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+           |  JOIN dims da ON da.vec_id = a.vec_id
+           |  JOIN dims db ON db.vec_id = b.vec_id AND db.pos = da.pos
+           |  GROUP BY a.vec_id, b.vec_id),
+           |sel1 AS MATERIALIZED (
+           |  SELECT vec_id, 1 AS rank, -dq AS score FROM pool
+           |  ORDER BY dq, vec_id LIMIT 1),
+           |$steps
+           |SELECT CAST(rank AS INT) AS rank, vec_id, CAST(score AS BIGINT) AS mmr_score
+           |FROM (SELECT vec_id, rank, score FROM sel1 UNION ALL $picks)
+           |ORDER BY rank""".stripMargin
+      }))
+}
