@@ -163,5 +163,37 @@ object ClassifierQueries {
            |SELECT tp, fp, fn, tn,
            |  ${fdiv("1000 * (tp + tn)", "tp + fp + fn + tn")} AS acc_milli
            |FROM cm""".stripMargin
-      }))
+      }),
+
+    // ----- q135: the learned filter COMPOSED into curation — train
+    // the classifier, keep only predicted-positive rows, and profile
+    // the surviving corpus per language (the GPT-3 §A move: a learned
+    // quality model gates what enters the training set). The oracle
+    // replays training AND the gated per-language rollup.
+    QueryDef(
+      "q135_learned_quality_filter",
+      (s, d) => {
+        import s.implicits._
+        val embs = withY(Tables.embeddings(s, d))
+        val model = LogReg.train(embs, "embedding", "y", Iters, EtaDen, PosWeight)
+        val kept = LogReg.scoreAll(embs, "vec_id", "embedding", "y", model)
+          .filter($"pred" === 1)
+        val docs = Tables.documents(s, d)
+        docs.join(kept, docs("doc_id") === kept("vec_id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("kept"),
+            sum($"n_chars").as("kept_chars"),
+            sum($"margin").as("margin_sum"))
+          .orderBy($"lang")
+      },
+      Some(
+        s"""${gdCtes(Iters, None)},
+           |${finalMargins(Iters, "tr")}
+           |SELECT d.lang, COUNT(*) AS kept,
+           |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars,
+           |  CAST(SUM(z.z) AS BIGINT) AS margin_sum
+           |FROM zf z JOIN documents d ON d.doc_id = z.vec_id
+           |WHERE z.z >= 0
+           |GROUP BY d.lang
+           |ORDER BY d.lang""".stripMargin)))
 }

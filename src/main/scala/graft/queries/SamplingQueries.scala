@@ -104,5 +104,50 @@ object SamplingQueries {
            |  WHERE n_chars > 0
            |  ORDER BY $pri DESC, doc_id ASC LIMIT 25)
            |ORDER BY doc_id""".stripMargin
+      })),
+
+    // ----- q134: approximate quantiles by deterministic sampling —
+    // the scan-only alternative to a corpus-wide sort: Bernoulli-
+    // sample on the portable hash (pushable filter), then EXACT
+    // rank-selection quantiles over the sample (rank = floor(q·(n−1)),
+    // ties by doc_id). Error is the classic O(1/√(pn)) sampling bound;
+    // determinism makes it auditable — both engines select the same
+    // sample AND the same order statistics. The Spark side ranks with
+    // GlobalOrder.zipRank (two-pass range scan), never a single-
+    // partition window.
+    QueryDef(
+      "q134_sampled_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val sample = Tables.documents(s, d)
+          .filter(Sampling.hashFraction($"doc_id", 134L) < 0.1)
+          .select($"n_chars", $"doc_id")
+        val (ranked, n) = graft.operators.GlobalOrder.zipRankWithCount(
+          sample.sort($"n_chars", $"doc_id"), "r")
+        val targets = Seq(100, 250, 500, 750, 900, 990).toDF("q_milli")
+          .withColumn("rank", expr(
+            s"CAST(floor(CAST(q_milli * ${n - 1} AS DOUBLE) / 1000.0) AS BIGINT)"))
+        ranked.join(broadcast(targets), ranked("r") === targets("rank") + 1)
+          .select($"q_milli", $"rank", $"n_chars".as("value"))
+          .orderBy($"q_milli")
+      },
+      Some({
+        val frac134 = Sampling.hashFractionSql("doc_id", 134L)
+        s"""WITH sample AS MATERIALIZED (
+           |  SELECT doc_id, n_chars FROM documents WHERE $frac134 < 0.1),
+           |rk AS MATERIALIZED (
+           |  SELECT n_chars,
+           |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r
+           |  FROM sample),
+           |n AS MATERIALIZED (SELECT count(*) AS n FROM sample),
+           |t(q_milli) AS (VALUES (100), (250), (500), (750), (900), (990)),
+           |tgt AS MATERIALIZED (
+           |  SELECT t.q_milli,
+           |    CAST(floor(CAST(t.q_milli * (n.n - 1) AS DOUBLE) / 1000.0) AS BIGINT)
+           |      AS rank
+           |  FROM t, n)
+           |SELECT g.q_milli, g.rank, rk.n_chars AS value
+           |FROM tgt g JOIN rk ON rk.r = g.rank
+           |ORDER BY g.q_milli""".stripMargin
       })))
 }
