@@ -25,6 +25,7 @@ object ClassifierQueries {
   private val PosWeight = 9L    // ≈ neg/pos ratio of the 10-class fixture
   private val EtaDen = 2L       // learning rate 1/2
   private val Salt = 129L       // q129 split salt
+  private val CalSalt = 136L    // q136 conformal-split salt
   private val TrainFrac = 0.8
 
   private val Sx = LogReg.FeatScale      // 1024
@@ -97,10 +98,10 @@ object ClassifierQueries {
   }
 
   /** Final margins of `who` (a CTE of vec_ids) against the trained
-    * weights w`iters`.
+    * weights w`iters`, as CTE `name`.
     */
-  private def finalMargins(iters: Int, who: String): String =
-    s"""zf AS MATERIALIZED (
+  private def finalMargins(iters: Int, who: String, name: String = "zf"): String =
+    s"""$name AS MATERIALIZED (
        |  SELECT f.vec_id, SUM(f.x * w.w) AS z
        |  FROM feats f JOIN w$iters w ON f.pos = w.pos
        |  JOIN $who t ON f.vec_id = t.vec_id
@@ -195,5 +196,77 @@ object ClassifierQueries {
            |FROM zf z JOIN documents d ON d.doc_id = z.vec_id
            |WHERE z.z >= 0
            |GROUP BY d.lang
-           |ORDER BY d.lang""".stripMargin)))
+           |ORDER BY d.lang""".stripMargin)),
+
+    // ----- q136: split-conformal threshold calibration (Vovk et al.;
+    // Papadopoulos ICP) — train on 60%, set the decision threshold at
+    // the exact 0.9-quantile of CALIBRATION-split negative scores
+    // (rank selection, ties by id), report the held-out confusion at
+    // that threshold. Distribution-free FPR control ≤ α + 1/m for a
+    // quality filter — the calibration step a filter rollout runs
+    // before gating a corpus. Training, quantile, and test rollup all
+    // replay exactly.
+    QueryDef(
+      "q136_conformal_threshold",
+      (s, d) => {
+        import s.implicits._
+        val f = Sampling.hashFraction($"vec_id", CalSalt)
+        val embs = withY(Tables.embeddings(s, d))
+        val model = LogReg.train(embs.filter(f < 0.6), "embedding", "y",
+          Iters, EtaDen, PosWeight)
+        val calib = LogReg.scoreAll(
+          embs.filter(f >= 0.6 && f < 0.8), "vec_id", "embedding", "y", model)
+        val negs = calib.filter($"y" === 0).select($"score", $"vec_id")
+        // exact 0.9-quantile by rank selection over the (unboundedly
+        // growing) calibration split — two-pass zipRank, no single-
+        // partition window
+        val (ranked, m) = graft.operators.GlobalOrder.zipRankWithCount(
+          negs.sort($"score", $"vec_id"), "r")
+        val tau = ranked
+          .filter($"r" === LogReg.fdiv(9L * (m - 1), 10L) + 1L)
+          .select($"score").first().getLong(0)
+        LogReg.scoreAll(embs.filter(f >= 0.8), "vec_id", "embedding", "y", model)
+          .withColumn("cpred", ($"score" > tau).cast("long"))
+          .agg(
+            sum(when($"cpred" === 1 && $"y" === 1, 1L).otherwise(0L)).as("tp"),
+            sum(when($"cpred" === 1 && $"y" === 0, 1L).otherwise(0L)).as("fp"),
+            sum(when($"cpred" === 0 && $"y" === 1, 1L).otherwise(0L)).as("fn"),
+            sum(when($"cpred" === 0 && $"y" === 0, 1L).otherwise(0L)).as("tn"))
+          .withColumn("threshold", lit(tau))
+          .withColumn("fpr_milli",
+            expr("CAST(floor(CAST(1000 * fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)) AS BIGINT)"))
+      },
+      Some {
+        val frac = Sampling.hashFractionSql("vec_id", CalSalt)
+        s"""${gdCtes(Iters, Some(s"$frac < 0.6"))},
+           |ca AS (SELECT vec_id FROM embeddings WHERE $frac >= 0.6 AND $frac < 0.8),
+           |te AS (SELECT vec_id FROM embeddings WHERE $frac >= 0.8),
+           |${finalMargins(Iters, "ca", "zc")},
+           |negs AS MATERIALIZED (
+           |  SELECT ${scoreExpr("z.z")} AS score, z.vec_id
+           |  FROM zc z JOIN lab l ON z.vec_id = l.vec_id WHERE l.y = 0),
+           |rk AS MATERIALIZED (
+           |  SELECT score, row_number() OVER (ORDER BY score, vec_id) - 1 AS r
+           |  FROM negs),
+           |m AS (SELECT count(*) AS m FROM negs),
+           |tau AS MATERIALIZED (
+           |  SELECT rk.score AS tau FROM rk, m
+           |  WHERE rk.r = ${fdiv("9 * (m.m - 1)", "10")}),
+           |${finalMargins(Iters, "te", "zt")},
+           |scored AS (
+           |  SELECT CASE WHEN ${scoreExpr("z.z")} > t.tau THEN 1 ELSE 0 END AS cpred,
+           |    l.y, t.tau
+           |  FROM zt z JOIN lab l ON z.vec_id = l.vec_id CROSS JOIN tau t),
+           |cm AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN cpred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN cpred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(SUM(CASE WHEN cpred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |    CAST(SUM(CASE WHEN cpred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |    CAST(MAX(tau) AS BIGINT) AS threshold
+           |  FROM scored)
+           |SELECT tp, fp, fn, tn, threshold,
+           |  ${fdiv("1000 * fp", "fp + tn")} AS fpr_milli
+           |FROM cm""".stripMargin
+      }))
 }
