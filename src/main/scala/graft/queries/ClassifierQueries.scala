@@ -268,5 +268,73 @@ object ClassifierQueries {
            |SELECT tp, fp, fn, tn, threshold,
            |  ${fdiv("1000 * fp", "fp + tn")} AS fpr_milli
            |FROM cm""".stripMargin
-      }))
+      }),
+
+    // ----- q137: score-drift monitoring — population stability index
+    // of the classifier's score distribution between two source
+    // slices (sources 0-9 vs 10-19), over 8 fixed score bins with
+    // Laplace smoothing. PSI is THE deployed-model drift alarm
+    // (≥0.2 = investigate); per-bin contributions are r4-rounded (the
+    // q96/q100 libm-ulp discipline) so the one transcendental (ln)
+    // can't flip a hash.
+    QueryDef(
+      "q137_score_drift_psi",
+      (s, d) => {
+        import s.implicits._
+        val embs = withY(Tables.embeddings(s, d))
+        val model = LogReg.train(embs, "embedding", "y", Iters, EtaDen, PosWeight)
+        val scored = LogReg.scoreAll(embs, "vec_id", "embedding", "y", model)
+        val docSlices = Tables.documents(s, d)
+          .select($"doc_id", expr("CAST(substr(source, 4) AS INT) < 10").as("slice_a"))
+        val binned = scored
+          .join(docSlices, scored("vec_id") === docSlices("doc_id"))
+          .withColumn("bin", least(floor($"score" / 128.0).cast("long"), lit(7L)))
+        val counts = binned.groupBy($"bin").agg(
+          sum(when($"slice_a", 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(!$"slice_a", 1L).otherwise(0L)).as("cnt_b"))
+        val totals = binned.agg(
+          sum(when($"slice_a", 1L).otherwise(0L)).as("na"),
+          sum(when(!$"slice_a", 1L).otherwise(0L)).as("nb"))
+        // all 8 bins must appear (smoothing needs empty bins too)
+        val pa = ($"cnt_a" + 1.0) / ($"na" + 8.0)
+        val pb = ($"cnt_b" + 1.0) / ($"nb" + 8.0)
+        s.range(0, 8).toDF("bin")
+          .join(counts, Seq("bin"), "left")
+          .na.fill(0L, Seq("cnt_a", "cnt_b"))
+          .crossJoin(broadcast(totals))
+          .select($"bin", $"cnt_a", $"cnt_b",
+            graft.functions.TextFunctions.r4((pa - pb) * log(pa / pb))
+              .as("psi_term"))
+          .orderBy($"bin")
+      },
+      Some(
+        s"""${gdCtes(Iters, None)},
+           |${finalMargins(Iters, "tr")},
+           |sl AS MATERIALIZED (
+           |  SELECT z.vec_id, ${scoreExpr("z.z")} AS score,
+           |    CAST(substr(d.source, 4) AS INT) < 10 AS slice_a
+           |  FROM zf z JOIN documents d ON d.doc_id = z.vec_id),
+           |binned AS MATERIALIZED (
+           |  SELECT LEAST(CAST(floor(score / 128.0) AS BIGINT), 7) AS bin, slice_a
+           |  FROM sl),
+           |counts AS MATERIALIZED (
+           |  SELECT bin,
+           |    SUM(CASE WHEN slice_a THEN 1 ELSE 0 END) AS cnt_a,
+           |    SUM(CASE WHEN slice_a THEN 0 ELSE 1 END) AS cnt_b
+           |  FROM binned GROUP BY bin),
+           |tot AS MATERIALIZED (
+           |  SELECT SUM(CASE WHEN slice_a THEN 1 ELSE 0 END) AS na,
+           |    SUM(CASE WHEN slice_a THEN 0 ELSE 1 END) AS nb
+           |  FROM binned),
+           |bins AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS bin)
+           |SELECT b.bin,
+           |  CAST(COALESCE(c.cnt_a, 0) AS BIGINT) AS cnt_a,
+           |  CAST(COALESCE(c.cnt_b, 0) AS BIGINT) AS cnt_b,
+           |  floor((((COALESCE(c.cnt_a, 0) + 1.0) / (t.na + 8.0)
+           |          - (COALESCE(c.cnt_b, 0) + 1.0) / (t.nb + 8.0))
+           |    * ln(((COALESCE(c.cnt_a, 0) + 1.0) / (t.na + 8.0))
+           |         / ((COALESCE(c.cnt_b, 0) + 1.0) / (t.nb + 8.0))))
+           |    * 10000.0 + 0.5) / 10000.0 AS psi_term
+           |FROM bins b LEFT JOIN counts c ON b.bin = c.bin CROSS JOIN tot t
+           |ORDER BY b.bin""".stripMargin)))
 }
