@@ -108,6 +108,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
+    ext.injectFunction(GraftFunctions.quantL2Descriptor)
     // the whole text-function family rides the same injection: one
     // expression tree behind both the DataFrame and SQL surfaces
     TextFunctions.sqlFunctions.foreach { case (name, builder) =>
@@ -125,10 +126,23 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
 
-  def register(spark: SparkSession): Unit =
+  private[graft] val quantL2Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quant_l2"),
+    new ExpressionInfo(classOf[QuantL2].getName, "quant_l2"),
+    (exprs: Seq[Expression]) => QuantL2(exprs(0), exprs(1), exprs(2)))
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quant_l2", exprs => QuantL2(exprs(0), exprs(1), exprs(2)), "scala_udf")
+  }
 
   /** DataFrame-API handle (requires prior registration on the session). */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** DataFrame-API handle (requires prior registration on the session). */
+  def quant_l2(a: Column, b: Column, quantum: Column): Column =
+    call_function("quant_l2", a, b, quantum)
 }

@@ -15,16 +15,17 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Exact quantized squared L2 Σ_j floor((a_j − b_j)²·quantum) as a
-    * Catalyst column (zip_with + aggregate, codegen'd — the column
-    * form of [[KMeans.Model.quantDist]]).
+    * Catalyst column — the column form of [[KMeans.Model.quantDist]],
+    * backed by the native fused-loop expression
+    * [[graft.functions.QuantL2]] (bit-identical to the composed
+    * zip_with+aggregate form, spec-pinned; no per-row intermediate
+    * array). Registration is idempotent on the active session.
     */
-  def quantL2(a: Column, b: Column, quantum: Double = KMeans.DistQuantum.toDouble): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        floor(d * d * lit(quantum)).cast("long")
-      }),
-      lit(0L), (acc, x) => acc + x)
+  def quantL2(a: Column, b: Column, quantum: Double = KMeans.DistQuantum.toDouble): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.functions.GraftFunctions.quant_l2(a, b, lit(quantum))
+  }
 
   /** The scalar twin of [[quantL2]] for driver-side bounded work. */
   def quantL2(a: Array[Float], b: Array[Float]): Long = {

@@ -88,12 +88,8 @@ object QuantQueries {
         // probe set is hash-bounded (~QRate·n queries) and broadcast;
         // the nested-loop pair build is the eval harness's point — a
         // sampled diagnostic, not a corpus-scale operator
-        val edist = aggregate(
-          zip_with($"embedding", $"qvec", (a, b) => {
-            val diff = a.cast("double") - b.cast("double")
-            floor(diff * diff * lit(DistQuantum.toDouble)).cast("long")
-          }),
-          lit(0L), (acc, x) => acc + x)
+        val edist = graft.operators.Retrieval.quantL2(
+          $"embedding", $"qvec", DistQuantum.toDouble)
         val sdist = aggregate(
           zip_with($"codes", $"qcodes", (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x.cast("long"))
