@@ -116,6 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(TextFunctions.getClass.getName, name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.PushPredicateThroughExplode)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinNative.AsofJoinStrategy)
   }
 }
 

@@ -266,17 +266,20 @@ object ScaleQueries {
 
     // ----- q38: as-of join — each event enriched with the latest
     // preceding signup of the same user (DuckDB has native ASOF JOIN;
-    // Spark-side = union + partitioned window, one shuffle)
+    // Spark-side = graft's CUSTOM operator: logical node + strategy +
+    // sorted-merge AsofJoinExec, plans/AsofJoinNative — same
+    // distribution contract as a sort-merge join, no union+window).
+    // The right side is a separate table read: the operator requires
+    // attribute-disjoint sides (its documented contract).
     QueryDef(
       "q38_asof_join",
       (s, d) => {
         import s.implicits._
-        import graft.operators.AsofJoin
         val events = Tables.events(s, d)
-        val signups = events.filter($"event_type" === "signup")
+        val signups = Tables.events(s, d).filter($"event_type" === "signup")
           .groupBy($"user_id", $"ts")
           .agg(max($"value").as("signup_value"))   // unique (key, ts)
-        AsofJoin.asofJoin(events, signups, "user_id", "ts", "ts",
+        graft.plans.AsofJoinNative.asofJoin(events, signups, "user_id", "ts", "ts",
             payloadCols = Seq("signup_value"))
           .select($"event_id", $"user_id", $"event_type",
             round($"__asof_signup_value", 2).as("signup_value"))
@@ -812,14 +815,15 @@ object ScaleQueries {
       "q81_resample_locf",
       (s, d) => {
         import s.implicits._
-        import graft.operators.AsofJoin
+        // separate reads: the native as-of operator requires
+        // attribute-disjoint sides
         val ev = Tables.events(s, d)
           .groupBy($"user_id", $"ts").agg(max($"value").as("value"))  // unique (key, ts)
-        val bounds = ev.groupBy($"user_id")
+        val bounds = Tables.events(s, d).groupBy($"user_id")
           .agg(date_trunc("day", min($"ts")).as("t0"), max($"ts").as("t1"))
         val grid = bounds.select($"user_id",
           explode(sequence($"t0", $"t1", expr("interval 1 day"))).as("grid_ts"))
-        AsofJoin.asofJoin(grid, ev, "user_id", "grid_ts", "ts",
+        graft.plans.AsofJoinNative.asofJoin(grid, ev, "user_id", "grid_ts", "ts",
             payloadCols = Seq("value"))
           .select($"user_id",
             date_format($"grid_ts", "yyyy-MM-dd").as("grid_day"),
