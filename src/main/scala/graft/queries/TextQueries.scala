@@ -611,6 +611,34 @@ object TextQueries {
           .select($"rank".cast("long").as("rank"), $"left", $"right", $"pairCount".as("pair_count"))
           .orderBy($"rank")
       },
+      None),
+
+    // ----- q138: the trained tokenizer APPLIED at corpus scale —
+    // every document encoded with the q127 merge list (narrow map,
+    // per-task word memoization), rolled up to the fertility stats a
+    // tokenizer rollout is judged by: subwords per doc and the
+    // subword/whitespace-token ratio per language. Rows-only like
+    // q127 (the merge recurrence isn't SQL-expressible); determinism
+    // rides BpeSpec's merge-for-merge + encode round-trip pins.
+    QueryDef(
+      "q138_bpe_encode_corpus",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.Bpe.train(docs, "text", numMerges = 30)
+        val enc = graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+          .select($"doc_id", size($"subwords").as("n_subwords"))
+        docs.select($"doc_id", $"lang",
+            graft.functions.TextFunctions.tokenCount($"text").as("n_words"))
+          .join(enc, "doc_id")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_subwords").as("total_subwords"),
+            sum($"n_words").as("total_words"),
+            expr("CAST(floor(CAST(1000 * sum(n_subwords) AS DOUBLE) / " +
+              "CAST(sum(n_words) AS DOUBLE)) AS BIGINT)").as("fertility_milli"))
+          .orderBy($"lang")
+      },
       None)
   )
 }
