@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Public front door of the engine: one call to get a session with
   * the recommended scale configuration and every graft extension
-  * (native functions, optimizer rules) installed — the entry point a
-  * user of the reference pipeline switches to.
+  * (native functions, optimizer rules, the custom as-of planner
+  * strategy) installed — the entry point a user of the reference
+  * pipeline switches to.
   *
   * ```scala
   * val spark = Graft.session()              // or Graft.install(existing)

@@ -57,11 +57,17 @@ object PushPredicateThroughExplode extends Rule[LogicalPlan] {
 }
 
 object GraftOptimizations {
-  /** Idempotent install into the session's experimental rules. */
+  /** Idempotent install into the session's experimental rules and
+    * planner strategies (the custom as-of operator).
+    */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(PushPredicateThroughExplode)) {
       spark.experimental.extraOptimizations = cur :+ PushPredicateThroughExplode
+    }
+    val strat = spark.experimental.extraStrategies
+    if (!strat.contains(AsofJoinNative.AsofJoinStrategy)) {
+      spark.experimental.extraStrategies = strat :+ AsofJoinNative.AsofJoinStrategy
     }
   }
 }

@@ -15,5 +15,7 @@ class GraftFacadeSpec extends SparkSpec {
       .head().getInt(0) === 1)
     assert(spark.experimental.extraOptimizations
       .count(_ == plans.PushPredicateThroughExplode) === 1)
+    assert(spark.experimental.extraStrategies
+      .count(_ == plans.AsofJoinNative.AsofJoinStrategy) === 1)
   }
 }
