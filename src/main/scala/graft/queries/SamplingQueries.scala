@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.Sampling
+import graft.operators.{Dsir, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting queries (operators/Sampling).
@@ -149,5 +149,41 @@ object SamplingQueries {
            |SELECT g.q_milli, g.rank, rk.n_chars AS value
            |FROM tgt g JOIN rk ON rk.r = g.rank
            |ORDER BY g.q_milli""".stripMargin
-      })))
+      })),
+
+    // ----- q139: DSIR importance resampling (operators/Dsir) — select
+    // the k raw documents whose hashed-bigram distribution best
+    // matches the English target slice, via quantized log importance
+    // ratios + Gumbel top-k. The oracle replays the WHOLE pipeline:
+    // bigram bucketing (md5 hash), the smoothed integer-rational
+    // ratio table, the exact integer score sums, and the Gumbel
+    // priorities — both engines select the identical k documents.
+    QueryDef(
+      "q139_dsir_resample",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val qlr = Dsir.quantizedLogRatios(
+          Dsir.bucketCounts(docs, "text", $"lang" === "en"))
+        val scored = Dsir.scoreDocs(docs, "text", qlr)
+          .select($"doc_id", $"lang", $"n_bigrams", $"qlogw")
+        Dsir.gumbelTopK(scored, $"doc_id", k = 100, salt = 139L)
+          .orderBy($"pri".desc, $"doc_id")
+      },
+      Some(
+        s"""WITH ${Dsir.buckCteSql},
+           |${Dsir.qlrCteSql("lang = 'en'")},
+           |score AS MATERIALIZED (
+           |  SELECT d.doc_id, d.lang,
+           |    CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+           |    CAST(coalesce(s.w, 0) AS BIGINT) AS qlogw
+           |  FROM documents d LEFT JOIN (
+           |    SELECT bk.doc_id, count(*) AS nb, SUM(q.w) AS w
+           |    FROM buck bk JOIN qlr q ON bk.b = q.b
+           |    GROUP BY bk.doc_id) s USING (doc_id))
+           |SELECT doc_id, lang, n_bigrams, qlogw,
+           |  qlogw + ${Dsir.gumbelSql("doc_id", 139L)} AS pri
+           |FROM score
+           |ORDER BY pri DESC, doc_id
+           |LIMIT 100""".stripMargin)))
 }
