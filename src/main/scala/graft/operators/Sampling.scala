@@ -51,7 +51,16 @@ object Sampling {
     * BIGINT overflow (DuckDB). The fraction is h/2^32 with h < 2^32 —
     * exactly representable in double, so engines agree bit-for-bit.
     */
-  def hashFraction(id: Column, salt: Long = 0L): Column = {
+  def hashFraction(id: Column, salt: Long = 0L): Column =
+    hashBits(id, salt).cast("double") / M32
+
+  /** The raw 32-bit hash value in [0, 2^32) behind [[hashFraction]] —
+    * exposed for consumers that need BITS rather than a fraction (the
+    * HyperLogLog register split). One arithmetic, three surfaces:
+    * this Column form, [[hashBitsScalar]] (executor-side typed code),
+    * and [[hashBitsSql]] (DuckDB oracle) must move together.
+    */
+  def hashBits(id: Column, salt: Long = 0L): Column = {
     // salt bound keeps (M31 + salt·7919)·A < 2^63 — the overflow-free
     // guarantee the scaladoc makes; abs() makes negative ids (signed
     // fingerprints) hash into [0,1) instead of yielding a NEGATIVE
@@ -61,8 +70,20 @@ object Sampling {
     val h1 = ((abs(id % M31) + salt * 7919L) * A + C) % M32
     val h2 = h1.bitwiseXOR(shiftright(h1, 16))
     val h3 = (h2 * A2) % M32
-    val h4 = h3.bitwiseXOR(shiftright(h3, 16))
-    h4.cast("double") / M32
+    h3.bitwiseXOR(shiftright(h3, 16))
+  }
+
+  /** Scalar twin of [[hashBits]] for typed executor-side code (the
+    * HyperLogLog Aggregator) — every intermediate < 2^63, so plain
+    * wrapping Long arithmetic is exact, bit-identical to the Column
+    * and SQL forms. Values are positive (< 2^32), so `>>` ≡ `>>>`.
+    */
+  def hashBitsScalar(id: Long, salt: Long = 0L): Long = {
+    require(salt >= 0 && salt <= 100000L, s"salt must be in [0, 100000], got $salt")
+    val h1 = ((math.abs(id % M31) + salt * 7919L) * A + C) % M32
+    val h2 = h1 ^ (h1 >> 16)
+    val h3 = (h2 * A2) % M32
+    h3 ^ (h3 >> 16)
   }
 
   /** SQL text of the identical arithmetic, for DuckDB oracle queries.
@@ -70,13 +91,18 @@ object Sampling {
     * is fine: the oracle is machine-generated text, and DuckDB CSE's
     * the repeated subtrees.
     */
-  def hashFractionSql(idExpr: String, salt: Long = 0L): String = {
+  def hashFractionSql(idExpr: String, salt: Long = 0L): String =
+    s"CAST(${hashBitsSql(idExpr, salt)} AS DOUBLE) / $M32"
+
+  /** SQL text of [[hashBits]] (the raw 32-bit value), for oracles that
+    * consume hash BITS (HyperLogLog).
+    */
+  def hashBitsSql(idExpr: String, salt: Long = 0L): String = {
     require(salt >= 0 && salt <= 100000L, s"salt must be in [0, 100000], got $salt")
     val h1 = s"((abs($idExpr % $M31) + ${salt * 7919L}) * $A + $C) % $M32"
     val h2 = s"xor($h1, ($h1) >> 16)"
     val h3 = s"(($h2) * $A2) % $M32"
-    val h4 = s"xor($h3, ($h3) >> 16)"
-    s"CAST($h4 AS DOUBLE) / $M32"
+    s"xor($h3, ($h3) >> 16)"
   }
 
   /** Per-stratum Bernoulli sampling at stratum-specific rates: keeps a

@@ -321,5 +321,52 @@ object AnalyticsQueries {
              |FROM dots
              |JOIN norms na ON dots.label_a = na.label
              |JOIN norms nb ON dots.label_b = nb.label
-             |ORDER BY label_a, label_b""".stripMargin)))
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    // ----- q140: HyperLogLog distinct counting — the custom
+    // oracle-REPLAYABLE sketch (functions/HyperLogLog), next to the
+    // rows-only built-in HLL++ (q35) and CMS (q103): register index,
+    // rho ranks, the register-sum/zero-count checksums, and the
+    // bias-corrected estimate all recompute in integer-exact SQL, so
+    // the oracle hash-matches the sketch's full state per group. The
+    // exact count(distinct) rides along to show the error in-band.
+    QueryDef(
+      "q140_hll_distinct",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.HyperLogLog
+        val sk = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            HyperLogLog.sketch($"l_orderkey").as("regs"),
+            countDistinct($"l_orderkey").as("n_exact"))
+        sk.select(
+            $"l_returnflag",
+            $"n_exact",
+            HyperLogLog.sumRho($"regs").as("sum_rho"),
+            HyperLogLog.vZero($"regs").as("v_zero"),
+            HyperLogLog.estimate($"regs").as("est"))
+          .orderBy($"l_returnflag")
+      },
+      Some {
+        import graft.functions.HyperLogLog._
+        val h = graft.operators.Sampling.hashBitsSql("k")
+        s"""WITH keys AS MATERIALIZED (
+           |  SELECT DISTINCT l_returnflag AS grp, l_orderkey AS k FROM lineitem),
+           |jr AS MATERIALIZED (
+           |  SELECT grp, ${jSql("h")} AS j, ${rhoCaseSql(s"(h & $WMask)")} AS rho
+           |  FROM (SELECT grp, $h AS h FROM keys)),
+           |regs AS MATERIALIZED (
+           |  SELECT grp, j, MAX(rho) AS m FROM jr GROUP BY grp, j),
+           |st AS MATERIALIZED (
+           |  SELECT grp, CAST(SUM(m) AS BIGINT) AS sum_rho, COUNT(*) AS c,
+           |    SUM(1.0 / CAST((1::BIGINT << m) AS DOUBLE)) AS sp
+           |  FROM regs GROUP BY grp),
+           |ne AS (SELECT grp, COUNT(*) AS n_exact FROM keys GROUP BY grp)
+           |SELECT st.grp AS l_returnflag, ne.n_exact, st.sum_rho,
+           |  CAST($M - st.c AS BIGINT) AS v_zero,
+           |  ${estimateSql("st.c", "st.sp")} AS est
+           |FROM st JOIN ne ON st.grp = ne.grp
+           |ORDER BY l_returnflag""".stripMargin
+      }))
 }
