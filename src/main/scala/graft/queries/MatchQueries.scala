@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{FuzzyJoin, RangeJoin}
+import graft.operators.{FuzzyJoin, Linkage, RangeJoin}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -74,5 +74,66 @@ object MatchQueries {
              |JOIN (SELECT DISTINCT p_name FROM part) b
              |  ON a.p_name < b.p_name
              | AND levenshtein(a.p_name, b.p_name) <= 2
-             |ORDER BY name_a, name_b""".stripMargin)))
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    // ----- q141: Fellegi–Sunter record linkage (operators/Linkage) —
+    // nation-blocked customer pairs scored by three-field agreement
+    // log-likelihood weights (name edit distance, segment equality,
+    // balance proximity), classified link/possible/nonlink. Weights
+    // are driver-computed integer micro-nats embedded as literals in
+    // BOTH plans, so neither engine evaluates a transcendental and
+    // scores are exact integer sums; the oracle reruns the naive
+    // blocked join with the identical constants.
+    QueryDef(
+      "q141_record_linkage",
+      (s, d) => {
+        import s.implicits._
+        Linkage.fsPairs(
+            Tables.customer(s, d), "c_custkey", Seq("c_nationkey"), fsFields)
+          .withColumn("cls",
+            Linkage.classify($"fs_score", FsTLow, FsTHigh))
+          .orderBy($"fs_score".desc, $"id_a", $"id_b")
+          .limit(50)
+      },
+      Some {
+        val score = Linkage.fsScoreSql(fsFields, Seq(
+          "levenshtein(a.c_name, b.c_name) <= 2",
+          "a.c_mktsegment = b.c_mktsegment",
+          "abs(a.c_acctbal - b.c_acctbal) < 100.0"))
+        s"""SELECT id_a, id_b, ag_name, ag_seg, ag_bal, fs_score,
+           |  CASE WHEN fs_score >= $FsTHigh THEN 'link'
+           |       WHEN fs_score >= $FsTLow THEN 'possible'
+           |       ELSE 'nonlink' END AS cls
+           |FROM (
+           |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           |    CAST(CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+           |      THEN 1 ELSE 0 END AS BIGINT) AS ag_name,
+           |    CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+           |      THEN 1 ELSE 0 END AS BIGINT) AS ag_seg,
+           |    CAST(CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0
+           |      THEN 1 ELSE 0 END AS BIGINT) AS ag_bal,
+           |    CAST($score AS BIGINT) AS fs_score
+           |  FROM customer a JOIN customer b
+           |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+           |ORDER BY fs_score DESC, id_a, id_b
+           |LIMIT 50""".stripMargin
+      }))
+
+  /** q141's comparison fields — ONE definition feeding both the Spark
+    * plan and the oracle's weight literals.
+    */
+  private val fsFields = Seq(
+    Linkage.Field("name", "c_name",
+      (a, b) => levenshtein(a, b) <= 2, m = 0.9, u = 0.05),
+    Linkage.Field("seg", "c_mktsegment",
+      (a, b) => a === b, m = 0.8, u = 0.2),
+    Linkage.Field("bal", "c_acctbal",
+      (a, b) => abs(a - b) < 100.0, m = 0.7, u = 0.02))
+
+  /** Decision thresholds in micro-nats: `link` needs ≈ e^4 higher
+    * match odds (strong multi-field agreement); anything net-positive
+    * is `possible`.
+    */
+  private val FsTHigh = 4000000L
+  private val FsTLow = 0L
 }
