@@ -52,4 +52,41 @@ object Mixing {
       rates: Map[String, Double],
       granularity: Int = 1000): DataFrame =
     df.filter(keepExpr(col(idCol), col(strataCol), rates, granularity))
+
+  /** Temperature-scaled mixture weights (the multilingual/Gopher
+    * recipe, Conneau & Lample 2019 §3.1; Rae et al. 2021 Table A3):
+    * w_d = p_d^τ / Σ_e p_e^τ over the empirical stratum shares p_d.
+    * τ = 1 reproduces the corpus as-is; τ → 0 approaches uniform;
+    * τ ∈ (0,1) upweights the tail — the standard fix for
+    * head-language/domain dominance. Emits per stratum: `n_docs`, the
+    * exact share `p`, the r4-rounded weight `w`, and the integer
+    * per-epoch allocation `alloc` out of `epochSize` (floor(w·K+0.5)
+    * on the ROUNDED w, so both engines allocate identically — pow()
+    * is the one non-exact op here and r4 absorbs its ulp).
+    *
+    * Scale shape: one count-by-stratum scan (map-side partials, ≤
+    * |strata| rows), then arithmetic on the tiny frame — the recipe
+    * table is what feeds [[sampleStrata]]'s rates.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      strataCol: String,
+      tau: Double,
+      epochSize: Long): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(epochSize > 0, "epochSize must be positive")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum("n_docs").as("n_tot"),
+      sum(pow(col("n_docs").cast("double"), lit(tau))).as("z"))
+    val r4 = graft.functions.TextFunctions.r4 _
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col(strataCol),
+        col("n_docs"),
+        r4(col("n_docs").cast("double") / col("n_tot").cast("double")).as("p"),
+        r4(pow(col("n_docs").cast("double"), lit(tau)) / col("z")).as("w"))
+      .withColumn("alloc",
+        floor(col("w") * epochSize + 0.5).cast("long"))
+  }
 }

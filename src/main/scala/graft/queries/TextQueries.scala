@@ -639,6 +639,36 @@ object TextQueries {
               "CAST(sum(n_words) AS DOUBLE)) AS BIGINT)").as("fertility_milli"))
           .orderBy($"lang")
       },
-      None)
+      None),
+
+    // ----- q142: temperature-scaled mixture weights (τ = 0.7, the
+    // standard multilingual rebalance) — the recipe-table companion
+    // of q62's mixture EXECUTION: per source, empirical share p,
+    // τ-scaled weight w, and the integer per-epoch allocation. pow()
+    // is the one non-exact op; both w and p are r4-rounded and alloc
+    // derives from the ROUNDED w, so the oracle's allocations match
+    // integer-for-integer.
+    QueryDef(
+      "q142_temperature_mixing",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Mixing.temperatureWeights(
+            Tables.documents(s, d), "source", tau = 0.7, epochSize = 10000L)
+          .orderBy($"source")
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n_docs
+             |          FROM documents GROUP BY source),
+             |t AS (SELECT SUM(n_docs) AS n_tot,
+             |             SUM(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z FROM c)
+             |SELECT source, n_docs,
+             |  floor(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)
+             |    * 10000 + 0.5) / 10000 AS p,
+             |  floor(pow(CAST(n_docs AS DOUBLE), 0.7) / z
+             |    * 10000 + 0.5) / 10000 AS w,
+             |  CAST(floor((floor(pow(CAST(n_docs AS DOUBLE), 0.7) / z
+             |    * 10000 + 0.5) / 10000) * 10000 + 0.5) AS BIGINT) AS alloc
+             |FROM c, t
+             |ORDER BY source""".stripMargin)
+    )
   )
 }

@@ -46,4 +46,20 @@ class MixingSpec extends SparkSpec {
     assert(!a.queryExecution.executedPlan.toString.contains("Exchange"),
       "mixing must be a scan-level filter, not a shuffle")
   }
+
+  test("temperature weights: τ=1 reproduces shares, τ<1 lifts the tail, alloc ≈ epoch") {
+    import spark.implicits._
+    val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (0 until 100).map(i => (1000L + i, "small"))).toDF("id", "s")
+    def w(tau: Double) = Mixing.temperatureWeights(docs, "s", tau, 10000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t1 = w(1.0)
+    assert(t1("big").getDouble(3) === 0.9 && t1("small").getDouble(3) === 0.1)
+    val t5 = w(0.5)
+    assert(t5("small").getDouble(3) > 0.1, "τ<1 must upweight the tail stratum")
+    assert(t5("big").getDouble(3) < 0.9)
+    val allocSum = t5.values.map(_.getLong(4)).sum
+    assert(math.abs(allocSum - 10000L) <= t5.size, // ±1 rounding per stratum
+      s"allocations should sum to ~epochSize, got $allocSum")
+  }
 }
