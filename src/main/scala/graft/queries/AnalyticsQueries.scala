@@ -335,11 +335,21 @@ object AnalyticsQueries {
       (s, d) => {
         import s.implicits._
         import graft.functions.HyperLogLog
-        val sk = Tables.lineitem(s, d)
+        // distinct FIRST (map-side partial distinct), then sketch the
+        // key set: the sketch is idempotent so results are identical
+        // to sketching raw rows, but the mixed distinct+non-distinct
+        // aggregate's Expand plan (every row replicated per aggregate
+        // family, the q35 trap) never happens, and n_exact becomes a
+        // plain count. In production you'd skip the exact leg and
+        // sketch raw rows in one pass — it exists here to put the
+        // sketch error in-band.
+        val sk = graft.Par.spread(
+            Tables.lineitem(s, d).select($"l_returnflag", $"l_orderkey"))
+          .distinct()
           .groupBy($"l_returnflag")
           .agg(
             HyperLogLog.sketch($"l_orderkey").as("regs"),
-            countDistinct($"l_orderkey").as("n_exact"))
+            count(lit(1)).as("n_exact"))
         sk.select(
             $"l_returnflag",
             $"n_exact",
