@@ -155,7 +155,33 @@ object QualityQueries {
             }: _*)
           .orderBy($"pii_id")
       },
-      Some(redactOracleSql)))
+      Some(redactOracleSql)),
+
+    // ----- q143: k-anonymity audit (operators/Anonymity) — the
+    // class-size histogram over a quasi-identifier tuple (nation,
+    // segment, balance band), with the k=5 violation flag per size.
+    // The whole re-identification risk profile of the table in
+    // max-class-size rows; the oracle reruns the two-level grouping.
+    QueryDef(
+      "q143_k_anonymity",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+          .withColumn("bal_band", floor($"c_acctbal" / 1000.0).cast("long"))
+        graft.operators.Anonymity.sizeHistogram(
+            cust, Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5L)
+          .orderBy($"class_size")
+      },
+      Some("""WITH cls AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             |    count(*) AS class_size
+             |  FROM customer GROUP BY 1, 2, 3)
+             |SELECT class_size, count(*) AS n_classes,
+             |  CAST(class_size * count(*) AS BIGINT) AS n_rows,
+             |  CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS violates_k
+             |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin)))
 
   /** Planted PII rows (no single quotes — they embed in SQL literals
     * verbatim): one shape per pattern, the URL-masks-embedded-email
