@@ -215,6 +215,52 @@ object AnalyticsQueries {
              |    AS DOUBLE) AS x FROM orders)
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ----- q144: Zipf-fit corpus diagnostic — OLS slope/R² of
+    // ln(freq) over ln(rank) for each language's top-300 words
+    // (healthy natural text sits near slope −1; scraped boilerplate
+    // and template spam bend the tail — a standard corpus-health
+    // signal). row_number with a word tiebreak makes ranks engine-
+    // identical; regr_* at r4 is the q102 precedent. The rank window
+    // partitions by lang and the rank≤300 filter pushes into
+    // WindowGroupLimit (rank-limit pushdown, spec-pinned elsewhere),
+    // so no language's full vocabulary crosses the window sort.
+    QueryDef(
+      "q144_zipf_fit",
+      (s, d) => {
+        import s.implicits._
+        val words = graft.Par.spread(Tables.documents(s, d))
+          .select($"lang", explode(
+            graft.functions.TextFunctions.spaceTokens($"text")).as("word"))
+          .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
+        val rk = row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"lang").orderBy($"n".desc, $"word"))
+        words.withColumn("rk", rk).filter($"rk" <= 300)
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_words"),
+            r4(regr_slope(log($"n".cast("double")),
+              log($"rk".cast("double")))).as("zipf_slope"),
+            r4(regr_r2(log($"n".cast("double")),
+              log($"rk".cast("double")))).as("zipf_r2"))
+          .orderBy($"lang")
+      },
+      Some("""WITH words AS (
+             |  SELECT lang, word, count(*) AS n FROM (
+             |    SELECT lang, unnest(string_split(text, ' ')) AS word
+             |    FROM documents)
+             |  WHERE length(word) > 0 GROUP BY lang, word),
+             |ranked AS (
+             |  SELECT lang, n,
+             |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+             |  FROM words QUALIFY rk <= 300)
+             |SELECT lang, count(*) AS n_words,
+             |  floor(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE)))
+             |    * 10000 + 0.5) / 10000 AS zipf_slope,
+             |  floor(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE)))
+             |    * 10000 + 0.5) / 10000 AS zipf_r2
+             |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ----- q103: Count-Min heavy hitters — the exact top-20 word
     // counts next to their estimates from the custom mergeable-state
     // Aggregator. Rows-only BY DESIGN, like the q35/q43 sketches: the
