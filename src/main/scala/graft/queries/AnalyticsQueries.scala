@@ -424,5 +424,111 @@ object AnalyticsQueries {
            |  ${estimateSql("st.c", "st.sp")} AS est
            |FROM st JOIN ne ON st.grp = ne.grp
            |ORDER BY l_returnflag""".stripMargin
+      }),
+
+    // ----- q145: HLL set algebra — pairwise vocabulary overlap
+    // between sources from the REGISTERS alone: union = element-wise
+    // max of two sketches, intersection by inclusion–exclusion,
+    // Jaccard from the three estimates. The 100 TB point: cross-corpus
+    // overlap for all pairs costs ONE scan + |sources|² arithmetic on
+    // fixed 4 KB states — never a pairwise corpus join. The exact
+    // Jaccard rides along (word-level equi-join, feasible at fixture
+    // scale) to show the sketch error in-band; the oracle replays
+    // registers, max-merges, and both Jaccards.
+    QueryDef(
+      "q145_hll_set_algebra",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.HyperLogLog
+        val Srcs = (0 to 5).map(i => s"src$i")
+        val vocab = graft.Par.spread(Tables.documents(s, d))
+          .filter($"source".isin(Srcs: _*))
+          .select($"source", explode(
+            graft.functions.TextFunctions.spaceTokens($"text")).as("word"))
+          .distinct()
+        // word → stable long id (the sketch hashes longs): md5-based,
+        // the cross-engine string-hash idiom
+        val keyed = vocab.withColumn("wid",
+          conv(substring(md5($"word"), 1, 15), 16, 10).cast("long"))
+        val sk = keyed.groupBy($"source")
+          .agg(HyperLogLog.sketch($"wid").as("regs"),
+            count(lit(1)).as("n_vocab"))
+        val a = sk.select($"source".as("src_a"), $"regs".as("ra"),
+          $"n_vocab".as("na"))
+        val b = sk.select($"source".as("src_b"), $"regs".as("rb"),
+          $"n_vocab".as("nb"))
+        val exact = keyed.select($"source".as("sa"), $"word")
+          .join(keyed.select($"source".as("sb"), $"word"), "word")
+          .filter($"sa" < $"sb")
+          .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_inter"))
+        val r4 = graft.functions.TextFunctions.r4 _
+        val estA = HyperLogLog.estimate($"ra")
+        val estB = HyperLogLog.estimate($"rb")
+        val estU = HyperLogLog.estimate(zip_with($"ra", $"rb",
+          (x, y) => greatest(x, y)))
+        a.join(b, $"src_a" < $"src_b")
+          .join(exact, $"src_a" === $"sa" && $"src_b" === $"sb")
+          .select($"src_a", $"src_b",
+            $"n_inter",
+            ($"na" + $"nb" - $"n_inter").as("n_union"),
+            r4($"n_inter".cast("double") /
+              ($"na" + $"nb" - $"n_inter").cast("double")).as("exact_jacc"),
+            r4((estA + estB - estU) / estU).as("sketch_jacc"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some {
+        import graft.functions.HyperLogLog._
+        val h = graft.operators.Sampling.hashBitsSql("wid")
+        s"""WITH vocab AS MATERIALIZED (
+           |  SELECT DISTINCT source, word FROM (
+           |    SELECT source, unnest(string_split(text, ' ')) AS word
+           |    FROM documents
+           |    WHERE source IN ('src0','src1','src2','src3','src4','src5'))
+           |  WHERE length(word) > 0),
+           |keyed AS MATERIALIZED (
+           |  SELECT source, word,
+           |    ('0x' || substr(md5(word), 1, 15))::BIGINT AS wid FROM vocab),
+           |jr AS MATERIALIZED (
+           |  SELECT source, ${jSql("h")} AS j, ${rhoCaseSql(s"(h & $WMask)")} AS rho
+           |  FROM (SELECT source, $h AS h FROM keyed)),
+           |regs AS MATERIALIZED (
+           |  SELECT source, j, MAX(rho) AS m FROM jr GROUP BY source, j),
+           |sizes AS (SELECT source, COUNT(*) AS nv FROM vocab GROUP BY source),
+           |singles AS MATERIALIZED (
+           |  SELECT source, COUNT(*) AS c,
+           |    SUM(1.0 / CAST((1::BIGINT << m) AS DOUBLE)) AS sp
+           |  FROM regs GROUP BY source),
+           |uni AS MATERIALIZED (
+           |  SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS c,
+           |    SUM(1.0 / CAST((1::BIGINT << GREATEST(
+           |      COALESCE(rx.m, 0), COALESCE(ry.m, 0))) AS DOUBLE)) AS sp
+           |  FROM (SELECT DISTINCT source FROM vocab) x
+           |  JOIN (SELECT DISTINCT source FROM vocab) y ON x.source < y.source
+           |  CROSS JOIN range($M) r(j)
+           |  LEFT JOIN regs rx ON rx.source = x.source AND rx.j = r.j
+           |  LEFT JOIN regs ry ON ry.source = y.source AND ry.j = r.j
+           |  WHERE COALESCE(rx.m, 0) > 0 OR COALESCE(ry.m, 0) > 0
+           |  GROUP BY x.source, y.source),
+           |inter AS (
+           |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+           |  FROM vocab a JOIN vocab b ON a.word = b.word AND a.source < b.source
+           |  GROUP BY a.source, b.source)
+           |SELECT i.src_a, i.src_b, i.n_inter,
+           |  CAST(sa.nv + sb.nv - i.n_inter AS BIGINT) AS n_union,
+           |  floor(CAST(i.n_inter AS DOUBLE)
+           |    / CAST(sa.nv + sb.nv - i.n_inter AS DOUBLE)
+           |    * 10000 + 0.5) / 10000 AS exact_jacc,
+           |  floor(((${estimateSql("ea.c", "ea.sp")})
+           |       + (${estimateSql("eb.c", "eb.sp")})
+           |       - (${estimateSql("u.c", "u.sp")}))
+           |    / (${estimateSql("u.c", "u.sp")})
+           |    * 10000 + 0.5) / 10000 AS sketch_jacc
+           |FROM inter i
+           |JOIN sizes sa ON sa.source = i.src_a
+           |JOIN sizes sb ON sb.source = i.src_b
+           |JOIN singles ea ON ea.source = i.src_a
+           |JOIN singles eb ON eb.source = i.src_b
+           |JOIN uni u ON u.src_a = i.src_a AND u.src_b = i.src_b
+           |ORDER BY i.src_a, i.src_b""".stripMargin
       }))
 }
