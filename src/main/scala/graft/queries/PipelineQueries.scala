@@ -346,6 +346,29 @@ object PipelineQueries {
              |  CAST(COALESCE(list_sum(list_transform(chunks, x -> length(x))), 0)
              |    - (len(chunks) - 1) * 50 AS INT) AS n_cover
              |FROM c
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----- q146: semantic chunking (pipeline/SemanticChunker) —
+    // documents split at embedding-drift boundaries instead of byte
+    // offsets; output is the chunks-per-document histogram plus
+    // segment mass. Embedder-dependent (seeded HashingEmbedder) ⇒
+    // rows-only like q18/q20; determinism, boundary placement, and
+    // token-stream reassembly are pinned by SemanticChunkerSpec.
+    QueryDef(
+      "q146_semantic_chunking",
+      (s, d) => {
+        import s.implicits._
+        graft.pipeline.SemanticChunker.chunk(
+            s, Tables.documents(s, d), "doc_id", "text",
+            width = 40, threshold = 0.35)
+          .groupBy($"doc_id").agg(
+            max($"chunk_id").as("max_chunk"),
+            sum($"n_segments").as("n_segments"))
+          .groupBy(($"max_chunk" + 1).as("n_chunks"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_segments").as("total_segments"))
+          .orderBy($"n_chunks")
+      },
+      None)
   )
 }
