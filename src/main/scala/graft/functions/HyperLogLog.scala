@@ -33,6 +33,18 @@ import org.apache.spark.sql.functions._
   * the classic replacement for count(distinct) whose Expand plan
   * doubles the shuffled volume. NULL keys are skipped (matches
   * Spark's approx_count_distinct and the r4 ADVICE convention).
+  *
+  * VALID RANGE — the honest bound the 32-bit hash imposes: per-GROUP
+  * cardinality up to ~1/30·2^32 ≈ 1.4e8 distinct keys (hash
+  * collisions then shave < 2% and the estimator is in its calibrated
+  * regime); past that the estimate biases low and saturates near
+  * 2^32. Row count and group count are unbounded — only per-group
+  * distinct cardinality is. The 32-bit hash is a deliberate trade:
+  * it is what makes the registers EXACTLY replayable by integer SQL
+  * (the q140 oracle property no 64-bit-hash sketch here could have).
+  * For larger groups, shard the key space across s salted sketches
+  * (estimates add; each shard stays under the bound) or use the
+  * rows-only built-in HLL++ (q35).
   */
 object HyperLogLog {
 

@@ -48,10 +48,19 @@ object Anonymity {
         when(col("class_size") < k, 1L).otherwise(0L))
 
   /** Rows annotated with their class size — the input to a
-    * suppression pass (`filter($"class_size" >= k)`).
+    * suppression pass (`filter($"class_size" >= k)`). NULL-safe on
+    * the QI key: a NULL quasi-identifier value is itself a class
+    * (classSizes groups it as one), and a null-unsafe equi-join would
+    * silently drop exactly those rows from the audit — the one
+    * failure mode a compliance pass must not have.
     */
-  def riskAnnotate(df: DataFrame, quasi: Seq[String]): DataFrame =
-    df.join(classSizes(df, quasi), quasi)
+  def riskAnnotate(df: DataFrame, quasi: Seq[String]): DataFrame = {
+    val sizes = quasi.foldLeft(classSizes(df, quasi)) {
+      (d, c) => d.withColumnRenamed(c, s"__qi_$c")
+    }
+    val cond = quasi.map(c => col(c) <=> col(s"__qi_$c")).reduce(_ && _)
+    df.join(sizes, cond).drop(quasi.map(c => s"__qi_$c"): _*)
+  }
 
   /** Per-class distinct count of a sensitive attribute: classes with
     * `n_sensitive < l` fail l-diversity even when k-anonymous.

@@ -36,12 +36,14 @@ import org.apache.spark.sql.functions._
   * discipline):
   *  - the bucket hash is the first 8 hex chars of md5 (both engines
   *    compute identical md5 hex) taken mod Buckets — integer-exact;
-  *  - smoothed probabilities enter as the EXACT integer rational
-  *    p_t/p_r = (2·ct+1)(2·nr+B) / ((2·cr+1)(2·nt+B)): both products
-  *    are exact BIGINTs (< 2^53 up to ~10^10 corpus bigrams — past
-  *    that, compute the ratio as two exactly-rounded double divisions
-  *    instead), the division is one correctly-rounded IEEE op, so ln
-  *    receives the IDENTICAL double in both engines;
+  *  - smoothed probabilities enter as the rational
+  *    p_t/p_r = (2·ct+1)(2·nr+B) / ((2·cr+1)(2·nt+B)) evaluated in
+  *    DOUBLE arithmetic: each factor is an exact double (counts <
+  *    2^52 — ~4.5e15 corpus bigrams, comfortably past 100 TB), and
+  *    IEEE multiply/divide are correctly rounded, so with the same
+  *    expression shape both engines hand ln the IDENTICAL double.
+  *    (Integer products would overflow 2^63 near 1.5e9 bigrams under
+  *    bucket skew — doubles have no such cliff);
   *  - log-ratios are quantized to integer micro-nats
   *    (floor(ln·1e6 + 0.5)) ONCE per bucket; per-document scores are
   *    then exact integer sums — order-independent under any partition
@@ -64,10 +66,11 @@ object Dsir {
   /** Integer quantum for log-ratios: micro-nats. */
   val Quantum = 1000000L
 
-  /** Floor of [[Sampling.hashFraction]] used for Gumbel noise — 2^-33,
-    * keeps ln(u) finite when the 32-bit hash lands on 0.
+  /** Floor of [[Sampling.hashFraction]] used for Gumbel noise — the
+    * shared [[Sampling.FracFloor]] (2^-33), keeping ln(u) finite when
+    * the 32-bit hash lands on 0.
     */
-  val UFloor = 1.16415321826934814e-10
+  val UFloor: Double = Sampling.FracFloor
 
   /** Word bigrams of single-space tokens, joined with one space.
     * Single-space tokenization (not \s+) is the oracle-mirrorable
@@ -114,11 +117,13 @@ object Dsir {
     }
     val nr = cr.sum
     val nt = ct.sum
-    val B = Buckets.toLong
+    val B = Buckets.toDouble
+    // double factors/products: overflow-free to 2^52 bigrams; the
+    // oracle evaluates the identical expression shape (qlrCteSql)
     Array.tabulate(Buckets) { b =>
-      val num = (2L * ct(b) + 1L) * (2L * nr + B)
-      val den = (2L * cr(b) + 1L) * (2L * nt + B)
-      math.floor(math.log(num.toDouble / den.toDouble) * Quantum + 0.5).toLong
+      val num = (2.0 * ct(b) + 1.0) * (2.0 * nr + B)
+      val den = (2.0 * cr(b) + 1.0) * (2.0 * nt + B)
+      math.floor(math.log(num / den) * Quantum + 0.5).toLong
     }
   }
 
@@ -191,8 +196,8 @@ object Dsir {
        |qlr AS (
        |  SELECT r.b,
        |    CAST(floor(ln(
-       |      CAST((2 * coalesce(t.ct, 0) + 1) * (2 * tot.nr + $Buckets) AS DOUBLE)
-       |      / CAST((2 * r.cr + 1) * (2 * tot.nt + $Buckets) AS DOUBLE))
+       |      ((2.0 * coalesce(t.ct, 0) + 1.0) * (2.0 * tot.nr + $Buckets.0))
+       |      / ((2.0 * r.cr + 1.0) * (2.0 * tot.nt + $Buckets.0)))
        |      * $Quantum + 0.5) AS BIGINT) AS w
        |  FROM rc r LEFT JOIN tc t USING (b), tot)""".stripMargin
 

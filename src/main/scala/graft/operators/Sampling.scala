@@ -37,6 +37,14 @@ object Sampling {
   private val C   = 40503L
   private val M32 = 4294967296L    // 2^32
 
+  /** 2^-33 — the fraction floor every ln(hashFraction) consumer uses
+    * so a hash value of 0 can't produce ln(0). ONE copy (the r4
+    * constant discipline): [[weightedSample]], [[prioritySql]], and
+    * Dsir's Gumbel noise must all floor at the same value or Spark
+    * and the oracle diverge on hash-0 ids.
+    */
+  val FracFloor = 1.16415321826934814e-10
+
   /** Deterministic uniform-[0,1) fraction of a non-negative integral
     * id. `salt` decorrelates independent decisions on the same id
     * (sample-then-split must not reuse one hash: the split would be
@@ -199,7 +207,7 @@ object Sampling {
       weight: Column,
       k: Int,
       salt: Long = 0L): DataFrame = {
-    val u = greatest(hashFraction(id, salt), lit(1.16415321826934814e-10)) // 2^-33
+    val u = greatest(hashFraction(id, salt), lit(FracFloor))
     val pri = floor(log(u) / weight * 1e7 + 0.5) / 1e7
     df.filter(weight > 0)
       .withColumn("__pri", pri)
@@ -213,6 +221,6 @@ object Sampling {
     * filter.
     */
   def prioritySql(idExpr: String, weightExpr: String, salt: Long = 0L): String =
-    s"floor(ln(greatest(${hashFractionSql(idExpr, salt)}, 1.16415321826934814e-10))" +
+    s"floor(ln(greatest(${hashFractionSql(idExpr, salt)}, $FracFloor))" +
       s" / ($weightExpr) * 1e7 + 0.5) / 1e7"
 }

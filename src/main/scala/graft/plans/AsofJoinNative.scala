@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, GraftSqlShim}
+import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
@@ -177,6 +177,17 @@ object AsofJoinNative {
       copy(left = newLeft, right = newRight)
   }
 
+  /** THE idempotent strategy registration — one guard, called by
+    * [[asofJoin]], [[GraftOptimizations.install]], and (via
+    * injectPlannerStrategy) GraftExtensions; any install-discipline
+    * change happens here once.
+    */
+  def installStrategy(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+  }
+
   /** Builder: resolve columns on the analyzed children, register the
     * strategy (idempotent), and wrap the custom node back into a
     * DataFrame. Output schema = left columns + `__asof_<c>` per
@@ -191,9 +202,7 @@ object AsofJoinNative {
       payloadCols: Seq[String]): DataFrame = {
     require(!payloadCols.contains(key))
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    installStrategy(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def resolve(plan: LogicalPlan, name: String): Attribute =

@@ -65,9 +65,6 @@ object GraftOptimizations {
     if (!cur.contains(PushPredicateThroughExplode)) {
       spark.experimental.extraOptimizations = cur :+ PushPredicateThroughExplode
     }
-    val strat = spark.experimental.extraStrategies
-    if (!strat.contains(AsofJoinNative.AsofJoinStrategy)) {
-      spark.experimental.extraStrategies = strat :+ AsofJoinNative.AsofJoinStrategy
-    }
+    AsofJoinNative.installStrategy(spark)
   }
 }

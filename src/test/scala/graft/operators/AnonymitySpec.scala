@@ -31,6 +31,19 @@ class AnonymitySpec extends SparkSpec {
     assert(kept.columns.toSet === Set("zip", "age_band", "id", "diag", "class_size"))
   }
 
+  test("riskAnnotate is NULL-safe: a NULL QI row is a class, not a dropped row") {
+    val withNull = rows().union(
+      Seq((7L, 10, null.asInstanceOf[String], "flu"),
+          (8L, 10, null.asInstanceOf[String], "cold"))
+        .toDF("id", "zip", "age_band", "diag"))
+    val annotated = Anonymity.riskAnnotate(withNull, Seq("zip", "age_band"))
+    // every input row survives annotation — compliance must see all
+    assert(annotated.count() === withNull.count())
+    // the two NULL-age rows form their own class of size 2
+    val nullClass = annotated.filter($"age_band".isNull).collect()
+    assert(nullClass.length === 2 && nullClass.forall(_.getAs[Long]("class_size") == 2L))
+  }
+
   test("lDiversity flags the homogeneous class, not the small one per se") {
     val ld = Anonymity.lDiversity(rows(), Seq("zip", "age_band"), "diag")
       .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
