@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.charset.StandardCharsets
 
 import graft.{QueryDef, Tables}
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageDedup, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column family as a driver-checkable query. The media
@@ -105,6 +105,28 @@ object MultimodalQueries {
              |    ELSE 0 END) AS BIGINT) AS frame_bytes
              |FROM documents
              |GROUP BY lang
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ----- q147: perceptual image near-dup (multimodal/ImageDedup) —
+    // dHash over the codec luma grid + pigeonhole Hamming join on the
+    // synthesized media table; output is the pair count per Hamming
+    // distance. Codec-dependent bits ⇒ rows-only like q50/q54;
+    // brightness invariance, pigeonhole-equals-brute-force, and
+    // real-PNG behavior are pinned by ImageDedupSpec.
+    QueryDef(
+      "q147_image_neardup",
+      (s, d) => {
+        import s.implicits._
+        val codec = Multimodal.FakeCodec()
+        val valid = Multimodal.withMeta(s, mediaFromDocs(s, d), codec)
+          .filter($"meta.valid")
+        ImageDedup.nearDupPairs(
+            ImageDedup.withPHash(valid, "media_id", "content", codec),
+            "media_id", maxHamming = 8)
+          .groupBy($"hamming")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"hamming")
+      },
+      None)
   )
 }

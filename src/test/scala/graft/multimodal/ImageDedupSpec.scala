@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+class ImageDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Real PNG bytes with a deterministic per-pixel pattern. */
+  private def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private val codec = Multimodal.ImageIoCodec()
+
+  test("dHash is invariant to uniform brightness shift, sensitive to content") {
+    val base = png(64, 64, (x, y) => (x * 3 + y) % 200)
+    val brighter = png(64, 64, (x, y) => math.min((x * 3 + y) % 200 + 40, 255))
+    val other = png(64, 64, (x, y) => 255 - (x * 7 ^ y * 13) % 256)
+    val hBase = ImageDedup.dHash(codec, base)
+    // +40 brightness preserves every horizontal gradient comparison
+    assert(ImageDedup.dHash(codec, brighter) === hBase)
+    val d = java.lang.Long.bitCount(hBase ^ ImageDedup.dHash(codec, other))
+    assert(d > 10, s"unrelated images should be far, hamming=$d")
+    // re-encode stability: decode + re-encode to PNG yields same hash
+    val reencoded = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val out = new ByteArrayOutputStream(); ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    assert(ImageDedup.dHash(codec, reencoded) === hBase)
+  }
+
+  test("pigeonhole block join finds exactly the brute-force Hamming pairs") {
+    // hashes crafted around the threshold: flip 0..8 bits off a base
+    val baseHash = 0x00FACEB00C5L
+    val rows = (0 to 8).map { k =>
+      (k.toLong, (0 until k).foldLeft(baseHash)((h, i) => h ^ (1L << (i * 6))))
+    } :+ (99L, ~baseHash & ((1L << 56) - 1))
+    val df = rows.toDF("id", "phash")
+    val t = 4
+    val got = ImageDedup.nearDupPairs(df, "id", maxHamming = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= t
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty && brute.exists(_._3 == t), "threshold boundary exercised")
+  }
+
+  test("end-to-end on real images through withPHash: dup pair found, distinct not") {
+    val imgs = Seq(
+      (1L, png(48, 48, (x, y) => (x * 5 + y * 2) % 220)),
+      (2L, png(48, 48, (x, y) => math.min((x * 5 + y * 2) % 220 + 25, 255))), // bright dup
+      (3L, png(48, 48, (x, y) => (x * x + 31 * y) % 251))
+    ).toDF("media_id", "content")
+    val pairs = ImageDedup.nearDupPairs(
+        ImageDedup.withPHash(imgs, "media_id", "content", codec), "media_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("FakeCodec path is deterministic and layout-independent") {
+    val blobs = (0L until 40L).map { i =>
+      (i, Multimodal.FakeCodec().encode(32, 32,
+        s"payload payload $i ${i % 5}".getBytes("UTF-8")))
+    }
+    def run(parts: Int) = ImageDedup.withPHash(
+        blobs.toDF("media_id", "content").repartition(parts),
+        "media_id", "content", Multimodal.FakeCodec())
+      .orderBy($"media_id").collect().map(_.getLong(1)).toSeq
+    assert(run(1) === run(7))
+  }
+}
