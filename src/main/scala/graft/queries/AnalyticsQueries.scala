@@ -286,6 +286,34 @@ object AnalyticsQueries {
       },
       None),
 
+    // ----- q148: sketch-pruned EXACT heavy hitters — bigrams with
+    // support ≥ 30 via the CMS prefilter + exact-count-survivors
+    // two-phase (operators/HeavyHitters). The overestimate-only
+    // sketch keeps a provable superset, the final HAVING restores
+    // exactness, so — unlike the estimate-valued q103 — the result is
+    // fully oracle-checked against the naive group-having plan.
+    QueryDef(
+      "q148_sketch_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val grams = graft.Par.spread(Tables.documents(s, d))
+          .select(explode(
+            graft.operators.Dsir.bigrams($"text")).as("item"))
+        graft.operators.HeavyHitters.frequentExact(grams, "item", 30L)
+          .orderBy($"n".desc, $"item")
+      },
+      Some("""WITH t AS (
+             |  SELECT list_filter(string_split(text, ' '),
+             |                     x -> length(x) > 0) AS tk
+             |  FROM documents),
+             |g AS (
+             |  SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+             |                               i -> tk[i] || ' ' || tk[i + 1])) AS item
+             |  FROM t)
+             |SELECT item, count(*) AS n FROM g
+             |GROUP BY item HAVING count(*) >= 30
+             |ORDER BY n DESC, item""".stripMargin)),
+
     // ----- q107: Pareto frontier (skyline) of parts — cheapest price
     // vs largest size. Spark runs the two-phase partition-local sweep
     // (dominated rows never cross the network); the oracle is the
