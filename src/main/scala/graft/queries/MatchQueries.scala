@@ -88,8 +88,12 @@ object MatchQueries {
       "q141_record_linkage",
       (s, d) => {
         import s.implicits._
+        // Par.spread: the probe side of the blocked join carries the
+        // 4.5M-pair levenshtein work — a single-file scan would run
+        // it on one task (the q28 n-gram lesson)
         Linkage.fsPairs(
-            Tables.customer(s, d), "c_custkey", Seq("c_nationkey"), fsFields)
+            graft.Par.spread(Tables.customer(s, d)),
+            "c_custkey", Seq("c_nationkey"), fsFields)
           .withColumn("cls",
             Linkage.classify($"fs_score", FsTLow, FsTHigh))
           .orderBy($"fs_score".desc, $"id_a", $"id_b")
