@@ -58,4 +58,38 @@ object IncrementalAgg {
         varS.as("var_samp"),
         sqrt(varS).as("stddev_samp")): _*)
   }
+
+  // ------------------------------------------------------------------
+  // Distinct counts as maintainable state (the sketch extension):
+  // COUNT(DISTINCT) is famously not incrementally maintainable as a
+  // result (a delta can't tell whether its keys are new), but HLL
+  // REGISTERS are — element-wise max is a commutative idempotent
+  // merge, so the maintained view equals the one-shot sketch over the
+  // unsplit history (HyperLogLogSpec's monoid property, lifted to the
+  // view-maintenance discipline of this module).
+
+  /** Per-key distinct-count register state of one batch:
+    * (keys..., regs).
+    */
+  def distinctState(df: DataFrame, keys: Seq[String], keyCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.HyperLogLog.sketch(col(keyCol)).as("regs"))
+
+  /** Merge distinct states: per key, element-wise max over the
+    * register arrays (a pure-Catalyst fold — state counts per key are
+    * view-maintenance-small, typically old ⊕ delta).
+    */
+  def mergeDistinct(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    val zero = typedlit(Seq.fill(graft.functions.HyperLogLog.M)(0))
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(aggregate(collect_list(col("regs")), zero,
+        (acc, r) => zip_with(acc, r, (a, b) => greatest(a, b))).as("regs"))
+  }
+
+  /** Finalize distinct state into (keys..., n_distinct_est). */
+  def finalizeDistinct(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) :+
+      graft.functions.HyperLogLog.estimate(col("regs")).as("n_distinct_est"): _*)
 }

@@ -77,4 +77,25 @@ class IncrementalAggSpec extends SparkSpec {
     assert(fin("b") === ((1L, 10.0)))
     assert(fin("c") === ((1L, 7.0)))
   }
+
+  test("distinct-count state maintains incrementally: merged deltas equal one-shot") {
+    import spark.implicits._
+    // two "days" of per-group key arrivals with cross-batch overlap
+    val day1 = ((0L until 500L).map(i => ("g1", i)) ++
+      (0L until 200L).map(i => ("g2", i))).toDF("k", "id")
+    val day2 = ((300L until 800L).map(i => ("g1", i)) ++
+      (0L until 200L).map(i => ("g2", i))).toDF("k", "id")  // g2: pure replay
+    val merged = IncrementalAgg.mergeDistinct(
+      Seq(IncrementalAgg.distinctState(day1, Seq("k"), "id"),
+        IncrementalAgg.distinctState(day2, Seq("k"), "id")), Seq("k"))
+    val oneShot = IncrementalAgg.distinctState(
+      day1.unionByName(day2), Seq("k"), "id")
+    val m = merged.collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val o = oneShot.collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(m === o, "maintained registers must equal the unsplit-history sketch")
+    val est = IncrementalAgg.finalizeDistinct(merged, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est("g1") - 800.0) / 800.0 < 0.10)  // 0..799 distinct
+    assert(math.abs(est("g2") - 200.0) / 200.0 < 0.10)  // replay adds nothing
+  }
 }
