@@ -58,6 +58,29 @@ class ImageDedupSpec extends SparkSpec {
     assert(brute.nonEmpty && brute.exists(_._3 == t), "threshold boundary exercised")
   }
 
+  test("pigeonhole equals brute force on 200 random hashes at every threshold") {
+    val rnd = new scala.util.Random(147)
+    // mix of independent hashes and near-dup perturbations so every
+    // Hamming band is populated
+    val base = Seq.fill(60)(rnd.nextLong() & ((1L << 56) - 1))
+    val rows = base.zipWithIndex.flatMap { case (h, i) =>
+      val flips = rnd.nextInt(10)
+      Seq((i.toLong * 10, h),
+        (i.toLong * 10 + 1,
+          (0 until flips).foldLeft(h)((x, _) => x ^ (1L << rnd.nextInt(56)))))
+    }.take(200)
+    val df = rows.toDF("id", "phash")
+    for (t <- Seq(0, 3, 7)) {
+      val got = ImageDedup.nearDupPairs(df, "id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= t
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got === brute, s"threshold $t")
+    }
+  }
+
   test("end-to-end on real images through withPHash: dup pair found, distinct not") {
     val imgs = Seq(
       (1L, png(48, 48, (x, y) => (x * 5 + y * 2) % 220)),

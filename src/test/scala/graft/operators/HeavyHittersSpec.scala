@@ -36,6 +36,19 @@ class HeavyHittersSpec extends SparkSpec {
     assert(surviving >= 2300, "superset property: all heavy rows survive")
   }
 
+  test("overestimate-only invariant holds for every item on a random corpus") {
+    // the foundation of the superset proof: est(x) >= true(x), always
+    val rnd = new scala.util.Random(148)
+    val items = Seq.fill(20000)(s"k${rnd.nextInt(3000)}")
+    val df = items.toDF("item")
+    val sk = df.agg(CountMinSketch.sketch($"item")).head.getSeq[Long](0).toArray
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+    truth.foreach { case (k, n) =>
+      assert(CountMinSketch.estimate(sk, k) >= n,
+        s"estimate underestimated $k: ${CountMinSketch.estimate(sk, k)} < $n")
+    }
+  }
+
   test("layout invariance") {
     def run(parts: Int) = HeavyHitters.frequentExact(
         corpus().repartition(parts), "item", 500L)
