@@ -41,6 +41,10 @@ object Multimodal {
     def frameCount(content: Array[Byte]): Int
     /** Decoded bytes of frame `idx` (0-based; caller keeps idx < frameCount). */
     def frameAt(content: Array[Byte], idx: Int): Array[Byte]
+    /** Re-encoded media scaled to (w, h); empty array for invalid
+      * blobs (bad media is data, not an error).
+      */
+    def resize(content: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
   /** "GIMG" format: magic(4) | width(4, BE) | height(4, BE) | payload.
@@ -97,6 +101,23 @@ object Multimodal {
       val bb = ByteBuffer.allocate(12 + payload.length)
       bb.put("GIMG".getBytes("ASCII")).putInt(width).putInt(height).put(payload)
       bb.array()
+    }
+
+    /** Stand-in downscale: payload prefix sized by the area ratio
+      * under the new header — deterministic, meta-consistent
+      * (decodeMeta(resize(...)) reports the target dims), smaller
+      * output for smaller targets, like a real thumbnail.
+      */
+    override def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val m = decodeMeta(content)
+      if (!m.valid || w <= 0 || h <= 0) Array.empty[Byte]
+      else {
+        val payload = java.util.Arrays.copyOfRange(content, 12, content.length)
+        val oldArea = math.max(m.width.toLong * m.height, 1L)
+        val keep = math.min(payload.length.toLong,
+          math.max(1L, payload.length.toLong * (w.toLong * h) / oldArea)).toInt
+        encode(w, h, java.util.Arrays.copyOfRange(payload, 0, keep))
+      }
     }
   }
 
@@ -191,6 +212,26 @@ object Multimodal {
         ImageIO.write(r.read(idx), "png", out)
         out.toByteArray
       }.getOrElse(Array.empty[Byte])
+
+    /** Real downscale/upscale: bilinear Graphics2D draw into the
+      * target raster, re-encoded as PNG.
+      */
+    override def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =
+      withReader(content) { r =>
+        val src = r.read(0)
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        ImageIO.write(dst, "png", out)
+        out.toByteArray
+      }.getOrElse(Array.empty[Byte])
   }
 
   /** Parse binary headers into a typed metadata struct column.
@@ -246,6 +287,26 @@ object Multimodal {
         }
       }
       .toDF("media_id", "frame_idx", "frame")
+  }
+
+  /** Batched thumbnailing — (media_id, resized binary). Narrow
+    * mapPartitions (decode + scale + re-encode per row, no shuffle);
+    * at 100 TB this runs resize BEFORE any frame/feature stage so
+    * downstream work is proportional to thumbnail bytes, not source
+    * bytes. Invalid blobs yield empty binaries, never failures.
+    */
+  def resizeAll(
+      spark: SparkSession,
+      media: DataFrame,
+      codec: MediaCodec,
+      w: Int,
+      h: Int): DataFrame = {
+    import spark.implicits._
+    require(w > 0 && h > 0)
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, c) => (id, codec.resize(c, w, h)) })
+      .toDF("media_id", "resized")
   }
 
   /** Batched media feature extraction — (media_id, features array).

@@ -125,4 +125,30 @@ class MultimodalSpec extends SparkSpec {
     val meta = codec.decodeMeta(frame1)
     assert(meta.valid && meta.width === 64 && meta.height === 48)
   }
+
+  test("ImageIoCodec: resize re-encodes at the target raster, invalid degrades") {
+    import spark.implicits._
+    val codec = Multimodal.ImageIoCodec()
+    val out = Multimodal.resizeAll(spark, realMediaDf, codec, w = 16, h = 12)
+      .as[(Long, Array[Byte])].collect().toMap
+    val m1 = codec.decodeMeta(out(1L))
+    assert(m1.valid && m1.width === 16 && m1.height === 12)
+    assert(out(1L).length < realMediaDf.as[(Long, String, Array[Byte])]
+      .collect().find(_._1 == 1L).get._3.length, "thumbnail must shrink")
+    assert(out(3L).isEmpty)              // undecodable → empty, not failure
+    // scaled pixels still carry the source's bright-right structure
+    val f = codec.features(out(1L), 4)
+    assert(f(1) > f(0) && f(3) > f(2))
+  }
+
+  test("FakeCodec: resize is meta-consistent, area-proportional, deterministic") {
+    val codec = Multimodal.FakeCodec()
+    val src = codec.encode(100, 100, Array.fill(1000)(7.toByte))
+    val small = codec.resize(src, 10, 10)
+    val m = codec.decodeMeta(small)
+    assert(m.valid && m.width === 10 && m.height === 10)
+    assert(small.length === 12 + 10)     // 1% of the area → 1% of payload
+    assert(codec.resize(src, 10, 10).toSeq === small.toSeq)
+    assert(codec.resize(Array[Byte](1, 2, 3), 10, 10).isEmpty)
+  }
 }
