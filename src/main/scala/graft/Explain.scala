@@ -20,11 +20,16 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
+    // timing covers query CONSTRUCTION too, exactly like Bench.once():
+    // two-phase operators (q148's sketch pass, DSIR's LUT build) run
+    // eager phase-1 jobs inside the builder, and excluding them would
+    // make this tool disagree with the benchmark it exists to explain
     val t0 = System.nanoTime()
+    val df = SparkEntry.queries(name)(spark, sfDir)
     df.write.mode("overwrite").format("noop").save()
-    println(f"[explain] $name noop-sink elapsed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    df.explain("formatted")
+    println(f"[explain] $name build+noop-sink elapsed $elapsed%.2f s")
     spark.stop()
   }
 }

@@ -72,6 +72,18 @@ object ImageDedup {
   /** Canonical (id_a < id_b) pairs with Hamming(phash_a, phash_b) ≤
     * `maxHamming`, exactly (pigeonhole blocking guarantees full
     * recall at the threshold). Input: (idCol, phash).
+    *
+    * Skew shape: the pigeonhole join runs over DISTINCT hash values —
+    * a flood of identical images (or any mass of blank/near-blank
+    * frames collapsing to few hashes) contributes ONE row per value
+    * to the candidate join, not its member count, so Σ bucket² is
+    * bounded by distinct-hash bucket sizes. Member pairs are then
+    * expanded per qualifying hash pair (cross-hash) and per
+    * identical-hash group (within, Hamming 0) — both expansions are
+    * output-bound: they emit exactly the true pair set, whose size is
+    * the answer, not an intermediate. The skinny distinct-hash frame
+    * is persisted across its t+1 reuses so the decode lineage above
+    * it runs once.
     */
   def nearDupPairs(
       hashed: DataFrame,
@@ -89,18 +101,28 @@ object ImageDedup {
       val mask = (1L << width) - 1
       (shiftright(col("phash"), i * base).bitwiseAND(lit(mask))).as("bval")
     }
+    val uh = hashed.select(col("phash")).distinct().persist()
     val exploded = (0 until blocks).map { i =>
-      hashed.select(col(idCol), col("phash"), lit(i).as("bidx"), blockVal(i))
+      uh.select(col("phash"), lit(i).as("bidx"), blockVal(i))
     }.reduce(_ unionByName _)
-    val a = exploded.select(col(idCol).as("id_a"), col("phash").as("ha"),
-      col("bidx"), col("bval"))
-    val b = exploded.select(col(idCol).as("id_b"), col("phash").as("hb"),
-      col("bidx"), col("bval"))
-    a.join(b, Seq("bidx", "bval"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+    val hashPairs = exploded.select(col("phash").as("ha"), col("bidx"), col("bval"))
+      .join(exploded.select(col("phash").as("hb"), col("bidx"), col("bval")),
+        Seq("bidx", "bval"))
+      .filter(col("ha") < col("hb"))
+      .select(col("ha"), col("hb")).distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    val a = hashed.select(col(idCol).as("id_a"), col("phash").as("ha"))
+    val b = hashed.select(col(idCol).as("id_b"), col("phash").as("hb"))
+    val cross = hashPairs.join(a, "ha").join(b, "hb")
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("hamming"))
+    val within = a.join(
+        hashed.select(col(idCol).as("id_b"), col("phash").as("ha")), "ha")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 }

@@ -114,8 +114,12 @@ object Multimodal {
       else {
         val payload = java.util.Arrays.copyOfRange(content, 12, content.length)
         val oldArea = math.max(m.width.toLong * m.height, 1L)
-        val keep = math.min(payload.length.toLong,
-          math.max(1L, payload.length.toLong * (w.toLong * h) / oldArea)).toInt
+        val newArea = w.toLong * h
+        // upscale keeps everything — also dodges the len*newArea
+        // Long overflow a huge target raster would hit
+        val keep =
+          if (newArea >= oldArea) payload.length
+          else math.max(1L, payload.length.toLong * newArea / oldArea).toInt
         encode(w, h, java.util.Arrays.copyOfRange(payload, 0, keep))
       }
     }

@@ -35,9 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** All items with exact count ≥ minSupport, as (item, n) —
-    * bit-identical to `groupBy(item).count.filter(n ≥ minSupport)`,
-    * shuffling only sketch-surviving rows.
+  /** All NON-NULL items with exact count ≥ minSupport, as (item, n) —
+    * equal to `groupBy(item).count.filter(n ≥ minSupport)` over the
+    * string rendering of the column with nulls dropped: the sketch
+    * hashes strings and skips NULL (the [[CountMinSketch]] null-skip
+    * convention), so the operator casts to string and drops nulls
+    * up front — a caller needing the null group counts it separately
+    * (one `count(when(isnull…))`, no shuffle).
     */
   def frequentExact(
       items: DataFrame,

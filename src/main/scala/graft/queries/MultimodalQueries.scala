@@ -118,7 +118,10 @@ object MultimodalQueries {
       (s, d) => {
         import s.implicits._
         val codec = Multimodal.FakeCodec()
-        val valid = Multimodal.withMeta(s, mediaFromDocs(s, d), codec)
+        // Par.spread: the decode+hash stage is CPU-dense over a
+        // single-split source (the q141/q28 narrow-source lesson)
+        val valid = Multimodal.withMeta(
+            s, graft.Par.spread(mediaFromDocs(s, d)), codec)
           .filter($"meta.valid")
         ImageDedup.nearDupPairs(
             ImageDedup.withPHash(valid, "media_id", "content", codec),
