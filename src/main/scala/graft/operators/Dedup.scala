@@ -560,6 +560,80 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the promised O(log² n)-round alternative to
+    * [[connectedComponents]]'s O(diameter) label propagation, same
+    * signature, same output contract (every id → component-min rep).
+    *
+    * Choose by graph shape: near-dup clusters are near-cliques, where
+    * label propagation settles in 2-3 rounds and is cheaper per
+    * round; citation/link/reply graphs carry long chains, where
+    * diameter-many rounds is the scale-killer and the star rounds'
+    * poly-log bound wins (a 256-node path converges in ~5 alternating
+    * rounds here vs 255 propagation rounds).
+    *
+    * Round mechanics (edge-rewriting, no label table):
+    *  - large-star: every node u points its LARGER neighbors at
+    *    m = min(N(u) ∪ {u}) — long chains fold toward small ids;
+    *  - small-star: orient edges (big → small), then point u and all
+    *    its (smaller) neighbors except the minimum at that minimum —
+    *    flattens local trees into stars.
+    * Both preserve connectivity invariantly; the fixed point is a
+    * star forest (child, root) with root = component min. Convergence
+    * is detected by edge-set equality (two anti-joins over the
+    * star-forest-sized frame); every round localCheckpoints (the same
+    * iterative-lineage discipline as label propagation).
+    */
+  def connectedComponentsStar(
+      ids: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    def canon(df: DataFrame): DataFrame =
+      df.select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .filter($"u" =!= $"v").distinct()
+    var edges = canon(pairs.select(
+        col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v")))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIter) {
+      // large-star: m(u) over the symmetric neighborhood, larger
+      // neighbors re-pointed at m
+      val sym = edges.union(edges.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      val large = canon(
+        sym.join(mins, "u").filter($"v" > $"u")
+          .select($"v".as("u"), $"m".as("v")))
+      // small-star: orient big→small; u and all non-min neighbors
+      // point at the minimum
+      val oriented = large.select($"v".as("u"), $"u".as("v")) // u > v
+      val mins2 = oriented.groupBy($"u").agg(min($"v").as("m"))
+      val next = canon(
+        oriented.join(mins2, "u")
+          .select($"v".as("u"), $"m".as("v"))
+          .union(mins2.select($"u", $"m".as("v"))))
+        .localCheckpoint(true)
+      done = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!done && iter >= maxIter) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixed point: (root, child) edges with u = root (smaller id);
+    // nodes absent from the forest are singletons
+    val roots = edges.select($"v".as("id"), $"u".as("rep"))
+      .union(edges.select($"u".as("id"), $"u".as("rep")))
+      .groupBy($"id").agg(min($"rep").as("rep"))
+    ids.select(col(idCol).cast("long").as("id"))
+      .join(roots, Seq("id"), "left")
+      .select($"id", coalesce($"rep", $"id").as("rep"))
+  }
+
   // ---------- similarity joins (word-set Jaccard, embedding cosine) ----------
 
   /** Word-set Jaccard similarity join — array_intersect/size are pure
