@@ -36,8 +36,34 @@ object Linkage {
   /** Integer quantum for log-likelihood weights: micro-nats. */
   val Quantum = 1000000L
 
-  private def micro(x: Double): Long =
+  private[graft] def micro(x: Double): Long =
     math.floor(math.log(x) * Quantum + 0.5).toLong
+
+  /** Scalar twin of Spark's `levenshtein` (plain edit distance, unit
+    * costs) for executor-side typed code (the streaming linkage
+    * state function) — one distance contract, not two drifting ones.
+    */
+  def levenshteinScalar(a: String, b: String): Int = {
+    if (a == null || b == null) return Int.MaxValue
+    val (n, m) = (a.length, b.length)
+    if (n == 0) return m
+    if (m == 0) return n
+    var prev = Array.tabulate(m + 1)(identity)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var j = 1
+      while (j <= m) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
 
   /** One comparison field: output bit name, source column, agreement
     * predicate over (left, right), and the m/u priors.
