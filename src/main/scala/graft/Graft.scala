@@ -57,6 +57,8 @@ object Graft {
     functions.SortedIntersectCount.register(spark)
     functions.FirstBandCollision.register(spark)
     functions.TextFunctions.registerSql(spark)
+    functions.HyperLogLog.registerSql(spark)
+    functions.CountMinSketch.registerSql(spark)
     plans.GraftOptimizations.install(spark)
     spark
   }

@@ -90,6 +90,12 @@ object CountMinSketch {
     */
   def sketch(c: Column): Column = udaf(SketchAgg).apply(c)
 
+  /** SQL registration (`cms_sketch(col)` in spark.sql) — installed by
+    * `Graft.install` so SQL-only users get the sketch too.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("cms_sketch", udaf(SketchAgg))
+
   /** Scalar estimate column over a sketch array column (procedural by
     * nature — d array probes per row; applied to k-sized frames, not
     * the corpus).
