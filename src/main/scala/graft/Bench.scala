@@ -128,15 +128,41 @@ object Bench {
     val partial = only.map(f =>
       s""""partial":true,"filter":"${f.mkString(",")}","n_queries":${results.size},""")
       .getOrElse("")
-    // field order matters: the driver's tail capture truncates long
-    // lines, and the r3 AND r4 JSONs both lost the timing map to it —
-    // timings (the headline) go FIRST, shuffle bytes (the auxiliary)
-    // last
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop",$partial""" +
-      s""""queries":${jmap(_.cold.toString)},""" +
-      s""""queries_warm":${jmap(_.warm.toString)},""" +
+    // The driver's capture keeps the TAIL (last ~2 KB) of output —
+    // r3/r4/r6 all lost their timing maps because the long line put
+    // timings first and the tail kept only the end (shuffle_bytes).
+    // So: (1) persist the COMPLETE JSON to BENCH_full.json in the
+    // repo, (2) print the long full line first, (3) end with a
+    // compact headline line — total + the cold map trimmed to the
+    // heaviest queries, bounded ≤ ~1500 chars — so whatever the tail
+    // keeps is parseable and carries the round-over-round signal.
+    def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sink":"noop",$partial""" +
+      s""""queries":${jmap(r => fmt(r.cold))},""" +
+      s""""queries_warm":${jmap(r => fmt(r.warm))},""" +
       s""""sf":"$sfDir",""" +
-      s""""shuffle_bytes":${jmap(_.bytes.toString)}}""")
+      s""""shuffle_bytes":${jmap(_.bytes.toString)}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_full.json write failed: $e") }
+    println(fullJson)
+    // compact final line: greedily include the heaviest cold entries
+    // until the 1500-char budget is spent (covers every hot spot; the
+    // complete map lives in BENCH_full.json and the line above)
+    val byCold = results.sortBy { case (_, r) => -r.cold }
+    val budget = 1500
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sink":"noop",$partial""" +
+      s""""sf":"$sfDir","n":${results.size},"full":"BENCH_full.json","queries":{"""
+    val suffix = "}}"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = prefix.length + suffix.length
+    byCold.foreach { case (k, r) =>
+      val e = "\"" + k + "\":" + fmt(r.cold)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    println(prefix + entries.mkString(",") + suffix)
     spark.stop()
   }
 }

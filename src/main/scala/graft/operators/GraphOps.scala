@@ -126,18 +126,35 @@ object GraphOps {
     * convergence-tested) keeps the result exactly reproducible by any
     * other engine running the same recurrence.
     *
-    * Scale shape: the edge list is partitioned by `dst` ONCE and
-    * checkpointed; each iteration then broadcast-joins the node-sized
-    * rank frame on `src` (broadcast preserves the child's dst
-    * partitioning) and the groupBy(dst) aggregation needs NO new
-    * exchange — measured 2× on the sf0.1 co-purchase graph, where the
-    * naive plan reshuffled the full edge list five times (166 MB of
-    * the query's shuffle). Lineage is cut with an eager
-    * localCheckpoint per iteration, the repo's convention for
-    * iterative plans (Dedup.connectedComponents) — without it the
-    * plan doubles per round. At a node count too large for broadcast,
-    * flip the join to the edges' dst partitioning side and accept one
-    * rank shuffle per iteration — still never an edge reshuffle.
+    * Scale shape — a CO-PARTITIONED RDD loop, the genuine per-
+    * partition imperative case (like Bpe.train): the directed edge
+    * list is hash-partitioned by `src` ONCE and persisted; ranks and
+    * degrees live under the SAME partitioner, so the per-iteration
+    * rank-by-degree join and the edge-contribution join are both
+    * zero-shuffle (co-partitioned narrow joins). The only recurring
+    * shuffle is the contribution reduceByKey — map-side combined, so
+    * at most (distinct dst per partition) rows move, node-sized, never
+    * edge-sized. Nothing node-sized is ever broadcast or collected:
+    * the earlier DataFrame formulation broadcast the rank frame every
+    * iteration, which caps out near ~100M nodes (8 GB broadcast
+    * ceiling); this loop's per-iteration traffic is one node-sized
+    * shuffle regardless of node count, so it survives a 100× scale-up.
+    * RDD lineage grows by a constant number of stages per iteration
+    * (shuffle files are natural recompute barriers), so no per-round
+    * checkpoint is needed — unlike the Catalyst plan, which doubled.
+    *
+    * Contributions are QUANTIZED to integer multiples of 2^-40 before
+    * summation: an integer sum is exact and ORDER-FREE, so the
+    * aggregate is bit-identical across partition layouts, retries,
+    * and engines — a raw double sum drifts with accumulation order,
+    * and over 5 iterations that drift would make the r7-rounded
+    * oracle comparison flaky. Truncation loses < |E|·2^-40 total
+    * mass per iteration (~1e-11 on a 10M-edge graph) —
+    * deterministically, on both sides of the comparison. Every
+    * floating-point step (floor(c·2^40), long sum, /2^40, (1−d)/N +
+    * d·mass) is the same IEEE op sequence the DuckDB oracle CTEs
+    * replay, so the swap from DataFrame to RDD left q99's hash
+    * unchanged.
     */
   def pageRank(
       edges: DataFrame,
@@ -146,37 +163,39 @@ object GraphOps {
       iterations: Int = 5,
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations >= 1")
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = edges.sparkSession
     val und = orient(edges, srcCol, dstCol)
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+    val dirDf = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("dst"))      // one edge shuffle, reused by every iteration
-      .localCheckpoint(true)
-    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = deg.select(col("src").as("v"), col("deg"))
-    val n = nodes.count()           // driver scalar: node count, bounded
-    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
-    // Contributions are QUANTIZED to integer multiples of 2^-40 before
-    // summation: an integer sum is exact and ORDER-FREE, so the
-    // aggregate is bit-identical across partition layouts, retries,
-    // and engines — a raw double sum drifts with accumulation order,
-    // and over 5 iterations that drift would make the r7-rounded
-    // oracle comparison flaky. Truncation loses < |E|·2^-40 total
-    // mass per iteration (~1e-11 on a 10M-edge graph) —
-    // deterministically, on both sides of the comparison.
+    val vType = dirDf.schema("src").dataType
+    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
+    // one edge shuffle, ever: hash-partition by src and persist; every
+    // iteration's joins reuse this layout narrowly
+    val dir = dirDf.rdd.map(r => (r.get(0), r.get(1)))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // same partitioner ⇒ reduceByKey shuffles nothing (already clustered)
+    val deg = dir.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()             // driver scalar: node count, bounded
+    val base = (1.0 - damping) / n
     val Q = 1099511627776L          // 2^40
+    var pr = deg.mapValues(_ => 1.0 / n)
     for (_ <- 1 to iterations) {
-      val contrib = dir
-        .join(broadcast(pr.select(col("v").as("src"), (col("pr") / col("deg")).as("c"))),
-          Seq("src"))
-        .withColumn("cq", floor(col("c") * Q).cast("long"))
-        .groupBy(col("dst")).agg((sum(col("cq")).cast("double") / Q).as("in_mass"))
-      pr = nodes
-        .join(broadcast(contrib.select(col("dst").as("v"), col("in_mass"))), Seq("v"), "left")
-        .select(col("v"), col("deg"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+      val c = deg.join(pr, part)    // co-partitioned: narrow
+        .mapValues { case (d, p) => p / d }
+      val contrib = dir.join(c, part) // co-partitioned on src: narrow
+        .map { case (_, (dst, cv)) => (dst, math.floor(cv * Q).toLong) }
+        .reduceByKey(part, _ + _)   // THE per-iteration shuffle: node-sized, map-side combined
+      pr = deg.leftOuterJoin(contrib, part) // co-partitioned: narrow
+        .mapValues { case (_, in) =>
+          base + damping * in.map(_.toDouble / Q).getOrElse(0.0) }
     }
-    pr.select(col("v"), col("pr"))
+    val out = pr.map { case (v, p) => Row(v, p) }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("v", vType), StructField("pr", DoubleType))))
   }
 }

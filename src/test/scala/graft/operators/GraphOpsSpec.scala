@@ -70,6 +70,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr(1L) > pr(7L))
   }
 
+  test("pageRank matches a driver-side replay of the quantized recurrence bit-for-bit") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L), (5L, 6L))
+    val got = GraphOps.pageRank(und.toDF("u", "v"), "u", "v", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // replay the EXACT op sequence (floor(c·2^40) per edge, exact long
+    // sum, /2^40, (1−d)/n + d·mass) in plain Scala — === below is
+    // bit-equality on doubles, proving the RDD loop didn't change the
+    // arithmetic the q99 oracle replays
+    val dir = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = dir.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val n = deg.size
+    val Q = 1099511627776L
+    val base = (1.0 - 0.85) / n
+    var pr = deg.map { case (v, _) => v -> 1.0 / n }
+    for (_ <- 1 to 5) {
+      val mass = dir.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => math.floor(pr(s) / deg(s) * Q).toLong }.sum }
+      pr = deg.map { case (v, _) =>
+        v -> (base + 0.85 * (mass.getOrElse(v, 0L).toDouble / Q)) }
+    }
+    assert(got.size === pr.size)
+    pr.foreach { case (v, p) => assert(got(v) === p, s"node $v") }
+  }
+
+  test("pageRank plans no broadcast and no Catalyst exchange (co-partitioned RDD loop)") {
+    import spark.implicits._
+    val edges = (1L to 50L).map(i => (i, i % 10 + 100L)).toDF("u", "v")
+    val plan = GraphOps.pageRank(edges, "u", "v", iterations = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), "node-sized broadcast crept back in")
+    assert(!plan.contains("Exchange"), "rank frame must come back as a plain RDD scan")
+  }
+
   test("pageRank on a cycle is uniform") {
     import spark.implicits._
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
