@@ -414,6 +414,108 @@ object ScaleQueries {
       },
       None),
 
+    // ----- q149: the ORACLE-CHECKED twin of q35 — same capability
+    // (approximate distinct counts of orders and parts next to the
+    // exact counts, one row out), but through the custom replayable
+    // HyperLogLog instead of the built-in HLL++, so the estimate
+    // itself hash-matches DuckDB recomputing the identical registers
+    // (q140's discipline, applied to q35's exact shape). q35 stays as
+    // the built-in compatibility surface; this row makes the
+    // approx-distinct CAPABILITY oracle-checked. Same Expand-avoidance
+    // as q35/q140: each key column is its own distinct-first job
+    // (sketch over distinct keys is idempotent-identical to raw rows),
+    // cross-joined 1 row × 1 row.
+    QueryDef(
+      "q149_hll_distinct_twin",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.HyperLogLog
+        val li = Tables.lineitem(s, d)
+        def leg(key: String, exactName: String, estName: String) =
+          graft.Par.spread(li.select(col(key).cast("long").as("k"))).distinct()
+            .agg(count(lit(1)).as(exactName), HyperLogLog.sketch($"k").as("regs"))
+            .select(col(exactName), HyperLogLog.estimate($"regs").as(estName))
+        leg("l_orderkey", "exact_orders", "est_orders")
+          .crossJoin(leg("l_partkey", "exact_parts", "est_parts"))
+          .select($"exact_orders", $"est_orders", $"exact_parts", $"est_parts")
+      },
+      Some {
+        import graft.functions.HyperLogLog._
+        val h = graft.operators.Sampling.hashBitsSql("k")
+        def regs(src: String) =
+          s"""SELECT ${jSql("h")} AS j, MAX(${rhoCaseSql(s"(h & $WMask)")}) AS m
+             |  FROM (SELECT $h AS h FROM $src) GROUP BY 1""".stripMargin
+        def st(regsCte: String) =
+          s"SELECT COUNT(*) AS c, SUM(1.0 / CAST((1::BIGINT << m) AS DOUBLE)) AS sp FROM $regsCte"
+        s"""WITH ok AS MATERIALIZED (
+           |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem),
+           |pk AS MATERIALIZED (
+           |  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS k FROM lineitem),
+           |ro AS MATERIALIZED (${regs("ok")}),
+           |rp AS MATERIALIZED (${regs("pk")}),
+           |so AS (${st("ro")}),
+           |sq AS (${st("rp")}),
+           |eo AS (SELECT COUNT(*) AS exact_orders FROM ok),
+           |ep AS (SELECT COUNT(*) AS exact_parts FROM pk)
+           |SELECT eo.exact_orders,
+           |  ${estimateSql("so.c", "so.sp")} AS est_orders,
+           |  ep.exact_parts,
+           |  ${estimateSql("sq.c", "sq.sp")} AS est_parts
+           |FROM eo, so, ep, sq""".stripMargin
+      }),
+
+    // ----- q150: the ORACLE-CHECKED twin of q43 — per-returnflag
+    // quantiles of l_extendedprice, but as EXACT type-1 (lower order
+    // statistic) rank selection instead of the engine-specific
+    // percentile_approx sketch: value at 0-based rank
+    // floor(q·(n−1)/1000) within each group, ties broken by the
+    // unique (orderkey, linenumber) key, so both engines select the
+    // identical rows (q134's discipline over the FULL table, grouped).
+    // Scale shape: ONE range-partitioned global sort keyed
+    // (grp, value, key) — groups stay contiguous so per-group rank =
+    // global rank − min(global rank over group); the offsets come from
+    // a |groups|-row aggregate and the |groups|×|q| target frame
+    // broadcasts. Never a per-group window: partitionBy over a
+    // 3-value flag would put a third of the corpus in one task.
+    QueryDef(
+      "q150_grouped_rank_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val vals = Tables.lineitem(s, d)
+          .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        val ranked = graft.operators.GlobalOrder.zipRank(
+          vals.sort($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber"), "r")
+        val groups = ranked.groupBy($"l_returnflag")
+          .agg(min($"r").as("off"), count(lit(1)).as("n"))
+        val targets = groups.crossJoin(Seq(500, 990).toDF("q_milli"))
+          .select($"l_returnflag".as("g"), $"q_milli",
+            ($"off" + expr(
+              "CAST(floor(CAST(q_milli * (n - 1) AS DOUBLE) / 1000.0) AS BIGINT)"))
+              .as("target"))
+        ranked.join(broadcast(targets),
+            ranked("l_returnflag") === targets("g") && ranked("r") === targets("target"))
+          .select($"l_returnflag", $"q_milli",
+            $"l_extendedprice".cast("double").as("value"))
+          .orderBy($"l_returnflag", $"q_milli")
+      },
+      Some(
+        """WITH rk AS MATERIALIZED (
+          |  SELECT l_returnflag AS g, l_extendedprice,
+          |    row_number() OVER (PARTITION BY l_returnflag
+          |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS r0
+          |  FROM lineitem),
+          |ns AS MATERIALIZED (SELECT g, COUNT(*) AS n FROM rk GROUP BY g),
+          |t(q_milli) AS (VALUES (500), (990)),
+          |tgt AS (
+          |  SELECT ns.g, t.q_milli,
+          |    CAST(floor(CAST(t.q_milli * (ns.n - 1) AS DOUBLE) / 1000.0) AS BIGINT)
+          |      AS r0
+          |  FROM ns, t)
+          |SELECT rk.g AS l_returnflag, tgt.q_milli,
+          |  CAST(rk.l_extendedprice AS DOUBLE) AS value
+          |FROM rk JOIN tgt ON rk.g = tgt.g AND rk.r0 = tgt.r0
+          |ORDER BY l_returnflag, q_milli""".stripMargin)),
+
     // ----- q36: skew-safe salted aggregation — two-phase (key, salt)
     // partial then merge; result provably equals the direct groupBy
     // (that's exactly what the oracle checks)
