@@ -23,9 +23,17 @@ object DedupQueries {
     * pass fused into the signature stage measured FASTER (11 s warm)
     * than reading even the long-array artifact back (14 s warm; the
     * parquet-read nullable-element arrays slow the verify merge), and
-    * a string-token artifact was slower still. One content-stamped
-    * pass, built by the first consumer — the 100 TB shape, where a
-    * tokenized corpus is a curated table, not per-query work.
+    * a string-token artifact was slower still. RE-MEASURED round 7
+    * (paired same-session runs, artifact pre-built so its build cost
+    * billed to neither): fused 16.4 s cold / 12.1 warm vs artifact
+    * 19.0 / 15.2 — the gap reproduces, so the fused path stays. The
+    * token arrays are LARGER than the raw text here (64-bit hash per
+    * token vs ~5 UTF-8 bytes), so q28, which touches the token set
+    * once per stage off one persist, pays more to read them back than
+    * to recompute; q78 wins because its plan re-reads the set three
+    * times. One content-stamped pass, built by the first consumer —
+    * the 100 TB shape, where a tokenized corpus is a curated table,
+    * not per-query work.
     */
   private def hashedToks(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val path = graft.ArtifactCache.path("toks",
@@ -82,7 +90,11 @@ object DedupQueries {
     if (!fs.exists(marker)) {
       val docs = Tables.documents(s, d)
       val pairs = jaccardPairsArtifact(s, d)
-      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", pairs)
+      // shape-adaptive: label propagation on the (cliquey) near-dup
+      // graph, large/small-star on chain-shaped graphs — identical
+      // labels either way (StarComponentsSpec), so q51/q71/q125
+      // hashes don't depend on the choice
+      Dedup.connectedComponentsAuto(docs.select(col("doc_id")), "doc_id", pairs)
         .select(col("id").as("doc_id"), col("rep"))
         .write.mode("overwrite").parquet(path)
     }

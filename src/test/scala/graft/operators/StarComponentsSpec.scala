@@ -48,6 +48,26 @@ class StarComponentsSpec extends SparkSpec {
     }
   }
 
+  test("auto selection: a chain routes to star rounds, a clique stays correct") {
+    // mean degree ≈ 2 ⇒ star path: completing a 255-diameter chain at
+    // maxIter=12 is only possible through the star rounds (the
+    // propagation path provably throws there — see the test above)
+    val n = 256L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val auto = Dedup.connectedComponentsAuto(
+        (0L until n).toDF("doc_id"), "doc_id", chain.toDF("id_a", "id_b"), maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto.values.toSet === Set(0L))
+    // two 6-cliques (mean degree 5 ⇒ propagation path) + a singleton
+    val cliques = for {
+      base <- Seq(0L, 6L); a <- 0L until 6L; b <- (a + 1) until 6L
+    } yield (base + a, base + b)
+    val got = Dedup.connectedComponentsAuto(
+        (0L until 13L).toDF("doc_id"), "doc_id", cliques.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until 13L).map(i => i -> (if (i < 6) 0L else if (i < 12) 6L else i)).toMap)
+  }
+
   test("singletons, empty edge list, duplicate and reversed pairs") {
     assert(run(4, Seq.empty) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
     val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))
