@@ -83,7 +83,11 @@ object ImageDedup {
     * output-bound: they emit exactly the true pair set, whose size is
     * the answer, not an intermediate. The skinny distinct-hash frame
     * is persisted across its t+1 reuses so the decode lineage above
-    * it runs once.
+    * it runs once; the CALLER owns releasing that storage after
+    * materializing the returned (lazy) frame — `spark.catalog
+    * .clearCache()`, the repo-wide convention the suite and Bench
+    * already follow between queries (same contract as
+    * [[graft.operators.GraphOps.triangleStats]]'s caches).
     */
   def nearDupPairs(
       hashed: DataFrame,

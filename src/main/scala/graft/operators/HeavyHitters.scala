@@ -42,6 +42,15 @@ object HeavyHitters {
     * convention), so the operator casts to string and drops nulls
     * up front — a caller needing the null group counts it separately
     * (one `count(when(isnull…))`, no shuffle).
+    *
+    * DETERMINISM REQUIREMENT (the repo-wide input discipline): the
+    * `items` plan executes TWICE — once for the sketch, once for the
+    * survivor count — and the exactness proof (CMS never
+    * underestimates ⇒ the prefilter keeps a superset of the true
+    * heavy hitters) assumes both executions see the same multiset. A
+    * nondeterministic input (an unseeded sample, a rand() column, a
+    * first()-per-group without ordering) voids the guarantee; persist
+    * such an input before calling, or seed it.
     */
   def frequentExact(
       items: DataFrame,

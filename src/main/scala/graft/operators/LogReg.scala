@@ -152,7 +152,14 @@ object LogReg {
       .map { case (v, y) => (quantize(v), y, if (y == 1L) posWeight else 1L) }
     rows.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = df.select(size(col(vecCol))).first().getInt(0)
+      // fail loudly on an empty training split (degenerate
+      // trainFraction / over-filtering) instead of silently fitting
+      // the zero model — first() would throw an opaque
+      // NoSuchElementException here anyway
+      val dimRow = df.select(size(col(vecCol))).limit(1).collect()
+      require(dimRow.nonEmpty,
+        "training input is empty — check trainFraction / upstream filters")
+      val dim = dimRow(0).getInt(0)
       var model = Model(new Array[Long](dim + 1))
       var i = 0
       while (i < iterations) { model = gdStep(rows, model, etaDen); i += 1 }
@@ -206,9 +213,13 @@ object LogReg {
     val fp = sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L))
     val fn = sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L))
     val tn = sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L))
+    // empty holdout (trainFraction near 1.0 on a tiny table) → NULL
+    // acc_milli explicitly, never 0/0 → NaN whose BIGINT cast is
+    // engine-defined
     scored.agg(tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"))
       .withColumn("acc_milli",
-        expr("CAST(floor(CAST(1000 * (tp + tn) AS DOUBLE) / " +
-          "CAST(tp + fp + fn + tn AS DOUBLE)) AS BIGINT)"))
+        expr("CAST(CASE WHEN tp + fp + fn + tn = 0 THEN NULL " +
+          "ELSE floor(CAST(1000 * (tp + tn) AS DOUBLE) / " +
+          "CAST(tp + fp + fn + tn AS DOUBLE)) END AS BIGINT)"))
   }
 }

@@ -67,6 +67,19 @@ object Mixing {
     * Scale shape: one count-by-stratum scan (map-side partials, ≤
     * |strata| rows), then arithmetic on the tiny frame — the recipe
     * table is what feeds [[sampleStrata]]'s rates.
+    *
+    * Accepted cross-engine float caveat (same class as the ln() cases
+    * in [[graft.operators.Dsir]], called out here for the audit
+    * trail): z = Σ pow(n_d, τ) is a DOUBLE sum whose partial-
+    * aggregation order differs between Spark layouts and DuckDB, so —
+    * unlike the repo's quantize-then-sum integer discipline — ulp
+    * noise enters BEFORE the r4 rounding, and a weight within ~1 ulp
+    * of a 1e-4 boundary could round differently cross-engine. The
+    * exposure is bounded by |strata| (a handful of rows, each a
+    * pow-of-integer) and has never fired in the gate; an engine
+    * needing hard determinism here should sum z on the driver from
+    * the collected ≤|strata| counts in a fixed order and divide by
+    * the one literal.
     */
   def temperatureWeights(
       df: DataFrame,

@@ -138,6 +138,12 @@ object SqSearch {
       k: Int): DataFrame =
     encoded
       .withColumn("qdist", quantDist(col("codes"), qcodes))
+      // quantDist is NULL for malformed rows (codes length ≠ query
+      // length, or a null element — zip_with pads with null); Spark
+      // sorts NULLs FIRST ascending, so without this filter malformed
+      // vectors would silently occupy the whole top-k instead of
+      // being excluded
+      .filter(col("qdist").isNotNull)
       .orderBy(col("qdist").asc, col(idCol))
       .limit(k)
       .select(col(idCol), col("qdist"))
