@@ -226,6 +226,41 @@ object BusinessQueries {
              |FROM tf GROUP BY word HAVING count(*) >= 50
              |ORDER BY df DESC, word""".stripMargin)),
 
+    // ----- q152: exact PHRASE search through the positional-postings
+    // walk (operators/PhraseSearch) — the adjacency-aware member of
+    // the retrieval family (q114 doc-level inverted index, q52
+    // bag-of-words BM25): per-document occurrence count + first match
+    // position for an exact word sequence. One relational join does
+    // the phrase walk: each posting of term i votes (doc, pos − i);
+    // an anchor covered by all k term indexes is a match. The oracle
+    // replays positions via DuckDB's zip-unnest and the identical
+    // vote-count rule.
+    QueryDef(
+      "q152_phrase_search",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.PhraseSearch.phraseMatches(
+            Tables.documents(s, d), "doc_id", "text", Seq("fast", "table"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos,
+             |    unnest(toks) AS word FROM t),
+             |ph(i, w) AS (VALUES (0, 'fast'), (1, 'table')),
+             |hits AS (
+             |  SELECT p.doc_id, p.pos - ph.i AS anchor
+             |  FROM pos p JOIN ph ON p.word = ph.w
+             |  GROUP BY p.doc_id, p.pos - ph.i
+             |  HAVING count(DISTINCT ph.i) = 2)
+             |SELECT doc_id, count(*) AS n_hits,
+             |  CAST(min(anchor) AS BIGINT) AS first_pos
+             |FROM hits GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // ----- q115: chi-square independence test of lang × source — the
     // contingency table, expected counts under independence, and the
     // χ² statistic, all in two aggregates and a broadcast of the

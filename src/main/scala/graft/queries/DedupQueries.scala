@@ -158,6 +158,64 @@ object DedupQueries {
              |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- q151: SPLIT-LEAKAGE audit — near-dup pairs that straddle
+    // the deterministic train/val/test assignment (q85's exact
+    // config): the similarity-level counterpart of benchmark
+    // decontamination (q61 catches exact/n-gram contamination between
+    // corpus and benchmark; this catches NEAR-DUPLICATES leaking
+    // between a model's own splits, the published eval-inflation
+    // failure exact-match split tools miss). Output is the actionable
+    // leak list (pair + jaccard + both split labels). Plan: the
+    // shared pair artifact joined twice against a projection-only
+    // split assignment — no new pair generation; at 100 TB this is a
+    // skinny join against the curated pair table, which is the point.
+    QueryDef(
+      "q151_split_leakage",
+      (s, d) => {
+        import s.implicits._
+        val splits = graft.operators.Sampling.assignSplits(
+            Tables.documents(s, d), $"doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = 1L)
+          .select($"doc_id", $"split")
+        jaccardPairsArtifact(s, d)
+          .join(splits.select($"doc_id".as("id_a"), $"split".as("split_a")), "id_a")
+          .join(splits.select($"doc_id".as("id_b"), $"split".as("split_b")), "id_b")
+          .filter($"split_a" =!= $"split_b")
+          .select($"id_a", $"id_b", $"jaccard", $"split_a", $"split_b")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val frac = graft.operators.Sampling.hashFractionSql("doc_id", salt = 1L)
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, n_chars,
+           |    list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+           |                              x -> length(x) > 0)) AS toks
+           |  FROM documents),
+           |sp AS (
+           |  SELECT doc_id,
+           |    CASE WHEN $frac < 0.8 THEN 'train'
+           |         WHEN $frac < 0.9 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents),
+           |e AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    floor((len(list_intersect(a.toks, b.toks)) * 1.0 /
+           |           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+           |          * 10000 + 0.5) / 10000 AS jaccard
+           |  FROM t a JOIN t b
+           |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |    AND abs(a.n_chars - b.n_chars) <= 30
+           |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+           |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.8)
+           |SELECT e.id_a, e.id_b, e.jaccard,
+           |  sa.split AS split_a, sb.split AS split_b
+           |FROM e
+           |JOIN sp sa ON e.id_a = sa.doc_id
+           |JOIN sp sb ON e.id_b = sb.doc_id
+           |WHERE sa.split <> sb.split
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // ----- q27: embedding-cosine near-dup pairs. Same label-blocked
     // semantics (and oracle) as round 1, but the PLAN is the
     // 1-Bucket-Theta grid (Dedup.cosineJoinGrid): the inherent
