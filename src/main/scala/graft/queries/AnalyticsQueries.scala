@@ -185,6 +185,92 @@ object AnalyticsQueries {
              |  floor(pr * (SELECT n FROM nn) * 1e7 + 0.5) / 1e7 AS pr_scaled
              |FROM p5 ORDER BY p_partkey""".stripMargin)),
 
+    // ----- q153: TextRank keyword extraction (Mihalcea & Tarau,
+    // EMNLP'04) — PageRank over the word-ADJACENCY graph (consecutive
+    // token pairs within a document, window 2), top-20 words by rank:
+    // the graph-centrality member of the text-analysis family, and a
+    // SECOND consumer of the RDD pageRank loop on a STRING-keyed
+    // graph (q99's keys are longs). Adjacency pairs come from a
+    // narrow zip of each token array with its own tail — no
+    // positional self-join, no window; the orient() distinct is the
+    // one edge shuffle, and the node set is vocabulary-sized. The
+    // oracle replays the identical 5-iteration quantized recurrence
+    // (q99's CTE chain) over positions derived by zip-unnest.
+    QueryDef(
+      "q153_textrank_keywords",
+      (s, d) => {
+        import s.implicits._
+        val toks = graft.Par.spread(Tables.documents(s, d))
+          .select(graft.functions.TextFunctions.spaceTokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+        val edges = toks.select(explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => struct(a.as("wa"), b.as("wb")))).as("e"))
+          .select($"e.wa", $"e.wb").filter($"wa" =!= $"wb")
+        val pr = GraphOps.pageRank(edges, "wa", "wb", iterations = 5, damping = 0.85)
+        val n = pr.agg(count(lit(1)).as("nn"))
+        pr.crossJoin(n)
+          .select($"v".as("word"),
+            (floor($"pr" * $"nn" * 1e7 + 0.5) / 1e7).as("rank_scaled"))
+          .orderBy($"rank_scaled".desc, $"word")
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos,
+             |    unnest(toks) AS word FROM t),
+             |adj AS (
+             |  SELECT p1.word AS wa, p2.word AS wb
+             |  FROM pos p1 JOIN pos p2
+             |    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+             |  WHERE p1.word <> p2.word),
+             |e0 AS (
+             |  SELECT least(wa, wb) AS a, greatest(wa, wb) AS b
+             |  FROM adj GROUP BY 1, 2),
+             |dir AS (SELECT a AS src, b AS dst FROM e0
+             |        UNION ALL SELECT b, a FROM e0),
+             |deg AS (SELECT src AS v, count(*) AS deg FROM dir GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM deg),
+             |p0 AS (SELECT v, deg, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr
+             |       FROM deg),
+             |p1 AS (SELECT d0.v, d0.deg,
+             |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
+             |  FROM p0 d0 LEFT JOIN (
+             |    SELECT dir.dst AS v, CAST(SUM(CAST(floor(p0.pr / p0.deg * 1099511627776) AS BIGINT)) AS DOUBLE) / 1099511627776 AS m
+             |    FROM dir JOIN p0 ON dir.src = p0.v GROUP BY 1) s USING (v)),
+             |p2 AS (SELECT d0.v, d0.deg,
+             |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
+             |  FROM p1 d0 LEFT JOIN (
+             |    SELECT dir.dst AS v, CAST(SUM(CAST(floor(p1.pr / p1.deg * 1099511627776) AS BIGINT)) AS DOUBLE) / 1099511627776 AS m
+             |    FROM dir JOIN p1 ON dir.src = p1.v GROUP BY 1) s USING (v)),
+             |p3 AS (SELECT d0.v, d0.deg,
+             |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
+             |  FROM p2 d0 LEFT JOIN (
+             |    SELECT dir.dst AS v, CAST(SUM(CAST(floor(p2.pr / p2.deg * 1099511627776) AS BIGINT)) AS DOUBLE) / 1099511627776 AS m
+             |    FROM dir JOIN p2 ON dir.src = p2.v GROUP BY 1) s USING (v)),
+             |p4 AS (SELECT d0.v, d0.deg,
+             |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
+             |  FROM p3 d0 LEFT JOIN (
+             |    SELECT dir.dst AS v, CAST(SUM(CAST(floor(p3.pr / p3.deg * 1099511627776) AS BIGINT)) AS DOUBLE) / 1099511627776 AS m
+             |    FROM dir JOIN p3 ON dir.src = p3.v GROUP BY 1) s USING (v)),
+             |p5 AS (SELECT d0.v, d0.deg,
+             |    (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             |      + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0) AS pr
+             |  FROM p4 d0 LEFT JOIN (
+             |    SELECT dir.dst AS v, CAST(SUM(CAST(floor(p4.pr / p4.deg * 1099511627776) AS BIGINT)) AS DOUBLE) / 1099511627776 AS m
+             |    FROM dir JOIN p4 ON dir.src = p4.v GROUP BY 1) s USING (v))
+             |SELECT v AS word,
+             |  floor(pr * (SELECT n FROM nn) * 1e7 + 0.5) / 1e7 AS rank_scaled
+             |FROM p5 ORDER BY rank_scaled DESC, word LIMIT 20""".stripMargin)),
+
     // ----- q102: grouped linear regression — price-over-time trend
     // per order priority via the SQL-standard regr_* aggregates (one
     // pass, mergeable moment state on both engines). Slope/r² at r4;
