@@ -659,15 +659,21 @@ object Dedup {
       idCol: String,
       pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    val st = pairs
+    // materialize pair generation ONCE: the probe is an extra
+    // execution of the pairs plan, and a caller handing us the raw
+    // similarity join (the documented production entry point) must
+    // not pay the multi-second blocked self-join twice — the chosen
+    // algorithm below re-reads the checkpointed rows, not the plan
+    val mat = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val st = mat
       .select(explode(array(col("id_a").cast("long"), col("id_b").cast("long"))).as("n"))
       .agg(count(lit(1)).as("ends"), approx_count_distinct(col("n")).as("nv"))
       .head()
     val ends = st.getLong(0)
     val nv = st.getLong(1)
     val meanDeg = if (nv == 0) 0.0 else ends.toDouble / nv
-    if (meanDeg >= 4.0) connectedComponents(ids, idCol, pairs, maxIter)
-    else connectedComponentsStar(ids, idCol, pairs, maxIter)
+    if (meanDeg >= 4.0) connectedComponents(ids, idCol, mat, maxIter)
+    else connectedComponentsStar(ids, idCol, mat, maxIter)
   }
 
   // ---------- similarity joins (word-set Jaccard, embedding cosine) ----------

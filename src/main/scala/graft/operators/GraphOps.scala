@@ -194,7 +194,21 @@ object GraphOps {
         .mapValues { case (_, in) =>
           base + damping * in.map(_.toDouble / Q).getOrElse(0.0) }
     }
-    val out = pr.map { case (v, p) => Row(v, p) }
+    // Persist lifecycle: catalog.clearCache() (the repo's DataFrame
+    // release convention) does NOT reach raw RDD persists, so holding
+    // the edge-sized `dir` until a driver GC happens to run the
+    // ContextCleaner would stack edge-sized generations across a
+    // long-lived session. The loop is therefore driven EAGERLY (the
+    // function already bears an action for n): materialize the final
+    // node-sized ranks, then release both loop-support persists
+    // before returning — the caller's frame reads only the small
+    // persisted result, which the cleaner reclaims with the RDD
+    // reference.
+    val ranks = pr.persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    dir.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    val out = ranks.map { case (v, p) => Row(v, p) }
     spark.createDataFrame(out, StructType(Seq(
       StructField("v", vType), StructField("pr", DoubleType))))
   }

@@ -84,19 +84,39 @@ final case class TesseractPartitioner(lang: String = "eng") extends PdfPartition
       val pb = new ProcessBuilder(args: _*)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
-      // writer thread: stdin and stdout pipes both have bounded
-      // buffers — single-threaded write-then-read deadlocks on
-      // documents larger than the pipe
+      // BOTH pipe ends run on daemon threads so the timeout below is
+      // the ONLY blocking wait: a single-threaded write-then-read
+      // deadlocks on documents larger than the pipe buffer, and a
+      // blocking readAllBytes before waitFor would make the timeout
+      // unreachable against a hung binary — the task would never
+      // return, violating the one-bad-scan contract. close() sits in
+      // a finally: skipping it on a write error leaves tesseract
+      // waiting on stdin forever.
       val writer = new Thread(() => {
-        try { p.getOutputStream.write(content); p.getOutputStream.close() }
+        try p.getOutputStream.write(content)
         catch { case _: java.io.IOException => () }
+        finally {
+          try p.getOutputStream.close()
+          catch { case _: java.io.IOException => () }
+        }
       })
       writer.setDaemon(true)
       writer.start()
-      val out = p.getInputStream.readAllBytes()
-      val ok = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES) && p.exitValue() == 0
-      if (!ok) { p.destroyForcibly(); Seq.empty }
-      else TextPartitioner().partition(out, strategy)
+      val out = new java.util.concurrent.atomic.AtomicReference[Array[Byte]](null)
+      val reader = new Thread(() => {
+        try out.set(p.getInputStream.readAllBytes())
+        catch { case _: java.io.IOException => () }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      val done = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); Seq.empty }
+      else {
+        reader.join(10000)           // drain completes promptly once exited
+        val bytes = out.get()
+        if (p.exitValue() != 0 || bytes == null) Seq.empty
+        else TextPartitioner().partition(bytes, strategy)
+      }
     } catch { case _: java.io.IOException => Seq.empty }
   }
 }
@@ -113,11 +133,23 @@ object OcrRuntime {
     try {
       val p = new ProcessBuilder("tesseract", "--version")
         .redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      // drain on a daemon thread so the 10 s timeout is the only
+      // blocking wait (a hung binary must not block JVM-wide lazy
+      // init — same pattern as TesseractPartitioner.partition)
+      val out = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val reader = new Thread(() => {
+        try out.set(new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8))
+        catch { case _: java.io.IOException => () }
+      })
+      reader.setDaemon(true)
+      reader.start()
       val done = p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { p.destroyForcibly(); None }
       else if (p.exitValue() != 0) None
-      else out.linesIterator.find(_.toLowerCase.contains("tesseract"))
+      else {
+        reader.join(2000)
+        out.get().linesIterator.find(_.toLowerCase.contains("tesseract"))
+      }
     } catch { case _: Exception => None }   // binary absent → IOException
 
   /** The best available [[PdfPartitioner]]: tesseract when the binary

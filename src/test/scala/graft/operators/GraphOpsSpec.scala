@@ -95,13 +95,54 @@ class GraphOpsSpec extends SparkSpec {
     pr.foreach { case (v, p) => assert(got(v) === p, s"node $v") }
   }
 
-  test("pageRank plans no broadcast and no Catalyst exchange (co-partitioned RDD loop)") {
+  test("pageRank per-iteration shuffle is node-sized, never edge-sized (scale pin)") {
+    // Guard against the regression this rewrite removed (per-iteration
+    // node-sized broadcast / edge reshuffle) with an EXECUTION-level
+    // measurement — the returned frame is a bare RDD scan, so plan
+    // inspection is blind here. pageRank is eager, so a listener
+    // around the call captures all its jobs. Fixture: dense graph
+    // (200 nodes, ~10k edges, 50× more edge rows than nodes) —
+    // if iterations re-shuffled edges, 9 extra iterations would add
+    // ≥ 9 edge-sized shuffles ≈ 10× the 1-iteration volume; node-
+    // sized per-iteration traffic adds only a few percent each.
     import spark.implicits._
-    val edges = (1L to 50L).map(i => (i, i % 10 + 100L)).toDF("u", "v")
-    val plan = GraphOps.pageRank(edges, "u", "v", iterations = 2)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastExchange"), "node-sized broadcast crept back in")
-    assert(!plan.contains("Exchange"), "rank frame must come back as a plain RDD scan")
+    val rnd = new scala.util.Random(99)
+    val edges = Seq.fill(10000)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(p => p._1 != p._2).toDF("u", "v")
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val tasksSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasksSeen.incrementAndGet()
+        val m = te.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    // listener delivery is async: barrier with a one-task no-op job
+    // and wait for its task-end (the Bench.settleListener pattern)
+    def settle(): Unit = {
+      val before = tasksSeen.get()
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (tasksSeen.get() <= before && System.nanoTime() < deadline)
+        Thread.sleep(10)
+    }
+    def measure(iters: Int): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        settle()
+        bytes.set(0)
+        GraphOps.pageRank(edges, "u", "v", iterations = iters)
+        settle()
+        bytes.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val one = measure(1)
+    val ten = measure(10)
+    assert(one > 0, "listener captured nothing — measurement broken")
+    assert(ten < one * 3,
+      s"9 extra iterations grew shuffle $one -> $ten bytes: per-iteration " +
+        "traffic is edge-scale, the co-partitioned loop regressed")
   }
 
   test("pageRank on a cycle is uniform") {
