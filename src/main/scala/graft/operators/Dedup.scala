@@ -413,18 +413,26 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash over unigram+bigram token features. */
-  final case class SimHasher(seed: Int = 42) extends Serializable {
-    def simhash(text: String): Long = {
+  /** A document → 64-bit-or-narrower SimHash. Implementations share
+    * the feature scheme (unigram + space-joined bigram tokens on
+    * `\s+` splits, the Charikar STOC'02 construction) and differ only
+    * in the per-feature hash family; [[simhashPairs]] is agnostic —
+    * the pigeonhole guarantee (any pair within Hamming distance d
+    * shares ≥1 of d+1 bit blocks) holds for any fixed-width hash,
+    * including ones whose top bits are constant zero.
+    */
+  sealed trait SimHashFn extends Serializable {
+    /** Number of meaningful low bits (the rest are always 0). */
+    def nBits: Int
+    protected def featureHash(f: String): Long
+    final def simhash(text: String): Long = {
       if (text == null) return 0L
       val toks = text.split("\\s+").filter(_.nonEmpty)
-      val acc = new Array[Int](64)
+      val acc = new Array[Int](nBits)
       def add(f: String): Unit = {
-        val h1 = MurmurHash3.stringHash(f, seed).toLong & 0xffffffffL
-        val h2 = MurmurHash3.stringHash(f, seed + 1).toLong & 0xffffffffL
-        val h = (h1 << 32) | h2
+        val h = featureHash(f)
         var i = 0
-        while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+        while (i < nBits) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
       }
       var i = 0
       while (i < toks.length) {
@@ -432,11 +440,65 @@ object Dedup {
       }
       var out = 0L
       i = 0
-      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+      while (i < nBits) { if (acc(i) > 0) out |= (1L << i); i += 1 }
       out
     }
 
-    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    final def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  }
+
+  /** 64-bit SimHash with a seeded MurmurHash3 feature family — the
+    * production default (best bit diffusion).
+    */
+  final case class SimHasher(seed: Int = 42) extends SimHashFn {
+    def nBits: Int = 64
+    protected def featureHash(f: String): Long = {
+      val h1 = MurmurHash3.stringHash(f, seed).toLong & 0xffffffffL
+      val h2 = MurmurHash3.stringHash(f, seed + 1).toLong & 0xffffffffL
+      (h1 << 32) | h2
+    }
+  }
+
+  /** 61-bit SimHash whose feature hash is the same mod-(2^61−1)
+    * polynomial the Winnow oracle replays in DuckDB HUGEINT
+    * arithmetic (h = fold(h·B + charCode) mod P) — every bit of the
+    * signature, and therefore every emitted pair, is independently
+    * re-derivable by a second engine in plain SQL. This is the
+    * oracle-replay twin of [[SimHasher]] (the q140/q149 discipline
+    * applied to SimHash): q29 keeps the murmur family as the
+    * compatibility surface, q154 hash-checks this one end-to-end.
+    * charAt is a UTF-16 code unit where SQL's unicode() is a code
+    * point — identical on the ASCII corpus, the same caveat the
+    * winnow oracle documents.
+    */
+  final case class PolySimHasher() extends SimHashFn {
+    def nBits: Int = 61
+    private val P = 2305843009213693951L          // 2^61 − 1
+    private val B = 1000003L
+    protected def featureHash(f: String): Long = {
+      var h = 0L
+      var i = 0
+      while (i < f.length) {
+        h = mulMod(h, B) + f.charAt(i)          // < 2^61 + 2^16
+        if (h >= P) h -= P
+        i += 1
+      }
+      h
+    }
+    /** (a·b) mod (2^61−1) exactly, for 0 ≤ a, b < 2^61: the full
+      * 128-bit product via Math.multiplyHigh (both operands
+      * nonnegative, so the signed high word is the unsigned one),
+      * then the Mersenne fold 2^61 ≡ 1 — quotient-plus-remainder,
+      * conditionally corrected.
+      */
+    private def mulMod(a: Long, b: Long): Long = {
+      val hi = Math.multiplyHigh(a, b)          // < 2^58
+      val lo = a * b                            // low 64 bits
+      var s = ((hi << 3) | (lo >>> 61)) + (lo & P)   // q + r, < 2^62
+      if (s >= P) s -= P
+      if (s >= P) s -= P
+      s
+    }
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDistance.
@@ -455,7 +517,7 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      hasher: SimHasher = SimHasher(),
+      hasher: SimHashFn = SimHasher(),
       maxDistance: Int = 3,
       bucketCap: Int = 10000,
       strict: Boolean = false): DataFrame = {

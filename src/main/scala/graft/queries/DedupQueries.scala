@@ -337,6 +337,26 @@ object DedupQueries {
       },
       None),
 
+    // ----- q154: the ORACLE-CHECKED twin of q29 — the identical
+    // pigeonhole-blocked pair machinery, but signed with the
+    // polynomial feature hash DuckDB replays in HUGEINT arithmetic
+    // ([[Dedup.PolySimHasher]]): the oracle re-derives every 61-bit
+    // signature from raw text (unigram+bigram features, majority
+    // vote per bit) and brute-forces Hamming ≤ 3, so the blocking
+    // exactness AND the signature math are hash-checked end-to-end.
+    // q120's replay discipline applied to SimHash; q29 keeps the
+    // murmur family as the production surface (better diffusion),
+    // this row makes the SimHash CAPABILITY oracle-checked.
+    QueryDef(
+      "q154_simhash_replay",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simhashPairs(s, Tables.documents(s, d), "doc_id", "text",
+            hasher = Dedup.PolySimHasher(), maxDistance = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(simhashReplayOracleSql)),
+
     // ----- q71: duplication profile — the cluster-SIZE histogram over
     // the q51 components ("how duplicated is this corpus" is the
     // curation dashboard number a dedup run is judged by). Two extra
@@ -625,6 +645,50 @@ object DedupQueries {
              |GROUP BY s.rep, st.cluster_size, st.max_chars
              |ORDER BY s.rep""".stripMargin))
   )
+
+  /** DuckDB replay of [[graft.operators.Dedup.PolySimHasher]] — the
+    * q154 oracle. Per document: tokens on `\s+`, features = unigrams
+    * plus space-joined bigrams, per-feature polynomial hash over
+    * char codes in HUGEINT (list_reduce seeds with the first element,
+    * ≡ the Scala fold from 0), then bit b of the signature is the
+    * strict majority vote 2·|{h : bit set}| > |features| (ties → 0,
+    * matching acc > 0). Pairs are brute-force Hamming ≤ d over the
+    * reconstructed BIGINT signatures — also an exactness check on the
+    * Spark side's pigeonhole blocking.
+    */
+  private val simhashReplayOracleSql: String = {
+    val P = "2305843009213693951"   // 2^61 − 1, PolySimHasher.P
+    val B = "1000003"               //          PolySimHasher.B
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+       |                x -> length(x) > 0) AS ts
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id,
+       |    ts || list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS fs
+       |  FROM toks),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(fs, f ->
+       |      CAST(list_reduce(
+       |        list_transform(string_split(f, ''), c -> CAST(unicode(c) AS HUGEINT)),
+       |        (h, c) -> (h * $B + c) % $P) AS BIGINT)) AS hs
+       |  FROM feats),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) = 0 THEN 0 ELSE CAST(list_sum(
+       |      list_transform(range(0, 61), b ->
+       |        CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+       |             THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)
+       |    END AS sh
+       |  FROM hashed)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Winnow.Winnower]] — the
     * polynomial rolling hash as direct k-term polynomials (HUGEINT

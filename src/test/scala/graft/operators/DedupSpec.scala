@@ -71,6 +71,41 @@ class DedupSpec extends SparkSpec {
     assert(h.hamming(h.simhash(a), h.simhash(c)) > 20)
   }
 
+  test("PolySimHasher: Long-only Mersenne arithmetic equals the BigInt reference") {
+    // The q154 oracle replays this hash in HUGEINT — any defect in the
+    // multiplyHigh fold would surface as a cross-engine hash mismatch,
+    // so pin the Long implementation against exact BigInt arithmetic
+    // on adversarial inputs (long strings drive h through the full
+    // 61-bit range; high char codes stress the + c fold).
+    val P = BigInt("2305843009213693951")
+    val B = BigInt(1000003)
+    def ref(f: String): Long =
+      f.foldLeft(BigInt(0))((h, c) => (h * B + c.toInt) % P).toLong
+    val h = Dedup.PolySimHasher()
+    val m = classOf[Dedup.PolySimHasher].getDeclaredMethod("featureHash", classOf[String])
+    m.setAccessible(true)
+    val rnd = new scala.util.Random(154)
+    val cases = Seq("", "a", "ab cd", "￿￾", "z" * 500) ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(80)).mkString)
+    cases.foreach { f =>
+      assert(m.invoke(h, f).asInstanceOf[Long] === ref(f), s"feature '$f'")
+    }
+    // and the full signature is bounded to the declared 61 bits
+    val sig = h.simhash((1 to 300).map(i => s"tok$i").mkString(" "))
+    assert((sig >>> 61) === 0L, "signature must never set bits 61-63")
+  }
+
+  test("simhashPairs with PolySimHasher: same pairing behavior as murmur family") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, (1 to 200).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(spark, df, "doc_id", "text",
+        hasher = Dedup.PolySimHasher(), maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
   test("simhashPairs: identical + trivially-perturbed docs pair up") {
     import spark.implicits._
     val a = (1 to 200).map(i => s"tok$i").mkString(" ")
