@@ -26,9 +26,11 @@ object CountMinSketch {
 
   val Depth = 4
   val Width = 1024
-  private val P = 2147483647L                  // Mersenne prime 2^31−1
-  private val A = Array(1103515245L, 22695477L, 69069L, 1664525L)
-  private val B = Array(12345L, 1L, 362437L, 1013904223L)
+  // row-hash constants are private[graft] so the q103 oracle builds
+  // its DuckDB replay from the SAME values (no copy to drift)
+  private[graft] val P = 2147483647L           // Mersenne prime 2^31−1
+  private[graft] val A = Array(1103515245L, 22695477L, 69069L, 1664525L)
+  private[graft] val B = Array(12345L, 1L, 362437L, 1013904223L)
 
   /** 64-bit FNV-1a fingerprint of the UTF-8 bytes — stable across JVMs
     * (String.hashCode would also be stable, but only 32 bits).

@@ -349,11 +349,14 @@ object AnalyticsQueries {
 
     // ----- q103: Count-Min heavy hitters — the exact top-20 word
     // counts next to their estimates from the custom mergeable-state
-    // Aggregator. Rows-only BY DESIGN, like the q35/q43 sketches: the
-    // CMS column is engine-specific state no SQL oracle can replay
-    // (the exact columns ARE oracle-shaped, but a split query would
-    // just duplicate q14); correctness is pinned by CountMinSketchSpec
-    // (overestimate-only, ε·N error bound, partitioning invariance).
+    // Aggregator. FULLY oracle-checked (upgraded from rows-only in
+    // round 7, the q140/q154 replay discipline): the CMS hash family
+    // is deterministic FNV-1a + affine-mod-p, so DuckDB re-derives
+    // every word's d bucket ids in HUGEINT arithmetic, rebuilds each
+    // counter as the bucket's Σ count (a CMS counter IS the sum of
+    // colliding items' counts), and takes the min — estimate-for-
+    // estimate equality, not just the exact columns. The ε·N bound
+    // and partitioning invariance stay pinned by CountMinSketchSpec.
     QueryDef(
       "q103_cms_heavy_hitters",
       (s, d) => {
@@ -370,7 +373,7 @@ object AnalyticsQueries {
             CountMinSketch.estimateCol($"sk", $"word").as("n_cms"))
           .orderBy($"n_exact".desc, $"word")
       },
-      None),
+      Some(cmsReplayOracleSql)),
 
     // ----- q148: sketch-pruned EXACT heavy hitters — bigrams with
     // support ≥ 30 via the CMS prefilter + exact-count-survivors
@@ -645,4 +648,48 @@ object AnalyticsQueries {
            |JOIN uni u ON u.src_a = i.src_a AND u.src_b = i.src_b
            |ORDER BY i.src_a, i.src_b""".stripMargin
       }))
+
+  /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103
+    * oracle. FNV-1a over the word's bytes in HUGEINT (the corpus is
+    * ASCII, so unicode(c) == the UTF-8 byte; list_reduce is seeded
+    * with the offset basis), fingerprint = h mod 2^63 (the Scala
+    * `& Long.MaxValue`), then each row's bucket via the affine
+    * (a·x + b) mod p mod Width family — constants read straight from
+    * CountMinSketch so they cannot drift. A CMS counter is by
+    * construction the Σ count of every word colliding into it, so the
+    * estimate is rebuilt as min over rows of the bucket sum.
+    */
+  private val cmsReplayOracleSql: String = {
+    import graft.functions.CountMinSketch.{A, B, Depth, P, Width}
+    val rowsVals = (0 until Depth)
+      .map(r => s"($r, ${A(r)}, ${B(r)})").mkString(", ")
+    s"""WITH words AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '),
+       |                            x -> length(x) > 0)) AS word
+       |  FROM documents),
+       |counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+       |fnv AS (
+       |  SELECT word, n,
+       |    CAST(list_reduce(
+       |      [CAST(14695981039346656037 AS HUGEINT)] ||
+       |        list_transform(string_split(word, ''),
+       |                       c -> CAST(unicode(c) AS HUGEINT)),
+       |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) %
+       |      9223372036854775808 AS BIGINT) AS fp
+       |  FROM counts),
+       |bk AS (
+       |  SELECT f.word, f.n, rw.r,
+       |    ((rw.a * (f.fp % $P) + rw.b) % $P) % $Width AS bkt
+       |  FROM fnv f CROSS JOIN (VALUES $rowsVals) AS rw(r, a, b)),
+       |sums AS (SELECT r, bkt, SUM(n) AS s FROM bk GROUP BY r, bkt),
+       |est AS (
+       |  SELECT bk.word AS w, CAST(MIN(sums.s) AS BIGINT) AS n_cms
+       |  FROM bk JOIN sums ON bk.r = sums.r AND bk.bkt = sums.bkt
+       |  GROUP BY bk.word),
+       |top AS (SELECT word, n AS n_exact FROM counts
+       |        ORDER BY n DESC, word LIMIT 20)
+       |SELECT t.word, t.n_exact, e.n_cms
+       |FROM top t JOIN est e ON t.word = e.w
+       |ORDER BY n_exact DESC, word""".stripMargin
+  }
 }
