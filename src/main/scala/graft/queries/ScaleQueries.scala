@@ -252,14 +252,21 @@ object ScaleQueries {
       "q35_approx_distinct",
       (s, d) => {
         import s.implicits._
-        val keys = graft.Par.spread(
-          Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey"))
-        val e1 = keys.agg(countDistinct($"l_orderkey").as("exact_orders"))
-        val e2 = keys.agg(countDistinct($"l_partkey").as("exact_parts"))
-        val approx = keys.agg(
-          approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
-          approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
-        e1.crossJoin(e2).crossJoin(approx)
+        // q149's leg shape (one distinct-first job per key, exact count
+        // + sketch in a single aggregate): HLL++ registers are maxes,
+        // so the estimate over distinct keys is bit-identical to the
+        // estimate over raw rows — this halves the scans and replaces
+        // two countDistinct shuffles + a sketch shuffle with one
+        // distinct shuffle per leg (in-suite 6.8 s → the twin's ~2 s
+        // class at sf0.1).
+        val li = Tables.lineitem(s, d)
+        def leg(key: String, exactName: String, estName: String) =
+          graft.Par.spread(li.select(col(key))).distinct()
+            .agg(count(lit(1)).as(exactName),
+              approx_count_distinct(col(key), 0.01).as(estName))
+            .select(col(exactName), col(estName))
+        leg("l_orderkey", "exact_orders", "approx_orders")
+          .crossJoin(leg("l_partkey", "exact_parts", "approx_parts"))
           .select($"exact_orders", $"approx_orders", $"exact_parts", $"approx_parts")
       },
       None),
