@@ -24,13 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object AnnSearch {
 
-  final case class HyperplaneLsh(dim: Int, nBits: Int = 10, seed: Int = 42)
-      extends Serializable {
-    require(nBits > 0 && nBits <= 30)
-    private val planes: Array[Array[Double]] = {
-      val r = new Random(seed)
-      Array.fill(nBits)(Array.fill(dim)(r.nextGaussian()))
-    }
+  /** A sign-of-projection LSH family: implementations differ only in
+    * how the hyperplanes are drawn. Projections accumulate left to
+    * right in doubles, so two engines replaying the same planes and
+    * the same float vector produce BIT-IDENTICAL projections — the
+    * property [[RademacherLsh]] exploits for oracle replay.
+    */
+  sealed trait LshScheme extends Serializable {
+    def dim: Int
+    def nBits: Int
+    protected def planes: Array[Array[Double]]
 
     def projections(vec: Array[Float]): Array[Double] = {
       val out = new Array[Double](nBits)
@@ -61,6 +64,51 @@ object AnnSearch {
     }
   }
 
+  /** Seeded-Gaussian hyperplanes — the production default (isotropic
+    * directions, best angular resolution). Deterministic per seed but
+    * not SQL-derivable; recall vs brute force is spec-measured.
+    */
+  final case class HyperplaneLsh(dim: Int, nBits: Int = 10, seed: Int = 42)
+      extends LshScheme {
+    require(nBits > 0 && nBits <= 30)
+    protected val planes: Array[Array[Double]] = {
+      val r = new Random(seed)
+      Array.fill(nBits)(Array.fill(dim)(r.nextGaussian()))
+    }
+  }
+
+  /** Rademacher (±1) hyperplanes whose signs a second engine derives
+    * in plain integer SQL: sign(b·dim+i) = + iff
+    * popcount(k · 2^64/φ mod 2^64) is even (Fibonacci-hash mixing,
+    * parity over all 64 bits — measured max inter-plane correlation
+    * 18/64 with balanced signs, where an LCG-parity rule showed 52/64
+    * linear structure). ±1 · float is an EXACT double, and both
+    * engines sum left to right, so every projection — and therefore
+    * every bucket bit — is bit-identical across engines, no rounding
+    * tolerance needed anywhere in the index. The q154/q103 replay
+    * discipline applied to ANN: q30 keeps Gaussian planes as the
+    * production surface, q156 hash-checks this one end-to-end.
+    */
+  final case class RademacherLsh(dim: Int, nBits: Int) extends LshScheme {
+    require(nBits > 0 && nBits <= 30)
+    protected val planes: Array[Array[Double]] =
+      Array.tabulate(nBits)(b => Array.tabulate(dim) { i =>
+        val k = b.toLong * dim + i
+        // 11400714819323198485 = round(2^64/phi), as signed Long
+        val h = k * RademacherLsh.Mix
+        if ((java.lang.Long.bitCount(h) & 1) == 0) 1.0 else -1.0
+      })
+  }
+
+  object RademacherLsh {
+    /** round(2^64/φ) — the 64-bit Fibonacci multiplier (public
+      * constant, e.g. Knuth TAOCP §6.4); −7046029254386353131 is its
+      * signed-Long two's-complement image, bit-identical to the
+      * unsigned value every SQL replay computes mod 2^64.
+      */
+    val Mix: Long = -7046029254386353131L
+  }
+
   /** Materialize the LSH index: input + `bucket` column. At scale,
     * write this `.partitionBy("bucket")` so probe filters prune
     * partitions at the source.
@@ -70,7 +118,7 @@ object AnnSearch {
       embs: DataFrame,
       idCol: String,
       vecCol: String,
-      lsh: HyperplaneLsh): DataFrame = {
+      lsh: LshScheme): DataFrame = {
     import spark.implicits._
     embs.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
@@ -94,7 +142,7 @@ object AnnSearch {
       embs: => DataFrame,
       idCol: String,
       vecCol: String,
-      lsh: HyperplaneLsh,
+      lsh: LshScheme,
       path: String): DataFrame = {
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
@@ -126,7 +174,7 @@ object AnnSearch {
       embs: DataFrame,
       idCol: String,
       vecCol: String,
-      lsh: HyperplaneLsh,
+      lsh: LshScheme,
       threshold: Double,
       nFlip: Int = 4): DataFrame = {
     import spark.implicits._
@@ -179,7 +227,7 @@ object AnnSearch {
       embs: DataFrame,
       idCol: String,
       vecCol: String,
-      lsh: HyperplaneLsh,
+      lsh: LshScheme,
       bands: Int,
       threshold: Double,
       blockCol: Option[String] = None,
@@ -232,7 +280,7 @@ object AnnSearch {
       vecCol: String,
       query: Array[Float],
       k: Int,
-      lsh: HyperplaneLsh,
+      lsh: LshScheme,
       nProbe: Int = 8): DataFrame = {
     val probes = lsh.probeBuckets(query, nProbe)
     index

@@ -18,6 +18,16 @@ object PipelineQueries {
   private val queryVecSql: String =
     queryVec.map(_.toString).mkString("[", ",", "]")
 
+  /** The FLOAT image of [[queryVec]] as a DOUBLE[] SQL literal — what
+    * the ANN entry points actually search with (they take
+    * Array[Float]). Double.toString round-trips exactly, so DuckDB
+    * parses back the identical doubles the Spark side computes with;
+    * using the raw double literal instead would diverge in the last
+    * ulp wherever the float rounding moved the value.
+    */
+  private val queryVecFSql: String =
+    queryVec.map(d => d.toFloat.toDouble.toString).mkString("[", ",", "]")
+
   /** Deterministic on-disk location for a materialized ANN index:
     * keyed by source dir + index params + a CONTENT stamp of the
     * source table (file size + mtime), so a regenerated corpus at
@@ -153,6 +163,65 @@ object PipelineQueries {
           .select($"vec_id", round($"sim", 6).as("sim"))
       },
       None),
+
+    // ----- q156: the ORACLE-CHECKED twin of q30 — the identical
+    // probe-filtered exact-rerank search, but over RademacherLsh (±1
+    // hyperplanes whose signs DuckDB derives from popcount parity of
+    // a Fibonacci hash): ±1·float products are exact doubles and both
+    // engines sum left to right, so every projection and bucket bit
+    // is BIT-IDENTICAL cross-engine — the oracle rebuilds the whole
+    // index, probes the same 9 buckets (nProbe=16 ≥ nBits+1 makes
+    // the probe SET order-free), and reranks with the q19-precedent
+    // cosine. The replay discipline (q140/q154/q103) applied to ANN
+    // search; q30 keeps Gaussian planes as the production surface.
+    QueryDef(
+      "q156_ann_search_replay",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.AnnSearch
+        val lsh = AnnSearch.RademacherLsh(dim = 64, nBits = 8)
+        val index = AnnSearch.persistedIndex(s, Tables.embeddings(s, d),
+          "vec_id", "embedding", lsh, indexPath("lsh-rad", d, "dim64-bits8"))
+        AnnSearch.search(index, "vec_id", "embedding",
+            queryVec.map(_.toFloat).toArray, k = 5, lsh, nProbe = 16)
+          .select($"vec_id", round($"sim", 6).as("sim"))
+      },
+      Some {
+        val mix = "11400714819323198485"   // unsigned RademacherLsh.Mix
+        s"""WITH sgns AS (
+           |  SELECT list_transform(range(0, 512), k ->
+           |    CASE WHEN bit_count(CAST((CAST(k AS HUGEINT) * $mix) %
+           |                        18446744073709551616 AS HUGEINT)) % 2 = 0
+           |         THEN 1.0 ELSE -1.0 END) AS sg),
+           |q AS (SELECT CAST($queryVecFSql AS DOUBLE[]) AS qv),
+           |sig AS (
+           |  SELECT e.vec_id, e.embedding,
+           |    CAST(list_sum(list_transform(range(0, 8), b ->
+           |      CASE WHEN list_reduce(
+           |             list_transform(range(1, 65), i ->
+           |               s.sg[b*64 + i] * CAST(e.embedding[i] AS DOUBLE)),
+           |             (a, x) -> a + x) >= 0
+           |           THEN (1 << b) ELSE 0 END)) AS INT) AS bucket
+           |  FROM embeddings e, sgns s),
+           |qsig AS (
+           |  SELECT CAST(list_sum(list_transform(range(0, 8), b ->
+           |      CASE WHEN list_reduce(
+           |             list_transform(range(1, 65), i -> s.sg[b*64 + i] * q.qv[i]),
+           |             (a, x) -> a + x) >= 0
+           |           THEN (1 << b) ELSE 0 END)) AS INT) AS qb
+           |  FROM sgns s, q),
+           |probes AS (
+           |  SELECT [qb] || list_transform(range(0, 8),
+           |                                b -> xor(qb, CAST(1 << b AS INT))) AS ps
+           |  FROM qsig)
+           |SELECT s.vec_id,
+           |  round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), q.qv), 6) AS sim
+           |FROM sig s, probes p, q
+           |WHERE list_contains(p.ps, s.bucket)
+           |ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), q.qv)
+           |  DESC, s.vec_id
+           |LIMIT 5""".stripMargin
+      }),
 
     // ----- q44: IVF ANN search — trained coarse quantizer, nearest-
     // cell probing + exact rerank (rows-only: k-means model; recall

@@ -44,6 +44,36 @@ class AnnSearchSpec extends SparkSpec {
     assert(frac < 0.5, s"candidate fraction = $frac")
   }
 
+  test("RademacherLsh: recall holds with the SQL-replayable planes") {
+    // The q156 oracle proves cross-engine equality; this pins that the
+    // replayable family is also a USEFUL index — popcount-parity ±1
+    // planes, not just any deterministic signs (an LCG-parity rule
+    // measured 52/64 inter-plane correlation and was rejected).
+    import spark.implicits._
+    val dim = 32
+    val vecs = clustered(2000, dim, seed = 7)
+    val df = vecs.toDF("vec_id", "embedding")
+    val lsh = AnnSearch.RademacherLsh(dim, nBits = 10)
+    val index = AnnSearch.buildIndex(spark, df, "vec_id", "embedding", lsh).persist()
+    val queries = clustered(30, dim, seed = 7).map(_._2)
+    var recallSum = 0.0
+    var candFrac = 0.0
+    for (q <- queries) {
+      val ann = AnnSearch.search(index, "vec_id", "embedding", q, 10, lsh, nProbe = 12)
+        .select("vec_id").as[Long].collect().toSet
+      val exact = VectorSearch.topK(df, "embedding", "vec_id", q.map(_.toDouble).toSeq, 10)
+        .select("vec_id").as[Long].collect().toSet
+      recallSum += ann.intersect(exact).size / 10.0
+      val probes = lsh.probeBuckets(q, 12)
+      candFrac += index.filter($"bucket".isin(probes: _*)).count().toDouble / 2000
+    }
+    index.unpersist()
+    val recall = recallSum / queries.size
+    val frac = candFrac / queries.size
+    assert(recall >= 0.8, s"recall@10 = $recall")
+    assert(frac < 0.5, s"candidate fraction = $frac")
+  }
+
   test("lshJoin: high recall vs brute-force pairs, exact cosines, no duplicates") {
     import spark.implicits._
     val dim = 32
