@@ -473,32 +473,8 @@ object Dedup {
     */
   final case class PolySimHasher() extends SimHashFn {
     def nBits: Int = 61
-    private val P = 2305843009213693951L          // 2^61 − 1
-    private val B = 1000003L
-    protected def featureHash(f: String): Long = {
-      var h = 0L
-      var i = 0
-      while (i < f.length) {
-        h = mulMod(h, B) + f.charAt(i)          // < 2^61 + 2^16
-        if (h >= P) h -= P
-        i += 1
-      }
-      h
-    }
-    /** (a·b) mod (2^61−1) exactly, for 0 ≤ a, b < 2^61: the full
-      * 128-bit product via Math.multiplyHigh (both operands
-      * nonnegative, so the signed high word is the unsigned one),
-      * then the Mersenne fold 2^61 ≡ 1 — quotient-plus-remainder,
-      * conditionally corrected.
-      */
-    private def mulMod(a: Long, b: Long): Long = {
-      val hi = Math.multiplyHigh(a, b)          // < 2^58
-      val lo = a * b                            // low 64 bits
-      var s = ((hi << 3) | (lo >>> 61)) + (lo & P)   // q + r, < 2^62
-      if (s >= P) s -= P
-      if (s >= P) s -= P
-      s
-    }
+    protected def featureHash(f: String): Long =
+      graft.functions.PolyHash.featureHash(f)
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDistance.

@@ -61,6 +61,50 @@ final case class HashingEmbedder(dim: Int = 64, seed: Int = 42) extends Embedder
   }
 }
 
+/** Feature-hashing embedder whose every output coordinate a second
+  * engine re-derives in plain SQL — the oracle-replay twin of
+  * [[HashingEmbedder]] (used by q157 the way PolySimHasher serves
+  * q154): features are the same unigram+bigram tokens, hashed with
+  * the shared [[graft.functions.PolyHash]] polynomial; bucket = low
+  * bits (h mod dim), sign = popcount parity of the REMAINING bits
+  * (h >>> 6 — decorrelated from the bucket bits).
+  *
+  * Deliberately NOT L2-normalized: the coordinates stay small signed
+  * integer counts, exactly representable as floats, so any
+  * double-precision cosine over them — Spark's codegen cosine or
+  * DuckDB's list_cosine_similarity — sums exact integer products and
+  * rounds only at the final divide: bit-identical cross-engine, no
+  * float-division double-rounding anywhere. Cosine is scale-
+  * invariant, so similarity semantics match the normalized embedder.
+  */
+final case class PolyHashingEmbedder(dim: Int = 64) extends Embedder {
+  require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+
+  override def embed(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map(embedOne)
+
+  def embedOne(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text != null) {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      var i = 0
+      while (i < toks.length) {
+        add(v, toks(i))
+        if (i + 1 < toks.length) add(v, toks(i) + " " + toks(i + 1))
+        i += 1
+      }
+    }
+    v
+  }
+
+  @inline private def add(v: Array[Float], feature: String): Unit = {
+    val h = graft.functions.PolyHash.featureHash(feature)
+    val bucket = (h % dim).toInt
+    val sign = if ((java.lang.Long.bitCount(h >>> 6) & 1) == 0) 1.0f else -1.0f
+    v(bucket) += sign
+  }
+}
+
 /** Production endpoint client over `java.net.http` + the Jackson that
   * ships with Spark (no added dependency) — the embed-side counterpart
   * of [[HttpFetcher]], mirroring the reference's model-serving call

@@ -302,6 +302,78 @@ object PipelineQueries {
       },
       None),
 
+    // ----- q157: the ORACLE-CHECKED twin of q20 — the ENTIRE
+    // text-search pipeline (char-window chunking → feature-hashing
+    // embedding → query-text top-k) replayed in SQL. PolyHashingEmbedder
+    // keeps coordinates as raw signed feature counts (exact in floats),
+    // so every cosine sums exact integer products in doubles and both
+    // engines round only at the final divide — bit-identical sims with
+    // no tolerance anywhere; the PolyHash bucket/sign derivation is the
+    // q154 replay plus a popcount-parity sign. This is the reference's
+    // user-visible similarity_search surface, hash-checked end to end.
+    QueryDef(
+      "q157_search_text_replay",
+      (s, d) => {
+        import s.implicits._
+        val embedder = graft.pipeline.PolyHashingEmbedder(dim = 64)
+        val chunks = Inference.chunkDocuments(s, Tables.documents(s, d))
+        val index = Inference.embedChunks(chunks, embedder).toDF()
+        VectorSearch.searchText(index, "embedding", "chunk_id",
+            "spark join performance", embedder, k = 5)
+          .select($"chunk_id", $"doc_id", round($"sim", 6).as("sim"))
+      },
+      Some {
+        import graft.functions.PolyHash.{B, P}
+        // per-row embedding pipeline over a `txt` column: tokens →
+        // uni+bigram features → one PolyHash each → 64 signed bucket
+        // counts as DOUBLE[64] (hashes computed ONCE per row; the
+        // 64-way vote is list_filter over the small hash list)
+        val toVec =
+          s"""list_transform(range(0, 64), j ->
+             |  CAST(len(list_filter(hsig, h -> h.b = j AND h.pos)) -
+             |       len(list_filter(hsig, h -> h.b = j AND NOT h.pos))
+             |       AS DOUBLE))""".stripMargin
+        def embedChain(src: String, cols: String) =
+          s"""SELECT $cols, $toVec AS v FROM (
+             |  SELECT $cols, list_transform(hs, h -> struct_pack(
+             |      b := h % 64,
+             |      pos := bit_count(h >> 6) % 2 = 0)) AS hsig
+             |  FROM (
+             |    SELECT $cols,
+             |      list_transform(
+             |        ts || list_transform(range(1, len(ts)),
+             |                             i -> ts[i] || ' ' || ts[i+1]),
+             |        f -> CAST(list_reduce(
+             |          list_transform(string_split(f, ''),
+             |                         c -> CAST(unicode(c) AS HUGEINT)),
+             |          (h, c) -> (h * $B + c) % $P) AS BIGINT)) AS hs
+             |    FROM (
+             |      SELECT $cols,
+             |        list_filter(string_split_regex(txt, '\\s+'),
+             |                    x -> length(x) > 0) AS ts
+             |      FROM $src)))""".stripMargin
+        s"""WITH chunks AS (
+           |  SELECT doc_id,
+           |    CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_idx AS VARCHAR)
+           |      AS chunk_id,
+           |    chunk AS txt
+           |  FROM (
+           |    SELECT doc_id,
+           |      unnest(generate_series(0,
+           |        CAST(ceil(length(text)/200.0) AS BIGINT) - 1)) AS chunk_idx,
+           |      unnest(regexp_extract_all(text, '(?s).{1,200}')) AS chunk
+           |    FROM documents)
+           |  WHERE length(chunk) > 50),
+           |qt AS (SELECT 'spark join performance' AS txt),
+           |q AS (${embedChain("qt", "txt")}),
+           |vecs AS (${embedChain("chunks", "chunk_id, doc_id")})
+           |SELECT chunk_id, doc_id,
+           |  round(list_cosine_similarity(vecs.v, q.v), 6) AS sim
+           |FROM vecs, q
+           |ORDER BY list_cosine_similarity(vecs.v, q.v) DESC, chunk_id
+           |LIMIT 5""".stripMargin
+      }),
+
     // ----- q75: hybrid retrieval — BM25 keyword leg + cosine vector
     // leg fused by reciprocal-rank fusion (operators.HybridSearch).
     // Each leg is its own bounded top-20 (q52's and q31's plans);
