@@ -179,4 +179,32 @@ object IvfSearch {
       .limit(k)
       .select(col(idCol), col("sim"))
   }
+
+  /** [[search]] over the REPLAYABLE quantizer ([[KMeans.Model]]:
+    * portable-hash init, quantized-integer distances): probe cells
+    * are ranked by the same exact quantDist ordinal the assignment
+    * uses, so a SQL oracle re-derives the identical probe set and —
+    * because the index assignment is the q118-replayed recurrence —
+    * the identical candidate rows (q158). [[train]]'s float model
+    * stays the production surface with the recall spec; this is the
+    * oracle-replay twin surface.
+    */
+  def searchQuant(
+      index: DataFrame,            // KMeans.assignCells output: id, vec, cell
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      model: KMeans.Model,
+      nProbe: Int): DataFrame = {
+    val probes = model.centroids.indices
+      .sortBy(c => (model.quantDist(query, c), c)).take(math.max(1, nProbe))
+    index
+      .filter(col("cell").isin(probes: _*))
+      .withColumn("sim",
+        VectorSearch.cosineSim(col(vecCol), VectorSearch.vecLit(query.map(_.toDouble).toSeq)))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("sim"))
+  }
 }

@@ -20,6 +20,17 @@ object ClusterQueries {
   private val Iters = 4
   private val Salt = 118L
 
+  /** The same fixed 64-dim query vector the PipelineQueries ANN rows
+    * use, as the Array[Float] the search entry points take, plus its
+    * DOUBLE[] SQL literal in FLOAT-image form (Double.toString
+    * round-trips, so DuckDB parses the identical doubles the Scala
+    * side computes with after the float narrowing).
+    */
+  private val queryVecF: Array[Float] =
+    (0 until 64).map(i => (((i % 7) - 3) / 3.0).toFloat).toArray
+  private val queryVecFSql: String =
+    queryVecF.map(f => f.toDouble.toString).mkString("[", ",", "]")
+
   /** CTE chain shared by q118/q119: dims (exploded components), init
     * (portable-hash seed rows), cent0..centN / a0..aN (the unrolled
     * Lloyd recurrence — aI assigns against centI, uI re-aggregates,
@@ -122,5 +133,45 @@ object ClusterQueries {
            |JOIN embeddings eb ON eb.vec_id = y.vec_id
            |WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
            |                             CAST(eb.embedding AS DOUBLE[])) > 0.4
-           |ORDER BY id_a, id_b""".stripMargin)))
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----- q158: the ORACLE-CHECKED twin of q44 — IVF probe + exact
+    // rerank over the REPLAYABLE quantizer: the oracle replays the
+    // full q118 Lloyd recurrence, ranks cells for the query by the
+    // same quantized-integer distance ordinal the assignment uses
+    // (so the 2-of-8 probe SET is derived, not trusted), scans only
+    // those cells' rows, and reranks with the q19-precedent cosine.
+    // Every stage of an IVF search — train, assign, probe, rerank —
+    // is now value-checked by a second engine; q44 keeps the float
+    // trainer as the production surface with its recall spec.
+    QueryDef(
+      "q158_ivf_search_replay",
+      (s, d) => {
+        import s.implicits._
+        val embs = Tables.embeddings(s, d)
+        val model = KMeans.train(embs, "vec_id", "embedding", K, Iters, Salt)
+        val index = KMeans.assignCells(embs, "vec_id", "embedding", model)
+        graft.operators.IvfSearch.searchQuant(index, "vec_id", "embedding",
+            queryVecF, k = 5, model, nProbe = 2)
+          .select($"vec_id", round($"sim", 6).as("sim"))
+      },
+      Some(
+        s"""${lloydCtes(K, Iters, Salt)},
+           |q AS (SELECT CAST($queryVecFSql AS DOUBLE[]) AS qv),
+           |probe AS (
+           |  SELECT cell FROM (
+           |    SELECT c.cell,
+           |      SUM(CAST(floor((q.qv[c.pos + 1] - c.c) * (q.qv[c.pos + 1] - c.c)
+           |                     * ${KMeans.DistQuantum}) AS BIGINT)) AS dq
+           |    FROM cent$Iters c, q
+           |    GROUP BY c.cell
+           |    ORDER BY dq, cell LIMIT 2))
+           |SELECT a.vec_id,
+           |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+           |FROM a$Iters a
+           |JOIN embeddings e ON e.vec_id = a.vec_id, q
+           |WHERE a.cell IN (SELECT cell FROM probe)
+           |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+           |  DESC, a.vec_id
+           |LIMIT 5""".stripMargin)))
 }
