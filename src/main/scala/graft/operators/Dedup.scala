@@ -123,6 +123,9 @@ object Dedup {
     import graft.functions.FirstBandCollision.first_band_collision
 
     val rows = keyed.select($"id", $"keys", posexplode($"keys").as(Seq("band", "key")))
+    // deliberately NOT persisted: the signature pass above is cheaper
+    // to recompute (0.4 s at sf0.1) than the InMemoryRelation decode
+    // its three consumers would pay — measured 18.1 vs 14.8 s on q28
 
     // Eager pre-check on the skinny (|V|·bands)-row key table: when no
     // bucket exceeds the cap — every non-degenerate corpus — the whole
@@ -354,6 +357,21 @@ object Dedup {
     *  - the verify joins hit the persisted skinny (id, hashes) table,
     *    which AQE broadcasts at these sizes — candidate pairs never
     *    drag token arrays through a shuffle.
+    *
+    * Measured dead ends (round 7, sf0.1, cold 14.8 s baseline — kept
+    * here so they aren't re-litigated): the 2-row bands are the cost
+    * of exactness (the band threshold (1/32)^(1/2) ≈ 0.18 floods
+    * 12.3M candidates for 48k true pairs, but r=4/b=16 would miss
+    * ~1% of threshold-level pairs and break the oracle); verifying
+    * those candidates via a broadcast HashMap + early-abort merge in
+    * mapPartitions ran 19.5 s (boxing + the typed boundary cost more
+    * than the codegen joins, whose 3× sorted-merge evaluation looks
+    * wasteful on the plan but is allocation-free); a typed single-
+    * evaluation verify ran 15.6 s (parity — the merge isn't the
+    * bottleneck); persisting the exploded band-key rows ran 18.1 s
+    * (InMemoryRelation decode beats recomputing a 0.4 s signature
+    * pass three times, but loses). The join-verify plan above IS the
+    * measured optimum of the shapes tried.
     */
   def minhashPairsExact(
       spark: SparkSession,
