@@ -28,6 +28,39 @@ object PipelineQueries {
   private val queryVecFSql: String =
     queryVec.map(d => d.toFloat.toDouble.toString).mkString("[", ",", "]")
 
+  /** DuckDB replay of [[graft.pipeline.PolyHashingEmbedder]] over a
+    * `txt` column of `src` (q157/q159): tokens → uni+bigram features
+    * → one PolyHash each → 64 signed bucket counts as DOUBLE[64].
+    * Hashes are computed ONCE per row; the 64-way vote is list_filter
+    * over the small hash list.
+    */
+  private[queries] def polyEmbedChainSql(src: String, cols: String): String = {
+    import graft.functions.PolyHash.{B, P}
+    val toVec =
+      s"""list_transform(range(0, 64), j ->
+         |  CAST(len(list_filter(hsig, h -> h.b = j AND h.pos)) -
+         |       len(list_filter(hsig, h -> h.b = j AND NOT h.pos))
+         |       AS DOUBLE))""".stripMargin
+    s"""SELECT $cols, $toVec AS v FROM (
+       |  SELECT $cols, list_transform(hs, h -> struct_pack(
+       |      b := h % 64,
+       |      pos := bit_count(h >> 6) % 2 = 0)) AS hsig
+       |  FROM (
+       |    SELECT $cols,
+       |      list_transform(
+       |        ts || list_transform(range(1, len(ts)),
+       |                             i -> ts[i] || ' ' || ts[i+1]),
+       |        f -> CAST(list_reduce(
+       |          list_transform(string_split(f, ''),
+       |                         c -> CAST(unicode(c) AS HUGEINT)),
+       |          (h, c) -> (h * $B + c) % $P) AS BIGINT)) AS hs
+       |    FROM (
+       |      SELECT $cols,
+       |        list_filter(string_split_regex(txt, '\\s+'),
+       |                    x -> length(x) > 0) AS ts
+       |      FROM $src)))""".stripMargin
+  }
+
   /** Deterministic on-disk location for a materialized ANN index:
     * keyed by source dir + index params + a CONTENT stamp of the
     * source table (file size + mtime), so a regenerated corpus at
@@ -323,35 +356,6 @@ object PipelineQueries {
           .select($"chunk_id", $"doc_id", round($"sim", 6).as("sim"))
       },
       Some {
-        import graft.functions.PolyHash.{B, P}
-        // per-row embedding pipeline over a `txt` column: tokens →
-        // uni+bigram features → one PolyHash each → 64 signed bucket
-        // counts as DOUBLE[64] (hashes computed ONCE per row; the
-        // 64-way vote is list_filter over the small hash list)
-        val toVec =
-          s"""list_transform(range(0, 64), j ->
-             |  CAST(len(list_filter(hsig, h -> h.b = j AND h.pos)) -
-             |       len(list_filter(hsig, h -> h.b = j AND NOT h.pos))
-             |       AS DOUBLE))""".stripMargin
-        def embedChain(src: String, cols: String) =
-          s"""SELECT $cols, $toVec AS v FROM (
-             |  SELECT $cols, list_transform(hs, h -> struct_pack(
-             |      b := h % 64,
-             |      pos := bit_count(h >> 6) % 2 = 0)) AS hsig
-             |  FROM (
-             |    SELECT $cols,
-             |      list_transform(
-             |        ts || list_transform(range(1, len(ts)),
-             |                             i -> ts[i] || ' ' || ts[i+1]),
-             |        f -> CAST(list_reduce(
-             |          list_transform(string_split(f, ''),
-             |                         c -> CAST(unicode(c) AS HUGEINT)),
-             |          (h, c) -> (h * $B + c) % $P) AS BIGINT)) AS hs
-             |    FROM (
-             |      SELECT $cols,
-             |        list_filter(string_split_regex(txt, '\\s+'),
-             |                    x -> length(x) > 0) AS ts
-             |      FROM $src)))""".stripMargin
         s"""WITH chunks AS (
            |  SELECT doc_id,
            |    CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_idx AS VARCHAR)
@@ -365,8 +369,8 @@ object PipelineQueries {
            |    FROM documents)
            |  WHERE length(chunk) > 50),
            |qt AS (SELECT 'spark join performance' AS txt),
-           |q AS (${embedChain("qt", "txt")}),
-           |vecs AS (${embedChain("chunks", "chunk_id, doc_id")})
+           |q AS (${polyEmbedChainSql("qt", "txt")}),
+           |vecs AS (${polyEmbedChainSql("chunks", "chunk_id, doc_id")})
            |SELECT chunk_id, doc_id,
            |  round(list_cosine_similarity(vecs.v, q.v), 6) AS sim
            |FROM vecs, q
@@ -510,6 +514,71 @@ object PipelineQueries {
             sum($"n_segments").as("total_segments"))
           .orderBy($"n_chunks")
       },
-      None)
+      None),
+
+    // ----- q159: the ORACLE-CHECKED twin of q146 — semantic chunking
+    // with the replayable embedder. The boundary test cos(prev, cur)
+    // < 0.35 is DETERMINISTIC cross-engine because PolyHashingEmbedder
+    // coordinates are exact integer counts: the dot and both norms sum
+    // exactly in doubles (any order), so both engines compare the
+    // identical IEEE value against the threshold — topic boundaries,
+    // chunk ids, and the histogram all replay. The oracle mirrors the
+    // cosine as dot/(sqrt(na)·sqrt(nb)) op for op.
+    QueryDef(
+      "q159_semantic_chunking_replay",
+      (s, d) => {
+        import s.implicits._
+        graft.pipeline.SemanticChunker.chunk(
+            s, Tables.documents(s, d), "doc_id", "text",
+            embedder = graft.pipeline.PolyHashingEmbedder(dim = 64),
+            width = 40, threshold = 0.35)
+          .groupBy($"doc_id").agg(
+            max($"chunk_id").as("max_chunk"),
+            sum($"n_segments").as("n_segments"))
+          .groupBy(($"max_chunk" + 1).as("n_chunks"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_segments").as("total_segments"))
+          .orderBy($"n_chunks")
+      },
+      Some(
+        s"""WITH toksrc AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(trim(COALESCE(text, '')), '\\s+'),
+           |                x -> length(x) > 0) AS ts
+           |  FROM documents),
+           |segs AS (
+           |  SELECT doc_id, seg_id,
+           |    array_to_string(ts[(seg_id*40 + 1):(seg_id*40 + 40)], ' ') AS txt
+           |  FROM (
+           |    SELECT doc_id, ts,
+           |      unnest(range(0, greatest(CAST(ceil(len(ts)/40.0) AS BIGINT), 1)))
+           |        AS seg_id
+           |    FROM toksrc)),
+           |emb AS (${polyEmbedChainSql("segs", "doc_id, seg_id")}),
+           |lagged AS (
+           |  SELECT doc_id, seg_id, v,
+           |    lag(v) OVER (PARTITION BY doc_id ORDER BY seg_id) AS pv
+           |  FROM emb),
+           |bnd AS (
+           |  SELECT doc_id, seg_id,
+           |    CASE WHEN pv IS NULL OR
+           |              list_dot_product(v, pv) /
+           |                (sqrt(list_dot_product(v, v)) *
+           |                 sqrt(list_dot_product(pv, pv))) < 0.35
+           |         THEN 1 ELSE 0 END AS b
+           |  FROM lagged),
+           |chunks AS (
+           |  SELECT doc_id,
+           |    SUM(b) OVER (PARTITION BY doc_id ORDER BY seg_id
+           |                 ROWS UNBOUNDED PRECEDING) - 1 AS chunk_id
+           |  FROM bnd),
+           |perdoc AS (
+           |  SELECT doc_id, MAX(chunk_id) AS max_chunk,
+           |    COUNT(*) AS n_segments
+           |  FROM chunks GROUP BY doc_id)
+           |SELECT CAST(max_chunk + 1 AS BIGINT) AS n_chunks,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_segments) AS BIGINT) AS total_segments
+           |FROM perdoc GROUP BY 1 ORDER BY n_chunks""".stripMargin))
   )
 }
