@@ -161,6 +161,25 @@ object IvfSearch {
     (index, model)
   }
 
+  /** The shared probe-filtered exact-rerank tail of [[search]] and
+    * [[searchQuant]] — one definition so the two probe strategies can
+    * never rank differently.
+    */
+  private def rerank(
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      probes: Seq[Int]): DataFrame =
+    index
+      .filter(col("cell").isin(probes: _*))
+      .withColumn("sim",
+        VectorSearch.cosineSim(col(vecCol), VectorSearch.vecLit(query.map(_.toDouble).toSeq)))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("sim"))
+
   /** Scan the nProbe nearest cells, exact-cosine rerank, top-k. */
   def search(
       index: DataFrame,
@@ -169,16 +188,9 @@ object IvfSearch {
       query: Array[Float],
       k: Int,
       model: IvfModel,
-      nProbe: Int = 4): DataFrame = {
-    val cells = model.rankedCells(query).take(math.max(1, nProbe))
-    index
-      .filter(col("cell").isin(cells: _*))
-      .withColumn("sim",
-        VectorSearch.cosineSim(col(vecCol), VectorSearch.vecLit(query.map(_.toDouble).toSeq)))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), col("sim"))
-  }
+      nProbe: Int = 4): DataFrame =
+    rerank(index, idCol, vecCol, query, k,
+      model.rankedCells(query).take(math.max(1, nProbe)))
 
   /** [[search]] over the REPLAYABLE quantizer ([[KMeans.Model]]:
     * portable-hash init, quantized-integer distances): probe cells
@@ -196,15 +208,8 @@ object IvfSearch {
       query: Array[Float],
       k: Int,
       model: KMeans.Model,
-      nProbe: Int): DataFrame = {
-    val probes = model.centroids.indices
-      .sortBy(c => (model.quantDist(query, c), c)).take(math.max(1, nProbe))
-    index
-      .filter(col("cell").isin(probes: _*))
-      .withColumn("sim",
-        VectorSearch.cosineSim(col(vecCol), VectorSearch.vecLit(query.map(_.toDouble).toSeq)))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), col("sim"))
-  }
+      nProbe: Int): DataFrame =
+    rerank(index, idCol, vecCol, query, k,
+      model.centroids.indices
+        .sortBy(c => (model.quantDist(query, c), c)).take(math.max(1, nProbe)))
 }

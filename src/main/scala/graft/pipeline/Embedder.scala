@@ -79,6 +79,10 @@ final case class HashingEmbedder(dim: Int = 64, seed: Int = 42) extends Embedder
   */
 final case class PolyHashingEmbedder(dim: Int = 64) extends Embedder {
   require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+  // the sign reads the bits ABOVE the bucket's low log2(dim) bits, so
+  // sign and bucket stay decorrelated for ANY power-of-two dim (a
+  // fixed 6-bit shift would overlap the bucket bits past dim = 64)
+  private val signShift = Integer.numberOfTrailingZeros(dim)
 
   override def embed(texts: Seq[String]): Seq[Array[Float]] =
     texts.map(embedOne)
@@ -100,7 +104,8 @@ final case class PolyHashingEmbedder(dim: Int = 64) extends Embedder {
   @inline private def add(v: Array[Float], feature: String): Unit = {
     val h = graft.functions.PolyHash.featureHash(feature)
     val bucket = (h % dim).toInt
-    val sign = if ((java.lang.Long.bitCount(h >>> 6) & 1) == 0) 1.0f else -1.0f
+    val sign =
+      if ((java.lang.Long.bitCount(h >>> signShift) & 1) == 0) 1.0f else -1.0f
     v(bucket) += sign
   }
 }

@@ -20,16 +20,7 @@ object ClusterQueries {
   private val Iters = 4
   private val Salt = 118L
 
-  /** The same fixed 64-dim query vector the PipelineQueries ANN rows
-    * use, as the Array[Float] the search entry points take, plus its
-    * DOUBLE[] SQL literal in FLOAT-image form (Double.toString
-    * round-trips, so DuckDB parses the identical doubles the Scala
-    * side computes with after the float narrowing).
-    */
-  private val queryVecF: Array[Float] =
-    (0 until 64).map(i => (((i % 7) - 3) / 3.0).toFloat).toArray
-  private val queryVecFSql: String =
-    queryVecF.map(f => f.toDouble.toString).mkString("[", ",", "]")
+  import QueryFixtures.{queryVecF, queryVecFSql}
 
   /** CTE chain shared by q118/q119: dims (exploded components), init
     * (portable-hash seed rows), cent0..centN / a0..aN (the unrolled

@@ -657,8 +657,7 @@ object DedupQueries {
     * Spark side's pigeonhole blocking.
     */
   private val simhashReplayOracleSql: String = {
-    val P = "2305843009213693951"   // 2^61 − 1, PolySimHasher.P
-    val B = "1000003"               //          PolySimHasher.B
+    import graft.functions.PolyHash.{B, P}   // no copy to drift
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),

@@ -11,28 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  /** Fixed 64-dim query vector shared between the Spark query and the
-    * DuckDB oracle literal: ((i % 7) - 3) / 3.
-    */
-  private val queryVec: Seq[Double] = (0 until 64).map(i => ((i % 7) - 3) / 3.0)
-  private val queryVecSql: String =
-    queryVec.map(_.toString).mkString("[", ",", "]")
-
-  /** The FLOAT image of [[queryVec]] as a DOUBLE[] SQL literal — what
-    * the ANN entry points actually search with (they take
-    * Array[Float]). Double.toString round-trips exactly, so DuckDB
-    * parses back the identical doubles the Spark side computes with;
-    * using the raw double literal instead would diverge in the last
-    * ulp wherever the float rounding moved the value.
-    */
-  private val queryVecFSql: String =
-    queryVec.map(d => d.toFloat.toDouble.toString).mkString("[", ",", "]")
+  import QueryFixtures.{queryVec, queryVecFSql, queryVecSql}
 
   /** DuckDB replay of [[graft.pipeline.PolyHashingEmbedder]] over a
     * `txt` column of `src` (q157/q159): tokens → uni+bigram features
     * → one PolyHash each → 64 signed bucket counts as DOUBLE[64].
     * Hashes are computed ONCE per row; the 64-way vote is list_filter
-    * over the small hash list.
+    * over the small hash list. Replays dim = 64 ONLY (bucket `% 64`,
+    * sign shift `>> 6` = numberOfTrailingZeros(64) — the embedder's
+    * signShift); a different dim needs both literals re-derived.
     */
   private[queries] def polyEmbedChainSql(src: String, cols: String): String = {
     import graft.functions.PolyHash.{B, P}
