@@ -74,6 +74,63 @@ object ClusterQueries {
     (header +: steps :+ finalAssign).mkString(",\n")
   }
 
+  /** [[lloydCtes]] over one PQ sub-block: the identical unrolled
+    * recurrence, but dims restricted to embedding positions
+    * [lo, lo+width) and every CTE name suffixed `_$sfx` so several
+    * blocks compose in one WITH. Positions stay ABSOLUTE so the ADC
+    * tail can read `qv[pos+1]` directly; `salt` varies per block so
+    * seed picks decorrelate (mirrors the Spark side's per-block
+    * KMeans.train salt).
+    */
+  private def blockLloydCtes(
+      sfx: String, k: Int, iters: Int, salt: Long, lo: Int, width: Int): String = {
+    val frac = Sampling.hashFractionSql("vec_id", salt)
+    val header =
+      s"""dims_$sfx AS (
+         |  SELECT vec_id, v, pos FROM (
+         |    SELECT vec_id, unnest(embedding) AS v,
+         |      unnest(list_transform(range(0, len(embedding)), x -> x)) AS pos
+         |    FROM embeddings)
+         |  WHERE pos >= $lo AND pos < ${lo + width}),
+         |init_$sfx AS (
+         |  SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY $frac, vec_id) AS rn
+         |    FROM embeddings) WHERE rn <= $k),
+         |cent0_$sfx AS (
+         |  SELECT i.cell, d.pos, CAST(d.v AS DOUBLE) AS c
+         |  FROM init_$sfx i JOIN dims_$sfx d ON i.vec_id = d.vec_id)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""a${i}_$sfx AS (
+         |  SELECT vec_id, CAST(min(ord) % $k AS INT) AS cell FROM (
+         |    SELECT d.vec_id, c.cell,
+         |      SUM(CAST(floor((CAST(d.v AS DOUBLE) - c.c) * (CAST(d.v AS DOUBLE) - c.c)
+         |                     * ${KMeans.DistQuantum}) AS BIGINT)) * $k + c.cell AS ord
+         |    FROM dims_$sfx d JOIN cent${i}_$sfx c ON d.pos = c.pos
+         |    GROUP BY d.vec_id, c.cell)
+         |  GROUP BY vec_id),
+         |u${i}_$sfx AS (
+         |  SELECT a.cell, d.pos,
+         |    CAST(SUM(CAST(floor(CAST(d.v AS DOUBLE) * ${KMeans.SumQuantum}) AS BIGINT))
+         |      AS DOUBLE) / count(*) / ${KMeans.SumQuantum} AS c
+         |  FROM a${i}_$sfx a JOIN dims_$sfx d ON a.vec_id = d.vec_id
+         |  GROUP BY a.cell, d.pos),
+         |cent${i + 1}_$sfx AS (
+         |  SELECT p.cell, p.pos, COALESCE(u.c, p.c) AS c
+         |  FROM cent${i}_$sfx p LEFT JOIN u${i}_$sfx u
+         |    ON p.cell = u.cell AND p.pos = u.pos)""".stripMargin
+    }
+    val finalAssign =
+      s"""a${iters}_$sfx AS (
+         |  SELECT vec_id, CAST(min(ord) % $k AS INT) AS cell FROM (
+         |    SELECT d.vec_id, c.cell,
+         |      SUM(CAST(floor((CAST(d.v AS DOUBLE) - c.c) * (CAST(d.v AS DOUBLE) - c.c)
+         |                     * ${KMeans.DistQuantum}) AS BIGINT)) * $k + c.cell AS ord
+         |    FROM dims_$sfx d JOIN cent${iters}_$sfx c ON d.pos = c.pos
+         |    GROUP BY d.vec_id, c.cell)
+         |  GROUP BY vec_id)""".stripMargin
+    (header +: steps :+ finalAssign).mkString(",\n")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ----- q118: distributed k-means cluster assignments — portable-
@@ -164,5 +221,68 @@ object ClusterQueries {
            |WHERE a.cell IN (SELECT cell FROM probe)
            |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
            |  DESC, a.vec_id
-           |LIMIT 5""".stripMargin)))
+           |LIMIT 5""".stripMargin)),
+
+    // ----- q160: the ORACLE-CHECKED twin of q126 — product
+    // quantization + ADC with NOTHING left unreplayed: 4 sub-blocks
+    // of 16 dims, each k-means'd by the quantized Lloyd recurrence
+    // (per-block salts; the oracle unrolls all four trainings), codes
+    // assigned by the same integer ordinal, and the ADC distance
+    // itself kept QUANTIZED — Σ_b Σ_j floor((q_j − c_j)²·2^20) is a
+    // sum of integers, so unlike float ADC there is no summation-
+    // order ulp anywhere: both engines produce the identical BIGINT
+    // distance and the identical top-5, no rounding tolerance at all.
+    // q126 keeps float ADC as the production surface (32× compression
+    // economics are identical); this row makes the PQ capability —
+    // train, encode, asymmetric distance — value-checked end to end.
+    QueryDef(
+      "q160_pq_adc_replay",
+      (s, d) => {
+        import s.implicits._
+        val M = 4; val SubDim = 16; val Kq = 8; val It = 3; val Salt = 160L
+        val embs = Tables.embeddings(s, d)
+        def sliced(b: Int) = embs.select($"vec_id",
+          slice($"embedding", b * SubDim + 1, SubDim).as("sub"))
+        val models = (0 until M).map(b =>
+          KMeans.train(sliced(b), "vec_id", "sub", Kq, It, Salt + b)).toArray
+        // one narrow encode pass, all block models on the closure —
+        // the production PQ encode shape, with the QUANTIZED assign
+        val codes = embs.select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            it.map { case (id, v) =>
+              val cs = Array.tabulate(M)(b =>
+                models(b).assign(v.slice(b * SubDim, (b + 1) * SubDim)))
+              (id, cs(0), cs(1), cs(2), cs(3))
+            }
+          }.toDF("vec_id", "c0", "c1", "c2", "c3")
+        val qv = QueryFixtures.queryVecF
+        val qdist = (0 until M).map { b =>
+          val qs = qv.slice(b * SubDim, (b + 1) * SubDim)
+          val tab = (0 until Kq).map(cell => models(b).quantDist(qs, cell))
+          element_at(typedlit(tab), col(s"c$b") + 1)
+        }.reduce(_ + _)
+        codes.select($"vec_id", qdist.as("qdist"))
+          .orderBy($"qdist", $"vec_id").limit(5)
+      },
+      Some {
+        val M = 4; val SubDim = 16; val Kq = 8; val It = 3; val Salt = 160L
+        val blocks = (0 until M).map(b =>
+          blockLloydCtes(s"b$b", Kq, It, Salt + b, b * SubDim, SubDim))
+        val terms = (0 until M).map { b =>
+          s"""t$b AS (
+             |  SELECT a.vec_id,
+             |    SUM(CAST(floor((q.qv[c.pos + 1] - c.c) * (q.qv[c.pos + 1] - c.c)
+             |                   * ${KMeans.DistQuantum}) AS BIGINT)) AS t
+             |  FROM a${It}_b$b a JOIN cent${It}_b$b c ON a.cell = c.cell, q
+             |  GROUP BY a.vec_id)""".stripMargin
+        }
+        s"""WITH q AS (SELECT CAST($queryVecFSql AS DOUBLE[]) AS qv),
+           |${(blocks ++ terms).mkString(",\n")}
+           |SELECT t0.vec_id,
+           |  CAST(t0.t + t1.t + t2.t + t3.t AS BIGINT) AS qdist
+           |FROM t0 JOIN t1 USING (vec_id) JOIN t2 USING (vec_id)
+           |  JOIN t3 USING (vec_id)
+           |ORDER BY qdist, vec_id LIMIT 5""".stripMargin
+      }))
 }
