@@ -67,7 +67,9 @@ final case class HashingEmbedder(dim: Int = 64, seed: Int = 42) extends Embedder
   * q154): features are the same unigram+bigram tokens, hashed with
   * the shared [[graft.functions.PolyHash]] polynomial; bucket = low
   * bits (h mod dim), sign = popcount parity of the REMAINING bits
-  * (h >>> 6 — decorrelated from the bucket bits).
+  * (h >>> log2(dim), so sign and bucket stay decorrelated at every
+  * power-of-two dim; the deployed dim = 64 shifts by 6, which is
+  * what the q157/q159 oracle SQL replays).
   *
   * Deliberately NOT L2-normalized: the coordinates stay small signed
   * integer counts, exactly representable as floats, so any

@@ -20,115 +20,96 @@ object ClusterQueries {
   private val Iters = 4
   private val Salt = 118L
 
+  // q160 (PQ/ADC replay) tuning — one definition feeding BOTH the
+  // Spark lambda and the oracle SQL (the no-copy-to-drift rule)
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 8
+  private val PqIters = 3
+  private val PqSalt = 160L
+
   import QueryFixtures.{queryVecF, queryVecFSql}
 
-  /** CTE chain shared by q118/q119: dims (exploded components), init
-    * (portable-hash seed rows), cent0..centN / a0..aN (the unrolled
-    * Lloyd recurrence — aI assigns against centI, uI re-aggregates,
-    * centI+1 coalesces empty cells back to their previous centroid).
-    * The final `a$Iters` is the converged assignment both queries
-    * read.
+  /** CTE chain shared by q118/q119 (and, through [[blockLloydCtes]],
+    * q160): dims (exploded components), init (portable-hash seed
+    * rows), cent0..centN / a0..aN (the unrolled Lloyd recurrence —
+    * aI assigns against centI, uI re-aggregates, centI+1 coalesces
+    * empty cells back to their previous centroid). The final
+    * `a$Iters` is the converged assignment the queries read.
+    * Delegates to the generalized builder so there is ONE copy of
+    * the recurrence text.
     */
-  private def lloydCtes(k: Int, iters: Int, salt: Long): String = {
-    val frac = Sampling.hashFractionSql("vec_id", salt)
-    val header =
-      s"""WITH dims AS (
-         |  SELECT vec_id, unnest(embedding) AS v,
-         |    unnest(list_transform(range(0, len(embedding)), x -> x)) AS pos
-         |  FROM embeddings),
-         |init AS (
-         |  SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
-         |    SELECT vec_id, row_number() OVER (ORDER BY $frac, vec_id) AS rn
-         |    FROM embeddings) WHERE rn <= $k),
-         |cent0 AS (
-         |  SELECT i.cell, d.pos, CAST(d.v AS DOUBLE) AS c
-         |  FROM init i JOIN dims d ON i.vec_id = d.vec_id)""".stripMargin
-    val steps = (0 until iters).map { i =>
-      s"""a$i AS (
-         |  SELECT vec_id, CAST(min(ord) % $k AS INT) AS cell FROM (
-         |    SELECT d.vec_id, c.cell,
-         |      SUM(CAST(floor((CAST(d.v AS DOUBLE) - c.c) * (CAST(d.v AS DOUBLE) - c.c)
-         |                     * ${KMeans.DistQuantum}) AS BIGINT)) * $k + c.cell AS ord
-         |    FROM dims d JOIN cent$i c ON d.pos = c.pos
-         |    GROUP BY d.vec_id, c.cell)
-         |  GROUP BY vec_id),
-         |u$i AS (
-         |  SELECT a.cell, d.pos,
-         |    CAST(SUM(CAST(floor(CAST(d.v AS DOUBLE) * ${KMeans.SumQuantum}) AS BIGINT))
-         |      AS DOUBLE) / count(*) / ${KMeans.SumQuantum} AS c
-         |  FROM a$i a JOIN dims d ON a.vec_id = d.vec_id
-         |  GROUP BY a.cell, d.pos),
-         |cent${i + 1} AS (
-         |  SELECT p.cell, p.pos, COALESCE(u.c, p.c) AS c
-         |  FROM cent$i p LEFT JOIN u$i u ON p.cell = u.cell AND p.pos = u.pos)""".stripMargin
-    }
-    val finalAssign =
-      s"""a$iters AS (
-         |  SELECT vec_id, CAST(min(ord) % $k AS INT) AS cell FROM (
-         |    SELECT d.vec_id, c.cell,
-         |      SUM(CAST(floor((CAST(d.v AS DOUBLE) - c.c) * (CAST(d.v AS DOUBLE) - c.c)
-         |                     * ${KMeans.DistQuantum}) AS BIGINT)) * $k + c.cell AS ord
-         |    FROM dims d JOIN cent$iters c ON d.pos = c.pos
-         |    GROUP BY d.vec_id, c.cell)
-         |  GROUP BY vec_id)""".stripMargin
-    (header +: steps :+ finalAssign).mkString(",\n")
-  }
+  private def lloydCtes(k: Int, iters: Int, salt: Long): String =
+    "WITH " + lloydCtesGeneral("", k, iters, salt, block = None)
 
-  /** [[lloydCtes]] over one PQ sub-block: the identical unrolled
-    * recurrence, but dims restricted to embedding positions
-    * [lo, lo+width) and every CTE name suffixed `_$sfx` so several
-    * blocks compose in one WITH. Positions stay ABSOLUTE so the ADC
-    * tail can read `qv[pos+1]` directly; `salt` varies per block so
-    * seed picks decorrelate (mirrors the Spark side's per-block
-    * KMeans.train salt).
+  /** [[lloydCtes]] over one PQ sub-block: the identical recurrence
+    * via [[lloydCtesGeneral]], dims restricted to embedding positions
+    * [lo, lo+width) and every CTE name suffixed so several blocks
+    * compose in one WITH. Positions stay ABSOLUTE so the ADC tail can
+    * read `qv[pos+1]` directly; `salt` varies per block so seed picks
+    * decorrelate (mirrors the Spark side's per-block KMeans.train
+    * salt).
     */
   private def blockLloydCtes(
-      sfx: String, k: Int, iters: Int, salt: Long, lo: Int, width: Int): String = {
+      sfx: String, k: Int, iters: Int, salt: Long, lo: Int, width: Int): String =
+    lloydCtesGeneral(s"_$sfx", k, iters, salt, block = Some((lo, width)))
+
+  /** The ONE copy of the unrolled Lloyd recurrence text behind both
+    * [[lloydCtes]] (full embedding, empty suffix) and
+    * [[blockLloydCtes]] (a position slice, per-block suffix) — a fix
+    * to the assignment ordinal or centroid update here reaches
+    * q118/q119/q158 and q160's oracle together, never one without
+    * the other. The sliced form unnests the pre-sliced list (emitting
+    * absolute positions as lo + offset) instead of exploding all dims
+    * and filtering — a quarter of the rows for a 16-of-64 block.
+    */
+  private def lloydCtesGeneral(
+      sfx: String, k: Int, iters: Int, salt: Long,
+      block: Option[(Int, Int)]): String = {
     val frac = Sampling.hashFractionSql("vec_id", salt)
+    val dimsBody = block match {
+      case None =>
+        s"""SELECT vec_id, unnest(embedding) AS v,
+           |    unnest(list_transform(range(0, len(embedding)), x -> x)) AS pos
+           |  FROM embeddings""".stripMargin
+      case Some((lo, width)) =>
+        s"""SELECT vec_id, unnest(embedding[${lo + 1}:${lo + width}]) AS v,
+           |    $lo + unnest(list_transform(range(0, $width), x -> x)) AS pos
+           |  FROM embeddings""".stripMargin
+    }
     val header =
-      s"""dims_$sfx AS (
-         |  SELECT vec_id, v, pos FROM (
-         |    SELECT vec_id, unnest(embedding) AS v,
-         |      unnest(list_transform(range(0, len(embedding)), x -> x)) AS pos
-         |    FROM embeddings)
-         |  WHERE pos >= $lo AND pos < ${lo + width}),
-         |init_$sfx AS (
+      s"""dims$sfx AS (
+         |  $dimsBody),
+         |init$sfx AS (
          |  SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
          |    SELECT vec_id, row_number() OVER (ORDER BY $frac, vec_id) AS rn
          |    FROM embeddings) WHERE rn <= $k),
-         |cent0_$sfx AS (
+         |cent0$sfx AS (
          |  SELECT i.cell, d.pos, CAST(d.v AS DOUBLE) AS c
-         |  FROM init_$sfx i JOIN dims_$sfx d ON i.vec_id = d.vec_id)""".stripMargin
-    val steps = (0 until iters).map { i =>
-      s"""a${i}_$sfx AS (
+         |  FROM init$sfx i JOIN dims$sfx d ON i.vec_id = d.vec_id)""".stripMargin
+    def assign(i: Int) =
+      s"""a$i$sfx AS (
          |  SELECT vec_id, CAST(min(ord) % $k AS INT) AS cell FROM (
          |    SELECT d.vec_id, c.cell,
          |      SUM(CAST(floor((CAST(d.v AS DOUBLE) - c.c) * (CAST(d.v AS DOUBLE) - c.c)
          |                     * ${KMeans.DistQuantum}) AS BIGINT)) * $k + c.cell AS ord
-         |    FROM dims_$sfx d JOIN cent${i}_$sfx c ON d.pos = c.pos
+         |    FROM dims$sfx d JOIN cent$i$sfx c ON d.pos = c.pos
          |    GROUP BY d.vec_id, c.cell)
-         |  GROUP BY vec_id),
-         |u${i}_$sfx AS (
+         |  GROUP BY vec_id)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""${assign(i)},
+         |u$i$sfx AS (
          |  SELECT a.cell, d.pos,
          |    CAST(SUM(CAST(floor(CAST(d.v AS DOUBLE) * ${KMeans.SumQuantum}) AS BIGINT))
          |      AS DOUBLE) / count(*) / ${KMeans.SumQuantum} AS c
-         |  FROM a${i}_$sfx a JOIN dims_$sfx d ON a.vec_id = d.vec_id
+         |  FROM a$i$sfx a JOIN dims$sfx d ON a.vec_id = d.vec_id
          |  GROUP BY a.cell, d.pos),
-         |cent${i + 1}_$sfx AS (
+         |cent${i + 1}$sfx AS (
          |  SELECT p.cell, p.pos, COALESCE(u.c, p.c) AS c
-         |  FROM cent${i}_$sfx p LEFT JOIN u${i}_$sfx u
+         |  FROM cent$i$sfx p LEFT JOIN u$i$sfx u
          |    ON p.cell = u.cell AND p.pos = u.pos)""".stripMargin
     }
-    val finalAssign =
-      s"""a${iters}_$sfx AS (
-         |  SELECT vec_id, CAST(min(ord) % $k AS INT) AS cell FROM (
-         |    SELECT d.vec_id, c.cell,
-         |      SUM(CAST(floor((CAST(d.v AS DOUBLE) - c.c) * (CAST(d.v AS DOUBLE) - c.c)
-         |                     * ${KMeans.DistQuantum}) AS BIGINT)) * $k + c.cell AS ord
-         |    FROM dims_$sfx d JOIN cent${iters}_$sfx c ON d.pos = c.pos
-         |    GROUP BY d.vec_id, c.cell)
-         |  GROUP BY vec_id)""".stripMargin
-    (header +: steps :+ finalAssign).mkString(",\n")
+    (header +: steps :+ assign(iters)).mkString(",\n")
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -239,42 +220,39 @@ object ClusterQueries {
       "q160_pq_adc_replay",
       (s, d) => {
         import s.implicits._
-        val M = 4; val SubDim = 16; val Kq = 8; val It = 3; val Salt = 160L
         val embs = Tables.embeddings(s, d)
         def sliced(b: Int) = embs.select($"vec_id",
-          slice($"embedding", b * SubDim + 1, SubDim).as("sub"))
-        val models = (0 until M).map(b =>
-          KMeans.train(sliced(b), "vec_id", "sub", Kq, It, Salt + b)).toArray
+          slice($"embedding", b * PqSubDim + 1, PqSubDim).as("sub"))
+        val models = (0 until PqM).map(b =>
+          KMeans.train(sliced(b), "vec_id", "sub", PqK, PqIters, PqSalt + b)).toArray
         // one narrow encode pass, all block models on the closure —
         // the production PQ encode shape, with the QUANTIZED assign
         val codes = embs.select($"vec_id", $"embedding")
           .as[(Long, Array[Float])]
           .mapPartitions { it =>
             it.map { case (id, v) =>
-              val cs = Array.tabulate(M)(b =>
-                models(b).assign(v.slice(b * SubDim, (b + 1) * SubDim)))
+              val cs = Array.tabulate(PqM)(b =>
+                models(b).assign(v.slice(b * PqSubDim, (b + 1) * PqSubDim)))
               (id, cs(0), cs(1), cs(2), cs(3))
             }
           }.toDF("vec_id", "c0", "c1", "c2", "c3")
-        val qv = QueryFixtures.queryVecF
-        val qdist = (0 until M).map { b =>
-          val qs = qv.slice(b * SubDim, (b + 1) * SubDim)
-          val tab = (0 until Kq).map(cell => models(b).quantDist(qs, cell))
+        val qdist = (0 until PqM).map { b =>
+          val qs = queryVecF.slice(b * PqSubDim, (b + 1) * PqSubDim)
+          val tab = (0 until PqK).map(cell => models(b).quantDist(qs, cell))
           element_at(typedlit(tab), col(s"c$b") + 1)
         }.reduce(_ + _)
         codes.select($"vec_id", qdist.as("qdist"))
           .orderBy($"qdist", $"vec_id").limit(5)
       },
       Some {
-        val M = 4; val SubDim = 16; val Kq = 8; val It = 3; val Salt = 160L
-        val blocks = (0 until M).map(b =>
-          blockLloydCtes(s"b$b", Kq, It, Salt + b, b * SubDim, SubDim))
-        val terms = (0 until M).map { b =>
+        val blocks = (0 until PqM).map(b =>
+          blockLloydCtes(s"b$b", PqK, PqIters, PqSalt + b, b * PqSubDim, PqSubDim))
+        val terms = (0 until PqM).map { b =>
           s"""t$b AS (
              |  SELECT a.vec_id,
              |    SUM(CAST(floor((q.qv[c.pos + 1] - c.c) * (q.qv[c.pos + 1] - c.c)
              |                   * ${KMeans.DistQuantum}) AS BIGINT)) AS t
-             |  FROM a${It}_b$b a JOIN cent${It}_b$b c ON a.cell = c.cell, q
+             |  FROM a${PqIters}_b$b a JOIN cent${PqIters}_b$b c ON a.cell = c.cell, q
              |  GROUP BY a.vec_id)""".stripMargin
         }
         s"""WITH q AS (SELECT CAST($queryVecFSql AS DOUBLE[]) AS qv),

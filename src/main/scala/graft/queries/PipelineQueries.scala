@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  import QueryFixtures.{queryVec, queryVecFSql, queryVecSql}
+  import QueryFixtures.{queryVec, queryVecF, queryVecFSql, queryVecSql}
 
   /** DuckDB replay of [[graft.pipeline.PolyHashingEmbedder]] over a
     * `txt` column of `src` (q157/q159): tokens → uni+bigram features
@@ -179,7 +179,7 @@ object PipelineQueries {
         val index = AnnSearch.persistedIndex(s, Tables.embeddings(s, d),
           "vec_id", "embedding", lsh, indexPath("lsh", d, "dim64-bits8-seed1"))
         AnnSearch.search(index, "vec_id", "embedding",
-            queryVec.map(_.toFloat).toArray, k = 5, lsh, nProbe = 16)
+            queryVecF, k = 5, lsh, nProbe = 16)
           .select($"vec_id", round($"sim", 6).as("sim"))
       },
       None),
@@ -203,7 +203,7 @@ object PipelineQueries {
         val index = AnnSearch.persistedIndex(s, Tables.embeddings(s, d),
           "vec_id", "embedding", lsh, indexPath("lsh-rad", d, "dim64-bits8"))
         AnnSearch.search(index, "vec_id", "embedding",
-            queryVec.map(_.toFloat).toArray, k = 5, lsh, nProbe = 16)
+            queryVecF, k = 5, lsh, nProbe = 16)
           .select($"vec_id", round($"sim", 6).as("sim"))
       },
       Some {
@@ -256,7 +256,7 @@ object PipelineQueries {
         val (index, model) = IvfSearch.persistedIndex(s, Tables.embeddings(s, d),
           "vec_id", "embedding", indexPath("ivf", d, "k16-it10-seed42-dtrain"), k = 16)
         IvfSearch.search(index, "vec_id", "embedding",
-            queryVec.map(_.toFloat).toArray, k = 5, model, nProbe = 6)
+            queryVecF, k = 5, model, nProbe = 6)
           .select($"vec_id", round($"sim", 6).as("sim"))
       },
       None),
@@ -275,7 +275,7 @@ object PipelineQueries {
         val model = PqSearch.train(s, embs, "embedding", m = 8, k = 16,
           iterations = 5)
         val enc = PqSearch.encode(s, embs, "vec_id", "embedding", model)
-        PqSearch.search(enc, "vec_id", queryVec.map(_.toFloat).toArray,
+        PqSearch.search(enc, "vec_id", queryVecF,
             k = 5, model)
           .select($"vec_id", round($"dist2", 6).as("dist2"))
       },
