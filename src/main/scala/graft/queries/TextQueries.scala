@@ -597,11 +597,15 @@ object TextQueries {
 
     // ----- q127: BPE tokenizer TRAINING (operators.Bpe) — the ranked
     // merge table learned from the corpus's word-frequency dict.
-    // Rows-only: the merge recurrence is iterative (argmax → re-
-    // segment → recount) and not SQL-expressible; BpeSpec pins the
-    // trainer merge-for-merge against a single-threaded reference
-    // implementation and proves partition-layout invariance, which
-    // makes this output deterministic.
+    // FULLY oracle-checked (upgraded from rows-only in round 7): the
+    // whole Sennrich recurrence — weighted adjacent-pair counts,
+    // (-count, a, b) argmax, greedy left-to-right re-segmentation —
+    // unrolls as 30 MATERIALIZED CTE rounds in DuckDB; the re-encode
+    // is a list_reduce fold that is provably ≡ Bpe.applyMerge for any
+    // single pair (the merged symbol a||b can never equal a, so the
+    // fold cannot re-merge across the scan pointer). BpeSpec still
+    // pins layout invariance; see [[bpeMergesOracleSql]] for the one
+    // documented divergence bound (minPairCount early-stop).
     QueryDef(
       "q127_bpe_merges",
       (s, d) => {
@@ -611,7 +615,7 @@ object TextQueries {
           .select($"rank".cast("long").as("rank"), $"left", $"right", $"pairCount".as("pair_count"))
           .orderBy($"rank")
       },
-      None),
+      Some(bpeMergesOracleSql(numMerges = 30, minPairCount = 2L))),
 
     // ----- q138: the trained tokenizer APPLIED at corpus scale —
     // every document encoded with the q127 merge list (narrow map,
@@ -639,7 +643,34 @@ object TextQueries {
               "CAST(sum(n_words) AS DOUBLE)) AS BIGINT)").as("fertility_milli"))
           .orderBy($"lang")
       },
-      None),
+      // upgraded from rows-only in round 7 alongside q127: the oracle
+      // replays the SAME training chain, reads the FINAL dictionary
+      // (word → merged symbol count after all 30 rounds — exactly
+      // segmentWord's output length, since applying merges in rank
+      // order to the dict word IS the training-state evolution), and
+      // re-aggregates the fertility stats per language. Valid for
+      // corpora with no zero-token documents (this one — the encode
+      // join is inner on exploded words).
+      Some(
+        s"""WITH ${bpeTrainCtes(30)},
+           |wlen AS MATERIALIZED (SELECT w, len(syms) AS ns FROM w30),
+           |dw AS (
+           |  SELECT doc_id, lang, unnest(list_filter(
+           |      string_split_regex(trim(COALESCE(text, '')), '\\s+'),
+           |      x -> length(x) > 0)) AS w
+           |  FROM documents),
+           |perdoc AS (
+           |  SELECT d.doc_id, any_value(d.lang) AS lang,
+           |    CAST(SUM(wl.ns) AS BIGINT) AS n_subwords,
+           |    COUNT(*) AS n_words
+           |  FROM dw d JOIN wlen wl ON d.w = wl.w
+           |  GROUP BY d.doc_id)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+           |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+           |  CAST(floor(CAST(1000 * SUM(n_subwords) AS DOUBLE) /
+           |             CAST(SUM(n_words) AS DOUBLE)) AS BIGINT) AS fertility_milli
+           |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ----- q142: temperature-scaled mixture weights (τ = 0.7, the
     // standard multilingual rebalance) — the recipe-table companion
@@ -671,4 +702,68 @@ object TextQueries {
              |ORDER BY source""".stripMargin)
     )
   )
+
+  /** DuckDB replay of [[graft.operators.Bpe.train]] — the q127
+    * oracle. The full merge recurrence unrolls: w0 is the
+    * word-frequency dict seeded as char symbols + '</w>'; each round
+    * computes weighted adjacent-pair counts (overlapping, 1-based
+    * `syms[k], syms[k+1]`), picks the argmax under the Scala
+    * ordering (-count, a, b) — ASCII corpus, so VARCHAR byte order ≡
+    * Scala string order — and re-segments every word with a
+    * list_reduce fold over singleton-wrapped symbols (provably ≡
+    * the greedy non-overlapping applyMerge: a||b ≠ a for nonempty b,
+    * so a freshly merged symbol can never immediately re-merge).
+    * Every CTE is MATERIALIZED: each round's state feeds both the
+    * pair count and the re-encode, and un-materialized inlining
+    * doubles the tree per round (2^30 by the end).
+    *
+    * minPairCount is mirrored as a FINAL filter, which is exact
+    * while every trained round clears the threshold (true for this
+    * corpus at the sf0.01 gate). A corpus where some mid-training
+    * round dropped below it would diverge LOUDLY (hash mismatch) —
+    * the Scala trainer stops, the SQL would keep merging — never
+    * silently.
+    */
+  private def bpeMergesOracleSql(numMerges: Int, minPairCount: Long): String = {
+    val sel = (0 until numMerges).map(i =>
+      s"""SELECT $i AS rank, a AS "left", b AS "right", c AS pair_count FROM best$i""")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(numMerges)}
+       |SELECT * FROM ($sel)
+       |WHERE pair_count >= $minPairCount ORDER BY rank""".stripMargin
+  }
+
+  /** The shared 30-round training CTE chain behind [[bpeMergesOracleSql]]
+    * (q127 reads the best$i rows) and the q138 oracle (which reads the
+    * FINAL w$numMerges dictionary — the word column rides the whole
+    * chain so the encode oracle can join subword counts back to docs).
+    */
+  private def bpeTrainCtes(numMerges: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT w, string_split(w, '') || ['</w>'] AS syms,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(list_filter(
+        |          string_split_regex(trim(COALESCE(text, '')), '\s+'),
+        |          x -> length(x) > 0)) AS w
+        |        FROM documents)
+        |  GROUP BY w)""".stripMargin
+    val rounds = (0 until numMerges).map { i =>
+      s"""best$i AS MATERIALIZED (
+         |  SELECT a, b, CAST(SUM(n) AS BIGINT) AS c FROM (
+         |    SELECT syms[k] AS a, syms[k+1] AS b, n
+         |    FROM (SELECT syms, n, unnest(range(1, len(syms))) AS k FROM w$i))
+         |  GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT w.w,
+         |         list_reduce(
+         |           list_transform(w.syms, s -> [s]),
+         |           (acc, x) -> CASE WHEN acc[len(acc)] = bb.a AND x[1] = bb.b
+         |                            THEN acc[1:len(acc)-1] || [bb.a || bb.b]
+         |                            ELSE acc || x END) AS syms,
+         |         w.n
+         |  FROM w$i w, best$i bb)""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
 }
