@@ -336,5 +336,67 @@ object ClassifierQueries {
            |         / ((COALESCE(c.cnt_b, 0) + 1.0) / (t.nb + 8.0))))
            |    * 10000.0 + 0.5) / 10000.0 AS psi_term
            |FROM bins b LEFT JOIN counts c ON b.bin = c.bin CROSS JOIN tot t
-           |ORDER BY b.bin""".stripMargin)))
+           |ORDER BY b.bin""".stripMargin)),
+
+    // ----- q161: threshold-free holdout evaluation — train on the
+    // q129 split (same salt, same 80%), then exact ROC-AUC (the
+    // Mann–Whitney identity with the ½-per-tied-pair correction kept
+    // integer by counting halves) and average precision over the
+    // ≤1025-row score-LEVEL frame (operators.RocEval — corpus-size-
+    // independent after one aggregation). The oracle replays
+    // training, holdout scoring, and both level self-joins.
+    QueryDef(
+      "q161_roc_auc",
+      (s, d) => {
+        import s.implicits._
+        val f = Sampling.hashFraction($"vec_id", Salt)
+        val embs = withY(Tables.embeddings(s, d))
+        val model = LogReg.train(embs.filter(f < TrainFrac), "embedding", "y",
+          Iters, EtaDen, PosWeight)
+        val scored = LogReg.scoreAll(
+          embs.filter(f >= TrainFrac), "vec_id", "embedding", "y", model)
+        graft.operators.RocEval.summary(scored, "score", "y")
+      },
+      Some {
+        val frac = Sampling.hashFractionSql("vec_id", Salt)
+        val apQ = graft.operators.RocEval.ApQuantum
+        s"""${gdCtes(Iters, Some(s"$frac < $TrainFrac"))},
+           |te AS (SELECT vec_id FROM embeddings WHERE $frac >= $TrainFrac),
+           |${finalMargins(Iters, "te")},
+           |lv AS MATERIALIZED (
+           |  SELECT ${scoreExpr("z.z")} AS s,
+           |    CAST(SUM(l.y) AS BIGINT) AS pos,
+           |    CAST(SUM(1 - l.y) AS BIGINT) AS neg
+           |  FROM zf z JOIN lab l ON z.vec_id = l.vec_id
+           |  GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(SUM(pos) AS BIGINT) AS p_total,
+           |    CAST(SUM(neg) AS BIGINT) AS n_total,
+           |    CAST(COUNT(*) AS BIGINT) AS n_levels
+           |  FROM lv),
+           |aucn AS (
+           |  SELECT CAST(COALESCE(SUM(a.pos * b.neg *
+           |      (CASE WHEN a.s > b.s THEN 2 ELSE 1 END)), 0) AS BIGINT) AS auc_num
+           |  FROM lv a JOIN lv b ON a.s >= b.s),
+           |apt AS (
+           |  SELECT t.s AS st, t.pos AS pos_t,
+           |    CAST(SUM(l.pos) AS BIGINT) AS tpge,
+           |    CAST(SUM(l.neg) AS BIGINT) AS fpge
+           |  FROM (SELECT s, pos FROM lv WHERE pos > 0) t
+           |  JOIN lv l ON l.s >= t.s
+           |  GROUP BY t.s, t.pos),
+           |apn AS (
+           |  SELECT CAST(COALESCE(SUM(
+           |      ${fdiv(s"$apQ * pos_t * tpge", "tpge + fpge")}), 0) AS BIGINT) AS ap_num
+           |  FROM apt)
+           |SELECT tot.p_total, tot.n_total, tot.n_levels,
+           |  aucn.auc_num,
+           |  CAST(2 * tot.p_total * tot.n_total AS BIGINT) AS auc_den,
+           |  ${fdiv("1000 * aucn.auc_num",
+                     "NULLIF(2 * tot.p_total * tot.n_total, 0)")} AS auc_milli,
+           |  ${fdiv("1000 * (aucn.auc_num - tot.p_total * tot.n_total)",
+                     "NULLIF(tot.p_total * tot.n_total, 0)")} AS gini_milli,
+           |  ${fdiv("apn.ap_num", "NULLIF(1000 * tot.p_total, 0)")} AS ap_milli
+           |FROM tot CROSS JOIN aucn CROSS JOIN apn""".stripMargin
+      }))
 }
