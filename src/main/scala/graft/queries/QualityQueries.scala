@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Expectations, LanguageModel, TableDiff}
+import graft.operators.{Expectations, KneserNey, LanguageModel, TableDiff}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,53 @@ object QualityQueries {
              |  floor(avg(-ln(p)) * 10000 + 0.5) / 10000 AS avg_nll
              |FROM words JOIN probs USING (word)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----- q162: interpolated Kneser–Ney BIGRAM cross-entropy per
+    // document (operators.KneserNey) — the CCNet/KenLM-style quality
+    // perplexity that sees word ORDER, not just word choice. The
+    // fixed d = 3/4 discount keeps every probability an exact integer
+    // rational num/(4·c_v·B), so the oracle rebuilds the identical
+    // BIGINTs; the one ln is r4-rounded (the q96 libm discipline).
+    // Every (v,w) in self-scoring is seen, so the oracle's inner
+    // joins and the operator's left-join fallbacks coincide.
+    QueryDef(
+      "q162_kn_bigram_ppl",
+      (s, d) => {
+        import s.implicits._
+        KneserNey.scoreDocs(Tables.documents(s, d), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some(
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+           |  FROM documents),
+           |bs AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    CASE WHEN i = 1 THEN '${KneserNey.Bos}' ELSE toks[i - 1] END AS v,
+           |    toks[i] AS w
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+           |        FROM t)),
+           |bg AS MATERIALIZED (
+           |  SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw FROM bs GROUP BY 1, 2),
+           |ctx AS MATERIALIZED (
+           |  SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v,
+           |    CAST(COUNT(*) AS BIGINT) AS n1fol
+           |  FROM bg GROUP BY 1),
+           |cont AS MATERIALIZED (
+           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n1pre FROM bg GROUP BY 1),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bg)
+           |SELECT s.doc_id, COUNT(*) AS n_bigrams,
+           |  floor(avg(-ln(
+           |    CAST(GREATEST(4 * g.c_vw - 3, 0) * t.b + 3 * c.n1fol * n.n1pre
+           |         AS DOUBLE)
+           |    / CAST(4 * c.c_v * t.b AS DOUBLE))) * 10000 + 0.5) / 10000
+           |    AS avg_nll
+           |FROM bs s
+           |JOIN bg g USING (v, w) JOIN ctx c USING (v) JOIN cont n USING (w)
+           |CROSS JOIN tot t
+           |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
 
     // ----- q121: PII redaction (operators.Redact) over a PLANTED
     // VALUES table — the fixture corpus is word-soup with no PII
