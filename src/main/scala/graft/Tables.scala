@@ -23,17 +23,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark rejects by
-    * default. Read it as nanos-since-epoch (legacy conf) and floor to
-    * microseconds — exactly what DuckDB does when it loads the same
-    * file into its µs TIMESTAMP, so oracle comparisons line up.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (early
+    * fixture generations — Spark rejects it by default) and plain
+    * TIMESTAMP(MICROS) (current generation). Handle either by schema,
+    * not by assumption:
+    *  - NANOS: read as nanos-since-epoch (legacy conf) and floor to
+    *    microseconds — exactly what DuckDB does loading the same file
+    *    into its µs TIMESTAMP, so oracle comparisons line up;
+    *  - MICROS: arrives as TIMESTAMP_NTZ; cast to session-zone
+    *    TimestampType (session TZ is pinned UTC everywhere, so the
+    *    instant is unchanged) to keep every downstream query on the
+    *    same type the nanos path produced.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
+    import org.apache.spark.sql.types.LongType
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
       // integral `div` (not `/`): ns values exceed double's 2^53 mantissa
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
