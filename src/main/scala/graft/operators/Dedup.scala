@@ -695,8 +695,11 @@ object Dedup {
     * [[connectedComponentsStar]] stay callable for explicit control).
     *
     * The probe is one skinny aggregate over the pair list (edge count
-    * + approximate distinct endpoints — the ±2% sketch error is
-    * irrelevant to a 2× threshold): mean degree 2|E|/|V| separates
+    * + approximate distinct endpoints at the default 5% rsd — sketch
+    * error that small cannot move a 2× regime threshold, though a
+    * graph sitting exactly at meanDeg≈4 may flip algorithm; both
+    * produce the identical labeling, so only round counts change):
+    * mean degree 2|E|/|V| separates
     * the two regimes this engine actually meets. Near-dup/template
     * graphs are near-cliques — mean degree well above 4, diameter
     * ≤ ~2, where label propagation settles in 2-3 cheap rounds and

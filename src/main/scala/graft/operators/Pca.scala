@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   *    division is exactly rounded and both engines floor the same
   *    quotient.
   *
-  * Headroom: |G/n| ≤ 2^22, so u ≤ 2^22·2^12·dim — exact to dim ≤ 2^6
-  * at these quanta; larger dims drop [[VScale]] a power of two each
-  * 4× (the [[LogReg]] headroom pattern).
+  * Headroom: features within ±[[MaxQuanta]] quanta (centered ±2^11)
+  * give |G/n| ≤ 2^22, so u ≤ 2^22·2^12·dim — exact to dim ≤ 2^6 at
+  * these quanta; larger dims would drop [[VScale]] a power of two
+  * each 4× (the [[LogReg]] headroom pattern). Both bounds are
+  * ENFORCED: `fit` rejects dim > [[MaxDim]] and `quantize` rejects
+  * out-of-range features (loud, never silent overflow).
   *
   * Scale shape: ONE `treeAggregate` pass moves a (dim + dim²)-long
   * accumulator per partition — the corpus never shuffles and only
@@ -51,6 +54,14 @@ object Pca {
 
   /** 2^12 — eigenvector fixed-point quantum. */
   val VScale = 4096L
+
+  /** Documented headroom bounds, ENFORCED at fit time: features must
+    * stay within ±[[MaxQuanta]] quanta (raw values within ±1.0, so
+    * |G/n| ≤ 2^22) and dim within [[MaxDim]] = 2^6 (so |G·v| ≤
+    * 2^22·2^12·2^6 = 2^40 and every fdiv operand stays under 2^53).
+    */
+  val MaxQuanta: Long = FeatScale // ±1.0 raw
+  val MaxDim = 64
 
   /** Fitted state: integer means (dim), normalized Gram rows G/n
     * (dim×dim), the final eigenvector at [[VScale]] (dim), the
@@ -70,6 +81,10 @@ object Pca {
     var j = 0
     while (j < v.length) {
       x(j) = math.floor(v(j).toDouble * FeatScale.toDouble).toLong
+      if (math.abs(x(j)) > MaxQuanta)
+        throw new IllegalArgumentException(
+          s"feature out of headroom: |${x(j)}| quanta > $MaxQuanta " +
+            s"(raw |v| > 1.0) — rescale inputs before Pca.fit")
       j += 1
     }
     x
@@ -98,6 +113,9 @@ object Pca {
     val dimRow = df.select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty, "fit input is empty")
     val d = dimRow(0).getInt(0)
+    require(d >= 1 && d <= MaxDim,
+      s"dim $d outside [1, $MaxDim]: the fixed-point headroom proof " +
+        "(scaladoc) only covers dim <= 2^6 at these quanta")
     val rows = df.select(col(vecCol)).as[Array[Float]].rdd.map(quantize)
     // one pass: n, Σx (d longs), Σxxᵀ (d² longs) — commutative long
     // sums, layout-independent

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{KMeans, Sampling}
+import graft.operators.{KMeans, Pca, Sampling}
 import org.apache.spark.sql.functions._
 
 /** Embedding-space clustering + semantic dedup (SURVEY §2.12): the
@@ -28,7 +28,74 @@ object ClusterQueries {
   private val PqIters = 3
   private val PqSalt = 160L
 
-  import QueryFixtures.{queryVecF, queryVecFSql}
+  import QueryFixtures.{fdivSql, queryVecF, queryVecFSql}
+
+  private val PcaIters = 5
+
+  /** The q163 oracle: the full [[Pca]] recurrence replayed in SQL —
+    * quantize (floor(v·2^10)), integer mean, exact centered Gram from
+    * one pass of raw moments, [[PcaIters]] unrolled power-iteration
+    * steps (u = G·v; v' = fdiv(u·2^12, max|u|)), the per-term
+    * pre-scaled Rayleigh quotient, and each row's integer projection.
+    * Every division is the shared [[fdivSql]] image of LogReg.fdiv;
+    * everything else is BIGINT algebra, so the eigenvector, the
+    * eigenvalue, and all projections hash-match with no tolerance.
+    */
+  private def pcaOracle: String = {
+    val header =
+      s"""WITH draw AS (
+         |  SELECT vec_id, unnest(embedding) AS v,
+         |    unnest(list_transform(range(0, len(embedding)), x -> x)) AS pos
+         |  FROM embeddings),
+         |quant AS MATERIALIZED (
+         |  SELECT vec_id, pos,
+         |    CAST(floor(CAST(v AS DOUBLE) * ${Pca.FeatScale}) AS BIGINT) AS x
+         |  FROM draw),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         |mean AS MATERIALIZED (
+         |  SELECT pos, CAST(SUM(x) AS BIGINT) AS sx,
+         |    ${fdivSql("CAST(SUM(x) AS BIGINT)", "(SELECT n FROM nn)")} AS m
+         |  FROM quant GROUP BY pos),
+         |gram AS MATERIALIZED (
+         |  SELECT s.i, s.j,
+         |    ${fdivSql(
+               "s.sxx - mi.m * mj.sx - mj.m * mi.sx + (SELECT n FROM nn) * mi.m * mj.m",
+               "(SELECT n FROM nn)")} AS g
+         |  FROM (
+         |    SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxx
+         |    FROM quant a JOIN quant b USING (vec_id) GROUP BY a.pos, b.pos) s
+         |  JOIN mean mi ON s.i = mi.pos JOIN mean mj ON s.j = mj.pos),
+         |v0 AS (SELECT pos, CAST(${Pca.VScale} + pos AS BIGINT) AS v FROM mean)""".stripMargin
+    def mulStep(vIn: String, uOut: String) =
+      s"""$uOut AS (
+         |  SELECT g.i AS pos, CAST(SUM(g.g * v.v) AS BIGINT) AS u
+         |  FROM gram g JOIN $vIn v ON g.j = v.pos GROUP BY g.i)""".stripMargin
+    val steps = (0 until PcaIters).map { t =>
+      s"""${mulStep(s"v$t", s"u$t")},
+         |v${t + 1} AS (
+         |  SELECT pos, ${fdivSql(s"u * ${Pca.VScale}",
+               s"(SELECT MAX(ABS(u)) FROM u$t)")} AS v
+         |  FROM u$t)""".stripMargin
+    }
+    val vN = s"v$PcaIters"
+    val tail =
+      s"""${mulStep(vN, "uf")},
+         |ray AS (
+         |  SELECT CAST(SUM(${fdivSql("v.v * u.u", Pca.VScale.toString)}) AS BIGINT) AS num,
+         |         CAST(SUM(${fdivSql("v.v * v.v", Pca.VScale.toString)}) AS BIGINT) AS den
+         |  FROM $vN v JOIN uf u USING (pos)),
+         |lam AS (SELECT ${fdivSql("num", "den")} AS lambda FROM ray),
+         |tr AS (SELECT CAST(SUM(g) AS BIGINT) AS trace FROM gram WHERE i = j),
+         |proj AS (
+         |  SELECT q.vec_id, CAST(SUM(v.v * (q.x - mn.m)) AS BIGINT) AS pc1
+         |  FROM quant q JOIN $vN v ON q.pos = v.pos JOIN mean mn ON q.pos = mn.pos
+         |  GROUP BY q.vec_id)
+         |SELECT p.vec_id, p.pc1, l.lambda,
+         |  ${fdivSql("1000 * l.lambda", "t.trace")} AS evr_milli
+         |FROM proj p, lam l, tr t
+         |ORDER BY p.vec_id""".stripMargin
+    (Seq(header) ++ steps ++ Seq(tail)).mkString(",\n")
+  }
 
   /** CTE chain shared by q118/q119 (and, through [[blockLloydCtes]],
     * q160): dims (exploded components), init (portable-hash seed
@@ -262,5 +329,26 @@ object ClusterQueries {
            |FROM t0 JOIN t1 USING (vec_id) JOIN t2 USING (vec_id)
            |  JOIN t3 USING (vec_id)
            |ORDER BY qdist, vec_id LIMIT 5""".stripMargin
-      }))
+      }),
+
+    // ----- q163: principal-component projection (operators.Pca) —
+    // power iteration on the exact integer Gram, so the oracle replays
+    // the ENTIRE spectral pipeline (pcaOracle above): means, centered
+    // Gram, five unrolled iteration steps, Rayleigh eigenvalue, and
+    // every document's pc1 projection, all BIGINT-exact. The scalar
+    // lambda/evr_milli ride every row so the eigenvalue itself is
+    // value-checked, not just the per-row projections.
+    QueryDef(
+      "q163_pca_project",
+      (s, d) => {
+        import s.implicits._
+        val embs = Tables.embeddings(s, d)
+        val r = Pca.fit(embs, "embedding", PcaIters)
+        Pca.project(embs, "vec_id", "embedding", r)
+          .select($"vec_id", $"pc1",
+            lit(r.lambda).as("lambda"),
+            lit(r.evrMilli).as("evr_milli"))
+          .orderBy($"vec_id")
+      },
+      Some(pcaOracle)))
 }

@@ -29,4 +29,11 @@ private[queries] object QueryFixtures {
     */
   val queryVecFSql: String =
     queryVecF.map(f => f.toDouble.toString).mkString("[", ",", "]")
+
+  /** SQL image of [[graft.operators.LogReg.fdiv]] — floor of the IEEE
+    * double quotient, exact while |a|,|b| < 2^53 (each call site's
+    * headroom note proves its operands are).
+    */
+  def fdivSql(a: String, b: String): String =
+    s"CAST(floor(CAST($a AS DOUBLE) / CAST($b AS DOUBLE)) AS BIGINT)"
 }
