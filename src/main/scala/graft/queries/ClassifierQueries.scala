@@ -398,5 +398,64 @@ object ClassifierQueries {
                      "NULLIF(tot.p_total * tot.n_total, 0)")} AS gini_milli,
            |  ${fdiv("apn.ap_num", "NULLIF(1000 * tot.p_total, 0)")} AS ap_milli
            |FROM tot CROSS JOIN aucn CROSS JOIN apn""".stripMargin
-      }))
+      }),
+
+    // ----- q164: multinomial Naive Bayes (operators.NaiveBayes) —
+    // the closed-form generative counterpart to the q128 GD trainer:
+    // one aggregation pass IS the training. Self-train on
+    // documents.lang, Laplace add-one, and scores kept EXACT by
+    // rounding each ln to r4 fixed point BEFORE summing (one libm
+    // call per model cell; from there pure BIGINT algebra), so the
+    // oracle reproduces every posterior and the argmax with no
+    // tolerance.
+    QueryDef(
+      "q164_naive_bayes",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.NaiveBayes
+          .classify(Tables.documents(s, d), "doc_id", "text", "lang")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS MATERIALIZED (
+             |  SELECT doc_id, lang AS c, w FROM (
+             |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             |    FROM documents)
+             |  WHERE length(w) > 0),
+             |wc AS (
+             |  SELECT c, w, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM toks GROUP BY 1, 2),
+             |tot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM wc GROUP BY 1),
+             |vocab AS (SELECT DISTINCT w FROM wc),
+             |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+             |pri AS (
+             |  SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS nc
+             |  FROM documents GROUP BY 1),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |grid AS MATERIALIZED (
+             |  SELECT t.c, vb.w,
+             |    CAST(floor(ln(CAST(COALESCE(wc.cnt, 0) + 1 AS DOUBLE)
+             |                  / CAST(t.tot + vv.v AS DOUBLE)) * 10000 + 0.5)
+             |      AS BIGINT) AS lnq
+             |  FROM tot t CROSS JOIN vocab vb CROSS JOIN vv
+             |  LEFT JOIN wc ON wc.c = t.c AND wc.w = vb.w),
+             |pq AS (
+             |  SELECT c, CAST(floor(ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * 10000 + 0.5) AS BIGINT) AS lnp
+             |  FROM pri CROSS JOIN nn),
+             |dt AS (
+             |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cdw
+             |  FROM toks GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT dt.doc_id, g.c,
+             |    CAST(SUM(dt.cdw * g.lnq) AS BIGINT) + MIN(p.lnp) AS score
+             |  FROM dt JOIN grid g USING (w) JOIN pq p ON p.c = g.c
+             |  GROUP BY dt.doc_id, g.c),
+             |pred AS (
+             |  SELECT doc_id, c AS pred_lang, score,
+             |    row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+             |  FROM scored)
+             |SELECT d.doc_id, d.lang, p.pred_lang, p.score
+             |FROM pred p JOIN documents d USING (doc_id)
+             |WHERE p.rn = 1 ORDER BY d.doc_id""".stripMargin)))
 }
