@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Kaplan–Meier survival estimation over an event stream — the
+  * churn-analysis primitive (time-to-last-activity with right
+  * censoring for still-active users), computed without ever forming
+  * per-user state beyond one aggregation.
+  *
+  * Reference seam: the reference pipeline has no lifecycle analytics;
+  * retention/churn curves are the LLM-data-ops extension next to q98
+  * cohort retention (SURVEY §2.12).
+  *
+  * Semantics: each user's duration is days from first to last event;
+  * a user whose last event falls within [[CensorDays]] of the global
+  * observation end is right-CENSORED (still active — their true
+  * lifetime exceeds what we saw), otherwise the churn event is
+  * observed. The estimator over distinct durations t:
+  *   n_t = Σ_{u ≥ t} users_u   (risk set — reverse running sum),
+  *   S(t) = Π_{u ≤ t} (n_u − d_u)/n_u.
+  *
+  * Exactness (the q96/q164 libm discipline): every KM factor is the
+  * exact rational (n−d)/n whose DOUBLE image is IEEE-identical across
+  * engines; its ONE ln is snapped to r4 fixed point immediately, so
+  * the cumulative log-survival is exact BIGINT algebra; the final
+  * exp(·) is one libm call snapped to milli. A d = n time point (no
+  * survivors) would make the factor ln(0); it can only be the LAST
+  * point, carries lnq NULL (skipped by the running sum, matching SQL
+  * SUM-over-NULL), and reports surv_milli = 0 explicitly.
+  *
+  * Scale shape: one groupBy(user) pass, one groupBy(duration) pass —
+  * after which the frame is AT MOST one row per distinct duration-day
+  * (bounded by the observation span, not the corpus). Both running
+  * sums use [[GlobalOrder.runningSum]] (two-pass range-partitioned
+  * prefix sum — no single-partition window ever appears in the plan).
+  */
+object Survival {
+
+  /** r4 fixed point for per-factor logs. */
+  val LnScale = 10000L
+
+  /** Last-activity slack (days) before a user counts as churned. */
+  val CensorDays = 14
+
+  /** KM curve: (t_day, n_risk, d, c, lnq_cum, surv_milli), one row
+    * per distinct duration, ordered by t_day.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val spans = events
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("fd"), max(to_date(col(tsCol))).as("ld"))
+    val horizon = spans.agg(max(col("ld")).as("endd"))
+    val lif = spans.crossJoin(broadcast(horizon))
+      .select(
+        datediff(col("ld"), col("fd")).cast("long").as("t"),
+        when(datediff(col("endd"), col("ld")) > CensorDays, 1L).otherwise(0L)
+          .as("ev"))
+    val byT = lif.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"),
+        (count(lit(1)) - sum(col("ev"))).as("c"))
+
+    // risk set: reverse (descending-t) running sum of the day's users
+    val withRisk = GlobalOrder
+      .runningSum(
+        byT.withColumn("users_dec", (col("d") + col("c")).cast("decimal(38,0)")),
+        Seq(col("t").desc), "users_dec", "n_risk_dec")
+      .withColumn("n_risk", col("n_risk_dec").cast("long"))
+      .drop("users_dec", "n_risk_dec")
+
+    // per-time factor ln((n-d)/n), r4-snapped; NULL at a no-survivor
+    // tail point (handled via surv_milli = 0 below)
+    val withLnq = withRisk.withColumn("lnq",
+      when(col("d") < col("n_risk"),
+        floor(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")) * LnScale + lit(0.5))
+          .cast("decimal(38,0)"))
+        .otherwise(lit(null).cast("decimal(38,0)")))
+
+    GlobalOrder
+      .runningSum(withLnq, Seq(col("t").asc), "lnq", "lnq_cum_dec")
+      .select(
+        col("t").as("t_day"), col("n_risk"), col("d"), col("c"),
+        col("lnq_cum_dec").cast("long").as("lnq_cum"),
+        when(col("d") === col("n_risk"), 0L)
+          .otherwise(floor(
+            exp(col("lnq_cum_dec").cast("double") / lit(10000.0)) * 1000
+              + lit(0.5)).cast("long"))
+          .as("surv_milli"))
+      .orderBy(col("t_day"))
+  }
+}

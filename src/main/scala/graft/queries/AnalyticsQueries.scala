@@ -647,7 +647,60 @@ object AnalyticsQueries {
            |JOIN singles eb ON eb.source = i.src_b
            |JOIN uni u ON u.src_a = i.src_a AND u.src_b = i.src_b
            |ORDER BY i.src_a, i.src_b""".stripMargin
-      }))
+      }),
+
+    // ----- q165: Kaplan–Meier churn survival (operators.Survival) —
+    // per-user first→last activity spans, right-censoring inside the
+    // 14-day tail, risk sets by a REVERSE GlobalOrder.runningSum and
+    // the survival product as exact BIGINT sums of r4-snapped per-
+    // factor logs (one ln per distinct duration, one exp per row —
+    // the q96/q164 libm discipline). The oracle rebuilds the entire
+    // curve with plain window sums over the identical rationals.
+    QueryDef(
+      "q165_kaplan_meier",
+      (s, d) => {
+        graft.operators.Survival
+          .kaplanMeier(Tables.events(s, d), "user_id", "ts")
+      },
+      Some(s"""WITH pu AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+             |    MAX(CAST(ts AS DATE)) AS ld
+             |  FROM events GROUP BY 1),
+             |hz AS (SELECT MAX(ld) AS endd FROM pu),
+             |lif AS (
+             |  SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+             |    CASE WHEN date_diff('day', ld, endd)
+             |      > ${graft.operators.Survival.CensorDays}
+             |      THEN 1 ELSE 0 END AS ev
+             |  FROM pu, hz),
+             |byt AS (
+             |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             |    CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+             |  FROM lif GROUP BY t),
+             |risk AS (
+             |  SELECT t, d, c,
+             |    CAST(SUM(d + c) OVER (ORDER BY t DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n_risk
+             |  FROM byt),
+             |fac AS (
+             |  SELECT t, d, c, n_risk,
+             |    CASE WHEN d < n_risk THEN
+             |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+             |        / CAST(n_risk AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+             |    ELSE NULL END AS lnq
+             |  FROM risk),
+             |cum AS (
+             |  SELECT t, d, c, n_risk,
+             |    CAST(SUM(lnq) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS lnq_cum
+             |  FROM fac)
+             |SELECT t AS t_day, n_risk, d, c, lnq_cum,
+             |  CASE WHEN d = n_risk THEN 0
+             |    ELSE CAST(floor(exp(CAST(lnq_cum AS DOUBLE) / 10000.0)
+             |      * 1000 + 0.5) AS BIGINT) END AS surv_milli
+             |FROM cum ORDER BY t_day""".stripMargin)))
 
   /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103
     * oracle. FNV-1a over the word's bytes in HUGEINT (the corpus is

@@ -457,5 +457,56 @@ object ClassifierQueries {
              |  FROM scored)
              |SELECT d.doc_id, d.lang, p.pred_lang, p.score
              |FROM pred p JOIN documents d USING (doc_id)
-             |WHERE p.rn = 1 ORDER BY d.doc_id""".stripMargin)))
+             |WHERE p.rn = 1 ORDER BY d.doc_id""".stripMargin)),
+
+    // ----- q166: χ² feature selection (operators.ChiSquare) — the
+    // supervised vocabulary ranking ahead of a q164/q128-style
+    // filter. All contingency cells are exact BIGINTs; the χ² value
+    // is ONE fixed left-associated IEEE double chain (each op exactly
+    // rounded, no libm at all), r4-snapped — so the oracle reproduces
+    // every score and the per-class top-10 with no tolerance.
+    QueryDef(
+      "q166_chi2_features",
+      (s, d) => {
+        graft.operators.ChiSquare
+          .topFeatures(Tables.documents(s, d), "doc_id", "text", "lang", k = 10)
+      },
+      Some("""WITH pres AS MATERIALIZED (
+             |  SELECT DISTINCT doc_id, lang AS c, w FROM (
+             |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             |    FROM documents)
+             |  WHERE length(w) > 0),
+             |a AS (
+             |  SELECT c, w, CAST(COUNT(*) AS BIGINT) AS a_docs
+             |  FROM pres GROUP BY 1, 2),
+             |nw AS (SELECT w, CAST(SUM(a_docs) AS BIGINT) AS nw FROM a GROUP BY 1),
+             |nc AS (
+             |  SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS nc
+             |  FROM documents GROUP BY 1),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |grid AS (
+             |  SELECT nc.c, nw.w, COALESCE(a.a_docs, 0) AS a_docs,
+             |    nw.nw, nc.nc, nn.n
+             |  FROM nc CROSS JOIN nw CROSS JOIN nn
+             |  LEFT JOIN a ON a.c = nc.c AND a.w = nw.w
+             |  WHERE nw.nw > 0 AND nw.nw < nn.n),
+             |scored AS (
+             |  SELECT c, w, a_docs,
+             |    CAST(floor(
+             |      CAST(n AS DOUBLE)
+             |      * CAST(a_docs * (n - nc - (nw - a_docs))
+             |             - (nw - a_docs) * (nc - a_docs) AS DOUBLE)
+             |      * CAST(a_docs * (n - nc - (nw - a_docs))
+             |             - (nw - a_docs) * (nc - a_docs) AS DOUBLE)
+             |      / CAST(nw AS DOUBLE) / CAST(n - nw AS DOUBLE)
+             |      / CAST(nc AS DOUBLE) / CAST(n - nc AS DOUBLE)
+             |      * 10000 + 0.5) AS BIGINT) AS chi2_q
+             |  FROM grid),
+             |rk AS (
+             |  SELECT c, w, a_docs, chi2_q,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY c ORDER BY chi2_q DESC, w) AS BIGINT) AS rnk
+             |  FROM scored)
+             |SELECT c, w, a_docs, chi2_q, rnk FROM rk
+             |WHERE rnk <= 10 ORDER BY c, rnk""".stripMargin)))
 }

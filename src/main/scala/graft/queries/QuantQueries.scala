@@ -146,5 +146,57 @@ object QuantQueries {
            |FROM er e JOIN sr s ON e.qid = s.qid AND e.vec_id = s.vec_id
            |GROUP BY e.qid
            |ORDER BY query_id""".stripMargin
-      }))
+      }),
+
+    // ----- q167: two-proportion z-test per event type — the A/B-test
+    // read-out over a deterministic user split (user_id parity; the
+    // repo's portable-hash splits q85 would work identically). Counts
+    // are exact BIGINTs; the z statistic is one fixed left-associated
+    // IEEE double chain ending in ONE sqrt (exactly rounded by
+    // IEEE-754, unlike libm ln/exp), so micro-scaled z values match
+    // with no tolerance at all.
+    QueryDef(
+      "q167_ab_ztest",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_type", (col("user_id") % 2 === 0).as("is_a"))
+        val byCohort = ev.groupBy($"event_type")
+          .agg(sum(when($"is_a", 1L).otherwise(0L)).as("x1"),
+            sum(when(!$"is_a", 1L).otherwise(0L)).as("x2"))
+        val totals = ev.agg(
+          sum(when($"is_a", 1L).otherwise(0L)).as("n1"),
+          sum(when(!$"is_a", 1L).otherwise(0L)).as("n2"))
+        val p1 = $"x1".cast("double") / $"n1".cast("double")
+        val p2 = $"x2".cast("double") / $"n2".cast("double")
+        val p = ($"x1" + $"x2").cast("double") / ($"n1" + $"n2").cast("double")
+        val se = sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / $"n1".cast("double") + lit(1.0) / $"n2".cast("double")))
+        byCohort.crossJoin(broadcast(totals))
+          .select($"event_type", $"x1", $"n1", $"x2", $"n2",
+            floor((p1 - p2) / se * 1000000 + lit(0.5)).cast("long")
+              .as("z_micro"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, (user_id % 2 = 0) AS is_a FROM events),
+             |bc AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS x2
+             |  FROM ev GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             |  FROM ev)
+             |SELECT event_type, x1, n1, x2, n2,
+             |  CAST(floor(
+             |    (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |     - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             |    / sqrt(CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+             |           * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+             |           * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+             |    * 1000000 + 0.5) AS BIGINT) AS z_micro
+             |FROM bc CROSS JOIN tot
+             |ORDER BY event_type""".stripMargin)))
 }

@@ -324,5 +324,35 @@ object SequenceQueries {
              |  count(DISTINCT user_id) AS n_users
              |FROM p GROUP BY path
              |ORDER BY n_sessions DESC, path
-             |LIMIT 20""".stripMargin)))
+             |LIMIT 20""".stripMargin)),
+
+    // ----- q168: per-user integer EWMA (operators.Ewma) — the
+    // sequential smoothing recurrence s_t = s_{t-1} +
+    // fdiv(x_t - s_{t-1}, 8) in centi-quanta. Non-linear (floored)
+    // carry → no window can express it: the Spark side is the
+    // mapGroups tier, the oracle replays the identical recurrence as
+    // a RECURSIVE CTE stepping rn → rn+1 within each user. Every
+    // step is exact integer algebra, so 10k rows of smoothed state
+    // hash-match with no tolerance.
+    QueryDef(
+      "q168_ewma",
+      (s, d) => graft.operators.Ewma
+        .ewma(Tables.events(s, d), "user_id", "ts", "event_id", "value"),
+      Some(s"""WITH RECURSIVE base AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq,
+             |    CAST(row_number() OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+             |  FROM events),
+             |ew AS (
+             |  SELECT user_id, event_id, rn, xq, xq AS s
+             |  FROM base WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.user_id, b.event_id, b.rn, b.xq,
+             |    e.s + ${QueryFixtures.fdivSql("b.xq - e.s",
+                      graft.operators.Ewma.AlphaDen.toString)}
+             |  FROM ew e JOIN base b
+             |    ON b.user_id = e.user_id AND b.rn = e.rn + 1)
+             |SELECT user_id, rn, event_id, xq, s AS ewma
+             |FROM ew ORDER BY user_id, rn""".stripMargin)))
 }
