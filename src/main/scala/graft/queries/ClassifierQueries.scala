@@ -508,5 +508,91 @@ object ClassifierQueries {
              |      PARTITION BY c ORDER BY chi2_q DESC, w) AS BIGINT) AS rnk
              |  FROM scored)
              |SELECT c, w, a_docs, chi2_q, rnk FROM rk
-             |WHERE rnk <= 10 ORDER BY c, rnk""".stripMargin)))
+             |WHERE rnk <= 10 ORDER BY c, rnk""".stripMargin)),
+
+    // ----- q169: depth-2 decision tree (operators.DecisionTree) —
+    // split selection by EXACT Gini on integer counts (maximizing
+    // S_L/n_L + S_R/n_R through its single-division IEEE double
+    // image, (dim, threshold) tie-break), so the oracle re-derives
+    // the ENTIRE tree — root argmax, per-branch second-level argmax,
+    // leaf majority labels — and every row's routing hash-matches.
+    // The model parameters ride every row (j/t columns), so the
+    // learned structure itself is value-checked, not just the
+    // predictions.
+    QueryDef(
+      "q169_decision_tree",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val m = graft.operators.DecisionTree.fit(embs, "vec_id", "embedding", "label")
+        graft.operators.DecisionTree.assign(embs, "vec_id", "embedding", "label", m)
+      },
+      Some("""WITH quant AS MATERIALIZED (
+             |  SELECT vec_id, CAST(label AS BIGINT) AS label, pos,
+             |    CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT) AS xq
+             |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+             |    unnest(list_transform(range(0, len(embedding)), x -> x)) AS pos
+             |    FROM embeddings)),
+             |th AS (SELECT CAST(-448 + 64 * k AS BIGINT) AS t FROM range(0, 15) r(k)),
+             |cand AS (
+             |  SELECT q.pos, th.t, (q.xq <= th.t) AS side, q.label,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM quant q CROSS JOIN th GROUP BY 1, 2, 3, 4),
+             |ss AS (
+             |  SELECT pos, t, side, CAST(SUM(cnt) AS BIGINT) AS n,
+             |    CAST(SUM(cnt * cnt) AS BIGINT) AS s
+             |  FROM cand GROUP BY 1, 2, 3),
+             |pc AS (
+             |  SELECT l.pos, l.t, l.n AS nl, l.s AS sl, r.n AS nr, r.s AS sr
+             |  FROM ss l JOIN ss r
+             |    ON l.pos = r.pos AND l.t = r.t AND l.side AND NOT r.side),
+             |root AS (
+             |  SELECT pos AS j0, t AS t0 FROM pc
+             |  ORDER BY CAST(sl * nr + sr * nl AS DOUBLE)
+             |    / CAST(nl * nr AS DOUBLE) DESC, pos, t LIMIT 1),
+             |br AS MATERIALIZED (
+             |  SELECT q.vec_id, (q.xq <= r.t0) AS branch
+             |  FROM quant q, root r WHERE q.pos = r.j0),
+             |cand2 AS (
+             |  SELECT b.branch, q.pos, th.t, (q.xq <= th.t) AS side, q.label,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM quant q JOIN br b USING (vec_id) CROSS JOIN th
+             |  GROUP BY 1, 2, 3, 4, 5),
+             |ss2 AS (
+             |  SELECT branch, pos, t, side, CAST(SUM(cnt) AS BIGINT) AS n,
+             |    CAST(SUM(cnt * cnt) AS BIGINT) AS s
+             |  FROM cand2 GROUP BY 1, 2, 3, 4),
+             |pc2 AS (
+             |  SELECT l.branch, l.pos, l.t, l.n AS nl, l.s AS sl,
+             |    r.n AS nr, r.s AS sr
+             |  FROM ss2 l JOIN ss2 r ON l.branch = r.branch AND l.pos = r.pos
+             |    AND l.t = r.t AND l.side AND NOT r.side),
+             |sub AS (
+             |  SELECT branch, pos AS js, t AS tsub FROM (
+             |    SELECT branch, pos, t,
+             |      row_number() OVER (PARTITION BY branch ORDER BY
+             |        CAST(sl * nr + sr * nl AS DOUBLE)
+             |          / CAST(nl * nr AS DOUBLE) DESC, pos, t) AS rn
+             |    FROM pc2) WHERE rn = 1),
+             |routed AS MATERIALIZED (
+             |  SELECT b.vec_id, lb.label,
+             |    CAST(CASE WHEN b.branch THEN 0 ELSE 2 END +
+             |         CASE WHEN q.xq <= s.tsub THEN 0 ELSE 1 END AS BIGINT) AS leaf,
+             |    s.js AS j_sub, s.tsub AS t_sub
+             |  FROM br b
+             |  JOIN sub s ON s.branch = b.branch
+             |  JOIN quant q ON q.vec_id = b.vec_id AND q.pos = s.js
+             |  JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label
+             |        FROM embeddings) lb ON lb.vec_id = b.vec_id),
+             |lpc AS (
+             |  SELECT leaf, label, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM routed GROUP BY 1, 2),
+             |lp AS (
+             |  SELECT leaf, label AS pred FROM (
+             |    SELECT leaf, label, row_number() OVER (
+             |      PARTITION BY leaf ORDER BY cnt DESC, label) AS rn
+             |    FROM lpc) WHERE rn = 1)
+             |SELECT r.vec_id, r.label, r.leaf, p.pred,
+             |  rt.j0 AS j_root, rt.t0 AS t_root, r.j_sub, r.t_sub
+             |FROM routed r JOIN lp p USING (leaf) CROSS JOIN root rt
+             |ORDER BY r.vec_id""".stripMargin)))
 }
