@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-sample nonparametric tests — Kolmogorov–Smirnov and
+  * Mann–Whitney U — over a value column split into two cohorts by a
+  * boolean. The distribution-shift detectors a data pipeline runs
+  * between corpus versions / A-B cohorts when no parametric form is
+  * assumed.
+  *
+  * Exactness: both statistics are EXACT integer algebra on grouped
+  * counts —
+  *  - KS: D = max_v |F1(v) − F2(v)| is kept as the integer
+  *    cross-product |cum1·n2 − cum2·n1| over the merged support
+  *    (denominator n1·n2), so the max and its location are
+  *    engine-independent with no tolerance;
+  *  - MWU: doubled tie-averaged ranks 2·rank(v) = 2·cumBefore + cnt
+  *    + 1 are integers, so the doubled rank-sum U2 = 2U is exact,
+  *    as is the tie-correction term Σ(t³−t);
+  * the final z normalization is one fixed IEEE double chain ending
+  * in one exactly-rounded sqrt (r6-snapped), the q167 discipline.
+  *
+  * Scale shape: one groupBy(value) shuffle; every later frame is
+  * support-sized (distinct values), never corpus-sized. Cumulative
+  * counts use [[GlobalOrder.runningSum]] — the two-pass prefix sum,
+  * no single-partition window. Headroom: cum·n ≤ n² < 2^53 for
+  * n < 9·10^7 per cohort.
+  */
+object RankTests {
+
+  /** Per-distinct-value merged-support counts with running totals:
+    * (v, c1, c2, cum1, cum2) sorted by v ascending.
+    */
+  private def support(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val byV = df.groupBy(col(valueCol).as("v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("c1"),
+        sum(when(isA, 0L).otherwise(1L)).as("c2"))
+      .withColumn("c1d", col("c1").cast("decimal(38,0)"))
+      .withColumn("c2d", col("c2").cast("decimal(38,0)"))
+    val r1 = GlobalOrder.runningSum(byV, Seq(col("v").asc), "c1d", "cum1d")
+    GlobalOrder.runningSum(r1, Seq(col("v").asc), "c2d", "cum2d")
+      .select(col("v"), col("c1"), col("c2"),
+        col("cum1d").cast("long").as("cum1"),
+        col("cum2d").cast("long").as("cum2"))
+  }
+
+  /** One-row KS report: (v_at, n1, n2, d_num, d_den, ks_micro) with
+    * d_num/d_den = D = sup|F1−F2| as an exact rational and v_at the
+    * smallest value attaining it.
+    */
+  def ks(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val sup = support(df, valueCol, isA)
+    val tot = sup.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    sup.crossJoin(broadcast(tot))
+      .withColumn("d_num", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .orderBy(col("d_num").desc, col("v").asc).limit(1)
+      .select(col("v").as("v_at"), col("n1"), col("n2"), col("d_num"),
+        (col("n1") * col("n2")).as("d_den"),
+        floor(col("d_num").cast("double") / (col("n1") * col("n2")).cast("double")
+          * 1000000 + lit(0.5)).cast("long").as("ks_micro"))
+  }
+
+  /** One-row Mann–Whitney report: (n1, n2, u2, tie_sum, z_micro) —
+    * u2 = 2U for cohort A (tie-averaged), tie-corrected normal
+    * approximation.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val sup = support(df, valueCol, isA)
+    val terms = sup.select(
+      col("c1"), col("c2"),
+      // 2·avgRank = 2·cumBefore + cnt + 1; cumBefore = cum − cnt
+      (col("c1") * (lit(2L) * (col("cum1") + col("cum2") - col("c1") - col("c2"))
+        + col("c1") + col("c2") + 1L)).as("r2a_term"),
+      (((col("c1") + col("c2")) * (col("c1") + col("c2")) * (col("c1") + col("c2")))
+        - (col("c1") + col("c2"))).as("tie_term"))
+    val agg = terms.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(col("r2a_term")).as("r2a"), sum(col("tie_term")).as("tie_sum"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    val u2 = col("r2a") - col("n1") * (col("n1") + 1L)
+    val varU = n1d * n2d / 12.0 *
+      ((nd + 1.0) - col("tie_sum").cast("double") / (nd * (nd - 1.0)))
+    agg.select(col("n1"), col("n2"), u2.as("u2"), col("tie_sum"),
+      floor((u2.cast("double") - n1d * n2d) / 2.0 / sqrt(varU) * 1000000
+        + lit(0.5)).cast("long").as("z_micro"))
+  }
+}

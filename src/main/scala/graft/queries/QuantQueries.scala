@@ -198,5 +198,153 @@ object QuantQueries {
              |           * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
              |    * 1000000 + 0.5) AS BIGINT) AS z_micro
              |FROM bc CROSS JOIN tot
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ----- q170: Pearson correlation matrix over the lineitem money
+    // columns — raw moments as EXACT sums (cent-quantized BIGINT
+    // products summed in decimal(38,0)/HUGEINT, order-independent),
+    // then r from one fixed IEEE double chain with two exact sqrts,
+    // micro-snapped. The 6 pair arms are GENERATED from one column
+    // list for both engines (no transcription drift).
+    QueryDef(
+      "q170_correlation",
+      (s, d) => {
+        val q = Tables.lineitem(s, d).select(CorrCols.zipWithIndex.map {
+          case (c, i) =>
+            floor(col(c) * 100 + lit(0.5)).cast("long").as(s"x$i")
+        }: _*)
+        val aggs =
+          CorrCols.indices.map(i =>
+            sum(col(s"x$i").cast("decimal(38,0)")).as(s"s$i")) ++
+          (for { i <- CorrCols.indices; j <- CorrCols.indices if i <= j }
+            yield sum((col(s"x$i") * col(s"x$j")).cast("decimal(38,0)"))
+              .as(s"s$i$j")) :+
+          count(lit(1)).as("n")
+        val m = q.agg(aggs.head, aggs.tail: _*)
+        val nd = col("n").cast("double")
+        def sd(nm: String) = col(nm).cast("double")
+        val arms = for { i <- CorrCols.indices; j <- CorrCols.indices if i < j }
+          yield {
+            val num = nd * sd(s"s$i$j") - sd(s"s$i") * sd(s"s$j")
+            val den = sqrt(nd * sd(s"s$i$i") - sd(s"s$i") * sd(s"s$i")) *
+              sqrt(nd * sd(s"s$j$j") - sd(s"s$j") * sd(s"s$j"))
+            m.select(lit(CorrCols(i)).as("col_a"), lit(CorrCols(j)).as("col_b"),
+              col("n"),
+              floor(num / den * 1000000 + lit(0.5)).cast("long").as("r_micro"))
+          }
+        arms.reduce(_ unionAll _).orderBy(col("col_a"), col("col_b"))
+      },
+      Some(corrOracle)),
+
+    // ----- q171: two-sample Kolmogorov–Smirnov over purchase values
+    // (parity cohorts) — D kept as the exact integer cross-product
+    // |cum1·n2 − cum2·n1| over the merged support, so the max AND its
+    // location match with zero tolerance (operators.RankTests; cums
+    // via the two-pass GlobalOrder.runningSum, never a global
+    // window).
+    QueryDef(
+      "q171_ks_test",
+      (s, d) => graft.operators.RankTests.ks(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "value", col("user_id") % 2 === 0),
+      Some("""WITH v AS (
+             |  SELECT value AS v,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |c AS (
+             |  SELECT v, c1, c2,
+             |    CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+             |    CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+             |  FROM v),
+             |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |        CAST(SUM(c2) AS BIGINT) AS n2 FROM v)
+             |SELECT c.v AS v_at, t.n1, t.n2,
+             |  abs(c.cum1 * t.n2 - c.cum2 * t.n1) AS d_num,
+             |  t.n1 * t.n2 AS d_den,
+             |  CAST(floor(CAST(abs(c.cum1 * t.n2 - c.cum2 * t.n1) AS DOUBLE)
+             |    / CAST(t.n1 * t.n2 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |    AS ks_micro
+             |FROM c, t
+             |ORDER BY d_num DESC, v_at LIMIT 1""".stripMargin)),
+
+    // ----- q172: Mann–Whitney U (tie-corrected) on the same cohort
+    // split — doubled tie-averaged ranks keep the rank sum exact
+    // BIGINT (2·rank = 2·cumBefore + cnt + 1), tie correction
+    // Σ(t³−t) exact; one sqrt for the z normalization.
+    QueryDef(
+      "q172_mann_whitney",
+      (s, d) => graft.operators.RankTests.mannWhitneyU(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "value", col("user_id") % 2 === 0),
+      Some("""WITH v AS (
+             |  SELECT value AS v,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |c AS (
+             |  SELECT v, c1, c2,
+             |    CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+             |    CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+             |  FROM v),
+             |g AS (
+             |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |    CAST(SUM(c2) AS BIGINT) AS n2,
+             |    CAST(SUM(c1 * (2 * (cum1 + cum2 - c1 - c2) + c1 + c2 + 1))
+             |      AS BIGINT) AS r2a,
+             |    CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+             |      AS BIGINT) AS tie_sum
+             |  FROM c)
+             |SELECT n1, n2, r2a - n1 * (n1 + 1) AS u2, tie_sum,
+             |  CAST(floor(
+             |    (CAST(r2a - n1 * (n1 + 1) AS DOUBLE)
+             |     - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             |    / 2.0
+             |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+             |           * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+             |              - CAST(tie_sum AS DOUBLE)
+             |                / (CAST(n1 + n2 AS DOUBLE)
+             |                   * (CAST(n1 + n2 AS DOUBLE) - 1.0))))
+             |    * 1000000 + 0.5) AS BIGINT) AS z_micro
+             |FROM g""".stripMargin)))
+
+  /** Column list shared by q170's Spark arms and oracle arms. */
+  private val CorrCols =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** The q170 oracle, generated from [[CorrCols]]. */
+  private def corrOracle: String = {
+    val quants = CorrCols.zipWithIndex.map { case (c, i) =>
+      s"CAST(floor($c * 100 + 0.5) AS BIGINT) AS x$i"
+    }.mkString(",\n    ")
+    val sums = CorrCols.indices.map(i => s"SUM(x$i) AS s$i") ++
+      (for { i <- CorrCols.indices; j <- CorrCols.indices if i <= j }
+        yield s"SUM(x$i * x$j) AS s$i$j")
+    val arms = for { i <- CorrCols.indices; j <- CorrCols.indices if i < j }
+      yield
+        s"""SELECT '${CorrCols(i)}' AS col_a, '${CorrCols(j)}' AS col_b, n,
+           |  CAST(floor(
+           |    (CAST(n AS DOUBLE) * CAST(s$i$j AS DOUBLE)
+           |     - CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE))
+           |    / (sqrt(CAST(n AS DOUBLE) * CAST(s$i$i AS DOUBLE)
+           |            - CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE))
+           |       * sqrt(CAST(n AS DOUBLE) * CAST(s$j$j AS DOUBLE)
+           |              - CAST(s$j AS DOUBLE) * CAST(s$j AS DOUBLE)))
+           |    * 1000000 + 0.5) AS BIGINT) AS r_micro
+           |FROM m""".stripMargin
+    s"""WITH q AS (
+       |  SELECT ${quants}
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM q)
+       |SELECT * FROM (
+       |${arms.mkString("\nUNION ALL\n")})
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 }

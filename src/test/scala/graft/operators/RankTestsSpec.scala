@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Two-sample rank tests (operators.RankTests): hand-computed KS
+  * max-deviation (location and exact rational), Mann–Whitney doubled
+  * rank-sum with tie correction, and layout invariance.
+  */
+class RankTestsSpec extends SparkSpec {
+
+  /** A (even users) = [1,2,2,4]; B (odd users) = [2,3]. */
+  private def fixture: DataFrame = {
+    import spark.implicits._
+    Seq((0L, 1.0), (2L, 2.0), (4L, 2.0), (6L, 4.0), (1L, 2.0), (3L, 3.0))
+      .toDF("user_id", "value")
+  }
+  private val isA = col("user_id") % 2 === 0
+
+  test("KS: exact max |F1-F2| cross-product and its location") {
+    import spark.implicits._
+    val out = RankTests.ks(fixture, "value", isA)
+      .as[(Double, Long, Long, Long, Long, Long)].collect().toSeq
+    // D = 2/8 first attained at v = 1.0
+    assert(out == Seq((1.0, 4L, 2L, 2L, 8L, 250000L)), s"got $out")
+  }
+
+  test("MWU: doubled tie-averaged rank sum, tie term, z") {
+    import spark.implicits._
+    val out = RankTests.mannWhitneyU(fixture, "value", isA)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // ranks: 1; {2,3,4}→3 each; 5; 6 → R_A = 13, r2a = 26, u2 = 6;
+    // ties: one triple → 24
+    val z = (6.0 - 8.0) / 2.0 / math.sqrt(
+      4.0 * 2.0 / 12.0 * ((6.0 + 1.0) - 24.0 / (6.0 * 5.0)))
+    val zMicro = math.floor(z * 1000000 + 0.5).toLong
+    assert(out == Seq((4L, 2L, 6L, 24L, zMicro)), s"got $out (want z=$zMicro)")
+  }
+
+  test("both tests are layout invariant") {
+    import spark.implicits._
+    def runKs(df: DataFrame) =
+      RankTests.ks(df, "value", isA)
+        .as[(Double, Long, Long, Long, Long, Long)].collect().toSeq
+    def runMwu(df: DataFrame) =
+      RankTests.mannWhitneyU(df, "value", isA)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(runKs(fixture.repartition(5)) == runKs(fixture.repartition(1)))
+    assert(runMwu(fixture.repartition(5)) == runMwu(fixture.repartition(1)))
+  }
+}
