@@ -87,4 +87,34 @@ object RankTests {
       floor((u2.cast("double") - n1d * n2d) / 2.0 / sqrt(varU) * 1000000
         + lit(0.5)).cast("long").as("z_micro"))
   }
+
+  /** One-row Spearman rank correlation (tie-averaged; the Pearson-
+    * over-ranks definition, which stays correct under ties where the
+    * 6Σd² shortcut does not): (n, rho_micro). Doubled ranks keep all
+    * moments exact (decimal-summed); ρ is the q170 double chain.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df.select(col(xCol).as("x"), col(yCol).as("y"))
+    def rankTable(c: String, out: String): DataFrame = {
+      val byV = rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cntd", col("cnt").cast("decimal(38,0)"))
+      GlobalOrder.runningSum(byV, Seq(col("v").asc), "cntd", "cumd")
+        .select(col("v").as(c),
+          (lit(2L) * col("cumd").cast("long") - col("cnt") + 1L).as(out))
+    }
+    val j = rows.join(rankTable("x", "r2x"), "x").join(rankTable("y", "r2y"), "y")
+    val m = j.agg(count(lit(1)).as("n"),
+      sum(col("r2x").cast("decimal(38,0)")).as("sx"),
+      sum(col("r2y").cast("decimal(38,0)")).as("sy"),
+      sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).as("sxy"))
+    val nd = col("n").cast("double")
+    def sd(nm: String) = col(nm).cast("double")
+    val num = nd * sd("sxy") - sd("sx") * sd("sy")
+    val den = sqrt(nd * sd("sxx") - sd("sx") * sd("sx")) *
+      sqrt(nd * sd("syy") - sd("sy") * sd("sy"))
+    m.select(col("n"),
+      floor(num / den * 1000000 + lit(0.5)).cast("long").as("rho_micro"))
+  }
 }

@@ -310,7 +310,46 @@ object QuantQueries {
              |                / (CAST(n1 + n2 AS DOUBLE)
              |                   * (CAST(n1 + n2 AS DOUBLE) - 1.0))))
              |    * 1000000 + 0.5) AS BIGINT) AS z_micro
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    // ----- q173: Spearman rank correlation (tie-averaged) between
+    // quantity and extended price — Pearson over DOUBLED average
+    // ranks, so every moment is an exact BIGINT/decimal sum and only
+    // the final q170 double chain (two exact sqrts) touches floats.
+    QueryDef(
+      "q173_spearman",
+      (s, d) => graft.operators.RankTests.spearman(
+        Tables.lineitem(s, d), "l_quantity", "l_extendedprice"),
+      Some("""WITH rows_ AS (
+             |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+             |cx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM rows_ GROUP BY 1),
+             |rx AS (SELECT v, 2 * CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+             |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt + 1 AS r2x
+             |  FROM cx),
+             |cy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM rows_ GROUP BY 1),
+             |ry AS (SELECT v, 2 * CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+             |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt + 1 AS r2y
+             |  FROM cy),
+             |j AS (
+             |  SELECT rx.r2x, ry.r2y
+             |  FROM rows_ JOIN rx ON rows_.x = rx.v JOIN ry ON rows_.y = ry.v),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(r2x) AS sx, SUM(r2y) AS sy, SUM(r2x * r2x) AS sxx,
+             |    SUM(r2y * r2y) AS syy, SUM(r2x * r2y) AS sxy
+             |  FROM j)
+             |SELECT n,
+             |  CAST(floor(
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    * 1000000 + 0.5) AS BIGINT) AS rho_micro
+             |FROM m""".stripMargin)))
 
   /** Column list shared by q170's Spark arms and oracle arms. */
   private val CorrCols =

@@ -38,6 +38,20 @@ class RankTestsSpec extends SparkSpec {
     assert(out == Seq((4L, 2L, 6L, 24L, zMicro)), s"got $out (want z=$zMicro)")
   }
 
+  test("Spearman: monotone → 1, planted tie case → exactly 0") {
+    import spark.implicits._
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0)).toDF("x", "y")
+    val r1 = RankTests.spearman(mono, "x", "y")
+      .as[(Long, Long)].collect().toSeq
+    assert(r1 == Seq((3L, 1000000L)), s"got $r1")
+    // ranks x: (1.5, 1.5, 3) → r2 (3,3,6); y: (1,3,2) → r2 (2,6,4);
+    // Pearson numerator 3·48 − 12·12 = 0
+    val tied = Seq((1.0, 3.0), (1.0, 5.0), (2.0, 4.0)).toDF("x", "y")
+    val r0 = RankTests.spearman(tied, "x", "y")
+      .as[(Long, Long)].collect().toSeq
+    assert(r0 == Seq((3L, 0L)), s"got $r0")
+  }
+
   test("both tests are layout invariant") {
     import spark.implicits._
     def runKs(df: DataFrame) =
