@@ -350,5 +350,56 @@ object ClusterQueries {
             lit(r.evrMilli).as("evr_milli"))
           .orderBy($"vec_id")
       },
-      Some(pcaOracle)))
+      Some(pcaOracle)),
+
+    // ----- q174: deterministic DBSCAN (operators.Dbscan) — the
+    // density-clustering family: cosine neighborhoods (the exact q37
+    // grid join), core rule |N|+1 ≥ minPts, clusters = components of
+    // the core subgraph, border = min-rep over core neighbors (the
+    // deterministic refinement of classical DBSCAN's scan-order
+    // border ties), noise = −1. Oracle: brute-force neighbor pairs +
+    // recursive-CTE reachability (the q51 closure pattern) + the
+    // identical role CASE.
+    QueryDef(
+      "q174_dbscan",
+      (s, d) => graft.operators.Dbscan.cluster(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        eps = 0.35, minPts = 3),
+      Some("""WITH RECURSIVE p AS MATERIALIZED (
+             |  SELECT a.vec_id AS ia, b.vec_id AS ib
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                               CAST(b.embedding AS DOUBLE[])) > 0.35),
+             |adj AS (SELECT ia AS id, ib AS nb FROM p
+             |        UNION ALL SELECT ib, ia FROM p),
+             |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+             |        FROM adj GROUP BY 1),
+             |roles AS (
+             |  SELECT e.vec_id AS id,
+             |    COALESCE(d.deg, 0) + 1 >= 3 AS is_core
+             |  FROM embeddings e LEFT JOIN deg d ON e.vec_id = d.id),
+             |ce AS (SELECT p.ia AS u, p.ib AS v FROM p
+             |       JOIN roles ra ON ra.id = p.ia AND ra.is_core
+             |       JOIN roles rb ON rb.id = p.ib AND rb.is_core),
+             |cedges AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce),
+             |reach(src, node) AS (
+             |  SELECT id, id FROM roles WHERE is_core
+             |  UNION
+             |  SELECT r.src, ed.v FROM reach r JOIN cedges ed ON r.node = ed.u),
+             |comp AS (SELECT src AS id, MIN(node) AS rep FROM reach GROUP BY src),
+             |br AS (
+             |  SELECT a.id, MIN(c.rep) AS brep
+             |  FROM adj a JOIN comp c ON a.nb = c.id
+             |  GROUP BY a.id)
+             |SELECT r.id,
+             |  CASE WHEN r.is_core THEN 'core'
+             |       WHEN b.brep IS NOT NULL THEN 'border'
+             |       ELSE 'noise' END AS role,
+             |  CAST(CASE WHEN r.is_core THEN c.rep
+             |            WHEN b.brep IS NOT NULL THEN b.brep
+             |            ELSE -1 END AS BIGINT) AS cluster
+             |FROM roles r
+             |LEFT JOIN comp c ON r.id = c.id
+             |LEFT JOIN br b ON r.id = b.id
+             |ORDER BY r.id""".stripMargin)))
 }
