@@ -594,5 +594,93 @@ object ClassifierQueries {
              |SELECT r.vec_id, r.label, r.leaf, p.pred,
              |  rt.j0 AS j_root, rt.t0 AS t_root, r.j_sub, r.t_sub
              |FROM routed r JOIN lp p USING (leaf) CROSS JOIN root rt
-             |ORDER BY r.vec_id""".stripMargin)))
+             |ORDER BY r.vec_id""".stripMargin)),
+
+    // ----- q175: discrete AdaBoost, 3 rounds of decision stumps
+    // (operators.AdaBoost) — the boosting member. Every weight is an
+    // exact integer (the unnormalized update's total is EXACTLY
+    // 2·err·(W−err), so renormalization reduces to one truncating
+    // integer division per row, Spark DIV ≡ DuckDB //); the only
+    // libm call is one ln per round for the r4-snapped vote weight.
+    // The oracle unrolls all three rounds — weighted stump argmin
+    // (err, dim, threshold, polarity tie-break), weight recurrence,
+    // vote weights — and every row's exact BIGINT margin and sign
+    // hash-match.
+    QueryDef(
+      "q175_adaboost",
+      (s, d) => {
+        val embs = Tables.embeddings(s, d)
+        val m = graft.operators.AdaBoost.fit(embs, "vec_id", "embedding",
+          "label", iterations = AdaRounds)
+        graft.operators.AdaBoost.score(embs, "vec_id", "embedding", "label", m)
+      },
+      Some(adaboostOracle)))
+
+  private val AdaRounds = 3
+
+  /** The q175 oracle: [[AdaRounds]] unrolled boosting rounds. */
+  private def adaboostOracle: String = {
+    val ws = graft.operators.AdaBoost.WScale
+    val header =
+      s"""WITH quant AS MATERIALIZED (
+         |  SELECT vec_id, CASE WHEN label = 0 THEN 1 ELSE -1 END AS y, pos,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT) AS xq
+         |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+         |    unnest(list_transform(range(0, len(embedding)), x -> x)) AS pos
+         |    FROM embeddings)),
+         |th AS (SELECT CAST(-448 + 64 * k AS BIGINT) AS t FROM range(0, 15) r(k)),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         |w0 AS (SELECT vec_id, CAST($ws AS BIGINT) AS w FROM embeddings)""".stripMargin
+    val rounds = (0 until AdaRounds).map { r =>
+      s"""wt$r AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM w$r),
+         |er$r AS (
+         |  SELECT q.pos, th.t,
+         |    CAST(SUM(CASE WHEN (CASE WHEN q.xq <= th.t THEN 1 ELSE -1 END) <> q.y
+         |      THEN w.w ELSE 0 END) AS BIGINT) AS errp
+         |  FROM quant q JOIN w$r w USING (vec_id) CROSS JOIN th
+         |  GROUP BY 1, 2),
+         |best$r AS (
+         |  SELECT pos, t, p, err, wt FROM (
+         |    SELECT pos, t, 0 AS p, errp AS err, wt.wt FROM er$r, wt$r wt
+         |    UNION ALL
+         |    SELECT pos, t, 1 AS p, wt.wt - errp AS err, wt.wt
+         |    FROM er$r, wt$r wt)
+         |  ORDER BY err, pos, t, p LIMIT 1),
+         |al$r AS (
+         |  SELECT CAST(floor(ln(CAST(wt - err AS DOUBLE) / CAST(err AS DOUBLE))
+         |    * 5000 + 0.5) AS BIGINT) AS a
+         |  FROM best$r),
+         |w${r + 1} AS MATERIALIZED (
+         |  SELECT w.vec_id,
+         |    CASE WHEN (CASE WHEN q.xq <= b.t THEN 1 ELSE -1 END)
+         |              * (CASE WHEN b.p = 0 THEN 1 ELSE -1 END) <> q.y
+         |      THEN (w.w * $ws * n.n) // (2 * b.err)
+         |      ELSE (w.w * $ws * n.n) // (2 * (b.wt - b.err)) END AS w
+         |  FROM w$r w
+         |  JOIN best$r b ON TRUE
+         |  JOIN quant q ON q.vec_id = w.vec_id AND q.pos = b.pos
+         |  CROSS JOIN nn n)""".stripMargin
+    }
+    val marginTerms = (0 until AdaRounds).map { r =>
+      s"""(CASE WHEN q$r.xq <= b$r.t THEN 1 ELSE -1 END)
+         |     * (CASE WHEN b$r.p = 0 THEN 1 ELSE -1 END) * a$r.a""".stripMargin
+    }.mkString("\n    + ")
+    val roundJoins = (0 until AdaRounds).map { r =>
+      s"""JOIN best$r b$r ON TRUE
+         |JOIN quant q$r ON q$r.vec_id = lb.vec_id AND q$r.pos = b$r.pos
+         |CROSS JOIN al$r a$r""".stripMargin
+    }.mkString("\n")
+    val tail =
+      s"""mar AS (
+         |  SELECT lb.vec_id, lb.y,
+         |    CAST($marginTerms AS BIGINT) AS margin
+         |  FROM (SELECT vec_id,
+         |          CAST(CASE WHEN label = 0 THEN 1 ELSE -1 END AS BIGINT) AS y
+         |        FROM embeddings) lb
+         |$roundJoins)
+         |SELECT vec_id, y, margin,
+         |  CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |FROM mar ORDER BY vec_id""".stripMargin
+    (Seq(header) ++ rounds ++ Seq(tail)).mkString(",\n")
+  }
 }
