@@ -413,7 +413,8 @@ object ClassifierQueries {
       (s, d) => {
         import s.implicits._
         graft.operators.NaiveBayes
-          .classify(Tables.documents(s, d), "doc_id", "text", "lang")
+          .classify(graft.Par.spread(Tables.documents(s, d)),
+            "doc_id", "text", "lang")
           .orderBy($"doc_id")
       },
       Some("""WITH toks AS MATERIALIZED (
@@ -469,7 +470,8 @@ object ClassifierQueries {
       "q166_chi2_features",
       (s, d) => {
         graft.operators.ChiSquare
-          .topFeatures(Tables.documents(s, d), "doc_id", "text", "lang", k = 10)
+          .topFeatures(graft.Par.spread(Tables.documents(s, d)),
+            "doc_id", "text", "lang", k = 10)
       },
       Some("""WITH pres AS MATERIALIZED (
              |  SELECT DISTINCT doc_id, lang AS c, w FROM (

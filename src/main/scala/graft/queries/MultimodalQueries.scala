@@ -130,6 +130,55 @@ object MultimodalQueries {
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy($"hamming")
       },
-      None)
+      None),
+
+    // ----- q176: audio frame features (multimodal/Audio) — the
+    // AUDIO leg, ORACLE-CHECKED: the fixture waveform is generated BY
+    // FORMULA in both engines (multiplicative-hash noise scaled by
+    // clip_id % 4 — clips ≡ 0 (mod 4) are digital silence), the
+    // Spark side round-trips it through REAL s16le PCM bytes
+    // (encode → binary column → decode; the q121 no-drift rule:
+    // one formula, zero literals), and energy/ZCR/silence are pure
+    // integer arithmetic both sides. The byte codec itself is
+    // spec-pinned (AudioSpec round-trip incl. negative samples).
+    QueryDef(
+      "q176_audio_features",
+      (s, d) => {
+        import s.implicits._
+        val clips = s.range(AudioClips).map { c =>
+          val samples = Array.tabulate(AudioSamples) { t =>
+            val m = ((c * 31 + t) * 2654435761L) % 8192L
+            ((m - 4096L) * (c % 4L)).toInt
+          }
+          (c, graft.multimodal.Audio.PcmCodec.encode(samples))
+        }.toDF("clip_id", "audio")
+        graft.multimodal.Audio.frameFeatures(clips, "clip_id", "audio",
+          frameSize = AudioFrame)
+      },
+      Some(s"""WITH samples AS MATERIALIZED (
+             |  SELECT c.range AS c, t.range AS t,
+             |    CAST((((c.range * 31 + t.range) * 2654435761) % 8192 - 4096)
+             |         * (c.range % 4) AS BIGINT) AS s
+             |  FROM range(0, $AudioClips) c, range(0, $AudioSamples) t),
+             |en AS (
+             |  SELECT c, t // $AudioFrame AS f,
+             |    CAST(SUM(s * s) AS BIGINT) AS energy
+             |  FROM samples GROUP BY 1, 2),
+             |zc AS (
+             |  SELECT a.c, a.t // $AudioFrame AS f,
+             |    CAST(SUM(CASE WHEN a.s * b.s < 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS zcr
+             |  FROM samples a JOIN samples b
+             |    ON a.c = b.c AND b.t = a.t - 1 AND a.t % $AudioFrame <> 0
+             |  GROUP BY 1, 2)
+             |SELECT en.c AS clip_id, en.f AS frame_id, en.energy,
+             |  COALESCE(zc.zcr, 0) AS zcr,
+             |  en.energy < ${graft.multimodal.Audio.EnergyFloor} AS is_silent
+             |FROM en LEFT JOIN zc ON en.c = zc.c AND en.f = zc.f
+             |ORDER BY clip_id, frame_id""".stripMargin))
   )
+
+  private val AudioClips = 8L
+  private val AudioSamples = 2048
+  private val AudioFrame = 256
 }
