@@ -59,12 +59,16 @@ object NaiveBayes {
       idCol: String,
       textCol: String,
       labelCol: String): DataFrame = {
-    val toks = docs
-      .select(col(idCol), col(labelCol).as("c"),
-        explode(split(col(textCol), " ")).as("w"))
+    // ONE tokenize pass: per-document word counts; the (class, word)
+    // model counts roll up from dt + the doc→label table instead of
+    // re-exploding the corpus a second time
+    val dt = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
-
-    val wc = toks.groupBy(col("c"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cdw"))
+    val labels = docs.select(col(idCol), col(labelCol).as("c"))
+    val wc = dt.join(labels, idCol)
+      .groupBy(col("c"), col("w")).agg(sum(col("cdw")).as("cnt"))
     val tot = wc.groupBy(col("c")).agg(sum(col("cnt")).as("tot"))
     val vocab = wc.select(col("w")).distinct()
     val vv = vocab.agg(count(lit(1)).as("v"))
@@ -80,7 +84,6 @@ object NaiveBayes {
     val priQ = pri.crossJoin(broadcast(nn))
       .select(col("c"), lnQ(col("nc"), col("n")).as("lnp"))
 
-    val dt = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cdw"))
     val scored = dt.join(broadcast(grid), "w")
       .groupBy(col(idCol), col("c"))
       .agg(sum(col("cdw") * col("lnq")).as("ll"))

@@ -209,6 +209,7 @@ object QuantQueries {
     QueryDef(
       "q170_correlation",
       (s, d) => {
+        import s.implicits._
         val q = Tables.lineitem(s, d).select(CorrCols.zipWithIndex.map {
           case (c, i) =>
             floor(col(c) * 100 + lit(0.5)).cast("long").as(s"x$i")
@@ -220,19 +221,26 @@ object QuantQueries {
             yield sum((col(s"x$i") * col(s"x$j")).cast("decimal(38,0)"))
               .as(s"s$i$j")) :+
           count(lit(1)).as("n")
-        val m = q.agg(aggs.head, aggs.tail: _*)
-        val nd = col("n").cast("double")
-        def sd(nm: String) = col(nm).cast("double")
+        // ONE aggregation pass; the 15 exact moments (bounded-collect
+        // class) finish on the driver with the SAME IEEE ops the
+        // in-plan expressions would run (BigDecimal→double is the
+        // correctly-rounded CAST; math.sqrt/floor are the SQL fns) —
+        // the naive per-arm select re-scans lineitem six times.
+        val row = q.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getAs[Long]("n")
+        val nd = n.toDouble
+        def sd(nm: String): Double =
+          row.getAs[java.math.BigDecimal](nm).doubleValue
         val arms = for { i <- CorrCols.indices; j <- CorrCols.indices if i < j }
           yield {
             val num = nd * sd(s"s$i$j") - sd(s"s$i") * sd(s"s$j")
-            val den = sqrt(nd * sd(s"s$i$i") - sd(s"s$i") * sd(s"s$i")) *
-              sqrt(nd * sd(s"s$j$j") - sd(s"s$j") * sd(s"s$j"))
-            m.select(lit(CorrCols(i)).as("col_a"), lit(CorrCols(j)).as("col_b"),
-              col("n"),
-              floor(num / den * 1000000 + lit(0.5)).cast("long").as("r_micro"))
+            val den = math.sqrt(nd * sd(s"s$i$i") - sd(s"s$i") * sd(s"s$i")) *
+              math.sqrt(nd * sd(s"s$j$j") - sd(s"s$j") * sd(s"s$j"))
+            (CorrCols(i), CorrCols(j), n,
+              math.floor(num / den * 1000000 + 0.5).toLong)
           }
-        arms.reduce(_ unionAll _).orderBy(col("col_a"), col("col_b"))
+        arms.toSeq.toDF("col_a", "col_b", "n", "r_micro")
+          .orderBy(col("col_a"), col("col_b"))
       },
       Some(corrOracle)),
 
