@@ -43,6 +43,10 @@ object RankTests {
       .select(col("v"), col("c1"), col("c2"),
         col("cum1d").cast("long").as("cum1"),
         col("cum2d").cast("long").as("cum2"))
+      // support-sized frame consumed twice downstream (totals + the
+      // main read) — materialize once instead of re-running the
+      // groupBy + two prefix-sum passes
+      .localCheckpoint(true)
   }
 
   /** One-row KS report: (v_at, n1, n2, d_num, d_den, ks_micro) with

@@ -50,11 +50,12 @@ object Survival {
     val spans = events
       .groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("fd"), max(to_date(col(tsCol))).as("ld"))
-    val horizon = spans.agg(max(col("ld")).as("endd"))
-    val lif = spans.crossJoin(broadcast(horizon))
+      .localCheckpoint(true) // horizon + lifetimes read it; scan events once
+    val endd = spans.agg(max(col("ld"))).head.getDate(0)
+    val lif = spans
       .select(
         datediff(col("ld"), col("fd")).cast("long").as("t"),
-        when(datediff(col("endd"), col("ld")) > CensorDays, 1L).otherwise(0L)
+        when(datediff(lit(endd), col("ld")) > CensorDays, 1L).otherwise(0L)
           .as("ev"))
     val byT = lif.groupBy(col("t"))
       .agg(sum(col("ev")).as("d"),
