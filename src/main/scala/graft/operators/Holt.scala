@@ -1,0 +1,66 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Holt double exponential smoothing (level + trend) over a daily
+  * series, in integer fixed point — the forecasting-baseline
+  * companion to [[Ewma]]: where EWMA tracks a level, Holt also
+  * carries a trend state, so the one-step forecast level + trend is
+  * meaningful for drifting series (daily revenue, corpus growth).
+  *
+  * Recurrence (α = 1/alphaDen, β = 1/betaDen), observations are
+  * consecutive points of the series (calendar gaps are not filled —
+  * the business-day smoothing convention):
+  *   d_t = fdiv(x_t − l_{t−1} − b_{t−1}, alphaDen)
+  *   l_t = l_{t−1} + b_{t−1} + d_t
+  *   b_t = b_{t−1} + fdiv(d_t, betaDen)
+  * with l_1 = x_1, b_1 = 0. Every step is [[LogReg.fdiv]] integer
+  * algebra, so the whole trajectory replays as a RECURSIVE CTE in
+  * the oracle (the q168 pattern with a two-component carry).
+  *
+  * Scale shape: the input aggregation (one row per day) is
+  * distributed; the fold itself runs over the DAY-COUNT-bounded
+  * series — a frame that grows with the calendar, not the corpus —
+  * inside one executor task (single-group mapGroups; the
+  * KMeans-centroid bounded-frame class).
+  */
+object Holt {
+
+  /** (day, xq, level, trend, forecast) per observation, ordered by
+    * day; `forecast` is the one-step-ahead level + trend.
+    */
+  def smooth(
+      series: DataFrame,
+      dayCol: String,
+      valCol: String,
+      alphaDen: Long,
+      betaDen: Long): DataFrame = {
+    require(alphaDen >= 1L && betaDen >= 1L)
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(dayCol).cast("date"), col(valCol).cast("long"))
+      .as[(Date, Long)]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1.getTime)
+        var l = 0L
+        var b = 0L
+        var first = true
+        rows.iterator.map { case (day, xq) =>
+          if (first) { l = xq; b = 0L; first = false }
+          else {
+            val d = LogReg.fdiv(xq - l - b, alphaDen)
+            l = l + b + d
+            b = b + LogReg.fdiv(d, betaDen)
+          }
+          (day, xq, l, b, l + b)
+        }
+      }(Encoders.tuple(Encoders.DATE, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(dayCol, valCol, "level", "trend", "forecast")
+      .orderBy(col(dayCol))
+  }
+}

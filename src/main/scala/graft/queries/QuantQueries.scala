@@ -357,7 +357,118 @@ object QuantQueries {
              |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
              |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              |    * 1000000 + 0.5) AS BIGINT) AS rho_micro
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // ----- q177: Benford first-digit goodness-of-fit over invoice
+    // amounts — the fraud/data-quality audit classic. The leading
+    // digit comes from the exact integer-cents DECIMAL STRING (both
+    // engines print a BIGINT identically — no per-row libm, no float
+    // formatting); expected counts are n·log10(1+1/d) snapped to
+    // micro PER DIGIT, and each χ² term is r4-snapped BEFORE the
+    // total sums (the q164 pre-round discipline), so all 9 rows and
+    // the riding total are exact BIGINTs.
+    QueryDef(
+      "q177_benford",
+      (s, d) => {
+        import s.implicits._
+        val digits = Tables.lineitem(s, d)
+          .select(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("c"))
+          .select(substring(col("c").cast("string"), 1, 1).cast("long")
+            .as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("observed"))
+        val nn = digits.agg(sum($"observed").as("n"))
+        val expect = s.range(1, 10).toDF("digit")
+          .select($"digit",
+            floor(log(lit(1.0) + lit(1.0) / $"digit".cast("double"))
+              / log(lit(10.0)) * 1000000 + lit(0.5)).cast("long")
+              .as("p_micro"))
+        val terms = expect.join(digits, Seq("digit"), "left")
+          .na.fill(0L, Seq("observed"))
+          .crossJoin(broadcast(nn))
+          .select($"digit", $"observed",
+            ($"n" * $"p_micro").as("expected_micro"),
+            floor(
+              ($"observed" * 1000000L - $"n" * $"p_micro").cast("double")
+                * ($"observed" * 1000000L - $"n" * $"p_micro").cast("double")
+                / ($"n" * $"p_micro").cast("double") / 1000000.0
+                * 10000 + lit(0.5)).cast("long").as("term_q"))
+        val tot = terms.agg(sum($"term_q").as("chi2_q"))
+        terms.crossJoin(broadcast(tot)).orderBy($"digit")
+      },
+      Some("""WITH digits AS (
+             |  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |  FROM lineitem),
+             |obs AS (
+             |  SELECT digit, CAST(count(*) AS BIGINT) AS observed
+             |  FROM digits GROUP BY 1),
+             |nn AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
+             |expect AS (
+             |  SELECT CAST(r.range AS BIGINT) AS digit,
+             |    CAST(floor(ln(1.0 + 1.0 / CAST(r.range AS DOUBLE)) / ln(10.0)
+             |      * 1000000 + 0.5) AS BIGINT) AS p_micro
+             |  FROM range(1, 10) r),
+             |terms AS (
+             |  SELECT e.digit, COALESCE(o.observed, 0) AS observed,
+             |    CAST(nn.n * e.p_micro AS BIGINT) AS expected_micro,
+             |    CAST(floor(
+             |      CAST(COALESCE(o.observed, 0) * 1000000 - nn.n * e.p_micro
+             |        AS DOUBLE)
+             |      * CAST(COALESCE(o.observed, 0) * 1000000 - nn.n * e.p_micro
+             |        AS DOUBLE)
+             |      / CAST(nn.n * e.p_micro AS DOUBLE) / 1000000.0
+             |      * 10000 + 0.5) AS BIGINT) AS term_q
+             |  FROM expect e LEFT JOIN obs o ON e.digit = o.digit
+             |  CROSS JOIN nn)
+             |SELECT t.digit, t.observed, t.expected_micro, t.term_q, s.chi2_q
+             |FROM terms t
+             |CROSS JOIN (SELECT CAST(SUM(term_q) AS BIGINT) AS chi2_q
+             |            FROM terms) s
+             |ORDER BY t.digit""".stripMargin)),
+
+    // ----- q178: Holt double exponential smoothing over the daily
+    // revenue series (operators.Holt) — level + trend carried in
+    // integer fixed point, so the 2,399-step trajectory replays as a
+    // RECURSIVE CTE (the q168 pattern with a two-component carry);
+    // every level, trend, and one-step forecast hash-matches.
+    QueryDef(
+      "q178_holt_smoothing",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("xq"))
+        graft.operators.Holt.smooth(daily, "day", "xq",
+          HoltAlphaDen, HoltBetaDen)
+      },
+      Some(s"""WITH RECURSIVE ser AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS xq
+             |  FROM orders GROUP BY 1),
+             |rn AS MATERIALIZED (
+             |  SELECT day, xq,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+             |  FROM ser),
+             |h AS (
+             |  SELECT day, xq, rn, xq AS l, CAST(0 AS BIGINT) AS b
+             |  FROM rn WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r.day, r.xq, r.rn,
+             |    h.l + h.b + ${QueryFixtures.fdivSql("r.xq - h.l - h.b",
+                    HoltAlphaDen.toString)} AS l,
+             |    h.b + ${QueryFixtures.fdivSql(
+                    QueryFixtures.fdivSql("r.xq - h.l - h.b",
+                      HoltAlphaDen.toString), HoltBetaDen.toString)} AS b
+             |  FROM h JOIN rn r ON r.rn = h.rn + 1)
+             |SELECT day, xq, l AS level, b AS trend, l + b AS forecast
+             |FROM h ORDER BY day""".stripMargin)))
+
+  /** q177/q178 shared constants. */
+  private val HoltAlphaDen = 4L
+  private val HoltBetaDen = 8L
 
   /** Column list shared by q170's Spark arms and oracle arms. */
   private val CorrCols =
