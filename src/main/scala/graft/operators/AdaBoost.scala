@@ -71,6 +71,12 @@ object AdaBoost {
     val quant = quantized(embs, idCol, vecCol, labelCol)
       .localCheckpoint(true) // 3 rounds re-read rows, not the scan plan
     val n = embs.count()
+    // the scaladoc headroom proof (w·2^16·n ≤ n²·2^33 < 2^63) is only
+    // valid to ~3·10^4 rows at this weight quantum — ENFORCED, not
+    // assumed (larger corpora lower WScale)
+    require(n <= 30000L,
+      s"n=$n exceeds the 2^16-quantum weight headroom (max 30000 rows); " +
+        "lower the weight scale for larger corpora")
     val th = DecisionTree.Thresholds.toDF("t")
     var weights = embs.select(col(idCol), lit(WScale).as("w"))
       .localCheckpoint(true)

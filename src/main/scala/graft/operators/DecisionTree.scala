@@ -93,6 +93,13 @@ object DecisionTree {
   def fit(embs: DataFrame, idCol: String, vecCol: String,
       labelCol: String): Model = {
     val quant = quantized(embs, idCol, vecCol, labelCol)
+    // comparator headroom (S·n ≤ N³ < 2^53) is only valid to ~2·10^5
+    // rows — ENFORCED, not assumed (beyond that only the Q comparator
+    // needs widening, the counts aggregate is unchanged)
+    val n = embs.count()
+    require(n <= 200000L,
+      s"n=$n exceeds the exact-comparator headroom (max 200000 rows); " +
+        "widen the Q comparator before fitting larger nodes")
     // root argmax: TakeOrderedAndProject over the bounded candidate
     // frame — no window at all
     val rootRow = candScores(quant, Nil)
