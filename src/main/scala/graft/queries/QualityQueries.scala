@@ -228,7 +228,57 @@ object QualityQueries {
              |  CAST(class_size * count(*) AS BIGINT) AS n_rows,
              |  CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT)
              |    AS violates_k
-             |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin)))
+             |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin)),
+
+    // ----- q180: referential-integrity audit across the FK chain
+    // lineitem→orders→customer→nation — the data-contract companion
+    // to q94 expectations: per relation, child rows + orphan rows in
+    // ONE left-join pass against the distinct parent keys (no second
+    // count scan). The fixture is intact (0 orphans) — a documented
+    // true negative like q121's PII-free corpus.
+    QueryDef(
+      "q180_fk_audit",
+      (s, d) => {
+        def arm(rel: String, child: org.apache.spark.sql.DataFrame, ck: String,
+            parent: org.apache.spark.sql.DataFrame, pk: String) =
+          child.select(col(ck).as("k"))
+            .join(parent.select(col(pk).as("k"), lit(1).as("hit")).distinct(),
+              Seq("k"), "left")
+            .agg(count(lit(1)).as("child_rows"),
+              sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orphan_rows"))
+            .select(lit(rel).as("relation"), col("child_rows"),
+              col("orphan_rows"))
+        arm("customer.c_nationkey->nation",
+            Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey")
+          .unionAll(arm("lineitem.l_orderkey->orders",
+            Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+          .unionAll(arm("orders.o_custkey->customer",
+            Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
+          .orderBy(col("relation"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'customer.c_nationkey->nation' AS relation,
+             |    CAST(COUNT(*) AS BIGINT) AS child_rows,
+             |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS orphan_rows
+             |  FROM customer c
+             |  LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+             |    ON c.c_nationkey = p.k
+             |  UNION ALL
+             |  SELECT 'lineitem.l_orderkey->orders',
+             |    CAST(COUNT(*) AS BIGINT),
+             |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem l
+             |  LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+             |    ON l.l_orderkey = p.k
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->customer',
+             |    CAST(COUNT(*) AS BIGINT),
+             |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders o
+             |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+             |    ON o.o_custkey = p.k)
+             |ORDER BY relation""".stripMargin)))
 
   /** Planted PII rows (no single quotes — they embed in SQL literals
     * verbatim): one shape per pattern, the URL-masks-embedded-email

@@ -464,7 +464,52 @@ object QuantQueries {
                       HoltAlphaDen.toString), HoltBetaDen.toString)} AS b
              |  FROM h JOIN rn r ON r.rn = h.rn + 1)
              |SELECT day, xq, l AS level, b AS trend, l + b AS forecast
-             |FROM h ORDER BY day""".stripMargin)))
+             |FROM h ORDER BY day""".stripMargin)),
+
+    // ----- q179: additive seasonal decomposition of the same daily
+    // series (operators.Seasonal) — centered 7-day MA trend,
+    // per-ISO-weekday seasonal means, residuals, all integer fixed
+    // point (fdiv floors identically), edge rows NULL on both sides.
+    QueryDef(
+      "q179_seasonal_decompose",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("xq"))
+        graft.operators.Seasonal.decompose(daily, "day", "xq")
+      },
+      Some(s"""WITH ser AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS xq
+             |  FROM orders GROUP BY 1),
+             |rn AS (
+             |  SELECT day, xq, CAST(isodow(day) AS BIGINT) AS weekday,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+             |  FROM ser),
+             |ws AS (
+             |  SELECT day, xq, weekday,
+             |    CAST(SUM(xq) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING
+             |      AND 3 FOLLOWING) AS BIGINT) AS s7,
+             |    CAST(COUNT(*) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING
+             |      AND 3 FOLLOWING) AS BIGINT) AS c7
+             |  FROM rn),
+             |tr AS (
+             |  SELECT day, xq, weekday,
+             |    CASE WHEN c7 = 7
+             |      THEN ${QueryFixtures.fdivSql("s7", "7")} END AS trend_q
+             |  FROM ws),
+             |sw AS (
+             |  SELECT weekday,
+             |    ${QueryFixtures.fdivSql("SUM(xq - trend_q)", "COUNT(*)")}
+             |      AS seasonal_q
+             |  FROM tr WHERE trend_q IS NOT NULL GROUP BY 1)
+             |SELECT t.day, t.xq, t.weekday, t.trend_q, s.seasonal_q,
+             |  t.xq - t.trend_q - s.seasonal_q AS resid_q
+             |FROM tr t LEFT JOIN sw s USING (weekday)
+             |ORDER BY t.day""".stripMargin)))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L
