@@ -61,11 +61,15 @@ object NaiveBayes {
       labelCol: String): DataFrame = {
     // ONE tokenize pass: per-document word counts; the (class, word)
     // model counts roll up from dt + the doc→label table instead of
-    // re-exploding the corpus a second time
+    // re-exploding the corpus a second time. dt feeds five consumers
+    // (model grid, vocab, totals, scoring) — materialize it, or each
+    // re-runs the explode lineage (pinned by PlanAuditSpec: one
+    // Generate in the executed plan)
     val dt = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cdw"))
+      .localCheckpoint(true)
     val labels = docs.select(col(idCol), col(labelCol).as("c"))
     val wc = dt.join(labels, idCol)
       .groupBy(col("c"), col("w")).agg(sum(col("cdw")).as("cnt"))

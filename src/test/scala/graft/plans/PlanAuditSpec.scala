@@ -41,6 +41,27 @@ class PlanAuditSpec extends SparkSpec {
       other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
   }
 
+  test("q164 naive bayes: the corpus is tokenized at most once (≤1 Generate)") {
+    // the round-8 single-pass fix: per-doc counts are materialized
+    // once (explode runs inside the checkpoint, leaving 0 Generates
+    // in the final plan) and the class-word counts roll up from them
+    // — the regression this pins out is N consumers each re-running
+    // the explode lineage (5 Generates before the fix)
+    val plan = executed("q164_naive_bayes")
+    val generates = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(generates <= 1, s"corpus re-tokenized, got $generates explodes:\n" +
+      plan.linesIterator.filter(_.contains("Generate")).mkString("\n"))
+  }
+
+  test("q174 dbscan: pair generation stays an equi-join, no cartesian") {
+    val plan = executed("q174_dbscan")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the grid join's BNL broadcast of the 32-cell side is the one
+    // permitted nested-loop (bounded), same as the q28/q37 pin
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("q04 star join: all dimension joins are broadcasts, no shuffle join") {
     val plan = executed("q04_star_join")
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
