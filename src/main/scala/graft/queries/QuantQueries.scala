@@ -509,7 +509,118 @@ object QuantQueries {
              |SELECT t.day, t.xq, t.weekday, t.trend_q, s.seasonal_q,
              |  t.xq - t.trend_q - s.seasonal_q AS resid_q
              |FROM tr t LEFT JOIN sw s USING (weekday)
-             |ORDER BY t.day""".stripMargin)))
+             |ORDER BY t.day""".stripMargin)),
+
+    // ----- q181: two-sided CUSUM changepoint detection over the
+    // daily revenue series (operators.Cusum) — the SPC drift alarm:
+    // μ/slack/threshold are exact fdiv scalars of the in-sample
+    // mean; the max(0,·) recurrence replays as a recursive CTE
+    // (GREATEST ≡ math.max on BIGINTs).
+    QueryDef(
+      "q181_cusum",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("xq"))
+        graft.operators.Cusum.detect(daily, "day", "xq")
+      },
+      Some(s"""WITH RECURSIVE ser AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS xq
+             |  FROM orders GROUP BY 1),
+             |rn AS MATERIALIZED (
+             |  SELECT day, xq,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+             |  FROM ser),
+             |pars AS (
+             |  SELECT mu, ${QueryFixtures.fdivSql("mu",
+                    graft.operators.Cusum.SlackDen.toString)} AS k,
+             |    ${QueryFixtures.fdivSql("mu",
+                    graft.operators.Cusum.ThreshDen.toString)} AS h
+             |  FROM (SELECT ${QueryFixtures.fdivSql("SUM(xq)", "COUNT(*)")}
+             |        AS mu FROM ser)),
+             |c AS (
+             |  SELECT r.day, r.xq, r.rn,
+             |    GREATEST(0, r.xq - p.mu - p.k) AS su,
+             |    GREATEST(0, p.mu - r.xq - p.k) AS sl
+             |  FROM rn r, pars p WHERE r.rn = 1
+             |  UNION ALL
+             |  SELECT r.day, r.xq, r.rn,
+             |    GREATEST(0, c.su + r.xq - p.mu - p.k),
+             |    GREATEST(0, c.sl + p.mu - r.xq - p.k)
+             |  FROM c JOIN rn r ON r.rn = c.rn + 1, pars p)
+             |SELECT c.day, c.xq, c.su, c.sl,
+             |  (c.su > p.h OR c.sl > p.h) AS alarm
+             |FROM c, pars p ORDER BY c.day""".stripMargin)),
+
+    // ----- q182: lagged cross-correlation between daily revenue and
+    // daily order count — "does volume lead revenue" in one frame:
+    // per lag 0..7, exact decimal moments over the rn/rn+lag join
+    // (ranks by the two-pass GlobalOrder.zipRank, no global window),
+    // finished by the q170 double chain.
+    QueryDef(
+      "q182_cross_correlation",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day")
+          .agg(sum($"cents").as("xq"), count(lit(1)).as("cnt"))
+        val ranked = graft.operators.GlobalOrder
+          .zipRank(daily.sort($"day"), "rn")
+          .localCheckpoint(true) // both sides of the lag join read it
+        val lags = s.range(0, 8).toDF("lag")
+        val m = ranked.select($"rn", $"xq").crossJoin(broadcast(lags))
+          .withColumn("rn2", $"rn" + $"lag")
+          .join(ranked.select($"rn".as("rn2"), $"cnt"), "rn2")
+          .groupBy($"lag").agg(
+            count(lit(1)).as("n_pairs"),
+            sum($"xq".cast("decimal(38,0)")).as("sx"),
+            sum($"cnt".cast("decimal(38,0)")).as("sy"),
+            sum(($"xq" * $"xq").cast("decimal(38,0)")).as("sxx"),
+            sum(($"cnt" * $"cnt").cast("decimal(38,0)")).as("syy"),
+            sum(($"xq" * $"cnt").cast("decimal(38,0)")).as("sxy"))
+        val nd = $"n_pairs".cast("double")
+        def sd(c: String) = col(c).cast("double")
+        m.select($"lag", $"n_pairs",
+          floor((nd * sd("sxy") - sd("sx") * sd("sy"))
+            / (sqrt(nd * sd("sxx") - sd("sx") * sd("sx"))
+              * sqrt(nd * sd("syy") - sd("sy") * sd("sy")))
+            * 1000000 + lit(0.5)).cast("long").as("r_micro"))
+          .orderBy($"lag")
+      },
+      Some("""WITH ser AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS xq,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM orders GROUP BY 1),
+             |rn AS MATERIALIZED (
+             |  SELECT xq, cnt,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+             |  FROM ser),
+             |lags AS (SELECT CAST(l.range AS BIGINT) AS lag FROM range(0, 8) l),
+             |m AS (
+             |  SELECT g.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |    SUM(a.xq) AS sx, SUM(b.cnt) AS sy,
+             |    SUM(a.xq * a.xq) AS sxx, SUM(b.cnt * b.cnt) AS syy,
+             |    SUM(a.xq * b.cnt) AS sxy
+             |  FROM rn a CROSS JOIN lags g JOIN rn b ON b.rn = a.rn + g.lag
+             |  GROUP BY g.lag)
+             |SELECT lag, n_pairs,
+             |  CAST(floor(
+             |    (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |       * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+             |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    * 1000000 + 0.5) AS BIGINT) AS r_micro
+             |FROM m ORDER BY lag""".stripMargin)))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L
