@@ -347,6 +347,99 @@ object AnalyticsQueries {
              |    * 10000 + 0.5) / 10000 AS zipf_r2
              |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ----- q183: Heaps'-law vocabulary-growth fit — q144 Zipf's
+    // companion: V(n) ≈ K·n^β estimated from 10 corpus prefixes
+    // (doc_id order). ONE pass derives everything: per-doc token
+    // counts give prefix token totals, per-word FIRST-occurrence
+    // doc ids give prefix vocabulary sizes (no per-prefix re-scan).
+    // The OLS fit runs on r4-snapped lns of exact counts (snapped
+    // BIGINT moments, then one double chain — no regr_* aggregate
+    // whose accumulation order could differ), so all 10 points and
+    // the riding β hash-match.
+    QueryDef(
+      "q183_heaps_fit",
+      (s, d) => {
+        import s.implicits._
+        val docs = graft.Par.spread(Tables.documents(s, d))
+        val toks = docs.select($"doc_id", explode(
+            graft.functions.TextFunctions.spaceTokens($"text")).as("w"))
+          .localCheckpoint(true) // feeds both the tc and first-occ legs
+        val tcd = toks.groupBy($"doc_id").agg(count(lit(1)).as("tc"))
+        val firstW = toks.groupBy($"w").agg(min($"doc_id").as("fd"))
+        val n = docs.count()
+        val ranked = graft.operators.GlobalOrder
+          .zipRank(docs.select($"doc_id").sort($"doc_id"), "rn")
+        val cuts = (1L to 10L).map(m => (m, graft.operators.LogReg.fdiv(m * n, 10L)))
+          .toDF("m", "cut_rn")
+        val cutIds = cuts.join(ranked, $"cut_rn" === $"rn")
+          .select($"m", $"doc_id".as("cut"))
+        def lnq(c: org.apache.spark.sql.Column) =
+          floor(log(c.cast("double")) * 10000 + lit(0.5)).cast("long")
+        val nm = broadcast(cutIds).join(tcd, $"doc_id" <= $"cut")
+          .groupBy($"m").agg(sum($"tc").as("n_tokens"))
+        val vm = broadcast(cutIds).join(firstW, $"fd" <= $"cut")
+          .groupBy($"m").agg(count(lit(1)).as("vocab"))
+        val pts = nm.join(vm, "m")
+          .select($"m", $"n_tokens", $"vocab",
+            lnq($"n_tokens").as("x_q"), lnq($"vocab").as("y_q"))
+        val fit = pts.agg(count(lit(1)).as("k"),
+          sum($"x_q").as("sx"), sum($"y_q").as("sy"),
+          sum($"x_q" * $"x_q").as("sxx"), sum($"x_q" * $"y_q").as("sxy"))
+        pts.crossJoin(broadcast(fit))
+          .select($"m", $"n_tokens", $"vocab", $"x_q", $"y_q",
+            floor(($"k".cast("double") * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+              / ($"k".cast("double") * $"sxx".cast("double")
+                - $"sx".cast("double") * $"sx".cast("double"))
+              * 1000000 + lit(0.5)).cast("long").as("beta_micro"))
+          .orderBy($"m")
+      },
+      Some(s"""WITH docs_r AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+             |  FROM documents),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |cuts AS (
+             |  SELECT CAST(mm.range AS BIGINT) AS m, d.doc_id AS cut
+             |  FROM range(1, 11) mm CROSS JOIN nn
+             |  JOIN docs_r d
+             |    ON d.rn = ${QueryFixtures.fdivSql("mm.range * nn.n", "10")}),
+             |toks AS MATERIALIZED (
+             |  SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |    FROM documents)
+             |  WHERE length(w) > 0),
+             |tcd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tc
+             |        FROM toks GROUP BY 1),
+             |firstw AS (SELECT w, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+             |nm AS (
+             |  SELECT c.m, CAST(SUM(t.tc) AS BIGINT) AS n_tokens
+             |  FROM cuts c JOIN tcd t ON t.doc_id <= c.cut GROUP BY 1),
+             |vm AS (
+             |  SELECT c.m, CAST(COUNT(*) AS BIGINT) AS vocab
+             |  FROM cuts c JOIN firstw f ON f.fd <= c.cut GROUP BY 1),
+             |pts AS (
+             |  SELECT m, n_tokens, vocab,
+             |    CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 10000 + 0.5)
+             |      AS BIGINT) AS x_q,
+             |    CAST(floor(ln(CAST(vocab AS DOUBLE)) * 10000 + 0.5)
+             |      AS BIGINT) AS y_q
+             |  FROM nm JOIN vm USING (m)),
+             |fit AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(x_q) AS BIGINT) AS sx, CAST(SUM(y_q) AS BIGINT) AS sy,
+             |    CAST(SUM(x_q * x_q) AS BIGINT) AS sxx,
+             |    CAST(SUM(x_q * y_q) AS BIGINT) AS sxy
+             |  FROM pts)
+             |SELECT p.m, p.n_tokens, p.vocab, p.x_q, p.y_q,
+             |  CAST(floor(
+             |    (CAST(f.k AS DOUBLE) * CAST(f.sxy AS DOUBLE)
+             |     - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+             |    / (CAST(f.k AS DOUBLE) * CAST(f.sxx AS DOUBLE)
+             |       - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE))
+             |    * 1000000 + 0.5) AS BIGINT) AS beta_micro
+             |FROM pts p, fit f ORDER BY p.m""".stripMargin)),
+
     // ----- q103: Count-Min heavy hitters — the exact top-20 word
     // counts next to their estimates from the custom mergeable-state
     // Aggregator. FULLY oracle-checked (upgraded from rows-only in
