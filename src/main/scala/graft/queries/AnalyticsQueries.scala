@@ -440,6 +440,51 @@ object AnalyticsQueries {
              |    * 1000000 + 0.5) AS BIGINT) AS beta_micro
              |FROM pts p, fit f ORDER BY p.m""".stripMargin)),
 
+    // ----- q184: word burstiness — variance-to-mean ratio of
+    // per-document counts over ALL docs (zeros included, closed
+    // form: VMR = (N·Σc² − (Σc)²)/(N·Σc)) for the top-30 words.
+    // VMR ≈ 1 is Poisson scatter (function words); VMR ≫ 1 marks
+    // bursty content words — the dispersion diagnostic next to q97
+    // PMI and q144 Zipf. Exact integer moments, one double chain.
+    QueryDef(
+      "q184_burstiness",
+      (s, d) => {
+        import s.implicits._
+        val docs = graft.Par.spread(Tables.documents(s, d))
+        val n = docs.count()
+        val cnts = docs.select($"doc_id", explode(
+            graft.functions.TextFunctions.spaceTokens($"text")).as("w"))
+          .groupBy($"w", $"doc_id").agg(count(lit(1)).as("c"))
+        val stats = cnts.groupBy($"w").agg(
+          sum($"c").as("total"), count(lit(1)).as("doc_freq"),
+          sum($"c" * $"c").as("s2"))
+        stats.select($"w", $"total", $"doc_freq",
+            floor((lit(n).cast("double") * $"s2".cast("double")
+              - $"total".cast("double") * $"total".cast("double"))
+              / (lit(n).cast("double") * $"total".cast("double"))
+              * 1000000 + lit(0.5)).cast("long").as("vmr_micro"))
+          .orderBy($"total".desc, $"w").limit(30)
+      },
+      Some("""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |cnts AS (
+             |  SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |    FROM documents)
+             |  WHERE length(w) > 0 GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT w, CAST(SUM(c) AS BIGINT) AS total,
+             |    CAST(COUNT(*) AS BIGINT) AS doc_freq,
+             |    CAST(SUM(c * c) AS BIGINT) AS s2
+             |  FROM cnts GROUP BY 1)
+             |SELECT w, total, doc_freq,
+             |  CAST(floor(
+             |    (CAST(nn.n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             |     - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+             |    / (CAST(nn.n AS DOUBLE) * CAST(total AS DOUBLE))
+             |    * 1000000 + 0.5) AS BIGINT) AS vmr_micro
+             |FROM stats, nn
+             |ORDER BY total DESC, w LIMIT 30""".stripMargin)),
+
     // ----- q103: Count-Min heavy hitters — the exact top-20 word
     // counts next to their estimates from the custom mergeable-state
     // Aggregator. FULLY oracle-checked (upgraded from rows-only in
