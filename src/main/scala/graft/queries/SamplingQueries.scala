@@ -185,5 +185,72 @@ object SamplingQueries {
            |  qlogw + ${Dsir.gumbelSql("doc_id", 139L)} AS pri
            |FROM score
            |ORDER BY pri DESC, doc_id
-           |LIMIT 100""".stripMargin)))
+           |LIMIT 100""".stripMargin)),
+
+    // ----- q185: subsampling uncertainty for the mean — B = 20
+    // deterministic half-subsamples via the portable hash (salted
+    // per-replicate id streams), exact cents sums per replicate,
+    // each replicate mean snapped to integer cents BEFORE the
+    // between-replicate moments (so the spread statistic is exact
+    // BIGINT algebra + one sqrt). The hash-replicate trick gives
+    // bootstrap-style error bars with zero RNG — every replicate is
+    // replayable, which a seeded resampler could never be.
+    QueryDef(
+      "q185_subsample_ci",
+      (s, d) => {
+        import s.implicits._
+        val B = 20
+        val rows = Tables.lineitem(s, d).select(
+          ($"l_orderkey" * 8 + $"l_linenumber").as("rk"),
+          floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("cents"))
+        val means = rows
+          .select($"rk", $"cents",
+            explode(sequence(lit(0), lit(B - 1))).as("b0"))
+          .withColumn("b", $"b0".cast("long")).drop("b0")
+          .filter(Sampling.hashFraction($"rk" + $"b" * lit(1000003L), 185L)
+            < 0.5)
+          .groupBy($"b")
+          .agg(count(lit(1)).as("n_b"),
+            sum($"cents".cast("decimal(38,0)")).as("sc"))
+          .select($"b", $"n_b",
+            floor($"sc".cast("double") / $"n_b".cast("double") + lit(0.5))
+              .cast("long").as("mean_q"))
+        val g = means.agg(count(lit(1)).as("k"),
+          sum($"mean_q").as("sm"), sum($"mean_q" * $"mean_q").as("sm2"))
+        means.crossJoin(broadcast(g))
+          .select($"b", $"n_b", $"mean_q",
+            floor(sqrt(($"k".cast("double") * $"sm2".cast("double")
+              - $"sm".cast("double") * $"sm".cast("double"))
+              / ($"k".cast("double") * ($"k".cast("double") - lit(1.0))))
+              + lit(0.5)).cast("long").as("sd_q"))
+          .orderBy($"b")
+      },
+      Some(s"""WITH rows_ AS (
+             |  SELECT l_orderkey * 8 + l_linenumber AS rk,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |sub AS (
+             |  SELECT CAST(bb.range AS BIGINT) AS b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_b, SUM(r.cents) AS sc
+             |  FROM rows_ r CROSS JOIN range(0, 20) bb
+             |  WHERE ${Sampling.hashFractionSql("r.rk + bb.range * 1000003", 185L)}
+             |    < 0.5
+             |  GROUP BY 1),
+             |means AS (
+             |  SELECT b, n_b,
+             |    CAST(floor(CAST(sc AS DOUBLE) / CAST(n_b AS DOUBLE) + 0.5)
+             |      AS BIGINT) AS mean_q
+             |  FROM sub),
+             |g AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(mean_q) AS BIGINT) AS sm,
+             |    CAST(SUM(mean_q * mean_q) AS BIGINT) AS sm2
+             |  FROM means)
+             |SELECT m.b, m.n_b, m.mean_q,
+             |  CAST(floor(sqrt(
+             |    (CAST(g.k AS DOUBLE) * CAST(g.sm2 AS DOUBLE)
+             |     - CAST(g.sm AS DOUBLE) * CAST(g.sm AS DOUBLE))
+             |    / (CAST(g.k AS DOUBLE) * (CAST(g.k AS DOUBLE) - 1.0)))
+             |    + 0.5) AS BIGINT) AS sd_q
+             |FROM means m, g ORDER BY m.b""".stripMargin)))
 }
