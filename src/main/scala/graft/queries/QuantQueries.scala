@@ -556,6 +556,74 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q186: one-way variance decomposition (η²) of order value
+    // by customer nation — the ANOVA-style "how much does the group
+    // explain" effect size. Group moments are exact decimal sums;
+    // every per-group S²/n term is snapped to a mega-cents² BIGINT
+    // BEFORE the cross-group total (the q164 pre-round discipline —
+    // a float Σ over groups would be order-sensitive), so the rows
+    // and the riding η² hash-match.
+    QueryDef(
+      "q186_variance_decomposition",
+      (s, d) => {
+        import s.implicits._
+        val j = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            $"o_custkey" === $"c_custkey")
+          .select($"c_nationkey".cast("long").as("g"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+        val grp = j.groupBy($"g").agg(
+          count(lit(1)).as("n_g"),
+          sum($"cents".cast("decimal(38,0)")).as("sg"),
+          sum(($"cents" * $"cents").cast("decimal(38,0)")).as("s2g"))
+        def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+        val withTq = grp.select($"g", $"n_g",
+          floor(d2($"sg") / d2($"n_g") + lit(0.5)).cast("long").as("mean_q"),
+          floor(d2($"sg") * d2($"sg") / d2($"n_g") / 1000000.0 + lit(0.5))
+            .cast("long").as("tq"),
+          $"sg", $"s2g")
+        val tot = withTq.agg(sum($"n_g").as("nn"), sum($"sg").as("ss"),
+          sum($"s2g").as("ss2"), sum($"tq").as("btq"))
+        withTq.crossJoin(broadcast(tot))
+          .select($"g", $"n_g", $"mean_q",
+            floor((($"btq" - floor(d2($"ss") * d2($"ss") / d2($"nn")
+                / 1000000.0 + lit(0.5))).cast("double"))
+              / ((floor(d2($"ss2") / 1000000.0 + lit(0.5))
+                - floor(d2($"ss") * d2($"ss") / d2($"nn") / 1000000.0
+                  + lit(0.5))).cast("double"))
+              * 1000000 + lit(0.5)).cast("long").as("eta2_micro"))
+          .orderBy($"g")
+      },
+      Some("""WITH j AS (
+             |  SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+             |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |grp AS (
+             |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             |    SUM(cents) AS sg, SUM(cents * cents) AS s2g
+             |  FROM j GROUP BY 1),
+             |wt AS (
+             |  SELECT g, n_g,
+             |    CAST(floor(CAST(sg AS DOUBLE) / CAST(n_g AS DOUBLE) + 0.5)
+             |      AS BIGINT) AS mean_q,
+             |    CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+             |      / CAST(n_g AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS tq,
+             |    sg, s2g
+             |  FROM grp),
+             |tot AS (
+             |  SELECT CAST(SUM(n_g) AS BIGINT) AS nn, SUM(sg) AS ss,
+             |    SUM(s2g) AS ss2, CAST(SUM(tq) AS BIGINT) AS btq
+             |  FROM wt)
+             |SELECT w.g, w.n_g, w.mean_q,
+             |  CAST(floor(
+             |    CAST(t.btq - CAST(floor(CAST(t.ss AS DOUBLE) * CAST(t.ss AS DOUBLE)
+             |      / CAST(t.nn AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+             |    / CAST(CAST(floor(CAST(t.ss2 AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT)
+             |      - CAST(floor(CAST(t.ss AS DOUBLE) * CAST(t.ss AS DOUBLE)
+             |        / CAST(t.nn AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+             |    * 1000000 + 0.5) AS BIGINT) AS eta2_micro
+             |FROM wt w, tot t ORDER BY w.g""".stripMargin)),
+
     // ----- q182: lagged cross-correlation between daily revenue and
     // daily order count — "does volume lead revenue" in one frame:
     // per lag 0..7, exact decimal moments over the rn/rn+lag join
