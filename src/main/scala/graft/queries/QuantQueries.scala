@@ -556,6 +556,106 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q187: Welch two-sample t-test on purchase values (parity
+    // cohorts) — the mean-difference companion to q167 (proportions)
+    // and q172 (ranks): exact centi-quantized moments in ONE
+    // conditional-sum pass, then the t statistic and the
+    // Welch–Satterthwaite df as fixed double chains (sqrt exact),
+    // micro/milli-snapped.
+    QueryDef(
+      "q187_welch_ttest",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .filter($"event_type" === "purchase")
+          .select((col("user_id") % 2 === 0).as("a"),
+            floor($"value" * 100 + lit(0.5)).cast("long").as("xq"))
+        val m = ev.agg(
+          sum(when($"a", 1L).otherwise(0L)).as("n1"),
+          sum(when(!$"a", 1L).otherwise(0L)).as("n2"),
+          sum(when($"a", $"xq").otherwise(0L).cast("decimal(38,0)")).as("s1"),
+          sum(when(!$"a", $"xq").otherwise(0L).cast("decimal(38,0)")).as("s2"),
+          sum(when($"a", $"xq" * $"xq").otherwise(0L).cast("decimal(38,0)"))
+            .as("q1"),
+          sum(when(!$"a", $"xq" * $"xq").otherwise(0L).cast("decimal(38,0)"))
+            .as("q2"))
+        def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+        val (n1, n2) = (d2($"n1"), d2($"n2"))
+        val v1 = (n1 * d2($"q1") - d2($"s1") * d2($"s1")) / (n1 * (n1 - 1.0))
+        val v2 = (n2 * d2($"q2") - d2($"s2") * d2($"s2")) / (n2 * (n2 - 1.0))
+        val se2 = v1 / n1 + v2 / n2
+        val t = (d2($"s1") / n1 - d2($"s2") / n2) / sqrt(se2)
+        val df = se2 * se2 /
+          (v1 / n1 * (v1 / n1) / (n1 - 1.0) + v2 / n2 * (v2 / n2) / (n2 - 1.0))
+        m.select($"n1", $"n2",
+          floor(t * 1000000 + lit(0.5)).cast("long").as("t_micro"),
+          floor(df * 1000 + lit(0.5)).cast("long").as("df_milli"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT (user_id % 2 = 0) AS a,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+             |  FROM events WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    SUM(CASE WHEN a THEN xq ELSE 0 END) AS s1,
+             |    SUM(CASE WHEN NOT a THEN xq ELSE 0 END) AS s2,
+             |    SUM(CASE WHEN a THEN xq * xq ELSE 0 END) AS q1,
+             |    SUM(CASE WHEN NOT a THEN xq * xq ELSE 0 END) AS q2
+             |  FROM ev)
+             |SELECT n1, n2,
+             |  CAST(floor(
+             |    (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |     - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             |    / sqrt(
+             |      (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+             |       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+             |      / CAST(n1 AS DOUBLE)
+             |      + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+             |         - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             |        / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+             |        / CAST(n2 AS DOUBLE))
+             |    * 1000000 + 0.5) AS BIGINT) AS t_micro,
+             |  CAST(floor(
+             |    ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+             |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |     / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+             |     / CAST(n1 AS DOUBLE)
+             |     + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+             |        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             |       / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+             |       / CAST(n2 AS DOUBLE))
+             |    * ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+             |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |       / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+             |       / CAST(n1 AS DOUBLE)
+             |       + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+             |          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             |         / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+             |         / CAST(n2 AS DOUBLE))
+             |    / ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+             |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |       / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+             |       / CAST(n1 AS DOUBLE)
+             |       * ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+             |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             |          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+             |          / CAST(n1 AS DOUBLE))
+             |       / (CAST(n1 AS DOUBLE) - 1.0)
+             |       + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+             |          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             |         / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+             |         / CAST(n2 AS DOUBLE)
+             |         * ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+             |             - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             |            / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+             |            / CAST(n2 AS DOUBLE))
+             |         / (CAST(n2 AS DOUBLE) - 1.0))
+             |    * 1000 + 0.5) AS BIGINT) AS df_milli
+             |FROM m""".stripMargin)),
+
     // ----- q186: one-way variance decomposition (η²) of order value
     // by customer nation — the ANOVA-style "how much does the group
     // explain" effect size. Group moments are exact decimal sums;
