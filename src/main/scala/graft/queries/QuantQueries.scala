@@ -556,6 +556,77 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q188: Gini coefficient + Lorenz deciles of customer
+    // revenue concentration — the inequality read-out behind any
+    // "how concentrated is our data/revenue" dashboard. With ranks
+    // from the two-pass zipRank and exact cents totals, the Gini
+    // rank-sum identity G = (2·Σ i·x_(i) − (n+1)·Σx)/(n·Σx) is an
+    // exact rational (one final division, micro-snapped); Lorenz
+    // rows report each decile's exact cumulative revenue share.
+    QueryDef(
+      "q188_gini_lorenz",
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.orders(s, d)
+          .select($"o_custkey",
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"o_custkey").agg(sum($"cents").as("rev"))
+        val ranked = graft.operators.GlobalOrder
+          .zipRank(rev.sort($"rev".asc, $"o_custkey".asc), "i")
+          .localCheckpoint(true) // totals + decile rows read it
+        val tot = ranked.agg(count(lit(1)).as("n"),
+          sum($"rev".cast("decimal(38,0)")).as("sx"),
+          sum(($"i" * $"rev").cast("decimal(38,0)")).as("six"))
+        val cum = graft.operators.GlobalOrder.runningSum(
+          ranked.withColumn("revd", $"rev".cast("decimal(38,0)")),
+          Seq($"i".asc), "revd", "cumd")
+        val deciles = cum.crossJoin(broadcast(tot))
+          .filter($"i" % floor($"n".cast("double") / 10 + lit(0.5)).cast("long")
+            === 0 || $"i" === $"n")
+          .select(expr("i * 10 DIV n").as("decile"), $"i".as("n_below"),
+            $"cumd".cast("decimal(38,0)").as("cum_rev"),
+            floor($"cumd".cast("double") / $"sx".cast("double") * 1000000
+              + lit(0.5)).cast("long").as("share_micro"),
+            floor((lit(2.0) * $"six".cast("double")
+              - ($"n".cast("double") + 1.0) * $"sx".cast("double"))
+              / ($"n".cast("double") * $"sx".cast("double")) * 1000000
+              + lit(0.5)).cast("long").as("gini_micro"))
+          .orderBy($"n_below")
+        deciles
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |rk AS MATERIALIZED (
+             |  SELECT rev,
+             |    CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+             |  FROM rev),
+             |tot AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(rev) AS sx,
+             |    SUM(i * rev) AS six
+             |  FROM rk),
+             |cum AS (
+             |  SELECT i, rev,
+             |    SUM(rev) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS cumd
+             |  FROM rk)
+             |SELECT CAST(c.i * 10 // t.n AS BIGINT) AS decile,
+             |  c.i AS n_below,
+             |  CAST(c.cumd AS DECIMAL(38,0)) AS cum_rev,
+             |  CAST(floor(CAST(c.cumd AS DOUBLE) / CAST(t.sx AS DOUBLE)
+             |    * 1000000 + 0.5) AS BIGINT) AS share_micro,
+             |  CAST(floor(
+             |    (2.0 * CAST(t.six AS DOUBLE)
+             |     - (CAST(t.n AS DOUBLE) + 1.0) * CAST(t.sx AS DOUBLE))
+             |    / (CAST(t.n AS DOUBLE) * CAST(t.sx AS DOUBLE)) * 1000000
+             |    + 0.5) AS BIGINT) AS gini_micro
+             |FROM cum c, tot t
+             |WHERE c.i % CAST(floor(CAST(t.n AS DOUBLE) / 10 + 0.5) AS BIGINT) = 0
+             |   OR c.i = t.n
+             |ORDER BY n_below""".stripMargin)),
+
     // ----- q187: Welch two-sample t-test on purchase values (parity
     // cohorts) — the mean-difference companion to q167 (proportions)
     // and q172 (ranks): exact centi-quantized moments in ONE
