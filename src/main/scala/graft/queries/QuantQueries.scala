@@ -556,6 +556,82 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q189: Kendall's τ-b between quantity and price on a
+    // hash-capped sample — the O(n²) concordance statistic made
+    // scale-safe: the 2000-row sample is selected by portable-hash
+    // order (deterministic at ANY scale factor, so the pair count is
+    // bounded by design, not by luck). Concordant/discordant/tie
+    // counts are exact BIGINTs from one a<b pair join; τ-b finishes
+    // with two exact sqrts, micro-snapped.
+    QueryDef(
+      "q189_kendall_tau",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.lineitem(s, d).select(
+          ($"l_orderkey" * 8 + $"l_linenumber").as("rk"),
+          floor($"l_quantity" * 100 + lit(0.5)).cast("long").as("x"),
+          floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("y"))
+        val sample = base
+          .withColumn("hf", Sampling.hashFraction($"rk", 189L))
+          .orderBy($"hf", $"rk").limit(2000)
+          .select($"rk", $"x", $"y")
+          .localCheckpoint(true)
+        val a = sample.select($"rk".as("ra"), $"x".as("xa"), $"y".as("ya"))
+        val b = sample.select($"rk".as("rb"), $"x".as("xb"), $"y".as("yb"))
+        val pairs = a.join(broadcast(b), $"ra" < $"rb")
+        val agg = pairs.agg(
+          sum(when(($"xa" - $"xb") * ($"ya" - $"yb") > 0, 1L).otherwise(0L))
+            .as("c"),
+          sum(when(($"xa" - $"xb") * ($"ya" - $"yb") < 0, 1L).otherwise(0L))
+            .as("dd"),
+          sum(when($"xa" === $"xb" && $"ya" =!= $"yb", 1L).otherwise(0L))
+            .as("tx"),
+          sum(when($"ya" === $"yb" && $"xa" =!= $"xb", 1L).otherwise(0L))
+            .as("ty"),
+          sum(when($"xa" === $"xb" && $"ya" === $"yb", 1L).otherwise(0L))
+            .as("txy"),
+          count(lit(1)).as("n0"))
+        def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+        agg.select($"n0", $"c", $"dd", $"tx", $"ty", $"txy",
+          floor((d2($"c") - d2($"dd"))
+            / (sqrt(d2($"n0") - (d2($"tx") + d2($"txy")))
+              * sqrt(d2($"n0") - (d2($"ty") + d2($"txy"))))
+            * 1000000 + lit(0.5)).cast("long").as("taub_micro"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT l_orderkey * 8 + l_linenumber AS rk,
+             |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+             |  FROM lineitem),
+             |sample AS MATERIALIZED (
+             |  SELECT rk, x, y FROM (
+             |    SELECT rk, x, y, ${Sampling.hashFractionSql("rk", 189L)} AS hf
+             |    FROM base)
+             |  ORDER BY hf, rk LIMIT 2000),
+             |agg AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             |    CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+             |    CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             |    CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+             |    CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS txy,
+             |    CAST(COUNT(*) AS BIGINT) AS n0
+             |  FROM sample a JOIN sample b ON a.rk < b.rk)
+             |SELECT n0, c, dd, tx, ty, txy,
+             |  CAST(floor(
+             |    (CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))
+             |    / (sqrt(CAST(n0 AS DOUBLE)
+             |        - (CAST(tx AS DOUBLE) + CAST(txy AS DOUBLE)))
+             |       * sqrt(CAST(n0 AS DOUBLE)
+             |          - (CAST(ty AS DOUBLE) + CAST(txy AS DOUBLE))))
+             |    * 1000000 + 0.5) AS BIGINT) AS taub_micro
+             |FROM agg""".stripMargin)),
+
     // ----- q188: Gini coefficient + Lorenz deciles of customer
     // revenue concentration — the inequality read-out behind any
     // "how concentrated is our data/revenue" dashboard. With ranks
