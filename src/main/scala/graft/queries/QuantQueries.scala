@@ -556,6 +556,49 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q190: partial correlations among (quantity, price,
+    // discount) — "is the qty↔price link real or discount-driven":
+    // ONE 9-moment pass (the q170 single-scan discipline), pairwise
+    // r finished driver-side with the identical IEEE ops, then
+    // r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) per
+    // controlled pair, micro-snapped; the oracle mirrors the exact
+    // same chains.
+    QueryDef(
+      "q190_partial_correlation",
+      (s, d) => {
+        import s.implicits._
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val q = Tables.lineitem(s, d).select(cols.zipWithIndex.map {
+          case (c, i) => floor(col(c) * 100 + lit(0.5)).cast("long").as(s"x$i")
+        }: _*)
+        val aggs = cols.indices.map(i =>
+          sum(col(s"x$i").cast("decimal(38,0)")).as(s"s$i")) ++
+          (for { i <- cols.indices; j <- cols.indices if i <= j }
+            yield sum((col(s"x$i") * col(s"x$j")).cast("decimal(38,0)"))
+              .as(s"s$i$j")) :+ count(lit(1)).as("n")
+        val row = q.agg(aggs.head, aggs.tail: _*).head()
+        val nd = row.getAs[Long]("n").toDouble
+        def sd(nm: String) = row.getAs[java.math.BigDecimal](nm).doubleValue
+        def r(i: Int, j: Int): Double = {
+          val (a, b) = (math.min(i, j), math.max(i, j))
+          (nd * sd(s"s$a$b") - sd(s"s$a") * sd(s"s$b")) /
+            (math.sqrt(nd * sd(s"s$a$a") - sd(s"s$a") * sd(s"s$a")) *
+              math.sqrt(nd * sd(s"s$b$b") - sd(s"s$b") * sd(s"s$b")))
+        }
+        val arms = for { i <- cols.indices; j <- cols.indices if i < j }
+          yield {
+            val z = (cols.indices.toSet - i - j).head
+            val pr = (r(i, j) - r(i, z) * r(j, z)) /
+              math.sqrt((1.0 - r(i, z) * r(i, z)) * (1.0 - r(j, z) * r(j, z)))
+            (cols(i), cols(j), cols(z),
+              math.floor(r(i, j) * 1000000 + 0.5).toLong,
+              math.floor(pr * 1000000 + 0.5).toLong)
+          }
+        arms.toSeq.toDF("col_a", "col_b", "controlling", "r_micro", "pr_micro")
+          .orderBy($"col_a", $"col_b")
+      },
+      Some(partialCorrOracle)),
+
     // ----- q189: Kendall's τ-b between quantity and price on a
     // hash-capped sample — the O(n²) concordance statistic made
     // scale-safe: the 2000-row sample is selected by portable-hash
@@ -944,6 +987,51 @@ object QuantQueries {
   /** Column list shared by q170's Spark arms and oracle arms. */
   private val CorrCols =
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** The q190 oracle — the same generated-arm discipline as q170,
+    * with the partial-correlation chain mirrored textually.
+    */
+  private def partialCorrOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val quants = cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(floor($c * 100 + 0.5) AS BIGINT) AS x$i"
+    }.mkString(",\n    ")
+    val sums = cols.indices.map(i => s"SUM(x$i) AS s$i") ++
+      (for { i <- cols.indices; j <- cols.indices if i <= j }
+        yield s"SUM(x$i * x$j) AS s$i$j")
+    def rSql(i: Int, j: Int): String = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      s"""((CAST(n AS DOUBLE) * CAST(s$a$b AS DOUBLE)
+         |     - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE))
+         |    / (sqrt(CAST(n AS DOUBLE) * CAST(s$a$a AS DOUBLE)
+         |            - CAST(s$a AS DOUBLE) * CAST(s$a AS DOUBLE))
+         |       * sqrt(CAST(n AS DOUBLE) * CAST(s$b$b AS DOUBLE)
+         |              - CAST(s$b AS DOUBLE) * CAST(s$b AS DOUBLE))))""".stripMargin
+    }
+    val arms = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield {
+        val z = (cols.indices.toSet - i - j).head
+        s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+           |  '${cols(z)}' AS controlling,
+           |  CAST(floor(${rSql(i, j)} * 1000000 + 0.5) AS BIGINT) AS r_micro,
+           |  CAST(floor(
+           |    (${rSql(i, j)} - ${rSql(i, z)} * ${rSql(j, z)})
+           |    / sqrt((1.0 - ${rSql(i, z)} * ${rSql(i, z)})
+           |           * (1.0 - ${rSql(j, z)} * ${rSql(j, z)}))
+           |    * 1000000 + 0.5) AS BIGINT) AS pr_micro
+           |FROM m""".stripMargin
+      }
+    s"""WITH q AS (
+       |  SELECT ${quants}
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM q)
+       |SELECT * FROM (
+       |${arms.mkString("\nUNION ALL\n")})
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 
   /** The q170 oracle, generated from [[CorrCols]]. */
   private def corrOracle: String = {
