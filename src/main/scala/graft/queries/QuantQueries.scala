@@ -556,6 +556,84 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q191: Wald–Wolfowitz runs test on the daily revenue
+    // sequence — is the above/below-median pattern serially random?
+    // The median is the exact lower-median by rank selection
+    // (zipRank, no global window), the runs count comes from an
+    // rn/rn+1 self-join sign comparison (the q168 pairing trick),
+    // and E[R]/Var[R] are exact-rational chains ending in one sqrt.
+    QueryDef(
+      "q191_runs_test",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("xq"))
+          .localCheckpoint(true) // median leg + runs leg share it
+        val n = daily.count()
+        val med = graft.operators.GlobalOrder
+          .zipRank(daily.sort($"xq".asc, $"day".asc), "vr")
+          .filter($"vr" === graft.operators.LogReg.fdiv(n + 1L, 2L))
+          .select($"xq").head.getLong(0)
+        val byDay = graft.operators.GlobalOrder
+          .zipRank(daily.sort($"day"), "rn")
+          .select($"rn", ($"xq" > med).as("hi"))
+          .localCheckpoint(true)
+        val counts = byDay.agg(
+          sum(when($"hi", 1L).otherwise(0L)).as("n1"),
+          sum(when(!$"hi", 1L).otherwise(0L)).as("n2"))
+        val changes = byDay.select($"rn", $"hi")
+          .join(byDay.select(($"rn" - 1L).as("rn"), $"hi".as("hi_prev")), "rn")
+          .agg(sum(when($"hi" =!= $"hi_prev", 1L).otherwise(0L)).as("ch"))
+        def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+        counts.crossJoin(changes)
+          .select(lit(n).as("n"), $"n1", $"n2", lit(med).as("median_cents"),
+            ($"ch" + 1L).as("runs"),
+            floor((d2($"ch" + 1L)
+              - (lit(2.0) * d2($"n1") * d2($"n2") / lit(n.toDouble) + lit(1.0)))
+              / sqrt(lit(2.0) * d2($"n1") * d2($"n2")
+                * (lit(2.0) * d2($"n1") * d2($"n2") - lit(n.toDouble))
+                / (lit(n.toDouble) * lit(n.toDouble) * (lit(n.toDouble) - 1.0)))
+              * 1000000 + lit(0.5)).cast("long").as("z_micro"))
+      },
+      Some("""WITH ser AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS xq
+             |  FROM orders GROUP BY 1),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ser),
+             |med AS (
+             |  SELECT xq AS m FROM (
+             |    SELECT xq, row_number() OVER (ORDER BY xq, day) AS vr FROM ser),
+             |    nn
+             |  WHERE vr = CAST(floor(CAST(nn.n + 1 AS DOUBLE) / 2.0) AS BIGINT)),
+             |byday AS MATERIALIZED (
+             |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+             |    (xq > (SELECT m FROM med)) AS hi
+             |  FROM ser),
+             |cnt AS (
+             |  SELECT CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             |  FROM byday),
+             |ch AS (
+             |  SELECT CAST(SUM(CASE WHEN a.hi <> b.hi THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS ch
+             |  FROM byday a JOIN byday b ON a.rn = b.rn + 1)
+             |SELECT nn.n, cnt.n1, cnt.n2, (SELECT m FROM med) AS median_cents,
+             |  ch.ch + 1 AS runs,
+             |  CAST(floor(
+             |    (CAST(ch.ch + 1 AS DOUBLE)
+             |     - (2.0 * CAST(cnt.n1 AS DOUBLE) * CAST(cnt.n2 AS DOUBLE)
+             |        / CAST(nn.n AS DOUBLE) + 1.0))
+             |    / sqrt(2.0 * CAST(cnt.n1 AS DOUBLE) * CAST(cnt.n2 AS DOUBLE)
+             |        * (2.0 * CAST(cnt.n1 AS DOUBLE) * CAST(cnt.n2 AS DOUBLE)
+             |           - CAST(nn.n AS DOUBLE))
+             |        / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+             |           * (CAST(nn.n AS DOUBLE) - 1.0)))
+             |    * 1000000 + 0.5) AS BIGINT) AS z_micro
+             |FROM nn, med, cnt, ch""".stripMargin)),
+
     // ----- q190: partial correlations among (quantity, price,
     // discount) — "is the qty↔price link real or discount-driven":
     // ONE 9-moment pass (the q170 single-scan discipline), pairwise
