@@ -556,6 +556,85 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q192: Cramér's V for returnflag × linestatus — the
+    // categorical-association effect size: exact integer contingency
+    // cells, expected counts as exact fdiv micro-units, each χ² term
+    // r4-snapped BEFORE the exact total (the q177 discipline), and
+    // V = √(χ²/(N·(min(r,c)−1))) with the dimension term derived
+    // from the data in both engines.
+    QueryDef(
+      "q192_cramers_v",
+      (s, d) => {
+        import s.implicits._
+        val cells = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("o"))
+          .localCheckpoint(true) // margins + terms read it
+        val rowT = cells.groupBy($"l_returnflag").agg(sum($"o").as("rt"))
+        val colT = cells.groupBy($"l_linestatus").agg(sum($"o").as("ct"))
+        val nn = cells.agg(sum($"o").as("n"),
+          count_distinct($"l_returnflag").as("nr"),
+          count_distinct($"l_linestatus").as("nc"))
+        def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+        val terms = cells.join(rowT, "l_returnflag").join(colT, "l_linestatus")
+          .crossJoin(broadcast(nn))
+          .select($"l_returnflag", $"l_linestatus", $"o",
+            floor(d2($"rt" * $"ct") * 1000000.0 / d2($"n")).cast("long")
+              .as("expected_micro"),
+            $"n", $"nr", $"nc")
+          .withColumn("term_q",
+            floor((d2($"o" * 1000000L - $"expected_micro")
+              * d2($"o" * 1000000L - $"expected_micro"))
+              / d2($"expected_micro") / 1000000.0 * 10000 + lit(0.5))
+              .cast("long"))
+        val tot = terms.agg(sum($"term_q").as("chi2_q"))
+        terms.crossJoin(broadcast(tot))
+          .select($"l_returnflag", $"l_linestatus", $"o", $"expected_micro",
+            $"term_q", $"chi2_q",
+            floor(sqrt(d2($"chi2_q") / 10000.0 / d2($"n")
+              / d2(least($"nr", $"nc") - 1L)) * 1000000 + lit(0.5))
+              .cast("long").as("v_micro"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""WITH cells AS (
+             |  SELECT l_returnflag, l_linestatus,
+             |    CAST(count(*) AS BIGINT) AS o
+             |  FROM lineitem GROUP BY 1, 2),
+             |rt AS (SELECT l_returnflag, CAST(SUM(o) AS BIGINT) AS rt
+             |       FROM cells GROUP BY 1),
+             |ct AS (SELECT l_linestatus, CAST(SUM(o) AS BIGINT) AS ct
+             |       FROM cells GROUP BY 1),
+             |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS nr,
+             |    CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS nc
+             |  FROM cells),
+             |terms AS (
+             |  SELECT c.l_returnflag, c.l_linestatus, c.o,
+             |    CAST(floor(CAST(r.rt * ct.ct AS DOUBLE) * 1000000.0
+             |      / CAST(nn.n AS DOUBLE)) AS BIGINT) AS expected_micro,
+             |    nn.n, nn.nr, nn.nc
+             |  FROM cells c
+             |  JOIN rt r ON c.l_returnflag = r.l_returnflag
+             |  JOIN ct ON c.l_linestatus = ct.l_linestatus
+             |  CROSS JOIN nn),
+             |tq AS (
+             |  SELECT l_returnflag, l_linestatus, o, expected_micro, n, nr, nc,
+             |    CAST(floor(
+             |      CAST(o * 1000000 - expected_micro AS DOUBLE)
+             |      * CAST(o * 1000000 - expected_micro AS DOUBLE)
+             |      / CAST(expected_micro AS DOUBLE) / 1000000.0
+             |      * 10000 + 0.5) AS BIGINT) AS term_q
+             |  FROM terms),
+             |tot AS (SELECT CAST(SUM(term_q) AS BIGINT) AS chi2_q FROM tq)
+             |SELECT t.l_returnflag, t.l_linestatus, t.o, t.expected_micro,
+             |  t.term_q, s.chi2_q,
+             |  CAST(floor(sqrt(CAST(s.chi2_q AS DOUBLE) / 10000.0
+             |    / CAST(t.n AS DOUBLE)
+             |    / CAST(LEAST(t.nr, t.nc) - 1 AS DOUBLE)) * 1000000 + 0.5)
+             |    AS BIGINT) AS v_micro
+             |FROM tq t, tot s
+             |ORDER BY t.l_returnflag, t.l_linestatus""".stripMargin)),
+
     // ----- q191: Wald–Wolfowitz runs test on the daily revenue
     // sequence — is the above/below-median pattern serially random?
     // The median is the exact lower-median by rank selection
