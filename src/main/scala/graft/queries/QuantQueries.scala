@@ -556,6 +556,72 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q193: McNemar's paired test — did per-user purchase
+    // behavior CHANGE between the first and second half of the
+    // observation window? The paired-design member the two-sample
+    // family lacks: the 2×2 (H1, H2) table over the SAME users,
+    // (the "high-value purchase" event, rare enough that discordant
+    // users exist) — χ² = (b−c)²/(b+c) on the discordant cells:
+    // exact integers,
+    // one final micro-snapped division. The midpoint is the exact
+    // fdiv of the epoch-micro span, derived identically both sides.
+    QueryDef(
+      "q193_mcnemar",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", unix_micros($"ts").as("us"),
+            ($"event_type" === "purchase" && $"value" > 300).as("p"))
+          .localCheckpoint(true)
+        val mm = ev.agg(min($"us").as("mn"), max($"us").as("mx")).head()
+        val mid = graft.operators.LogReg.fdiv(mm.getLong(0) + mm.getLong(1), 2L)
+        val perUser = ev.groupBy($"user_id").agg(
+          max(when($"p" && $"us" < mid, 1L).otherwise(0L)).as("h1"),
+          max(when($"p" && $"us" >= mid, 1L).otherwise(0L)).as("h2"))
+        val cells = perUser.agg(
+          count(lit(1)).as("n_users"),
+          sum(when($"h1" === 1L && $"h2" === 1L, 1L).otherwise(0L)).as("n11"),
+          sum(when($"h1" === 1L && $"h2" === 0L, 1L).otherwise(0L)).as("n10"),
+          sum(when($"h1" === 0L && $"h2" === 1L, 1L).otherwise(0L)).as("n01"),
+          sum(when($"h1" === 0L && $"h2" === 0L, 1L).otherwise(0L)).as("n00"))
+        cells.select($"n_users", $"n11", $"n10", $"n01", $"n00",
+          floor(($"n10" - $"n01").cast("double")
+            * ($"n10" - $"n01").cast("double")
+            / ($"n10" + $"n01").cast("double") * 1000000 + lit(0.5))
+            .cast("long").as("chi2_micro"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS us,
+             |    (event_type = 'purchase' AND value > 300) AS p
+             |  FROM events),
+             |mm AS (
+             |  SELECT CAST(floor(CAST(MIN(us) + MAX(us) AS DOUBLE) / 2.0)
+             |    AS BIGINT) AS mid
+             |  FROM ev),
+             |pu AS (
+             |  SELECT e.user_id,
+             |    MAX(CASE WHEN e.p AND e.us < m.mid THEN 1 ELSE 0 END) AS h1,
+             |    MAX(CASE WHEN e.p AND e.us >= m.mid THEN 1 ELSE 0 END) AS h2
+             |  FROM ev e CROSS JOIN mm m
+             |  GROUP BY 1),
+             |cells AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n11,
+             |    CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n10,
+             |    CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n01,
+             |    CAST(SUM(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n00
+             |  FROM pu)
+             |SELECT n_users, n11, n10, n01, n00,
+             |  CAST(floor(
+             |    CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
+             |    / CAST(n10 + n01 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |    AS chi2_micro
+             |FROM cells""".stripMargin)),
+
     // ----- q192: Cramér's V for returnflag × linestatus — the
     // categorical-association effect size: exact integer contingency
     // cells, expected counts as exact fdiv micro-units, each χ² term
