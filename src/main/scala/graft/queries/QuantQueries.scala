@@ -556,6 +556,58 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q194: multiple linear regression by normal equations —
+    // price ~ quantity + discount with intercept, solved in CLOSED
+    // FORM (Cramer's rule on the 3×3 moment matrix; no iteration):
+    // one exact 10-moment pass, then determinants whose formula
+    // shape is generated ONCE (det3/det3Sql) for both engines, so
+    // coefficients and R² match micro-for-micro. The q102 per-group
+    // simple regression's multivariate big sibling.
+    QueryDef(
+      "q194_multiple_regression",
+      (s, d) => {
+        import s.implicits._
+        val q = Tables.lineitem(s, d).select(
+          floor($"l_quantity" * 100 + lit(0.5)).cast("long").as("x1"),
+          floor($"l_discount" * 100 + lit(0.5)).cast("long").as("x2"),
+          floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("y"))
+        val names = Seq("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+        val exprs = Seq(
+          sum($"x1".cast("decimal(38,0)")), sum($"x2".cast("decimal(38,0)")),
+          sum($"y".cast("decimal(38,0)")),
+          sum(($"x1" * $"x1").cast("decimal(38,0)")),
+          sum(($"x1" * $"x2").cast("decimal(38,0)")),
+          sum(($"x2" * $"x2").cast("decimal(38,0)")),
+          sum(($"x1" * $"y").cast("decimal(38,0)")),
+          sum(($"x2" * $"y").cast("decimal(38,0)")),
+          sum(($"y" * $"y").cast("decimal(38,0)")))
+        val row = q.agg(count(lit(1)).as("n"),
+          exprs.zip(names).map { case (e, nm) => e.as(nm) }: _*).head()
+        val nd = row.getAs[Long]("n").toDouble
+        def v(nm: String) = row.getAs[java.math.BigDecimal](nm).doubleValue
+        val mM = Seq(
+          Seq(nd, v("s1"), v("s2")),
+          Seq(v("s1"), v("s11"), v("s12")),
+          Seq(v("s2"), v("s12"), v("s22")))
+        val b = Seq(v("sy"), v("s1y"), v("s2y"))
+        def replaced(c: Int) = mM.zipWithIndex.map { case (r, i) =>
+          r.updated(c, b(i))
+        }
+        val dm = det3(mM)
+        val beta = (0 to 2).map(c => det3(replaced(c)) / dm)
+        val sse = v("syy") - (beta(0) * v("sy") + beta(1) * v("s1y")
+          + beta(2) * v("s2y"))
+        val sst = v("syy") - v("sy") * v("sy") / nd
+        val r2 = 1.0 - sse / sst
+        Seq((row.getAs[Long]("n"),
+          math.floor(beta(0) * 1000000 + 0.5).toLong,
+          math.floor(beta(1) * 1000000 + 0.5).toLong,
+          math.floor(beta(2) * 1000000 + 0.5).toLong,
+          math.floor(r2 * 1000000 + 0.5).toLong))
+          .toDF("n", "b0_micro", "b1_micro", "b2_micro", "r2_micro")
+      },
+      Some(mlrOracle)),
+
     // ----- q193: McNemar's paired test — did per-user purchase
     // behavior CHANGE between the first and second half of the
     // observation window? The paired-design member the two-sample
@@ -1207,9 +1259,62 @@ object QuantQueries {
   private val HoltAlphaDen = 4L
   private val HoltBetaDen = 8L
 
+  /** 3×3 determinant — ONE formula shape for both engines: this
+    * numeric form and [[det3Sql]] must mirror each other operation
+    * for operation (q194's cross-engine contract).
+    */
+  private def det3(m: Seq[Seq[Double]]): Double =
+    m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+      m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+      m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+
+  /** SQL text of [[det3]] over element expressions. */
+  private def det3Sql(m: Seq[Seq[String]]): String =
+    s"(${m(0)(0)} * (${m(1)(1)} * ${m(2)(2)} - ${m(1)(2)} * ${m(2)(1)})" +
+      s" - ${m(0)(1)} * (${m(1)(0)} * ${m(2)(2)} - ${m(1)(2)} * ${m(2)(0)})" +
+      s" + ${m(0)(2)} * (${m(1)(0)} * ${m(2)(1)} - ${m(1)(1)} * ${m(2)(0)}))"
+
   /** Column list shared by q170's Spark arms and oracle arms. */
   private val CorrCols =
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** The q194 oracle — determinant texts generated by [[det3Sql]]
+    * over the same matrix layout the Scala side feeds [[det3]].
+    */
+  private def mlrOracle: String = {
+    def c(nm: String) = s"CAST($nm AS DOUBLE)"
+    val mM = Seq(
+      Seq(c("n"), c("s1"), c("s2")),
+      Seq(c("s1"), c("s11"), c("s12")),
+      Seq(c("s2"), c("s12"), c("s22")))
+    val b = Seq(c("sy"), c("s1y"), c("s2y"))
+    def replaced(col: Int) = mM.zipWithIndex.map { case (r, i) =>
+      r.updated(col, b(i))
+    }
+    val dm = det3Sql(mM)
+    val betas = (0 to 2).map(col => s"(${det3Sql(replaced(col))} / $dm)")
+    s"""WITH q AS (
+       |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+       |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+       |    SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+       |    SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+       |  FROM q)
+       |SELECT n,
+       |  CAST(floor(${betas(0)} * 1000000 + 0.5) AS BIGINT) AS b0_micro,
+       |  CAST(floor(${betas(1)} * 1000000 + 0.5) AS BIGINT) AS b1_micro,
+       |  CAST(floor(${betas(2)} * 1000000 + 0.5) AS BIGINT) AS b2_micro,
+       |  CAST(floor((1.0 - (${c("syy")}
+       |      - (${betas(0)} * ${c("sy")} + ${betas(1)} * ${c("s1y")}
+       |         + ${betas(2)} * ${c("s2y")}))
+       |    / (${c("syy")} - ${c("sy")} * ${c("sy")} / ${c("n")}))
+       |    * 1000000 + 0.5) AS BIGINT) AS r2_micro
+       |FROM m""".stripMargin
+  }
 
   /** The q190 oracle — the same generated-arm discipline as q170,
     * with the partial-correlation chain mirrored textually.
