@@ -556,6 +556,65 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q195: Theil–Sen robust slope (price per unit quantity) —
+    // the median of pairwise slopes, outlier-robust where OLS is
+    // not, on the q189 hash-capped 1000-row sample (pair count
+    // bounded by design). Each slope is ONE exact-input IEEE
+    // division; the median is an exact rank selection over the
+    // (slope, ra, rb)-ordered pair frame via the two-pass zipRank —
+    // no global window, no driver materialization.
+    QueryDef(
+      "q195_theil_sen",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.lineitem(s, d).select(
+          ($"l_orderkey" * 8 + $"l_linenumber").as("rk"),
+          floor($"l_quantity" * 100 + lit(0.5)).cast("long").as("x"),
+          floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("y"))
+        val sample = base
+          .withColumn("hf", Sampling.hashFraction($"rk", 195L))
+          .orderBy($"hf", $"rk").limit(1000)
+          .select($"rk", $"x", $"y")
+          .localCheckpoint(true)
+        val a = sample.select($"rk".as("ra"), $"x".as("xa"), $"y".as("ya"))
+        val b = sample.select($"rk".as("rb"), $"x".as("xb"), $"y".as("yb"))
+        val slopes = a.join(broadcast(b), $"ra" < $"rb" && $"xa" =!= $"xb")
+          .select($"ra", $"rb",
+            (($"yb" - $"ya").cast("double") / ($"xb" - $"xa").cast("double"))
+              .as("slope"))
+        val m = slopes.count()
+        val medRank = graft.operators.LogReg.fdiv(m + 1L, 2L)
+        graft.operators.GlobalOrder
+          .zipRank(slopes.sort($"slope", $"ra", $"rb"), "i")
+          .filter($"i" === medRank)
+          .select(lit(m).as("n_pairs"),
+            floor($"slope" * 1000000 + lit(0.5)).cast("long")
+              .as("slope_micro"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT l_orderkey * 8 + l_linenumber AS rk,
+             |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+             |  FROM lineitem),
+             |sample AS MATERIALIZED (
+             |  SELECT rk, x, y FROM (
+             |    SELECT rk, x, y, ${Sampling.hashFractionSql("rk", 195L)} AS hf
+             |    FROM base)
+             |  ORDER BY hf, rk LIMIT 1000),
+             |slopes AS MATERIALIZED (
+             |  SELECT a.rk AS ra, b.rk AS rb,
+             |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+             |  FROM sample a JOIN sample b ON a.rk < b.rk AND a.x <> b.x),
+             |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM slopes),
+             |rk AS (
+             |  SELECT slope,
+             |    CAST(row_number() OVER (ORDER BY slope, ra, rb) AS BIGINT) AS i
+             |  FROM slopes)
+             |SELECT mm.m AS n_pairs,
+             |  CAST(floor(rk.slope * 1000000 + 0.5) AS BIGINT) AS slope_micro
+             |FROM rk, mm
+             |WHERE rk.i = CAST(floor(CAST(mm.m + 1 AS DOUBLE) / 2.0) AS BIGINT)""".stripMargin)),
+
     // ----- q194: multiple linear regression by normal equations —
     // price ~ quantity + discount with intercept, solved in CLOSED
     // FORM (Cramer's rule on the 3×3 moment matrix; no iteration):
