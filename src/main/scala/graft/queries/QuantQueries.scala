@@ -556,6 +556,61 @@ object QuantQueries {
              |  (c.su > p.h OR c.sl > p.h) AS alarm
              |FROM c, pars p ORDER BY c.day""".stripMargin)),
 
+    // ----- q196: Hodges–Lehmann robust location of purchase values —
+    // the median of Walsh averages (x_i + x_j)/2 over i ≤ j pairs on
+    // a hash-capped 1000-row sample: the rank-based location
+    // estimator paired with q195's slope. Walsh averages of integer
+    // cents are EXACT doubles (halves are dyadic); the median is the
+    // q195 exact rank selection.
+    QueryDef(
+      "q196_hodges_lehmann",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.events(s, d)
+          .filter($"event_type" === "purchase")
+          .select($"event_id".as("rk"),
+            floor($"value" * 100 + lit(0.5)).cast("long").as("x"))
+        val sample = base
+          .withColumn("hf", Sampling.hashFraction($"rk", 196L))
+          .orderBy($"hf", $"rk").limit(1000)
+          .select($"rk", $"x")
+          .localCheckpoint(true)
+        val a = sample.select($"rk".as("ra"), $"x".as("xa"))
+        val b = sample.select($"rk".as("rb"), $"x".as("xb"))
+        val walsh = a.join(broadcast(b), $"ra" <= $"rb")
+          .select($"ra", $"rb",
+            (($"xa" + $"xb").cast("double") / 2.0).as("w"))
+        val m = walsh.count()
+        val medRank = graft.operators.LogReg.fdiv(m + 1L, 2L)
+        graft.operators.GlobalOrder
+          .zipRank(walsh.sort($"w", $"ra", $"rb"), "i")
+          .filter($"i" === medRank)
+          .select(lit(m).as("n_pairs"),
+            floor($"w" * 1000 + lit(0.5)).cast("long").as("hl_milli"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT event_id AS rk,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+             |  FROM events WHERE event_type = 'purchase'),
+             |sample AS MATERIALIZED (
+             |  SELECT rk, x FROM (
+             |    SELECT rk, x, ${Sampling.hashFractionSql("rk", 196L)} AS hf
+             |    FROM base)
+             |  ORDER BY hf, rk LIMIT 1000),
+             |walsh AS MATERIALIZED (
+             |  SELECT a.rk AS ra, b.rk AS rb,
+             |    CAST(a.x + b.x AS DOUBLE) / 2.0 AS w
+             |  FROM sample a JOIN sample b ON a.rk <= b.rk),
+             |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM walsh),
+             |rk AS (
+             |  SELECT w,
+             |    CAST(row_number() OVER (ORDER BY w, ra, rb) AS BIGINT) AS i
+             |  FROM walsh)
+             |SELECT mm.m AS n_pairs,
+             |  CAST(floor(rk.w * 1000 + 0.5) AS BIGINT) AS hl_milli
+             |FROM rk, mm
+             |WHERE rk.i = CAST(floor(CAST(mm.m + 1 AS DOUBLE) / 2.0) AS BIGINT)""".stripMargin)),
+
     // ----- q195: Theil–Sen robust slope (price per unit quantity) —
     // the median of pairwise slopes, outlier-robust where OLS is
     // not, on the q189 hash-capped 1000-row sample (pair count
