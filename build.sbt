@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time" banner after runMain: the driver's bench
+// capture parses the LAST output line as JSON, and sbt's banner was
+// what kept defeating it (BENCH_r6–r8 `parsed` null). With the banner
+// off, graft.Bench's compact final JSON line is the last line sbt
+// prints.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,25 +22,40 @@ import org.apache.spark.sql.functions._
   *  - noise: everything else, cluster −1.
   *
   * Scale shape: pair generation is the [[Dedup.cosineJoinGrid]]
-  * 1-Bucket-Theta grid (the exact-output path; swap
-  * [[AnnSearch.bandJoin]] in for approximate at high thresholds);
-  * everything after is degree counts, one component run over the
-  * (sparser) core subgraph, and broadcastable role joins — all
-  * shuffles keyed on vertex id, frames bounded by |V| + |E|.
+  * 1-Bucket-Theta grid by default (exact output, Σn²/blk work — fine
+  * to ~10⁶ vectors per block), or [[AnnSearch.bandJoin]] when `ann`
+  * is set (the 100× path: banded LSH candidates, emit-once, exact
+  * cosine verify — sub-quadratic, miss probability (1−p²)^bands per
+  * qualifying pair, negligible at high eps; DbscanSpec pins grid ≡
+  * band on the fixture). Everything after is degree counts, one
+  * component run over the (sparser) core subgraph, and broadcastable
+  * role joins — all shuffles keyed on vertex id, frames bounded by
+  * |V| + |E|.
   */
 object Dbscan {
 
   /** (id, role ∈ core|border|noise, cluster; −1 for noise), ordered
     * by id.
+    *
+    * @param ann when Some((lsh, bands)), neighbor pairs come from
+    *   [[AnnSearch.bandJoin]] instead of the exact grid — same
+    *   (id_a, id_b, cos > eps) contract, sub-quadratic candidate
+    *   generation for corpus-scale runs.
     */
   def cluster(
       embs: DataFrame,
       idCol: String,
       vecCol: String,
       eps: Double,
-      minPts: Int): DataFrame = {
+      minPts: Int,
+      ann: Option[(AnnSearch.LshScheme, Int)] = None): DataFrame = {
     require(minPts >= 1, "minPts must be >= 1")
-    val pairs = Dedup.cosineJoinGrid(embs, idCol, vecCol, eps)
+    val rawPairs = ann match {
+      case Some((lsh, bands)) =>
+        AnnSearch.bandJoin(embs.sparkSession, embs, idCol, vecCol, lsh, bands, eps)
+      case None => Dedup.cosineJoinGrid(embs, idCol, vecCol, eps)
+    }
+    val pairs = rawPairs
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true) // one materialization feeds degree, CC, border
     val ids = embs.select(col(idCol).cast("long").as("id"))

@@ -1092,7 +1092,12 @@ object QuantQueries {
           .filter($"i" % floor($"n".cast("double") / 10 + lit(0.5)).cast("long")
             === 0 || $"i" === $"n")
           .select(expr("i * 10 DIV n").as("decile"), $"i".as("n_below"),
-            $"cumd".cast("decimal(38,0)").as("cum_rev"),
+            // BIGINT, not DECIMAL: total cents at sf0.1 is ~3.75e12
+            // ≪ 2^63, and the driver hash is dtype-sensitive —
+            // decimal128 parquet vs DuckDB DECIMAL hash-mismatch even
+            // on equal values. No declared output may be DecimalType
+            // (suite-pinned in PropertiesSpec).
+            $"cumd".cast("long").as("cum_rev"),
             floor($"cumd".cast("double") / $"sx".cast("double") * 1000000
               + lit(0.5)).cast("long").as("share_micro"),
             floor((lit(2.0) * $"six".cast("double")
@@ -1122,7 +1127,7 @@ object QuantQueries {
              |  FROM rk)
              |SELECT CAST(c.i * 10 // t.n AS BIGINT) AS decile,
              |  c.i AS n_below,
-             |  CAST(c.cumd AS DECIMAL(38,0)) AS cum_rev,
+             |  CAST(c.cumd AS BIGINT) AS cum_rev,
              |  CAST(floor(CAST(c.cumd AS DOUBLE) / CAST(t.sx AS DOUBLE)
              |    * 1000000 + 0.5) AS BIGINT) AS share_micro,
              |  CAST(floor(

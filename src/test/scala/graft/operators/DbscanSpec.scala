@@ -54,6 +54,21 @@ class DbscanSpec extends SparkSpec {
     assert(out == expected, s"got $out")
   }
 
+  test("ann band-join path ≡ exact grid path at the fixture eps") {
+    // the 100× swap (VERDICT r8 #3): candidate pairs from
+    // AnnSearch.bandJoin instead of the exact grid. At 15×2-bit
+    // hyperplane bands a qualifying pair at cos 0.6 is missed with
+    // prob (1 − p²)^15 ≈ 3e-5 (p = 1 − θ/π ≈ 0.70) — and the run is
+    // seed-deterministic, so this is equality, not a recall bound.
+    import spark.implicits._
+    def run(ann: Option[(AnnSearch.LshScheme, Int)]) =
+      Dbscan.cluster(fixture, "vec_id", "embedding",
+          eps = 0.6, minPts = 5, ann = ann)
+        .as[(Long, String, Long)].collect().toSeq
+    val lsh = AnnSearch.HyperplaneLsh(dim = 4, nBits = 30, seed = 2)
+    assert(run(Some((lsh, 15))) == run(None))
+  }
+
   test("clustering is layout invariant") {
     import spark.implicits._
     def run(df: DataFrame) =

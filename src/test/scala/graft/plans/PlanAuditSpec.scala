@@ -138,7 +138,7 @@ class PlanAuditSpec extends SparkSpec {
       .filter(_.contains("Window")).mkString("\n"))
   }
 
-  test("no declared query plans an unpartitioned window (suite-wide)") {
+  test("no declared query plans an unpartitioned window or emits DecimalType (suite-wide)") {
     // the class of scale-killer eliminated in r4/r5 (q78→q93/q110/q91
     // plus the bounded Vocab/HybridSearch ranks): every Window in
     // every declared query's optimized plan must carry a partition
@@ -150,15 +150,28 @@ class PlanAuditSpec extends SparkSpec {
     // test costs a couple of minutes and that is an accepted price
     // for a suite-wide plan pin.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val offenders = graft.QueryDef.all.flatMap { qd =>
-      val bad =
-        try qd.fn(spark, sf).queryExecution.optimizedPlan.collect {
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val decimalOut = scala.collection.mutable.ListBuffer.empty[String]
+    graft.QueryDef.all.foreach { qd =>
+      try {
+        val df = qd.fn(spark, sf)
+        val bad = df.queryExecution.optimizedPlan.collect {
           case w: LWindow if w.partitionSpec.isEmpty => w
         }
-        finally spark.catalog.clearCache()
-      if (bad.nonEmpty) Some(qd.name) else None
+        if (bad.nonEmpty) offenders += qd.name
+        // DecimalType is banned from every declared output schema: the
+        // driver's value-hash is dtype/representation sensitive and
+        // Spark decimal128 parquet vs DuckDB DECIMAL hash-differ even
+        // on equal values (round-8 q188, the one red row in 185).
+        // Fixed-point columns are BIGINT; ratios are DOUBLE.
+        if (df.schema.exists(f => f.dataType.isInstanceOf[DecimalType]))
+          decimalOut += qd.name
+      } finally spark.catalog.clearCache()
     }
     assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
+    assert(decimalOut.isEmpty,
+      s"DecimalType in declared output schema (driver hash rejects decimals): ${decimalOut.mkString(", ")}")
   }
 
   test("q31 native cosine stays inside whole-stage codegen") {

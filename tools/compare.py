@@ -9,11 +9,21 @@ matching SQL from oracle_sql.json in DuckDB with views over
 schemas (loosely), and exact values (floats: exact bitwise after
 float64 cast; tiny tolerance report if not).
 """
+import decimal
 import json
 import sys
 
 import duckdb
 import pandas as pd
+
+
+def _is_decimal_series(s) -> bool:
+    """Pandas materializes parquet decimal128 / DuckDB DECIMAL as dtype
+    object holding decimal.Decimal values."""
+    if s.dtype.kind != "O":
+        return False
+    v = s.dropna()
+    return len(v) > 0 and isinstance(v.iloc[0], decimal.Decimal)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -48,6 +58,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in oracle_df.columns:
             a, b = spark_df[c], oracle_df[c]
             try:
+                # Decimal anywhere is a hard failure, same class as the
+                # int-vs-float rule below: the driver's value-hash is
+                # dtype/representation sensitive and Spark decimal128
+                # parquet vs a DuckDB DECIMAL hash-differ even on equal
+                # values (round-8 q188). The local gate silently passed
+                # it because object-Decimal slid through the str/float
+                # paths here. DecimalType is banned from declared
+                # outputs (PropertiesSpec) — cast to BIGINT or DOUBLE.
+                if _is_decimal_series(a) or _is_decimal_series(b):
+                    bad.append((c, f"decimal dtype (spark {a.dtype}/oracle {b.dtype}): driver hash would differ — cast to BIGINT/DOUBLE"))
+                    continue
                 # The driver's value-hash distinguishes int64 from float64:
                 # DuckDB SUM(integer) -> HUGEINT -> pandas float64 while the
                 # Spark parquet holds int64. A silent float64 cast here hid
