@@ -226,4 +226,53 @@ object GraphOps {
     spark.createDataFrame(out, StructType(Seq(
       StructField("v", vType), StructField("pr", DoubleType))))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * DETERMINISTIC tie-break — community detection next to
+    * [[pageRank]] (centrality) and [[triangleStats]] (cohesion).
+    * Every node starts labeled with its own id; each of the fixed
+    * `iterations` rounds relabels every node with the most frequent
+    * label among its neighbors, ties broken by MIN label. Classical
+    * async LPA is scan-order dependent; the synchronous rule + min
+    * tie-break makes the result a pure function of the graph, so any
+    * engine replaying the recurrence (the q99 unrolled-CTE oracle
+    * discipline) hash-matches. Fixed iterations, not convergence:
+    * synchronous LPA can 2-cycle on bipartite-ish regions, and a
+    * data-dependent stop would break replayability.
+    *
+    * Scale shape: per iteration one edge-keyed join (labels onto the
+    * symmetric adjacency, shuffle keyed by src) and one map-side-
+    * combined (dst, label) count — edge-sized but banded by the
+    * groupBy partials — then a node-sized argmax. Each round ends in
+    * an eager localCheckpoint, so the Catalyst plan stays
+    * iteration-constant instead of doubling (the q99 lesson).
+    * Returns (id, community) — community = the converged label.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations >= 1")
+    val und = orient(edges, srcCol, dstCol)
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)       // reused by every iteration's join
+    var lbl = dir.select(col("src").cast("long").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iterations) {
+      val counts = dir
+        .join(lbl.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").cast("long").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count, then MIN label): lexicographic max over
+      // (c, −label) — deterministic, layout-independent
+      lbl = counts
+        .groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.select(col("id"), col("lbl").as("community"))
+  }
 }

@@ -185,6 +185,56 @@ object AnalyticsQueries {
              |  floor(pr * (SELECT n FROM nn) * 1e7 + 0.5) / 1e7 AS pr_scaled
              |FROM p5 ORDER BY p_partkey""".stripMargin)),
 
+    // ----- q198: label-propagation communities (Raghavan 2007) over
+    // the q99 part co-purchase graph — the community-detection member
+    // of the graph family (PageRank = centrality, triangles =
+    // cohesion, CC = reachability; LPA answers "which parts cluster
+    // into purchase neighborhoods"). Synchronous rounds with the
+    // deterministic min-label tie-break (GraphOps.labelPropagation);
+    // the oracle unrolls all 3 rounds as count/argmax CTE pairs —
+    // row_number(ORDER BY c DESC, lbl ASC) = 1 is exactly the Spark
+    // side's max(struct(c, −lbl)).
+    QueryDef(
+      "q198_lpa_communities",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+        GraphOps.labelPropagation(e, "pa", "pb", iterations = 3)
+          .select($"id".as("p_partkey"), $"community")
+          .orderBy($"p_partkey")
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"l${i - 1}"
+          s"""c$i AS (
+             |  SELECT CAST(d.dst AS BIGINT) AS id, l.lbl,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM dir d JOIN $prev l ON l.id = d.src GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT id, lbl FROM (
+             |    SELECT id, lbl,
+             |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+             |    FROM c$i) t
+             |  WHERE rn = 1)""".stripMargin
+        }
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS (
+           |  SELECT a.l_partkey AS a, b.l_partkey AS b FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2),
+           |dir AS (SELECT a AS src, b AS dst FROM e0
+           |        UNION ALL SELECT b, a FROM e0),
+           |l0 AS (SELECT DISTINCT CAST(src AS BIGINT) AS id,
+           |         CAST(src AS BIGINT) AS lbl FROM dir),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)}
+           |SELECT id AS p_partkey, lbl AS community FROM l3
+           |ORDER BY p_partkey""".stripMargin
+      }),
+
     // ----- q153: TextRank keyword extraction (Mihalcea & Tarau,
     // EMNLP'04) — PageRank over the word-ADJACENCY graph (consecutive
     // token pairs within a document, window 2), top-20 words by rank:

@@ -471,6 +471,52 @@ object ScaleQueries {
            |FROM eo, so, ep, sq""".stripMargin
       }),
 
+    // ----- q197: the REPLAYABLE-SKETCH twin of q43 (VERDICT r8 #8)
+    // — per-returnflag quantiles through the fixed-resolution bucket
+    // sketch (operators.QuantileSketch) instead of the engine-specific
+    // percentile_approx: state is (flag, cents DIV 100, count) — a
+    // mergeable monoid bounded by price-range/width, NOT by row count
+    // — and the read-out picks the bucket containing rank ⌈pct·n/100⌉.
+    // Pure integer algebra, so DuckDB replaying the identical state
+    // hash-matches the ESTIMATE itself; q43 stays as the built-in
+    // compatibility surface, q150 as the exact-rank twin, this row
+    // makes the quantile-SKETCH capability oracle-checked (the
+    // q140/q149 HLL discipline). est − true ∈ [0, W) is spec-pinned.
+    {
+      val W = 100L                       // bucket width: $1 in cents
+      val pcts = Seq(25, 50, 75, 90, 99)
+      QueryDef(
+        "q197_quantile_sketch_replay",
+        (s, d) => {
+          val li = Tables.lineitem(s, d)
+            .select(col("l_returnflag").as("flag"), col("l_extendedprice"))
+          val state = graft.operators.QuantileSketch.sketch(
+            li, Seq("flag"),
+            floor(col("l_extendedprice") * 100 + lit(0.5)), W)
+          graft.operators.QuantileSketch.quantiles(state, Seq("flag"), pcts, W)
+        },
+        Some(
+          s"""WITH cents AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM lineitem),
+             |sk AS (
+             |  SELECT flag, c // $W AS bucket, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM cents GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT flag, bucket, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+             |  FROM sk)
+             |SELECT c.flag, p.pct, c.n,
+             |  (p.pct * c.n + 99) // 100 AS target_rank,
+             |  c.bucket * $W + ${W - 1} AS est_cents
+             |FROM cum c CROSS JOIN (VALUES ${pcts.map(p => s"($p)").mkString(",")}) AS p(pct)
+             |WHERE c.cum - c.cnt < (p.pct * c.n + 99) // 100
+             |  AND (p.pct * c.n + 99) // 100 <= c.cum
+             |ORDER BY flag, pct""".stripMargin))
+    },
+
     // ----- q150: the ORACLE-CHECKED twin of q43 — per-returnflag
     // quantiles of l_extendedprice, but as EXACT type-1 (lower order
     // statistic) rank selection instead of the engine-specific

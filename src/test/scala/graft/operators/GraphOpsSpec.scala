@@ -152,4 +152,31 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(_.getDouble(1))
     assert(pr.forall(p => math.abs(p - 0.25) < 1e-12))
   }
+
+  test("labelPropagation: two bridged cliques resolve to two communities") {
+    import spark.implicits._
+    // K4 on {1..4} and K4 on {11..14}, one bridge 4–11: LPA must keep
+    // the cliques in separate communities labeled by a member id
+    def k4(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (k4(1L to 4L) ++ k4(11L to 14L) :+ (4L, 11L)).toDF("u", "v")
+    val got = GraphOps.labelPropagation(edges, "u", "v", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val left = (1L to 4L).map(got)
+    val right = (11L to 14L).map(got)
+    assert(left.distinct.size === 1, s"left clique split: $got")
+    assert(right.distinct.size === 1, s"right clique split: $got")
+    assert(left.head !== right.head, s"cliques merged: $got")
+  }
+
+  test("labelPropagation is layout invariant and tie-break deterministic") {
+    import spark.implicits._
+    // an even cycle is the adversarial case (synchronous LPA can
+    // 2-cycle); fixed iterations + min-label tie-break must still be
+    // a pure function of the graph across partition layouts
+    val cyc = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("u", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.labelPropagation(df, "u", "v", iterations = 3)
+        .as[(Long, Long)].collect().toSeq.sorted
+    assert(run(cyc.repartition(1)) === run(cyc.repartition(7)))
+  }
 }
