@@ -68,6 +68,68 @@ object Retrieval {
       .select(col("query_id"), col(idCol).as("neg_id"), col("rank"), col("dist"))
   }
 
+  /** Micro-quantized DCG rank discounts floor(10⁶/log₂(i+1) + ½) for
+    * ranks 1..k, and their prefix sums (IDCG of j all-relevant ranks).
+    * Computed ONCE here and inlined into both the Spark plan and the
+    * oracle SQL — the libm-snap discipline: log₂ never runs inside
+    * either engine, so the metric is pure integer algebra both sides.
+    */
+  def dcgDiscountsMicro(k: Int): Array[Long] =
+    Array.tabulate(k)(i =>
+      math.floor(1e6 / (math.log(i + 2.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** NDCG@k of the quantized-exact L2 ranking against same-label
+    * relevance — the graded companion to q131's recall@k/MRR eval:
+    * for each hash-sampled probe, rank the corpus by [[quantL2]]
+    * (ties by id), score rel = 1 where the hit's label matches the
+    * probe's, DCG = Σ rel·disc_micro over the top k, IDCG = the
+    * prefix sum at min(n_rel, k), NDCG in ppm by integer division.
+    * Probes broadcast (hash-bounded); per-probe window ranking; the
+    * only corpus-wide work is the probe-fanned distance scan — the
+    * eval-harness shape shared with q131/q132.
+    * Returns (query_id, n_rel, dcg_micro, idcg_micro, ndcg_ppm).
+    */
+  def ndcgAtK(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      probeRate: Double,
+      salt: Long,
+      k: Int): DataFrame = {
+    val disc = dcgDiscountsMicro(k)
+    val idcgPrefix = disc.scanLeft(0L)(_ + _)           // length k + 1
+    val probes = embs
+      .filter(Sampling.hashFraction(col(idCol), salt) < probeRate)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlabel"))
+    val top = embs
+      .join(broadcast(probes), col(idCol) =!= col("query_id"))
+      .withColumn("dist", quantL2(col(vecCol), col("qvec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col(idCol))))
+      .filter(col("rnk") <= k)
+    val dcg = top.groupBy(col("query_id")).agg(
+      sum(when(col(labelCol) === col("qlabel"),
+        element_at(array(disc.map(lit): _*), col("rnk"))).otherwise(0L))
+        .as("dcg_micro"))
+    val nrel = embs
+      .join(broadcast(probes.select(col("query_id"), col("qlabel"))),
+        col(labelCol) === col("qlabel") && col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    dcg.join(nrel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("dcg_micro"),
+        element_at(array(idcgPrefix.map(lit): _*),
+          (least(coalesce(col("n_rel"), lit(0L)), lit(k.toLong)) + 1L).cast("int"))
+          .as("idcg_micro"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_micro") === 0L, lit(0L))
+          .otherwise(expr("dcg_micro * 1000000 DIV idcg_micro")))
+      .orderBy(col("query_id"))
+  }
+
   /** One MMR greedy selection over a bounded candidate pool (driver-
     * side: the pool is top-`poolSize` rows, k·dim floats — the same
     * bounded-collect class as [[KMeans.initByHash]]'s seed rows).

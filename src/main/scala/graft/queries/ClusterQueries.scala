@@ -401,5 +401,55 @@ object ClusterQueries {
              |FROM roles r
              |LEFT JOIN comp c ON r.id = c.id
              |LEFT JOIN br b ON r.id = b.id
-             |ORDER BY r.id""".stripMargin)))
+             |ORDER BY r.id""".stripMargin)),
+
+    // ----- q200: simplified silhouette per label cluster
+    // (operators.Silhouette) — the clustering-QUALITY read-out next
+    // to q118 (assignments) and q174 (density roles): a = quantized
+    // L2² to own centroid, b = min to any other, s = (b−a)/max(a,b)
+    // micro-snapped, averaged per cluster. O(n·d·k), never pairwise.
+    // The oracle replays the identical KMeans-quantum centroid sums
+    // and per-dim integer distance terms, so the score hash-matches.
+    QueryDef(
+      "q200_silhouette",
+      (s, d) => graft.operators.Silhouette.byCluster(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label"),
+      Some {
+        val Q = graft.operators.KMeans.SumQuantum
+        val DQ = graft.operators.KMeans.DistQuantum
+        s"""WITH dims AS MATERIALIZED (
+           |  SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl,
+           |    CAST(unnest(embedding) AS DOUBLE) AS v,
+           |    unnest(list_transform(range(0, len(embedding)), p -> p)) AS pos
+           |  FROM embeddings),
+           |cent AS MATERIALIZED (
+           |  SELECT lbl AS clbl, pos,
+           |    (CAST(SUM(CAST(floor(v * $Q) AS BIGINT)) AS DOUBLE)
+           |      / count(*)) / $Q AS comp
+           |  FROM dims GROUP BY 1, 2),
+           |d2 AS (
+           |  SELECT d.id, d.lbl, c.clbl,
+           |    CAST(SUM(CAST(floor((d.v - c.comp) * (d.v - c.comp) * $DQ)
+           |      AS BIGINT)) AS BIGINT) AS d2
+           |  FROM dims d JOIN cent c ON d.pos = c.pos
+           |  GROUP BY 1, 2, 3),
+           |ab AS (
+           |  SELECT id, lbl,
+           |    MIN(CASE WHEN clbl = lbl THEN d2 END) AS a2,
+           |    MIN(CASE WHEN clbl <> lbl THEN d2 END) AS b2
+           |  FROM d2 GROUP BY 1, 2),
+           |sil AS (
+           |  SELECT id, lbl,
+           |    CASE WHEN b2 IS NULL THEN 0
+           |         WHEN GREATEST(a2, b2) = 0 THEN 0
+           |         ELSE CAST(floor(CAST(b2 - a2 AS DOUBLE)
+           |           / CAST(GREATEST(a2, b2) AS DOUBLE) * 1000000 + 0.5)
+           |           AS BIGINT) END AS sil_micro
+           |  FROM ab)
+           |SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(floor(CAST(SUM(sil_micro) AS DOUBLE) / count(*) + 0.5)
+           |    AS BIGINT) AS mean_sil_micro
+           |FROM sil GROUP BY 1
+           |ORDER BY label""".stripMargin
+      }))
 }

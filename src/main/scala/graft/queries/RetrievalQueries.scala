@@ -122,5 +122,73 @@ object RetrievalQueries {
            |SELECT CAST(rank AS INT) AS rank, vec_id, CAST(score AS BIGINT) AS mmr_score
            |FROM (SELECT vec_id, rank, score FROM sel1 UNION ALL $picks)
            |ORDER BY rank""".stripMargin
-      }))
+      }),
+
+    // ----- q201: NDCG@10 retrieval eval — the GRADED ranking metric
+    // next to q131's recall@10/MRR: per hash-sampled probe, the exact
+    // quantized-L2 ranking scored against same-label relevance. The
+    // log₂ rank discounts are micro-quantized CONSTANTS computed once
+    // in Scala and inlined into BOTH engines (the libm-snap
+    // discipline) — DCG/IDCG are integer sums, NDCG an integer ppm
+    // division, so the metric itself hash-matches.
+    {
+      val NdcgSalt = 201L
+      val NdcgRate = 0.02
+      val NdcgK = 10
+      QueryDef(
+        "q201_ndcg_eval",
+        (s, d) => Retrieval.ndcgAtK(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", NdcgRate, NdcgSalt, NdcgK),
+        Some {
+          val frac = Sampling.hashFractionSql("vec_id", NdcgSalt)
+          val disc = Retrieval.dcgDiscountsMicro(NdcgK)
+          val pre = disc.scanLeft(0L)(_ + _)
+          val discVals = disc.zipWithIndex
+            .map { case (v, i) => s"(${i + 1}, ${v}::BIGINT)" }.mkString(", ")
+          val preVals = pre.zipWithIndex
+            .map { case (v, j) => s"($j, ${v}::BIGINT)" }.mkString(", ")
+          s"""WITH $dimsCte,
+             |probes AS MATERIALIZED (
+             |  SELECT vec_id AS qid, label AS qlabel FROM embeddings
+             |  WHERE $frac < $NdcgRate),
+             |dists AS MATERIALIZED (
+             |  SELECT p.qid, d.vec_id, CAST(${qDist("d", "q")} AS BIGINT) AS dist
+             |  FROM probes p
+             |  JOIN dims q ON q.vec_id = p.qid
+             |  JOIN dims d ON d.pos = q.pos AND d.vec_id <> p.qid
+             |  GROUP BY p.qid, d.vec_id),
+             |top AS MATERIALIZED (
+             |  SELECT qid, vec_id, rnk FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+             |    FROM dists) t
+             |  WHERE rnk <= $NdcgK),
+             |disc(rnk, dmicro) AS (VALUES $discVals),
+             |pre(j, v) AS (VALUES $preVals),
+             |dcg AS (
+             |  SELECT t.qid,
+             |    CAST(SUM(CASE WHEN e.label = p.qlabel THEN x.dmicro ELSE 0 END)
+             |      AS BIGINT) AS dcg_micro
+             |  FROM top t
+             |  JOIN disc x ON x.rnk = t.rnk
+             |  JOIN embeddings e ON e.vec_id = t.vec_id
+             |  JOIN probes p ON p.qid = t.qid
+             |  GROUP BY 1),
+             |nrel AS (
+             |  SELECT p.qid, CAST(count(*) AS BIGINT) AS n_rel
+             |  FROM probes p
+             |  JOIN embeddings e ON e.label = p.qlabel AND e.vec_id <> p.qid
+             |  GROUP BY 1)
+             |SELECT g.qid AS query_id,
+             |  COALESCE(n.n_rel, 0) AS n_rel,
+             |  g.dcg_micro,
+             |  pr.v AS idcg_micro,
+             |  CASE WHEN pr.v = 0 THEN 0
+             |       ELSE g.dcg_micro * 1000000 // pr.v END AS ndcg_ppm
+             |FROM dcg g
+             |LEFT JOIN nrel n ON n.qid = g.qid
+             |JOIN pre pr ON pr.j = LEAST(COALESCE(n.n_rel, 0), $NdcgK)
+             |ORDER BY query_id""".stripMargin
+        })
+    })
 }

@@ -517,6 +517,78 @@ object ScaleQueries {
              |ORDER BY flag, pct""".stripMargin))
     },
 
+    // ----- q199: winsorized robust statistics — the curation read-out
+    // the sketch exists FOR: per-flag p1/p99 clip bounds from the
+    // q197 bucket sketch (never a second full sort), then one exact
+    // integer pass clipping every value into [lo, hi] — outlier-robust
+    // mean + clip tallies, the standard "tame the heavy tail before
+    // training on it" step. Bounds frame is group-sized (broadcast);
+    // the data pass is a single map-side-combined aggregate. Mean is
+    // the fdiv-r4 discipline: exact BIGINT sum (sf0.1 total ~3.75e12
+    // ≪ 2^53, so the double quotient is exact-input), one snapped
+    // division at the end.
+    {
+      val W = 100L                       // shared with q197: $1 buckets
+      QueryDef(
+        "q199_winsorized_stats",
+        (s, d) => {
+          val li = Tables.lineitem(s, d)
+            .select(col("l_returnflag").as("flag"),
+              floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("c"))
+          val state = graft.operators.QuantileSketch.sketch(li, Seq("flag"), col("c"), W)
+          val qs = graft.operators.QuantileSketch.quantiles(state, Seq("flag"), Seq(1, 99), W)
+          val bounds = qs.groupBy(col("flag")).agg(
+            min(when(col("pct") === 1, col("est_cents"))).as("lo"),
+            max(when(col("pct") === 99, col("est_cents"))).as("hi"))
+          li.join(broadcast(bounds), "flag")
+            .groupBy(col("flag"))
+            .agg(
+              count(lit(1)).as("n"),
+              min(col("lo")).as("lo_cents"),
+              max(col("hi")).as("hi_cents"),
+              sum((col("c") < col("lo")).cast("long")).as("clipped_lo"),
+              sum((col("c") > col("hi")).cast("long")).as("clipped_hi"),
+              sum(greatest(col("lo"), least(col("hi"), col("c")))).as("wins_sum_cents"))
+            .withColumn("wins_mean_c4",
+              floor(col("wins_sum_cents").cast("double") / col("n") * 10000 + lit(0.5))
+                .cast("long"))
+            .orderBy(col("flag"))
+        },
+        Some(
+          s"""WITH cents AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM lineitem),
+             |sk AS (
+             |  SELECT flag, c // $W AS bucket, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM cents GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT flag, bucket, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+             |  FROM sk),
+             |hit AS (
+             |  SELECT c.flag, p.pct, c.bucket * $W + ${W - 1} AS est
+             |  FROM cum c CROSS JOIN (VALUES (1),(99)) AS p(pct)
+             |  WHERE c.cum - c.cnt < (p.pct * c.n + 99) // 100
+             |    AND (p.pct * c.n + 99) // 100 <= c.cum),
+             |b AS (
+             |  SELECT flag,
+             |    MIN(CASE WHEN pct = 1 THEN est END) AS lo,
+             |    MAX(CASE WHEN pct = 99 THEN est END) AS hi
+             |  FROM hit GROUP BY 1)
+             |SELECT t.flag, CAST(count(*) AS BIGINT) AS n,
+             |  b.lo AS lo_cents, b.hi AS hi_cents,
+             |  CAST(SUM(CASE WHEN t.c < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS clipped_lo,
+             |  CAST(SUM(CASE WHEN t.c > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS clipped_hi,
+             |  CAST(SUM(GREATEST(b.lo, LEAST(b.hi, t.c))) AS BIGINT) AS wins_sum_cents,
+             |  CAST(floor(CAST(SUM(GREATEST(b.lo, LEAST(b.hi, t.c))) AS DOUBLE)
+             |    / count(*) * 10000 + 0.5) AS BIGINT) AS wins_mean_c4
+             |FROM cents t JOIN b USING (flag)
+             |GROUP BY t.flag, b.lo, b.hi
+             |ORDER BY flag""".stripMargin))
+    },
+
     // ----- q150: the ORACLE-CHECKED twin of q43 — per-returnflag
     // quantiles of l_extendedprice, but as EXACT type-1 (lower order
     // statistic) rank selection instead of the engine-specific

@@ -104,4 +104,28 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(a == b)
   }
+
+  test("ndcgAtK matches hand-computed DCG on a planted line") {
+    import spark.implicits._
+    // 1D line: ids 1,2 label A at x=0,1; ids 3,4 label B at x=10,20.
+    // probeRate > 1 makes every row a probe. Rankings (dist, id):
+    //  q1: [2(A),3,4]   rel@1        → ndcg = 1
+    //  q2: [1(A),3,4]   rel@1        → 1
+    //  q3: [2,1,4(B)]   rel@3        → disc3/disc1 = 500000 ppm
+    //  q4: [3(B),2,1]   rel@1        → 1
+    val df = Seq(
+      (1L, Array(0f, 0f), "A"), (2L, Array(1f, 0f), "A"),
+      (3L, Array(10f, 0f), "B"), (4L, Array(20f, 0f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Retrieval.ndcgAtK(df, "vec_id", "embedding", "label",
+        probeRate = 1.1, salt = 9L, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._5)).toMap
+    assert(got === Map(
+      1L -> ((1L, 1000000L)), 2L -> ((1L, 1000000L)),
+      3L -> ((1L, 500000L)), 4L -> ((1L, 1000000L))))
+    // discount table sanity: rank 1 → 10⁶, rank 3 → exactly half
+    val disc = Retrieval.dcgDiscountsMicro(3)
+    assert(disc(0) === 1000000L && disc(2) === 500000L)
+  }
 }
