@@ -125,6 +125,44 @@ object Multimodal {
     }
   }
 
+  /** Luma grid BY FORMULA — the q176 waveform precedent applied to
+    * images: cell p of media id is `hashBits(id·64 + p, salt) mod
+    * 2^20` (the repo's three-surface replayable hash; values < 2^24
+    * so the Float cast is exact and every `<` gradient comparison
+    * matches the oracle's BIGINT compare bit-for-bit). Content is
+    * just the 8-byte big-endian id. Exists so the dHash +
+    * pigeonhole-Hamming NEAR-DUP leg ([[ImageDedup]]) is
+    * oracle-checkable end-to-end with no byte codec in the loop;
+    * the production codecs stay spec-verified (ImageDedupSpec's
+    * real-PNG pins).
+    */
+  final case class HashGridCodec(salt: Long = 202L) extends MediaCodec {
+    private def idOf(content: Array[Byte]): Long =
+      ByteBuffer.wrap(content).getLong
+
+    override def decodeMeta(content: Array[Byte]): MediaMeta =
+      if (content == null || content.length != 8)
+        MediaMeta(-1, -1, if (content == null) 0L else content.length.toLong, valid = false)
+      else MediaMeta(8, 8, 8L, valid = true)
+
+    override def features(content: Array[Byte], dim: Int): Array[Float] = {
+      require(dim <= 64, s"HashGridCodec is an 8x8 grid source, dim $dim > 64")
+      if (!decodeMeta(content).valid) return new Array[Float](dim)
+      val id = idOf(content)
+      Array.tabulate(dim)(p =>
+        (graft.operators.Sampling.hashBitsScalar(id * 64L + p, salt) % 1048576L).toFloat)
+    }
+
+    override def frameCount(content: Array[Byte]): Int =
+      if (decodeMeta(content).valid) 1 else 0
+
+    override def frameAt(content: Array[Byte], idx: Int): Array[Byte] = content
+
+    override def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] =
+      if (decodeMeta(content).valid && w > 0 && h > 0) content
+      else Array.empty[Byte]
+  }
+
   /** Real still-image codec over `javax.imageio` (JDK built-in PNG/
     * JPEG/GIF/BMP readers — no added dependency): the production
     * implementation behind the same [[MediaCodec]] seam the

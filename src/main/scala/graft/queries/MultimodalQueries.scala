@@ -175,8 +175,57 @@ object MultimodalQueries {
              |  COALESCE(zc.zcr, 0) AS zcr,
              |  en.energy < ${graft.multimodal.Audio.EnergyFloor} AS is_silent
              |FROM en LEFT JOIN zc ON en.c = zc.c AND en.f = zc.f
-             |ORDER BY clip_id, frame_id""".stripMargin))
-  )
+             |ORDER BY clip_id, frame_id""".stripMargin)),
+
+    // ----- q202: the ORACLE-CHECKED twin of q147 — the dHash +
+    // pigeonhole-Hamming near-dup leg run end-to-end through the REAL
+    // ImageDedup operators, with the luma grid generated BY FORMULA
+    // (HashGridCodec: three-surface hash, the q176 waveform
+    // precedent) instead of a byte codec. The oracle recomputes every
+    // grid cell, rebuilds the 56-bit dHash from gradient comparisons,
+    // and brute-forces all-pairs Hamming — so blocking recall,
+    // bit-packing, and distance all hash-match; q147 stays as the
+    // codec-bound compatibility surface (real-PNG behavior pinned in
+    // ImageDedupSpec).
+    {
+      val GridSalt = 202L
+      val MaxHamming = 18
+      QueryDef(
+        "q202_image_dhash_replay",
+        (s, d) => {
+          import s.implicits._
+          val codec = Multimodal.HashGridCodec(GridSalt)
+          val media = graft.Par.spread(
+            Tables.documents(s, d).select($"doc_id").as[Long]
+              .map(id => (id, java.nio.ByteBuffer.allocate(8).putLong(id).array()))
+              .toDF("media_id", "content"))
+          ImageDedup.nearDupPairs(
+              ImageDedup.withPHash(media, "media_id", "content", codec),
+              "media_id", maxHamming = MaxHamming)
+            .orderBy($"id_a", $"id_b")
+        },
+        Some {
+          val mix = graft.operators.Sampling.hashBitsSql("(i.id * 64 + g.p)", GridSalt)
+          s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+             |cells AS MATERIALIZED (
+             |  SELECT i.id, g.p, ($mix) % 1048576 AS v
+             |  FROM ids i CROSS JOIN
+             |    (SELECT unnest(range(0, 64)) AS p) g),
+             |h AS MATERIALIZED (
+             |  SELECT l.id,
+             |    CAST(SUM(CASE WHEN l.v < r.v
+             |      THEN (1::BIGINT << ((l.p // 8) * 7 + (l.p % 8)))
+             |      ELSE 0 END) AS BIGINT) AS phash
+             |  FROM cells l JOIN cells r ON r.id = l.id AND r.p = l.p + 1
+             |  WHERE l.p % 8 < 7
+             |  GROUP BY l.id)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.id < b.id
+             |WHERE bit_count(xor(a.phash, b.phash)) <= $MaxHamming
+             |ORDER BY id_a, id_b""".stripMargin
+        })
+    })
 
   private val AudioClips = 8L
   private val AudioSamples = 2048

@@ -147,6 +147,50 @@ object PipelineQueries {
       },
       None),
 
+    // ----- q203: the ORACLE-CHECKED twin of q18 — the same batched
+    // embedding-inference pipeline (chunk → mapPartitions grouped(150)
+    // → embed), but through PolyHashingEmbedder and dumped COORDINATE
+    // BY COORDINATE: every one of the 64 signed feature counts of
+    // every chunk must equal DuckDB re-deriving it from raw text
+    // (polyEmbedChainSql, the q157 chain without the search on top).
+    // q157 checked the pipeline's top-5 READ-OUT; this row checks the
+    // full inference TABLE, so the U4 batching seam (batch-boundary
+    // invariance, chunk ids, per-coordinate algebra) is hash-gated,
+    // not just spec-covered. q18 keeps the production murmur embedder
+    // as the compatibility surface.
+    QueryDef(
+      "q203_embed_chunks_replay",
+      (s, d) => {
+        import s.implicits._
+        val chunks = Inference.chunkDocuments(s, Tables.documents(s, d))
+        Inference.embedChunks(chunks,
+            graft.pipeline.PolyHashingEmbedder(dim = 64), batchSize = 150)
+          .toDF()
+          .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+            posexplode($"embedding"))
+          .select($"doc_id", $"chunk_idx", $"pos".cast("long").as("pos"),
+            $"col".cast("long").as("feat_count"))
+          .orderBy($"doc_id", $"chunk_idx", $"pos")
+      },
+      Some {
+        s"""WITH chunks AS (
+           |  SELECT doc_id, chunk_idx, chunk AS txt
+           |  FROM (
+           |    SELECT doc_id,
+           |      unnest(generate_series(0,
+           |        CAST(ceil(length(text)/200.0) AS BIGINT) - 1)) AS chunk_idx,
+           |      unnest(regexp_extract_all(text, '(?s).{1,200}')) AS chunk
+           |    FROM documents)
+           |  WHERE length(chunk) > 50),
+           |vecs AS (${polyEmbedChainSql("chunks", "doc_id, chunk_idx")})
+           |SELECT * FROM (
+           |  SELECT doc_id, chunk_idx,
+           |    unnest(range(0, 64)) AS pos,
+           |    CAST(unnest(v) AS BIGINT) AS feat_count
+           |  FROM vecs)
+           |ORDER BY doc_id, chunk_idx, pos""".stripMargin
+      }),
+
     // ----- q19: vector-search top-k against a constant query vector
     // (U11/O3 → TakeOrderedAndProject over a scored scan)
     QueryDef(

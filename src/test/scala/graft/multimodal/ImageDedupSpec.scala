@@ -105,4 +105,29 @@ class ImageDedupSpec extends SparkSpec {
       .orderBy($"media_id").collect().map(_.getLong(1)).toSeq
     assert(run(1) === run(7))
   }
+
+  test("HashGridCodec cells follow the three-surface hash formula exactly") {
+    // the q202 oracle recomputes these cells in SQL — the Scala side
+    // must be the same arithmetic, masked under Float's exact-integer
+    // range (< 2^24), and the dHash must follow from the grid's
+    // gradient comparisons
+    val salt = 202L
+    val codec = Multimodal.HashGridCodec(salt)
+    val id = 1234567L
+    val content = java.nio.ByteBuffer.allocate(8).putLong(id).array()
+    val f = codec.features(content, 64)
+    (0 until 64).foreach { p =>
+      val expect = graft.operators.Sampling.hashBitsScalar(id * 64L + p, salt) % 1048576L
+      assert(f(p) === expect.toFloat, s"cell $p")
+    }
+    var h = 0L
+    var bit = 0
+    for (y <- 0 until 8; x <- 0 until 7) {
+      if (f(y * 8 + x) < f(y * 8 + x + 1)) h |= 1L << bit
+      bit += 1
+    }
+    assert(ImageDedup.dHash(codec, content) === h)
+    // invalid content degrades like every codec: zero grid, not a throw
+    assert(codec.features(Array[Byte](1, 2, 3), 64).forall(_ == 0f))
+  }
 }
