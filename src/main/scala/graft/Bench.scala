@@ -143,10 +143,14 @@ object Bench {
       s""""queries_warm":${jmap(r => fmt(r.warm))},""" +
       s""""sf":"$sfDir",""" +
       s""""shuffle_bytes":${jmap(_.bytes.toString)}}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_full.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_full.json write failed: $e") }
+    // FULL runs only: a BENCH_ONLY-filtered iteration must never
+    // overwrite the round artifact with a partial map (observed in r9:
+    // two q99-only runs left a 247-byte BENCH_full.json behind)
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_full.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_full.json write failed: $e") }
     println(fullJson)
     // compact final line: greedily include the heaviest cold entries
     // until the 1500-char budget is spent (covers every hot spot; the

@@ -255,8 +255,16 @@ object GraphOps {
       iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "iterations >= 1")
     val und = orient(edges, srcCol, dstCol)
+    // hash-partition the symmetric edge list by src ONCE before the
+    // checkpoint: every round's labels-onto-adjacency join then
+    // shuffles only the NODE-sized label frame, never the edges (the
+    // pageRank partition-once discipline, kept in DataFrame form —
+    // without this the r9 bench showed each round re-shuffling the
+    // edge frame, 16.8 s at sf0.1; with it 3 rounds ride one edge
+    // layout)
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint(true)       // reused by every iteration's join
     var lbl = dir.select(col("src").cast("long").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))

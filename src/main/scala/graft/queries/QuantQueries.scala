@@ -1140,6 +1140,103 @@ object QuantQueries {
              |   OR c.i = t.n
              |ORDER BY n_below""".stripMargin)),
 
+    // ----- q204: deterministic Poisson-bootstrap confidence interval
+    // for the per-flag mean — the UNCERTAINTY member of the statistics
+    // family (q187 tests a difference; this one puts an interval on a
+    // mean with NO distributional assumption). Poisson(1) bootstrap
+    // (Chamandy et al.'s "Estimating Uncertainty for Massive Data
+    // Streams" shape): replicate b reweights each row by a truncated
+    // Poisson draw w ∈ {0..4} read off the three-surface hash of
+    // (rowkey·B + b) against CDF thresholds computed ONCE in Scala
+    // and inlined into both engines (shortest round-trip literals →
+    // identical doubles) — one scan fanned ×B, no resampling shuffle,
+    // fully replayable. CI = 2nd/31st order statistics of the 32
+    // replicate means (a ~94% central interval), ranks over B-row
+    // per-flag partitions.
+    {
+      val B = 32
+      val Salt = 204L
+      // truncated-Poisson(1) CDF: F(k) = e⁻¹·Σ_{j≤k} 1/j!
+      val pcdf: Array[Double] = {
+        val f = math.exp(-1.0)
+        Array(f, 2.0 * f, 2.5 * f, f * (1.0 + 1.0 + 0.5 + 1.0 / 6.0))
+      }
+      QueryDef(
+        "q204_bootstrap_ci",
+        (s, d) => {
+          import s.implicits._
+          val li = Tables.lineitem(s, d).select(
+            $"l_returnflag".as("flag"),
+            ($"l_orderkey" * 16 + $"l_linenumber").cast("long").as("k"),
+            floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("c"))
+          val reps = li
+            .withColumn("b", explode(array((0 until B).map(lit): _*)))
+            .withColumn("u", Sampling.hashFraction($"k" * B + $"b", Salt))
+            .withColumn("w",
+              when($"u" < pcdf(0), 0L).when($"u" < pcdf(1), 1L)
+                .when($"u" < pcdf(2), 2L).when($"u" < pcdf(3), 3L)
+                .otherwise(4L))
+          val means = reps.groupBy($"flag", $"b")
+            .agg(sum($"w" * $"c").as("swc"), sum($"w").as("sw"))
+            .select($"flag", $"b",
+              floor($"swc".cast("double") / $"sw".cast("double") * 100 + lit(0.5))
+                .cast("long").as("rep_c2"))
+          val ranked = means.withColumn("rn", row_number().over(
+            Window.partitionBy($"flag").orderBy($"rep_c2", $"b")))
+          val ci = ranked.groupBy($"flag").agg(
+            min(when($"rn" === 2, $"rep_c2")).as("ci_lo_c2"),
+            max(when($"rn" === B - 1, $"rep_c2")).as("ci_hi_c2"))
+          val base = li.groupBy($"flag")
+            .agg(count(lit(1)).as("n"), sum($"c").as("sc"))
+            .select($"flag", $"n",
+              floor($"sc".cast("double") / $"n".cast("double") * 100 + lit(0.5))
+                .cast("long").as("mean_c2"))
+          base.join(ci, "flag")
+            .select($"flag", $"n", $"mean_c2", $"ci_lo_c2", $"ci_hi_c2")
+            .orderBy($"flag")
+        },
+        Some {
+          val u = Sampling.hashFractionSql("(k * 32 + b)", Salt)
+          val (f0, f1, f2, f3) =
+            (pcdf(0).toString, pcdf(1).toString, pcdf(2).toString, pcdf(3).toString)
+          s"""WITH li AS (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(l_orderkey * 16 + l_linenumber AS BIGINT) AS k,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM lineitem),
+             |reps AS (
+             |  SELECT flag, c, bb.b,
+             |    CASE WHEN $u < $f0 THEN 0
+             |         WHEN $u < $f1 THEN 1
+             |         WHEN $u < $f2 THEN 2
+             |         WHEN $u < $f3 THEN 3
+             |         ELSE 4 END AS w
+             |  FROM li CROSS JOIN (SELECT unnest(range(0, $B)) AS b) bb),
+             |means AS (
+             |  SELECT flag, b,
+             |    CAST(floor(CAST(SUM(w * c) AS DOUBLE)
+             |      / CAST(SUM(w) AS DOUBLE) * 100 + 0.5) AS BIGINT) AS rep_c2
+             |  FROM reps GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT flag, rep_c2,
+             |    row_number() OVER (PARTITION BY flag ORDER BY rep_c2, b) AS rn
+             |  FROM means),
+             |ci AS (
+             |  SELECT flag,
+             |    MIN(CASE WHEN rn = 2 THEN rep_c2 END) AS ci_lo_c2,
+             |    MAX(CASE WHEN rn = ${B - 1} THEN rep_c2 END) AS ci_hi_c2
+             |  FROM ranked GROUP BY 1),
+             |base AS (
+             |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(floor(CAST(SUM(c) AS DOUBLE) / count(*) * 100 + 0.5)
+             |      AS BIGINT) AS mean_c2
+             |  FROM li GROUP BY 1)
+             |SELECT base.flag, base.n, base.mean_c2, ci.ci_lo_c2, ci.ci_hi_c2
+             |FROM base JOIN ci USING (flag)
+             |ORDER BY flag""".stripMargin
+        })
+    },
+
     // ----- q187: Welch two-sample t-test on purchase values (parity
     // cohorts) — the mean-difference companion to q167 (proportions)
     // and q172 (ranks): exact centi-quantized moments in ONE
