@@ -1,56 +1,62 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.functions.HyperLogLog
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
-/** Streaming distinct counting via the HLL register monoid — the
-  * [[CmsStreamSpec]] discipline for the idempotent-max sketch:
-  * per-batch registers max-merged into a running state in foreachBatch
-  * equal the one-shot batch sketch over the full history. Idempotence
-  * additionally makes the running count correct under REPLAYED batches
-  * (at-least-once delivery), which the additive CMS is not — the
-  * property a streaming unique-visitors counter actually relies on.
+/** Streaming HLL (streaming.HllStream): final emission equals the
+  * batch sketch read-out exactly under any split, any order, AND
+  * duplicated (at-least-once) delivery — the idempotent-monoid
+  * parity, the strongest contract in the streaming family.
   */
 class HllStreamSpec extends SparkSpec {
+  import HllStream.{HllIn, HllOut}
 
-  test("foreachBatch max-merged registers equal the one-shot batch sketch") {
+  private def corpus(n: Int): Seq[HllIn] =
+    (0L until n.toLong).map { i =>
+      // repeated keys on purpose: distinct ≠ rows
+      HllIn(g = if (i % 2 == 0) "x" else "y", key = (i * 37L) % 900L)
+    }
+
+  private def batchReadout(rows: Seq[HllIn]): Map[String, (Double, Long, Long)] = {
+    import spark.implicits._
+    import graft.functions.HyperLogLog
+    rows.toDF("g", "key")
+      .groupBy($"g").agg(HyperLogLog.sketch($"key").as("regs"))
+      .select($"g", HyperLogLog.estimate($"regs").as("est"),
+        HyperLogLog.sumRho($"regs").as("sr"), HyperLogLog.vZero($"regs").as("vz"))
+      .as[(String, Double, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+  }
+
+  private def streamReadout(rows: Seq[HllIn], chunk: Int, tag: String): Map[String, (Double, Long, Long)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Long]
-    val running = new Array[Int](HyperLogLog.M)
-    val q = mem.toDF().toDF("k")
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val sk = batch.agg(HyperLogLog.sketch(col("k"))).head.getSeq[Int](0)
-        var i = 0
-        while (i < running.length) {
-          if (sk(i) > running(i)) running(i) = sk(i)   // idempotent max-merge
-          i += 1
-        }
-        ()
-      }
-      .outputMode(OutputMode.Update).trigger(Trigger.ProcessingTime(0)).start()
+    val mem = MemoryStream[HllIn]
+    val name = s"hll_out_$tag"
+    val q = HllStream.distinctCounts(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
     try {
-      val batch1 = (0L until 400L) ++ (0L until 50L)      // in-batch dups
-      val batch2 = (300L until 700L)                      // cross-batch overlap
-      mem.addData(batch1: _*)
-      q.processAllAvailable()
-      mem.addData(batch2: _*)
-      q.processAllAvailable()
-      mem.addData(batch2: _*)                             // replayed delivery
-      q.processAllAvailable()
-
-      val oneShot = (batch1 ++ batch2).toDF("k")
-        .agg(HyperLogLog.sketch(col("k"))).head.getSeq[Int](0)
-      assert(running.toSeq === oneShot.toSeq)
-
-      val est = running.toSeq.toDF("r")
-        .agg(collect_list("r").as("regs"))
-        .select(HyperLogLog.estimate(col("regs"))).head.getDouble(0)
-      assert(math.abs(est - 700.0) / 700.0 < 0.10, s"estimate $est for n=700")
+      rows.grouped(chunk).foreach { c => mem.addData(c); q.processAllAvailable() }
+      spark.table(name).as[HllOut].collect()
+        .groupBy(_.g).map { case (g, os) =>
+          val last = os.maxBy(_.batchSeq)
+          g -> (last.est, last.sumRho, last.vZero)
+        }
     } finally q.stop()
+  }
+
+  test("final streamed registers equal the batch sketch (estimate + checksums)") {
+    val rows = corpus(700)
+    assert(streamReadout(rows, 173, "a") === batchReadout(rows))
+  }
+
+  test("idempotent monoid: shuffled AND duplicated delivery converge identically") {
+    val rows = corpus(500)
+    val r = new scala.util.Random(7)
+    val dirty = r.shuffle(rows ++ rows.take(200))   // at-least-once replay
+    assert(streamReadout(dirty, 97, "b") === batchReadout(rows))
   }
 }
