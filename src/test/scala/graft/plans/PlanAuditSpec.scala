@@ -98,6 +98,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q198/q202 round-9 heavies: pair/label joins stay equi-joins, no cartesian/BNL") {
+    // q198's per-round label join and q202's pigeonhole Hamming join
+    // are both keyed — a regression to a product plan is the
+    // n²-scale-killer class this suite exists to pin out
+    for (q <- Seq("q198_lpa_communities", "q202_image_dhash_replay")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(400)}")
+    }
+  }
+
   test("q47 window suite: every window is partitioned (no single-partition WindowExec)") {
     val plan = executed("q47_window_suite")
     // every Window node must carry a partition spec:
