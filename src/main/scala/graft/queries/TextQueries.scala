@@ -45,6 +45,59 @@ object TextQueries {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    // ----- q205: cross-source vocabulary overlap — pairwise Jaccard
+    // of per-source token vocabularies, the "are these corpus slices
+    // contaminating each other" audit next to q61 (train/eval
+    // decontamination) and q116 (language-mix KL). One (source, word)
+    // distinct (vocab-sized, word-keyed shuffle), one equi-join on
+    // word for intersections (never a source×source product of
+    // documents), set algebra in exact integers, Jaccard as ppm
+    // integer division. All 190 source pairs reported — zero-overlap
+    // pairs included via the pair frame, not dropped by the join.
+    QueryDef(
+      "q205_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        val vocab = graft.Par.spread(Tables.documents(s, d))
+          .select($"source", explode(TextFunctions.tokens($"text")).as("w"))
+          .distinct()
+        val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("n"))
+        val common = vocab.select($"source".as("src_a"), $"w")
+          .join(vocab.select($"source".as("src_b"), $"w"), "w")
+          .filter($"src_a" < $"src_b")
+          .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_common"))
+        val pairs = sizes.select($"source".as("src_a"), $"n".as("na"))
+          .join(sizes.select($"source".as("src_b"), $"n".as("nb")),
+            $"src_a" < $"src_b")
+        pairs.join(common, Seq("src_a", "src_b"), "left")
+          .select($"src_a", $"src_b", $"na", $"nb",
+            coalesce($"n_common", lit(0L)).as("n_common"),
+            expr("coalesce(n_common, 0) * 1000000 DIV (na + nb - coalesce(n_common, 0))")
+              .as("jaccard_ppm"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(
+        s"""WITH vocab AS MATERIALIZED (
+           |  SELECT DISTINCT source, unnest($toksSql) AS w
+           |  FROM documents),
+           |sizes AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n
+           |  FROM vocab GROUP BY 1),
+           |common AS (
+           |  SELECT a.source AS src_a, b.source AS src_b,
+           |    CAST(count(*) AS BIGINT) AS n_common
+           |  FROM vocab a JOIN vocab b
+           |    ON a.w = b.w AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT sa.source AS src_a, sb.source AS src_b,
+           |  sa.n AS na, sb.n AS nb,
+           |  COALESCE(c.n_common, 0) AS n_common,
+           |  COALESCE(c.n_common, 0) * 1000000
+           |    // (sa.n + sb.n - COALESCE(c.n_common, 0)) AS jaccard_ppm
+           |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+           |LEFT JOIN common c ON c.src_a = sa.source AND c.src_b = sb.source
+           |ORDER BY src_a, src_b""".stripMargin)),
+
     // ----- q23: token statistics per language
     QueryDef(
       "q23_token_stats",
