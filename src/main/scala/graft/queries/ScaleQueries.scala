@@ -517,6 +517,46 @@ object ScaleQueries {
              |ORDER BY flag, pct""".stripMargin))
     },
 
+    // ----- q206: daily quantile bands — the q197 sketch applied to
+    // its natural consumer shape, a PER-DAY p50/p95 dashboard over
+    // event values (live latency/price band monitoring): state is
+    // (day, bucket, cnt) — still range/W-bounded per day no matter
+    // how many events the day holds — and the read-out is the same
+    // partitioned-cumulative rank pick, now keyed by event time.
+    {
+      val W = 10L                       // 10-cent buckets
+      val pcts = Seq(50, 95)
+      QueryDef(
+        "q206_daily_quantile_bands",
+        (s, d) => {
+          val ev = Tables.events(s, d).select(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+          val state = graft.operators.QuantileSketch.sketch(ev, Seq("day"), col("c"), W)
+          graft.operators.QuantileSketch.quantiles(state, Seq("day"), pcts, W)
+        },
+        Some(
+          s"""WITH cents AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+             |  FROM events),
+             |sk AS (
+             |  SELECT day, c // $W AS bucket, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM cents GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT day, bucket, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY day ORDER BY bucket) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+             |  FROM sk)
+             |SELECT c.day, p.pct, c.n,
+             |  (p.pct * c.n + 99) // 100 AS target_rank,
+             |  c.bucket * $W + ${W - 1} AS est_cents
+             |FROM cum c CROSS JOIN (VALUES ${pcts.map(p => s"($p)").mkString(",")}) AS p(pct)
+             |WHERE c.cum - c.cnt < (p.pct * c.n + 99) // 100
+             |  AND (p.pct * c.n + 99) // 100 <= c.cum
+             |ORDER BY day, pct""".stripMargin))
+    },
+
     // ----- q199: winsorized robust statistics — the curation read-out
     // the sketch exists FOR: per-flag p1/p99 clip bounds from the
     // q197 bucket sketch (never a second full sort), then one exact
