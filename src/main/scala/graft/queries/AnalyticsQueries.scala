@@ -76,6 +76,60 @@ object AnalyticsQueries {
              |ORDER BY pmi DESC, word_a, word_b
              |LIMIT 100""".stripMargin)),
 
+    // ----- q207: mutual information between two categorical columns
+    // (lang × source), decomposed per language — the information-
+    // theoretic association read-out next to q166 (χ²) and q192
+    // (Cramér's V), and the feature-selection primitive "how much
+    // does knowing the source tell you about the language". Cells
+    // are support-sized; each observed cell's ln(p(x,y)/(p(x)p(y)))
+    // is snapped at 1e4 (the q97 PMI discipline — one libm call per
+    // cell, snapped before the weighted integer sum, so the
+    // contribution algebra is exact BIGINT both engines).
+    QueryDef(
+      "q207_feature_mi",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"lang", $"source")
+        val nxy = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("nxy"))
+        val nx = docs.groupBy($"lang").agg(count(lit(1)).as("nx"))
+        val ny = docs.groupBy($"source").agg(count(lit(1)).as("ny"))
+        val nn = docs.agg(count(lit(1)).as("n"))
+        nxy.join(broadcast(nx), "lang").join(broadcast(ny), "source")
+          .crossJoin(broadcast(nn))
+          .withColumn("pmi_e4",
+            floor(log(($"nxy".cast("double") / $"n")
+                / (($"nx".cast("double") / $"n") * ($"ny".cast("double") / $"n")))
+              * 10000 + lit(0.5)).cast("long"))
+          .groupBy($"lang")
+          .agg(min($"nx").as("n_lang"),
+            count(lit(1)).as("n_cells"),
+            sum($"nxy" * $"pmi_e4").as("mi_contrib_e4"))
+          .orderBy($"lang")
+      },
+      Some("""WITH docs AS (SELECT lang, source FROM documents),
+             |nxy AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS nxy
+             |        FROM docs GROUP BY 1, 2),
+             |nx AS (SELECT lang, CAST(count(*) AS BIGINT) AS nx
+             |       FROM docs GROUP BY 1),
+             |ny AS (SELECT source, CAST(count(*) AS BIGINT) AS ny
+             |       FROM docs GROUP BY 1),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+             |cells AS (
+             |  SELECT c.lang, c.nxy, x.nx,
+             |    CAST(floor(ln((CAST(c.nxy AS DOUBLE) / t.n)
+             |        / ((CAST(x.nx AS DOUBLE) / t.n)
+             |           * (CAST(y.ny AS DOUBLE) / t.n)))
+             |      * 10000 + 0.5) AS BIGINT) AS pmi_e4
+             |  FROM nxy c
+             |  JOIN nx x ON c.lang = x.lang
+             |  JOIN ny y ON c.source = y.source
+             |  CROSS JOIN nn t)
+             |SELECT lang, MIN(nx) AS n_lang,
+             |  CAST(count(*) AS BIGINT) AS n_cells,
+             |  CAST(SUM(nxy * pmi_e4) AS BIGINT) AS mi_contrib_e4
+             |FROM cells GROUP BY 1
+             |ORDER BY lang""".stripMargin)),
+
     // ----- q98: cohort retention matrix — users grouped by first-
     // activity week, tracked over weeks-since; the product-analytics
     // staple. Two aggregates and a node-sized join.

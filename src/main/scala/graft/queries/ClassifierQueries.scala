@@ -198,6 +198,48 @@ object ClassifierQueries {
            |GROUP BY d.lang
            |ORDER BY d.lang""".stripMargin)),
 
+    // ----- q208: calibration / reliability table — margins of the
+    // trained classifier binned at fixed width, observed positive
+    // rate per bin: the "is the score monotone in the truth"
+    // diagnostic behind every reliability diagram, done WITHOUT a
+    // sigmoid (binning the margin avoids libm entirely — the score
+    // is monotone in z, so bin-wise observed rates carry the same
+    // information). Margins replay through the q128 GD chain; the
+    // bin index uses the shared floored-quotient fdiv (negative
+    // margins floor identically in both engines).
+    {
+      val BinW = 500000L   // ~±5 bins over the fixture's margin range
+      QueryDef(
+        "q208_calibration_bins",
+        (s, d) => {
+          import s.implicits._
+          val embs = withY(Tables.embeddings(s, d))
+          val model = LogReg.train(embs, "embedding", "y", Iters, EtaDen, PosWeight)
+          LogReg.scoreAll(embs, "vec_id", "embedding", "y", model)
+            .select($"y", $"margin",
+              floor($"margin".cast("double") / BinW).cast("long").as("bin"))
+            .groupBy($"bin")
+            .agg(count(lit(1)).as("n"),
+              sum($"y").as("n_pos"),
+              sum($"margin").as("z_sum"))
+            .withColumn("pos_rate_milli", expr("n_pos * 1000 DIV n"))
+            .orderBy($"bin")
+        },
+        Some {
+          s"""${gdCtes(Iters, None)},
+             |${finalMargins(Iters, "tr")},
+             |binned AS (
+             |  SELECT ${fdiv("z.z", BinW.toString)} AS bin, l.y, z.z
+             |  FROM zf z JOIN lab l ON z.vec_id = l.vec_id)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(y) AS BIGINT) AS n_pos,
+             |  CAST(SUM(z) AS BIGINT) AS z_sum,
+             |  CAST(SUM(y) * 1000 // count(*) AS BIGINT) AS pos_rate_milli
+             |FROM binned GROUP BY 1
+             |ORDER BY bin""".stripMargin
+        })
+    },
+
     // ----- q136: split-conformal threshold calibration (Vovk et al.;
     // Papadopoulos ICP) — train on 60%, set the decision threshold at
     // the exact 0.9-quantile of CALIBRATION-split negative scores
