@@ -283,4 +283,112 @@ object GraphOps {
     }
     lbl.select(col("id"), col("lbl").as("community"))
   }
+
+  /** k-core decomposition membership (Seidman 1983): iteratively peel
+    * every node whose degree in the surviving subgraph is < k, until
+    * fixpoint. Returns (id, core_deg) — the nodes of the k-core with
+    * their degree INSIDE the core. Fixed `rounds` rather than a
+    * convergence test: the peel is idempotent once converged (a round
+    * at fixpoint removes nothing), so a generous bound replays
+    * identically in an unrolled SQL CTE chain (the q99/q198
+    * replayability discipline) while a data-dependent stop would not.
+    *
+    * Scale shape: the symmetric edge list is hash-partitioned by src
+    * once and checkpointed. Each round is (1) a src-keyed join of the
+    * node-sized survivor set onto the edges — edges stay put, only
+    * the survivor frame shuffles; (2) a groupBy(dst) degree count —
+    * map-side partials, so the shuffle is node-sized, never
+    * edge-sized (deg(v) over src∈surv grouped by dst equals the
+    * survivor-subgraph degree by symmetry); (3) a node∩node join
+    * applying the dst-membership filter. Per-round traffic is
+    * node-sized regardless of |E|, so the loop survives a 100×
+    * scale-up; the survivor set only shrinks.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int = 12): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(rounds >= 1, "rounds >= 1")
+    val und = orient(edges, srcCol, dstCol)
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)        // one edge shuffle, reused per round
+    // degree of dst over surviving src, membership-filtered on both
+    // endpoints; symmetric graph ⇒ this IS the induced-subgraph degree
+    def coreDeg(surv: DataFrame): DataFrame = dir
+      .join(surv.select(col("v").as("src")), "src")
+      .groupBy(col("dst").cast("long").as("v"))
+      .agg(count(lit(1)).as("deg"))
+      .join(surv, "v")
+    var surv = dir.select(col("src").cast("long").as("v")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      surv = coreDeg(surv).filter(col("deg") >= k)
+        .select(col("v")).localCheckpoint(true)
+    coreDeg(surv).select(col("v").as("id"), col("deg").as("core_deg"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * list, fixed `iterations` of the mutual-reinforcement recurrence
+    * with L1 normalization each half-step:
+    *   auth(v) ← Σ_{u→v} hub(u) / ‖·‖₁ ;  hub(u) ← Σ_{u→v} auth(v) / ‖·‖₁.
+    * Every cross-node sum (both the per-node edge sums and the global
+    * normalizers) is QUANTIZED to integer multiples of 2^-40 exactly
+    * like [[pageRank]], so the result is order-free, layout-
+    * independent, and bit-replayable by an unrolled SQL CTE chain.
+    * Returns (side ∈ {hub, auth}, id, val) with val L1-normalized.
+    *
+    * Scale shape: TWO checkpointed edge layouts — hash-partitioned by
+    * src and by dst, one shuffle each, ever. The auth half-step joins
+    * the node-sized hub frame onto the src layout (edges stay put)
+    * and aggregates groupBy(dst) with map-side partials; the hub
+    * half-step mirrors it on the dst layout. Per-iteration shuffle
+    * traffic is node-sized; the normalizer is a 1-row aggregate
+    * cross-joined back (never collected, never node-sized broadcast).
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, "iterations >= 1")
+    val Q = 1099511627776L          // 2^40
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val dirS = e.repartition(col("src")).localCheckpoint(true)
+    val dirD = e.repartition(col("dst")).localCheckpoint(true)
+    // quantized order-free sum of a double column (the q99 contract)
+    def qsum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * Q)).cast("double") / Q
+    def normalized(raw: DataFrame): DataFrame = {
+      val s = raw.agg(qsum(col("raw")).as("s"))
+      raw.crossJoin(s).select(col("id"), (col("raw") / col("s")).as("val"))
+    }
+    // init hub = 1/|hubs| (not 1): keeps every quantized partial sum
+    // ≤ ~avg-degree·2^40 regardless of |E|, so the order-free long
+    // sums can't overflow on a 100× graph (Σ over edges of hub(u) is
+    // ≈ avg out-degree, not |E|)
+    val hubIds = dirS.select(col("src").as("id")).distinct()
+    var hub = hubIds.crossJoin(hubIds.agg(count(lit(1)).as("h")))
+      .select(col("id"), (lit(1.0) / col("h")).as("val"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = normalized(dirS
+        .join(hub.select(col("id").as("src"), col("val")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(qsum(col("val")).as("raw")))
+        .localCheckpoint(true)      // iteration-constant plan (q99 lesson)
+      hub = normalized(dirD
+        .join(auth.select(col("id").as("dst"), col("val")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(qsum(col("val")).as("raw")))
+        .localCheckpoint(true)
+    }
+    hub.select(lit("hub").as("side"), col("id"), col("val"))
+      .unionAll(auth.select(lit("auth").as("side"), col("id"), col("val")))
+  }
 }

@@ -942,7 +942,127 @@ object AnalyticsQueries {
              |  CASE WHEN d = n_risk THEN 0
              |    ELSE CAST(floor(exp(CAST(lnq_cum AS DOUBLE) / 10000.0)
              |      * 1000 + 0.5) AS BIGINT) END AS surv_milli
-             |FROM cum ORDER BY t_day""".stripMargin)))
+             |FROM cum ORDER BY t_day""".stripMargin)),
+
+    // ----- q209: k-core decomposition (Seidman 1983) of the THINNED
+    // co-purchase graph (parts linked only when they share ≥2 distinct
+    // orders — the ≥2 support floor is what leaves a sparse graph
+    // whose 2-core is non-trivial; the raw graph's min degree is ~8 at
+    // sf0.01 so nothing would peel). The reachability/centrality/
+    // cohesion/community graph family's density member: "which parts
+    // sit in a repeatedly-co-bought backbone?". Fixed 12 peel rounds —
+    // idempotent at fixpoint (fixtures converge in ≤6 at both SFs), so
+    // the oracle replays the identical recurrence as 12 unrolled CTE
+    // rounds. Output = core members with their in-core degree.
+    QueryDef(
+      "q209_kcore",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+        GraphOps.kCore(e, "pa", "pb", k = 2, rounds = 12)
+          .select($"id".as("p_partkey"), $"core_deg")
+          .orderBy($"p_partkey")
+      },
+      Some {
+        // every round references its predecessor TWICE — without
+        // MATERIALIZED, DuckDB's CTE inlining makes the expansion
+        // 2^12 copies of the base self-join (observed: fd exhaustion
+        // re-opening lineitem.parquet)
+        def peel(i: Int): String =
+          s"""s$i AS MATERIALIZED (
+             |  SELECT t.v FROM (
+             |    SELECT CAST(d.dst AS BIGINT) AS v, count(*) AS c
+             |    FROM dir d JOIN s${i - 1} a ON d.src = a.v GROUP BY 1) t
+             |  JOIN s${i - 1} b ON t.v = b.v
+             |  WHERE t.c >= 2)""".stripMargin
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS (
+           |  SELECT a.l_partkey AS a, b.l_partkey AS b FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           |        UNION ALL SELECT b, a FROM e0),
+           |s0 AS MATERIALIZED (SELECT DISTINCT CAST(src AS BIGINT) AS v FROM dir),
+           |${(1 to 12).map(peel).mkString(",\n")}
+           |SELECT t.v AS p_partkey, CAST(t.c AS BIGINT) AS core_deg FROM (
+           |  SELECT CAST(d.dst AS BIGINT) AS v, count(*) AS c
+           |  FROM dir d JOIN s12 a ON d.src = a.v GROUP BY 1) t
+           |JOIN s12 b ON t.v = b.v
+           |ORDER BY p_partkey""".stripMargin
+      }),
+
+    // ----- q210: HITS hubs & authorities (Kleinberg 1999) over the
+    // DIRECTED customer→part purchase bipartite graph — the directed-
+    // graph member the family lacks (PageRank's symmetric walk can't
+    // separate "buys broadly" from "bought broadly"; HITS scores both
+    // sides of the bipartite structure at once). 3 fixed iterations of
+    // the mutual-reinforcement recurrence, every cross-node sum
+    // quantized to 2^-40 (the q99 contract); the oracle unrolls all
+    // six half-steps with their normalizers. Scores scaled ×(side
+    // count) to mean 1 and micro-snapped.
+    QueryDef(
+      "q210_hits",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+          .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey"),
+            $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("src"), $"l_partkey".as("dst"))
+        val res = GraphOps.hits(e, "src", "dst", iterations = 3)
+        val cnt = res.groupBy($"side").agg(count(lit(1)).as("nn"))
+        res.join(cnt, "side")
+          .select($"side", $"id",
+            floor($"val" * $"nn" * 1e6 + lit(0.5)).cast("long")
+              .as("score_micro"))
+          .orderBy($"side", $"id")
+      },
+      Some {
+        val Q = 1099511627776L
+        def half(i: Int): String =
+          s"""a${i}r AS MATERIALIZED (
+             |  SELECT CAST(d.dst AS BIGINT) AS id,
+             |    CAST(SUM(CAST(floor(h.val * $Q) AS BIGINT)) AS DOUBLE)
+             |      / $Q AS raw
+             |  FROM dir d JOIN h${i - 1} h ON d.src = h.id GROUP BY 1),
+             |a${i}s AS (SELECT CAST(SUM(CAST(floor(raw * $Q) AS BIGINT))
+             |             AS DOUBLE) / $Q AS s FROM a${i}r),
+             |a$i AS (SELECT id, raw / (SELECT s FROM a${i}s) AS val
+             |        FROM a${i}r),
+             |h${i}r AS MATERIALIZED (
+             |  SELECT CAST(d.src AS BIGINT) AS id,
+             |    CAST(SUM(CAST(floor(a.val * $Q) AS BIGINT)) AS DOUBLE)
+             |      / $Q AS raw
+             |  FROM dir d JOIN a$i a ON d.dst = a.id GROUP BY 1),
+             |h${i}s AS (SELECT CAST(SUM(CAST(floor(raw * $Q) AS BIGINT))
+             |             AS DOUBLE) / $Q AS s FROM h${i}r),
+             |h$i AS (SELECT id, raw / (SELECT s FROM h${i}s) AS val
+             |        FROM h${i}r)""".stripMargin
+        s"""WITH dir AS MATERIALIZED (
+           |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           |    CAST(l_partkey AS BIGINT) AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |h0 AS (
+           |  SELECT DISTINCT src AS id,
+           |    CAST(1 AS DOUBLE) / (SELECT count(DISTINCT src) FROM dir)
+           |      AS val
+           |  FROM dir),
+           |${(1 to 3).map(half).mkString(",\n")}
+           |SELECT 'hub' AS side, id,
+           |  CAST(floor(val * (SELECT count(*) FROM h3) * 1000000 + 0.5)
+           |    AS BIGINT) AS score_micro
+           |FROM h3
+           |UNION ALL
+           |SELECT 'auth' AS side, id,
+           |  CAST(floor(val * (SELECT count(*) FROM a3) * 1000000 + 0.5)
+           |    AS BIGINT) AS score_micro
+           |FROM a3
+           |ORDER BY side, id""".stripMargin
+      }))
 
   /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103
     * oracle. FNV-1a over the word's bytes in HUGEINT (the corpus is

@@ -179,4 +179,58 @@ class GraphOpsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSeq.sorted
     assert(run(cyc.repartition(1)) === run(cyc.repartition(7)))
   }
+
+  test("kCore: pendant chain peels away, clique survives with in-core degrees") {
+    import spark.implicits._
+    // K4 on {1..4} with a chain 4–5–6–7 hanging off: the 2-core is
+    // exactly the clique (the chain peels end-first over 3 rounds),
+    // and each survivor reports its degree INSIDE the core (3, not
+    // 4's raw degree 4)
+    def k4(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (k4(1L to 4L) ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("u", "v")
+    val got = GraphOps.kCore(edges, "u", "v", k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore peel is idempotent at fixpoint: extra rounds change nothing") {
+    import spark.implicits._
+    def k4(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (k4(1L to 4L) ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    def run(r: Int) = GraphOps.kCore(edges, "u", "v", k = 2, rounds = r)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(run(3) === run(12))   // the oracle-unroll-margin contract
+  }
+
+  test("kCore k=1 drops nothing on a connected graph; large k empties it") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    assert(GraphOps.kCore(tri, "u", "v", k = 1, rounds = 4).count() === 3)
+    assert(GraphOps.kCore(tri, "u", "v", k = 3, rounds = 4).count() === 0)
+  }
+
+  test("hits: star graph concentrates authority on the hub's targets") {
+    import spark.implicits._
+    // one hub 1 → {10, 11, 12}, a second hub 2 → {10}: authority of
+    // 10 must strictly exceed 11/12 (two endorsers vs one), and hubs
+    // normalize to L1 = 1 per side
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("s", "t")
+    val got = GraphOps.hits(e, "s", "t", iterations = 3)
+      .as[(String, Long, Double)].collect()
+    val auth = got.filter(_._1 == "auth").map(r => r._2 -> r._3).toMap
+    val hub = got.filter(_._1 == "hub").map(r => r._2 -> r._3).toMap
+    assert(auth(10L) > auth(11L) && auth(11L) === auth(12L))
+    assert(hub(1L) > hub(2L))   // endorses three vs one
+    assert(math.abs(auth.values.sum - 1.0) < 1e-9)
+    assert(math.abs(hub.values.sum - 1.0) < 1e-9)
+  }
+
+  test("hits is layout invariant (quantized order-free sums)") {
+    import spark.implicits._
+    val e = (for { s <- 1L to 5L; t <- 10L to (10L + s) } yield (s, t)).toDF("s", "t")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.hits(df, "s", "t", iterations = 3)
+        .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(run(e.repartition(1)) === run(e.repartition(13)))
+  }
 }
