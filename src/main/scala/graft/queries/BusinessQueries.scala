@@ -348,5 +348,179 @@ object BusinessQueries {
              |SELECT source, count(*) AS n_langs,
              |  floor(CAST(SUM(CAST(floor(term * 1073741824) AS BIGINT)) AS DOUBLE)
              |    / 1073741824 * 10000 + 0.5) / 10000 AS kl
-             |FROM terms GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM terms GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----- q211: SCD Type-2 dimension build — collapse each
+    // customer's order-priority sequence into validity intervals
+    // (valid_from / valid_to half-open, NULL = current): the
+    // slowly-changing-dimension constructor every warehouse load
+    // needs, built from the classic gaps-and-islands run-id (a
+    // lag-inequality marker prefix-summed per customer). Windows are
+    // partitioned by customer — never global — so the plan is one
+    // hash shuffle on o_custkey and scales with customers, not rows.
+    // Ordering inside a customer is (o_orderdate, o_orderkey):
+    // unique, so the run segmentation is deterministic.
+    QueryDef(
+      "q211_scd2_dimension",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        val marked = Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderkey",
+            $"o_orderdate".cast("date").as("o_orderdate"),
+            $"o_orderpriority")
+          .withColumn("chg",
+            when(lag($"o_orderpriority", 1).over(w).isNull ||
+              lag($"o_orderpriority", 1).over(w) =!= $"o_orderpriority", 1L)
+              .otherwise(0L))
+          .withColumn("run_id", sum($"chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val runs = marked.groupBy($"o_custkey", $"run_id", $"o_orderpriority")
+          .agg(min($"o_orderdate").as("valid_from"),
+            count(lit(1)).as("n_orders"))
+        val w2 = Window.partitionBy($"o_custkey").orderBy($"run_id")
+        runs
+          .withColumn("valid_to", lead($"valid_from", 1).over(w2))
+          .select($"o_custkey", $"run_id",
+            $"o_orderpriority".as("priority"),
+            // epoch-day BIGINTs, not DATE: the driver hash is dtype-
+            // sensitive and date32-vs-DATE materializes differently
+            // (the q188 lesson; q98's 1990-01-01 day epoch)
+            datediff($"valid_from", lit("1990-01-01")).cast("long")
+              .as("from_day"),
+            datediff($"valid_to", lit("1990-01-01")).cast("long")
+              .as("to_day"),
+            $"n_orders",
+            when($"valid_to".isNull, 1L).otherwise(0L).as("is_current"))
+          .orderBy($"o_custkey", $"run_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             |    o_orderpriority,
+             |    CASE WHEN lag(o_orderpriority) OVER
+             |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |      IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg
+             |  FROM orders),
+             |m AS (
+             |  SELECT o_custkey, o_orderkey, d, o_orderpriority,
+             |    CAST(SUM(chg) OVER (PARTITION BY o_custkey
+             |      ORDER BY d, o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS run_id
+             |  FROM o),
+             |runs AS (
+             |  SELECT o_custkey, run_id, o_orderpriority AS priority,
+             |    MIN(d) AS valid_from, CAST(count(*) AS BIGINT) AS n_orders
+             |  FROM m GROUP BY 1, 2, 3),
+             |iv AS (
+             |  SELECT o_custkey, run_id, priority, valid_from,
+             |    lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+             |      AS valid_to,
+             |    n_orders
+             |  FROM runs)
+             |SELECT o_custkey, run_id, priority,
+             |  CAST(date_diff('day', DATE '1990-01-01', valid_from) AS BIGINT)
+             |    AS from_day,
+             |  CAST(date_diff('day', DATE '1990-01-01', valid_to) AS BIGINT)
+             |    AS to_day,
+             |  n_orders,
+             |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+             |FROM iv
+             |ORDER BY o_custkey, run_id""".stripMargin)),
+
+    // ----- q212: multi-touch attribution — for each user's FIRST
+    // purchase, every earlier non-purchase event is a "touch"; credit
+    // is assigned three ways at once (first-touch, last-touch, linear
+    // 1/n split) and rolled up by channel (= event_type). The linear
+    // split is integer ppm (floor(10⁶/n)) so the per-channel sums are
+    // exact BIGINTs on both engines — a double 1/n sum would drift
+    // with accumulation order. Touch order inside a user is
+    // (ts, event_id): unique and replayed identically in the oracle's
+    // row-wise comparisons. One user-keyed shuffle + channel-sized
+    // aggregates — no window at all.
+    QueryDef(
+      "q212_attribution",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id", $"event_id",
+          $"event_type", unix_micros($"ts").as("us"))
+        val conv = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(min(struct($"us", $"event_id")).as("m"))
+          .select($"user_id", $"m.us".as("cus"), $"m.event_id".as("cid"))
+        val touches = ev.join(conv, "user_id")
+          .filter($"event_type" =!= "purchase" &&
+            ($"us" < $"cus" || ($"us" === $"cus" && $"event_id" < $"cid")))
+          .select($"user_id", $"event_id", $"event_type", $"us")
+        val perUser = touches.groupBy($"user_id").agg(
+          count(lit(1)).as("nt"),
+          min(struct($"us", $"event_id", $"event_type")).as("ft"),
+          max(struct($"us", $"event_id", $"event_type")).as("lt"))
+        val firsts = perUser.groupBy($"ft.event_type".as("channel"))
+          .agg(count(lit(1)).as("n_first"))
+        val lasts = perUser.groupBy($"lt.event_type".as("channel"))
+          .agg(count(lit(1)).as("n_last"))
+        val linear = touches
+          .join(perUser.select($"user_id", $"nt"), "user_id")
+          .groupBy($"event_type".as("channel"))
+          .agg(count(lit(1)).as("n_touch"),
+            sum(floor(lit(1000000.0) / $"nt").cast("long"))
+              .as("credit_ppm"))
+        linear
+          .join(firsts, Seq("channel"), "left")
+          .join(lasts, Seq("channel"), "left")
+          .select($"channel", $"n_touch",
+            coalesce($"n_first", lit(0L)).as("n_first"),
+            coalesce($"n_last", lit(0L)).as("n_last"),
+            $"credit_ppm")
+          .orderBy($"channel")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+             |  FROM events),
+             |cv AS (
+             |  SELECT user_id, us AS cus, event_id AS cid FROM (
+             |    SELECT user_id, us, event_id,
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY us, event_id) AS rn
+             |    FROM ev WHERE event_type = 'purchase') t
+             |  WHERE rn = 1),
+             |touches AS MATERIALIZED (
+             |  SELECT e.user_id, e.event_id, e.event_type, e.us
+             |  FROM ev e JOIN cv ON e.user_id = cv.user_id
+             |  WHERE e.event_type <> 'purchase'
+             |    AND (e.us < cv.cus OR (e.us = cv.cus AND e.event_id < cv.cid))),
+             |pu AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS nt
+             |  FROM touches GROUP BY 1),
+             |ranked AS (
+             |  SELECT user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS rn_a,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY us DESC, event_id DESC) AS rn_d
+             |  FROM touches),
+             |firsts AS (SELECT event_type AS channel,
+             |             CAST(count(*) AS BIGINT) AS n_first
+             |           FROM ranked WHERE rn_a = 1 GROUP BY 1),
+             |lasts AS (SELECT event_type AS channel,
+             |            CAST(count(*) AS BIGINT) AS n_last
+             |          FROM ranked WHERE rn_d = 1 GROUP BY 1),
+             |lin AS (
+             |  SELECT t.event_type AS channel,
+             |    CAST(count(*) AS BIGINT) AS n_touch,
+             |    CAST(SUM(CAST(floor(1000000.0 / pu.nt) AS BIGINT))
+             |      AS BIGINT) AS credit_ppm
+             |  FROM touches t JOIN pu ON t.user_id = pu.user_id
+             |  GROUP BY 1)
+             |SELECT lin.channel, n_touch,
+             |  coalesce(n_first, 0) AS n_first,
+             |  coalesce(n_last, 0) AS n_last,
+             |  credit_ppm
+             |FROM lin
+             |LEFT JOIN firsts ON lin.channel = firsts.channel
+             |LEFT JOIN lasts ON lin.channel = lasts.channel
+             |ORDER BY lin.channel""".stripMargin)))
 }

@@ -354,5 +354,63 @@ object SequenceQueries {
              |  FROM ew e JOIN base b
              |    ON b.user_id = e.user_id AND b.rn = e.rn + 1)
              |SELECT user_id, rn, event_id, xq, s AS ewma
-             |FROM ew ORDER BY user_id, rn""".stripMargin)))
+             |FROM ew ORDER BY user_id, rn""".stripMargin)),
+
+    // ----- q213: Wald SPRT — one sequential test per event_type arm
+    // (success = value ≥ 100, the symmetric p₁=0.55 vs p₀=0.45 test
+    // at α=β=0.05), stopped at the first trial where |LLR| crosses
+    // ln(19). The increments/threshold are the INTEGER micro-nat
+    // literals baked into operators.Sprt — no query-time ln(), so the
+    // walk is exact integer algebra both engines replay identically.
+    // The Spark side runs the GlobalOrder two-pass prefix machinery
+    // (no unpartitioned window, no per-arm single task); the oracle
+    // expresses the same walk with per-arm windows, legal at DuckDB's
+    // single-node scale.
+    QueryDef(
+      "q213_sprt",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"event_type",
+          unix_micros($"ts").as("us"), $"event_id", $"value")
+        graft.operators.Sprt
+          .decide(ev, "event_type", "us", "event_id", $"value" >= 100)
+          .withColumnRenamed("arm", "event_type")
+          .orderBy($"event_type")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT event_type AS arm, epoch_us(ts) AS us, event_id,
+             |    CASE WHEN value >= 100 THEN 1 ELSE 0 END AS ind
+             |  FROM events),
+             |w AS (
+             |  SELECT arm,
+             |    CAST(SUM(ind) OVER (PARTITION BY arm ORDER BY us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sc,
+             |    CAST(row_number() OVER (PARTITION BY arm
+             |      ORDER BY us, event_id) AS BIGINT) AS idx
+             |  FROM t),
+             |l AS MATERIALIZED (
+             |  SELECT arm, idx,
+             |    ${graft.operators.Sprt.LlrStepMicro} * (2 * sc - idx) AS llr
+             |  FROM w),
+             |crossed AS (
+             |  SELECT arm, n_stop, llr AS cllr FROM (
+             |    SELECT arm, idx AS n_stop, llr,
+             |      row_number() OVER (PARTITION BY arm ORDER BY idx) AS rn
+             |    FROM l
+             |    WHERE abs(llr) >= ${graft.operators.Sprt.ThresholdMicro}) t
+             |  WHERE rn = 1),
+             |finals AS (
+             |  SELECT arm, idx AS fidx, llr AS fllr FROM (
+             |    SELECT arm, idx, llr,
+             |      row_number() OVER (PARTITION BY arm ORDER BY idx DESC) AS rn
+             |    FROM l) t
+             |  WHERE rn = 1)
+             |SELECT f.arm AS event_type,
+             |  CASE WHEN c.n_stop IS NULL THEN 'continue'
+             |    WHEN c.cllr > 0 THEN 'accept_h1'
+             |    ELSE 'accept_h0' END AS decision,
+             |  coalesce(c.n_stop, f.fidx) AS n_stop,
+             |  coalesce(c.cllr, f.fllr) AS llr_micro
+             |FROM finals f LEFT JOIN crossed c ON f.arm = c.arm
+             |ORDER BY event_type""".stripMargin)))
 }
