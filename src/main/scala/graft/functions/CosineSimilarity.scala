@@ -109,6 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimDescriptor)
     ext.injectFunction(GraftFunctions.quantL2Descriptor)
+    ext.injectFunction(GraftFunctions.jaroWinklerDescriptor)
     // the whole text-function family rides the same injection: one
     // expression tree behind both the DataFrame and SQL surfaces
     TextFunctions.sqlFunctions.foreach { case (name, builder) =>
@@ -133,11 +134,19 @@ object GraftFunctions {
     new ExpressionInfo(classOf[QuantL2].getName, "quant_l2"),
     (exprs: Seq[Expression]) => QuantL2(exprs(0), exprs(1), exprs(2)))
 
+  private[graft] val jaroWinklerDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1)))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quant_l2", exprs => QuantL2(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** DataFrame-API handle (requires prior registration on the session). */
@@ -146,4 +155,8 @@ object GraftFunctions {
   /** DataFrame-API handle (requires prior registration on the session). */
   def quant_l2(a: Column, b: Column, quantum: Column): Column =
     call_function("quant_l2", a, b, quantum)
+
+  /** DataFrame-API handle (requires prior registration on the session). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
 }

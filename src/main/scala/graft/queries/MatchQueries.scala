@@ -121,7 +121,49 @@ object MatchQueries {
            |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
            |ORDER BY fs_score DESC, id_a, id_b
            |LIMIT 50""".stripMargin
-      }))
+      }),
+
+    // ----- q216: blocked Jaro–Winkler similarity join over part
+    // names — the string-distance member next to q93 (Levenshtein
+    // band) and q141 (Fellegi–Sunter): JW's prefix-boosted edit
+    // affinity is the standard name-matching scorer, here as a NATIVE
+    // codegen expression (functions.JaroWinkler — one fused static
+    // call inside whole-stage codegen, no UDF) with DuckDB's built-in
+    // `jaro_winkler_similarity` as the cross-engine oracle (same IEEE
+    // op sequence, spec-pinned). Blocking = (first name token,
+    // p_size): equi-join keys, never part × part — Σ blk² pairs, the
+    // q141 anti-quadratic shape. e4-snapped scores keep the
+    // comparison away from ulp boundaries.
+    QueryDef(
+      "q216_jaro_winkler_join",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val p = graft.Par.spread(Tables.part(s, d))
+          .select($"p_partkey", $"p_name", $"p_size",
+            split($"p_name", " ").getItem(0).as("blk"))
+        val jw = graft.functions.GraftFunctions
+          .jaro_winkler($"a.p_name", $"b.p_name")
+        p.as("a").join(p.as("b"),
+            $"a.blk" === $"b.blk" && $"a.p_size" === $"b.p_size" &&
+              $"a.p_partkey" < $"b.p_partkey")
+          .filter(jw >= 0.9)
+          .select($"a.p_partkey".as("pa"), $"b.p_partkey".as("pb"),
+            floor(jw * 10000 + lit(0.5)).cast("long").as("jw_e4"))
+          .orderBy($"pa", $"pb")
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey, p_name, p_size,
+             |    string_split(p_name, ' ')[1] AS blk
+             |  FROM part)
+             |SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+             |  CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+             |    * 10000 + 0.5) AS BIGINT) AS jw_e4
+             |FROM p a JOIN p b
+             |  ON a.blk = b.blk AND a.p_size = b.p_size
+             |  AND a.p_partkey < b.p_partkey
+             |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+             |ORDER BY pa, pb""".stripMargin)))
 
   /** q141's comparison fields — ONE definition feeding both the Spark
     * plan and the oracle's weight literals.
