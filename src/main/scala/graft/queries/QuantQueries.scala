@@ -1469,7 +1469,142 @@ object QuantQueries {
              |       * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
              |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              |    * 1000000 + 0.5) AS BIGINT) AS r_micro
-             |FROM m ORDER BY lag""".stripMargin)))
+             |FROM m ORDER BY lag""".stripMargin)),
+
+    // ----- q214: delete-one-group jackknife (Quenouille/Tukey; the
+    // grouped form survey-statistics uses) for the revenue-per-
+    // customer RATIO — the resampling-uncertainty member next to
+    // q204's bootstrap: leave each nation out, re-form the ratio,
+    // and read bias and standard error off the pseudo-value spread.
+    // All cross-group algebra is exact integers — per-nation cent
+    // sums, floor-quantized leave-one-out thetas (cents/customer),
+    // centered deviations as g·θ_i − Σθ (×g to stay integral), and
+    // an exact Σdev² (headroom: |dev| < 3·10⁹ ⇒ dev² < 2^63; fixture
+    // max is ~2·10⁷) — so only the final scalar divisions/sqrt are
+    // IEEE doubles, identical text both engines. One orders⋈customer
+    // join keyed by custkey, then nation-sized (25-row) frames.
+    QueryDef(
+      "q214_jackknife",
+      (s, d) => {
+        import s.implicits._
+        val oc = Tables.orders(s, d).select($"o_custkey", $"o_totalprice")
+          .join(Tables.customer(s, d)
+            .select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .select($"c_nationkey".as("nk"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+        val pern = oc.groupBy($"nk").agg(sum($"cents").as("cents"))
+        val cust = Tables.customer(s, d)
+          .groupBy($"c_nationkey".as("nk")).agg(count(lit(1)).as("nc"))
+        val per = cust.join(pern, Seq("nk"), "left")
+          .select($"nk", coalesce($"cents", lit(0L)).as("cents"), $"nc")
+        val tot = per.agg(sum($"cents").as("t"), sum($"nc").as("c"),
+          count(lit(1)).as("g"))
+        val th = per.crossJoin(tot).select($"t", $"c", $"g",
+          floor(($"t" - $"cents").cast("double") / ($"c" - $"nc"))
+            .cast("long").as("tq"))
+        val sS = th.groupBy($"t", $"c", $"g").agg(sum($"tq").as("sq"))
+        val out = th.join(sS, Seq("t", "c", "g"))
+          .withColumn("dev", $"g" * $"tq" - $"sq")
+          .groupBy($"t", $"c", $"g", $"sq")
+          .agg(sum($"dev" * $"dev").as("s2"))
+        out.select(
+          $"g".as("n_groups"),
+          floor($"t".cast("double") / $"c" * 1000 + lit(0.5)).cast("long")
+            .as("theta_hat_milli"),
+          floor(($"g" - 1).cast("double")
+            * ($"sq".cast("double") / $"g" - $"t".cast("double") / $"c")
+            * 1000 + lit(0.5)).cast("long").as("jack_bias_milli"),
+          floor(sqrt((($"g" - 1) * $"s2").cast("double")
+            / ($"g" * $"g" * $"g").cast("double")) * 1000 + lit(0.5))
+            .cast("long").as("jack_se_milli"))
+      },
+      Some("""WITH oc AS (
+             |  SELECT c_nationkey AS nk,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |pern AS (SELECT nk, CAST(SUM(cents) AS BIGINT) AS cents
+             |         FROM oc GROUP BY 1),
+             |cust AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS nc
+             |         FROM customer GROUP BY 1),
+             |per AS (
+             |  SELECT cust.nk, coalesce(pern.cents, 0) AS cents, cust.nc
+             |  FROM cust LEFT JOIN pern ON cust.nk = pern.nk),
+             |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t,
+             |          CAST(SUM(nc) AS BIGINT) AS c,
+             |          CAST(count(*) AS BIGINT) AS g FROM per),
+             |th AS (
+             |  SELECT t, c, g,
+             |    CAST(floor(CAST(t - cents AS DOUBLE) / (c - nc)) AS BIGINT)
+             |      AS tq
+             |  FROM per CROSS JOIN tot),
+             |ss AS (SELECT t, c, g, CAST(SUM(tq) AS BIGINT) AS sq
+             |       FROM th GROUP BY 1, 2, 3),
+             |m AS (
+             |  SELECT th.t, th.c, th.g, ss.sq,
+             |    CAST(SUM((th.g * th.tq - ss.sq) * (th.g * th.tq - ss.sq))
+             |      AS BIGINT) AS s2
+             |  FROM th JOIN ss ON th.t = ss.t AND th.c = ss.c AND th.g = ss.g
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT g AS n_groups,
+             |  CAST(floor(CAST(t AS DOUBLE) / c * 1000 + 0.5) AS BIGINT)
+             |    AS theta_hat_milli,
+             |  CAST(floor(CAST(g - 1 AS DOUBLE)
+             |    * (CAST(sq AS DOUBLE) / g - CAST(t AS DOUBLE) / c)
+             |    * 1000 + 0.5) AS BIGINT) AS jack_bias_milli,
+             |  CAST(floor(sqrt(CAST((g - 1) * s2 AS DOUBLE)
+             |    / CAST(g * g * g AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+             |    AS jack_se_milli
+             |FROM m""".stripMargin)),
+
+    // ----- q215: ridge regression (Tikhonov/Hoerl-Kennard) in CLOSED
+    // FORM — q194's normal equations with λ added to the feature
+    // diagonal (the intercept unpenalized, the standard convention):
+    // one exact 10-moment pass, Cramer's rule via the SAME det3 /
+    // det3Sql generated formula shape, λ = 10⁹ as a literal in both
+    // engines. The regularized member of the regression family —
+    // shows shrinkage against q194's OLS coefficients on identical
+    // moments.
+    QueryDef(
+      "q215_ridge_regression",
+      (s, d) => {
+        import s.implicits._
+        val q = Tables.lineitem(s, d).select(
+          floor($"l_quantity" * 100 + lit(0.5)).cast("long").as("x1"),
+          floor($"l_discount" * 100 + lit(0.5)).cast("long").as("x2"),
+          floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("y"))
+        val names = Seq("s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+        val exprs = Seq(
+          sum($"x1".cast("decimal(38,0)")), sum($"x2".cast("decimal(38,0)")),
+          sum($"y".cast("decimal(38,0)")),
+          sum(($"x1" * $"x1").cast("decimal(38,0)")),
+          sum(($"x1" * $"x2").cast("decimal(38,0)")),
+          sum(($"x2" * $"x2").cast("decimal(38,0)")),
+          sum(($"x1" * $"y").cast("decimal(38,0)")),
+          sum(($"x2" * $"y").cast("decimal(38,0)")),
+          sum(($"y" * $"y").cast("decimal(38,0)")))
+        val row = q.agg(count(lit(1)).as("n"),
+          exprs.zip(names).map { case (e, nm) => e.as(nm) }: _*).head()
+        val nd = row.getAs[Long]("n").toDouble
+        def v(nm: String) = row.getAs[java.math.BigDecimal](nm).doubleValue
+        val lam = RidgeLambda.toDouble
+        val mM = Seq(
+          Seq(nd, v("s1"), v("s2")),
+          Seq(v("s1"), v("s11") + lam, v("s12")),
+          Seq(v("s2"), v("s12"), v("s22") + lam))
+        val b = Seq(v("sy"), v("s1y"), v("s2y"))
+        def replaced(c: Int) = mM.zipWithIndex.map { case (r, i) =>
+          r.updated(c, b(i))
+        }
+        val dm = det3(mM)
+        val beta = (0 to 2).map(c => det3(replaced(c)) / dm)
+        Seq((row.getAs[Long]("n"),
+          math.floor(beta(0) * 1000000 + 0.5).toLong,
+          math.floor(beta(1) * 1000000 + 0.5).toLong,
+          math.floor(beta(2) * 1000000 + 0.5).toLong))
+          .toDF("n", "b0_micro", "b1_micro", "b2_micro")
+      },
+      Some(ridgeOracle)))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L
@@ -1529,6 +1664,46 @@ object QuantQueries {
        |         + ${betas(2)} * ${c("s2y")}))
        |    / (${c("syy")} - ${c("sy")} * ${c("sy")} / ${c("n")}))
        |    * 1000000 + 0.5) AS BIGINT) AS r2_micro
+       |FROM m""".stripMargin
+  }
+
+  /** q215's penalty — a LITERAL in both engines (≈0.2% of s11 at
+    * sf0.01, so the shrinkage is visible in the micro-snapped betas
+    * without drowning the fit).
+    */
+  private val RidgeLambda = 1000000000L
+
+  /** The q215 oracle — q194's generated determinant texts with
+    * [[RidgeLambda]] on the feature diagonal (intercept unpenalized).
+    */
+  private def ridgeOracle: String = {
+    def c(nm: String) = s"CAST($nm AS DOUBLE)"
+    def cl(nm: String) = s"(CAST($nm AS DOUBLE) + $RidgeLambda.0)"
+    val mM = Seq(
+      Seq(c("n"), c("s1"), c("s2")),
+      Seq(c("s1"), cl("s11"), c("s12")),
+      Seq(c("s2"), c("s12"), cl("s22")))
+    val b = Seq(c("sy"), c("s1y"), c("s2y"))
+    def replaced(col: Int) = mM.zipWithIndex.map { case (r, i) =>
+      r.updated(col, b(i))
+    }
+    val dm = det3Sql(mM)
+    val betas = (0 to 2).map(col => s"(${det3Sql(replaced(col))} / $dm)")
+    s"""WITH q AS (
+       |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+       |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+       |    SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+       |    SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+       |  FROM q)
+       |SELECT n,
+       |  CAST(floor(${betas(0)} * 1000000 + 0.5) AS BIGINT) AS b0_micro,
+       |  CAST(floor(${betas(1)} * 1000000 + 0.5) AS BIGINT) AS b1_micro,
+       |  CAST(floor(${betas(2)} * 1000000 + 0.5) AS BIGINT) AS b2_micro
        |FROM m""".stripMargin
   }
 
