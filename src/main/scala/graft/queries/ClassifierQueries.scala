@@ -658,7 +658,66 @@ object ClassifierQueries {
           "label", iterations = AdaRounds)
         graft.operators.AdaBoost.score(embs, "vec_id", "embedding", "label", m)
       },
-      Some(adaboostOracle)))
+      Some(adaboostOracle)),
+
+    // ----- q217: isotonic calibration (Zadrozny & Elkan 2002) of the
+    // q208 reliability table — the monotone score→probability map a
+    // quality classifier ships with. operators.Isotonic computes the
+    // fit via the minimax identity (max_{j≤i} min_{k≥i} of the 2^-20
+    // quantized range rates) instead of a PAV sweep, so the whole fit
+    // is joins + min/max over exact integers and the oracle replays
+    // it range-for-range; bin count is a design constant (~10), so
+    // the bins³ membership joins are O(1) in the corpus.
+    {
+      val BinW = 500000L   // q208's bin width — same reliability table
+      QueryDef(
+        "q217_isotonic_calibration",
+        (s, d) => {
+          import s.implicits._
+          val embs = withY(Tables.embeddings(s, d))
+          val model = LogReg.train(embs, "embedding", "y", Iters, EtaDen, PosWeight)
+          val bins = LogReg.scoreAll(embs, "vec_id", "embedding", "y", model)
+            .select($"y",
+              floor($"margin".cast("double") / BinW).cast("long").as("bin"))
+            .groupBy($"bin")
+            .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"))
+          graft.operators.Isotonic.fit(bins, "bin", "n", "n_pos")
+            .select($"bin", $"n", $"n_pos",
+              expr("n_pos * 1000 DIV n").as("raw_milli"),
+              expr(s"fitted_q * 1000 DIV ${graft.operators.Isotonic.RateQ}")
+                .as("iso_milli"))
+            .orderBy($"bin")
+        },
+        Some {
+          val q = graft.operators.Isotonic.RateQ
+          s"""${gdCtes(Iters, None)},
+             |${finalMargins(Iters, "tr")},
+             |bins AS MATERIALIZED (
+             |  SELECT ${fdiv("z.z", BinW.toString)} AS bin,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(l.y) AS BIGINT) AS n_pos
+             |  FROM zf z JOIN lab l ON z.vec_id = l.vec_id
+             |  GROUP BY 1),
+             |rg AS (SELECT j.bin AS jx, k.bin AS kx
+             |       FROM bins j JOIN bins k ON j.bin <= k.bin),
+             |rs AS MATERIALIZED (
+             |  SELECT rg.jx, rg.kx,
+             |    CAST(SUM(b.n_pos) * $q // SUM(b.n) AS BIGINT) AS avg_q
+             |  FROM rg JOIN bins b ON b.bin BETWEEN rg.jx AND rg.kx
+             |  GROUP BY 1, 2),
+             |mji AS (
+             |  SELECT b.bin AS i, rs.jx, MIN(rs.avg_q) AS m
+             |  FROM rs JOIN bins b ON rs.jx <= b.bin AND rs.kx >= b.bin
+             |  GROUP BY 1, 2),
+             |fit AS (SELECT i AS bin, CAST(MAX(m) AS BIGINT) AS fitted_q
+             |        FROM mji GROUP BY 1)
+             |SELECT b.bin, b.n, b.n_pos,
+             |  CAST(b.n_pos * 1000 // b.n AS BIGINT) AS raw_milli,
+             |  CAST(f.fitted_q * 1000 // $q AS BIGINT) AS iso_milli
+             |FROM bins b JOIN fit f ON b.bin = f.bin
+             |ORDER BY b.bin""".stripMargin
+        })
+    })
 
   private val AdaRounds = 3
 

@@ -109,6 +109,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q209/q216 new pair joins: equi-join blocked, no cartesian/BNL") {
+    // q209's peel rounds join node-sized survivor sets on edge keys;
+    // q216's name-match is blocked on (first token, p_size) — a
+    // regression to a product plan is the part×part scale-killer the
+    // blocking exists to prevent. (q210/q214 are excluded: their
+    // 1-row normalizer crossJoins are BNL by construction and
+    // bounded.)
+    for (q <- Seq("q209_kcore", "q216_jaro_winkler_join")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(400)}")
+    }
+  }
+
   test("q47 window suite: every window is partitioned (no single-partition WindowExec)") {
     val plan = executed("q47_window_suite")
     // every Window node must carry a partition spec:
