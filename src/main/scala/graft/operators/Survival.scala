@@ -90,4 +90,85 @@ object Survival {
           .as("surv_milli"))
       .orderBy(col("t_day"))
   }
+
+  /** 2^30 — the log-rank term quantum: per-time expectation and
+    * variance terms are snapped to integer multiples of 2^-30 before
+    * summation, so the sums are exact and order-free on both engines
+    * (the q99 quantized-sum contract; raw double sums would drift
+    * with accumulation order). */
+  val LrQ = 1073741824L
+
+  /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) over the
+    * same churn lifetimes as [[kaplanMeier]]: users split by
+    * `grpOf(user)` ∈ {0, 1}, H₀ = identical survival. At each
+    * distinct duration t with dₜ observed churns:
+    *   E₁ₜ = dₜ·n₁ₜ/nₜ,  Vₜ = dₜ·(n₁ₜ/nₜ)·(n₀ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1),
+    * χ² = (O₁ − ΣE₁)² / ΣV. Each term is ONE fixed double expression
+    * (identical text both engines) floor-snapped to 2^-30 before the
+    * exact BIGINT sum; only the final χ² division is a double.
+    * Returns one row: (n1_users, n0_users, o1, e1_milli, v_milli,
+    * chi2_micro).
+    *
+    * Scale shape: same as [[kaplanMeier]] — one user pass, one
+    * duration pass, then distinct-duration-sized frames; the two
+    * per-group risk sets are reverse [[GlobalOrder.runningSum]]s
+    * (range-partitioned two-pass, no single-partition window).
+    */
+  def logRank(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      grpOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => pmod(c, lit(2))): DataFrame = {
+    val spans = events
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("fd"), max(to_date(col(tsCol))).as("ld"))
+      .withColumn("grp", grpOf(col(userCol)).cast("long"))
+      .localCheckpoint(true)
+    val endd = spans.agg(max(col("ld"))).head.getDate(0)
+    val lif = spans.select(col("grp"),
+      datediff(col("ld"), col("fd")).cast("long").as("t"),
+      when(datediff(lit(endd), col("ld")) > CensorDays, 1L).otherwise(0L)
+        .as("ev"))
+    val byT = lif.groupBy(col("t")).agg(
+      sum(when(col("grp") === 1, col("ev")).otherwise(0L)).as("d1"),
+      sum(when(col("grp") === 0, col("ev")).otherwise(0L)).as("d0"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("u1"),
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("u0"))
+    val withDec = byT
+      .withColumn("u1d", col("u1").cast("decimal(38,0)"))
+      .withColumn("u0d", col("u0").cast("decimal(38,0)"))
+    val risk = GlobalOrder.runningSum(
+      GlobalOrder.runningSum(withDec, Seq(col("t").desc), "u1d", "n1d"),
+      Seq(col("t").desc), "u0d", "n0d")
+      .select(col("t"), col("d1"), col("d0"),
+        col("n1d").cast("long").as("n1"), col("n0d").cast("long").as("n0"))
+    val terms = risk
+      .withColumn("d", col("d1") + col("d0"))
+      .withColumn("n", col("n1") + col("n0"))
+      .filter(col("d") > 0)
+      .withColumn("e1q",
+        floor(col("d").cast("double") * col("n1") / col("n") * LrQ)
+          .cast("long"))
+      .withColumn("vq", when(col("n") > 1,
+        floor(col("d").cast("double") * col("n1") / col("n") * col("n0")
+          / col("n") * (col("n") - col("d")) / (col("n") - 1) * LrQ)
+          .cast("long")).otherwise(0L))
+    val nByGrp = lif.groupBy(col("grp")).agg(count(lit(1)).as("nu"))
+    val nWide = nByGrp.agg(
+      sum(when(col("grp") === 1, col("nu")).otherwise(0L)).as("n1_users"),
+      sum(when(col("grp") === 0, col("nu")).otherwise(0L)).as("n0_users"))
+    val agg = terms.agg(sum(col("d1")).as("o1"), sum(col("e1q")).as("se"),
+      sum(col("vq")).as("sv"))
+    // χ² = (O₁·Q − ΣE₁q)² / (Q·ΣVq): the numerator difference is an
+    // exact integer (< 2^53, so its double image is exact); one
+    // double square and one double division end the computation
+    val z = (col("o1") * LrQ - col("se")).cast("double")
+    nWide.crossJoin(agg).select(
+      col("n1_users"), col("n0_users"), col("o1"),
+      expr(s"se * 1000 DIV $LrQ").as("e1_milli"),
+      expr(s"sv * 1000 DIV $LrQ").as("v_milli"),
+      floor(z * z / (col("sv").cast("double") * LrQ) * 1000000 + lit(0.5))
+        .cast("long").as("chi2_micro"))
+  }
 }

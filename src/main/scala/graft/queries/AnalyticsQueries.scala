@@ -1062,6 +1062,77 @@ object AnalyticsQueries {
            |    AS BIGINT) AS score_micro
            |FROM a3
            |ORDER BY side, id""".stripMargin
+      }),
+
+    // ----- q218: two-group log-rank test (Mantel 1966) on the q165
+    // churn lifetimes — "do even- and odd-id users churn at the same
+    // rate?", the hypothesis-test companion the KM curve needs before
+    // anyone reads a gap off it. Per-time expectation/variance terms
+    // are single fixed double expressions snapped to 2^-30 and summed
+    // as exact BIGINTs (order-free); risk sets are the same reverse
+    // two-pass running sums as q165. One row out.
+    QueryDef(
+      "q218_logrank",
+      (s, d) => graft.operators.Survival
+        .logRank(Tables.events(s, d), "user_id", "ts"),
+      Some {
+        val q = graft.operators.Survival.LrQ
+        val cd = graft.operators.Survival.CensorDays
+        s"""WITH pu AS (
+           |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+           |    MAX(CAST(ts AS DATE)) AS ld,
+           |    CAST(user_id % 2 AS BIGINT) AS grp
+           |  FROM events GROUP BY user_id),
+           |hz AS (SELECT MAX(ld) AS endd FROM pu),
+           |lif AS (
+           |  SELECT grp, CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+           |    CASE WHEN date_diff('day', ld, endd) > $cd
+           |      THEN 1 ELSE 0 END AS ev
+           |  FROM pu, hz),
+           |byt AS (
+           |  SELECT t,
+           |    CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+           |    CAST(SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0,
+           |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+           |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u0
+           |  FROM lif GROUP BY t),
+           |risk AS (
+           |  SELECT t, d1, d0,
+           |    CAST(SUM(u1) OVER (ORDER BY t DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS n1,
+           |    CAST(SUM(u0) OVER (ORDER BY t DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS n0
+           |  FROM byt),
+           |terms AS (
+           |  SELECT d1,
+           |    CAST(floor(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0) * $q)
+           |      AS BIGINT) AS e1q,
+           |    CASE WHEN n1 + n0 > 1 THEN
+           |      CAST(floor(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)
+           |        * n0 / (n1 + n0) * ((n1 + n0) - (d1 + d0))
+           |        / ((n1 + n0) - 1) * $q) AS BIGINT)
+           |    ELSE 0 END AS vq
+           |  FROM risk WHERE d1 + d0 > 0),
+           |grpn AS (SELECT
+           |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n1_users,
+           |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n0_users
+           |  FROM pu),
+           |agg AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+           |    CAST(SUM(e1q) AS BIGINT) AS se,
+           |    CAST(SUM(vq) AS BIGINT) AS sv
+           |  FROM terms)
+           |SELECT n1_users, n0_users, o1,
+           |  CAST(se * 1000 // $q AS BIGINT) AS e1_milli,
+           |  CAST(sv * 1000 // $q AS BIGINT) AS v_milli,
+           |  CAST(floor(CAST(o1 * $q - se AS DOUBLE)
+           |    * CAST(o1 * $q - se AS DOUBLE)
+           |    / (CAST(sv AS DOUBLE) * $q) * 1000000 + 0.5) AS BIGINT)
+           |    AS chi2_micro
+           |FROM grpn CROSS JOIN agg""".stripMargin
       }))
 
   /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103

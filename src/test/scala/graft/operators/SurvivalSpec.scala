@@ -56,4 +56,46 @@ class SurvivalSpec extends SparkSpec {
       .select($"surv_milli").as[Long].collect().toSeq
     assert(out.forall(_ == 1000L), s"no observed deaths → S≡1; got $out")
   }
+
+  test("logRank: mirror-symmetric groups score χ² = 0") {
+    import spark.implicits._
+    // even/odd users with IDENTICAL lifetime multisets: churn at 0
+    // and 10, one censored straggler each — O1 must equal E1 exactly
+    val rows = Seq(
+      (1L, ts(0)), (1L, ts(10)),      // odd: churn at 10
+      (2L, ts(0)), (2L, ts(10)),      // even: churn at 10
+      (3L, ts(2)),                    // odd: churn at 0
+      (4L, ts(2)),                    // even: churn at 0
+      (5L, ts(0)), (5L, ts(30)),      // odd: censored
+      (6L, ts(0)), (6L, ts(30)))      // even: censored
+      .toDF("user_id", "ts")
+    val r = Survival.logRank(rows, "user_id", "ts").head()
+    assert(r.getAs[Long]("n1_users") === 3L)
+    assert(r.getAs[Long]("n0_users") === 3L)
+    // symmetric groups: every per-time term is d/2 with n1/n = 1/2
+    // exactly representable, so E1 equals O1 with zero quantization
+    assert(r.getAs[Long]("e1_milli") === r.getAs[Long]("o1") * 1000)
+    assert(r.getAs[Long]("chi2_micro") <= 1L, s"χ² must be ~0: $r")
+  }
+
+  test("logRank: one group churning, the other censored, scores a large χ²") {
+    import spark.implicits._
+    // odd users all churn early; even users all survive to the horizon
+    val rows = (1L to 9L by 2).flatMap(u => Seq((u, ts(0)), (u, ts(1)))) ++
+      (2L to 10L by 2).flatMap(u => Seq((u, ts(0)), (u, ts(30))))
+    val r = Survival.logRank(rows.toDF("user_id", "ts"), "user_id", "ts").head()
+    assert(r.getAs[Long]("o1") === 5L)
+    assert(r.getAs[Long]("chi2_micro") > 1000000L,
+      s"divergent groups must score χ² > 1: $r")
+  }
+
+  test("logRank is layout invariant (quantized order-free sums)") {
+    import spark.implicits._
+    val rows = (1L to 40L).flatMap(u =>
+      Seq((u, ts((u % 7).toInt)), (u, ts((u % 23).toInt + 5))))
+    def run(parts: Int) = Survival.logRank(
+      rows.toDF("user_id", "ts").repartition(parts), "user_id", "ts")
+      .collect().toSeq
+    assert(run(1) === run(13))
+  }
 }
