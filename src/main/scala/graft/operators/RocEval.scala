@@ -115,4 +115,65 @@ object RocEval {
         col("auc_num"), col("auc_den"), col("auc_milli"),
         col("gini_milli"), col("ap_milli"))
   }
+
+  /** DeLong et al. (1988) standard error of the AUC, via placement
+    * values at score-LEVEL granularity: a positive at level s has
+    * placement (2·neg<ₛ + neg₌ₛ) in 1/(2N) units — an exact integer —
+    * and symmetrically for negatives; AUC is the pos-weighted
+    * placement mean, Var(AUC) = S₁₀/P + S₀₁/N with S the weighted
+    * sample variances. All placement sums are exact BIGINTs (headroom:
+    * Σw·x² ≤ P·4N² — fine to ~10⁶ rows per class; past that the
+    * level frame still fits but the squares need the double path one
+    * tier earlier, the RocEval.ApQuantum note's pattern); the
+    * variance assembly and the 1.96·se Wald band are fixed double
+    * expressions identical in both engines. Returns one row:
+    * (p_total, n_total, auc_milli, se_micro, lo_milli, hi_milli).
+    *
+    * Scale shape: the same corpus→level reduction as [[summary]]
+    * (≤1025 levels), then one broadcast level×level cross join —
+    * O(quantum²) independent of corpus size.
+    */
+  def delong(scored: DataFrame, scoreCol: String, yCol: String): DataFrame = {
+    val y = col(yCol).cast("long")
+    val levels = scored
+      .groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(sum(y).as("pos"), sum(lit(1L) - y).as("neg"))
+      .persist()
+    val tot = levels.agg(
+      sum(col("pos")).cast("long").as("p_total"),
+      sum(col("neg")).cast("long").as("n_total"))
+    val a = levels.select(col("s").as("sa"),
+      col("pos").as("pa"), col("neg").as("na"))
+    val pl = a.crossJoin(broadcast(levels))
+      .groupBy(col("sa"), col("pa"), col("na"))
+      .agg(sum(when(col("s") < col("sa"), col("neg")).otherwise(0L)).as("nl"),
+        sum(when(col("s") > col("sa"), col("pos")).otherwise(0L)).as("pg"))
+      .select(col("pa"), col("na"),
+        (col("nl") * 2 + col("na")).as("x10"),
+        (col("pg") * 2 + col("pa")).as("x01"))
+    val sums = pl.agg(
+      sum(col("pa") * col("x10")).as("swx10"),
+      sum(col("pa") * col("x10") * col("x10")).as("sq10"),
+      sum(col("na") * col("x01")).as("swx01"),
+      sum(col("na") * col("x01") * col("x01")).as("sq01"))
+    val m = tot.crossJoin(sums)
+    val pd = col("p_total")
+    val nd = col("n_total")
+    val aucd = col("swx10").cast("double") / (lit(2.0) * nd * pd)
+    val s10 = ((col("sq10").cast("double")
+      - col("swx10").cast("double") * col("swx10") / pd)
+      / (pd - 1) / (lit(2.0) * nd)) / (lit(2.0) * nd)
+    val s01 = ((col("sq01").cast("double")
+      - col("swx01").cast("double") * col("swx01") / nd)
+      / (nd - 1) / (lit(2.0) * pd)) / (lit(2.0) * pd)
+    val se = sqrt(s10 / pd + s01 / nd)
+    m.select(pd, nd,
+      fdivC(lit(1000L) * col("swx10"),
+        nullIfZero(lit(2L) * pd * nd)).as("auc_milli"),
+      floor(se * 1000000 + lit(0.5)).cast("long").as("se_micro"),
+      floor((aucd - lit(1.96) * se) * 1000 + lit(0.5)).cast("long")
+        .as("lo_milli"),
+      floor((aucd + lit(1.96) * se) * 1000 + lit(0.5)).cast("long")
+        .as("hi_milli"))
+  }
 }

@@ -442,6 +442,80 @@ object ClassifierQueries {
            |FROM tot CROSS JOIN aucn CROSS JOIN apn""".stripMargin
       }),
 
+    // ----- q219: DeLong standard error + Wald band for the q161
+    // holdout AUC — "is the AUC gap real" needs a variance, and
+    // DeLong's placement-value estimator is the standard one. Exact
+    // integer placements at score-level granularity (≤1025 levels ⇒
+    // the level×level cross join is corpus-size-independent), exact
+    // BIGINT moment sums, then one fixed double assembly for the
+    // variance and the 1.96·se band, mirrored textually.
+    QueryDef(
+      "q219_delong_auc",
+      (s, d) => {
+        import s.implicits._
+        val f = Sampling.hashFraction($"vec_id", Salt)
+        val embs = withY(Tables.embeddings(s, d))
+        val model = LogReg.train(embs.filter(f < TrainFrac), "embedding", "y",
+          Iters, EtaDen, PosWeight)
+        val scored = LogReg.scoreAll(
+          embs.filter(f >= TrainFrac), "vec_id", "embedding", "y", model)
+        graft.operators.RocEval.delong(scored, "score", "y")
+      },
+      Some {
+        val frac = Sampling.hashFractionSql("vec_id", Salt)
+        s"""${gdCtes(Iters, Some(s"$frac < $TrainFrac"))},
+           |te AS (SELECT vec_id FROM embeddings WHERE $frac >= $TrainFrac),
+           |${finalMargins(Iters, "te")},
+           |lv AS MATERIALIZED (
+           |  SELECT ${scoreExpr("z.z")} AS s,
+           |    CAST(SUM(l.y) AS BIGINT) AS pos,
+           |    CAST(SUM(1 - l.y) AS BIGINT) AS neg
+           |  FROM zf z JOIN lab l ON z.vec_id = l.vec_id
+           |  GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(SUM(pos) AS BIGINT) AS p_total,
+           |    CAST(SUM(neg) AS BIGINT) AS n_total
+           |  FROM lv),
+           |pl AS MATERIALIZED (
+           |  SELECT a.s, a.pos AS pa, a.neg AS na,
+           |    CAST(SUM(CASE WHEN b.s < a.s THEN b.neg ELSE 0 END) * 2
+           |      + a.neg AS BIGINT) AS x10,
+           |    CAST(SUM(CASE WHEN b.s > a.s THEN b.pos ELSE 0 END) * 2
+           |      + a.pos AS BIGINT) AS x01
+           |  FROM lv a CROSS JOIN lv b
+           |  GROUP BY a.s, a.pos, a.neg),
+           |sums AS (
+           |  SELECT CAST(SUM(pa * x10) AS BIGINT) AS swx10,
+           |    CAST(SUM(pa * x10 * x10) AS BIGINT) AS sq10,
+           |    CAST(SUM(na * x01) AS BIGINT) AS swx01,
+           |    CAST(SUM(na * x01 * x01) AS BIGINT) AS sq01
+           |  FROM pl),
+           |m AS (SELECT * FROM tot CROSS JOIN sums),
+           |fin AS (
+           |  SELECT p_total, n_total,
+           |    CAST(swx10 AS DOUBLE) / (2.0 * n_total * p_total) AS aucd,
+           |    sqrt(
+           |      (CAST(sq10 AS DOUBLE)
+           |         - CAST(swx10 AS DOUBLE) * swx10 / p_total)
+           |        / (p_total - 1) / (2.0 * n_total) / (2.0 * n_total)
+           |        / p_total
+           |      + (CAST(sq01 AS DOUBLE)
+           |         - CAST(swx01 AS DOUBLE) * swx01 / n_total)
+           |        / (n_total - 1) / (2.0 * p_total) / (2.0 * p_total)
+           |        / n_total) AS sed,
+           |    swx10
+           |  FROM m)
+           |SELECT p_total, n_total,
+           |  ${fdiv("1000 * swx10", "NULLIF(2 * p_total * n_total, 0)")}
+           |    AS auc_milli,
+           |  CAST(floor(sed * 1000000 + 0.5) AS BIGINT) AS se_micro,
+           |  CAST(floor((aucd - 1.96 * sed) * 1000 + 0.5) AS BIGINT)
+           |    AS lo_milli,
+           |  CAST(floor((aucd + 1.96 * sed) * 1000 + 0.5) AS BIGINT)
+           |    AS hi_milli
+           |FROM fin""".stripMargin
+      }),
+
     // ----- q164: multinomial Naive Bayes (operators.NaiveBayes) —
     // the closed-form generative counterpart to the q128 GD trainer:
     // one aggregation pass IS the training. Self-train on

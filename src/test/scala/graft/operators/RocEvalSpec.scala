@@ -77,4 +77,37 @@ class RocEvalSpec extends SparkSpec {
     // AP is defined with no negatives: precision 1 at every threshold
     assert(r.getAs[Long]("ap_milli") === 1000L)
   }
+
+  private def delong(rows: Seq[(Long, Long)]) =
+    RocEval.delong(rows.toDF("score", "y"), "score", "y").collect()(0)
+
+  test("delong: perfect separation gives AUC 1 with zero variance") {
+    val r = delong(Seq((10L, 1L), (9L, 1L), (5L, 0L), (3L, 0L), (2L, 0L)))
+    assert(r.getAs[Long]("auc_milli") === 1000L)
+    // every positive placement = 2N/2N = 1 and every negative's = 0:
+    // both sample variances vanish
+    assert(r.getAs[Long]("se_micro") === 0L)
+    assert(r.getAs[Long]("lo_milli") === 1000L)
+    assert(r.getAs[Long]("hi_milli") === 1000L)
+  }
+
+  test("delong matches a hand computation with a discordant pair") {
+    // pos scores {3, 1}, neg scores {2, 0}: placements (1/2N units):
+    //   pos@3 → 2·2 = 4, pos@1 → 2·1 = 2  → AUC = (4+2)/(2·2·2) = 3/4
+    //   neg@2 → 2·1+0 = 2, neg@0 → 2·2+0 = 4
+    val r = delong(Seq((3L, 1L), (1L, 1L), (2L, 0L), (0L, 0L)))
+    assert(r.getAs[Long]("auc_milli") === 750L)
+    // S10 = var{1, 1/2} = 1/8, S01 = var{1/2, 1} = 1/8 (n−1 form);
+    // var = 1/8/2 + 1/8/2 = 1/8 → se = 0.3535533...
+    val want = math.floor(math.sqrt(0.125) * 1000000 + 0.5).toLong
+    assert(r.getAs[Long]("se_micro") === want)
+  }
+
+  test("delong AUC equals summary's AUC on a mixed corpus") {
+    val rows = (1L to 200L).map(i =>
+      ((i * 37 % 101), if ((i * 53 % 97) < 40 == (i * 37 % 101) > 50) 1L else 0L))
+    val a = summarize(rows).getAs[Long]("auc_milli")
+    val b = delong(rows).getAs[Long]("auc_milli")
+    assert(a === b)
+  }
 }
