@@ -121,4 +121,50 @@ object RankTests {
     m.select(col("n"),
       floor(num / den * 1000000 + lit(0.5)).cast("long").as("rho_micro"))
   }
+
+  /** One-row Kruskal–Wallis H test (1952) — the k-group extension of
+    * [[mannWhitneyU]]: doubled tie-averaged midranks per distinct
+    * value (exact integers), per-group doubled rank sums R2_g, then
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    * with the Σ(t³−t) tie correction. Each group's R2²/(4n_g) term is
+    * floor-snapped to an exact BIGINT before the cross-group sum (the
+    * order-free-sum contract; a raw double Σ over groups would drift
+    * with grouping order), so only the final H assembly is a fixed
+    * double chain. Returns (n_total, n_groups, tie_sum, h_micro,
+    * h_corr_micro).
+    *
+    * Scale shape: one groupBy(value) + one groupBy(group, value)
+    * shuffle; everything after is support- or group-sized. Headroom:
+    * the snapped term needs R2_g²/(4n_g) < 2^63 — R2_g ≤ 2N² means
+    * N ≲ 2·10⁶ rows in one group before the term itself must drop a
+    * scale tier (the RocEval headroom-note pattern).
+    */
+  def kruskalWallis(df: DataFrame, valueCol: String, grpCol: String): DataFrame = {
+    val byV = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cv"))
+      .withColumn("cvd", col("cv").cast("decimal(38,0)"))
+    val pref = GlobalOrder.runningSum(byV, Seq(col("v").asc), "cvd", "cumd")
+      .select(col("v"),
+        (lit(2L) * (col("cumd").cast("long") - col("cv")) + col("cv") + 1L)
+          .as("r2"),
+        (col("cv") * col("cv") * col("cv") - col("cv")).as("tie_term"))
+    val gv = df.groupBy(col(grpCol).as("grp"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cgv"))
+    val perG = gv.join(pref.select(col("v"), col("r2")), "v")
+      .groupBy(col("grp"))
+      .agg(sum(col("cgv")).as("ng"), sum(col("cgv") * col("r2")).as("r2g"))
+      .select(col("ng"),
+        floor(col("r2g").cast("double") * col("r2g") / (lit(4.0) * col("ng")))
+          .cast("long").as("term"))
+    val ties = pref.agg(sum(col("tie_term")).as("tie_sum"))
+    val agg = perG.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+      sum(col("term")).as("s"))
+    val m = agg.crossJoin(ties)
+    val nd = col("n").cast("double")
+    val h = lit(12.0) / (nd * (nd + 1.0)) * col("s").cast("double") -
+      lit(3.0) * (nd + 1.0)
+    val corr = lit(1.0) - col("tie_sum").cast("double") / (nd * nd * nd - nd)
+    m.select(col("n").as("n_total"), col("k").as("n_groups"), col("tie_sum"),
+      floor(h * 1000000 + lit(0.5)).cast("long").as("h_micro"),
+      floor(h / corr * 1000000 + lit(0.5)).cast("long").as("h_corr_micro"))
+  }
 }

@@ -1604,7 +1604,64 @@ object QuantQueries {
           math.floor(beta(2) * 1000000 + 0.5).toLong))
           .toDF("n", "b0_micro", "b1_micro", "b2_micro")
       },
-      Some(ridgeOracle)))
+      Some(ridgeOracle)),
+
+    // ----- q220: Kruskal–Wallis H — "do the five event types draw
+    // their values from one distribution?", the k-group member the
+    // rank-test family lacked (q172's Mann–Whitney handles exactly
+    // two cohorts). Doubled midranks and per-group rank sums are
+    // exact integers; each group's R2²/(4n) term is floor-snapped to
+    // BIGINT before the cross-group sum (order-free), and the H
+    // assembly plus tie correction is one mirrored double chain.
+    QueryDef(
+      "q220_kruskal_wallis",
+      (s, d) => {
+        import s.implicits._
+        val q = Tables.events(s, d).select($"event_type",
+          floor($"value" * 100 + lit(0.5)).cast("long").as("v"))
+        graft.operators.RankTests.kruskalWallis(q, "v", "event_type")
+      },
+      Some("""WITH q AS (
+             |  SELECT event_type AS grp,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             |  FROM events),
+             |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS cv
+             |        FROM q GROUP BY 1),
+             |pref AS MATERIALIZED (
+             |  SELECT v,
+             |    CAST(2 * (SUM(cv) OVER (ORDER BY v
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cv)
+             |      + cv + 1 AS BIGINT) AS r2,
+             |    CAST(cv * cv * cv - cv AS BIGINT) AS tie_term
+             |  FROM byv),
+             |gv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cgv
+             |       FROM q GROUP BY 1, 2),
+             |perg AS (
+             |  SELECT grp, CAST(SUM(cgv) AS BIGINT) AS ng,
+             |    CAST(SUM(cgv * p.r2) AS BIGINT) AS r2g
+             |  FROM gv JOIN pref p USING (v) GROUP BY 1),
+             |terms AS (
+             |  SELECT ng,
+             |    CAST(floor(CAST(r2g AS DOUBLE) * r2g / (4.0 * ng)) AS BIGINT)
+             |      AS term
+             |  FROM perg),
+             |ties AS (SELECT CAST(SUM(tie_term) AS BIGINT) AS tie_sum
+             |         FROM pref),
+             |agg AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS k,
+             |    CAST(SUM(term) AS BIGINT) AS s
+             |  FROM terms)
+             |SELECT n AS n_total, k AS n_groups, tie_sum,
+             |  CAST(floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+             |      * CAST(s AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             |    * 1000000 + 0.5) AS BIGINT) AS h_micro,
+             |  CAST(floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+             |      * CAST(s AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             |    / (1.0 - CAST(tie_sum AS DOUBLE)
+             |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+             |          - CAST(n AS DOUBLE)))
+             |    * 1000000 + 0.5) AS BIGINT) AS h_corr_micro
+             |FROM agg CROSS JOIN ties""".stripMargin)))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L

@@ -63,4 +63,32 @@ class RankTestsSpec extends SparkSpec {
     assert(runKs(fixture.repartition(5)) == runKs(fixture.repartition(1)))
     assert(runMwu(fixture.repartition(5)) == runMwu(fixture.repartition(1)))
   }
+
+  test("Kruskal–Wallis: hand case with the documented term quantization") {
+    import spark.implicits._
+    // groups {1,2} vs {3,4}: doubled rank sums 6 and 14, snapped
+    // terms floor(36/8)=4 and floor(196/8)=24 → S=28,
+    // H = 12/(4·5)·28 − 3·5 = 1.8; no ties so corrected H equals H
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = graft.operators.RankTests.kruskalWallis(df, "v", "g").head()
+    assert(r.getAs[Long]("n_total") === 4L)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("tie_sum") === 0L)
+    assert(r.getAs[Long]("h_micro") === 1800000L)
+    assert(r.getAs[Long]("h_corr_micro") === 1800000L)
+  }
+
+  test("Kruskal–Wallis separates shifted groups and is layout invariant") {
+    import spark.implicits._
+    val sep = ((1L to 30L).map(("a", _)) ++ (31L to 60L).map(("b", _)) ++
+      (61L to 90L).map(("c", _))).toDF("g", "v")
+    val mixed = (1L to 90L).map(v => (Seq("a", "b", "c")((v % 3).toInt), v))
+      .toDF("g", "v")
+    def h(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.RankTests.kruskalWallis(df, "v", "g")
+        .head().getAs[Long]("h_corr_micro")
+    assert(h(sep) > 50L * 1000000L, "fully separated groups: H near max")
+    assert(h(mixed) < 2L * 1000000L, "interleaved groups: H near 0")
+    assert(h(sep.repartition(7)) === h(sep.repartition(1)))
+  }
 }
