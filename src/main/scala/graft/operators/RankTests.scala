@@ -122,6 +122,30 @@ object RankTests {
       floor(num / den * 1000000 + lit(0.5)).cast("long").as("rho_micro"))
   }
 
+  /** One-row two-sample Cramér–von Mises statistic — KS's companion
+    * that weighs the WHOLE CDF gap, not just its maximum:
+    *   T = Σ_v c_v·D_v² / (n1·n2·N²),  D_v = cum1·n2 − cum2·n1.
+    * D_v is the same exact integer cross-product [[ks]] maximizes;
+    * each value's c·D²/(n1·n2) term is one fixed double expression
+    * floor-snapped to BIGINT before the exact support sum (order-
+    * free), and only the final /N² is a live double. Returns
+    * (n1, n2, t_micro).
+    */
+  def cramerVonMises(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val sup = support(df, valueCol, isA)
+    val tot = sup.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val d = col("cum1") * col("n2") - col("cum2") * col("n1")
+    val terms = sup.crossJoin(tot).select(col("n1"), col("n2"),
+      floor(d.cast("double") * d * (col("c1") + col("c2"))
+        / col("n1") / col("n2")).cast("long").as("term"))
+    val agg = terms.groupBy(col("n1"), col("n2"))
+      .agg(sum(col("term")).as("s"))
+    val nd = (col("n1") + col("n2")).cast("double")
+    agg.select(col("n1"), col("n2"),
+      floor(col("s").cast("double") / (nd * nd) * 1000000 + lit(0.5))
+        .cast("long").as("t_micro"))
+  }
+
   /** One-row Kruskal–Wallis H test (1952) — the k-group extension of
     * [[mannWhitneyU]]: doubled tie-averaged midranks per distinct
     * value (exact integers), per-group doubled rank sums R2_g, then

@@ -1661,7 +1661,144 @@ object QuantQueries {
              |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
              |          - CAST(n AS DOUBLE)))
              |    * 1000000 + 0.5) AS BIGINT) AS h_corr_micro
-             |FROM agg CROSS JOIN ties""".stripMargin)))
+             |FROM agg CROSS JOIN ties""".stripMargin)),
+
+    // ----- q221: Cochran–Armitage trend test — "does the return rate
+    // TREND with quantity?" (binary outcome × ordinal exposure, the
+    // dose-response member next to q166's unordered χ²). One
+    // corpus aggregation of five exact integer moments (scores are
+    // the small quantity integers, so every product stays in BIGINT);
+    // the z² assembly is one mirrored double chain over those exact
+    // scalars.
+    QueryDef(
+      "q221_cochran_armitage",
+      (s, d) => {
+        import s.implicits._
+        val q = Tables.lineitem(s, d).select(
+          floor($"l_quantity" + lit(0.5)).cast("long").as("sc"),
+          when($"l_returnflag" === "R", 1L).otherwise(0L).as("y"))
+        val m = q.agg(count(lit(1)).as("n"), sum($"y").as("r"),
+          sum($"sc").as("ssn"), sum($"sc" * $"y").as("ssr"),
+          sum($"sc" * $"sc").as("ss2n"))
+        val nd = $"n".cast("double")
+        val rd = $"r".cast("double")
+        val dI = $"n" * $"ssr" - $"r" * $"ssn"
+        m.select($"n", $"r",
+          floor(dI.cast("double") * dI * $"n"
+            / (rd * (nd - rd))
+            / (nd * $"ss2n" - $"ssn".cast("double") * $"ssn")
+            * 1000000 + lit(0.5)).cast("long").as("z2_micro"))
+      },
+      Some("""WITH q AS (
+             |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS sc,
+             |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(y) AS BIGINT) AS r,
+             |    CAST(SUM(sc) AS BIGINT) AS ssn,
+             |    CAST(SUM(sc * y) AS BIGINT) AS ssr,
+             |    CAST(SUM(sc * sc) AS BIGINT) AS ss2n
+             |  FROM q)
+             |SELECT n, r,
+             |  CAST(floor(CAST(n * ssr - r * ssn AS DOUBLE)
+             |    * (n * ssr - r * ssn) * n
+             |    / (CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE)))
+             |    / (CAST(n AS DOUBLE) * ss2n - CAST(ssn AS DOUBLE) * ssn)
+             |    * 1000000 + 0.5) AS BIGINT) AS z2_micro
+             |FROM m""".stripMargin)),
+
+    // ----- q222: two-sample Cramér–von Mises (parity cohorts over
+    // purchase values — q171's data) — the whole-CDF-gap companion to
+    // KS's max-gap: per-value terms are the SAME exact integer
+    // cross-products, floor-snapped before the support sum, so only
+    // the final /N² is a live double.
+    QueryDef(
+      "q222_cramer_von_mises",
+      (s, d) => graft.operators.RankTests.cramerVonMises(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "value", col("user_id") % 2 === 0),
+      Some("""WITH v AS (
+             |  SELECT value AS v,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS c2
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |c AS (
+             |  SELECT v, c1, c2,
+             |    CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+             |    CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+             |  FROM v),
+             |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |        CAST(SUM(c2) AS BIGINT) AS n2 FROM v),
+             |terms AS (
+             |  SELECT t.n1, t.n2,
+             |    CAST(floor(CAST(cum1 * t.n2 - cum2 * t.n1 AS DOUBLE)
+             |      * (cum1 * t.n2 - cum2 * t.n1) * (c1 + c2)
+             |      / t.n1 / t.n2) AS BIGINT) AS term
+             |  FROM c CROSS JOIN t),
+             |agg AS (SELECT n1, n2, CAST(SUM(term) AS BIGINT) AS s
+             |        FROM terms GROUP BY 1, 2)
+             |SELECT n1, n2,
+             |  CAST(floor(CAST(s AS DOUBLE)
+             |    / ((CAST(n1 + n2 AS DOUBLE)) * (CAST(n1 + n2 AS DOUBLE)))
+             |    * 1000000 + 0.5) AS BIGINT) AS t_micro
+             |FROM agg""".stripMargin)),
+
+    // ----- q223: Theil-T and mean-log-deviation inequality indices
+    // over per-part revenue — the decomposable-entropy companions to
+    // q196's Gini. ONE r4-snapped ln per part (the q96/q165 libm
+    // discipline: snap each log immediately, then pure BIGINT sums);
+    // weighted (Theil-T) and unweighted (MLD) sums of the same
+    // snapped logs, two mirrored final divisions.
+    QueryDef(
+      "q223_theil_index",
+      (s, d) => {
+        import s.implicits._
+        val x = Tables.lineitem(s, d)
+          .groupBy($"l_partkey")
+          .agg(sum(floor($"l_extendedprice" * 100 + lit(0.5)).cast("long"))
+            .as("x"))
+          .filter($"x" > 0)
+        val tot = x.agg(sum($"x").as("xt"), count(lit(1)).as("n"))
+        val terms = x.crossJoin(tot).select($"xt", $"n",
+          floor(log($"x".cast("double") * $"n" / $"xt") * 10000 + lit(0.5))
+            .cast("long").as("lnq"),
+          $"x")
+        val agg = terms.groupBy($"xt", $"n").agg(
+          sum($"x" * $"lnq").as("sw"), sum($"lnq").as("su"))
+        agg.select($"n".as("n_parts"),
+          floor($"sw".cast("double") / $"xt" / 10000 * 1000000 + lit(0.5))
+            .cast("long").as("theil_micro"),
+          floor(-$"su".cast("double") / $"n" / 10000 * 1000000 + lit(0.5))
+            .cast("long").as("mld_micro"))
+      },
+      Some("""WITH x AS (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS x
+             |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(floor(l_extendedprice
+             |    * 100 + 0.5) AS BIGINT)) > 0),
+             |tot AS (SELECT CAST(SUM(x) AS BIGINT) AS xt,
+             |          CAST(COUNT(*) AS BIGINT) AS n FROM x),
+             |terms AS (
+             |  SELECT t.xt, t.n, x.x,
+             |    CAST(floor(ln(CAST(x.x AS DOUBLE) * t.n / t.xt) * 10000 + 0.5)
+             |      AS BIGINT) AS lnq
+             |  FROM x CROSS JOIN tot t),
+             |agg AS (
+             |  SELECT xt, n, CAST(SUM(x * lnq) AS BIGINT) AS sw,
+             |    CAST(SUM(lnq) AS BIGINT) AS su
+             |  FROM terms GROUP BY 1, 2)
+             |SELECT n AS n_parts,
+             |  CAST(floor(CAST(sw AS DOUBLE) / xt / 10000 * 1000000 + 0.5)
+             |    AS BIGINT) AS theil_micro,
+             |  CAST(floor(-CAST(su AS DOUBLE) / n / 10000 * 1000000 + 0.5)
+             |    AS BIGINT) AS mld_micro
+             |FROM agg""".stripMargin)))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L
