@@ -163,7 +163,62 @@ object MatchQueries {
              |  ON a.blk = b.blk AND a.p_size = b.p_size
              |  AND a.p_partkey < b.p_partkey
              |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
-             |ORDER BY pa, pb""".stripMargin)))
+             |ORDER BY pa, pb""".stripMargin)),
+
+    // ----- q224: name-entity resolution — the q216 match graph
+    // resolved into ENTITIES via connected components (the full
+    // record-linkage pipeline: block → score → link → cluster, the
+    // composition q141 stops short of). Same blocked JW join at a
+    // tighter 0.94, then Dedup.connectedComponents (min-label
+    // propagation; unique fixpoint ⇒ the convergence-stopped loop is
+    // replayable), sized per entity. The oracle re-derives every JW
+    // edge with DuckDB's built-in and closes the transitive hull with
+    // a recursive CTE (the q51 pattern).
+    QueryDef(
+      "q224_name_entities",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val p = graft.Par.spread(Tables.part(s, d))
+          .select($"p_partkey", $"p_name", $"p_size",
+            split($"p_name", " ").getItem(0).as("blk"))
+        val jw = graft.functions.GraftFunctions
+          .jaro_winkler($"a.p_name", $"b.p_name")
+        val pairs = p.as("a").join(p.as("b"),
+            $"a.blk" === $"b.blk" && $"a.p_size" === $"b.p_size" &&
+              $"a.p_partkey" < $"b.p_partkey")
+          .filter(jw >= 0.94)
+          .select($"a.p_partkey".as("id_a"), $"b.p_partkey".as("id_b"))
+        val cc = graft.operators.Dedup.connectedComponents(
+          Tables.part(s, d).select($"p_partkey"), "p_partkey", pairs)
+        val sizes = cc.groupBy($"rep").agg(count(lit(1)).as("entity_size"))
+        cc.join(sizes, "rep")
+          .select($"id".as("p_partkey"), $"rep", $"entity_size")
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT p_partkey, p_name, p_size,
+             |    string_split(p_name, ' ')[1] AS blk
+             |  FROM part),
+             |e AS (
+             |  SELECT a.p_partkey AS u, b.p_partkey AS v
+             |  FROM p a JOIN p b
+             |    ON a.blk = b.blk AND a.p_size = b.p_size
+             |    AND a.p_partkey < b.p_partkey
+             |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94),
+             |edges AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+             |reach(src, node) AS (
+             |  SELECT p_partkey, p_partkey FROM part
+             |  UNION
+             |  SELECT r.src, ed.v FROM reach r JOIN edges ed ON r.node = ed.u
+             |),
+             |cc AS (SELECT src AS p_partkey, MIN(node) AS rep
+             |       FROM reach GROUP BY src),
+             |sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS entity_size
+             |       FROM cc GROUP BY rep)
+             |SELECT cc.p_partkey, cc.rep, sz.entity_size
+             |FROM cc JOIN sz USING (rep)
+             |ORDER BY cc.p_partkey""".stripMargin)))
 
   /** q141's comparison fields — ONE definition feeding both the Spark
     * plan and the oracle's weight literals.

@@ -252,5 +252,57 @@ object SamplingQueries {
              |     - CAST(g.sm AS DOUBLE) * CAST(g.sm AS DOUBLE))
              |    / (CAST(g.k AS DOUBLE) * (CAST(g.k AS DOUBLE) - 1.0)))
              |    + 0.5) AS BIGINT) AS sd_q
-             |FROM means m, g ORDER BY m.b""".stripMargin)))
+             |FROM means m, g ORDER BY m.b""".stripMargin)),
+
+    // ----- q225: Neyman optimal allocation (Neyman 1934) — how many
+    // samples each nation stratum gets when drawing a 10,000-row
+    // stratified sample of customers proportional to N_h·S_h (the
+    // variance-minimizing design a curation team uses to budget
+    // annotation). Per-stratum moments are exact cent integers; each
+    // stratum's weight N_h·S_h is ONE fixed double chain (one
+    // exactly-rounded sqrt) floor-snapped to 2^-20 units, so the
+    // cross-strata normalizer is an exact BIGINT sum and every
+    // allocation is one exact integer division.
+    QueryDef(
+      "q225_neyman_allocation",
+      (s, d) => {
+        import s.implicits._
+        val q = Tables.customer(s, d).select($"c_nationkey",
+          floor($"c_acctbal" * 100 + lit(0.5)).cast("long").as("x"))
+        val per = q.groupBy($"c_nationkey").agg(
+          count(lit(1)).as("nh"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"))
+        val nd = $"nh".cast("double")
+        val sd = sqrt((nd * $"sxx".cast("double")
+          - $"sx".cast("double") * $"sx") / (nd * (nd - 1.0)))
+        val wq = per.select($"c_nationkey", $"nh",
+          floor(nd * sd * 1048576).cast("long").as("wq"))
+        val tot = wq.agg(sum($"wq").as("wt"))
+        wq.crossJoin(tot)
+          .select($"c_nationkey", $"nh".as("pop"),
+            expr("10000 * wq DIV wt").as("alloc_n"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""WITH q AS (
+             |  SELECT c_nationkey,
+             |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x
+             |  FROM customer),
+             |per AS (
+             |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS nh,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx
+             |  FROM q GROUP BY 1),
+             |wq AS (
+             |  SELECT c_nationkey, nh,
+             |    CAST(floor(CAST(nh AS DOUBLE) * sqrt(
+             |      (CAST(nh AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |       - CAST(sx AS DOUBLE) * sx)
+             |      / (CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) - 1.0)))
+             |      * 1048576) AS BIGINT) AS wq
+             |  FROM per),
+             |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wt FROM wq)
+             |SELECT c_nationkey, nh AS pop,
+             |  CAST(10000 * wq // wt AS BIGINT) AS alloc_n
+             |FROM wq CROSS JOIN tot
+             |ORDER BY c_nationkey""".stripMargin)))
 }
