@@ -1798,7 +1798,127 @@ object QuantQueries {
              |    AS BIGINT) AS theil_micro,
              |  CAST(floor(-CAST(su AS DOUBLE) / n / 10000 * 1000000 + 0.5)
              |    AS BIGINT) AS mld_micro
-             |FROM agg""".stripMargin)))
+             |FROM agg""".stripMargin)),
+
+    // ----- q226: G-test (log-likelihood ratio independence) on the
+    // event_type × high-value 2×5 table — χ²'s (q166) information-
+    // theoretic sibling, additive across partitions of the table
+    // where Pearson's χ² is not. One r4-snapped ln per non-empty cell
+    // (the argument O·N/(row·col) is a single mirrored double chain),
+    // then exact BIGINT weighted sums; empty cells contribute 0 by
+    // the standard convention.
+    QueryDef(
+      "q226_g_test",
+      (s, d) => {
+        import s.implicits._
+        val cells = Tables.events(s, d)
+          .groupBy($"event_type", ($"value" >= 100).cast("long").as("hi"))
+          .agg(count(lit(1)).as("o"))
+        val rows_ = cells.groupBy($"event_type").agg(sum($"o").as("rowt"))
+        val cols_ = cells.groupBy($"hi").agg(sum($"o").as("colt"))
+        val nn = cells.agg(sum($"o").as("n"))
+        val terms = cells.join(rows_, "event_type").join(cols_, "hi")
+          .crossJoin(nn)
+          .select($"n",
+            ($"o" * floor(log($"o".cast("double") * $"n"
+              / ($"rowt".cast("double") * $"colt")) * 10000 + lit(0.5))
+              .cast("long")).as("t"))
+        terms.groupBy($"n").agg(sum($"t").as("s"))
+          .select($"n",
+            floor(lit(2.0) * $"s".cast("double") / 10000 * 1000000
+              + lit(0.5)).cast("long").as("g_micro"),
+            lit(4L).as("df"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type, CASE WHEN value >= 100 THEN 1 ELSE 0 END
+             |      AS hi,
+             |    CAST(count(*) AS BIGINT) AS o
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rowt
+             |      FROM cells GROUP BY 1),
+             |c AS (SELECT hi, CAST(SUM(o) AS BIGINT) AS colt
+             |      FROM cells GROUP BY 1),
+             |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+             |terms AS (
+             |  SELECT nn.n,
+             |    o * CAST(floor(ln(CAST(o AS DOUBLE) * nn.n
+             |      / (CAST(rowt AS DOUBLE) * colt)) * 10000 + 0.5) AS BIGINT)
+             |      AS t
+             |  FROM cells JOIN r USING (event_type) JOIN c USING (hi)
+             |  CROSS JOIN nn),
+             |agg AS (SELECT n, CAST(SUM(t) AS BIGINT) AS s
+             |        FROM terms GROUP BY 1)
+             |SELECT n,
+             |  CAST(floor(2.0 * CAST(s AS DOUBLE) / 10000 * 1000000 + 0.5)
+             |    AS BIGINT) AS g_micro,
+             |  CAST(4 AS BIGINT) AS df
+             |FROM agg""".stripMargin)),
+
+    // ----- q227: Mann–Kendall trend test on daily order revenue —
+    // the nonparametric "is revenue trending" answer (q195's
+    // Theil–Sen gives the slope; MK gives the significance). S is an
+    // exact integer sign-pair sum over the DAY-level series (the
+    // frame is calendar-bounded — it grows with the time span, not
+    // the corpus, so the day×day pair join is a constant-size
+    // computation at any corpus scale); the tie-corrected variance is
+    // exact integer algebra (×18), and only the final continuity-
+    // corrected z is a mirrored double chain.
+    QueryDef(
+      "q227_mann_kendall",
+      (s, d) => {
+        import s.implicits._
+        val ser = Tables.orders(s, d)
+          .groupBy($"o_orderdate".cast("date").as("day"))
+          .agg(sum(floor($"o_totalprice" * 100 + lit(0.5)).cast("long"))
+            .as("xq"))
+          .localCheckpoint(true)   // three consumers: pairs×2 sides, ties
+        val sPairs = ser.as("a").join(ser.as("b"), $"a.day" < $"b.day")
+          .agg(coalesce(sum(
+            when($"b.xq" > $"a.xq", 1L)
+              .when($"b.xq" < $"a.xq", -1L).otherwise(0L)), lit(0L)).as("s"),
+            count(lit(1)).as("n_pairs"))
+        val nDays = ser.agg(count(lit(1)).as("n"))
+        val ties = ser.groupBy($"xq").agg(count(lit(1)).as("t"))
+          .agg(coalesce(sum($"t" * ($"t" - 1) * (lit(2L) * $"t" + 5)),
+            lit(0L)).as("tie18"))
+        val m = nDays.crossJoin(sPairs).crossJoin(ties)
+          .withColumn("var18",
+            $"n" * ($"n" - 1) * (lit(2L) * $"n" + 5) - $"tie18")
+        val sd = sqrt($"var18".cast("double") / 18.0)
+        m.select($"n", $"n_pairs", $"s", $"var18",
+          floor(when($"s" > 0, ($"s" - 1).cast("double") / sd)
+            .when($"s" < 0, ($"s" + 1).cast("double") / sd)
+            .otherwise(lit(0.0)) * 1000000 + lit(0.5))
+            .cast("long").as("z_micro"))
+      },
+      Some("""WITH ser AS MATERIALIZED (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS xq
+             |  FROM orders GROUP BY 1),
+             |sp AS (
+             |  SELECT CAST(COALESCE(SUM(CASE WHEN b.xq > a.xq THEN 1
+             |      WHEN b.xq < a.xq THEN -1 ELSE 0 END), 0) AS BIGINT) AS s,
+             |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |  FROM ser a JOIN ser b ON a.day < b.day),
+             |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ser),
+             |ties AS (
+             |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+             |    AS BIGINT) AS tie18
+             |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+             |        FROM ser GROUP BY xq) g),
+             |m AS (
+             |  SELECT n, n_pairs, s,
+             |    n * (n - 1) * (2 * n + 5) - tie18 AS var18
+             |  FROM nd CROSS JOIN sp CROSS JOIN ties)
+             |SELECT n, n_pairs, s, var18,
+             |  CAST(floor((CASE
+             |      WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+             |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+             |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             |      ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT) AS z_micro
+             |FROM m""".stripMargin)))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L
