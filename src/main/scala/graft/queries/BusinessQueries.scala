@@ -355,7 +355,10 @@ object BusinessQueries {
     // (valid_from / valid_to half-open, NULL = current): the
     // slowly-changing-dimension constructor every warehouse load
     // needs, built from the classic gaps-and-islands run-id (a
-    // lag-inequality marker prefix-summed per customer). Windows are
+    // lag-inequality marker prefix-summed per customer). q101 keeps
+    // EVERY event as a version row + an as-of snapshot; this is the
+    // complementary compaction step — only attribute CHANGES open a
+    // new interval, which is what a dimension table stores. Windows are
     // partitioned by customer — never global — so the plan is one
     // hash shuffle on o_custkey and scales with customers, not rows.
     // Ordering inside a customer is (o_orderdate, o_orderkey):

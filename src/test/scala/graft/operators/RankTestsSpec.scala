@@ -64,6 +64,27 @@ class RankTestsSpec extends SparkSpec {
     assert(runMwu(fixture.repartition(5)) == runMwu(fixture.repartition(1)))
   }
 
+  test("Cramér–von Mises: identical samples → 0, disjoint samples → large") {
+    import spark.implicits._
+    def t(rows: Seq[(Long, Boolean)]) =
+      graft.operators.RankTests.cramerVonMises(
+        rows.toDF("v", "a"), "v", org.apache.spark.sql.functions.col("a"))
+        .head().getAs[Long]("t_micro")
+    // same multiset in both cohorts: every D_v = 0
+    val same = (1L to 40L).flatMap(v => Seq((v, true), (v, false)))
+    assert(t(same) === 0L)
+    // fully separated cohorts: T approaches its maximum (~n/(3N) form;
+    // must dwarf the identical case by orders of magnitude)
+    val apart = (1L to 40L).map((_, true)) ++ (41L to 80L).map((_, false))
+    assert(t(apart) > 100000L)
+    // layout invariance (snapped terms are order-free)
+    val df = apart.toDF("v", "a")
+    def run(p: Int) = graft.operators.RankTests.cramerVonMises(
+      df.repartition(p), "v", org.apache.spark.sql.functions.col("a"))
+      .head().getAs[Long]("t_micro")
+    assert(run(1) === run(7))
+  }
+
   test("Kruskal–Wallis: hand case with the documented term quantization") {
     import spark.implicits._
     // groups {1,2} vs {3,4}: doubled rank sums 6 and 14, snapped
