@@ -20,6 +20,13 @@ object TextQueries {
   private val toksSql =
     "list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), x -> length(x) > 0)"
 
+  /** DuckDB mirror of [[TextFunctions.spaceTokens]] (single-space
+    * split, not the \\s+ regex — the two differ on tab/newline
+    * corpora; q228 pairs with the Spark side's spaceTokens).
+    */
+  private val toksSqlSpace =
+    "list_filter(string_split(coalesce(text, ''), ' '), x -> length(x) > 0)"
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -753,7 +760,188 @@ object TextQueries {
              |    * 10000 + 0.5) / 10000) * 10000 + 0.5) AS BIGINT) AS alloc
              |FROM c, t
              |ORDER BY source""".stripMargin)
-    )
+    ),
+
+    // ----- q228: Good–Turing frequency smoothing over corpus
+    // BIGRAMS — the unseen-mass estimate (P₀ = n₁/N) and the
+    // adjusted counts r* = (r+1)·n_{r+1}/n_r for the low-frequency
+    // band (r ≤ 8), the classical answer to "how much probability
+    // should a language model reserve for n-grams it never saw".
+    // Bigrams, not unigrams: the synthetic vocabulary has no rare
+    // WORDS (min count 26 at sf0.01), but the bigram spectrum has a
+    // genuine low-count tail at both SFs. Pure integer algebra on
+    // the frequency-of-frequencies table (integer divisions both
+    // engines); next to q183 Zipf, q162 Heaps, and the q138 KN
+    // bigram model in the vocabulary-statistics family.
+    QueryDef(
+      "q228_good_turing",
+      (s, d) => {
+        import s.implicits._
+        val t = graft.Par.spread(Tables.documents(s, d))
+          .select(graft.functions.TextFunctions.spaceTokens($"text")
+            .as("toks"))
+          .filter(size($"toks") >= 2)
+        val bi = t.select(explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+        val counts = bi.groupBy($"bg").agg(count(lit(1)).as("r"))
+        val fof = counts.groupBy($"r").agg(count(lit(1)).as("nr"))
+          .localCheckpoint(true)   // three consumers: N, n1, the band
+        val tot = fof.agg(sum($"r" * $"nr").as("n_bigrams"))
+        val n1 = fof.agg(coalesce(sum(when($"r" === 1, $"nr")), lit(0L))
+          .as("n_1"))
+        val nxt = fof.select(($"r" - 1).as("r"), $"nr".as("nr_next"))
+        fof.filter($"r" <= 8).join(nxt, Seq("r"), "left")
+          .crossJoin(tot).crossJoin(n1)
+          .select($"r", $"nr",
+            coalesce($"nr_next", lit(0L)).as("nr_next"),
+            expr("1000 * (r + 1) * coalesce(nr_next, 0) DIV nr")
+              .as("rstar_milli"),
+            $"n_bigrams",
+            expr("1000000 * n_1 DIV n_bigrams").as("p0_micro"))
+          .orderBy($"r")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT $toksSqlSpace AS toks FROM documents),
+             |bi AS (
+             |  SELECT toks[i] || ' ' || toks[i + 1] AS bg
+             |  FROM t, unnest(range(1, len(toks))) AS u(i)
+             |  WHERE len(toks) >= 2),
+             |counts AS (SELECT bg, CAST(count(*) AS BIGINT) AS r
+             |           FROM bi GROUP BY bg),
+             |fof AS (SELECT r, CAST(count(*) AS BIGINT) AS nr
+             |        FROM counts GROUP BY r),
+             |tot AS (SELECT CAST(SUM(r * nr) AS BIGINT) AS n_bigrams FROM fof),
+             |n1 AS (SELECT CAST(COALESCE(SUM(CASE WHEN r = 1 THEN nr END), 0)
+             |         AS BIGINT) AS n_1 FROM fof)
+             |SELECT f.r, f.nr,
+             |  CAST(coalesce(nx.nr, 0) AS BIGINT) AS nr_next,
+             |  CAST(1000 * (f.r + 1) * coalesce(nx.nr, 0) // f.nr AS BIGINT)
+             |    AS rstar_milli,
+             |  tot.n_bigrams,
+             |  CAST(1000000 * n1.n_1 // tot.n_bigrams AS BIGINT) AS p0_micro
+             |FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1
+             |CROSS JOIN tot CROSS JOIN n1
+             |WHERE f.r <= 8
+             |ORDER BY f.r""".stripMargin)),
+
+    // ----- q229: Hill tail-index estimator (Hill 1975) on per-part
+    // revenue — "how heavy is the revenue tail" as a number, the
+    // quantitative companion to q183's Zipf slope: α̂ = k / Σ ln(x_i
+    // / x_ref) over the top k=200 order statistics (x_ref = the
+    // 201st). One r4-snapped ln per tail member (the q96/q165 libm
+    // discipline), exact BIGINT sum, one final mirrored division.
+    // The top-(k+1) selection is a TakeOrderedAndProject — never a
+    // global sort or unpartitioned window on the Spark side.
+    QueryDef(
+      "q229_hill_tail",
+      (s, d) => {
+        import s.implicits._
+        val k = 200
+        val x = Tables.lineitem(s, d).groupBy($"l_partkey")
+          .agg(sum(floor($"l_extendedprice" * 100 + lit(0.5)).cast("long"))
+            .as("x"))
+        val top = x.orderBy($"x".desc, $"l_partkey").limit(k + 1)
+          .localCheckpoint(true)
+        // the (k+1)-th row in (x desc, key asc) order = min x, then
+        // max key among min-x rows: min of (x, −key)
+        val ref = top.agg(min(struct($"x", (-$"l_partkey").as("nk"))).as("m"))
+          .select($"m.x".as("xref"), (-$"m.nk").as("kref"))
+        val terms = top.crossJoin(ref)
+          .filter(!($"x" === $"xref" && $"l_partkey" === $"kref"))
+          .select($"xref",
+            floor(log($"x".cast("double") / $"xref") * 10000 + lit(0.5))
+              .cast("long").as("lnq"))
+        terms.groupBy($"xref").agg(count(lit(1)).as("k"), sum($"lnq").as("s"))
+          .select($"k", $"xref".as("x_ref_cents"), $"s".as("sum_lnq"),
+            floor($"k".cast("double") * 10000 / $"s" * 1000000 + lit(0.5))
+              .cast("long").as("alpha_micro"))
+      },
+      Some("""WITH x AS (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS x
+             |  FROM lineitem GROUP BY 1),
+             |rk AS (
+             |  SELECT l_partkey, x,
+             |    row_number() OVER (ORDER BY x DESC, l_partkey) AS rn
+             |  FROM x),
+             |ref AS (SELECT x AS xref FROM rk WHERE rn = 201),
+             |terms AS (
+             |  SELECT ref.xref,
+             |    CAST(floor(ln(CAST(rk.x AS DOUBLE) / ref.xref) * 10000 + 0.5)
+             |      AS BIGINT) AS lnq
+             |  FROM rk CROSS JOIN ref WHERE rk.rn <= 200),
+             |agg AS (SELECT xref, CAST(count(*) AS BIGINT) AS k,
+             |          CAST(SUM(lnq) AS BIGINT) AS s
+             |        FROM terms GROUP BY 1)
+             |SELECT k, xref AS x_ref_cents, s AS sum_lnq,
+             |  CAST(floor(CAST(k AS DOUBLE) * 10000 / s * 1000000 + 0.5)
+             |    AS BIGINT) AS alpha_micro
+             |FROM agg""".stripMargin)),
+
+    // ----- q230: Gumbel block-maxima fit (method of moments) over
+    // monthly maxima of daily revenue — the extreme-value member:
+    // β = s·√6/π and μ = x̄ − γβ with √6/π and Euler's γ inlined as
+    // DOUBLE LITERALS (no π/γ evaluation, no libm at all — the only
+    // irrational op is one exactly-rounded sqrt on exact integer
+    // moments), so the fitted location/scale match micro-for-micro.
+    QueryDef(
+      "q230_gumbel_maxima",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .groupBy($"o_orderdate".cast("date").as("day"))
+          .agg(sum(floor($"o_totalprice" * 100 + lit(0.5)).cast("long"))
+            .as("rev"))
+        val blocks = daily
+          .groupBy(date_trunc("month", $"day").cast("date").as("month"))
+          .agg(expr("max(rev) DIV 100").as("x"))     // block maxima in $
+        // sxx in decimal(38,0): a monthly max can reach ~2^31 dollars
+        // at 100×, so the square-sum needs exact wide integers (the
+        // repo's decimal moment-sum discipline)
+        val m = blocks.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"x".cast("decimal(38,0)") * $"x").as("sxx"))
+        val nd = $"n".cast("double")
+        val mean = $"sx".cast("double") / $"n"
+        val sd = sqrt((nd * $"sxx".cast("double")
+          - $"sx".cast("double") * $"sx") / (nd * (nd - 1.0)))
+        val beta = sd * 0.779696801233676      // √6/π
+        val mu = mean - lit(0.5772156649015329) * beta   // Euler γ
+        m.select($"n".as("n_months"),
+          floor(mean + lit(0.5)).cast("long").as("mean_dollars"),
+          floor(beta + lit(0.5)).cast("long").as("beta_dollars"),
+          floor(mu + lit(0.5)).cast("long").as("mu_dollars"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |blocks AS (
+             |  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             |    CAST(MAX(rev) // 100 AS BIGINT) AS x
+             |  FROM daily GROUP BY 1),
+             |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |        CAST(SUM(x) AS BIGINT) AS sx,
+             |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+             |      FROM blocks)
+             |SELECT n AS n_months,
+             |  CAST(floor(CAST(sx AS DOUBLE) / n + 0.5) AS BIGINT)
+             |    AS mean_dollars,
+             |  CAST(floor(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * sx)
+             |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             |    * 0.779696801233676 + 0.5) AS BIGINT)
+             |    AS beta_dollars,
+             |  CAST(floor((CAST(sx AS DOUBLE) / n - 0.5772156649015329
+             |      * (sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * sx)
+             |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             |        * 0.779696801233676))
+             |    + 0.5) AS BIGINT) AS mu_dollars
+             |FROM m""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]] — the q127
