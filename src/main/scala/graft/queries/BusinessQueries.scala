@@ -525,5 +525,73 @@ object BusinessQueries {
              |FROM lin
              |LEFT JOIN firsts ON lin.channel = firsts.channel
              |LEFT JOIN lasts ON lin.channel = lasts.channel
-             |ORDER BY lin.channel""".stripMargin)))
+             |ORDER BY lin.channel""".stripMargin)),
+
+    // ----- q231: item-item collaborative filtering — top-5 cosine
+    // neighbors for the 20 most-purchased parts, from binary basket
+    // vectors: sim(a,b) = n_ab/√(n_a·n_b) over q111's oriented
+    // co-occurrence counts (the memory-based recommender table a
+    // "customers also bought" surface reads). All counts exact; the
+    // one sqrt is exactly-rounded IEEE, micro-snapped; ranking is a
+    // per-part window (partitioned by item, never global) with the
+    // (sim desc, neighbor) tie-break mirrored in both engines.
+    QueryDef(
+      "q231_item_item_cf",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct().persist()
+        val itemN = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
+        val pairs = graft.operators.GraphOps
+          .coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_ab"))
+        // symmetric neighbor list: each pair contributes both ways
+        val sym = pairs.select($"pa".as("item"), $"pb".as("nbr"), $"n_ab")
+          .unionAll(pairs.select($"pb".as("item"), $"pa".as("nbr"), $"n_ab"))
+        val top20 = itemN
+          .orderBy($"n_item".desc, $"l_partkey").limit(20)
+          .select($"l_partkey".as("item"), $"n_item".as("n_a"))
+        val scored = sym.join(top20, "item")
+          .join(itemN.select($"l_partkey".as("nbr"), $"n_item".as("n_b")), "nbr")
+          .select($"item", $"nbr", $"n_ab", $"n_a", $"n_b",
+            floor($"n_ab".cast("double") * 1000000
+              / sqrt($"n_a".cast("double") * $"n_b") + lit(0.5))
+              .cast("long").as("sim_micro"))
+        val w = Window.partitionBy($"item")
+          .orderBy($"sim_micro".desc, $"nbr")
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter($"rnk" <= 5)
+          .select($"item", $"rnk", $"nbr", $"n_ab", $"sim_micro")
+          .orderBy($"item", $"rnk")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+             |         FROM li GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             |    CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2),
+             |sym AS (SELECT pa AS item, pb AS nbr, n_ab FROM pairs
+             |        UNION ALL SELECT pb, pa, n_ab FROM pairs),
+             |top20 AS (
+             |  SELECT l_partkey AS item, n_item AS n_a FROM item
+             |  ORDER BY n_item DESC, l_partkey LIMIT 20),
+             |scored AS (
+             |  SELECT s.item, s.nbr, s.n_ab,
+             |    CAST(floor(CAST(s.n_ab AS DOUBLE) * 1000000
+             |      / sqrt(CAST(t.n_a AS DOUBLE) * i.n_item) + 0.5) AS BIGINT)
+             |      AS sim_micro
+             |  FROM sym s JOIN top20 t ON s.item = t.item
+             |  JOIN item i ON s.nbr = i.l_partkey),
+             |ranked AS (
+             |  SELECT item, nbr, n_ab, sim_micro,
+             |    CAST(row_number() OVER (PARTITION BY item
+             |      ORDER BY sim_micro DESC, nbr) AS BIGINT) AS rnk
+             |  FROM scored)
+             |SELECT item, rnk, nbr, n_ab, sim_micro
+             |FROM ranked WHERE rnk <= 5
+             |ORDER BY item, rnk""".stripMargin)))
 }
