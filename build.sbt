@@ -17,6 +17,14 @@ run / fork := true
 // off, graft.Bench's compact final JSON line is the last line sbt
 // prints.
 Global / showSuccess := false
+// ... and no "[info] " prefix on the forked JVM's stdout either: the
+// driver's tail parser is strict JSON, and sbt's default logged output
+// strategy decorates every forked-process line (BENCH_r9 `parsed` null
+// with the compact line present but framed). StdoutOutput pipes the
+// child's stdout through unmodified.
+run / outputStrategy := Some(StdoutOutput)
+// (the key IS read by the forked runMain; sbt's lintUnused just can't see it)
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -12,14 +12,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * greedy first-available matching inside the ⌊max(l1,l2)/2⌋−1
   * window, transpositions = half the out-of-order matches, jaro =
   * (m/l1 + m/l2 + (m−t)/m)/3 with each division in double, then the
-  * ≤4-char common-prefix boost j + (p·0.1)·(1−j). This is the SAME
-  * IEEE op sequence DuckDB's `jaro_winkler_similarity` runs
-  * (verified value-for-value against it on transposition, prefix,
-  * and mixed-length cases), so an e4-snapped comparison between
-  * engines is stable. One deliberate divergence: two EMPTY strings
-  * score 1.0 here (identity short-circuit) where DuckDB returns 0 —
-  * callers comparing cross-engine should filter empties (part names
-  * never are).
+  * ≤4-char common-prefix boost j + (p·0.1)·(1−j) applied ONLY when
+  * jaro > 0.7 — the RapidFuzz/DuckDB boost-threshold convention
+  * (`jaro_winkler_similarity`'s default score_cutoff semantics):
+  * ('ab','ax') is 0.6667 on both engines, not 0.7. With the gate this
+  * is the same IEEE op sequence DuckDB runs (verified value-for-value
+  * on transposition, prefix, boost-gate boundary, and mixed-length
+  * cases), so an e4-snapped comparison between engines is stable.
+  *
+  * Parity domain: ASCII (more precisely, strings whose UTF-16 code
+  * units correspond 1:1 with what DuckDB iterates). This core compares
+  * UTF-16 code units; DuckDB compares UTF-8 bytes — supplementary
+  * characters count as 2 units here vs 4 bytes there, shifting
+  * lengths, match windows, and prefix counts. For non-ASCII corpora
+  * the cross-engine oracle contract does not hold; q216/q224 operate
+  * on ASCII part/person names where the domains coincide.
+  *
+  * One deliberate divergence: two EMPTY strings score 1.0 here
+  * (identity short-circuit) where DuckDB returns 0 — callers
+  * comparing cross-engine should filter empties (part names never
+  * are).
   */
 object JaroWinklerAlgo {
 
@@ -64,6 +76,9 @@ object JaroWinklerAlgo {
     t /= 2
     val jaro = (m.toDouble / l1 + m.toDouble / l2 +
       (m - t).toDouble / m) / 3.0
+    // boost gate: RapidFuzz (and DuckDB's port of it) only applies the
+    // Winkler prefix bonus when the base Jaro score clears 0.7
+    if (jaro <= 0.7) return jaro
     var pref = 0
     val pmax = math.min(4, math.min(l1, l2))
     while (pref < pmax && s1.charAt(pref) == s2.charAt(pref)) pref += 1

@@ -329,7 +329,14 @@ object GraphOps {
     for (_ <- 1 to rounds)
       surv = coreDeg(surv).filter(col("deg") >= k)
         .select(col("v")).localCheckpoint(true)
-    coreDeg(surv).select(col("v").as("id"), col("deg").as("core_deg"))
+    // final deg >= k guard: if `rounds` stopped short of fixpoint (a
+    // pendant chain longer than the unroll), the projection must still
+    // never emit a row violating the core_deg >= k invariant — the
+    // output may be a superset of the true k-core, but every reported
+    // degree honors the contract. Converged inputs are unaffected (the
+    // filter is then an idempotent no-op, mirrored in the q209 oracle).
+    coreDeg(surv).filter(col("deg") >= k)
+      .select(col("v").as("id"), col("deg").as("core_deg"))
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge

@@ -160,12 +160,16 @@ object RocEval {
     val pd = col("p_total")
     val nd = col("n_total")
     val aucd = col("swx10").cast("double") / (lit(2.0) * nd * pd)
+    // degenerate-class guard: a holdout with a single positive (or
+    // single negative) would divide by (p−1)=0 → Infinity/NaN rather
+    // than an honest "variance undefined". nullIfZero (the auc_milli
+    // pattern above, NULLIF in the q219 oracle) makes se/bands NULL.
     val s10 = ((col("sq10").cast("double")
       - col("swx10").cast("double") * col("swx10") / pd)
-      / (pd - 1) / (lit(2.0) * nd)) / (lit(2.0) * nd)
+      / nullIfZero(pd - lit(1L)) / (lit(2.0) * nd)) / (lit(2.0) * nd)
     val s01 = ((col("sq01").cast("double")
       - col("swx01").cast("double") * col("swx01") / nd)
-      / (nd - 1) / (lit(2.0) * pd)) / (lit(2.0) * pd)
+      / nullIfZero(nd - lit(1L)) / (lit(2.0) * pd)) / (lit(2.0) * pd)
     val se = sqrt(s10 / pd + s01 / nd)
     m.select(pd, nd,
       fdivC(lit(1000L) * col("swx10"),

@@ -993,6 +993,7 @@ object AnalyticsQueries {
            |  SELECT CAST(d.dst AS BIGINT) AS v, count(*) AS c
            |  FROM dir d JOIN s12 a ON d.src = a.v GROUP BY 1) t
            |JOIN s12 b ON t.v = b.v
+           |WHERE t.c >= 2
            |ORDER BY p_partkey""".stripMargin
       }),
 

@@ -543,15 +543,24 @@ object BusinessQueries {
         val li = Tables.lineitem(s, d)
           .select($"l_orderkey", $"l_partkey").distinct().persist()
         val itemN = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
-        val pairs = graft.operators.GraphOps
-          .coOccurrencePairs(li, "l_orderkey", "l_partkey")
-          .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_ab"))
-        // symmetric neighbor list: each pair contributes both ways
-        val sym = pairs.select($"pa".as("item"), $"pb".as("nbr"), $"n_ab")
-          .unionAll(pairs.select($"pb".as("item"), $"pa".as("nbr"), $"n_ab"))
         val top20 = itemN
           .orderBy($"n_item".desc, $"l_partkey").limit(20)
           .select($"l_partkey".as("item"), $"n_item".as("n_a"))
+        // pair pruning (r10): only the 20 TRACKED items' basket rows
+        // enter the co-occurrence self-join — a broadcast semi-join on
+        // the tracked-id set before pair generation, so neither the
+        // pair frame nor its groupBy ever touches the ~99% of
+        // part×part pairs with no tracked endpoint (the dominant cost
+        // at 100×; previously all pairs were counted then dropped).
+        // n_ab = |common orders| is unchanged: each (tracked item,
+        // co-item) order pair appears exactly once in the join.
+        val sym = li
+          .join(broadcast(top20.select($"item".as("l_partkey"))), "l_partkey")
+          .select($"l_orderkey", $"l_partkey".as("item"))
+          .join(li, "l_orderkey")
+          .filter($"l_partkey" =!= $"item")
+          .select($"item", $"l_partkey".as("nbr"))
+          .groupBy($"item", $"nbr").agg(count(lit(1)).as("n_ab"))
         val scored = sym.join(top20, "item")
           .join(itemN.select($"l_partkey".as("nbr"), $"n_item".as("n_b")), "nbr")
           .select($"item", $"nbr", $"n_ab", $"n_a", $"n_b",

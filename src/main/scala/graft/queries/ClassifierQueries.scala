@@ -497,11 +497,11 @@ object ClassifierQueries {
            |    sqrt(
            |      (CAST(sq10 AS DOUBLE)
            |         - CAST(swx10 AS DOUBLE) * swx10 / p_total)
-           |        / (p_total - 1) / (2.0 * n_total) / (2.0 * n_total)
+           |        / NULLIF(p_total - 1, 0) / (2.0 * n_total) / (2.0 * n_total)
            |        / p_total
            |      + (CAST(sq01 AS DOUBLE)
            |         - CAST(swx01 AS DOUBLE) * swx01 / n_total)
-           |        / (n_total - 1) / (2.0 * p_total) / (2.0 * p_total)
+           |        / NULLIF(n_total - 1, 0) / (2.0 * p_total) / (2.0 * p_total)
            |        / n_total) AS sed,
            |    swx10
            |  FROM m)

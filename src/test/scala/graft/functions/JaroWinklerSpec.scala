@@ -20,6 +20,10 @@ class JaroWinklerSpec extends SparkSpec {
     ("forest green", "forestgreen", 0.9833333333333333),
     ("metallic blue", "metalic blue", 0.9512820512820512),
     ("promise", "prmoise", 0.9619047619047619),
+    // boost-gate boundary (RapidFuzz/DuckDB convention): jaro = 2/3
+    // ≤ 0.7, so the 1-char common prefix earns NO bonus — DuckDB
+    // returns 0.6667 here, and an ungated boost would say 0.7
+    ("ab", "ax", 2.0 / 3.0),
     ("a", "", 0.0))
 
   test("scalar core matches the DuckDB-verified reference values bit-for-bit") {

@@ -180,6 +180,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(cyc.repartition(1)) === run(cyc.repartition(7)))
   }
 
+  test("labelPropagation convergence diagnostic: q198's fixture graph settles in 3 rounds") {
+    import spark.implicits._
+    // q198 runs a FIXED 3 rounds for unrolled-CTE replayability;
+    // synchronous LPA can 2-cycle, so community quality must be
+    // measured, not assumed: run a 4th round and count labels still
+    // moving. On the sf0.001 co-purchase fixture the labels have
+    // settled (0 changes) — if the driver regenerates a fixture where
+    // they oscillate, this reports the fraction instead of silently
+    // shipping unconverged communities.
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_orderkey", $"l_partkey")
+    val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+      .localCheckpoint(true)
+    val l3 = GraphOps.labelPropagation(e, "pa", "pb", iterations = 3)
+    val l4 = GraphOps.labelPropagation(e, "pa", "pb", iterations = 4)
+    val n = l3.count()
+    val changed = l3.as("a")
+      .join(l4.as("b"), $"a.id" === $"b.id")
+      .filter($"a.community" =!= $"b.community").count()
+    info(s"labels still changing after round 3: $changed of $n")
+    assert(changed === 0L,
+      s"q198's 3-round LPA has not converged: $changed/$n labels still moving")
+  }
+
   test("kCore: pendant chain peels away, clique survives with in-core degrees") {
     import spark.implicits._
     // K4 on {1..4} with a chain 4–5–6–7 hanging off: the 2-core is

@@ -103,6 +103,17 @@ class RocEvalSpec extends SparkSpec {
     assert(r.getAs[Long]("se_micro") === want)
   }
 
+  test("delong: a single-positive holdout yields NULL se/bands, not Infinity") {
+    // (p_total − 1) = 0 would otherwise divide to ±Infinity/NaN; the
+    // nullIfZero guard (NULLIF in the q219 oracle) makes the variance
+    // honestly undefined while the AUC itself stays defined
+    val r = delong(Seq((9L, 1L), (5L, 0L), (3L, 0L)))
+    assert(r.getAs[Long]("auc_milli") === 1000L)
+    assert(r.isNullAt(r.fieldIndex("se_micro")))
+    assert(r.isNullAt(r.fieldIndex("lo_milli")))
+    assert(r.isNullAt(r.fieldIndex("hi_milli")))
+  }
+
   test("delong AUC equals summary's AUC on a mixed corpus") {
     val rows = (1L to 200L).map(i =>
       ((i * 37 % 101), if ((i * 53 % 97) < 40 == (i * 37 % 101) > 50) 1L else 0L))
