@@ -34,23 +34,23 @@ import org.apache.spark.sql.functions._
   */
 object PrefixJoin {
 
-  /** All pairs with exact Jaccard(token sets) > threshold:
-    * (id_a, id_b, jaccard), r4-rounded. Output is identical to the
-    * brute-force all-pairs join (and to minhashPairsExact at the same
-    * threshold, up to its vanishing LSH miss probability).
+  /** Shared candidate machinery for the prefix-filtered joins: the
+    * per-doc rarity-ranked token arrays (id, ranks, nt, p) with
+    * prefix length p = nt − ⌈t·nt⌉ + 1 — the same bound serves the
+    * Jaccard lemma (first common token of a qualifying pair falls in
+    * both prefixes) and the containment lemma (a set whose t-fraction
+    * is covered must share a prefix token with its coverer). The
+    * result is persist()ed — both joins read it ≥3 times.
     */
-  def jaccardPairsPrefix(
+  private def rankedArrays(
       spark: SparkSession,
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      pretokenized: Option[DataFrame] = None,
-      maxBroadcastVocab: Long = 10000000L): DataFrame = {
+      pretokenized: Option[DataFrame],
+      maxBroadcastVocab: Long): DataFrame = {
     import spark.implicits._
-    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
-    graft.functions.SortedIntersectCount.register(spark)
-    import graft.functions.SortedIntersectCount.sorted_intersect_count
 
     // id kept in its NATIVE type (string ids are legal, as in
     // Dedup.jaccardPairs) — a long cast would NULL non-numeric ids
@@ -58,7 +58,7 @@ object PrefixJoin {
     // `pretokenized` (idCol + `toks` = sorted distinct xxhash64 token
     // arrays, the minhashPairsExact contract) shares one materialized
     // tokenization pass across the corpus's set-similarity operators
-    // (q28/q78 read the same artifact). Hashed tokens are a valid
+    // (q28/q78/q239 read the same artifact). Hashed tokens are a valid
     // feature set here: the prefix lemma needs only SOME fixed total
     // order over features, and df/rarity ranks of hashed tokens equal
     // those of the strings up to vanishing 64-bit collisions (the
@@ -100,7 +100,7 @@ object PrefixJoin {
 
     // per-doc rank array, ascending = rarest-first; prefix size
     // p = nt − ceil(t·nt) + 1
-    val ranked = toks.join(rankSide, Seq("tok"))
+    toks.join(rankSide, Seq("tok"))
       .groupBy($"id")
       .agg(sort_array(collect_list($"r")).as("ranks"))
       .withColumn("nt", size($"ranks"))
@@ -109,6 +109,28 @@ object PrefixJoin {
       // caller's clearCache between queries (Bench/Verify do), the
       // repo-wide convention for operator-internal persists
       .persist()
+  }
+
+  /** All pairs with exact Jaccard(token sets) > threshold:
+    * (id_a, id_b, jaccard), r4-rounded. Output is identical to the
+    * brute-force all-pairs join (and to minhashPairsExact at the same
+    * threshold, up to its vanishing LSH miss probability).
+    */
+  def jaccardPairsPrefix(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      pretokenized: Option[DataFrame] = None,
+      maxBroadcastVocab: Long = 10000000L): DataFrame = {
+    import spark.implicits._
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    graft.functions.SortedIntersectCount.register(spark)
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+
+    val ranked = rankedArrays(spark, docs, idCol, textCol, threshold,
+      pretokenized, maxBroadcastVocab)
 
     val prefixes = ranked.select($"id", explode(slice($"ranks", lit(1), col("p"))).as("r"))
     val cands = prefixes.as("l").join(prefixes.as("r"),
@@ -125,5 +147,57 @@ object PrefixJoin {
       .filter($"jaccard" > threshold)
       .select($"id_a", $"id_b",
         graft.functions.TextFunctions.r4($"jaccard").as("jaccard"))
+  }
+
+  /** All DIRECTED pairs with exact containment |A∩B| / |A| >
+    * threshold: (id_a, id_b, containment), r4-rounded — "B covers
+    * ≥ t of A", the asymmetric set-overlap the dedup family needs for
+    * subset/quotation detection where Jaccard fails (a doc fully
+    * contained in a 10× larger one has Jaccard ≤ 0.1 but containment
+    * 1.0). Candidate lemma (the JOSIE/PPJoin+ containment prefix): if
+    * |A∩B| ≥ ⌈t·|A|⌉ then A's first |A| − ⌈t·|A|⌉ + 1 rarity-ordered
+    * tokens intersect B SOMEWHERE — so candidates are A-prefix tokens
+    * joined against B's FULL posting lists (asymmetric: the coveree's
+    * prefix meets the coverer's whole set). Rarity ordering keeps the
+    * full-side lists short where it matters; a nb ≥ ⌈t·na⌉ size prune
+    * drops impossible pairs before the verify merge.
+    */
+  def containmentPairsPrefix(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      pretokenized: Option[DataFrame] = None,
+      minSize: Int = 1,
+      maxBroadcastVocab: Long = 10000000L): DataFrame = {
+    import spark.implicits._
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    graft.functions.SortedIntersectCount.register(spark)
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+
+    val ranked = rankedArrays(spark, docs, idCol, textCol, threshold,
+      pretokenized, maxBroadcastVocab)
+    // the minSize floor applies to the COVEREE (A) side only: tiny
+    // sets are trivially contained everywhere and would make the
+    // output quadratic; the coverer (B) side stays unrestricted
+    val rankedA = ranked.filter($"nt" >= minSize)
+
+    val prefixes = rankedA.select($"id", explode(slice($"ranks", lit(1), col("p"))).as("r"))
+    val full = ranked.select($"id", explode($"ranks").as("r"))
+    val cands = prefixes.as("l").join(full.as("r"),
+        $"l.r" === $"r.r" && $"l.id" =!= $"r.id")
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
+      .distinct()
+
+    cands
+      .join(rankedA.select($"id".as("id_a"), $"ranks".as("ra"), $"nt".as("na")), "id_a")
+      .join(ranked.select($"id".as("id_b"), $"ranks".as("rb"), $"nt".as("nb")), "id_b")
+      .filter($"nb" >= ceil(lit(threshold) * $"na"))
+      .withColumn("inter", sorted_intersect_count($"ra", $"rb").cast("double"))
+      .withColumn("containment", $"inter" / $"na")
+      .filter($"containment" > threshold)
+      .select($"id_a", $"id_b",
+        graft.functions.TextFunctions.r4($"containment").as("containment"))
   }
 }

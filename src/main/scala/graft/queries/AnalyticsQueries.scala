@@ -1134,6 +1134,148 @@ object AnalyticsQueries {
            |    / (CAST(sv AS DOUBLE) * $q) * 1000000 + 0.5) AS BIGINT)
            |    AS chi2_micro
            |FROM grpn CROSS JOIN agg""".stripMargin
+      }),
+
+    // ----- q232: neighborhood link prediction (Liben-Nowell & Kleinberg
+    // 2003) on the q209 thinned co-purchase graph — "which unlinked
+    // part pairs are most likely to co-sell next": common-neighbor
+    // count, Adamic-Adar (Σ 1/ln deg(z) over shared neighbors z, each
+    // ln micro-snapped immediately — the q96/q165 libm discipline —
+    // then exact BIGINT sums), and neighborhood Jaccard, for candidate
+    // pairs sharing ≥2 neighbors with no existing edge. One wedge join
+    // (Σ_z deg(z)² on the THINNED graph — the ≥2-support floor is what
+    // keeps the wedge volume anti-quadratic), top-100 by score with a
+    // total (aa, cn, pa, pb) tie-break.
+    QueryDef(
+      "q232_link_prediction",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+          .localCheckpoint(true)   // feeds dir twice + the anti-join
+        val dir = e0.select($"pa".as("src"), $"pb".as("dst"))
+          .unionAll(e0.select($"pb".as("src"), $"pa".as("dst")))
+        val deg = dir.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .withColumnRenamed("src", "v")
+        val wedges = dir.as("x").join(dir.as("y"),
+            $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+          .select($"x.src".as("z"), $"x.dst".as("a"), $"y.dst".as("b"))
+        val scoredPairs = wedges
+          .join(deg.select($"v".as("z"), $"deg".as("degz")), "z")
+          .groupBy($"a", $"b")
+          .agg(count(lit(1)).as("cn"),
+            sum(floor(lit(1000000.0) / log($"degz".cast("double")) + lit(0.5))
+              .cast("long")).as("aa_micro"))
+          .filter($"cn" >= 2)
+          .join(e0, $"a" === $"pa" && $"b" === $"pb", "left_anti")
+        scoredPairs
+          .join(deg.select($"v".as("a"), $"deg".as("da")), "a")
+          .join(deg.select($"v".as("b"), $"deg".as("db")), "b")
+          .select($"a".as("pa"), $"b".as("pb"), $"cn", $"aa_micro",
+            floor(lit(1000.0) * $"cn" / ($"da" + $"db" - $"cn") + lit(0.5))
+              .cast("long").as("jac_milli"))
+          .orderBy($"aa_micro".desc, $"cn".desc, $"pa", $"pb")
+          .limit(100)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS MATERIALIZED (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM li a
+             |  JOIN li b ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |dir AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0
+             |        UNION ALL SELECT pb, pa FROM e0),
+             |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+             |        FROM dir GROUP BY 1),
+             |wed AS (
+             |  SELECT x.src AS z, x.dst AS a, y.dst AS b
+             |  FROM dir x JOIN dir y ON x.src = y.src AND x.dst < y.dst),
+             |cnagg AS (
+             |  SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS cn,
+             |    CAST(SUM(CAST(floor(1000000.0 / ln(CAST(dz.deg AS DOUBLE))
+             |      + 0.5) AS BIGINT)) AS BIGINT) AS aa_micro
+             |  FROM wed w JOIN deg dz ON w.z = dz.v GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT c.* FROM cnagg c
+             |  LEFT JOIN e0 ON c.a = e0.pa AND c.b = e0.pb
+             |  WHERE e0.pa IS NULL AND c.cn >= 2)
+             |SELECT c.a AS pa, c.b AS pb, c.cn, c.aa_micro,
+             |  CAST(floor(1000.0 * c.cn / (da.deg + db.deg - c.cn) + 0.5)
+             |    AS BIGINT) AS jac_milli
+             |FROM cand c JOIN deg da ON c.a = da.v JOIN deg db ON c.b = db.v
+             |ORDER BY aa_micro DESC, cn DESC, pa, pb LIMIT 100""".stripMargin)),
+
+    // ----- q238: multi-source BFS distance layers on the q209 thinned
+    // graph — the reachability-DEPTH member of the graph family (CC
+    // answers "connected at all", this answers "how far"): every part
+    // whose key is ≡0 mod 97 seeds at distance 0, and 4 unrolled
+    // frontier rounds label each node with its first-reached round
+    // (= exact hop distance for d ≤ 4; the fixed unroll is the
+    // q209/q198 replayability discipline). Output: nodes per distance
+    // layer plus the still-unreached remainder (dist = -1).
+    QueryDef(
+      "q238_bfs_layers",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+        val dir = e0.select($"pa".as("src"), $"pb".as("dst"))
+          .unionAll(e0.select($"pb".as("src"), $"pa".as("dst")))
+          .repartition($"src")
+          .localCheckpoint(true)   // one edge layout, reused per round
+        val nodes = dir.select($"src".cast("long").as("v")).distinct()
+        var reached = nodes.filter($"v" % 97 === 0)
+          .select($"v", lit(0L).as("dist")).localCheckpoint(true)
+        for (i <- 1 to 4) {
+          val next = dir
+            .join(reached.filter($"dist" === i - 1).select($"v".as("src")), "src")
+            .select($"dst".cast("long").as("v")).distinct()
+            .join(reached.select($"v"), Seq("v"), "left_anti")
+            .select($"v", lit(i.toLong).as("dist"))
+          reached = reached.unionAll(next).localCheckpoint(true)
+        }
+        val unreached = nodes.join(reached.select($"v"), Seq("v"), "left_anti")
+          .select($"v", lit(-1L).as("dist"))
+        reached.unionAll(unreached)
+          .groupBy($"dist")
+          .agg(count(lit(1)).as("n_nodes"), min($"v").as("min_part"))
+          .orderBy($"dist")
+      },
+      Some {
+        def round(i: Int): String =
+          s"""r$i AS MATERIALIZED (
+             |  SELECT v, ${i}::BIGINT AS dist FROM (
+             |    SELECT DISTINCT CAST(d.dst AS BIGINT) AS v
+             |    FROM dir d JOIN r${i - 1} p ON d.src = p.v) t
+             |  WHERE NOT EXISTS (SELECT 1 FROM reach${i - 1} x WHERE x.v = t.v)),
+             |reach$i AS MATERIALIZED (
+             |  SELECT v, dist FROM reach${i - 1} UNION ALL SELECT v, dist FROM r$i)""".stripMargin
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS (
+           |  SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |dir AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0
+           |        UNION ALL SELECT pb, pa FROM e0),
+           |nodes AS (SELECT DISTINCT CAST(src AS BIGINT) AS v FROM dir),
+           |r0 AS (SELECT v, 0::BIGINT AS dist FROM nodes WHERE v % 97 = 0),
+           |reach0 AS (SELECT v, dist FROM r0),
+           |${(1 to 4).map(round).mkString(",\n")},
+           |allv AS (
+           |  SELECT v, dist FROM reach4
+           |  UNION ALL
+           |  SELECT v, -1::BIGINT AS dist FROM nodes n
+           |  WHERE NOT EXISTS (SELECT 1 FROM reach4 x WHERE x.v = n.v))
+           |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           |  CAST(min(v) AS BIGINT) AS min_part
+           |FROM allv GROUP BY dist ORDER BY dist""".stripMargin
       }))
 
   /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103

@@ -602,5 +602,207 @@ object BusinessQueries {
              |  FROM scored)
              |SELECT item, rnk, nbr, n_ab, sim_micro
              |FROM ranked WHERE rnk <= 5
-             |ORDER BY item, rnk""".stripMargin)))
+             |ORDER BY item, rnk""".stripMargin)),
+
+    // ----- q240: difference-in-differences — the experimentation
+    // family's panel estimator next to q187 (two-sample test), q213
+    // (sequential), q212 (attribution): users hash-split into
+    // treat/control (the three-surface Sampling hash, salt 240), the
+    // event window split at 2024-01-16 into pre/post, per-user
+    // milli-value sums exact BIGINT, and the 2×2 cell means + DiD
+    // assembled in ONE fixed double expression micro-snapped at the
+    // end (the q219 moment discipline — no float accumulation).
+    QueryDef(
+      "q240_diff_in_diff",
+      (s, d) => {
+        import s.implicits._
+        val split = lit("2024-01-16").cast("timestamp")
+        val per = Tables.events(s, d)
+          .select($"user_id", ($"ts" < split).as("pre"),
+            floor($"value" * 1000 + lit(0.5)).cast("long").as("vm"))
+          .groupBy($"user_id")
+          .agg(sum(when($"pre", $"vm").otherwise(0L)).as("x"),
+            sum(when(!$"pre", $"vm").otherwise(0L)).as("y"))
+        val armed = per.withColumn("treat",
+          (graft.operators.Sampling.hashFraction($"user_id", 240L) < 0.5)
+            .cast("int"))
+        val cells = armed.groupBy($"treat")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"))
+        val t = cells.filter($"treat" === 1)
+          .select($"n".as("n_treat"), $"sx".as("stq"), $"sy".as("stp"))
+        val c = cells.filter($"treat" === 0)
+          .select($"n".as("n_ctl"), $"sx".as("scq"), $"sy".as("scp"))
+        def cellMean(s0: Column, n0: Column): Column =
+          floor(s0.cast("double") / n0 + lit(0.5)).cast("long")
+        t.crossJoin(c).select($"n_treat", $"n_ctl",
+          cellMean($"stq", $"n_treat").as("m_treat_pre_milli"),
+          cellMean($"stp", $"n_treat").as("m_treat_post_milli"),
+          cellMean($"scq", $"n_ctl").as("m_ctl_pre_milli"),
+          cellMean($"scp", $"n_ctl").as("m_ctl_post_milli"),
+          floor((($"stp".cast("double") - $"stq".cast("double")) / $"n_treat"
+            - ($"scp".cast("double") - $"scq".cast("double")) / $"n_ctl")
+            * 1000.0 + lit(0.5)).cast("long").as("did_micro"))
+      },
+      Some {
+        val frac = graft.operators.Sampling.hashFractionSql("user_id", 240L)
+        s"""WITH per AS (
+           |  SELECT user_id,
+           |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+           |      THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+           |      ELSE 0 END) AS BIGINT) AS x,
+           |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+           |      THEN 0
+           |      ELSE CAST(floor(value * 1000 + 0.5) AS BIGINT) END)
+           |      AS BIGINT) AS y
+           |  FROM events GROUP BY 1),
+           |armed AS (
+           |  SELECT user_id, x, y,
+           |    CASE WHEN $frac < 0.5 THEN 1 ELSE 0 END AS treat
+           |  FROM per),
+           |cells AS (
+           |  SELECT treat, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+           |  FROM armed GROUP BY 1),
+           |t AS (SELECT n AS n_treat, sx AS stq, sy AS stp FROM cells
+           |      WHERE treat = 1),
+           |c AS (SELECT n AS n_ctl, sx AS scq, sy AS scp FROM cells
+           |      WHERE treat = 0)
+           |SELECT n_treat, n_ctl,
+           |  CAST(floor(CAST(stq AS DOUBLE) / n_treat + 0.5) AS BIGINT)
+           |    AS m_treat_pre_milli,
+           |  CAST(floor(CAST(stp AS DOUBLE) / n_treat + 0.5) AS BIGINT)
+           |    AS m_treat_post_milli,
+           |  CAST(floor(CAST(scq AS DOUBLE) / n_ctl + 0.5) AS BIGINT)
+           |    AS m_ctl_pre_milli,
+           |  CAST(floor(CAST(scp AS DOUBLE) / n_ctl + 0.5) AS BIGINT)
+           |    AS m_ctl_post_milli,
+           |  CAST(floor(((CAST(stp AS DOUBLE) - CAST(stq AS DOUBLE)) / n_treat
+           |    - (CAST(scp AS DOUBLE) - CAST(scq AS DOUBLE)) / n_ctl)
+           |    * 1000.0 + 0.5) AS BIGINT) AS did_micro
+           |FROM t CROSS JOIN c""".stripMargin
+      }),
+
+    // ----- q233: CUPED variance reduction (Deng et al. 2013) — the
+    // experiment-sensitivity member: the pre-period metric is the
+    // covariate, θ = cov(x,y)/var(x) from exact BIGINT moment sums
+    // (one fixed double assembly, micro-snapped ONCE), each user's
+    // adjusted outcome y − θ(x − x̄) snapped to micro BIGINT through
+    // one fixed double expression, then exact integer per-arm sums —
+    // so the adjusted means and the achieved variance ratio are
+    // bit-replayable cross-engine. Same split/hash as q240.
+    QueryDef(
+      "q233_cuped",
+      (s, d) => {
+        import s.implicits._
+        val split = lit("2024-01-16").cast("timestamp")
+        val per = Tables.events(s, d)
+          .select($"user_id", ($"ts" < split).as("pre"),
+            floor($"value" * 1000 + lit(0.5)).cast("long").as("vm"))
+          .groupBy($"user_id")
+          .agg(sum(when($"pre", $"vm").otherwise(0L)).as("x"),
+            sum(when(!$"pre", $"vm").otherwise(0L)).as("y"))
+          .localCheckpoint(true)   // feeds moments + the adjusted scan
+        val mom = per.agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        val par = mom.select($"n", $"sx",
+          floor(($"n".cast("double") * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+            / ($"n".cast("double") * $"sxx".cast("double")
+              - $"sx".cast("double") * $"sx".cast("double"))
+            * 1000000.0 + lit(0.5)).cast("long").as("theta_micro"),
+          floor(($"n".cast("double") * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+            * ($"n".cast("double") * $"sxy".cast("double")
+              - $"sx".cast("double") * $"sy".cast("double"))
+            / (($"n".cast("double") * $"sxx".cast("double")
+              - $"sx".cast("double") * $"sx".cast("double"))
+              * ($"n".cast("double") * $"syy".cast("double")
+              - $"sy".cast("double") * $"sy".cast("double")))
+            * 1000.0 + lit(0.5)).cast("long").as("rho2_milli"))
+        val adj = per.crossJoin(par)
+          .select($"user_id", $"y",
+            (graft.operators.Sampling.hashFraction($"user_id", 240L) < 0.5)
+              .cast("int").as("treat"),
+            $"theta_micro", $"rho2_milli",
+            floor(($"y".cast("double") / 1000.0
+              - $"theta_micro".cast("double") / 1000000.0
+                * ($"x".cast("double") / 1000.0
+                  - $"sx".cast("double") / 1000.0 / $"n"))
+              * 1000000.0 + lit(0.5)).cast("long").as("adj_micro"))
+        adj.groupBy($"treat")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"y").as("sy_arm"), sum($"adj_micro").as("sadj"),
+            max($"theta_micro").as("theta_micro"),
+            max($"rho2_milli").as("rho2_milli"))
+          .select($"treat", $"n_users",
+            floor($"sy_arm".cast("double") * 1000.0 / $"n_users" + lit(0.5))
+              .cast("long").as("mean_y_micro"),
+            floor($"sadj".cast("double") / $"n_users" + lit(0.5))
+              .cast("long").as("mean_adj_micro"),
+            $"theta_micro", $"rho2_milli")
+          .orderBy($"treat")
+      },
+      Some {
+        val frac = graft.operators.Sampling.hashFractionSql("user_id", 240L)
+        s"""WITH per AS MATERIALIZED (
+           |  SELECT user_id,
+           |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+           |      THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+           |      ELSE 0 END) AS BIGINT) AS x,
+           |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+           |      THEN 0
+           |      ELSE CAST(floor(value * 1000 + 0.5) AS BIGINT) END)
+           |      AS BIGINT) AS y
+           |  FROM events GROUP BY 1),
+           |mom AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+           |    CAST(SUM(y * y) AS BIGINT) AS syy
+           |  FROM per),
+           |par AS (
+           |  SELECT n, sx,
+           |    CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS theta_micro,
+           |    CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           |      * 1000.0 + 0.5) AS BIGINT) AS rho2_milli
+           |  FROM mom),
+           |adj AS (
+           |  SELECT p.user_id, p.y,
+           |    CASE WHEN $frac < 0.5 THEN 1 ELSE 0 END AS treat,
+           |    pa.theta_micro, pa.rho2_milli,
+           |    CAST(floor((CAST(p.y AS DOUBLE) / 1000.0
+           |      - CAST(pa.theta_micro AS DOUBLE) / 1000000.0
+           |        * (CAST(p.x AS DOUBLE) / 1000.0
+           |          - CAST(pa.sx AS DOUBLE) / 1000.0 / pa.n))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS adj_micro
+           |  FROM per p CROSS JOIN par pa),
+           |arms AS (
+           |  SELECT treat, CAST(count(*) AS BIGINT) AS n_users,
+           |    CAST(SUM(y) AS BIGINT) AS sy_arm,
+           |    CAST(SUM(adj_micro) AS BIGINT) AS sadj,
+           |    CAST(MAX(theta_micro) AS BIGINT) AS theta_micro,
+           |    CAST(MAX(rho2_milli) AS BIGINT) AS rho2_milli
+           |  FROM adj GROUP BY 1)
+           |SELECT treat, n_users,
+           |  CAST(floor(CAST(sy_arm AS DOUBLE) * 1000.0 / n_users + 0.5)
+           |    AS BIGINT) AS mean_y_micro,
+           |  CAST(floor(CAST(sadj AS DOUBLE) / n_users + 0.5) AS BIGINT)
+           |    AS mean_adj_micro,
+           |  theta_micro, rho2_milli
+           |FROM arms ORDER BY treat""".stripMargin
+      }))
 }

@@ -451,5 +451,176 @@ object ClusterQueries {
            |    AS BIGINT) AS mean_sil_micro
            |FROM sil GROUP BY 1
            |ORDER BY label""".stripMargin
+      }),
+
+    // ----- q236: 1-D two-component Gaussian mixture by EM — the SOFT
+    // counterpart to q118's hard Lloyd assignments, fitted to customer
+    // account balances (dollars). 3 fixed EM iterations, the whole
+    // recurrence oracle-replayed: mean-split initialization from exact
+    // moments, every per-row responsibility snapped to a MILLI weight
+    // through ONE fixed double expression (ln/exp on micro-snapped
+    // params — the q96 libm discipline), exact BIGINT weighted-moment
+    // sums, and micro-snapped parameter assembly per round, so both
+    // engines walk bit-identical parameter sequences. Headroom:
+    // Σ w·x² ≤ 10³·10⁸·n keeps the BIGINT sums exact to ~2^43 rows;
+    // past that the KMeans decimal(38) combine note applies.
+    QueryDef(
+      "q236_gmm_em",
+      (s, d) => {
+        import s.implicits._
+        val xs = Tables.customer(s, d)
+          .select(floor($"c_acctbal").cast("long").as("x"))
+          .localCheckpoint(true)  // 1 + 3 scans: init split + per-round E-steps
+        val mom = xs.agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"x" * $"x").as("sxx"))
+        val m0 = mom.select($"n", $"sx", $"sxx",
+          floor($"sx".cast("double") * 1000000.0 / $"n" + lit(0.5))
+            .cast("long").as("m0m"))
+        val halves = xs.crossJoin(m0)
+          .select($"x", ($"x" * lit(1000000L) < $"m0m").as("lo"),
+            $"n", $"sx", $"sxx")
+          .groupBy($"n", $"sx", $"sxx")
+          .agg(sum(when($"lo", 1L).otherwise(0L)).as("n1"),
+            sum(when($"lo", $"x").otherwise(0L)).as("sx1"))
+        var par = halves.select(
+          floor($"n1".cast("double") * 1000000.0 / $"n" + lit(0.5))
+            .cast("long").as("p1m"),
+          floor($"sx1".cast("double") * 1000000.0 / $"n1" + lit(0.5))
+            .cast("long").as("mu1m"),
+          floor(($"sx" - $"sx1").cast("double") * 1000000.0 / ($"n" - $"n1")
+            + lit(0.5)).cast("long").as("mu2m"),
+          greatest(floor(($"sxx".cast("double") / $"n"
+              - ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n"))
+            * 1000000.0 + lit(0.5)).cast("long"), lit(1L)).as("s1m"))
+          .select($"p1m", $"mu1m", $"mu2m", $"s1m", $"s1m".as("s2m"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          val a = log($"p1m".cast("double") / 1000000.0) -
+            log((lit(1000000.0) - $"p1m".cast("double")) / 1000000.0) -
+            lit(0.5) * (log($"s1m".cast("double") / 1000000.0) -
+              log($"s2m".cast("double") / 1000000.0)) -
+            ($"x" - $"mu1m".cast("double") / 1000000.0) *
+              ($"x" - $"mu1m".cast("double") / 1000000.0) /
+              (lit(2.0) * ($"s1m".cast("double") / 1000000.0)) +
+            ($"x" - $"mu2m".cast("double") / 1000000.0) *
+              ($"x" - $"mu2m".cast("double") / 1000000.0) /
+              (lit(2.0) * ($"s2m".cast("double") / 1000000.0))
+          val resp = xs.crossJoin(par)
+            .select($"x",
+              floor(lit(1000.0) / (lit(1.0) + exp(-a)) + lit(0.5))
+                .cast("long").as("r"))
+          val sums = resp.agg(count(lit(1)).as("n"),
+            sum($"r").as("sw1"),
+            sum($"r" * $"x").as("swx1"),
+            sum($"r" * $"x" * $"x").as("sq1"),
+            sum(lit(1000L) - $"r").as("sw2"),
+            sum((lit(1000L) - $"r") * $"x").as("swx2"),
+            sum((lit(1000L) - $"r") * $"x" * $"x").as("sq2"))
+          par = sums.select(
+            floor($"sw1".cast("double") * 1000.0 / $"n" + lit(0.5))
+              .cast("long").as("p1m"),
+            floor($"swx1".cast("double") * 1000000.0
+              / greatest($"sw1", lit(1L)).cast("double") + lit(0.5))
+              .cast("long").as("mu1m"),
+            floor($"swx2".cast("double") * 1000000.0
+              / greatest($"sw2", lit(1L)).cast("double") + lit(0.5))
+              .cast("long").as("mu2m"),
+            greatest(floor(($"sq1".cast("double") / greatest($"sw1", lit(1L))
+                - ($"swx1".cast("double") / greatest($"sw1", lit(1L)))
+                  * ($"swx1".cast("double") / greatest($"sw1", lit(1L))))
+              * 1000000.0 + lit(0.5)).cast("long"), lit(1L)).as("s1m"),
+            greatest(floor(($"sq2".cast("double") / greatest($"sw2", lit(1L))
+                - ($"swx2".cast("double") / greatest($"sw2", lit(1L)))
+                  * ($"swx2".cast("double") / greatest($"sw2", lit(1L))))
+              * 1000000.0 + lit(0.5)).cast("long"), lit(1L)).as("s2m"))
+            .localCheckpoint(true)
+        }
+        par.select(lit(1L).as("component"), $"p1m".as("pi_micro"),
+            $"mu1m".as("mu_micro"), $"s1m".as("var_micro"))
+          .unionAll(par.select(lit(2L).as("component"),
+            (lit(1000000L) - $"p1m").as("pi_micro"),
+            $"mu2m".as("mu_micro"), $"s2m".as("var_micro")))
+          .orderBy($"component")
+      },
+      Some {
+        def respSums(t: Int): String = {
+          val a = s"""ln(p.p1m / 1000000.0)
+                     | - ln((1000000.0 - p.p1m) / 1000000.0)
+                     | - 0.5 * (ln(p.s1m / 1000000.0) - ln(p.s2m / 1000000.0))
+                     | - (c.x - p.mu1m / 1000000.0) * (c.x - p.mu1m / 1000000.0)
+                     |   / (2.0 * (p.s1m / 1000000.0))
+                     | + (c.x - p.mu2m / 1000000.0) * (c.x - p.mu2m / 1000000.0)
+                     |   / (2.0 * (p.s2m / 1000000.0))""".stripMargin
+          s"""resp$t AS MATERIALIZED (
+             |  SELECT c.x,
+             |    CAST(floor(1000.0 / (1.0 + exp(-($a))) + 0.5) AS BIGINT) AS r
+             |  FROM xs c CROSS JOIN par${t - 1} p),
+             |m$t AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(r) AS BIGINT) AS sw1,
+             |    CAST(SUM(r * x) AS BIGINT) AS swx1,
+             |    CAST(SUM(r * x * x) AS BIGINT) AS sq1,
+             |    CAST(SUM(1000 - r) AS BIGINT) AS sw2,
+             |    CAST(SUM((1000 - r) * x) AS BIGINT) AS swx2,
+             |    CAST(SUM((1000 - r) * x * x) AS BIGINT) AS sq2
+             |  FROM resp$t),
+             |par$t AS MATERIALIZED (
+             |  SELECT
+             |    CAST(floor(CAST(sw1 AS DOUBLE) * 1000.0 / n + 0.5) AS BIGINT)
+             |      AS p1m,
+             |    CAST(floor(CAST(swx1 AS DOUBLE) * 1000000.0
+             |      / CAST(GREATEST(sw1, 1) AS DOUBLE) + 0.5) AS BIGINT) AS mu1m,
+             |    CAST(floor(CAST(swx2 AS DOUBLE) * 1000000.0
+             |      / CAST(GREATEST(sw2, 1) AS DOUBLE) + 0.5) AS BIGINT) AS mu2m,
+             |    GREATEST(CAST(floor((CAST(sq1 AS DOUBLE) / GREATEST(sw1, 1)
+             |        - (CAST(swx1 AS DOUBLE) / GREATEST(sw1, 1))
+             |          * (CAST(swx1 AS DOUBLE) / GREATEST(sw1, 1)))
+             |      * 1000000.0 + 0.5) AS BIGINT), 1) AS s1m,
+             |    GREATEST(CAST(floor((CAST(sq2 AS DOUBLE) / GREATEST(sw2, 1)
+             |        - (CAST(swx2 AS DOUBLE) / GREATEST(sw2, 1))
+             |          * (CAST(swx2 AS DOUBLE) / GREATEST(sw2, 1)))
+             |      * 1000000.0 + 0.5) AS BIGINT), 1) AS s2m
+             |  FROM m$t)""".stripMargin
+        }
+        s"""WITH xs AS MATERIALIZED (
+           |  SELECT CAST(floor(c_acctbal) AS BIGINT) AS x FROM customer),
+           |mom AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxx
+           |  FROM xs),
+           |m0 AS (
+           |  SELECT n, sx, sxx,
+           |    CAST(floor(CAST(sx AS DOUBLE) * 1000000.0 / n + 0.5) AS BIGINT)
+           |      AS m0m
+           |  FROM mom),
+           |halves AS (
+           |  SELECT m.n, m.sx, m.sxx,
+           |    CAST(SUM(CASE WHEN c.x * 1000000 < m.m0m THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n1,
+           |    CAST(SUM(CASE WHEN c.x * 1000000 < m.m0m THEN c.x ELSE 0 END)
+           |      AS BIGINT) AS sx1
+           |  FROM xs c CROSS JOIN m0 m
+           |  GROUP BY m.n, m.sx, m.sxx),
+           |par0 AS MATERIALIZED (
+           |  SELECT
+           |    CAST(floor(CAST(n1 AS DOUBLE) * 1000000.0 / n + 0.5) AS BIGINT)
+           |      AS p1m,
+           |    CAST(floor(CAST(sx1 AS DOUBLE) * 1000000.0 / n1 + 0.5) AS BIGINT)
+           |      AS mu1m,
+           |    CAST(floor(CAST(sx - sx1 AS DOUBLE) * 1000000.0 / (n - n1) + 0.5)
+           |      AS BIGINT) AS mu2m,
+           |    GREATEST(CAST(floor((CAST(sxx AS DOUBLE) / n
+           |        - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+           |      * 1000000.0 + 0.5) AS BIGINT), 1) AS s1m,
+           |    GREATEST(CAST(floor((CAST(sxx AS DOUBLE) / n
+           |        - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+           |      * 1000000.0 + 0.5) AS BIGINT), 1) AS s2m
+           |  FROM halves),
+           |${(1 to 3).map(respSums).mkString(",\n")}
+           |SELECT 1::BIGINT AS component, p1m AS pi_micro, mu1m AS mu_micro,
+           |  s1m AS var_micro FROM par3
+           |UNION ALL
+           |SELECT 2::BIGINT, 1000000 - p1m, mu2m, s2m FROM par3
+           |ORDER BY component""".stripMargin
       }))
 }

@@ -50,6 +50,36 @@ object DedupQueries {
     s.read.parquet(path)
   }
 
+  /** Materialized 3-word-SHINGLE artifact for the containment join
+    * (q239): sorted distinct xxhash64 of each doc's consecutive
+    * 3-word shingles — the near-substring feature set (same
+    * content-stamp discipline as [[hashedToks]]; a different feature
+    * family, so a different artifact). Docs with < 3 words get an
+    * empty array (the slice guard; DuckDB's range() mirrors this by
+    * returning an empty list).
+    */
+  private def hashedShingles(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val path = graft.ArtifactCache.path("toks3",
+      java.nio.file.Paths.get(d, "documents.parquet"), "shingle3-xxh64-distinct-sorted")
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      graft.Par.spread(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          sort_array(array_distinct(transform(
+            expr("""slice(transform(sequence(1, greatest(size(toks) - 2, 1)),
+                 i -> concat_ws(' ', element_at(toks, i),
+                                element_at(toks, i + 1),
+                                element_at(toks, i + 2))),
+                 1, greatest(size(toks) - 2, 0))"""),
+            t => xxhash64(t)))).as("toks"))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Materialized near-dup PAIR artifact (id_a, id_b, jaccard) under
     * the lang-blocked Jaccard > 0.8 / size-band-30 rule — the edge
     * set FOUR declared consumers share (q26 emits it, q77 counts its
@@ -465,6 +495,45 @@ object DedupQueries {
              |FROM t a JOIN t b ON a.doc_id < b.doc_id
              |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
              |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0.7
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ----- q239: directed SHINGLE containment pairs — |A∩B|/|A| > 0.6
+    // over 3-word-shingle sets via the PrefixJoin containment variant
+    // (A-prefix × B-full candidates on the same rarity-rank scheme as
+    // q78, reading a content-stamped shingle artifact). The asymmetric
+    // dedup member: finds docs mostly COVERED by another (subset/
+    // quotation pairs) that symmetric Jaccard misses; shingles, not
+    // unigrams, because this corpus's per-doc word vocabulary is tiny
+    // (≤31 distinct words) and unigram containment degenerates to a
+    // quadratic common-word blob, while shingle containment is
+    // near-substring detection. A-side floor of 10 shingles (tiny
+    // sets are trivially contained everywhere), mirrored in the
+    // oracle.
+    QueryDef(
+      "q239_containment_pairs",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.PrefixJoin.containmentPairsPrefix(
+            s, Tables.documents(s, d), "doc_id", "text", threshold = 0.6,
+            pretokenized = Some(hashedShingles(s, d)), minSize = 10)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(toks) - 1),
+             |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+             |  FROM w)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  floor((len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh))
+             |        * 10000 + 0.5) / 10000 AS containment
+             |FROM t a JOIN t b ON a.doc_id <> b.doc_id
+             |WHERE len(a.sh) >= 10
+             |  AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) > 0.6
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ----- q120: winnowed-fingerprint passage-overlap pairs (the MOSS

@@ -1918,7 +1918,68 @@ object QuantQueries {
              |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
              |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
              |      ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT) AS z_micro
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // ----- q235: Theil–Sen robust slope (Sen 1968) of daily revenue,
+    // per YEAR — the robust companion to q227's Mann–Kendall direction
+    // test (MK says "is there a monotone trend", Sen says "how steep,
+    // unmoved by outlier days"). Pairwise day-slopes are snapped to
+    // micro-dollars/day through one fixed double division, and the
+    // median is the exact interpolated percentile INSIDE each year
+    // partition — the O(n²) pair frame is capped at (days-per-year)²
+    // per group (the suite's hash-capped-estimator discipline), so the
+    // plan is partition-parallel and survives any corpus scale: more
+    // data adds revenue per day, never more pairs.
+    QueryDef(
+      "q235_theil_sen",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 1000 + lit(0.5)).cast("long").as("vm"))
+          .groupBy($"day").agg(sum($"vm").as("rev"))
+          .select(year($"day").cast("long").as("yr"),
+            datediff($"day", lit("1995-01-01").cast("date")).cast("long").as("di"),
+            $"rev")
+          .localCheckpoint(true)   // feeds the self-join twice + n_days
+        val pairs = daily.as("a").join(daily.as("b"),
+            $"a.yr" === $"b.yr" && $"a.di" < $"b.di")
+          .select($"a.yr".as("yr"),
+            floor(($"b.rev" - $"a.rev").cast("double")
+              / ($"b.di" - $"a.di") * 1000.0 + lit(0.5))
+              .cast("long").as("sl"))
+        val med = pairs.groupBy($"yr")
+          .agg(count(lit(1)).as("n_pairs"),
+            percentile($"sl", lit(0.5)).as("med"))
+        val nd = daily.groupBy($"yr").agg(count(lit(1)).as("n_days"))
+        med.join(nd, "yr")
+          .select($"yr", $"n_days", $"n_pairs",
+            floor($"med" + lit(0.5)).cast("long").as("sen_slope_micro"))
+          .orderBy($"yr")
+      },
+      Some("""WITH daily AS MATERIALIZED (
+             |  SELECT CAST(year(day) AS BIGINT) AS yr,
+             |    datediff('day', DATE '1995-01-01', day) AS di, rev
+             |  FROM (
+             |    SELECT CAST(o_orderdate AS DATE) AS day,
+             |      CAST(SUM(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT))
+             |        AS BIGINT) AS rev
+             |    FROM orders GROUP BY 1)),
+             |pairs AS (
+             |  SELECT a.yr,
+             |    CAST(floor(CAST(b.rev - a.rev AS DOUBLE) / (b.di - a.di)
+             |      * 1000.0 + 0.5) AS BIGINT) AS sl
+             |  FROM daily a JOIN daily b ON a.yr = b.yr AND a.di < b.di),
+             |med AS (
+             |  SELECT yr, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    quantile_cont(sl, 0.5) AS med
+             |  FROM pairs GROUP BY 1),
+             |nd AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_days
+             |       FROM daily GROUP BY 1)
+             |SELECT m.yr, n.n_days, m.n_pairs,
+             |  CAST(floor(m.med + 0.5) AS BIGINT) AS sen_slope_micro
+             |FROM med m JOIN nd n ON m.yr = n.yr
+             |ORDER BY m.yr""".stripMargin)))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L

@@ -190,5 +190,88 @@ object RetrievalQueries {
              |JOIN pre pr ON pr.j = LEAST(COALESCE(n.n_rel, 0), $NdcgK)
              |ORDER BY query_id""".stripMargin
         })
+    },
+
+    // ----- q237: matryoshka truncation recall — how much retrieval
+    // quality survives keeping only the FIRST 16 of 64 embedding dims
+    // (the nested-representation deployment question: a 4× cheaper
+    // index probes with the truncated prefix). Per hash-sampled probe:
+    // exact quantized-L2 top-10 on full dims (ground truth) vs top-10
+    // on the 16-dim prefix, recall@10 = |overlap|/10 — same integer
+    // distance convention as q131/q132, both rankings re-derived in
+    // the oracle. Scale shape: one component self-join keyed by pos,
+    // BOTH distances from the same grouped pass (the truncated sum is
+    // a pos<16 conditional, not a second scan), per-probe windows
+    // partitioned by query.
+    {
+      val TruncDims = 16
+      val K = 10
+      val Salt = 237L
+      val Rate = 0.02
+      QueryDef(
+        "q237_matryoshka_recall",
+        (s, d) => {
+          import s.implicits._
+          import org.apache.spark.sql.expressions.Window
+          val embs = Tables.embeddings(s, d)
+          val dims = embs.select($"vec_id",
+            posexplode($"embedding").as(Seq("pos", "v")))
+          val probes = embs
+            .filter(Sampling.hashFraction($"vec_id", Salt) < Rate)
+            .select($"vec_id".as("qid"))
+          val qdims = dims.join(probes, $"vec_id" === $"qid")
+            .select($"qid", $"pos", $"v".as("qv"))
+          val term = floor(($"d.v".cast("double") - $"qv".cast("double"))
+            * ($"d.v".cast("double") - $"qv".cast("double"))
+            * lit(1048576.0)).cast("long")
+          val dists = dims.as("d").join(qdims.as("q"),
+              $"d.pos" === $"q.pos" && $"d.vec_id" =!= $"q.qid")
+            .groupBy($"qid", $"d.vec_id".as("vid"))
+            .agg(sum(term).as("dist_full"),
+              sum(when($"d.pos" < TruncDims, term).otherwise(0L))
+                .as("dist_trunc"))
+          val rf = Window.partitionBy($"qid").orderBy($"dist_full", $"vid")
+          val rt = Window.partitionBy($"qid").orderBy($"dist_trunc", $"vid")
+          dists
+            .withColumn("rf", row_number().over(rf))
+            .withColumn("rt", row_number().over(rt))
+            .groupBy($"qid")
+            .agg(sum(when($"rf" <= K && $"rt" <= K, 1L).otherwise(0L))
+              .as("n_common"))
+            .select($"qid".as("query_id"), $"n_common",
+              ($"n_common" * lit(1000L / K)).as("recall_milli"))
+            .orderBy($"query_id")
+        },
+        Some {
+          val frac = Sampling.hashFractionSql("vec_id", Salt)
+          val term = s"""CAST(floor((CAST(d.v AS DOUBLE) - CAST(q.v AS DOUBLE))
+                        | * (CAST(d.v AS DOUBLE) - CAST(q.v AS DOUBLE))
+                        | * $Quantum) AS BIGINT)""".stripMargin
+          s"""WITH $dimsCte,
+             |probes AS MATERIALIZED (
+             |  SELECT vec_id AS qid FROM embeddings WHERE $frac < $Rate),
+             |dists AS MATERIALIZED (
+             |  SELECT p.qid, d.vec_id AS vid,
+             |    CAST(SUM($term) AS BIGINT) AS dist_full,
+             |    CAST(SUM(CASE WHEN d.pos < $TruncDims THEN $term
+             |      ELSE 0 END) AS BIGINT) AS dist_trunc
+             |  FROM probes p
+             |  JOIN dims q ON q.vec_id = p.qid
+             |  JOIN dims d ON d.pos = q.pos AND d.vec_id <> p.qid
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT qid, vid,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY dist_full, vid) AS rf,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY dist_trunc, vid) AS rt
+             |  FROM dists)
+             |SELECT qid AS query_id,
+             |  CAST(SUM(CASE WHEN rf <= $K AND rt <= $K THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_common,
+             |  CAST(SUM(CASE WHEN rf <= $K AND rt <= $K THEN 1 ELSE 0 END)
+             |    * ${1000 / K} AS BIGINT) AS recall_milli
+             |FROM ranked GROUP BY qid ORDER BY query_id""".stripMargin
+        })
     })
 }
