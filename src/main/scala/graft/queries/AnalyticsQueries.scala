@@ -1276,6 +1276,74 @@ object AnalyticsQueries {
            |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
            |  CAST(min(v) AS BIGINT) AS min_part
            |FROM allv GROUP BY dist ORDER BY dist""".stripMargin
+      }),
+
+    // ----- q244: coreness spectrum — k-core sizes for k = 2..5 on the
+    // q209 thinned graph, the DENSITY PROFILE the single-k q209 view
+    // can't show ("how fast does the repeatedly-co-bought backbone
+    // thin out as the cohesion bar rises"). Four independent 8-round
+    // peels off ONE checkpointed edge list; in-core edge count =
+    // Σ core_deg / 2 (handshake — exact, the sum is even). Empty
+    // cores drop out on both sides (HAVING count > 0 mirrors the
+    // n_nodes > 0 filter), so row sets stay equal even when k exceeds
+    // the graph's degeneracy.
+    QueryDef(
+      "q244_coreness_spectrum",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+          .localCheckpoint(true)   // four peels ride one edge build
+        (2 to 5).map { k =>
+          GraphOps.kCore(e, "pa", "pb", k, rounds = 8)
+            .agg(count(lit(1)).as("n_nodes"), sum($"core_deg").as("sdeg"),
+              min($"id").as("min_part"))
+            .select(lit(k.toLong).as("k"), $"n_nodes",
+              ($"sdeg" / 2).cast("long").as("n_edges"), $"min_part")
+        }.reduce(_ unionAll _)
+          .filter($"n_nodes" > 0)
+          .orderBy($"k")
+      },
+      Some {
+        def chain(k: Int): String = {
+          def peel(i: Int): String =
+            s"""s${i}_$k AS MATERIALIZED (
+               |  SELECT t.v FROM (
+               |    SELECT CAST(d.dst AS BIGINT) AS v, count(*) AS c
+               |    FROM dir d JOIN s${i - 1}_$k a ON d.src = a.v GROUP BY 1) t
+               |  JOIN s${i - 1}_$k b ON t.v = b.v
+               |  WHERE t.c >= $k)""".stripMargin
+          s"""s0_$k AS (SELECT v FROM s0all),
+             |${(1 to 8).map(peel).mkString(",\n")},
+             |core$k AS (
+             |  SELECT t.v, t.c FROM (
+             |    SELECT CAST(d.dst AS BIGINT) AS v, count(*) AS c
+             |    FROM dir d JOIN s8_$k a ON d.src = a.v GROUP BY 1) t
+             |  JOIN s8_$k b ON t.v = b.v
+             |  WHERE t.c >= $k)""".stripMargin
+        }
+        val finals = (2 to 5).map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(SUM(c) / 2 AS BIGINT) AS n_edges,
+             |  CAST(MIN(v) AS BIGINT) AS min_part
+             |FROM core$k HAVING count(*) > 0""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS (
+           |  SELECT a.l_partkey AS a, b.l_partkey AS b FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           |        UNION ALL SELECT b, a FROM e0),
+           |s0all AS MATERIALIZED (SELECT DISTINCT CAST(src AS BIGINT) AS v FROM dir),
+           |${(2 to 5).map(chain).mkString(",\n")}
+           |SELECT * FROM (
+           |$finals)
+           |ORDER BY k""".stripMargin
       }))
 
   /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103

@@ -791,7 +791,265 @@ object ClassifierQueries {
              |FROM bins b JOIN fit f ON b.bin = f.bin
              |ORDER BY b.bin""".stripMargin
         })
-    })
+    },
+
+    // ----- q242: Brier score + Murphy decomposition — the PROPER-
+    // SCORING eval member next to q161 (ranking), q208 (reliability
+    // table), q217 (calibration fit): overall Brier is EXACT integer
+    // algebra (score is a 0..1024 fixed-point probability, so
+    // Σ(s−1024·y)² is a BIGINT), and the binned reliability/resolution
+    // components snap each bin's term to micro BIGINT before the
+    // cross-bin sum (8 doubles summed in engine order would be the
+    // order-sensitivity bug this suite bans).
+    QueryDef(
+      "q242_brier_decomposition",
+      (s, d) => {
+        import s.implicits._
+        val embs = withY(Tables.embeddings(s, d))
+        val model = LogReg.train(embs, "embedding", "y", Iters, EtaDen, PosWeight)
+        val scored = LogReg.scoreAll(embs, "vec_id", "embedding", "y", model)
+          .withColumn("bin", least(floor($"score" / 128.0).cast("long"), lit(7L)))
+          .localCheckpoint(true)
+        val bins = scored.groupBy($"bin")
+          .agg(count(lit(1)).as("nk"), sum($"score").as("ssk"),
+            sum($"y").as("syk"))
+        val tot = scored.agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+          sum(($"score" - lit(1024L) * $"y") * ($"score" - lit(1024L) * $"y"))
+            .as("sq"))
+        val terms = bins.crossJoin(tot)
+          .select(
+            floor($"nk".cast("double")
+              * ($"ssk".cast("double") / (lit(1024.0) * $"nk")
+                - $"syk".cast("double") / $"nk")
+              * ($"ssk".cast("double") / (lit(1024.0) * $"nk")
+                - $"syk".cast("double") / $"nk")
+              * 1000000.0 + lit(0.5)).cast("long").as("relk"),
+            floor($"nk".cast("double")
+              * ($"syk".cast("double") / $"nk" - $"sy".cast("double") / $"n")
+              * ($"syk".cast("double") / $"nk" - $"sy".cast("double") / $"n")
+              * 1000000.0 + lit(0.5)).cast("long").as("resk"))
+          .agg(sum($"relk").as("srel"), sum($"resk").as("sres"))
+        terms.crossJoin(tot).select($"n",
+          floor($"sq".cast("double") / 1048576.0 / $"n" * 1000000.0
+            + lit(0.5)).cast("long").as("brier_micro"),
+          floor($"srel".cast("double") / $"n" + lit(0.5)).cast("long")
+            .as("rel_micro"),
+          floor($"sres".cast("double") / $"n" + lit(0.5)).cast("long")
+            .as("res_micro"),
+          floor($"sy".cast("double") * ($"n" - $"sy") / $"n" / $"n"
+            * 1000000.0 + lit(0.5)).cast("long").as("unc_micro"))
+      },
+      Some(
+        s"""${gdCtes(Iters, None)},
+           |${finalMargins(Iters, "tr")},
+           |sc AS MATERIALIZED (
+           |  SELECT z.vec_id, ${scoreExpr("z.z")} AS score, l.y
+           |  FROM zf z JOIN lab l ON z.vec_id = l.vec_id),
+           |binned AS MATERIALIZED (
+           |  SELECT LEAST(CAST(floor(score / 128.0) AS BIGINT), 7) AS bin,
+           |    score, y
+           |  FROM sc),
+           |bins AS (
+           |  SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+           |    CAST(SUM(score) AS BIGINT) AS ssk,
+           |    CAST(SUM(y) AS BIGINT) AS syk
+           |  FROM binned GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+           |    CAST(SUM((score - 1024 * y) * (score - 1024 * y)) AS BIGINT) AS sq
+           |  FROM binned),
+           |terms AS (
+           |  SELECT
+           |    CAST(SUM(CAST(floor(CAST(nk AS DOUBLE)
+           |      * (CAST(ssk AS DOUBLE) / (1024.0 * nk)
+           |        - CAST(syk AS DOUBLE) / nk)
+           |      * (CAST(ssk AS DOUBLE) / (1024.0 * nk)
+           |        - CAST(syk AS DOUBLE) / nk)
+           |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS srel,
+           |    CAST(SUM(CAST(floor(CAST(nk AS DOUBLE)
+           |      * (CAST(syk AS DOUBLE) / nk - CAST(sy AS DOUBLE) / n)
+           |      * (CAST(syk AS DOUBLE) / nk - CAST(sy AS DOUBLE) / n)
+           |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sres
+           |  FROM bins CROSS JOIN tot)
+           |SELECT n,
+           |  CAST(floor(CAST(sq AS DOUBLE) / 1048576.0 / n * 1000000.0 + 0.5)
+           |    AS BIGINT) AS brier_micro,
+           |  CAST(floor(CAST(srel AS DOUBLE) / n + 0.5) AS BIGINT) AS rel_micro,
+           |  CAST(floor(CAST(sres AS DOUBLE) / n + 0.5) AS BIGINT) AS res_micro,
+           |  CAST(floor(CAST(sy AS DOUBLE) * (n - sy) / n / n * 1000000.0 + 0.5)
+           |    AS BIGINT) AS unc_micro
+           |FROM terms CROSS JOIN tot""".stripMargin)),
+
+    // ----- q243: decile lift / gains table — the deployment-facing
+    // view of the q128 classifier ("score the corpus, work the top
+    // decile first"): exact ntile deciles over (score desc, vec_id)
+    // via GlobalOrder.ntileRank (two-pass tile assignment, NOT an
+    // unpartitioned ntile window — the q91 discipline), per-decile
+    // positive rate, lift vs the base rate, and cumulative capture,
+    // every ratio one fixed snapped division over exact counts.
+    QueryDef(
+      "q243_decile_lift",
+      (s, d) => {
+        import s.implicits._
+        val embs = withY(Tables.embeddings(s, d))
+        val model = LogReg.train(embs, "embedding", "y", Iters, EtaDen, PosWeight)
+        val scored = LogReg.scoreAll(embs, "vec_id", "embedding", "y", model)
+        val ranked = graft.operators.GlobalOrder.ntileRank(
+          scored.select($"vec_id", $"score", $"y"),
+          Seq($"score".desc, $"vec_id"), 10, "decile")
+        val dec = ranked.groupBy($"decile")
+          .agg(count(lit(1)).as("n"), sum($"y").as("pos"))
+          .localCheckpoint(true)
+        val tot = dec.agg(sum($"n").as("sn"), sum($"pos").as("spos"))
+        val cum = dec.as("a").join(dec.as("b"), $"b.decile" <= $"a.decile")
+          .groupBy($"a.decile".as("decile"))
+          .agg(sum($"b.pos").as("cpos"))
+        dec.join(cum, "decile").crossJoin(tot)
+          .select($"decile", $"n", $"pos",
+            floor($"pos".cast("double") / $"n" * 1000.0 + lit(0.5))
+              .cast("long").as("rate_milli"),
+            floor(($"pos".cast("double") / $"n")
+              / ($"spos".cast("double") / $"sn") * 1000.0 + lit(0.5))
+              .cast("long").as("lift_milli"),
+            floor($"cpos".cast("double") / $"spos" * 1000.0 + lit(0.5))
+              .cast("long").as("capture_milli"))
+          .orderBy($"decile")
+      },
+      Some(
+        s"""${gdCtes(Iters, None)},
+           |${finalMargins(Iters, "tr")},
+           |sc AS MATERIALIZED (
+           |  SELECT z.vec_id, ${scoreExpr("z.z")} AS score, l.y
+           |  FROM zf z JOIN lab l ON z.vec_id = l.vec_id),
+           |ranked AS MATERIALIZED (
+           |  SELECT vec_id, y,
+           |    CAST(ntile(10) OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+           |      AS decile
+           |  FROM sc),
+           |dec AS MATERIALIZED (
+           |  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(y) AS BIGINT) AS pos
+           |  FROM ranked GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS sn,
+           |    CAST(SUM(pos) AS BIGINT) AS spos FROM dec),
+           |cum AS (
+           |  SELECT a.decile, CAST(SUM(b.pos) AS BIGINT) AS cpos
+           |  FROM dec a JOIN dec b ON b.decile <= a.decile
+           |  GROUP BY 1)
+           |SELECT d.decile, d.n, d.pos,
+           |  CAST(floor(CAST(d.pos AS DOUBLE) / d.n * 1000.0 + 0.5) AS BIGINT)
+           |    AS rate_milli,
+           |  CAST(floor((CAST(d.pos AS DOUBLE) / d.n)
+           |    / (CAST(t.spos AS DOUBLE) / t.sn) * 1000.0 + 0.5) AS BIGINT)
+           |    AS lift_milli,
+           |  CAST(floor(CAST(c.cpos AS DOUBLE) / t.spos * 1000.0 + 0.5)
+           |    AS BIGINT) AS capture_milli
+           |FROM dec d JOIN cum c ON d.decile = c.decile CROSS JOIN tot t
+           |ORDER BY d.decile""".stripMargin)),
+
+    // ----- q241: Poisson GLM by gradient ascent — the COUNTS member
+    // of the GLM family (q128's logistic handles binary labels; event
+    // counts need log-link Poisson): per-user purchase counts
+    // regressed on the centered view count, λ = exp(b0 + b1·zc).
+    // 4 fixed full-batch iterations, the whole recurrence oracle-
+    // replayed: init b0 at the closed-form intercept MLE ln(ȳ) (one
+    // snapped ln), each row's rate λ micro-snapped through ONE exp
+    // (the q96/q236 libm discipline), exact BIGINT score sums
+    // Σ(y−λ) and Σ(y−λ)·zc, micro-snapped parameter updates. Scale
+    // shape: each iteration is one conditional aggregate over the
+    // per-user frame — the corpus never shuffles after the first
+    // groupBy; parameter state is a 1-row frame (never collected).
+    QueryDef(
+      "q241_poisson_glm",
+      (s, d) => {
+        import s.implicits._
+        val users = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"),
+            sum(when($"event_type" === "view", 1L).otherwise(0L)).as("z"))
+          .localCheckpoint(true)
+        val zb = users.agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+            sum($"z").as("sz"))
+          .select($"n", $"sy",
+            floor($"sz".cast("double") * 1000.0 / $"n" + lit(0.5))
+              .cast("long").as("zbarm"))
+        val u2 = users.crossJoin(zb)
+          .select($"user_id", $"y", ($"z" * lit(1000L) - $"zbarm").as("zcm"),
+            $"n", $"sy")
+          .localCheckpoint(true)
+        var par = zb.select(
+          floor(log($"sy".cast("double") / $"n") * 1000000.0 + lit(0.5))
+            .cast("long").as("b0m"),
+          lit(0L).as("b1m")).localCheckpoint(true)
+        for (_ <- 1 to 4) {
+          val lam = floor(exp($"b0m".cast("double") / 1000000.0
+            + $"b1m".cast("double") / 1000000.0 * ($"zcm".cast("double") / 1000.0))
+            * 1000000.0 + lit(0.5)).cast("long")
+          val g = u2.crossJoin(par)
+            .select($"y", $"zcm", $"n", $"b0m", $"b1m", lam.as("lam"))
+            .groupBy($"b0m", $"b1m")
+            .agg(max($"n").as("n"),
+              sum($"y" * lit(1000000L) - $"lam").as("g0"),
+              sum(($"y" * lit(1000000L) - $"lam") * $"zcm").as("g1"))
+          par = g.select(
+            ($"b0m" + floor(lit(0.5) * $"g0".cast("double") / $"n" + lit(0.5))
+              .cast("long")).as("b0m"),
+            ($"b1m" + floor(lit(0.002) * $"g1".cast("double")
+              / (lit(1000.0) * $"n") + lit(0.5)).cast("long")).as("b1m"))
+            .localCheckpoint(true)
+        }
+        par.crossJoin(zb.select($"n".as("n_users"), $"sy"))
+          .select($"n_users", $"sy", $"b0m".as("b0_micro"),
+            $"b1m".as("b1_micro"),
+            floor(exp($"b0m".cast("double") / 1000000.0) * 1000000.0
+              + lit(0.5)).cast("long").as("base_rate_micro"))
+      },
+      Some {
+        def iter(t: Int): String =
+          s"""g$t AS (
+             |  SELECT p.b0m, p.b1m, MAX(u.n) AS n,
+             |    CAST(SUM(u.y * 1000000 -
+             |      CAST(floor(exp(p.b0m / 1000000.0
+             |        + p.b1m / 1000000.0 * (u.zcm / 1000.0))
+             |        * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+             |    CAST(SUM((u.y * 1000000 -
+             |      CAST(floor(exp(p.b0m / 1000000.0
+             |        + p.b1m / 1000000.0 * (u.zcm / 1000.0))
+             |        * 1000000.0 + 0.5) AS BIGINT)) * u.zcm) AS BIGINT) AS g1
+             |  FROM u2 u CROSS JOIN par${t - 1} p
+             |  GROUP BY p.b0m, p.b1m),
+             |par$t AS MATERIALIZED (
+             |  SELECT
+             |    b0m + CAST(floor(0.5 * CAST(g0 AS DOUBLE) / n + 0.5) AS BIGINT)
+             |      AS b0m,
+             |    b1m + CAST(floor(0.002 * CAST(g1 AS DOUBLE) / (1000.0 * n)
+             |      + 0.5) AS BIGINT) AS b1m
+             |  FROM g$t)""".stripMargin
+        s"""WITH users AS MATERIALIZED (
+           |  SELECT user_id,
+           |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS y,
+           |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS z
+           |  FROM events GROUP BY 1),
+           |zb AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+           |    CAST(floor(CAST(SUM(z) AS DOUBLE) * 1000.0 / count(*) + 0.5)
+           |      AS BIGINT) AS zbarm
+           |  FROM users),
+           |u2 AS MATERIALIZED (
+           |  SELECT u.user_id, u.y, u.z * 1000 - b.zbarm AS zcm, b.n, b.sy
+           |  FROM users u CROSS JOIN zb b),
+           |par0 AS MATERIALIZED (
+           |  SELECT CAST(floor(ln(CAST(sy AS DOUBLE) / n) * 1000000.0 + 0.5)
+           |    AS BIGINT) AS b0m, 0::BIGINT AS b1m
+           |  FROM zb),
+           |${(1 to 4).map(iter).mkString(",\n")}
+           |SELECT b.n AS n_users, b.sy, p.b0m AS b0_micro, p.b1m AS b1_micro,
+           |  CAST(floor(exp(p.b0m / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)
+           |    AS base_rate_micro
+           |FROM par4 p CROSS JOIN zb b""".stripMargin
+      }))
 
   private val AdaRounds = 3
 
