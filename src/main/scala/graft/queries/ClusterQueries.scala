@@ -622,5 +622,130 @@ object ClusterQueries {
            |UNION ALL
            |SELECT 2::BIGINT, 1000000 - p1m, mu2m, s2m FROM par3
            |ORDER BY component""".stripMargin
+      }),
+
+    // ----- q247: isolation forest (Liu, Ting & Zhou 2008) — the
+    // model-based anomaly member next to the distributional tests
+    // (q246 names extreme VALUES; isolation names extreme POINTS in a
+    // multi-feature space): 4 trees × 5 levels over (account balance,
+    // order count) per customer. Every "random" choice is the
+    // three-surface portable hash of (tree, node) — split dimension
+    // from one salt, split value uniform on the node's integer range
+    // from another — so the whole forest is a pure function of the
+    // data and both engines grow IDENTICAL trees; the oracle unrolls
+    // all 5 levels as stats/split/reassign CTE triples. A row's
+    // depth = the level its node count hits 1 (or the node range
+    // collapses; 5 if never isolated); score = mean depth — LOW is
+    // anomalous. The min-guaranteed progress property (split value in
+    // [mn, mx−1] sends the node min left and max right) keeps every
+    // split non-degenerate. Scale shape: per level one (tree, node)-
+    // keyed aggregate + broadcast-joinable split table (≤ T·2^level
+    // rows — never data-sized).
+    QueryDef(
+      "q247_isolation_forest",
+      (s, d) => {
+        import s.implicits._
+        val T = 4; val D = 5
+        val SaltDim = 247L; val SaltVal = 248L
+        val rows = Tables.customer(s, d)
+          .select($"c_custkey".as("id"),
+            floor($"c_acctbal").cast("long").as("f1"))
+          .join(Tables.orders(s, d).groupBy($"o_custkey")
+            .agg(count(lit(1)).as("oc"))
+            .select($"o_custkey".as("id"), $"oc"), Seq("id"), "left")
+          .select($"id", $"f1", coalesce($"oc", lit(0L)).as("f2"))
+          .localCheckpoint(true)
+        val trees = s.range(0, T).toDF("t")
+        var assign = rows.crossJoin(broadcast(trees))
+          .select($"t", $"id", $"f1", $"f2", lit(1L).as("nid"),
+            lit(null).cast("long").as("depth"))
+          .localCheckpoint(true)
+        for (l <- 0 until D) {
+          val stats = assign.filter($"depth".isNull)
+            .groupBy($"t", $"nid")
+            .agg(count(lit(1)).as("cnt"),
+              min($"f1").as("mn1"), max($"f1").as("mx1"),
+              min($"f2").as("mn2"), max($"f2").as("mx2"))
+          val splits = stats
+            .withColumn("dim",
+              Sampling.hashBits($"t" * 65536 + $"nid", SaltDim) % 2)
+            .withColumn("mn", when($"dim" === 0, $"mn1").otherwise($"mn2"))
+            .withColumn("mx", when($"dim" === 0, $"mx1").otherwise($"mx2"))
+            .withColumn("sv", when($"mx" > $"mn", $"mn"
+              + Sampling.hashBits($"t" * 65536 + $"nid", SaltVal)
+                % ($"mx" - $"mn")))
+            .select($"t", $"nid", $"cnt", $"dim", $"mx", $"mn", $"sv")
+          assign = assign.join(splits, Seq("t", "nid"), "left")
+            .select($"t", $"id", $"f1", $"f2",
+              when($"depth".isNotNull, $"nid")
+                .when($"cnt" === 1 || $"mx" === $"mn", $"nid")
+                .otherwise($"nid" * 2
+                  + when((when($"dim" === 0, $"f1").otherwise($"f2")) > $"sv",
+                      1L).otherwise(0L)).as("nid"),
+              when($"depth".isNotNull, $"depth")
+                .when($"cnt" === 1 || $"mx" === $"mn", lit(l.toLong))
+                .otherwise(lit(null).cast("long")).as("depth"))
+            .localCheckpoint(true)
+        }
+        assign
+          .select($"t", $"id", coalesce($"depth", lit(D.toLong)).as("depth"))
+          .groupBy($"id").agg(sum($"depth").as("sdepth"))
+          .select($"id", ($"sdepth" * lit(1000L / T)).as("score_milli"))
+          .join(rows, "id")
+          .select($"id".as("c_custkey"), $"f1", $"f2", $"score_milli")
+          .orderBy($"score_milli", $"c_custkey").limit(20)
+      },
+      Some {
+        val T = 4; val D = 5
+        val hDim = Sampling.hashBitsSql("(t * 65536 + nid)", 247L)
+        val hVal = Sampling.hashBitsSql("(t * 65536 + nid)", 248L)
+        def level(l: Int): String =
+          s"""st$l AS (
+             |  SELECT t, nid, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(min(f1) AS BIGINT) AS mn1, CAST(max(f1) AS BIGINT) AS mx1,
+             |    CAST(min(f2) AS BIGINT) AS mn2, CAST(max(f2) AS BIGINT) AS mx2
+             |  FROM a$l WHERE depth IS NULL GROUP BY 1, 2),
+             |sp$l AS MATERIALIZED (
+             |  SELECT t, nid, cnt, dim,
+             |    CASE WHEN dim = 0 THEN mn1 ELSE mn2 END AS mn,
+             |    CASE WHEN dim = 0 THEN mx1 ELSE mx2 END AS mx,
+             |    CASE WHEN (CASE WHEN dim = 0 THEN mx1 ELSE mx2 END)
+             |            > (CASE WHEN dim = 0 THEN mn1 ELSE mn2 END)
+             |      THEN (CASE WHEN dim = 0 THEN mn1 ELSE mn2 END)
+             |        + ($hVal)
+             |          % ((CASE WHEN dim = 0 THEN mx1 ELSE mx2 END)
+             |            - (CASE WHEN dim = 0 THEN mn1 ELSE mn2 END))
+             |      ELSE NULL END AS sv
+             |  FROM (SELECT *, ($hDim) % 2 AS dim FROM st$l)),
+             |a${l + 1} AS MATERIALIZED (
+             |  SELECT a.t, a.id, a.f1, a.f2,
+             |    CASE WHEN a.depth IS NOT NULL THEN a.nid
+             |      WHEN s.cnt = 1 OR s.mx = s.mn THEN a.nid
+             |      ELSE a.nid * 2 + (CASE WHEN
+             |        (CASE WHEN s.dim = 0 THEN a.f1 ELSE a.f2 END) > s.sv
+             |        THEN 1 ELSE 0 END) END AS nid,
+             |    CASE WHEN a.depth IS NOT NULL THEN a.depth
+             |      WHEN s.cnt = 1 OR s.mx = s.mn THEN CAST($l AS BIGINT)
+             |      ELSE NULL END AS depth
+             |  FROM a$l a LEFT JOIN sp$l s ON a.t = s.t AND a.nid = s.nid)""".stripMargin
+        s"""WITH rows0 AS MATERIALIZED (
+           |  SELECT c.c_custkey AS id, CAST(floor(c.c_acctbal) AS BIGINT) AS f1,
+           |    COALESCE(o.oc, 0) AS f2
+           |  FROM customer c LEFT JOIN (
+           |    SELECT o_custkey, CAST(count(*) AS BIGINT) AS oc
+           |    FROM orders GROUP BY 1) o ON o.o_custkey = c.c_custkey),
+           |a0 AS MATERIALIZED (
+           |  SELECT tr.t, r.id, r.f1, r.f2, 1::BIGINT AS nid,
+           |    NULL::BIGINT AS depth
+           |  FROM rows0 r CROSS JOIN
+           |    (SELECT CAST(unnest(range(0, $T)) AS BIGINT) AS t) tr),
+           |${(0 until D).map(level).mkString(",\n")},
+           |scores AS (
+           |  SELECT id, CAST(SUM(COALESCE(depth, $D)) AS BIGINT) * ${1000 / T}
+           |    AS score_milli
+           |  FROM a$D GROUP BY 1)
+           |SELECT s.id AS c_custkey, r.f1, r.f2, s.score_milli
+           |FROM scores s JOIN rows0 r ON s.id = r.id
+           |ORDER BY s.score_milli, c_custkey LIMIT 20""".stripMargin
       }))
 }

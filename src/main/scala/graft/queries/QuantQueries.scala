@@ -1979,7 +1979,174 @@ object QuantQueries {
              |SELECT m.yr, n.n_days, m.n_pairs,
              |  CAST(floor(m.med + 0.5) AS BIGINT) AS sen_slope_micro
              |FROM med m JOIN nd n ON m.yr = n.yr
-             |ORDER BY m.yr""".stripMargin)))
+             |ORDER BY m.yr""".stripMargin)),
+
+    // ----- q245: autocorrelation function + Ljung–Box Q of daily
+    // revenue, lags 1..14 — the serial-dependence member the
+    // time-series family lacks (Holt/EWMA smooth, Mann–Kendall tests
+    // monotone trend; ACF answers "how long does a shock persist" and
+    // LB "is there ANY autocorrelation"). Estimator: products of
+    // snapped-mean-centered integer dollars (c_t = rev_t − ⌊r̄⌉, so
+    // every covariance term is an exact BIGINT — headroom Σ|c·c| ≤
+    // 4·10¹⁰·n), ρ_L micro-snapped from γ_L/γ_0, each lag's LB term
+    // nano-snapped BEFORE the cumulative integer sum (no cross-lag
+    // float accumulation). Day gaps pair naturally: the lag join is
+    // on exact day index, so missing days contribute no pairs on
+    // either engine.
+    QueryDef(
+      "q245_acf_ljung_box",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice").cast("long").as("vd"))
+          .groupBy($"day").agg(sum($"vd").as("rev"))
+          .select(datediff($"day", lit("1995-01-01").cast("date"))
+            .cast("long").as("di"), $"rev")
+          .localCheckpoint(true)
+        val ms = daily.agg(count(lit(1)).as("n"), sum($"rev").as("srev"))
+          .select($"n",
+            floor($"srev".cast("double") / $"n" + lit(0.5)).cast("long")
+              .as("rbar"))
+        val cent = daily.crossJoin(ms)
+          .select($"di", ($"rev" - $"rbar").as("c"), $"n")
+          .localCheckpoint(true)
+        val g0 = cent.agg(sum($"c" * $"c").as("g0"), max($"n").as("n"))
+        val lags = s.range(1, 15).toDF("lag")
+        val gl = cent.as("a")
+          .crossJoin(broadcast(lags))      // fan out each row × 14 lags
+          .join(cent.as("b"), $"b.di" === $"a.di" + $"lag")
+          .groupBy($"lag")
+          .agg(sum($"a.c" * $"b.c").as("gl"), count(lit(1)).as("n_pairs"))
+        val terms = gl.crossJoin(g0)
+          .select($"lag", $"n_pairs",
+            floor($"gl".cast("double") / $"g0" * 1000000.0 + lit(0.5))
+              .cast("long").as("rho_micro"),
+            floor(($"gl".cast("double") / $"g0") * ($"gl".cast("double") / $"g0")
+              / ($"n" - $"lag") * 1.0e9 + lit(0.5)).cast("long").as("tnano"),
+            $"n")
+          .localCheckpoint(true)
+        val cum = terms.as("a")
+          .join(terms.as("b").select($"lag".as("blag"), $"tnano".as("btn")),
+            $"blag" <= $"a.lag")
+          .groupBy($"a.lag".as("lag"))
+          .agg(sum($"btn").as("st"))
+        terms.select($"lag", $"n_pairs", $"rho_micro", $"n")
+          .join(cum, "lag")
+          .select($"lag", $"n_pairs", $"rho_micro",
+            floor($"n".cast("double") * ($"n" + 2) * $"st".cast("double")
+              / 1000.0 + lit(0.5)).cast("long").as("lb_q_micro"))
+          .orderBy($"lag")
+      },
+      Some("""WITH daily AS MATERIALIZED (
+             |  SELECT datediff('day', DATE '1995-01-01', day) AS di, rev
+             |  FROM (
+             |    SELECT CAST(o_orderdate AS DATE) AS day,
+             |      CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+             |    FROM orders GROUP BY 1)),
+             |ms AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(floor(CAST(SUM(rev) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             |      AS rbar
+             |  FROM daily),
+             |cent AS MATERIALIZED (
+             |  SELECT d.di, d.rev - m.rbar AS c, m.n
+             |  FROM daily d CROSS JOIN ms m),
+             |g0 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS g0, MAX(n) AS n
+             |       FROM cent),
+             |lags AS (SELECT CAST(unnest(range(1, 15)) AS BIGINT) AS lag),
+             |gl AS (
+             |  SELECT l.lag, CAST(SUM(a.c * b.c) AS BIGINT) AS gl,
+             |    CAST(count(*) AS BIGINT) AS n_pairs
+             |  FROM cent a CROSS JOIN lags l
+             |  JOIN cent b ON b.di = a.di + l.lag
+             |  GROUP BY 1),
+             |terms AS MATERIALIZED (
+             |  SELECT g.lag, g.n_pairs,
+             |    CAST(floor(CAST(g.gl AS DOUBLE) / z.g0 * 1000000.0 + 0.5)
+             |      AS BIGINT) AS rho_micro,
+             |    CAST(floor((CAST(g.gl AS DOUBLE) / z.g0)
+             |      * (CAST(g.gl AS DOUBLE) / z.g0)
+             |      / (z.n - g.lag) * 1.0e9 + 0.5) AS BIGINT) AS tnano,
+             |    z.n
+             |  FROM gl g CROSS JOIN g0 z),
+             |cum AS (
+             |  SELECT a.lag, CAST(SUM(b.tnano) AS BIGINT) AS st
+             |  FROM terms a JOIN terms b ON b.lag <= a.lag
+             |  GROUP BY 1)
+             |SELECT t.lag, t.n_pairs, t.rho_micro,
+             |  CAST(floor(CAST(t.n AS DOUBLE) * (t.n + 2) * CAST(c.st AS DOUBLE)
+             |    / 1000.0 + 0.5) AS BIGINT) AS lb_q_micro
+             |FROM terms t JOIN cum c ON t.lag = c.lag
+             |ORDER BY t.lag""".stripMargin)),
+
+    // ----- q246: generalized ESD outlier rounds (Rosner 1983) on
+    // daily revenue — the FORMAL outlier test next to the q199
+    // winsorized robust stats (those CLIP extremes; this one NAMES
+    // them with a test statistic): 3 unrolled remove-the-extreme
+    // rounds. The argmax each round is selected by the EXACT integer
+    // ordinal |n·x − Σx| (ties by day) — never by a float distance —
+    // and only the reported G statistic touches doubles, one snapped
+    // assembly per round. Each round's moments are exact BIGINT sums
+    // over the surviving set.
+    QueryDef(
+      "q246_esd_outliers",
+      (s, d) => {
+        import s.implicits._
+        var surv = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice").cast("long").as("vd"))
+          .groupBy($"day").agg(sum($"vd").as("rev"))
+          .select(datediff($"day", lit("1995-01-01").cast("date"))
+            .cast("long").as("di"), $"rev")
+          .localCheckpoint(true)
+        val out = (1 to 3).map { r =>
+          val m = surv.agg(count(lit(1)).as("n"), sum($"rev").as("sx"),
+            sum($"rev" * $"rev").as("sxx"))
+          val pick = surv.crossJoin(m)
+            .orderBy(abs($"n" * $"rev" - $"sx").desc, $"di")
+            .limit(1)
+            .select(lit(r.toLong).as("round"), $"di", $"rev", $"n",
+              floor(abs(($"n" * $"rev" - $"sx").cast("double")) / $"n"
+                / sqrt(($"sxx".cast("double")
+                  - $"sx".cast("double") * $"sx" / $"n") / ($"n" - 1))
+                * 1000000.0 + lit(0.5)).cast("long").as("g_micro"))
+            .localCheckpoint(true)
+          surv = surv.join(pick.select($"di"), Seq("di"), "left_anti")
+            .localCheckpoint(true)
+          pick
+        }.reduce(_ unionAll _)
+        out.orderBy($"round")
+      },
+      Some {
+        def round(i: Int): String =
+          s"""m$i AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(rev) AS BIGINT) AS sx,
+             |    CAST(SUM(rev * rev) AS BIGINT) AS sxx
+             |  FROM s${i - 1}),
+             |pick$i AS MATERIALIZED (
+             |  SELECT CAST($i AS BIGINT) AS round, s.di, s.rev, m.n,
+             |    CAST(floor(ABS(CAST(m.n * s.rev - m.sx AS DOUBLE)) / m.n
+             |      / sqrt((CAST(m.sxx AS DOUBLE)
+             |        - CAST(m.sx AS DOUBLE) * m.sx / m.n) / (m.n - 1))
+             |      * 1000000.0 + 0.5) AS BIGINT) AS g_micro
+             |  FROM s${i - 1} s CROSS JOIN m$i m
+             |  ORDER BY ABS(m.n * s.rev - m.sx) DESC, s.di LIMIT 1),
+             |s$i AS MATERIALIZED (
+             |  SELECT di, rev FROM s${i - 1}
+             |  WHERE di NOT IN (SELECT di FROM pick$i))""".stripMargin
+        s"""WITH s0 AS MATERIALIZED (
+           |  SELECT datediff('day', DATE '1995-01-01', day) AS di, rev
+           |  FROM (
+           |    SELECT CAST(o_orderdate AS DATE) AS day,
+           |      CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+           |    FROM orders GROUP BY 1)),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT round, di, rev, n, g_micro FROM (
+           |  SELECT * FROM pick1 UNION ALL SELECT * FROM pick2
+           |  UNION ALL SELECT * FROM pick3)
+           |ORDER BY round""".stripMargin
+      }))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L
