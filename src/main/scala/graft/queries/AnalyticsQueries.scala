@@ -1344,7 +1344,141 @@ object AnalyticsQueries {
            |SELECT * FROM (
            |$finals)
            |ORDER BY k""".stripMargin
-      }))
+      }),
+
+    // ----- q249: rich-club coefficient φ(k) for k = 1..10 on the q209
+    // thinned graph — "do the high-degree parts preferentially link to
+    // EACH OTHER" (the hub-backbone structure question q244's size
+    // spectrum can't answer). Exact: per-edge m = min(deg_a, deg_b)
+    // and per-node degree histograms fan out over the 10 thresholds
+    // (broadcast k-range, conditional sums), φ = 2e_k/(n_k(n_k−1))
+    // micro-snapped once; rows with n_k < 2 drop on both sides.
+    QueryDef(
+      "q249_rich_club",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+          .localCheckpoint(true)
+        val deg = e0.select($"pa".as("v")).unionAll(e0.select($"pb".as("v")))
+          .groupBy($"v").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        val em = e0
+          .join(deg.select($"v".as("pa"), $"deg".as("da")), "pa")
+          .join(deg.select($"v".as("pb"), $"deg".as("db")), "pb")
+          .select(least($"da", $"db").as("m"))
+        val ks = s.range(1, 11).toDF("k")
+        val ek = em.crossJoin(broadcast(ks))
+          .groupBy($"k").agg(sum(when($"m" > $"k", 1L).otherwise(0L)).as("e"))
+        val nk = deg.crossJoin(broadcast(ks))
+          .groupBy($"k").agg(sum(when($"deg" > $"k", 1L).otherwise(0L)).as("n"))
+        ek.join(nk, "k")
+          .filter($"n" >= 2)
+          .select($"k", $"n".as("n_rich"), $"e".as("e_rich"),
+            floor(lit(2.0) * $"e".cast("double") * 1000000.0
+              / ($"n".cast("double") * ($"n" - 1)) + lit(0.5))
+              .cast("long").as("phi_micro"))
+          .orderBy($"k")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS MATERIALIZED (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM li a
+             |  JOIN li b ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS MATERIALIZED (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+             |    SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0)
+             |  GROUP BY 1),
+             |em AS (
+             |  SELECT LEAST(da.deg, db.deg) AS m
+             |  FROM e0 JOIN deg da ON e0.pa = da.v JOIN deg db ON e0.pb = db.v),
+             |ks AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS k),
+             |ek AS (
+             |  SELECT k, CAST(SUM(CASE WHEN m > k THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS e
+             |  FROM em CROSS JOIN ks GROUP BY 1),
+             |nk AS (
+             |  SELECT k, CAST(SUM(CASE WHEN deg > k THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n
+             |  FROM deg CROSS JOIN ks GROUP BY 1)
+             |SELECT ek.k, nk.n AS n_rich, ek.e AS e_rich,
+             |  CAST(floor(2.0 * CAST(ek.e AS DOUBLE) * 1000000.0
+             |    / (CAST(nk.n AS DOUBLE) * (nk.n - 1)) + 0.5) AS BIGINT)
+             |    AS phi_micro
+             |FROM ek JOIN nk ON ek.k = nk.k
+             |WHERE nk.n >= 2
+             |ORDER BY ek.k""".stripMargin)),
+
+    // ----- q250: degree assortativity (Newman 2002) — the one-number
+    // mixing summary behind q249's curve: Pearson correlation of
+    // endpoint degrees over every DIRECTED edge (each undirected edge
+    // contributes both orientations, the standard convention). All
+    // five moments are exact BIGINT sums; one fixed double assembly,
+    // micro-snapped.
+    QueryDef(
+      "q250_assortativity",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+          .localCheckpoint(true)
+        val deg = e0.select($"pa".as("v")).unionAll(e0.select($"pb".as("v")))
+          .groupBy($"v").agg(count(lit(1)).as("deg"))
+        val dd = e0
+          .join(deg.select($"v".as("pa"), $"deg".as("da")), "pa")
+          .join(deg.select($"v".as("pb"), $"deg".as("db")), "pb")
+          .select($"da", $"db")
+        val both = dd.select($"da".as("x"), $"db".as("y"))
+          .unionAll(dd.select($"db".as("x"), $"da".as("y")))
+        both.agg(count(lit(1)).as("m"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+            sum($"y" * $"y").as("syy"))
+          .select($"m",
+            floor(($"m".cast("double") * $"sxy".cast("double")
+                - $"sx".cast("double") * $"sy".cast("double"))
+              / (sqrt($"m".cast("double") * $"sxx".cast("double")
+                  - $"sx".cast("double") * $"sx".cast("double"))
+                * sqrt($"m".cast("double") * $"syy".cast("double")
+                  - $"sy".cast("double") * $"sy".cast("double")))
+              * 1000000.0 + lit(0.5)).cast("long").as("r_micro"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS MATERIALIZED (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM li a
+             |  JOIN li b ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |deg AS MATERIALIZED (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+             |    SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0)
+             |  GROUP BY 1),
+             |dd AS (
+             |  SELECT da.deg AS da, db.deg AS db
+             |  FROM e0 JOIN deg da ON e0.pa = da.v JOIN deg db ON e0.pb = db.v),
+             |bo AS (SELECT da AS x, db AS y FROM dd
+             |       UNION ALL SELECT db, da FROM dd),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM bo)
+             |SELECT m,
+             |  CAST(floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    * 1000000.0 + 0.5) AS BIGINT) AS r_micro
+             |FROM m""".stripMargin)))
 
   /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103
     * oracle. FNV-1a over the word's bytes in HUGEINT (the corpus is

@@ -2146,6 +2146,126 @@ object QuantQueries {
            |  SELECT * FROM pick1 UNION ALL SELECT * FROM pick2
            |  UNION ALL SELECT * FROM pick3)
            |ORDER BY round""".stripMargin
+      }),
+
+    // ----- q248: Bradley–Terry strength ranking from pairwise
+    // preferences (Hunter 2004 MM iterations) — the preference-
+    // learning member (the estimator behind LLM eval leaderboards and
+    // RLHF reward comparisons, exercised here on co-purchase data):
+    // within each order carrying two top-12 parts, the one with the
+    // larger line quantity "wins" (ties skipped); 3 MM rounds
+    // π_i ← W_i / Σ_j n_ij/(π_i+π_j), every cross-opponent term
+    // nano-snapped BEFORE the per-part sum (an 11-term float sum in
+    // engine order is the order-sensitivity class this suite bans),
+    // strengths re-normalized to Σπ = 12 each round, all states
+    // micro-snapped. Oracle unrolls all three rounds.
+    QueryDef(
+      "q248_bradley_terry",
+      (s, d) => {
+        import s.implicits._
+        val op = Tables.lineitem(s, d)
+          .groupBy($"l_orderkey", $"l_partkey")
+          .agg(floor(sum($"l_quantity")).cast("long").as("q"))
+        val top12 = op.groupBy($"l_partkey")
+          .agg(count(lit(1)).as("n_ord"))
+          .orderBy($"n_ord".desc, $"l_partkey").limit(12)
+          .select($"l_partkey".as("part"))
+        val opt = op.join(broadcast(top12), $"l_partkey" === $"part")
+          .select($"l_orderkey", $"part", $"q")
+          .localCheckpoint(true)
+        val wins = opt.as("a").join(opt.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.part" =!= $"b.part"
+              && $"a.q" > $"b.q")
+          .groupBy($"a.part".as("wi"), $"b.part".as("lo"))
+          .agg(count(lit(1)).as("w"))
+          .localCheckpoint(true)
+        // symmetric comparison counts n_ij and per-part total wins
+        val nij = wins.select($"wi".as("i"), $"lo".as("j"), $"w")
+          .unionAll(wins.select($"lo".as("i"), $"wi".as("j"), $"w"))
+          .groupBy($"i", $"j").agg(sum($"w").as("nij"))
+          .localCheckpoint(true)
+        val tw = top12.select($"part".as("i"))
+          .join(wins.groupBy($"wi".as("i")).agg(sum($"w").as("wi_tot")),
+            Seq("i"), "left")
+          .select($"i", coalesce($"wi_tot", lit(0L)).as("wins"))
+          .localCheckpoint(true)
+        var pi = tw.select($"i", lit(1000000L).as("pim")).localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          val terms = nij
+            .join(pi.select($"i", $"pim".as("pii")), Seq("i"))
+            .join(pi.select($"i".as("j"), $"pim".as("pij")), Seq("j"))
+            .groupBy($"i")
+            .agg(sum(floor($"nij".cast("double") * 1000000.0
+              / ($"pii" + $"pij") * 1.0e9 + lit(0.5)).cast("long")).as("st"))
+          val raw = tw.join(terms, Seq("i"), "left")
+            .select($"i",
+              when($"st".isNull || $"st" === 0L, lit(0L))
+                .otherwise(floor($"wins".cast("double") * 1.0e15
+                  / $"st" + lit(0.5)).cast("long")).as("praw"))
+          val tot = raw.agg(sum($"praw").as("sp"))
+          pi = raw.crossJoin(tot)
+            .select($"i", floor($"praw".cast("double") * 12000000.0 / $"sp"
+              + lit(0.5)).cast("long").as("pim"))
+            .localCheckpoint(true)
+        }
+        tw.join(pi, "i")
+          .select($"i".as("part"), $"wins", $"pim".as("pi_micro"))
+          .orderBy($"pi_micro".desc, $"part")
+      },
+      Some {
+        def round(t: Int): String =
+          s"""term$t AS (
+             |  SELECT n.i,
+             |    CAST(SUM(CAST(floor(CAST(n.nij AS DOUBLE) * 1000000.0
+             |      / (pa.pim + pb.pim) * 1.0e9 + 0.5) AS BIGINT)) AS BIGINT)
+             |      AS st
+             |  FROM nij n
+             |  JOIN p${t - 1} pa ON pa.i = n.i
+             |  JOIN p${t - 1} pb ON pb.i = n.j
+             |  GROUP BY 1),
+             |raw$t AS MATERIALIZED (
+             |  SELECT w.i,
+             |    CASE WHEN s.st IS NULL OR s.st = 0 THEN 0
+             |      ELSE CAST(floor(CAST(w.wins AS DOUBLE) * 1.0e15 / s.st + 0.5)
+             |        AS BIGINT) END AS praw
+             |  FROM tw w LEFT JOIN term$t s ON s.i = w.i),
+             |p$t AS MATERIALIZED (
+             |  SELECT r.i,
+             |    CAST(floor(CAST(r.praw AS DOUBLE) * 12000000.0 / z.sp + 0.5)
+             |      AS BIGINT) AS pim
+             |  FROM raw$t r CROSS JOIN
+             |    (SELECT CAST(SUM(praw) AS BIGINT) AS sp FROM raw$t) z)""".stripMargin
+        s"""WITH op AS (
+           |  SELECT l_orderkey, l_partkey,
+           |    CAST(floor(SUM(l_quantity)) AS BIGINT) AS q
+           |  FROM lineitem GROUP BY 1, 2),
+           |top12 AS (
+           |  SELECT l_partkey AS part FROM (
+           |    SELECT l_partkey, count(*) AS n_ord FROM op GROUP BY 1)
+           |  ORDER BY n_ord DESC, l_partkey LIMIT 12),
+           |opt AS MATERIALIZED (
+           |  SELECT o.l_orderkey, o.l_partkey AS part, o.q
+           |  FROM op o JOIN top12 t ON o.l_partkey = t.part),
+           |wins AS MATERIALIZED (
+           |  SELECT a.part AS wi, b.part AS lo, CAST(count(*) AS BIGINT) AS w
+           |  FROM opt a JOIN opt b ON a.l_orderkey = b.l_orderkey
+           |   AND a.part <> b.part AND a.q > b.q
+           |  GROUP BY 1, 2),
+           |nij AS MATERIALIZED (
+           |  SELECT i, j, CAST(SUM(w) AS BIGINT) AS nij FROM (
+           |    SELECT wi AS i, lo AS j, w FROM wins
+           |    UNION ALL SELECT lo, wi, w FROM wins)
+           |  GROUP BY 1, 2),
+           |tw AS MATERIALIZED (
+           |  SELECT t.part AS i, CAST(COALESCE(g.wt, 0) AS BIGINT) AS wins
+           |  FROM top12 t LEFT JOIN (
+           |    SELECT wi, SUM(w) AS wt FROM wins GROUP BY 1) g
+           |    ON g.wi = t.part),
+           |p0 AS (SELECT i, 1000000::BIGINT AS pim FROM tw),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT w.i AS part, w.wins, p.pim AS pi_micro
+           |FROM tw w JOIN p3 p ON w.i = p.i
+           |ORDER BY pi_micro DESC, part""".stripMargin
       }))
 
   /** q177/q178 shared constants. */
