@@ -1478,7 +1478,80 @@ object AnalyticsQueries {
              |      * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
              |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              |    * 1000000.0 + 0.5) AS BIGINT) AS r_micro
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // ----- q252: hub-removal robustness (targeted-attack percolation,
+    // Albert/Jeong/Barabási 2000) — what q249/q250 imply, measured
+    // directly: delete the top-h hubs (h ∈ {0, 5, 10, 20}, ranked by
+    // degree with id tie-break) and report the surviving edge count,
+    // nodes still carrying an edge, and the surviving max degree.
+    // Four anti-join passes over one checkpointed edge list; the hub
+    // sets are TakeOrdered h-row frames (driver-bounded), never a
+    // global rank over the node table.
+    QueryDef(
+      "q252_hub_percolation",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+          .localCheckpoint(true)
+        val deg = e0.select($"pa".as("v")).unionAll(e0.select($"pb".as("v")))
+          .groupBy($"v").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        Seq(0, 5, 10, 20).map { h =>
+          val hubs = deg.orderBy($"deg".desc, $"v").limit(h)
+            .select($"v").localCheckpoint(true)
+          val surv = e0
+            .join(hubs.select($"v".as("pa")), Seq("pa"), "left_anti")
+            .join(hubs.select($"v".as("pb")), Seq("pb"), "left_anti")
+          val sdeg = surv.select($"pa".as("v")).unionAll(surv.select($"pb".as("v")))
+            .groupBy($"v").agg(count(lit(1)).as("sd"))
+          surv.agg(count(lit(1)).as("n_edges"))
+            .crossJoin(sdeg.agg(
+              coalesce(count(lit(1)), lit(0L)).as("n_nodes"),
+              coalesce(max($"sd"), lit(0L)).as("max_deg")))
+            .select(lit(h.toLong).as("h"), $"n_edges", $"n_nodes", $"max_deg")
+        }.reduce(_ unionAll _).orderBy($"h")
+      },
+      Some {
+        def variant(h: Int): String =
+          s"""hub$h AS (SELECT v FROM rdeg WHERE rn <= $h),
+             |sv$h AS (
+             |  SELECT e.pa, e.pb FROM e0 e
+             |  WHERE NOT EXISTS (SELECT 1 FROM hub$h x WHERE x.v = e.pa)
+             |    AND NOT EXISTS (SELECT 1 FROM hub$h y WHERE y.v = e.pb)),
+             |sd$h AS (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS sd FROM (
+             |    SELECT pa AS v FROM sv$h UNION ALL SELECT pb FROM sv$h)
+             |  GROUP BY 1),
+             |row$h AS (
+             |  SELECT CAST($h AS BIGINT) AS h,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM sv$h) AS n_edges,
+             |    (SELECT CAST(COALESCE(count(*), 0) AS BIGINT) FROM sd$h)
+             |      AS n_nodes,
+             |    (SELECT CAST(COALESCE(MAX(sd), 0) AS BIGINT) FROM sd$h)
+             |      AS max_deg)""".stripMargin
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |deg AS (
+           |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+           |    SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0)
+           |  GROUP BY 1),
+           |rdeg AS MATERIALIZED (
+           |  SELECT v, row_number() OVER (ORDER BY deg DESC, v) AS rn
+           |  FROM deg),
+           |${Seq(0, 5, 10, 20).map(variant).mkString(",\n")}
+           |SELECT * FROM (
+           |${Seq(0, 5, 10, 20).map(h => s"SELECT * FROM row$h").mkString("\nUNION ALL\n")})
+           |ORDER BY h""".stripMargin
+      }))
 
   /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103
     * oracle. FNV-1a over the word's bytes in HUGEINT (the corpus is

@@ -412,5 +412,114 @@ object SequenceQueries {
              |  coalesce(c.n_stop, f.fidx) AS n_stop,
              |  coalesce(c.cllr, f.fllr) AS llr_micro
              |FROM finals f LEFT JOIN crossed c ON f.arm = c.arm
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ----- q251: Kleinberg two-state burst detection (Kleinberg 2002)
+    // over the daily error-event series — the BURST member of the
+    // sequence family (CUSUM flags a level shift once; this one labels
+    // every day as base-rate or burst-rate via a min-cost state path).
+    // The entire forward DP is EXACT INTEGER micro-nat algebra: state
+    // costs rate_s − n_d·ln(rate_s) (the n_d! term is state-independent
+    // and cancels, so no factorials), with rate/ln/transition constants
+    // snapped micro ONCE up front; each of the 30 day-steps is then
+    // pure BIGINT min/add, unrolled identically in both engines. The
+    // day grid is the fixture's fixed 30-day window from the earliest
+    // event (empty days carry n = 0); labels are the forward-cost
+    // comparison v1 < v0 (documented as forward-DP labeling).
+    QueryDef(
+      "q251_burst_detection",
+      (s, d) => {
+        import s.implicits._
+        val D = 30
+        val ev = Tables.events(s, d).filter($"event_type" === "error")
+          .select(to_date($"ts").as("day"))
+        val base = ev.agg(min($"day").as("d0"))
+        val counts = ev.crossJoin(base)
+          .select(datediff($"day", $"d0").cast("long").as("di"))
+          .filter($"di" < D)
+          .groupBy($"di").agg(count(lit(1)).as("n"))
+        val grid = s.range(0, D).toDF("di")
+          .join(counts, Seq("di"), "left")
+          .select($"di", coalesce($"n", lit(0L)).as("n"))
+          .localCheckpoint(true)
+        val par = grid.agg(sum($"n").as("tt"))
+          .select(
+            floor($"tt".cast("double") * 1000000.0 / D + lit(0.5))
+              .cast("long").as("r0m"),
+            floor($"tt".cast("double") * 2.0 * 1000000.0 / D + lit(0.5))
+              .cast("long").as("r1m"),
+            floor(log($"tt".cast("double") / D) * 1000000.0 + lit(0.5))
+              .cast("long").as("lr0m"),
+            floor(log($"tt".cast("double") * 2.0 / D) * 1000000.0 + lit(0.5))
+              .cast("long").as("lr1m"),
+            floor(log(lit(D.toDouble)) * 1000000.0 + lit(0.5))
+              .cast("long").as("trm"))
+          .localCheckpoint(true)
+        var v = grid.filter($"di" === 0).crossJoin(par)
+          .select($"di", $"n",
+            ($"r0m" - $"n" * $"lr0m").as("v0"),
+            ($"trm" + $"r1m" - $"n" * $"lr1m").as("v1"))
+          .localCheckpoint(true)
+        val days = scala.collection.mutable.ArrayBuffer(v)
+        for (di <- 1 until D) {
+          v = v.select($"v0".as("p0"), $"v1".as("p1"))
+            .crossJoin(grid.filter($"di" === di))
+            .crossJoin(par)
+            .select($"di", $"n",
+              (least($"p0", $"p1") + ($"r0m" - $"n" * $"lr0m")).as("v0"),
+              (least($"p0" + $"trm", $"p1")
+                + ($"r1m" - $"n" * $"lr1m")).as("v1"))
+            .localCheckpoint(true)
+          days += v
+        }
+        days.reduce(_ unionAll _)
+          .select($"di", $"n", $"v0".as("v0_micro"), $"v1".as("v1_micro"),
+            ($"v1" < $"v0").as("in_burst"))
+          .orderBy($"di")
+      },
+      Some {
+        val D = 30
+        def step(di: Int): String =
+          s"""v$di AS (
+             |  SELECT g.di, g.n,
+             |    LEAST(p.v0, p.v1) + (pa.r0m - g.n * pa.lr0m) AS v0,
+             |    LEAST(p.v0 + pa.trm, p.v1) + (pa.r1m - g.n * pa.lr1m) AS v1
+             |  FROM v${di - 1} p CROSS JOIN par pa
+             |  CROSS JOIN (SELECT di, n FROM grid WHERE di = $di) g)""".stripMargin
+        s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day FROM events
+           |            WHERE event_type = 'error'),
+           |base AS (SELECT MIN(day) AS d0 FROM ev),
+           |counts AS (
+           |  SELECT datediff('day', b.d0, e.day) AS di,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM ev e CROSS JOIN base b
+           |  WHERE datediff('day', b.d0, e.day) < $D
+           |  GROUP BY 1),
+           |grid AS MATERIALIZED (
+           |  SELECT g.di, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+           |  FROM (SELECT CAST(unnest(range(0, $D)) AS BIGINT) AS di) g
+           |  LEFT JOIN counts c ON g.di = c.di),
+           |par AS MATERIALIZED (
+           |  SELECT
+           |    CAST(floor(CAST(tt AS DOUBLE) * 1000000.0 / $D + 0.5) AS BIGINT)
+           |      AS r0m,
+           |    CAST(floor(CAST(tt AS DOUBLE) * 2.0 * 1000000.0 / $D + 0.5)
+           |      AS BIGINT) AS r1m,
+           |    CAST(floor(ln(CAST(tt AS DOUBLE) / $D) * 1000000.0 + 0.5)
+           |      AS BIGINT) AS lr0m,
+           |    CAST(floor(ln(CAST(tt AS DOUBLE) * 2.0 / $D) * 1000000.0 + 0.5)
+           |      AS BIGINT) AS lr1m,
+           |    CAST(floor(ln(CAST($D AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           |      AS trm
+           |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM grid)),
+           |v0 AS (
+           |  SELECT g.di, g.n,
+           |    pa.r0m - g.n * pa.lr0m AS v0,
+           |    pa.trm + pa.r1m - g.n * pa.lr1m AS v1
+           |  FROM (SELECT di, n FROM grid WHERE di = 0) g CROSS JOIN par pa),
+           |${(1 until D).map(step).mkString(",\n")}
+           |SELECT di, n, v0 AS v0_micro, v1 AS v1_micro, v1 < v0 AS in_burst
+           |FROM (${(0 until D).map(i => s"SELECT * FROM v$i").mkString(" UNION ALL ")})
+           |ORDER BY di""".stripMargin
+      }))
 }
