@@ -804,5 +804,174 @@ object BusinessQueries {
            |    AS mean_adj_micro,
            |  theta_micro, rho2_milli
            |FROM arms ORDER BY treat""".stripMargin
+      }),
+
+    // ----- q256: Markov-chain attribution with removal effects
+    // (Anderl et al. 2016) — the data-driven counterpart to q212's
+    // heuristic (first/last/linear) credits: user journeys become a
+    // START→channels→{CONV, DROP} chain, channel credit = how much
+    // the chain's conversion probability falls when that channel is
+    // knocked out. Transition probabilities are milli-snapped floor
+    // divisions of exact counts; conversion probability is 8 fixed
+    // value-iteration rounds of PURE INTEGER algebra (milli products,
+    // floor-div 1000), run once intact and once per removed channel.
+    // The data-sized work (ordering journeys, counting transitions)
+    // is distributed; the ≤5×6 transition matrix is driver-bounded
+    // model state (the LogReg/KMeans convention), and the oracle
+    // replays the ENTIRE recurrence — all five variants' eight rounds
+    // — in unrolled CTEs.
+    QueryDef(
+      "q256_markov_attribution",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val chs = Seq("click", "error", "signup", "view")
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val seqd = Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("rn", row_number().over(w).cast("long"))
+        val firstP = seqd.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"rn").as("prn"))
+        val j = seqd.join(firstP, Seq("user_id"), "left")
+          .filter($"event_type" =!= "purchase"
+            && ($"prn".isNull || $"rn" < $"prn"))
+          .withColumn("conv", $"prn".isNotNull)
+          .localCheckpoint(true)
+        val w2 = Window.partitionBy($"user_id").orderBy($"rn")
+        val inner = j.select(
+            coalesce(lag($"event_type", 1).over(w2), lit("START")).as("src"),
+            $"event_type".as("dst"))
+        val lastCh = j.groupBy($"user_id").agg(max($"rn").as("lrn"))
+        val term = j.join(lastCh, "user_id").filter($"rn" === $"lrn")
+          .select($"event_type".as("src"),
+            when($"conv", "CONV").otherwise("DROP").as("dst"))
+        val direct = firstP
+          .join(j.select($"user_id").distinct(), Seq("user_id"), "left_anti")
+          .select(lit("START").as("src"), lit("CONV").as("dst"))
+        val edges = inner.unionAll(term).unionAll(direct)
+          .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+        // ≤ 5×6 rows: driver-bounded model state, never data-sized
+        val nmap = edges.collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val states = "START" +: chs
+        val pmilli: Map[String, Map[String, Long]] = states.map { s0 =>
+          val row = nmap.collect { case ((a, b), n) if a == s0 => b -> n }
+          val rs = row.values.sum
+          s0 -> (if (rs == 0L) Map.empty[String, Long]
+                 else row.map { case (b, n) =>
+                   b -> math.floor(n * 1000.0 / rs).toLong }.toMap)
+        }.toMap
+        def absorb(removed: Option[String]): Long = {
+          var a = states.map(_ -> 0L).toMap
+          for (_ <- 1 to 8) {
+            a = states.map { s0 =>
+              if (removed.contains(s0)) s0 -> 0L
+              else {
+                val row = pmilli(s0)
+                val sum = chs.filter(c => !removed.contains(c))
+                  .map(c => row.getOrElse(c, 0L) * a(c)).sum
+                s0 -> (math.floorDiv(sum, 1000L) + row.getOrElse("CONV", 0L))
+              }
+            }.toMap
+          }
+          a("START")
+        }
+        val aF = absorb(None)
+        val res = chs.map { c =>
+          val aR = absorb(Some(c))
+          val re = if (aF == 0L) 0L
+            else math.floor((aF - aR) * 1000.0 / aF + 0.5).toLong
+          (c, aF, aR, re)
+        }
+        val sre = res.map(_._4).sum
+        res.map { case (c, f, r, re) =>
+          val share = if (sre == 0L) 0L
+            else math.floor(re * 1000.0 / sre + 0.5).toLong
+          (c, f, r, re, share)
+        }.toDF("channel", "a_full_milli", "a_removed_milli", "re_milli",
+          "share_milli")
+          .orderBy($"channel")
+      },
+      Some {
+        val chs = Seq("click", "error", "signup", "view")
+        val chList = chs.map(c => s"'$c'").mkString(", ")
+        // variant sentinel '' = nothing removed
+        def iters(v: String, removed: String): String =
+          (1 to 8).map { t =>
+            s"""a$v$t AS MATERIALIZED (
+               |  SELECT st.s,
+               |    CASE WHEN st.s = '$removed' THEN 0 ELSE
+               |      COALESCE((SELECT CAST(SUM(p.pm * ax.a) AS BIGINT)
+               |        FROM p JOIN a$v${t - 1} ax ON p.dst = ax.s
+               |        WHERE p.src = st.s AND p.dst IN ($chList)
+               |          AND p.dst <> '$removed'), 0) // 1000
+               |      + COALESCE((SELECT pm FROM p
+               |          WHERE src = st.s AND dst = 'CONV'), 0)
+               |    END AS a
+               |  FROM states st)""".stripMargin
+          }.mkString(",\n")
+        val variants = ("f" -> "") +: chs.map(c => s"r_$c" -> c)
+        val allIters = variants.map { case (v, rm) =>
+          s"""a${v}0 AS (SELECT s, 0::BIGINT AS a FROM states),
+             |${iters(v, rm)}""".stripMargin
+        }.mkString(",\n")
+        val reRows = chs.map { c =>
+          s"""SELECT '$c' AS channel,
+             |  (SELECT a FROM af8 WHERE s = 'START') AS a_full_milli,
+             |  (SELECT a FROM ar_${c}8 WHERE s = 'START') AS a_removed_milli""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH seqd AS MATERIALIZED (
+           |  SELECT user_id, event_type,
+           |    CAST(row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS BIGINT) AS rn
+           |  FROM events),
+           |firstp AS (
+           |  SELECT user_id, MIN(rn) AS prn FROM seqd
+           |  WHERE event_type = 'purchase' GROUP BY 1),
+           |j AS MATERIALIZED (
+           |  SELECT s.user_id, s.event_type, s.rn, f.prn IS NOT NULL AS conv
+           |  FROM seqd s LEFT JOIN firstp f ON s.user_id = f.user_id
+           |  WHERE s.event_type <> 'purchase'
+           |    AND (f.prn IS NULL OR s.rn < f.prn)),
+           |inner_e AS (
+           |  SELECT COALESCE(lag(event_type, 1) OVER (PARTITION BY user_id
+           |      ORDER BY rn), 'START') AS src,
+           |    event_type AS dst
+           |  FROM j),
+           |term AS (
+           |  SELECT j.event_type AS src,
+           |    CASE WHEN j.conv THEN 'CONV' ELSE 'DROP' END AS dst
+           |  FROM j JOIN (SELECT user_id, MAX(rn) AS lrn FROM j GROUP BY 1) l
+           |    ON j.user_id = l.user_id AND j.rn = l.lrn),
+           |direct AS (
+           |  SELECT 'START' AS src, 'CONV' AS dst FROM firstp f
+           |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.user_id = f.user_id)),
+           |edges AS (
+           |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT src, dst FROM inner_e
+           |    UNION ALL SELECT src, dst FROM term
+           |    UNION ALL SELECT src, dst FROM direct)
+           |  GROUP BY 1, 2),
+           |rs AS (SELECT src, CAST(SUM(n) AS BIGINT) AS rsum
+           |       FROM edges GROUP BY 1),
+           |p AS MATERIALIZED (
+           |  SELECT e.src, e.dst,
+           |    CAST(floor(e.n * 1000.0 / r.rsum) AS BIGINT) AS pm
+           |  FROM edges e JOIN rs r ON e.src = r.src),
+           |states AS (SELECT unnest(['START', $chList]) AS s),
+           |$allIters,
+           |re AS MATERIALIZED (
+           |  SELECT channel, a_full_milli, a_removed_milli,
+           |    CASE WHEN a_full_milli = 0 THEN 0
+           |      ELSE CAST(floor((a_full_milli - a_removed_milli) * 1000.0
+           |        / a_full_milli + 0.5) AS BIGINT) END AS re_milli
+           |  FROM ($reRows)),
+           |sre AS (SELECT CAST(SUM(re_milli) AS BIGINT) AS t FROM re)
+           |SELECT r.channel, r.a_full_milli, r.a_removed_milli, r.re_milli,
+           |  CASE WHEN z.t = 0 THEN 0
+           |    ELSE CAST(floor(r.re_milli * 1000.0 / z.t + 0.5) AS BIGINT)
+           |  END AS share_milli
+           |FROM re r CROSS JOIN sre z
+           |ORDER BY r.channel""".stripMargin
       }))
 }

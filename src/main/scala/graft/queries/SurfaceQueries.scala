@@ -118,5 +118,122 @@ object SurfaceQueries {
              |  arg_min(o_orderkey,
              |    CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
              |      + o_orderkey) AS key_of_min
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----- q253: PIVOT — the wide-format reporting surface (nation ×
+    // order-priority revenue matrix). Spark's relational pivot with an
+    // EXPLICIT value list (an implicit list would add a distinct-scan
+    // job AND make the output schema data-dependent — non-replayable);
+    // the oracle lowers it to conditional decimal aggregation, which
+    // is exactly what Catalyst plans for pivot.
+    QueryDef(
+      "q253_pivot",
+      (s, d) => {
+        import s.implicits._
+        val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            $"o_custkey" === $"c_custkey")
+          .join(Tables.nation(s, d), $"c_nationkey" === $"n_nationkey")
+          .select($"n_name", $"o_orderpriority", dec($"o_totalprice").as("tp"))
+          .groupBy($"n_name")
+          .pivot("o_orderpriority", pr)
+          .agg(sum($"tp").cast("double"))
+          .na.fill(0.0)
+          .withColumnsRenamed(Map(
+            "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+            "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n.n_name,
+             |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+             |    THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+             |    AS urgent,
+             |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '2-HIGH'
+             |    THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+             |    AS high,
+             |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '3-MEDIUM'
+             |    THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+             |    AS medium,
+             |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED'
+             |    THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+             |    AS unspecified,
+             |  CAST(COALESCE(SUM(CASE WHEN o.o_orderpriority = '5-LOW'
+             |    THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+             |    AS low
+             |FROM orders o
+             |JOIN customer c ON o.o_custkey = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)),
+
+    // ----- q254: UNPIVOT/melt — the inverse surface (lineitem's four
+    // rate-ish measures to long form, then a per-measure profile).
+    // Spark's native unpivot (no stack() string templating); oracle
+    // lowers to the canonical UNION ALL.
+    QueryDef(
+      "q254_unpivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+            $"l_discount", $"l_tax", $"l_extendedprice")
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_discount", $"l_tax", $"l_extendedprice"),
+            "measure", "v")
+          .groupBy($"measure")
+          .agg(count(lit(1)).as("n"),
+            r4(min($"v")).as("mn"), r4(max($"v")).as("mx"),
+            sum(dec($"v")).cast("double").as("total"))
+          .orderBy($"measure")
+      },
+      Some("""WITH long AS (
+             |  SELECT measure, v FROM (
+             |    SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+             |    UNION ALL
+             |    SELECT 'l_discount', l_discount FROM lineitem
+             |    UNION ALL
+             |    SELECT 'l_tax', l_tax FROM lineitem
+             |    UNION ALL
+             |    SELECT 'l_extendedprice', l_extendedprice FROM lineitem))
+             |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+             |  floor(min(v) * 10000 + 0.5) / 10000 AS mn,
+             |  floor(max(v) * 10000 + 0.5) / 10000 AS mx,
+             |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM long GROUP BY measure ORDER BY measure""".stripMargin)),
+
+    // ----- q255: analytic rank-function family — dense_rank,
+    // percent_rank, cume_dist, and a lag delta over customer order
+    // histories, every window PARTITIONED by customer (the suite-wide
+    // no-unpartitioned-window pin applies to this query like any
+    // other). percent_rank/cume_dist are exactly-rounded IEEE
+    // divisions of exact ranks, r4-snapped on both engines.
+    QueryDef(
+      "q255_rank_functions",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+            dec($"o_totalprice").as("tp"))
+          .select($"o_custkey", $"o_orderkey",
+            dense_rank().over(w).cast("long").as("drk"),
+            r4(percent_rank().over(w)).as("prk"),
+            r4(cume_dist().over(w)).as("cd"),
+            ($"tp" - lag($"tp", 1).over(w)).cast("double").as("delta_prev"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+             |  floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS prk,
+             |  floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cd,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+             |    - lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w
+             |    AS DOUBLE) AS delta_prev
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)))
 }
