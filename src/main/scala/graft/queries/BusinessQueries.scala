@@ -806,6 +806,130 @@ object BusinessQueries {
            |FROM arms ORDER BY treat""".stripMargin
       }),
 
+    // ----- q257: sequential basket pairs — "bought A, then bought B
+    // within 30 days" directional rules, the TEMPORAL counterpart to
+    // q111's within-basket association rules (q111 can't distinguish
+    // A-then-B from B-then-A; replenishment/upgrade patterns are
+    // directional). Distinct (customer, part, day) purchases self-join
+    // per customer (cust-keyed shuffle; per-customer history is
+    // bounded, so the pair frame is Σ_c |h_c|², never corpus²),
+    // customer-distinct counts, confidence + lift snapped milli,
+    // support floor 2 (repeat-customer evidence; the synthetic
+    // purchase histories are sparse), top-50 by (lift, pa, pb).
+    QueryDef(
+      "q257_sequential_baskets",
+      (s, d) => {
+        import s.implicits._
+        val po = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("cust"), $"l_partkey".as("part"),
+            datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
+              .cast("long").as("day"))
+          .distinct()
+          .localCheckpoint(true)
+        val ncust = po.select($"cust").distinct().count()
+        val supp = po.groupBy($"part")
+          .agg(countDistinct($"cust").as("n_supp"))
+        val pairs = po.as("a").join(po.as("b"),
+            $"a.cust" === $"b.cust" && $"a.part" =!= $"b.part"
+              && $"b.day" > $"a.day" && $"b.day" <= $"a.day" + 30)
+          .groupBy($"a.part".as("pa"), $"b.part".as("pb"))
+          .agg(countDistinct($"a.cust").as("n_ab"))
+          .filter($"n_ab" >= 2)
+        pairs
+          .join(supp.select($"part".as("pa"), $"n_supp".as("n_a")), "pa")
+          .join(supp.select($"part".as("pb"), $"n_supp".as("n_b")), "pb")
+          .select($"pa", $"pb", $"n_ab", $"n_a", $"n_b",
+            floor($"n_ab".cast("double") * 1000.0 / $"n_a" + lit(0.5))
+              .cast("long").as("conf_milli"),
+            floor($"n_ab".cast("double") * ncust * 1000.0
+              / ($"n_a".cast("double") * $"n_b") + lit(0.5))
+              .cast("long").as("lift_milli"))
+          .orderBy($"lift_milli".desc, $"pa", $"pb")
+          .limit(50)
+      },
+      Some("""WITH po AS MATERIALIZED (
+             |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part,
+             |    datediff('day', DATE '1995-01-01',
+             |      CAST(o.o_orderdate AS DATE)) AS day
+             |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+             |nc AS (SELECT CAST(count(DISTINCT cust) AS BIGINT) AS ncust FROM po),
+             |supp AS (
+             |  SELECT part, CAST(count(DISTINCT cust) AS BIGINT) AS n_supp
+             |  FROM po GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.part AS pa, b.part AS pb,
+             |    CAST(count(DISTINCT a.cust) AS BIGINT) AS n_ab
+             |  FROM po a JOIN po b ON a.cust = b.cust AND a.part <> b.part
+             |   AND b.day > a.day AND b.day <= a.day + 30
+             |  GROUP BY 1, 2 HAVING count(DISTINCT a.cust) >= 2)
+             |SELECT p.pa, p.pb, p.n_ab, sa.n_supp AS n_a, sb.n_supp AS n_b,
+             |  CAST(floor(CAST(p.n_ab AS DOUBLE) * 1000.0 / sa.n_supp + 0.5)
+             |    AS BIGINT) AS conf_milli,
+             |  CAST(floor(CAST(p.n_ab AS DOUBLE) * nc.ncust * 1000.0
+             |    / (CAST(sa.n_supp AS DOUBLE) * sb.n_supp) + 0.5) AS BIGINT)
+             |    AS lift_milli
+             |FROM pairs p
+             |JOIN supp sa ON p.pa = sa.part
+             |JOIN supp sb ON p.pb = sb.part
+             |CROSS JOIN nc
+             |ORDER BY lift_milli DESC, pa, pb LIMIT 50""".stripMargin)),
+
+    // ----- q258: RFM segmentation — recency/frequency/monetary
+    // quintiles per customer, rolled up to the ≤125 (r, f, m) segment
+    // cells. Each quintile is GlobalOrder.ntileRank over an exact
+    // total order (metric, custkey) — three two-pass tile
+    // assignments, never a global ntile window (the q91/q243
+    // discipline); monetary is the exact decimal cents sum. Quintile
+    // convention: 5 = best (most recent / most frequent / highest
+    // spend), so recency ranks ascending-days DESCENDING tile.
+    QueryDef(
+      "q258_rfm_segments",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.orders(s, d)
+          .select($"o_custkey",
+            datediff(lit("2001-08-02").cast("date"), to_date($"o_orderdate"))
+              .cast("long").as("age"),
+            dec($"o_totalprice").as("tp"))
+          .groupBy($"o_custkey")
+          .agg(min($"age").as("rec_days"), count(lit(1)).as("n_orders"),
+            sum($"tp").as("mon"))
+          .select($"o_custkey", $"rec_days", $"n_orders",
+            ($"mon" * 100).cast("long").as("mon_cents"))
+          .localCheckpoint(true)
+        val withR = graft.operators.GlobalOrder.ntileRank(
+          base, Seq($"rec_days".desc, $"o_custkey"), 5, "r")
+        val withF = graft.operators.GlobalOrder.ntileRank(
+          withR, Seq($"n_orders", $"o_custkey"), 5, "f")
+        val withM = graft.operators.GlobalOrder.ntileRank(
+          withF, Seq($"mon_cents", $"o_custkey"), 5, "m")
+        withM.groupBy($"r", $"f", $"m")
+          .agg(count(lit(1)).as("n_customers"),
+            sum($"mon_cents").as("cell_cents"))
+          .orderBy($"r", $"f", $"m")
+      },
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT o_custkey,
+             |    MIN(datediff('day', CAST(o_orderdate AS DATE),
+             |      DATE '2001-08-02')) AS rec_days,
+             |    CAST(count(*) AS BIGINT) AS n_orders,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             |      AS mon_cents
+             |  FROM orders GROUP BY 1),
+             |t AS (
+             |  SELECT o_custkey, rec_days, n_orders, mon_cents,
+             |    CAST(ntile(5) OVER (ORDER BY rec_days DESC, o_custkey)
+             |      AS BIGINT) AS r,
+             |    CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey)
+             |      AS BIGINT) AS f,
+             |    CAST(ntile(5) OVER (ORDER BY mon_cents, o_custkey)
+             |      AS BIGINT) AS m
+             |  FROM base)
+             |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
+             |  CAST(SUM(mon_cents) AS BIGINT) AS cell_cents
+             |FROM t GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin)),
+
     // ----- q256: Markov-chain attribution with removal effects
     // (Anderl et al. 2016) — the data-driven counterpart to q212's
     // heuristic (first/last/linear) credits: user journeys become a
