@@ -536,6 +536,88 @@ object DedupQueries {
              |  AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) > 0.6
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- q260: capture–recapture duplicate-population estimate —
+    // dedup QA the suite's detectors can't self-report: how many true
+    // near-dup pairs exist INCLUDING the ones every detector missed?
+    // Two (approximately) independent detectors mark pairs — word-set
+    // Jaccard > 0.7 (the q78 rule) and 3-shingle containment > 0.6
+    // (the q239 rule, undirected) — and the Chapman estimator
+    // N̂ = (n1+1)(n2+1)/(m+1) − 1 sizes the underlying population from
+    // their overlap, with per-detector coverage shares. All counts
+    // exact; one snapped assembly. (Independence is approximate —
+    // both detectors read the same text — so N̂ is a LOWER-bound-
+    // flavored diagnostic, the standard caveat, documented here.)
+    QueryDef(
+      "q260_capture_recapture",
+      (s, d) => {
+        import s.implicits._
+        val jac = graft.operators.PrefixJoin.jaccardPairsPrefix(
+            s, Tables.documents(s, d), "doc_id", "text", threshold = 0.7,
+            pretokenized = Some(hashedToks(s, d)))
+          .select($"id_a", $"id_b")
+        val con = graft.operators.PrefixJoin.containmentPairsPrefix(
+            s, Tables.documents(s, d), "doc_id", "text", threshold = 0.6,
+            pretokenized = Some(hashedShingles(s, d)), minSize = 10)
+          .select(least($"id_a", $"id_b").as("id_a"),
+            greatest($"id_a", $"id_b").as("id_b"))
+          .distinct()
+        val n1c = jac.agg(count(lit(1)).as("n1"))
+        val n2c = con.agg(count(lit(1)).as("n2"))
+        val mc = jac.join(con, Seq("id_a", "id_b")).agg(count(lit(1)).as("m"))
+        n1c.crossJoin(n2c).crossJoin(mc)
+          .select($"n1", $"n2", $"m",
+            floor((($"n1" + 1).cast("double") * ($"n2" + 1)
+              / ($"m" + 1) - 1.0) * 1000.0 + lit(0.5)).cast("long")
+              .as("nhat_milli"),
+            floor($"n1".cast("double") * 1000000.0
+              / (($"n1" + 1).cast("double") * ($"n2" + 1) / ($"m" + 1) - 1.0)
+              + lit(0.5)).cast("long").as("cov1_ppm"),
+            floor($"n2".cast("double") * 1000000.0
+              / (($"n1" + 1).cast("double") * ($"n2" + 1) / ($"m" + 1) - 1.0)
+              + lit(0.5)).cast("long").as("cov2_ppm"))
+      },
+      Some("""WITH t AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> length(x) > 0)) AS toks
+             |  FROM documents),
+             |jac AS MATERIALIZED (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+             |      > 0.7),
+             |w AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |sh AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(toks) - 1),
+             |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+             |  FROM w),
+             |con AS MATERIALIZED (
+             |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+             |    GREATEST(a.doc_id, b.doc_id) AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             |  WHERE len(a.sh) >= 10
+             |    AND len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) > 0.6),
+             |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM jac),
+             |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM con),
+             |cm AS (SELECT CAST(count(*) AS BIGINT) AS m
+             |       FROM jac j JOIN con c ON j.id_a = c.id_a AND j.id_b = c.id_b)
+             |SELECT n1, n2, m,
+             |  CAST(floor((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0)
+             |    * 1000.0 + 0.5) AS BIGINT) AS nhat_milli,
+             |  CAST(floor(CAST(n1 AS DOUBLE) * 1000000.0
+             |    / (CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0) + 0.5)
+             |    AS BIGINT) AS cov1_ppm,
+             |  CAST(floor(CAST(n2 AS DOUBLE) * 1000000.0
+             |    / (CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0) + 0.5)
+             |    AS BIGINT) AS cov2_ppm
+             |FROM c1 CROSS JOIN c2 CROSS JOIN cm""".stripMargin)),
+
     // ----- q120: winnowed-fingerprint passage-overlap pairs (the MOSS
     // algorithm, operators.Winnow) over an id-hash-sampled sub-corpus,
     // FULLY oracle-checked: the winnowed fingerprint SET is order-

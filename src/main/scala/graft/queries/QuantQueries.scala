@@ -2266,7 +2266,110 @@ object QuantQueries {
            |SELECT w.i AS part, w.wins, p.pim AS pi_micro
            |FROM tw w JOIN p3 p ON w.i = p.i
            |ORDER BY pi_micro DESC, part""".stripMargin
-      }))
+      }),
+
+    // ----- q259: Fisher's exact test — the EXACT small-table
+    // independence test the asymptotic members (q-χ², q226 G-test)
+    // approximate: is a negative account balance associated with
+    // nation 7? The hypergeometric tail is computed with NO gamma
+    // function on either engine: ln k! is the exact BIGINT prefix sum
+    // of per-integer micro-snapped ln values (GlobalOrder.runningSum
+    // on the Spark side — no unpartitioned window — vs a DuckDB
+    // running-sum window), each support-point probability gets ONE
+    // snapped exp, and the one-sided upper tail is an exact integer
+    // sum of nano-snapped terms. The 2×2 margins are driver-bounded
+    // scalars (four longs — model state, the q133/q256 convention);
+    // the ln-factorial table and term grid stay distributed.
+    QueryDef(
+      "q259_fisher_exact",
+      (s, d) => {
+        import s.implicits._
+        val flags = Tables.customer(s, d)
+          .select(($"c_nationkey" === 7).as("ga"), ($"c_acctbal" < 0).as("sc"))
+        val Array(cRow) = flags.agg(count(lit(1)).as("n"),
+          sum(when($"ga", 1L).otherwise(0L)).as("r1"),
+          sum(when($"sc", 1L).otherwise(0L)).as("c1"),
+          sum(when($"ga" && $"sc", 1L).otherwise(0L)).as("a")).collect()
+        val (n, r1, c1, aObs) =
+          (cRow.getLong(0), cRow.getLong(1), cRow.getLong(2), cRow.getLong(3))
+        val kmin = math.max(0L, r1 + c1 - n)
+        val kmax = math.min(r1, c1)
+        val lnm = s.range(1, n + 1).toDF("i")
+          .select($"i", floor(log($"i".cast("double")) * 1000000.0 + lit(0.5))
+            .cast("long").as("lnm"))
+        val lfPos = graft.operators.GlobalOrder.runningSum(
+            lnm.select($"i", $"lnm".cast("decimal(38,0)").as("v")),
+            Seq($"i"), "v", "cum")
+          .select($"i", $"cum".cast("long").as("lf"))
+        val lf = lfPos.unionAll(Seq((0L, 0L)).toDF("i", "lf"))
+          .localCheckpoint(true)
+        def lfAt(idx: Long, name: String) =
+          lf.filter($"i" === idx).select($"lf".as(name))
+        val consts = lfAt(r1, "lfr1").crossJoin(lfAt(n - r1, "lfnr1"))
+          .crossJoin(lfAt(n, "lfn")).crossJoin(lfAt(c1, "lfc1"))
+          .crossJoin(lfAt(n - c1, "lfnc1"))
+        val terms = s.range(kmin, kmax + 1).toDF("k")
+          .join(lf.select($"i".as("k"), $"lf".as("lfk")), "k")
+          .join(lf.select(($"i" * -1 + r1).as("k"), $"lf".as("lfr1k")), "k")
+          .join(lf.select(($"i" * -1 + c1).as("k"), $"lf".as("lfc1k")), "k")
+          .join(lf.select(($"i" + r1 + c1 - n).as("k"), $"lf".as("lfrest")), "k")
+          .crossJoin(consts)
+          .select($"k",
+            ($"lfr1" - $"lfk" - $"lfr1k"
+              + $"lfnr1" - $"lfc1k" - $"lfrest"
+              - ($"lfn" - $"lfc1" - $"lfnc1")).as("lnterm"))
+          .select($"k",
+            floor(exp($"lnterm".cast("double") / 1000000.0) * 1.0e9
+              + lit(0.5)).cast("long").as("tn"))
+        terms.agg(
+            sum($"tn").as("total_nano"),
+            sum(when($"k" >= aObs, $"tn").otherwise(0L)).as("p_upper_nano"))
+          .select(lit(n).as("n"), lit(r1).as("r1"), lit(c1).as("c1"),
+            lit(aObs).as("a_obs"), $"p_upper_nano", $"total_nano")
+      },
+      Some("""WITH flags AS (
+             |  SELECT c_nationkey = 7 AS ga, c_acctbal < 0 AS sc FROM customer),
+             |c AS MATERIALIZED (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             |    CAST(SUM(CASE WHEN sc THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN ga AND sc THEN 1 ELSE 0 END) AS BIGINT) AS a
+             |  FROM flags),
+             |lnm AS (
+             |  SELECT i, CAST(floor(ln(CAST(i AS DOUBLE)) * 1000000.0 + 0.5)
+             |    AS BIGINT) AS lnm
+             |  FROM (SELECT unnest(range(1, (SELECT n FROM c) + 1)) AS i)),
+             |lf AS MATERIALIZED (
+             |  SELECT 0::BIGINT AS i, 0::BIGINT AS lf
+             |  UNION ALL
+             |  SELECT i, CAST(SUM(lnm) OVER (ORDER BY i
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lf
+             |  FROM lnm),
+             |ks AS (
+             |  SELECT unnest(range(GREATEST(0, (SELECT r1 + c1 - n FROM c)),
+             |    LEAST((SELECT r1 FROM c), (SELECT c1 FROM c)) + 1)) AS k),
+             |terms AS MATERIALIZED (
+             |  SELECT ks.k,
+             |    CAST(floor(exp(CAST(
+             |      lr1.lf - lk.lf - lr1k.lf
+             |      + lnr1.lf - lc1k.lf - lrest.lf
+             |      - (ln_.lf - lc1.lf - lnc1.lf)
+             |      AS DOUBLE) / 1000000.0) * 1.0e9 + 0.5) AS BIGINT) AS tn
+             |  FROM ks CROSS JOIN c
+             |  JOIN lf lk ON lk.i = ks.k
+             |  JOIN lf lr1k ON lr1k.i = c.r1 - ks.k
+             |  JOIN lf lc1k ON lc1k.i = c.c1 - ks.k
+             |  JOIN lf lrest ON lrest.i = c.n - c.r1 - c.c1 + ks.k
+             |  JOIN lf lr1 ON lr1.i = c.r1
+             |  JOIN lf lnr1 ON lnr1.i = c.n - c.r1
+             |  JOIN lf ln_ ON ln_.i = c.n
+             |  JOIN lf lc1 ON lc1.i = c.c1
+             |  JOIN lf lnc1 ON lnc1.i = c.n - c.c1)
+             |SELECT c.n, c.r1, c.c1, c.a AS a_obs,
+             |  (SELECT CAST(SUM(CASE WHEN t.k >= c.a THEN t.tn ELSE 0 END)
+             |     AS BIGINT) FROM terms t) AS p_upper_nano,
+             |  (SELECT CAST(SUM(tn) AS BIGINT) FROM terms) AS total_nano
+             |FROM c""".stripMargin)))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L

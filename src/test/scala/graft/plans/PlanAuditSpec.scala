@@ -163,6 +163,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("r10 graph/sequence heavies: pair and frontier joins stay equi-joins") {
+    // q232's wedge join, q238's frontier joins, q244's peel rounds,
+    // and q257's per-customer history self-join are all keyed — a
+    // regression to a product plan is the n²-scale-killer class
+    // (q249/q245 are excluded: their bounded threshold/lag-range
+    // fan-outs are BNL crossJoins of ≤14-row broadcast frames by
+    // construction)
+    for (q <- Seq("q232_link_prediction", "q238_bfs_layers",
+        "q244_coreness_spectrum", "q257_sequential_baskets")) {
+      val plan = executed(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+    }
+  }
+
   test("q93 fuzzy join: gram rarity ranking has no single-partition window") {
     // the rank is GlobalOrder.zipRank (the PrefixJoin scheme); a
     // regression to row_number().over(Window.orderBy(df, g)) would
