@@ -2369,7 +2369,241 @@ object QuantQueries {
              |  (SELECT CAST(SUM(CASE WHEN t.k >= c.a THEN t.tn ELSE 0 END)
              |     AS BIGINT) FROM terms t) AS p_upper_nano,
              |  (SELECT CAST(SUM(tn) AS BIGINT) FROM terms) AS total_nano
-             |FROM c""".stripMargin)))
+             |FROM c""".stripMargin)),
+
+    // ----- q261: periodogram of the daily error-count series — the
+    // FREQUENCY-domain companion to q245's ACF (ACF says "how long do
+    // shocks persist"; the periodogram says "at which period do they
+    // repeat"). DFT over the q251 fixed 30-day grid at k = 1..14:
+    // per-(k,t) cos/sin values are milli-snapped immediately (the one
+    // libm touch — π inlined as the same shortest-round-trip literal
+    // in both engines), the series is exactly centered by scaling
+    // (c_t = 30·n_t − T), and A_k/B_k/power are pure BIGINT sums and
+    // products (|A| ≤ 30·|c|·10³ keeps power < 2^62).
+    QueryDef(
+      "q261_periodogram",
+      (s, d) => {
+        import s.implicits._
+        val D = 30
+        val Pi = math.Pi
+        val ev = Tables.events(s, d).filter($"event_type" === "error")
+          .select(to_date($"ts").as("day"))
+        val base = ev.agg(min($"day").as("d0"))
+        val counts = ev.crossJoin(base)
+          .select(datediff($"day", $"d0").cast("long").as("di"))
+          .filter($"di" < D)
+          .groupBy($"di").agg(count(lit(1)).as("n"))
+        val grid = s.range(0, D).toDF("di")
+          .join(counts, Seq("di"), "left")
+          .select($"di", coalesce($"n", lit(0L)).as("n"))
+        val tot = grid.agg(sum($"n").as("tt"))
+        val cent = grid.crossJoin(tot)
+          .select($"di", ($"n" * D - $"tt").as("c"))
+        val ks = s.range(1, 15).toDF("k")
+        val terms = cent.crossJoin(broadcast(ks))
+          .select($"k", $"di", $"c",
+            floor(cos(lit(2.0) * Pi * $"k" * $"di" / D) * 1000.0 + lit(0.5))
+              .cast("long").as("cq"),
+            floor(sin(lit(2.0) * Pi * $"k" * $"di" / D) * 1000.0 + lit(0.5))
+              .cast("long").as("sq"))
+        val spec = terms.groupBy($"k")
+          .agg(sum($"c" * $"cq").as("a_sum"), sum($"c" * $"sq").as("b_sum"))
+          .select($"k", $"a_sum", $"b_sum",
+            ($"a_sum" * $"a_sum" + $"b_sum" * $"b_sum").as("power"))
+        val ptot = spec.agg(sum($"power").as("pt"))
+        spec.crossJoin(ptot)
+          .select($"k", $"a_sum", $"b_sum", $"power",
+            floor($"power".cast("double") * 1000.0 / $"pt" + lit(0.5))
+              .cast("long").as("share_milli"))
+          .orderBy($"k")
+      },
+      Some {
+        val D = 30
+        val Pi = math.Pi
+        s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day FROM events
+           |            WHERE event_type = 'error'),
+           |base AS (SELECT MIN(day) AS d0 FROM ev),
+           |counts AS (
+           |  SELECT datediff('day', b.d0, e.day) AS di,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM ev e CROSS JOIN base b
+           |  WHERE datediff('day', b.d0, e.day) < $D
+           |  GROUP BY 1),
+           |grid AS (
+           |  SELECT g.di, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+           |  FROM (SELECT CAST(unnest(range(0, $D)) AS BIGINT) AS di) g
+           |  LEFT JOIN counts c ON g.di = c.di),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM grid),
+           |cent AS (SELECT g.di, g.n * $D - t.tt AS c
+           |         FROM grid g CROSS JOIN tot t),
+           |ks AS (SELECT CAST(unnest(range(1, 15)) AS BIGINT) AS k),
+           |terms AS (
+           |  SELECT k.k, c.di, c.c,
+           |    CAST(floor(cos(2.0 * $Pi * k.k * c.di / $D) * 1000.0 + 0.5)
+           |      AS BIGINT) AS cq,
+           |    CAST(floor(sin(2.0 * $Pi * k.k * c.di / $D) * 1000.0 + 0.5)
+           |      AS BIGINT) AS sq
+           |  FROM cent c CROSS JOIN ks k),
+           |spec AS MATERIALIZED (
+           |  SELECT k, CAST(SUM(c * cq) AS BIGINT) AS a_sum,
+           |    CAST(SUM(c * sq) AS BIGINT) AS b_sum,
+           |    CAST(SUM(c * cq) AS BIGINT) * CAST(SUM(c * cq) AS BIGINT)
+           |      + CAST(SUM(c * sq) AS BIGINT) * CAST(SUM(c * sq) AS BIGINT)
+           |      AS power
+           |  FROM terms GROUP BY 1),
+           |pt AS (SELECT CAST(SUM(power) AS BIGINT) AS pt FROM spec)
+           |SELECT s.k, s.a_sum, s.b_sum, s.power,
+           |  CAST(floor(CAST(s.power AS DOUBLE) * 1000.0 / p.pt + 0.5)
+           |    AS BIGINT) AS share_milli
+           |FROM spec s CROSS JOIN pt p
+           |ORDER BY s.k""".stripMargin
+      }),
+
+    // ----- q262: single-changepoint detection by binary segmentation
+    // on daily revenue — the LOCATED level-shift (CUSUM raises an
+    // alarm; this names the day): maximize the between-segment
+    // F-like gain (n·S_t − t·S_n)²/(t·(n−t)) over every prefix/suffix
+    // split of the day-ordered series. Prefix sums are the two-pass
+    // GlobalOrder machinery (rank + running sum, no unpartitioned
+    // window on the Spark side); the gain is micro-snapped per
+    // candidate and the argmax ties on the day index, so both engines
+    // pick the identical split.
+    QueryDef(
+      "q262_changepoint",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice").cast("long").as("vd"))
+          .groupBy($"day").agg(sum($"vd").as("rev"))
+          .select(datediff($"day", lit("1995-01-01").cast("date"))
+            .cast("long").as("di"), $"rev")
+        val ranked = graft.operators.GlobalOrder.zipRank(
+          daily.sort($"di"), "r")
+        val cum = graft.operators.GlobalOrder.runningSum(
+            ranked.select($"di", $"r", $"rev".cast("decimal(38,0)").as("v")),
+            Seq($"di"), "v", "cum")
+          .select($"di", $"r".as("t"), $"cum".cast("long").as("st"))
+          .localCheckpoint(true)
+        val nf = cum.agg(max($"t").as("n"), max($"st").as("sn"))
+        cum.crossJoin(nf)
+          .filter($"t" < $"n")
+          .select($"di", $"t", $"n", $"st", $"sn",
+            floor(($"n" * $"st" - $"t" * $"sn").cast("double")
+              * ($"n" * $"st" - $"t" * $"sn")
+              / ($"t".cast("double") * ($"n" - $"t")) / 1000000.0 + lit(0.5))
+              .cast("long").as("gain"))
+          .orderBy($"gain".desc, $"di")
+          .limit(1)
+          .select($"di".as("split_after_di"), $"t".as("n_left"),
+            ($"n" - $"t").as("n_right"),
+            floor($"st".cast("double") * 1000.0 / $"t" + lit(0.5))
+              .cast("long").as("mean_left_milli"),
+            floor(($"sn" - $"st").cast("double") * 1000.0 / ($"n" - $"t")
+              + lit(0.5)).cast("long").as("mean_right_milli"),
+            $"gain")
+      },
+      Some("""WITH daily AS (
+             |  SELECT datediff('day', DATE '1995-01-01', day) AS di, rev
+             |  FROM (
+             |    SELECT CAST(o_orderdate AS DATE) AS day,
+             |      CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+             |    FROM orders GROUP BY 1)),
+             |cum AS MATERIALIZED (
+             |  SELECT di,
+             |    CAST(row_number() OVER (ORDER BY di) AS BIGINT) AS t,
+             |    CAST(SUM(rev) OVER (ORDER BY di
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS st
+             |  FROM daily),
+             |nf AS (SELECT MAX(t) AS n, MAX(st) AS sn FROM cum)
+             |SELECT di AS split_after_di, t AS n_left, n - t AS n_right,
+             |  CAST(floor(CAST(st AS DOUBLE) * 1000.0 / t + 0.5) AS BIGINT)
+             |    AS mean_left_milli,
+             |  CAST(floor(CAST(sn - st AS DOUBLE) * 1000.0 / (n - t) + 0.5)
+             |    AS BIGINT) AS mean_right_milli,
+             |  CAST(floor(CAST(n * st - t * sn AS DOUBLE) * (n * st - t * sn)
+             |    / (CAST(t AS DOUBLE) * (n - t)) / 1000000.0 + 0.5) AS BIGINT)
+             |    AS gain
+             |FROM cum CROSS JOIN nf
+             |WHERE t < n
+             |ORDER BY gain DESC, di LIMIT 1""".stripMargin)),
+
+    // ----- q263: Wilcoxon signed-rank test on the q240 pre/post user
+    // panel — the nonparametric PAIRED companion to CUPED/DiD (those
+    // estimate the effect; this tests it without normality): exact
+    // milli differences per user, DOUBLED average ranks of |d| so tied
+    // ranks stay integers (the rank2 = 2·cum_less + t + 1 identity
+    // over the distinct-|d| frame, ranked by GlobalOrder.runningSum),
+    // W⁺ kept in rank2 units, and the tie-corrected normal
+    // approximation assembled once, micro-snapped.
+    QueryDef(
+      "q263_wilcoxon_signed_rank",
+      (s, d) => {
+        import s.implicits._
+        val split = lit("2024-01-16").cast("timestamp")
+        val per = Tables.events(s, d)
+          .select($"user_id", ($"ts" < split).as("pre"),
+            floor($"value" * 1000 + lit(0.5)).cast("long").as("vm"))
+          .groupBy($"user_id")
+          .agg(sum(when($"pre", $"vm").otherwise(0L)).as("x"),
+            sum(when(!$"pre", $"vm").otherwise(0L)).as("y"))
+        val diffs = per.select(($"y" - $"x").as("dd"))
+          .filter($"dd" =!= 0L)
+          .select($"dd", abs($"dd").as("ad"))
+          .localCheckpoint(true)
+        val byVal = diffs.groupBy($"ad").agg(count(lit(1)).as("t"),
+          sum(when($"dd" > 0, 1L).otherwise(0L)).as("tp"))
+        val cum = graft.operators.GlobalOrder.runningSum(
+            byVal.sort($"ad").select($"ad", $"t", $"tp",
+              $"t".cast("decimal(38,0)").as("v")),
+            Seq($"ad"), "v", "cum")
+          .select($"ad", $"t", $"tp",
+            ($"cum".cast("long") - $"t").as("cum_less"))
+        val agg = cum.select($"t", $"tp", $"cum_less",
+            (lit(2L) * $"cum_less" + $"t" + 1).as("rank2"))
+          .agg(sum($"t").as("n"),
+            sum($"tp" * $"rank2").as("w2p"),
+            sum($"t" * $"t" * $"t" - $"t").as("tie3"))
+        agg.select($"n", $"w2p",
+          floor((($"w2p".cast("double") / 2.0
+              - $"n".cast("double") * ($"n" + 1) / 4.0)
+            / sqrt($"n".cast("double") * ($"n" + 1) * ($"n" * 2 + 1) / 24.0
+              - $"tie3".cast("double") / 48.0))
+            * 1000000.0 + lit(0.5)).cast("long").as("z_micro"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             |      THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             |      THEN 0
+             |      ELSE CAST(floor(value * 1000 + 0.5) AS BIGINT) END)
+             |      AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |diffs AS (
+             |  SELECT y - x AS dd, ABS(y - x) AS ad FROM per WHERE y - x <> 0),
+             |byval AS (
+             |  SELECT ad, CAST(count(*) AS BIGINT) AS t,
+             |    CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+             |  FROM diffs GROUP BY 1),
+             |cum AS (
+             |  SELECT ad, t, tp,
+             |    CAST(SUM(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) - t AS cum_less
+             |  FROM byval),
+             |agg AS (
+             |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+             |    CAST(SUM(tp * (2 * cum_less + t + 1)) AS BIGINT) AS w2p,
+             |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+             |  FROM cum)
+             |SELECT n, w2p,
+             |  CAST(floor(((CAST(w2p AS DOUBLE) / 2.0
+             |      - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+             |    / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+             |      - CAST(tie3 AS DOUBLE) / 48.0))
+             |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
+             |FROM agg""".stripMargin)))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L
