@@ -65,6 +65,10 @@ object GraftOptimizations {
     if (!cur.contains(PushPredicateThroughExplode)) {
       spark.experimental.extraOptimizations = cur :+ PushPredicateThroughExplode
     }
+    val cur2 = spark.experimental.extraOptimizations
+    if (!cur2.contains(RewriteIntersectCount)) {
+      spark.experimental.extraOptimizations = cur2 :+ RewriteIntersectCount
+    }
     AsofJoinNative.installStrategy(spark)
   }
 }
