@@ -38,5 +38,6 @@ object QueryDef {
       queries.ClusterQueries.defs ++
       queries.ClassifierQueries.defs ++
       queries.QuantQueries.defs ++
-      queries.RetrievalQueries.defs
+      queries.RetrievalQueries.defs ++
+      queries.RiskQueries.defs
 }

@@ -1,0 +1,173 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Financial-risk primitives over a daily value series — drawdown
+  * trajectory, historical VaR / expected shortfall, and the
+  * Durbin–Watson autocorrelation diagnostic. The
+  * revenue-as-a-time-series analytics the warehouse family (q178
+  * Holt, q179 seasonal, q181 CUSUM) stops short of: "how bad did the
+  * cumulative position get, how fat is the daily downside tail, and
+  * are the trend residuals serially correlated?".
+  *
+  * Reference seam: the reference pipeline has no finance analytics;
+  * this is the LLM-data-ops extension of the daily-series family
+  * (SURVEY §2.12), sharing its exact-integer discipline.
+  *
+  * Exactness: inputs are cent-quantized BIGINTs; every cumulative
+  * sum, running max, and difference is integer algebra, so the whole
+  * trajectory hash-matches a window-function replay. Where a genuine
+  * real division appears (ES mean, DW ratio) it is ONE fixed IEEE
+  * double chain, micro-snapped (the q170 discipline).
+  *
+  * Scale shape: the input aggregation (one row per day) is fully
+  * distributed; the folds below run over the DAY-COUNT-bounded
+  * series — a frame that grows with the calendar, not the corpus —
+  * inside one executor task (the [[Holt]] bounded-frame class).
+  */
+object Risk {
+
+  /** Drawdown trajectory of the cumulative series: one row per day,
+    * (day, xq, cum, peak, dd) with cum = running sum of xq, peak =
+    * running max of cum, dd = peak − cum ≥ 0. All exact BIGINT.
+    */
+  def drawdown(series: DataFrame, dayCol: String, valCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(dayCol).cast("date"), col(valCol).cast("long"))
+      .as[(Date, Long)]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1.getTime)
+        var cum = 0L
+        var peak = Long.MinValue
+        rows.iterator.map { case (day, xq) =>
+          cum += xq
+          if (cum > peak) peak = cum
+          (day, xq, cum, peak, peak - cum)
+        }
+      }(Encoders.tuple(Encoders.DATE, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(dayCol, valCol, "cum", "peak", "dd")
+      .orderBy(col(dayCol))
+  }
+
+  /** Historical value-at-risk and expected shortfall of the
+    * day-over-day changes of the series: one row
+    * (n_days, var_p, es_micro, n_tail).
+    *
+    *  - deltas d_t = x_t − x_{t−1} over the day-ordered series
+    *    (exact BIGINT cents; n−1 of them);
+    *  - VaR_p = the linearly-interpolated p-quantile of the deltas
+    *    (the quantile_cont convention q105 proved engine-identical:
+    *    pos = p·(m−1), v = a + frac·(b−a) — one IEEE chain),
+    *    r4-snapped;
+    *  - ES = mean of the deltas ≤ the UNSNAPPED VaR (exact BIGINT
+    *    sum / count, one double division), micro-snapped. The tail
+    *    membership predicate uses the raw quantile so snapping can
+    *    never move a boundary delta across it.
+    */
+  def varEs(series: DataFrame, dayCol: String, valCol: String,
+      p: Double): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(dayCol).cast("date"), col(valCol).cast("long"))
+      .as[(Date, Long)]
+      .groupByKey(_ => true)
+      .mapGroups { (_, it) =>
+        val ys = it.toArray.sortBy(_._1.getTime).map(_._2)
+        val deltas = ys.sliding(2).map(a => a(1) - a(0)).toArray.sorted
+        val m = deltas.length
+        val pos = p * (m - 1)
+        val lo = math.floor(pos).toInt
+        val frac = pos - lo
+        val varRaw =
+          if (lo + 1 < m)
+            deltas(lo) + frac * (deltas(lo + 1) - deltas(lo)).toDouble
+          else deltas(lo).toDouble
+        var tailSum = 0L
+        var tailN = 0L
+        deltas.takeWhile(_.toDouble <= varRaw).foreach { d =>
+          tailSum += d; tailN += 1
+        }
+        val esMicro =
+          math.floor(tailSum.toDouble / tailN * 1000000L + 0.5).toLong
+        val varR4 = math.floor(varRaw * 10000 + 0.5) / 10000
+        (ys.length.toLong, varR4, esMicro, tailN)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("n_days", "var_p", "es_micro", "n_tail")
+  }
+
+  /** Durbin–Watson statistic of the residuals from the OLS line of
+    * the day-ordered series against its 1-based day rank: one row
+    * (n, slope_milli, intercept_milli, dw_micro).
+    *
+    * Fixed-point derivation (every step mirrored in the oracle):
+    *  - exact BIGINT moments St, Sy, Stt, Sty over t = 1..n;
+    *  - slope_milli = floor(num/den · 1e3) with num = n·Sty − St·Sy,
+    *    den = n·Stt − St² — BigInt-carried so no Spark-side overflow
+    *    at any SF, but |num| stays < 2^63 at oracle scales, where
+    *    DuckDB's HUGEINT→DOUBLE cast takes its exact single-word
+    *    path (the two-word path double-rounds; BigInt.toDouble does
+    *    not — keeping double-cast operands below 2^63 is what makes
+    *    the double images engine-identical);
+    *  - intercept_milli = fdiv(1e3·Sy − slope_milli·St, n);
+    *  - residual e_t = 1e3·y_t − intercept_milli − slope_milli·t —
+    *    MILLI, not micro: Σe²·2e6 must stay inside INT128, and the
+    *    sf0.1 residuals (~2^48 milli) already push Σe² to ~2^87;
+    *    micro residuals overflowed DuckDB's HUGEINT there (observed);
+    *  - DW = Σ(e_t − e_{t−1})² / Σe_t², the sums exact BigInt/HUGEINT
+    *    (squares exceed 2^63) and the micro-snap as EXACT integer
+    *    floor division — (2·1e6·Σd² + Σe²) div (2·Σe²) ≡
+    *    floor(1e6·Σd²/Σe² + 0.5) — so no >2^63 value is ever cast to
+    *    double on either engine (HUGEINT `//` on positives is floor).
+    */
+  def durbinWatson(series: DataFrame, dayCol: String, valCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(dayCol).cast("date"), col(valCol).cast("long"))
+      .as[(Date, Long)]
+      .groupByKey(_ => true)
+      .mapGroups { (_, it) =>
+        val ys = it.toArray.sortBy(_._1.getTime).map(_._2)
+        val n = ys.length.toLong
+        var st, sy, stt = 0L
+        var sty = BigInt(0)
+        var t = 0L
+        ys.foreach { y =>
+          t += 1
+          st += t; sy += y; stt += t * t
+          sty += BigInt(t) * y
+        }
+        val num = BigInt(n) * sty - BigInt(st) * sy
+        val den = BigInt(n) * stt - BigInt(st) * st
+        // one double division (operands < 2^63 at oracle scales →
+        // engine-identical double images), THEN the 1e6 scale + floor
+        val slopeMilli =
+          math.floor(num.toDouble / den.toDouble * 1000L).toLong
+        val interMilli = LogReg.fdiv(1000L * sy - slopeMilli * st, n)
+        var prevE = 0L
+        var first = true
+        var sumDiff2, sumE2 = BigInt(0)
+        t = 0L
+        ys.foreach { y =>
+          t += 1
+          val e = 1000L * y - interMilli - slopeMilli * t
+          if (!first) sumDiff2 += BigInt(e - prevE) * (e - prevE)
+          sumE2 += BigInt(e) * e
+          prevE = e; first = false
+        }
+        // floor(1e6·Σd²/Σe² + 0.5) as exact integer floor division —
+        // both operands positive, so BigInt `/` (truncation) is floor
+        val dwMicro =
+          ((sumDiff2 * 2000000L + sumE2) / (sumE2 * 2)).toLong
+        (n, slopeMilli, interMilli, dwMicro)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("n", "slope_milli", "intercept_milli", "dw_micro")
+  }
+}

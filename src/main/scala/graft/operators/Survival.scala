@@ -43,10 +43,12 @@ object Survival {
   /** Last-activity slack (days) before a user counts as churned. */
   val CensorDays = 14
 
-  /** KM curve: (t_day, n_risk, d, c, lnq_cum, surv_milli), one row
-    * per distinct duration, ordered by t_day.
+  /** Shared churn lifetable: (t, d, c, n_risk) per distinct duration
+    * — the spans → lifetimes → duration-grouped → reverse-running-sum
+    * pipeline both estimators ([[kaplanMeier]], [[nelsonAalen]]) read.
     */
-  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+  private def lifetable(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val spans = events
       .groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("fd"), max(to_date(col(tsCol))).as("ld"))
@@ -62,12 +64,19 @@ object Survival {
         (count(lit(1)) - sum(col("ev"))).as("c"))
 
     // risk set: reverse (descending-t) running sum of the day's users
-    val withRisk = GlobalOrder
+    GlobalOrder
       .runningSum(
         byT.withColumn("users_dec", (col("d") + col("c")).cast("decimal(38,0)")),
         Seq(col("t").desc), "users_dec", "n_risk_dec")
       .withColumn("n_risk", col("n_risk_dec").cast("long"))
       .drop("users_dec", "n_risk_dec")
+  }
+
+  /** KM curve: (t_day, n_risk, d, c, lnq_cum, surv_milli), one row
+    * per distinct duration, ordered by t_day.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val withRisk = lifetable(events, userCol, tsCol)
 
     // per-time factor ln((n-d)/n), r4-snapped; NULL at a no-survivor
     // tail point (handled via surv_milli = 0 below)
@@ -88,6 +97,37 @@ object Survival {
             exp(col("lnq_cum_dec").cast("double") / lit(10000.0)) * 1000
               + lit(0.5)).cast("long"))
           .as("surv_milli"))
+      .orderBy(col("t_day"))
+  }
+
+  /** Nelson–Aalen cumulative hazard over the same churn lifetable as
+    * [[kaplanMeier]]: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ, plus the
+    * Fleming–Harrington survival S̃(t) = exp(−H(t)) — the estimator
+    * pair survival texts recommend over KM for small risk sets.
+    *
+    * Exactness: each increment is fdiv(dᵢ·1e6, nᵢ) — EXACT integer
+    * algebra (no libm at all until the final exp), so the cumulative
+    * hazard is an order-free BIGINT sum; the one exp per row is
+    * milli-snapped (the KM discipline). Returns
+    * (t_day, n_risk, d, c, h_micro, hazard_cum_micro, fh_surv_milli),
+    * ordered by t_day.
+    */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val withH = lifetable(events, userCol, tsCol)
+      .withColumn("h_micro",
+        floor(col("d").cast("double") * 1000000.0
+            / col("n_risk").cast("double"))
+          .cast("long"))
+    GlobalOrder
+      .runningSum(
+        withH.withColumn("h_dec", col("h_micro").cast("decimal(38,0)")),
+        Seq(col("t").asc), "h_dec", "h_cum_dec")
+      .select(
+        col("t").as("t_day"), col("n_risk"), col("d"), col("c"),
+        col("h_micro"),
+        col("h_cum_dec").cast("long").as("hazard_cum_micro"),
+        floor(exp(col("h_cum_dec").cast("double") / lit(-1000000.0)) * 1000
+            + lit(0.5)).cast("long").as("fh_surv_milli"))
       .orderBy(col("t_day"))
   }
 

@@ -944,6 +944,56 @@ object AnalyticsQueries {
              |      * 1000 + 0.5) AS BIGINT) END AS surv_milli
              |FROM cum ORDER BY t_day""".stripMargin)),
 
+    // ----- q270: Nelson–Aalen cumulative hazard + Fleming–Harrington
+    // survival over the SAME churn lifetable as q165 (operators
+    // .Survival.nelsonAalen) — the estimator pair recommended over KM
+    // when risk sets get small. Unlike KM (one ln per time point),
+    // every hazard increment is EXACT integer fdiv(d·1e6, n) algebra;
+    // the only libm call is the final exp(−H), milli-snapped. The
+    // oracle rebuilds the identical lifetable and integer sums.
+    QueryDef(
+      "q270_nelson_aalen",
+      (s, d) => {
+        graft.operators.Survival
+          .nelsonAalen(Tables.events(s, d), "user_id", "ts")
+      },
+      Some(s"""WITH pu AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+             |    MAX(CAST(ts AS DATE)) AS ld
+             |  FROM events GROUP BY 1),
+             |hz AS (SELECT MAX(ld) AS endd FROM pu),
+             |lif AS (
+             |  SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+             |    CASE WHEN date_diff('day', ld, endd)
+             |      > ${graft.operators.Survival.CensorDays}
+             |      THEN 1 ELSE 0 END AS ev
+             |  FROM pu, hz),
+             |byt AS (
+             |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             |    CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+             |  FROM lif GROUP BY t),
+             |risk AS (
+             |  SELECT t, d, c,
+             |    CAST(SUM(d + c) OVER (ORDER BY t DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n_risk
+             |  FROM byt),
+             |hz2 AS (
+             |  SELECT t, n_risk, d, c,
+             |    CAST(floor(CAST(d AS DOUBLE) * 1000000.0
+             |      / CAST(n_risk AS DOUBLE)) AS BIGINT) AS h_micro
+             |  FROM risk),
+             |cum AS (
+             |  SELECT t, n_risk, d, c, h_micro,
+             |    CAST(SUM(h_micro) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS hazard_cum_micro
+             |  FROM hz2)
+             |SELECT t AS t_day, n_risk, d, c, h_micro, hazard_cum_micro,
+             |  CAST(floor(exp(CAST(hazard_cum_micro AS DOUBLE) / -1000000.0)
+             |    * 1000 + 0.5) AS BIGINT) AS fh_surv_milli
+             |FROM cum ORDER BY t_day""".stripMargin)),
+
     // ----- q209: k-core decomposition (Seidman 1983) of the THINNED
     // co-purchase graph (parts linked only when they share ≥2 distinct
     // orders — the ≥2 support floor is what leaves a sparse graph
@@ -1551,6 +1601,81 @@ object AnalyticsQueries {
            |SELECT * FROM (
            |${Seq(0, 5, 10, 20).map(h => s"SELECT * FROM row$h").mkString("\nUNION ALL\n")})
            |ORDER BY h""".stripMargin
+      }),
+
+    // ----- q272: harmonic centrality (Boldi & Vigna 2014) from the
+    // q238 seed set, cutoff 4 hops — the landmark/sampled centrality
+    // a 100 TB graph actually computes (exact all-pairs closeness is
+    // quadratic; sampling seeds + a truncated horizon is the standard
+    // approximation, and HARMONIC handles disconnected reach sets
+    // where classic closeness degenerates). Per-seed labeled BFS
+    // frontiers (s, v, dist) over the one checkpointed edge layout;
+    // state is seeds×reach-bounded, NOT graph-quadratic. Each 1/d
+    // contribution is fdiv(1e6, d) — exact integer, order-free sums.
+    QueryDef(
+      "q272_harmonic_centrality",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+        val dir = e0.select($"pa".as("src"), $"pb".as("dst"))
+          .unionAll(e0.select($"pb".as("src"), $"pa".as("dst")))
+          .repartition($"src")
+          .localCheckpoint(true)   // one edge layout, reused per round
+        var reached = dir.select($"src".cast("long").as("v")).distinct()
+          .filter($"v" % 97 === 0)
+          .select($"v".as("sd"), $"v", lit(0L).as("dist"))
+          .localCheckpoint(true)
+        for (i <- 1 to 4) {
+          val next = dir
+            .join(reached.filter($"dist" === i - 1)
+              .select($"sd", $"v".as("src")), "src")
+            .select($"sd", $"dst".cast("long").as("v")).distinct()
+            .join(reached.select($"sd", $"v"), Seq("sd", "v"), "left_anti")
+            .select($"sd", $"v", lit(i.toLong).as("dist"))
+          reached = reached.unionAll(next).localCheckpoint(true)
+        }
+        reached.filter($"dist" > 0)
+          .groupBy($"sd")
+          .agg(count(lit(1)).as("n_reached"),
+            sum(floor(lit(1000000.0) / $"dist".cast("double")).cast("long"))
+              .as("harmonic_micro"))
+          .orderBy($"sd")
+      },
+      Some {
+        def round(i: Int): String =
+          s"""r$i AS MATERIALIZED (
+             |  SELECT sd, v, ${i}::BIGINT AS dist FROM (
+             |    SELECT DISTINCT p.sd, CAST(d.dst AS BIGINT) AS v
+             |    FROM dir d JOIN r${i - 1} p ON d.src = p.v) t
+             |  WHERE NOT EXISTS (SELECT 1 FROM reach${i - 1} x
+             |                    WHERE x.sd = t.sd AND x.v = t.v)),
+             |reach$i AS MATERIALIZED (
+             |  SELECT sd, v, dist FROM reach${i - 1}
+             |  UNION ALL SELECT sd, v, dist FROM r$i)""".stripMargin
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |dir AS MATERIALIZED (
+           |  SELECT pa AS src, pb AS dst FROM e0
+           |  UNION ALL SELECT pb, pa FROM e0),
+           |r0 AS MATERIALIZED (
+           |  SELECT v AS sd, v, 0::BIGINT AS dist FROM (
+           |    SELECT DISTINCT CAST(src AS BIGINT) AS v FROM dir)
+           |  WHERE v % 97 = 0),
+           |reach0 AS MATERIALIZED (SELECT sd, v, dist FROM r0),
+           |${(1 to 4).map(round).mkString(",\n")}
+           |SELECT sd, CAST(COUNT(*) AS BIGINT) AS n_reached,
+           |  CAST(SUM(CAST(floor(1000000.0 / CAST(dist AS DOUBLE)) AS BIGINT))
+           |    AS BIGINT) AS harmonic_micro
+           |FROM reach4 WHERE dist > 0
+           |GROUP BY sd ORDER BY sd""".stripMargin
       }))
 
   /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103

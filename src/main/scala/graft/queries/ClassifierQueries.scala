@@ -1049,7 +1049,107 @@ object ClassifierQueries {
            |  CAST(floor(exp(p.b0m / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)
            |    AS base_rate_micro
            |FROM par4 p CROSS JOIN zb b""".stripMargin
-      }))
+      }),
+
+    // ----- q274: L2 gradient boosting over regression stumps
+    // (operators.GradientBoost) — predict line price from quantized
+    // quantity/discount/tax, 4 shrinkage-halved rounds. The
+    // REGRESSION member of the supervised family; like q175 AdaBoost
+    // the ENTIRE training recurrence is exact integer algebra
+    // (residual cents, fdiv leaf means, 1e6-quantized split gains
+    // snapped BEFORE the argmax), so the oracle replays all 4 rounds
+    // — decile grids, candidate scans, argmax tie-breaks, residual
+    // updates, training-curve SSE — as unrolled CTEs, value for
+    // value. No libm anywhere.
+    QueryDef(
+      "q274_gbm_stumps",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.lineitem(s, d).select(
+          floor($"l_quantity" * 100 + lit(0.5)).cast("long").as("x0"),
+          floor($"l_discount" * 100 + lit(0.5)).cast("long").as("x1"),
+          floor($"l_tax" * 100 + lit(0.5)).cast("long").as("x2"),
+          floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("yc"))
+        val fit = graft.operators.GradientBoost.fit(
+          rows, Seq("x0", "x1", "x2"), "yc", GbmRounds)
+        fit.map { case (r, sse) =>
+          (r.round.toLong, r.dim.toLong, r.thr, r.nL,
+            r.gammaL, r.gammaR, r.gainCq, sse)
+        }.toDF("round", "dim", "thr", "n_l", "gamma_l", "gamma_r",
+            "gain_cq", "sse_cq")
+          .orderBy($"round")
+      },
+      Some(gbmOracle)))
+
+  private val GbmRounds = 4
+
+  /** The q274 oracle: [[GbmRounds]] unrolled L2-boosting rounds —
+    * decile threshold grid, per-candidate residual sums, snapped-gain
+    * argmax (ORDER BY gain DESC, dim, thr ≡ the Scala minBy
+    * tie-break), fdiv leaf means, exact residual update, HUGEINT SSE.
+    */
+  private def gbmOracle: String = {
+    def f(a: String, b: String) = QueryFixtures.fdivSql(a, b)
+    val pcts = (1 to 9).map(i => (i / 10.0).toString).mkString("[", ",", "]")
+    def xOf(alias: String, dimRef: String) =
+      s"(CASE $dimRef WHEN 0 THEN $alias.x0 WHEN 1 THEN $alias.x1 ELSE $alias.x2 END)"
+    val header =
+      s"""WITH st0 AS MATERIALIZED (
+         |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x0,
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x1,
+         |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS x2,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS r
+         |  FROM lineitem),
+         |grid AS MATERIALIZED (
+         |  SELECT DISTINCT dim, thr FROM (
+         |    SELECT 0 AS dim, CAST(floor(q) AS BIGINT) AS thr
+         |    FROM (SELECT unnest(quantile_cont(x0, $pcts)) AS q FROM st0)
+         |    UNION ALL
+         |    SELECT 1, CAST(floor(q) AS BIGINT)
+         |    FROM (SELECT unnest(quantile_cont(x1, $pcts)) AS q FROM st0)
+         |    UNION ALL
+         |    SELECT 2, CAST(floor(q) AS BIGINT)
+         |    FROM (SELECT unnest(quantile_cont(x2, $pcts)) AS q FROM st0)))""".stripMargin
+    val rounds = (1 to GbmRounds).map { k =>
+      val p = k - 1
+      s"""tot$k AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS s
+         |  FROM st$p),
+         |cand$k AS (
+         |  SELECT g.dim, g.thr,
+         |    CAST(SUM(CASE WHEN ${xOf("s", "g.dim")} <= g.thr
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    CAST(SUM(CASE WHEN ${xOf("s", "g.dim")} <= g.thr
+         |      THEN s.r ELSE 0 END) AS BIGINT) AS sl
+         |  FROM st$p s CROSS JOIN grid g GROUP BY 1, 2),
+         |best$k AS MATERIALIZED (
+         |  SELECT $k::BIGINT AS round, CAST(dim AS BIGINT) AS dim, thr,
+         |    nl AS n_l,
+         |    ${f(f("sl", "nl"), "2")} AS gamma_l,
+         |    ${f(f("t.s - sl", "t.n - nl"), "2")} AS gamma_r,
+         |    CAST(floor((CAST(sl AS DOUBLE) * sl / nl
+         |      + CAST(t.s - sl AS DOUBLE) * (t.s - sl) / (t.n - nl))
+         |      / 1000000.0 + 0.5) AS BIGINT) AS gain_cq
+         |  FROM cand$k c CROSS JOIN tot$k t
+         |  WHERE nl > 0 AND t.n - nl > 0
+         |  ORDER BY gain_cq DESC, dim, thr LIMIT 1),
+         |st$k AS MATERIALIZED (
+         |  SELECT s.x0, s.x1, s.x2,
+         |    s.r - CASE WHEN ${xOf("s", "b.dim")} <= b.thr
+         |      THEN b.gamma_l ELSE b.gamma_r END AS r
+         |  FROM st$p s CROSS JOIN best$k b),
+         |sse$k AS (
+         |  SELECT CAST(SUM(CAST(r AS HUGEINT) * r) // 1000000 AS BIGINT)
+         |    AS sse_cq
+         |  FROM st$k)""".stripMargin
+    }
+    val arms = (1 to GbmRounds).map(k =>
+      s"""SELECT b.round, b.dim, b.thr, b.n_l, b.gamma_l, b.gamma_r,
+         |  b.gain_cq, e.sse_cq
+         |FROM best$k b CROSS JOIN sse$k e""".stripMargin)
+    (Seq(header) ++ rounds).mkString(",\n") +
+      s"\nSELECT * FROM (\n${arms.mkString("\nUNION ALL\n")})\nORDER BY round"
+  }
 
   private val AdaRounds = 3
 

@@ -2203,9 +2203,15 @@ object QuantQueries {
                 .otherwise(floor($"wins".cast("double") * 1.0e15
                   / $"st" + lit(0.5)).cast("long")).as("praw"))
           val tot = raw.agg(sum($"praw").as("sp"))
+          // degenerate corpus guard (seen at sf0.1: the top-12 parts
+          // never share an order with distinct quantities, so there
+          // are no comparisons at all): with Σpraw = 0 the
+          // renormalization divides by zero — fall back to the
+          // uniform strength vector, mirrored in the oracle
           pi = raw.crossJoin(tot)
-            .select($"i", floor($"praw".cast("double") * 12000000.0 / $"sp"
-              + lit(0.5)).cast("long").as("pim"))
+            .select($"i", when($"sp" === 0L, lit(1000000L))
+              .otherwise(floor($"praw".cast("double") * 12000000.0 / $"sp"
+                + lit(0.5)).cast("long")).as("pim"))
             .localCheckpoint(true)
         }
         tw.join(pi, "i")
@@ -2231,8 +2237,9 @@ object QuantQueries {
              |  FROM tw w LEFT JOIN term$t s ON s.i = w.i),
              |p$t AS MATERIALIZED (
              |  SELECT r.i,
-             |    CAST(floor(CAST(r.praw AS DOUBLE) * 12000000.0 / z.sp + 0.5)
-             |      AS BIGINT) AS pim
+             |    CASE WHEN z.sp = 0 THEN 1000000
+             |      ELSE CAST(floor(CAST(r.praw AS DOUBLE) * 12000000.0 / z.sp
+             |        + 0.5) AS BIGINT) END AS pim
              |  FROM raw$t r CROSS JOIN
              |    (SELECT CAST(SUM(praw) AS BIGINT) AS sp FROM raw$t) z)""".stripMargin
         s"""WITH op AS (
@@ -2603,7 +2610,306 @@ object QuantQueries {
              |    / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
              |      - CAST(tie3 AS DOUBLE) / 48.0))
              |    * 1000000.0 + 0.5) AS BIGINT) AS z_micro
-             |FROM agg""".stripMargin)))
+             |FROM agg""".stripMargin)),
+
+    // ----- q268: Cohen's kappa between two rule-based document
+    // raters (char-length gate vs token-count gate) — the
+    // inter-annotator-agreement diagnostic a labeling pipeline runs
+    // before trusting silver labels: observed agreement corrected by
+    // chance agreement. Confusion cells are exact BIGINT counts from
+    // ONE scan; kappa = (po − pe)/(1 − pe) is one IEEE chain over
+    // count ratios (doubles from the start — no >2^63 products at
+    // any scale), micro-snapped.
+    QueryDef(
+      "q268_cohens_kappa",
+      (s, d) => {
+        import s.implicits._
+        val flags = Tables.documents(s, d).select(
+          (length(trim($"text")) > 300).as("ra"),
+          (size(graft.functions.TextFunctions.tokens($"text")) > 60).as("rb"))
+        val cts = flags.agg(
+          sum(when($"ra" && $"rb", 1L).otherwise(0L)).as("n11"),
+          sum(when($"ra" && !$"rb", 1L).otherwise(0L)).as("n10"),
+          sum(when(!$"ra" && $"rb", 1L).otherwise(0L)).as("n01"),
+          sum(when(!$"ra" && !$"rb", 1L).otherwise(0L)).as("n00"))
+        def dv(c: org.apache.spark.sql.Column) = c.cast("double")
+        cts.select($"n11", $"n10", $"n01", $"n00",
+          floor(((dv($"n11" + $"n00") / dv($"n11" + $"n10" + $"n01" + $"n00")
+              - (dv($"n11" + $"n10") * dv($"n11" + $"n01")
+                 + dv($"n01" + $"n00") * dv($"n10" + $"n00"))
+                / (dv($"n11" + $"n10" + $"n01" + $"n00")
+                   * dv($"n11" + $"n10" + $"n01" + $"n00")))
+            / (lit(1.0)
+              - (dv($"n11" + $"n10") * dv($"n11" + $"n01")
+                 + dv($"n01" + $"n00") * dv($"n10" + $"n00"))
+                / (dv($"n11" + $"n10" + $"n01" + $"n00")
+                   * dv($"n11" + $"n10" + $"n01" + $"n00"))))
+            * 1000000 + lit(0.5)).cast("long").as("kappa_micro"))
+      },
+      Some("""WITH fl AS (
+             |  SELECT length(trim(text)) > 300 AS ra,
+             |    len(list_filter(string_split_regex(trim(text), '\s+'),
+             |                    x -> length(x) > 0)) > 60 AS rb
+             |  FROM documents),
+             |ct AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n11,
+             |    CAST(SUM(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n10,
+             |    CAST(SUM(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n01,
+             |    CAST(SUM(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n00
+             |  FROM fl)
+             |SELECT n11, n10, n01, n00,
+             |  CAST(floor(((CAST(n11 + n00 AS DOUBLE)
+             |      / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+             |      - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+             |         + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+             |        / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+             |           * CAST(n11 + n10 + n01 + n00 AS DOUBLE)))
+             |    / (1.0
+             |      - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+             |         + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+             |        / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+             |           * CAST(n11 + n10 + n01 + n00 AS DOUBLE))))
+             |    * 1000000 + 0.5) AS BIGINT) AS kappa_micro
+             |FROM ct""".stripMargin)),
+
+    // ----- q269: Friedman test across order priorities blocked by
+    // month — the nonparametric repeated-measures companion to q220
+    // Kruskal–Wallis (that one pools independent groups; this ranks
+    // WITHIN each month block, so a month-level revenue shift can't
+    // masquerade as a priority effect). Cell values are exact cent
+    // sums; ranks are a BLOCK-partitioned window (never global; cent
+    // sums make ties vanishingly rare and any tie ranks identically
+    // in both engines); χ²_F = 12/(n·k·(k+1))·ΣR_j² − 3·n·(k+1) is
+    // exact-integer until one final double chain, micro-snapped and
+    // cross-joined onto the per-treatment rank sums (q177 shape).
+    QueryDef(
+      "q269_friedman_test",
+      (s, d) => {
+        import s.implicits._
+        val bt = Tables.orders(s, d)
+          .select(trunc($"o_orderdate", "month").as("blk"), $"o_orderpriority",
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"blk", $"o_orderpriority")
+          .agg(sum($"cents").as("v"))
+        val full = bt.groupBy($"blk").agg(count(lit(1)).as("kk"))
+          .filter($"kk" === 5).select($"blk")
+        val ranked = bt.join(full, "blk")
+          .withColumn("rk", rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"blk").orderBy($"v")))
+        val rj = ranked.groupBy($"o_orderpriority")
+          .agg(sum($"rk".cast("long")).as("rj"), count(lit(1)).as("n_blocks"))
+        val chi = rj.agg(max($"n_blocks").as("n"),
+            sum($"rj" * $"rj").as("sr2"))
+          .select(floor((lit(12.0) * $"sr2".cast("double")
+              / ($"n".cast("double") * 5.0 * 6.0)
+              - lit(3.0) * $"n".cast("double") * 6.0) * 1000000 + lit(0.5))
+            .cast("long").as("chi2_micro"))
+        rj.crossJoin(chi)
+          .select($"o_orderpriority", $"n_blocks", $"rj", $"chi2_micro")
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH bt AS (
+             |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS blk,
+             |    o_orderpriority,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM orders GROUP BY 1, 2),
+             |full_b AS (
+             |  SELECT blk FROM bt GROUP BY blk HAVING COUNT(*) = 5),
+             |rk AS (
+             |  SELECT b.o_orderpriority,
+             |    CAST(rank() OVER (PARTITION BY b.blk ORDER BY b.v)
+             |      AS BIGINT) AS rk
+             |  FROM bt b JOIN full_b f ON b.blk = f.blk),
+             |rj AS (
+             |  SELECT o_orderpriority, CAST(SUM(rk) AS BIGINT) AS rj,
+             |    CAST(COUNT(*) AS BIGINT) AS n_blocks
+             |  FROM rk GROUP BY 1),
+             |chi AS (
+             |  SELECT CAST(floor((12.0 * CAST(SUM(rj * rj) AS DOUBLE)
+             |      / (CAST(MAX(n_blocks) AS DOUBLE) * 5.0 * 6.0)
+             |      - 3.0 * CAST(MAX(n_blocks) AS DOUBLE) * 6.0)
+             |      * 1000000 + 0.5) AS BIGINT) AS chi2_micro
+             |  FROM rj)
+             |SELECT r.o_orderpriority, r.n_blocks, r.rj, c.chi2_micro
+             |FROM rj r CROSS JOIN chi c
+             |ORDER BY r.o_orderpriority""".stripMargin)),
+
+    // ----- q273: Brown–Forsythe test (median-centered Levene) for
+    // equal variances of extended price across return flags — the
+    // variance-homogeneity gate q187 Welch / q220 Kruskal–Wallis
+    // assume away: one-way ANOVA F on the absolute deviations from
+    // each group's exact interpolated MEDIAN (median-centering is
+    // what makes it robust to the heavy price tail). Deviations are
+    // exact integer cents (half-cent medians doubled away, floor-
+    // halved back); the sum-of-squares pieces are 1e6-quantized
+    // BIGINTs BEFORE the cross-group sums so every Σ is exact and
+    // order-free; the F ratio is one final IEEE chain, micro-snapped
+    // and cross-joined onto the per-group rows (q177 shape).
+    QueryDef(
+      "q273_brown_forsythe",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_returnflag",
+            floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("cents"))
+        val med = li.groupBy($"l_returnflag")
+          .agg((percentile($"cents", lit(0.5)) * 2).cast("long").as("med2"))
+        val z = li.join(broadcast(med), "l_returnflag")
+          .select($"l_returnflag", $"med2",
+            shiftright(abs($"cents" * 2 - $"med2"), 1).as("z"))
+        val grp = z.groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_g"), max($"med2").as("med2"),
+            sum($"z".cast("decimal(38,0)")).as("sg"),
+            sum(($"z" * $"z").cast("decimal(38,0)")).as("szz"))
+        val gq = grp
+          .withColumn("t_cq",
+            floor($"sg".cast("double") * $"sg".cast("double")
+                / $"n_g".cast("double") / 1000000.0 + lit(0.5)).cast("long"))
+          .withColumn("szz_cq",
+            floor($"szz".cast("double") / 1000000.0 + lit(0.5)).cast("long"))
+        val tot = gq.agg(
+            sum($"n_g").as("nn"), sum($"sg").as("ss"),
+            sum($"t_cq").as("sum_t_cq"), sum($"szz_cq").as("sum_szz_cq"))
+          .select($"nn", $"sum_t_cq", $"sum_szz_cq",
+            floor($"ss".cast("double") * $"ss".cast("double")
+                / $"nn".cast("double") / 1000000.0 + lit(0.5)).cast("long")
+              .as("g_cq"))
+          .select(floor(
+              (($"sum_t_cq" - $"g_cq").cast("double") / 2.0)
+              / (($"sum_szz_cq" - $"sum_t_cq").cast("double")
+                 / ($"nn".cast("double") - 3.0))
+              * 1000000 + lit(0.5)).cast("long").as("f_micro"))
+        gq.select($"l_returnflag", $"n_g", $"med2").crossJoin(tot)
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH ce AS (
+             |  SELECT l_returnflag,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |md AS (
+             |  SELECT l_returnflag,
+             |    CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+             |  FROM ce GROUP BY 1),
+             |z AS (
+             |  SELECT c.l_returnflag, m.med2,
+             |    abs(c.cents * 2 - m.med2) // 2 AS z
+             |  FROM ce c JOIN md m USING (l_returnflag)),
+             |g AS (
+             |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_g,
+             |    MAX(med2) AS med2,
+             |    CAST(SUM(z) AS HUGEINT) AS sg,
+             |    CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz
+             |  FROM z GROUP BY 1),
+             |gq AS (
+             |  SELECT l_returnflag, n_g, med2, sg,
+             |    CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+             |      / CAST(n_g AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS t_cq,
+             |    CAST(floor(CAST(szz AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT)
+             |      AS szz_cq
+             |  FROM g),
+             |tot AS (
+             |  SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+             |    CAST(SUM(sg) AS HUGEINT) AS ss,
+             |    CAST(SUM(t_cq) AS BIGINT) AS sum_t_cq,
+             |    CAST(SUM(szz_cq) AS BIGINT) AS sum_szz_cq
+             |  FROM gq),
+             |t2 AS (
+             |  SELECT nn, sum_t_cq, sum_szz_cq,
+             |    CAST(floor(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+             |      / CAST(nn AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS g_cq
+             |  FROM tot),
+             |f AS (
+             |  SELECT CAST(floor(
+             |      (CAST(sum_t_cq - g_cq AS DOUBLE) / 2.0)
+             |      / (CAST(sum_szz_cq - sum_t_cq AS DOUBLE)
+             |         / (CAST(nn AS DOUBLE) - 3.0))
+             |      * 1000000 + 0.5) AS BIGINT) AS f_micro
+             |  FROM t2)
+             |SELECT g2.l_returnflag, g2.n_g, g2.med2, f.f_micro
+             |FROM gq g2 CROSS JOIN f
+             |ORDER BY g2.l_returnflag""".stripMargin)),
+
+    // ----- q275: Anderson–Darling statistic of account balances
+    // against the (Laplace-smoothed) uniform CDF on their own range —
+    // the tail-weighted EDF companion to q171 KS / q222 CvM: AD's
+    // 1/(F(1−F)) weight makes it the sensitive test for tail
+    // departures, exactly where balances deviate from uniform.
+    // F(v) = (v−min+1)/(max−min+2) in cents (the add-one smoothing
+    // keeps both logs finite at the extremes). Tie-safe closed form
+    // over the DISTINCT-value frame: a tie block of size t starting
+    // after c smaller values contributes (2tc+t²)·lnF +
+    // (2t(n−c)−t²)·ln(1−F); each ln is r4-snapped immediately and
+    // the per-value term fdiv'd by n (exact, order-free BIGINT sum —
+    // the q96/q164 libm discipline). Ranks come from
+    // GlobalOrder.runningSum, never a global window.
+    QueryDef(
+      "q275_anderson_darling",
+      (s, d) => {
+        import s.implicits._
+        val v = Tables.customer(s, d)
+          .select(floor($"c_acctbal" * 100 + lit(0.5)).cast("long").as("v"))
+        val byV = v.groupBy($"v").agg(count(lit(1)).as("t"))
+        val mm = v.agg(min($"v").as("mn"), max($"v").as("mx"),
+          count(lit(1)).as("n"))
+        val cum = graft.operators.GlobalOrder.runningSum(
+            byV.withColumn("td", $"t".cast("decimal(38,0)")),
+            Seq($"v".asc), "td", "cumd")
+          .select($"v", $"t", ($"cumd".cast("long") - $"t").as("c"))
+        val terms = cum.crossJoin(mm)
+          .withColumn("ff", ($"v" - $"mn" + 1).cast("double")
+            / ($"mx" - $"mn" + 2).cast("double"))
+          .withColumn("lnf_q",
+            floor(log($"ff") * 10000 + lit(0.5)).cast("long"))
+          .withColumn("ln1f_q",
+            floor(log(lit(1.0) - $"ff") * 10000 + lit(0.5)).cast("long"))
+          .withColumn("term_q",
+            floor(((lit(2L) * $"t" * $"c" + $"t" * $"t") * $"lnf_q"
+              + (lit(2L) * $"t" * ($"n" - $"c") - $"t" * $"t") * $"ln1f_q")
+              .cast("double") / $"n".cast("double")).cast("long"))
+        terms.agg(max($"n").as("n"), count(lit(1)).as("n_distinct"),
+            sum($"term_q").as("sq"))
+          .select($"n", $"n_distinct",
+            floor((-$"n".cast("double") - $"sq".cast("double") / 10000.0)
+              * 1000 + lit(0.5)).cast("long").as("a2_milli"))
+      },
+      Some("""WITH vv AS (
+             |  SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+             |  FROM customer),
+             |mm AS (
+             |  SELECT MIN(v) AS mn, MAX(v) AS mx,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM vv),
+             |byv AS (
+             |  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM vv GROUP BY 1),
+             |cum AS (
+             |  SELECT v, t,
+             |    CAST(SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) - t AS c
+             |  FROM byv),
+             |terms AS (
+             |  SELECT m.n,
+             |    CAST(floor(((2 * u.t * u.c + u.t * u.t)
+             |        * CAST(floor(ln(CAST(u.v - m.mn + 1 AS DOUBLE)
+             |            / CAST(m.mx - m.mn + 2 AS DOUBLE)) * 10000 + 0.5)
+             |          AS BIGINT)
+             |      + (2 * u.t * (m.n - u.c) - u.t * u.t)
+             |        * CAST(floor(ln(1.0 - CAST(u.v - m.mn + 1 AS DOUBLE)
+             |            / CAST(m.mx - m.mn + 2 AS DOUBLE)) * 10000 + 0.5)
+             |          AS BIGINT))
+             |      / CAST(m.n AS DOUBLE)) AS BIGINT) AS term_q
+             |  FROM cum u CROSS JOIN mm m)
+             |SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |  CAST(floor((-CAST(MAX(n) AS DOUBLE)
+             |    - CAST(SUM(term_q) AS DOUBLE) / 10000.0) * 1000 + 0.5)
+             |    AS BIGINT) AS a2_milli
+             |FROM terms""".stripMargin)))
 
   /** q177/q178 shared constants. */
   private val HoltAlphaDen = 4L

@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Financial-risk analytics over the daily revenue series — the
+  * drawdown / tail-risk / market-sensitivity family the warehouse
+  * layer (q178 Holt, q179 seasonal, q181 CUSUM) stops short of.
+  * Exact-integer trajectories (operators.Risk), one IEEE chain per
+  * genuine real division, every query oracle-checked.
+  */
+object RiskQueries {
+
+  /** Daily revenue in exact cents — the shared series input (the
+    * q178/q179/q181 aggregation, verbatim).
+    */
+  private def dailyCents(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(to_date($"o_orderdate").as("day"),
+        floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("xq"))
+  }
+
+  private val dailySql =
+    """ser AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS xq
+      |  FROM orders GROUP BY 1)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ----- q264: drawdown trajectory of cumulative daily revenue
+    // (operators.Risk.drawdown) — running sum, running peak, and
+    // peak−cum per day, all exact BIGINT cents; the oracle replays
+    // the whole trajectory with two window functions. The series
+    // fold runs in one day-count-bounded task (the Holt class); the
+    // input aggregation is distributed.
+    QueryDef(
+      "q264_drawdown",
+      (s, d) => graft.operators.Risk.drawdown(dailyCents(s, d), "day", "xq"),
+      Some(s"""WITH $dailySql,
+             |cm AS (
+             |  SELECT day, xq,
+             |    CAST(SUM(xq) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM ser)
+             |SELECT day, xq, cum,
+             |  CAST(MAX(cum) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS peak,
+             |  CAST(MAX(cum) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum
+             |    AS BIGINT) AS dd
+             |FROM cm ORDER BY day""".stripMargin)),
+
+    // ----- q265: historical VaR(5%) + expected shortfall of the
+    // day-over-day revenue changes (operators.Risk.varEs) — deltas
+    // exact BIGINT, VaR by the engine-identical quantile_cont
+    // interpolation (q105 parity), ES as an exact tail sum / count.
+    // The tail predicate compares against the UNSNAPPED quantile so
+    // r4 snapping can never move a boundary delta across it.
+    QueryDef(
+      "q265_var_es",
+      (s, d) => graft.operators.Risk.varEs(dailyCents(s, d), "day", "xq", 0.05),
+      Some(s"""WITH $dailySql,
+             |dl AS (
+             |  SELECT day, xq - lag(xq) OVER (ORDER BY day) AS dx FROM ser),
+             |dd AS (SELECT dx FROM dl WHERE dx IS NOT NULL),
+             |q AS (SELECT quantile_cont(dx, 0.05) AS vr FROM dd),
+             |tl AS (
+             |  SELECT CAST(SUM(dx) AS BIGINT) AS ts, COUNT(*) AS tn
+             |  FROM dd, q WHERE CAST(dx AS DOUBLE) <= vr)
+             |SELECT (SELECT COUNT(*) FROM ser) AS n_days,
+             |  floor(vr * 10000 + 0.5) / 10000 AS var_p,
+             |  CAST(floor(CAST(ts AS DOUBLE) / tn * 1000000 + 0.5) AS BIGINT)
+             |    AS es_micro,
+             |  tn AS n_tail
+             |FROM q, tl""".stripMargin)),
+
+    // ----- q266: per-nation beta against the market plus Sharpe
+    // ratio, over day-over-day changes of per-nation daily revenue.
+    // A dense nation×day grid (zero-filled) aligns the series; the
+    // delta lag is a NATION-partitioned window (never global); the
+    // market delta is the per-day sum of nation deltas (no global
+    // window needed); moments are exact BIGINT products summed in
+    // decimal(38,0)/HUGEINT (q170 discipline); beta and Sharpe are
+    // each ONE identical IEEE chain, micro-snapped.
+    QueryDef(
+      "q266_sharpe_beta",
+      (s, d) => {
+        import s.implicits._
+        val rev = Tables.orders(s, d)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .select($"n_name", to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"n_name", $"day").agg(sum($"cents").as("xq"))
+          .localCheckpoint(true) // grid + distinct legs read it
+        val days = rev.select($"day").distinct()
+        val nats = rev.select($"n_name").distinct()
+        val grid = broadcast(nats).crossJoin(days)
+          .join(rev, Seq("n_name", "day"), "left")
+          .withColumn("xq", coalesce($"xq", lit(0L)))
+        val w = Window.partitionBy($"n_name").orderBy($"day")
+        val dx = grid
+          .withColumn("dx", $"xq" - lag($"xq", 1).over(w))
+          .filter($"dx".isNotNull)
+        val mkt = dx.groupBy($"day").agg(sum($"dx").as("dm"))
+        val joined = dx.join(mkt, "day")
+        val mom = joined.groupBy($"n_name").agg(
+          count(lit(1)).as("n"),
+          sum($"dx".cast("decimal(38,0)")).as("sx"),
+          sum($"dm".cast("decimal(38,0)")).as("sm"),
+          sum(($"dx" * $"dx").cast("decimal(38,0)")).as("sxx"),
+          sum(($"dx" * $"dm").cast("decimal(38,0)")).as("sxm"),
+          sum(($"dm" * $"dm").cast("decimal(38,0)")).as("smm"))
+        val nd = $"n".cast("double")
+        def dbl(c: String) = col(c).cast("double")
+        mom.select($"n_name", $"n",
+            floor((nd * dbl("sxm") - dbl("sx") * dbl("sm"))
+                / (nd * dbl("smm") - dbl("sm") * dbl("sm")) * 1000000 + lit(0.5))
+              .cast("long").as("beta_micro"),
+            floor(dbl("sx") / nd
+                / sqrt((dbl("sxx") - dbl("sx") * dbl("sx") / nd) / (nd - 1.0))
+                * 1000000 + lit(0.5))
+              .cast("long").as("sharpe_micro"))
+          .orderBy($"n_name")
+      },
+      Some("""WITH rev AS (
+             |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS xq
+             |  FROM orders o
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT na.n_name, dy.day, COALESCE(r.xq, 0) AS xq
+             |  FROM (SELECT DISTINCT n_name FROM rev) na
+             |  CROSS JOIN (SELECT DISTINCT day FROM rev) dy
+             |  LEFT JOIN rev r ON r.n_name = na.n_name AND r.day = dy.day),
+             |dx AS (
+             |  SELECT n_name, day,
+             |    xq - lag(xq) OVER (PARTITION BY n_name ORDER BY day) AS dx
+             |  FROM grid),
+             |dd AS (SELECT n_name, day, dx FROM dx WHERE dx IS NOT NULL),
+             |mkt AS (SELECT day, CAST(SUM(dx) AS BIGINT) AS dm
+             |        FROM dd GROUP BY 1),
+             |mom AS (
+             |  SELECT d.n_name, COUNT(*) AS n,
+             |    CAST(SUM(CAST(d.dx AS HUGEINT)) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(m.dm AS HUGEINT)) AS DOUBLE) AS sm,
+             |    CAST(SUM(CAST(d.dx AS HUGEINT) * d.dx) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(d.dx AS HUGEINT) * m.dm) AS DOUBLE) AS sxm,
+             |    CAST(SUM(CAST(m.dm AS HUGEINT) * m.dm) AS DOUBLE) AS smm
+             |  FROM dd d JOIN mkt m ON d.day = m.day
+             |  GROUP BY 1)
+             |SELECT n_name, n,
+             |  CAST(floor((CAST(n AS DOUBLE) * sxm - sx * sm)
+             |    / (CAST(n AS DOUBLE) * smm - sm * sm) * 1000000 + 0.5)
+             |    AS BIGINT) AS beta_micro,
+             |  CAST(floor(sx / CAST(n AS DOUBLE)
+             |    / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+             |           / (CAST(n AS DOUBLE) - 1.0))
+             |    * 1000000 + 0.5) AS BIGINT) AS sharpe_micro
+             |FROM mom ORDER BY n_name""".stripMargin)),
+
+    // ----- q267: Durbin–Watson serial-correlation diagnostic of the
+    // residuals from the daily-revenue OLS trend line
+    // (operators.Risk.durbinWatson) — exact BIGINT/HUGEINT moments,
+    // fdiv fixed-point slope/intercept, exact integer residuals, and
+    // ONE double division for the DW ratio. DW ≈ 2 ⇒ no lag-1
+    // autocorrelation; < 1 ⇒ strong positive.
+    QueryDef(
+      "q267_durbin_watson",
+      (s, d) => graft.operators.Risk.durbinWatson(dailyCents(s, d), "day", "xq"),
+      Some(s"""WITH $dailySql,
+             |rn AS (
+             |  SELECT xq, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+             |  FROM ser),
+             |mo AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(t) AS BIGINT) AS st,
+             |    CAST(SUM(xq) AS BIGINT) AS sy,
+             |    CAST(SUM(t * t) AS BIGINT) AS stt,
+             |    CAST(SUM(CAST(t AS HUGEINT) * xq) AS HUGEINT) AS sty
+             |  FROM rn),
+             |co AS (
+             |  SELECT n, st, sy,
+             |    CAST(floor(CAST(CAST(n AS HUGEINT) * sty
+             |        - CAST(st AS HUGEINT) * sy AS DOUBLE)
+             |      / CAST(CAST(n AS HUGEINT) * stt
+             |        - CAST(st AS HUGEINT) * st AS DOUBLE)
+             |      * 1000) AS BIGINT) AS slope_milli
+             |  FROM mo),
+             |c2 AS (
+             |  SELECT n, slope_milli,
+             |    CAST(floor(CAST(1000 * sy - slope_milli * st AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_milli
+             |  FROM co),
+             |res AS (
+             |  SELECT c2.n, c2.slope_milli, c2.intercept_milli,
+             |    1000 * rn.xq - c2.intercept_milli - c2.slope_milli * rn.t
+             |      AS e,
+             |    rn.t
+             |  FROM rn CROSS JOIN c2),
+             |lagd AS (
+             |  SELECT n, slope_milli, intercept_milli, e,
+             |    e - lag(e) OVER (ORDER BY t) AS de
+             |  FROM res),
+             |sums AS (
+             |  SELECT ANY_VALUE(n) AS n, ANY_VALUE(slope_milli) AS slope_milli,
+             |    ANY_VALUE(intercept_milli) AS intercept_milli,
+             |    CAST(SUM(CAST(de AS HUGEINT) * de) AS HUGEINT) AS sd2,
+             |    CAST(SUM(CAST(e AS HUGEINT) * e) AS HUGEINT) AS se2
+             |  FROM lagd)
+             |SELECT n, slope_milli, intercept_milli,
+             |  CAST((sd2 * 2000000 + se2) // (se2 * 2) AS BIGINT) AS dw_micro
+             |FROM sums""".stripMargin))
+  )
+}

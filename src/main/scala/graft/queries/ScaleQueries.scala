@@ -471,6 +471,63 @@ object ScaleQueries {
            |FROM eo, so, ep, sq""".stripMargin
       }),
 
+    // ----- q271: KMV (k-minimum-values) distinct sketch next to the
+    // exact counts — the third member of the approx-distinct family
+    // (q35 built-in HLL++, q149 replayable HLL): keep the k = 1024
+    // SMALLEST values of the replayable 32-bit hash; the k-th
+    // smallest R_k estimates density, n̂ = (k−1)·2³²/R_k
+    // (Bar-Yossef et al. 2002). Where HLL's state is registers, KMV's
+    // is an order statistic — mergeable by union+re-truncate, and the
+    // estimate replays EXACTLY (ORDER BY h LIMIT k + one double
+    // chain). Spark's sort+limit plans as TakeOrderedAndProject —
+    // per-partition partial top-k, never a global sort.
+    QueryDef(
+      "q271_kmv_distinct",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        def leg(key: String, exactName: String, estName: String) = {
+          val ks = graft.Par.spread(li.select(col(key).cast("long").as("k")))
+            .distinct().localCheckpoint(true) // exact + sketch legs
+          val mins = ks
+            .select(graft.operators.Sampling.hashBits($"k").as("h"))
+            .distinct()
+            .orderBy($"h").limit(1024)
+          val est = mins.agg(count(lit(1)).as("kk"), max($"h").as("hk"))
+            .select(floor(($"kk" - 1).cast("double") * 4294967296.0
+                / $"hk".cast("double") + lit(0.5))
+              .cast("long").as(estName))
+          ks.agg(count(lit(1)).as(exactName)).crossJoin(est)
+        }
+        leg("l_orderkey", "exact_orders", "kmv_orders")
+          .crossJoin(leg("l_partkey", "exact_parts", "kmv_parts"))
+          .select($"exact_orders", $"kmv_orders",
+            $"exact_parts", $"kmv_parts")
+      },
+      Some {
+        def leg(src: String, key: String) =
+          s"""${src}k AS MATERIALIZED (
+             |  SELECT DISTINCT CAST($key AS BIGINT) AS k FROM lineitem),
+             |${src}h AS (
+             |  SELECT DISTINCT ${graft.operators.Sampling.hashBitsSql("k")} AS h
+             |  FROM ${src}k),
+             |${src}t AS (SELECT h FROM ${src}h ORDER BY h LIMIT 1024),
+             |${src}e AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+             |    CAST(MAX(h) AS BIGINT) AS hk
+             |  FROM ${src}t)""".stripMargin
+        s"""WITH ${leg("o", "l_orderkey")},
+           |${leg("p", "l_partkey")}
+           |SELECT
+           |  (SELECT COUNT(*) FROM ok) AS exact_orders,
+           |  CAST(floor(CAST(oe.kk - 1 AS DOUBLE) * 4294967296.0
+           |    / CAST(oe.hk AS DOUBLE) + 0.5) AS BIGINT) AS kmv_orders,
+           |  (SELECT COUNT(*) FROM pk) AS exact_parts,
+           |  CAST(floor(CAST(pe.kk - 1 AS DOUBLE) * 4294967296.0
+           |    / CAST(pe.hk AS DOUBLE) + 0.5) AS BIGINT) AS kmv_parts
+           |FROM oe, pe""".stripMargin
+      }),
+
     // ----- q197: the REPLAYABLE-SKETCH twin of q43 (VERDICT r8 #8)
     // — per-returnflag quantiles through the fixed-resolution bucket
     // sketch (operators.QuantileSketch) instead of the engine-specific
