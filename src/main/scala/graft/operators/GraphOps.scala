@@ -398,4 +398,85 @@ object GraphOps {
     hub.select(lit("hub").as("side"), col("id"), col("val"))
       .unionAll(auth.select(lit("auth").as("side"), col("id"), col("val")))
   }
+
+  /** Hop-bounded Brandes betweenness (Brandes 2001; the k-bounded-
+    * distance variant) from sampled seed sources — the shortest-path
+    * brokerage centrality a 100 TB graph actually computes: exact
+    * all-pairs Brandes is O(V·E), so production systems sample
+    * sources (seed mod rule) and bound the horizon (`hops`), both of
+    * which this does explicitly.
+    *
+    * Forward: per-seed BFS with PATH COUNTS — σ_s(w) = Σ_pred σ_s(v),
+    * an exact integer sum per layer. Backward: dependency
+    * accumulation δ_s(v) = Σ_{succ w} σ_v/σ_w·(1 + δ_s(w)) from the
+    * deepest layer in; each term is fdiv(σ_v·(1e6 + δ_w), σ_w) —
+    * exact micro-quantized integer algebra, order-free sums, fully
+    * oracle-replayable. bc(v) = Σ_s δ_s(v), endpoints excluded by
+    * construction (layer ≥ 1).
+    *
+    * Scale shape: one edge layout partitioned by src and checkpointed
+    * (the q99/q198 discipline); per-round traffic is frontier-sized ×
+    * seed multiplicity, never graph-quadratic; the backward phase
+    * joins layer frames (seeds×reach-bounded) onto the stationary
+    * layout. Fixed `hops` unroll keeps the plan replayable.
+    */
+  def truncatedBetweenness(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      seedMod: Long = 97L,
+      hops: Int = 4): DataFrame = {
+    require(hops >= 2)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val dir = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var reached = dir.select(col("src").cast("long").as("v")).distinct()
+      .filter(col("v") % seedMod === 0)
+      .select(col("v").as("sd"), col("v"), lit(0L).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    for (i <- 1 to hops) {
+      val next = dir
+        .join(reached.filter(col("dist") === i - 1)
+          .select(col("sd"), col("v").as("src"), col("sigma")), "src")
+        .groupBy(col("sd"), col("dst").cast("long").as("v"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(reached.select(col("sd"), col("v")), Seq("sd", "v"), "left_anti")
+        .select(col("sd"), col("v"), lit(i.toLong).as("dist"), col("sigma"))
+      reached = reached.unionAll(next).localCheckpoint(true)
+    }
+    // backward dependency accumulation, deepest layer first
+    var delta = reached.filter(col("dist") === hops)
+      .select(col("sd"), col("v"), lit(0L).as("dq"))
+      .localCheckpoint(true)
+    val deps = Seq.newBuilder[DataFrame]
+    for (l <- (hops - 1) to 1 by -1) {
+      val lower = reached.filter(col("dist") === l)
+        .select(col("sd"), col("v"), col("sigma"))
+      val upper = reached.filter(col("dist") === l + 1)
+        .select(col("sd"), col("v").as("w"), col("sigma").as("sw"))
+      val dl = lower
+        .join(dir.select(col("src").cast("long").as("v"),
+          col("dst").cast("long").as("w")), Seq("v"))
+        .join(upper, Seq("sd", "w"))
+        .join(delta.select(col("sd"), col("v").as("w"), col("dq")),
+          Seq("sd", "w"), "left")
+        .withColumn("dqw", coalesce(col("dq"), lit(0L)))
+        .groupBy(col("sd"), col("v"))
+        .agg(sum(floor(
+            (col("sigma") * (lit(1000000L) + col("dqw"))).cast("double")
+              / col("sw").cast("double")).cast("long"))
+          .as("dq"))
+      delta = dl.localCheckpoint(true)
+      deps += delta
+    }
+    deps.result().reduce(_ unionAll _)
+      .groupBy(col("v"))
+      .agg(sum(col("dq")).as("bc_micro"))
+      .orderBy(col("bc_micro").desc, col("v"))
+      .limit(50)
+  }
 }

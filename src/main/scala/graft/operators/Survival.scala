@@ -154,12 +154,17 @@ object Survival {
     * per-group risk sets are reverse [[GlobalOrder.runningSum]]s
     * (range-partitioned two-pass, no single-partition window).
     */
-  def logRank(
+  /** Shared two-group lifetable: (lif = per-user (grp, t, ev),
+    * risk = per-duration (t, d1, d0, n1, n0)) — the spans →
+    * lifetimes → duration-grouped → per-group reverse-running-sum
+    * pipeline [[logRank]] and [[coxBinary]] both read.
+    */
+  private def twoGroupRisk(
       events: DataFrame,
       userCol: String,
       tsCol: String,
-      grpOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        c => pmod(c, lit(2))): DataFrame = {
+      grpOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame) = {
     val spans = events
       .groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("fd"), max(to_date(col(tsCol))).as("ld"))
@@ -183,6 +188,16 @@ object Survival {
       Seq(col("t").desc), "u0d", "n0d")
       .select(col("t"), col("d1"), col("d0"),
         col("n1d").cast("long").as("n1"), col("n0d").cast("long").as("n0"))
+    (lif, risk)
+  }
+
+  def logRank(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      grpOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => pmod(c, lit(2))): DataFrame = {
+    val (lif, risk) = twoGroupRisk(events, userCol, tsCol, grpOf)
     val terms = risk
       .withColumn("d", col("d1") + col("d0"))
       .withColumn("n", col("n1") + col("n0"))
@@ -210,5 +225,94 @@ object Survival {
       expr(s"sv * 1000 DIV $LrQ").as("v_milli"),
       floor(z * z / (col("sv").cast("double") * LrQ) * 1000000 + lit(0.5))
         .cast("long").as("chi2_micro"))
+  }
+
+  /** Cox proportional hazards with a single BINARY covariate (the
+    * [[logRank]] cohorts), Breslow tie handling, Newton–Raphson on
+    * the partial likelihood — the EFFECT-SIZE companion to q218:
+    * log-rank says WHETHER the two churn curves differ, this
+    * estimates by HOW MUCH (hazard ratio e^β with a standard error).
+    *
+    * With x ∈ {0,1} the per-duration score and information reduce to
+    * risk-set counts: p_t = n1·e^β/(n0 + n1·e^β),
+    *   U(β) = Σ_t (d1_t − d_t·p_t),  I(β) = Σ_t d_t·p_t·(1−p_t),
+    * β ← β + U/I from β = 0.
+    *
+    * Replay discipline: β lives in exact micro units; each
+    * iteration's e^β is ONE libm exp; every per-duration U/I term is
+    * a single fixed double expression snapped to 2^−30 ([[LrQ]])
+    * before the exact BIGINT sum (the q218 term treatment), and the
+    * Newton step is one double division micro-snapped — so the whole
+    * 3-iteration trajectory replays in unrolled oracle CTEs.
+    *
+    * Scale shape: the distributed part is the [[twoGroupRisk]]
+    * lifetable (one user pass, one duration pass); the Newton loop
+    * runs on the driver over the DURATION-bounded frame (grows with
+    * the calendar, not the corpus — the q170 bounded-collect class).
+    * Returns one row: (n1_users, n0_users, o1, beta_micro, hr_micro,
+    * se_micro).
+    */
+  def coxBinary(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      grpOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => pmod(c, lit(2)),
+      iterations: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (lif, risk) = twoGroupRisk(events, userCol, tsCol, grpOf)
+    val rows = risk.filter(col("d1") + col("d0") > 0)
+      .select(col("d1"), col("d0"), col("n1"), col("n0"))
+      .collect()
+    var b = 0L
+    for (_ <- 1 to iterations) {
+      val eb = math.exp(b.toDouble / 1000000.0)
+      var su = 0L
+      var si = 0L
+      rows.foreach { r =>
+        val (d1, d0, n1, n0) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val p = n1.toDouble * eb / (n0.toDouble + n1.toDouble * eb)
+        su += math.floor((d1.toDouble - (d1 + d0).toDouble * p) * LrQ + 0.5)
+          .toLong
+        si += math.floor((d1 + d0).toDouble * p * (1.0 - p) * LrQ + 0.5)
+          .toLong
+      }
+      if (si != 0L)
+        b += math.floor(su.toDouble / si.toDouble * 1000000.0 + 0.5).toLong
+    }
+    // final information at the converged β for the standard error
+    val ebF = math.exp(b.toDouble / 1000000.0)
+    var siF = 0L
+    var o1 = 0L
+    rows.foreach { r =>
+      val (d1, d0, n1, n0) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val p = n1.toDouble * ebF / (n0.toDouble + n1.toDouble * ebF)
+      siF += math.floor((d1 + d0).toDouble * p * (1.0 - p) * LrQ + 0.5).toLong
+      o1 += d1
+    }
+    val nByGrp = lif.groupBy(col("grp")).agg(count(lit(1)).as("nu"))
+    val nWide = nByGrp.agg(
+      sum(when(col("grp") === 1, col("nu")).otherwise(0L)).as("n1_users"),
+      sum(when(col("grp") === 0, col("nu")).otherwise(0L)).as("n0_users"))
+    // NULL-propagation parity with the SQL replay: a fully-censored
+    // corpus (no observed events) yields NULL o1/β/HR/se exactly as
+    // SUM-over-empty does in the oracle; a degenerate information
+    // (siF = 0) NULLs only the standard error.
+    val some = rows.nonEmpty
+    val betaRow = Seq((
+        if (some) Some(o1) else None,
+        if (some) Some(b) else None,
+        if (some) Some(math.floor(ebF * 1000000.0 + 0.5).toLong) else None,
+        if (some && siF != 0L)
+          Some(math.floor(1000000.0 / math.sqrt(siF.toDouble / LrQ) + 0.5)
+            .toLong)
+        else None))
+      .toDF("o1", "beta_micro", "hr_micro", "se_micro")
+    nWide.crossJoin(betaRow)
+      .select(col("n1_users"), col("n0_users"), col("o1"),
+        col("beta_micro"), col("hr_micro"), col("se_micro"))
   }
 }

@@ -1186,6 +1186,102 @@ object AnalyticsQueries {
            |FROM grpn CROSS JOIN agg""".stripMargin
       }),
 
+    // ----- q276: Cox proportional hazards (binary covariate, Breslow
+    // ties, 3 Newton iterations — operators.Survival.coxBinary) on
+    // the q218 churn cohorts: the EFFECT-SIZE companion to the
+    // log-rank test — hazard ratio e^β with a standard error, not
+    // just a p-value. β in exact micro units, one libm exp per
+    // iteration, every score/information term 2^-30-snapped before
+    // exact BIGINT sums, so the full Newton trajectory replays as
+    // unrolled oracle CTEs (the q128/q175/q274 training-replay
+    // discipline applied to survival regression).
+    QueryDef(
+      "q276_cox_hazard",
+      (s, d) => graft.operators.Survival
+        .coxBinary(Tables.events(s, d), "user_id", "ts"),
+      Some {
+        val q = graft.operators.Survival.LrQ
+        val cd = graft.operators.Survival.CensorDays
+        def ebSql(bRef: String) = s"exp(CAST($bRef AS DOUBLE) / 1000000.0)"
+        def iter(k: Int): String = {
+          val p = k - 1
+          s"""p$k AS (
+             |  SELECT s.d1, s.d0, i.b,
+             |    CAST(s.n1 AS DOUBLE) * ${ebSql("i.b")}
+             |      / (CAST(s.n0 AS DOUBLE)
+             |         + CAST(s.n1 AS DOUBLE) * ${ebSql("i.b")}) AS p
+             |  FROM ts s CROSS JOIN it$p i),
+             |su$k AS (
+             |  SELECT ANY_VALUE(b) AS b,
+             |    CAST(SUM(CAST(floor((CAST(d1 AS DOUBLE)
+             |      - CAST(d1 + d0 AS DOUBLE) * p) * $q + 0.5) AS BIGINT))
+             |      AS BIGINT) AS su,
+             |    CAST(SUM(CAST(floor(CAST(d1 + d0 AS DOUBLE) * p * (1.0 - p)
+             |      * $q + 0.5) AS BIGINT)) AS BIGINT) AS si
+             |  FROM p$k),
+             |it$k AS (
+             |  SELECT b + CASE WHEN si = 0 THEN 0
+             |    ELSE CAST(floor(CAST(su AS DOUBLE) / CAST(si AS DOUBLE)
+             |      * 1000000.0 + 0.5) AS BIGINT) END AS b
+             |  FROM su$k)""".stripMargin
+        }
+        s"""WITH pu AS (
+           |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+           |    MAX(CAST(ts AS DATE)) AS ld,
+           |    CAST(user_id % 2 AS BIGINT) AS grp
+           |  FROM events GROUP BY user_id),
+           |hz AS (SELECT MAX(ld) AS endd FROM pu),
+           |lif AS (
+           |  SELECT grp, CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+           |    CASE WHEN date_diff('day', ld, endd) > $cd
+           |      THEN 1 ELSE 0 END AS ev
+           |  FROM pu, hz),
+           |byt AS (
+           |  SELECT t,
+           |    CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+           |    CAST(SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0,
+           |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+           |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u0
+           |  FROM lif GROUP BY t),
+           |risk AS (
+           |  SELECT t, d1, d0,
+           |    CAST(SUM(u1) OVER (ORDER BY t DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS n1,
+           |    CAST(SUM(u0) OVER (ORDER BY t DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS n0
+           |  FROM byt),
+           |ts AS MATERIALIZED (
+           |  SELECT d1, d0, n1, n0 FROM risk WHERE d1 + d0 > 0),
+           |it0 AS (SELECT 0::BIGINT AS b),
+           |${(1 to 3).map(iter).mkString(",\n")},
+           |fin AS (
+           |  SELECT s.d1, s.d0, i.b,
+           |    CAST(s.n1 AS DOUBLE) * ${ebSql("i.b")}
+           |      / (CAST(s.n0 AS DOUBLE)
+           |         + CAST(s.n1 AS DOUBLE) * ${ebSql("i.b")}) AS p
+           |  FROM ts s CROSS JOIN it3 i),
+           |fa AS (
+           |  SELECT ANY_VALUE(b) AS b, CAST(SUM(d1) AS BIGINT) AS o1,
+           |    CAST(SUM(CAST(floor(CAST(d1 + d0 AS DOUBLE) * p * (1.0 - p)
+           |      * $q + 0.5) AS BIGINT)) AS BIGINT) AS sif
+           |  FROM fin),
+           |grpn AS (SELECT
+           |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n1_users,
+           |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n0_users
+           |  FROM lif)
+           |SELECT n1_users, n0_users, o1, b AS beta_micro,
+           |  CAST(floor(${ebSql("b")} * 1000000.0 + 0.5) AS BIGINT)
+           |    AS hr_micro,
+           |  CASE WHEN sif IS NULL OR sif = 0 THEN NULL
+           |    ELSE CAST(floor(1000000.0 / sqrt(CAST(sif AS DOUBLE) / $q)
+           |      + 0.5) AS BIGINT) END AS se_micro
+           |FROM grpn CROSS JOIN fa""".stripMargin
+      }),
+
     // ----- q232: neighborhood link prediction (Liben-Nowell & Kleinberg
     // 2003) on the q209 thinned co-purchase graph — "which unlinked
     // part pairs are most likely to co-sell next": common-neighbor
@@ -1676,6 +1772,76 @@ object AnalyticsQueries {
            |    AS BIGINT) AS harmonic_micro
            |FROM reach4 WHERE dist > 0
            |GROUP BY sd ORDER BY sd""".stripMargin
+      }),
+
+    // ----- q277: hop-bounded Brandes betweenness from the q272 seed
+    // set (operators.GraphOps.truncatedBetweenness) — the brokerage
+    // member of the centrality family: which parts sit ON the
+    // shortest paths between others (harmonic asks how CLOSE a seed
+    // is; this asks who carries the traffic). Forward per-seed BFS
+    // with exact integer path counts, backward dependency
+    // accumulation with micro-quantized fdiv terms — the whole
+    // two-phase recurrence replays as unrolled CTEs. Top-50 brokers
+    // with a total (bc desc, v) tie-break.
+    QueryDef(
+      "q277_betweenness",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+        GraphOps.truncatedBetweenness(e0, "pa", "pb")
+      },
+      Some {
+        def fwd(i: Int): String =
+          s"""r$i AS MATERIALIZED (
+             |  SELECT sd, v, ${i}::BIGINT AS dist, sigma FROM (
+             |    SELECT p.sd, CAST(d.dst AS BIGINT) AS v,
+             |      CAST(SUM(p.sigma) AS BIGINT) AS sigma
+             |    FROM dir d JOIN r${i - 1} p ON d.src = p.v
+             |    GROUP BY 1, 2) t
+             |  WHERE NOT EXISTS (SELECT 1 FROM reach${i - 1} x
+             |                    WHERE x.sd = t.sd AND x.v = t.v)),
+             |reach$i AS MATERIALIZED (
+             |  SELECT sd, v, dist, sigma FROM reach${i - 1}
+             |  UNION ALL SELECT sd, v, dist, sigma FROM r$i)""".stripMargin
+        def bwd(l: Int): String =
+          s"""d$l AS MATERIALIZED (
+             |  SELECT a.sd, a.v,
+             |    CAST(SUM(CAST(floor(
+             |      CAST(a.sigma * (1000000 + COALESCE(dd.dq, 0)) AS DOUBLE)
+             |      / CAST(b.sigma AS DOUBLE)) AS BIGINT)) AS BIGINT) AS dq
+             |  FROM reach4 a
+             |  JOIN dir e ON e.src = a.v
+             |  JOIN reach4 b ON b.sd = a.sd AND b.v = CAST(e.dst AS BIGINT)
+             |    AND b.dist = ${l + 1}
+             |  LEFT JOIN d${l + 1} dd ON dd.sd = a.sd AND dd.v = b.v
+             |  WHERE a.dist = $l
+             |  GROUP BY 1, 2)""".stripMargin
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.l_partkey AS pa, b.l_partkey AS pb FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |dir AS MATERIALIZED (
+           |  SELECT pa AS src, pb AS dst FROM e0
+           |  UNION ALL SELECT pb, pa FROM e0),
+           |r0 AS MATERIALIZED (
+           |  SELECT v AS sd, v, 0::BIGINT AS dist, 1::BIGINT AS sigma FROM (
+           |    SELECT DISTINCT CAST(src AS BIGINT) AS v FROM dir)
+           |  WHERE v % 97 = 0),
+           |reach0 AS MATERIALIZED (SELECT sd, v, dist, sigma FROM r0),
+           |${(1 to 4).map(fwd).mkString(",\n")},
+           |d4 AS (SELECT sd, v, 0::BIGINT AS dq FROM reach4 WHERE dist = 4),
+           |${(3 to 1 by -1).map(bwd).mkString(",\n")}
+           |SELECT v, CAST(SUM(dq) AS BIGINT) AS bc_micro FROM (
+           |  SELECT sd, v, dq FROM d1
+           |  UNION ALL SELECT sd, v, dq FROM d2
+           |  UNION ALL SELECT sd, v, dq FROM d3)
+           |GROUP BY v ORDER BY bc_micro DESC, v LIMIT 50""".stripMargin
       }))
 
   /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103

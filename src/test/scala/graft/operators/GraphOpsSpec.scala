@@ -257,4 +257,33 @@ class GraphOpsSpec extends SparkSpec {
         .as[(String, Long, Double)].collect().toSeq.sorted
     assert(run(e.repartition(1)) === run(e.repartition(13)))
   }
+
+  test("truncatedBetweenness: path graph accumulates 3e6/2e6/1e6") {
+    import spark.implicits._
+    // 0-1-2-3-4 with seed 0 (mod rule): δ(3)=1e6, δ(2)=2e6, δ(1)=3e6
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("pa", "pb")
+    val out = GraphOps.truncatedBetweenness(e, "pa", "pb")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3000000L), (2L, 2000000L), (3L, 1000000L)),
+      s"got $out")
+  }
+
+  test("truncatedBetweenness: diamond splits dependency by path count") {
+    import spark.implicits._
+    // 0→{1,2}→3: σ(3)=2, so each middle node carries fdiv(1e6,2)
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("pa", "pb")
+    val out = GraphOps.truncatedBetweenness(e, "pa", "pb")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 500000L), (2L, 500000L)), s"got $out")
+  }
+
+  test("truncatedBetweenness is layout invariant") {
+    import spark.implicits._
+    val e = (for { s <- 0L to 6L; t <- (s + 1) to 6L if (s + t) % 3 != 0 }
+      yield (s * 97L, t * 97L)).toDF("pa", "pb")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.truncatedBetweenness(df, "pa", "pb")
+        .as[(Long, Long)].collect().toSeq
+    assert(run(e.repartition(1)) === run(e.repartition(13)))
+  }
 }

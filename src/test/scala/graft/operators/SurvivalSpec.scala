@@ -98,4 +98,63 @@ class SurvivalSpec extends SparkSpec {
       .collect().toSeq
     assert(run(1) === run(13))
   }
+
+  test("nelsonAalen: hand-computed hazard increments and FH survival") {
+    import spark.implicits._
+    val out = Survival.nelsonAalen(fixture, "user_id", "ts")
+      .select($"t_day", $"n_risk", $"h_micro", $"hazard_cum_micro",
+        $"fh_surv_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // h = fdiv(1e6·d, n): 1/4 → 250000, 1/3 → 333333, then censored
+    // zeros; exp(−0.25)·1000 → 779, exp(−0.583333)·1000 → 558
+    assert(out == Seq(
+      (0L, 4L, 250000L, 250000L, 779L),
+      (10L, 3L, 333333L, 583333L, 558L),
+      (23L, 2L, 0L, 583333L, 558L),
+      (30L, 1L, 0L, 583333L, 558L)),
+      s"got $out")
+  }
+
+  test("coxBinary: early-churning odd cohort gets HR > 1 with a finite se") {
+    import spark.implicits._
+    // odd users churn at days 2/3/4; even users churn at 20/22/24;
+    // u7 (odd) and u8 (even) are horizon-censored at duration 10
+    def td(day: Int): Timestamp = Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong).atTime(12, 0))
+    val rows = Seq(
+      (1L, td(0)), (1L, td(2)),
+      (3L, td(0)), (3L, td(3)),
+      (5L, td(0)), (5L, td(4)),
+      (2L, td(0)), (2L, td(20)),
+      (4L, td(0)), (4L, td(22)),
+      (6L, td(0)), (6L, td(24)),
+      (7L, td(30)), (7L, td(40)),
+      (8L, td(30)), (8L, td(40))).toDF("user_id", "ts")
+    val r = Survival.coxBinary(rows, "user_id", "ts").head()
+    assert(r.getAs[Long]("n1_users") == 4L && r.getAs[Long]("n0_users") == 4L)
+    assert(r.getAs[Long]("o1") == 3L)
+    assert(r.getAs[Long]("beta_micro") > 0L, s"got $r")
+    assert(r.getAs[Long]("hr_micro") > 1000000L, s"got $r")
+    assert(r.getAs[Long]("se_micro") > 0L, s"got $r")
+  }
+
+  test("coxBinary: fully-censored corpus yields NULL effect columns") {
+    import spark.implicits._
+    val df = Seq((1L, ts(29)), (2L, ts(30))).toDF("user_id", "ts")
+    val r = Survival.coxBinary(df, "user_id", "ts").head()
+    assert(r.isNullAt(r.fieldIndex("o1")) &&
+      r.isNullAt(r.fieldIndex("beta_micro")) &&
+      r.isNullAt(r.fieldIndex("hr_micro")) &&
+      r.isNullAt(r.fieldIndex("se_micro")), s"got $r")
+  }
+
+  test("coxBinary is layout invariant") {
+    import spark.implicits._
+    val rows = (1L to 40L).flatMap(u =>
+      Seq((u, ts((u % 7).toInt)), (u, ts((u % 23).toInt + 5))))
+    def run(parts: Int) = Survival.coxBinary(
+      rows.toDF("user_id", "ts").repartition(parts), "user_id", "ts")
+      .collect().toSeq
+    assert(run(1) === run(13))
+  }
 }
