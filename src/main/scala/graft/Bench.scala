@@ -98,6 +98,16 @@ object Bench {
       // re-runs on the heavies (r4 judge: q26 34.7 s in-suite vs
       // 7.5 s isolated) and round-over-round per-query comparison is
       // noise
+      // clearCache() frees persist()ed DATASETS but NOT RDD-level
+      // localCheckpoint blocks (graph loops checkpoint per round);
+      // across ~280 queries those accumulated past the 8 GB driver
+      // heap (observed OOM near the end of the r10 suite) — drop
+      // every persistent RDD between queries too
+      def dropBlocks(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       System.gc()
       Thread.sleep(200)
       settleListener()
@@ -110,10 +120,10 @@ object Bench {
       // warm too: the warm run re-persists its own copies, and two
       // generations side by side evict each other into GC churn
       // (observed: a warm run 3× slower than its cold run)
-      spark.catalog.clearCache()
+      dropBlocks()
       System.gc()
       val warm = once()
-      spark.catalog.clearCache()
+      dropBlocks()
       name -> QueryResult(cold, warm, bytes)
     }
     def jmap(f: QueryResult => String): String =

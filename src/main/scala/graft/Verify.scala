@@ -28,7 +28,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // drop per-query persisted intermediates
+      finally {
+        // drop per-query persisted intermediates — INCLUDING RDD-level
+        // localCheckpoint blocks, which clearCache() alone leaves
+        // behind (they accumulated to an OOM across the full suite)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -433,30 +433,36 @@ object GraphOps {
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("src"))
       .localCheckpoint(true)
-    var reached = dir.select(col("src").cast("long").as("v")).distinct()
-      .filter(col("v") % seedMod === 0)
-      .select(col("v").as("sd"), col("v"), lit(0L).as("dist"),
-        lit(1L).as("sigma"))
-      .localCheckpoint(true)
+    // one checkpoint PER LAYER, never of the growing union — the
+    // union-per-round form holds O(rounds) copies of the whole reach
+    // set in block storage and OOM'd the full-suite bench at sf0.1
+    val layers = scala.collection.mutable.ArrayBuffer(
+      dir.select(col("src").cast("long").as("v")).distinct()
+        .filter(col("v") % seedMod === 0)
+        .select(col("v").as("sd"), col("v"), lit(0L).as("dist"),
+          lit(1L).as("sigma"))
+        .localCheckpoint(true))
     for (i <- 1 to hops) {
+      val seen = layers.map(_.select(col("sd"), col("v")))
+        .reduce(_ unionAll _)
       val next = dir
-        .join(reached.filter(col("dist") === i - 1)
-          .select(col("sd"), col("v").as("src"), col("sigma")), "src")
+        .join(layers.last.select(col("sd"), col("v").as("src"),
+          col("sigma")), "src")
         .groupBy(col("sd"), col("dst").cast("long").as("v"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(reached.select(col("sd"), col("v")), Seq("sd", "v"), "left_anti")
+        .join(seen, Seq("sd", "v"), "left_anti")
         .select(col("sd"), col("v"), lit(i.toLong).as("dist"), col("sigma"))
-      reached = reached.unionAll(next).localCheckpoint(true)
+      layers += next.localCheckpoint(true)
     }
     // backward dependency accumulation, deepest layer first
-    var delta = reached.filter(col("dist") === hops)
+    var delta = layers(hops)
       .select(col("sd"), col("v"), lit(0L).as("dq"))
       .localCheckpoint(true)
     val deps = Seq.newBuilder[DataFrame]
     for (l <- (hops - 1) to 1 by -1) {
-      val lower = reached.filter(col("dist") === l)
+      val lower = layers(l)
         .select(col("sd"), col("v"), col("sigma"))
-      val upper = reached.filter(col("dist") === l + 1)
+      val upper = layers(l + 1)
         .select(col("sd"), col("v").as("w"), col("sigma").as("sw"))
       val dl = lower
         .join(dir.select(col("src").cast("long").as("v"),

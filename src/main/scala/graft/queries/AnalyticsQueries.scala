@@ -1721,20 +1721,23 @@ object AnalyticsQueries {
           .unionAll(e0.select($"pb".as("src"), $"pa".as("dst")))
           .repartition($"src")
           .localCheckpoint(true)   // one edge layout, reused per round
-        var reached = dir.select($"src".cast("long").as("v")).distinct()
-          .filter($"v" % 97 === 0)
-          .select($"v".as("sd"), $"v", lit(0L).as("dist"))
-          .localCheckpoint(true)
+        // layer-wise checkpoints (not the growing union) — the q277
+        // block-storage discipline
+        val layers = scala.collection.mutable.ArrayBuffer(
+          dir.select($"src".cast("long").as("v")).distinct()
+            .filter($"v" % 97 === 0)
+            .select($"v".as("sd"), $"v", lit(0L).as("dist"))
+            .localCheckpoint(true))
         for (i <- 1 to 4) {
+          val seen = layers.map(_.select($"sd", $"v")).reduce(_ unionAll _)
           val next = dir
-            .join(reached.filter($"dist" === i - 1)
-              .select($"sd", $"v".as("src")), "src")
+            .join(layers.last.select($"sd", $"v".as("src")), "src")
             .select($"sd", $"dst".cast("long").as("v")).distinct()
-            .join(reached.select($"sd", $"v"), Seq("sd", "v"), "left_anti")
+            .join(seen, Seq("sd", "v"), "left_anti")
             .select($"sd", $"v", lit(i.toLong).as("dist"))
-          reached = reached.unionAll(next).localCheckpoint(true)
+          layers += next.localCheckpoint(true)
         }
-        reached.filter($"dist" > 0)
+        layers.drop(1).reduce(_ unionAll _)
           .groupBy($"sd")
           .agg(count(lit(1)).as("n_reached"),
             sum(floor(lit(1000000.0) / $"dist".cast("double")).cast("long"))
@@ -1842,6 +1845,107 @@ object AnalyticsQueries {
            |  UNION ALL SELECT sd, v, dq FROM d2
            |  UNION ALL SELECT sd, v, dq FROM d3)
            |GROUP BY v ORDER BY bc_micro DESC, v LIMIT 50""".stripMargin
+      }),
+
+    // ----- q279: Newman modularity of the q198 LPA communities —
+    // the QUALITY measure the community family was missing (VERDICT
+    // r9 #5 asked whether LPA converges; this asks whether the
+    // labels it converges to actually beat chance):
+    // Q = Σ_c [e_c/m − (d_c/2m)²] over the distinct co-purchase edge
+    // set. Exact integer counts (within-community edges, community
+    // degree mass); each community's term is ONE double chain
+    // nano-snapped before the exact total. Top-10 communities by
+    // size with Q attached (q177 shape); the oracle replays the full
+    // 3-round LPA recurrence first (the q198 CTE chain) so the
+    // LABELS themselves are re-derived, not trusted.
+    QueryDef(
+      "q279_modularity",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+        val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+        val lab = GraphOps.labelPropagation(e, "pa", "pb", iterations = 3)
+          .localCheckpoint(true)
+        val eDist = e.select($"pa", $"pb").distinct().localCheckpoint(true)
+        val mm = eDist.agg(count(lit(1)).as("m"))
+        val eLab = eDist
+          .join(lab.select($"id".as("pa"), $"community".as("ca")), "pa")
+          .join(lab.select($"id".as("pb"), $"community".as("cb")), "pb")
+        val ein = eLab.filter($"ca" === $"cb")
+          .groupBy($"ca".as("community")).agg(count(lit(1)).as("e_in"))
+        val deg = eDist.select($"pa".as("id"))
+          .unionAll(eDist.select($"pb".as("id")))
+          .groupBy($"id").agg(count(lit(1)).as("deg"))
+        val dcom = deg.join(lab, "id").groupBy($"community")
+          .agg(sum($"deg").as("d_tot"), count(lit(1)).as("n_nodes"))
+        val terms = dcom.join(ein, Seq("community"), "left")
+          .withColumn("e_in", coalesce($"e_in", lit(0L)))
+          .crossJoin(mm)
+          .withColumn("term_nano",
+            floor(($"e_in".cast("double") / $"m".cast("double")
+              - ($"d_tot".cast("double") / (lit(2.0) * $"m".cast("double")))
+                * ($"d_tot".cast("double") / (lit(2.0) * $"m".cast("double"))))
+              * 1000000000.0 + lit(0.5)).cast("long"))
+          .localCheckpoint(true)   // top-10 + Q total read it
+        val qn = terms.agg(sum($"term_nano").as("q_nano"))
+        terms.select($"community", $"n_nodes", $"e_in", $"d_tot", $"term_nano")
+          .crossJoin(qn)
+          .orderBy($"n_nodes".desc, $"community").limit(10)
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"l${i - 1}"
+          s"""c$i AS (
+             |  SELECT CAST(d.dst AS BIGINT) AS id, l.lbl,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM dir d JOIN $prev l ON l.id = d.src GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT id, lbl FROM (
+             |    SELECT id, lbl,
+             |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) AS rn
+             |    FROM c$i) t
+             |  WHERE rn = 1)""".stripMargin
+        }
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.l_partkey AS a, b.l_partkey AS b FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2),
+           |dir AS (SELECT a AS src, b AS dst FROM e0
+           |        UNION ALL SELECT b, a FROM e0),
+           |l0 AS (SELECT DISTINCT CAST(src AS BIGINT) AS id,
+           |         CAST(src AS BIGINT) AS lbl FROM dir),
+           |${round(1)},
+           |${round(2)},
+           |${round(3)},
+           |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+           |ein AS (
+           |  SELECT la.lbl AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+           |  FROM e0 JOIN l3 la ON la.id = e0.a JOIN l3 lb ON lb.id = e0.b
+           |  WHERE la.lbl = lb.lbl GROUP BY 1),
+           |deg AS (
+           |  SELECT CAST(src AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM dir GROUP BY 1),
+           |dcom AS (
+           |  SELECT l.lbl AS community, CAST(SUM(g.deg) AS BIGINT) AS d_tot,
+           |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+           |  FROM deg g JOIN l3 l ON l.id = g.id GROUP BY 1),
+           |terms AS MATERIALIZED (
+           |  SELECT d.community, d.n_nodes, COALESCE(e.e_in, 0) AS e_in,
+           |    d.d_tot,
+           |    CAST(floor((CAST(COALESCE(e.e_in, 0) AS DOUBLE)
+           |        / CAST(m.m AS DOUBLE)
+           |      - (CAST(d.d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+           |        * (CAST(d.d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))))
+           |      * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+           |  FROM dcom d LEFT JOIN ein e ON e.community = d.community
+           |  CROSS JOIN mm m),
+           |qn AS (SELECT CAST(SUM(term_nano) AS BIGINT) AS q_nano FROM terms)
+           |SELECT t.community, t.n_nodes, t.e_in, t.d_tot, t.term_nano,
+           |  q.q_nano
+           |FROM terms t CROSS JOIN qn q
+           |ORDER BY t.n_nodes DESC, t.community LIMIT 10""".stripMargin
       }))
 
   /** DuckDB replay of [[graft.functions.CountMinSketch]] — the q103

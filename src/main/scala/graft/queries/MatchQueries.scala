@@ -218,7 +218,76 @@ object MatchQueries {
              |       FROM cc GROUP BY rep)
              |SELECT cc.p_partkey, cc.rep, sz.entity_size
              |FROM cc JOIN sz USING (rep)
-             |ORDER BY cc.p_partkey""".stripMargin)))
+             |ORDER BY cc.p_partkey""".stripMargin)),
+
+    // ----- q282: blocking-scheme quality audit — the EVALUATION
+    // member of the record-linkage family (q141 scores, q216 joins,
+    // q224 resolves; this one measures whether the blocking those
+    // steps ride is any good): reduction ratio RR = 1 − cand/allpairs
+    // (how much of the n² space the (name-token, size) blocking
+    // prunes) and pairs completeness PC = found/truth against the
+    // COARSER name-token-only blocking superset (the standard
+    // cheap-superset reference — exact global truth is the n² scan
+    // blocking exists to avoid). All counts exact integers off two
+    // anti-quadratic equi-joins; two snapped ratios; one row out.
+    QueryDef(
+      "q282_blocking_quality",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val p = graft.Par.spread(Tables.part(s, d))
+          .select($"p_partkey", $"p_name", $"p_size",
+            split($"p_name", " ").getItem(0).as("blk"))
+          .localCheckpoint(true)
+        val jw = graft.functions.GraftFunctions
+          .jaro_winkler($"a.p_name", $"b.p_name")
+        val coarse = p.as("a").join(p.as("b"),
+            $"a.blk" === $"b.blk" && $"a.p_partkey" < $"b.p_partkey")
+          .select($"a.p_partkey".as("pa"), $"b.p_partkey".as("pb"),
+            ($"a.p_size" === $"b.p_size").as("same_size"),
+            (jw >= 0.94).as("hi"))
+        val cts = coarse.agg(
+          sum(when($"same_size", 1L).otherwise(0L)).as("n_cand"),
+          sum(when($"hi", 1L).otherwise(0L)).as("n_truth"),
+          sum(when($"hi" && $"same_size", 1L).otherwise(0L)).as("n_found"))
+        val nn = p.agg(count(lit(1)).as("n_parts"))
+        nn.crossJoin(cts)
+          .select($"n_parts",
+            expr("n_parts * (n_parts - 1) DIV 2").as("all_pairs"),
+            $"n_cand", $"n_truth", $"n_found",
+            floor((lit(1.0) - $"n_cand".cast("double")
+                / expr("n_parts * (n_parts - 1) DIV 2").cast("double"))
+              * 1000000 + lit(0.5)).cast("long").as("rr_micro"),
+            floor($"n_found".cast("double") / $"n_truth".cast("double")
+              * 1000000 + lit(0.5)).cast("long").as("pc_micro"))
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey, p_name, p_size,
+             |    string_split(p_name, ' ')[1] AS blk
+             |  FROM part),
+             |coarse AS (
+             |  SELECT a.p_size = b.p_size AS same_size,
+             |    jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94 AS hi
+             |  FROM p a JOIN p b
+             |    ON a.blk = b.blk AND a.p_partkey < b.p_partkey),
+             |cts AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN same_size THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_cand,
+             |    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_truth,
+             |    CAST(SUM(CASE WHEN hi AND same_size THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_found
+             |  FROM coarse),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM p)
+             |SELECT n_parts, n_parts * (n_parts - 1) // 2 AS all_pairs,
+             |  n_cand, n_truth, n_found,
+             |  CAST(floor((1.0 - CAST(n_cand AS DOUBLE)
+             |      / CAST(n_parts * (n_parts - 1) // 2 AS DOUBLE))
+             |    * 1000000 + 0.5) AS BIGINT) AS rr_micro,
+             |  CAST(floor(CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE)
+             |    * 1000000 + 0.5) AS BIGINT) AS pc_micro
+             |FROM nn CROSS JOIN cts""".stripMargin)))
 
   /** q141's comparison fields — ONE definition feeding both the Spark
     * plan and the oracle's weight literals.

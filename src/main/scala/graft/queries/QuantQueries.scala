@@ -2909,11 +2909,193 @@ object QuantQueries {
              |  CAST(floor((-CAST(MAX(n) AS DOUBLE)
              |    - CAST(SUM(term_q) AS DOUBLE) / 10000.0) * 1000 + 0.5)
              |    AS BIGINT) AS a2_milli
-             |FROM terms""".stripMargin)))
+             |FROM terms""".stripMargin)),
 
-  /** q177/q178 shared constants. */
+    // ----- q278: Holt–Winters additive seasonal smoothing of the
+    // daily revenue series (operators.Holt.holtWinters) — the third
+    // rung of the forecasting ladder (q168 EWMA level, q178 Holt
+    // level+trend, this one level+trend+7-slot seasonality). The
+    // rotating seasonal queue rides the recursive CTE as seven
+    // columns (each step shifts s2..s7 left and appends the updated
+    // head); warm-up = first 7 observations (l₀ = fdiv mean, sᵢ =
+    // xᵢ − l₀). Every state is exact fdiv integer algebra, so level,
+    // trend, the seasonal USED at each step, and the one-step fitted
+    // value all hash-match the replay.
+    QueryDef(
+      "q278_holt_winters",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("xq"))
+        graft.operators.Holt.holtWinters(daily, "day", "xq",
+          HoltAlphaDen, HoltBetaDen, HwGammaDen)
+      },
+      Some {
+        def f(a: String, b: Long) = QueryFixtures.fdivSql(a, b.toString)
+        val dStr = s"r.xq - h.l - h.b - h.s1"
+        val lNew = s"h.l + h.b + ${f(dStr, HoltAlphaDen)}"
+        s"""WITH RECURSIVE ser AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS xq
+           |  FROM orders GROUP BY 1),
+           |rn AS MATERIALIZED (
+           |  SELECT day, xq,
+           |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+           |  FROM ser),
+           |w AS (SELECT rn, xq FROM rn WHERE rn <= 7),
+           |l0 AS (SELECT ${f("CAST(SUM(xq) AS BIGINT)", 7L)} AS l FROM w),
+           |init AS (
+           |  SELECT CAST(7 AS BIGINT) AS rn, CAST(NULL AS DATE) AS day,
+           |    CAST(NULL AS BIGINT) AS xq, l0.l AS l, CAST(0 AS BIGINT) AS b,
+           |${(1 to 7).map(i =>
+              s"    MAX(CASE WHEN w.rn = $i THEN w.xq END) - l0.l AS s$i")
+             .mkString(",\n")},
+           |    CAST(NULL AS BIGINT) AS s_used, CAST(NULL AS BIGINT) AS fitted
+           |  FROM w CROSS JOIN l0 GROUP BY l0.l),
+           |h AS (
+           |  SELECT * FROM init
+           |  UNION ALL
+           |  SELECT r.rn, r.day, r.xq,
+           |    $lNew AS l,
+           |    h.b + ${f(f(dStr, HoltAlphaDen), HoltBetaDen)} AS b,
+           |    h.s2 AS s1, h.s3 AS s2, h.s4 AS s3, h.s5 AS s4, h.s6 AS s5,
+           |    h.s7 AS s6,
+           |    h.s1 + ${f(s"r.xq - ($lNew) - h.s1", HwGammaDen)} AS s7,
+           |    h.s1 AS s_used,
+           |    h.l + h.b + h.s1 AS fitted
+           |  FROM h JOIN rn r ON r.rn = h.rn + 1)
+           |SELECT day, xq, l AS level, b AS trend, s_used, fitted
+           |FROM h WHERE rn > 7 ORDER BY day""".stripMargin
+      }),
+
+    // ----- q280: Kendall's coefficient of concordance W over the
+    // q269 blocked-rank frame (months ranking the five order
+    // priorities) — the EFFECT SIZE the Friedman χ² lacks: W ∈ [0,1]
+    // says how strongly the months AGREE on a priority ordering.
+    // Doubled rank-sum deviations (2R_j − n(k+1)) keep S exact
+    // integers through the square; W = 3·S4/(n²·k(k²−1)) is one
+    // double chain micro-snapped. No tie correction — cent-sum cell
+    // values make rank ties vanishingly rare (the q269 argument).
+    QueryDef(
+      "q280_kendalls_w",
+      (s, d) => {
+        import s.implicits._
+        val bt = Tables.orders(s, d)
+          .select(trunc($"o_orderdate", "month").as("blk"), $"o_orderpriority",
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"blk", $"o_orderpriority")
+          .agg(sum($"cents").as("v"))
+        val full = bt.groupBy($"blk").agg(count(lit(1)).as("kk"))
+          .filter($"kk" === 5).select($"blk")
+        val ranked = bt.join(full, "blk")
+          .withColumn("rk", rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"blk").orderBy($"v")))
+        val rj = ranked.groupBy($"o_orderpriority")
+          .agg(sum($"rk".cast("long")).as("rj"), count(lit(1)).as("n_blocks"))
+        rj.agg(max($"n_blocks").as("n"),
+            sum(($"rj" * 2 - $"n_blocks" * 6) * ($"rj" * 2 - $"n_blocks" * 6))
+              .as("s4"))
+          .select($"n".as("n_blocks"), $"s4",
+            floor(lit(3.0) * $"s4".cast("double")
+                / ($"n".cast("double") * $"n".cast("double") * 5.0 * 24.0)
+                * 1000000 + lit(0.5))
+              .cast("long").as("w_micro"))
+      },
+      Some("""WITH bt AS (
+             |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS blk,
+             |    o_orderpriority,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM orders GROUP BY 1, 2),
+             |full_b AS (
+             |  SELECT blk FROM bt GROUP BY blk HAVING COUNT(*) = 5),
+             |rk AS (
+             |  SELECT b.o_orderpriority,
+             |    CAST(rank() OVER (PARTITION BY b.blk ORDER BY b.v)
+             |      AS BIGINT) AS rk
+             |  FROM bt b JOIN full_b f ON b.blk = f.blk),
+             |rj AS (
+             |  SELECT o_orderpriority, CAST(SUM(rk) AS BIGINT) AS rj,
+             |    CAST(COUNT(*) AS BIGINT) AS n_blocks
+             |  FROM rk GROUP BY 1)
+             |SELECT CAST(MAX(n_blocks) AS BIGINT) AS n_blocks,
+             |  CAST(SUM((rj * 2 - n_blocks * 6) * (rj * 2 - n_blocks * 6))
+             |    AS BIGINT) AS s4,
+             |  CAST(floor(3.0 * CAST(SUM((rj * 2 - n_blocks * 6)
+             |      * (rj * 2 - n_blocks * 6)) AS DOUBLE)
+             |    / (CAST(MAX(n_blocks) AS DOUBLE) * CAST(MAX(n_blocks) AS DOUBLE)
+             |       * 5.0 * 24.0)
+             |    * 1000000 + 0.5) AS BIGINT) AS w_micro
+             |FROM rj""".stripMargin)),
+
+    // ----- q283: Page's trend test on the same blocked-rank frame —
+    // the ORDERED-alternative member (Friedman asks "any difference
+    // across priorities?"; Page asks "do revenues trend
+    // MONOTONICALLY with urgency?"): L = Σ_j j·R_j with j the
+    // urgency ordinal parsed from the priority label, E[L] =
+    // n·k(k+1)²/4, Var[L] = n·k²(k+1)(k²−1)/144. L and 4(L−E) are
+    // exact integers; z is one double chain, micro-snapped.
+    QueryDef(
+      "q283_page_trend",
+      (s, d) => {
+        import s.implicits._
+        val bt = Tables.orders(s, d)
+          .select(trunc($"o_orderdate", "month").as("blk"), $"o_orderpriority",
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"blk", $"o_orderpriority")
+          .agg(sum($"cents").as("v"))
+        val full = bt.groupBy($"blk").agg(count(lit(1)).as("kk"))
+          .filter($"kk" === 5).select($"blk")
+        val ranked = bt.join(full, "blk")
+          .withColumn("rk", rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"blk").orderBy($"v")))
+          .withColumn("j", substring($"o_orderpriority", 1, 1).cast("long"))
+        val rj = ranked.groupBy($"j")
+          .agg(sum($"rk".cast("long")).as("rj"), count(lit(1)).as("n_blocks"))
+        rj.agg(max($"n_blocks").as("n"), sum($"j" * $"rj").as("l_stat"))
+          .select($"n".as("n_blocks"), $"l_stat",
+            // E = n·5·36/4 = 45n; Var = n·25·6·24/144 = 25n
+            floor(($"l_stat".cast("double") - lit(45.0) * $"n".cast("double"))
+                / sqrt(lit(25.0) * $"n".cast("double"))
+                * 1000000 + lit(0.5))
+              .cast("long").as("z_micro"))
+      },
+      Some("""WITH bt AS (
+             |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS blk,
+             |    o_orderpriority,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM orders GROUP BY 1, 2),
+             |full_b AS (
+             |  SELECT blk FROM bt GROUP BY blk HAVING COUNT(*) = 5),
+             |rk AS (
+             |  SELECT CAST(substr(b.o_orderpriority, 1, 1) AS BIGINT) AS j,
+             |    CAST(rank() OVER (PARTITION BY b.blk ORDER BY b.v)
+             |      AS BIGINT) AS rk
+             |  FROM bt b JOIN full_b f ON b.blk = f.blk),
+             |rj AS (
+             |  SELECT j, CAST(SUM(rk) AS BIGINT) AS rj,
+             |    CAST(COUNT(*) AS BIGINT) AS n_blocks
+             |  FROM rk GROUP BY 1)
+             |SELECT CAST(MAX(n_blocks) AS BIGINT) AS n_blocks,
+             |  CAST(SUM(j * rj) AS BIGINT) AS l_stat,
+             |  CAST(floor((CAST(SUM(j * rj) AS DOUBLE)
+             |      - 45.0 * CAST(MAX(n_blocks) AS DOUBLE))
+             |    / sqrt(25.0 * CAST(MAX(n_blocks) AS DOUBLE))
+             |    * 1000000 + 0.5) AS BIGINT) AS z_micro
+             |FROM rj""".stripMargin)))
+
+  /** q177/q178/q278 shared constants. */
   private val HoltAlphaDen = 4L
   private val HoltBetaDen = 8L
+
+  /** q278 seasonal gain 1/4. */
+  private val HwGammaDen = 4L
 
   /** 3×3 determinant — ONE formula shape for both engines: this
     * numeric form and [[det3Sql]] must mirror each other operation

@@ -941,7 +941,97 @@ object TextQueries {
              |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
              |        * 0.779696801233676))
              |    + 0.5) AS BIGINT) AS mu_dollars
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ----- q281: pairwise Jensen–Shannon divergence between source
+    // unigram distributions — the SYMMETRIC, bounded companion to
+    // q116's KL and the distributional refinement of q205's vocab
+    // Jaccard (that one asks which words sources share; this weighs
+    // HOW differently they use them — the corpus-mixing distance
+    // DSIR-style selection actually wants). Per shared word the
+    // pointwise JS term p·ln(2p/(p+q)) + q·ln(2q/(p+q)) ≥ 0 is one
+    // double chain nano-snapped before exact BIGINT sums; the
+    // disjoint-support mass enters in closed form (ln 2 × unmatched
+    // probability mass per side), so no outer join is ever built;
+    // the final halving is integer DIV. All 190 source pairs out.
+    QueryDef(
+      "q281_js_divergence",
+      (s, d) => {
+        import s.implicits._
+        val toks = graft.Par.spread(Tables.documents(s, d))
+          .select($"source",
+            explode(TextFunctions.tokens($"text")).as("w"))
+        val cnt = toks.groupBy($"source", $"w").agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy($"source").agg(sum($"n").as("nn"))
+        val cw = cnt.join(tot, "source").localCheckpoint(true)
+        val p = $"na".cast("double") / $"nna".cast("double")
+        val q = $"nb".cast("double") / $"nnb".cast("double")
+        val shared = cw.as("a").join(cw.as("b"),
+            $"a.w" === $"b.w" && $"a.source" < $"b.source")
+          .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+            $"a.n".as("na"), $"a.nn".as("nna"),
+            $"b.n".as("nb"), $"b.nn".as("nnb"))
+          .withColumn("term_nano",
+            floor((p * log(lit(2.0) * p / (p + q))
+              + q * log(lit(2.0) * q / (p + q))) * 1000000000.0 + lit(0.5))
+              .cast("long"))
+        shared.groupBy($"src_a", $"src_b")
+          .agg(count(lit(1)).as("n_shared"),
+            sum($"term_nano").as("ts"),
+            sum($"na").as("ma"), max($"nna").as("nna"),
+            sum($"nb").as("mb"), max($"nnb").as("nnb"))
+          .withColumn("aonly_nano",
+            floor(log(lit(2.0)) * ($"nna" - $"ma").cast("double")
+              / $"nna".cast("double") * 1000000000.0 + lit(0.5)).cast("long"))
+          .withColumn("bonly_nano",
+            floor(log(lit(2.0)) * ($"nnb" - $"mb").cast("double")
+              / $"nnb".cast("double") * 1000000000.0 + lit(0.5)).cast("long"))
+          .select($"src_a", $"src_b", $"n_shared",
+            expr("(ts + aonly_nano + bonly_nano) DIV 2").as("jsd_nano"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(list_filter(
+             |    string_split_regex(trim(text), '\s+'),
+             |    x -> length(x) > 0)) AS w
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM toks GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT source, CAST(SUM(n) AS BIGINT) AS nn
+             |  FROM cnt GROUP BY 1),
+             |cw AS MATERIALIZED (
+             |  SELECT c.source, c.w, c.n, t.nn
+             |  FROM cnt c JOIN tot t USING (source)),
+             |shared AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    a.n AS na, a.nn AS nna, b.n AS nb, b.nn AS nnb,
+             |    CAST(floor((
+             |      CAST(a.n AS DOUBLE) / CAST(a.nn AS DOUBLE)
+             |        * ln(2.0 * (CAST(a.n AS DOUBLE) / CAST(a.nn AS DOUBLE))
+             |          / (CAST(a.n AS DOUBLE) / CAST(a.nn AS DOUBLE)
+             |             + CAST(b.n AS DOUBLE) / CAST(b.nn AS DOUBLE)))
+             |      + CAST(b.n AS DOUBLE) / CAST(b.nn AS DOUBLE)
+             |        * ln(2.0 * (CAST(b.n AS DOUBLE) / CAST(b.nn AS DOUBLE))
+             |          / (CAST(a.n AS DOUBLE) / CAST(a.nn AS DOUBLE)
+             |             + CAST(b.n AS DOUBLE) / CAST(b.nn AS DOUBLE))))
+             |      * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+             |  FROM cw a JOIN cw b ON a.w = b.w AND a.source < b.source),
+             |agg AS (
+             |  SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+             |    CAST(SUM(term_nano) AS BIGINT) AS ts,
+             |    CAST(SUM(na) AS BIGINT) AS ma, CAST(MAX(nna) AS BIGINT) AS nna,
+             |    CAST(SUM(nb) AS BIGINT) AS mb, CAST(MAX(nnb) AS BIGINT) AS nnb
+             |  FROM shared GROUP BY 1, 2)
+             |SELECT src_a, src_b, n_shared,
+             |  (ts
+             |   + CAST(floor(ln(2.0) * CAST(nna - ma AS DOUBLE)
+             |       / CAST(nna AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)
+             |   + CAST(floor(ln(2.0) * CAST(nnb - mb AS DOUBLE)
+             |       / CAST(nnb AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))
+             |  // 2 AS jsd_nano
+             |FROM agg ORDER BY src_a, src_b""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]] — the q127
