@@ -40,5 +40,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the single-JVM full suite (~285 queries, cold+warm
+  // each) OOM'd an 8g heap near the end even with between-query
+  // cache/RDD cleanup — the box has 128 GiB, and the driver-gate
+  // bench inherits this setting
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -112,6 +112,10 @@ object Bench {
       Thread.sleep(200)
       settleListener()
       shuffleBytes.set(0)
+      // progress marker to stderr: names the in-flight query so a
+      // mid-suite failure (the r10 OOM class) is attributable from
+      // the log without re-running
+      System.err.println(s"[bench] running $name")
       val cold = once()
       settleListener()
       val bytes = shuffleBytes.get()

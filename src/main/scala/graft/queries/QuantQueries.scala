@@ -2310,8 +2310,14 @@ object QuantQueries {
           .select($"i", $"cum".cast("long").as("lf"))
         val lf = lfPos.unionAll(Seq((0L, 0L)).toDF("i", "lf"))
           .localCheckpoint(true)
+        // every 1-row const frame MUST carry a broadcast hint: these
+        // are filters over an RDD-backed frame (no stats), so the
+        // planner would otherwise pick CartesianProduct — whose
+        // PARTITION COUNTS MULTIPLY across the five chained
+        // crossJoins (observed: a 287k-task stage that OOM'd the
+        // DAG scheduler at sf0.1)
         def lfAt(idx: Long, name: String) =
-          lf.filter($"i" === idx).select($"lf".as(name))
+          broadcast(lf.filter($"i" === idx).select($"lf".as(name)))
         val consts = lfAt(r1, "lfr1").crossJoin(lfAt(n - r1, "lfnr1"))
           .crossJoin(lfAt(n, "lfn")).crossJoin(lfAt(c1, "lfc1"))
           .crossJoin(lfAt(n - c1, "lfnc1"))
@@ -2320,7 +2326,7 @@ object QuantQueries {
           .join(lf.select(($"i" * -1 + r1).as("k"), $"lf".as("lfr1k")), "k")
           .join(lf.select(($"i" * -1 + c1).as("k"), $"lf".as("lfc1k")), "k")
           .join(lf.select(($"i" + r1 + c1 - n).as("k"), $"lf".as("lfrest")), "k")
-          .crossJoin(consts)
+          .crossJoin(broadcast(consts))
           .select($"k",
             ($"lfr1" - $"lfk" - $"lfr1k"
               + $"lfnr1" - $"lfc1k" - $"lfrest"
@@ -3088,7 +3094,182 @@ object QuantQueries {
              |      - 45.0 * CAST(MAX(n_blocks) AS DOUBLE))
              |    / sqrt(25.0 * CAST(MAX(n_blocks) AS DOUBLE))
              |    * 1000000 + 0.5) AS BIGINT) AS z_micro
-             |FROM rj""".stripMargin)))
+             |FROM rj""".stripMargin)),
+
+    // ----- q284: Cliff's delta on the q172 Mann–Whitney cohorts —
+    // the EFFECT SIZE the U test lacks (q276's Cox-next-to-logrank
+    // move applied to the rank family): δ = (#(x>y) − #(x<y))/(n₁n₀)
+    // ∈ [−1,1], computed EXACTLY from per-distinct-value cumulative
+    // counts (Σ c₁·cumlt₀ dominance algebra — never a pair join),
+    // with cums from GlobalOrder.runningSum. Integer all the way to
+    // one final division, micro-snapped.
+    QueryDef(
+      "q284_cliffs_delta",
+      (s, d) => {
+        import s.implicits._
+        val v = Tables.events(s, d)
+          .filter($"event_type" === "purchase")
+          .select(floor($"value" * 1000 + lit(0.5)).cast("long").as("vm"),
+            ($"user_id" % 2 === 0).as("g1"))
+        val byVal = v.groupBy($"vm").agg(
+          sum(when($"g1", 1L).otherwise(0L)).as("c1"),
+          sum(when(!$"g1", 1L).otherwise(0L)).as("c0"))
+        val cum = graft.operators.GlobalOrder.runningSum(
+            byVal.withColumn("c0d", $"c0".cast("decimal(38,0)")),
+            Seq($"vm".asc), "c0d", "cum0d")
+          .select($"vm", $"c1", $"c0", ($"cum0d".cast("long") - $"c0").as("lt0"),
+            $"cum0d".cast("long").as("le0"))
+        val tot = cum.agg(sum($"c1").as("n1"), sum($"c0").as("n0"))
+        cum.crossJoin(tot)
+          .select($"c1", $"c0", $"lt0", ($"n0" - $"le0").as("gt0"),
+            $"n1", $"n0")
+          .agg(max($"n1").as("n1"), max($"n0").as("n0"),
+            sum($"c1" * $"lt0").as("n_gt"),
+            sum($"c1" * $"gt0").as("n_lt"),
+            sum($"c1" * $"c0").as("n_tie"))
+          .select($"n1", $"n0", $"n_gt", $"n_lt", $"n_tie",
+            floor(($"n_gt" - $"n_lt").cast("double")
+                / ($"n1".cast("double") * $"n0".cast("double"))
+                * 1000000 + lit(0.5))
+              .cast("long").as("delta_micro"))
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+             |    user_id % 2 = 0 AS g1
+             |  FROM events WHERE event_type = 'purchase'),
+             |byval AS (
+             |  SELECT vm,
+             |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS c0
+             |  FROM v GROUP BY 1),
+             |cum AS (
+             |  SELECT vm, c1, c0,
+             |    CAST(SUM(c0) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) - c0 AS lt0,
+             |    CAST(SUM(c0) OVER (ORDER BY vm ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS le0
+             |  FROM byval),
+             |tot AS (
+             |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |    CAST(SUM(c0) AS BIGINT) AS n0
+             |  FROM cum)
+             |SELECT MAX(t.n1) AS n1, MAX(t.n0) AS n0,
+             |  CAST(SUM(c.c1 * c.lt0) AS BIGINT) AS n_gt,
+             |  CAST(SUM(c.c1 * (t.n0 - c.le0)) AS BIGINT) AS n_lt,
+             |  CAST(SUM(c.c1 * c.c0) AS BIGINT) AS n_tie,
+             |  CAST(floor(CAST(SUM(c.c1 * c.lt0) - SUM(c.c1 * (t.n0 - c.le0))
+             |      AS DOUBLE)
+             |    / (CAST(MAX(t.n1) AS DOUBLE) * CAST(MAX(t.n0) AS DOUBLE))
+             |    * 1000000 + 0.5) AS BIGINT) AS delta_micro
+             |FROM cum c CROSS JOIN tot t""".stripMargin)),
+
+    // ----- q285: seasonal/trend strength of the q179 decomposition
+    // (Hyndman's STL strength diagnostics): F_s = max(0, 1 −
+    // V(R)/V(S+R)) and F_t = max(0, 1 − V(R)/V(T+R)) — "is the
+    // weekly pattern real, is the trend real?", the one-number
+    // answers q179's row-level output doesn't give. S+R and T+R are
+    // exact integer identities of the decomposition (x − T, x − S);
+    // variances come from exact BIGINT moments via one double chain
+    // each (every operand < 2^63 so the double images are
+    // engine-identical), micro-snapped.
+    QueryDef(
+      "q285_seasonal_strength",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("xq"))
+        // components floor-quantized to DOLLARS before squaring: cent
+        // squares summed over the series overflow BIGINT at sf0.1
+        // (observed 1.06e20 > 2^63 in the oracle); dollar squares
+        // stay exact in both engines
+        val dec = graft.operators.Seasonal.decompose(daily, "day", "xq")
+          .filter($"trend_q".isNotNull && $"resid_q".isNotNull)
+          .select(
+            floor(($"xq" - $"trend_q").cast("double") / 100.0)
+              .cast("long").as("sr"),                  // S + R, dollars
+            floor(($"xq" - $"seasonal_q").cast("double") / 100.0)
+              .cast("long").as("tr"),                  // T + R, dollars
+            floor($"resid_q".cast("double") / 100.0)
+              .cast("long").as("r"))
+        def vchain(sx: org.apache.spark.sql.Column,
+            sxx: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+          sxx.cast("double") - (sx.cast("double") * sx.cast("double")
+            / n.cast("double"))
+        dec.agg(count(lit(1)).as("n"),
+            sum($"r".cast("decimal(38,0)")).as("sr1"),
+            sum(($"r" * $"r").cast("decimal(38,0)")).as("sr2"),
+            sum($"sr".cast("decimal(38,0)")).as("ss1"),
+            sum(($"sr" * $"sr").cast("decimal(38,0)")).as("ss2"),
+            sum($"tr".cast("decimal(38,0)")).as("st1"),
+            sum(($"tr" * $"tr").cast("decimal(38,0)")).as("st2"))
+          .select($"n",
+            floor(greatest(lit(0.0),
+                lit(1.0) - vchain($"sr1", $"sr2", $"n")
+                  / vchain($"ss1", $"ss2", $"n"))
+              * 1000000 + lit(0.5)).cast("long").as("fs_micro"),
+            floor(greatest(lit(0.0),
+                lit(1.0) - vchain($"sr1", $"sr2", $"n")
+                  / vchain($"st1", $"st2", $"n"))
+              * 1000000 + lit(0.5)).cast("long").as("ft_micro"))
+      },
+      Some {
+        def v(s1: String, s2: String) =
+          s"(CAST($s2 AS DOUBLE) - CAST($s1 AS DOUBLE) * CAST($s1 AS DOUBLE)" +
+            " / CAST(n AS DOUBLE))"
+        s"""WITH ser AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS xq
+           |  FROM orders GROUP BY 1),
+           |rn AS (
+           |  SELECT day, xq, CAST(isodow(day) AS BIGINT) AS weekday,
+           |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+           |  FROM ser),
+           |ws AS (
+           |  SELECT day, xq, weekday,
+           |    CAST(SUM(xq) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING
+           |      AND 3 FOLLOWING) AS BIGINT) AS s7,
+           |    CAST(COUNT(*) OVER (ORDER BY rn ROWS BETWEEN 3 PRECEDING
+           |      AND 3 FOLLOWING) AS BIGINT) AS c7
+           |  FROM rn),
+           |tr AS (
+           |  SELECT day, xq, weekday,
+           |    CASE WHEN c7 = 7
+           |      THEN ${QueryFixtures.fdivSql("s7", "7")} END AS trend_q
+           |  FROM ws),
+           |sw AS (
+           |  SELECT weekday,
+           |    ${QueryFixtures.fdivSql("SUM(xq - trend_q)", "COUNT(*)")}
+           |      AS seasonal_q
+           |  FROM tr WHERE trend_q IS NOT NULL GROUP BY 1),
+           |dec AS (
+           |  SELECT ${QueryFixtures.fdivSql("t.xq - t.trend_q", "100")} AS sr,
+           |    ${QueryFixtures.fdivSql("t.xq - s.seasonal_q", "100")} AS tr2,
+           |    ${QueryFixtures.fdivSql(
+                  "t.xq - t.trend_q - s.seasonal_q", "100")} AS r
+           |  FROM tr t LEFT JOIN sw s USING (weekday)
+           |  WHERE t.trend_q IS NOT NULL
+           |    AND t.xq - t.trend_q - s.seasonal_q IS NOT NULL),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(r) AS BIGINT) AS sr1,
+           |    CAST(SUM(CAST(r AS HUGEINT) * r) AS BIGINT) AS sr2,
+           |    CAST(SUM(sr) AS BIGINT) AS ss1,
+           |    CAST(SUM(CAST(sr AS HUGEINT) * sr) AS BIGINT) AS ss2,
+           |    CAST(SUM(tr2) AS BIGINT) AS st1,
+           |    CAST(SUM(CAST(tr2 AS HUGEINT) * tr2) AS BIGINT) AS st2
+           |  FROM dec)
+           |SELECT n,
+           |  CAST(floor(GREATEST(0.0, 1.0 - ${v("sr1", "sr2")}
+           |      / ${v("ss1", "ss2")}) * 1000000 + 0.5) AS BIGINT)
+           |    AS fs_micro,
+           |  CAST(floor(GREATEST(0.0, 1.0 - ${v("sr1", "sr2")}
+           |      / ${v("st1", "st2")}) * 1000000 + 0.5) AS BIGINT)
+           |    AS ft_micro
+           |FROM m""".stripMargin
+      }))
 
   /** q177/q178/q278 shared constants. */
   private val HoltAlphaDen = 4L
