@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object Risk {
 
+  /** Row shape of [[xmrChart]] (Option field needs a product encoder). */
+  final case class XmrRow(
+      day: Date, xq: Long, mr: Option[Long], flagX: Boolean, flagMr: Boolean)
+
   /** Drawdown trajectory of the cumulative series: one row per day,
     * (day, xq, cum, peak, dd) with cum = running sum of xq, peak =
     * running max of cum, dd = peak − cum ≥ 0. All exact BIGINT.
@@ -100,6 +104,130 @@ object Risk {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
         Encoders.scalaLong, Encoders.scalaLong))
       .toDF("n_days", "var_p", "es_micro", "n_tail")
+  }
+
+  /** XmR (individuals + moving-range) Shewhart control chart over
+    * the day-ordered series — the SPC member next to [[Cusum]] (that
+    * one detects sustained DRIFT; this flags individual excursions
+    * and short-term variance spikes): centre x̄ = fdiv(Σx, n),
+    * average moving range MR̄ = fdiv(Σ|xₜ−xₜ₋₁|, n−1), and the
+    * classic limits x̄ ± 2.66·MR̄ (X chart) and 3.267·MR̄ (MR chart,
+    * the D₄ constant). Every comparison is cross-multiplied exact
+    * integer algebra — |1000·(x−x̄)| > 2660·MR̄ — so flags replay
+    * with zero tolerance. One row per day:
+    * (day, xq, mr, flag_x, flag_mr), mr NULL on the first day.
+    */
+  def xmrChart(series: DataFrame, dayCol: String, valCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(dayCol).cast("date"), col(valCol).cast("long"))
+      .as[(Date, Long)]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1.getTime)
+        val n = rows.length.toLong
+        val xbar = LogReg.fdiv(rows.map(_._2).sum, n)
+        val mrs = rows.map(_._2).sliding(2).map(a => math.abs(a(1) - a(0)))
+          .toArray
+        val mrbar =
+          if (n > 1) LogReg.fdiv(mrs.sum, n - 1) else 0L
+        var prev = Option.empty[Long]
+        rows.iterator.map { case (day, xq) =>
+          val mr = prev.map(p => math.abs(xq - p))
+          prev = Some(xq)
+          XmrRow(day, xq, mr,
+            math.abs(1000L * (xq - xbar)) > 2660L * mrbar,
+            mr.exists(m => 1000L * m > 3267L * mrbar))
+        }
+      }(Encoders.product[XmrRow])
+      .toDF(dayCol, valCol, "mr", "flag_x", "flag_mr")
+      .orderBy(col(dayCol))
+  }
+
+  /** Huber-weighted IRLS trend of the day-ordered series — the
+    * ROBUST companion to [[durbinWatson]]'s OLS line: a quarter with
+    * a one-off revenue spike drags least squares; Huber weights
+    * (w = 1 inside the threshold, T/|e| outside) bound its leverage.
+    * Fixed 2 reweighting iterations from the OLS start (a one-step
+    * M-estimator iterated once more), every state exact fixed point:
+    *
+    *  - iteration 0 = the [[durbinWatson]] OLS slope/intercept
+    *    (milli), identical derivation;
+    *  - residuals e_t = 1000·y − a − b·t exact BIGINT; threshold
+    *    T = floor(2·median(|e|) + 0.5) (the quantile_cont-parity
+    *    interpolation — ≈ 1.35σ for a normal core, the Huber knee);
+    *  - weights w = 1000 if |e| ≤ T else fdiv(1000·T, |e|) — exact
+    *    integer milli-weights;
+    *  - weighted normal equations on exact BigInt/HUGEINT moments;
+    *    the slope update is SIGN-SPLIT exact integer rounding,
+    *    sign·((2000·|num| + |den|) div (2·|den|)) — both engines
+    *    compute the identical operation, so no >2^63 value is ever
+    *    cast to double.
+    *
+    * One row out: (n, slope0_milli, slope_milli, intercept_milli,
+    * sum_w_milli). Day-count-bounded single-task fold (the
+    * [[durbinWatson]] class).
+    */
+  def huberTrend(series: DataFrame, dayCol: String, valCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(dayCol).cast("date"), col(valCol).cast("long"))
+      .as[(Date, Long)]
+      .groupByKey(_ => true)
+      .mapGroups { (_, it) =>
+        val ys = it.toArray.sortBy(_._1.getTime).map(_._2)
+        val n = ys.length.toLong
+        var st, sy, stt = 0L
+        var sty = BigInt(0)
+        var t = 0L
+        ys.foreach { y =>
+          t += 1; st += t; sy += y; stt += t * t; sty += BigInt(t) * y
+        }
+        val num0 = BigInt(n) * sty - BigInt(st) * sy
+        val den0 = BigInt(n) * stt - BigInt(st) * st
+        var slope = math.floor(num0.toDouble / den0.toDouble * 1000L).toLong
+        var inter = LogReg.fdiv(1000L * sy - slope * st, n)
+        val slope0 = slope
+        var sumW = 0L
+        for (_ <- 1 to 2) {
+          val es = Array.tabulate(ys.length) { i =>
+            1000L * ys(i) - inter - slope * (i + 1L)
+          }
+          val abs = es.map(math.abs).sorted
+          val m = abs.length
+          val pos = 0.5 * (m - 1)
+          val lo = math.floor(pos).toInt
+          val med =
+            if (lo + 1 < m) abs(lo) + (pos - lo) * (abs(lo + 1) - abs(lo)).toDouble
+            else abs(lo).toDouble
+          val th = math.floor(2.0 * med + 0.5).toLong
+          var sw, swt, swy = BigInt(0)
+          var swtt, swty = BigInt(0)
+          var i = 0
+          sumW = 0L
+          while (i < ys.length) {
+            val ae = math.abs(es(i))
+            val w = if (ae <= th) 1000L else LogReg.fdiv(1000L * th, ae)
+            sumW += w
+            val ti = i + 1L
+            sw += w; swt += BigInt(w) * ti; swy += BigInt(w) * ys(i)
+            swtt += BigInt(w) * ti * ti; swty += BigInt(w) * ti * ys(i)
+            i += 1
+          }
+          val num = sw * swty - swt * swy
+          val den = sw * swtt - swt * swt
+          val sign = if ((num < 0) != (den < 0)) -1L else 1L
+          slope = sign *
+            ((num.abs * 2000 + den.abs) / (den.abs * 2)).toLong
+          inter = math.floor(
+            (BigInt(1000L) * swy - BigInt(slope) * swt).toDouble
+              / sw.toDouble).toLong
+        }
+        (n, slope0, slope, inter, sumW)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("n", "slope0_milli", "slope_milli", "intercept_milli",
+        "sum_w_milli")
   }
 
   /** Durbin–Watson statistic of the residuals from the OLS line of

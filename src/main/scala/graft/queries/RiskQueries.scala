@@ -221,6 +221,124 @@ object RiskQueries {
              |  FROM lagd)
              |SELECT n, slope_milli, intercept_milli,
              |  CAST((sd2 * 2000000 + se2) // (se2 * 2) AS BIGINT) AS dw_micro
-             |FROM sums""".stripMargin))
+             |FROM sums""".stripMargin)),
+
+    // ----- q286: XmR (individuals + moving-range) Shewhart chart
+    // over daily revenue (operators.Risk.xmrChart) — the SPC member
+    // next to q181 CUSUM: that one accumulates sustained drift, this
+    // flags single-day excursions (X chart, x̄ ± 2.66·MR̄) and
+    // short-term variance spikes (MR chart, 3.267·MR̄). Flags are
+    // cross-multiplied exact integer comparisons, so the whole chart
+    // replays with zero tolerance.
+    QueryDef(
+      "q286_xmr_chart",
+      (s, d) => graft.operators.Risk.xmrChart(dailyCents(s, d), "day", "xq"),
+      Some(s"""WITH $dailySql,
+             |st AS (
+             |  SELECT ${QueryFixtures.fdivSql(
+                  "CAST(SUM(xq) AS BIGINT)", "COUNT(*)")} AS xbar
+             |  FROM ser),
+             |dl AS (
+             |  SELECT day, xq,
+             |    abs(xq - lag(xq) OVER (ORDER BY day)) AS mr
+             |  FROM ser),
+             |mb AS (
+             |  SELECT ${QueryFixtures.fdivSql(
+                  "CAST(SUM(mr) AS BIGINT)", "COUNT(*)")} AS mrbar
+             |  FROM dl WHERE mr IS NOT NULL)
+             |SELECT day, xq, mr,
+             |  abs(1000 * (xq - s.xbar)) > 2660 * m.mrbar AS flag_x,
+             |  COALESCE(1000 * mr > 3267 * m.mrbar, FALSE) AS flag_mr
+             |FROM dl CROSS JOIN st s CROSS JOIN mb m
+             |ORDER BY day""".stripMargin)),
+
+    // ----- q287: Huber-weighted IRLS trend of daily revenue
+    // (operators.Risk.huberTrend) — the ROBUST regression member
+    // next to q267's OLS and q195's Theil–Sen: Huber milli-weights
+    // (1 inside 2·median(|e|), T/|e| outside) bound outlier leverage,
+    // two fixed reweighting iterations from the OLS start. Exact
+    // integer states throughout; the slope update is sign-split
+    // exact integer rounding so no >2^63 value is ever cast to
+    // double; the whole recurrence (residuals → MAD threshold →
+    // weights → weighted normal equations, twice) replays in
+    // unrolled CTEs.
+    QueryDef(
+      "q287_huber_trend",
+      (s, d) => graft.operators.Risk.huberTrend(dailyCents(s, d), "day", "xq"),
+      Some {
+        def f(a: String, b: String) = QueryFixtures.fdivSql(a, b)
+        def iter(k: Int, slopeRef: String, interRef: String,
+            fromCte: String): String =
+          s"""res$k AS MATERIALIZED (
+             |  SELECT rn.t, rn.xq,
+             |    1000 * rn.xq - $interRef - $slopeRef * rn.t AS e
+             |  FROM rn CROSS JOIN $fromCte),
+             |th$k AS (
+             |  SELECT CAST(floor(2.0 * quantile_cont(abs(e), 0.5) + 0.5)
+             |    AS BIGINT) AS th
+             |  FROM res$k),
+             |wt$k AS (
+             |  SELECT r.t, r.xq,
+             |    CASE WHEN abs(r.e) <= h.th THEN 1000
+             |      ELSE ${f("1000 * h.th", "abs(r.e)")} END AS w
+             |  FROM res$k r CROSS JOIN th$k h),
+             |mom$k AS (
+             |  SELECT CAST(SUM(CAST(w AS HUGEINT)) AS HUGEINT) AS sw,
+             |    CAST(SUM(CAST(w AS HUGEINT) * t) AS HUGEINT) AS swt,
+             |    CAST(SUM(CAST(w AS HUGEINT) * xq) AS HUGEINT) AS swy,
+             |    CAST(SUM(CAST(w AS HUGEINT) * t * t) AS HUGEINT) AS swtt,
+             |    CAST(SUM(CAST(w AS HUGEINT) * t * xq) AS HUGEINT) AS swty,
+             |    CAST(SUM(w) AS BIGINT) AS sumw
+             |  FROM wt$k),
+             |sl$k AS (
+             |  SELECT sumw,
+             |    CASE WHEN (sw * swty - swt * swy < 0)
+             |        <> (sw * swtt - swt * swt < 0) THEN -1 ELSE 1 END
+             |      * CAST((abs(sw * swty - swt * swy) * 2000
+             |          + abs(sw * swtt - swt * swt))
+             |        // (abs(sw * swtt - swt * swt) * 2) AS BIGINT)
+             |      AS slope_milli,
+             |    sw, swt, swy
+             |  FROM mom$k),
+             |upd$k AS (
+             |  SELECT sumw, slope_milli,
+             |    CAST(floor(CAST(1000 * swy - CAST(slope_milli AS HUGEINT)
+             |        * swt AS DOUBLE)
+             |      / CAST(sw AS DOUBLE)) AS BIGINT) AS intercept_milli
+             |  FROM sl$k)""".stripMargin
+        s"""WITH ser AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS xq
+           |  FROM orders GROUP BY 1),
+           |rn AS MATERIALIZED (
+           |  SELECT xq, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+           |  FROM ser),
+           |mo AS (
+           |  SELECT COUNT(*) AS n,
+           |    CAST(SUM(t) AS BIGINT) AS st,
+           |    CAST(SUM(xq) AS BIGINT) AS sy,
+           |    CAST(SUM(t * t) AS BIGINT) AS stt,
+           |    CAST(SUM(CAST(t AS HUGEINT) * xq) AS HUGEINT) AS sty
+           |  FROM rn),
+           |co AS (
+           |  SELECT n, st, sy,
+           |    CAST(floor(CAST(CAST(n AS HUGEINT) * sty
+           |        - CAST(st AS HUGEINT) * sy AS DOUBLE)
+           |      / CAST(CAST(n AS HUGEINT) * stt
+           |        - CAST(st AS HUGEINT) * st AS DOUBLE)
+           |      * 1000) AS BIGINT) AS slope_milli
+           |  FROM mo),
+           |c2 AS (
+           |  SELECT n, slope_milli,
+           |    CAST(floor(CAST(1000 * sy - slope_milli * st AS DOUBLE)
+           |      / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_milli
+           |  FROM co),
+           |${iter(1, "c2.slope_milli", "c2.intercept_milli", "c2")},
+           |${iter(2, "u.slope_milli", "u.intercept_milli", "upd1 u")}
+           |SELECT c2.n, c2.slope_milli AS slope0_milli,
+           |  u2.slope_milli, u2.intercept_milli, u2.sumw AS sum_w_milli
+           |FROM c2 CROSS JOIN upd2 u2""".stripMargin
+      })
   )
 }

@@ -60,6 +60,41 @@ class RiskSpec extends SparkSpec {
     assert(out._2 > 3500000L && out._2 <= 4100000L, s"got $out")
   }
 
+  test("xmrChart: hand-computed centre, limits, and flags") {
+    import spark.implicits._
+    // x̄ = fdiv(701,5) = 140; MRs 2,4,3,199 → MR̄ = fdiv(208,4) = 52.
+    // X limit: |1000(x−140)| > 2660·52 = 138320 → only the 300 spike.
+    // MR limit: 1000·mr > 3267·52 = 169884 → only the 199 jump.
+    val df = Seq((d(1), 100L), (d(2), 102L), (d(3), 98L), (d(4), 101L),
+      (d(5), 300L)).toDF("day", "xq")
+    val out = Risk.xmrChart(df, "day", "xq")
+      .select($"xq", $"mr", $"flag_x", $"flag_mr")
+      .as[(Long, Option[Long], Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (100L, None, false, false),
+      (102L, Some(2L), false, false),
+      (98L, Some(4L), false, false),
+      (101L, Some(3L), false, false),
+      (300L, Some(199L), true, true)), s"got $out")
+  }
+
+  test("huberTrend: an end-of-series spike drags OLS more than Huber") {
+    import spark.implicits._
+    val df = (1 to 20).map { i =>
+      val spike = if (i == 20) 5000L else 0L
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
+        100L * i + spike)
+    }.toDF("day", "xq")
+    val r = Risk.huberTrend(df, "day", "xq").head()
+    val (ols, rob) =
+      (r.getAs[Long]("slope0_milli"), r.getAs[Long]("slope_milli"))
+    assert(ols > 100000L, s"spiked OLS slope must exceed 100: $r")
+    assert(math.abs(rob - 100000L) < math.abs(ols - 100000L),
+      s"Huber must sit closer to the clean slope: $r")
+    assert(r.getAs[Long]("sum_w_milli") < 20L * 1000L,
+      s"the spike row must be down-weighted: $r")
+  }
+
   test("all three are layout invariant") {
     import spark.implicits._
     val df = (1 to 25).map(i => (d(i), 50L + (i * 2654435761L) % 400L))
@@ -70,8 +105,14 @@ class RiskSpec extends SparkSpec {
       .as[(Long, Double, Long, Long)].collect().toSeq
     def dw(x: DataFrame) = Risk.durbinWatson(x, "day", "xq")
       .as[(Long, Long, Long, Long)].collect().toSeq
+    def xm(x: DataFrame) = Risk.xmrChart(x, "day", "xq")
+      .as[(Date, Long, Option[Long], Boolean, Boolean)].collect().toSeq
+    def hb(x: DataFrame) = Risk.huberTrend(x, "day", "xq")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(dd(df.repartition(1)) == dd(df.repartition(6)))
     assert(ve(df.repartition(1)) == ve(df.repartition(6)))
     assert(dw(df.repartition(1)) == dw(df.repartition(6)))
+    assert(xm(df.repartition(1)) == xm(df.repartition(6)))
+    assert(hb(df.repartition(1)) == hb(df.repartition(6)))
   }
 }
