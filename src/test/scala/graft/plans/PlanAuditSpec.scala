@@ -132,21 +132,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.forall(w => "\\]\\s*,\\s*\\[".r.findAllIn(w).length >= 2), windows.mkString("\n"))
   }
 
-  test("q78 prefix join: vocabulary ranking has no single-partition window") {
+  /** The PrefixJoin BUILD plan: q78's declared query now reads the
+    * content-stamped pair artifact, so the intended candidate-join
+    * shape lives in the builder — pin THAT plan, not the parquet
+    * read (the r9 timing-investigation pins, relocated).
+    */
+  private def prefixJoinBuildPlan(): String = {
+    val df = graft.operators.PrefixJoin.jaccardPairsPrefix(
+      spark, graft.Tables.documents(spark, sf), "doc_id", "text",
+      threshold = 0.7)
+    df.count()
+    spark.catalog.clearCache()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q78 prefix join build: vocabulary ranking has no single-partition window") {
     // the global-rarity rank is sort + zipWithIndex; a regression back
     // to row_number().over(Window.orderBy(...)) would re-introduce the
     // one-task vocabulary bottleneck — assert NO Window node at all
-    val plan = executed("q78_prefix_jaccard")
+    val plan = prefixJoinBuildPlan()
     assert(!plan.contains("Window ["), plan.linesIterator
       .filter(_.contains("Window")).mkString("\n"))
   }
 
-  test("q78 prefix join: rank translation broadcasts, candidates stay equi-joins") {
+  test("q78 prefix join build: rank translation broadcasts, candidates stay equi-joins") {
     // the intended shape (pinned after the r9 timing investigation):
     // the vocabulary rank side is broadcast while it fits
     // maxBroadcastVocab, and neither the candidate self-join nor the
     // verify joins may degenerate to a product plan
-    val plan = executed("q78_prefix_jaccard")
+    val plan = prefixJoinBuildPlan()
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
