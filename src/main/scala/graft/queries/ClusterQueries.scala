@@ -747,5 +747,143 @@ object ClusterQueries {
            |SELECT s.id AS c_custkey, r.f1, r.f2, s.score_milli
            |FROM scores s JOIN rows0 r ON s.id = r.id
            |ORDER BY s.score_milli, c_custkey LIMIT 20""".stripMargin
+      }),
+
+    // ----- q288: Mahalanobis embedding outliers — the
+    // COVARIANCE-AWARE member of the embedding-QA family (q69 moment
+    // stats, q72 robust z-scores, q247 isolation forest): correlated
+    // dimensions make Euclidean distance lie about outliers;
+    // d² = (x−μ)ᵀ Σ⁻¹ (x−μ) whitens them. Three milli-quantized
+    // dims, exact BIGINT moments in ONE distributed pass, the 3×3
+    // inverse assembled driver-side from exact integers via the
+    // adjugate (the q194 det3 discipline — the oracle regenerates
+    // the identical cofactor text), then one fixed per-row chain and
+    // a top-20 TakeOrderedAndProject with a total tie-break.
+    QueryDef(
+      "q288_mahalanobis_outliers",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.embeddings(s, d).select($"vec_id",
+          floor(element_at($"embedding", 1).cast("double") * 1000 + lit(0.5))
+            .cast("long").as("x1"),
+          floor(element_at($"embedding", 2).cast("double") * 1000 + lit(0.5))
+            .cast("long").as("x2"),
+          floor(element_at($"embedding", 3).cast("double") * 1000 + lit(0.5))
+            .cast("long").as("x3"))
+          .localCheckpoint(true) // moments + scoring read it
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          (1 to 3).map(i => sum(col(s"x$i")).as(s"s$i")) ++
+          (for { i <- 1 to 3; j <- i to 3 }
+            yield sum(col(s"x$i") * col(s"x$j")).as(s"s$i$j"))
+        val m = rows.agg(aggs.head, aggs.tail: _*).head()
+        val n = m.getLong(0).toDouble
+        def sv(nm: String) = m.getAs[Long](nm).toDouble
+        // unnormalized covariance C_ij = n·S_ij − S_i·S_j (exact
+        // integers < 2^63, identical double images both engines)
+        val c = Array.ofDim[Double](4, 4)
+        for { i <- 1 to 3; j <- i to 3 } {
+          c(i)(j) = n * sv(s"s$i$j") - sv(s"s$i") * sv(s"s$j")
+          c(j)(i) = c(i)(j)
+        }
+        val det =
+          c(1)(1) * (c(2)(2) * c(3)(3) - c(2)(3) * c(3)(2)) -
+            c(1)(2) * (c(2)(1) * c(3)(3) - c(2)(3) * c(3)(1)) +
+            c(1)(3) * (c(2)(1) * c(3)(2) - c(2)(2) * c(3)(1))
+        // adjugate / det, times n² to undo the unnormalized scale:
+        // Σ⁻¹_ij = n · adj(C)_ij / det(C) · n — fold one n into each
+        // factor so every literal stays a plain double chain
+        def inv(i: Int, j: Int): Double = {
+          val (a, b, cc, dd) = ((i, j): @unchecked) match {
+            case (1, 1) => (c(2)(2), c(3)(3), c(2)(3), c(3)(2))
+            case (1, 2) => (c(1)(3), c(3)(2), c(1)(2), c(3)(3))
+            case (1, 3) => (c(1)(2), c(2)(3), c(1)(3), c(2)(2))
+            case (2, 2) => (c(1)(1), c(3)(3), c(1)(3), c(3)(1))
+            case (2, 3) => (c(1)(3), c(2)(1), c(1)(1), c(2)(3))
+            case (3, 3) => (c(1)(1), c(2)(2), c(1)(2), c(2)(1))
+          }
+          (a * b - cc * dd) / det * n * n
+        }
+        def dmu(i: Int) =
+          col(s"x$i").cast("double") - lit(sv(s"s$i") / n)
+        val d2 = dmu(1) * dmu(1) * lit(inv(1, 1)) +
+          dmu(2) * dmu(2) * lit(inv(2, 2)) +
+          dmu(3) * dmu(3) * lit(inv(3, 3)) +
+          lit(2.0) * dmu(1) * dmu(2) * lit(inv(1, 2)) +
+          lit(2.0) * dmu(1) * dmu(3) * lit(inv(1, 3)) +
+          lit(2.0) * dmu(2) * dmu(3) * lit(inv(2, 3))
+        rows.select($"vec_id", $"x1", $"x2", $"x3",
+            floor(d2 * 1000000 + lit(0.5)).cast("long").as("d2_micro"))
+          .orderBy($"d2_micro".desc, $"vec_id")
+          .limit(20)
+      },
+      Some {
+        // the same cofactor text, regenerated (not transcribed)
+        def cRef(i: Int, j: Int) =
+          if (i <= j) s"c$i$j" else s"c$j$i"
+        val dets =
+          s"(c11 * (c22 * c33 - c23 * c32_) - c12 * (c21_ * c33 - c23 * c31_)" +
+            s" + c13 * (c21_ * c32_ - c22 * c31_))"
+        def invSql(i: Int, j: Int) = {
+          val (a, b, cc, dd) = ((i, j): @unchecked) match {
+            case (1, 1) => ("c22", "c33", "c23", "c32_")
+            case (1, 2) => ("c13", "c32_", "c12", "c33")
+            case (1, 3) => ("c12", "c23", "c13", "c22")
+            case (2, 2) => ("c11", "c33", "c13", "c31_")
+            case (2, 3) => ("c13", "c21_", "c11", "c23")
+            case (3, 3) => ("c11", "c22", "c12", "c21_")
+          }
+          s"($a * $b - $cc * $dd) / $dets * CAST(n AS DOUBLE)" +
+            s" * CAST(n AS DOUBLE)"
+        }
+        val sumCols = (1 to 3).map(i =>
+          s"CAST(SUM(x$i) AS BIGINT) AS s$i") ++
+          (for { i <- 1 to 3; j <- i to 3 }
+            yield s"CAST(SUM(x$i * x$j) AS BIGINT) AS s$i$j")
+        val covCols = (for { i <- 1 to 3; j <- i to 3 } yield
+          s"CAST(n AS DOUBLE) * s$i$j" +
+            s" - CAST(s$i AS DOUBLE) * CAST(s$j AS DOUBLE) AS c$i$j") ++
+          Seq("CAST(n AS DOUBLE) * s12 - CAST(s2 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c21_",
+            "CAST(n AS DOUBLE) * s13 - CAST(s3 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c31_",
+            "CAST(n AS DOUBLE) * s23 - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c32_")
+        s"""WITH rows0 AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000 + 0.5)
+           |      AS BIGINT) AS x1,
+           |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000 + 0.5)
+           |      AS BIGINT) AS x2,
+           |    CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000 + 0.5)
+           |      AS BIGINT) AS x3
+           |  FROM embeddings),
+           |mom AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    ${sumCols.mkString(",\n    ")}
+           |  FROM rows0),
+           |cov AS (
+           |  SELECT n, s1, s2, s3,
+           |    ${covCols.mkString(",\n    ")}
+           |  FROM mom)
+           |SELECT r.vec_id, r.x1, r.x2, r.x3,
+           |  CAST(floor((
+           |    (CAST(r.x1 AS DOUBLE) - CAST(v.s1 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (CAST(r.x1 AS DOUBLE) - CAST(v.s1 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (${invSql(1, 1)})
+           |    + (CAST(r.x2 AS DOUBLE) - CAST(v.s2 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (CAST(r.x2 AS DOUBLE) - CAST(v.s2 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (${invSql(2, 2)})
+           |    + (CAST(r.x3 AS DOUBLE) - CAST(v.s3 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (CAST(r.x3 AS DOUBLE) - CAST(v.s3 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (${invSql(3, 3)})
+           |    + 2.0 * (CAST(r.x1 AS DOUBLE) - CAST(v.s1 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (CAST(r.x2 AS DOUBLE) - CAST(v.s2 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (${invSql(1, 2)})
+           |    + 2.0 * (CAST(r.x1 AS DOUBLE) - CAST(v.s1 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (CAST(r.x3 AS DOUBLE) - CAST(v.s3 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (${invSql(1, 3)})
+           |    + 2.0 * (CAST(r.x2 AS DOUBLE) - CAST(v.s2 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (CAST(r.x3 AS DOUBLE) - CAST(v.s3 AS DOUBLE) / CAST(v.n AS DOUBLE))
+           |      * (${invSql(2, 3)})
+           |    ) * 1000000 + 0.5) AS BIGINT) AS d2_micro
+           |FROM rows0 r CROSS JOIN cov v
+           |ORDER BY d2_micro DESC, vec_id LIMIT 20""".stripMargin
       }))
 }
