@@ -650,6 +650,85 @@ object DedupQueries {
              |    AS BIGINT) AS cov2_ppm
              |FROM c1 CROSS JOIN c2 CROSS JOIN cm""".stripMargin)),
 
+    // ----- q289: dedup cluster cohesion — quality audit of the
+    // q51/q71/q125 component assignment, composed from the TWO shared
+    // artifacts (component map + lang-banded Jaccard edge set): per
+    // component of size ≥ 2, its edge density (are members pairwise
+    // similar, or chained through one hub?) and mean edge Jaccard.
+    // Low density at high size is the transitive-closure over-merge
+    // signature — the thing a dedup pipeline must monitor before
+    // deleting survivors. Every edge is intra-component by
+    // construction, so one artifact join suffices; the oracle
+    // re-derives edges AND the recursive hull from scratch (q51's
+    // CTEs), so both artifacts are value-checked again.
+    QueryDef(
+      "q289_cluster_cohesion",
+      (s, d) => {
+        import s.implicits._
+        val comp = componentArtifact(s, d)
+        val pairs = jaccardPairsArtifact(s, d)
+        val sz = comp.groupBy($"rep").agg(count(lit(1)).as("n_members"))
+          .filter($"n_members" >= 2)
+        val eAgg = pairs
+          .join(comp.select($"doc_id".as("id_a"), $"rep"), "id_a")
+          .groupBy($"rep")
+          .agg(count(lit(1)).as("n_edges"),
+            sum(floor($"jaccard" * 10000 + lit(0.5)).cast("long"))
+              .as("sum_j4"))
+        sz.join(eAgg, "rep")
+          .select($"rep", $"n_members", $"n_edges",
+            floor($"n_edges".cast("double") * 2000000.0
+                / ($"n_members".cast("double")
+                   * ($"n_members" - 1).cast("double")) + lit(0.5))
+              .cast("long").as("density_ppm"),
+            floor($"sum_j4".cast("double") * 100.0
+                / $"n_edges".cast("double") + lit(0.5))
+              .cast("long").as("mean_j_micro"))
+          .orderBy($"n_members".desc, $"rep").limit(10)
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> length(x) > 0)) AS toks
+             |  FROM documents),
+             |e AS MATERIALIZED (
+             |  SELECT a.doc_id AS u, b.doc_id AS v,
+             |    CAST(floor(len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |      (len(a.toks) + len(b.toks)
+             |       - len(list_intersect(a.toks, b.toks))) * 10000 + 0.5)
+             |      AS BIGINT) AS j4
+             |  FROM t a JOIN t b
+             |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |    AND abs(a.n_chars - b.n_chars) <= 30
+             |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |        (len(a.toks) + len(b.toks)
+             |         - len(list_intersect(a.toks, b.toks))) > 0.8),
+             |edges AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+             |reach(src, node) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT r.src, ed.v FROM reach r JOIN edges ed ON r.node = ed.u
+             |),
+             |cc AS MATERIALIZED (
+             |  SELECT src AS doc_id, MIN(node) AS rep FROM reach GROUP BY src),
+             |sz AS (
+             |  SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_members
+             |  FROM cc GROUP BY rep HAVING COUNT(*) >= 2),
+             |ea AS (
+             |  SELECT c.rep, CAST(COUNT(*) AS BIGINT) AS n_edges,
+             |    CAST(SUM(e.j4) AS BIGINT) AS sum_j4
+             |  FROM e JOIN cc c ON c.doc_id = e.u GROUP BY 1)
+             |SELECT s.rep, s.n_members, a.n_edges,
+             |  CAST(floor(CAST(a.n_edges AS DOUBLE) * 2000000.0
+             |    / (CAST(s.n_members AS DOUBLE)
+             |       * CAST(s.n_members - 1 AS DOUBLE)) + 0.5) AS BIGINT)
+             |    AS density_ppm,
+             |  CAST(floor(CAST(a.sum_j4 AS DOUBLE) * 100.0
+             |    / CAST(a.n_edges AS DOUBLE) + 0.5) AS BIGINT)
+             |    AS mean_j_micro
+             |FROM sz s JOIN ea a USING (rep)
+             |ORDER BY s.n_members DESC, s.rep LIMIT 10""".stripMargin)),
+
     // ----- q120: winnowed-fingerprint passage-overlap pairs (the MOSS
     // algorithm, operators.Winnow) over an id-hash-sampled sub-corpus,
     // FULLY oracle-checked: the winnowed fingerprint SET is order-
