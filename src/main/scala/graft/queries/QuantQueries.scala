@@ -750,11 +750,14 @@ object QuantQueries {
           sum(when($"h1" === 1L && $"h2" === 0L, 1L).otherwise(0L)).as("n10"),
           sum(when($"h1" === 0L && $"h2" === 1L, 1L).otherwise(0L)).as("n01"),
           sum(when($"h1" === 0L && $"h2" === 0L, 1L).otherwise(0L)).as("n00"))
+        // degenerate-corpus guard (seen at sf0.001: zero discordant
+        // pairs make the denominator 0) — NULL chi2, mirrored
         cells.select($"n_users", $"n11", $"n10", $"n01", $"n00",
-          floor(($"n10" - $"n01").cast("double")
-            * ($"n10" - $"n01").cast("double")
-            / ($"n10" + $"n01").cast("double") * 1000000 + lit(0.5))
-            .cast("long").as("chi2_micro"))
+          when($"n10" + $"n01" === 0L, lit(null).cast("long"))
+            .otherwise(floor(($"n10" - $"n01").cast("double")
+              * ($"n10" - $"n01").cast("double")
+              / ($"n10" + $"n01").cast("double") * 1000000 + lit(0.5))
+              .cast("long")).as("chi2_micro"))
       },
       Some("""WITH ev AS (
              |  SELECT user_id, epoch_us(ts) AS us,
@@ -782,10 +785,11 @@ object QuantQueries {
              |      AS BIGINT) AS n00
              |  FROM pu)
              |SELECT n_users, n11, n10, n01, n00,
-             |  CAST(floor(
-             |    CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
-             |    / CAST(n10 + n01 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
-             |    AS chi2_micro
+             |  CASE WHEN n10 + n01 = 0 THEN NULL
+             |    ELSE CAST(floor(
+             |      CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE)
+             |      / CAST(n10 + n01 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |  END AS chi2_micro
              |FROM cells""".stripMargin)),
 
     // ----- q192: Cramér's V for returnflag × linestatus — the

@@ -853,7 +853,11 @@ object TextQueries {
           .select($"xref",
             floor(log($"x".cast("double") / $"xref") * 10000 + lit(0.5))
               .cast("long").as("lnq"))
+        // a corpus with fewer than k+1 distinct values has no (k+1)-th
+        // reference order statistic - emit nothing, as the oracle's
+        // rn = k+1 lookup does (seen at sf0.001: exactly 200 parts)
         terms.groupBy($"xref").agg(count(lit(1)).as("k"), sum($"lnq").as("s"))
+          .filter($"k" === k)
           .select($"k", $"xref".as("x_ref_cents"), $"s".as("sum_lnq"),
             floor($"k".cast("double") * 10000 / $"s" * 1000000 + lit(0.5))
               .cast("long").as("alpha_micro"))
@@ -875,7 +879,7 @@ object TextQueries {
              |  FROM rk CROSS JOIN ref WHERE rk.rn <= 200),
              |agg AS (SELECT xref, CAST(count(*) AS BIGINT) AS k,
              |          CAST(SUM(lnq) AS BIGINT) AS s
-             |        FROM terms GROUP BY 1)
+             |        FROM terms GROUP BY 1 HAVING count(*) = 200)
              |SELECT k, xref AS x_ref_cents, s AS sum_lnq,
              |  CAST(floor(CAST(k AS DOUBLE) * 10000 / s * 1000000 + 0.5)
              |    AS BIGINT) AS alpha_micro
