@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * exact integer cents throughout —
   *   - the split score is gain = S_L²/n_L + S_R²/n_R over residual
   *     sums; computed as ONE double chain (operands < 2^53) and
-  *     floor-snapped to a 1e6 quantum BEFORE the argmax, so the
+  *     round-half-up snapped to a 1e6 quantum (floor(x/1e6 + 0.5),
+  *     mirrored verbatim in the oracle CTE) BEFORE the argmax, so the
   *     selection is an exact integer comparison with the
   *     deterministic tie-break (gain desc, dim, thr);
   *   - leaf means are fdiv(S, n), the applied update

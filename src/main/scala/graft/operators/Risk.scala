@@ -34,6 +34,12 @@ object Risk {
   final case class XmrRow(
       day: Date, xq: Long, mr: Option[Long], flagX: Boolean, flagMr: Boolean)
 
+  /** Row shape of [[varEs]] — var/es are None on a degenerate series
+    * with fewer than 2 days (no deltas to take a quantile of). */
+  final case class VarEsRow(
+      n_days: Long, var_p: Option[Double], es_micro: Option[Long],
+      n_tail: Long)
+
   /** Drawdown trajectory of the cumulative series: one row per day,
     * (day, xq, cum, peak, dd) with cum = running sum of xq, peak =
     * running max of cum, dd = peak − cum ≥ 0. All exact BIGINT.
@@ -83,26 +89,34 @@ object Risk {
       .groupByKey(_ => true)
       .mapGroups { (_, it) =>
         val ys = it.toArray.sortBy(_._1.getTime).map(_._2)
-        val deltas = ys.sliding(2).map(a => a(1) - a(0)).toArray.sorted
+        val deltas =
+          ys.sliding(2).filter(_.length == 2).map(a => a(1) - a(0))
+            .toArray.sorted
         val m = deltas.length
-        val pos = p * (m - 1)
-        val lo = math.floor(pos).toInt
-        val frac = pos - lo
-        val varRaw =
-          if (lo + 1 < m)
-            deltas(lo) + frac * (deltas(lo + 1) - deltas(lo)).toDouble
-          else deltas(lo).toDouble
-        var tailSum = 0L
-        var tailN = 0L
-        deltas.takeWhile(_.toDouble <= varRaw).foreach { d =>
-          tailSum += d; tailN += 1
+        if (m == 0) {
+          // degenerate frame (< 2 days): no deltas — NULL-propagate
+          // like coxBinary rather than index deltas(-1)
+          VarEsRow(ys.length.toLong, None, None, 0L)
+        } else {
+          val pos = p * (m - 1)
+          val lo = math.floor(pos).toInt
+          val frac = pos - lo
+          val varRaw =
+            if (lo + 1 < m)
+              deltas(lo) + frac * (deltas(lo + 1) - deltas(lo)).toDouble
+            else deltas(lo).toDouble
+          var tailSum = 0L
+          var tailN = 0L
+          deltas.takeWhile(_.toDouble <= varRaw).foreach { d =>
+            tailSum += d; tailN += 1
+          }
+          // tailN >= 1 always: deltas(0) <= varRaw by construction
+          val esMicro =
+            math.floor(tailSum.toDouble / tailN * 1000000L + 0.5).toLong
+          val varR4 = math.floor(varRaw * 10000 + 0.5) / 10000
+          VarEsRow(ys.length.toLong, Some(varR4), Some(esMicro), tailN)
         }
-        val esMicro =
-          math.floor(tailSum.toDouble / tailN * 1000000L + 0.5).toLong
-        val varR4 = math.floor(varRaw * 10000 + 0.5) / 10000
-        (ys.length.toLong, varR4, esMicro, tailN)
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
-        Encoders.scalaLong, Encoders.scalaLong))
+      }(Encoders.product[VarEsRow])
       .toDF("n_days", "var_p", "es_micro", "n_tail")
   }
 
@@ -127,8 +141,8 @@ object Risk {
         val rows = it.toArray.sortBy(_._1.getTime)
         val n = rows.length.toLong
         val xbar = LogReg.fdiv(rows.map(_._2).sum, n)
-        val mrs = rows.map(_._2).sliding(2).map(a => math.abs(a(1) - a(0)))
-          .toArray
+        val mrs = rows.map(_._2).sliding(2).filter(_.length == 2)
+          .map(a => math.abs(a(1) - a(0))).toArray
         val mrbar =
           if (n > 1) LogReg.fdiv(mrs.sum, n - 1) else 0L
         var prev = Option.empty[Long]

@@ -115,9 +115,7 @@ object Survival {
   def nelsonAalen(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val withH = lifetable(events, userCol, tsCol)
       .withColumn("h_micro",
-        floor(col("d").cast("double") * 1000000.0
-            / col("n_risk").cast("double"))
-          .cast("long"))
+        expr("CAST(d AS BIGINT) * 1000000 DIV CAST(n_risk AS BIGINT)"))
     GlobalOrder
       .runningSum(
         withH.withColumn("h_dec", col("h_micro").cast("decimal(38,0)")),

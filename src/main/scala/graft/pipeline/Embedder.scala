@@ -4,8 +4,9 @@ import scala.util.hashing.MurmurHash3
 
 /** Text → fixed-dim embedding, the engine-side analogue of the
   * reference's model-serving endpoint
-  * (`03-model-inference-on-chunks.py:55-60,96-109`,
-  * `databricks-bge-large-en`). Behind a trait so the deterministic
+  * (`03-model-inference-on-chunks.py:55-60,96-109` — the reference's
+  * hosted-endpoint name; see SURVEY §2.11 U9). Behind a trait so the
+  * deterministic
   * local implementation used by tests/oracles and a real remote
   * endpoint client are drop-in replacements (SURVEY.md §7.1).
   *
@@ -117,7 +118,8 @@ final case class PolyHashingEmbedder(dim: Int = 64) extends Embedder {
   * of [[HttpFetcher]], mirroring the reference's model-serving call
   * (`03-model-inference-on-chunks.py:96-109`, POST
   * `{"input": [texts...]}` → `{"data": [{"embedding": [...]}, ...]}`,
-  * the serving protocol of its `databricks-bge-large-en` endpoint).
+  * the serving protocol of the reference's hosted embedding endpoint;
+  * see SURVEY §2.11 U9).
   *
   * Failure contract (the U1/U2 null discipline): a failed REQUEST —
   * timeout, non-200, malformed/mis-sized response — yields a null

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Vector similarity scoring + top-k retrieval — the engine-side form
-  * of the reference's Databricks Vector Search index + query
-  * (`ocr-tesseract-unstructured.py:145-153` index build,
+  * of the reference's hosted vector-search index + query (SURVEY
+  * §2.11 U10/U11;
+  * `ocr-tesseract-unstructured.py:145-153` index build,
   * `:167-171` `similarity_search(..., num_results=5)`).
   *
   * The index is just a table (id, embedding) — the reference's

@@ -978,8 +978,8 @@ object AnalyticsQueries {
              |  FROM byt),
              |hz2 AS (
              |  SELECT t, n_risk, d, c,
-             |    CAST(floor(CAST(d AS DOUBLE) * 1000000.0
-             |      / CAST(n_risk AS DOUBLE)) AS BIGINT) AS h_micro
+             |    CAST((CAST(d AS BIGINT) * 1000000) // n_risk
+             |      AS BIGINT) AS h_micro
              |  FROM risk),
              |cum AS (
              |  SELECT t, n_risk, d, c, h_micro,

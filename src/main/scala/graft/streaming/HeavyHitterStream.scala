@@ -56,18 +56,26 @@ object HeavyHitterStream {
       val st = state.getOption.getOrElse(Summary(Map.empty, Map.empty, 0L))
       val counts = scala.collection.mutable.HashMap.from(st.counts)
       val errs = scala.collection.mutable.HashMap.from(st.errs)
+      // (count, item) ordered mirror of `counts`: head is the eviction
+      // victim (min count, ties by item — identical to the former
+      // minBy scan), making steady-state eviction O(log capacity) per
+      // untracked arrival instead of O(capacity)
+      val order = scala.collection.mutable.TreeSet.empty[(Long, String)]
+      counts.foreach { case (k, v) => order.add((v, k)) }
       val tick = st.tick + 1
       it.foreach { x =>
         counts.get(x) match {
-          case Some(c) => counts(x) = c + 1
+          case Some(c) =>
+            counts(x) = c + 1
+            order.remove((c, x)); order.add((c + 1, x))
           case None if counts.size < capacity =>
-            counts(x) = 1L; errs(x) = 0L
+            counts(x) = 1L; errs(x) = 0L; order.add((1L, x))
           case None =>
-            // evict the minimum counter (ties by item for determinism
-            // within a batch iterator) and adopt its count
-            val (mItem, mCount) = counts.minBy { case (k, v) => (v, k) }
+            val (mCount, mItem) = order.head
+            order.remove((mCount, mItem))
             counts.remove(mItem); errs.remove(mItem)
             counts(x) = mCount + 1; errs(x) = mCount
+            order.add((mCount + 1, x))
         }
       }
       state.update(Summary(counts.toMap, errs.toMap, tick))

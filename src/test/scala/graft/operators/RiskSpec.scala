@@ -44,6 +44,26 @@ class RiskSpec extends SparkSpec {
     assert(out == ((6L, 5.0, -17500000L, 2L)), s"got $out")
   }
 
+  test("varEs: single-day series NULL-propagates instead of indexing " +
+    "deltas(-1)") {
+    import spark.implicits._
+    val df = Seq((d(1), 42L)).toDF("day", "xq")
+    val out = Risk.varEs(df, "day", "xq", 0.25)
+      .select($"n_days", $"var_p", $"es_micro", $"n_tail")
+      .as[(Long, Option[Double], Option[Long], Long)].head()
+    assert(out == ((1L, None, None, 0L)), s"got $out")
+  }
+
+  test("xmrChart: single-day series yields one unflagged row " +
+    "(no moving range to index)") {
+    import spark.implicits._
+    val df = Seq((d(1), 42L)).toDF("day", "xq")
+    val out = Risk.xmrChart(df, "day", "xq")
+      .select($"xq", $"mr", $"flag_x", $"flag_mr")
+      .as[(Long, Option[Long], Boolean, Boolean)].collect().toSeq
+    assert(out == Seq((42L, None, false, false)), s"got $out")
+  }
+
   test("durbinWatson: perfect line has zero residuals guarded; " +
     "alternating residuals push DW toward 4") {
     import spark.implicits._

@@ -10,6 +10,10 @@ This tool makes that comparison a builder-side gate:
 
     # refresh the baseline after an intentional change (quiet box!)
     python3 tools/bench_tripwire.py BENCH_full.json --update
+    # --update refuses when regressions tripped in the same run;
+    # add --force to bake in an intentional slowdown
+
+
 
 A query trips when its cold time exceeds RATIO x baseline AND the
 absolute growth exceeds ABS_FLOOR seconds (sub-second jitter on cheap
@@ -67,6 +71,11 @@ def main() -> int:
         print(f"queries in baseline but not in this run: {', '.join(gone)}")
 
     if update:
+        if trips and "--force" not in sys.argv:
+            print(f"{len(trips)} regression(s) tripped — refusing to bake "
+                  "them into the baseline; re-run with --update --force "
+                  "if the slowdown is intentional")
+            return 1
         BASELINE.write_text(json.dumps(
             {"source": str(bench_path), "queries": cold},
             indent=1, sort_keys=True) + "\n")
