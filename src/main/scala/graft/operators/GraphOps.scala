@@ -339,6 +339,56 @@ object GraphOps {
       .select(col("v").as("id"), col("deg").as("core_deg"))
   }
 
+  /** Coreness spectrum: k-core node sets for k = kMin..kMax in one
+    * pass, exploiting the nesting k-core ⊆ (k−1)-core — peel k is
+    * SEEDED with peel (k−1)'s emitted core instead of the full node
+    * set, so each successive k does strictly less work than a
+    * from-scratch [[kCore]] (the r10 q244 shape: four independent
+    * 8-round peels off one edge list). One edge shuffle ever;
+    * per-round traffic node-sized (the [[kCore]] scale argument).
+    *
+    * Contract: when each peel reaches fixpoint within `rounds`, the
+    * per-k output is exactly [[kCore]]'s; otherwise it is a superset
+    * of the true k-core whose every reported degree still honors
+    * core_deg >= k (the same rounds-bounded guard), and the superset
+    * remains a valid seed for k+1 since true (k+1)-core ⊆ true
+    * k-core ⊆ emitted core. Returns (k, id, core_deg); empty cores
+    * contribute no rows.
+    */
+  def corenessSpectrum(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      kMin: Int,
+      kMax: Int,
+      rounds: Int = 12): DataFrame = {
+    require(kMin >= 1 && kMax >= kMin, "1 <= kMin <= kMax")
+    require(rounds >= 1, "rounds >= 1")
+    val und = orient(edges, srcCol, dstCol)
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)        // one edge shuffle, reused by all peels
+    def coreDeg(surv: DataFrame): DataFrame = dir
+      .join(surv.select(col("v").as("src")), "src")
+      .groupBy(col("dst").cast("long").as("v"))
+      .agg(count(lit(1)).as("deg"))
+      .join(surv, "v")
+    var seed = dir.select(col("src").cast("long").as("v")).distinct()
+      .localCheckpoint(true)
+    (kMin to kMax).map { k =>
+      var surv = seed
+      for (_ <- 1 to rounds)
+        surv = coreDeg(surv).filter(col("deg") >= k)
+          .select(col("v")).localCheckpoint(true)
+      val core = coreDeg(surv).filter(col("deg") >= k)
+        .select(col("v").as("id"), col("deg").as("core_deg"))
+        .localCheckpoint(true)
+      seed = core.select(col("id").as("v"))
+      core.select(lit(k.toLong).as("k"), col("id"), col("core_deg"))
+    }.reduce(_ unionAll _)
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
     * list, fixed `iterations` of the mutual-reinforcement recurrence
     * with L1 normalization each half-step:

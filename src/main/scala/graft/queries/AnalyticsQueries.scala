@@ -1425,12 +1425,16 @@ object AnalyticsQueries {
     // ----- q244: coreness spectrum — k-core sizes for k = 2..5 on the
     // q209 thinned graph, the DENSITY PROFILE the single-k q209 view
     // can't show ("how fast does the repeatedly-co-bought backbone
-    // thin out as the cohesion bar rises"). Four independent 8-round
-    // peels off ONE checkpointed edge list; in-core edge count =
-    // Σ core_deg / 2 (handshake — exact, the sum is even). Empty
-    // cores drop out on both sides (HAVING count > 0 mirrors the
-    // n_nodes > 0 filter), so row sets stay equal even when k exceeds
-    // the graph's degeneracy.
+    // thin out as the cohesion bar rises"). NESTED peels off ONE
+    // checkpointed edge list (GraphOps.corenessSpectrum): coreness
+    // nests — the k-core lives inside the (k−1)-core — so peel k is
+    // seeded with peel (k−1)'s emitted core, strictly less work per
+    // successive k than the r10 four-independent-peels shape; the
+    // oracle CTE chain seeds identically so both sides run the same
+    // procedure. In-core edge count = Σ core_deg / 2 (handshake —
+    // exact, the sum is even). Empty cores drop out on both sides
+    // (groupBy emits no row; HAVING count > 0 mirrors it), so row
+    // sets stay equal even when k exceeds the graph's degeneracy.
     QueryDef(
       "q244_coreness_spectrum",
       (s, d) => {
@@ -1440,15 +1444,12 @@ object AnalyticsQueries {
         val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
           .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
           .filter($"w" >= 2).select($"pa", $"pb")
-          .localCheckpoint(true)   // four peels ride one edge build
-        (2 to 5).map { k =>
-          GraphOps.kCore(e, "pa", "pb", k, rounds = 8)
-            .agg(count(lit(1)).as("n_nodes"), sum($"core_deg").as("sdeg"),
-              min($"id").as("min_part"))
-            .select(lit(k.toLong).as("k"), $"n_nodes",
-              ($"sdeg" / 2).cast("long").as("n_edges"), $"min_part")
-        }.reduce(_ unionAll _)
-          .filter($"n_nodes" > 0)
+        GraphOps.corenessSpectrum(e, "pa", "pb", 2, 5, rounds = 8)
+          .groupBy($"k")
+          .agg(count(lit(1)).as("n_nodes"), sum($"core_deg").as("sdeg"),
+            min($"id").as("min_part"))
+          .select($"k", $"n_nodes",
+            ($"sdeg" / 2).cast("long").as("n_edges"), $"min_part")
           .orderBy($"k")
       },
       Some {
@@ -1460,7 +1461,10 @@ object AnalyticsQueries {
                |    FROM dir d JOIN s${i - 1}_$k a ON d.src = a.v GROUP BY 1) t
                |  JOIN s${i - 1}_$k b ON t.v = b.v
                |  WHERE t.c >= $k)""".stripMargin
-          s"""s0_$k AS (SELECT v FROM s0all),
+          // nested seed: peel k starts from core(k-1), mirroring
+          // GraphOps.corenessSpectrum procedure-for-procedure
+          val seed = if (k == 2) "s0all" else s"core${k - 1}"
+          s"""s0_$k AS (SELECT v FROM $seed),
              |${(1 to 8).map(peel).mkString(",\n")},
              |core$k AS (
              |  SELECT t.v, t.c FROM (

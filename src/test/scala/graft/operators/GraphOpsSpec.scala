@@ -233,6 +233,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(tri, "u", "v", k = 3, rounds = 4).count() === 0)
   }
 
+  test("corenessSpectrum: nested seeded peels equal independent kCore " +
+    "per k at fixpoint") {
+    import spark.implicits._
+    // K5 on {1..5} (4-core) with a triangle 5-6-7 grafted on (2-core
+    // members) and a pendant 7-8: degeneracy layers at k=2,3,4 differ,
+    // so the nesting actually exercises the seeding
+    def kn(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (kn(1L to 5L) ++ Seq((5L, 6L), (6L, 7L), (5L, 7L), (7L, 8L)))
+      .toDF("u", "v")
+    val spectrum = GraphOps.corenessSpectrum(edges, "u", "v", 1, 5, rounds = 8)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val independent = (1 to 5).flatMap { k =>
+      GraphOps.kCore(edges, "u", "v", k, rounds = 8)
+        .as[(Long, Long)].collect().toSeq
+        .map { case (id, deg) => (k.toLong, id, deg) }
+    }.sorted
+    assert(spectrum === independent)
+    // and the k=5 layer is empty (K5 max core is 4)
+    assert(!spectrum.exists(_._1 == 5L))
+  }
+
   test("hits: star graph concentrates authority on the hub's targets") {
     import spark.implicits._
     // one hub 1 → {10, 11, 12}, a second hub 2 → {10}: authority of
