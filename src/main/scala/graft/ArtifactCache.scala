@@ -70,6 +70,16 @@ object ArtifactCache {
     s"$root/$kind-$digest"
   }
 
+  /** Delete the whole artifact root. Full-bench hygiene: a full suite
+    * starts from a clean root so every index/bucket build cost lands
+    * in the cold time of the query that first needs it, instead of
+    * silently vanishing whenever a previous process left artifacts on
+    * disk (r10: ~20 s of apparent q198/q78 "speedup" was
+    * amortization, with the build cost in no bench row at all).
+    */
+  def clearRoot(): Unit =
+    deleteRecursively(Paths.get(s"${sys.props("java.io.tmpdir")}/graft-indexes"))
+
   private def deleteRecursively(p: Path): Unit = {
     try {
       if (Files.isDirectory(p))

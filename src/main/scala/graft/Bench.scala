@@ -59,6 +59,18 @@ object Bench {
         Thread.sleep(10)
     }
 
+    // local-iteration filter (comma-separated name prefixes); the
+    // driver never sets it → full suite
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    // FULL runs start from a clean artifact root: amortized index/
+    // bucket builds are the right 100 TB shape, but their cost must
+    // appear in exactly one attributed cold row per round — the first
+    // consumer's — not vanish because a prior process already built
+    // them. Partial BENCH_ONLY iteration runs keep the cache (that's
+    // the amortized steady state they iterate against).
+    if (only.isEmpty) ArtifactCache.clearRoot()
+
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents", "embeddings")
     tables.foreach { t =>
@@ -68,10 +80,6 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     final case class QueryResult(cold: Double, warm: Double, bytes: Long)
-    // local-iteration filter (comma-separated name prefixes); the
-    // driver never sets it → full suite
-    val only: Option[Seq[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>

@@ -152,10 +152,14 @@ object OcrRuntime {
       }
     } catch { case _: Exception => None }   // binary absent → IOException
 
-  /** The best available [[PdfPartitioner]]: tesseract when the binary
-    * answers the version probe, [[TextPartitioner]] otherwise.
+  /** The best available [[PdfPartitioner]]: native-text PDFs always
+    * take the pure-JVM [[PdfTextPartitioner]] branch (real extraction,
+    * no binary needed); non-PDF bytes — and PDFs whose text layer the
+    * JVM subset can't decode — go to tesseract when the binary answers
+    * the version probe, or the [[TextPartitioner]] stand-in otherwise.
     */
   def bestPartitioner(lang: String = "eng"): PdfPartitioner =
-    if (tesseractVersion.isDefined) TesseractPartitioner(lang)
-    else TextPartitioner()
+    AutoPartitioner(
+      if (tesseractVersion.isDefined) TesseractPartitioner(lang)
+      else TextPartitioner())
 }
