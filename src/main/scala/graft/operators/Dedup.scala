@@ -373,6 +373,26 @@ object Dedup {
     * pass three times, but loses). The join-verify plan above IS the
     * measured optimum of the shapes tried.
     */
+  /** Per-row band-key vector for [[minhashPairsExact]]: MinHash
+    * signature over the sorted-distinct xxhash64 token array, sliced
+    * into `bands` and each slice collapsed to one 32-bit key. Pure
+    * function of (toks, hasher, bands) — content-stampable, so a
+    * corpus's signature frame can be built once and served from the
+    * [[graft.ArtifactCache]] across runs (the q28 artifact).
+    */
+  def bandKeys(toksDf: DataFrame, hasher: MinHasher, bands: Int): DataFrame = {
+    require(hasher.numHashes % bands == 0, "bands must divide numHashes")
+    val spark = toksDf.sparkSession
+    import spark.implicits._
+    val rowsPerBand = hasher.numHashes / bands
+    toksDf.select(col("id"), col("toks")).as[(Long, Seq[Long])]
+      .map { case (id, ts) =>
+        val keys = hasher.signatureOfLongs(ts).grouped(rowsPerBand)
+          .map(slice => MurmurHash3.arrayHash(slice, 17)).toArray
+        (id, keys)
+      }.toDF("id", "keys")
+  }
+
   def minhashPairsExact(
       spark: SparkSession,
       df: DataFrame,
@@ -383,10 +403,10 @@ object Dedup {
       threshold: Double = 0.7,
       bucketCap: Int = 10000,
       strict: Boolean = false,
-      pretokenized: Option[DataFrame] = None): DataFrame = {
+      pretokenized: Option[DataFrame] = None,
+      prekeyed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     require(hasher.numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = hasher.numHashes / bands
     graft.functions.SortedIntersectCount.register(spark)
     import graft.functions.SortedIntersectCount.sorted_intersect_count
 
@@ -410,13 +430,11 @@ object Dedup {
       .withColumn("nt", size(col("toks")))
       .persist()                    // band-keys + two verify joins; lifetime = returned plan's
 
-    // per-row band-key vector (kept whole for first-collision dedup)
-    val keyed = toks.select($"id", $"toks").as[(Long, Seq[Long])]
-      .map { case (id, ts) =>
-        val keys = hasher.signatureOfLongs(ts).grouped(rowsPerBand)
-          .map(slice => MurmurHash3.arrayHash(slice, 17)).toArray
-        (id, keys)
-      }.toDF("id", "keys")
+    // per-row band-key vector (kept whole for first-collision dedup);
+    // `prekeyed` (id, keys = THIS bandKeys frame, materialized) lets
+    // the signature build be a content-stamped artifact — the verify
+    // joins below stay per-run against the fused `toks`
+    val keyed = prekeyed.getOrElse(bandKeys(toks, hasher, bands))
 
     bandedCandidates(keyed, bucketCap, strict)
       .join(toks.select($"id".as("id_a"), $"toks".as("toks_a"), $"nt".as("nt_a")), "id_a")
