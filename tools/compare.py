@@ -30,9 +30,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; Spark-written corpora
+        # (tools.ScaleUp probes) are directories of part files
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
