@@ -535,4 +535,153 @@ object GraphOps {
       .orderBy(col("bc_micro").desc, col("v"))
       .limit(50)
   }
+
+  /** Katz centrality (Katz 1953) over the UNDIRECTED edge list: fixed
+    * `iterations` of x ← 1 + α·A·x from x₀ = 1, every cross-node sum
+    * quantized to integer multiples of 2⁻⁴⁰ (the [[pageRank]]
+    * discipline) so the result is order-free, layout-independent, and
+    * replayable by an unrolled CTE chain. α must sit below 1/λ_max
+    * for the infinite series to converge; with a fixed unroll the
+    * output is well-defined (and oracle-identical) regardless.
+    * Returns (id, katz) with katz ≥ 1.
+    *
+    * Degree-free recurrence (vs [[pageRank]]'s p/deg contributions):
+    * Katz rewards VOLUME of walks, so a hub's mass is not split
+    * among its neighbors — the complementary centrality axis.
+    *
+    * Scale shape: one symmetric edge shuffle ever (checkpointed);
+    * per-iteration traffic is node-sized with map-side partials; the
+    * survivor frame never grows past the node set.
+    */
+  def katz(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 4,
+      alpha: Double = 0.01): DataFrame = {
+    require(iterations >= 1, "iterations >= 1")
+    val Q = 1099511627776L           // 2^40
+    val und = orient(edges, srcCol, dstCol)
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var x = dir.select(col("src").cast("long").as("v")).distinct()
+      .withColumn("x", lit(1.0).cast("double"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      // symmetric graph ⇒ every node is some edge's dst: the groupBy
+      // covers the full node set, no left join needed
+      x = dir.join(x.select(col("x"), col("v").as("src")), "src")
+        .groupBy(col("dst").cast("long").as("v"))
+        .agg(sum(floor(col("x") * Q).cast("long")).as("c"))
+        .select(col("v"),
+          (lit(1.0) + lit(alpha) * (col("c").cast("double") / Q)).as("x"))
+        .localCheckpoint(true)
+    }
+    x.select(col("v").as("id"), col("x").as("katz"))
+  }
+
+  /** Personalized PageRank (random walk with restart) over the
+    * UNDIRECTED edge list: the teleport mass lands ONLY on `seeds`
+    * (uniformly), so ranks measure proximity TO THE SEED SET rather
+    * than global prominence — the "related items" / local-relevance
+    * member next to the global [[pageRank]]. Fixed `iterations` of
+    *   p ← (1−d)·1_seed/|S| + d · A^T (p/deg),
+    * contributions quantized to 2⁻⁴⁰ exactly as [[pageRank]], so the
+    * doubles replay in an unrolled CTE chain. Returns (id, ppr) for
+    * nodes with ppr > 0 — sparse by construction (seeds ∪ nodes
+    * within `iterations` hops), which IS the 100 TB shape: a
+    * walk-with-restart frontier is seed-local, never graph-sized.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,            // one column `v`
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations >= 1")
+    val Q = 1099511627776L
+    val und = orient(edges, srcCol, dstCol)
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val deg = dir.groupBy(col("src").cast("long").as("v"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val seeded = deg.join(seeds.select(col("v").cast("long").as("v")), "v")
+      .localCheckpoint(true)
+    val ns = seeded.count()          // driver scalar: seed count, bounded
+    require(ns > 0, "no seeds present in the graph")
+    val base = (1.0 - damping) / ns
+    var pr = seeded.select(col("v"), col("deg"),
+        (lit(1.0) / ns).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val m = dir
+        .join(pr.select(col("v").as("src"),
+          floor(col("pr") / col("deg") * Q).cast("long").as("cq")), "src")
+        .groupBy(col("dst").cast("long").as("v"))
+        .agg(sum(col("cq")).as("cq"))
+        .select(col("v"), (col("cq").cast("double") / Q).as("m"))
+      // all nodes carrying mass this round: seeds (base term) ∪ m
+      pr = deg
+        .join(m, Seq("v"), "left")
+        .join(seeded.select(col("v"), lit(1).as("isSeed")), Seq("v"), "left")
+        .select(col("v"), col("deg"),
+          (when(col("isSeed").isNotNull, lit(base)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+        .filter(col("pr") > 0.0)
+        .localCheckpoint(true)
+    }
+    pr.select(col("v").as("id"), col("pr").as("ppr"))
+  }
+
+  /** Hop-bounded Bellman–Ford single-source-set shortest paths over a
+    * WEIGHTED directed edge list (`src`, `dst`, integer `cost` ≥ 0):
+    * dist after round t = exact min-cost over paths of ≤ t edges from
+    * the seed set — all-integer algebra, so the frame replays in an
+    * unrolled min-aggregation CTE chain. Frontier-pruned: each round
+    * relaxes only edges out of nodes whose distance CHANGED last
+    * round (identical dist_t to full relaxation — an unchanged node
+    * re-offers candidates already folded in), so per-round traffic is
+    * frontier-sized, the weighted-graph shape [[truncatedBetweenness]]
+    * documents for hop counts. Returns (id, dist_q) for reached nodes.
+    */
+  def bellmanFord(
+      weighted: DataFrame,           // src, dst, cost (BIGINT ≥ 0)
+      seeds: DataFrame,              // one column `v`
+      rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val dir = weighted.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("cost").cast("long").as("cost"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("v").cast("long").as("v"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = dir
+        .join(frontier.select(col("v").as("src"), col("dist")), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("dist") + col("cost")).as("cand"))
+      val joined = dist.join(cand, Seq("v"), "full_outer")
+        .select(col("v"), col("dist"), col("cand"))
+        .localCheckpoint(true)
+      frontier = joined
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("v"), col("cand").as("dist"))
+        .localCheckpoint(true)
+      dist = joined
+        .select(col("v"),
+          least(coalesce(col("dist"), col("cand")),
+            coalesce(col("cand"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("v").as("id"), col("dist").as("dist_q"))
+  }
 }

@@ -1947,6 +1947,170 @@ object AnalyticsQueries {
            |  q.q_nano
            |FROM terms t CROSS JOIN qn q
            |ORDER BY t.n_nodes DESC, t.community LIMIT 10""".stripMargin
+      }),
+
+    // ----- q290: Katz centrality (Katz 1953) on the q209 thinned
+    // graph — the WALK-VOLUME centrality axis the family still
+    // lacked: PageRank splits a node's mass among its neighbors
+    // (prominence), Katz doesn't (volume of attenuated walks), so
+    // hubs with many weak ties rank differently. Fixed 4 rounds of
+    // x ← 1 + 0.05·A·x with 2^-40-quantized cross-node sums (the q99
+    // discipline); oracle unrolls the identical recurrence.
+    QueryDef(
+      "q290_katz_centrality",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+        GraphOps.katz(e, "pa", "pb", iterations = 4, alpha = 0.05)
+          .select($"id".as("p_partkey"),
+            floor($"katz" * 1e6 + lit(0.5)).cast("long").as("katz_micro"))
+          .orderBy($"p_partkey")
+      },
+      Some {
+        val Q = 1099511627776L
+        def round(i: Int): String =
+          s"""x$i AS MATERIALIZED (
+             |  SELECT CAST(d.dst AS BIGINT) AS v,
+             |    CAST(1.0 AS DOUBLE) + CAST(0.05 AS DOUBLE) *
+             |      (CAST(SUM(CAST(floor(x.x * $Q) AS BIGINT)) AS DOUBLE)
+             |        / $Q) AS x
+             |  FROM dir d JOIN x${i - 1} x ON d.src = x.v GROUP BY 1)""".stripMargin
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS (
+           |  SELECT a.l_partkey AS a, b.l_partkey AS b FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           |        UNION ALL SELECT b, a FROM e0),
+           |x0 AS (SELECT DISTINCT CAST(src AS BIGINT) AS v,
+           |         CAST(1.0 AS DOUBLE) AS x FROM dir),
+           |${(1 to 4).map(round).mkString(",\n")}
+           |SELECT v AS p_partkey,
+           |  CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS katz_micro
+           |FROM x4 ORDER BY p_partkey""".stripMargin
+      }),
+
+    // ----- q291: personalized PageRank (random walk with restart)
+    // from the q238 seed convention (part % 97 = 0) on the raw q99
+    // co-purchase graph — LOCAL relevance ("parts related to this
+    // seed catalog slice") vs q99's global prominence: the teleport
+    // mass lands only on seeds, so the frame stays seed-local and
+    // SPARSE (nodes within 4 hops), which is the 100 TB
+    // walk-with-restart shape. Quantized exactly like q99; the
+    // oracle replays all 4 rounds including the pr > 0 sparsity
+    // filter.
+    QueryDef(
+      "q291_personalized_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+        val seeds = e.select($"pa".cast("long").as("v"))
+          .unionAll(e.select($"pb".cast("long").as("v")))
+          .distinct().filter($"v" % 97 === 0)
+        GraphOps.personalizedPageRank(e, "pa", "pb", seeds,
+            iterations = 4, damping = 0.85)
+          .select($"id".as("p_partkey"),
+            floor($"ppr" * 1e9 + lit(0.5)).cast("long").as("ppr_nano"))
+          .orderBy($"p_partkey")
+      },
+      Some {
+        val Q = 1099511627776L
+        def round(i: Int): String =
+          s"""p$i AS MATERIALIZED (
+             |  SELECT * FROM (
+             |    SELECT g.v, g.deg,
+             |      (CASE WHEN sd.v IS NOT NULL
+             |        THEN (1 - CAST(0.85 AS DOUBLE)) / (SELECT ns FROM nsq)
+             |        ELSE CAST(0 AS DOUBLE) END)
+             |       + CAST(0.85 AS DOUBLE) * coalesce(m.m, 0) AS pr
+             |    FROM deg g
+             |    LEFT JOIN (
+             |      SELECT dir.dst AS v,
+             |        CAST(SUM(CAST(floor(p.pr / p.deg * $Q) AS BIGINT))
+             |          AS DOUBLE) / $Q AS m
+             |      FROM dir JOIN p${i - 1} p ON dir.src = p.v GROUP BY 1) m
+             |      USING (v)
+             |    LEFT JOIN sd ON sd.v = g.v)
+             |  WHERE pr > 0)""".stripMargin
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS (
+           |  SELECT a.l_partkey AS a, b.l_partkey AS b FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2),
+           |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           |        UNION ALL SELECT b, a FROM e0),
+           |deg AS (SELECT CAST(src AS BIGINT) AS v, count(*) AS deg
+           |        FROM dir GROUP BY 1),
+           |sd AS (SELECT v FROM deg WHERE v % 97 = 0),
+           |nsq AS (SELECT count(*) AS ns FROM sd),
+           |p0 AS (SELECT g.v, g.deg,
+           |         CAST(1 AS DOUBLE) / (SELECT ns FROM nsq) AS pr
+           |       FROM deg g JOIN sd ON sd.v = g.v),
+           |${(1 to 4).map(round).mkString(",\n")}
+           |SELECT v AS p_partkey,
+           |  CAST(floor(pr * 1e9 + 0.5) AS BIGINT) AS ppr_nano
+           |FROM p4 ORDER BY p_partkey""".stripMargin
+      }),
+
+    // ----- q292: hop-bounded weighted shortest paths (Bellman–Ford,
+    // 6 rounds) from the q238 seeds over the thinned co-purchase
+    // graph with cost = 1e6 DIV w (stronger co-purchase = shorter
+    // hop) — the WEIGHTED companion of q238's unit-hop BFS layers:
+    // "how cheaply can demand flow from the seed catalog slice to
+    // each part". All-integer algebra end to end; the oracle unrolls
+    // the six min-relaxation rounds (full relaxation — equal to the
+    // engine's frontier-pruned rounds by the standard SPFA argument).
+    QueryDef(
+      "q292_weighted_sssp",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val ew = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2)
+        val cost = expr("CAST(1000000 AS BIGINT) DIV w")
+        val dirW = ew.select($"pa".as("src"), $"pb".as("dst"), cost.as("cost"))
+          .unionAll(ew.select($"pb".as("src"), $"pa".as("dst"), cost.as("cost")))
+        val seeds = dirW.select($"src".cast("long").as("v"))
+          .distinct().filter($"v" % 97 === 0)
+        GraphOps.bellmanFord(dirW, seeds, rounds = 6)
+          .select($"id".as("p_partkey"), $"dist_q")
+          .orderBy($"p_partkey")
+      },
+      Some {
+        def round(i: Int): String =
+          s"""d$i AS MATERIALIZED (
+             |  SELECT v, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+             |    SELECT v, dist FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT CAST(w.dst AS BIGINT) AS v, p.dist + w.cost AS dist
+             |    FROM dirw w JOIN d${i - 1} p ON w.src = p.v)
+             |  GROUP BY v)""".stripMargin
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS (
+           |  SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+           |  FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |dirw AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst, 1000000 // w AS cost FROM e0
+           |  UNION ALL SELECT b, a, 1000000 // w FROM e0),
+           |d0 AS (SELECT DISTINCT CAST(src AS BIGINT) AS v,
+           |         CAST(0 AS BIGINT) AS dist
+           |       FROM dirw WHERE src % 97 = 0),
+           |${(1 to 6).map(round).mkString(",\n")}
+           |SELECT v AS p_partkey, dist AS dist_q
+           |FROM d6 ORDER BY p_partkey""".stripMargin
       }))
 
   /** Content-stamped LPA community labels (id, community) on the raw
