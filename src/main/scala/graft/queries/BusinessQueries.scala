@@ -1097,5 +1097,59 @@ object BusinessQueries {
            |  END AS share_milli
            |FROM re r CROSS JOIN sre z
            |ORDER BY r.channel""".stripMargin
+      }),
+
+    // ----- q294: rank-1 ALS factorization of the customer × part
+    // quantity matrix (operators.Als) — the RECOMMENDER member: u_c
+    // is customer appetite, v_p item pull, and the residual is the
+    // personalization signal. All-integer alternating updates
+    // (milli factors, positive DIV ≡ //), so the 3-round training
+    // curve — factor-mass sums + exact SSE — replays in unrolled
+    // CTEs with zero tolerance.
+    QueryDef(
+      "q294_als_rank1",
+      (s, d) => {
+        import s.implicits._
+        val cells = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("c"), $"l_partkey".as("p"),
+            floor($"l_quantity" * 100 + lit(0.5)).cast("long").as("rq"))
+          .groupBy($"c", $"p").agg(sum($"rq").as("r"))
+        graft.operators.Als.fitRank1(cells, "c", "p", "r", rounds = 3)
+          .toDF("round", "su", "sv", "sse")
+          .orderBy($"round")
+      },
+      Some {
+        def round(t: Int): String =
+          s"""u$t AS MATERIALIZED (
+             |  SELECT c, (CAST(SUM(r * vm) AS BIGINT) * 1000000)
+             |      // CAST(SUM(vm * vm) AS BIGINT) AS um
+             |  FROM cells JOIN v${t - 1} USING (p) GROUP BY c),
+             |v$t AS MATERIALIZED (
+             |  SELECT p, (CAST(SUM(r * um) AS BIGINT) * 1000000)
+             |      // CAST(SUM(um * um) AS BIGINT) AS vm
+             |  FROM cells JOIN u$t USING (c) GROUP BY p),
+             |s$t AS (SELECT CAST($t AS BIGINT) AS round,
+             |  (SELECT CAST(SUM(um) AS BIGINT) FROM u$t) AS su,
+             |  (SELECT CAST(SUM(vm) AS BIGINT) FROM v$t) AS sv,
+             |  (SELECT CAST(SUM(e * e) AS BIGINT) FROM (
+             |     SELECT r - (um * vm) // 1000000 AS e
+             |     FROM cells JOIN u$t USING (c) JOIN v$t USING (p)))
+             |    AS sse)""".stripMargin
+        s"""WITH cells AS MATERIALIZED (
+           |  SELECT CAST(o.o_custkey AS BIGINT) AS c,
+           |    CAST(l.l_partkey AS BIGINT) AS p,
+           |    CAST(SUM(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS r
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  GROUP BY 1, 2),
+           |v0 AS (SELECT DISTINCT p, CAST(1000 AS BIGINT) AS vm FROM cells),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT * FROM s1 UNION ALL
+           |  SELECT * FROM s2 UNION ALL
+           |  SELECT * FROM s3)
+           |ORDER BY round""".stripMargin
       }))
 }

@@ -1079,7 +1079,72 @@ object ClassifierQueries {
             "gain_cq", "sse_cq")
           .orderBy($"round")
       },
-      Some(gbmOracle)))
+      Some(gbmOracle)),
+
+    // ----- q293: linear QUANTILE regression (pinball subgradient GD,
+    // τ = 0.9) — the conditional-p90 "premium price curve" per unit
+    // quantity, next to q194's conditional-mean OLS and q195's
+    // Theil–Sen median slope. With the rational τ the subgradient is
+    // integer sign algebra (−9 under / +1 over), so every gradient
+    // sum is an exact BIGINT and the 4-round training curve replays
+    // in unrolled CTEs (the q128/q274 discipline); the only divisions
+    // are fdiv, mirrored verbatim.
+    QueryDef(
+      "q293_quantile_regression",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.lineitem(s, d).select(
+          floor($"l_quantity" * 100 + lit(0.5)).cast("long").as("x"),
+          floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("y"))
+        graft.operators.QuantileReg.fit(rows, "x", "y",
+            posW = 9L, negW = 1L, iterations = QrRounds)
+          .toDF("round", "w0", "w1", "loss_x10")
+          .orderBy($"round")
+      },
+      Some(qrOracle)))
+
+  private val QrRounds = 4
+
+  /** The q293 oracle: [[QrRounds]] unrolled pinball-GD rounds — per
+    * round one grad CTE at the previous weights and one update CTE,
+    * with the identical fdiv (floor of a double quotient) steps. */
+  private def qrOracle: String = {
+    def round(t: Int): String =
+      s"""g$t AS MATERIALIZED (
+         |  SELECT CAST(SUM(u) AS BIGINT) AS g0,
+         |    CAST(SUM(u * x) AS BIGINT) AS g1,
+         |    CAST(SUM(loss) AS BIGINT) AS lx,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT x,
+         |      CASE WHEN r > 0 THEN -9 WHEN r < 0 THEN 1 ELSE 0 END AS u,
+         |      CASE WHEN r > 0 THEN 9 * r ELSE -r END AS loss
+         |    FROM (
+         |      SELECT s.x, s.y - (w.w0 +
+         |          CAST(floor(CAST(s.x * w.w1 AS DOUBLE) / 1000)
+         |            AS BIGINT)) AS r
+         |      FROM qst s CROSS JOIN qw${t - 1} w))),
+         |qw$t AS (
+         |  SELECT w.w0 - CAST(floor(CAST(g.g0 * 500 AS DOUBLE) / g.n)
+         |      AS BIGINT) AS w0,
+         |    w.w1 - CAST(floor(CAST(g.g1 * 20 AS DOUBLE) / g.n)
+         |      AS BIGINT) AS w1
+         |  FROM qw${t - 1} w CROSS JOIN g$t g)""".stripMargin
+    val finals = (1 to QrRounds).map(t =>
+      s"""SELECT CAST($t AS BIGINT) AS round, w.w0, w.w1,
+         |  g.lx AS loss_x10
+         |FROM qw$t w CROSS JOIN g$t g""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH qst AS MATERIALIZED (
+       |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+       |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+       |  FROM lineitem),
+       |qw0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1),
+       |${(1 to QrRounds).map(round).mkString(",\n")}
+       |SELECT * FROM (
+       |$finals)
+       |ORDER BY round""".stripMargin
+  }
 
   private val GbmRounds = 4
 
