@@ -40,6 +40,11 @@ object Risk {
       n_days: Long, var_p: Option[Double], es_micro: Option[Long],
       n_tail: Long)
 
+  /** Row shape of [[tailDependence]] (6 fields — past Encoders.tuple). */
+  final case class TailDepRow(
+      n: Long, k: Long, both_low: Long, both_high: Long,
+      lambda_low_milli: Long, lambda_high_milli: Long)
+
   /** Drawdown trajectory of the cumulative series: one row per day,
     * (day, xq, cum, peak, dd) with cum = running sum of xq, peak =
     * running max of cum, dd = peak − cum ≥ 0. All exact BIGINT.
@@ -311,5 +316,124 @@ object Risk {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong))
       .toDF("n", "slope_milli", "intercept_milli", "dw_micro")
+  }
+
+  /** Lower/upper TAIL-DEPENDENCE estimate between two day-keyed
+    * series — the co-crash diagnostic a correlation can't give
+    * ([[varEs]] sizes one series' tail; this asks whether two
+    * desks' bad days COINCIDE). Rank-based (the empirical-copula
+    * estimator): a day is in a series' lower tail iff its
+    * (value, day)-rank ≤ k = n DIV 5, upper iff rank > n − k;
+    * λ̂_L = P(Y low | X low) = both_low/k, λ̂_U symmetric —
+    * exact integer counts with one milli snap each, independence
+    * reference = k/n = 1/5. Deterministic: the (value, day)
+    * tie-break makes ranks total.
+    *
+    * One row out: (n, k, both_low, both_high, lambda_low_milli,
+    * lambda_high_milli). Day-count-bounded single-task fold over
+    * the JOINED calendar (days present in both series).
+    */
+  def tailDependence(
+      x: DataFrame, y: DataFrame,
+      dayCol: String, valCol: String): DataFrame = {
+    val spark = x.sparkSession
+    import spark.implicits._
+    val joined = x.select(col(dayCol).cast("date").as("day"),
+        col(valCol).cast("long").as("xv"))
+      .join(y.select(col(dayCol).cast("date").as("day"),
+        col(valCol).cast("long").as("yv")), "day")
+    joined.as[(Date, Long, Long)]
+      .groupByKey(_ => true)
+      .mapGroups { (_, it) =>
+        val rows = it.toArray
+        val n = rows.length.toLong
+        val k = n / 5
+        // rank r ≤ k ⇔ membership in the k smallest under (value, day)
+        def lowSet(sel: ((Date, Long, Long)) => Long): Set[Date] =
+          rows.sortBy(r => (sel(r), r._1.getTime)).take(k.toInt)
+            .map(_._1).toSet
+        def highSet(sel: ((Date, Long, Long)) => Long): Set[Date] =
+          rows.sortBy(r => (sel(r), r._1.getTime)).takeRight(k.toInt)
+            .map(_._1).toSet
+        val xl = lowSet(_._2); val yl = lowSet(_._3)
+        val xh = highSet(_._2); val yh = highSet(_._3)
+        val bothLow = (xl intersect yl).size.toLong
+        val bothHigh = (xh intersect yh).size.toLong
+        val lamL = if (k > 0) LogReg.fdiv(bothLow * 2000 + k, 2 * k) else 0L
+        val lamU = if (k > 0) LogReg.fdiv(bothHigh * 2000 + k, 2 * k) else 0L
+        TailDepRow(n, k, bothLow, bothHigh, lamL, lamU)
+      }(Encoders.product[TailDepRow])
+      .toDF("n", "k", "both_low", "both_high",
+        "lambda_low_milli", "lambda_high_milli")
+  }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis of the
+    * day-ordered series — the long-memory diagnostic next to
+    * [[durbinWatson]] (lag-1) and the ACF family (fixed lags):
+    * H > 0.5 = persistent trends, < 0.5 = mean reversion. For each
+    * window size m, consecutive non-overlapping blocks of the
+    * day-ranked series (trailing partial block dropped) yield
+    *   R = max − min of the cumulative deviations from the block
+    *   mean (EXACT BIGINTs: means are fdiv, so deviations are
+    *   integers), and S = sqrt(Σe²/m) — sqrt is IEEE
+    *   exactly-rounded, so the one double chain R/S replays
+    *   cross-engine; rs_micro snapped per block, block means are
+    *   exact fdiv over the snapped integers.
+    * H = the OLS slope of ln(mean R/S) on ln(m) over the window
+    * sizes, computed from the 4 snapped means (one bounded double
+    * chain, milli-snapped). Constant blocks (S = 0) drop on both
+    * sides. Returns one row per m: (m, n_blocks, mean_rs_micro,
+    * hurst_milli) with the shared slope on every row.
+    */
+  def hurstRs(
+      series: DataFrame, dayCol: String, valCol: String,
+      sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 2), "window sizes >= 2")
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(dayCol).cast("date"), col(valCol).cast("long"))
+      .as[(Date, Long)]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val ys = it.toArray.sortBy(_._1.getTime).map(_._2)
+        val perM = sizes.flatMap { m =>
+          val nb = ys.length / m
+          val rss = (0 until nb).flatMap { b =>
+            val blk = ys.slice(b * m, (b + 1) * m)
+            val mean = LogReg.fdiv(blk.sum, m)
+            val e = blk.map(_ - mean)
+            var cum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
+            e.foreach { d => cum += d; if (cum > mx) mx = cum; if (cum < mn) mn = cum }
+            val r = math.max(mx, 0L) - math.min(mn, 0L)
+            val se2 = e.map(d => d * d).sum
+            if (se2 == 0L) None
+            else {
+              val s = math.sqrt(se2.toDouble / m)
+              Some(math.floor(r / s * 1000000.0 + 0.5).toLong)
+            }
+          }
+          if (rss.isEmpty) None
+          else Some((m.toLong, rss.length.toLong,
+            LogReg.fdiv(rss.sum, rss.length)))
+        }
+        // OLS slope of ln(meanRs/1e6) on ln(m) over the window sizes
+        val pts = perM.map { case (m, _, mu) =>
+          (math.log(m.toDouble), math.log(mu.toDouble / 1000000.0))
+        }
+        val np = pts.length
+        val hurstMilli =
+          if (np < 2) 0L
+          else {
+            val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+            val sxx = pts.map(p => p._1 * p._1).sum
+            val sxy = pts.map(p => p._1 * p._2).sum
+            math.floor((np * sxy - sx * sy) / (np * sxx - sx * sx)
+              * 1000.0 + 0.5).toLong
+          }
+        perM.iterator.map { case (m, nb, mu) => (m, nb, mu, hurstMilli) }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("m", "n_blocks", "mean_rs_micro", "hurst_milli")
+      .orderBy(col("m"))
   }
 }

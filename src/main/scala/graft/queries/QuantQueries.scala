@@ -3273,7 +3273,154 @@ object QuantQueries {
            |      / ${v("st1", "st2")}) * 1000000 + 0.5) AS BIGINT)
            |    AS ft_micro
            |FROM m""".stripMargin
-      }))
+      }),
+
+    // ----- q296: per-day event-type MIX-ENTROPY trajectory + drift
+    // vs the calendar mean — the distribution-shift monitor at daily
+    // granularity (q137's PSI compares two fixed windows; q281's JSD
+    // two corpora; this asks "which DAYS had an unusual event mix").
+    // Per-(day,type) entropy terms are nano-snapped (the q281
+    // per-term convention — one ln per term, exact integer sums
+    // after), the calendar mean is fdiv.
+    QueryDef(
+      "q296_entropy_drift",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(to_date($"ts").as("day"), $"event_type")
+        val cnt = ev.groupBy($"day", $"event_type")
+          .agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy($"day")
+          .agg(sum($"c").as("n"), count(lit(1)).as("k_types"))
+        val p = $"c".cast("double") / $"n".cast("double")
+        val daily = cnt.join(tot, "day")
+          .withColumn("t_nano",
+            floor(-p * log(p) * 1e9 + lit(0.5)).cast("long"))
+          .groupBy($"day")
+          .agg(max($"n").as("n_events"), max($"k_types").as("k_types"),
+            sum($"t_nano").as("h_nano"))
+        val glob = daily.agg(sum($"h_nano").as("sh"),
+          count(lit(1)).as("nd"))
+        daily.crossJoin(glob)
+          .select($"day", $"n_events", $"k_types", $"h_nano",
+            ($"h_nano" -
+              expr("CAST(floor(CAST(sh AS DOUBLE) / nd) AS BIGINT)"))
+              .as("dev_nano"))
+          .orderBy($"day")
+      },
+      Some("""WITH cnt AS (
+             |  SELECT CAST(ts AS DATE) AS day, event_type,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT day, CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS k_types
+             |  FROM cnt GROUP BY 1),
+             |daily AS (
+             |  SELECT c.day, MAX(t.n) AS n_events,
+             |    MAX(t.k_types) AS k_types,
+             |    CAST(SUM(CAST(floor(
+             |      -(CAST(c.c AS DOUBLE) / t.n)
+             |        * ln(CAST(c.c AS DOUBLE) / t.n) * 1e9 + 0.5)
+             |      AS BIGINT)) AS BIGINT) AS h_nano
+             |  FROM cnt c JOIN tot t ON c.day = t.day
+             |  GROUP BY c.day),
+             |gl AS (SELECT CAST(SUM(h_nano) AS BIGINT) AS sh,
+             |         CAST(count(*) AS BIGINT) AS nd FROM daily)
+             |SELECT d.day, d.n_events, d.k_types, d.h_nano,
+             |  d.h_nano - CAST(floor(CAST(g.sh AS DOUBLE) / g.nd)
+             |    AS BIGINT) AS dev_nano
+             |FROM daily d CROSS JOIN gl g
+             |ORDER BY d.day""".stripMargin)),
+
+    // ----- q298: Poisson overdispersion of daily event counts per
+    // type — the count-data diagnostic q241's Poisson GLM assumes
+    // away: dispersion D = s²/x̄ over the FULL calendar (absent days
+    // count 0 — handled arithmetically: zero days add nothing to Σc
+    // or Σc², only the global day count n enters), D = 1 under
+    // Poisson. Exact rational D via cross-multiplied integers,
+    // round-half-up milli; the z-score (D−1)·√((n−1)/2) is one
+    // double chain micro-snapped.
+    QueryDef(
+      "q298_overdispersion",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(to_date($"ts").as("day"), $"event_type")
+        val nd = ev.select($"day").distinct().agg(count(lit(1)).as("n"))
+        val per = ev.groupBy($"event_type", $"day")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"event_type")
+          .agg(sum($"c").as("sc"), sum($"c" * $"c").as("sc2"))
+        per.crossJoin(nd)
+          .withColumn("num", $"n" * $"sc2" - $"sc" * $"sc")
+          .withColumn("den", ($"n" - 1) * $"sc")
+          .select($"event_type", $"n".as("n_days"), $"sc".as("sum_c"),
+            expr("(2000 * num + den) DIV (2 * den)").as("d_milli"),
+            floor((($"num".cast("double") / $"den".cast("double")) - 1.0)
+                * sqrt(($"n" - 1).cast("double") / 2.0) * 1e6 + lit(0.5))
+              .cast("long").as("z_micro"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+             |nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n FROM ev),
+             |per AS (
+             |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS sc,
+             |    CAST(SUM(c * c) AS BIGINT) AS sc2
+             |  FROM (SELECT event_type, day, CAST(count(*) AS BIGINT) AS c
+             |        FROM ev GROUP BY 1, 2)
+             |  GROUP BY event_type),
+             |m AS (
+             |  SELECT event_type, nd.n, sc,
+             |    nd.n * sc2 - sc * sc AS num, (nd.n - 1) * sc AS den
+             |  FROM per CROSS JOIN nd)
+             |SELECT event_type, n AS n_days, sc AS sum_c,
+             |  CAST((2000 * num + den) // (2 * den) AS BIGINT) AS d_milli,
+             |  CAST(floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE) - 1.0)
+             |    * sqrt(CAST(n - 1 AS DOUBLE) / 2.0) * 1e6 + 0.5)
+             |    AS BIGINT) AS z_micro
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ----- q299: triangular-kernel density smoothing of the invoice
+    // price histogram ($100 bins) — the shape view q105's quantiles
+    // summarize away (modes, shoulders, gaps). Pure integer
+    // convolution: each bin scatters w = 4−|k| for offsets |k| ≤ 3
+    // (an explode, NOT a self-join — the 100 TB scatter shape), so
+    // smoothed_x16 = Σ w·c is exact; output restricted to occupied
+    // bins on both sides.
+    QueryDef(
+      "q299_kde_smoothing",
+      (s, d) => {
+        import s.implicits._
+        val cnt = Tables.lineitem(s, d)
+          .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)" +
+            " DIV 10000").as("bin"))
+          .groupBy($"bin").agg(count(lit(1)).as("c"))
+        val scattered = cnt.select(
+            explode(array((-3 to 3).map(k =>
+              struct((col("bin") + k).as("tb"),
+                (col("c") * (4 - math.abs(k))).as("wc"))): _*)).as("s"))
+          .select($"s.tb".as("bin"), $"s.wc")
+          .groupBy($"bin").agg(sum($"wc").as("smoothed_x16"))
+        cnt.join(scattered, "bin")
+          .select($"bin", $"c", $"smoothed_x16")
+          .orderBy($"bin")
+      },
+      Some("""WITH cnt AS (
+             |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             |    // 10000 AS bin, CAST(count(*) AS BIGINT) AS c
+             |  FROM lineitem GROUP BY 1),
+             |sc AS (
+             |  SELECT cnt.bin + o.k AS bin,
+             |    CAST(SUM(cnt.c * (4 - abs(o.k))) AS BIGINT)
+             |      AS smoothed_x16
+             |  FROM cnt CROSS JOIN (VALUES (-3), (-2), (-1), (0), (1),
+             |    (2), (3)) AS o(k)
+             |  GROUP BY 1)
+             |SELECT cnt.bin, cnt.c, sc.smoothed_x16
+             |FROM cnt JOIN sc ON cnt.bin = sc.bin
+             |ORDER BY cnt.bin""".stripMargin)))
 
   /** q177/q178/q278 shared constants. */
   private val HoltAlphaDen = 4L

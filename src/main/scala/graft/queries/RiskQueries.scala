@@ -339,6 +339,126 @@ object RiskQueries {
            |SELECT c2.n, c2.slope_milli AS slope0_milli,
            |  u2.slope_milli, u2.intercept_milli, u2.sumw AS sum_w_milli
            |FROM c2 CROSS JOIN upd2 u2""".stripMargin
+      }),
+
+    // ----- q295: lower/upper tail dependence between the even- and
+    // odd-custkey daily revenue desks (operators.Risk.tailDependence)
+    // — the co-crash diagnostic: correlation says the desks move
+    // together on average, λ̂ says whether their WORST days coincide
+    // (the empirical-copula rank estimator, k = n DIV 5). Exact
+    // integer counts under the total (value, day) rank; milli snaps
+    // are round-half-up exact integer division on both engines.
+    QueryDef(
+      "q295_tail_dependence",
+      (s, d) => {
+        import s.implicits._
+        def side(parity: Int) = Tables.orders(s, d)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .filter($"c_custkey" % 2 === parity)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("xq"))
+        graft.operators.Risk.tailDependence(side(0), side(1), "day", "xq")
+      },
+      Some("""WITH sides AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    c_custkey % 2 AS par,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS xq
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |j AS (
+             |  SELECT a.day, a.xq AS xv, b.xq AS yv
+             |  FROM sides a JOIN sides b ON a.day = b.day
+             |  WHERE a.par = 0 AND b.par = 1),
+             |nk AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |         CAST(count(*) // 5 AS BIGINT) AS k FROM j),
+             |rk AS (
+             |  SELECT day,
+             |    ROW_NUMBER() OVER (ORDER BY xv, day) AS rx,
+             |    ROW_NUMBER() OVER (ORDER BY yv, day) AS ry
+             |  FROM j),
+             |cnt AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN rx <= (SELECT k FROM nk)
+             |      AND ry <= (SELECT k FROM nk) THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS both_low,
+             |    CAST(SUM(CASE WHEN rx > (SELECT n FROM nk) - (SELECT k FROM nk)
+             |      AND ry > (SELECT n FROM nk) - (SELECT k FROM nk)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS both_high
+             |  FROM rk)
+             |SELECT nk.n, nk.k, c.both_low, c.both_high,
+             |  CAST(CASE WHEN nk.k > 0
+             |    THEN (c.both_low * 2000 + nk.k) // (2 * nk.k)
+             |    ELSE 0 END AS BIGINT) AS lambda_low_milli,
+             |  CAST(CASE WHEN nk.k > 0
+             |    THEN (c.both_high * 2000 + nk.k) // (2 * nk.k)
+             |    ELSE 0 END AS BIGINT) AS lambda_high_milli
+             |FROM nk CROSS JOIN cnt c""".stripMargin)),
+
+    // ----- q297: Hurst exponent by rescaled-range analysis of daily
+    // revenue (operators.Risk.hurstRs) — the long-memory diagnostic
+    // (H > 0.5 persistence, < 0.5 mean reversion) next to q267's
+    // lag-1 DW and q245's fixed-lag ACF. Per window size m: exact
+    // integer cumulative-deviation ranges R (block means are fdiv),
+    // S = sqrt(Σe²/m) — sqrt is IEEE exactly-rounded so the one
+    // double chain replays — rs micro-snapped per block, block mean
+    // an exact round-half-up integer division; H = OLS slope of
+    // ln(mean R/S) on ln(m) from the four snapped means.
+    QueryDef(
+      "q297_hurst_rs",
+      (s, d) => graft.operators.Risk.hurstRs(dailyCents(s, d), "day", "xq"),
+      Some {
+        val sizes = Seq(8, 16, 32, 64)
+        def blocks(m: Int): String =
+          s"""rs$m AS (
+             |  SELECT $m AS m,
+             |    CAST(floor(CAST(GREATEST(maxz, 0) - LEAST(minz, 0) AS DOUBLE)
+             |      / sqrt(CAST(se2 AS DOUBLE) / $m) * 1000000 + 0.5)
+             |      AS BIGINT) AS rsq
+             |  FROM (
+             |    SELECT blk,
+             |      MAX(cum) AS maxz, MIN(cum) AS minz,
+             |      CAST(SUM(e * e) AS BIGINT) AS se2
+             |    FROM (
+             |      SELECT blk, e,
+             |        SUM(e) OVER (PARTITION BY blk ORDER BY rk
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS cum
+             |      FROM (
+             |        SELECT blk, rk,
+             |          xq - CAST(floor(CAST(bs AS DOUBLE) / $m) AS BIGINT)
+             |            AS e
+             |        FROM (
+             |          SELECT (rk - 1) // $m AS blk, rk, xq,
+             |            CAST(SUM(xq) OVER (PARTITION BY (rk - 1) // $m)
+             |              AS BIGINT) AS bs,
+             |            COUNT(*) OVER (PARTITION BY (rk - 1) // $m) AS bn
+             |          FROM rkd) WHERE bn = $m))
+             |    GROUP BY blk)
+             |  WHERE se2 > 0),
+             |mu$m AS (
+             |  SELECT $m AS m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             |    CAST(floor(CAST(CAST(SUM(rsq) AS BIGINT) AS DOUBLE)
+             |      / COUNT(*)) AS BIGINT) AS mean_rs_micro
+             |  FROM rs$m HAVING COUNT(*) > 0)""".stripMargin
+        s"""WITH $dailySql,
+           |rkd AS (
+           |  SELECT xq, ROW_NUMBER() OVER (ORDER BY day) AS rk FROM ser),
+           |${sizes.map(blocks).mkString(",\n")},
+           |mus AS (${sizes.map(m => s"SELECT * FROM mu$m").mkString(" UNION ALL ")}),
+           |pts AS (SELECT ln(CAST(m AS DOUBLE)) AS lx,
+           |          ln(CAST(mean_rs_micro AS DOUBLE) / 1000000) AS ly
+           |        FROM mus),
+           |sl AS (
+           |  SELECT CASE WHEN COUNT(*) < 2 THEN 0
+           |    ELSE CAST(floor(
+           |      (COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+           |      / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx))
+           |      * 1000 + 0.5) AS BIGINT) END AS hurst_milli
+           |  FROM pts)
+           |SELECT mus.m, mus.n_blocks, mus.mean_rs_micro, sl.hurst_milli
+           |FROM mus CROSS JOIN sl ORDER BY mus.m""".stripMargin
       })
   )
 }
