@@ -278,7 +278,64 @@ object QualityQueries {
              |  FROM orders o
              |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
              |    ON o.o_custkey = p.k)
-             |ORDER BY relation""".stripMargin)))
+             |ORDER BY relation""".stripMargin)),
+
+    // ----- q300: functional-dependency audit (FD mining lite) — for
+    // candidate rules A→B across the dimension tables, how many rows
+    // deviate from the majority B of their A group? violations =
+    // Σ_A (n_A − max_B n_AB); 0 ⇒ the FD holds exactly. The
+    // dbt-test-style integrity member next to q180 (FKs) and q94
+    // (expectations): FDs catch denormalization drift neither sees.
+    // Exact integer counts end to end.
+    QueryDef(
+      "q300_fd_audit",
+      (s, d) => {
+        import s.implicits._
+        def arm(df: org.apache.spark.sql.DataFrame, tbl: String,
+            lhs: String, rhs: String) = {
+          df.groupBy(col(lhs).cast("string").as("a"),
+              col(rhs).cast("string").as("b"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy($"a")
+            .agg(sum($"c").as("na"), max($"c").as("ma"))
+            .agg(count(lit(1)).as("n_groups"), sum($"na").as("n_rows"),
+              sum($"na" - $"ma").as("violations"))
+            .select(lit(tbl).as("tbl"), lit(lhs).as("lhs"),
+              lit(rhs).as("rhs"), $"n_groups", $"n_rows", $"violations",
+              ($"violations" === 0).as("fd_holds"))
+        }
+        arm(Tables.part(s, d), "part", "p_brand", "p_type")
+          .unionAll(arm(Tables.part(s, d), "part", "p_type", "p_size"))
+          .unionAll(arm(Tables.orders(s, d), "orders",
+            "o_orderpriority", "o_orderstatus"))
+          .unionAll(arm(Tables.lineitem(s, d), "lineitem",
+            "l_returnflag", "l_linestatus"))
+          .orderBy($"tbl", $"lhs")
+      },
+      Some {
+        def arm(tbl: String, lhs: String, rhs: String): String =
+          s"""SELECT '$tbl' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+             |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |  CAST(SUM(na) AS BIGINT) AS n_rows,
+             |  CAST(SUM(na - ma) AS BIGINT) AS violations,
+             |  CAST(SUM(na - ma) AS BIGINT) = 0 AS fd_holds
+             |FROM (
+             |  SELECT a, CAST(SUM(c) AS BIGINT) AS na,
+             |    CAST(MAX(c) AS BIGINT) AS ma
+             |  FROM (
+             |    SELECT CAST($lhs AS VARCHAR) AS a,
+             |      CAST($rhs AS VARCHAR) AS b,
+             |      CAST(count(*) AS BIGINT) AS c
+             |    FROM $tbl GROUP BY 1, 2)
+             |  GROUP BY a)""".stripMargin
+        s"""SELECT * FROM (
+           |${Seq(arm("part", "p_brand", "p_type"),
+              arm("part", "p_type", "p_size"),
+              arm("orders", "o_orderpriority", "o_orderstatus"),
+              arm("lineitem", "l_returnflag", "l_linestatus"))
+             .mkString("\nUNION ALL\n")})
+           |ORDER BY tbl, lhs""".stripMargin
+      }))
 
   /** Planted PII rows (no single quotes — they embed in SQL literals
     * verbatim): one shape per pattern, the URL-masks-embedded-email

@@ -3420,7 +3420,178 @@ object QuantQueries {
              |  GROUP BY 1)
              |SELECT cnt.bin, cnt.c, sc.smoothed_x16
              |FROM cnt JOIN sc ON cnt.bin = sc.bin
-             |ORDER BY cnt.bin""".stripMargin)))
+             |ORDER BY cnt.bin""".stripMargin)),
+
+    // ----- q302: covariate-balance audit (standardized mean
+    // differences) between purchasers and non-purchasers — the
+    // PRE-ANALYSIS gate the experimentation family (q233 CUPED, q240
+    // DiD) assumes: |SMD| ≳ 0.1 says the groups differ on a
+    // covariate before any effect is read. Per-user covariates are
+    // exact integers; each SMD is ONE fixed double chain over the
+    // exact group moments (products like n·Σx² exceed int64, so both
+    // engines compute the identical all-double chain — parity by
+    // operation shape, the q170 convention), micro-snapped.
+    QueryDef(
+      "q302_covariate_balance",
+      (s, d) => {
+        import s.implicits._
+        val perUser = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("t"),
+            count(lit(1)).as("n_ev"),
+            count_distinct(to_date($"ts")).as("n_days"),
+            sum(floor($"value" * 100 + lit(0.5)).cast("long")).as("vq"))
+        val covs = Seq("n_ev", "n_days", "vq")
+        val aggs = covs.flatMap { cv =>
+          Seq(sum(when($"t" === 1, col(cv)).otherwise(0L)).as(s"st_$cv"),
+            sum(when($"t" === 0, col(cv)).otherwise(0L)).as(s"sc_$cv"),
+            sum(when($"t" === 1, col(cv) * col(cv)).otherwise(0L))
+              .as(s"stt_$cv"),
+            sum(when($"t" === 0, col(cv) * col(cv)).otherwise(0L))
+              .as(s"scc_$cv"))
+        } ++ Seq(sum($"t").as("nt"),
+          sum(when($"t" === 0, 1L).otherwise(0L)).as("nc"))
+        val one = perUser.agg(aggs.head, aggs.tail: _*)
+        covs.map { cv =>
+          val smd = expr(
+            s"""CASE WHEN nt > 1 AND nc > 1 THEN
+               |  CAST(floor(
+               |    (CAST(st_$cv AS DOUBLE) / nt - CAST(sc_$cv AS DOUBLE) / nc)
+               |    / sqrt(((CAST(nt AS DOUBLE) * CAST(stt_$cv AS DOUBLE)
+               |        - CAST(st_$cv AS DOUBLE) * CAST(st_$cv AS DOUBLE))
+               |        / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1))
+               |      + (CAST(nc AS DOUBLE) * CAST(scc_$cv AS DOUBLE)
+               |        - CAST(sc_$cv AS DOUBLE) * CAST(sc_$cv AS DOUBLE))
+               |        / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1)))
+               |      / 2)
+               |    * 1000000 + 0.5) AS BIGINT)
+               |ELSE NULL END""".stripMargin)
+          one.select(lit(cv).as("covariate"), $"nt", $"nc",
+            smd.as("smd_micro"))
+        }.reduce(_ unionAll _).orderBy($"covariate")
+      },
+      Some {
+        def smdSql(cv: String): String =
+          s"""CASE WHEN nt > 1 AND nc > 1 THEN
+             |  CAST(floor(
+             |    (CAST(st_$cv AS DOUBLE) / nt - CAST(sc_$cv AS DOUBLE) / nc)
+             |    / sqrt(((CAST(nt AS DOUBLE) * CAST(stt_$cv AS DOUBLE)
+             |        - CAST(st_$cv AS DOUBLE) * CAST(st_$cv AS DOUBLE))
+             |        / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1))
+             |      + (CAST(nc AS DOUBLE) * CAST(scc_$cv AS DOUBLE)
+             |        - CAST(sc_$cv AS DOUBLE) * CAST(sc_$cv AS DOUBLE))
+             |        / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1)))
+             |      / 2)
+             |    * 1000000 + 0.5) AS BIGINT)
+             |ELSE NULL END""".stripMargin
+        val arms = Seq("n_ev", "n_days", "vq").map(cv =>
+          s"""SELECT '$cv' AS covariate, nt, nc,
+             |  ${smdSql(cv)} AS smd_micro
+             |FROM m""".stripMargin)
+        s"""WITH pu AS (
+           |  SELECT user_id,
+           |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS t,
+           |    CAST(count(*) AS BIGINT) AS n_ev,
+           |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS vq
+           |  FROM events GROUP BY 1),
+           |m AS (
+           |  SELECT CAST(SUM(t) AS BIGINT) AS nt,
+           |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS nc,
+           |    ${Seq("n_ev", "n_days", "vq").flatMap(cv => Seq(
+              s"CAST(SUM(CASE WHEN t = 1 THEN $cv ELSE 0 END) AS BIGINT) AS st_$cv",
+              s"CAST(SUM(CASE WHEN t = 0 THEN $cv ELSE 0 END) AS BIGINT) AS sc_$cv",
+              s"CAST(SUM(CASE WHEN t = 1 THEN $cv * $cv ELSE 0 END) AS BIGINT) AS stt_$cv",
+              s"CAST(SUM(CASE WHEN t = 0 THEN $cv * $cv ELSE 0 END) AS BIGINT) AS scc_$cv"))
+             .mkString(",\n    ")}
+           |  FROM pu)
+           |SELECT * FROM (
+           |${arms.mkString("\nUNION ALL\n")})
+           |ORDER BY covariate""".stripMargin
+      }),
+
+    // ----- q303: Simpson's-paradox detector — does the
+    // discount↔quantity association FLIP sign inside any returnflag
+    // stratum vs the pooled data? The aggregation-trap audit every
+    // dashboard rollup needs (the pooled slope is a q194-style OLS
+    // numerator; strata are the natural segmentation). ENTIRELY
+    // exact: slope signs come from the integer numerator
+    // n·Σxy − Σx·Σy lifted to decimal(38,0)/HUGEINT (it exceeds
+    // int64 at scale), never from a double.
+    QueryDef(
+      "q303_simpson_detector",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.lineitem(s, d).select(
+          $"l_returnflag".as("grp"),
+          floor($"l_discount" * 100 + lit(0.5)).cast("long").as("x"),
+          floor($"l_quantity" * 100 + lit(0.5)).cast("long").as("y"))
+        def signed(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("num",
+            $"n".cast("decimal(38,0)") * $"sxy".cast("decimal(38,0)")
+              - $"sx".cast("decimal(38,0)") * $"sy".cast("decimal(38,0)"))
+          .withColumn("sgn",
+            when($"num" > 0, 1L).when($"num" < 0, -1L).otherwise(0L))
+        val per = signed(rows.groupBy($"grp").agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy")))
+        val all = signed(rows.groupBy().agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy")))
+          .select($"n".as("n_all"), $"sgn".as("sign_all"))
+        per.crossJoin(all)
+          .select($"grp", $"n", $"sgn".as("sign_grp"), $"sign_all",
+            ($"sgn" * $"sign_all" === -1).as("reversal"))
+          .unionAll(all.select(lit("ALL").as("grp"), $"n_all".as("n"),
+            $"sign_all".as("sign_grp"), $"sign_all",
+            lit(false).as("reversal")))
+          .orderBy($"grp")
+      },
+      Some("""WITH rows_ AS (
+             |  SELECT l_returnflag AS grp,
+             |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+             |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS y
+             |  FROM lineitem),
+             |per AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy
+             |  FROM rows_ GROUP BY 1),
+             |psg AS (
+             |  SELECT grp, n,
+             |    CASE WHEN CAST(n AS HUGEINT) * sxy
+             |        - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+             |      WHEN CAST(n AS HUGEINT) * sxy
+             |        - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+             |      ELSE 0 END AS sign_grp
+             |  FROM per),
+             |al AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy
+             |  FROM rows_),
+             |asg AS (
+             |  SELECT n,
+             |    CASE WHEN CAST(n AS HUGEINT) * sxy
+             |        - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+             |      WHEN CAST(n AS HUGEINT) * sxy
+             |        - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+             |      ELSE 0 END AS sign_all
+             |  FROM al)
+             |SELECT * FROM (
+             |  SELECT p.grp, p.n, CAST(p.sign_grp AS BIGINT) AS sign_grp,
+             |    CAST(a.sign_all AS BIGINT) AS sign_all,
+             |    p.sign_grp * a.sign_all = -1 AS reversal
+             |  FROM psg p CROSS JOIN asg a
+             |  UNION ALL
+             |  SELECT 'ALL', a.n, CAST(a.sign_all AS BIGINT),
+             |    CAST(a.sign_all AS BIGINT), FALSE
+             |  FROM asg a)
+             |ORDER BY grp""".stripMargin)))
 
   /** q177/q178/q278 shared constants. */
   private val HoltAlphaDen = 4L

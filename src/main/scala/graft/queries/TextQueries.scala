@@ -1035,7 +1035,55 @@ object TextQueries {
              |   + CAST(floor(ln(2.0) * CAST(nnb - mb AS DOUBLE)
              |       / CAST(nnb AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))
              |  // 2 AS jsd_nano
-             |FROM agg ORDER BY src_a, src_b""".stripMargin))
+             |FROM agg ORDER BY src_a, src_b""".stripMargin)),
+
+    // ----- q301: context-length truncation-loss curve — for each
+    // candidate training context L, how many documents exceed it and
+    // what fraction of corpus TOKENS a hard truncation discards:
+    // the sizing analysis that picks L before q60's packing runs at
+    // the chosen one. Scatter-by-explode per L (no per-L scans);
+    // exact integer token counts (the q23 \s+ convention),
+    // loss_milli by round-half-up integer division.
+    QueryDef(
+      "q301_truncation_loss",
+      (s, d) => {
+        import s.implicits._
+        val ls = Seq(128, 256, 512, 1024)
+        graft.Par.spread(Tables.documents(s, d))
+          .select(size(graft.functions.TextFunctions.tokens($"text"))
+            .cast("long").as("nt"))
+          .select($"nt", explode(array(ls.map(lit): _*)).as("context_len"))
+          .groupBy($"context_len")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"nt" > $"context_len", 1L).otherwise(0L))
+              .as("docs_truncated"),
+            sum($"nt").as("tokens_total"),
+            sum(greatest($"nt" - $"context_len", lit(0L))).as("tokens_lost"))
+          .select($"context_len".cast("long").as("context_len"),
+            $"n_docs", $"docs_truncated", $"tokens_total", $"tokens_lost",
+            expr("(2000 * tokens_lost + tokens_total) DIV (2 * tokens_total)")
+              .as("loss_milli"))
+          .orderBy($"context_len")
+      },
+      Some(s"""WITH nt AS (
+             |  SELECT len(list_filter(string_split_regex(trim(text), '\\s+'),
+             |    x -> length(x) > 0)) AS nt
+             |  FROM documents),
+             |sc AS (
+             |  SELECT CAST(l.l AS BIGINT) AS context_len, nt.nt
+             |  FROM nt CROSS JOIN (VALUES (128), (256), (512), (1024))
+             |    AS l(l))
+             |SELECT context_len,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN nt > context_len THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS docs_truncated,
+             |  CAST(SUM(nt) AS BIGINT) AS tokens_total,
+             |  CAST(SUM(GREATEST(nt - context_len, 0)) AS BIGINT)
+             |    AS tokens_lost,
+             |  CAST((2000 * CAST(SUM(GREATEST(nt - context_len, 0)) AS BIGINT)
+             |      + CAST(SUM(nt) AS BIGINT))
+             |    // (2 * CAST(SUM(nt) AS BIGINT)) AS BIGINT) AS loss_milli
+             |FROM sc GROUP BY 1 ORDER BY context_len""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]] — the q127

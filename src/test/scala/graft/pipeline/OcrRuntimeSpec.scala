@@ -16,16 +16,20 @@ class OcrRuntimeSpec extends SparkSpec {
 
   test("probe never throws and selection is consistent with it") {
     val v = OcrRuntime.tesseractVersion          // forced lazy probe
+    // r11: bestPartitioner wraps the probed base in the PDF-magic
+    // dispatching AutoPartitioner — the base still follows the probe
     val p = OcrRuntime.bestPartitioner()
-    assert(v.isDefined === p.isInstanceOf[TesseractPartitioner])
-    if (v.isEmpty) assert(p === TextPartitioner())
+    assert(p.isInstanceOf[AutoPartitioner])
+    val base = p.asInstanceOf[AutoPartitioner].base
+    assert(v.isDefined === base.isInstanceOf[TesseractPartitioner])
+    if (v.isEmpty) assert(base === TextPartitioner())
     info(s"probe: ${v.getOrElse("absent — TextPartitioner fallback")}")
   }
 
   test("extractText runs green end-to-end with the probed partitioner") {
     val part = OcrRuntime.bestPartitioner()
     part match {
-      case TextPartitioner() =>
+      case AutoPartitioner(TextPartitioner()) =>
         // sandbox branch: fallback must equal the golden stand-in path
         val docs = Seq(
           (1L, "page one\n\npage two", 19L),
@@ -35,7 +39,7 @@ class OcrRuntimeSpec extends SparkSpec {
         val got = OcrPipeline.extractText(spark, docs, part)
           .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
         assert(got.toSeq === Seq((1L, "page one\npage two"), (2L, "solo")))
-      case TesseractPartitioner(_) =>
+      case AutoPartitioner(TesseractPartitioner(_)) =>
         // live branch: OCR a rendered PNG and find the planted word
         val img = new java.awt.image.BufferedImage(
           360, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
