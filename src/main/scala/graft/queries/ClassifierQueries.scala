@@ -1101,7 +1101,131 @@ object ClassifierQueries {
           .toDF("round", "w0", "w1", "loss_x10")
           .orderBy($"round")
       },
-      Some(qrOracle)))
+      Some(qrOracle)),
+
+    // ----- q304: 5-fold cross-validated OLS (price ~ quantity) on
+    // the PORTABLE Weyl hash split (the q84/q85 sampling convention:
+    // fold assignment is a pure function of the stable row id, so
+    // any engine reproduces the identical folds) — the model-eval
+    // member the supervised family lacked: out-of-fold R² instead of
+    // training-set fit. Train-fold moments are TOTAL − fold (exact
+    // integer subtraction — no second scan); slope/intercept are one
+    // fixed all-double chain over the exact moments, milli-snapped;
+    // test residuals are exact integers against the SNAPPED
+    // parameters; SSE/SST accumulate in decimal(38,0)/HUGEINT.
+    QueryDef(
+      "q304_kfold_cv",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.lineitem(s, d).select(
+            ($"l_orderkey" * 10 + $"l_linenumber").as("rid"),
+            floor($"l_quantity" * 100 + lit(0.5)).cast("long").as("x"),
+            floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("y"))
+          .withColumn("fold",
+            graft.operators.Sampling.hashBits($"rid", 304L) % 5)
+        val per = rows.groupBy($"fold").agg(
+          count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        val tot = rows.agg(count(lit(1)).as("tn"), sum($"x").as("tsx"),
+          sum($"y").as("tsy"), sum($"x" * $"x").as("tsxx"),
+          sum($"x" * $"y").as("tsxy"))
+        val params = per.crossJoin(tot)
+          .select($"fold", $"n".as("n_test"), $"sy",
+            ($"tn" - $"n").as("n_train"),
+            ($"tsx" - $"sx").as("rx"), ($"tsy" - $"sy").as("ry"),
+            ($"tsxx" - $"sxx").as("rxx"), ($"tsxy" - $"sxy").as("rxy"))
+          .withColumn("slope_milli", floor(
+            ($"n_train".cast("double") * $"rxy".cast("double")
+              - $"rx".cast("double") * $"ry".cast("double"))
+            / ($"n_train".cast("double") * $"rxx".cast("double")
+              - $"rx".cast("double") * $"rx".cast("double"))
+            * 1000 + lit(0.5)).cast("long"))
+          .withColumn("inter_milli", floor(
+            (lit(1000L) * $"ry" - $"slope_milli" * $"rx").cast("double")
+              / $"n_train".cast("double") + lit(0.5)).cast("long"))
+          .withColumn("ybar", floor(
+            $"sy".cast("double") / $"n_test".cast("double") + lit(0.5))
+            .cast("long"))
+        val evald = rows.join(params, "fold")
+          .withColumn("pred", floor(
+            ($"inter_milli" + $"slope_milli" * $"x").cast("double")
+              / 1000.0 + lit(0.5)).cast("long"))
+          .withColumn("e", $"y" - $"pred")
+          .withColumn("dd", $"y" - $"ybar")
+          .groupBy($"fold")
+          .agg(max($"n_train").as("n_train"), max($"n_test").as("n_test"),
+            max($"slope_milli").as("slope_milli"),
+            max($"inter_milli").as("inter_milli"),
+            sum(($"e" * $"e").cast("decimal(38,0)")).as("sse"),
+            sum(($"dd" * $"dd").cast("decimal(38,0)")).as("sst"))
+        evald.select($"fold".cast("long").as("fold"), $"n_train", $"n_test",
+            $"slope_milli", $"inter_milli",
+            floor((lit(1.0) - $"sse".cast("double") / $"sst".cast("double"))
+              * 1e6 + lit(0.5)).cast("long").as("r2_micro"))
+          .orderBy($"fold")
+      },
+      Some {
+        val h = graft.operators.Sampling.hashBitsSql(
+          "(l_orderkey * 10 + l_linenumber)", 304L)
+        s"""WITH rws AS MATERIALIZED (
+           |  SELECT ($h) % 5 AS fold,
+           |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+           |  FROM lineitem),
+           |per AS (
+           |  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+           |    CAST(SUM(x * y) AS BIGINT) AS sxy
+           |  FROM rws GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS tn,
+           |    CAST(SUM(x) AS BIGINT) AS tsx, CAST(SUM(y) AS BIGINT) AS tsy,
+           |    CAST(SUM(x * x) AS BIGINT) AS tsxx,
+           |    CAST(SUM(x * y) AS BIGINT) AS tsxy
+           |  FROM rws),
+           |params AS (
+           |  SELECT fold, n AS n_test, sy, tn - n AS n_train,
+           |    tsx - sx AS rx, tsy - sy AS ry,
+           |    tsxx - sxx AS rxx, tsxy - sxy AS rxy
+           |  FROM per CROSS JOIN tot),
+           |p2 AS (
+           |  SELECT fold, n_test, sy, n_train, rx, ry, rxx, rxy,
+           |    CAST(floor(
+           |      (CAST(n_train AS DOUBLE) * CAST(rxy AS DOUBLE)
+           |        - CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE))
+           |      / (CAST(n_train AS DOUBLE) * CAST(rxx AS DOUBLE)
+           |        - CAST(rx AS DOUBLE) * CAST(rx AS DOUBLE))
+           |      * 1000 + 0.5) AS BIGINT) AS slope_milli
+           |  FROM params),
+           |p3 AS (
+           |  SELECT *,
+           |    CAST(floor(CAST(1000 * ry - slope_milli * rx AS DOUBLE)
+           |      / CAST(n_train AS DOUBLE) + 0.5) AS BIGINT) AS inter_milli,
+           |    CAST(floor(CAST(sy AS DOUBLE) / CAST(n_test AS DOUBLE) + 0.5)
+           |      AS BIGINT) AS ybar
+           |  FROM p2),
+           |ev AS (
+           |  SELECT r.fold, MAX(p.n_train) AS n_train,
+           |    MAX(p.n_test) AS n_test,
+           |    MAX(p.slope_milli) AS slope_milli,
+           |    MAX(p.inter_milli) AS inter_milli,
+           |    SUM(CAST(e * e AS HUGEINT)) AS sse,
+           |    SUM(CAST(dd * dd AS HUGEINT)) AS sst
+           |  FROM (
+           |    SELECT r.fold,
+           |      r.y - CAST(floor(
+           |        CAST(p.inter_milli + p.slope_milli * r.x AS DOUBLE)
+           |          / 1000.0 + 0.5) AS BIGINT) AS e,
+           |      r.y - p.ybar AS dd, r.y
+           |    FROM rws r JOIN p3 p USING (fold)) r
+           |  JOIN p3 p USING (fold)
+           |  GROUP BY r.fold)
+           |SELECT fold, n_train, n_test, slope_milli, inter_milli,
+           |  CAST(floor((1.0 - CAST(sse AS DOUBLE) / CAST(sst AS DOUBLE))
+           |    * 1e6 + 0.5) AS BIGINT) AS r2_micro
+           |FROM ev ORDER BY fold""".stripMargin
+      }))
 
   private val QrRounds = 4
 
