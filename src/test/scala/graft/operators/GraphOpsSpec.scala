@@ -254,6 +254,47 @@ class GraphOpsSpec extends SparkSpec {
     assert(!spectrum.exists(_._1 == 5L))
   }
 
+  test("katz: one iteration on a path gives 1 + alpha*deg exactly") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val got = GraphOps.katz(path, "u", "v", iterations = 1, alpha = 0.5)
+      .as[(Long, Double)].collect().toMap
+    // x0 = 1 everywhere; deg(2) = 2, deg(1) = deg(3) = 1; the 2^-40
+    // quantization is exact on x = 1.0
+    assert(got === Map(1L -> 1.5, 2L -> 2.0, 3L -> 1.5))
+  }
+
+  test("personalizedPageRank: mass stays seed-local and sums near 1") {
+    import spark.implicits._
+    // two disjoint triangles; seeds only in the first — the second
+    // component must receive ZERO rows (the sparsity contract)
+    val t1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val t2 = Seq((11L, 12L), (12L, 13L), (11L, 13L))
+    val seeds = Seq(1L).toDF("v")
+    val got = GraphOps.personalizedPageRank(
+        (t1 ++ t2).toDF("u", "v"), "u", "v", seeds, iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, s"got $got")
+    assert(got(1L) > got(2L) && got(2L) === got(3L))
+  }
+
+  test("bellmanFord: weighted distances with hop bound; extra rounds " +
+    "are a fixpoint no-op") {
+    import spark.implicits._
+    // directed path 1->2 (5), 2->3 (7), plus a shortcut 1->3 (20):
+    // dist(3) must take the 12 path, not the 20 edge
+    val w = Seq((1L, 2L, 5L), (2L, 3L, 7L), (1L, 3L, 20L))
+      .toDF("src", "dst", "cost")
+    val seeds = Seq(1L).toDF("v")
+    def run(r: Int) = GraphOps.bellmanFord(w, seeds, rounds = r)
+      .as[(Long, Long)].collect().toMap
+    assert(run(2) === Map(1L -> 0L, 2L -> 5L, 3L -> 12L))
+    assert(run(6) === run(2))
+    // hop bound honesty: one round can't see the 2-edge path yet
+    assert(run(1) === Map(1L -> 0L, 2L -> 5L, 3L -> 20L))
+  }
+
   test("hits: star graph concentrates authority on the hub's targets") {
     import spark.implicits._
     // one hub 1 → {10, 11, 12}, a second hub 2 → {10}: authority of

@@ -64,6 +64,40 @@ class RiskSpec extends SparkSpec {
     assert(out == Seq((42L, None, false, false)), s"got $out")
   }
 
+  test("tailDependence: comonotone desks hit lambda = 1, " +
+    "antimonotone lambda = 0") {
+    import spark.implicits._
+    val days = (1 to 20).map(i => Date.valueOf(f"2024-07-$i%02d"))
+    val x = days.zipWithIndex.map { case (dd, i) => (dd, (i + 1) * 100L) }
+      .toDF("day", "xq")
+    val ySame = x
+    val yOpp = days.zipWithIndex.map { case (dd, i) => (dd, (20 - i) * 100L) }
+      .toDF("day", "xq")
+    val co = Risk.tailDependence(x, ySame, "day", "xq")
+      .select($"n", $"k", $"both_low", $"lambda_low_milli")
+      .as[(Long, Long, Long, Long)].head()
+    assert(co === ((20L, 4L, 4L, 1000L)), s"got $co")
+    val anti = Risk.tailDependence(x, yOpp, "day", "xq")
+      .select($"both_low", $"both_high", $"lambda_low_milli")
+      .as[(Long, Long, Long)].head()
+    assert(anti === ((0L, 0L, 0L)), s"got $anti")
+  }
+
+  test("hurstRs: constant series yields no blocks (S = 0 guard); " +
+    "block counts follow the calendar") {
+    import spark.implicits._
+    def series(n: Int, f: Int => Long) = (1 to n)
+      .map(i => (Date.valueOf(f"2024-${(i - 1) / 28 + 1}%02d-${(i - 1) % 28 + 1}%02d"), f(i)))
+      .toDF("day", "xq")
+    assert(Risk.hurstRs(series(40, _ => 500L), "day", "xq",
+      sizes = Seq(8, 16)).count() === 0L)
+    val rnd = new scala.util.Random(5)
+    val out = Risk.hurstRs(series(40, _ => 100L + rnd.nextInt(50)),
+        "day", "xq", sizes = Seq(8, 16))
+      .select($"m", $"n_blocks").as[(Long, Long)].collect().toMap
+    assert(out === Map(8L -> 5L, 16L -> 2L), s"got $out")
+  }
+
   test("durbinWatson: perfect line has zero residuals guarded; " +
     "alternating residuals push DW toward 4") {
     import spark.implicits._
