@@ -367,6 +367,86 @@ object Risk {
         "lambda_low_milli", "lambda_high_milli")
   }
 
+  /** Row shape of [[grangerLag1]] — f is None on a degenerate frame
+    * (singular normal equations or zero unrestricted SSE). */
+  final case class GrangerRow(direction: String, n: Long, f_micro: Option[Long])
+
+  /** Lag-1 Granger-causality F statistics between two day-keyed
+    * series, BOTH directions — the temporal-precedence companion of
+    * [[tailDependence]] (that one asks "do their bad days coincide";
+    * this asks "does yesterday's X improve today's Y forecast beyond
+    * Y's own history"): F = (SSE_r − SSE_u)·(n−3)/SSE_u comparing
+    * yₜ ~ yₜ₋₁ against yₜ ~ yₜ₋₁ + xₜ₋₁, closed-form via centered
+    * moments.
+    *
+    * Exactness: series are DOLLAR-quantized (cents DIV 100) so every
+    * raw cross-moment is an exact BIGINT < 2⁵³; centered moments and
+    * the F ratio are ONE fixed all-double chain over those exact
+    * sums, mirrored operation-for-operation in SQL (the q302
+    * convention — intermediate products exceed int64, so BOTH
+    * engines run the identical double chain), micro-snapped. Lags
+    * are by OBSERVED-day order (calendar gaps lag to the previous
+    * observed day — documented, mirrored by the oracle's row_number
+    * self-join). Day-count-bounded single-task fold.
+    */
+  def grangerLag1(
+      x: DataFrame, y: DataFrame,
+      dayCol: String, valCol: String): DataFrame = {
+    val spark = x.sparkSession
+    import spark.implicits._
+    val joined = x.select(col(dayCol).cast("date").as("day"),
+        expr(s"CAST($valCol AS BIGINT) DIV 100").as("xv"))
+      .join(y.select(col(dayCol).cast("date").as("day"),
+        expr(s"CAST($valCol AS BIGINT) DIV 100").as("yv")), "day")
+    joined.as[(Date, Long, Long)]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1.getTime)
+        val n = rows.length - 1      // lagged pairs
+        var sa, sb, sc, sd = 0L
+        var saa, sbb, scc, sdd, sac, sad, sbc, sbd, scd = 0L
+        var t = 1
+        while (t < rows.length) {
+          val a = rows(t)._3; val b = rows(t)._2        // y_t, x_t
+          val c = rows(t - 1)._3; val d = rows(t - 1)._2 // y_{t-1}, x_{t-1}
+          sa += a; sb += b; sc += c; sd += d
+          saa += a * a; sbb += b * b; scc += c * c; sdd += d * d
+          sac += a * c; sad += a * d; sbc += b * c; sbd += b * d
+          scd += c * d
+          t += 1
+        }
+        def f(cyy: Double, cy1y: Double, cx1y: Double,
+            cy1y1: Double, cy1x1: Double, cx1x1: Double): Option[Long] = {
+          val sser = cyy - cy1y * cy1y / cy1y1
+          val det = cy1y1 * cx1x1 - cy1x1 * cy1x1
+          if (det == 0.0) None
+          else {
+            val b1 = (cy1y * cx1x1 - cx1y * cy1x1) / det
+            val b2 = (cx1y * cy1y1 - cy1y * cy1x1) / det
+            val sseu = cyy - b1 * cy1y - b2 * cx1y
+            if (sseu <= 0.0) None
+            else Some(math.floor(
+              (sser - sseu) * (n - 3) / sseu * 1000000.0 + 0.5).toLong)
+          }
+        }
+        if (n < 4) Iterator(GrangerRow("x_to_y", n.toLong, None),
+          GrangerRow("y_to_x", n.toLong, None))
+        else {
+          val nd = n.toDouble
+          def cen(sab: Long, s1: Long, s2: Long): Double =
+            nd * sab.toDouble - s1.toDouble * s2.toDouble
+          val xy = f(cen(saa, sa, sa), cen(sac, sa, sc), cen(sad, sa, sd),
+            cen(scc, sc, sc), cen(scd, sc, sd), cen(sdd, sd, sd))
+          val yx = f(cen(sbb, sb, sb), cen(sbd, sb, sd), cen(sbc, sb, sc),
+            cen(sdd, sd, sd), cen(scd, sc, sd), cen(scc, sc, sc))
+          Iterator(GrangerRow("x_to_y", n.toLong, xy),
+            GrangerRow("y_to_x", n.toLong, yx))
+        }
+      }(Encoders.product[GrangerRow])
+      .toDF("direction", "n", "f_micro")
+      .orderBy(col("direction"))
+  }
+
   /** Hurst exponent by rescaled-range (R/S) analysis of the
     * day-ordered series — the long-memory diagnostic next to
     * [[durbinWatson]] (lag-1) and the ACF family (fixed lags):

@@ -3422,6 +3422,145 @@ object QuantQueries {
              |FROM cnt JOIN sc ON cnt.bin = sc.bin
              |ORDER BY cnt.bin""".stripMargin)),
 
+    // ----- q305: local-level Kalman filter over daily revenue
+    // (operators.Kalman) — the state-space member of the SPC family:
+    // q181's CUSUM alarms on drift with a FIXED reference, q178's
+    // Holt smooths with fixed gains; the Kalman gain anneals from 1
+    // toward its steady state as the variance recursion converges.
+    // Fully integer state (micro gain, exact round-half-up integer
+    // divisions; the one signed rounding is a floor-double mirrored
+    // verbatim), so the whole trajectory replays as a recursive CTE
+    // (the q181 pattern).
+    QueryDef(
+      "q305_kalman_level",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("xq"))
+        graft.operators.Kalman.localLevel(daily, "day", "xq")
+      },
+      Some {
+        val r = graft.operators.Kalman.R
+        val q = graft.operators.Kalman.Q
+        val p0 = graft.operators.Kalman.P0
+        s"""WITH RECURSIVE ser AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS xq
+           |  FROM orders GROUP BY 1),
+           |rn AS MATERIALIZED (
+           |  SELECT day, xq,
+           |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+           |  FROM ser),
+           |st AS (
+           |  SELECT day, xq, rn, xq AS l, CAST($p0 AS BIGINT) AS p,
+           |    CAST(0 AS BIGINT) AS k
+           |  FROM rn WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.day, r.xq, r.rn,
+           |    st.l + CAST(floor(CAST(
+           |        ((2 * (st.p + $q) * 1000000 + (st.p + $q + $r))
+           |          // (2 * (st.p + $q + $r))) * (r.xq - st.l)
+           |      AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT),
+           |    (2 * (1000000 - ((2 * (st.p + $q) * 1000000 + (st.p + $q + $r))
+           |        // (2 * (st.p + $q + $r)))) * (st.p + $q) + 1000000)
+           |      // (2 * 1000000),
+           |    (2 * (st.p + $q) * 1000000 + (st.p + $q + $r))
+           |      // (2 * (st.p + $q + $r))
+           |  FROM st JOIN rn r ON r.rn = st.rn + 1)
+           |SELECT day, xq, l AS level, xq - l AS resid, k AS k_micro
+           |FROM st ORDER BY day""".stripMargin
+      }),
+
+    // ----- q307: Benjamini–Hochberg FDR control over the per-nation
+    // negative-balance association tests — the MULTIPLE-TESTING
+    // member the experimentation family needed: 25 simultaneous 2×2
+    // χ² tests (nation k vs rest × acctbal < 0), ordered by evidence,
+    // rejected up to the largest rank whose statistic clears the BH
+    // boundary at FDR α = 0.05. No CDF on either engine: the
+    // boundary is pre-inverted once (χ²(1) upper-tail thresholds for
+    // k·α/m, embedded as identical integer-micro constants in both
+    // the Spark literals and the oracle VALUES), so the procedure is
+    // exact integer comparisons over micro-snapped statistics.
+    QueryDef(
+      "q307_bh_fdr",
+      (s, d) => {
+        import s.implicits._
+        val fl = Tables.customer(s, d).select(
+          $"c_nationkey".cast("long").as("nat"), ($"c_acctbal" < 0).as("neg"))
+        val tot = fl.agg(count(lit(1)).as("n"),
+          sum(when($"neg", 1L).otherwise(0L)).as("c1"))
+        val per = fl.groupBy($"nat").agg(count(lit(1)).as("r1"),
+          sum(when($"neg", 1L).otherwise(0L)).as("a"))
+        val withChi = per.crossJoin(tot)
+          .withColumn("b", $"r1" - $"a")
+          .withColumn("cc", $"c1" - $"a")
+          .withColumn("dd", $"n" - $"r1" - $"c1" + $"a")
+          .withColumn("tt", $"a".cast("double") * $"dd".cast("double")
+            - $"b".cast("double") * $"cc".cast("double"))
+          .withColumn("den", $"r1".cast("double")
+            * ($"n" - $"r1").cast("double") * $"c1".cast("double")
+            * ($"n" - $"c1").cast("double"))
+          .withColumn("chi2_micro",
+            when($"den" === 0.0, lit(null).cast("long"))
+              .otherwise(floor($"n".cast("double") * $"tt" * $"tt" / $"den"
+                * 1000000 + lit(0.5)).cast("long")))
+          .select($"nat", $"chi2_micro")
+        val ranked = graft.operators.GlobalOrder.zipRank(
+          withChi.orderBy($"chi2_micro".desc, $"nat"), "bh_rank")
+        val thr = BhThresholds.toDF("bh_rank", "thr_micro")
+        val flagged = ranked.join(broadcast(thr), "bh_rank")
+        val ks = flagged.agg(
+          max(when($"chi2_micro" >= $"thr_micro", $"bh_rank")).as("kstar"))
+        flagged.crossJoin(ks)
+          .select($"nat".as("nation"), $"chi2_micro", $"bh_rank",
+            ($"bh_rank" <= coalesce($"kstar", lit(0L))).as("reject"))
+          .orderBy($"bh_rank")
+      },
+      Some {
+        val vals = BhThresholds
+          .map { case (k, t) => s"($k, $t)" }.mkString(", ")
+        s"""WITH fl AS (
+           |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+           |    c_acctbal < 0 AS neg
+           |  FROM customer),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN neg THEN 1 ELSE 0 END) AS BIGINT) AS c1
+           |  FROM fl),
+           |per AS (SELECT nat, CAST(count(*) AS BIGINT) AS r1,
+           |    CAST(SUM(CASE WHEN neg THEN 1 ELSE 0 END) AS BIGINT) AS a
+           |  FROM fl GROUP BY 1),
+           |chi AS (
+           |  SELECT nat,
+           |    CASE WHEN CAST(r1 AS DOUBLE) * CAST(n - r1 AS DOUBLE)
+           |        * CAST(c1 AS DOUBLE) * CAST(n - c1 AS DOUBLE) = 0
+           |      THEN NULL
+           |      ELSE CAST(floor(CAST(n AS DOUBLE)
+           |        * (CAST(a AS DOUBLE) * CAST(n - r1 - c1 + a AS DOUBLE)
+           |          - CAST(r1 - a AS DOUBLE) * CAST(c1 - a AS DOUBLE))
+           |        * (CAST(a AS DOUBLE) * CAST(n - r1 - c1 + a AS DOUBLE)
+           |          - CAST(r1 - a AS DOUBLE) * CAST(c1 - a AS DOUBLE))
+           |        / (CAST(r1 AS DOUBLE) * CAST(n - r1 AS DOUBLE)
+           |          * CAST(c1 AS DOUBLE) * CAST(n - c1 AS DOUBLE))
+           |        * 1000000 + 0.5) AS BIGINT) END AS chi2_micro
+           |  FROM per CROSS JOIN tot),
+           |rk AS (
+           |  SELECT nat, chi2_micro,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY chi2_micro DESC, nat)
+           |      AS BIGINT) AS bh_rank
+           |  FROM chi),
+           |th (bh_rank, thr) AS (VALUES $vals),
+           |ks AS (
+           |  SELECT MAX(CASE WHEN rk.chi2_micro >= th.thr
+           |    THEN rk.bh_rank END) AS kstar
+           |  FROM rk JOIN th ON rk.bh_rank = th.bh_rank)
+           |SELECT rk.nat AS nation, rk.chi2_micro, rk.bh_rank,
+           |  rk.bh_rank <= COALESCE(ks.kstar, 0) AS reject
+           |FROM rk CROSS JOIN ks ORDER BY bh_rank""".stripMargin
+      }),
+
     // ----- q302: covariate-balance audit (standardized mean
     // differences) between purchasers and non-purchasers — the
     // PRE-ANALYSIS gate the experimentation family (q233 CUPED, q240
@@ -3592,6 +3731,24 @@ object QuantQueries {
              |    CAST(a.sign_all AS BIGINT), FALSE
              |  FROM asg a)
              |ORDER BY grp""".stripMargin)))
+
+  /** χ²(1) upper-tail thresholds for the q307 BH boundary k·α/m
+    * (α = 0.05, m = 25 nations), pre-inverted ONCE offline (bisection
+    * on erfc — no CDF in either engine) and micro-snapped: the same
+    * integer constants feed the Spark literals and the oracle VALUES,
+    * so the whole procedure is integer comparisons. */
+  private val BhThresholds: Seq[(Long, Long)] = Seq(
+    9.54953570608324, 8.283814996393136, 7.550302542198004,
+    7.03347426598639, 6.634896601021216, 6.310869124353191,
+    6.038143368843919, 5.802874106871402, 5.596149122148924,
+    5.411894431054341, 5.245785015911242, 5.094632426314959,
+    4.956018841846307, 4.8280674209723635, 4.7092922468851,
+    4.598496911079504, 4.494703969646141, 4.397104643181777,
+    4.305022168834332, 4.217884587921398, 4.135204197418151,
+    4.056561799055887, 3.9815944622625086, 3.9099859007707423,
+    3.8414588206941254)
+    .zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, math.floor(v * 1e6 + 0.5).toLong) }
 
   /** q177/q178/q278 shared constants. */
   private val HoltAlphaDen = 4L

@@ -396,6 +396,101 @@ object RiskQueries {
              |    ELSE 0 END AS BIGINT) AS lambda_high_milli
              |FROM nk CROSS JOIN cnt c""".stripMargin)),
 
+    // ----- q306: lag-1 Granger causality between the even- and
+    // odd-custkey revenue desks (operators.Risk.grangerLag1), BOTH
+    // directions — the temporal-precedence companion to q295's tail
+    // dependence: F compares y~y₋₁ against y~y₋₁+x₋₁ via closed-form
+    // centered moments. Dollar-quantized exact BIGINT raw moments,
+    // then ONE all-double chain mirrored operation-for-operation
+    // (intermediates exceed int64 identically on both engines),
+    // micro-snapped; lags by observed-day order (row_number
+    // self-join in the oracle).
+    QueryDef(
+      "q306_granger_causality",
+      (s, d) => {
+        import s.implicits._
+        def side(parity: Int) = Tables.orders(s, d)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .filter($"c_custkey" % 2 === parity)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("xq"))
+        graft.operators.Risk.grangerLag1(side(0), side(1), "day", "xq")
+      },
+      Some {
+        def cen(sab: String, s1: String, s2: String): String =
+          s"(CAST(n AS DOUBLE) * CAST($sab AS DOUBLE)" +
+            s" - CAST($s1 AS DOUBLE) * CAST($s2 AS DOUBLE))"
+        // F expression for response/own-lag/cross-lag centered moments
+        def fExpr(cyy: String, cy1y: String, cx1y: String,
+            cy1y1: String, cy1x1: String, cx1x1: String): String =
+          s"""CASE WHEN n < 4 THEN NULL
+             |  WHEN $cy1y1 * $cx1x1 - $cy1x1 * $cy1x1 = 0 THEN NULL
+             |  WHEN $cyy
+             |      - ($cy1y * $cx1x1 - $cx1y * $cy1x1)
+             |        / ($cy1y1 * $cx1x1 - $cy1x1 * $cy1x1) * $cy1y
+             |      - ($cx1y * $cy1y1 - $cy1y * $cy1x1)
+             |        / ($cy1y1 * $cx1x1 - $cy1x1 * $cy1x1) * $cx1y
+             |    <= 0 THEN NULL
+             |  ELSE CAST(floor(
+             |    (($cyy - $cy1y * $cy1y / $cy1y1)
+             |      - ($cyy
+             |        - ($cy1y * $cx1x1 - $cx1y * $cy1x1)
+             |          / ($cy1y1 * $cx1x1 - $cy1x1 * $cy1x1) * $cy1y
+             |        - ($cx1y * $cy1y1 - $cy1y * $cy1x1)
+             |          / ($cy1y1 * $cx1x1 - $cy1x1 * $cy1x1) * $cx1y))
+             |    * CAST(n - 3 AS DOUBLE)
+             |    / ($cyy
+             |      - ($cy1y * $cx1x1 - $cx1y * $cy1x1)
+             |        / ($cy1y1 * $cx1x1 - $cy1x1 * $cy1x1) * $cy1y
+             |      - ($cx1y * $cy1y1 - $cy1y * $cy1x1)
+             |        / ($cy1y1 * $cx1x1 - $cy1x1 * $cy1x1) * $cx1y)
+             |    * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin
+        val xy = fExpr(cen("saa", "sa", "sa"), cen("sac", "sa", "sc"),
+          cen("sad", "sa", "sd"), cen("scc", "sc", "sc"),
+          cen("scd", "sc", "sd"), cen("sdd", "sd", "sd"))
+        val yx = fExpr(cen("sbb", "sb", "sb"), cen("sbd", "sb", "sd"),
+          cen("sbc", "sb", "sc"), cen("sdd", "sd", "sd"),
+          cen("scd", "sc", "sd"), cen("scc", "sc", "sc"))
+        s"""WITH sides AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |    c_custkey % 2 AS par,
+           |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |      AS BIGINT) AS xq
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY 1, 2),
+           |j AS (
+           |  SELECT a.day, a.xq // 100 AS xv, b.xq // 100 AS yv
+           |  FROM sides a JOIN sides b ON a.day = b.day
+           |  WHERE a.par = 0 AND b.par = 1),
+           |rn AS MATERIALIZED (
+           |  SELECT xv, yv,
+           |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+           |  FROM j),
+           |pr AS (
+           |  SELECT cur.yv AS a, cur.xv AS b, prev.yv AS c, prev.xv AS d
+           |  FROM rn cur JOIN rn prev ON cur.rn = prev.rn + 1),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+           |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(d) AS BIGINT) AS sd,
+           |    CAST(SUM(a * a) AS BIGINT) AS saa,
+           |    CAST(SUM(b * b) AS BIGINT) AS sbb,
+           |    CAST(SUM(c * c) AS BIGINT) AS scc,
+           |    CAST(SUM(d * d) AS BIGINT) AS sdd,
+           |    CAST(SUM(a * c) AS BIGINT) AS sac,
+           |    CAST(SUM(a * d) AS BIGINT) AS sad,
+           |    CAST(SUM(b * c) AS BIGINT) AS sbc,
+           |    CAST(SUM(b * d) AS BIGINT) AS sbd,
+           |    CAST(SUM(c * d) AS BIGINT) AS scd
+           |  FROM pr)
+           |SELECT * FROM (
+           |  SELECT 'x_to_y' AS direction, n, $xy AS f_micro FROM m
+           |  UNION ALL
+           |  SELECT 'y_to_x', n, $yx FROM m)
+           |ORDER BY direction""".stripMargin
+      }),
+
     // ----- q297: Hurst exponent by rescaled-range analysis of daily
     // revenue (operators.Risk.hurstRs) — the long-memory diagnostic
     // (H > 0.5 persistence, < 0.5 mean reversion) next to q267's
