@@ -885,5 +885,59 @@ object ClusterQueries {
            |    ) * 1000000 + 0.5) AS BIGINT) AS d2_micro
            |FROM rows0 r CROSS JOIN cov v
            |ORDER BY d2_micro DESC, vec_id LIMIT 20""".stripMargin
-      }))
+      }),
+
+    // ----- q308: Local Outlier Factor (Breunig 2000, operators.Lof)
+    // over the label-blocked embeddings — the density-RATIO outlier
+    // member: q288 Mahalanobis finds global ellipsoid outliers, q247
+    // isolation forest sparse axis regions, q174 DBSCAN labels
+    // noise; LOF alone finds local outliers inside clusters of
+    // differing density. Deterministic variant: micro-snapped cosine
+    // distances BEFORE any ordering, exact-k neighbor sets under the
+    // (dist, id) total order, nano lrd and milli LOF by round-half-up
+    // integer division, NULL on ≥k exact duplicates.
+    QueryDef(
+      "q308_lof",
+      (s, d) => graft.operators.Lof.lof(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label", k = 5),
+      Some("""WITH base AS (
+             |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v, label
+             |  FROM embeddings),
+             |pairs AS MATERIALIZED (
+             |  SELECT a.id AS ia, b.id AS ib,
+             |    CAST(floor((1.0 - list_cosine_similarity(
+             |        CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])))
+             |      * 1000000 + 0.5) AS BIGINT) AS dist
+             |  FROM base a JOIN base b
+             |    ON a.label = b.label AND a.id <> b.id),
+             |knn AS MATERIALIZED (
+             |  SELECT ia, ib, dist FROM (
+             |    SELECT ia, ib, dist,
+             |      ROW_NUMBER() OVER (PARTITION BY ia ORDER BY dist, ib)
+             |        AS rk
+             |    FROM pairs) WHERE rk <= 5),
+             |kd AS (
+             |  SELECT ia, CAST(MAX(dist) AS BIGINT) AS kdist,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM knn GROUP BY 1),
+             |rch AS (
+             |  SELECT k.ia, GREATEST(k.dist, kdo.kdist) AS reach
+             |  FROM knn k JOIN kd kdo ON kdo.ia = k.ib),
+             |lrd AS (
+             |  SELECT ia,
+             |    CASE WHEN CAST(SUM(reach) AS BIGINT) = 0 THEN NULL
+             |      ELSE (2 * CAST(COUNT(*) AS BIGINT) * 1000000000000
+             |          + CAST(SUM(reach) AS BIGINT))
+             |        // (2 * CAST(SUM(reach) AS BIGINT)) END AS lrd
+             |  FROM rch GROUP BY 1),
+             |lofj AS (
+             |  SELECT k.ia, CAST(SUM(l.lrd) AS BIGINT) AS slo,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt2
+             |  FROM knn k JOIN lrd l ON l.ia = k.ib GROUP BY 1)
+             |SELECT kd.ia AS id, kd.cnt, kd.kdist, lp.lrd,
+             |  CASE WHEN lp.lrd IS NULL OR lofj.slo IS NULL THEN NULL
+             |    ELSE (2000 * lofj.slo + lofj.cnt2 * lp.lrd)
+             |      // (2 * lofj.cnt2 * lp.lrd) END AS lof_milli
+             |FROM kd JOIN lrd lp USING (ia) JOIN lofj USING (ia)
+             |ORDER BY id""".stripMargin)))
 }
