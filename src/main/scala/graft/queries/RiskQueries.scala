@@ -31,6 +31,51 @@ object RiskQueries {
       |      AS BIGINT) AS xq
       |  FROM orders GROUP BY 1)""".stripMargin
 
+  /** Per-nation day-over-day deltas on the zero-filled nation×day
+    * grid — the q266 alignment, verbatim (nation-PARTITIONED lag,
+    * never a global window).
+    */
+  private def nationDeltas(s: SparkSession, d: String) = {
+    import s.implicits._
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", to_date($"o_orderdate").as("day"),
+        floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy($"n_name", $"day").agg(sum($"cents").as("xq"))
+      .localCheckpoint(true) // grid + distinct legs read it
+    val days = rev.select($"day").distinct()
+    val nats = rev.select($"n_name").distinct()
+    val grid = broadcast(nats).crossJoin(days)
+      .join(rev, Seq("n_name", "day"), "left")
+      .withColumn("xq", coalesce($"xq", lit(0L)))
+    val w = Window.partitionBy($"n_name").orderBy($"day")
+    grid.withColumn("dx", $"xq" - lag($"xq", 1).over(w))
+      .filter($"dx".isNotNull)
+  }
+
+  /** Oracle CTE chain producing the same `dd(n_name, day, dx)` —
+    * the q266 oracle text, verbatim. */
+  private val nationDeltaSql =
+    """rev AS (
+      |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS xq
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT na.n_name, dy.day, COALESCE(r.xq, 0) AS xq
+      |  FROM (SELECT DISTINCT n_name FROM rev) na
+      |  CROSS JOIN (SELECT DISTINCT day FROM rev) dy
+      |  LEFT JOIN rev r ON r.n_name = na.n_name AND r.day = dy.day),
+      |dxc AS (
+      |  SELECT n_name, day,
+      |    xq - lag(xq) OVER (PARTITION BY n_name ORDER BY day) AS dx
+      |  FROM grid),
+      |dd AS (SELECT n_name, day, dx FROM dxc WHERE dx IS NOT NULL)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // ----- q264: drawdown trajectory of cumulative daily revenue
@@ -554,6 +599,234 @@ object RiskQueries {
            |  FROM pts)
            |SELECT mus.m, mus.n_blocks, mus.mean_rs_micro, sl.hurst_milli
            |FROM mus CROSS JOIN sl ORDER BY mus.m""".stripMargin
-      })
+      }),
+
+    // ----- q309: Sortino + Calmar ratios per nation over the q266
+    // delta grid — the DOWNSIDE-risk members next to q266's
+    // symmetric Sharpe: Sortino penalizes only negative deltas
+    // (mean / downside deviation), Calmar normalizes net change by
+    // the max drawdown of the cumulative delta path. Downside
+    // second moment is exact (decimal/HUGEINT); drawdown is exact
+    // BIGINT via nation-PARTITIONED running windows (never global);
+    // each ratio is ONE identical IEEE chain, micro-snapped, NULL
+    // on the degenerate frames (no negative delta / no drawdown).
+    QueryDef(
+      "q309_sortino_calmar",
+      (s, d) => {
+        import s.implicits._
+        val dd = nationDeltas(s, d)
+        val w = Window.partitionBy($"n_name").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cm = dd.withColumn("cum", sum($"dx").over(w))
+        val pk = cm.withColumn("peak", max($"cum").over(w))
+        val mx = pk.groupBy($"n_name")
+          .agg(max($"peak" - $"cum").as("maxdd"))
+        val mom = dd.groupBy($"n_name").agg(
+          count(lit(1)).as("n"),
+          sum($"dx").as("sx"),
+          sum(when($"dx" < 0, $"dx".cast("decimal(38,0)") * $"dx")
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("sdn"))
+        val nd = $"n".cast("double")
+        mom.join(mx, "n_name").select(
+            $"n_name", $"n", $"sx".as("net"), $"maxdd",
+            when($"sdn" === 0, lit(null).cast("long"))
+              .otherwise(floor($"sx".cast("double") / nd
+                  / sqrt($"sdn".cast("double") / nd) * 1000000 + lit(0.5))
+                .cast("long")).as("sortino_micro"),
+            when($"maxdd" === 0, lit(null).cast("long"))
+              .otherwise(floor($"sx".cast("double")
+                  / $"maxdd".cast("double") * 1000000 + lit(0.5))
+                .cast("long")).as("calmar_micro"))
+          .orderBy($"n_name")
+      },
+      Some(s"""WITH $nationDeltaSql,
+             |cm AS (
+             |  SELECT n_name, day, dx,
+             |    CAST(SUM(dx) OVER (PARTITION BY n_name ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM dd),
+             |pk AS (
+             |  SELECT n_name, day, cum,
+             |    CAST(MAX(cum) OVER (PARTITION BY n_name ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS peak
+             |  FROM cm),
+             |mx AS (SELECT n_name, CAST(MAX(peak - cum) AS BIGINT) AS maxdd
+             |       FROM pk GROUP BY 1),
+             |mom AS (
+             |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(dx) AS BIGINT) AS sx,
+             |    SUM(CASE WHEN dx < 0 THEN CAST(dx AS HUGEINT) * dx
+             |        ELSE 0 END) AS sdn
+             |  FROM dd GROUP BY 1)
+             |SELECT m.n_name, m.n, m.sx AS net, x.maxdd,
+             |  CASE WHEN m.sdn = 0 THEN NULL
+             |    ELSE CAST(floor(CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)
+             |      / sqrt(CAST(m.sdn AS DOUBLE) / CAST(m.n AS DOUBLE))
+             |      * 1000000 + 0.5) AS BIGINT) END AS sortino_micro,
+             |  CASE WHEN x.maxdd = 0 THEN NULL
+             |    ELSE CAST(floor(CAST(m.sx AS DOUBLE) / CAST(x.maxdd AS DOUBLE)
+             |      * 1000000 + 0.5) AS BIGINT) END AS calmar_micro
+             |FROM mom m JOIN mx x ON m.n_name = x.n_name
+             |ORDER BY m.n_name""".stripMargin)),
+
+    // ----- q310: market-concentration audit per region — HHI
+    // (Σ share² over supplier revenue shares) and CR4 (top-4
+    // concentration ratio). The industrial-organization member the
+    // inequality family (q188 Gini/Lorenz, q223 Theil) stops short
+    // of: HHI is the antitrust-grade statistic, CR4 its rank-based
+    // cousin. Revenue is exact cents; Σrev² exact decimal/HUGEINT;
+    // ranks a region-PARTITIONED row_number (rev desc, suppkey
+    // tiebreak); each ratio ONE IEEE chain, micro-snapped.
+    QueryDef(
+      "q310_hhi_concentration",
+      (s, d) => {
+        import s.implicits._
+        val sup = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"s_suppkey", $"r_name")
+        val rev = Tables.lineitem(s, d)
+          .select($"l_suppkey",
+            floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"l_suppkey").agg(sum($"cents").as("rev"))
+        val j = rev.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        val w = Window.partitionBy($"r_name").orderBy($"rev".desc, $"s_suppkey")
+        val rk = j.withColumn("rk", row_number().over(w))
+        val ag = rk.groupBy($"r_name").agg(
+          count(lit(1)).as("n_suppliers"),
+          sum($"rev".cast("decimal(38,0)")).as("tot"),
+          sum($"rev".cast("decimal(38,0)") * $"rev").as("ssq"),
+          sum(when($"rk" <= 4, $"rev".cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("top4"))
+        ag.select($"r_name", $"n_suppliers",
+            when($"tot" === 0, lit(null).cast("long"))
+              .otherwise(floor($"ssq".cast("double")
+                  / ($"tot".cast("double") * $"tot".cast("double"))
+                  * 1000000 + lit(0.5)).cast("long")).as("hhi_micro"),
+            when($"tot" === 0, lit(null).cast("long"))
+              .otherwise(floor($"top4".cast("double") / $"tot".cast("double")
+                  * 1000000 + lit(0.5)).cast("long")).as("cr4_micro"))
+          .orderBy($"r_name")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS rev
+             |  FROM lineitem GROUP BY 1),
+             |j AS (
+             |  SELECT r.r_name, v.rev, s.s_suppkey
+             |  FROM rev v
+             |  JOIN supplier s ON v.l_suppkey = s.s_suppkey
+             |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+             |rk AS (
+             |  SELECT r_name, rev,
+             |    ROW_NUMBER() OVER (PARTITION BY r_name
+             |      ORDER BY rev DESC, s_suppkey) AS rk
+             |  FROM j),
+             |ag AS (
+             |  SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             |    SUM(CAST(rev AS HUGEINT)) AS tot,
+             |    SUM(CAST(rev AS HUGEINT) * rev) AS ssq,
+             |    SUM(CASE WHEN rk <= 4 THEN CAST(rev AS HUGEINT)
+             |        ELSE 0 END) AS top4
+             |  FROM rk GROUP BY 1)
+             |SELECT r_name, n_suppliers,
+             |  CASE WHEN tot = 0 THEN NULL
+             |    ELSE CAST(floor(CAST(ssq AS DOUBLE)
+             |      / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+             |      * 1000000 + 0.5) AS BIGINT) END AS hhi_micro,
+             |  CASE WHEN tot = 0 THEN NULL
+             |    ELSE CAST(floor(CAST(top4 AS DOUBLE) / CAST(tot AS DOUBLE)
+             |      * 1000000 + 0.5) AS BIGINT) END AS cr4_micro
+             |FROM ag ORDER BY r_name""".stripMargin)),
+
+    // ----- q311: Jarque–Bera normality diagnostic of per-nation
+    // delta distributions — the moment-based normality member next
+    // to q275's Anderson–Darling (CDF-based) and q177's Benford:
+    // JB = n/6·(S² + K²/4) from exact third/fourth raw moments.
+    // Sums are exact decimal/HUGEINT (dx⁴ headroom documented to
+    // ~sf1; the q267 INT128 discipline); skewness, excess kurtosis,
+    // and JB are ONE fixed all-double chain over the exact moments
+    // (the q302 parity-by-operation-shape convention), micro-snapped,
+    // NULL on zero-variance frames.
+    QueryDef(
+      "q311_jarque_bera",
+      (s, d) => {
+        import s.implicits._
+        val dd = nationDeltas(s, d)
+        val dec = $"dx".cast("decimal(38,0)")
+        val mom = dd.groupBy($"n_name").agg(
+          count(lit(1)).as("n"),
+          sum(dec).as("sx"),
+          sum(dec * $"dx").as("sxx"),
+          sum(dec * $"dx" * $"dx").as("sxxx"),
+          sum(dec * $"dx" * $"dx" * $"dx").as("sxxxx"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val nd = db($"n")
+        val mean = db($"sx") / nd
+        val m2 = db($"sxx") / nd - mean * mean
+        val m3 = db($"sxxx") / nd - lit(3.0) * mean * (db($"sxx") / nd) +
+          lit(2.0) * mean * mean * mean
+        val m4 = db($"sxxxx") / nd - lit(4.0) * mean * (db($"sxxx") / nd) +
+          lit(6.0) * mean * mean * (db($"sxx") / nd) -
+          lit(3.0) * mean * mean * mean * mean
+        val skew = m3 / (m2 * sqrt(m2))
+        val exk = m4 / (m2 * m2) - lit(3.0)
+        val jb = nd / lit(6.0) * (skew * skew + exk * exk / lit(4.0))
+        mom.select($"n_name", $"n",
+            when(m2 <= 0, lit(null).cast("long"))
+              .otherwise(floor(skew * 1000000 + lit(0.5)).cast("long"))
+              .as("skew_micro"),
+            when(m2 <= 0, lit(null).cast("long"))
+              .otherwise(floor(exk * 1000000 + lit(0.5)).cast("long"))
+              .as("exkurt_micro"),
+            when(m2 <= 0, lit(null).cast("long"))
+              .otherwise(floor(jb * 1000000 + lit(0.5)).cast("long"))
+              .as("jb_micro"))
+          .orderBy($"n_name")
+      },
+      Some(s"""WITH $nationDeltaSql,
+             |mo AS (
+             |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(dx AS HUGEINT)) AS sx,
+             |    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+             |    SUM(CAST(dx AS HUGEINT) * dx * dx) AS sxxx,
+             |    SUM(CAST(dx AS HUGEINT) * dx * dx * dx) AS sxxxx
+             |  FROM dd GROUP BY 1),
+             |ch AS (
+             |  SELECT n_name, n, CAST(n AS DOUBLE) AS nd,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS m2r,
+             |    CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE) AS m3r,
+             |    CAST(sxxxx AS DOUBLE) / CAST(n AS DOUBLE) AS m4r
+             |  FROM mo),
+             |m AS (
+             |  SELECT n_name, n, nd,
+             |    m2r - mean * mean AS m2,
+             |    m3r - 3.0 * mean * m2r + 2.0 * mean * mean * mean AS m3,
+             |    m4r - 4.0 * mean * m3r + 6.0 * mean * mean * m2r
+             |      - 3.0 * mean * mean * mean * mean AS m4
+             |  FROM ch),
+             |st AS (
+             |  SELECT n_name, n, nd, m2,
+             |    m3 / (m2 * sqrt(m2)) AS skew,
+             |    m4 / (m2 * m2) - 3.0 AS exk
+             |  FROM m)
+             |SELECT n_name, n,
+             |  CASE WHEN m2 <= 0 THEN NULL
+             |    ELSE CAST(floor(skew * 1000000 + 0.5) AS BIGINT)
+             |    END AS skew_micro,
+             |  CASE WHEN m2 <= 0 THEN NULL
+             |    ELSE CAST(floor(exk * 1000000 + 0.5) AS BIGINT)
+             |    END AS exkurt_micro,
+             |  CASE WHEN m2 <= 0 THEN NULL
+             |    ELSE CAST(floor(nd / 6.0 * (skew * skew + exk * exk / 4.0)
+             |      * 1000000 + 0.5) AS BIGINT) END AS jb_micro
+             |FROM st ORDER BY n_name""".stripMargin))
   )
 }
