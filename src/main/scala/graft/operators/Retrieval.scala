@@ -130,6 +130,58 @@ object Retrieval {
       .orderBy(col("query_id"))
   }
 
+  /** Average precision @ k per hash-sampled probe — the area-under-
+    * precision member next to [[ndcgAtK]] (graded discounts) and
+    * recall@k (set overlap): AP = Σ_{rel hits r at rank i} P@i,
+    * normalized by min(n_rel, k). Pure integer arithmetic: each
+    * precision term is an exact integer ppm division cnt·1e6 DIV
+    * rank (positives only, so DuckDB `//` ≡ Spark DIV), summed and
+    * normalized by one more integer division — the metric
+    * hash-matches with zero tolerance. The running relevant-count
+    * window is query-PARTITIONED (never global). Returns
+    * (query_id, n_rel, ap_ppm) ordered by query_id.
+    */
+  def averagePrecisionAtK(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      probeRate: Double,
+      salt: Long,
+      k: Int): DataFrame = {
+    val probes = embs
+      .filter(Sampling.hashFraction(col(idCol), salt) < probeRate)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlabel"))
+    val top = embs
+      .join(broadcast(probes), col(idCol) =!= col("query_id"))
+      .withColumn("dist", quantL2(col(vecCol), col("qvec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col(idCol))))
+      .filter(col("rnk") <= k)
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ap = top
+      .withColumn("rel",
+        when(col(labelCol) === col("qlabel"), 1L).otherwise(0L))
+      .withColumn("cnt", sum(col("rel")).over(wc))
+      .withColumn("term",
+        when(col("rel") === 1L, expr("cnt * 1000000 DIV rnk"))
+          .otherwise(lit(0L)))
+      .groupBy(col("query_id")).agg(sum(col("term")).as("sum_terms"))
+    val nrel = embs
+      .join(broadcast(probes.select(col("query_id"), col("qlabel"))),
+        col(labelCol) === col("qlabel") && col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    ap.join(nrel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr(s"sum_terms DIV LEAST(n_rel, ${k}L)"))
+          .as("ap_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   /** One MMR greedy selection over a bounded candidate pool (driver-
     * side: the pool is top-`poolSize` rows, k·dim floats — the same
     * bounded-collect class as [[KMeans.initByHash]]'s seed rows).

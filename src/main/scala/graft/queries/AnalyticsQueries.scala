@@ -992,6 +992,71 @@ object AnalyticsQueries {
              |    * 1000 + 0.5) AS BIGINT) AS fh_surv_milli
              |FROM cum ORDER BY t_day""".stripMargin)),
 
+    // ----- q312: restricted mean survival time over the q165 KM
+    // curve (operators.Survival.rmst) — RMST(τ) = ∫₀^τ S(t)dt, the
+    // summary number survival texts recommend when medians are
+    // censoring-unstable: "mean days retained within the first τ"
+    // at τ ∈ {7,14,30,60}. The KM step curve is exact after its one
+    // snapped exp per point, so the integral is a PURE integer sum
+    // of surv_milli · clipped-segment-length — zero added tolerance.
+    // Segment bounds by zipRank shift-join (no global window); the
+    // oracle integrates the identical q165 CTE curve with lead().
+    QueryDef(
+      "q312_rmst",
+      (s, d) => graft.operators.Survival
+        .rmst(Tables.events(s, d), "user_id", "ts", Seq(7L, 14L, 30L, 60L)),
+      Some(s"""WITH pu AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+             |    MAX(CAST(ts AS DATE)) AS ld
+             |  FROM events GROUP BY 1),
+             |hz AS (SELECT MAX(ld) AS endd FROM pu),
+             |lif AS (
+             |  SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+             |    CASE WHEN date_diff('day', ld, endd)
+             |      > ${graft.operators.Survival.CensorDays}
+             |      THEN 1 ELSE 0 END AS ev
+             |  FROM pu, hz),
+             |byt AS (
+             |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             |    CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+             |  FROM lif GROUP BY t),
+             |risk AS (
+             |  SELECT t, d, c,
+             |    CAST(SUM(d + c) OVER (ORDER BY t DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n_risk
+             |  FROM byt),
+             |fac AS (
+             |  SELECT t, d, n_risk,
+             |    CASE WHEN d < n_risk THEN
+             |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+             |        / CAST(n_risk AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+             |    ELSE NULL END AS lnq
+             |  FROM risk),
+             |cum AS (
+             |  SELECT t, d, n_risk,
+             |    CAST(SUM(lnq) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS lnq_cum
+             |  FROM fac),
+             |kmf AS (
+             |  SELECT t,
+             |    CASE WHEN d = n_risk THEN 0
+             |      ELSE CAST(floor(exp(CAST(lnq_cum AS DOUBLE) / 10000.0)
+             |        * 1000 + 0.5) AS BIGINT) END AS sv
+             |  FROM cum),
+             |segs AS (
+             |  SELECT t AS t0, lead(t) OVER (ORDER BY t) AS t1, sv FROM kmf
+             |  UNION ALL
+             |  SELECT 0, (SELECT MIN(t) FROM kmf), 1000),
+             |taus(tau) AS (VALUES (7::BIGINT), (14::BIGINT),
+             |  (30::BIGINT), (60::BIGINT))
+             |SELECT tau,
+             |  CAST(SUM(sv * (LEAST(COALESCE(t1, tau), tau)
+             |    - LEAST(t0, tau))) AS BIGINT) AS rmst_milli
+             |FROM segs CROSS JOIN taus GROUP BY tau
+             |ORDER BY tau""".stripMargin)),
+
     // ----- q209: k-core decomposition (Seidman 1983) of the THINNED
     // co-purchase graph (parts linked only when they share ≥2 distinct
     // orders — the ≥2 support floor is what leaves a sparse graph

@@ -240,6 +240,80 @@ object ClassifierQueries {
         })
     },
 
+    // ----- q314: Hosmer–Lemeshow goodness-of-fit over the q128
+    // classifier's hard-sigmoid scores — the CHI-SQUARE calibration
+    // test next to q208's reliability table (bin-wise rates, no
+    // statistic) and q242's Brier (squared error, no grouping):
+    // score-decile groups via the exact-NTILE GlobalOrder.ntileRank
+    // (score, vec_id tie-break), per-group (O−E)²/(E(1−E/n)) with
+    // E = Σscore/1024 (the hard-sigmoid probability), each term ONE
+    // fixed double chain micro-snapped, the total an exact integer
+    // sum of snapped terms. Degenerate groups (E=0 or E=n) NULL out.
+    {
+      val HlG = 10
+      QueryDef(
+        "q314_hosmer_lemeshow",
+        (s, d) => {
+          import s.implicits._
+          val embs = withY(Tables.embeddings(s, d))
+          val model = LogReg.train(embs, "embedding", "y",
+            Iters, EtaDen, PosWeight)
+          val scored = LogReg
+            .scoreAll(embs, "vec_id", "embedding", "y", model)
+            .select($"vec_id", $"y", $"score")
+          val binned = graft.operators.GlobalOrder.ntileRank(
+            scored, Seq($"score".asc, $"vec_id".asc), HlG, "g")
+          val grp = binned.groupBy($"g").agg(
+            count(lit(1)).as("n"),
+            sum($"y").as("o1"),
+            sum($"score").as("se"))
+          def db(c: org.apache.spark.sql.Column) = c.cast("double")
+          val e1 = db($"se") / lit(1024.0)
+          val term = (db($"o1") - e1) * (db($"o1") - e1) /
+            (e1 * (lit(1.0) - e1 / db($"n")))
+          val per = grp.select($"g", $"n", $"o1", $"se",
+            when($"se" === 0L || $"se" === $"n" * 1024L,
+              lit(null).cast("long"))
+              .otherwise(floor(term * 1000000 + lit(0.5)).cast("long"))
+              .as("term_micro"))
+          val tot = per.agg(sum($"term_micro").as("hl_total_micro"))
+          per.crossJoin(tot).orderBy($"g")
+        },
+        Some {
+          s"""${gdCtes(Iters, None)},
+             |${finalMargins(Iters, "tr")},
+             |sc AS (
+             |  SELECT z.vec_id, l.y, ${scoreExpr("z.z")} AS score
+             |  FROM zf z JOIN lab l ON z.vec_id = l.vec_id),
+             |bn AS (
+             |  SELECT y, score,
+             |    CAST(NTILE($HlG) OVER (ORDER BY score, vec_id) AS BIGINT) AS g
+             |  FROM sc),
+             |grp AS (
+             |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(y) AS BIGINT) AS o1,
+             |    CAST(SUM(score) AS BIGINT) AS se
+             |  FROM bn GROUP BY 1),
+             |per AS (
+             |  SELECT g, n, o1, se,
+             |    CASE WHEN se = 0 OR se = n * 1024 THEN NULL
+             |      ELSE CAST(floor(
+             |        (CAST(o1 AS DOUBLE) - CAST(se AS DOUBLE) / 1024.0)
+             |        * (CAST(o1 AS DOUBLE) - CAST(se AS DOUBLE) / 1024.0)
+             |        / (CAST(se AS DOUBLE) / 1024.0
+             |          * (1.0 - CAST(se AS DOUBLE) / 1024.0
+             |            / CAST(n AS DOUBLE)))
+             |        * 1000000 + 0.5) AS BIGINT) END AS term_micro
+             |  FROM grp),
+             |tot AS (
+             |  SELECT CAST(SUM(term_micro) AS BIGINT) AS hl_total_micro
+             |  FROM per)
+             |SELECT per.g, per.n, per.o1, per.se, per.term_micro,
+             |  tot.hl_total_micro
+             |FROM per CROSS JOIN tot ORDER BY per.g""".stripMargin
+        })
+    },
+
     // ----- q136: split-conformal threshold calibration (Vovk et al.;
     // Papadopoulos ICP) — train on 60%, set the decision threshold at
     // the exact 0.9-quantile of CALIBRATION-split negative scores

@@ -192,6 +192,73 @@ object RetrievalQueries {
         })
     },
 
+    // ----- q313: average precision @ 10 — the area-under-precision
+    // retrieval metric completing the eval trio (q131 recall/MRR,
+    // q201 graded NDCG): AP = Σ_{rel hit at rank i} P@i, normalized
+    // by min(n_rel, 10). Unlike NDCG's inlined libm discounts, AP is
+    // PURE integer arithmetic end to end — each precision term an
+    // exact ppm integer division at a positive rank (DuckDB // ≡
+    // Spark DIV on positives), the running relevant-count a
+    // query-PARTITIONED window — so the metric hash-matches with
+    // zero tolerance and no precomputed constants.
+    {
+      val ApSalt = 313L
+      val ApRate = 0.02
+      val ApK = 10
+      QueryDef(
+        "q313_average_precision",
+        (s, d) => Retrieval.averagePrecisionAtK(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", ApRate, ApSalt, ApK),
+        Some {
+          val frac = Sampling.hashFractionSql("vec_id", ApSalt)
+          s"""WITH $dimsCte,
+             |probes AS MATERIALIZED (
+             |  SELECT vec_id AS qid, label AS qlabel FROM embeddings
+             |  WHERE $frac < $ApRate),
+             |dists AS MATERIALIZED (
+             |  SELECT p.qid, d.vec_id, CAST(${qDist("d", "q")} AS BIGINT) AS dist
+             |  FROM probes p
+             |  JOIN dims q ON q.vec_id = p.qid
+             |  JOIN dims d ON d.pos = q.pos AND d.vec_id <> p.qid
+             |  GROUP BY p.qid, d.vec_id),
+             |top AS MATERIALIZED (
+             |  SELECT qid, vec_id, rnk FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+             |    FROM dists) t
+             |  WHERE rnk <= $ApK),
+             |terms AS (
+             |  SELECT t.qid, t.rnk,
+             |    CASE WHEN e.label = p.qlabel THEN 1 ELSE 0 END AS rel
+             |  FROM top t
+             |  JOIN embeddings e ON e.vec_id = t.vec_id
+             |  JOIN probes p ON p.qid = t.qid),
+             |cumt AS (
+             |  SELECT qid, rnk, rel,
+             |    CAST(SUM(rel) OVER (PARTITION BY qid ORDER BY rnk
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cnt
+             |  FROM terms),
+             |ap AS (
+             |  SELECT qid,
+             |    CAST(SUM(CASE WHEN rel = 1
+             |      THEN cnt * 1000000 // rnk ELSE 0 END) AS BIGINT)
+             |      AS sum_terms
+             |  FROM cumt GROUP BY 1),
+             |nrel AS (
+             |  SELECT p.qid, CAST(count(*) AS BIGINT) AS n_rel
+             |  FROM probes p
+             |  JOIN embeddings e ON e.label = p.qlabel AND e.vec_id <> p.qid
+             |  GROUP BY 1)
+             |SELECT a.qid AS query_id,
+             |  COALESCE(n.n_rel, 0) AS n_rel,
+             |  CASE WHEN COALESCE(n.n_rel, 0) = 0 THEN 0
+             |    ELSE a.sum_terms // LEAST(n.n_rel, $ApK) END AS ap_ppm
+             |FROM ap a LEFT JOIN nrel n ON n.qid = a.qid
+             |ORDER BY query_id""".stripMargin
+        })
+    },
+
     // ----- q237: matryoshka truncation recall — how much retrieval
     // quality survives keeping only the FIRST 16 of 64 embedding dims
     // (the nested-representation deployment question: a 4× cheaper
