@@ -3730,7 +3730,88 @@ object QuantQueries {
              |  SELECT 'ALL', a.n, CAST(a.sign_all AS BIGINT),
              |    CAST(a.sign_all AS BIGINT), FALSE
              |  FROM asg a)
-             |ORDER BY grp""".stripMargin)))
+             |ORDER BY grp""".stripMargin)),
+
+    // ----- q315: ordinal association — Goodman–Kruskal gamma and
+    // BOTH Somers' D asymmetries between quantity (integral units)
+    // and discount (percent steps), the heavy-tie regime where
+    // q189's τ-b under-reads. Same hash-capped portable-order
+    // sample discipline (pair count bounded at ANY scale by design);
+    // concordant/discordant/tie counts are exact BIGINTs from one
+    // a<b broadcast pair join; the three ratios are sign-safe
+    // single-division double chains, micro-snapped, NULL on empty
+    // denominators.
+    QueryDef(
+      "q315_ordinal_association",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.lineitem(s, d).select(
+          ($"l_orderkey" * 8 + $"l_linenumber").as("rk"),
+          floor($"l_quantity" + lit(0.5)).cast("long").as("x"),
+          floor($"l_discount" * 100 + lit(0.5)).cast("long").as("y"))
+        val sample = base
+          .withColumn("hf", Sampling.hashFraction($"rk", 315L))
+          .orderBy($"hf", $"rk").limit(2000)
+          .select($"rk", $"x", $"y")
+          .localCheckpoint(true)
+        val a = sample.select($"rk".as("ra"), $"x".as("xa"), $"y".as("ya"))
+        val b = sample.select($"rk".as("rb"), $"x".as("xb"), $"y".as("yb"))
+        val agg = a.join(broadcast(b), $"ra" < $"rb").agg(
+          sum(when(($"xa" - $"xb") * ($"ya" - $"yb") > 0, 1L).otherwise(0L))
+            .as("c"),
+          sum(when(($"xa" - $"xb") * ($"ya" - $"yb") < 0, 1L).otherwise(0L))
+            .as("dd"),
+          sum(when($"xa" === $"xb" && $"ya" =!= $"yb", 1L).otherwise(0L))
+            .as("tx"),
+          sum(when($"ya" === $"yb" && $"xa" =!= $"xb", 1L).otherwise(0L))
+            .as("ty"),
+          count(lit(1)).as("n0"))
+        def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+        def ratio(den: org.apache.spark.sql.Column, nm: String) =
+          when(den === 0L, lit(null).cast("long"))
+            .otherwise(floor((d2($"c") - d2($"dd")) / d2(den)
+              * 1000000 + lit(0.5)).cast("long")).as(nm)
+        agg.select($"n0", $"c", $"dd", $"tx", $"ty",
+          ratio($"c" + $"dd", "gamma_micro"),
+          ratio($"c" + $"dd" + $"ty", "somers_yx_micro"),
+          ratio($"c" + $"dd" + $"tx", "somers_xy_micro"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT l_orderkey * 8 + l_linenumber AS rk,
+             |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+             |  FROM lineitem),
+             |sample AS MATERIALIZED (
+             |  SELECT rk, x, y FROM (
+             |    SELECT rk, x, y, ${Sampling.hashFractionSql("rk", 315L)} AS hf
+             |    FROM base)
+             |  ORDER BY hf, rk LIMIT 2000),
+             |agg AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             |    CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+             |    CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             |    CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+             |    CAST(COUNT(*) AS BIGINT) AS n0
+             |  FROM sample a JOIN sample b ON a.rk < b.rk)
+             |SELECT n0, c, dd, tx, ty,
+             |  CASE WHEN c + dd = 0 THEN NULL
+             |    ELSE CAST(floor((CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))
+             |      / CAST(c + dd AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |    END AS gamma_micro,
+             |  CASE WHEN c + dd + ty = 0 THEN NULL
+             |    ELSE CAST(floor((CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))
+             |      / CAST(c + dd + ty AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |    END AS somers_yx_micro,
+             |  CASE WHEN c + dd + tx = 0 THEN NULL
+             |    ELSE CAST(floor((CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))
+             |      / CAST(c + dd + tx AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |    END AS somers_xy_micro
+             |FROM agg""".stripMargin)))
 
   /** χ²(1) upper-tail thresholds for the q307 BH boundary k·α/m
     * (α = 0.05, m = 25 nations), pre-inverted ONCE offline (bisection

@@ -35,7 +35,7 @@ object RiskQueries {
     * grid — the q266 alignment, verbatim (nation-PARTITIONED lag,
     * never a global window).
     */
-  private def nationDeltas(s: SparkSession, d: String) = {
+  private def nationGrid(s: SparkSession, d: String) = {
     import s.implicits._
     val rev = Tables.orders(s, d)
       .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
@@ -46,9 +46,14 @@ object RiskQueries {
       .localCheckpoint(true) // grid + distinct legs read it
     val days = rev.select($"day").distinct()
     val nats = rev.select($"n_name").distinct()
-    val grid = broadcast(nats).crossJoin(days)
+    (rev, broadcast(nats).crossJoin(days)
       .join(rev, Seq("n_name", "day"), "left")
-      .withColumn("xq", coalesce($"xq", lit(0L)))
+      .withColumn("xq", coalesce($"xq", lit(0L))))
+  }
+
+  private def nationDeltas(s: SparkSession, d: String) = {
+    import s.implicits._
+    val (_, grid) = nationGrid(s, d)
     val w = Window.partitionBy($"n_name").orderBy($"day")
     grid.withColumn("dx", $"xq" - lag($"xq", 1).over(w))
       .filter($"dx".isNotNull)
@@ -827,6 +832,172 @@ object RiskQueries {
              |  CASE WHEN m2 <= 0 THEN NULL
              |    ELSE CAST(floor(nd / 6.0 * (skew * skew + exk * exk / 4.0)
              |      * 1000000 + 0.5) AS BIGINT) END AS jb_micro
-             |FROM st ORDER BY n_name""".stripMargin))
+             |FROM st ORDER BY n_name""".stripMargin)),
+
+    // ----- q317: SAX motif census of the daily-revenue series —
+    // symbolic aggregate discretization (Lin et al. 2003) with
+    // EMPIRICAL quartile breakpoints (exact-NTILE rank buckets →
+    // alphabet a–d; no Gaussian table, no libm) and a 3-gram motif
+    // frequency table: the "which short shapes recur" time-series
+    // pattern-mining member next to q261's periodogram (spectral)
+    // and q262's changepoint (level shifts). Symbolization is an
+    // exact rank operation (ntileRank ≡ SQL NTILE, xq/day
+    // tie-break); the trigram shift is a zipRank self-join (no
+    // global window); counts exact.
+    QueryDef(
+      "q317_sax_motifs",
+      (s, d) => {
+        import s.implicits._
+        val ser = dailyCents(s, d)
+        val binned = graft.operators.GlobalOrder.ntileRank(
+          ser, Seq($"xq".asc, $"day".asc), 4, "g")
+        val sym = binned.select($"day",
+          expr("substring('abcd', CAST(g AS INT), 1)").as("sy"))
+        val rk = graft.operators.GlobalOrder.zipRank(sym.sort($"day"), "rk")
+          .localCheckpoint(true) // three shifted copies read it
+        val s1 = rk.select($"rk".as("r1"), $"sy".as("sy1"))
+        val s2 = rk.select($"rk".as("r2"), $"sy".as("sy2"))
+        rk.join(s1, $"r1" === $"rk" + 1L)
+          .join(s2, $"r2" === $"rk" + 2L)
+          .select(concat($"sy", $"sy1", $"sy2").as("motif"))
+          .groupBy($"motif").agg(count(lit(1)).as("cnt"))
+          .orderBy($"motif")
+      },
+      Some(s"""WITH $dailySql,
+             |bn AS (
+             |  SELECT day,
+             |    CAST(NTILE(4) OVER (ORDER BY xq, day) AS BIGINT) AS g
+             |  FROM ser),
+             |sym AS (
+             |  SELECT day, substr('abcd', CAST(g AS INT), 1) AS sy FROM bn),
+             |rkd AS (
+             |  SELECT sy, ROW_NUMBER() OVER (ORDER BY day) AS rk FROM sym),
+             |tri AS (
+             |  SELECT a.sy || b.sy || c.sy AS motif
+             |  FROM rkd a
+             |  JOIN rkd b ON b.rk = a.rk + 1
+             |  JOIN rkd c ON c.rk = a.rk + 2)
+             |SELECT motif, CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM tri GROUP BY 1 ORDER BY motif""".stripMargin)),
+
+    // ----- q318: pairs-trading spread (Engle–Granger step 1)
+    // between the two LARGEST nation revenue series — hedge-ratio
+    // OLS of y on x over the aligned zero-filled grid, exact
+    // integer milli residuals under the q267 fdiv slope/intercept
+    // convention, and the spread-breach count |e − ē| > 2σ_e as a
+    // CROSS-MULTIPLIED exact integer comparison
+    // ((n·e − Σe)² > 4·(n·Σe² − (Σe)²)) — no sqrt, no tolerance.
+    // Pair selection is deterministic (total revenue desc, name
+    // tie-break; a 2-row driver-bounded collect, the q136 class).
+    QueryDef(
+      "q318_pairs_spread",
+      (s, d) => {
+        import s.implicits._
+        val (rev, grid) = nationGrid(s, d)
+        val top = rev.groupBy($"n_name").agg(sum($"xq").as("t"))
+          .orderBy($"t".desc, $"n_name").limit(2).collect()
+        val (natX, natY) = (top(0).getString(0), top(1).getString(0))
+        val xs = grid.filter($"n_name" === natX)
+          .select($"day", $"xq".as("x"))
+        val ys = grid.filter($"n_name" === natY)
+          .select($"day", $"xq".as("y"))
+        val xy = xs.join(ys, "day").localCheckpoint(true) // two passes
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val mo = xy.agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum(dec($"x") * $"x").as("sxx"),
+          sum(dec($"x") * $"y").as("sxy"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val co = mo.select($"n", $"sx", $"sy",
+          floor(db(dec($"n") * $"sxy" - dec($"sx") * $"sy")
+            / db(dec($"n") * $"sxx" - dec($"sx") * $"sx") * 1000)
+            .cast("long").as("slope_milli"))
+        val c2 = co.select($"n", $"slope_milli",
+          floor(db(dec(lit(1000)) * $"sy" - dec($"slope_milli") * $"sx")
+            / db($"n")).cast("long").as("intercept_milli"))
+        val res = xy.crossJoin(c2)
+          .select($"n", $"slope_milli", $"intercept_milli",
+            (lit(1000L) * $"y" - $"intercept_milli"
+              - $"slope_milli" * $"x").as("e"))
+        val s2 = res.groupBy($"n", $"slope_milli", $"intercept_milli").agg(
+          count(lit(1)).as("n2"),
+          sum($"e").as("se"),
+          sum(dec($"e") * $"e").as("se2"))
+        val lhs = dec($"n2") * $"e" - $"se"
+        val br = res.select($"e").crossJoin(s2)
+          .agg(sum(when(lhs * lhs >
+              dec(lit(4)) * (dec($"n2") * $"se2" - dec($"se") * $"se"), 1L)
+            .otherwise(0L)).as("n_breach"))
+        c2.select(lit(natX).as("nat_x"), lit(natY).as("nat_y"),
+            $"n", $"slope_milli", $"intercept_milli")
+          .crossJoin(br)
+      },
+      Some(s"""WITH rev AS (
+             |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS xq
+             |  FROM orders o
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT na.n_name, dy.day, COALESCE(r.xq, 0) AS xq
+             |  FROM (SELECT DISTINCT n_name FROM rev) na
+             |  CROSS JOIN (SELECT DISTINCT day FROM rev) dy
+             |  LEFT JOIN rev r ON r.n_name = na.n_name AND r.day = dy.day),
+             |tot AS (SELECT n_name, CAST(SUM(xq) AS BIGINT) AS t
+             |        FROM rev GROUP BY 1),
+             |pick AS (SELECT n_name,
+             |    ROW_NUMBER() OVER (ORDER BY t DESC, n_name) AS pr
+             |  FROM tot),
+             |xy AS (
+             |  SELECT gx.day, gx.xq AS x, gy.xq AS y
+             |  FROM grid gx
+             |  JOIN pick px ON px.n_name = gx.n_name AND px.pr = 1
+             |  JOIN grid gy ON gy.day = gx.day
+             |  JOIN pick py ON py.n_name = gy.n_name AND py.pr = 2),
+             |mo AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+             |  FROM xy),
+             |co AS (
+             |  SELECT n, sx, sy,
+             |    CAST(floor(CAST(CAST(n AS HUGEINT) * sxy
+             |        - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             |      / CAST(CAST(n AS HUGEINT) * sxx
+             |        - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             |      * 1000) AS BIGINT) AS slope_milli
+             |  FROM mo),
+             |c2 AS (
+             |  SELECT n, slope_milli,
+             |    CAST(floor(CAST(CAST(1000 AS HUGEINT) * sy
+             |        - CAST(slope_milli AS HUGEINT) * sx AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_milli
+             |  FROM co),
+             |res AS (
+             |  SELECT 1000 * xy.y - c2.intercept_milli
+             |    - c2.slope_milli * xy.x AS e
+             |  FROM xy CROSS JOIN c2),
+             |s2 AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+             |    CAST(SUM(e) AS BIGINT) AS se,
+             |    SUM(CAST(e AS HUGEINT) * e) AS se2
+             |  FROM res),
+             |br AS (
+             |  SELECT CAST(SUM(CASE WHEN
+             |      (CAST(n2 AS HUGEINT) * e - se)
+             |        * (CAST(n2 AS HUGEINT) * e - se)
+             |      > 4 * (CAST(n2 AS HUGEINT) * se2
+             |        - CAST(se AS HUGEINT) * se)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_breach
+             |  FROM res CROSS JOIN s2)
+             |SELECT px.n_name AS nat_x, py.n_name AS nat_y,
+             |  c2.n, c2.slope_milli, c2.intercept_milli, br.n_breach
+             |FROM (SELECT n_name FROM pick WHERE pr = 1) px
+             |CROSS JOIN (SELECT n_name FROM pick WHERE pr = 2) py
+             |CROSS JOIN c2 CROSS JOIN br""".stripMargin))
   )
 }

@@ -1083,7 +1083,75 @@ object TextQueries {
              |  CAST((2000 * CAST(SUM(GREATEST(nt - context_len, 0)) AS BIGINT)
              |      + CAST(SUM(nt) AS BIGINT))
              |    // (2 * CAST(SUM(nt) AS BIGINT)) AS BIGINT) AS loss_milli
-             |FROM sc GROUP BY 1 ORDER BY context_len""".stripMargin))
+             |FROM sc GROUP BY 1 ORDER BY context_len""".stripMargin)),
+
+    // ----- q316: Flesch-style readability scoring per (source,
+    // lang) — the READABILITY member of the quality family (q25
+    // ratio score, q128 learned filter): FRE = 206.835 − 1.015·
+    // (words/sentence) − 84.6·(syllables/word), with the corpus's
+    // punctuation-free docs taking the doc-as-sentence convention
+    // (documented; the machinery is the per-word syllable counter).
+    // Syllables = vowel-group runs via a marker regexp (min 1 per
+    // word — the standard heuristic), exact integer totals on both
+    // engines; FRE is ONE double chain over the exact counts,
+    // micro-snapped.
+    QueryDef(
+      "q316_readability",
+      (s, d) => {
+        import s.implicits._
+        val words = Tables.documents(s, d)
+          .select($"doc_id", $"source", $"lang",
+            explode(split($"text", " ")).as("w"))
+          .filter(length($"w") > 0)
+        val marked = words.withColumn("r",
+          regexp_replace(lower($"w"), "[aeiouy]+", "#"))
+        val syl = marked.withColumn("runs",
+          (length($"r") - length(translate($"r", "#", ""))).cast("long"))
+          .withColumn("syl", greatest(lit(1L), $"runs"))
+        val perDoc = syl.groupBy($"doc_id", $"source", $"lang").agg(
+          count(lit(1)).as("nw"), sum($"syl").as("ns"))
+        val grp = perDoc.groupBy($"source", $"lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"nw").as("n_words"),
+          sum($"ns").as("n_syllables"))
+        def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+        grp.select($"source", $"lang", $"n_docs", $"n_words", $"n_syllables",
+            floor((lit(206.835)
+              - lit(1.015) * (d2($"n_words") / d2($"n_docs"))
+              - lit(84.6) * (d2($"n_syllables") / d2($"n_words")))
+              * 1000000 + lit(0.5)).cast("long").as("fre_micro"))
+          .orderBy($"source", $"lang")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, source, lang, w
+             |  FROM (SELECT doc_id, source, lang,
+             |          unnest(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  WHERE length(w) > 0),
+             |syl AS (
+             |  SELECT doc_id, source, lang,
+             |    GREATEST(1, length(r) - length(replace(r, '#', ''))) AS syl
+             |  FROM (SELECT doc_id, source, lang,
+             |          regexp_replace(lower(w), '[aeiouy]+', '#', 'g') AS r
+             |        FROM words)),
+             |per_doc AS (
+             |  SELECT doc_id, source, lang,
+             |    CAST(COUNT(*) AS BIGINT) AS nw,
+             |    CAST(SUM(syl) AS BIGINT) AS ns
+             |  FROM syl GROUP BY 1, 2, 3),
+             |grp AS (
+             |  SELECT source, lang,
+             |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(nw) AS BIGINT) AS n_words,
+             |    CAST(SUM(ns) AS BIGINT) AS n_syllables
+             |  FROM per_doc GROUP BY 1, 2)
+             |SELECT source, lang, n_docs, n_words, n_syllables,
+             |  CAST(floor((206.835
+             |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+             |      / CAST(n_words AS DOUBLE)))
+             |    * 1000000 + 0.5) AS BIGINT) AS fre_micro
+             |FROM grp ORDER BY source, lang""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]] — the q127
