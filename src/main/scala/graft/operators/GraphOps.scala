@@ -582,6 +582,99 @@ object GraphOps {
     x.select(col("v").as("id"), col("x").as("katz"))
   }
 
+  /** Eigenvector centrality by the normalized power method over the
+    * UNDIRECTED edge list: `iterations` of x ← A·x followed by an
+    * L1 renormalization to mean 1 (x·N/Σx — sum-norm, so no sqrt and
+    * no libm anywhere). The PRESTIGE axis next to [[katz]] (which
+    * adds the +1 volume floor and never normalizes): a node is
+    * central here exactly when its neighbors are.
+    *
+    * Determinism: cross-node sums quantize to integer multiples of
+    * 2⁻³⁰ — coarser than [[pageRank]]'s 2⁻⁴⁰ deliberately, because
+    * the UNNORMALIZED global sum Σc reaches Q·2|E| and must stay
+    * below 2⁶³ for the HUGEINT→DOUBLE cast to be exact on both
+    * engines (the q267 headroom discipline: 2³⁰·2|E| < 2⁶³ holds to
+    * ~4e9 edges). Both the per-node quotient and the node-count
+    * factor are ONE identical IEEE chain per round, replayable as
+    * unrolled CTEs. Returns (id, eig) with mean(eig) = 1.
+    *
+    * Scale shape: one symmetric edge shuffle ever (checkpointed);
+    * per-round traffic node-sized with map-side partials; the
+    * normalizer is a 1-row aggregate cross-joined back (never a
+    * driver round-trip inside the loop).
+    */
+  def eigenvectorCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "iterations >= 1")
+    val Q = 1073741824L              // 2^30
+    val und = orient(edges, srcCol, dstCol)
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = dir.select(col("src").cast("long").as("v")).distinct()
+    val nCnt = nodes.agg(count(lit(1)).as("nn"))
+      .localCheckpoint(true)         // 1 row, re-read every round
+    var x = nodes.withColumn("x", lit(1.0).cast("double"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val c = dir.join(x.select(col("x"), col("v").as("src")), "src")
+        .groupBy(col("dst").cast("long").as("v"))
+        .agg(sum(floor(col("x") * Q).cast("long")).as("c"))
+      val sTot = c.agg(sum(col("c").cast("decimal(38,0)")).as("s"))
+      x = c.crossJoin(sTot).crossJoin(nCnt)
+        .select(col("v"),
+          (col("c").cast("double") / col("s").cast("double")
+            * col("nn").cast("double")).as("x"))
+        .localCheckpoint(true)
+    }
+    x.select(col("v").as("id"), col("x").as("eig"))
+  }
+
+  /** Per-node local clustering coefficient over the UNDIRECTED edge
+    * list: cc(v) = 2·T(v)/(deg(v)·(deg(v)−1)), with T(v) counted by
+    * the wedge-closure join (each unordered neighbor pair (x<y) of v
+    * checked against the normalized edge set once — orientation-free,
+    * so the oracle replays the identical enumeration). The per-node
+    * refinement of [[triangleStats]]'s single global coefficient.
+    * cc is an EXACT integer ppm division (2·T·1e6 DIV deg·(deg−1),
+    * positives only), NULL for deg < 2. Returns
+    * (id, deg, n_tri, cc_ppm).
+    *
+    * Scale shape: the wedge join is Σ deg² pairs — on the support-
+    * thinned graphs this library feeds it (the q209/q77 convention)
+    * that is near-linear; the closure probe joins against the
+    * normalized edge list, shuffle-keyed, never collected.
+    */
+  def localClustering(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e0 = orient(edges, srcCol, dstCol).localCheckpoint(true)
+    val dir = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)         // degree pass + two wedge sides
+    val deg = dir.groupBy(col("src").cast("long").as("v"))
+      .agg(count(lit(1)).as("deg"))
+    val tri = dir.as("n1")
+      .join(dir.as("n2"),
+        col("n1.src") === col("n2.src") && col("n1.dst") < col("n2.dst"))
+      .join(e0.as("t"),
+        col("t.a") === col("n1.dst") && col("t.b") === col("n2.dst"))
+      .groupBy(col("n1.src").cast("long").as("v"))
+      .agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("v"), "left")
+      .select(col("v").as("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            "2 * coalesce(n_tri, 0) * 1000000 DIV (deg * (deg - 1))"))
+          .as("cc_ppm"))
+  }
+
   /** Personalized PageRank (random walk with restart) over the
     * UNDIRECTED edge list: the teleport mass lands ONLY on `seeds`
     * (uniformly), so ranks measure proximity TO THE SEED SET rather

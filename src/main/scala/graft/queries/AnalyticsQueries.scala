@@ -1057,6 +1057,110 @@ object AnalyticsQueries {
              |FROM segs CROSS JOIN taus GROUP BY tau
              |ORDER BY tau""".stripMargin)),
 
+    // ----- q319: eigenvector centrality (normalized power method)
+    // on the thinned co-purchase graph — the PRESTIGE axis
+    // completing the centrality family: q99 PageRank (damped,
+    // degree-split), q290 Katz (attenuated walk volume, +1 floor),
+    // q210 HITS (bipartite hubs/authorities). Four rounds of
+    // x ← A·x, L1-renormalized to mean 1 each round (sum-norm — no
+    // sqrt, no libm); 2^-30-quantized cross-node sums keep the
+    // global normalizer exactly castable on both engines (headroom
+    // documented in the operator). The oracle unrolls the identical
+    // recurrence.
+    QueryDef(
+      "q319_eigenvector_centrality",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+        GraphOps.eigenvectorCentrality(e, "pa", "pb", iterations = 4)
+          .select($"id".as("p_partkey"),
+            floor($"eig" * 1e6 + lit(0.5)).cast("long").as("eig_micro"))
+          .orderBy($"p_partkey")
+      },
+      Some {
+        val Q = 1073741824L
+        def round(i: Int): String =
+          s"""c$i AS MATERIALIZED (
+             |  SELECT CAST(d.dst AS BIGINT) AS v,
+             |    CAST(SUM(CAST(floor(x.x * $Q) AS BIGINT)) AS BIGINT) AS c
+             |  FROM dir d JOIN x${i - 1} x ON d.src = x.v GROUP BY 1),
+             |s$i AS (SELECT SUM(CAST(c AS HUGEINT)) AS s FROM c$i),
+             |x$i AS (
+             |  SELECT c$i.v,
+             |    CAST(c$i.c AS DOUBLE) / CAST(s$i.s AS DOUBLE)
+             |      * CAST(nodes.nn AS DOUBLE) AS x
+             |  FROM c$i CROSS JOIN s$i CROSS JOIN nodes)""".stripMargin
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |e0 AS (
+           |  SELECT a.l_partkey AS a, b.l_partkey AS b FROM li a
+           |  JOIN li b ON a.l_orderkey = b.l_orderkey
+           |   AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           |        UNION ALL SELECT b, a FROM e0),
+           |nodes AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS nn
+           |          FROM dir),
+           |x0 AS (SELECT DISTINCT CAST(src AS BIGINT) AS v,
+           |         CAST(1.0 AS DOUBLE) AS x FROM dir),
+           |${(1 to 4).map(round).mkString(",\n")}
+           |SELECT v AS p_partkey,
+           |  CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS eig_micro
+           |FROM x4 ORDER BY p_partkey""".stripMargin
+      }),
+
+    // ----- q320: per-node local clustering coefficient on the
+    // thinned co-purchase graph — the NODE-grain refinement of
+    // q77's single global coefficient: cc(v) = 2·T(v)/(deg(v)·
+    // (deg(v)−1)) with triangles-at-v counted by an orientation-free
+    // wedge-closure join (each unordered neighbor pair checked
+    // against the normalized edge set once), so the oracle replays
+    // the identical enumeration. cc is an exact integer ppm
+    // division; deg < 2 rows are NULL. "Which parts sit in locally
+    // dense co-purchase pockets" — the micro-cohesion signal q249's
+    // rich-club reads only at the hub tail.
+    QueryDef(
+      "q320_local_clustering",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2).select($"pa", $"pb")
+        GraphOps.localClustering(e, "pa", "pb")
+          .select($"id".as("p_partkey"), $"deg", $"n_tri", $"cc_ppm")
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS (
+             |  SELECT a.l_partkey AS a, b.l_partkey AS b FROM li a
+             |  JOIN li b ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+             |        UNION ALL SELECT b, a FROM e0),
+             |deg AS (SELECT CAST(src AS BIGINT) AS v,
+             |    CAST(COUNT(*) AS BIGINT) AS deg
+             |  FROM dir GROUP BY 1),
+             |tri AS (
+             |  SELECT CAST(n1.src AS BIGINT) AS v,
+             |    CAST(COUNT(*) AS BIGINT) AS n_tri
+             |  FROM dir n1
+             |  JOIN dir n2 ON n1.src = n2.src AND n1.dst < n2.dst
+             |  JOIN e0 t ON t.a = n1.dst AND t.b = n2.dst
+             |  GROUP BY 1)
+             |SELECT d.v AS p_partkey, d.deg,
+             |  COALESCE(t.n_tri, 0) AS n_tri,
+             |  CASE WHEN d.deg < 2 THEN NULL
+             |    ELSE 2 * COALESCE(t.n_tri, 0) * 1000000
+             |      // (d.deg * (d.deg - 1)) END AS cc_ppm
+             |FROM deg d LEFT JOIN tri t ON t.v = d.v
+             |ORDER BY p_partkey""".stripMargin)),
+
     // ----- q209: k-core decomposition (Seidman 1983) of the THINNED
     // co-purchase graph (parts linked only when they share ≥2 distinct
     // orders — the ≥2 support floor is what leaves a sparse graph
