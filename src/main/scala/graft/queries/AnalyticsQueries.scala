@@ -1057,6 +1057,119 @@ object AnalyticsQueries {
              |FROM segs CROSS JOIN taus GROUP BY tau
              |ORDER BY tau""".stripMargin)),
 
+    // ----- q322: Weibull survival fit by the ln(−ln S) probability
+    // plot — the PARAMETRIC member next to q165's nonparametric KM
+    // and q276's semi-parametric Cox: regress ln(−ln S(t)) on ln t
+    // over the interior KM points (0 < S < 1, t ≥ 1); the slope IS
+    // the Weibull shape k (k < 1 ⇒ churn hazard falls with tenure),
+    // and −β₀/β₁ recovers ln λ. Both logs are r4-snapped per point
+    // (the q165 libm discipline), moments then EXACT integer sums,
+    // shape/scale ONE double chain each, NULL on degenerate frames.
+    QueryDef(
+      "q322_weibull_fit",
+      (s, d) => {
+        import s.implicits._
+        val km = graft.operators.Survival
+          .kaplanMeier(Tables.events(s, d), "user_id", "ts")
+        val pts = km
+          .filter($"surv_milli" > 0 && $"surv_milli" < 1000 && $"t_day" >= 1)
+          .select(
+            floor(log($"t_day".cast("double")) * 10000 + lit(0.5))
+              .cast("long").as("lx"),
+            floor(log(lit(0.0)
+                - log($"surv_milli".cast("double") / lit(1000.0)))
+              * 10000 + lit(0.5)).cast("long").as("ly"))
+        val mo = pts.agg(count(lit(1)).as("n"),
+          sum($"lx").as("sx"), sum($"ly").as("sy"),
+          sum($"lx" * $"lx").as("sxx"), sum($"lx" * $"ly").as("sxy"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val den = db($"n") * db($"sxx") - db($"sx") * db($"sx")
+        val b1 = (db($"n") * db($"sxy") - db($"sx") * db($"sy")) / den
+        val bad = $"n" < 2 || den === 0.0
+        mo.select($"n".as("n_pts"),
+          when(bad, lit(null).cast("long"))
+            .otherwise(floor(b1 * 1000000 + lit(0.5)).cast("long"))
+            .as("shape_micro"),
+          when(bad || b1 === 0.0, lit(null).cast("long"))
+            .otherwise(floor((lit(0.0)
+                - (db($"sy") / db($"n") - b1 * (db($"sx") / db($"n"))) / b1)
+              * 100.0 + lit(0.5)).cast("long"))
+            .as("lnlam_micro"))
+      },
+      Some(s"""WITH pu AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+             |    MAX(CAST(ts AS DATE)) AS ld
+             |  FROM events GROUP BY 1),
+             |hz AS (SELECT MAX(ld) AS endd FROM pu),
+             |lif AS (
+             |  SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+             |    CASE WHEN date_diff('day', ld, endd)
+             |      > ${graft.operators.Survival.CensorDays}
+             |      THEN 1 ELSE 0 END AS ev
+             |  FROM pu, hz),
+             |byt AS (
+             |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             |    CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+             |  FROM lif GROUP BY t),
+             |risk AS (
+             |  SELECT t, d, c,
+             |    CAST(SUM(d + c) OVER (ORDER BY t DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n_risk
+             |  FROM byt),
+             |fac AS (
+             |  SELECT t, d, n_risk,
+             |    CASE WHEN d < n_risk THEN
+             |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+             |        / CAST(n_risk AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+             |    ELSE NULL END AS lnq
+             |  FROM risk),
+             |cum AS (
+             |  SELECT t, d, n_risk,
+             |    CAST(SUM(lnq) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS lnq_cum
+             |  FROM fac),
+             |kmf AS (
+             |  SELECT t,
+             |    CASE WHEN d = n_risk THEN 0
+             |      ELSE CAST(floor(exp(CAST(lnq_cum AS DOUBLE) / 10000.0)
+             |        * 1000 + 0.5) AS BIGINT) END AS sv
+             |  FROM cum),
+             |pts AS (
+             |  SELECT
+             |    CAST(floor(ln(CAST(t AS DOUBLE)) * 10000 + 0.5)
+             |      AS BIGINT) AS lx,
+             |    CAST(floor(ln(0.0 - ln(CAST(sv AS DOUBLE) / 1000.0))
+             |      * 10000 + 0.5) AS BIGINT) AS ly
+             |  FROM kmf WHERE sv > 0 AND sv < 1000 AND t >= 1),
+             |mo AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(lx) AS BIGINT) AS sx,
+             |    CAST(SUM(ly) AS BIGINT) AS sy,
+             |    CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+             |    CAST(SUM(lx * ly) AS BIGINT) AS sxy
+             |  FROM pts),
+             |ch AS (
+             |  SELECT n,
+             |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b1,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             |    CAST(n AS DOUBLE) AS nd
+             |  FROM mo)
+             |SELECT n AS n_pts,
+             |  CASE WHEN n < 2 OR den = 0.0 THEN NULL
+             |    ELSE CAST(floor(b1 * 1000000 + 0.5) AS BIGINT)
+             |    END AS shape_micro,
+             |  CASE WHEN n < 2 OR den = 0.0 OR b1 = 0.0 THEN NULL
+             |    ELSE CAST(floor((0.0 - (syd / nd - b1 * (sxd / nd)) / b1)
+             |      * 100.0 + 0.5) AS BIGINT) END AS lnlam_micro
+             |FROM ch""".stripMargin)),
+
     // ----- q319: eigenvector centrality (normalized power method)
     // on the thinned co-purchase graph — the PRESTIGE axis
     // completing the centrality family: q99 PageRank (damped,

@@ -3811,6 +3811,187 @@ object QuantQueries {
              |    ELSE CAST(floor((CAST(c AS DOUBLE) - CAST(dd AS DOUBLE))
              |      / CAST(c + dd + tx AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
              |    END AS somers_xy_micro
+             |FROM agg""".stripMargin)),
+
+    // ----- q321: Mantel–Haenszel stratified 2×2 analysis — the
+    // CONFOUNDER-ADJUSTED association member next to q307's marginal
+    // χ² tests and q303's Simpson detector (which flags the reversal
+    // this estimator corrects): exposure = BUILDING segment,
+    // outcome = negative balance, strata = region. The MH common
+    // odds ratio Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) and the CMH statistic
+    // (Σaᵢ−ΣEᵢ)²/ΣVᵢ use per-stratum micro-snapped rationals (the
+    // q165 per-factor snap discipline: strata-count-bounded, so the
+    // integer sums are order-free), one double chain each at the
+    // end. Counts exact; degenerate denominators NULL.
+    QueryDef(
+      "q321_mantel_haenszel",
+      (s, d) => {
+        import s.implicits._
+        val fl = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"r_name",
+            ($"c_mktsegment" === "BUILDING").as("exp"),
+            ($"c_acctbal" < 0).as("out"))
+        val strat = fl.groupBy($"r_name").agg(
+          sum(when($"exp" && $"out", 1L).otherwise(0L)).as("a"),
+          sum(when($"exp" && !$"out", 1L).otherwise(0L)).as("b"),
+          sum(when(!$"exp" && $"out", 1L).otherwise(0L)).as("c"),
+          sum(when(!$"exp" && !$"out", 1L).otherwise(0L)).as("d"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val n = $"a" + $"b" + $"c" + $"d"
+        val (r1, r0) = ($"a" + $"b", $"c" + $"d")
+        val (c1, c0) = ($"a" + $"c", $"b" + $"d")
+        val per = strat.select($"a",
+          floor(db($"a") * db($"d") / db(n) * 1000000 + lit(0.5))
+            .cast("long").as("rnum"),
+          floor(db($"b") * db($"c") / db(n) * 1000000 + lit(0.5))
+            .cast("long").as("rden"),
+          floor(db(r1) * db(c1) / db(n) * 1000000 + lit(0.5))
+            .cast("long").as("e"),
+          floor(db(r1) * db(r0) * db(c1) * db(c0)
+            / (db(n) * db(n) * (db(n) - lit(1.0))) * 1000000 + lit(0.5))
+            .cast("long").as("v"))
+        val agg = per.agg(count(lit(1)).as("n_strata"),
+          sum($"a" * 1000000L).as("sa"),
+          sum($"rnum").as("sr"), sum($"rden").as("ss"),
+          sum($"e").as("se"), sum($"v").as("sv"))
+        agg.select($"n_strata",
+          ($"sa" - $"se").as("excess_micro"),
+          when($"ss" === 0L, lit(null).cast("long"))
+            .otherwise(floor(db($"sr") / db($"ss") * 1000000 + lit(0.5))
+              .cast("long")).as("mh_or_micro"),
+          when($"sv" === 0L, lit(null).cast("long"))
+            .otherwise(floor(db($"sa" - $"se") * db($"sa" - $"se")
+                / (lit(1000000.0) * db($"sv")) * 1000000 + lit(0.5))
+              .cast("long")).as("cmh_chi2_micro"))
+      },
+      Some("""WITH fl AS (
+             |  SELECT r.r_name,
+             |    c.c_mktsegment = 'BUILDING' AS exp,
+             |    c.c_acctbal < 0 AS outc
+             |  FROM customer c
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+             |strat AS (
+             |  SELECT r_name,
+             |    CAST(SUM(CASE WHEN exp AND outc THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS a,
+             |    CAST(SUM(CASE WHEN exp AND NOT outc THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS b,
+             |    CAST(SUM(CASE WHEN NOT exp AND outc THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c,
+             |    CAST(SUM(CASE WHEN NOT exp AND NOT outc THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS d
+             |  FROM fl GROUP BY 1),
+             |per AS (
+             |  SELECT a,
+             |    CAST(floor(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+             |      / CAST(a + b + c + d AS DOUBLE) * 1000000 + 0.5)
+             |      AS BIGINT) AS rnum,
+             |    CAST(floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+             |      / CAST(a + b + c + d AS DOUBLE) * 1000000 + 0.5)
+             |      AS BIGINT) AS rden,
+             |    CAST(floor(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+             |      / CAST(a + b + c + d AS DOUBLE) * 1000000 + 0.5)
+             |      AS BIGINT) AS e,
+             |    CAST(floor(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+             |      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+             |      / (CAST(a + b + c + d AS DOUBLE)
+             |         * CAST(a + b + c + d AS DOUBLE)
+             |         * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+             |      * 1000000 + 0.5) AS BIGINT) AS v
+             |  FROM strat),
+             |agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+             |    CAST(SUM(a * 1000000) AS BIGINT) AS sa,
+             |    CAST(SUM(rnum) AS BIGINT) AS sr,
+             |    CAST(SUM(rden) AS BIGINT) AS ss,
+             |    CAST(SUM(e) AS BIGINT) AS se,
+             |    CAST(SUM(v) AS BIGINT) AS sv
+             |  FROM per)
+             |SELECT n_strata,
+             |  sa - se AS excess_micro,
+             |  CASE WHEN ss = 0 THEN NULL
+             |    ELSE CAST(floor(CAST(sr AS DOUBLE) / CAST(ss AS DOUBLE)
+             |      * 1000000 + 0.5) AS BIGINT) END AS mh_or_micro,
+             |  CASE WHEN sv = 0 THEN NULL
+             |    ELSE CAST(floor(CAST(sa - se AS DOUBLE)
+             |      * CAST(sa - se AS DOUBLE)
+             |      / (1000000.0 * CAST(sv AS DOUBLE))
+             |      * 1000000 + 0.5) AS BIGINT) END AS cmh_chi2_micro
+             |FROM agg""".stripMargin)),
+
+    // ----- q323: prospective power analysis — the two-proportion
+    // sample-size calculation an experimentation program runs BEFORE
+    // q167's z-test reads anything: n per arm =
+    // (z_{α/2}+z_β)²·(p₁q₁+p₂q₂)/(p₁−p₂)² at α=0.05, power=0.8,
+    // with the observed BUILDING-vs-rest negative-balance rates as
+    // the planning effect. The two normal quantiles are INLINED
+    // literal constants (identical text both engines — the q201
+    // libm-snap discipline); rates and the chain are ONE double
+    // sequence over exact counts, NULL when the observed effect is
+    // zero.
+    QueryDef(
+      "q323_power_sample_size",
+      (s, d) => {
+        import s.implicits._
+        val fl = Tables.customer(s, d).select(
+          ($"c_mktsegment" === "BUILDING").as("exp"),
+          ($"c_acctbal" < 0).as("out"))
+        val agg = fl.agg(
+          sum(when($"exp", 1L).otherwise(0L)).as("n1"),
+          sum(when($"exp" && $"out", 1L).otherwise(0L)).as("k1"),
+          sum(when(!$"exp", 1L).otherwise(0L)).as("n2"),
+          sum(when(!$"exp" && $"out", 1L).otherwise(0L)).as("k2"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val p1 = db($"k1") / db($"n1")
+        val p2 = db($"k2") / db($"n2")
+        val zsum = lit(1.959963984540054) + lit(0.8416212335729143)
+        val nreq = zsum * zsum *
+          (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)) /
+          ((p1 - p2) * (p1 - p2))
+        agg.select($"n1", $"k1", $"n2", $"k2",
+          floor(p1 * 1000000 + lit(0.5)).cast("long").as("p1_micro"),
+          floor(p2 * 1000000 + lit(0.5)).cast("long").as("p2_micro"),
+          when(p1 === p2, lit(null).cast("long"))
+            .otherwise(ceil(nreq).cast("long")).as("n_per_arm"))
+      },
+      Some("""WITH fl AS (
+             |  SELECT c_mktsegment = 'BUILDING' AS exp,
+             |    c_acctbal < 0 AS outc
+             |  FROM customer),
+             |agg AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN exp THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN exp AND outc THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS k1,
+             |    CAST(SUM(CASE WHEN NOT exp THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n2,
+             |    CAST(SUM(CASE WHEN NOT exp AND outc THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS k2
+             |  FROM fl)
+             |SELECT n1, k1, n2, k2,
+             |  CAST(floor(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |    * 1000000 + 0.5) AS BIGINT) AS p1_micro,
+             |  CAST(floor(CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+             |    * 1000000 + 0.5) AS BIGINT) AS p2_micro,
+             |  CASE WHEN CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |      = CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE) THEN NULL
+             |    ELSE CAST(ceil(
+             |      (1.959963984540054 + 0.8416212335729143)
+             |      * (1.959963984540054 + 0.8416212335729143)
+             |      * (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |          * (1.0 - CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |        + CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+             |          * (1.0 - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             |      / ((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |          - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             |        * (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |          - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+             |      AS BIGINT) END AS n_per_arm
              |FROM agg""".stripMargin)))
 
   /** χ²(1) upper-tail thresholds for the q307 BH boundary k·α/m
