@@ -932,7 +932,78 @@ object DedupQueries {
              |FROM sized s JOIN stats st
              |  ON s.rep = st.rep AND CAST(s.n_chars AS BIGINT) = st.max_chars
              |GROUP BY s.rep, st.cluster_size, st.max_chars
-             |ORDER BY s.rep""".stripMargin))
+             |ORDER BY s.rep""".stripMargin)),
+
+    // ----- q324: ROUGE-2 pair scoring over a hash-sampled,
+    // lang-blocked document set — the summarization-grade overlap
+    // metric next to the set-based members (q26 Jaccard, q239
+    // containment): distinct-bigram F1 = 2|A∩B|/(|A|+|B|)
+    // (distinct-set variant, documented — no clipped multiplicity),
+    // an EXACT integer ppm division. Bigram arrays are built by an
+    // index transform over the split array (no window, no explode
+    // ordering dependence); the pair join is bigram-keyed with the
+    // lang block bounding candidates — the anti-quadratic shape.
+    // Only pairs with ov > 0 emit (identical on both sides).
+    QueryDef(
+      "q324_rouge_pairs",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .filter(graft.operators.Sampling
+            .hashFraction($"doc_id", 324L) < 0.2)
+          .select($"doc_id", $"lang",
+            expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+        val bg = docs.select($"doc_id", $"lang",
+            explode(expr(
+              """CASE WHEN size(ws) < 2 THEN array()
+                |ELSE transform(sequence(1, size(ws) - 1),
+                |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+                |END""".stripMargin)).as("bigram"))
+          .distinct()
+          .localCheckpoint(true) // both pair sides + size pass read it
+        val sz = bg.groupBy($"doc_id").agg(count(lit(1)).as("nb"))
+        val ov = bg.as("a")
+          .join(bg.as("b"),
+            col("a.bigram") === col("b.bigram") &&
+              col("a.lang") === col("b.lang") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("ov"))
+        ov.join(sz.select($"doc_id".as("doc_a"), $"nb".as("na")), "doc_a")
+          .join(sz.select($"doc_id".as("doc_b"), $"nb".as("nb")), "doc_b")
+          .select($"doc_a", $"doc_b", $"na", $"nb", $"ov",
+            expr("2 * ov * 1000000 DIV (na + nb)").as("f1_ppm"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH docs AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |  FROM documents
+             |  WHERE ${graft.operators.Sampling
+                  .hashFractionSql("doc_id", 324L)} < 0.2),
+             |bg AS MATERIALIZED (
+             |  SELECT DISTINCT doc_id, lang, bigram
+             |  FROM (
+             |    SELECT doc_id, lang,
+             |      unnest(CASE WHEN len(ws) < 2 THEN []
+             |        ELSE list_transform(range(1, len(ws)),
+             |          i -> ws[i] || ' ' || ws[i + 1]) END) AS bigram
+             |    FROM docs)),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb
+             |       FROM bg GROUP BY 1),
+             |ov AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    CAST(COUNT(*) AS BIGINT) AS ov
+             |  FROM bg a
+             |  JOIN bg b ON a.bigram = b.bigram AND a.lang = b.lang
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT o.doc_a, o.doc_b, sa.nb AS na, sb.nb AS nb, o.ov,
+             |  2 * o.ov * 1000000 // (sa.nb + sb.nb) AS f1_ppm
+             |FROM ov o
+             |JOIN sz sa ON sa.doc_id = o.doc_a
+             |JOIN sz sb ON sb.doc_id = o.doc_b
+             |ORDER BY o.doc_a, o.doc_b""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Dedup.PolySimHasher]] — the

@@ -3992,7 +3992,87 @@ object QuantQueries {
              |        * (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
              |          - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
              |      AS BIGINT) END AS n_per_arm
-             |FROM agg""".stripMargin)))
+             |FROM agg""".stripMargin)),
+
+    // ----- q327: price elasticity of demand — the log-log OLS
+    // member of the econometrics family (q102 grouped OLS, q194
+    // multiple regression are linear-scale): elasticity = slope of
+    // ln(quantity) on ln(unit price) across lineitems, the constant-
+    // elasticity model's one parameter. Unit price is exact cents
+    // per unit (an integer ppm-style division); both logs r4-snapped
+    // per row (the q322 libm discipline), moments EXACT BIGINT sums,
+    // slope/intercept ONE double chain each, NULL on a degenerate
+    // spread.
+    QueryDef(
+      "q327_price_elasticity",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.lineitem(s, d).select(
+          floor($"l_quantity" + lit(0.5)).cast("long").as("q"),
+          floor($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .filter($"q" >= 1)
+          .select($"q", expr("cents DIV q").as("unit_cents"))
+          .filter($"unit_cents" >= 1)
+          .select(
+            floor(log($"unit_cents".cast("double")) * 10000 + lit(0.5))
+              .cast("long").as("lx"),
+            floor(log($"q".cast("double")) * 10000 + lit(0.5))
+              .cast("long").as("ly"))
+        val mo = rows.agg(count(lit(1)).as("n"),
+          sum($"lx").as("sx"), sum($"ly").as("sy"),
+          sum($"lx" * $"lx").as("sxx"), sum($"lx" * $"ly").as("sxy"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val den = db($"n") * db($"sxx") - db($"sx") * db($"sx")
+        val b1 = (db($"n") * db($"sxy") - db($"sx") * db($"sy")) / den
+        val bad = $"n" < 2 || den === 0.0
+        mo.select($"n",
+          when(bad, lit(null).cast("long"))
+            .otherwise(floor(b1 * 1000000 + lit(0.5)).cast("long"))
+            .as("elasticity_micro"),
+          when(bad, lit(null).cast("long"))
+            .otherwise(floor((db($"sy") / db($"n") - b1 * (db($"sx") / db($"n")))
+              * 100.0 + lit(0.5)).cast("long"))
+            .as("intercept_micro"))
+      },
+      Some("""WITH rows0 AS (
+             |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |rows1 AS (
+             |  SELECT q, cents // q AS unit_cents FROM rows0 WHERE q >= 1),
+             |pts AS (
+             |  SELECT
+             |    CAST(floor(ln(CAST(unit_cents AS DOUBLE)) * 10000 + 0.5)
+             |      AS BIGINT) AS lx,
+             |    CAST(floor(ln(CAST(q AS DOUBLE)) * 10000 + 0.5)
+             |      AS BIGINT) AS ly
+             |  FROM rows1 WHERE unit_cents >= 1),
+             |mo AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(lx) AS BIGINT) AS sx,
+             |    CAST(SUM(ly) AS BIGINT) AS sy,
+             |    CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+             |    CAST(SUM(lx * ly) AS BIGINT) AS sxy
+             |  FROM pts),
+             |ch AS (
+             |  SELECT n,
+             |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b1,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             |    CAST(n AS DOUBLE) AS nd
+             |  FROM mo)
+             |SELECT n,
+             |  CASE WHEN n < 2 OR den = 0.0 THEN NULL
+             |    ELSE CAST(floor(b1 * 1000000 + 0.5) AS BIGINT)
+             |    END AS elasticity_micro,
+             |  CASE WHEN n < 2 OR den = 0.0 THEN NULL
+             |    ELSE CAST(floor((syd / nd - b1 * (sxd / nd)) * 100.0 + 0.5)
+             |      AS BIGINT) END AS intercept_micro
+             |FROM ch""".stripMargin)))
 
   /** χ²(1) upper-tail thresholds for the q307 BH boundary k·α/m
     * (α = 0.05, m = 25 nations), pre-inverted ONCE offline (bisection

@@ -880,6 +880,47 @@ object RiskQueries {
              |SELECT motif, CAST(COUNT(*) AS BIGINT) AS cnt
              |FROM tri GROUP BY 1 ORDER BY motif""".stripMargin)),
 
+    // ----- q325: Omega ratio (threshold 0) per nation — the
+    // GAIN/LOSS-mass member completing the downside family (q309
+    // Sortino penalizes loss variance, q265 ES reads the tail mean;
+    // Omega reads the full distribution as Σgains/Σlosses). Exact
+    // BIGINT gain/loss sums over the q266 delta grid and ONE exact
+    // integer ppm division — zero tolerance, NULL when a nation
+    // never loses.
+    QueryDef(
+      "q325_omega_ratio",
+      (s, d) => {
+        import s.implicits._
+        val dd = nationDeltas(s, d)
+        dd.groupBy($"n_name").agg(
+            count(lit(1)).as("n"),
+            sum(when($"dx" > 0, $"dx").otherwise(0L)).as("gains"),
+            sum(when($"dx" < 0, -$"dx").otherwise(0L)).as("losses"),
+            sum(when($"dx" > 0, 1L).otherwise(0L)).as("n_up"),
+            sum(when($"dx" < 0, 1L).otherwise(0L)).as("n_down"))
+          .select($"n_name", $"n", $"gains", $"losses", $"n_up", $"n_down",
+            when($"losses" === 0L, lit(null).cast("long"))
+              .otherwise(expr("gains * 1000000 DIV losses"))
+              .as("omega_micro"))
+          .orderBy($"n_name")
+      },
+      Some(s"""WITH $nationDeltaSql,
+             |ag AS (
+             |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN dx > 0 THEN dx ELSE 0 END)
+             |      AS BIGINT) AS gains,
+             |    CAST(SUM(CASE WHEN dx < 0 THEN -dx ELSE 0 END)
+             |      AS BIGINT) AS losses,
+             |    CAST(SUM(CASE WHEN dx > 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_up,
+             |    CAST(SUM(CASE WHEN dx < 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_down
+             |  FROM dd GROUP BY 1)
+             |SELECT n_name, n, gains, losses, n_up, n_down,
+             |  CASE WHEN losses = 0 THEN NULL
+             |    ELSE gains * 1000000 // losses END AS omega_micro
+             |FROM ag ORDER BY n_name""".stripMargin)),
+
     // ----- q318: pairs-trading spread (Engle–Granger step 1)
     // between the two LARGEST nation revenue series — hedge-ratio
     // OLS of y on x over the aligned zero-filled grid, exact

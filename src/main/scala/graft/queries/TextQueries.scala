@@ -1151,7 +1151,58 @@ object TextQueries {
              |    - 84.6 * (CAST(n_syllables AS DOUBLE)
              |      / CAST(n_words AS DOUBLE)))
              |    * 1000000 + 0.5) AS BIGINT) AS fre_micro
-             |FROM grp ORDER BY source, lang""".stripMargin))
+             |FROM grp ORDER BY source, lang""".stripMargin)),
+
+    // ----- q326: character-level Shannon entropy per source — the
+    // COMPRESSIBILITY proxy next to q296's event-mix entropy and
+    // q63's repetition score: low char entropy flags templated or
+    // degenerate corpora before tokenization even runs. Per-char
+    // probability terms p·ln p are micro-snapped per distinct
+    // character (alphabet-bounded, so the integer sum is order-free
+    // — the q165 per-factor discipline); counts exact.
+    QueryDef(
+      "q326_char_entropy",
+      (s, d) => {
+        import s.implicits._
+        val ch = Tables.documents(s, d)
+          .select($"source", explode(split($"text", "")).as("ch"))
+          .filter(length($"ch") > 0)
+        val hist = ch.groupBy($"source", $"ch").agg(count(lit(1)).as("cnt"))
+        val tot = hist.groupBy($"source").agg(
+          sum($"cnt").as("tot"), count(lit(1)).as("n_distinct"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val p = db($"cnt") / db($"tot")
+        hist.join(tot, "source")
+          .select($"source", $"tot", $"n_distinct",
+            floor(p * log(p) * 1000000 + lit(0.5)).cast("long").as("term"))
+          .groupBy($"source", $"tot", $"n_distinct")
+          .agg((-sum($"term")).as("entropy_micro"))
+          .select($"source", $"tot".as("n_chars"), $"n_distinct",
+            $"entropy_micro")
+          .orderBy($"source")
+      },
+      Some("""WITH ch AS (
+             |  SELECT source, c AS ch
+             |  FROM (SELECT source, unnest(string_split(text, '')) AS c
+             |        FROM documents)
+             |  WHERE length(c) > 0),
+             |hist AS (
+             |  SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM ch GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot,
+             |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+             |  FROM hist GROUP BY 1),
+             |terms AS (
+             |  SELECT h.source, t.tot, t.n_distinct,
+             |    CAST(floor(CAST(h.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE)
+             |      * ln(CAST(h.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE))
+             |      * 1000000 + 0.5) AS BIGINT) AS term
+             |  FROM hist h JOIN tot t ON t.source = h.source)
+             |SELECT source, tot AS n_chars, n_distinct,
+             |  CAST(-SUM(term) AS BIGINT) AS entropy_micro
+             |FROM terms GROUP BY source, tot, n_distinct
+             |ORDER BY source""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]] — the q127
