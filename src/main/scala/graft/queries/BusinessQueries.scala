@@ -1151,5 +1151,73 @@ object BusinessQueries {
            |  SELECT * FROM s2 UNION ALL
            |  SELECT * FROM s3)
            |ORDER BY round""".stripMargin
-      }))
+      }),
+
+    // ----- q330: cohort lifetime-value curve — the MONEY dimension
+    // q98's cohort retention (user counts) leaves out: per first-
+    // order-month cohort and month age, active users, period
+    // revenue, the running cumulative, and cumulative revenue per
+    // cohort member (the LTV curve a growth team actually plots).
+    // Cohort sizes and revenue are exact cents; the running sum is
+    // a cohort-PARTITIONED window; LTV-per-user is an exact integer
+    // cents division (positives).
+    QueryDef(
+      "q330_cohort_ltv",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.orders(s, d).select($"o_custkey",
+          trunc(to_date($"o_orderdate"), "month").as("m"),
+          floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .localCheckpoint(true) // cohort-assign + activity legs read it
+        val fm = ord.groupBy($"o_custkey").agg(min($"m").as("cohort"))
+        val sizes = fm.groupBy($"cohort")
+          .agg(count(lit(1)).as("cohort_size"))
+        val act = ord.join(fm, "o_custkey")
+          .withColumn("age",
+            (year($"m") - year($"cohort")) * 12
+              + (month($"m") - month($"cohort")))
+          .groupBy($"cohort", $"age").agg(
+            count_distinct($"o_custkey").as("n_active"),
+            sum($"cents").as("rev_cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"cohort").orderBy($"age")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        act.withColumn("cum_cents", sum($"rev_cents").over(w))
+          .join(sizes, "cohort")
+          .select($"cohort", $"age", $"n_active", $"rev_cents",
+            $"cum_cents", $"cohort_size",
+            expr("cum_cents DIV cohort_size").as("ltv_cents_per_user"))
+          .orderBy($"cohort", $"age")
+      },
+      Some("""WITH ord AS (
+             |  SELECT o_custkey,
+             |    CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+             |      AS DATE) AS m,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |fm AS (SELECT o_custkey, MIN(m) AS cohort
+             |       FROM ord GROUP BY 1),
+             |sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT)
+             |    AS cohort_size
+             |  FROM fm GROUP BY 1),
+             |act AS (
+             |  SELECT f.cohort,
+             |    (year(o.m) - year(f.cohort)) * 12
+             |      + (month(o.m) - month(f.cohort)) AS age,
+             |    CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+             |    CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+             |  FROM ord o JOIN fm f ON f.o_custkey = o.o_custkey
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT cohort, age, n_active, rev_cents,
+             |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_cents
+             |  FROM act)
+             |SELECT c.cohort, c.age, c.n_active, c.rev_cents,
+             |  c.cum_cents, s.cohort_size,
+             |  c.cum_cents // s.cohort_size AS ltv_cents_per_user
+             |FROM cum c JOIN sizes s ON s.cohort = c.cohort
+             |ORDER BY c.cohort, c.age""".stripMargin)))
 }

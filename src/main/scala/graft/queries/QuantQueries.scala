@@ -4072,7 +4072,113 @@ object QuantQueries {
              |  CASE WHEN n < 2 OR den = 0.0 THEN NULL
              |    ELSE CAST(floor((syd / nd - b1 * (sxd / nd)) * 100.0 + 0.5)
              |      AS BIGINT) END AS intercept_micro
-             |FROM ch""".stripMargin)))
+             |FROM ch""".stripMargin)),
+
+    // ----- q329: Bartlett's test of variance homogeneity across
+    // region account-balance distributions — the PARAMETRIC
+    // (normality-assuming, variance-ratio-sensitive) counterpart of
+    // q273's robust Brown–Forsythe. Balances at DOLLAR grain keep
+    // ni·Σx² below the exact HUGEINT→DOUBLE window (headroom ~sf10,
+    // the q267 discipline). Per-group: exact moments, ln s²
+    // micro-snapped, (nᵢ−1)·s² round-snapped, 1/(nᵢ−1) an exact
+    // nano integer division — all group-count-bounded order-free
+    // integer sums (the q165 per-factor discipline); the statistic
+    // and its C correction are ONE double chain each.
+    QueryDef(
+      "q329_bartlett",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"r_name",
+            floor($"c_acctbal" + lit(0.5)).cast("long").as("x"))
+        val grp = rows.groupBy($"r_name").agg(
+          count(lit(1)).as("ni"),
+          sum($"x".cast("decimal(38,0)")).as("si"),
+          sum($"x".cast("decimal(38,0)") * $"x").as("ssi"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val varnum = $"ni".cast("decimal(38,0)") * $"ssi" - $"si" * $"si"
+        val per = grp
+          .select($"ni", varnum.as("vn"))
+          .filter($"ni" >= 2 && $"vn" > 0)
+          .select($"ni",
+            floor(log(db($"vn") / (db($"ni") * (db($"ni") - lit(1.0))))
+              * 1000000 + lit(0.5)).cast("long").as("lnsi2"),
+            floor(db($"vn") / db($"ni") + lit(0.5)).cast("long").as("wp"),
+            expr("1000000000 DIV (ni - 1)").as("inv_nano"))
+        val agg = per.agg(count(lit(1)).as("k"),
+          sum($"ni").as("ntot"), sum($"wp").as("sw"),
+          sum(($"ni" - 1L) * $"lnsi2").as("sl"),
+          sum($"inv_nano").as("sinv"))
+        val withLn = agg.select($"k", $"ntot", $"sl", $"sinv",
+          floor(log(db($"sw") / (db($"ntot") - db($"k")))
+            * 1000000 + lit(0.5)).cast("long").as("lnsp"))
+        val cChain = lit(1.0) +
+          (db($"sinv") / lit(1.0e9) - lit(1.0) / (db($"ntot") - db($"k"))) /
+          (lit(3.0) * (db($"k") - lit(1.0)))
+        withLn.select($"k".as("k_groups"), $"ntot".as("n_total"),
+          when($"k" < 2, lit(null).cast("long"))
+            .otherwise(floor(cChain * 1000000 + lit(0.5)).cast("long"))
+            .as("c_micro"),
+          when($"k" < 2, lit(null).cast("long"))
+            .otherwise(floor(
+              db(($"ntot" - $"k") * $"lnsp" - $"sl") / cChain + lit(0.5))
+              .cast("long"))
+            .as("bartlett_micro"))
+      },
+      Some("""WITH rows0 AS (
+             |  SELECT r.r_name,
+             |    CAST(floor(c.c_acctbal + 0.5) AS BIGINT) AS x
+             |  FROM customer c
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+             |grp AS (
+             |  SELECT r_name, CAST(COUNT(*) AS BIGINT) AS ni,
+             |    SUM(CAST(x AS HUGEINT)) AS si,
+             |    SUM(CAST(x AS HUGEINT) * x) AS ssi
+             |  FROM rows0 GROUP BY 1),
+             |per AS (
+             |  SELECT ni,
+             |    CAST(floor(ln(CAST(vn AS DOUBLE)
+             |      / (CAST(ni AS DOUBLE) * (CAST(ni AS DOUBLE) - 1.0)))
+             |      * 1000000 + 0.5) AS BIGINT) AS lnsi2,
+             |    CAST(floor(CAST(vn AS DOUBLE) / CAST(ni AS DOUBLE) + 0.5)
+             |      AS BIGINT) AS wp,
+             |    1000000000 // (ni - 1) AS inv_nano
+             |  FROM (SELECT ni, CAST(ni AS HUGEINT) * ssi - si * si AS vn
+             |        FROM grp)
+             |  WHERE ni >= 2 AND vn > 0),
+             |agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(ni) AS BIGINT) AS ntot,
+             |    CAST(SUM(wp) AS BIGINT) AS sw,
+             |    CAST(SUM((ni - 1) * lnsi2) AS BIGINT) AS sl,
+             |    CAST(SUM(inv_nano) AS BIGINT) AS sinv
+             |  FROM per),
+             |wl AS (
+             |  SELECT k, ntot, sl, sinv,
+             |    CAST(floor(ln(CAST(sw AS DOUBLE)
+             |      / (CAST(ntot AS DOUBLE) - CAST(k AS DOUBLE)))
+             |      * 1000000 + 0.5) AS BIGINT) AS lnsp
+             |  FROM agg)
+             |SELECT k AS k_groups, ntot AS n_total,
+             |  CASE WHEN k < 2 THEN NULL
+             |    ELSE CAST(floor((1.0
+             |      + (CAST(sinv AS DOUBLE) / 1.0e9
+             |        - 1.0 / (CAST(ntot AS DOUBLE) - CAST(k AS DOUBLE)))
+             |      / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
+             |      * 1000000 + 0.5) AS BIGINT) END AS c_micro,
+             |  CASE WHEN k < 2 THEN NULL
+             |    ELSE CAST(floor(CAST((ntot - k) * lnsp - sl AS DOUBLE)
+             |      / (1.0
+             |        + (CAST(sinv AS DOUBLE) / 1.0e9
+             |          - 1.0 / (CAST(ntot AS DOUBLE) - CAST(k AS DOUBLE)))
+             |        / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
+             |      + 0.5) AS BIGINT) END AS bartlett_micro
+             |FROM wl""".stripMargin)))
 
   /** χ²(1) upper-tail thresholds for the q307 BH boundary k·α/m
     * (α = 0.05, m = 25 nations), pre-inverted ONCE offline (bisection

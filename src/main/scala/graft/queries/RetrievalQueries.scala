@@ -259,6 +259,83 @@ object RetrievalQueries {
         })
     },
 
+    // ----- q328: k-NN classification eval — leave-one-out majority
+    // vote of the 5 nearest neighbors' labels per hash-sampled
+    // probe: the "is the embedding space label-separable" read the
+    // retrieval metrics (q131/q201/q313) imply but never state.
+    // Ranking is the exact quantized-L2 convention (ties by id);
+    // the majority vote breaks count ties by label order — fully
+    // deterministic, so the per-probe prediction table hash-matches.
+    {
+      val KnnSalt = 328L
+      val KnnRate = 0.05
+      val KnnK = 5
+      QueryDef(
+        "q328_knn_classifier",
+        (s, d) => {
+          import s.implicits._
+          import org.apache.spark.sql.expressions.Window
+          val embs = Tables.embeddings(s, d)
+          val probes = embs
+            .filter(Sampling.hashFraction($"vec_id", KnnSalt) < KnnRate)
+            .select($"vec_id".as("query_id"), $"embedding".as("qvec"),
+              $"label".as("qlabel"))
+          val top = embs
+            .join(broadcast(probes), $"vec_id" =!= $"query_id")
+            .withColumn("dist", Retrieval.quantL2($"embedding", $"qvec"))
+            .withColumn("rnk", row_number().over(
+              Window.partitionBy($"query_id").orderBy($"dist", $"vec_id")))
+            .filter($"rnk" <= KnnK)
+          val votes = top.groupBy($"query_id", $"qlabel", $"label")
+            .agg(count(lit(1)).as("n_votes"))
+          val pred = votes.withColumn("vr", row_number().over(
+              Window.partitionBy($"query_id")
+                .orderBy($"n_votes".desc, $"label")))
+            .filter($"vr" === 1)
+          pred.select($"query_id", $"qlabel".as("true_label"),
+              $"label".as("pred_label"), $"n_votes",
+              ($"label" === $"qlabel").as("correct"))
+            .orderBy($"query_id")
+        },
+        Some {
+          val frac = Sampling.hashFractionSql("vec_id", KnnSalt)
+          s"""WITH $dimsCte,
+             |probes AS MATERIALIZED (
+             |  SELECT vec_id AS qid, label AS qlabel FROM embeddings
+             |  WHERE $frac < $KnnRate),
+             |dists AS MATERIALIZED (
+             |  SELECT p.qid, d.vec_id, CAST(${qDist("d", "q")} AS BIGINT) AS dist
+             |  FROM probes p
+             |  JOIN dims q ON q.vec_id = p.qid
+             |  JOIN dims d ON d.pos = q.pos AND d.vec_id <> p.qid
+             |  GROUP BY p.qid, d.vec_id),
+             |top AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+             |    FROM dists) t
+             |  WHERE rnk <= $KnnK),
+             |votes AS (
+             |  SELECT t.qid, p.qlabel, e.label,
+             |    CAST(COUNT(*) AS BIGINT) AS n_votes
+             |  FROM top t
+             |  JOIN embeddings e ON e.vec_id = t.vec_id
+             |  JOIN probes p ON p.qid = t.qid
+             |  GROUP BY 1, 2, 3),
+             |pred AS (
+             |  SELECT qid, qlabel, label, n_votes FROM (
+             |    SELECT qid, qlabel, label, n_votes,
+             |      row_number() OVER (PARTITION BY qid
+             |        ORDER BY n_votes DESC, label) AS vr
+             |    FROM votes) v
+             |  WHERE vr = 1)
+             |SELECT qid AS query_id, qlabel AS true_label,
+             |  label AS pred_label, n_votes,
+             |  label = qlabel AS correct
+             |FROM pred ORDER BY query_id""".stripMargin
+        })
+    },
+
     // ----- q237: matryoshka truncation recall — how much retrieval
     // quality survives keeping only the FIRST 16 of 64 embedding dims
     // (the nested-representation deployment question: a 4× cheaper
