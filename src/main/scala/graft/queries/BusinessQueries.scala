@@ -1219,5 +1219,55 @@ object BusinessQueries {
              |  c.cum_cents, s.cohort_size,
              |  c.cum_cents // s.cohort_size AS ltv_cents_per_user
              |FROM cum c JOIN sizes s ON s.cohort = c.cohort
-             |ORDER BY c.cohort, c.age""".stripMargin)))
+             |ORDER BY c.cohort, c.age""".stripMargin)),
+
+    // ----- q333: signup→purchase conversion lag — the DURATION
+    // dimension q87's funnel (step counts) leaves out: per user the
+    // days from first signup to first subsequent purchase, with the
+    // exact lag quantiles (the q105 percentile ≡ quantile_cont
+    // parity) and the converter count. One events scan; the quantile
+    // aggregate runs over the converter frame only.
+    QueryDef(
+      "q333_conversion_lag",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.events(s, d).groupBy($"user_id").agg(
+          min(when($"event_type" === "signup", $"ts")).as("s"),
+          min(when($"event_type" === "purchase", $"ts")).as("p"))
+          .localCheckpoint(true) // signup-count + converter legs read it
+        val conv = per
+          .filter($"s".isNotNull && $"p".isNotNull && $"p" >= $"s")
+          .select(datediff(to_date($"p"), to_date($"s"))
+            .cast("long").as("lag"))
+        val sg = per.filter($"s".isNotNull)
+          .agg(count(lit(1)).as("n_signup"))
+        val r4 = graft.functions.TextFunctions.r4 _
+        val qs = conv.agg(count(lit(1)).as("n_converters"),
+          percentile($"lag",
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("qv"))
+        sg.crossJoin(qs).select($"n_signup", $"n_converters",
+          r4(element_at($"qv", 1)).as("q25"),
+          r4(element_at($"qv", 2)).as("median"),
+          r4(element_at($"qv", 3)).as("q75"),
+          r4(element_at($"qv", 4)).as("p90"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id,
+             |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+             |  FROM events GROUP BY 1),
+             |conv AS (
+             |  SELECT CAST(date_diff('day', CAST(s AS DATE), CAST(p AS DATE))
+             |    AS BIGINT) AS lag
+             |  FROM per WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s),
+             |sg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup
+             |       FROM per WHERE s IS NOT NULL)
+             |SELECT sg.n_signup,
+             |  CAST(COUNT(*) AS BIGINT) AS n_converters,
+             |  floor(quantile_cont(lag, 0.25) * 10000 + 0.5) / 10000 AS q25,
+             |  floor(quantile_cont(lag, 0.5) * 10000 + 0.5) / 10000 AS median,
+             |  floor(quantile_cont(lag, 0.75) * 10000 + 0.5) / 10000 AS q75,
+             |  floor(quantile_cont(lag, 0.9) * 10000 + 0.5) / 10000 AS p90
+             |FROM conv CROSS JOIN sg
+             |GROUP BY sg.n_signup""".stripMargin)))
 }

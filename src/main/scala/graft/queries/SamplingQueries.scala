@@ -304,5 +304,62 @@ object SamplingQueries {
              |SELECT c_nationkey, nh AS pop,
              |  CAST(10000 * wq // wt AS BIGINT) AS alloc_n
              |FROM wq CROSS JOIN tot
-             |ORDER BY c_nationkey""".stripMargin)))
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // ----- q332: probability-proportional-to-size sampling with a
+    // Horvitz–Thompson total estimate — the UNEQUAL-probability
+    // member next to q84 stratified / q100 weighted: inclusion
+    // πᵢ = 0.3·n_charsᵢ/max(n_chars) (size-biased, deterministic
+    // portable-hash draw), estimating the corpus WORD total from the
+    // sample via Σ yᵢ/πᵢ. Each HT term is snapped to an integer per
+    // doc (order-free sum — the q165 discipline); the true total and
+    // the error ratio are exact. The designed-in property: y (words)
+    // correlates with size (chars), so PPS beats uniform at equal n.
+    QueryDef(
+      "q332_pps_sample",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"doc_id", $"n_chars",
+          size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
+            .as("w"))
+          .localCheckpoint(true) // max + truth + sample legs read it
+        val mx = docs.agg(max($"n_chars").as("mx"),
+          count(lit(1)).as("n_docs"), sum($"w").as("true_words"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val joined = docs.crossJoin(mx)
+        val pi = lit(0.3) * db($"n_chars") / db($"mx")
+        val sampled = joined
+          .filter(graft.operators.Sampling.hashFraction($"doc_id", 332L) < pi)
+          .select(floor(db($"w") / pi + lit(0.5)).cast("long").as("term"))
+        val est = sampled.agg(count(lit(1)).as("n_sampled"),
+          sum($"term").as("ht_estimate"))
+        mx.select($"n_docs", $"true_words").crossJoin(est)
+          .select($"n_docs", $"n_sampled", $"true_words", $"ht_estimate",
+            expr("abs(ht_estimate - true_words) * 1000000 DIV true_words")
+              .as("err_ppm"))
+      },
+      Some(s"""WITH docs AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> x <> '')) AS BIGINT) AS w
+             |  FROM documents),
+             |mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS mx,
+             |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(SUM(w) AS BIGINT) AS true_words
+             |  FROM docs),
+             |sampled AS (
+             |  SELECT CAST(floor(CAST(d.w AS DOUBLE)
+             |      / (0.3 * CAST(d.n_chars AS DOUBLE) / CAST(m.mx AS DOUBLE))
+             |      + 0.5) AS BIGINT) AS term
+             |  FROM docs d CROSS JOIN mx m
+             |  WHERE ${graft.operators.Sampling.hashFractionSql(
+                  "d.doc_id", 332L)}
+             |    < 0.3 * CAST(d.n_chars AS DOUBLE) / CAST(m.mx AS DOUBLE)),
+             |est AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             |    CAST(SUM(term) AS BIGINT) AS ht_estimate
+             |  FROM sampled)
+             |SELECT m.n_docs, e.n_sampled, m.true_words, e.ht_estimate,
+             |  abs(e.ht_estimate - m.true_words) * 1000000 // m.true_words
+             |    AS err_ppm
+             |FROM mx m CROSS JOIN est e""".stripMargin)))
 }

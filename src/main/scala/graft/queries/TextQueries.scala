@@ -1202,7 +1202,63 @@ object TextQueries {
              |SELECT source, tot AS n_chars, n_distinct,
              |  CAST(-SUM(term) AS BIGINT) AS entropy_micro
              |FROM terms GROUP BY source, tot, n_distinct
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // ----- q331: cross-source n-gram novelty — per source, the
+    // fraction of its distinct trigrams appearing in NO other source:
+    // the "does this source add anything" mixing signal next to q62's
+    // volume-based domain mixing and q281's distributional JSD.
+    // Trigram arrays by the q324 index-transform (no explode-order
+    // dependence); per-gram source counts from one distinct frame;
+    // novelty an exact integer ppm division.
+    QueryDef(
+      "q331_ngram_novelty",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select($"source",
+          expr("filter(split(text, ' '), x -> x != '')").as("ws"))
+        val tg = docs.select($"source",
+            explode(expr(
+              """CASE WHEN size(ws) < 3 THEN array()
+                |ELSE transform(sequence(1, size(ws) - 2),
+                |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),
+                |    ' ', element_at(ws, i + 2)))
+                |END""".stripMargin)).as("gram"))
+          .distinct()
+          .localCheckpoint(true) // gram-count + rollup legs read it
+        val ns = tg.groupBy($"gram").agg(count(lit(1)).as("n_sources"))
+        tg.join(ns, "gram")
+          .groupBy($"source").agg(
+            count(lit(1)).as("n_grams"),
+            sum(when($"n_sources" === 1L, 1L).otherwise(0L)).as("n_unique"))
+          .select($"source", $"n_grams", $"n_unique",
+            expr("n_unique * 1000000 DIV n_grams").as("novelty_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH docs AS (
+             |  SELECT source,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             |  FROM documents),
+             |tg AS MATERIALIZED (
+             |  SELECT DISTINCT source, gram
+             |  FROM (
+             |    SELECT source,
+             |      unnest(CASE WHEN len(ws) < 3 THEN []
+             |        ELSE list_transform(range(1, len(ws) - 1),
+             |          i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+             |        END) AS gram
+             |    FROM docs)),
+             |ns AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_sources
+             |       FROM tg GROUP BY 1)
+             |SELECT t.source,
+             |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(CASE WHEN ns.n_sources = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_unique,
+             |  CAST(SUM(CASE WHEN ns.n_sources = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
+             |    AS novelty_ppm
+             |FROM tg t JOIN ns ON ns.gram = t.gram
+             |GROUP BY t.source ORDER BY t.source""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]] — the q127
