@@ -4178,7 +4178,96 @@ object QuantQueries {
              |          - 1.0 / (CAST(ntot AS DOUBLE) - CAST(k AS DOUBLE)))
              |        / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
              |      + 0.5) AS BIGINT) END AS bartlett_micro
-             |FROM wl""".stripMargin)))
+             |FROM wl""".stripMargin)),
+
+    // ----- q334: one-step forecast backtest of the q178 Holt
+    // smoother — the EVALUATION member the forecasting ladder (q168
+    // EWMA, q178 Holt, q278 Holt–Winters) needs before anyone trusts
+    // a forecast: each day's pre-update forecast scored against the
+    // NEXT observation, with MAE, MAPE, and the skill score vs the
+    // naive carry-forward (x̂ = xₜ). The trajectory replays through
+    // the q178 recursive CTE; errors are exact BIGINT cents, MAPE
+    // terms per-point micro-snapped (order-free sum), MAE/MAPE exact
+    // integer divisions, skill ONE double chain. The next-value
+    // shift is a zipRank self-join (no global window).
+    QueryDef(
+      "q334_forecast_backtest",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .select(to_date($"o_orderdate").as("day"),
+            floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+          .groupBy($"day").agg(sum($"cents").as("xq"))
+        val sm = graft.operators.Holt.smooth(daily, "day", "xq",
+          HoltAlphaDen, HoltBetaDen).select($"day", $"xq", $"forecast")
+        val rk = graft.operators.GlobalOrder.zipRank(sm.sort($"day"), "rk")
+          .localCheckpoint(true) // both sides of the shift join read it
+        val nxt = rk.select($"rk".as("r2"), $"xq".as("x_next"))
+        val errs = rk.join(nxt, $"r2" === $"rk" + 1L)
+          .select(
+            abs($"forecast" - $"x_next").as("e_holt"),
+            abs($"xq" - $"x_next").as("e_naive"),
+            when($"x_next" === 0L, 0L)
+              .otherwise(floor(abs($"forecast" - $"x_next").cast("double")
+                / $"x_next".cast("double") * 1000000 + lit(0.5))
+                .cast("long")).as("ape"))
+        val agg = errs.agg(count(lit(1)).as("n"),
+          sum($"e_holt").as("se_holt"),
+          sum($"e_naive").as("se_naive"),
+          sum($"ape").as("s_ape"))
+        agg.select($"n",
+          expr("se_holt DIV n").as("mae_holt_cents"),
+          expr("se_naive DIV n").as("mae_naive_cents"),
+          expr("s_ape DIV n").as("mape_ppm"),
+          when($"se_naive" === 0L, lit(null).cast("long"))
+            .otherwise(floor((lit(1.0)
+                - $"se_holt".cast("double") / $"se_naive".cast("double"))
+              * 1000000 + lit(0.5)).cast("long")).as("skill_micro"))
+      },
+      Some(s"""WITH RECURSIVE ser AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS xq
+             |  FROM orders GROUP BY 1),
+             |rn AS MATERIALIZED (
+             |  SELECT day, xq,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+             |  FROM ser),
+             |h AS (
+             |  SELECT day, xq, rn, xq AS l, CAST(0 AS BIGINT) AS b
+             |  FROM rn WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r.day, r.xq, r.rn,
+             |    h.l + h.b + ${QueryFixtures.fdivSql("r.xq - h.l - h.b",
+                    HoltAlphaDen.toString)} AS l,
+             |    h.b + ${QueryFixtures.fdivSql(
+                    QueryFixtures.fdivSql("r.xq - h.l - h.b",
+                      HoltAlphaDen.toString), HoltBetaDen.toString)} AS b
+             |  FROM h JOIN rn r ON r.rn = h.rn + 1),
+             |f AS (SELECT rn, xq, l + b AS forecast FROM h),
+             |errs AS (
+             |  SELECT abs(f.forecast - r.xq) AS e_holt,
+             |    abs(f.xq - r.xq) AS e_naive,
+             |    CASE WHEN r.xq = 0 THEN 0
+             |      ELSE CAST(floor(CAST(abs(f.forecast - r.xq) AS DOUBLE)
+             |        / CAST(r.xq AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |      END AS ape
+             |  FROM f JOIN rn r ON r.rn = f.rn + 1),
+             |agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(e_holt) AS BIGINT) AS se_holt,
+             |    CAST(SUM(e_naive) AS BIGINT) AS se_naive,
+             |    CAST(SUM(ape) AS BIGINT) AS s_ape
+             |  FROM errs)
+             |SELECT n,
+             |  se_holt // n AS mae_holt_cents,
+             |  se_naive // n AS mae_naive_cents,
+             |  s_ape // n AS mape_ppm,
+             |  CASE WHEN se_naive = 0 THEN NULL
+             |    ELSE CAST(floor((1.0 - CAST(se_holt AS DOUBLE)
+             |      / CAST(se_naive AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |    END AS skill_micro
+             |FROM agg""".stripMargin)))
 
   /** χ²(1) upper-tail thresholds for the q307 BH boundary k·α/m
     * (α = 0.05, m = 25 nations), pre-inverted ONCE offline (bisection
