@@ -1269,5 +1269,120 @@ object BusinessQueries {
              |  floor(quantile_cont(lag, 0.75) * 10000 + 0.5) / 10000 AS q75,
              |  floor(quantile_cont(lag, 0.9) * 10000 + 0.5) / 10000 AS p90
              |FROM conv CROSS JOIN sg
-             |GROUP BY sg.n_signup""".stripMargin)))
+             |GROUP BY sg.n_signup""".stripMargin)),
+
+    // ----- q335: recommender leave-last-out evaluation — the EVAL
+    // member the memory-based recommender family (q231 item-item
+    // CF, q294 ALS) ships without: hold out each customer's LAST
+    // order, score candidate parts by summed train-order
+    // co-occurrence with the customer's training basket (new items
+    // only), and read hit-rate@10 against the held-out basket.
+    // All counts exact; ranking a customer-PARTITIONED window with
+    // (score desc, part) tie-break; the holdout split is a
+    // deterministic (date, orderkey) ordinal. Scale shape: the
+    // candidate frame is basket×co-degree (co-occurrence-graph
+    // bounded, never |parts|²).
+    QueryDef(
+      "q335_recsys_holdout",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ords = Tables.orders(s, d).select(
+          $"o_custkey".as("cust"), $"o_orderkey".as("ok"),
+          to_date($"o_orderdate").as("dt"))
+        val rn = ords.withColumn("rn", row_number().over(
+            Window.partitionBy($"cust").orderBy($"dt".desc, $"ok".desc)))
+          .localCheckpoint(true) // holdout + train legs read it
+        val nOrd = rn.groupBy($"cust").agg(max($"rn").as("n_orders"))
+        val evalUsers = nOrd.filter($"n_orders" >= 2).select($"cust")
+          .localCheckpoint(true)
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("part")).distinct()
+        val hold = rn.filter($"rn" === 1).join(li, "ok")
+          .join(evalUsers, "cust")
+          .select($"cust", $"part").distinct()
+        val train = rn.filter($"rn" > 1).join(li, "ok")
+          .localCheckpoint(true) // co-occurrence + baskets read it
+        // support floor ≥ 2 (the q99/q209 thinning convention): the
+        // weight-1 co-occurrence tail is ~90% of pairs and pure noise
+        // for ranking — dropping it keeps the candidate frame
+        // co-degree-bounded at any scale
+        val co = train.as("a").join(train.as("b"),
+            col("a.ok") === col("b.ok") && col("a.part") =!= col("b.part"))
+          .groupBy(col("a.part").as("pa"), col("b.part").as("pb"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        val basket = train.join(evalUsers, "cust")
+          .select($"cust", $"part").distinct()
+          .localCheckpoint(true) // score + new-item filter read it
+        val scored = basket.join(co, basket("part") === co("pa"))
+          .groupBy($"cust", $"pb").agg(sum($"w").as("score"))
+        val fresh = scored.join(
+          basket.select($"cust", $"part".as("pb")),
+          Seq("cust", "pb"), "left_anti")
+        val top = fresh.withColumn("rk", row_number().over(
+            Window.partitionBy($"cust").orderBy($"score".desc, $"pb")))
+          .filter($"rk" <= 10)
+        val hits = top.join(hold,
+            top("cust") === hold("cust") && top("pb") === hold("part"))
+          .select(top("cust")).distinct()
+          .agg(count(lit(1)).as("n_hit"))
+        val nEval = evalUsers.agg(count(lit(1)).as("n_eval"))
+        nEval.crossJoin(hits).select($"n_eval", $"n_hit",
+          expr("n_hit * 1000000 DIV n_eval").as("hit_rate_ppm"))
+      },
+      Some("""WITH ords AS (
+             |  SELECT o_custkey AS cust, o_orderkey AS ok,
+             |    CAST(o_orderdate AS DATE) AS dt
+             |  FROM orders),
+             |rn AS MATERIALIZED (
+             |  SELECT cust, ok,
+             |    row_number() OVER (PARTITION BY cust
+             |      ORDER BY dt DESC, ok DESC) AS rn
+             |  FROM ords),
+             |ev AS (SELECT cust FROM rn GROUP BY cust
+             |       HAVING MAX(rn) >= 2),
+             |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+             |       FROM lineitem),
+             |hold AS (
+             |  SELECT DISTINCT r.cust, l.part
+             |  FROM rn r JOIN li l ON l.ok = r.ok JOIN ev ON ev.cust = r.cust
+             |  WHERE r.rn = 1),
+             |train AS MATERIALIZED (
+             |  SELECT r.cust, r.ok, l.part
+             |  FROM rn r JOIN li l ON l.ok = r.ok WHERE r.rn > 1),
+             |co AS MATERIALIZED (
+             |  SELECT a.part AS pa, b.part AS pb,
+             |    CAST(COUNT(*) AS BIGINT) AS w
+             |  FROM train a JOIN train b
+             |    ON a.ok = b.ok AND a.part <> b.part
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |basket AS MATERIALIZED (
+             |  SELECT DISTINCT t.cust, t.part
+             |  FROM train t JOIN ev ON ev.cust = t.cust),
+             |scored AS (
+             |  SELECT k.cust, c.pb, CAST(SUM(c.w) AS BIGINT) AS score
+             |  FROM basket k JOIN co c ON c.pa = k.part
+             |  GROUP BY 1, 2),
+             |fresh AS (
+             |  SELECT s.cust, s.pb, s.score
+             |  FROM scored s
+             |  WHERE NOT EXISTS (SELECT 1 FROM basket k
+             |    WHERE k.cust = s.cust AND k.part = s.pb)),
+             |top AS (
+             |  SELECT cust, pb FROM (
+             |    SELECT cust, pb,
+             |      row_number() OVER (PARTITION BY cust
+             |        ORDER BY score DESC, pb) AS rk
+             |    FROM fresh) t
+             |  WHERE rk <= 10),
+             |hits AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM (
+             |    SELECT DISTINCT t.cust
+             |    FROM top t JOIN hold h
+             |      ON h.cust = t.cust AND h.part = t.pb)),
+             |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval FROM ev)
+             |SELECT ne.n_eval, hits.n_hit,
+             |  hits.n_hit * 1000000 // ne.n_eval AS hit_rate_ppm
+             |FROM ne CROSS JOIN hits""".stripMargin)))
 }
