@@ -336,6 +336,86 @@ object RetrievalQueries {
         })
     },
 
+    // ----- q336: intrinsic dimension of the embedding space by the
+    // TwoNN estimator (Facco et al. 2017) — the GEOMETRY-QA member
+    // next to q69's moment stats and q288's Mahalanobis outliers:
+    // d̂ = n / Σ ln(r₂/r₁) over each probe's two nearest neighbors,
+    // needing NO density model and only the 2-NN ranks. Distances
+    // are the exact quantized-L2 convention (squared, so each ln
+    // ratio is halved); one snapped ln per probe (probe-count
+    // bounded → order-free integer sum); zero-distance duplicates
+    // excluded identically on both sides.
+    {
+      val IdSalt = 336L
+      val IdRate = 0.1
+      QueryDef(
+        "q336_intrinsic_dim",
+        (s, d) => {
+          import s.implicits._
+          import org.apache.spark.sql.expressions.Window
+          val embs = Tables.embeddings(s, d)
+          val probes = embs
+            .filter(Sampling.hashFraction($"vec_id", IdSalt) < IdRate)
+            .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+          val two = embs
+            .join(broadcast(probes), $"vec_id" =!= $"qid")
+            .withColumn("dist", Retrieval.quantL2($"embedding", $"qvec"))
+            .withColumn("rnk", row_number().over(
+              Window.partitionBy($"qid").orderBy($"dist", $"vec_id")))
+            .filter($"rnk" <= 2)
+            .groupBy($"qid").agg(
+              min(when($"rnk" === 1, $"dist")).as("d1"),
+              min(when($"rnk" === 2, $"dist")).as("d2"))
+            .filter($"d1" > 0L && $"d2".isNotNull)
+          val terms = two.select(
+            floor(log($"d2".cast("double") / $"d1".cast("double")) / lit(2.0)
+              * 1000000 + lit(0.5)).cast("long").as("term"))
+          terms.agg(count(lit(1)).as("n_probes"),
+              sum($"term").as("sum_lnmu_micro"))
+            .select($"n_probes", $"sum_lnmu_micro",
+              when($"sum_lnmu_micro" <= 0L, lit(null).cast("long"))
+                .otherwise(floor($"n_probes".cast("double") * lit(1000000.0)
+                    / $"sum_lnmu_micro".cast("double") * 1000 + lit(0.5))
+                  .cast("long")).as("id_milli"))
+        },
+        Some {
+          val frac = Sampling.hashFractionSql("vec_id", IdSalt)
+          s"""WITH $dimsCte,
+             |probes AS MATERIALIZED (
+             |  SELECT vec_id AS qid FROM embeddings WHERE $frac < $IdRate),
+             |dists AS MATERIALIZED (
+             |  SELECT p.qid, d.vec_id, CAST(${qDist("d", "q")} AS BIGINT) AS dist
+             |  FROM probes p
+             |  JOIN dims q ON q.vec_id = p.qid
+             |  JOIN dims d ON d.pos = q.pos AND d.vec_id <> p.qid
+             |  GROUP BY p.qid, d.vec_id),
+             |two AS (
+             |  SELECT qid,
+             |    MIN(CASE WHEN rnk = 1 THEN dist END) AS d1,
+             |    MIN(CASE WHEN rnk = 2 THEN dist END) AS d2
+             |  FROM (
+             |    SELECT qid, dist,
+             |      row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+             |        AS rnk
+             |    FROM dists) t
+             |  WHERE rnk <= 2 GROUP BY qid),
+             |terms AS (
+             |  SELECT CAST(floor(ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE))
+             |    / 2.0 * 1000000 + 0.5) AS BIGINT) AS term
+             |  FROM two WHERE d1 > 0 AND d2 IS NOT NULL),
+             |agg AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             |    CAST(SUM(term) AS BIGINT) AS sum_lnmu_micro
+             |  FROM terms)
+             |SELECT n_probes, sum_lnmu_micro,
+             |  CASE WHEN sum_lnmu_micro <= 0 THEN NULL
+             |    ELSE CAST(floor(CAST(n_probes AS DOUBLE) * 1000000.0
+             |      / CAST(sum_lnmu_micro AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             |    END AS id_milli
+             |FROM agg""".stripMargin
+        })
+    },
+
     // ----- q237: matryoshka truncation recall — how much retrieval
     // quality survives keeping only the FIRST 16 of 64 embedding dims
     // (the nested-representation deployment question: a 4× cheaper
