@@ -69,6 +69,10 @@ object GraftOptimizations {
     if (!cur2.contains(RewriteIntersectCount)) {
       spark.experimental.extraOptimizations = cur2 :+ RewriteIntersectCount
     }
+    val cur3 = spark.experimental.extraOptimizations
+    if (!cur3.contains(InferLevenshteinBand)) {
+      spark.experimental.extraOptimizations = cur3 :+ InferLevenshteinBand
+    }
     AsofJoinNative.installStrategy(spark)
   }
 }
