@@ -4267,7 +4267,158 @@ object QuantQueries {
              |    ELSE CAST(floor((1.0 - CAST(se_holt AS DOUBLE)
              |      / CAST(se_naive AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
              |    END AS skill_micro
-             |FROM agg""".stripMargin)))
+             |FROM agg""".stripMargin)),
+
+    // ----- q337: Tukey HSD post-hoc pairwise comparisons across
+    // region balance means — the MULTIPLE-COMPARISON follow-up the
+    // ANOVA family (q186 decomposition, q220 Kruskal–Wallis, q329
+    // Bartlett) needs after a significant omnibus: all 10 region
+    // pairs against the studentized-range threshold
+    // q·√(MSW/2·(1/nᵢ+1/nⱼ)) at α=0.05, k=5, df≈∞ (q = 3.858 —
+    // an INLINED literal, the q323 quantile discipline). Moments
+    // exact; MSW from the q329 per-group snapped (nᵢ−1)s²; both the
+    // mean difference and the threshold are milli-snapped integers,
+    // so the significance flag is an EXACT integer comparison.
+    QueryDef(
+      "q337_tukey_hsd",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"r_name",
+            floor($"c_acctbal" + lit(0.5)).cast("long").as("x"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val grp = rows.groupBy($"r_name").agg(
+            count(lit(1)).as("ni"),
+            sum($"x".cast("decimal(38,0)")).as("si"),
+            sum($"x".cast("decimal(38,0)") * $"x").as("ssi"))
+          .filter($"ni" >= 2)
+          .select($"r_name", $"ni", $"si",
+            floor(db($"ni".cast("decimal(38,0)") * $"ssi" - $"si" * $"si")
+              / db($"ni") + lit(0.5)).cast("long").as("wp"))
+          .localCheckpoint(true) // pooled-MSW + pair legs read it
+        val msw = grp.agg(count(lit(1)).as("k"), sum($"ni").as("ntot"),
+          sum($"wp").as("sw"))
+        val a = grp.select($"r_name".as("ra"), $"ni".as("na"), $"si".as("sa"))
+        val b = grp.select($"r_name".as("rb"), $"ni".as("nb"), $"si".as("sb"))
+        val pairs = a.join(broadcast(b), $"ra" < $"rb").crossJoin(msw)
+        val mswD = db($"sw") / (db($"ntot") - db($"k"))
+        pairs.select($"ra", $"rb", $"na", $"nb",
+            floor((db($"sa") / db($"na") - db($"sb") / db($"nb"))
+              * 1000 + lit(0.5)).cast("long").as("diff_milli"),
+            floor(lit(3.858)
+              * sqrt(mswD / lit(2.0) * (lit(1.0) / db($"na")
+                + lit(1.0) / db($"nb")))
+              * 1000 + lit(0.5)).cast("long").as("hsd_milli"))
+          .withColumn("significant", abs($"diff_milli") > $"hsd_milli")
+          .orderBy($"ra", $"rb")
+      },
+      Some("""WITH rows0 AS (
+             |  SELECT r.r_name,
+             |    CAST(floor(c.c_acctbal + 0.5) AS BIGINT) AS x
+             |  FROM customer c
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+             |grp AS (
+             |  SELECT r_name, ni, si,
+             |    CAST(floor(CAST(vn AS DOUBLE) / CAST(ni AS DOUBLE) + 0.5)
+             |      AS BIGINT) AS wp
+             |  FROM (
+             |    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS ni,
+             |      SUM(CAST(x AS HUGEINT)) AS si,
+             |      CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+             |        - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT))
+             |        AS vn
+             |    FROM rows0 GROUP BY 1)
+             |  WHERE ni >= 2),
+             |msw AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(ni) AS BIGINT) AS ntot,
+             |    CAST(SUM(wp) AS BIGINT) AS sw
+             |  FROM grp)
+             |SELECT a.r_name AS ra, b.r_name AS rb, a.ni AS na, b.ni AS nb,
+             |  CAST(floor((CAST(a.si AS DOUBLE) / CAST(a.ni AS DOUBLE)
+             |    - CAST(b.si AS DOUBLE) / CAST(b.ni AS DOUBLE))
+             |    * 1000 + 0.5) AS BIGINT) AS diff_milli,
+             |  CAST(floor(3.858
+             |    * sqrt(CAST(m.sw AS DOUBLE)
+             |      / (CAST(m.ntot AS DOUBLE) - CAST(m.k AS DOUBLE))
+             |      / 2.0 * (1.0 / CAST(a.ni AS DOUBLE)
+             |        + 1.0 / CAST(b.ni AS DOUBLE)))
+             |    * 1000 + 0.5) AS BIGINT) AS hsd_milli,
+             |  abs(CAST(floor((CAST(a.si AS DOUBLE) / CAST(a.ni AS DOUBLE)
+             |    - CAST(b.si AS DOUBLE) / CAST(b.ni AS DOUBLE))
+             |    * 1000 + 0.5) AS BIGINT))
+             |  > CAST(floor(3.858
+             |    * sqrt(CAST(m.sw AS DOUBLE)
+             |      / (CAST(m.ntot AS DOUBLE) - CAST(m.k AS DOUBLE))
+             |      / 2.0 * (1.0 / CAST(a.ni AS DOUBLE)
+             |        + 1.0 / CAST(b.ni AS DOUBLE)))
+             |    * 1000 + 0.5) AS BIGINT) AS significant
+             |FROM grp a JOIN grp b ON a.r_name < b.r_name
+             |CROSS JOIN msw m
+             |ORDER BY ra, rb""".stripMargin)),
+
+    // ----- q338: negative-binomial fit of per-user event counts by
+    // method of moments — the MODEL the q298 overdispersion test
+    // motivates (Poisson rejected ⇒ fit the NB): r̂ = m²/(s²−m),
+    // p̂ = r̂/(r̂+m) from exact count moments, NULL when the data is
+    // not overdispersed (s² ≤ m — NB degenerate). One double chain
+    // per parameter over exact BIGINT/HUGEINT sums.
+    QueryDef(
+      "q338_negbin_fit",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.events(s, d).groupBy($"user_id")
+          .agg(count(lit(1)).as("c"))
+        val mo = per.agg(count(lit(1)).as("n"),
+          sum($"c").as("sc"),
+          sum(($"c".cast("decimal(38,0)") * $"c")).as("scc"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val nd = db($"n")
+        val mean = db($"sc") / nd
+        val vr = (nd * db($"scc") - db($"sc") * db($"sc")) /
+          (nd * (nd - lit(1.0)))
+        val r = mean * mean / (vr - mean)
+        mo.select($"n".as("n_users"),
+          floor(mean * 1000000 + lit(0.5)).cast("long").as("mean_micro"),
+          floor(vr * 1000000 + lit(0.5)).cast("long").as("var_micro"),
+          when($"n" < 2 || vr <= mean, lit(null).cast("long"))
+            .otherwise(floor(r * 1000000 + lit(0.5)).cast("long"))
+            .as("r_micro"),
+          when($"n" < 2 || vr <= mean, lit(null).cast("long"))
+            .otherwise(floor(r / (r + mean) * 1000000 + lit(0.5))
+              .cast("long")).as("p_micro"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |mo AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(c) AS BIGINT) AS sc,
+             |    SUM(CAST(c AS HUGEINT) * c) AS scc
+             |  FROM per),
+             |ch AS (
+             |  SELECT n,
+             |    CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    (CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+             |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vr
+             |  FROM mo)
+             |SELECT n AS n_users,
+             |  CAST(floor(mean * 1000000 + 0.5) AS BIGINT) AS mean_micro,
+             |  CAST(floor(vr * 1000000 + 0.5) AS BIGINT) AS var_micro,
+             |  CASE WHEN n < 2 OR vr <= mean THEN NULL
+             |    ELSE CAST(floor(mean * mean / (vr - mean) * 1000000 + 0.5)
+             |      AS BIGINT) END AS r_micro,
+             |  CASE WHEN n < 2 OR vr <= mean THEN NULL
+             |    ELSE CAST(floor(mean * mean / (vr - mean)
+             |      / (mean * mean / (vr - mean) + mean) * 1000000 + 0.5)
+             |      AS BIGINT) END AS p_micro
+             |FROM ch""".stripMargin)))
 
   /** χ²(1) upper-tail thresholds for the q307 BH boundary k·α/m
     * (α = 0.05, m = 25 nations), pre-inverted ONCE offline (bisection

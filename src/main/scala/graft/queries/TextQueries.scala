@@ -1258,7 +1258,101 @@ object TextQueries {
              |    AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
              |    AS novelty_ppm
              |FROM tg t JOIN ns ON ns.gram = t.gram
-             |GROUP BY t.source ORDER BY t.source""".stripMargin))
+             |GROUP BY t.source ORDER BY t.source""".stripMargin)),
+
+    // ----- q339: TF-IDF cosine pairs over a hash-sampled,
+    // lang-blocked document set — the WEIGHTED similarity member
+    // between the set-based dedup family (q26 Jaccard, q324 ROUGE-2)
+    // and the query-doc BM25 (q52): rare shared vocabulary counts
+    // more than common. idf is ONE snapped ln per sampled-corpus
+    // word (vocabulary-bounded, the q165 discipline); weights
+    // tf·idf_micro and norms are exact integers; the cosine is ONE
+    // double chain over exact sums, micro-snapped; only pairs at
+    // cosine ≥ 0.5 emit (an exact integer threshold on the snapped
+    // value, identical both sides).
+    QueryDef(
+      "q339_tfidf_cosine",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .filter(graft.operators.Sampling
+            .hashFraction($"doc_id", 339L) < 0.2)
+          .select($"doc_id", $"lang",
+            explode(expr("filter(split(text, ' '), x -> x != '')"))
+              .as("w"))
+        val tf = docs.groupBy($"doc_id", $"lang", $"w")
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true) // df + weight legs read it
+        val nDocs = tf.select($"doc_id").distinct()
+          .agg(count(lit(1)).as("nd"))
+        val dfreq = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+        val idf = dfreq.crossJoin(nDocs).select($"w",
+          floor(log($"nd".cast("double") / $"df".cast("double"))
+            * 1000000 + lit(0.5)).cast("long").as("idf"))
+        val wts = tf.join(idf, "w")
+          .select($"doc_id", $"lang", $"w", ($"tf" * $"idf").as("wt"))
+          .localCheckpoint(true) // norm + pair legs read it
+        val norms = wts.groupBy($"doc_id").agg(
+          sum($"wt".cast("decimal(38,0)") * $"wt").as("n2"))
+        val dot = wts.as("a").join(wts.as("b"),
+            col("a.w") === col("b.w") && col("a.lang") === col("b.lang") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(sum(col("a.wt").cast("decimal(38,0)") * col("b.wt"))
+            .as("dot"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        dot
+          .join(norms.select($"doc_id".as("doc_a"), $"n2".as("na2")), "doc_a")
+          .join(norms.select($"doc_id".as("doc_b"), $"n2".as("nb2")), "doc_b")
+          .filter($"na2" > 0 && $"nb2" > 0) // all-idf-zero docs: no norm
+          .select($"doc_a", $"doc_b",
+            floor(db($"dot") / (sqrt(db($"na2")) * sqrt(db($"nb2")))
+              * 1000000 + lit(0.5)).cast("long").as("cosine_micro"))
+          .filter($"cosine_micro" >= 500000L)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""WITH words AS (
+             |  SELECT doc_id, lang, w
+             |  FROM (SELECT doc_id, lang,
+             |          unnest(string_split(text, ' ')) AS w
+             |        FROM documents
+             |        WHERE ${graft.operators.Sampling
+                        .hashFractionSql("doc_id", 339L)} < 0.2)
+             |  WHERE length(w) > 0),
+             |tf AS MATERIALIZED (
+             |  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM words GROUP BY 1, 2, 3),
+             |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+             |       FROM tf),
+             |idf AS (
+             |  SELECT w, CAST(floor(ln(CAST(nd.nd AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |    AS idf
+             |  FROM tf CROSS JOIN nd GROUP BY w, nd.nd),
+             |wts AS MATERIALIZED (
+             |  SELECT t.doc_id, t.lang, t.w, t.tf * i.idf AS wt
+             |  FROM tf t JOIN idf i ON i.w = t.w),
+             |norms AS (
+             |  SELECT doc_id, SUM(CAST(wt AS HUGEINT) * wt) AS n2
+             |  FROM wts GROUP BY 1),
+             |dot AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    SUM(CAST(a.wt AS HUGEINT) * b.wt) AS dot
+             |  FROM wts a JOIN wts b ON a.w = b.w AND a.lang = b.lang
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d.doc_a, d.doc_b,
+             |  CAST(floor(CAST(d.dot AS DOUBLE)
+             |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             |    * 1000000 + 0.5) AS BIGINT) AS cosine_micro
+             |FROM dot d
+             |JOIN norms na ON na.doc_id = d.doc_a
+             |JOIN norms nb ON nb.doc_id = d.doc_b
+             |WHERE na.n2 > 0 AND nb.n2 > 0
+             |  AND CAST(floor(CAST(d.dot AS DOUBLE)
+             |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             |    * 1000000 + 0.5) AS BIGINT) >= 500000
+             |ORDER BY d.doc_a, d.doc_b""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]] — the q127
