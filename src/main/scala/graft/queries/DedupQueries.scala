@@ -948,9 +948,13 @@ object DedupQueries {
       "q324_rouge_pairs",
       (s, d) => {
         import s.implicits._
+        // hash-CAPPED portable-order sample (the q189 discipline): a
+        // fixed 400-doc pool bounds the pair frame at ANY corpus
+        // scale — a fixed RATE would grow pairs quadratically
         val docs = Tables.documents(s, d)
-          .filter(graft.operators.Sampling
-            .hashFraction($"doc_id", 324L) < 0.2)
+          .withColumn("hf",
+            graft.operators.Sampling.hashFraction($"doc_id", 324L))
+          .orderBy($"hf", $"doc_id").limit(400)
           .select($"doc_id", $"lang",
             expr("filter(split(text, ' '), x -> x != '')").as("ws"))
         val bg = docs.select($"doc_id", $"lang",
@@ -978,9 +982,12 @@ object DedupQueries {
       Some(s"""WITH docs AS (
              |  SELECT doc_id, lang,
              |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
-             |  FROM documents
-             |  WHERE ${graft.operators.Sampling
-                  .hashFractionSql("doc_id", 324L)} < 0.2),
+             |  FROM (
+             |    SELECT doc_id, lang, text,
+             |      ${graft.operators.Sampling
+                    .hashFractionSql("doc_id", 324L)} AS hf
+             |    FROM documents)
+             |  ORDER BY hf, doc_id LIMIT 400),
              |bg AS MATERIALIZED (
              |  SELECT DISTINCT doc_id, lang, bigram
              |  FROM (

@@ -1274,9 +1274,12 @@ object TextQueries {
       "q339_tfidf_cosine",
       (s, d) => {
         import s.implicits._
+        // hash-CAPPED 400-doc pool (the q189 discipline) — a fixed
+        // rate would grow the pair frame quadratically with corpus
         val docs = Tables.documents(s, d)
-          .filter(graft.operators.Sampling
-            .hashFraction($"doc_id", 339L) < 0.2)
+          .withColumn("hf",
+            graft.operators.Sampling.hashFraction($"doc_id", 339L))
+          .orderBy($"hf", $"doc_id").limit(400)
           .select($"doc_id", $"lang",
             explode(expr("filter(split(text, ' '), x -> x != '')"))
               .as("w"))
@@ -1315,9 +1318,13 @@ object TextQueries {
              |  SELECT doc_id, lang, w
              |  FROM (SELECT doc_id, lang,
              |          unnest(string_split(text, ' ')) AS w
-             |        FROM documents
-             |        WHERE ${graft.operators.Sampling
-                        .hashFractionSql("doc_id", 339L)} < 0.2)
+             |        FROM (
+             |          SELECT doc_id, lang, text FROM (
+             |            SELECT doc_id, lang, text,
+             |              ${graft.operators.Sampling
+                            .hashFractionSql("doc_id", 339L)} AS hf
+             |            FROM documents)
+             |          ORDER BY hf, doc_id LIMIT 400))
              |  WHERE length(w) > 0),
              |tf AS MATERIALIZED (
              |  SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS tf
