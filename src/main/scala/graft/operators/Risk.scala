@@ -318,6 +318,77 @@ object Risk {
       .toDF("n", "slope_milli", "intercept_milli", "dw_micro")
   }
 
+  /** Per-day regression influence diagnostics for the [[durbinWatson]]
+    * OLS trend fit: leverage h_t = 1/n + (t−t̄)²/Sxx and Cook's
+    * distance D_t = (e²/s²)·h/(2(1−h)²) — WHICH days bent the trend
+    * line, the row-grain companion to q267's single serial-correlation
+    * number. The fit replays the exact q267 fdiv recurrence; the
+    * e²/s² ratio is computed as EXACT integer floor divisions first
+    * (e²·1e6 // (Σe²//(n−2))) so no >2^63 value is ever cast to
+    * double (the q267 HUGEINT→DOUBLE discipline); h and the final
+    * Cook chain are ONE double sequence each, micro-snapped. The
+    * influence flag D > 4/n is an exact integer cross-multiplication.
+    * Returns (day, xq, e_milli, h_micro, cook_micro, influential).
+    */
+  final case class CookRow(
+      day: Date, xq: Long, e_milli: Long, h_micro: Long,
+      cook_micro: Long, influential: Boolean)
+
+  def cooksDistance(series: DataFrame, dayCol: String, valCol: String): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(dayCol).cast("date"), col(valCol).cast("long"))
+      .as[(Date, Long)]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1.getTime)
+        val ys = rows.map(_._2)
+        val n = ys.length.toLong
+        var st, sy, stt = 0L
+        var sty = BigInt(0)
+        var t = 0L
+        ys.foreach { y =>
+          t += 1
+          st += t; sy += y; stt += t * t
+          sty += BigInt(t) * y
+        }
+        val num = BigInt(n) * sty - BigInt(st) * sy
+        val den = BigInt(n) * stt - BigInt(st) * st
+        val slopeMilli =
+          math.floor(num.toDouble / den.toDouble * 1000L).toLong
+        val interMilli = LogReg.fdiv(1000L * sy - slopeMilli * st, n)
+        var sumE2 = BigInt(0)
+        t = 0L
+        val es = ys.map { y =>
+          t += 1
+          val e = 1000L * y - interMilli - slopeMilli * t
+          sumE2 += BigInt(e) * e
+          e
+        }
+        val s2q = if (n > 2) sumE2 / BigInt(n - 2) else BigInt(0)
+        val nd = n.toDouble
+        val tbar = st.toDouble / nd
+        val sxx = stt.toDouble - st.toDouble * st.toDouble / nd
+        t = 0L
+        rows.iterator.zip(es.iterator).map { case ((day, y), e) =>
+          t += 1
+          val h = 1.0 / nd + (t.toDouble - tbar) * (t.toDouble - tbar) / sxx
+          val hMicro = math.floor(h * 1000000.0 + 0.5).toLong
+          val cookMicro =
+            if (s2q == BigInt(0)) 0L
+            else {
+              val r2q = (BigInt(e) * e * 1000000L) / s2q
+              math.floor(r2q.toDouble / 1000000.0 * h
+                / (2.0 * (1.0 - h) * (1.0 - h)) * 1000000.0 + 0.5).toLong
+            }
+          CookRow(day, y, e, hMicro, cookMicro, cookMicro * n > 4000000L)
+        }
+      }(Encoders.product[CookRow])
+      .toDF(dayCol, valCol, "e_milli", "h_micro", "cook_micro",
+        "influential")
+      .orderBy(col(dayCol))
+  }
+
   /** Lower/upper TAIL-DEPENDENCE estimate between two day-keyed
     * series — the co-crash diagnostic a correlation can't give
     * ([[varEs]] sizes one series' tail; this asks whether two

@@ -921,6 +921,118 @@ object RiskQueries {
              |    ELSE gains * 1000000 // losses END AS omega_micro
              |FROM ag ORDER BY n_name""".stripMargin)),
 
+    // ----- q340: per-day regression influence diagnostics of the
+    // q267 trend fit (operators.Risk.cooksDistance) — leverage h_t
+    // and Cook's distance per observation, flagging the days that
+    // bent the line (D > 4/n, an exact integer cross-multiplication).
+    // The e²/s² ratio is exact integer floor divisions before any
+    // double (the q267 HUGEINT→DOUBLE discipline); h and the final
+    // chain replay verbatim in the oracle.
+    QueryDef(
+      "q340_cooks_distance",
+      (s, d) => graft.operators.Risk
+        .cooksDistance(dailyCents(s, d), "day", "xq"),
+      Some(s"""WITH $dailySql,
+             |rn AS (
+             |  SELECT day, xq,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+             |  FROM ser),
+             |mo AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(t) AS BIGINT) AS st,
+             |    CAST(SUM(xq) AS BIGINT) AS sy,
+             |    CAST(SUM(t * t) AS BIGINT) AS stt,
+             |    CAST(SUM(CAST(t AS HUGEINT) * xq) AS HUGEINT) AS sty
+             |  FROM rn),
+             |co AS (
+             |  SELECT n, st, sy, stt,
+             |    CAST(floor(CAST(CAST(n AS HUGEINT) * sty
+             |        - CAST(st AS HUGEINT) * sy AS DOUBLE)
+             |      / CAST(CAST(n AS HUGEINT) * stt
+             |        - CAST(st AS HUGEINT) * st AS DOUBLE)
+             |      * 1000) AS BIGINT) AS slope_milli
+             |  FROM mo),
+             |c2 AS (
+             |  SELECT n, st, stt, slope_milli,
+             |    CAST(floor(CAST(1000 * sy - slope_milli * st AS DOUBLE)
+             |      / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_milli
+             |  FROM co),
+             |res AS (
+             |  SELECT rn.day, rn.xq, rn.t,
+             |    1000 * rn.xq - c2.intercept_milli - c2.slope_milli * rn.t
+             |      AS e
+             |  FROM rn CROSS JOIN c2),
+             |sq AS (
+             |  SELECT CASE WHEN (SELECT n FROM mo) > 2
+             |    THEN SUM(CAST(e AS HUGEINT) * e)
+             |      // ((SELECT n FROM mo) - 2)
+             |    ELSE 0 END AS s2q
+             |  FROM res)
+             |SELECT r.day, r.xq, r.e AS e_milli,
+             |  CAST(floor((1.0 / CAST(m.n AS DOUBLE)
+             |    + (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |        / CAST(m.n AS DOUBLE))
+             |      * (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |        / CAST(m.n AS DOUBLE))
+             |      / (CAST(m.stt AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |        * CAST(m.st AS DOUBLE) / CAST(m.n AS DOUBLE)))
+             |    * 1000000.0 + 0.5) AS BIGINT) AS h_micro,
+             |  CASE WHEN q.s2q = 0 THEN 0
+             |    ELSE CAST(floor(
+             |      CAST((CAST(r.e AS HUGEINT) * r.e * 1000000) // q.s2q
+             |        AS DOUBLE) / 1000000.0
+             |      * (1.0 / CAST(m.n AS DOUBLE)
+             |        + (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          * (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          / (CAST(m.stt AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            * CAST(m.st AS DOUBLE) / CAST(m.n AS DOUBLE)))
+             |      / (2.0 * (1.0 - (1.0 / CAST(m.n AS DOUBLE)
+             |        + (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          * (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          / (CAST(m.stt AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            * CAST(m.st AS DOUBLE) / CAST(m.n AS DOUBLE))))
+             |        * (1.0 - (1.0 / CAST(m.n AS DOUBLE)
+             |        + (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          * (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          / (CAST(m.stt AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            * CAST(m.st AS DOUBLE) / CAST(m.n AS DOUBLE)))))
+             |      * 1000000.0 + 0.5) AS BIGINT) END AS cook_micro,
+             |  CASE WHEN q.s2q = 0 THEN FALSE
+             |    ELSE CAST(floor(
+             |      CAST((CAST(r.e AS HUGEINT) * r.e * 1000000) // q.s2q
+             |        AS DOUBLE) / 1000000.0
+             |      * (1.0 / CAST(m.n AS DOUBLE)
+             |        + (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          * (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          / (CAST(m.stt AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            * CAST(m.st AS DOUBLE) / CAST(m.n AS DOUBLE)))
+             |      / (2.0 * (1.0 - (1.0 / CAST(m.n AS DOUBLE)
+             |        + (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          * (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          / (CAST(m.stt AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            * CAST(m.st AS DOUBLE) / CAST(m.n AS DOUBLE))))
+             |        * (1.0 - (1.0 / CAST(m.n AS DOUBLE)
+             |        + (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          * (CAST(r.t AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            / CAST(m.n AS DOUBLE))
+             |          / (CAST(m.stt AS DOUBLE) - CAST(m.st AS DOUBLE)
+             |            * CAST(m.st AS DOUBLE) / CAST(m.n AS DOUBLE)))))
+             |      * 1000000.0 + 0.5) AS BIGINT) * m.n > 4000000 END
+             |    AS influential
+             |FROM res r CROSS JOIN mo m CROSS JOIN sq q
+             |ORDER BY r.day""".stripMargin)),
+
     // ----- q318: pairs-trading spread (Engle–Granger step 1)
     // between the two LARGEST nation revenue series — hedge-ratio
     // OLS of y on x over the aligned zero-filled grid, exact
