@@ -1033,6 +1033,106 @@ object RiskQueries {
              |FROM res r CROSS JOIN mo m CROSS JOIN sq q
              |ORDER BY r.day""".stripMargin)),
 
+    // ----- q341: partial autocorrelation (lags 1–3) of daily
+    // revenue by Durbin–Levinson — the AR-ORDER diagnostic next to
+    // q245's raw ACF (which confounds direct and propagated
+    // correlation; PACF isolates the direct lag-k effect, the "how
+    // many AR terms" read). Series is centered on the fdiv milli
+    // mean (exact integers); each ACF rₖ is ONE double division of
+    // exact decimal/HUGEINT sums; the three-step Durbin–Levinson
+    // recursion is a fixed double chain over the three r values,
+    // micro-snapped. Lag shifts are zipRank self-joins (no global
+    // window).
+    QueryDef(
+      "q341_pacf",
+      (s, d) => {
+        import s.implicits._
+        val ser = dailyCents(s, d)
+        val mo = ser.agg(count(lit(1)).as("n"), sum($"xq").as("sx"))
+        val cen = ser.crossJoin(mo)
+          .select($"day",
+            (lit(1000L) * $"xq" - expr("CAST(floor(CAST(1000 * sx AS DOUBLE)"
+              + " / CAST(n AS DOUBLE)) AS BIGINT)")).as("c"))
+        val rk = graft.operators.GlobalOrder.zipRank(cen.sort($"day"), "rk")
+          .select($"rk", $"c")
+          .localCheckpoint(true) // four shifted copies read it
+        def lagSum(k: Int) = rk.as("a")
+          .join(rk.as("b").select($"rk".as("rk2"), $"c".as("c2")),
+            $"rk2" === $"rk" + k.toLong)
+          .agg(sum(($"c".cast("decimal(38,0)") * $"c2")).as(s"g$k"))
+        val g0 = rk.agg(sum(($"c".cast("decimal(38,0)") * $"c")).as("g0"))
+        val j = g0.crossJoin(lagSum(1)).crossJoin(lagSum(2))
+          .crossJoin(lagSum(3))
+        // each rₖ is an EXACT sign-split integer micro division (the
+        // decimal sums exceed the exact HUGEINT→DOUBLE window, so the
+        // quantization happens in integer space on both engines)
+        def rMicro(k: Int) = expr(
+          s"""CASE WHEN g$k >= 0
+             |  THEN CAST(g$k * 1000000 DIV g0 AS LONG)
+             |  ELSE -CAST((-g$k) * 1000000 DIV g0 AS LONG) END""".stripMargin)
+        val q = j.select(rMicro(1).as("r1q"), rMicro(2).as("r2q"),
+          rMicro(3).as("r3q"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val r1 = db($"r1q") / lit(1000000.0)
+        val r2 = db($"r2q") / lit(1000000.0)
+        val r3 = db($"r3q") / lit(1000000.0)
+        val p22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+        val p21 = r1 - p22 * r1
+        val p33 = (r3 - p21 * r2 - p22 * r1) /
+          (lit(1.0) - p21 * r1 - p22 * r2)
+        q.select(
+          floor(r1 * 1000000 + lit(0.5)).cast("long").as("pacf1_micro"),
+          floor(p22 * 1000000 + lit(0.5)).cast("long").as("pacf2_micro"),
+          floor(p33 * 1000000 + lit(0.5)).cast("long").as("pacf3_micro"))
+      },
+      Some(s"""WITH $dailySql,
+             |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(xq) AS BIGINT) AS sx
+             |  FROM ser),
+             |cen AS (
+             |  SELECT s.day,
+             |    1000 * s.xq - CAST(floor(CAST(1000 * m.sx AS DOUBLE)
+             |      / CAST(m.n AS DOUBLE)) AS BIGINT) AS c
+             |  FROM ser s CROSS JOIN mo m),
+             |rk AS MATERIALIZED (
+             |  SELECT c, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+             |    AS rk
+             |  FROM cen),
+             |g0 AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS g0 FROM rk),
+             |g1 AS (SELECT SUM(CAST(a.c AS HUGEINT) * b.c) AS g1
+             |  FROM rk a JOIN rk b ON b.rk = a.rk + 1),
+             |g2 AS (SELECT SUM(CAST(a.c AS HUGEINT) * b.c) AS g2
+             |  FROM rk a JOIN rk b ON b.rk = a.rk + 2),
+             |g3 AS (SELECT SUM(CAST(a.c AS HUGEINT) * b.c) AS g3
+             |  FROM rk a JOIN rk b ON b.rk = a.rk + 3),
+             |qs AS (
+             |  SELECT
+             |    CASE WHEN g1 >= 0 THEN CAST(g1 * 1000000 // g0 AS BIGINT)
+             |      ELSE -CAST((-g1) * 1000000 // g0 AS BIGINT) END AS r1q,
+             |    CASE WHEN g2 >= 0 THEN CAST(g2 * 1000000 // g0 AS BIGINT)
+             |      ELSE -CAST((-g2) * 1000000 // g0 AS BIGINT) END AS r2q,
+             |    CASE WHEN g3 >= 0 THEN CAST(g3 * 1000000 // g0 AS BIGINT)
+             |      ELSE -CAST((-g3) * 1000000 // g0 AS BIGINT) END AS r3q
+             |  FROM g0 CROSS JOIN g1 CROSS JOIN g2 CROSS JOIN g3),
+             |ch AS (
+             |  SELECT CAST(r1q AS DOUBLE) / 1000000.0 AS r1,
+             |    CAST(r2q AS DOUBLE) / 1000000.0 AS r2,
+             |    CAST(r3q AS DOUBLE) / 1000000.0 AS r3
+             |  FROM qs),
+             |dl AS (
+             |  SELECT r1, r2, r3,
+             |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+             |  FROM ch),
+             |dl2 AS (
+             |  SELECT r1, r2, r3, p22, r1 - p22 * r1 AS p21 FROM dl)
+             |SELECT
+             |  CAST(floor(r1 * 1000000 + 0.5) AS BIGINT) AS pacf1_micro,
+             |  CAST(floor(p22 * 1000000 + 0.5) AS BIGINT) AS pacf2_micro,
+             |  CAST(floor((r3 - p21 * r2 - p22 * r1)
+             |    / (1.0 - p21 * r1 - p22 * r2) * 1000000 + 0.5) AS BIGINT)
+             |    AS pacf3_micro
+             |FROM dl2""".stripMargin)),
+
     // ----- q318: pairs-trading spread (Engle–Granger step 1)
     // between the two LARGEST nation revenue series — hedge-ratio
     // OLS of y on x over the aligned zero-filled grid, exact
