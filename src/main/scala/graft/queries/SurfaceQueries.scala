@@ -235,5 +235,43 @@ object SurfaceQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey
              |  ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin)))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ----- q342: correlated LATERAL top-N — the join-a-subquery-
+    // per-row SQL surface (Spark 3.2+ LATERAL ≡ DuckDB LATERAL):
+    // each nation's 3 highest-balance customers via an ORDER BY …
+    // LIMIT subquery correlated on the outer row. The planner
+    // rewrites this to a window-rank under the hood — the query pins
+    // that the SURFACE form works and agrees across engines (ties by
+    // c_custkey, balances exact cents).
+    QueryDef(
+      "q342_lateral_topn",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql("""
+          |SELECT n.n_name, t.c_custkey, t.bal_cents
+          |FROM nation n,
+          |LATERAL (
+          |  SELECT c_custkey,
+          |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+          |  FROM customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY bal_cents DESC, c_custkey
+          |  LIMIT 3
+          |) t
+          |ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey
+        """.stripMargin)
+      },
+      Some("""SELECT n.n_name, t.c_custkey, t.bal_cents
+             |FROM nation n,
+             |LATERAL (
+             |  SELECT c_custkey,
+             |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+             |  FROM customer c
+             |  WHERE c.c_nationkey = n.n_nationkey
+             |  ORDER BY bal_cents DESC, c_custkey
+             |  LIMIT 3
+             |) t
+             |ORDER BY n.n_name, t.bal_cents DESC, t.c_custkey""".stripMargin)))
 }
