@@ -1359,7 +1359,60 @@ object TextQueries {
              |  AND CAST(floor(CAST(d.dot AS DOUBLE)
              |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
              |    * 1000000 + 0.5) AS BIGINT) >= 500000
-             |ORDER BY d.doc_a, d.doc_b""".stripMargin))
+             |ORDER BY d.doc_a, d.doc_b""".stripMargin)),
+
+    // ----- q343: Chao1 vocabulary-richness estimate per source —
+    // "how many word types does this source REALLY have, counting
+    // the ones we haven't sampled yet": the species-richness member
+    // completing the unseen-mass trio (q228 Good–Turing discounts
+    // the seen, q260 capture–recapture sizes a duplicate population,
+    // Chao1 extrapolates the unseen from singletons/doubletons).
+    // Bias-corrected form D + f₁(f₁−1)/(2(f₂+1)) — defined even at
+    // f₂ = 0; counts exact, the estimate ONE double chain,
+    // milli-snapped.
+    QueryDef(
+      "q343_chao1_richness",
+      (s, d) => {
+        import s.implicits._
+        val wc = Tables.documents(s, d)
+          .select($"source",
+            explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+          .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        def db(c: org.apache.spark.sql.Column) = c.cast("double")
+        val agg = wc.groupBy($"source").agg(
+          count(lit(1)).as("d_obs"),
+          sum(when($"c" === 1L, 1L).otherwise(0L)).as("f1"),
+          sum(when($"c" === 2L, 1L).otherwise(0L)).as("f2"),
+          sum($"c").as("n_tokens"))
+        agg.select($"source", $"n_tokens", $"d_obs", $"f1", $"f2",
+            floor((db($"d_obs") + db($"f1") * (db($"f1") - lit(1.0))
+              / (lit(2.0) * (db($"f2") + lit(1.0))))
+              * 1000 + lit(0.5)).cast("long").as("chao1_milli"))
+          .orderBy($"source")
+      },
+      Some("""WITH words AS (
+             |  SELECT source, w
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  WHERE length(w) > 0),
+             |wc AS (
+             |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM words GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT source,
+             |    CAST(COUNT(*) AS BIGINT) AS d_obs,
+             |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS f1,
+             |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS f2,
+             |    CAST(SUM(c) AS BIGINT) AS n_tokens
+             |  FROM wc GROUP BY 1)
+             |SELECT source, n_tokens, d_obs, f1, f2,
+             |  CAST(floor((CAST(d_obs AS DOUBLE)
+             |    + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+             |      / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)))
+             |    * 1000 + 0.5) AS BIGINT) AS chao1_milli
+             |FROM agg ORDER BY source""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Bpe.train]] — the q127
