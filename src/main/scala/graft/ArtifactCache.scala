@@ -14,6 +14,17 @@ import scala.jdk.CollectionConverters._
   */
 object ArtifactCache {
 
+  /** Single source of truth for the artifact root — shared by [[path]]
+    * and [[clearRoot]] so the full-bench clear and the cache writes can
+    * never drift to different directories (a drift would silently
+    * resurrect the r10 amortization artifact). The root lives under the
+    * JVM tmpdir and is machine-shared: concurrent graft processes on
+    * one host share (and may race on) it — full-bench runs assume they
+    * own the root for the duration.
+    */
+  private def root: Path =
+    Paths.get(s"${sys.props("java.io.tmpdir")}/graft-indexes")
+
   /** `Files.list` holds an open directory stream until CLOSED, not
     * until GC — and this object runs on the driver once per artifact
     * query, so leaked streams accumulate toward EMFILE in a long-lived
@@ -57,17 +68,17 @@ object ArtifactCache {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$src|$params|$stamp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val root = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-indexes")
+    val r = root
     try {
-      if (Files.isDirectory(root)) {
+      if (Files.isDirectory(r)) {
         val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-        listDir(root)(_.filter(p => p.getFileName.toString.startsWith(s"$kind-") &&
+        listDir(r)(_.filter(p => p.getFileName.toString.startsWith(s"$kind-") &&
             !p.getFileName.toString.endsWith(digest) &&
             Files.getLastModifiedTime(p).toMillis < cutoff)
           .toSeq).foreach(deleteRecursively)
       }
     } catch { case _: java.io.IOException => () }  // pruning is best-effort
-    s"$root/$kind-$digest"
+    s"$r/$kind-$digest"
   }
 
   /** Delete the whole artifact root. Full-bench hygiene: a full suite
@@ -76,9 +87,10 @@ object ArtifactCache {
     * silently vanishing whenever a previous process left artifacts on
     * disk (r10: ~20 s of apparent q198/q78 "speedup" was
     * amortization, with the build cost in no bench row at all).
+    * Uses the same [[root]] constant as [[path]] — see its concurrency
+    * caveat: this deletes a machine-shared directory.
     */
-  def clearRoot(): Unit =
-    deleteRecursively(Paths.get(s"${sys.props("java.io.tmpdir")}/graft-indexes"))
+  def clearRoot(): Unit = deleteRecursively(root)
 
   private def deleteRecursively(p: Path): Unit = {
     try {

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   *    a tie-broken exact-k set makes counts deterministic);
   *  - lrd is nano-quantized by round-half-up exact integer division;
   *    a zero reachability sum (≥ k exact duplicates) yields NULL
-  *    lrd/LOF, NULL-propagated (the coxBinary convention).
+  *    lrd/LOF, NULL-propagated (the coxBinary convention) — and the
+  *    propagation is STRICT: if ANY neighbor's lrd is NULL the
+  *    point's lof_milli is NULL too (count(lrd_o) < count(*) in the
+  *    neighbor aggregation), never a silently-diluted average over
+  *    the non-NULL subset.
   *
   * Scale shape: the pair join is label-blocked (Σ n_blk² — the q27
   * grid argument applies if a block is huge); everything after is
@@ -75,10 +79,12 @@ object Lof {
     val lofj = knn
       .join(lrd.select(col("ia").as("ib"), col("lrd").as("lrd_o")), "ib")
       .groupBy(col("ia"))
-      .agg(sum(col("lrd_o")).as("slo"), count(lit(1)).as("cnt2"))
+      .agg(sum(col("lrd_o")).as("slo"), count(col("lrd_o")).as("cntl"),
+        count(lit(1)).as("cnt2"))
     kd.join(lrd, "ia").join(lofj, "ia")
       .select(col("ia").as("id"), col("cnt"), col("kdist"), col("lrd"),
-        when(col("lrd").isNull || col("slo").isNull, lit(null).cast("long"))
+        when(col("lrd").isNull || col("slo").isNull
+            || col("cntl") < col("cnt2"), lit(null).cast("long"))
           .otherwise(expr(
             "(2000 * slo + cnt2 * lrd) DIV (2 * cnt2 * lrd)"))
           .as("lof_milli"))

@@ -40,10 +40,13 @@ object Risk {
       n_days: Long, var_p: Option[Double], es_micro: Option[Long],
       n_tail: Long)
 
-  /** Row shape of [[tailDependence]] (6 fields — past Encoders.tuple). */
+  /** Row shape of [[tailDependence]] (6 fields — past Encoders.tuple).
+    * The lambda fields are None when k == 0 (n < 5): "undefined", not
+    * "no tail dependence" — the [[VarEsRow]] degenerate-frame
+    * convention. */
   final case class TailDepRow(
       n: Long, k: Long, both_low: Long, both_high: Long,
-      lambda_low_milli: Long, lambda_high_milli: Long)
+      lambda_low_milli: Option[Long], lambda_high_milli: Option[Long])
 
   /** Drawdown trajectory of the cumulative series: one row per day,
     * (day, xq, cum, peak, dd) with cum = running sum of xq, peak =
@@ -402,7 +405,9 @@ object Risk {
     *
     * One row out: (n, k, both_low, both_high, lambda_low_milli,
     * lambda_high_milli). Day-count-bounded single-task fold over
-    * the JOINED calendar (days present in both series).
+    * the JOINED calendar (days present in both series). With n < 5
+    * (k = 0) the estimator is undefined and both lambdas are NULL —
+    * never 0, which would read as "no tail dependence".
     */
   def tailDependence(
       x: DataFrame, y: DataFrame,
@@ -430,8 +435,13 @@ object Risk {
         val xh = highSet(_._2); val yh = highSet(_._3)
         val bothLow = (xl intersect yl).size.toLong
         val bothHigh = (xh intersect yh).size.toLong
-        val lamL = if (k > 0) LogReg.fdiv(bothLow * 2000 + k, 2 * k) else 0L
-        val lamU = if (k > 0) LogReg.fdiv(bothHigh * 2000 + k, 2 * k) else 0L
+        // k == 0 (n < 5): the estimator is UNDEFINED — None, not 0,
+        // which would read as "no tail dependence" (the VarEsRow
+        // degenerate-frame convention)
+        val lamL = if (k > 0) Some(LogReg.fdiv(bothLow * 2000 + k, 2 * k))
+          else None
+        val lamU = if (k > 0) Some(LogReg.fdiv(bothHigh * 2000 + k, 2 * k))
+          else None
         TailDepRow(n, k, bothLow, bothHigh, lamL, lamU)
       }(Encoders.product[TailDepRow])
       .toDF("n", "k", "both_low", "both_high",

@@ -895,7 +895,8 @@ object ClusterQueries {
     // differing density. Deterministic variant: micro-snapped cosine
     // distances BEFORE any ordering, exact-k neighbor sets under the
     // (dist, id) total order, nano lrd and milli LOF by round-half-up
-    // integer division, NULL on ≥k exact duplicates.
+    // integer division, NULL on ≥k exact duplicates — propagated
+    // STRICTLY: any NULL-lrd neighbor NULLs the point's lof_milli.
     QueryDef(
       "q308_lof",
       (s, d) => graft.operators.Lof.lof(
@@ -932,10 +933,12 @@ object ClusterQueries {
              |  FROM rch GROUP BY 1),
              |lofj AS (
              |  SELECT k.ia, CAST(SUM(l.lrd) AS BIGINT) AS slo,
+             |    CAST(COUNT(l.lrd) AS BIGINT) AS cntl,
              |    CAST(COUNT(*) AS BIGINT) AS cnt2
              |  FROM knn k JOIN lrd l ON l.ia = k.ib GROUP BY 1)
              |SELECT kd.ia AS id, kd.cnt, kd.kdist, lp.lrd,
-             |  CASE WHEN lp.lrd IS NULL OR lofj.slo IS NULL THEN NULL
+             |  CASE WHEN lp.lrd IS NULL OR lofj.slo IS NULL
+             |      OR lofj.cntl < lofj.cnt2 THEN NULL
              |    ELSE (2000 * lofj.slo + lofj.cnt2 * lp.lrd)
              |      // (2 * lofj.cnt2 * lp.lrd) END AS lof_milli
              |FROM kd JOIN lrd lp USING (ia) JOIN lofj USING (ia)

@@ -440,10 +440,10 @@ object RiskQueries {
              |SELECT nk.n, nk.k, c.both_low, c.both_high,
              |  CAST(CASE WHEN nk.k > 0
              |    THEN (c.both_low * 2000 + nk.k) // (2 * nk.k)
-             |    ELSE 0 END AS BIGINT) AS lambda_low_milli,
+             |    ELSE NULL END AS BIGINT) AS lambda_low_milli,
              |  CAST(CASE WHEN nk.k > 0
              |    THEN (c.both_high * 2000 + nk.k) // (2 * nk.k)
-             |    ELSE 0 END AS BIGINT) AS lambda_high_milli
+             |    ELSE NULL END AS BIGINT) AS lambda_high_milli
              |FROM nk CROSS JOIN cnt c""".stripMargin)),
 
     // ----- q306: lag-1 Granger causality between the even- and

@@ -37,10 +37,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * incremental-index-between-batch-rebuilds convention.
   *
   * State cap (the family's rule): past `maxNodes`, whole
-  * least-recently-touched connected components are evicted. Because
-  * n changes, surviving ranks all shift and are re-emitted on the
-  * next batch — retained answers stay exact for the TRACKED graph,
-  * the same recall trade every capped stream documents.
+  * least-recently-touched connected components are evicted BEFORE the
+  * batch's recurrence runs, so every emitted rank is computed over
+  * exactly the surviving tracked graph — retained answers stay exact
+  * for the TRACKED graph, the same recall trade every capped stream
+  * documents. Evicted ids whose ranks were previously emitted get a
+  * TOMBSTONE row (`pr = NaN`): an id-keyed upsert sink drops NaN rows,
+  * so it never permanently holds stale ranks for untracked nodes.
   */
 object PageRankStream {
 
@@ -83,6 +86,39 @@ object PageRankStream {
         }
       }
 
+      // cap FIRST: evict whole least-recently-touched components (the
+      // KCoreStream scan; eviction is the rare path), so the
+      // recurrence below — and therefore every emission this batch —
+      // runs over exactly the surviving tracked graph
+      val evicted = scala.collection.mutable.HashSet.empty[Long]
+      if (adj.size > maxNodes) {
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        val comps = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+        adj.keys.foreach { s =>
+          if (!seen.contains(s)) {
+            val comp = scala.collection.mutable.ArrayBuffer(s)
+            seen += s
+            var i = 0
+            while (i < comp.length) {
+              adj(comp(i)).foreach { w =>
+                if (!seen.contains(w)) { seen += w; comp += w }
+              }
+              i += 1
+            }
+            val recency = comp.iterator.map(touch.getOrElse(_, 0L)).max
+            comps += ((recency, comp.toSeq))
+          }
+        }
+        comps.sortInPlaceBy { case (recency, comp) => (recency, comp.min) }
+        var ci = 0
+        while (adj.size > maxNodes && ci < comps.length) {
+          comps(ci)._2.foreach { v =>
+            adj.remove(v); touch.remove(v); evicted += v
+          }
+          ci += 1
+        }
+      }
+
       // the batch recurrence, verbatim arithmetic
       val n = adj.size.toLong
       val newRanks: Map[Long, Double] =
@@ -115,40 +151,19 @@ object PageRankStream {
       val changed = newRanks.iterator.filter { case (v, p) =>
         !st.ranks.get(v).contains(p)
       }.toSeq
-
-      // cap: evict whole least-recently-touched components (the
-      // KCoreStream scan; eviction is the rare path)
-      if (adj.size > maxNodes) {
-        val seen = scala.collection.mutable.HashSet.empty[Long]
-        val comps = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
-        adj.keys.foreach { s =>
-          if (!seen.contains(s)) {
-            val comp = scala.collection.mutable.ArrayBuffer(s)
-            seen += s
-            var i = 0
-            while (i < comp.length) {
-              adj(comp(i)).foreach { w =>
-                if (!seen.contains(w)) { seen += w; comp += w }
-              }
-              i += 1
-            }
-            val recency = comp.iterator.map(touch.getOrElse(_, 0L)).max
-            comps += ((recency, comp.toSeq))
-          }
-        }
-        comps.sortInPlaceBy { case (recency, comp) => (recency, comp.min) }
-        var ci = 0
-        while (adj.size > maxNodes && ci < comps.length) {
-          comps(ci)._2.foreach { v => adj.remove(v); touch.remove(v) }
-          ci += 1
-        }
-      }
+      // tombstones: evicted ids whose rank was previously emitted —
+      // pr = NaN tells an id-keyed upsert sink to DROP the row, so
+      // untracked nodes never linger as stale ranks downstream
+      val tombstones = evicted.iterator
+        .filter(st.ranks.contains).toSeq.sorted
+        .map(id => RankRow(id, Double.NaN))
 
       state.update(Registry(
         adj.view.mapValues(_.toSeq.sorted).toMap,
-        newRanks.view.filterKeys(adj.contains).toMap,
+        newRanks,
         touch.toMap, tick))
-      changed.sortBy(_._1).iterator.map { case (id, p) => RankRow(id, p) }
+      (tombstones ++
+        changed.sortBy(_._1).map { case (id, p) => RankRow(id, p) }).iterator
     }
 
     edges.groupByKey(_ => 0)

@@ -83,6 +83,18 @@ class RiskSpec extends SparkSpec {
     assert(anti === ((0L, 0L, 0L)), s"got $anti")
   }
 
+  test("tailDependence: n < 5 gives k = 0 and NULL lambdas (undefined, " +
+    "not 'no tail dependence') — the VarEsRow degenerate convention") {
+    import spark.implicits._
+    val days = (1 to 4).map(i => Date.valueOf(f"2024-07-$i%02d"))
+    val x = days.zipWithIndex.map { case (dd, i) => (dd, (i + 1) * 100L) }
+      .toDF("day", "xq")
+    val out = Risk.tailDependence(x, x, "day", "xq")
+      .select($"n", $"k", $"lambda_low_milli", $"lambda_high_milli")
+      .as[(Long, Long, Option[Long], Option[Long])].head()
+    assert(out === ((4L, 0L, None, None)), s"got $out")
+  }
+
   test("hurstRs: constant series yields no blocks (S = 0 guard); " +
     "block counts follow the calendar") {
     import spark.implicits._

@@ -15,9 +15,11 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 class PageRankStreamSpec extends SparkSpec {
   import PageRankStream.{Edge, RankRow}
 
+  /** The id-keyed upsert sink contract: NaN is a tombstone — the row
+    * is dropped, so evicted nodes never linger as stale ranks. */
   private def upsert(rows: Seq[RankRow]): Map[Long, Double] =
     rows.foldLeft(Map.empty[Long, Double]) {
-      case (acc, r) => acc + (r.id -> r.pr)
+      case (acc, r) => if (r.pr.isNaN) acc - r.id else acc + (r.id -> r.pr)
     }
 
   private def batchRanks(edges: Seq[(Long, Long)]): Map[Long, Double] = {
@@ -101,5 +103,21 @@ class PageRankStreamSpec extends SparkSpec {
     expected.foreach { case (id, p) =>
       assert(finalRanks.get(id).contains(p), s"node $id drifted after eviction")
     }
+    // tombstones retracted every evicted id: after the upsert fold the
+    // sink holds EXACTLY the tracked graph — no stale rows for 1/2/3
+    assert(finalRanks.keySet === expected.keySet,
+      "sink must hold only the tracked graph's nodes after eviction")
+    assert(rows.exists(r => r.pr.isNaN && Set(1L, 2L, 3L).contains(r.id)),
+      "evicted previously-emitted ids must get NaN tombstone rows")
+  }
+
+  test("eviction batch emits ranks computed over the SURVIVING graph " +
+    "(evict-before-recurrence): exact for the tracked graph immediately") {
+    val t1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val t2 = Seq((11L, 12L), (12L, 13L), (11L, 13L))
+    // no third batch: the eviction batch itself must already hold
+    // batch(t2), not ranks diluted by the evicted component's n
+    val finalRanks = upsert(drive(Seq(t1, t2), maxNodes = 3))
+    assert(finalRanks === batchRanks(t2))
   }
 }
