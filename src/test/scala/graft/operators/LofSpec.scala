@@ -39,6 +39,31 @@ class LofSpec extends SparkSpec {
     assert(planted > 100L * 2000L, s"planted $planted not separated")
   }
 
+  test("strict NULL propagation: a point with defined lrd whose kNN " +
+    "set contains NULL-lrd duplicates gets NULL lof, not a diluted avg") {
+    import spark.implicits._
+    // k+1 = 4 exact duplicates (ids 0-3): each one's 3-NN are the
+    // other three at distance 0 -> zero reachability sum -> NULL lrd.
+    // One distinct point (id 9), same label: its 3-NN are duplicates
+    // (tie-broken 0,1,2) at positive distance -> its lrd IS defined,
+    // but every neighbor's lrd is NULL -> strict propagation must
+    // yield NULL lof_milli (cntl < cnt2 guard), never an average
+    // over an empty non-NULL subset.
+    val df = (Seq.tabulate(4)(i => (i.toLong, vec(1, 1), 0)) :+
+      (9L, vec(1, 2), 0)).toDF("vec_id", "embedding", "label")
+    val got = Lof.lof(df, "vec_id", "embedding", "label", k = 3)
+      .select("id", "lrd", "lof_milli")
+      .as[(Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val (lrd9, lof9) = got(9L)
+    assert(lrd9.isDefined, s"distinct point's lrd must be defined: $got")
+    assert(lof9.isEmpty, s"NULL-lrd neighbor must NULL the lof: $got")
+    // the duplicates themselves: NULL lrd and NULL lof
+    (0L to 3L).foreach { id =>
+      assert(got(id)._1.isEmpty && got(id)._2.isEmpty, s"dup $id: $got")
+    }
+  }
+
   test("labels block: a lone point in its own label emits no row; " +
     "exact duplicates NULL-propagate") {
     import spark.implicits._
