@@ -61,6 +61,29 @@ object PipelineMain {
     sink(spark, chunks.toDF(), outDir, "chunks")
     println(s"[pipeline] chunks: ${spark.table("graft.chunks").count()}")
 
+    // E2-binary: the extraction seam driven over REAL binary inputs —
+    // each paper's text wrapped in a deterministic container
+    // (Type0/Identity-H PDF, simple PDF, PNG-predictor PDF, plain
+    // bytes, by doc_id mod 4 — PdfGen.demo), extracted document-per-
+    // task through the probed partitioner, and AUDITED: the sunk
+    // table records WHICH ExtractPath produced each document's text
+    // (the reference's partition step routes native-text PDFs through
+    // the text layer before OCR, `ocr-tesseract-unstructured
+    // .py:78-84`; this surfaces that routing per document).
+    val binDocs = docsForChunks.select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, t) => (id, PdfGen.demo(id, t)) }
+      .toDF("doc_id", "content")
+      .withColumn("filesize", length($"content"))
+    val extracted = OcrPipeline.extractTextAudited(
+      spark, binDocs, OcrRuntime.bestPartitioner())
+    sink(spark, extracted.select($"doc_id", $"extract_path",
+      length($"text").as("n_chars_extracted")), outDir, "extraction_audit")
+    val pathCounts = spark.table("graft.extraction_audit")
+      .groupBy($"extract_path").count().orderBy($"extract_path").collect()
+    println("[pipeline] extraction paths: " +
+      pathCounts.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
+
     // E3: batched embedding inference → index table (U4/U10)
     val embedder = HashingEmbedder(dim = 64)
     val index = Inference.embedChunks(

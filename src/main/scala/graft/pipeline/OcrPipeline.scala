@@ -131,4 +131,29 @@ object OcrPipeline {
       }
     }.toDF("doc_id", "text")
   }
+
+  /** [[extractText]] with per-document provenance: the third column
+    * is the [[ExtractPath]] label of the branch that produced each
+    * document's text (real PDF text layer, OCR-seam fallback, or
+    * non-PDF bytes) — the auditable form the pipeline sinks so a
+    * corpus run reports HOW its text was obtained, not just that
+    * rows exist.
+    */
+  def extractTextAudited(
+      spark: SparkSession,
+      binDocs: DataFrame,
+      partitioner: AutoPartitioner,
+      strategy: PartitionStrategy = PartitionStrategy.OcrOnly,
+      parallelism: Int = 32): DataFrame = {
+    import spark.implicits._
+    val placed = lptRepartition(
+      binDocs.select(col("doc_id").cast("long"), col("content"), col("filesize").cast("long")),
+      "filesize", parallelism)
+    placed.as[(Long, Array[Byte], Long)].mapPartitions { it =>
+      it.map { case (id, content, _) =>
+        val (els, path) = partitioner.partitionWithPath(content, strategy)
+        (id, els.mkString("\n"), path)
+      }
+    }.toDF("doc_id", "text", "extract_path")
+  }
 }

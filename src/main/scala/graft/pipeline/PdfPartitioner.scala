@@ -158,7 +158,7 @@ object OcrRuntime {
     * JVM subset can't decode — go to tesseract when the binary answers
     * the version probe, or the [[TextPartitioner]] stand-in otherwise.
     */
-  def bestPartitioner(lang: String = "eng"): PdfPartitioner =
+  def bestPartitioner(lang: String = "eng"): AutoPartitioner =
     AutoPartitioner(
       if (tesseractVersion.isDefined) TesseractPartitioner(lang)
       else TextPartitioner())

@@ -11,22 +11,34 @@ import java.util.zip.{DataFormatException, Inflater}
   * without any new dependency:
   *
   *  - content streams stored RAW or `/FlateDecode`-compressed
-  *    (`java.util.zip.Inflater`); streams with any other filter, or
-  *    with `/DecodeParms` predictors, are skipped;
+  *    (`java.util.zip.Inflater`), including `/DecodeParms` PNG
+  *    predictors 10-15 and TIFF predictor 2 (8-bit components);
+  *    streams with any other filter are skipped;
   *  - simple byte-encoded fonts (Standard/WinAnsi-like): string bytes
-  *    map 1:1 to Latin-1 chars. CID/composite fonts with ToUnicode
-  *    CMaps are out of scope — scanned/hi-res documents belong to the
-  *    [[TesseractPartitioner]] path, which [[OcrRuntime]] selects
-  *    when the binary exists.
+  *    map 1:1 to Latin-1 chars;
+  *  - composite **Type0/CID fonts with a `/ToUnicode` CMap** — the
+  *    shape of modern subset-TrueType PDFs (the reference's actual
+  *    corpus: `01-download-pdfs.py:105-112` downloads real arXiv
+  *    PDFs): `beginbfchar`/`beginbfrange` sections are parsed from
+  *    the (possibly Flate-compressed) CMap stream, show-string bytes
+  *    are grouped into fixed-width codes (2-byte for Identity-H, per
+  *    the CMap's codespacerange) and mapped to their UTF-16BE
+  *    expansions. A CID with no CMap entry contributes nothing
+  *    (glyph ids are not text); a Type0 font WITHOUT a ToUnicode
+  *    CMap stays unmapped, so an all-composite document with no CMap
+  *    yields no text and falls through to the OCR seam via
+  *    [[AutoPartitioner]].
   *
   * Extraction walks every decodable stream and interprets the
   * text-showing operators of the content-stream language: `Tj`,
   * `TJ` (kerning numbers ignored), `'` and `"` (line-advancing
   * shows), with `(…)` literal strings (escapes, octal, nesting) and
-  * `<…>` hex strings. Each stream that shows text becomes one
-  * page-like element — the granularity [[TextPartitioner]] produces
-  * from form-feed splits, so downstream chunk/embed plumbing is
-  * identical across all three seam implementations.
+  * `<…>` hex strings; `Tf` tracks the active font so each shown
+  * string decodes under the font actually selecting its glyphs.
+  * Each stream that shows text becomes one page-like element — the
+  * granularity [[TextPartitioner]] produces from form-feed splits,
+  * so downstream chunk/embed plumbing is identical across all seam
+  * implementations.
   *
   * Failure contract (U1/U2 null discipline): non-PDF bytes, corrupt
   * Flate data, or a malformed stream yield `Seq.empty` / skip the
@@ -40,8 +52,9 @@ final case class PdfTextPartitioner() extends PdfPartitioner {
     if (content == null || !PdfTextPartitioner.hasPdfMagic(content))
       return Seq.empty
     try {
+      val fonts = PdfTextPartitioner.fontMap(content)
       PdfTextPartitioner.contentStreams(content)
-        .map(PdfTextPartitioner.shownText)
+        .map(PdfTextPartitioner.shownText(_, fonts))
         .map(_.trim).filter(_.nonEmpty)
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
@@ -56,6 +69,16 @@ object PdfTextPartitioner {
     b != null && b.length >= 5 &&
       b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' && b(4) == '-'
 
+  /** A composite-font decoder parsed from a `/ToUnicode` CMap:
+    * show-string bytes group into `codeBytes`-wide codes (2 for
+    * Identity-H), each mapped to its Unicode expansion. */
+  private[pipeline] final case class CMap(codeBytes: Int, map: Map[Int, String])
+
+  /** One indirect object: its dictionary text and, when it carries a
+    * decodable stream, the decoded payload. */
+  private[pipeline] final case class PdfObj(
+      dict: String, data: Option[Array[Byte]])
+
   /** All decodable stream payloads, as Latin-1 strings (byte ≡ char,
     * so offsets and literal-string bytes survive the round trip). */
   private[pipeline] def contentStreams(bytes: Array[Byte]): Seq[String] = {
@@ -66,34 +89,127 @@ object PdfTextPartitioner {
       // skip the "stream" inside "endstream"
       val isEndKw = i >= 3 && s.regionMatches(i - 3, "endstream", 0, 9)
       if (!isEndKw) {
-        var ds = i + 6
-        if (ds < s.length && s.charAt(ds) == '\r') ds += 1
-        if (ds < s.length && s.charAt(ds) == '\n') ds += 1
-        val e = s.indexOf("endstream", ds)
-        if (e < 0) { i = -1 }
-        else {
-          // the object dictionary sits between the previous "obj"
-          // token and the stream keyword
-          val objIdx = s.lastIndexOf("obj", i)
-          val dict = if (objIdx >= 0) s.substring(objIdx, i) else ""
-          var de = e
-          if (de > ds && s.charAt(de - 1) == '\n') de -= 1
-          if (de > ds && s.charAt(de - 1) == '\r') de -= 1
-          val flate = dict.contains("/FlateDecode")
-          val otherFilter = dict.contains("/Filter") && !flate
-          val predictors =
-            dict.contains("/DecodeParms") || dict.contains("/DecodeParams")
-          if (!otherFilter && !predictors && de > ds) {
-            val data = java.util.Arrays.copyOfRange(bytes, ds, de)
-            val decoded = if (flate) inflate(data) else Some(data)
-            decoded.foreach(d =>
+        val e = streamSpan(s, i) match {
+          case Some((ds, de, end)) =>
+            val objIdx = s.lastIndexOf("obj", i)
+            val dict = if (objIdx >= 0) s.substring(objIdx, i) else ""
+            decodeStream(dict, bytes, ds, de).foreach(d =>
               out += new String(d, StandardCharsets.ISO_8859_1))
-          }
-          i = s.indexOf("stream", e + 9)
+            end
+          case None => -1
         }
+        i = if (e < 0) -1 else s.indexOf("stream", e)
       } else i = s.indexOf("stream", i + 6)
     }
     out.result()
+  }
+
+  /** (dataStart, dataEnd, indexAfterEndstream) for the `stream`
+    * keyword at `i`, or None when the stream never terminates. */
+  private def streamSpan(s: String, i: Int): Option[(Int, Int, Int)] = {
+    var ds = i + 6
+    if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+    if (ds < s.length && s.charAt(ds) == '\n') ds += 1
+    val e = s.indexOf("endstream", ds)
+    if (e < 0) None
+    else {
+      var de = e
+      if (de > ds && s.charAt(de - 1) == '\n') de -= 1
+      if (de > ds && s.charAt(de - 1) == '\r') de -= 1
+      Some((ds, de, e + 9))
+    }
+  }
+
+  /** Decode the stream payload at [ds, de) under the filters its
+    * dictionary declares: raw, or Flate with optional PNG/TIFF
+    * predictors. Anything else → None (skipped, never misparsed). */
+  private def decodeStream(
+      dict: String, bytes: Array[Byte], ds: Int, de: Int): Option[Array[Byte]] = {
+    if (de <= ds) return None
+    val flate = dict.contains("/FlateDecode")
+    val otherFilter = dict.contains("/Filter") && !flate
+    if (otherFilter) return None
+    val data = java.util.Arrays.copyOfRange(bytes, ds, de)
+    val inflated = if (flate) inflate(data) else Some(data)
+    val hasParms =
+      dict.contains("/DecodeParms") || dict.contains("/DecodeParams")
+    if (!hasParms) inflated
+    else {
+      // inline predictor dict only; an indirect/array DecodeParms is
+      // out of this subset's scope → skip the stream (old behavior)
+      def intParm(key: String, dflt: Int): Int =
+        s"""$key\\s+(\\d+)""".r.findFirstMatchIn(dict)
+          .map(_.group(1).toInt).getOrElse(dflt)
+      val predictor = intParm("/Predictor", 1)
+      val columns = intParm("/Columns", 1)
+      val colors = intParm("/Colors", 1)
+      val bpc = intParm("/BitsPerComponent", 8)
+      if (predictor <= 1) inflated
+      else if (bpc != 8) None                   // sub-byte predictors: out of scope
+      else inflated.flatMap(unpredict(_, predictor, columns, colors))
+    }
+  }
+
+  /** Reverse a `/Predictor` transform on 8-bit-component rows:
+    * TIFF predictor 2 (horizontal byte differencing) or PNG
+    * predictors ≥ 10 (per-row filter byte: None/Sub/Up/Average/
+    * Paeth, RFC 2083). Truncated final rows fail the whole stream —
+    * a malformed predictor stream is skipped, not half-decoded. */
+  private def unpredict(
+      data: Array[Byte], predictor: Int, columns: Int, colors: Int): Option[Array[Byte]] = {
+    val bpp = math.max(1, colors)               // bytes per pixel at bpc=8
+    val rowLen = columns * colors
+    if (rowLen <= 0) return None
+    if (predictor == 2) {
+      if (data.length % rowLen != 0) return None
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        var k = bpp
+        while (k < rowLen) {
+          out(r + k) = ((out(r + k) + out(r + k - bpp)) & 0xff).toByte
+          k += 1
+        }
+        r += rowLen
+      }
+      Some(out)
+    } else if (predictor >= 10) {
+      val stride = rowLen + 1                   // leading filter-type byte
+      if (data.length % stride != 0) return None
+      val rows = data.length / stride
+      val out = new Array[Byte](rows * rowLen)
+      val prev = new Array[Byte](rowLen)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * stride) & 0xff
+        val src = r * stride + 1
+        val dst = r * rowLen
+        var k = 0
+        while (k < rowLen) {
+          val raw = data(src + k) & 0xff
+          val left = if (k >= bpp) out(dst + k - bpp) & 0xff else 0
+          val up = prev(k) & 0xff
+          val ul = if (k >= bpp) prev(k - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + ((left + up) >> 1)
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case _ => return None               // unknown filter type
+          }
+          out(dst + k) = (v & 0xff).toByte
+          k += 1
+        }
+        System.arraycopy(out, dst, prev, 0, rowLen)
+        r += 1
+      }
+      Some(out)
+    } else None
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
@@ -113,6 +229,137 @@ object PdfTextPartitioner {
     finally inf.end()
   }
 
+  /** Indirect-object table: object number → (dict, decoded stream).
+    * Incremental-update files repeat numbers; the LAST definition
+    * wins, matching xref precedence for the linear-scan subset. */
+  private[pipeline] def objects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val objRe = """(?<!\d)(\d{1,9})\s+\d+\s+obj\b""".r
+    val out = scala.collection.mutable.Map.empty[Int, PdfObj]
+    for (m <- objRe.findAllMatchIn(s)) {
+      val num = m.group(1).toInt
+      val start = m.end
+      val endobj = s.indexOf("endobj", start)
+      val streamKw = s.indexOf("stream", start)
+      val hasStream = streamKw >= 0 && (endobj < 0 || streamKw < endobj) &&
+        !(streamKw >= 3 && s.regionMatches(streamKw - 3, "endstream", 0, 9))
+      if (hasStream) {
+        val dict = s.substring(start, streamKw)
+        val data = streamSpan(s, streamKw)
+          .flatMap { case (ds, de, _) => decodeStream(dict, bytes, ds, de) }
+        out(num) = PdfObj(dict, data)
+      } else if (endobj >= 0) {
+        out(num) = PdfObj(s.substring(start, endobj), None)
+      }
+    }
+    out.toMap
+  }
+
+  /** Resource-name → CMap decoder table for every font that carries a
+    * parseable `/ToUnicode` CMap. Names are collected from all
+    * `/Font << /Fn N 0 R … >>` resource dictionaries (inline or via
+    * an indirect `/Font N 0 R` reference); a name bound to multiple
+    * font objects across pages keeps its FIRST CMap-bearing binding —
+    * per-page resource scoping is out of this linear-scan subset. */
+  private[pipeline] def fontMap(bytes: Array[Byte]): Map[String, CMap] = {
+    val objs = objects(bytes)
+    if (objs.isEmpty) return Map.empty
+    val inlineFontDict = """(?s)/Font\s*<<(.*?)>>""".r
+    val indirectFontDict = """/Font\s+(\d+)\s+\d+\s+R""".r
+    val fontRef = """/([^\s/<>\[\]()%]+)\s+(\d+)\s+\d+\s+R""".r
+    val toUniRef = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+    val bindings = objs.values.toSeq.flatMap { o =>
+      val inline = inlineFontDict.findAllMatchIn(o.dict).map(_.group(1))
+      val indirect = indirectFontDict.findAllMatchIn(o.dict)
+        .flatMap(m => objs.get(m.group(1).toInt).map(_.dict))
+      (inline ++ indirect).flatMap(fd =>
+        fontRef.findAllMatchIn(fd).map(r => r.group(1) -> r.group(2).toInt))
+    }
+    val out = scala.collection.mutable.Map.empty[String, CMap]
+    for ((name, fontNum) <- bindings if !out.contains(name)) {
+      for {
+        font <- objs.get(fontNum)
+        uni <- toUniRef.findFirstMatchIn(font.dict)
+        cmapObj <- objs.get(uni.group(1).toInt)
+        data <- cmapObj.data
+        cmap <- parseCMap(
+          new String(data, StandardCharsets.ISO_8859_1),
+          composite = font.dict.contains("/Type0") ||
+            font.dict.contains("Identity-H"))
+      } out(name) = cmap
+    }
+    out.toMap
+  }
+
+  private val hexTok = """<([0-9A-Fa-f]+)>""".r
+
+  /** Parse a ToUnicode CMap: `begincodespacerange` fixes the code
+    * width (default: 2 bytes for composite fonts, 1 for simple);
+    * `beginbfchar` maps single codes, `beginbfrange` maps contiguous
+    * runs — destination-start form increments the LAST UTF-16 unit
+    * (ranges never cross the last-byte boundary in well-formed CMaps),
+    * array form lists one destination per code. Destinations are
+    * UTF-16BE hex. None when no mapping parses. */
+  private[pipeline] def parseCMap(text: String, composite: Boolean): Option[CMap] = {
+    def utf16(hex: String): String = {
+      val h = if (hex.length % 2 == 1) hex + "0" else hex
+      val b = new Array[Byte](h.length / 2)
+      var k = 0
+      while (k < b.length) {
+        b(k) = Integer.parseInt(h.substring(2 * k, 2 * k + 2), 16).toByte
+        k += 1
+      }
+      new String(b, StandardCharsets.UTF_16BE)
+    }
+    val codeBytes = """(?s)begincodespacerange(.*?)endcodespacerange""".r
+      .findFirstMatchIn(text)
+      .flatMap(m => hexTok.findFirstMatchIn(m.group(1)))
+      .map(m => math.max(1, m.group(1).length / 2))
+      .getOrElse(if (composite) 2 else 1)
+    val map = scala.collection.mutable.Map.empty[Int, String]
+    for (blk <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(text)) {
+      val toks = hexTok.findAllMatchIn(blk.group(1)).map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => map(Integer.parseInt(src, 16)) = utf16(dst)
+        case _ => ()
+      }
+    }
+    for (blk <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(text)) {
+      // scan hex tokens and bracket delimiters in order: either
+      // <lo> <hi> <dstStart> or <lo> <hi> [ <d0> <d1> … ]
+      val b = blk.group(1)
+      val tok = """<[0-9A-Fa-f]+>|\[|\]""".r
+      val toks = tok.findAllIn(b).toSeq
+      var k = 0
+      while (k + 3 <= toks.length) {
+        if (toks(k).startsWith("<") && toks(k + 1).startsWith("<")) {
+          val lo = Integer.parseInt(toks(k).drop(1).dropRight(1), 16)
+          val hi = Integer.parseInt(toks(k + 1).drop(1).dropRight(1), 16)
+          val n = math.min(hi - lo, 0xffff)     // cap: malformed ranges bounded
+          if (toks(k + 2) == "[") {
+            var j = k + 3; var c = lo
+            while (j < toks.length && toks(j) != "]") {
+              if (c <= hi) map(c) = utf16(toks(j).drop(1).dropRight(1))
+              c += 1; j += 1
+            }
+            k = j + 1
+          } else {
+            val dst = utf16(toks(k + 2).drop(1).dropRight(1))
+            var i = 0
+            while (i <= n) {
+              map(lo + i) =
+                if (dst.isEmpty) ""
+                else dst.dropRight(1) + (dst.last + i).toChar
+              i += 1
+            }
+            k += 3
+          }
+        } else k = toks.length                  // malformed block: stop
+      }
+    }
+    if (map.isEmpty) None else Some(CMap(codeBytes, map.toMap))
+  }
+
   private def isDelim(c: Char): Boolean =
     c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
       c == '{' || c == '}' || c == '/' || c == '%'
@@ -125,18 +372,42 @@ object PdfTextPartitioner {
 
   /** Text shown by one content stream: strings of `Tj`/`TJ`/`'`/`"`
     * in stream order; a positioning operator (`Td`/`TD`/`T*`/`ET`/
-    * line-advancing show) between two shows becomes one newline. */
-  private[pipeline] def shownText(cs: String): String = {
+    * line-advancing show) between two shows becomes one newline.
+    * `Tf` switches the active font: strings decode through its CMap
+    * when it has one (grouped fixed-width codes → Unicode), and
+    * byte ≡ Latin-1 char otherwise. */
+  private[pipeline] def shownText(
+      cs: String, fonts: Map[String, CMap] = Map.empty): String = {
     val out = new StringBuilder
     val operands = scala.collection.mutable.ArrayBuffer.empty[String]
     var brokeLine = false
+    var curFont: Option[CMap] = None
+    var lastName = ""
     val n = cs.length
     var i = 0
+    def decode(raw: String): String = curFont match {
+      case Some(cm) =>
+        val w = cm.codeBytes
+        val sb = new StringBuilder
+        var k = 0
+        while (k + w <= raw.length) {
+          var code = 0
+          var j = 0
+          while (j < w) { code = (code << 8) | (raw.charAt(k + j) & 0xff); j += 1 }
+          cm.map.get(code).foreach(sb.append)
+          k += w
+        }
+        sb.toString
+      case _ => raw
+    }
     def emit(): Unit = {
       if (operands.nonEmpty) {
-        if (out.nonEmpty && brokeLine) out.append('\n')
-        operands.foreach(out.append(_))
-        brokeLine = false
+        val text = operands.map(decode).mkString
+        if (text.nonEmpty) {
+          if (out.nonEmpty && brokeLine) out.append('\n')
+          out.append(text)
+          brokeLine = false
+        }
       }
     }
     while (i < n) {
@@ -152,7 +423,9 @@ object PdfTextPartitioner {
         i += 1
       } else if (c == '/') {
         i += 1
+        val start = i
         while (i < n && isRegular(cs.charAt(i))) i += 1
+        lastName = cs.substring(start, i)
       } else if (isRegular(c)) {
         val start = i
         while (i < n && isRegular(cs.charAt(i))) i += 1
@@ -162,6 +435,7 @@ object PdfTextPartitioner {
             case "Tj" | "TJ" => emit()
             case "'" | "\"" => brokeLine = true; emit()
             case "Td" | "TD" | "T*" | "ET" => brokeLine = true
+            case "Tf" => curFont = fonts.get(lastName)
             case _ => ()
           }
           operands.clear()
@@ -233,6 +507,20 @@ object PdfTextPartitioner {
   }
 }
 
+/** Extraction-path labels reported by [[AutoPartitioner]]: which
+  * branch produced a document's text — the per-document counter the
+  * pipeline surfaces so a corpus run shows HOW its text was obtained
+  * (real PDF text layer vs the OCR seam). */
+object ExtractPath {
+  /** PDF magic + the pure-JVM text layer yielded elements. */
+  val PdfText = "pdf_text"
+  /** PDF magic but no decodable text (scanned/CMap-less composite) —
+    * fell through to the OCR-seam base partitioner. */
+  val PdfFallback = "pdf_fallback"
+  /** No PDF magic — base partitioner directly (raster/plain bytes). */
+  val NonPdf = "non_pdf"
+}
+
 /** Per-document format dispatch over the seam: bytes with the PDF
   * magic go through the pure-JVM [[PdfTextPartitioner]] (native-text
   * branch); everything else falls through to `base` — the probed
@@ -245,11 +533,21 @@ object PdfTextPartitioner {
   */
 final case class AutoPartitioner(base: PdfPartitioner) extends PdfPartitioner {
   private val pdf = PdfTextPartitioner()
+
+  /** Elements plus the [[ExtractPath]] label of the branch that
+    * produced them — the auditable form [[OcrPipeline.extractTextAudited]]
+    * surfaces as a column. */
+  def partitionWithPath(
+      content: Array[Byte],
+      strategy: PartitionStrategy): (Seq[String], String) =
+    if (PdfTextPartitioner.hasPdfMagic(content)) {
+      val els = pdf.partition(content, strategy)
+      if (els.nonEmpty) (els, ExtractPath.PdfText)
+      else (base.partition(content, strategy), ExtractPath.PdfFallback)
+    } else (base.partition(content, strategy), ExtractPath.NonPdf)
+
   override def partition(
       content: Array[Byte],
       strategy: PartitionStrategy): Seq[String] =
-    if (PdfTextPartitioner.hasPdfMagic(content)) {
-      val els = pdf.partition(content, strategy)
-      if (els.nonEmpty) els else base.partition(content, strategy)
-    } else base.partition(content, strategy)
+    partitionWithPath(content, strategy)._1
 }

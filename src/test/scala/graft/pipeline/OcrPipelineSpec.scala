@@ -76,4 +76,29 @@ class OcrPipelineSpec extends SparkSpec {
     assert(papers.map(_.getLong(0)).max <= 99)
     assert(papers.forall(r => r.getString(2).startsWith("pdfs/src")))
   }
+
+  test("extractTextAudited: every demo container round-trips through " +
+    "its real branch and the audit column names the path taken") {
+    import spark.implicits._
+    // doc_id mod 4 cycles Type0 PDF / simple PDF / predictor PDF /
+    // plain bytes (PdfGen.demo) — one run drives every ExtractPath
+    val texts = Map(
+      0L -> "composite font document about catalyst plans",
+      1L -> "simple font document about tungsten codegen",
+      2L -> "predictor encoded document about shuffle exchange",
+      3L -> "plain text bytes about broadcast joins")
+    val bin = texts.toSeq.map { case (id, t) =>
+      val b = PdfGen.demo(id, t)
+      (id, b, b.length.toLong)
+    }.toDF("doc_id", "content", "filesize")
+    val got = OcrPipeline.extractTextAudited(
+        spark, bin, AutoPartitioner(TextPartitioner()), parallelism = 2)
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // all three PDF containers take the REAL pure-JVM text layer
+    assert(got(0L) === ((texts(0L), ExtractPath.PdfText)))
+    assert(got(1L) === ((texts(1L), ExtractPath.PdfText)))
+    assert(got(2L) === ((texts(2L), ExtractPath.PdfText)))
+    // plain bytes go straight to the seam base
+    assert(got(3L) === ((texts(3L), ExtractPath.NonPdf)))
+  }
 }

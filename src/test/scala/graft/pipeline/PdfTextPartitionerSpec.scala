@@ -113,6 +113,161 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
     assert(p.partition(bos.toByteArray, PartitionStrategy.OcrOnly) === Seq.empty)
   }
 
+  // ----- Type0/CID composite fonts with ToUnicode CMaps (the shape
+  // of modern subset-TrueType PDFs — the reference's arXiv corpus)
+
+  test("Type0/Identity-H: 2-byte hex show strings decode through the " +
+    "ToUnicode CMap (generator round trip, multi-page)") {
+    val text = "Catalyst rewrites logical plans\nTungsten codegen\fpage two here"
+    val got = p.partition(PdfGen.type0(text), PartitionStrategy.OcrOnly)
+    assert(got === Seq(
+      "Catalyst rewrites logical plans\nTungsten codegen", "page two here"))
+  }
+
+  test("Type0: non-ASCII BMP chars survive the CMap round trip") {
+    val text = "métadonnées — Ünïcode ✓"
+    val got = p.partition(PdfGen.type0(text), PartitionStrategy.OcrOnly)
+    assert(got === Seq(text))
+  }
+
+  test("hand-built CMap: bfrange start form increments the last " +
+    "UTF-16 unit, array form maps per code, bfchar maps ligatures " +
+    "to multi-char expansions") {
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<0001> <00660069>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0041>
+        |<0020> <0021> [<005A> <0079>]
+        |endbfrange
+        |endcmap""".stripMargin
+    val parsed = PdfTextPartitioner.parseCMap(cmap, composite = true).get
+    assert(parsed.codeBytes === 2)
+    assert(parsed.map(0x0001) === "fi")              // ligature expansion
+    assert(parsed.map(0x0010) === "A")
+    assert(parsed.map(0x0011) === "B")
+    assert(parsed.map(0x0012) === "C")
+    assert(parsed.map(0x0020) === "Z")
+    assert(parsed.map(0x0021) === "y")
+  }
+
+  test("full document with a hand-built raw ToUnicode stream: Tf " +
+    "switches decoding between the composite and the simple font") {
+    val cmap = "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n" +
+      "endcodespacerange\n2 beginbfchar\n<0003> <0048>\n<0007> <0069>\n" +
+      "endbfchar\nendcmap"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("3 0 obj << /Type /Page /Contents 4 0 R /Resources << /Font " +
+      "<< /F1 5 0 R /F2 8 0 R >> >> >> endobj\n")
+    // F1 composite shows <0003 0007> -> "Hi"; F2 simple shows bytes
+    val cs = "BT /F1 12 Tf <00030007> Tj /F2 10 Tf ( there) Tj ET"
+    w(s"4 0 obj << /Length ${cs.length} >>\nstream\n$cs\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+      "/ToUnicode 7 0 R >> endobj\n")
+    w(s"7 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream endobj\n")
+    w("8 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj\n")
+    w("%%EOF\n")
+    val got = p.partition(bos.toByteArray, PartitionStrategy.OcrOnly)
+    assert(got === Seq("Hi there"))
+  }
+
+  test("Type0 WITHOUT a ToUnicode CMap yields no text (glyph ids are " +
+    "not text) and AutoPartitioner falls through to the OCR seam") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("3 0 obj << /Type /Page /Contents 4 0 R /Resources << /Font " +
+      "<< /F1 5 0 R >> >> >> endobj\n")
+    val cs = "BT /F1 12 Tf <00030007> Tj ET"
+    w(s"4 0 obj << /Length ${cs.length} >>\nstream\n$cs\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H >> endobj\n")
+    w("%%EOF\n")
+    val doc = bos.toByteArray
+    // a CMap-less composite font contributes nothing: CIDs are glyph
+    // ids, not characters, so the document must fall through to OCR
+    assert(p.partition(doc, PartitionStrategy.OcrOnly) === Seq.empty)
+    val (_, path) = AutoPartitioner(TextPartitioner())
+      .partitionWithPath(doc, PartitionStrategy.OcrOnly)
+    assert(path === ExtractPath.PdfFallback)
+  }
+
+  test("indirect /Font resource dictionary resolves through the " +
+    "object table") {
+    val cmap = "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n" +
+      "endcodespacerange\n1 beginbfchar\n<0041> <0058>\nendbfchar\nendcmap"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("3 0 obj << /Type /Page /Contents 4 0 R /Resources << /Font 9 0 R >> >> endobj\n")
+    val cs = "BT /F1 12 Tf <0041> Tj ET"
+    w(s"4 0 obj << /Length ${cs.length} >>\nstream\n$cs\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+      "/ToUnicode 7 0 R >> endobj\n")
+    w(s"7 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream endobj\n")
+    w("9 0 obj << /F1 5 0 R >> endobj\n")
+    w("%%EOF\n")
+    assert(p.partition(bos.toByteArray, PartitionStrategy.OcrOnly) === Seq("X"))
+  }
+
+  // ----- DecodeParms predictors on Flate streams
+
+  test("PNG Up predictor (/Predictor 12) content stream round-trips " +
+    "through the generator") {
+    val text = "predicted content stream line one\nand a second line"
+    val got = p.partition(PdfGen.predictorFlate(text), PartitionStrategy.OcrOnly)
+    assert(got === Seq(text))
+  }
+
+  test("PNG Sub + None predictor rows decode; TIFF predictor 2 decodes") {
+    val cs = "BT (pq) Tj ET"   // 13 bytes
+    // PNG, columns=13: one row, filter 1 (Sub): out[k]=raw[k]+out[k-1]
+    val raw = cs.getBytes(StandardCharsets.ISO_8859_1)
+    val sub = new Array[Byte](raw.length + 1)
+    sub(0) = 1
+    for (k <- raw.indices)
+      sub(k + 1) = if (k == 0) raw(0) else ((raw(k) & 0xff) - (raw(k - 1) & 0xff)).toByte
+    def doc(enc: Array[Byte], parms: String): Array[Byte] = {
+      val data = deflate(enc)
+      val bos = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+      w("%PDF-1.5\n")
+      w(s"4 0 obj << /Filter /FlateDecode /DecodeParms << $parms >> " +
+        s"/Length ${data.length} >>\nstream\n")
+      bos.write(data)
+      w("\nendstream endobj\n%%EOF\n")
+      bos.toByteArray
+    }
+    assert(p.partition(doc(sub, "/Predictor 15 /Columns 13"),
+      PartitionStrategy.OcrOnly) === Seq("pq"))
+    // TIFF predictor 2, columns = full length: horizontal differencing
+    val tiff = new Array[Byte](raw.length)
+    tiff(0) = raw(0)
+    for (k <- 1 until raw.length)
+      tiff(k) = ((raw(k) & 0xff) - (raw(k - 1) & 0xff)).toByte
+    assert(p.partition(doc(tiff, s"/Predictor 2 /Columns ${raw.length}"),
+      PartitionStrategy.OcrOnly) === Seq("pq"))
+  }
+
+  test("malformed predictor streams are skipped, never half-decoded") {
+    // truncated: data length not a row multiple
+    val data = deflate(Array[Byte](2, 10, 20, 30, 2, 5))   // stride 4, 6 bytes
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w(s"4 0 obj << /Filter /FlateDecode /DecodeParms << /Predictor 12 " +
+      s"/Columns 3 >> /Length ${data.length} >>\nstream\n")
+    bos.write(data)
+    w("\nendstream endobj\n%%EOF\n")
+    assert(p.partition(bos.toByteArray, PartitionStrategy.OcrOnly) === Seq.empty)
+  }
+
   test("AutoPartitioner dispatch: PDF magic routes here, other bytes " +
     "fall through, textless PDFs fall through too") {
     val auto = AutoPartitioner(TextPartitioner())
