@@ -89,10 +89,10 @@ object PdfTextPartitioner {
       // skip the "stream" inside "endstream"
       val isEndKw = i >= 3 && s.regionMatches(i - 3, "endstream", 0, 9)
       if (!isEndKw) {
-        val e = streamSpan(s, i) match {
+        val objIdx = s.lastIndexOf("obj", i)
+        val dict = if (objIdx >= 0) s.substring(objIdx, i) else ""
+        val e = streamSpan(s, i, dict) match {
           case Some((ds, de, end)) =>
-            val objIdx = s.lastIndexOf("obj", i)
-            val dict = if (objIdx >= 0) s.substring(objIdx, i) else ""
             decodeStream(dict, bytes, ds, de).foreach(d =>
               out += new String(d, StandardCharsets.ISO_8859_1))
             end
@@ -104,18 +104,33 @@ object PdfTextPartitioner {
     out.result()
   }
 
+  /** Direct `/Length N` in a stream dictionary (not the indirect
+    * `/Length N 0 R` form, which this linear-scan subset can't chase
+    * cheaply at this point). */
+  private val directLength = """/Length\s+(\d{1,9})(?!\s*\d+\s+R)""".r
+
   /** (dataStart, dataEnd, indexAfterEndstream) for the `stream`
-    * keyword at `i`, or None when the stream never terminates. */
-  private def streamSpan(s: String, i: Int): Option[(Int, Int, Int)] = {
+    * keyword at `i`, or None when the stream never terminates.
+    * `dataEnd` honors the dictionary's direct `/Length` when it fits
+    * before the `endstream` keyword — the EOL-trim heuristic
+    * over-trims when the (compressed) payload itself ends in a CR/LF
+    * byte (observed: a deflate stream ending 0x0D lost its last byte
+    * and the whole stream failed to inflate). */
+  private def streamSpan(s: String, i: Int, dict: String): Option[(Int, Int, Int)] = {
     var ds = i + 6
     if (ds < s.length && s.charAt(ds) == '\r') ds += 1
     if (ds < s.length && s.charAt(ds) == '\n') ds += 1
     val e = s.indexOf("endstream", ds)
     if (e < 0) None
     else {
-      var de = e
-      if (de > ds && s.charAt(de - 1) == '\n') de -= 1
-      if (de > ds && s.charAt(de - 1) == '\r') de -= 1
+      val de = directLength.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).filter(l => ds + l <= e).map(ds + _)
+        .getOrElse {
+          var d = e
+          if (d > ds && s.charAt(d - 1) == '\n') d -= 1
+          if (d > ds && s.charAt(d - 1) == '\r') d -= 1
+          d
+        }
       Some((ds, de, e + 9))
     }
   }
@@ -245,7 +260,7 @@ object PdfTextPartitioner {
         !(streamKw >= 3 && s.regionMatches(streamKw - 3, "endstream", 0, 9))
       if (hasStream) {
         val dict = s.substring(start, streamKw)
-        val data = streamSpan(s, streamKw)
+        val data = streamSpan(s, streamKw, dict)
           .flatMap { case (ds, de, _) => decodeStream(dict, bytes, ds, de) }
         out(num) = PdfObj(dict, data)
       } else if (endobj >= 0) {

@@ -60,6 +60,34 @@ object PipelineQueries {
     graft.ArtifactCache.path(kind,
       java.nio.file.Paths.get(sfDir, "embeddings.parquet"), params)
 
+  /** The three persisted ANN-index artifacts, as ensure-style helpers
+    * shared by their consumer queries (q30/q156/q44) and the
+    * [[graft.Artifacts]] registry — so a full bench run can build
+    * each one in its OWN attributed `artifact:<kind>` row instead of
+    * billing the build to whichever consumer runs first. */
+  private[graft] def lshIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, graft.operators.AnnSearch.HyperplaneLsh) = {
+    import graft.operators.AnnSearch
+    val lsh = AnnSearch.HyperplaneLsh(dim = 64, nBits = 8, seed = 1)
+    (AnnSearch.persistedIndex(s, Tables.embeddings(s, d),
+      "vec_id", "embedding", lsh, indexPath("lsh", d, "dim64-bits8-seed1")), lsh)
+  }
+
+  /** See [[lshIndex]]. */
+  private[graft] def lshRadIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, graft.operators.AnnSearch.RademacherLsh) = {
+    import graft.operators.AnnSearch
+    val lsh = AnnSearch.RademacherLsh(dim = 64, nBits = 8)
+    (AnnSearch.persistedIndex(s, Tables.embeddings(s, d),
+      "vec_id", "embedding", lsh, indexPath("lsh-rad", d, "dim64-bits8")), lsh)
+  }
+
+  /** See [[lshIndex]]. */
+  private[graft] def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, graft.operators.IvfSearch.IvfModel) =
+    graft.operators.IvfSearch.persistedIndex(s, Tables.embeddings(s, d),
+      "vec_id", "embedding", indexPath("ivf", d, "k16-it10-seed42-dtrain"), k = 16)
+
   def defs: Seq[QueryDef] = Seq(
     // ----- q15: E1 papers pipeline (ordered limit BEFORE filters — the
     // reference's semantic trap, made deterministic; LPT output order)
@@ -219,9 +247,7 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         import graft.operators.AnnSearch
-        val lsh = AnnSearch.HyperplaneLsh(dim = 64, nBits = 8, seed = 1)
-        val index = AnnSearch.persistedIndex(s, Tables.embeddings(s, d),
-          "vec_id", "embedding", lsh, indexPath("lsh", d, "dim64-bits8-seed1"))
+        val (index, lsh) = lshIndex(s, d)
         AnnSearch.search(index, "vec_id", "embedding",
             queryVecF, k = 5, lsh, nProbe = 16)
           .select($"vec_id", round($"sim", 6).as("sim"))
@@ -243,9 +269,7 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         import graft.operators.AnnSearch
-        val lsh = AnnSearch.RademacherLsh(dim = 64, nBits = 8)
-        val index = AnnSearch.persistedIndex(s, Tables.embeddings(s, d),
-          "vec_id", "embedding", lsh, indexPath("lsh-rad", d, "dim64-bits8"))
+        val (index, lsh) = lshRadIndex(s, d)
         AnnSearch.search(index, "vec_id", "embedding",
             queryVecF, k = 5, lsh, nProbe = 16)
           .select($"vec_id", round($"sim", 6).as("sim"))
@@ -297,8 +321,7 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         import graft.operators.IvfSearch
-        val (index, model) = IvfSearch.persistedIndex(s, Tables.embeddings(s, d),
-          "vec_id", "embedding", indexPath("ivf", d, "k16-it10-seed42-dtrain"), k = 16)
+        val (index, model) = ivfIndex(s, d)
         IvfSearch.search(index, "vec_id", "embedding",
             queryVecF, k = 5, model, nProbe = 6)
           .select($"vec_id", round($"sim", 6).as("sim"))
@@ -610,6 +633,75 @@ object PipelineQueries {
            |SELECT CAST(max_chunk + 1 AS BIGINT) AS n_chunks,
            |  COUNT(*) AS n_docs,
            |  CAST(SUM(n_segments) AS BIGINT) AS total_segments
-           |FROM perdoc GROUP BY 1 ORDER BY n_chunks""".stripMargin))
+           |FROM perdoc GROUP BY 1 ORDER BY n_chunks""".stripMargin)),
+
+    // ----- q344: coverage audit — "no silent caps", machine-checked.
+    // One oracle-checked row per bounded stage: the q324/q339 400-doc
+    // hash pools (population vs covered vs capped) and the extraction
+    // paths of a REAL AutoPartitioner run over generated binary
+    // containers (PdfGen.demo's doc_id-mod-4 cycle on its own hash-
+    // capped pool). The extraction rows are a live tripwire, not a
+    // restatement: the oracle replays the deterministic routing
+    // (mods 0-2 are decodable PDFs → extract:pdf_text, mod 3 plain
+    // bytes → extract:non_pdf), so any regression in the pure-JVM
+    // text layer shifts Spark-side counts into extract:pdf_fallback
+    // and the row set stops matching.
+    QueryDef(
+      "q344_coverage_audit",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Sampling
+        val docs = Tables.documents(s, d).select($"doc_id", $"text")
+        val pop = docs.agg(count(lit(1)).cast("long").as("n"))
+        val poolRows = pop.select(
+          explode(array(lit("q324_rouge_pool"), lit("q339_tfidf_pool"))).as("stage"),
+          $"n".as("population"),
+          least(lit(400L), $"n").cast("long").as("covered"),
+          ($"n" > 400L).as("capped"))
+        val ext = docs
+          .withColumn("hf", Sampling.hashFraction($"doc_id", 344L))
+          .orderBy($"hf", $"doc_id").limit(400)
+          .select($"doc_id", $"text").as[(Long, String)]
+          .mapPartitions { it =>
+            val auto = graft.pipeline.AutoPartitioner(graft.pipeline.TextPartitioner())
+            it.map { case (id, t) =>
+              (id, auto.partitionWithPath(graft.pipeline.PdfGen.demo(id, t),
+                graft.pipeline.PartitionStrategy.OcrOnly)._2)
+            }
+          }.toDF("doc_id", "extract_path")
+          .localCheckpoint(true)      // pool-size + per-path legs read it
+        val poolSz = ext.agg(count(lit(1)).cast("long").as("pn"))
+        val extRows = ext
+          .groupBy(concat(lit("extract:"), $"extract_path").as("stage"))
+          .agg(count(lit(1)).cast("long").as("covered"))
+          .crossJoin(poolSz).crossJoin(pop)
+          .select($"stage", $"pn".as("population"), $"covered",
+            ($"n" > 400L).as("capped"))
+        poolRows.unionByName(extRows).orderBy($"stage")
+      },
+      Some(s"""WITH pop AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |pool AS (
+             |  SELECT doc_id FROM (
+             |    SELECT doc_id,
+             |      ${graft.operators.Sampling.hashFractionSql("doc_id", 344L)} AS hf
+             |    FROM documents)
+             |  ORDER BY hf, doc_id LIMIT 400),
+             |poolsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS pn FROM pool),
+             |ext AS (
+             |  SELECT CASE WHEN doc_id % 4 = 3 THEN 'extract:non_pdf'
+             |              ELSE 'extract:pdf_text' END AS stage,
+             |    CAST(COUNT(*) AS BIGINT) AS covered
+             |  FROM pool GROUP BY 1)
+             |SELECT stage, population, covered, capped FROM (
+             |  SELECT 'q324_rouge_pool' AS stage, n AS population,
+             |    CAST(LEAST(400, n) AS BIGINT) AS covered, n > 400 AS capped
+             |  FROM pop
+             |  UNION ALL
+             |  SELECT 'q339_tfidf_pool', n, CAST(LEAST(400, n) AS BIGINT), n > 400
+             |  FROM pop
+             |  UNION ALL
+             |  SELECT e.stage, p.pn, e.covered, (SELECT n > 400 FROM pop)
+             |  FROM ext e, poolsz p)
+             |ORDER BY stage""".stripMargin))
   )
 }

@@ -255,6 +255,27 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
       PartitionStrategy.OcrOnly) === Seq("pq"))
   }
 
+  test("/Length bounds win over the EOL-trim heuristic: a deflate " +
+    "payload ending in a CR byte keeps its last byte") {
+    // find a content stream whose DEFLATE output ends with 0x0D — the
+    // case where trimming 'one \\n then one \\r' before endstream eats
+    // a real data byte and the whole stream fails to inflate
+    // (observed in the q344 audit: doc 496's container lost its text)
+    val base = "BT /F1 12 Tf (length bounded payload) Tj ET"
+    val cs = Iterator.iterate(base)(_ + " ")
+      .take(4096).find(c => deflate(c.getBytes(StandardCharsets.ISO_8859_1)).last == 0x0D)
+      .getOrElse(fail("no CR-terminated deflate found in 4096 tries"))
+    val data = deflate(cs.getBytes(StandardCharsets.ISO_8859_1))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w(s"4 0 obj << /Filter /FlateDecode /Length ${data.length} >>\nstream\n")
+    bos.write(data)
+    w("\nendstream endobj\n%%EOF\n")
+    assert(p.partition(bos.toByteArray, PartitionStrategy.OcrOnly) ===
+      Seq("length bounded payload"))
+  }
+
   test("malformed predictor streams are skipped, never half-decoded") {
     // truncated: data length not a row multiple
     val data = deflate(Array[Byte](2, 10, 20, 30, 2, 5))   // stride 4, 6 bytes
