@@ -73,6 +73,10 @@ object GraftOptimizations {
     if (!cur3.contains(InferLevenshteinBand)) {
       spark.experimental.extraOptimizations = cur3 :+ InferLevenshteinBand
     }
+    val cur4 = spark.experimental.extraOptimizations
+    if (!cur4.contains(InferJaccardSizeBand)) {
+      spark.experimental.extraOptimizations = cur4 :+ InferJaccardSizeBand
+    }
     AsofJoinNative.installStrategy(spark)
   }
 }

@@ -1010,7 +1010,57 @@ object DedupQueries {
              |FROM ov o
              |JOIN sz sa ON sa.doc_id = o.doc_a
              |JOIN sz sb ON sb.doc_id = o.doc_b
-             |ORDER BY o.doc_a, o.doc_b""".stripMargin))
+             |ORDER BY o.doc_a, o.doc_b""".stripMargin)),
+
+    // ----- q345: USER-written Jaccard threshold — the raw
+    // size(array_intersect)/size(array_union) >= t predicate a user
+    // types, NOT the library's PrefixJoin operator. The surface under
+    // test is plans.InferJaccardSizeBand (installed here,
+    // idempotently): it injects the implied t·|A| <= |B| ∧ t·|B| <= |A|
+    // size band as an extra conjunct, so the O(|A|+|B|) set arithmetic
+    // short-circuits on size-mismatched pairs — PrefixJoin's size
+    // prune surfaced for free on user SQL
+    // (InferJaccardSizeBandSpec pins the plan; this pins the values).
+    // doc_id%10 slice bounds the lang-blocked pair frame; at corpus
+    // scale a user would block harder, and the band still prunes
+    // inside whatever block survives.
+    QueryDef(
+      "q345_jaccard_user_band",
+      (s, d) => {
+        import s.implicits._
+        graft.plans.GraftOptimizations.install(s)
+        val docs = Tables.documents(s, d)
+          .filter(length(trim($"text")) > 0 && $"doc_id" % 10 === 0)
+          .select($"doc_id", $"lang", $"text")
+        val a = docs.select($"doc_id".as("id_a"), $"lang", $"text".as("ta"))
+        val b = docs.select($"doc_id".as("id_b"), $"lang".as("lang_b"),
+          $"text".as("tb"))
+        def setOf(c: String) =
+          s"array_distinct(filter(split(trim($c), '\\\\s+'), x -> x <> ''))"
+        val jac =
+          s"cast(size(array_intersect(${setOf("ta")}, ${setOf("tb")})) as double)" +
+            s" / size(array_union(${setOf("ta")}, ${setOf("tb")}))"
+        a.join(b, $"lang" === $"lang_b" && $"id_a" < $"id_b" &&
+            expr(s"$jac >= 0.6"))
+          .select($"id_a", $"id_b",
+            graft.functions.TextFunctions.r4(expr(jac)).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+             |                              x -> length(x) > 0)) AS toks
+             |  FROM documents
+             |  WHERE length(trim(text)) > 0 AND doc_id % 10 = 0)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  floor((len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))))
+             |        * 10000 + 0.5) / 10000 AS jaccard
+             |FROM t a JOIN t b
+             |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+             |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Dedup.PolySimHasher]] — the
