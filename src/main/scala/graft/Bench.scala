@@ -80,11 +80,71 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     final case class QueryResult(cold: Double, warm: Double, bytes: Long)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
+    // cross-query hygiene: a full GC + short settle between queries
+    // so one query's garbage doesn't bill the next one's timing —
+    // without it, in-suite numbers read up to 4–5× their isolated
+    // re-runs on the heavies (r4 judge: q26 34.7 s in-suite vs
+    // 7.5 s isolated) and round-over-round per-query comparison is
+    // noise
+    // clearCache() frees persist()ed DATASETS but NOT RDD-level
+    // localCheckpoint blocks (graph loops checkpoint per round);
+    // across ~280 queries those accumulated past the 8 GB driver
+    // heap (observed OOM near the end of the r10 suite) — drop
+    // every persistent RDD between queries too
+    def dropBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    /** One timed row under the suite hygiene protocol: GC + settle,
+      * cold run, drain the shuffle counter, clear persisted state
+      * (operators that persist() intermediates must not carry storage
+      * into the warm run — two generations side by side evict each
+      * other into GC churn; observed: a warm run 3× slower than its
+      * cold run), warm run, clear again.
+      */
+    def timedRow(name: String, run: () => Unit): (String, QueryResult) = {
       def once(): Double = {
         val t0 = System.nanoTime()
+        try { run(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      }
+      System.gc()
+      Thread.sleep(200)
+      settleListener()
+      shuffleBytes.set(0)
+      // progress marker to stderr: names the in-flight row so a
+      // mid-suite failure (the r10 OOM class) is attributable from
+      // the log without re-running
+      System.err.println(s"[bench] running $name")
+      val cold = once()
+      settleListener()
+      val bytes = shuffleBytes.get()
+      dropBlocks()
+      System.gc()
+      val warm = once()
+      dropBlocks()
+      name -> QueryResult(cold, warm, bytes)
+    }
+
+    // Artifact phase (FULL runs only — partial runs iterate against
+    // the amortized steady state): build every registry artifact in
+    // dependency order, each as its own `artifact:<name>` row, so
+    // consumer queries below measure steady-state reads and build
+    // costs stop masquerading as first-consumer regressions (the
+    // r11/r12 phantom-delta problem: q239, q58). `warm` on an
+    // artifact row is the ensure-style re-call — marker check + read
+    // path, the per-query overhead every consumer pays.
+    val artifactRows: Seq[(String, QueryResult)] =
+      if (only.nonEmpty) Seq.empty
+      else Artifacts.builders.map { case (aname, build) =>
+        timedRow(s"artifact:$aname", () => build(spark, sfDir))
+      }
+
+    val queryRows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
         // Materialize through the NOOP SINK, not count(): count() lets
         // Catalyst prune everything not needed for the cardinality —
         // projection-only queries lose their projections, and an
@@ -93,51 +153,10 @@ object Bench {
         // plan). The noop sink executes the full declared plan and
         // discards rows — timings measure what Verify materializes.
         // A failed query reports -1, never a bogus "fast success".
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+        timedRow(name,
+          () => fn(spark, sfDir).write.mode("overwrite").format("noop").save())
       }
-      // cross-query hygiene: a full GC + short settle between queries
-      // so one query's garbage doesn't bill the next one's timing —
-      // without it, in-suite numbers read up to 4–5× their isolated
-      // re-runs on the heavies (r4 judge: q26 34.7 s in-suite vs
-      // 7.5 s isolated) and round-over-round per-query comparison is
-      // noise
-      // clearCache() frees persist()ed DATASETS but NOT RDD-level
-      // localCheckpoint blocks (graph loops checkpoint per round);
-      // across ~280 queries those accumulated past the 8 GB driver
-      // heap (observed OOM near the end of the r10 suite) — drop
-      // every persistent RDD between queries too
-      def dropBlocks(): Unit = {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      }
-      System.gc()
-      Thread.sleep(200)
-      settleListener()
-      shuffleBytes.set(0)
-      // progress marker to stderr: names the in-flight query so a
-      // mid-suite failure (the r10 OOM class) is attributable from
-      // the log without re-running
-      System.err.println(s"[bench] running $name")
-      val cold = once()
-      settleListener()
-      val bytes = shuffleBytes.get()
-      // operators that persist() intermediates (LSH signatures, token
-      // arrays) must not accumulate storage — clear BETWEEN cold and
-      // warm too: the warm run re-persists its own copies, and two
-      // generations side by side evict each other into GC churn
-      // (observed: a warm run 3× slower than its cold run)
-      dropBlocks()
-      System.gc()
-      val warm = once()
-      dropBlocks()
-      name -> QueryResult(cold, warm, bytes)
-    }
+    val results = artifactRows ++ queryRows
     def jmap(f: QueryResult => String): String =
       results.map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
     val total = results.map(_._2.cold).filter(_ >= 0).sum

@@ -2404,7 +2404,7 @@ object AnalyticsQueries {
     * REPLAY the full recurrence, so the artifact is still
     * value-checked every round.
     */
-  private def lpaLabels(s: SparkSession,
+  private[graft] def lpaLabels(s: SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val path = graft.ArtifactCache.path("lpa",
       java.nio.file.Paths.get(d, "lineitem.parquet"),

@@ -35,7 +35,7 @@ object DedupQueries {
     * the 100 TB shape, where a tokenized corpus is a curated table,
     * not per-query work.
     */
-  private def hashedToks(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def hashedToks(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val path = graft.ArtifactCache.path("toks",
       java.nio.file.Paths.get(d, "documents.parquet"), "xxh64-distinct-sorted")
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
@@ -61,7 +61,7 @@ object DedupQueries {
     * + r4-snapped doubles round-trip parquet bit-for-bit), so the
     * consumers' oracles are unchanged.
     */
-  private def jacPairsArtifact(s: org.apache.spark.sql.SparkSession,
+  private[graft] def jacPairsArtifact(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val path = graft.ArtifactCache.path("jacpairs",
       java.nio.file.Paths.get(d, "documents.parquet"), "prefix-jaccard-07")
@@ -77,7 +77,7 @@ object DedupQueries {
   }
 
   /** See [[jacPairsArtifact]]. */
-  private def conPairsArtifact(s: org.apache.spark.sql.SparkSession,
+  private[graft] def conPairsArtifact(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val path = graft.ArtifactCache.path("conpairs",
       java.nio.file.Paths.get(d, "documents.parquet"),
@@ -101,7 +101,7 @@ object DedupQueries {
     * empty array (the slice guard; DuckDB's range() mirrors this by
     * returning an empty list).
     */
-  private def hashedShingles(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def hashedShingles(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val path = graft.ArtifactCache.path("toks3",
       java.nio.file.Paths.get(d, "documents.parquet"), "shingle3-xxh64-distinct-sorted")
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
@@ -132,7 +132,7 @@ object DedupQueries {
     * sorted-merge verify stay per-run against the fused token pass,
     * so the output (and the brute-force oracle) are unchanged.
     */
-  private def mhKeysArtifact(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def mhKeysArtifact(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val path = graft.ArtifactCache.path("mhkeys",
       java.nio.file.Paths.get(d, "documents.parquet"), "mh64-b32-xxh64-unigram")
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
@@ -157,7 +157,7 @@ object DedupQueries {
     * this (~7 s of the suite's cold time apiece). Same content-stamp
     * discipline as the token artifact.
     */
-  private def jaccardPairsArtifact(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def jaccardPairsArtifact(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val path = graft.ArtifactCache.path("jacpairs",
       java.nio.file.Paths.get(d, "documents.parquet"), "jaccard-lang-band30-t0.8")
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
@@ -181,7 +181,7 @@ object DedupQueries {
     * dedup run's cluster table is a curated artifact downstream steps
     * join against, never per-query recomputation.
     */
-  private def componentArtifact(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def componentArtifact(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val path = graft.ArtifactCache.path("comps",
       java.nio.file.Paths.get(d, "documents.parquet"), "jaccard-lang-band30-t0.8")
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")

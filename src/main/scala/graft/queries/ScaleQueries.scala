@@ -13,6 +13,45 @@ object ScaleQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Ensure-style layout artifacts (bucketed fact copies, the
+    * z-ordered lineitem) shared by their consumer queries (q57/q59)
+    * and the [[graft.Artifacts]] registry — so a full bench run can
+    * build each in its OWN attributed `artifact:<kind>` row instead
+    * of billing the build to whichever consumer runs first. Params
+    * here are the single source of truth; consumers call these.
+    */
+  private[graft] def bucketedLi(s: SparkSession, d: String): String = {
+    import s.implicits._
+    graft.sources.BucketedTables.ensure(s,
+      Tables.lineitem(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+      "graft_li_bucketed",
+      graft.ArtifactCache.path("buck-li",
+        java.nio.file.Paths.get(d, "lineitem.parquet"), "b8"),
+      "l_orderkey", 8)
+  }
+
+  /** See [[bucketedLi]]. */
+  private[graft] def bucketedOd(s: SparkSession, d: String): String = {
+    import s.implicits._
+    graft.sources.BucketedTables.ensure(s,
+      Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+      "graft_od_bucketed",
+      graft.ArtifactCache.path("buck-od",
+        java.nio.file.Paths.get(d, "orders.parquet"), "b8"),
+      "o_orderkey", 8)
+  }
+
+  /** See [[bucketedLi]]. */
+  private[graft] def zorderedLi(s: SparkSession, d: String): String = {
+    import s.implicits._
+    graft.operators.ZOrder.ensureClustered(
+      Tables.lineitem(s, d)
+        .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_returnflag"),
+      Seq("l_quantity", "l_extendedprice"),
+      graft.ArtifactCache.path("zorder-li",
+        java.nio.file.Paths.get(d, "lineitem.parquet"), "q-ep-b4-f16"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // ----- q45: pivot — long-to-wide reshape as one grouped pass
     QueryDef(
@@ -770,22 +809,10 @@ object ScaleQueries {
       "q57_bucketed_join",
       (s, d) => {
         import s.implicits._
-        import graft.sources.BucketedTables
-        val buckets = 8
         // skinny projections: the artifact carries only the columns
         // the recurring join needs — column pruning at build time
-        val li = BucketedTables.ensure(s,
-          Tables.lineitem(s, d).select($"l_orderkey", $"l_extendedprice", $"l_discount"),
-          "graft_li_bucketed",
-          graft.ArtifactCache.path("buck-li",
-            java.nio.file.Paths.get(d, "lineitem.parquet"), s"b$buckets"),
-          "l_orderkey", buckets)
-        val od = BucketedTables.ensure(s,
-          Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
-          "graft_od_bucketed",
-          graft.ArtifactCache.path("buck-od",
-            java.nio.file.Paths.get(d, "orders.parquet"), s"b$buckets"),
-          "o_orderkey", buckets)
+        val li = bucketedLi(s, d)
+        val od = bucketedOd(s, d)
         s.table(li).join(s.table(od), $"l_orderkey" === $"o_orderkey")
           .groupBy($"o_orderpriority")
           .agg(
@@ -812,13 +839,7 @@ object ScaleQueries {
       "q59_zorder_query",
       (s, d) => {
         import s.implicits._
-        import graft.operators.ZOrder
-        val path = ZOrder.ensureClustered(
-          Tables.lineitem(s, d)
-            .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_returnflag"),
-          Seq("l_quantity", "l_extendedprice"),
-          graft.ArtifactCache.path("zorder-li",
-            java.nio.file.Paths.get(d, "lineitem.parquet"), "q-ep-b4-f16"))
+        val path = zorderedLi(s, d)
         s.read.parquet(path)
           .filter($"l_quantity".between(10, 20) &&
             $"l_extendedprice".between(20000, 40000))
