@@ -77,6 +77,12 @@ object GraftOptimizations {
     if (!cur4.contains(InferJaccardSizeBand)) {
       spark.experimental.extraOptimizations = cur4 :+ InferJaccardSizeBand
     }
+    // AFTER the band rules: bands inject conjuncts first, then the
+    // hoist extracts each side's heavy subtrees (incl. the bands' own)
+    val cur5 = spark.experimental.extraOptimizations
+    if (!cur5.contains(HoistJoinConditionSubexpressions)) {
+      spark.experimental.extraOptimizations = cur5 :+ HoistJoinConditionSubexpressions
+    }
     AsofJoinNative.installStrategy(spark)
   }
 }

@@ -1032,7 +1032,11 @@ object DedupQueries {
         val docs = Tables.documents(s, d)
           .filter(length(trim($"text")) > 0 && $"doc_id" % 10 === 0)
           .select($"doc_id", $"lang", $"text")
-        val a = docs.select($"doc_id".as("id_a"), $"lang", $"text".as("ta"))
+        // Par.spread: the probe side carries the ~64k pair
+        // evaluations (the q141 lesson — a 500-row slice scans as one
+        // task and serializes the whole join on one core)
+        val a = graft.Par.spread(
+          docs.select($"doc_id".as("id_a"), $"lang", $"text".as("ta")))
         val b = docs.select($"doc_id".as("id_b"), $"lang".as("lang_b"),
           $"text".as("tb"))
         def setOf(c: String) =
