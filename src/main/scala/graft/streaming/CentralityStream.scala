@@ -181,6 +181,86 @@ object CentralityStream extends Serializable {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  final case class KatzRow(id: Long, katz: Double)
+
+  /** Streaming Katz centrality: upsert rows (id, katz) for every
+    * value change; katz = NaN tombstones for evicted
+    * previously-emitted ids. Arithmetic ≡ `GraphOps.katz(_, _, _,
+    * iterations, alpha)` bit-for-bit over the tracked edges
+    * (x init 1.0; per round x ← 1 + α·(Σ floor(x·2⁴⁰))/2⁴⁰ — the +1
+    * volume floor, never normalized, so unlike the eigenvector there
+    * is no global normalizer state beyond the sums themselves).
+    * Completes the centrality quartet's batch/stream pairing:
+    * PageRank ([[PageRankStream]]), eigenvector, HITS, Katz.
+    */
+  def katzAssignments(
+      edges: Dataset[Edge],
+      iterations: Int = 4,
+      alpha: Double = 0.01,
+      maxNodes: Int = 1 << 20): Dataset[KatzRow] = {
+    require(iterations >= 1, "iterations >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    def fn(key: Int, it: Iterator[Edge],
+        state: GroupState[EigRegistry]): Iterator[KatzRow] = {
+      val st = state.getOption.getOrElse(
+        EigRegistry(Map.empty, Map.empty, Map.empty, 0L))
+      val adj = scala.collection.mutable.HashMap.from(
+        st.adj.view.mapValues(scala.collection.mutable.HashSet.from(_)))
+      val touch = scala.collection.mutable.HashMap.from(st.touch)
+      val tick = st.tick + 1
+
+      it.foreach { e =>
+        if (e.u != e.v) {            // orient: self-loops dropped
+          val a = adj.getOrElseUpdate(e.u, scala.collection.mutable.HashSet.empty)
+          val b = adj.getOrElseUpdate(e.v, scala.collection.mutable.HashSet.empty)
+          a += e.v; b += e.u
+          touch(e.u) = tick; touch(e.v) = tick
+        }
+      }
+
+      val evicted = evictComponents(adj, touch, maxNodes)
+
+      val newVals: Map[Long, Double] =
+        if (adj.isEmpty) Map.empty
+        else {
+          var x = scala.collection.mutable.HashMap.from(
+            adj.view.mapValues(_ => 1.0))
+          for (_ <- 1 to iterations) {
+            val c = scala.collection.mutable.HashMap.empty[Long, Long]
+            adj.foreach { case (u, nbrs) =>
+              val qc = math.floor(x(u) * QH).toLong
+              nbrs.foreach { w => c(w) = c.getOrElse(w, 0L) + qc }
+            }
+            val next = scala.collection.mutable.HashMap.empty[Long, Double]
+            c.foreach { case (v, cv) =>
+              next(v) = 1.0 + alpha * (cv.toDouble / QH)
+            }
+            x = next
+          }
+          x.toMap
+        }
+
+      val changed = newVals.iterator.filter { case (v, p) =>
+        !st.eigs.get(v).contains(p)
+      }.toSeq
+      val tombstones = evicted.iterator
+        .filter(st.eigs.contains).toSeq.sorted
+        .map(id => KatzRow(id, Double.NaN))
+
+      state.update(EigRegistry(
+        adj.view.mapValues(_.toSeq.sorted).toMap,
+        newVals, touch.toMap, tick))
+      (tombstones ++
+        changed.sortBy(_._1).map { case (id, p) => KatzRow(id, p) }).iterator
+    }
+
+    edges.groupByKey(_ => 0)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Streaming HITS: upsert rows (side, id, v) for every value change
     * on either side; v = NaN tombstones per previously-emitted
     * (side, id) of evicted nodes. Arithmetic ≡ `GraphOps.hits(_, _, _,

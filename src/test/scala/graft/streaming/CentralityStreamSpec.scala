@@ -87,6 +87,61 @@ class CentralityStreamSpec extends SparkSpec {
       "evicted previously-emitted ids must get NaN tombstone rows")
   }
 
+  // ---------- Katz ----------
+
+  private def upsertKatz(rows: Seq[CentralityStream.KatzRow]): Map[Long, Double] =
+    rows.foldLeft(Map.empty[Long, Double]) {
+      case (acc, r) => if (r.katz.isNaN) acc - r.id else acc + (r.id -> r.katz)
+    }
+
+  private def batchKatz(edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    import spark.implicits._
+    GraphOps.katz(edges.toDF("u", "v"), "u", "v", iterations = 4, alpha = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  private def driveKatz(chunks: Seq[Seq[(Long, Long)]],
+      maxNodes: Int = 1 << 20): Seq[CentralityStream.KatzRow] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"katz_out_${System.nanoTime()}"
+    val mem = MemoryStream[Edge]
+    val q = CentralityStream.katzAssignments(mem.toDS(), iterations = 4,
+        alpha = 0.01, maxNodes = maxNodes)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      chunks.foreach { chunk =>
+        mem.addData(chunk.map { case (u, v) => Edge(u, v) })
+        q.processAllAvailable()
+      }
+      spark.table(name).as[CentralityStream.KatzRow].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("katz: random splits with duplicated delivery ≡ batch bit-for-bit") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val withDups = edges ++ edges.take(edges.size / 3)
+    var rest = withDups
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+    while (rest.nonEmpty) {
+      val n = 1 + rnd.nextInt(9)
+      chunks += rest.take(n); rest = rest.drop(n)
+    }
+    assert(upsertKatz(driveKatz(chunks.toSeq)) === batchKatz(edges))
+  }
+
+  test("katz: replay emits nothing; cap evicts with tombstones; survivors exact") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(driveKatz(Seq(tri, tri)) === driveKatz(Seq(tri)))
+    val t2 = Seq((11L, 12L), (12L, 13L), (11L, 13L))
+    val rows = driveKatz(Seq(tri, t2), maxNodes = 3)
+    assert(upsertKatz(rows) === batchKatz(t2))
+    assert(rows.exists(r => r.katz.isNaN && Set(1L, 2L, 3L).contains(r.id)))
+  }
+
   // ---------- HITS ----------
 
   private def upsertHits(rows: Seq[HitsRow]): Map[(String, Long), Double] =
