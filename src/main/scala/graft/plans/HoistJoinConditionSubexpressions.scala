@@ -63,6 +63,9 @@ object HoistJoinConditionSubexpressions extends Rule[LogicalPlan] {
     case _: RegExpExtract => true
     case _: StringTranslate => true
     case _: ScalaUDF => true
+    // this library's own Catalyst expressions (tokenizers, language
+    // id, per-char scalars) are per-row scans too
+    case e if e.getClass.getName.startsWith("graft.") => true
     case _ => false
   }
 

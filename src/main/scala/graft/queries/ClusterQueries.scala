@@ -331,6 +331,81 @@ object ClusterQueries {
            |ORDER BY qdist, vec_id LIMIT 5""".stripMargin
       }),
 
+    // ----- q346: the IVF-PQ COMPOSITION, oracle-checked end to end —
+    // the production ANN shape (coarse cells decide WHICH rows a
+    // query scans, PQ codes decide what each scanned row COSTS) that
+    // q158 and q160 each verified half of. The coarse quantizer is
+    // the q158 replayable Lloyd; the probe set is derived by the same
+    // quantized-distance ordinal (never trusted); the 4 block
+    // trainings and the integer-quanta ADC are q160's; the ADC here
+    // runs over ONLY the 2 probed cells' rows. Zero tolerance: every
+    // distance is a BIGINT on both engines. PqSearchSpec keeps the
+    // float searchIvfPq as the production surface with its recall
+    // spec; this row value-checks the composition's semantics.
+    QueryDef(
+      "q346_ivfpq_replay",
+      (s, d) => {
+        import s.implicits._
+        val embs = Tables.embeddings(s, d)
+        val coarse = KMeans.train(embs, "vec_id", "embedding", K, Iters, Salt)
+        val cells = KMeans.assignCells(embs, "vec_id", "embedding", coarse)
+          .select($"vec_id", $"cell")
+        def sliced(b: Int) = embs.select($"vec_id",
+          slice($"embedding", b * PqSubDim + 1, PqSubDim).as("sub"))
+        val models = (0 until PqM).map(b =>
+          KMeans.train(sliced(b), "vec_id", "sub", PqK, PqIters, PqSalt + b)).toArray
+        val codes = embs.select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            it.map { case (id, v) =>
+              val cs = Array.tabulate(PqM)(b =>
+                models(b).assign(v.slice(b * PqSubDim, (b + 1) * PqSubDim)))
+              (id, cs(0), cs(1), cs(2), cs(3))
+            }
+          }.toDF("vec_id", "c0", "c1", "c2", "c3")
+        val probes = coarse.centroids.indices
+          .sortBy(c => (coarse.quantDist(queryVecF, c), c)).take(2)
+        val qdist = (0 until PqM).map { b =>
+          val qs = queryVecF.slice(b * PqSubDim, (b + 1) * PqSubDim)
+          val tab = (0 until PqK).map(cell => models(b).quantDist(qs, cell))
+          element_at(typedlit(tab), col(s"c$b") + 1)
+        }.reduce(_ + _)
+        codes.join(cells, "vec_id")
+          .filter($"cell".isin(probes: _*))
+          .select($"vec_id", $"cell".cast("long").as("cell"), qdist.as("qdist"))
+          .orderBy($"qdist", $"vec_id").limit(5)
+      },
+      Some {
+        val blocks = (0 until PqM).map(b =>
+          blockLloydCtes(s"b$b", PqK, PqIters, PqSalt + b, b * PqSubDim, PqSubDim))
+        val terms = (0 until PqM).map { b =>
+          s"""t$b AS (
+             |  SELECT a.vec_id,
+             |    SUM(CAST(floor((q.qv[c.pos + 1] - c.c) * (q.qv[c.pos + 1] - c.c)
+             |                   * ${KMeans.DistQuantum}) AS BIGINT)) AS t
+             |  FROM a${PqIters}_b$b a JOIN cent${PqIters}_b$b c ON a.cell = c.cell, q
+             |  GROUP BY a.vec_id)""".stripMargin
+        }
+        s"""${lloydCtes(K, Iters, Salt)},
+           |q AS (SELECT CAST($queryVecFSql AS DOUBLE[]) AS qv),
+           |probe AS (
+           |  SELECT cell FROM (
+           |    SELECT c.cell,
+           |      SUM(CAST(floor((q.qv[c.pos + 1] - c.c) * (q.qv[c.pos + 1] - c.c)
+           |                     * ${KMeans.DistQuantum}) AS BIGINT)) AS dq
+           |    FROM cent$Iters c, q
+           |    GROUP BY c.cell
+           |    ORDER BY dq, cell LIMIT 2)),
+           |${(blocks ++ terms).mkString(",\n")}
+           |SELECT t0.vec_id, CAST(ac.cell AS BIGINT) AS cell,
+           |  CAST(t0.t + t1.t + t2.t + t3.t AS BIGINT) AS qdist
+           |FROM t0 JOIN t1 USING (vec_id) JOIN t2 USING (vec_id)
+           |  JOIN t3 USING (vec_id)
+           |JOIN a$Iters ac ON ac.vec_id = t0.vec_id
+           |WHERE ac.cell IN (SELECT cell FROM probe)
+           |ORDER BY qdist, vec_id LIMIT 5""".stripMargin
+      }),
+
     // ----- q163: principal-component projection (operators.Pca) —
     // power iteration on the exact integer Gram, so the oracle replays
     // the ENTIRE spectral pipeline (pcaOracle above): means, centered
