@@ -37,6 +37,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the recommended user session (functions + optimizer rules), so
+    // bench timings measure the plans Verify verifies — see Verify
+    Graft.install(spark)
 
     val shuffleBytes = new AtomicLong(0)
     val tasksSeen = new AtomicLong(0)

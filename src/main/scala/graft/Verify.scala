@@ -21,6 +21,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the session a USER of the library runs: graft functions +
+    // optimizer rules installed (all equivalence-preserving) — the
+    // gate then verifies exactly the plans the recommended session
+    // produces, instead of depending on whichever query installs
+    // them mid-suite
+    Graft.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
