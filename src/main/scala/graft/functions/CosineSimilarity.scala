@@ -116,7 +116,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(TextFunctions.getClass.getName, name), builder))
     }
-    ext.injectOptimizerRule(_ => graft.plans.PushPredicateThroughExplode)
+    // the full optimizer-rule set — GraftOptimizations.rules is the
+    // single source of truth behind both injection paths, so the
+    // spark.sql.extensions route can never run one rule short of
+    // Graft.install
+    graft.plans.GraftOptimizations.rules.foreach(r =>
+      ext.injectOptimizerRule(_ => r))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinNative.AsofJoinStrategy)
   }
 }

@@ -57,31 +57,31 @@ object PushPredicateThroughExplode extends Rule[LogicalPlan] {
 }
 
 object GraftOptimizations {
+  /** THE optimizer-rule list, in application order — the single
+    * source of truth behind both injection paths ([[install]] for a
+    * live session, `GraftExtensions` for `spark.sql.extensions`
+    * users), so neither can run one rule short of the other. Order
+    * matters at the tail: the band rules inject their conjuncts
+    * first, then [[HoistJoinConditionSubexpressions]] extracts each
+    * side's heavy subtrees (including the bands' own halves).
+    */
+  val rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = Seq(
+    PushPredicateThroughExplode,
+    RewriteIntersectCount,
+    InferLevenshteinBand,
+    InferJaccardSizeBand,
+    HoistJoinConditionSubexpressions)
+
   /** Idempotent install into the session's experimental rules and
     * planner strategies (the custom as-of operator).
     */
   def install(spark: SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(PushPredicateThroughExplode)) {
-      spark.experimental.extraOptimizations = cur :+ PushPredicateThroughExplode
-    }
-    val cur2 = spark.experimental.extraOptimizations
-    if (!cur2.contains(RewriteIntersectCount)) {
-      spark.experimental.extraOptimizations = cur2 :+ RewriteIntersectCount
-    }
-    val cur3 = spark.experimental.extraOptimizations
-    if (!cur3.contains(InferLevenshteinBand)) {
-      spark.experimental.extraOptimizations = cur3 :+ InferLevenshteinBand
-    }
-    val cur4 = spark.experimental.extraOptimizations
-    if (!cur4.contains(InferJaccardSizeBand)) {
-      spark.experimental.extraOptimizations = cur4 :+ InferJaccardSizeBand
-    }
-    // AFTER the band rules: bands inject conjuncts first, then the
-    // hoist extracts each side's heavy subtrees (incl. the bands' own)
-    val cur5 = spark.experimental.extraOptimizations
-    if (!cur5.contains(HoistJoinConditionSubexpressions)) {
-      spark.experimental.extraOptimizations = cur5 :+ HoistJoinConditionSubexpressions
+    rules.foreach { r =>
+      val cur = spark.experimental.extraOptimizations
+      if (!cur.contains(r)) {
+        spark.experimental.extraOptimizations = cur :+ r
+      }
     }
     AsofJoinNative.installStrategy(spark)
   }
