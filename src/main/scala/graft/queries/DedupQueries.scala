@@ -337,6 +337,54 @@ object DedupQueries {
              |                             CAST(b.embedding AS DOUBLE[])) > 0.4
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ----- q347: SEMANTIC decontamination — the embedding-space
+    // counterpart of q61's n-gram benchmark decontamination (the
+    // Gemma/Llama-report recipe: paraphrased eval items leak past
+    // exact n-gram matching; cosine-vs-benchmark catches them). A
+    // small benchmark slice (vec_id % 50 — benchmark sets are small
+    // BY NATURE, which is the scale story) broadcasts to every
+    // corpus partition; the corpus never shuffles, per-row work is
+    // |bench|·d codegen flops, embarrassingly parallel at any corpus
+    // size. Corpora with huge benchmark unions route through
+    // AnnSearch.bandJoin instead. Output: each contaminated corpus
+    // vector with its hit count and max similarity (no argmax id —
+    // cross-engine cosine ulp could flip a near-tie argmax; count +
+    // r6-rounded max follow the q27 convention).
+    QueryDef(
+      "q347_semantic_decontamination",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val bench = e.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("bench_id"), $"embedding".as("bv"))
+        val corpus = graft.Par.spread(
+          e.filter($"vec_id" % 50 =!= 0).select($"vec_id", $"embedding"))
+        corpus.join(broadcast(bench))
+          .select($"vec_id",
+            graft.functions.GraftFunctions.cosine_sim($"embedding", $"bv").as("cos"))
+          .filter($"cos" > 0.35)
+          .groupBy($"vec_id")
+          .agg(count(lit(1)).as("n_hits"), round(max($"cos"), 6).as("max_cos"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT vec_id AS bench_id, embedding FROM embeddings
+             |  WHERE vec_id % 50 = 0),
+             |c AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id % 50 <> 0),
+             |hits AS (
+             |  SELECT c.vec_id,
+             |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |                           CAST(b.embedding AS DOUBLE[])) AS cos
+             |  FROM c, b
+             |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |                               CAST(b.embedding AS DOUBLE[])) > 0.35)
+             |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             |  round(MAX(cos), 6) AS max_cos
+             |FROM hits GROUP BY 1
+             |ORDER BY vec_id""".stripMargin)),
+
     // ----- q28: MinHash-LSH near-dup pairs with EXACT Jaccard verify.
     // Banded candidate generation (32 bands × 2 hashes: miss prob
     // ≈ 4e-10 at threshold 0.7) + sorted-merge exact verification —
