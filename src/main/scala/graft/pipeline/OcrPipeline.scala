@@ -120,17 +120,10 @@ object OcrPipeline {
       binDocs: DataFrame,
       partitioner: PdfPartitioner,
       strategy: PartitionStrategy = PartitionStrategy.OcrOnly,
-      parallelism: Int = 32): DataFrame = {
-    import spark.implicits._
-    val placed = lptRepartition(
-      binDocs.select(col("doc_id").cast("long"), col("content"), col("filesize").cast("long")),
-      "filesize", parallelism)
-    placed.as[(Long, Array[Byte], Long)].mapPartitions { it =>
-      it.map { case (id, content, _) =>
-        (id, partitioner.partition(content, strategy).mkString("\n"))
-      }
-    }.toDF("doc_id", "text")
-  }
+      parallelism: Int = 32): DataFrame =
+    extractMapped(spark, binDocs, parallelism) { (id, content) =>
+      (id, partitioner.partition(content, strategy).mkString("\n"), "")
+    }.drop("extract_path")
 
   /** [[extractText]] with per-document provenance: the third column
     * is the [[ExtractPath]] label of the branch that produced each
@@ -144,16 +137,27 @@ object OcrPipeline {
       binDocs: DataFrame,
       partitioner: AutoPartitioner,
       strategy: PartitionStrategy = PartitionStrategy.OcrOnly,
-      parallelism: Int = 32): DataFrame = {
+      parallelism: Int = 32): DataFrame =
+    extractMapped(spark, binDocs, parallelism) { (id, content) =>
+      val (els, path) = partitioner.partitionWithPath(content, strategy)
+      (id, els.mkString("\n"), path)
+    }
+
+  /** The one copy of the extraction plumbing (skinny projection → LPT
+    * placement → per-partition map) behind [[extractText]] and
+    * [[extractTextAudited]] — a placement/casting change lands in
+    * both or neither. */
+  private def extractMapped(
+      spark: SparkSession,
+      binDocs: DataFrame,
+      parallelism: Int)(
+      f: (Long, Array[Byte]) => (Long, String, String)): DataFrame = {
     import spark.implicits._
     val placed = lptRepartition(
       binDocs.select(col("doc_id").cast("long"), col("content"), col("filesize").cast("long")),
       "filesize", parallelism)
     placed.as[(Long, Array[Byte], Long)].mapPartitions { it =>
-      it.map { case (id, content, _) =>
-        val (els, path) = partitioner.partitionWithPath(content, strategy)
-        (id, els.mkString("\n"), path)
-      }
+      it.map { case (id, content, _) => f(id, content) }
     }.toDF("doc_id", "text", "extract_path")
   }
 }

@@ -169,11 +169,19 @@ object PdfGen {
     * extraction-audit demo: doc_id mod 4 cycles composite-font PDF,
     * simple PDF, predictor-encoded PDF, plain UTF-8 bytes — so one
     * run exercises every [[ExtractPath]]. */
-  def demo(docId: Long, text: String): Array[Byte] =
+  def demo(docId: Long, text: String): Array[Byte] = {
+    // a blank/whitespace document still gets a NON-EMPTY container —
+    // a PDF with zero show operators would extract nothing and route
+    // to pdf_fallback, silently diverging from q344's deterministic
+    // mod-4 routing oracle (which says mods 0-2 ⇒ pdf_text
+    // unconditionally); stamping the id keeps the container honest
+    // and the routing total
+    val t = if (text == null || text.trim.isEmpty) s"doc $docId" else text
     (math.floorMod(docId, 4L).toInt: @unchecked) match {
-      case 0 => type0(text)
-      case 1 => simple(text)
-      case 2 => predictorFlate(text)
-      case 3 => text.getBytes(StandardCharsets.UTF_8)
+      case 0 => type0(t)
+      case 1 => simple(t)
+      case 2 => predictorFlate(t)
+      case 3 => t.getBytes(StandardCharsets.UTF_8)
     }
+  }
 }

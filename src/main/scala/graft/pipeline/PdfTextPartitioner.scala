@@ -75,9 +75,14 @@ object PdfTextPartitioner {
   private[pipeline] final case class CMap(codeBytes: Int, map: Map[Int, String])
 
   /** One indirect object: its dictionary text and, when it carries a
-    * decodable stream, the decoded payload. */
+    * decodable stream, the LAZILY decoded payload — [[fontMap]] reads
+    * `data` only for the streams its ToUnicode references, so building
+    * the object table does not re-inflate every content stream the
+    * extraction pass decodes anyway. */
   private[pipeline] final case class PdfObj(
-      dict: String, data: Option[Array[Byte]])
+      dict: String, dataThunk: () => Option[Array[Byte]]) {
+    lazy val data: Option[Array[Byte]] = dataThunk()
+  }
 
   /** All decodable stream payloads, as Latin-1 strings (byte ≡ char,
     * so offsets and literal-string bytes survive the round trip). */
@@ -106,8 +111,13 @@ object PdfTextPartitioner {
 
   /** Direct `/Length N` in a stream dictionary (not the indirect
     * `/Length N 0 R` form, which this linear-scan subset can't chase
-    * cheaply at this point). */
-  private val directLength = """/Length\s+(\d{1,9})(?!\s*\d+\s+R)""".r
+    * cheaply at this point). The `(?!\d)` anchor is load-bearing: on
+    * `/Length 102 0 R` the engine would otherwise BACKTRACK the
+    * capture to `10` so the not-indirect lookahead no longer sees
+    * `N 0 R`, and the bogus 10-byte "length" truncates the stream —
+    * real-world PDFs overwhelmingly use indirect lengths with
+    * multi-digit object numbers. */
+  private val directLength = """/Length\s+(\d{1,9})(?!\d)(?!\s*\d+\s+R)""".r
 
   /** (dataStart, dataEnd, indexAfterEndstream) for the `stream`
     * keyword at `i`, or None when the stream never terminates.
@@ -246,12 +256,18 @@ object PdfTextPartitioner {
 
   /** Indirect-object table: object number → (dict, decoded stream).
     * Incremental-update files repeat numbers; the LAST definition
-    * wins, matching xref precedence for the linear-scan subset. */
+    * wins, matching xref precedence for the linear-scan subset.
+    * Matches INSIDE a consumed object's span are skipped (the
+    * `minPos` cursor): compressed payload bytes that happen to spell
+    * `N M obj … endobj` must not fabricate a phantom object that
+    * clobbers the real one under last-definition-wins — the same
+    * skip-past-endstream discipline [[contentStreams]] applies. */
   private[pipeline] def objects(bytes: Array[Byte]): Map[Int, PdfObj] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val objRe = """(?<!\d)(\d{1,9})\s+\d+\s+obj\b""".r
     val out = scala.collection.mutable.Map.empty[Int, PdfObj]
-    for (m <- objRe.findAllMatchIn(s)) {
+    var minPos = 0
+    for (m <- objRe.findAllMatchIn(s) if m.start >= minPos) {
       val num = m.group(1).toInt
       val start = m.end
       val endobj = s.indexOf("endobj", start)
@@ -260,11 +276,17 @@ object PdfTextPartitioner {
         !(streamKw >= 3 && s.regionMatches(streamKw - 3, "endstream", 0, 9))
       if (hasStream) {
         val dict = s.substring(start, streamKw)
-        val data = streamSpan(s, streamKw, dict)
-          .flatMap { case (ds, de, _) => decodeStream(dict, bytes, ds, de) }
-        out(num) = PdfObj(dict, data)
+        streamSpan(s, streamKw, dict) match {
+          case Some((ds, de, end)) =>
+            out(num) = PdfObj(dict, () => decodeStream(dict, bytes, ds, de))
+            minPos = end
+          case None =>
+            out(num) = PdfObj(dict, () => None)
+            minPos = streamKw + 6
+        }
       } else if (endobj >= 0) {
-        out(num) = PdfObj(s.substring(start, endobj), None)
+        out(num) = PdfObj(s.substring(start, endobj), () => None)
+        minPos = endobj + 6
       }
     }
     out.toMap
@@ -291,6 +313,8 @@ object PdfTextPartitioner {
         fontRef.findAllMatchIn(fd).map(r => r.group(1) -> r.group(2).toInt))
     }
     val out = scala.collection.mutable.Map.empty[String, CMap]
+    def isComposite(dict: String): Boolean =
+      dict.contains("/Type0") || dict.contains("Identity-H")
     for ((name, fontNum) <- bindings if !out.contains(name)) {
       for {
         font <- objs.get(fontNum)
@@ -299,9 +323,22 @@ object PdfTextPartitioner {
         data <- cmapObj.data
         cmap <- parseCMap(
           new String(data, StandardCharsets.ISO_8859_1),
-          composite = font.dict.contains("/Type0") ||
-            font.dict.contains("Identity-H"))
+          composite = isComposite(font.dict))
       } out(name) = cmap
+    }
+    // Composite fonts WITHOUT a parseable ToUnicode CMap get an EMPTY
+    // decoder: their show-string bytes are glyph ids, not text, so
+    // every code maps to nothing — this is what makes the scaladoc's
+    // "an all-composite document with no CMap yields no text and
+    // falls through to the OCR seam" contract actually hold (a raw
+    // Latin-1 fallback would emit NUL-interleaved glyph-id garbage
+    // labeled pdf_text and the document would never be OCR'd).
+    // Second pass so a name bound to BOTH a CMap-less and a
+    // CMap-bearing font object keeps the CMap-bearing binding.
+    for ((name, fontNum) <- bindings if !out.contains(name)) {
+      objs.get(fontNum).foreach { font =>
+        if (isComposite(font.dict)) out(name) = CMap(2, Map.empty)
+      }
     }
     out.toMap
   }

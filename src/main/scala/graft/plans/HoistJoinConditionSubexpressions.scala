@@ -34,6 +34,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    higher-order function, regex split, array_distinct, sort_array,
   *    or a per-character string scan) — attribute refs, literals, and
   *    plain arithmetic are never worth a schema change;
+  *  - only subtrees that are provably NON-THROWING node-by-node
+  *    ([[nonThrowing]]): opaque UDFs and ANSI-throwing expressions
+  *    stay conditionally evaluated in the condition, because hoisting
+  *    is speculative evaluation — it runs on rows the join might
+  *    never pair;
   *  - join types whose condition is a FILTER over the cross space
   *    (Inner/Cross/LeftSemi/LeftAnti) — outer joins' null-extension
   *    rows never evaluate the condition anyway, but stay out of scope
@@ -49,10 +54,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object HoistJoinConditionSubexpressions extends Rule[LogicalPlan] {
 
-  /** Provably costly to re-evaluate per pair. A deterministic ScalaUDF
-    * counts: it is an opaque black box with serialization overhead per
-    * call (non-deterministic ones never reach here — the caller gates
-    * on `deterministic`).
+  /** Provably costly to re-evaluate per pair. Opaque black boxes
+    * (ScalaUDFs, arbitrary custom expressions) deliberately do NOT
+    * qualify even when deterministic: see [[nonThrowing]].
     */
   private def expensive(e: Expression): Boolean = e.exists {
     case _: HigherOrderFunction => true
@@ -62,11 +66,57 @@ object HoistJoinConditionSubexpressions extends Rule[LogicalPlan] {
     case _: RegExpReplace => true
     case _: RegExpExtract => true
     case _: StringTranslate => true
-    case _: ScalaUDF => true
-    // this library's own Catalyst expressions (tokenizers, language
-    // id, per-char scalars) are per-row scans too
-    case e if e.getClass.getName.startsWith("graft.") => true
     case _ => false
+  }
+
+  /** Every node of a hoisted subtree must be provably NON-THROWING on
+    * any input row: hoisting moves the expression from conditional
+    * per-pair evaluation (a row whose key matches nothing never
+    * evaluates the condition's non-equi conjuncts) to UNCONDITIONAL
+    * per-row evaluation in a Project — an expression that throws
+    * value-dependently (a parsing UDF on malformed rows, an
+    * ANSI-mode narrowing cast or element_at) would crash queries that
+    * previously succeeded. Spark's own optimizer avoids exactly this
+    * kind of speculative evaluation, so the rule hoists only a
+    * whitelist of null-safe, never-throwing builtins (regex patterns
+    * and group indices are value-INDEPENDENT: a bad literal pattern
+    * throws identically under per-pair evaluation). Double arithmetic
+    * never throws (no ANSI overflow on floating point); integral
+    * arithmetic is excluded.
+    */
+  private def nonThrowing(e: Expression): Boolean = !e.exists {
+    whitelisted(_) == false
+  }
+
+  private def whitelisted(e: Expression): Boolean = e match {
+    case _: Attribute | _: Literal | _: Alias => true
+    case _: StringTrim | _: StringTrimLeft | _: StringTrimRight => true
+    case _: StringSplit | _: RegExpReplace | _: RegExpExtract => true
+    case _: StringTranslate | _: Lower | _: Upper => true
+    case _: Concat | _: ConcatWs => true
+    case _: ArrayDistinct | _: SortArray => true
+    case _: ArrayFilter | _: ArrayTransform | _: ArrayExists => true
+    case _: LambdaFunction | _: NamedLambdaVariable => true
+    case _: Size | _: Length => true
+    case _: Coalesce | _: IsNull | _: IsNotNull | _: Not | _: And | _: Or => true
+    case _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual => true
+    case _: GreaterThan | _: GreaterThanOrEqual | _: In | _: InSet => true
+    case c: Cast => wideningCast(c)
+    case b: BinaryArithmetic => b.dataType == org.apache.spark.sql.types.DoubleType
+    case u: UnaryMinus => u.dataType == org.apache.spark.sql.types.DoubleType
+    case _ => false
+  }
+
+  /** Casts that can never fail: numeric widening only. */
+  private def wideningCast(c: Cast): Boolean = {
+    import org.apache.spark.sql.types._
+    (c.child.dataType, c.dataType) match {
+      case (ByteType | ShortType | IntegerType | LongType | FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType, IntegerType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
   }
 
   /** Maximal deterministic single-side subexpressions of `cond`
@@ -76,7 +126,8 @@ object HoistJoinConditionSubexpressions extends Rule[LogicalPlan] {
     val out = scala.collection.mutable.ArrayBuffer.empty[Expression]
     def walk(e: Expression): Unit = {
       val sided = e.references.nonEmpty && e.references.subsetOf(side)
-      if (sided && e.deterministic && !e.isInstanceOf[Attribute] && expensive(e)) {
+      if (sided && e.deterministic && !e.isInstanceOf[Attribute] &&
+          expensive(e) && nonThrowing(e)) {
         if (!out.exists(_.semanticEquals(e))) out += e
       } else e.children.foreach(walk)
     }

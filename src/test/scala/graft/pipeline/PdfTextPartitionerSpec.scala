@@ -198,6 +198,66 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
     assert(path === ExtractPath.PdfFallback)
   }
 
+  test("Type0 WITHOUT a CMap suppresses glyph ids ABOVE the control range too " +
+    "(raw Latin-1 fallback would leak printable garbage)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("3 0 obj << /Type /Page /Contents 4 0 R /Resources << /Font " +
+      "<< /F1 5 0 R >> >> >> endobj\n")
+    // CIDs 0x0041/0x0042: the low bytes are printable 'A'/'B', so a
+    // raw fallback would emit " A B" and trim would KEEP it
+    val cs = "BT /F1 12 Tf <00410042> Tj ET"
+    w(s"4 0 obj << /Length ${cs.length} >>\nstream\n$cs\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H >> endobj\n")
+    w("%%EOF\n")
+    val doc = bos.toByteArray
+    assert(p.partition(doc, PartitionStrategy.OcrOnly) === Seq.empty)
+    val (_, path) = AutoPartitioner(TextPartitioner())
+      .partitionWithPath(doc, PartitionStrategy.OcrOnly)
+    assert(path === ExtractPath.PdfFallback)
+  }
+
+  test("indirect '/Length N 0 R' with a multi-digit object number never " +
+    "truncates the stream (regex backtracking regression)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n")
+    // '/Length 102 0 R': a backtracking match would read length=10 and
+    // truncate the 29-byte stream to its first 10 bytes
+    val cs = "BT (indirect length body) Tj ET"
+    w(s"4 0 obj << /Length 102 0 R >>\nstream\n$cs\nendstream endobj\n")
+    w(s"102 0 obj ${cs.length} endobj\n")
+    w("%%EOF\n")
+    assert(p.partition(bos.toByteArray, PartitionStrategy.OcrOnly) ===
+      Seq("indirect length body"))
+  }
+
+  test("ASCII 'N M obj…endobj' bytes INSIDE a stream payload cannot clobber " +
+    "a real object (phantom-object regression)") {
+    val cmap = "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n" +
+      "endcodespacerange\n1 beginbfchar\n<0003> <0058>\nendbfchar\nendcmap"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("3 0 obj << /Type /Page /Contents 4 0 R /Resources << /Font " +
+      "<< /F1 5 0 R >> >> >> endobj\n")
+    val cs = "BT /F1 12 Tf <0003> Tj ET"
+    w(s"4 0 obj << /Length ${cs.length} >>\nstream\n$cs\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+      "/ToUnicode 7 0 R >> endobj\n")
+    // a RAW stream whose payload happens to spell an object header for
+    // number 7 — under payload-blind scanning it would overwrite the
+    // real ToUnicode object below with garbage
+    val evil = "7 0 obj << /Junk true >> endobj"
+    w(s"6 0 obj << /Length ${evil.length} >>\nstream\n$evil\nendstream endobj\n")
+    w(s"7 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream endobj\n")
+    w("%%EOF\n")
+    assert(p.partition(bos.toByteArray, PartitionStrategy.OcrOnly)
+      .exists(_.contains("X")), "real ToUnicode object was clobbered by payload bytes")
+  }
+
   test("indirect /Font resource dictionary resolves through the " +
     "object table") {
     val cmap = "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n" +

@@ -62,7 +62,8 @@ class HoistJoinConditionSubexpressionsSpec extends SparkSpec {
     assert(q2.count() === (12L * 11L) / 2L)
   }
 
-  test("the hoisted plan evaluates the heavy expr per ROW, not per PAIR") {
+  test("UDFs are NOT hoisted: speculative per-row evaluation could throw on " +
+    "rows the join would never pair (the counting UDF proves per-pair stays)") {
     val s = fresh
     import s.implicits._
     HoistSpecCounter.n.set(0L)
@@ -71,15 +72,47 @@ class HoistJoinConditionSubexpressionsSpec extends SparkSpec {
     val d = docs(s, 10)
     val l = d.select(col("id").as("ia"), col("t").as("ta"))
     val r = d.select(col("id").as("ib"), col("t").as("tb"))
-    // the UDF is deterministic-marked by default and single-side; it
-    // rides along a hoisted heavy subtree (size of a distinct array)
     val cond = expr("ia < ib AND " +
       "size(array_intersect(counted_tok(ta), counted_tok(tb))) >= 0")
-    val n = l.join(r, cond).count()
-    assert(n === (10L * 9L) / 2L)
-    val evals = HoistSpecCounter.n.get()
-    // per-pair would be ≥ 2 × 45 = 90; per-row is ≤ 2 × 10 (+ retries)
-    assert(evals <= 40L, s"heavy expr evaluated $evals times — still per-pair")
+    val q = l.join(r, cond)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("_hoist_"),
+      "opaque UDFs must stay conditionally evaluated in the condition")
+    assert(q.count() === (10L * 9L) / 2L)
+    // per-pair evaluation preserved: ≥ 2 per evaluated pair (45 pairs
+    // reach the non-equi conjunct in this cross shape)
+    assert(HoistSpecCounter.n.get() >= 90L)
+  }
+
+  test("ANSI-throwing subtrees (narrowing string cast) stay in the join " +
+    "condition; their safe inner pieces still hoist") {
+    val s = fresh
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hoistansi").toString
+    Seq((1L, "7", "x y z a b c"), (2L, "9", "x y z a b"))
+      .toDF("id", "num", "t").write.mode("overwrite").parquet(tmp)
+    val d = s.read.parquet(tmp)
+    val l = d.select(col("id").as("ia"), col("num").as("na"), col("t").as("ta"))
+    val r = d.select(col("id").as("ib"), col("t").as("tb"))
+    // two-sided conjunct (not pushable), whose LEFT half contains an
+    // ANSI-throwing string→int cast: the size() subtrees may hoist,
+    // the cast must remain conditionally evaluated in the condition —
+    // hoisting it would evaluate per-row, crashing on any malformed
+    // row the join would never have paired
+    val tokA = "size(array_distinct(filter(split(trim(ta), '\\\\s+'), x -> x <> '')))"
+    val tokB = "size(array_distinct(filter(split(trim(tb), '\\\\s+'), x -> x <> '')))"
+    val q = l.join(r, expr(s"ia < ib AND cast(na as int) + $tokA >= $tokB"))
+    val opt = q.queryExecution.optimizedPlan
+    val joinNode = opt.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.get
+    def hasStringCast(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.exists {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+          c.child.dataType == org.apache.spark.sql.types.StringType
+        case _ => false
+      }
+    assert(hasStringCast(joinNode.condition.get),
+      s"narrowing cast left the condition:\n${joinNode.condition.get}")
+    assert(q.count() === 1L)
   }
 
   test("cheap join conditions are left alone") {
