@@ -52,6 +52,23 @@ object SsspStream extends Serializable {
   /** Out-of-band retraction sentinel (distances are ≥ 0). */
   val Tombstone: Long = -1L
 
+  final case class Arc(src: Long, dst: Long)
+
+  /** BFS layers maintained incrementally — q238's unweighted shape:
+    * first-reach layer ≡ shortest unit-cost distance, so this is
+    * [[distanceAssignments]] at cost 1 (rounds bounds the horizon
+    * exactly like the batch loop). */
+  def bfsLayerAssignments(
+      arcs: Dataset[Arc],
+      seedMod: Long = 97L,
+      rounds: Int = 4,
+      maxNodes: Int = 1 << 20): Dataset[DistRow] = {
+    val spark = arcs.sparkSession
+    import spark.implicits._
+    distanceAssignments(arcs.map(a => WArc(a.src, a.dst, 1L)),
+      seedMod, rounds, maxNodes)
+  }
+
   def distanceAssignments(
       arcs: Dataset[WArc],
       seedMod: Long = 97L,

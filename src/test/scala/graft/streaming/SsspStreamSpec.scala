@@ -96,6 +96,40 @@ class SsspStreamSpec extends SparkSpec {
       Set(0L, 1L, 2L).contains(r.id)))
   }
 
+  test("BFS layers (q238's unweighted shape): stream ≡ batch unit-cost " +
+    "bellmanFord ≡ a hand-rolled layered BFS") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(61)
+    val und = Seq.fill(50)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2)
+    val arcs = (und ++ und.map(_.swap)).distinct
+    // hand-rolled 4-round layered BFS from seeds (v % 5 == 0 among srcs)
+    val adj = arcs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keySet.filter(_ % SeedMod == 0)
+    var layer = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (r <- 1 to Rounds) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(layer.contains)
+      layer = layer ++ next.map(_ -> r.toLong)
+      frontier = next
+    }
+    val name = s"bfs_out_${System.nanoTime()}"
+    val mem = MemoryStream[SsspStream.Arc]
+    val q = SsspStream.bfsLayerAssignments(mem.toDS(), seedMod = SeedMod,
+        rounds = Rounds)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    val got = try {
+      mem.addData(arcs.map { case (s, d) => SsspStream.Arc(s, d) })
+      q.processAllAvailable()
+      spark.table(name).as[DistRow].collect().toSeq
+    } finally q.stop()
+    assert(upsert(got) === layer)
+    assert(upsert(got) === batchDists(arcs.map { case (s, d) => (s, d, 1L) }))
+  }
+
   test("q292's exact shape: co-purchase costs, mod seeds — stream ≡ batch") {
     val rnd = new scala.util.Random(53)
     // weighted bidirectional arcs like q292's dirW (cost = 1e6 DIV w)
