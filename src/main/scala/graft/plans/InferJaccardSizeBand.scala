@@ -105,6 +105,14 @@ object InferJaccardSizeBand extends Rule[LogicalPlan] {
       Multiply(Literal(t, DoubleType), Cast(Size(x, false), DoubleType)),
       Cast(Size(y, false), DoubleType))
 
+  /** The set whose raw size an expression measures, when it is
+    * `size(X)` over a distinct-by-construction X (the CONTAINMENT
+    * denominator shape `size(array_intersect(A,B)) / size(A)`). */
+  private def sizeOf(e: Expression): Option[Expression] = strip(e) match {
+    case Size(x, false) => Some(x)
+    case _ => None
+  }
+
   private def bandFor(cmp: Expression): Option[Expression] = {
     val parts = cmp match {
       case GreaterThanOrEqual(Divide(i, u, _), t) => Some((i, u, t))
@@ -113,15 +121,30 @@ object InferJaccardSizeBand extends Rule[LogicalPlan] {
       case LessThan(t, Divide(i, u, _)) => Some((i, u, t))
       case _ => None
     }
-    for {
-      (i, u, tExpr) <- parts
-      (a, b) <- interOf(i)
-      pu <- unionOf(u)
-      if samePair((a, b), pu)
-      if distinctSet(a) && distinctSet(b)
-      if a.deterministic && b.deterministic
-      t <- okT(tExpr)
-    } yield And(half(t, a, b), half(t, b, a))
+    parts.flatMap { case (i, u, tExpr) =>
+      val jaccard = for {
+        (a, b) <- interOf(i)
+        pu <- unionOf(u)
+        if samePair((a, b), pu)
+        if distinctSet(a) && distinctSet(b)
+        if a.deterministic && b.deterministic
+        t <- okT(tExpr)
+      } yield And(half(t, a, b), half(t, b, a))
+      // containment |A∩B|/|A| >= t ⟹ t·|A| <= |B| (the intersection is
+      // at most the OTHER set): one-sided band, same null/ANSI walk —
+      // X empty makes the band trivially true, so the 0/0 row still
+      // evaluates (and errors/nulls) exactly like stock
+      lazy val containment = for {
+        (a, b) <- interOf(i)
+        x <- sizeOf(u)
+        other <- if (x.semanticEquals(a)) Some(b)
+          else if (x.semanticEquals(b)) Some(a) else None
+        if distinctSet(a) && distinctSet(b)
+        if a.deterministic && b.deterministic
+        t <- okT(tExpr)
+      } yield half(t, x, other)
+      jaccard.orElse(containment)
+    }
   }
 
   private def inject(cond: Expression): Expression = {

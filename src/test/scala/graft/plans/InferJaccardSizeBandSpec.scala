@@ -134,6 +134,28 @@ class InferJaccardSizeBandSpec extends SparkSpec {
     assert(opt.contains("(0.6 * "), s"q345 not banded:\n$opt")
   }
 
+  test("containment |A∩B|/|A| >= t injects the one-sided band and results " +
+    "are unchanged (incl. NOT)") {
+    val s = fresh
+    val df = fixture(s)
+    val con =
+      """cast(size(array_intersect(array_distinct(filter(split(ta, ' '), x -> x <> '')),
+        |                          array_distinct(filter(split(tb, ' '), x -> x <> '')))) as double) /
+        | size(array_distinct(filter(split(ta, ' '), x -> x <> '')))""".stripMargin
+    val q = df.filter(expr(s"$con >= 0.5"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("(0.5 * "), s"containment band not injected:\n$opt")
+    // exactly ONE half (the one-sided bound), not the jaccard pair
+    assert("\\(0\\.5 \\* ".r.findAllIn(opt).size == 1, s"two-sided band leaked:\n$opt")
+    val got = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // containment of the 10-token doc in the 1-token doc is 0.1 (pruned);
+    // identical docs are 1.0; abc-vs-abe shares 3 of 4 source tokens
+    assert(got == Set(("a b c d", "a b c d"), ("a b c d", "a b c e")), s"got $got")
+    val notGot = df.filter(!expr(s"$con >= 0.5"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(notGot == Set(("a b c d e f g h i j", "a")), s"NOT diverged: $notGot")
+  }
+
   test("sort_array(array_distinct(...)) shape composes with RewriteIntersectCount") {
     val s = fresh
     val df = fixture(s)
