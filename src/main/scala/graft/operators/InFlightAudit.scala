@@ -61,15 +61,39 @@ object InFlightAudit {
     * result, metric map); throws [[AuditViolation]] with every failed
     * metric when any expectation is false. The metric map holds
     * whatever the aggregate produced (Long for counts, etc.).
+    *
+    * ONE-ACTION CONTRACT: `action` must trigger exactly one Spark job
+    * over the frame it is GIVEN (a write, count, collect — not a plan
+    * transformation, and not an action over some other DataFrame).
+    * If it triggers none, there is no metric row — rather than block
+    * forever on `Observation.get`, this raises a clear error naming
+    * the contract after `metricTimeout`. If it triggers several jobs
+    * over the instrumented frame, Spark's Observation records the
+    * FIRST job's metrics and only that job is gated.
     */
   def audited[T](
       df: DataFrame,
       metrics: Seq[(String, Column)],
-      expectations: Map[String, Any => Boolean] = Map.empty)(
+      expectations: Map[String, Any => Boolean] = Map.empty,
+      metricTimeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(5, "min"))(
       action: DataFrame => T): (T, Map[String, Any]) = {
     val obs = new Observation()
     val out = action(instrument(df, obs, metrics: _*))
-    val got: Map[String, Any] = obs.get
+    // the action has RETURNED, so its jobs are done: any wait here is
+    // listener-delivery latency, not computation — a timeout means the
+    // action never ran a job over the instrumented frame
+    val row =
+      try scala.concurrent.Await.result(obs.future, metricTimeout)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            "InFlightAudit.audited: no observed metrics after " +
+              s"$metricTimeout — the action must trigger exactly one job " +
+              "over the DataFrame it is given (one-action contract)")
+      }
+    val got: Map[String, Any] =
+      row.schema.fieldNames.zip(row.toSeq).toMap
     val failed = expectations.flatMap { case (k, pred) =>
       val v = got.get(k)
       // a missing metric is itself a violation — never silently pass

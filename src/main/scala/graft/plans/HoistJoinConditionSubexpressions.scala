@@ -91,7 +91,16 @@ object HoistJoinConditionSubexpressions extends Rule[LogicalPlan] {
   private def whitelisted(e: Expression): Boolean = e match {
     case _: Attribute | _: Literal | _: Alias => true
     case _: StringTrim | _: StringTrimLeft | _: StringTrimRight => true
-    case _: StringSplit | _: RegExpReplace | _: RegExpExtract => true
+    // Regex-bearing builtins are value-independent ONLY when the
+    // pattern (and group index) is a foldable literal: a pattern read
+    // from a data column can be malformed on exactly the rows a
+    // per-pair evaluation would have short-circuited past, and
+    // hoisting would then throw where stock Spark succeeds.
+    case s: StringSplit => s.regex.foldable
+    case r: RegExpReplace => r.regexp.foldable
+    case r: RegExpExtract => r.regexp.foldable && r.idx.foldable
+    // translate() builds a character map, not a regex — it cannot
+    // throw on any (from, to) operands, foldable or not.
     case _: StringTranslate | _: Lower | _: Upper => true
     case _: Concat | _: ConcatWs => true
     case _: ArrayDistinct | _: SortArray => true

@@ -40,6 +40,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * touched documents are evicted before scoring, so the standing
   * query tracks a bounded recent corpus — the documented recall
   * trade; retained scores are exact for the tracked corpus.
+  *
+  * SINGLE-TASK CEILING (shared with the registry family —
+  * PageRankStream, CentralityStream, SsspStream): the global coupling
+  * above forces `groupByKey(_ => 0)`, so ALL state and the full
+  * per-batch re-score of every tracked document serialize onto ONE
+  * task — O(maxDocs·|query|) work per tick on a single executor core.
+  * That is the correct shape for a standing query over a BOUNDED
+  * recent corpus (the alerting use-case), and exactly wrong for
+  * corpus-scale retrieval: do not raise `maxDocs` past what one core
+  * re-scores within the trigger interval (~10⁵–10⁶ docs·terms per
+  * second); for corpus-scale lexical search, use the batch
+  * `TextSearch.bm25TopK` over the full table instead.
   */
 object Bm25Stream extends Serializable {
 

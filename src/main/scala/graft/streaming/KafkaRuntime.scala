@@ -49,6 +49,25 @@ object KafkaRuntime {
     */
   def live: Option[String] = if (connectorPresent) broker else None
 
+  /** Starting-offsets environment variable. `earliest` is only safe
+    * on a FRESH checkpoint against a fresh topic; flipping live
+    * against an existing production topic with `earliest` replays the
+    * whole retention window into the standing query's state. Callers
+    * (or operators) set `GRAFT_KAFKA_STARTING_OFFSETS=latest` — or a
+    * per-partition offset JSON — for that case. Once a checkpoint
+    * exists Spark ignores this option entirely (offsets come from the
+    * checkpoint), so it only governs first-run semantics.
+    */
+  val StartingOffsetsEnv = "GRAFT_KAFKA_STARTING_OFFSETS"
+
+  /** Fail-on-data-loss environment variable (`true`/`false`). Spark's
+    * default `true` aborts the query when subscribed offsets have
+    * aged out of retention; `false` skips the gap and keeps the
+    * standing query alive — the right default differs per pipeline,
+    * so it is env-visible rather than hardcoded.
+    */
+  val FailOnDataLossEnv = "GRAFT_KAFKA_FAIL_ON_DATA_LOSS"
+
   /** A streaming DataFrame in the Kafka source schema: the real
     * `format("kafka")` subscription when [[live]], otherwise the
     * caller's kafka-shaped seam (lazily evaluated — a live run never
@@ -56,15 +75,41 @@ object KafkaRuntime {
     * [[KafkaShaped.schema]]'s columns, so the downstream query —
     * [[KafkaShaped.parseJson]], watermarks, the exactly-once sink —
     * is identical on both paths.
+    *
+    * `startingOffsets` defaults to `earliest` (fresh-checkpoint
+    * semantics) and is overridable per call or via
+    * [[StartingOffsetsEnv]]; `failOnDataLoss` follows Spark's default
+    * unless set per call or via [[FailOnDataLossEnv]]. Precedence:
+    * explicit argument > environment > default.
     */
   def sourceOrSeam(spark: SparkSession, topic: String,
-      seam: => DataFrame): DataFrame = live match {
+      seam: => DataFrame,
+      startingOffsets: Option[String] = None,
+      failOnDataLoss: Option[Boolean] = None): DataFrame = live match {
     case Some(bootstrap) =>
-      spark.readStream.format("kafka")
+      val reader = spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
+        .option("startingOffsets", resolvedStartingOffsets(startingOffsets))
+      resolvedFailOnDataLoss(failOnDataLoss)
+        .fold(reader)(b => reader.option("failOnDataLoss", b.toString))
         .load()
     case None => seam
   }
+
+  /** Offset resolution (explicit > env > `earliest`) — factored out so
+    * the precedence is spec-assertable without a live broker.
+    */
+  def resolvedStartingOffsets(explicit: Option[String]): String =
+    explicit
+      .orElse(sys.env.get(StartingOffsetsEnv).map(_.trim).filter(_.nonEmpty))
+      .getOrElse("earliest")
+
+  /** failOnDataLoss resolution (explicit > env > Spark default, i.e.
+    * None = option not set at all).
+    */
+  def resolvedFailOnDataLoss(explicit: Option[Boolean]): Option[Boolean] =
+    explicit.orElse(
+      sys.env.get(FailOnDataLossEnv).map(_.trim).filter(_.nonEmpty)
+        .map(_.toBoolean))
 }

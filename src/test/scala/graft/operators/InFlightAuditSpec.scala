@@ -73,4 +73,17 @@ class InFlightAuditSpec extends SparkSpec {
       assert(metrics.get.getAs[Long]("n_null_text") === 1L)
     } finally q.stop()
   }
+
+  test("one-action contract: an action that runs no job over the " +
+    "instrumented frame raises a clear error instead of blocking forever") {
+    import scala.concurrent.duration._
+    val df = spark.range(5).toDF("id")
+    val e = intercept[IllegalStateException] {
+      InFlightAudit.audited(df, Seq("n" -> count(lit(1))),
+        metricTimeout = 2.seconds)(
+        // violates the contract: returns a plan, triggers no job
+        _.filter($"id" > 1))
+    }
+    assert(e.getMessage.contains("one-action contract"))
+  }
 }

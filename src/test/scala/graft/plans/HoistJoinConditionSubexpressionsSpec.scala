@@ -137,6 +137,47 @@ class HoistJoinConditionSubexpressionsSpec extends SparkSpec {
     assert(q.count() === 6L)
   }
 
+  test("non-foldable regex patterns are NOT hoisted: a malformed pattern on " +
+    "a row the join never pairs must not throw speculatively") {
+    val s = fresh
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hoistrx").toString
+    // row k=2 carries a malformed regex "(" — stock Spark never
+    // evaluates it because no right row has k=2; hoisting split(ta, pa)
+    // into an unconditional Project would crash this query
+    Seq((1L, "x y z", "\\s+"), (2L, "a b c", "("))
+      .toDF("k", "t", "p").write.mode("overwrite").parquet(tmp)
+    val d = s.read.parquet(tmp)
+    val tmpR = java.nio.file.Files.createTempDirectory("hoistrxr").toString
+    Seq((1L, "x y")).toDF("k", "t").write.mode("overwrite").parquet(tmpR)
+    val l = d.select(col("k").as("ka"), col("t").as("ta"), col("p").as("pa"))
+    val r = s.read.parquet(tmpR).select(col("k").as("kb"), col("t").as("tb"))
+    // two-sided conjunct (not pushable below the join): its LEFT
+    // subtree uses a column-valued pattern and must NOT hoist; the
+    // right subtree's pattern is a literal and may
+    val q = l.join(r,
+      expr("ka = kb AND size(split(ta, pa)) >= size(array_distinct(split(tb, ' ')))"))
+    val joinNode = q.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.get
+    def splitWithColumnPattern(
+        e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.exists {
+        case sp: org.apache.spark.sql.catalyst.expressions.StringSplit =>
+          !sp.regex.foldable
+        case _ => false
+      }
+    assert(splitWithColumnPattern(joinNode.condition.get),
+      "split with a column-valued pattern must stay in the condition:\n" +
+        joinNode.condition.get)
+    assert(q.count() === 1L) // and in particular: does not throw
+    // sanity: the same shape with LITERAL patterns both sides hoists
+    val q2 = l.join(r, expr("ka = kb AND " +
+      "size(array_distinct(split(ta, '\\\\s+'))) >= size(array_distinct(split(tb, ' ')))"))
+    assert(q2.queryExecution.optimizedPlan.toString.contains("_hoist_"),
+      "literal-pattern tokenization should still hoist")
+    assert(q2.count() === 1L)
+  }
+
   test("q345 plans through the hoist (tokenization once per row)") {
     val q = graft.QueryDef.all.find(_.name == "q345_jaccard_user_band").get
     val df = q.fn(spark, "/root/testdata/sf0.001")

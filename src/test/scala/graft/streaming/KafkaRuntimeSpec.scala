@@ -53,6 +53,19 @@ class KafkaRuntimeSpec extends SparkSpec {
     }
   }
 
+  test("offset and data-loss options resolve explicit > env > default " +
+    "(the first live flip must not silently replay the retention window)") {
+    // the sandbox has no GRAFT_KAFKA_* env, so env-layer = unset here;
+    // explicit beats default, default is earliest (fresh-checkpoint
+    // semantics), and failOnDataLoss defaults to Spark's own (unset)
+    assume(sys.env.get(KafkaRuntime.StartingOffsetsEnv).isEmpty &&
+      sys.env.get(KafkaRuntime.FailOnDataLossEnv).isEmpty)
+    assert(KafkaRuntime.resolvedStartingOffsets(None) === "earliest")
+    assert(KafkaRuntime.resolvedStartingOffsets(Some("latest")) === "latest")
+    assert(KafkaRuntime.resolvedFailOnDataLoss(None) === None)
+    assert(KafkaRuntime.resolvedFailOnDataLoss(Some(false)) === Some(false))
+  }
+
   test("the downstream contract runs green on the active path") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
