@@ -64,7 +64,9 @@ object PipelineMain {
     // E2-binary: the extraction seam driven over REAL binary inputs —
     // each paper's text wrapped in a deterministic container
     // (Type0/Identity-H PDF, simple PDF, PNG-predictor PDF, plain
-    // bytes, by doc_id mod 4 — PdfGen.demo), extracted document-per-
+    // bytes, ObjStm PDF, LZW/A85/AHx filter-chain PDF, image-only
+    // PDF, encrypted PDF — by doc_id mod 8, PdfGen.demo), extracted
+    // document-per-
     // task through the probed partitioner, and AUDITED: the sunk
     // table records WHICH ExtractPath produced each document's text
     // (the reference's partition step routes native-text PDFs through

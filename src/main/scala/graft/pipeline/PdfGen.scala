@@ -165,23 +165,239 @@ object PdfGen {
         data)))
   }
 
+  /** PDF-LZW encode (TIFF-style MSB-first 9→12-bit codes, clear=256,
+    * EOD=257, EarlyChange=1) — fixture-side counterpart of
+    * `PdfTextPartitioner.lzwDecode`, whose convention is
+    * independently pinned against the PDF 1.7 §7.4.4.2 spec vector. */
+  private[pipeline] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = 9
+    var nextCode = 258
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        bitCnt -= 8; out.write(((bitBuf >>> bitCnt) & 0xff).toInt)
+      }
+    }
+    val dict = scala.collection.mutable.Map.empty[scala.collection.immutable.ArraySeq[Byte], Int]
+    def key(b: Array[Byte]) = scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    put(256)
+    var prev = Array.empty[Byte]
+    for (b <- data) {
+      val cand = prev :+ b
+      val k = key(cand)
+      if (prev.isEmpty) prev = cand
+      else if (dict.contains(k)) prev = cand
+      else {
+        val code = if (prev.length == 1) prev(0) & 0xff else dict(key(prev))
+        put(code)
+        if (nextCode < 4096) {
+          dict(k) = nextCode; nextCode += 1
+          // encoder bumps at the NATURAL boundary (nextCode == 2^w);
+          // the decoder's table runs one entry behind, so its
+          // EarlyChange=1 bump (table+1 == 2^w) lands on the same
+          // emitted code — the classic TIFF/PDF compensation
+          if (width < 12 && nextCode >= (1 << width)) width += 1
+        }
+        prev = Array(b)
+      }
+    }
+    if (prev.nonEmpty)
+      put(if (prev.length == 1) prev(0) & 0xff else dict(key(prev)))
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** ASCII85 encode with the `~>` terminator (no `z` shortcut — the
+    * decoder handles it, fixtures don't need it). */
+  private[pipeline] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= data.length) {
+      var v = 0L; var k = 0
+      while (k < 4) { v = (v << 8) | (data(i + k) & 0xffL); k += 1 }
+      val cs = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+      sb.appendAll(cs)
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var v = 0L; var k = 0
+      while (k < 4) { v = (v << 8) | (if (k < rem) data(i + k) & 0xffL else 0L); k += 1 }
+      val cs = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+      sb.appendAll(cs.take(rem + 1))
+    }
+    sb.append("~>")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** Modern object-stream PDF (the arXiv shape): catalog, pages, page
+    * dict, and the Type0 FONT dict — with its `/ToUnicode 7 0 R`
+    * reference — live compressed inside a `/Type /ObjStm`, exactly
+    * where PDF-1.5+ writers put them; only the two real streams (the
+    * CMap and the content) are top-level, as the spec requires. CIDs
+    * are 1-byte GLYPH IDS (1..k over the text's distinct chars), not
+    * Unicode code units, so a parser that cannot see inside the
+    * ObjStm has no font binding, decodes the show strings to raw
+    * control bytes, and extracts nothing — the fixture fails CLOSED
+    * to the OCR seam when object-stream support regresses (for texts
+    * with ≤ 32 distinct chars; beyond that the spec's bit-exact
+    * assertion is the net). */
+  def objStm(text: String): Array[Byte] = {
+    val body = text.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    val chars = body.mkString.distinct.sorted
+    // 1-byte glyph-id code space caps at 255 distinct chars; richer
+    // texts keep the composite-font container without the ObjStm
+    // wrapper (same pdf_text routing, so the demo oracle stays total)
+    if (chars.length > 255) return type0(text)
+    val gid: Map[Char, Int] = chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val cmapBody = {
+      val entries = chars.map(c => f"<${gid(c)}%02X> <${c.toInt}%04X>")
+      val blocks = entries.grouped(100).map(g =>
+        s"${g.size} beginbfchar\n${g.mkString("\n")}\nendbfchar").mkString("\n")
+      "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+        "/CIDSystemInfo << /Registry (graft) /Ordering (objstm) /Supplement 0 >> def\n" +
+        "/CMapName /graft-objstm def\n/CMapType 2 def\n" +
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        blocks + "\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    }
+    def gidShow(line: String): String =
+      "<" + line.map(c => f"${gid(c)}%02X").mkString + ">"
+    val cs = contentOps(body.map(gidShow))
+    // objects compressed into the ObjStm: no obj/endobj wrappers
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [10 0 R] /Count 1 >>",
+      5 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /GRAFT+ObjStm " +
+        "/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>"),
+      6 -> "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GRAFT+ObjStm >>",
+      10 -> ("<< /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>"))
+    val bodies = inner.map(_._2 + "\n")
+    val offsets = bodies.scanLeft(0)(_ + _.length).init
+    val header = inner.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = header + bodies.mkString
+    val objStmData = deflate(payload.getBytes(StandardCharsets.ISO_8859_1))
+    assemble(Seq(
+      streamObj(4,
+        s"/Type /ObjStm /N ${inner.size} /First ${header.length} /Filter /FlateDecode ",
+        objStmData),
+      streamObj(7, "/Filter /FlateDecode ",
+        deflate(cmapBody.getBytes(StandardCharsets.ISO_8859_1))),
+      streamObj(100, "/Filter /FlateDecode ",
+        deflate(cs.getBytes(StandardCharsets.ISO_8859_1)))))
+  }
+
+  /** Three-page PDF exercising the non-Flate text-side filters: page
+    * one's content is `/LZWDecode`, page two's a
+    * `[/ASCII85Decode /FlateDecode]` chain (decode order: a85 coat
+    * first, then inflate), page three's `/ASCIIHexDecode`. */
+  def filterChain(text: String): Array[Byte] = {
+    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    val third = math.max(1, (lines.size + 2) / 3)
+    val pages = lines.grouped(third).toSeq.take(3).padTo(3, Seq("-"))
+    def ops(p: Seq[String]) =
+      contentOps(p.map(l => s"(${esc(l)})")).getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R 11 0 R 12 0 R] /Count 3 >> endobj\n",
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+      "11 0 obj << /Type /Page /Parent 2 0 R /Contents 101 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+      "12 0 obj << /Type /Page /Parent 2 0 R /Contents 102 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+      streamObj(100, "/Filter /LZWDecode ", lzwEncode(ops(pages(0)))),
+      streamObj(101, "/Filter [/ASCII85Decode /FlateDecode] ",
+        ascii85Encode(deflate(ops(pages(1))))),
+      streamObj(102, "/Filter /ASCIIHexDecode ",
+        (ops(pages(2)).map(b => f"${b & 0xff}%02X").mkString + ">")
+          .getBytes(StandardCharsets.ISO_8859_1))))
+  }
+
+  /** Image-only PDF: one raster XObject behind `/DCTDecode` (junk
+    * JPEG-ish bytes — never decoded, only classified) and a content
+    * stream that PAINTS it without showing text — the scanned-PDF
+    * shape that must route to the image/OCR leg (`pdf_image`). */
+  def dctImageOnly(docId: Long): Array[Byte] = {
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
+      Array.tabulate(64)(i => ((i * 31 + docId) & 0xff).toByte) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val cs = "q 400 0 0 400 100 300 cm /Im1 Do Q".getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, "/Type /XObject /Subtype /Image /Width 8 /Height 8 " +
+        "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode ", jpeg),
+      streamObj(100, "", cs)))
+  }
+
+  /** Encrypted PDF (empty-user-password shape): a [[simple]] body
+    * whose stream bytes are XOR-scrambled ciphertext stand-ins plus a
+    * trailer naming `/Encrypt` — the detector must classify WITHOUT
+    * parsing, and a regression that skips the check finds only
+    * garbage (fail-closed: the q344 label would shift). */
+  def encrypted(text: String): Array[Byte] = {
+    val plain = simple(text)
+    val s = new String(plain, StandardCharsets.ISO_8859_1)
+    // scramble every stream payload (cipher stand-in)
+    val sb = new StringBuilder(s)
+    var i = s.indexOf("stream")
+    while (i >= 0) {
+      if (!(i >= 3 && s.regionMatches(i - 3, "endstream", 0, 9))) {
+        var p = i + 6
+        if (p < s.length && s.charAt(p) == '\r') p += 1
+        if (p < s.length && s.charAt(p) == '\n') p += 1
+        val e = s.indexOf("endstream", p)
+        if (e > p) {
+          var k = p
+          while (k < e) { sb.setCharAt(k, ((s.charAt(k) ^ 0x5a) & 0xff).toChar); k += 1 }
+        }
+        i = if (e < 0) -1 else s.indexOf("stream", e + 9)
+      } else i = s.indexOf("stream", i + 6)
+    }
+    val enc =
+      "9 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+        "/O <28bf4e5e4e758a41> /U <00000000000000000000000000000000> >> endobj\n" +
+      "trailer << /Size 10 /Root 1 0 R /Encrypt 9 0 R " +
+        "/ID [<c0ffee> <c0ffee>] >>\nstartxref\n0\n"
+    (sb.toString + enc + "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+  }
+
   /** Deterministic per-document container choice for the pipeline's
-    * extraction-audit demo: doc_id mod 4 cycles composite-font PDF,
-    * simple PDF, predictor-encoded PDF, plain UTF-8 bytes — so one
-    * run exercises every [[ExtractPath]]. */
+    * extraction-audit demo: doc_id mod 8 cycles composite-font PDF,
+    * simple PDF, predictor-encoded PDF, plain UTF-8 bytes,
+    * object-stream PDF, filter-chain PDF (LZW/A85+Flate/AHx),
+    * image-only PDF, encrypted PDF — so one run exercises every
+    * [[ExtractPath]]: mods 0-2 and 4-5 ⇒ pdf_text, 3 ⇒ non_pdf,
+    * 6 ⇒ pdf_image, 7 ⇒ pdf_encrypted. */
   def demo(docId: Long, text: String): Array[Byte] = {
     // a blank/whitespace document still gets a NON-EMPTY container —
     // a PDF with zero show operators would extract nothing and route
     // to pdf_fallback, silently diverging from q344's deterministic
-    // mod-4 routing oracle (which says mods 0-2 ⇒ pdf_text
+    // mod-8 routing oracle (which says text-bearing mods ⇒ pdf_text
     // unconditionally); stamping the id keeps the container honest
     // and the routing total
     val t = if (text == null || text.trim.isEmpty) s"doc $docId" else text
-    (math.floorMod(docId, 4L).toInt: @unchecked) match {
+    (math.floorMod(docId, 8L).toInt: @unchecked) match {
       case 0 => type0(t)
       case 1 => simple(t)
       case 2 => predictorFlate(t)
       case 3 => t.getBytes(StandardCharsets.UTF_8)
+      case 4 => objStm(t)
+      case 5 => filterChain(t)
+      case 6 => dctImageOnly(docId)
+      case 7 => encrypted(t)
     }
   }
 }

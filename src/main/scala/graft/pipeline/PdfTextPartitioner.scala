@@ -10,10 +10,35 @@ import java.util.zip.{DataFormatException, Inflater}
   * falling back to OCR) for the subset of PDFs this JVM can decode
   * without any new dependency:
   *
-  *  - content streams stored RAW or `/FlateDecode`-compressed
-  *    (`java.util.zip.Inflater`), including `/DecodeParms` PNG
-  *    predictors 10-15 and TIFF predictor 2 (8-bit components);
-  *    streams with any other filter are skipped;
+  *  - content streams stored RAW or behind the text-side filters —
+  *    `/FlateDecode` (`java.util.zip.Inflater`), `/LZWDecode` (PDF's
+  *    TIFF-style 9→12-bit LZW with `/EarlyChange`), `/ASCIIHexDecode`
+  *    and `/ASCII85Decode` — singly or as a `/Filter [...]` chain
+  *    applied in declaration order, including `/DecodeParms` PNG
+  *    predictors 10-15 and TIFF predictor 2 (8-bit components) after
+  *    a Flate/LZW stage; raster codecs (`DCTDecode`/`JPXDecode`/
+  *    CCITT/JBIG2) are never text — documents whose only streams are
+  *    raster images route to the image/OCR leg via
+  *    [[AutoPartitioner]] (`ExtractPath.PdfImage`), not silently
+  *    skipped;
+  *  - **PDF 1.5+ compressed object streams (`/Type /ObjStm`)**: the
+  *    linear object scan also scans INSIDE inflated ObjStm payloads
+  *    (header of `/N` (num, offset) pairs, bodies from `/First`), so
+  *    font dictionaries, page resources, and ToUnicode references
+  *    that modern writers compress into object streams are visible —
+  *    without this the round-13 Type0 leg never fires on
+  *    xref-stream-era files. Parsing cross-reference streams is
+  *    thereby unnecessary: the scan finds objects by walking bytes,
+  *    not by chasing the xref. A number defined both top-level and
+  *    in an ObjStm keeps the TOP-LEVEL definition (incremental
+  *    updates append full objects, so the visible one is newest in
+  *    the files this subset targets);
+  *  - **encrypted PDFs are detected, never misparsed**: a `/Encrypt`
+  *    entry in any trailer (or xref-stream dict) short-circuits
+  *    extraction to `Seq.empty` — string and stream bytes are
+  *    ciphertext, so the document routes to the OCR seam labeled
+  *    `ExtractPath.PdfEncrypted` and corpus audits (q344) count
+  *    encryption as its own bucket;
   *  - simple byte-encoded fonts (Standard/WinAnsi-like): string bytes
   *    map 1:1 to Latin-1 chars;
   *  - composite **Type0/CID fonts with a `/ToUnicode` CMap** — the
@@ -51,6 +76,7 @@ final case class PdfTextPartitioner() extends PdfPartitioner {
       strategy: PartitionStrategy): Seq[String] = {
     if (content == null || !PdfTextPartitioner.hasPdfMagic(content))
       return Seq.empty
+    if (PdfTextPartitioner.isEncrypted(content)) return Seq.empty
     try {
       val fonts = PdfTextPartitioner.fontMap(content)
       PdfTextPartitioner.contentStreams(content)
@@ -145,17 +171,41 @@ object PdfTextPartitioner {
     }
   }
 
+  /** The `/Filter` entry as an ordered decoder list: a single name or
+    * an array (applied first-to-last per spec). Abbreviated
+    * inline-image names are accepted for free. Empty = raw stream. */
+  private val filterEntry = """/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))""".r
+  private val nameTok = """/([A-Za-z0-9]+)""".r
+  private[pipeline] def filterList(dict: String): Seq[String] =
+    filterEntry.findFirstMatchIn(dict) match {
+      case None => Seq.empty
+      case Some(m) =>
+        if (m.group(2) != null) Seq(m.group(2))
+        else nameTok.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }
+
   /** Decode the stream payload at [ds, de) under the filters its
-    * dictionary declares: raw, or Flate with optional PNG/TIFF
-    * predictors. Anything else → None (skipped, never misparsed). */
+    * dictionary declares: raw, or any chain of the text-side filters
+    * (ASCIIHex/ASCII85 transport coats, LZW, Flate) with optional
+    * PNG/TIFF predictors after the decompression stage. A raster
+    * codec anywhere in the chain (DCT/JPX/CCITT/JBIG2/RunLength) →
+    * None: skipped here, routed by [[AutoPartitioner]]'s image leg. */
   private def decodeStream(
       dict: String, bytes: Array[Byte], ds: Int, de: Int): Option[Array[Byte]] = {
     if (de <= ds) return None
-    val flate = dict.contains("/FlateDecode")
-    val otherFilter = dict.contains("/Filter") && !flate
-    if (otherFilter) return None
     val data = java.util.Arrays.copyOfRange(bytes, ds, de)
-    val inflated = if (flate) inflate(data) else Some(data)
+    var cur: Option[Array[Byte]] = Some(data)
+    for (f <- filterList(dict) if cur.isDefined) cur = f match {
+      case "FlateDecode" | "Fl" => cur.flatMap(inflate)
+      case "LZWDecode" | "LZW" =>
+        val early = """/EarlyChange\s+(\d)""".r.findFirstMatchIn(dict)
+          .map(_.group(1).toInt).getOrElse(1)
+        cur.flatMap(lzwDecode(_, early))
+      case "ASCIIHexDecode" | "AHx" => cur.flatMap(asciiHexDecode)
+      case "ASCII85Decode" | "A85" => cur.flatMap(ascii85Decode)
+      case _ => None // raster/unknown codecs: never text-misparsed
+    }
+    val inflated = cur
     val hasParms =
       dict.contains("/DecodeParms") || dict.contains("/DecodeParams")
     if (!hasParms) inflated
@@ -254,6 +304,115 @@ object PdfTextPartitioner {
     finally inf.end()
   }
 
+  /** PDF `/LZWDecode`: TIFF-style MSB-first variable-width codes,
+    * 9→12 bits; 256 clears the table, 257 is EOD, entries grow from
+    * 258. With `/EarlyChange 1` (the default) the code width bumps
+    * one entry EARLY (at next-code 511/1023/2047); `/EarlyChange 0`
+    * bumps at the power of two. Malformed code sequences → None
+    * (skip-not-misparse, like corrupt Flate). Pinned in the spec
+    * against the PDF 1.7 §7.4.4.2 example vector. */
+  private[pipeline] def lzwDecode(
+      data: Array[Byte], earlyChange: Int = 1): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream()
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def reset(): Unit = {
+      table.clear()
+      var i = 0
+      while (i < 256) { table += Array(i.toByte); i += 1 }
+      table += null; table += null                  // 256 clear, 257 EOD
+    }
+    reset()
+    var width = 9
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    def next(): Int = {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xffL); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) -1
+      else { bitCnt -= width; ((bitBuf >>> bitCnt) & ((1L << width) - 1)).toInt }
+    }
+    var prev: Array[Byte] = null
+    var c = next()
+    while (c >= 0 && c != 257) {
+      if (c == 256) { reset(); width = 9; prev = null }
+      else {
+        val entry: Array[Byte] =
+          if (c < table.length && table(c) != null) table(c)
+          else if (c == table.length && prev != null) prev :+ prev(0)
+          else return None                          // code ahead of the table
+        out.write(entry, 0, entry.length)
+        if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+        prev = entry
+        if (width < 12 && table.length + earlyChange >= (1 << width)) width += 1
+      }
+      c = next()
+    }
+    Some(out.toByteArray)
+  }
+
+  /** `/ASCIIHexDecode`: hex pairs to `>`; whitespace skipped; a
+    * trailing odd digit pads with 0 per spec; any other byte → None. */
+  private[pipeline] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = (data(i) & 0xff).toChar
+      val v =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c == '>') { if (hi >= 0) out.write(hi << 4); return Some(out.toByteArray) }
+        else if (c.isWhitespace) -1
+        else return None
+      if (v >= 0) {
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)                 // EOD-less stream: pad
+    Some(out.toByteArray)
+  }
+
+  /** `/ASCII85Decode`: 5 chars `!`..`u` → 4 bytes base 85; `z` (only
+    * at a group boundary) → four zero bytes; `~>` terminates; a final
+    * partial group of n chars yields n−1 bytes (pad with `u`).
+    * Out-of-range bytes or an overflowing group → None. */
+  private[pipeline] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'; n += 1
+        if (n == 5) {
+          var v = 0L; var k = 0
+          while (k < 5) { v = v * 85 + grp(k); k += 1 }
+          if (v > 0xffffffffL) return None
+          out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+          n = 0
+        }
+      } else if (!c.isWhitespace) return None
+      i += 1
+    }
+    if (n == 1) return None                         // 1 leftover char is invalid
+    if (n > 1) {
+      var v = 0L; var k = 0
+      while (k < 5) { v = v * 85 + (if (k < n) grp(k) else 84); k += 1 }
+      if (v > 0xffffffffL) return None
+      val b = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(b, 0, n - 1)
+    }
+    Some(out.toByteArray)
+  }
+
   /** Indirect-object table: object number → (dict, decoded stream).
     * Incremental-update files repeat numbers; the LAST definition
     * wins, matching xref precedence for the linear-scan subset.
@@ -289,7 +448,90 @@ object PdfTextPartitioner {
         minPos = endobj + 6
       }
     }
-    out.toMap
+    val top = out.toMap
+    // PDF 1.5+ object streams: expand objects compressed inside
+    // /Type /ObjStm payloads. Top-level definitions win on collision
+    // (`++` right bias) — incremental updates append objects at top
+    // level, so the visible definition is the newest one.
+    expandObjStm(top) ++ top
+  }
+
+  /** Objects compressed inside `/Type /ObjStm` streams: the inflated
+    * payload starts with `/N` (objnum, byte-offset) integer pairs;
+    * bodies begin at `/First`. Contained objects carry no
+    * `obj`/`endobj` wrappers and can hold NO streams (spec), so each
+    * becomes a dict-only [[PdfObj]] — which is exactly what the font
+    * walk needs: Type0 font dictionaries, page `/Resources`, and
+    * `/ToUnicode N 0 R` references, whose CMap streams themselves
+    * stay top-level and are found by the linear scan. Malformed
+    * headers (offsets past the payload, short pair lists) skip the
+    * affected entries, never the document. */
+  private[pipeline] def expandObjStm(objs: Map[Int, PdfObj]): Map[Int, PdfObj] = {
+    def intKey(dict: String, key: String): Option[Int] =
+      s"""$key\\s+(\\d{1,9})""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    val extra = scala.collection.mutable.Map.empty[Int, PdfObj]
+    for {
+      o <- objs.values if o.dict.contains("/ObjStm")
+      data <- o.data
+      n <- intKey(o.dict, "/N")
+      first <- intKey(o.dict, "/First") if first <= data.length
+    } {
+      val s = new String(data, StandardCharsets.ISO_8859_1)
+      val nums = """\d{1,9}""".r.findAllIn(s.substring(0, first))
+        .map(_.toInt).toSeq
+      val pairs = nums.grouped(2)
+        .collect { case Seq(a, b) => (a, b) }.take(n).toSeq
+      for (((num, off), idx) <- pairs.zipWithIndex) {
+        val start = first.toLong + off
+        val end =
+          if (idx + 1 < pairs.length) first.toLong + pairs(idx + 1)._2
+          else s.length.toLong
+        if (start >= first && start <= end && end <= s.length)
+          extra(num) = PdfObj(s.substring(start.toInt, end.toInt), () => None)
+      }
+    }
+    extra.toMap
+  }
+
+  /** `/Encrypt`-bearing document detection — every trailer dict (and,
+    * in xref-stream-era files, the `/Type /XRef` stream dict) names
+    * the encryption dictionary when the file is encrypted. String and
+    * stream bytes in such a file are CIPHERTEXT, so extraction must
+    * not run (garbage in, garbage labeled pdf_text out); the document
+    * routes to the OCR seam as its own `pdf_encrypted` audit bucket.
+    * Windowed substring checks (1 KiB past the keyword) rather than a
+    * full dict parse: trailers are flat and small; a compressed
+    * payload spelling `trailer…/Encrypt` inside one window is
+    * vanishingly unlikely and errs toward the OCR seam, never toward
+    * misparsed ciphertext. */
+  private[pipeline] def isEncrypted(bytes: Array[Byte]): Boolean = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    def windowed(kw: String): Boolean = {
+      var i = s.indexOf(kw)
+      while (i >= 0) {
+        if (s.substring(i, math.min(s.length, i + 1024)).contains("/Encrypt"))
+          return true
+        i = s.indexOf(kw, i + kw.length)
+      }
+      false
+    }
+    windowed("trailer") || windowed("/XRef")
+  }
+
+  /** Does the document carry raster-image XObjects (`/Subtype /Image`
+    * behind a raster codec)? Such a document with NO extractable text
+    * is a scanned/image PDF: [[AutoPartitioner]] routes it to the
+    * image/OCR leg under its own `pdf_image` label instead of the
+    * generic fallback, so corpus audits separate "scanned, OCR-able"
+    * from "nothing we recognize". */
+  private[pipeline] def hasRasterImage(bytes: Array[Byte]): Boolean = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    """/Subtype\s*/Image""".r.findAllMatchIn(s).exists { m =>
+      val w = s.substring(math.max(0, m.start - 512),
+        math.min(s.length, m.start + 512))
+      w.contains("/DCTDecode") || w.contains("/JPXDecode") ||
+        w.contains("/CCITTFaxDecode") || w.contains("/JBIG2Decode")
+    }
   }
 
   /** Resource-name → CMap decoder table for every font that carries a
@@ -566,8 +808,17 @@ object PdfTextPartitioner {
 object ExtractPath {
   /** PDF magic + the pure-JVM text layer yielded elements. */
   val PdfText = "pdf_text"
-  /** PDF magic but no decodable text (scanned/CMap-less composite) —
-    * fell through to the OCR-seam base partitioner. */
+  /** PDF magic, no text layer, but raster-image XObjects (DCT/JPX/
+    * CCITT/JBIG2) — a scanned/image PDF routed to the OCR leg,
+    * counted apart from the generic fallback. */
+  val PdfImage = "pdf_image"
+  /** PDF magic + a `/Encrypt` trailer entry — string/stream bytes are
+    * ciphertext, extraction never runs; routed to the base
+    * partitioner and counted as its own corpus-health bucket. */
+  val PdfEncrypted = "pdf_encrypted"
+  /** PDF magic but no decodable text (CMap-less composite, unknown
+    * filters, no recognizable images) — fell through to the OCR-seam
+    * base partitioner. */
   val PdfFallback = "pdf_fallback"
   /** No PDF magic — base partitioner directly (raster/plain bytes). */
   val NonPdf = "non_pdf"
@@ -593,9 +844,15 @@ final case class AutoPartitioner(base: PdfPartitioner) extends PdfPartitioner {
       content: Array[Byte],
       strategy: PartitionStrategy): (Seq[String], String) =
     if (PdfTextPartitioner.hasPdfMagic(content)) {
-      val els = pdf.partition(content, strategy)
-      if (els.nonEmpty) (els, ExtractPath.PdfText)
-      else (base.partition(content, strategy), ExtractPath.PdfFallback)
+      if (PdfTextPartitioner.isEncrypted(content))
+        (base.partition(content, strategy), ExtractPath.PdfEncrypted)
+      else {
+        val els = pdf.partition(content, strategy)
+        if (els.nonEmpty) (els, ExtractPath.PdfText)
+        else if (PdfTextPartitioner.hasRasterImage(content))
+          (base.partition(content, strategy), ExtractPath.PdfImage)
+        else (base.partition(content, strategy), ExtractPath.PdfFallback)
+      }
     } else (base.partition(content, strategy), ExtractPath.NonPdf)
 
   override def partition(

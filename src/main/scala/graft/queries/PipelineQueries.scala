@@ -639,13 +639,16 @@ object PipelineQueries {
     // One oracle-checked row per bounded stage: the q324/q339 400-doc
     // hash pools (population vs covered vs capped) and the extraction
     // paths of a REAL AutoPartitioner run over generated binary
-    // containers (PdfGen.demo's doc_id-mod-4 cycle on its own hash-
+    // containers (PdfGen.demo's doc_id-mod-8 cycle on its own hash-
     // capped pool). The extraction rows are a live tripwire, not a
     // restatement: the oracle replays the deterministic routing
-    // (mods 0-2 are decodable PDFs → extract:pdf_text, mod 3 plain
-    // bytes → extract:non_pdf), so any regression in the pure-JVM
-    // text layer shifts Spark-side counts into extract:pdf_fallback
-    // and the row set stops matching.
+    // (mods 0-2 and 4-5 are decodable PDFs — incl. the ObjStm and
+    // LZW/A85/AHx filter-chain containers → extract:pdf_text; mod 3
+    // plain bytes → extract:non_pdf; mod 6 image-only →
+    // extract:pdf_image; mod 7 encrypted → extract:pdf_encrypted),
+    // so any regression in the pure-JVM text layer, the encryption
+    // detector, or the raster-image router shifts Spark-side counts
+    // across buckets and the row set stops matching.
     QueryDef(
       "q344_coverage_audit",
       (s, d) => {
@@ -688,7 +691,9 @@ object PipelineQueries {
              |  ORDER BY hf, doc_id LIMIT 400),
              |poolsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS pn FROM pool),
              |ext AS (
-             |  SELECT CASE WHEN doc_id % 4 = 3 THEN 'extract:non_pdf'
+             |  SELECT CASE WHEN doc_id % 8 = 3 THEN 'extract:non_pdf'
+             |              WHEN doc_id % 8 = 6 THEN 'extract:pdf_image'
+             |              WHEN doc_id % 8 = 7 THEN 'extract:pdf_encrypted'
              |              ELSE 'extract:pdf_text' END AS stage,
              |    CAST(COUNT(*) AS BIGINT) AS covered
              |  FROM pool GROUP BY 1)

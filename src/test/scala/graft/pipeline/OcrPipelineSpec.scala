@@ -80,13 +80,18 @@ class OcrPipelineSpec extends SparkSpec {
   test("extractTextAudited: every demo container round-trips through " +
     "its real branch and the audit column names the path taken") {
     import spark.implicits._
-    // doc_id mod 4 cycles Type0 PDF / simple PDF / predictor PDF /
-    // plain bytes (PdfGen.demo) — one run drives every ExtractPath
+    // doc_id mod 8 cycles Type0 PDF / simple PDF / predictor PDF /
+    // plain bytes / ObjStm PDF / filter-chain PDF / image-only PDF /
+    // encrypted PDF (PdfGen.demo) — one run drives every ExtractPath
     val texts = Map(
       0L -> "composite font document about catalyst plans",
       1L -> "simple font document about tungsten codegen",
       2L -> "predictor encoded document about shuffle exchange",
-      3L -> "plain text bytes about broadcast joins")
+      3L -> "plain text bytes about broadcast joins",
+      4L -> "object stream document about adaptive execution",
+      5L -> "first filter page here\nsecond filter page there\nthird filter page done",
+      6L -> "image only scanned page with no text layer",
+      7L -> "encrypted document whose bytes are ciphertext")
     val bin = texts.toSeq.map { case (id, t) =>
       val b = PdfGen.demo(id, t)
       (id, b, b.length.toLong)
@@ -94,11 +99,21 @@ class OcrPipelineSpec extends SparkSpec {
     val got = OcrPipeline.extractTextAudited(
         spark, bin, AutoPartitioner(TextPartitioner()), parallelism = 2)
       .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    // all three PDF containers take the REAL pure-JVM text layer
+    // all text-bearing PDF containers take the REAL pure-JVM text layer
     assert(got(0L) === ((texts(0L), ExtractPath.PdfText)))
     assert(got(1L) === ((texts(1L), ExtractPath.PdfText)))
     assert(got(2L) === ((texts(2L), ExtractPath.PdfText)))
+    assert(got(4L) === ((texts(4L), ExtractPath.PdfText)))
+    // filter-chain: three pages (LZW, A85+Flate, AHx) → one element
+    // per page, newline-joined by extractTextAudited
+    assert(got(5L)._1.split('\n').toSeq ===
+      texts(5L).split('\n').toSeq && got(5L)._2 === ExtractPath.PdfText)
     // plain bytes go straight to the seam base
     assert(got(3L) === ((texts(3L), ExtractPath.NonPdf)))
+    // image-only and encrypted PDFs route to the base partitioner
+    // under their own audit buckets (the base sees binary bytes, so
+    // only the label is pinned)
+    assert(got(6L)._2 === ExtractPath.PdfImage)
+    assert(got(7L)._2 === ExtractPath.PdfEncrypted)
   }
 }

@@ -349,6 +349,231 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
     assert(p.partition(bos.toByteArray, PartitionStrategy.OcrOnly) === Seq.empty)
   }
 
+  // ----- non-Flate stream filters (LZW, ASCIIHex, ASCII85, chains)
+
+  test("LZW decoder: hand-derived 9-bit code vector (256,45,258,65,260," +
+    "66,262,257 for bytes 45*3 65*3 66*3) decodes exactly") {
+    // greedy LZW over 45 45 45 65 65 65 66 66 66: clear, literal 45,
+    // (45,45)=258, literal 65, (65,65)=260, literal 66, (66,66)=262,
+    // EOD — packed MSB-first into 80 0B 60 44 18 21 0A 0D 01
+    val enc = Array(0x80, 0x0B, 0x60, 0x44, 0x18, 0x21, 0x0A, 0x0D, 0x01)
+      .map(_.toByte)
+    val got = PdfTextPartitioner.lzwDecode(enc, earlyChange = 1)
+    assert(got.map(_.toSeq) ===
+      Some(Seq[Byte](45, 45, 45, 65, 65, 65, 66, 66, 66)))
+  }
+
+  test("LZW decoder matches the JDK's independent TIFF-LZW encoder " +
+    "(TIFF LZW ≡ PDF LZW with EarlyChange=1) across width boundaries") {
+    // a 128x128 gray image = 16 KiB of structured pixels — enough
+    // dictionary growth to cross the 9→10→11-bit code boundaries
+    val w = 128; val h = 128
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = Array.tabulate(w * h)(i =>
+      (((i % w) * 7 + (i / w) * 13 + (i % 11) * 31) % 256).toByte)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("TIFF").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val prm = writer.getDefaultWriteParam
+    prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionType("LZW")
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    ios.close(); writer.dispose()
+    val tif = bos.toByteArray
+    // minimal TIFF walk: II/MM byte order, IFD entries for strip
+    // offsets (273), counts (279), compression (259), predictor (317)
+    val le = tif(0) == 'I'
+    def u16(o: Int) =
+      if (le) (tif(o) & 0xff) | ((tif(o + 1) & 0xff) << 8)
+      else ((tif(o) & 0xff) << 8) | (tif(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (tif(o) & 0xffL) | ((tif(o + 1) & 0xffL) << 8) |
+        ((tif(o + 2) & 0xffL) << 16) | ((tif(o + 3) & 0xffL) << 24)
+      else ((tif(o) & 0xffL) << 24) | ((tif(o + 1) & 0xffL) << 16) |
+        ((tif(o + 2) & 0xffL) << 8) | (tif(o + 3) & 0xffL)
+    val ifd = u32(4).toInt
+    val n = u16(ifd)
+    var offsets = Seq.empty[Int]; var counts = Seq.empty[Int]
+    var compression = -1; var predictor = 1
+    for (k <- 0 until n) {
+      val e = ifd + 2 + 12 * k
+      val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4).toInt
+      def values: Seq[Int] = {
+        val sz = if (typ == 3) 2 else 4
+        val vo = if (cnt * sz <= 4) e + 8 else u32(e + 8).toInt
+        (0 until cnt).map(i => if (typ == 3) u16(vo + 2 * i) else u32(vo + 4 * i).toInt)
+      }
+      tag match {
+        case 273 => offsets = values
+        case 279 => counts = values
+        case 259 => compression = values.head
+        case 317 => predictor = values.head
+        case _ => ()
+      }
+    }
+    assert(compression === 5, "JDK writer did not produce LZW")
+    val strips = offsets.zip(counts).map { case (o, c) =>
+      PdfTextPartitioner.lzwDecode(
+        java.util.Arrays.copyOfRange(tif, o, o + c), earlyChange = 1)
+        .getOrElse(fail(s"strip at $o failed to LZW-decode"))
+    }
+    var decoded = strips.toArray.flatten
+    if (predictor == 2) {
+      // horizontal differencing per row (the same TIFF predictor the
+      // /DecodeParms leg reverses)
+      val out = decoded.clone()
+      for (r <- 0 until h; k <- 1 until w)
+        out(r * w + k) = ((out(r * w + k) + out(r * w + k - 1)) & 0xff).toByte
+      decoded = out
+    }
+    assert(decoded.length === px.length)
+    assert(decoded.toSeq === px.toSeq,
+      "LZW decode disagrees with the JDK TIFF encoder")
+  }
+
+  test("LZW encoder/decoder round-trip crosses the 10-bit boundary " +
+    "and a full-table clear-free run stays exact") {
+    val data = Array.tabulate(40000)(i =>
+      (((i * i) % 251 + (i % 17) * 3) % 256).toByte)
+    val enc = PdfGen.lzwEncode(data)
+    assert(PdfTextPartitioner.lzwDecode(enc).map(_.toSeq) === Some(data.toSeq))
+  }
+
+  test("ASCIIHex decode: whitespace, EOD '>', odd-digit padding, junk → None") {
+    def d(s: String) = PdfTextPartitioner.asciiHexDecode(
+      s.getBytes(StandardCharsets.ISO_8859_1)).map(b =>
+      new String(b, StandardCharsets.ISO_8859_1))
+    assert(d("48 65 6C 6C 6F>") === Some("Hello"))
+    assert(d("48656C6C6F") === Some("Hello"))
+    assert(d("7>") === Some("p"))                 // odd digit pads 0 → 0x70
+    assert(d("4 8 6 5>") === Some("He"))
+    assert(d("48!65>") === None)
+  }
+
+  test("ASCII85 decode: Wikipedia Leviathan prefix, z shortcut, partial " +
+    "groups, '~>' EOD, round-trip with the fixture encoder") {
+    def d(s: String) = PdfTextPartitioner.ascii85Decode(
+      s.getBytes(StandardCharsets.ISO_8859_1)).map(b =>
+      new String(b, StandardCharsets.ISO_8859_1))
+    assert(d("9jqo^~>") === Some("Man "))         // the canonical vector
+    assert(d("z~>") === Some("\u0000\u0000\u0000\u0000"))
+    assert(d("v~>") === None)                     // out of range
+    val payloads = Seq("a", "ab", "abc", "abcd", "abcde",
+      "The quick brown fox jumps over the lazy dog")
+    for (p <- payloads) {
+      val enc = PdfGen.ascii85Encode(p.getBytes(StandardCharsets.ISO_8859_1))
+      assert(PdfTextPartitioner.ascii85Decode(enc).map(b =>
+        new String(b, StandardCharsets.ISO_8859_1)) === Some(p), s"payload '$p'")
+    }
+  }
+
+  test("filter chains: LZW, [ASCII85+Flate], ASCIIHex content streams " +
+    "all extract through PdfGen.filterChain (one element per page)") {
+    val text = "lzw page alpha\na85 flate page beta\nhex page gamma"
+    val got = p.partition(PdfGen.filterChain(text), PartitionStrategy.OcrOnly)
+    assert(got === Seq("lzw page alpha", "a85 flate page beta", "hex page gamma"))
+  }
+
+  // ----- PDF 1.5+ compressed object streams (ObjStm)
+
+  test("ObjStm: font dict + ToUnicode reference INSIDE a compressed " +
+    "object stream are found; glyph-id CIDs decode through the CMap") {
+    val text = "object streams hide the fonts"
+    val got = p.partition(PdfGen.objStm(text), PartitionStrategy.OcrOnly)
+    assert(got === Seq(text))
+    // the discovery really is via ObjStm: the font binding exists
+    val fonts = PdfTextPartitioner.fontMap(PdfGen.objStm(text))
+    assert(fonts.contains("F1") && fonts("F1").codeBytes === 1)
+  }
+
+  test("ObjStm regression fails CLOSED: a corrupted ObjStm payload " +
+    "yields no text (glyph ids are control bytes, not garbage text)") {
+    val bytes = PdfGen.objStm("closed on regression")
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    // corrupt the ObjStm stream payload (object 4) so it no longer
+    // inflates: the font binding disappears, show strings decode to
+    // raw control bytes, trim leaves nothing → OCR-seam fallback
+    val at = s.indexOf("stream", s.indexOf("/ObjStm")) + 8
+    val broken = bytes.clone()
+    broken(at) = (broken(at) ^ 0x55).toByte
+    broken(at + 1) = (broken(at + 1) ^ 0x55).toByte
+    assert(p.partition(broken, PartitionStrategy.OcrOnly) === Seq.empty)
+    val auto = AutoPartitioner(TextPartitioner())
+    assert(auto.partitionWithPath(broken, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfFallback)
+  }
+
+  test("expandObjStm: malformed headers (offset past payload, short " +
+    "pair list) skip entries, never throw; top-level wins collisions") {
+    // top-level object 5 AND an ObjStm claiming object 5: top wins
+    val inner = "5 0\n<< /FromObjStm true >>"
+    val first = 4                               // header "5 0\n" is 4 bytes
+    val data = deflate(inner.getBytes(StandardCharsets.ISO_8859_1))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = bos.write(x.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("5 0 obj << /TopLevel true >> endobj\n")
+    w(s"4 0 obj << /Type /ObjStm /N 1 /First $first /Filter /FlateDecode /Length ${data.length} >>\nstream\n")
+    bos.write(data)
+    w("\nendstream endobj\n%%EOF\n")
+    val objs = PdfTextPartitioner.objects(bos.toByteArray)
+    assert(objs(5).dict.contains("/TopLevel"),
+      "top-level definition must win over the ObjStm one")
+    // malformed: /First beyond payload → entries skipped, no throw
+    val bos2 = new java.io.ByteArrayOutputStream()
+    def w2(x: String): Unit = bos2.write(x.getBytes(StandardCharsets.ISO_8859_1))
+    w2("%PDF-1.5\n")
+    w2(s"4 0 obj << /Type /ObjStm /N 1 /First 99999 /Filter /FlateDecode /Length ${data.length} >>\nstream\n")
+    bos2.write(data)
+    w2("\nendstream endobj\n%%EOF\n")
+    assert(!PdfTextPartitioner.objects(bos2.toByteArray).contains(5))
+  }
+
+  // ----- encrypted PDFs and raster-image routing
+
+  test("encrypted PDFs: detected from the trailer, never extracted; " +
+    "AutoPartitioner labels them pdf_encrypted") {
+    val enc = PdfGen.encrypted("secret text never extracted")
+    assert(PdfTextPartitioner.isEncrypted(enc))
+    assert(p.partition(enc, PartitionStrategy.OcrOnly) === Seq.empty)
+    val auto = AutoPartitioner(TextPartitioner())
+    assert(auto.partitionWithPath(enc, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfEncrypted)
+    // plain fixtures are NOT flagged
+    assert(!PdfTextPartitioner.isEncrypted(PdfGen.simple("open text")))
+    assert(!PdfTextPartitioner.isEncrypted(PdfGen.objStm("open text")))
+    // detection alone is honest even when the check is skipped: the
+    // ciphertext stand-in yields no text through the normal path
+    assert(PdfTextPartitioner.contentStreams(enc)
+      .map(PdfTextPartitioner.shownText(_)).forall(_.trim.isEmpty))
+  }
+
+  test("image-only PDFs: raster XObject detected, routed to the image/" +
+    "OCR leg as pdf_image (not the generic fallback)") {
+    val img = PdfGen.dctImageOnly(6L)
+    assert(PdfTextPartitioner.hasRasterImage(img))
+    assert(p.partition(img, PartitionStrategy.OcrOnly) === Seq.empty)
+    val auto = AutoPartitioner(TextPartitioner())
+    assert(auto.partitionWithPath(img, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfImage)
+    // text-bearing and plain fixtures are NOT image-routed
+    assert(!PdfTextPartitioner.hasRasterImage(PdfGen.simple("has text")))
+    // a PDF with BOTH a text layer and an image keeps pdf_text (the
+    // text layer wins, like the reference's partition step)
+    val both = {
+      val s = new String(PdfGen.dctImageOnly(1L), StandardCharsets.ISO_8859_1)
+      val cs = "BT (text beats image) Tj ET"
+      val extra = s"200 0 obj << /Length ${cs.length} >>\nstream\n" +
+        s"$cs\nendstream endobj\n"
+      (s.replace("%%EOF\n", extra + "%%EOF\n")).getBytes(StandardCharsets.ISO_8859_1)
+    }
+    assert(auto.partitionWithPath(both, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfText)
+  }
+
   test("AutoPartitioner dispatch: PDF magic routes here, other bytes " +
     "fall through, textless PDFs fall through too") {
     val auto = AutoPartitioner(TextPartitioner())
