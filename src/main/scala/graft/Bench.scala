@@ -82,7 +82,24 @@ object Bench {
     }
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
-    final case class QueryResult(cold: Double, warm: Double, bytes: Long)
+    final case class QueryResult(cold: Double, warm: Double, bytes: Long,
+      load: Double, gcMs: Long)
+    // run-environment telemetry so an outlier row self-adjudicates:
+    // the r13 driver run tripped the 2× wire on three CPU-dense rows
+    // that the same commit measured at baseline on a quiet box — a
+    // per-row 1-min load average (CPU pressure from OUTSIDE this
+    // process shows as load >> this JVM's share) and per-row GC time
+    // (heap pressure from the suite itself) distinguish "the query
+    // regressed" from "the box was busy" without a re-run
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def gcMillis: Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+      s
+    }
+    val loadStart = osBean.getSystemLoadAverage
     // cross-query hygiene: a full GC + short settle between queries
     // so one query's garbage doesn't bill the next one's timing —
     // without it, in-suite numbers read up to 4–5× their isolated
@@ -121,14 +138,17 @@ object Bench {
       // mid-suite failure (the r10 OOM class) is attributable from
       // the log without re-running
       System.err.println(s"[bench] running $name")
+      val loadBefore = osBean.getSystemLoadAverage
+      val gcBefore = gcMillis
       val cold = once()
       settleListener()
       val bytes = shuffleBytes.get()
+      val gcCold = gcMillis - gcBefore
       dropBlocks()
       System.gc()
       val warm = once()
       dropBlocks()
-      name -> QueryResult(cold, warm, bytes)
+      name -> QueryResult(cold, warm, bytes, loadBefore, gcCold)
     }
 
     // Artifact phase (FULL runs only — partial runs iterate against
@@ -181,11 +201,18 @@ object Bench {
     // heaviest queries, bounded ≤ ~1500 chars — so whatever the tail
     // keeps is parseable and carries the round-over-round signal.
     def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val loadEnd = osBean.getSystemLoadAverage
+    val env =
+      s""""env":{"cpus":$cpus,"host_procs":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
+      s""""gc_ms_total":${gcMillis}}"""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sink":"noop",$partial""" +
       s""""queries":${jmap(r => fmt(r.cold))},""" +
       s""""queries_warm":${jmap(r => fmt(r.warm))},""" +
-      s""""sf":"$sfDir",""" +
+      s""""sf":"$sfDir",$env,""" +
+      s""""load_avg":${jmap(r => fmt(r.load))},""" +
+      s""""gc_ms":${jmap(_.gcMs.toString)},""" +
       s""""shuffle_bytes":${jmap(_.bytes.toString)}}"""
     // FULL runs only: a BENCH_ONLY-filtered iteration must never
     // overwrite the round artifact with a partial map (observed in r9:

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (q319's normalized power method) and `GraphOps.hits` (q210's
   * hub/authority half-steps), completing the centrality family's
   * batch/stream pairing next to [[PageRankStream]] (whose registry /
-  * evict-before-recurrence / NaN-tombstone discipline this reuses
+  * evict-before-recurrence / None-tombstone discipline this reuses
   * verbatim — see its scaladoc for the shape-honesty and state-cap
   * arguments, which apply unchanged).
   *
@@ -30,7 +30,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (the normalizer touches every node), so emissions are
   * value-changed upserts; unchanged doubles reproduce identically,
   * keeping the delta set component-local. Evicted ids whose values
-  * were previously emitted get NaN tombstone rows, so an id-keyed
+  * were previously emitted get type-visible `None` tombstone rows
+  * (NULL in the sink schema), so an id-keyed
   * upsert sink never holds stale centralities for untracked nodes.
   */
 object CentralityStream extends Serializable {
@@ -38,12 +39,15 @@ object CentralityStream extends Serializable {
   /** Undirected edge (eigenvector input — self-loops dropped,
     * orientation-free dedup, exactly `GraphOps.orient`). */
   final case class Edge(u: Long, v: Long)
-  final case class EigRow(id: Long, eig: Double)
+  /** `eig = Some(score)` upserts, `eig = None` RETRACTS (eviction
+    * tombstone — NULL in the sink schema, the family convention). */
+  final case class EigRow(id: Long, eig: Option[Double])
 
   /** Directed arc (HITS input — `distinct()` dedup only; HITS keeps
     * self-loops, matching the batch operator). */
   final case class Arc(src: Long, dst: Long)
-  final case class HitsRow(side: String, id: Long, v: Double)
+  /** `v = Some(score)` upserts, `v = None` RETRACTS per (side, id). */
+  final case class HitsRow(side: String, id: Long, v: Option[Double])
 
   final case class EigRegistry(
       adj: Map[Long, Seq[Long]],
@@ -103,7 +107,7 @@ object CentralityStream extends Serializable {
   }
 
   /** Streaming eigenvector centrality: upsert rows (id, eig) for every
-    * value change; eig = NaN tombstones for evicted previously-emitted
+    * value change; eig = None tombstones for evicted previously-emitted
     * ids. Arithmetic ≡ `GraphOps.eigenvectorCentrality(_, _, _,
     * iterations)` bit-for-bit over the tracked edges.
     */
@@ -167,13 +171,13 @@ object CentralityStream extends Serializable {
       }.toSeq
       val tombstones = evicted.iterator
         .filter(st.eigs.contains).toSeq.sorted
-        .map(id => EigRow(id, Double.NaN))
+        .map(id => EigRow(id, None))
 
       state.update(EigRegistry(
         adj.view.mapValues(_.toSeq.sorted).toMap,
         newEigs, touch.toMap, tick))
       (tombstones ++
-        changed.sortBy(_._1).map { case (id, p) => EigRow(id, p) }).iterator
+        changed.sortBy(_._1).map { case (id, p) => EigRow(id, Some(p)) }).iterator
     }
 
     edges.groupByKey(_ => 0)
@@ -181,10 +185,11 @@ object CentralityStream extends Serializable {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
-  final case class KatzRow(id: Long, katz: Double)
+  /** `katz = Some(score)` upserts, `katz = None` RETRACTS. */
+  final case class KatzRow(id: Long, katz: Option[Double])
 
   /** Streaming Katz centrality: upsert rows (id, katz) for every
-    * value change; katz = NaN tombstones for evicted
+    * value change; katz = None tombstones for evicted
     * previously-emitted ids. Arithmetic ≡ `GraphOps.katz(_, _, _,
     * iterations, alpha)` bit-for-bit over the tracked edges
     * (x init 1.0; per round x ← 1 + α·(Σ floor(x·2⁴⁰))/2⁴⁰ — the +1
@@ -247,13 +252,13 @@ object CentralityStream extends Serializable {
       }.toSeq
       val tombstones = evicted.iterator
         .filter(st.eigs.contains).toSeq.sorted
-        .map(id => KatzRow(id, Double.NaN))
+        .map(id => KatzRow(id, None))
 
       state.update(EigRegistry(
         adj.view.mapValues(_.toSeq.sorted).toMap,
         newVals, touch.toMap, tick))
       (tombstones ++
-        changed.sortBy(_._1).map { case (id, p) => KatzRow(id, p) }).iterator
+        changed.sortBy(_._1).map { case (id, p) => KatzRow(id, Some(p)) }).iterator
     }
 
     edges.groupByKey(_ => 0)
@@ -262,7 +267,7 @@ object CentralityStream extends Serializable {
   }
 
   /** Streaming HITS: upsert rows (side, id, v) for every value change
-    * on either side; v = NaN tombstones per previously-emitted
+    * on either side; v = None tombstones per previously-emitted
     * (side, id) of evicted nodes. Arithmetic ≡ `GraphOps.hits(_, _, _,
     * iterations)` bit-for-bit over the tracked arcs.
     */
@@ -347,10 +352,10 @@ object CentralityStream extends Serializable {
       def deltas(side: String, now: Map[Long, Double],
           before: Map[Long, Double]): Seq[HitsRow] =
         now.iterator.filter { case (v, p) => !before.get(v).contains(p) }
-          .toSeq.sortBy(_._1).map { case (id, p) => HitsRow(side, id, p) }
+          .toSeq.sortBy(_._1).map { case (id, p) => HitsRow(side, id, Some(p)) }
       val tombstones = evicted.iterator.flatMap { id =>
-        (if (st.hubs.contains(id)) Seq(HitsRow("hub", id, Double.NaN)) else Nil) ++
-          (if (st.auths.contains(id)) Seq(HitsRow("auth", id, Double.NaN)) else Nil)
+        (if (st.hubs.contains(id)) Seq(HitsRow("hub", id, None)) else Nil) ++
+          (if (st.auths.contains(id)) Seq(HitsRow("auth", id, None)) else Nil)
       }.toSeq.sortBy(r => (r.id, r.side))
 
       state.update(HitsRegistry(

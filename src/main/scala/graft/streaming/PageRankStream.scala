@@ -42,13 +42,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * exactly the surviving tracked graph — retained answers stay exact
   * for the TRACKED graph, the same recall trade every capped stream
   * documents. Evicted ids whose ranks were previously emitted get a
-  * TOMBSTONE row (`pr = NaN`): an id-keyed upsert sink drops NaN rows,
-  * so it never permanently holds stale ranks for untracked nodes.
+  * TOMBSTONE row — TYPE-VISIBLE as `pr = None` (NULL in the sink
+  * schema), so a retraction can never be mistaken for a value and an
+  * id-keyed upsert sink drops NULL-rank rows; the registry family
+  * (CentralityStream's three operators) shares this emission shape.
   */
 object PageRankStream {
 
   final case class Edge(u: Long, v: Long)
-  final case class RankRow(id: Long, pr: Double)
+  /** One emission: `pr = Some(rank)` upserts, `pr = None` RETRACTS a
+    * previously-emitted id (eviction tombstone — NULL in the sink
+    * schema, never an in-band sentinel). */
+  final case class RankRow(id: Long, pr: Option[Double])
 
   /** adj: undirected deduped adjacency. ranks: last emitted rank per
     * id. touch: node → last batch tick. tick: monotone counter. */
@@ -152,18 +157,18 @@ object PageRankStream {
         !st.ranks.get(v).contains(p)
       }.toSeq
       // tombstones: evicted ids whose rank was previously emitted —
-      // pr = NaN tells an id-keyed upsert sink to DROP the row, so
-      // untracked nodes never linger as stale ranks downstream
+      // pr = None (NULL downstream) tells an id-keyed upsert sink to
+      // DROP the row, so untracked nodes never linger as stale ranks
       val tombstones = evicted.iterator
         .filter(st.ranks.contains).toSeq.sorted
-        .map(id => RankRow(id, Double.NaN))
+        .map(id => RankRow(id, None))
 
       state.update(Registry(
         adj.view.mapValues(_.toSeq.sorted).toMap,
         newRanks,
         touch.toMap, tick))
       (tombstones ++
-        changed.sortBy(_._1).map { case (id, p) => RankRow(id, p) }).iterator
+        changed.sortBy(_._1).map { case (id, p) => RankRow(id, Some(p)) }).iterator
     }
 
     edges.groupByKey(_ => 0)

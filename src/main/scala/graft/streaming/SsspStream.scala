@@ -21,9 +21,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * id-keyed upsert holds exactly the batch `bellmanFord` output over
   * the same arcs — pinned in SsspStreamSpec.
   *
-  * Emissions are value-changed upserts. Distances are Longs, so the
-  * tombstone sentinel is [[Tombstone]] (−1, out of band: costs are
-  * non-negative) rather than the double family's NaN — evicted ids
+  * Emissions are value-changed upserts. Distances are Longs; the
+  * tombstone is the named [[Tombstone]] constant (−1 — out of band,
+  * costs are non-negative by construction), predating the double
+  * family's move to type-visible `Option`/NULL retractions — evicted ids
   * whose distances were previously emitted get one, so an id-keyed
   * upsert sink never holds stale distances for untracked nodes. A
   * node that LOSES reachability without being evicted (possible only

@@ -41,7 +41,12 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, out, k)
+    spark.stop()
+  }
 
+  /** The replica-corpus builder, callable in-process (ScaleProbe). */
+  def build(spark: SparkSession, src: String, out: String, k: Int): Unit = {
     val OFF = 100000000L
 
     def rep(table: String)(f: (DataFrame, Int) => DataFrame): Unit = {
@@ -79,7 +84,5 @@ object ScaleUp {
             split(trim(col("text")), "\\s+"),
             t => concat(t, lit(s"~$r")))))
         .withColumn("n_chars", length(col("text")).cast("long")))
-
-    spark.stop()
   }
 }

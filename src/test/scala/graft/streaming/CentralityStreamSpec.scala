@@ -20,7 +20,7 @@ class CentralityStreamSpec extends SparkSpec {
 
   private def upsertEig(rows: Seq[EigRow]): Map[Long, Double] =
     rows.foldLeft(Map.empty[Long, Double]) {
-      case (acc, r) => if (r.eig.isNaN) acc - r.id else acc + (r.id -> r.eig)
+      case (acc, r) => r.eig.fold(acc - r.id)(p => acc + (r.id -> p))
     }
 
   private def batchEig(edges: Seq[(Long, Long)]): Map[Long, Double] = {
@@ -83,15 +83,15 @@ class CentralityStreamSpec extends SparkSpec {
     val expected = batchEig(t2)
     assert(finalEigs === expected,
       "sink must hold exactly the tracked graph's batch eigs after eviction")
-    assert(rows.exists(r => r.eig.isNaN && Set(1L, 2L, 3L).contains(r.id)),
-      "evicted previously-emitted ids must get NaN tombstone rows")
+    assert(rows.exists(r => r.eig.isEmpty && Set(1L, 2L, 3L).contains(r.id)),
+      "evicted previously-emitted ids must get None tombstone rows")
   }
 
   // ---------- Katz ----------
 
   private def upsertKatz(rows: Seq[CentralityStream.KatzRow]): Map[Long, Double] =
     rows.foldLeft(Map.empty[Long, Double]) {
-      case (acc, r) => if (r.katz.isNaN) acc - r.id else acc + (r.id -> r.katz)
+      case (acc, r) => r.katz.fold(acc - r.id)(p => acc + (r.id -> p))
     }
 
   private def batchKatz(edges: Seq[(Long, Long)]): Map[Long, Double] = {
@@ -139,7 +139,7 @@ class CentralityStreamSpec extends SparkSpec {
     val t2 = Seq((11L, 12L), (12L, 13L), (11L, 13L))
     val rows = driveKatz(Seq(tri, t2), maxNodes = 3)
     assert(upsertKatz(rows) === batchKatz(t2))
-    assert(rows.exists(r => r.katz.isNaN && Set(1L, 2L, 3L).contains(r.id)))
+    assert(rows.exists(r => r.katz.isEmpty && Set(1L, 2L, 3L).contains(r.id)))
   }
 
   // ---------- HITS ----------
@@ -147,7 +147,7 @@ class CentralityStreamSpec extends SparkSpec {
   private def upsertHits(rows: Seq[HitsRow]): Map[(String, Long), Double] =
     rows.foldLeft(Map.empty[(String, Long), Double]) {
       case (acc, r) =>
-        if (r.v.isNaN) acc - ((r.side, r.id)) else acc + ((r.side, r.id) -> r.v)
+        r.v.fold(acc - ((r.side, r.id)))(p => acc + ((r.side, r.id) -> p))
     }
 
   private def batchHits(arcs: Seq[(Long, Long)]): Map[(String, Long), Double] = {
@@ -210,9 +210,9 @@ class CentralityStreamSpec extends SparkSpec {
     val expected = batchHits(c2)
     assert(finalVals === expected,
       "sink must hold exactly the tracked graph's batch hubs/auths after eviction")
-    assert(rows.exists(r => r.v.isNaN && r.side == "hub" &&
+    assert(rows.exists(r => r.v.isEmpty && r.side == "hub" &&
       Set(1L, 2L, 3L).contains(r.id)))
-    assert(rows.exists(r => r.v.isNaN && r.side == "auth" &&
+    assert(rows.exists(r => r.v.isEmpty && r.side == "auth" &&
       Set(1L, 2L, 3L).contains(r.id)))
   }
 }

@@ -15,11 +15,12 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 class PageRankStreamSpec extends SparkSpec {
   import PageRankStream.{Edge, RankRow}
 
-  /** The id-keyed upsert sink contract: NaN is a tombstone — the row
-    * is dropped, so evicted nodes never linger as stale ranks. */
+  /** The id-keyed upsert sink contract: `pr = None` is a type-visible
+    * tombstone — the row is dropped, so evicted nodes never linger as
+    * stale ranks. */
   private def upsert(rows: Seq[RankRow]): Map[Long, Double] =
     rows.foldLeft(Map.empty[Long, Double]) {
-      case (acc, r) => if (r.pr.isNaN) acc - r.id else acc + (r.id -> r.pr)
+      case (acc, r) => r.pr.fold(acc - r.id)(p => acc + (r.id -> p))
     }
 
   private def batchRanks(edges: Seq[(Long, Long)]): Map[Long, Double] = {
@@ -86,7 +87,7 @@ class PageRankStreamSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
     val got = PageRankStream.rankAssignments(
         edges.map { case (u, v) => Edge(u, v) }.toDS(), iterations = 5)
-      .collect().map(r => r.id -> r.pr).toMap
+      .collect().map(r => r.id -> r.pr.get).toMap
     assert(got === batchRanks(edges))
   }
 
@@ -107,8 +108,8 @@ class PageRankStreamSpec extends SparkSpec {
     // sink holds EXACTLY the tracked graph — no stale rows for 1/2/3
     assert(finalRanks.keySet === expected.keySet,
       "sink must hold only the tracked graph's nodes after eviction")
-    assert(rows.exists(r => r.pr.isNaN && Set(1L, 2L, 3L).contains(r.id)),
-      "evicted previously-emitted ids must get NaN tombstone rows")
+    assert(rows.exists(r => r.pr.isEmpty && Set(1L, 2L, 3L).contains(r.id)),
+      "evicted previously-emitted ids must get None tombstone rows")
   }
 
   test("eviction batch emits ranks computed over the SURVIVING graph " +
