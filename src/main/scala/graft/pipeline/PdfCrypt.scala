@@ -1,0 +1,271 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+/** PDF standard security handler (public spec: PDF 32000-1 §7.6.3),
+  * the EMPTY-USER-PASSWORD subset — "readable by design" documents
+  * that any viewer opens without prompting (most encrypted PDFs in a
+  * web corpus are this shape: encryption asserts permissions, not
+  * secrecy). Scope: /Filter /Standard, V 1-2 (RC4 40..128 bit),
+  * R 2-3. AES (V 4-5) and real passwords stay classified as
+  * `pdf_encrypted` — detected, never misparsed.
+  *
+  * The decrypt pipeline exploits RC4 being LENGTH-PRESERVING: every
+  * stream payload is decrypted IN PLACE under its per-object key
+  * (Algorithm 1: MD5(fileKey ‖ objnum₃LE ‖ gen₂LE)), producing a
+  * byte-identical-layout plaintext PDF that the normal extraction
+  * walk ([[PdfTextPartitioner.fontMap]]/`contentStreams`) processes
+  * unchanged — no second parser. Strings inside dictionaries are
+  * also encrypted per spec, but extraction reads none (the /O and /U
+  * validators live in the UNencrypted /Encrypt dictionary).
+  *
+  * All algorithms below are the spec's, implemented from the public
+  * document: Algorithm 2 (file key), 3 (/O), 4/5 (/U per revision),
+  * 6 (user-password check), 1 (object key). The encrypt side
+  * ([[encryptStreams]]) exists for fixtures and is the same spec
+  * arithmetic run forward, so fixture and decoder cannot drift apart
+  * without a spec divergence showing up in the round trip.
+  */
+object PdfCrypt {
+
+  /** The spec's 32-byte password padding (§7.6.3.3, Algorithm 2a). */
+  val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Plain RC4 (KSA + PRGA) — symmetric, length-preserving. */
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + (s(i) & 0xff) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + (s(x) & 0xff)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s(((s(x) & 0xff) + (s(y) & 0xff)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def padPwd(pwd: Array[Byte]): Array[Byte] =
+    (pwd.take(32) ++ Pad).take(32)
+
+  /** /Encrypt parameters of the standard handler (plus the trailer's
+    * first /ID element, which salts every key). */
+  final case class StdSecurity(
+      r: Int, v: Int, length: Int,
+      o: Array[Byte], u: Array[Byte], p: Int, id0: Array[Byte])
+
+  private def keyBytes(sec: StdSecurity): Int =
+    if (sec.r == 2) 5 else math.max(5, math.min(16, sec.length / 8))
+
+  /** Algorithm 2: the file encryption key for a given user password
+    * (empty here — the subset's whole point). */
+  def fileKey(sec: StdSecurity, userPwd: Array[Byte] = Array.empty): Array[Byte] = {
+    val n = keyBytes(sec)
+    val pLe = Array[Byte](
+      (sec.p & 0xff).toByte, ((sec.p >> 8) & 0xff).toByte,
+      ((sec.p >> 16) & 0xff).toByte, ((sec.p >> 24) & 0xff).toByte)
+    var h = md5(padPwd(userPwd), sec.o, pLe, sec.id0)
+    if (sec.r >= 3) for (_ <- 1 to 50) h = md5(h.take(n))
+    h.take(n)
+  }
+
+  /** Algorithm 3: the /O entry (owner-password validator). Empty
+    * owner password falls back to the user password per spec. */
+  def computeO(ownerPwd: Array[Byte], userPwd: Array[Byte],
+      r: Int, length: Int): Array[Byte] = {
+    val n = if (r == 2) 5 else math.max(5, math.min(16, length / 8))
+    val oPwd = if (ownerPwd.nonEmpty) ownerPwd else userPwd
+    var h = md5(padPwd(oPwd))
+    if (r >= 3) for (_ <- 1 to 50) h = md5(h)
+    val rc4key = h.take(n)
+    var o = rc4(rc4key, padPwd(userPwd))
+    if (r >= 3) for (i <- 1 to 19)
+      o = rc4(rc4key.map(b => (b ^ i).toByte), o)
+    o
+  }
+
+  /** Algorithms 4 (R2) / 5 (R3): the /U entry for a file key. */
+  def computeU(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(key, Pad)
+    else {
+      var u = rc4(key, md5(Pad, id0))
+      for (i <- 1 to 19) u = rc4(key.map(b => (b ^ i).toByte), u)
+      u ++ new Array[Byte](16)       // 16 bytes of padding, value-free
+    }
+
+  /** Algorithm 6: does the EMPTY user password open this file? */
+  def emptyUserPasswordWorks(sec: StdSecurity): Boolean = {
+    val expect = computeU(fileKey(sec), sec.id0, sec.r)
+    val cmp = if (sec.r == 2) 32 else 16
+    sec.u.length >= cmp && java.util.Arrays.equals(
+      expect.take(cmp), sec.u.take(cmp))
+  }
+
+  /** Algorithm 1: the per-object RC4 key. */
+  def objectKey(fk: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    val ext = Array[Byte](
+      (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    md5(fk, ext).take(math.min(fk.length + 5, 16))
+  }
+
+  // ---- parsing ----------------------------------------------------
+
+  private def intKey(dict: String, key: String): Option[Int] =
+    s"""$key\\s+(-?\\d{1,10})""".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt)
+
+  /** A dictionary string value: `<hex>` or `(literal)` with the
+    * standard escapes — enough for /O, /U, and /ID elements. */
+  private[pipeline] def dictString(dict: String, key: String): Option[Array[Byte]] = {
+    val at = dict.indexOf(key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    // /ID holds an ARRAY of two strings; step inside to the first
+    if (i < dict.length && dict.charAt(i) == '[') {
+      i += 1
+      while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    }
+    if (i >= dict.length) None
+    else if (dict.charAt(i) == '<') {
+      val e = dict.indexOf('>', i)
+      if (e < 0) None
+      else {
+        val hx = dict.substring(i + 1, e).filterNot(_.isWhitespace)
+        val h = if (hx.length % 2 == 1) hx + "0" else hx
+        val out = new Array[Byte](h.length / 2)
+        var k = 0
+        while (k < out.length) {
+          out(k) = Integer.parseInt(h.substring(2 * k, 2 * k + 2), 16).toByte
+          k += 1
+        }
+        Some(out)
+      }
+    } else if (dict.charAt(i) == '(') {
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      i += 1
+      while (i < dict.length && depth > 0) {
+        val c = dict.charAt(i)
+        if (c == '\\' && i + 1 < dict.length) {
+          dict.charAt(i + 1) match {
+            case 'n' => out.write('\n'); i += 2
+            case 'r' => out.write('\r'); i += 2
+            case 't' => out.write('\t'); i += 2
+            case 'b' => out.write('\b'); i += 2
+            case 'f' => out.write('\f'); i += 2
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = i + 1; var cnt = 0
+              while (k < dict.length && cnt < 3 &&
+                  dict.charAt(k) >= '0' && dict.charAt(k) <= '7') {
+                v = v * 8 + (dict.charAt(k) - '0'); k += 1; cnt += 1
+              }
+              out.write(v & 0xff); i = k
+            case other => out.write(other & 0xff); i += 2
+          }
+        } else if (c == '(') { depth += 1; out.write(c); i += 1 }
+        else if (c == ')') { depth -= 1; if (depth > 0) out.write(c); i += 1 }
+        else { out.write(c & 0xff); i += 1 }
+      }
+      Some(out.toByteArray)
+    } else None
+  }
+
+  /** Parse the standard-handler parameters: trailer `/Encrypt N 0 R`
+    * → the (unencrypted) encryption dictionary, plus the trailer's
+    * first /ID element. None when absent or not the V≤2 standard
+    * handler (AES and crypt-filter files stay classified, not
+    * decrypted). */
+  def parse(bytes: Array[Byte]): Option[StdSecurity] = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val tIdx = s.lastIndexOf("trailer")
+    if (tIdx < 0) return None
+    val trailer = s.substring(tIdx, math.min(s.length, tIdx + 2048))
+    for {
+      encRef <- """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r.findFirstMatchIn(trailer)
+      encObj <- PdfTextPartitioner.objects(bytes).get(encRef.group(1).toInt)
+      dict = encObj.dict
+      if dict.contains("/Standard")
+      v = intKey(dict, "/V").getOrElse(0)
+      if v == 1 || v == 2
+      r <- intKey(dict, "/R")
+      if r == 2 || r == 3
+      o <- dictString(dict, "/O") if o.length >= 32
+      u <- dictString(dict, "/U")
+      p <- intKey(dict, "/P")
+      id0 <- dictString(trailer, "/ID").orElse(Some(Array.empty[Byte]))
+    } yield StdSecurity(r, v, intKey(dict, "/Length").getOrElse(40),
+      o, u, p, id0)
+  }
+
+  // ---- whole-file stream transcryption -----------------------------
+
+  /** Apply `f(objNum, payload)` to every indirect object's stream
+    * payload IN PLACE (RC4 keeps lengths, so offsets survive) and
+    * return the rewritten bytes. Generation numbers are taken from
+    * the object header. */
+  private def mapStreams(bytes: Array[Byte])(
+      f: (Int, Int, Array[Byte]) => Array[Byte]): Array[Byte] = {
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val out = bytes.clone()
+    val objRe = """(?<!\d)(\d{1,9})\s+(\d{1,5})\s+obj\b""".r
+    var minPos = 0
+    for (m <- objRe.findAllMatchIn(s) if m.start >= minPos) {
+      val num = m.group(1).toInt
+      val gen = m.group(2).toInt
+      val start = m.end
+      val endobj = s.indexOf("endobj", start)
+      val streamKw = s.indexOf("stream", start)
+      val hasStream = streamKw >= 0 && (endobj < 0 || streamKw < endobj) &&
+        !(streamKw >= 3 && s.regionMatches(streamKw - 3, "endstream", 0, 9))
+      if (hasStream) {
+        val dict = s.substring(start, streamKw)
+        PdfTextPartitioner.streamSpanFor(s, streamKw, dict) match {
+          case Some((ds, de, end)) =>
+            val enc = f(num, gen,
+              java.util.Arrays.copyOfRange(bytes, ds, de))
+            System.arraycopy(enc, 0, out, ds, enc.length)
+            minPos = end
+          case None => minPos = streamKw + 6
+        }
+      } else if (endobj >= 0) minPos = endobj + 6
+    }
+    out
+  }
+
+  /** Decrypt every stream payload under the empty-user-password file
+    * key; None when the handler is out of subset or the empty
+    * password does not open the file. The /Encrypt dictionary itself
+    * carries no stream, so nothing in it is touched. */
+  def decryptStreams(bytes: Array[Byte]): Option[Array[Byte]] =
+    parse(bytes).filter(emptyUserPasswordWorks).map { sec =>
+      val fk = fileKey(sec)
+      mapStreams(bytes)((num, gen, data) => rc4(objectKey(fk, num, gen), data))
+    }
+
+  /** Fixture-side forward pass: encrypt every stream payload under
+    * the same object keys (RC4 is symmetric). */
+  def encryptStreams(bytes: Array[Byte], fk: Array[Byte]): Array[Byte] =
+    mapStreams(bytes)((num, gen, data) => rc4(objectKey(fk, num, gen), data))
+}

@@ -342,36 +342,36 @@ object PdfGen {
       streamObj(100, "", cs)))
   }
 
-  /** Encrypted PDF (empty-user-password shape): a [[simple]] body
-    * whose stream bytes are XOR-scrambled ciphertext stand-ins plus a
-    * trailer naming `/Encrypt` — the detector must classify WITHOUT
-    * parsing, and a regression that skips the check finds only
-    * garbage (fail-closed: the q344 label would shift). */
-  def encrypted(text: String): Array[Byte] = {
+  /** REAL RC4-encrypted PDF (standard security handler, V2/R3,
+    * 128-bit): a [[simple]] body whose stream payloads are encrypted
+    * in place under spec per-object keys — the forward pass of
+    * [[PdfCrypt]]'s algorithms 1/2/3/5. With the default EMPTY user
+    * password the file is readable by design (any viewer opens it
+    * silently; `PdfCrypt.decryptStreams` recovers the text layer →
+    * `pdf_decrypted`); with a real `userPwd` the /U check fails for
+    * the empty password and the document stays ciphertext →
+    * `pdf_encrypted`. Fail-closed either way: a regression that
+    * skips the crypto path finds only ciphertext and extracts
+    * nothing. */
+  def encrypted(text: String, userPwd: String = ""): Array[Byte] = {
+    val r = 3; val v = 2; val len = 128; val perms = -44
+    val id0 = PdfCrypt.md5(text.getBytes(StandardCharsets.UTF_8))
+    val pwd = userPwd.getBytes(StandardCharsets.ISO_8859_1)
+    val o = PdfCrypt.computeO(Array.empty, pwd, r, len)
+    val sec = PdfCrypt.StdSecurity(r, v, len, o, Array.empty, perms, id0)
+    val fk = PdfCrypt.fileKey(sec, pwd)
+    val u = PdfCrypt.computeU(fk, id0, r)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
     val plain = simple(text)
-    val s = new String(plain, StandardCharsets.ISO_8859_1)
-    // scramble every stream payload (cipher stand-in)
-    val sb = new StringBuilder(s)
-    var i = s.indexOf("stream")
-    while (i >= 0) {
-      if (!(i >= 3 && s.regionMatches(i - 3, "endstream", 0, 9))) {
-        var p = i + 6
-        if (p < s.length && s.charAt(p) == '\r') p += 1
-        if (p < s.length && s.charAt(p) == '\n') p += 1
-        val e = s.indexOf("endstream", p)
-        if (e > p) {
-          var k = p
-          while (k < e) { sb.setCharAt(k, ((s.charAt(k) ^ 0x5a) & 0xff).toChar); k += 1 }
-        }
-        i = if (e < 0) -1 else s.indexOf("stream", e + 9)
-      } else i = s.indexOf("stream", i + 6)
-    }
-    val enc =
-      "9 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
-        "/O <28bf4e5e4e758a41> /U <00000000000000000000000000000000> >> endobj\n" +
+    val tail =
+      s"9 0 obj << /Filter /Standard /V $v /R $r /Length $len /P $perms " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >> endobj\n" +
       "trailer << /Size 10 /Root 1 0 R /Encrypt 9 0 R " +
-        "/ID [<c0ffee> <c0ffee>] >>\nstartxref\n0\n"
-    (sb.toString + enc + "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+        s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\nstartxref\n0\n%%EOF\n"
+    val assembledPlain =
+      new String(plain, StandardCharsets.ISO_8859_1).replace("%%EOF\n", tail)
+        .getBytes(StandardCharsets.ISO_8859_1)
+    PdfCrypt.encryptStreams(assembledPlain, fk)
   }
 
   /** Deterministic per-document container choice for the pipeline's
@@ -380,7 +380,9 @@ object PdfGen {
     * object-stream PDF, filter-chain PDF (LZW/A85+Flate/AHx),
     * image-only PDF, encrypted PDF — so one run exercises every
     * [[ExtractPath]]: mods 0-2 and 4-5 ⇒ pdf_text, 3 ⇒ non_pdf,
-    * 6 ⇒ pdf_image, 7 ⇒ pdf_encrypted. */
+    * 6 ⇒ pdf_image; slot 7 alternates by doc_id mod 16 between
+    * empty-password RC4 (7 ⇒ pdf_decrypted: readable by design) and
+    * password-locked (15 ⇒ pdf_encrypted: stays ciphertext). */
   def demo(docId: Long, text: String): Array[Byte] = {
     // a blank/whitespace document still gets a NON-EMPTY container —
     // a PDF with zero show operators would extract nothing and route
@@ -397,7 +399,9 @@ object PdfGen {
       case 4 => objStm(t)
       case 5 => filterChain(t)
       case 6 => dctImageOnly(docId)
-      case 7 => encrypted(t)
+      case 7 =>
+        if (math.floorMod(docId, 16L) == 7L) encrypted(t)
+        else encrypted(t, "owner-locked")
     }
   }
 }

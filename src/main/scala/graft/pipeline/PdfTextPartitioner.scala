@@ -76,10 +76,18 @@ final case class PdfTextPartitioner() extends PdfPartitioner {
       strategy: PartitionStrategy): Seq[String] = {
     if (content == null || !PdfTextPartitioner.hasPdfMagic(content))
       return Seq.empty
-    if (PdfTextPartitioner.isEncrypted(content)) return Seq.empty
     try {
-      val fonts = PdfTextPartitioner.fontMap(content)
-      PdfTextPartitioner.contentStreams(content)
+      // encrypted files: decrypt in place when the EMPTY user
+      // password opens them (readable-by-design documents, the
+      // common web-corpus shape) and extract the plaintext copy
+      // through the one normal walk; otherwise never touch the
+      // ciphertext (Seq.empty → OCR-seam fallback, labeled
+      // pdf_encrypted by AutoPartitioner)
+      val plain =
+        if (!PdfTextPartitioner.isEncrypted(content)) content
+        else PdfCrypt.decryptStreams(content).getOrElse(return Seq.empty)
+      val fonts = PdfTextPartitioner.fontMap(plain)
+      PdfTextPartitioner.contentStreams(plain)
         .map(PdfTextPartitioner.shownText(_, fonts))
         .map(_.trim).filter(_.nonEmpty)
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
@@ -152,6 +160,12 @@ object PdfTextPartitioner {
     * over-trims when the (compressed) payload itself ends in a CR/LF
     * byte (observed: a deflate stream ending 0x0D lost its last byte
     * and the whole stream failed to inflate). */
+  /** Package-visible alias for [[PdfCrypt.decryptStreams]]'s in-place
+    * stream transcryption (same span logic, one copy). */
+  private[pipeline] def streamSpanFor(
+      s: String, i: Int, dict: String): Option[(Int, Int, Int)] =
+    streamSpan(s, i, dict)
+
   private def streamSpan(s: String, i: Int, dict: String): Option[(Int, Int, Int)] = {
     var ds = i + 6
     if (ds < s.length && s.charAt(ds) == '\r') ds += 1
@@ -812,8 +826,15 @@ object ExtractPath {
     * CCITT/JBIG2) — a scanned/image PDF routed to the OCR leg,
     * counted apart from the generic fallback. */
   val PdfImage = "pdf_image"
-  /** PDF magic + a `/Encrypt` trailer entry — string/stream bytes are
-    * ciphertext, extraction never runs; routed to the base
+  /** PDF magic + `/Encrypt`, and the EMPTY user password opened it
+    * (standard handler V≤2/RC4): streams were decrypted in place and
+    * the real text layer extracted — counted apart from plain
+    * pdf_text so corpus health shows how much of the corpus is
+    * "encrypted but readable by design". */
+  val PdfDecrypted = "pdf_decrypted"
+  /** PDF magic + a `/Encrypt` entry the empty-password subset cannot
+    * open (real password, AES, crypt filters) — string/stream bytes
+    * stay ciphertext, extraction never runs; routed to the base
     * partitioner and counted as its own corpus-health bucket. */
   val PdfEncrypted = "pdf_encrypted"
   /** PDF magic but no decodable text (CMap-less composite, unknown
@@ -844,9 +865,14 @@ final case class AutoPartitioner(base: PdfPartitioner) extends PdfPartitioner {
       content: Array[Byte],
       strategy: PartitionStrategy): (Seq[String], String) =
     if (PdfTextPartitioner.hasPdfMagic(content)) {
-      if (PdfTextPartitioner.isEncrypted(content))
-        (base.partition(content, strategy), ExtractPath.PdfEncrypted)
-      else {
+      if (PdfTextPartitioner.isEncrypted(content)) {
+        // the text partitioner decrypts in place when the empty user
+        // password opens the file (PdfCrypt); text out ⇒ readable by
+        // design, otherwise the ciphertext goes to the seam untouched
+        val els = pdf.partition(content, strategy)
+        if (els.nonEmpty) (els, ExtractPath.PdfDecrypted)
+        else (base.partition(content, strategy), ExtractPath.PdfEncrypted)
+      } else {
         val els = pdf.partition(content, strategy)
         if (els.nonEmpty) (els, ExtractPath.PdfText)
         else if (PdfTextPartitioner.hasRasterImage(content))

@@ -645,10 +645,13 @@ object PipelineQueries {
     // (mods 0-2 and 4-5 are decodable PDFs — incl. the ObjStm and
     // LZW/A85/AHx filter-chain containers → extract:pdf_text; mod 3
     // plain bytes → extract:non_pdf; mod 6 image-only →
-    // extract:pdf_image; mod 7 encrypted → extract:pdf_encrypted),
-    // so any regression in the pure-JVM text layer, the encryption
-    // detector, or the raster-image router shifts Spark-side counts
-    // across buckets and the row set stops matching.
+    // extract:pdf_image; slot 7 alternates by mod 16: empty-password
+    // RC4 → extract:pdf_decrypted (the REAL decrypt path must
+    // recover the text layer), password-locked → extract:
+    // pdf_encrypted), so any regression in the pure-JVM text layer,
+    // the RC4/standard-handler crypto, the encryption detector, or
+    // the raster-image router shifts Spark-side counts across
+    // buckets and the row set stops matching.
     QueryDef(
       "q344_coverage_audit",
       (s, d) => {
@@ -693,7 +696,8 @@ object PipelineQueries {
              |ext AS (
              |  SELECT CASE WHEN doc_id % 8 = 3 THEN 'extract:non_pdf'
              |              WHEN doc_id % 8 = 6 THEN 'extract:pdf_image'
-             |              WHEN doc_id % 8 = 7 THEN 'extract:pdf_encrypted'
+             |              WHEN doc_id % 16 = 7 THEN 'extract:pdf_decrypted'
+             |              WHEN doc_id % 16 = 15 THEN 'extract:pdf_encrypted'
              |              ELSE 'extract:pdf_text' END AS stage,
              |    CAST(COUNT(*) AS BIGINT) AS covered
              |  FROM pool GROUP BY 1)

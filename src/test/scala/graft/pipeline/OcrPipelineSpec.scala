@@ -91,7 +91,8 @@ class OcrPipelineSpec extends SparkSpec {
       4L -> "object stream document about adaptive execution",
       5L -> "first filter page here\nsecond filter page there\nthird filter page done",
       6L -> "image only scanned page with no text layer",
-      7L -> "encrypted document whose bytes are ciphertext")
+      7L -> "encrypted but readable by design empty password",
+      15L -> "password locked document stays ciphertext")
     val bin = texts.toSeq.map { case (id, t) =>
       val b = PdfGen.demo(id, t)
       (id, b, b.length.toLong)
@@ -110,10 +111,13 @@ class OcrPipelineSpec extends SparkSpec {
       texts(5L).split('\n').toSeq && got(5L)._2 === ExtractPath.PdfText)
     // plain bytes go straight to the seam base
     assert(got(3L) === ((texts(3L), ExtractPath.NonPdf)))
-    // image-only and encrypted PDFs route to the base partitioner
-    // under their own audit buckets (the base sees binary bytes, so
-    // only the label is pinned)
+    // image-only PDFs route to the base partitioner under their own
+    // audit bucket (the base sees binary bytes, so only the label is
+    // pinned)
     assert(got(6L)._2 === ExtractPath.PdfImage)
-    assert(got(7L)._2 === ExtractPath.PdfEncrypted)
+    // empty-password RC4: the REAL decrypt path recovers the text
+    assert(got(7L) === ((texts(7L), ExtractPath.PdfDecrypted)))
+    // a real password stays ciphertext, own audit bucket
+    assert(got(15L)._2 === ExtractPath.PdfEncrypted)
   }
 }

@@ -534,21 +534,63 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
 
   // ----- encrypted PDFs and raster-image routing
 
-  test("encrypted PDFs: detected from the trailer, never extracted; " +
-    "AutoPartitioner labels them pdf_encrypted") {
-    val enc = PdfGen.encrypted("secret text never extracted")
-    assert(PdfTextPartitioner.isEncrypted(enc))
-    assert(p.partition(enc, PartitionStrategy.OcrOnly) === Seq.empty)
+  test("empty-password RC4 PDFs decrypt and extract (pdf_decrypted); " +
+    "password-locked ones stay ciphertext (pdf_encrypted)") {
+    val text = "readable by design despite encryption"
+    val open = PdfGen.encrypted(text)
+    assert(PdfTextPartitioner.isEncrypted(open))
+    // the REAL decrypt path: standard-handler V2/R3 key derivation,
+    // /U validation with the empty password, per-object RC4 - and
+    // the recovered plaintext goes through the one normal walk
+    assert(p.partition(open, PartitionStrategy.OcrOnly) === Seq(text))
     val auto = AutoPartitioner(TextPartitioner())
-    assert(auto.partitionWithPath(enc, PartitionStrategy.OcrOnly)._2 ===
+    assert(auto.partitionWithPath(open, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfDecrypted)
+    // a real user password fails the empty-password /U check: the
+    // ciphertext is never touched and the label stays pdf_encrypted
+    val locked = PdfGen.encrypted("locked secret", "hunter2")
+    assert(PdfTextPartitioner.isEncrypted(locked))
+    assert(p.partition(locked, PartitionStrategy.OcrOnly) === Seq.empty)
+    assert(auto.partitionWithPath(locked, PartitionStrategy.OcrOnly)._2 ===
       ExtractPath.PdfEncrypted)
     // plain fixtures are NOT flagged
     assert(!PdfTextPartitioner.isEncrypted(PdfGen.simple("open text")))
     assert(!PdfTextPartitioner.isEncrypted(PdfGen.objStm("open text")))
-    // detection alone is honest even when the check is skipped: the
-    // ciphertext stand-in yields no text through the normal path
-    assert(PdfTextPartitioner.contentStreams(enc)
+    // fail-closed: skipping the crypto path finds only ciphertext
+    assert(PdfTextPartitioner.contentStreams(open)
       .map(PdfTextPartitioner.shownText(_)).forall(_.trim.isEmpty))
+  }
+
+  test("PdfCrypt algorithm internals: R2 and R3 round-trips, object-key " +
+    "derivation truncates at 16 bytes, wrong password fails, dict strings") {
+    import PdfCrypt._
+    // RC4 is an involution under the same key
+    val key = Array[Byte](1, 2, 3, 4, 5)
+    val msg = "attack at dawn".getBytes("UTF-8")
+    assert(rc4(key, rc4(key, msg)).toSeq === msg.toSeq)
+    // R2/40-bit: U = RC4(key, Pad) - full 32-byte comparison
+    val id0 = md5("fixture-id".getBytes("UTF-8"))
+    val o2 = computeO(Array.empty, Array.empty, r = 2, length = 40)
+    val sec2base = StdSecurity(2, 1, 40, o2, Array.empty, -44, id0)
+    val u2 = computeU(fileKey(sec2base), id0, r = 2)
+    assert(u2.length === 32)
+    assert(emptyUserPasswordWorks(sec2base.copy(u = u2)))
+    // R3/128-bit with a REAL password: empty must fail
+    val pwd = "s3cret".getBytes("UTF-8")
+    val o3 = computeO(Array.empty, pwd, r = 3, length = 128)
+    val sec3base = StdSecurity(3, 2, 128, o3, Array.empty, -44, id0)
+    val u3 = computeU(fileKey(sec3base, pwd), id0, r = 3)
+    assert(!emptyUserPasswordWorks(sec3base.copy(u = u3)))
+    // object keys: n+5 capped at 16
+    assert(objectKey(new Array[Byte](16), 7, 0).length === 16)
+    assert(objectKey(new Array[Byte](5), 7, 0).length === 10)
+    // dict strings parse both hex and literal (with octal escapes)
+    assert(dictString("<< /O <414243> >>", "/O").get.toSeq ===
+      "ABC".getBytes.toSeq)
+    assert(dictString("<< /O (A\\102\\() >>", "/O").get.toSeq ===
+      "AB(".getBytes.toSeq)
+    assert(dictString("<< /ID [<4142> <4343>] >>", "/ID").get.toSeq ===
+      "AB".getBytes.toSeq)
   }
 
   test("image-only PDFs: raster XObject detected, routed to the image/" +
