@@ -200,9 +200,9 @@ object PdfTextPartitioner {
 
   /** Decode the stream payload at [ds, de) under the filters its
     * dictionary declares: raw, or any chain of the text-side filters
-    * (ASCIIHex/ASCII85 transport coats, LZW, Flate) with optional
-    * PNG/TIFF predictors after the decompression stage. A raster
-    * codec anywhere in the chain (DCT/JPX/CCITT/JBIG2/RunLength) →
+    * (ASCIIHex/ASCII85 transport coats, LZW, Flate, RunLength) with
+    * optional PNG/TIFF predictors after the decompression stage. A
+    * raster codec anywhere in the chain (DCT/JPX/CCITT/JBIG2) →
     * None: skipped here, routed by [[AutoPartitioner]]'s image leg. */
   private def decodeStream(
       dict: String, bytes: Array[Byte], ds: Int, de: Int): Option[Array[Byte]] = {
@@ -217,6 +217,7 @@ object PdfTextPartitioner {
         cur.flatMap(lzwDecode(_, early))
       case "ASCIIHexDecode" | "AHx" => cur.flatMap(asciiHexDecode)
       case "ASCII85Decode" | "A85" => cur.flatMap(ascii85Decode)
+      case "RunLengthDecode" | "RL" => cur.flatMap(runLengthDecode)
       case _ => None // raster/unknown codecs: never text-misparsed
     }
     val inflated = cur
@@ -386,6 +387,29 @@ object PdfTextPartitioner {
     }
     if (hi >= 0) out.write(hi << 4)                 // EOD-less stream: pad
     Some(out.toByteArray)
+  }
+
+  /** `/RunLengthDecode`: length byte L — 0..127 copies the next L+1
+    * bytes literally, 129..255 repeats the next byte 257−L times,
+    * 128 is EOD. A run crossing the end of data → None. */
+  private[pipeline] def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xff
+      if (l == 128) return Some(out.toByteArray)
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        var k = 257 - l
+        while (k > 0) { out.write(data(i + 1)); k -= 1 }
+        i += 2
+      }
+    }
+    Some(out.toByteArray)                         // EOD-less stream
   }
 
   /** `/ASCII85Decode`: 5 chars `!`..`u` → 4 bytes base 85; `z` (only

@@ -470,6 +470,35 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
     }
   }
 
+  test("RunLengthDecode: literal runs, repeat runs, EOD, truncated runs → None; " +
+    "and a RunLength content stream extracts end-to-end") {
+    def d(b: Array[Byte]) = PdfTextPartitioner.runLengthDecode(b).map(_.toSeq)
+    // literal run of 3 ("abc"), repeat run of 4 ('x'), EOD
+    val enc = Array[Byte](2, 'a', 'b', 'c', (257 - 4 + 256).toByte, 'x', 128.toByte)
+    assert(d(enc) === Some("abcxxxx".getBytes.toSeq))
+    assert(d(Array[Byte](5, 'a')) === None)         // literal run truncated
+    assert(d(Array[Byte](200.toByte)) === None)     // repeat run truncated
+    // end-to-end: a content stream behind /RunLengthDecode
+    def rlEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      data.grouped(127).foreach { g =>
+        out.write(g.length - 1); out.write(g, 0, g.length)
+      }
+      out.write(128)
+      out.toByteArray
+    }
+    val cs = "BT (run length page) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = bos.write(x.getBytes(StandardCharsets.ISO_8859_1))
+    val data = rlEncode(cs)
+    w("%PDF-1.4\n")
+    w(s"4 0 obj << /Filter /RunLengthDecode /Length ${data.length} >>\nstream\n")
+    bos.write(data)
+    w("\nendstream endobj\n%%EOF\n")
+    assert(p.partition(bos.toByteArray, PartitionStrategy.OcrOnly) ===
+      Seq("run length page"))
+  }
+
   test("filter chains: LZW, [ASCII85+Flate], ASCIIHex content streams " +
     "all extract through PdfGen.filterChain (one element per page)") {
     val text = "lzw page alpha\na85 flate page beta\nhex page gamma"
