@@ -49,7 +49,7 @@ object PrefixJoin {
       textCol: String,
       threshold: Double,
       pretokenized: Option[DataFrame],
-      maxBroadcastVocab: Long): DataFrame = {
+      maxBroadcastVocab: Long): (DataFrame, Long) = {
     import spark.implicits._
 
     // id kept in its NATIVE type (string ids are legal, as in
@@ -100,7 +100,7 @@ object PrefixJoin {
 
     // per-doc rank array, ascending = rarest-first; prefix size
     // p = nt − ceil(t·nt) + 1
-    toks.join(rankSide, Seq("tok"))
+    val ranked = toks.join(rankSide, Seq("tok"))
       .groupBy($"id")
       .agg(sort_array(collect_list($"r")).as("ranks"))
       .withColumn("nt", size($"ranks"))
@@ -109,6 +109,13 @@ object PrefixJoin {
       // caller's clearCache between queries (Bench/Verify do), the
       // repo-wide convention for operator-internal persists
       .persist()
+    // eager count: one tokenize/rank build feeds ≥3 readers, and the
+    // doc count gates the verify-side broadcast (the r14 ×10 probe
+    // found the verify joins falling to sort-merge past the 10 MB
+    // auto threshold — two full shuffles+sorts of the candidate
+    // stream, ×43 wall for ×10 data; an explicit size-gated hint
+    // keeps the doc-sized build side broadcast while it fits)
+    (ranked, ranked.count())
   }
 
   /** All pairs with exact Jaccard(token sets) > threshold:
@@ -123,24 +130,49 @@ object PrefixJoin {
       textCol: String,
       threshold: Double,
       pretokenized: Option[DataFrame] = None,
-      maxBroadcastVocab: Long = 10000000L): DataFrame = {
+      maxBroadcastVocab: Long = 10000000L,
+      maxBroadcastDocs: Long = 1000000L): DataFrame = {
     import spark.implicits._
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     graft.functions.SortedIntersectCount.register(spark)
     import graft.functions.SortedIntersectCount.sorted_intersect_count
 
-    val ranked = rankedArrays(spark, docs, idCol, textCol, threshold,
+    val (ranked, nDocs) = rankedArrays(spark, docs, idCol, textCol, threshold,
       pretokenized, maxBroadcastVocab)
+    def verifySide(df: DataFrame): DataFrame =
+      if (nDocs <= maxBroadcastDocs) broadcast(df) else df
 
-    val prefixes = ranked.select($"id", explode(slice($"ranks", lit(1), col("p"))).as("r"))
+    // candidate generation with EARLY pruning (the r14 ×10 probe: the
+    // distinct over raw candidates dominated the build): prefix rows
+    // carry (nt, pos) so two filters run INSIDE the join, before any
+    // candidate row exists downstream —
+    //  - size band: least(na,nb) > t·greatest(na,nb), the same bound
+    //    the verify stage applies (J > t forces it);
+    //  - PPJoin position filter: a shared token at 1-based positions
+    //    (ia, ib) caps the overlap at ub = 1 + min(na−ia, nb−ib); for
+    //    the FIRST shared token of a qualifying pair ub ≥ |A∩B| >
+    //    t·(na+nb)/(1+t), so pruning rows with
+    //    ub·(1+t) < t·(na+nb) − ε loses nothing (ε absorbs the
+    //    double-arithmetic edge; a pruned row is strictly below the
+    //    bound, so the pair it came from cannot verify).
+    val prefixes = ranked
+      .select($"id", $"nt", posexplode(slice($"ranks", lit(1), col("p"))))
+      .withColumnRenamed("col", "r")
+      .withColumn("pos", $"pos" + 1)      // 1-based position in ranks
     val cands = prefixes.as("l").join(prefixes.as("r"),
-        $"l.r" === $"r.r" && $"l.id" < $"r.id")
+        $"l.r" === $"r.r" && $"l.id" < $"r.id" &&
+        least($"l.nt", $"r.nt") > lit(threshold) * greatest($"l.nt", $"r.nt") &&
+        (lit(1.0) + least($"l.nt" - $"l.pos", $"r.nt" - $"r.pos")) *
+          lit(1.0 + threshold) >=
+          lit(threshold) * ($"l.nt" + $"r.nt") - lit(1e-7))
       .select($"l.id".as("id_a"), $"r.id".as("id_b"))
       .distinct()
 
     cands
-      .join(ranked.select($"id".as("id_a"), $"ranks".as("ra"), $"nt".as("na")), "id_a")
-      .join(ranked.select($"id".as("id_b"), $"ranks".as("rb"), $"nt".as("nb")), "id_b")
+      .join(verifySide(
+        ranked.select($"id".as("id_a"), $"ranks".as("ra"), $"nt".as("na"))), "id_a")
+      .join(verifySide(
+        ranked.select($"id".as("id_b"), $"ranks".as("rb"), $"nt".as("nb"))), "id_b")
       .filter(least($"na", $"nb") > lit(threshold) * greatest($"na", $"nb"))
       .withColumn("inter", sorted_intersect_count($"ra", $"rb").cast("double"))
       .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
@@ -170,29 +202,49 @@ object PrefixJoin {
       threshold: Double,
       pretokenized: Option[DataFrame] = None,
       minSize: Int = 1,
-      maxBroadcastVocab: Long = 10000000L): DataFrame = {
+      maxBroadcastVocab: Long = 10000000L,
+      maxBroadcastDocs: Long = 1000000L): DataFrame = {
     import spark.implicits._
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     graft.functions.SortedIntersectCount.register(spark)
     import graft.functions.SortedIntersectCount.sorted_intersect_count
 
-    val ranked = rankedArrays(spark, docs, idCol, textCol, threshold,
+    val (ranked, nDocs) = rankedArrays(spark, docs, idCol, textCol, threshold,
       pretokenized, maxBroadcastVocab)
+    def verifySide(df: DataFrame): DataFrame =
+      if (nDocs <= maxBroadcastDocs) broadcast(df) else df
     // the minSize floor applies to the COVEREE (A) side only: tiny
     // sets are trivially contained everywhere and would make the
     // output quadratic; the coverer (B) side stays unrestricted
     val rankedA = ranked.filter($"nt" >= minSize)
 
-    val prefixes = rankedA.select($"id", explode(slice($"ranks", lit(1), col("p"))).as("r"))
-    val full = ranked.select($"id", explode($"ranks").as("r"))
+    // early pruning inside the candidate join (the jaccard leg's r14
+    // discipline): size prune nb ≥ ⌈t·na⌉ and the containment
+    // position filter — a shared token at 1-based positions (ia, jb)
+    // caps |A∩B| at ub = 1 + min(na−ia, nb−jb); a qualifying pair's
+    // FIRST shared token has ub ≥ |A∩B| > t·na, so pruning
+    // ub < t·na − ε loses nothing
+    val prefixes = rankedA
+      .select($"id", $"nt", posexplode(slice($"ranks", lit(1), col("p"))))
+      .withColumnRenamed("col", "r")
+      .withColumn("pos", $"pos" + 1)
+    val full = ranked
+      .select($"id", $"nt", posexplode($"ranks"))
+      .withColumnRenamed("col", "r")
+      .withColumn("pos", $"pos" + 1)
     val cands = prefixes.as("l").join(full.as("r"),
-        $"l.r" === $"r.r" && $"l.id" =!= $"r.id")
+        $"l.r" === $"r.r" && $"l.id" =!= $"r.id" &&
+        $"r.nt" >= ceil(lit(threshold) * $"l.nt") &&
+        lit(1.0) + least($"l.nt" - $"l.pos", $"r.nt" - $"r.pos") >=
+          lit(threshold) * $"l.nt" - lit(1e-7))
       .select($"l.id".as("id_a"), $"r.id".as("id_b"))
       .distinct()
 
     cands
-      .join(rankedA.select($"id".as("id_a"), $"ranks".as("ra"), $"nt".as("na")), "id_a")
-      .join(ranked.select($"id".as("id_b"), $"ranks".as("rb"), $"nt".as("nb")), "id_b")
+      .join(verifySide(
+        rankedA.select($"id".as("id_a"), $"ranks".as("ra"), $"nt".as("na"))), "id_a")
+      .join(verifySide(
+        ranked.select($"id".as("id_b"), $"ranks".as("rb"), $"nt".as("nb"))), "id_b")
       .filter($"nb" >= ceil(lit(threshold) * $"na"))
       .withColumn("inter", sorted_intersect_count($"ra", $"rb").cast("double"))
       .withColumn("containment", $"inter" / $"na")

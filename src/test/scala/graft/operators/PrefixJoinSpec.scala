@@ -61,16 +61,21 @@ class PrefixJoinSpec extends SparkSpec {
     val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
       .toSeq.toDF("doc_id", "text")
 
-    def plan(maxVocab: Long): String = {
+    def plan(maxVocab: Long, maxDocs: Long): String = {
       val df = PrefixJoin.jaccardPairsPrefix(
-        s2, docs, "doc_id", "text", 0.7, maxBroadcastVocab = maxVocab)
+        s2, docs, "doc_id", "text", 0.7, maxBroadcastVocab = maxVocab,
+        maxBroadcastDocs = maxDocs)
       df.count()
       val p = df.queryExecution.executedPlan.toString
       s2.catalog.clearCache()
       p
     }
-    assert(plan(Long.MaxValue).contains("BroadcastHashJoin"))
-    assert(!plan(0L).contains("BroadcastHashJoin"))
+    // both size gates hinted under the defaults (vocab rank + the two
+    // verify sides), both dropped when the measured counts exceed the
+    // gates — a 100M-term vocabulary or a billion-doc corpus must
+    // never force a multi-GB broadcast
+    assert(plan(Long.MaxValue, Long.MaxValue).contains("BroadcastHashJoin"))
+    assert(!plan(0L, 0L).contains("BroadcastHashJoin"))
   }
 
   test("results identical whether the vocab rank broadcasts or shuffles") {
