@@ -6,16 +6,20 @@ import java.nio.charset.StandardCharsets
   * the EMPTY-USER-PASSWORD subset — "readable by design" documents
   * that any viewer opens without prompting (most encrypted PDFs in a
   * web corpus are this shape: encryption asserts permissions, not
-  * secrecy). Scope: /Filter /Standard, V 1-2 (RC4 40..128 bit),
-  * R 2-3. AES (V 4-5) and real passwords stay classified as
-  * `pdf_encrypted` — detected, never misparsed.
+  * secrecy). Scope: /Filter /Standard, V 1-2 (RC4 40..128 bit,
+  * R 2-3) and V 4 with the /AESV2 crypt filter (AES-128-CBC, R 4).
+  * AES-256 (V 5, a different derivation family) and real passwords
+  * stay classified as `pdf_encrypted` — detected, never misparsed.
   *
-  * The decrypt pipeline exploits RC4 being LENGTH-PRESERVING: every
-  * stream payload is decrypted IN PLACE under its per-object key
-  * (Algorithm 1: MD5(fileKey ‖ objnum₃LE ‖ gen₂LE)), producing a
-  * byte-identical-layout plaintext PDF that the normal extraction
-  * walk ([[PdfTextPartitioner.fontMap]]/`contentStreams`) processes
-  * unchanged — no second parser. Strings inside dictionaries are
+  * The decrypt pipeline rewrites stream payloads IN PLACE under their
+  * per-object keys (Algorithm 1: MD5(fileKey ‖ objnum₃LE ‖ gen₂LE),
+  * ‖ sAlT for AES), producing a byte-identical-layout plaintext PDF
+  * that the normal extraction walk
+  * ([[PdfTextPartitioner.fontMap]]/`contentStreams`) processes
+  * unchanged — no second parser. RC4 preserves lengths exactly; AES
+  * plaintext is shorter than its stored IV+ciphertext, so the tail
+  * pads with spaces (inflate stops at the deflate terminator, raw
+  * streams ignore trailing whitespace). Strings inside dictionaries are
   * also encrypted per spec, but extraction reads none (the /O and /U
   * validators live in the UNencrypted /Encrypt dictionary).
   *
@@ -68,10 +72,13 @@ object PdfCrypt {
     (pwd.take(32) ++ Pad).take(32)
 
   /** /Encrypt parameters of the standard handler (plus the trailer's
-    * first /ID element, which salts every key). */
+    * first /ID element, which salts every key). `aes` marks the V4
+    * /AESV2 crypt filter (AES-128-CBC streams); `encryptMetadata`
+    * feeds the R4 key-derivation extension. */
   final case class StdSecurity(
       r: Int, v: Int, length: Int,
-      o: Array[Byte], u: Array[Byte], p: Int, id0: Array[Byte])
+      o: Array[Byte], u: Array[Byte], p: Int, id0: Array[Byte],
+      aes: Boolean = false, encryptMetadata: Boolean = true)
 
   private def keyBytes(sec: StdSecurity): Int =
     if (sec.r == 2) 5 else math.max(5, math.min(16, sec.length / 8))
@@ -83,7 +90,11 @@ object PdfCrypt {
     val pLe = Array[Byte](
       (sec.p & 0xff).toByte, ((sec.p >> 8) & 0xff).toByte,
       ((sec.p >> 16) & 0xff).toByte, ((sec.p >> 24) & 0xff).toByte)
-    var h = md5(padPwd(userPwd), sec.o, pLe, sec.id0)
+    var h =
+      if (sec.r >= 4 && !sec.encryptMetadata)
+        md5(padPwd(userPwd), sec.o, pLe, sec.id0,
+          Array(0xff, 0xff, 0xff, 0xff).map(_.toByte))
+      else md5(padPwd(userPwd), sec.o, pLe, sec.id0)
     if (sec.r >= 3) for (_ <- 1 to 50) h = md5(h.take(n))
     h.take(n)
   }
@@ -120,13 +131,49 @@ object PdfCrypt {
       expect.take(cmp), sec.u.take(cmp))
   }
 
-  /** Algorithm 1: the per-object RC4 key. */
-  def objectKey(fk: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+  /** Algorithm 1: the per-object key — AES appends the spec's `sAlT`
+    * marker bytes before hashing. */
+  def objectKey(fk: Array[Byte], num: Int, gen: Int,
+      aes: Boolean = false): Array[Byte] = {
     val ext = Array[Byte](
       (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
       ((num >> 16) & 0xff).toByte,
       (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
-    md5(fk, ext).take(math.min(fk.length + 5, 16))
+    val salted =
+      if (aes) md5(fk, ext, Array('s', 'A', 'l', 'T').map(_.toByte))
+      else md5(fk, ext)
+    salted.take(math.min(fk.length + 5, 16))
+  }
+
+  /** AES-128-CBC stream decrypt (the /AESV2 crypt filter): payload =
+    * 16-byte IV ‖ ciphertext, PKCS#5-style padding. None on any
+    * malformed shape — skip, never misparse. */
+  def aesDecrypt(key: Array[Byte], data: Array[Byte]): Option[Array[Byte]] = {
+    if (data.length < 32 || data.length % 16 != 0) return None
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data.take(16)))
+      val plain = c.doFinal(java.util.Arrays.copyOfRange(data, 16, data.length))
+      val pad = plain.last & 0xff
+      if (pad < 1 || pad > 16 || pad > plain.length) None
+      else Some(plain.dropRight(pad))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fixture-side AES-128-CBC encrypt with a DETERMINISTIC IV derived
+    * from the object key (fixtures must be reproducible; uniqueness
+    * per object is what CBC needs here, not unpredictability). */
+  def aesEncrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val iv = md5(key, Array('i', 'v').map(_.toByte)).take(16)
+    val pad = 16 - (data.length % 16)
+    val padded = data ++ Array.fill(pad)(pad.toByte)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(padded)
   }
 
   // ---- parsing ----------------------------------------------------
@@ -208,15 +255,18 @@ object PdfCrypt {
       dict = encObj.dict
       if dict.contains("/Standard")
       v = intKey(dict, "/V").getOrElse(0)
-      if v == 1 || v == 2
+      aes = v == 4 && dict.contains("/AESV2")
+      if v == 1 || v == 2 || aes
       r <- intKey(dict, "/R")
-      if r == 2 || r == 3
+      if r == 2 || r == 3 || (r == 4 && aes)
       o <- dictString(dict, "/O") if o.length >= 32
       u <- dictString(dict, "/U")
       p <- intKey(dict, "/P")
       id0 <- dictString(trailer, "/ID").orElse(Some(Array.empty[Byte]))
-    } yield StdSecurity(r, v, intKey(dict, "/Length").getOrElse(40),
-      o, u, p, id0)
+    } yield StdSecurity(r, v,
+      if (aes) 128 else intKey(dict, "/Length").getOrElse(40),
+      o, u, p, id0, aes,
+      encryptMetadata = !dict.contains("/EncryptMetadata false"))
   }
 
   // ---- whole-file stream transcryption -----------------------------
@@ -245,7 +295,13 @@ object PdfCrypt {
           case Some((ds, de, end)) =>
             val enc = f(num, gen,
               java.util.Arrays.copyOfRange(bytes, ds, de))
-            System.arraycopy(enc, 0, out, ds, enc.length)
+            // shorter results (AES strips IV + padding) pad with
+            // spaces so offsets survive; longer results are a
+            // contract violation and are truncated defensively
+            val n = math.min(enc.length, de - ds)
+            System.arraycopy(enc, 0, out, ds, n)
+            var k = ds + n
+            while (k < de) { out(k) = ' '.toByte; k += 1 }
             minPos = end
           case None => minPos = streamKw + 6
         }
@@ -257,11 +313,22 @@ object PdfCrypt {
   /** Decrypt every stream payload under the empty-user-password file
     * key; None when the handler is out of subset or the empty
     * password does not open the file. The /Encrypt dictionary itself
-    * carries no stream, so nothing in it is touched. */
+    * carries no stream, so nothing in it is touched. RC4 payloads
+    * decrypt length-for-length; AES plaintext is SHORTER than the
+    * stored IV+ciphertext, so the in-place rewrite pads the tail with
+    * spaces — harmless to every downstream consumer (inflate stops at
+    * the deflate terminator; raw content streams ignore trailing
+    * whitespace tokens; a failed shape decrypts to nothing, never to
+    * misparsed bytes). */
   def decryptStreams(bytes: Array[Byte]): Option[Array[Byte]] =
     parse(bytes).filter(emptyUserPasswordWorks).map { sec =>
       val fk = fileKey(sec)
-      mapStreams(bytes)((num, gen, data) => rc4(objectKey(fk, num, gen), data))
+      mapStreams(bytes) { (num, gen, data) =>
+        if (sec.aes)
+          aesDecrypt(objectKey(fk, num, gen, aes = true), data)
+            .getOrElse(Array.fill(data.length)(' '.toByte))
+        else rc4(objectKey(fk, num, gen), data)
+      }
     }
 
   /** Fixture-side forward pass: encrypt every stream payload under

@@ -374,6 +374,54 @@ object PdfGen {
     PdfCrypt.encryptStreams(assembledPlain, fk)
   }
 
+  /** REAL AES-128-CBC encrypted PDF (standard handler V4/R4 with the
+    * /AESV2 crypt filter — the most common readable-by-design
+    * encryption in modern corpora): stream payloads are IV‖ciphertext
+    * with PKCS#5 padding, assembled at their encrypted lengths (AES
+    * grows payloads, so unlike the RC4 fixture this builds the
+    * document around the ciphertext rather than rewriting in place).
+    * Empty `userPwd` ⇒ `pdf_decrypted`; a real one ⇒ `pdf_encrypted`. */
+  def encryptedAes(text: String, userPwd: String = ""): Array[Byte] = {
+    val r = 4; val v = 4; val len = 128; val perms = -44
+    val id0 = PdfCrypt.md5(("aes:" + text).getBytes(StandardCharsets.UTF_8))
+    val pwd = userPwd.getBytes(StandardCharsets.ISO_8859_1)
+    val o = PdfCrypt.computeO(Array.empty, pwd, r, len)
+    val sec = PdfCrypt.StdSecurity(r, v, len, o, Array.empty, perms, id0,
+      aes = true, encryptMetadata = true)
+    val fk = PdfCrypt.fileKey(sec, pwd)
+    val u = PdfCrypt.computeU(fk, id0, r)
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    def encStream(num: Int, dictExtra: String, plain: Array[Byte]): String =
+      streamObj(num,
+        dictExtra, PdfCrypt.aesEncrypt(PdfCrypt.objectKey(fk, num, 0, aes = true), plain))
+    val pages = text.split('\f').toSeq
+    val head = Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      s"2 0 obj << /Type /Pages /Kids [${pages.indices.map(i => s"${10 + i} 0 R").mkString(" ")}] /Count ${pages.size} >> endobj\n",
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    val body = pages.zipWithIndex.flatMap { case (p, i) =>
+      val cs = contentOps(
+        p.split('\n').map(_.trim).filter(_.nonEmpty).toSeq.map(l => s"(${esc(l)})"))
+      Seq(
+        s"${10 + i} 0 obj << /Type /Page /Parent 2 0 R /Contents ${100 + i} 0 R " +
+          "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+        encStream(100 + i, "/Filter /FlateDecode ",
+          deflate(cs.getBytes(StandardCharsets.ISO_8859_1))))
+    }
+    val tail =
+      s"9 0 obj << /Filter /Standard /V $v /R $r /Length $len /P $perms " +
+        "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+        "/StmF /StdCF /StrF /StdCF " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >> endobj\n" +
+      "trailer << /Size 10 /Root 1 0 R /Encrypt 9 0 R " +
+        s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\nstartxref\n0\n%%EOF\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("%PDF-1.6\n".getBytes(StandardCharsets.ISO_8859_1))
+    (head ++ body).foreach(x => bos.write(x.getBytes(StandardCharsets.ISO_8859_1)))
+    bos.write(tail.getBytes(StandardCharsets.ISO_8859_1))
+    bos.toByteArray
+  }
+
   /** Deterministic per-document container choice for the pipeline's
     * extraction-audit demo: doc_id mod 8 cycles composite-font PDF,
     * simple PDF, predictor-encoded PDF, plain UTF-8 bytes,

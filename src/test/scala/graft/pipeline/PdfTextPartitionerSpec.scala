@@ -590,6 +590,31 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
       .map(PdfTextPartitioner.shownText(_)).forall(_.trim.isEmpty))
   }
 
+  test("AES-128 (/AESV2 V4/R4) empty-password PDFs decrypt and extract; " +
+    "locked AES stays ciphertext; space-padded tails are harmless") {
+    val text = "aes encrypted but readable by design"
+    val open = PdfGen.encryptedAes(text)
+    assert(PdfTextPartitioner.isEncrypted(open))
+    assert(p.partition(open, PartitionStrategy.OcrOnly) === Seq(text))
+    val auto = AutoPartitioner(TextPartitioner())
+    assert(auto.partitionWithPath(open, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfDecrypted)
+    val locked = PdfGen.encryptedAes("aes locked secret", "hunter2")
+    assert(p.partition(locked, PartitionStrategy.OcrOnly) === Seq.empty)
+    assert(auto.partitionWithPath(locked, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfEncrypted)
+    // multi-page: padding discipline holds per stream
+    val multi = PdfGen.encryptedAes("page one here\fpage two there")
+    assert(p.partition(multi, PartitionStrategy.OcrOnly) ===
+      Seq("page one here", "page two there"))
+    // AES crypto primitive round-trip + malformed-shape rejection
+    val key = PdfCrypt.md5("k".getBytes).take(16)
+    val msg = "sixteen byte msg plus some tail".getBytes("UTF-8")
+    assert(PdfCrypt.aesDecrypt(key, PdfCrypt.aesEncrypt(key, msg))
+      .map(_.toSeq) === Some(msg.toSeq))
+    assert(PdfCrypt.aesDecrypt(key, Array[Byte](1, 2, 3)) === None)
+  }
+
   test("PdfCrypt algorithm internals: R2 and R3 round-trips, object-key " +
     "derivation truncates at 16 bytes, wrong password fails, dict strings") {
     import PdfCrypt._
