@@ -12,8 +12,9 @@ import java.util.zip.{DataFormatException, Inflater}
   *
   *  - content streams stored RAW or behind the text-side filters —
   *    `/FlateDecode` (`java.util.zip.Inflater`), `/LZWDecode` (PDF's
-  *    TIFF-style 9→12-bit LZW with `/EarlyChange`), `/ASCIIHexDecode`
-  *    and `/ASCII85Decode` — singly or as a `/Filter [...]` chain
+  *    TIFF-style 9→12-bit LZW with `/EarlyChange`), `/ASCIIHexDecode`,
+  *    `/ASCII85Decode`, and `/RunLengthDecode` — singly or as a
+  *    `/Filter [...]` chain
   *    applied in declaration order, including `/DecodeParms` PNG
   *    predictors 10-15 and TIFF predictor 2 (8-bit components) after
   *    a Flate/LZW stage; raster codecs (`DCTDecode`/`JPXDecode`/
@@ -33,12 +34,21 @@ import java.util.zip.{DataFormatException, Inflater}
   *    in an ObjStm keeps the TOP-LEVEL definition (incremental
   *    updates append full objects, so the visible one is newest in
   *    the files this subset targets);
-  *  - **encrypted PDFs are detected, never misparsed**: a `/Encrypt`
-  *    entry in any trailer (or xref-stream dict) short-circuits
-  *    extraction to `Seq.empty` — string and stream bytes are
-  *    ciphertext, so the document routes to the OCR seam labeled
-  *    `ExtractPath.PdfEncrypted` and corpus audits (q344) count
-  *    encryption as its own bucket;
+  *  - **encrypted PDFs decrypt when readable-by-design, and are
+  *    never misparsed otherwise**: a `/Encrypt` entry in any trailer
+  *    (or xref-stream dict) routes through [[PdfCrypt]] — when the
+  *    EMPTY user password opens the file (standard handler RC4 V1-2
+  *    or AES-128 /AESV2, the common web-corpus shape) stream payloads
+  *    decrypt in place and the normal walk extracts the real text
+  *    (`ExtractPath.PdfDecrypted`); anything else (real passwords,
+  *    AES-256) yields `Seq.empty` and routes to the OCR seam labeled
+  *    `ExtractPath.PdfEncrypted` — corpus audits (q344) count both
+  *    buckets;
+  *  - **per-page font resource scoping**: a stream claimed by a page
+  *    decodes under that page's `/Resources` bindings (inline or
+  *    indirect), so `/F1` meaning different fonts on different pages
+  *    decodes correctly; unclaimed streams fall back to the
+  *    document-global first-binding-wins map;
   *  - simple byte-encoded fonts (Standard/WinAnsi-like): string bytes
   *    map 1:1 to Latin-1 chars;
   *  - composite **Type0/CID fonts with a `/ToUnicode` CMap** — the
@@ -86,9 +96,17 @@ final case class PdfTextPartitioner() extends PdfPartitioner {
       val plain =
         if (!PdfTextPartitioner.isEncrypted(content)) content
         else PdfCrypt.decryptStreams(content).getOrElse(return Seq.empty)
-      val fonts = PdfTextPartitioner.fontMap(plain)
-      PdfTextPartitioner.contentStreams(plain)
-        .map(PdfTextPartitioner.shownText(_, fonts))
+      // per-page font scoping: a stream claimed by a page decodes
+      // under THAT page's /Resources bindings; unclaimed streams fall
+      // back to the document-global first-binding-wins map
+      val objs = PdfTextPartitioner.objects(plain)
+      val globalFonts = PdfTextPartitioner.fontMapFrom(objs)
+      val pageFonts = PdfTextPartitioner.contentFontMapsFrom(objs)
+      PdfTextPartitioner.contentStreamsWithNum(plain)
+        .map { case (num, cs) =>
+          PdfTextPartitioner.shownText(cs,
+            num.flatMap(pageFonts.get).getOrElse(globalFonts))
+        }
         .map(_.trim).filter(_.nonEmpty)
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
@@ -120,9 +138,17 @@ object PdfTextPartitioner {
 
   /** All decodable stream payloads, as Latin-1 strings (byte ≡ char,
     * so offsets and literal-string bytes survive the round trip). */
-  private[pipeline] def contentStreams(bytes: Array[Byte]): Seq[String] = {
+  private[pipeline] def contentStreams(bytes: Array[Byte]): Seq[String] =
+    contentStreamsWithNum(bytes).map(_._2)
+
+  /** [[contentStreams]] plus each stream's OBJECT NUMBER (parsed from
+    * the `N G obj` header ahead of the dictionary), in file order —
+    * the key per-page font scoping joins on. None when the stream has
+    * no parseable header. */
+  private[pipeline] def contentStreamsWithNum(
+      bytes: Array[Byte]): Seq[(Option[Int], String)] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(Option[Int], String)]
     var i = s.indexOf("stream")
     while (i >= 0) {
       // skip the "stream" inside "endstream"
@@ -133,7 +159,8 @@ object PdfTextPartitioner {
         val e = streamSpan(s, i, dict) match {
           case Some((ds, de, end)) =>
             decodeStream(dict, bytes, ds, de).foreach(d =>
-              out += new String(d, StandardCharsets.ISO_8859_1))
+              out += ((objNumBefore(s, objIdx),
+                new String(d, StandardCharsets.ISO_8859_1))))
             end
           case None => -1
         }
@@ -141,6 +168,25 @@ object PdfTextPartitioner {
       } else i = s.indexOf("stream", i + 6)
     }
     out.result()
+  }
+
+  /** The object number of an `N G obj` header whose `obj` keyword
+    * starts at `objIdx`: scan back over the generation number to N. */
+  private def objNumBefore(s: String, objIdx: Int): Option[Int] = {
+    if (objIdx < 0) return None
+    var k = objIdx - 1
+    def skipWs(): Unit = { while (k >= 0 && s.charAt(k).isWhitespace) k -= 1 }
+    def digits(): Option[String] = {
+      val e = k
+      while (k >= 0 && s.charAt(k).isDigit) k -= 1
+      if (e == k) None else Some(s.substring(k + 1, e + 1))
+    }
+    skipWs()
+    for {
+      _ <- digits()                       // generation number
+      _ = skipWs()
+      num <- digits() if num.length <= 9
+    } yield num.toInt
   }
 
   /** Direct `/Length N` in a stream dictionary (not the indirect
@@ -578,20 +624,34 @@ object PdfTextPartitioner {
     * an indirect `/Font N 0 R` reference); a name bound to multiple
     * font objects across pages keeps its FIRST CMap-bearing binding —
     * per-page resource scoping is out of this linear-scan subset. */
-  private[pipeline] def fontMap(bytes: Array[Byte]): Map[String, CMap] = {
-    val objs = objects(bytes)
-    if (objs.isEmpty) return Map.empty
-    val inlineFontDict = """(?s)/Font\s*<<(.*?)>>""".r
-    val indirectFontDict = """/Font\s+(\d+)\s+\d+\s+R""".r
-    val fontRef = """/([^\s/<>\[\]()%]+)\s+(\d+)\s+\d+\s+R""".r
-    val toUniRef = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
-    val bindings = objs.values.toSeq.flatMap { o =>
-      val inline = inlineFontDict.findAllMatchIn(o.dict).map(_.group(1))
-      val indirect = indirectFontDict.findAllMatchIn(o.dict)
-        .flatMap(m => objs.get(m.group(1).toInt).map(_.dict))
-      (inline ++ indirect).flatMap(fd =>
-        fontRef.findAllMatchIn(fd).map(r => r.group(1) -> r.group(2).toInt))
-    }
+  private val inlineFontDict = """(?s)/Font\s*<<(.*?)>>""".r
+  private val indirectFontDict = """/Font\s+(\d+)\s+\d+\s+R""".r
+  private val fontRef = """/([^\s/<>\[\]()%]+)\s+(\d+)\s+\d+\s+R""".r
+  private val toUniRef = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+
+  /** Font name→object bindings declared by a dictionary: its inline
+    * `/Font << … >>` entries plus an indirect `/Font N 0 R` chase. */
+  private def fontBindings(
+      objs: Map[Int, PdfObj], dict: String): Seq[(String, Int)] = {
+    val inline = inlineFontDict.findAllMatchIn(dict).map(_.group(1))
+    val indirect = indirectFontDict.findAllMatchIn(dict)
+      .flatMap(m => objs.get(m.group(1).toInt).map(_.dict))
+    (inline ++ indirect).flatMap(fd =>
+      fontRef.findAllMatchIn(fd).map(r => r.group(1) -> r.group(2).toInt)).toSeq
+  }
+
+  /** Resolve bindings to decoders — first CMap-bearing binding wins a
+    * name; composite fonts WITHOUT a parseable ToUnicode CMap get an
+    * EMPTY decoder: their show-string bytes are glyph ids, not text,
+    * so every code maps to nothing — this is what makes the
+    * "an all-composite document with no CMap yields no text and
+    * falls through to the OCR seam" contract actually hold (a raw
+    * Latin-1 fallback would emit NUL-interleaved glyph-id garbage
+    * labeled pdf_text and the document would never be OCR'd).
+    * Second pass so a name bound to BOTH a CMap-less and a
+    * CMap-bearing font object keeps the CMap-bearing binding. */
+  private def resolveBindings(
+      objs: Map[Int, PdfObj], bindings: Seq[(String, Int)]): Map[String, CMap] = {
     val out = scala.collection.mutable.Map.empty[String, CMap]
     def isComposite(dict: String): Boolean =
       dict.contains("/Type0") || dict.contains("Identity-H")
@@ -606,18 +666,57 @@ object PdfTextPartitioner {
           composite = isComposite(font.dict))
       } out(name) = cmap
     }
-    // Composite fonts WITHOUT a parseable ToUnicode CMap get an EMPTY
-    // decoder: their show-string bytes are glyph ids, not text, so
-    // every code maps to nothing — this is what makes the scaladoc's
-    // "an all-composite document with no CMap yields no text and
-    // falls through to the OCR seam" contract actually hold (a raw
-    // Latin-1 fallback would emit NUL-interleaved glyph-id garbage
-    // labeled pdf_text and the document would never be OCR'd).
-    // Second pass so a name bound to BOTH a CMap-less and a
-    // CMap-bearing font object keeps the CMap-bearing binding.
     for ((name, fontNum) <- bindings if !out.contains(name)) {
       objs.get(fontNum).foreach { font =>
         if (isComposite(font.dict)) out(name) = CMap(2, Map.empty)
+      }
+    }
+    out.toMap
+  }
+
+  private[pipeline] def fontMap(bytes: Array[Byte]): Map[String, CMap] =
+    fontMapFrom(objects(bytes))
+
+  private[pipeline] def fontMapFrom(
+      objs: Map[Int, PdfObj]): Map[String, CMap] = {
+    if (objs.isEmpty) return Map.empty
+    resolveBindings(objs,
+      objs.values.toSeq.flatMap(o => fontBindings(objs, o.dict)))
+  }
+
+  /** PER-PAGE font scoping: content-object number → decoder table
+    * resolved from THAT page's `/Resources` (inline, or chased
+    * through an indirect `/Resources N 0 R`). A name like `/F1` can
+    * legally bind to DIFFERENT fonts on different pages; the global
+    * [[fontMap]] (first binding wins) would decode later pages under
+    * the first page's CMap, so extraction looks a stream's own page
+    * scope up first and falls back to the global map only for
+    * streams no page claims. */
+  private[pipeline] def contentFontMaps(
+      bytes: Array[Byte]): Map[Int, Map[String, CMap]] =
+    contentFontMapsFrom(objects(bytes))
+
+  private[pipeline] def contentFontMapsFrom(
+      objs: Map[Int, PdfObj]): Map[Int, Map[String, CMap]] = {
+    if (objs.isEmpty) return Map.empty
+    val contentsRef = """/Contents\s+(\d+)\s+\d+\s+R""".r
+    val contentsArr = """(?s)/Contents\s*\[(.*?)\]""".r
+    val objRefNum = """(\d+)\s+\d+\s+R""".r
+    val resourcesRef = """/Resources\s+(\d+)\s+\d+\s+R""".r
+    val out = scala.collection.mutable.Map.empty[Int, Map[String, CMap]]
+    for (o <- objs.values if o.dict.contains("/Contents")) {
+      val contentNums =
+        contentsArr.findFirstMatchIn(o.dict)
+          .map(m => objRefNum.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
+          .getOrElse(
+            contentsRef.findAllMatchIn(o.dict).map(_.group(1).toInt).toSeq)
+      if (contentNums.nonEmpty) {
+        val resDicts = o.dict +:
+          resourcesRef.findAllMatchIn(o.dict)
+            .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)).toSeq
+        val fonts = resolveBindings(objs,
+          resDicts.flatMap(fontBindings(objs, _)))
+        if (fonts.nonEmpty) contentNums.foreach(n => out(n) = fonts)
       }
     }
     out.toMap

@@ -561,6 +561,48 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
     assert(!PdfTextPartitioner.objects(bos2.toByteArray).contains(5))
   }
 
+  test("per-page font scoping: the same /F1 name bound to DIFFERENT " +
+    "fonts on different pages decodes each page under its own CMap") {
+    def cmapStream(num: Int, entries: Seq[(Int, Char)]): String = {
+      val body = "begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        s"${entries.size} beginbfchar\n" +
+        entries.map { case (c, ch) => f"<$c%02X> <${ch.toInt}%04X>" }.mkString("\n") +
+        "\nendbfchar\nendcmap"
+      s"$num 0 obj << /Length ${body.length} >>\nstream\n$body\nendstream endobj\n"
+    }
+    val cs = "BT /F1 12 Tf <0102> Tj ET"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(x: String): Unit = bos.write(x.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [10 0 R 11 0 R] /Count 2 >> endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 7 0 R >> endobj\n")
+    w("6 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 8 0 R >> endobj\n")
+    w(cmapStream(7, Seq(0x01 -> 'A', 0x02 -> 'B')))
+    w(cmapStream(8, Seq(0x01 -> 'Z', 0x02 -> 'Y')))
+    w("10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w("11 0 obj << /Type /Page /Parent 2 0 R /Contents 101 0 R " +
+      "/Resources << /Font << /F1 6 0 R >> >> >> endobj\n")
+    w(s"100 0 obj << /Length ${cs.length} >>\nstream\n$cs\nendstream endobj\n")
+    w(s"101 0 obj << /Length ${cs.length} >>\nstream\n$cs\nendstream endobj\n")
+    w("%%EOF\n")
+    // a global first-binding-wins map would decode BOTH pages as AB
+    assert(p.partition(bos.toByteArray, PartitionStrategy.OcrOnly) ===
+      Seq("AB", "ZY"))
+    // and the indirect /Resources N 0 R form scopes identically
+    val bos2 = new java.io.ByteArrayOutputStream()
+    def w2(x: String): Unit = bos2.write(x.getBytes(StandardCharsets.ISO_8859_1))
+    w2("%PDF-1.4\n")
+    w2("5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 7 0 R >> endobj\n")
+    w2(cmapStream(7, Seq(0x01 -> 'Q', 0x02 -> 'R')))
+    w2("20 0 obj << /Font << /F1 5 0 R >> >> endobj\n")
+    w2("10 0 obj << /Type /Page /Contents 100 0 R /Resources 20 0 R >> endobj\n")
+    w2(s"100 0 obj << /Length ${cs.length} >>\nstream\n$cs\nendstream endobj\n")
+    w2("%%EOF\n")
+    assert(p.partition(bos2.toByteArray, PartitionStrategy.OcrOnly) === Seq("QR"))
+  }
+
   // ----- encrypted PDFs and raster-image routing
 
   test("empty-password RC4 PDFs decrypt and extract (pdf_decrypted); " +
