@@ -867,6 +867,9 @@ object PdfTextPartitioner {
             case "'" | "\"" => brokeLine = true; emit()
             case "Td" | "TD" | "T*" | "ET" => brokeLine = true
             case "Tf" => curFont = fonts.get(lastName)
+            // inline image: raw pixel bytes follow ID and must never
+            // reach the operand scanner (binary can spell "(…) Tj")
+            case "BI" => i = skipInlineImage(cs, i)
             case _ => ()
           }
           operands.clear()
@@ -874,6 +877,31 @@ object PdfTextPartitioner {
       } else i += 1
     }
     out.toString
+  }
+
+  /** Skip an inline image (`BI` dict `ID` binary `EI`): from just
+    * after the `BI` token, advance past the image dictionary to the
+    * `ID` token, then past the binary payload to a whitespace-
+    * delimited `EI` (the payload is raw bytes — `EI` inside pixel
+    * data without whitespace on both sides does not terminate).
+    * Unterminated images consume the rest of the stream (skip, never
+    * misparse). */
+  private def skipInlineImage(cs: String, from: Int): Int = {
+    val n = cs.length
+    // find the ID token (preceded by whitespace or a delimiter, and
+    // followed by one whitespace byte before the data)
+    var i = from
+    while (i + 1 < n &&
+        !(cs.charAt(i) == 'I' && cs.charAt(i + 1) == 'D' &&
+          (i == 0 || cs.charAt(i - 1).isWhitespace || isDelim(cs.charAt(i - 1))) &&
+          (i + 2 >= n || !isRegular(cs.charAt(i + 2))))) i += 1
+    if (i + 1 >= n) return n
+    var j = i + 3                               // ID + the single data separator
+    while (j + 1 < n &&
+        !(cs.charAt(j) == 'E' && cs.charAt(j + 1) == 'I' &&
+          cs.charAt(j - 1).isWhitespace &&
+          (j + 2 >= n || !isRegular(cs.charAt(j + 2))))) j += 1
+    if (j + 1 >= n) n else j + 2
   }
 
   /** `(…)` literal string from `start` (at the '('): returns (value,

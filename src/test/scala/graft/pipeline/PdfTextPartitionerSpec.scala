@@ -561,6 +561,21 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
     assert(!PdfTextPartitioner.objects(bos2.toByteArray).contains(5))
   }
 
+  test("inline images (BI…ID…EI) are skipped: binary payloads that " +
+    "spell show operators never inject garbage text") {
+    // payload contains "(fake) Tj", a non-delimited EIx, and binary
+    // bytes; only the real whitespace-delimited EI terminates
+    val cs = "BT (before) Tj ET " +
+      "BI /W 2 /H 2 /BPC 8 /CS /G ID (fake) Tj EIxÿ EI " +
+      "BT (after) Tj ET"
+    assert(p.partition(pdf(cs, compress = false), PartitionStrategy.OcrOnly) ===
+      Seq("before\nafter"))
+    // unterminated image: rest of the stream skipped, never misparsed
+    val cs2 = "BT (kept) Tj ET BI /W 1 ID  (lost) Tj"
+    assert(p.partition(pdf(cs2, compress = false), PartitionStrategy.OcrOnly) ===
+      Seq("kept"))
+  }
+
   test("per-page font scoping: the same /F1 name bound to DIFFERENT " +
     "fonts on different pages decodes each page under its own CMap") {
     def cmapStream(num: Int, entries: Seq[(Int, Char)]): String = {
