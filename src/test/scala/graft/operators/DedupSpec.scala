@@ -210,4 +210,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.toSeq === Seq((1L, 2L, 0.6)))
   }
+
+  test("jaccardPairs ≡ brute force over a randomized blocked corpus " +
+    "(the r14 prefix-filtered candidate scheme must change NOTHING)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    val vocab = ('a' to 'z').map(_.toString)
+    val docs = (1L to 120L).map { i =>
+      val nt = 2 + rnd.nextInt(10)
+      val toks = Seq.fill(nt)(vocab(rnd.nextInt(vocab.size))).distinct
+      val lang = if (rnd.nextBoolean()) "en" else "fr"
+      (i, toks.mkString(" "), lang, (20 + rnd.nextInt(80)).toLong)
+    }
+    val got = Dedup.jaccardPairs(
+        docs.toDF("doc_id", "text", "lang", "n_chars"),
+        "doc_id", "text", "lang", "n_chars", sizeBand = 30, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def r4(d: Double) = math.floor(d * 10000.0 + 0.5) / 10000.0
+    val sets = docs.map { case (id, t, l, sz) => (id, t.split(" ").toSet, l, sz) }
+    val expect = (for {
+      a <- sets; b <- sets
+      if a._1 < b._1 && a._3 == b._3 && math.abs(a._4 - b._4) <= 30
+      inter = (a._2 & b._2).size.toDouble
+      j = inter / (a._2.size + b._2.size - inter)
+      if j > 0.5
+    } yield (a._1, b._1, r4(j))).toSet
+    assert(expect.nonEmpty, "degenerate fixture: no qualifying pairs")
+    assert(got === expect)
+  }
 }
