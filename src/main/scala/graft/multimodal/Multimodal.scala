@@ -185,13 +185,26 @@ object Multimodal {
     */
   final case class ImageIoCodec() extends MediaCodec {
     import javax.imageio.ImageIO
+    import ImageIoCodec.pngBytes
 
     /** Header-only reader access; None when no installed reader
       * recognizes the bytes.
+      *
+      * The input stream is a [[javax.imageio.stream.MemoryCacheImageInputStream]]
+      * by construction — NEVER `ImageIO.createImageInputStream`, whose
+      * JVM default (`getUseCache == true`) spools every already-in-memory
+      * blob to a temp file in `java.io.tmpdir` before decoding. One
+      * create/write/delete per image turns a CPU-bound narrow map into a
+      * disk-IOPS-bound one on a 100 TB media corpus (and was the measured
+      * root cause of the r14 q202 bench trip). [[ImageIoCodec.init]]
+      * additionally flips the per-JVM default off so no indirect ImageIO
+      * path regresses to the disk cache.
       */
     private def withReader[A](content: Array[Byte])(f: javax.imageio.ImageReader => A): Option[A] = {
       if (content == null || content.length == 0) return None
-      val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(content))
+      ImageIoCodec.init
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(content))
       try {
         val readers = ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -249,11 +262,8 @@ object Multimodal {
       }.getOrElse(0)
 
     override def frameAt(content: Array[Byte], idx: Int): Array[Byte] =
-      withReader(content) { r =>
-        val out = new java.io.ByteArrayOutputStream()
-        ImageIO.write(r.read(idx), "png", out)
-        out.toByteArray
-      }.getOrElse(Array.empty[Byte])
+      withReader(content)(r => pngBytes(r.read(idx)))
+        .getOrElse(Array.empty[Byte])
 
     /** Real downscale/upscale: bilinear Graphics2D draw into the
       * target raster, re-encoded as PNG.
@@ -270,10 +280,32 @@ object Multimodal {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(src, 0, 0, w, h, null)
         } finally g.dispose()
-        val out = new java.io.ByteArrayOutputStream()
-        ImageIO.write(dst, "png", out)
-        out.toByteArray
+        pngBytes(dst)
       }.getOrElse(Array.empty[Byte])
+  }
+
+  object ImageIoCodec {
+    /** One-time per-JVM guard: disable ImageIO's disk-backed stream
+      * cache so `createImageInputStream`/`createImageOutputStream`
+      * anywhere on this executor return memory-cached streams. The
+      * codec constructs memory streams directly regardless; this pins
+      * the default for any indirect path (e.g. `ImageIO.read` in
+      * future code).
+      */
+    lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    /** PNG-encode through an explicit in-memory ImageOutputStream —
+      * the `ImageIO.write(img, fmt, OutputStream)` convenience overload
+      * routes through `createImageOutputStream`, which under the JVM
+      * default spools the encode to a temp file first.
+      */
+    private[multimodal] def pngBytes(img: java.awt.image.RenderedImage): Array[Byte] = {
+      init
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+      out.toByteArray
+    }
   }
 
   /** Parse binary headers into a typed metadata struct column.

@@ -3,7 +3,7 @@ package graft.operators
 import scala.util.hashing.MurmurHash3
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data curation (project
@@ -788,7 +788,9 @@ object Dedup {
       blockCol: String,
       sizeCol: String,
       sizeBand: Long,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBroadcastDocs: Long = 1000000L,
+      maxBroadcastBytes: Long = 1L << 30): DataFrame = {
     require(sizeBand > 0)
     graft.functions.SortedIntersectCount.register(docs.sparkSession)
     import graft.functions.SortedIntersectCount.sorted_intersect_count
@@ -845,10 +847,19 @@ object Dedup {
 
     // verify sides broadcast while the doc table fits (the r14 probe
     // found these joins falling to sort-merge over the candidate
-    // stream past the 10 MB auto threshold)
-    val nDocs = toks.count()
+    // stream past the 10 MB auto threshold) — gated on BOTH row count
+    // and an estimated byte size: a million docs each carrying a large
+    // sorted token array would blow the driver/broadcast ceiling that
+    // the row count alone cannot see. ~48 bytes/token string + ~64
+    // bytes/row of array+id overhead is deliberately pessimistic.
+    val Row(nDocs: Long, totalToks: Long) = toks
+      .agg(count(lit(1)), coalesce(sum(col("nt").cast("long")), lit(0L)))
+      .head()
+    val estBytes = totalToks * 48L + nDocs * 64L
     def verifySide(df: DataFrame): DataFrame =
-      if (nDocs <= 1000000L) broadcast(df) else df
+      if (nDocs <= maxBroadcastDocs && estBytes <= maxBroadcastBytes)
+        broadcast(df)
+      else df
     cands
       .join(verifySide(
         toks.select(col("id").as("id_l"), col("toks").as("toks_l"))), "id_l")

@@ -111,5 +111,17 @@ object KafkaRuntime {
   def resolvedFailOnDataLoss(explicit: Option[Boolean]): Option[Boolean] =
     explicit.orElse(
       sys.env.get(FailOnDataLossEnv).map(_.trim).filter(_.nonEmpty)
-        .map(_.toBoolean))
+        .map(parseBooleanEnv(FailOnDataLossEnv, _)))
+
+  /** Case-insensitive true/false parse that names the offending env
+    * var — `_.toBoolean` on a value like "yes" crashes query startup
+    * with a bare `For input string: "yes"` that identifies nothing.
+    */
+  private[streaming] def parseBooleanEnv(name: String, raw: String): Boolean =
+    raw.trim.toLowerCase match {
+      case "true"  => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"$name must be 'true' or 'false' (case-insensitive), got '$other'")
+    }
 }

@@ -141,6 +141,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1) > f(0) && f(3) > f(2))
   }
 
+  test("ImageIoCodec: decode/encode never touches a disk cache (r14 q202 root cause)") {
+    // The JVM-default ImageIO stream cache spools every in-memory blob
+    // to a temp file before decoding — per-image disk IOPS on a 100 TB
+    // media corpus, and the measured cause of the r14 q202 bench trip.
+    // Contract: the codec constructs memory-cached streams directly
+    // AND flips the per-JVM default off. Enforcement: point ImageIO's
+    // cache at a READ-ONLY directory — any code path that still tried
+    // to create a disk cache file would throw inside decode and the
+    // assertions below would see invalid/empty results.
+    val codec = Multimodal.ImageIoCodec()
+    val dir = java.nio.file.Files.createTempDirectory("graft-imageio-guard")
+    val prevDir = javax.imageio.ImageIO.getCacheDirectory
+    try {
+      javax.imageio.ImageIO.setCacheDirectory(dir.toFile)
+      dir.toFile.setWritable(false)
+      val png = realImage(32, 24, "png")
+      val jpg = realImage(16, 16, "jpg")
+      for (_ <- 1 to 25) {
+        assert(codec.decodeMeta(png).valid)
+        assert(codec.features(jpg, 8).exists(_ != 0.0f))
+        assert(codec.frameAt(png, 0).nonEmpty)   // PNG re-encode path
+        assert(codec.resize(jpg, 8, 8).nonEmpty) // encode path
+      }
+      assert(!javax.imageio.ImageIO.getUseCache,
+        "codec init must pin the per-JVM ImageIO cache default off")
+      assert(dir.toFile.listFiles() === null || dir.toFile.listFiles().isEmpty,
+        "no ImageIO cache files may appear during decode/encode")
+    } finally {
+      dir.toFile.setWritable(true)
+      javax.imageio.ImageIO.setCacheDirectory(prevDir)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("FakeCodec: resize is meta-consistent, area-proportional, deterministic") {
     val codec = Multimodal.FakeCodec()
     val src = codec.encode(100, 100, Array.fill(1000)(7.toByte))

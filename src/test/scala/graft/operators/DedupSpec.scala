@@ -238,4 +238,24 @@ class DedupSpec extends SparkSpec {
     assert(expect.nonEmpty, "degenerate fixture: no qualifying pairs")
     assert(got === expect)
   }
+
+  test("jaccardPairs: verify-join output is broadcast-gate-independent " +
+    "(byte-size gate can fall to the shuffle plan without changing pairs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(15)
+    val vocab = ('a' to 'z').map(_.toString)
+    val docs = (1L to 60L).map { i =>
+      val toks = Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).distinct
+      (i, toks.mkString(" "), "en", (20 + rnd.nextInt(40)).toLong)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    def run(maxDocs: Long, maxBytes: Long) =
+      Dedup.jaccardPairs(docs, "doc_id", "text", "lang", "n_chars",
+          sizeBand = 30, threshold = 0.5,
+          maxBroadcastDocs = maxDocs, maxBroadcastBytes = maxBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val broadcasted = run(1000000L, 1L << 30)
+    val shuffled = run(0L, 0L)           // gate closed: sort-merge path
+    assert(broadcasted.nonEmpty)
+    assert(shuffled === broadcasted)
+  }
 }

@@ -66,6 +66,18 @@ class KafkaRuntimeSpec extends SparkSpec {
     assert(KafkaRuntime.resolvedFailOnDataLoss(Some(false)) === Some(false))
   }
 
+  test("boolean env parse is case-insensitive and names the variable on garbage") {
+    // `_.toBoolean` on "yes" crashed query startup with a bare
+    // 'For input string: "yes"' that identified nothing (r14 ADVICE)
+    assert(KafkaRuntime.parseBooleanEnv(KafkaRuntime.FailOnDataLossEnv, "TRUE"))
+    assert(!KafkaRuntime.parseBooleanEnv(KafkaRuntime.FailOnDataLossEnv, " False "))
+    val ex = intercept[IllegalArgumentException] {
+      KafkaRuntime.parseBooleanEnv(KafkaRuntime.FailOnDataLossEnv, "yes")
+    }
+    assert(ex.getMessage.contains(KafkaRuntime.FailOnDataLossEnv))
+    assert(ex.getMessage.contains("yes"))
+  }
+
   test("the downstream contract runs green on the active path") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
