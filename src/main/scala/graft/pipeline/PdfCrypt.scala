@@ -2,14 +2,21 @@ package graft.pipeline
 
 import java.nio.charset.StandardCharsets
 
-/** PDF standard security handler (public spec: PDF 32000-1 §7.6.3),
-  * the EMPTY-USER-PASSWORD subset — "readable by design" documents
-  * that any viewer opens without prompting (most encrypted PDFs in a
-  * web corpus are this shape: encryption asserts permissions, not
-  * secrecy). Scope: /Filter /Standard, V 1-2 (RC4 40..128 bit,
-  * R 2-3) and V 4 with the /AESV2 crypt filter (AES-128-CBC, R 4).
-  * AES-256 (V 5, a different derivation family) and real passwords
-  * stay classified as `pdf_encrypted` — detected, never misparsed.
+/** PDF standard security handler (public spec: PDF 32000-1 §7.6.3
+  * and the 32000-2 V5 revision), the EMPTY-USER-PASSWORD subset —
+  * "readable by design" documents that any viewer opens without
+  * prompting (most encrypted PDFs in a web corpus are this shape:
+  * encryption asserts permissions, not secrecy). Scope: /Filter
+  * /Standard, V 1-2 (RC4 40..128 bit, R 2-3), V 4 with the /AESV2
+  * (AES-128-CBC, R 4) or /V2 (RC4) crypt filter, and **V 5
+  * (AES-256-CBC) with R 5 (plain-SHA-256 derivation) or R 6 (the
+  * ISO 32000-2 Algorithm 2.B hardened hash)** — the default of
+  * current PDF writers. A V 4/5 file whose `/StmF` is `/Identity`
+  * (or absent — Identity is the spec default) stores its STREAMS in
+  * plaintext: such a file passes through untranscrypted and the text
+  * layer extracts directly. Real passwords and out-of-subset
+  * handlers stay classified as `pdf_encrypted` — detected, never
+  * misparsed.
   *
   * The decrypt pipeline rewrites stream payloads IN PLACE under their
   * per-object keys (Algorithm 1: MD5(fileKey ‖ objnum₃LE ‖ gen₂LE),
@@ -72,13 +79,21 @@ object PdfCrypt {
     (pwd.take(32) ++ Pad).take(32)
 
   /** /Encrypt parameters of the standard handler (plus the trailer's
-    * first /ID element, which salts every key). `aes` marks the V4
-    * /AESV2 crypt filter (AES-128-CBC streams); `encryptMetadata`
-    * feeds the R4 key-derivation extension. */
+    * first /ID element, which salts every V≤4 key). `aes` marks an
+    * AES crypt filter (AES-128 /AESV2 at V4, AES-256 /AESV3 at V5);
+    * `encryptMetadata` feeds the R4 key-derivation extension;
+    * `streamsPlain` marks a V4/V5 file whose `/StmF` resolves to
+    * `/Identity` — streams stored in PLAINTEXT (only strings
+    * encrypted), so no transcryption may touch them; `ue` is the V5
+    * /UE entry (the file key wrapped under the user-password
+    * intermediate key); `permsV5` is the V5 /Perms validator. */
   final case class StdSecurity(
       r: Int, v: Int, length: Int,
       o: Array[Byte], u: Array[Byte], p: Int, id0: Array[Byte],
-      aes: Boolean = false, encryptMetadata: Boolean = true)
+      aes: Boolean = false, encryptMetadata: Boolean = true,
+      streamsPlain: Boolean = false,
+      ue: Array[Byte] = Array.empty,
+      permsV5: Array[Byte] = Array.empty)
 
   private def keyBytes(sec: StdSecurity): Int =
     if (sec.r == 2) 5 else math.max(5, math.min(16, sec.length / 8))
@@ -123,12 +138,128 @@ object PdfCrypt {
       u ++ new Array[Byte](16)       // 16 bytes of padding, value-free
     }
 
-  /** Algorithm 6: does the EMPTY user password open this file? */
-  def emptyUserPasswordWorks(sec: StdSecurity): Boolean = {
-    val expect = computeU(fileKey(sec), sec.id0, sec.r)
-    val cmp = if (sec.r == 2) 32 else 16
-    sec.u.length >= cmp && java.util.Arrays.equals(
-      expect.take(cmp), sec.u.take(cmp))
+  /** Algorithm 6: does the EMPTY user password open this file?
+    * V5 revisions validate through the SHA-2 family instead
+    * ([[fileKeyV5]]). */
+  def emptyUserPasswordWorks(sec: StdSecurity): Boolean =
+    if (sec.r >= 5) fileKeyV5(sec).isDefined
+    else {
+      val expect = computeU(fileKey(sec), sec.id0, sec.r)
+      val cmp = if (sec.r == 2) 32 else 16
+      sec.u.length >= cmp && java.util.Arrays.equals(
+        expect.take(cmp), sec.u.take(cmp))
+    }
+
+  // ---- V5 (AES-256) derivation: ISO 32000-2 §7.6.4.3.3/4 ----------
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesCbcNoPad(
+      mode: Int, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 2.B (R 6): the hardened SHA-2 hash — at least 64
+    * rounds of (repeat input 64×, AES-128-CBC under the running
+    * hash's halves, re-hash with SHA-256/384/512 picked by the
+    * ciphertext mod 3), ending once round ≥ 64 and the ciphertext's
+    * last byte ≤ round − 32. R 5 (the deprecated pre-ISO revision)
+    * is the plain SHA-256 of the same input. `udata` is the full
+    * 48-byte /U string when hashing an OWNER password, empty for a
+    * user password. */
+  def hash2B(
+      r: Int, pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", pwd, salt, udata)
+    if (r == 5) return k
+    var round = 0
+    var done = false
+    while (!done) {
+      val one = pwd ++ k ++ udata
+      val k1 = new Array[Byte](one.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(one, 0, k1, i * one.length, one.length); i += 1
+      }
+      val e = aesCbcNoPad(javax.crypto.Cipher.ENCRYPT_MODE,
+        k.take(16), k.slice(16, 32), k1)
+      // first 16 bytes as a big-endian integer mod 3 ≡ byte-sum mod 3
+      // (256 ≡ 1 mod 3)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(mod match {
+        case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+      }, e)
+      round += 1
+      if (round >= 64 && (e.last & 0xff) <= round - 32) done = true
+    }
+    k.take(32)
+  }
+
+  /** The V5 file encryption key for the EMPTY user password: validate
+    * the password against /U's hash + validation salt (bytes 32..40),
+    * then unwrap /UE under the key-salt (bytes 40..48) intermediate
+    * key with AES-256-CBC, zero IV. When /Perms is present its
+    * decryption must spell the spec's `adb` marker (bytes 9..11) —
+    * a wrong-key unwrap fails closed. None ⇒ the file needs a real
+    * password (stays `pdf_encrypted`). */
+  def fileKeyV5(sec: StdSecurity, userPwd: Array[Byte] = Array.empty): Option[Array[Byte]] = {
+    if (sec.u.length < 48 || sec.ue.length < 32) return None
+    val pwd = userPwd.take(127)
+    val valSalt = sec.u.slice(32, 40)
+    val keySalt = sec.u.slice(40, 48)
+    if (!java.util.Arrays.equals(
+        hash2B(sec.r, pwd, valSalt, Array.empty), sec.u.take(32)))
+      return None
+    try {
+      val ik = hash2B(sec.r, pwd, keySalt, Array.empty)
+      val fk = aesCbcNoPad(javax.crypto.Cipher.DECRYPT_MODE,
+        ik, new Array[Byte](16), sec.ue.take(32))
+      if (sec.permsV5.length >= 16) {
+        val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(fk, "AES"))
+        val p = c.doFinal(sec.permsV5.take(16))
+        if (!(p(9) == 'a' && p(10) == 'd' && p(11) == 'b')) return None
+      }
+      Some(fk)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fixture-side V5 (R 5/6) /U‖/UE‖/O‖/OE‖/Perms entries for a given
+    * file key — the same spec arithmetic run forward, with salts
+    * derived deterministically from the file key so fixtures are
+    * reproducible. Returns (u, ue, o, oe, perms). */
+  def computeV5Entries(
+      r: Int, fileKey: Array[Byte], p: Int,
+      userPwd: Array[Byte] = Array.empty,
+      ownerPwd: Array[Byte] = Array.empty): (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    def salt(tag: String): Array[Byte] =
+      sha("SHA-256", fileKey, tag.getBytes(StandardCharsets.ISO_8859_1)).take(8)
+    val (uv, uk) = (salt("uval"), salt("ukey"))
+    val u = hash2B(r, userPwd, uv, Array.empty) ++ uv ++ uk
+    val ue = aesCbcNoPad(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2B(r, userPwd, uk, Array.empty), new Array[Byte](16), fileKey)
+    val (ov, ok) = (salt("oval"), salt("okey"))
+    val o = hash2B(r, ownerPwd, ov, u) ++ ov ++ ok
+    val oe = aesCbcNoPad(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2B(r, ownerPwd, ok, u), new Array[Byte](16), fileKey)
+    val permsPlain = Array[Byte](
+      (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      'T', 'a', 'd', 'b') ++ salt("perms").take(4)
+    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+    (u, ue, o, oe, c.doFinal(permsPlain))
   }
 
   /** Algorithm 1: the per-object key — AES appends the spec's `sAlT`
@@ -162,11 +293,14 @@ object PdfCrypt {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Fixture-side AES-128-CBC encrypt with a DETERMINISTIC IV derived
-    * from the object key (fixtures must be reproducible; uniqueness
-    * per object is what CBC needs here, not unpredictability). */
-  def aesEncrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val iv = md5(key, Array('i', 'v').map(_.toByte)).take(16)
+  /** Fixture-side AES-CBC encrypt (128 or 256 by key length) with a
+    * DETERMINISTIC IV derived from the key and an optional per-stream
+    * seed (fixtures must be reproducible; per-stream uniqueness is
+    * what CBC needs here, not unpredictability — V5 shares ONE file
+    * key across all streams, so the seed carries the object number). */
+  def aesEncrypt(key: Array[Byte], data: Array[Byte],
+      ivSeed: Array[Byte] = Array.empty): Array[Byte] = {
+    val iv = md5(key, Array[Byte]('i', 'v'), ivSeed).take(16)
     val pad = 16 - (data.length % 16)
     val padded = data ++ Array.fill(pad)(pad.toByte)
     val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
@@ -239,34 +373,82 @@ object PdfCrypt {
     } else None
   }
 
-  /** Parse the standard-handler parameters: trailer `/Encrypt N 0 R`
-    * → the (unencrypted) encryption dictionary, plus the trailer's
-    * first /ID element. None when absent or not the V≤2 standard
-    * handler (AES and crypt-filter files stay classified, not
-    * decrypted). */
+  /** The `/StmF` stream crypt filter name: absent means `/Identity`
+    * per spec (streams stored PLAINTEXT — only strings encrypted). */
+  private def stmFilter(dict: String): String =
+    """/StmF\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(dict)
+      .map(_.group(1)).getOrElse("Identity")
+
+  /** The /StdCF crypt filter's /CFM method name, when declared. */
+  private def stdCfMethod(dict: String): Option[String] =
+    for {
+      cf <- """(?s)/StdCF\s*<<(.*?)>>""".r.findFirstMatchIn(dict)
+      m <- """/CFM\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(cf.group(1))
+    } yield m.group(1)
+
+  /** Parse the standard-handler parameters. The `/Encrypt N 0 R`
+    * reference lives in the `trailer` dictionary — or, in
+    * xref-stream-only files (the dominant container for V4/V5
+    * encryption), in the `/Type /XRef` stream dictionary, which this
+    * falls back to when no trailer keyword carries the entry (the
+    * r14 gap that left the AES leg dead on modern corpora). The
+    * winning container window also supplies the first /ID element.
+    * None when absent or out of subset (real crypt-filter exotica
+    * stay classified, not decrypted). */
   def parse(bytes: Array[Byte]): Option[StdSecurity] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
-    val tIdx = s.lastIndexOf("trailer")
-    if (tIdx < 0) return None
-    val trailer = s.substring(tIdx, math.min(s.length, tIdx + 2048))
+    val encRefRe = """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r
+    def window(at: Int, back: Int, fwd: Int): String =
+      s.substring(math.max(0, at - back), math.min(s.length, at + fwd))
+    // encryption-dict container: last trailer carrying /Encrypt, else
+    // the last /XRef-marked window carrying it (xref-stream files)
+    val container: Option[String] = {
+      def lastWindowWith(kw: String, back: Int, fwd: Int): Option[String] = {
+        var best: Option[String] = None
+        var i = s.indexOf(kw)
+        while (i >= 0) {
+          val w = window(i, back, fwd)
+          if (encRefRe.findFirstIn(w).isDefined) best = Some(w)
+          i = s.indexOf(kw, i + kw.length)
+        }
+        best
+      }
+      lastWindowWith("trailer", 0, 2048)
+        .orElse(lastWindowWith("/XRef", 2048, 2048))
+    }
     for {
-      encRef <- """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r.findFirstMatchIn(trailer)
+      cont <- container
+      encRef <- encRefRe.findFirstMatchIn(cont)
       encObj <- PdfTextPartitioner.objects(bytes).get(encRef.group(1).toInt)
       dict = encObj.dict
       if dict.contains("/Standard")
       v = intKey(dict, "/V").getOrElse(0)
-      aes = v == 4 && dict.contains("/AESV2")
-      if v == 1 || v == 2 || aes
+      stmf = stmFilter(dict)
+      cfm = stdCfMethod(dict)
+      // V4/V5 stream handling: /Identity ⇒ plaintext streams (no
+      // transcryption — 'decrypting' them would destroy real text);
+      // /StdCF ⇒ the declared method must be one we implement
+      plainStreams = (v == 4 || v == 5) && stmf == "Identity"
+      aes = !plainStreams &&
+        ((v == 4 && cfm.contains("AESV2")) || (v == 5 && cfm.contains("AESV3")))
+      v4rc4 = v == 4 && !plainStreams && cfm.contains("V2")
+      if v == 1 || v == 2 || aes || v4rc4 || plainStreams
       r <- intKey(dict, "/R")
-      if r == 2 || r == 3 || (r == 4 && aes)
+      if r == 2 || r == 3 || (r == 4 && v == 4) ||
+        ((r == 5 || r == 6) && v == 5)
       o <- dictString(dict, "/O") if o.length >= 32
       u <- dictString(dict, "/U")
       p <- intKey(dict, "/P")
-      id0 <- dictString(trailer, "/ID").orElse(Some(Array.empty[Byte]))
+      id0 <- dictString(cont, "/ID").orElse(Some(Array.empty[Byte]))
     } yield StdSecurity(r, v,
-      if (aes) 128 else intKey(dict, "/Length").getOrElse(40),
+      if (v == 5) 256
+      else if (aes) 128
+      else intKey(dict, "/Length").getOrElse(if (v == 4) 128 else 40),
       o, u, p, id0, aes,
-      encryptMetadata = !dict.contains("/EncryptMetadata false"))
+      encryptMetadata = !dict.contains("/EncryptMetadata false"),
+      streamsPlain = plainStreams,
+      ue = dictString(dict, "/UE").getOrElse(Array.empty),
+      permsV5 = dictString(dict, "/Perms").getOrElse(Array.empty))
   }
 
   // ---- whole-file stream transcryption -----------------------------
@@ -293,17 +475,27 @@ object PdfCrypt {
         val dict = s.substring(start, streamKw)
         PdfTextPartitioner.streamSpanFor(s, streamKw, dict) match {
           case Some((ds, de, end)) =>
-            val enc = f(num, gen,
-              java.util.Arrays.copyOfRange(bytes, ds, de))
-            // shorter results (AES strips IV + padding) pad with
-            // spaces so offsets survive; longer results are a
-            // contract violation and are truncated defensively
-            val n = math.min(enc.length, de - ds)
-            System.arraycopy(enc, 0, out, ds, n)
-            var k = ds + n
-            while (k < de) { out(k) = ' '.toByte; k += 1 }
+            // xref streams are NEVER encrypted (spec: they must be
+            // readable to FIND /Encrypt) — transcrypting one would
+            // destroy plaintext
+            if (!dict.contains("/XRef")) {
+              val enc = f(num, gen,
+                java.util.Arrays.copyOfRange(bytes, ds, de))
+              // shorter results (AES strips IV + padding) pad with
+              // spaces so offsets survive; longer results are a
+              // contract violation and are truncated defensively
+              val n = math.min(enc.length, de - ds)
+              System.arraycopy(enc, 0, out, ds, n)
+              var k = ds + n
+              while (k < de) { out(k) = ' '.toByte; k += 1 }
+            }
             minPos = end
-          case None => minPos = streamKw + 6
+          case None =>
+            // unresolvable span ⇒ no endstream anywhere after this
+            // point: everything to EOF is payload bytes, and payload
+            // spelling 'N G obj … stream' must not fabricate a
+            // phantom object that gets spuriously rewritten
+            minPos = s.length
         }
       } else if (endobj >= 0) minPos = endobj + 6
     }
@@ -321,13 +513,25 @@ object PdfCrypt {
     * whitespace tokens; a failed shape decrypts to nothing, never to
     * misparsed bytes). */
   def decryptStreams(bytes: Array[Byte]): Option[Array[Byte]] =
-    parse(bytes).filter(emptyUserPasswordWorks).map { sec =>
-      val fk = fileKey(sec)
-      mapStreams(bytes) { (num, gen, data) =>
-        if (sec.aes)
-          aesDecrypt(objectKey(fk, num, gen, aes = true), data)
-            .getOrElse(Array.fill(data.length)(' '.toByte))
-        else rc4(objectKey(fk, num, gen), data)
+    parse(bytes).filter(emptyUserPasswordWorks).flatMap { sec =>
+      if (sec.streamsPlain)
+        Some(bytes)      // /StmF /Identity: streams stored plaintext
+      else if (sec.r >= 5)
+        // V5: one AES-256 file key for every object — no per-object
+        // derivation (ISO 32000-2 §7.6.3.2 note 3)
+        fileKeyV5(sec).map { fk =>
+          mapStreams(bytes)((_, _, data) =>
+            aesDecrypt(fk, data)
+              .getOrElse(Array.fill(data.length)(' '.toByte)))
+        }
+      else {
+        val fk = fileKey(sec)
+        Some(mapStreams(bytes) { (num, gen, data) =>
+          if (sec.aes)
+            aesDecrypt(objectKey(fk, num, gen, aes = true), data)
+              .getOrElse(Array.fill(data.length)(' '.toByte))
+          else rc4(objectKey(fk, num, gen), data)
+        })
       }
     }
 

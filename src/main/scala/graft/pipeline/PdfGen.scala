@@ -422,15 +422,151 @@ object PdfGen {
     bos.toByteArray
   }
 
+  /** REAL AES-256 encrypted PDF (standard handler V5 with the /AESV3
+    * crypt filter, R 6 by default — the CURRENT writer default): one
+    * file key for every stream (no per-object derivation at V5),
+    * /U‖/UE computed with the ISO 32000-2 Algorithm 2.B hardened hash
+    * (R 5 uses the plain-SHA-256 pre-ISO derivation), /Perms carrying
+    * the spec's `adb` marker. Empty `userPwd` ⇒ readable by design
+    * (`pdf_decrypted`); a real one ⇒ `pdf_encrypted`. `xrefTail`
+    * emits the encryption reference in a `/Type /XRef` STREAM
+    * dictionary instead of a `trailer` keyword — the xref-stream-only
+    * container every modern writer produces, which a trailer-only
+    * parser never sees. */
+  def encryptedAes256(
+      text: String, userPwd: String = "", r: Int = 6,
+      xrefTail: Boolean = false): Array[Byte] = {
+    val v = 5; val perms = -44
+    val pwd = userPwd.getBytes(StandardCharsets.ISO_8859_1)
+    val fk = PdfCrypt.md5(("v5:" + text).getBytes(StandardCharsets.UTF_8)) ++
+      PdfCrypt.md5(("v5b:" + text).getBytes(StandardCharsets.UTF_8))
+    val (u, ue, o, oe, permsV5) =
+      PdfCrypt.computeV5Entries(r, fk, perms, pwd, pwd)
+    val id0 = PdfCrypt.md5(("v5id:" + text).getBytes(StandardCharsets.UTF_8))
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    def encStream(num: Int, dictExtra: String, plain: Array[Byte]): String =
+      streamObj(num, dictExtra,
+        PdfCrypt.aesEncrypt(fk, plain, Array((num & 0xff).toByte)))
+    val pages = text.split('\f').toSeq
+    val head = Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      s"2 0 obj << /Type /Pages /Kids [${pages.indices.map(i => s"${10 + i} 0 R").mkString(" ")}] /Count ${pages.size} >> endobj\n",
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    val body = pages.zipWithIndex.flatMap { case (p, i) =>
+      val cs = contentOps(
+        p.split('\n').map(_.trim).filter(_.nonEmpty).toSeq.map(l => s"(${esc(l)})"))
+      Seq(
+        s"${10 + i} 0 obj << /Type /Page /Parent 2 0 R /Contents ${100 + i} 0 R " +
+          "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+        encStream(100 + i, "/Filter /FlateDecode ",
+          deflate(cs.getBytes(StandardCharsets.ISO_8859_1))))
+    }
+    val encDict =
+      s"9 0 obj << /Filter /Standard /V $v /R $r /Length 256 /P $perms " +
+        "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+        "/StmF /StdCF /StrF /StdCF " +
+        s"/O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}> " +
+        s"/Perms <${hex(permsV5)}> >> endobj\n"
+    val tail =
+      if (!xrefTail)
+        encDict +
+          "trailer << /Size 10 /Root 1 0 R /Encrypt 9 0 R " +
+          s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\nstartxref\n0\n%%EOF\n"
+      else {
+        // xref STREAM container: /Encrypt + /ID live in the stream
+        // dict; the (plaintext — xref streams are never encrypted)
+        // payload is a token deflate blob, unused by the linear scan
+        val xr = deflate(Array[Byte](0, 0, 0))
+        encDict +
+          streamObj(8,
+            "/Type /XRef /Size 10 /W [1 2 1] /Root 1 0 R /Encrypt 9 0 R " +
+              s"/ID [<${hex(id0)}> <${hex(id0)}>] /Filter /FlateDecode ", xr) +
+          "startxref\n0\n%%EOF\n"
+      }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("%PDF-1.7\n".getBytes(StandardCharsets.ISO_8859_1))
+    (head ++ body).foreach(x => bos.write(x.getBytes(StandardCharsets.ISO_8859_1)))
+    bos.write(tail.getBytes(StandardCharsets.ISO_8859_1))
+    bos.toByteArray
+  }
+
+  /** Char → AGL glyph name, inverted from the extractor's own table
+    * (single-codepoint values only) — fixture-side counterpart of
+    * [[PdfTextPartitioner.glyphToText]]. */
+  private lazy val glyphNameFor: Map[Char, String] =
+    PdfTextPartitioner.GlyphNames.collect {
+      case (n, v) if v.length == 1 => v.head -> n
+    }
+
+  /** Simple-font PDF whose `/Encoding /Differences` array remaps the
+    * text's distinct chars to codes 161+ (TeX Type1 subset shape): a
+    * parser that ignores the remap emits high-Latin-1 mojibake, one
+    * that honors it recovers the text. Chars without a known glyph
+    * name fall back to '?'. With `unknownGlyphs`, every name becomes
+    * a `gNN` subset-private glyph — no text must extract (the
+    * document falls to the OCR seam rather than emitting raw
+    * bytes). Texts with > 90 distinct chars fall back to [[simple]]
+    * (the code space above 160 is exhausted). */
+  def differences(text: String, unknownGlyphs: Boolean = false): Array[Byte] = {
+    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    val safe = lines.map(_.map(c =>
+      if (glyphNameFor.contains(c)) c else '?'))
+    val chars = safe.mkString.distinct
+    if (chars.length > 90) return simple(text)
+    val code: Map[Char, Int] = chars.zipWithIndex
+      .map { case (c, i) => c -> (161 + i) }.toMap
+    val names = chars.zipWithIndex.map { case (c, i) =>
+      if (unknownGlyphs) s"g${40 + i}" else glyphNameFor(c) }
+    val diffs = s"161 ${names.map("/" + _).mkString(" ")}"
+    def encShow(line: String): String =
+      "(" + line.map(c => code(c).toChar).flatMap {
+        case '\\' => "\\\\"
+        case '(' => "\\("
+        case ')' => "\\)"
+        case c => c.toString
+      } + ")"
+    val cs = contentOps(safe.map(encShow))
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /GRAFT+Diff " +
+        s"/Encoding << /Type /Encoding /Differences [ $diffs ] >> >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+      streamObj(100, "/Filter /FlateDecode ",
+        deflate(cs.getBytes(StandardCharsets.ISO_8859_1)))))
+  }
+
+  /** Append an incremental update that REDEFINES `objNum` with a new
+    * Flate content stream showing `newText` — the PDF 32000-1 §7.5.6
+    * shape (replacement objects appended after the original body and
+    * `%%EOF`). Extraction must see ONLY the new text for that object:
+    * the last definition in the byte stream is the visible one. */
+  def withUpdatedContent(
+      pdf: Array[Byte], objNum: Int, newText: String): Array[Byte] = {
+    val cs = contentOps(newText.split('\n').map(_.trim)
+      .filter(_.nonEmpty).toSeq.map(l => s"(${esc(l)})"))
+    val upd = streamObj(objNum, "/Filter /FlateDecode ",
+      deflate(cs.getBytes(StandardCharsets.ISO_8859_1))) +
+      "trailer << /Size 200 /Root 1 0 R /Prev 9 >>\nstartxref\n0\n%%EOF\n"
+    pdf ++ upd.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
   /** Deterministic per-document container choice for the pipeline's
     * extraction-audit demo: doc_id mod 8 cycles composite-font PDF,
     * simple PDF, predictor-encoded PDF, plain UTF-8 bytes,
     * object-stream PDF, filter-chain PDF (LZW/A85+Flate/AHx),
     * image-only PDF, encrypted PDF — so one run exercises every
     * [[ExtractPath]]: mods 0-2 and 4-5 ⇒ pdf_text, 3 ⇒ non_pdf,
-    * 6 ⇒ pdf_image; slot 7 alternates by doc_id mod 16 between
-    * empty-password RC4 (7 ⇒ pdf_decrypted: readable by design) and
-    * password-locked (15 ⇒ pdf_encrypted: stays ciphertext). */
+    * 6 ⇒ pdf_image; slot 7 cycles by doc_id mod 32 over BOTH crypto
+    * families — empty-password RC4 (7) and empty-password AES-256
+    * V5/R6 behind an xref-stream container (23), both ⇒
+    * pdf_decrypted; password-locked RC4 (15) and password-locked V5
+    * (31), both ⇒ pdf_encrypted. The q344 oracle's mod-16 routing
+    * (7 ⇒ decrypted, 15 ⇒ encrypted) is UNCHANGED because the labels
+    * are: a regression in either crypto family shifts its mod-32
+    * residue class across buckets and the audit row set stops
+    * matching. */
   def demo(docId: Long, text: String): Array[Byte] = {
     // a blank/whitespace document still gets a NON-EMPTY container —
     // a PDF with zero show operators would extract nothing and route
@@ -447,9 +583,12 @@ object PdfGen {
       case 4 => objStm(t)
       case 5 => filterChain(t)
       case 6 => dctImageOnly(docId)
-      case 7 =>
-        if (math.floorMod(docId, 16L) == 7L) encrypted(t)
-        else encrypted(t, "owner-locked")
+      case 7 => math.floorMod(docId, 32L) match {
+        case 7L => encrypted(t)                     // RC4, readable by design
+        case 23L => encryptedAes256(t, xrefTail = true) // V5/R6, xref-stream
+        case 15L => encrypted(t, "owner-locked")    // RC4, real password
+        case _ => encryptedAes256(t, "owner-locked") // 31: V5, real password
+      }
     }
   }
 }

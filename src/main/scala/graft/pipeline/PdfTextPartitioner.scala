@@ -30,27 +30,35 @@ import java.util.zip.{DataFormatException, Inflater}
   *    without this the round-13 Type0 leg never fires on
   *    xref-stream-era files. Parsing cross-reference streams is
   *    thereby unnecessary: the scan finds objects by walking bytes,
-  *    not by chasing the xref. A number defined both top-level and
-  *    in an ObjStm keeps the TOP-LEVEL definition (incremental
-  *    updates append full objects, so the visible one is newest in
-  *    the files this subset targets);
+  *    not by chasing the xref. A number defined more than once — the
+  *    incremental-update shape, where a writer APPENDS replacement
+  *    objects after the original body — resolves to the definition
+  *    LATEST in the byte stream, whether top-level or inside a later
+  *    ObjStm, and only the winning definition's stream body is
+  *    extracted (superseded page content never leaks into the text);
   *  - **encrypted PDFs decrypt when readable-by-design, and are
   *    never misparsed otherwise**: a `/Encrypt` entry in any trailer
   *    (or xref-stream dict) routes through [[PdfCrypt]] — when the
-  *    EMPTY user password opens the file (standard handler RC4 V1-2
-  *    or AES-128 /AESV2, the common web-corpus shape) stream payloads
-  *    decrypt in place and the normal walk extracts the real text
+  *    EMPTY user password opens the file (standard handler RC4 V1-2,
+  *    V4 /AESV2 or /V2 crypt filters, **AES-256 V5 R5/R6 — the
+  *    current writer default**, or a V4/V5 `/StmF /Identity` file
+  *    whose streams were plaintext all along) stream payloads decrypt
+  *    in place and the normal walk extracts the real text
   *    (`ExtractPath.PdfDecrypted`); anything else (real passwords,
-  *    AES-256) yields `Seq.empty` and routes to the OCR seam labeled
-  *    `ExtractPath.PdfEncrypted` — corpus audits (q344) count both
-  *    buckets;
+  *    out-of-subset handlers) yields `Seq.empty` and routes to the
+  *    OCR seam labeled `ExtractPath.PdfEncrypted` — corpus audits
+  *    (q344) count both buckets;
   *  - **per-page font resource scoping**: a stream claimed by a page
   *    decodes under that page's `/Resources` bindings (inline or
   *    indirect), so `/F1` meaning different fonts on different pages
   *    decodes correctly; unclaimed streams fall back to the
   *    document-global first-binding-wins map;
   *  - simple byte-encoded fonts (Standard/WinAnsi-like): string bytes
-  *    map 1:1 to Latin-1 chars;
+  *    map 1:1 to Latin-1 chars — and a simple font carrying an
+  *    `/Encoding` `/Differences` remap (TeX Type1 subsets, i.e. older
+  *    arXiv PDFs) decodes the remapped codes through an AGL
+  *    glyph-name subset, with unknown names dropped (fall toward OCR)
+  *    rather than emitted as mojibake;
   *  - composite **Type0/CID fonts with a `/ToUnicode` CMap** — the
   *    shape of modern subset-TrueType PDFs (the reference's actual
   *    corpus: `01-download-pdfs.py:105-112` downloads real arXiv
@@ -144,11 +152,16 @@ object PdfTextPartitioner {
   /** [[contentStreams]] plus each stream's OBJECT NUMBER (parsed from
     * the `N G obj` header ahead of the dictionary), in file order —
     * the key per-page font scoping joins on. None when the stream has
-    * no parseable header. */
+    * no parseable header. An object number carrying MORE than one
+    * stream body is an incrementally-updated file (the update appends
+    * a full replacement object); only the LAST body — the visible
+    * definition — is kept, so superseded page content is never
+    * extracted alongside its replacement. */
   private[pipeline] def contentStreamsWithNum(
       bytes: Array[Byte]): Seq[(Option[Int], String)] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
-    val out = Seq.newBuilder[(Option[Int], String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Option[Int], String)]
+    val lastIdxForNum = scala.collection.mutable.Map.empty[Int, Int]
     var i = s.indexOf("stream")
     while (i >= 0) {
       // skip the "stream" inside "endstream"
@@ -158,16 +171,21 @@ object PdfTextPartitioner {
         val dict = if (objIdx >= 0) s.substring(objIdx, i) else ""
         val e = streamSpan(s, i, dict) match {
           case Some((ds, de, end)) =>
-            decodeStream(dict, bytes, ds, de).foreach(d =>
-              out += ((objNumBefore(s, objIdx),
-                new String(d, StandardCharsets.ISO_8859_1))))
+            decodeStream(dict, bytes, ds, de).foreach { d =>
+              val num = objNumBefore(s, objIdx)
+              num.foreach(lastIdxForNum(_) = out.length)
+              out += ((num, new String(d, StandardCharsets.ISO_8859_1)))
+            }
             end
           case None => -1
         }
         i = if (e < 0) -1 else s.indexOf("stream", e)
       } else i = s.indexOf("stream", i + 6)
     }
-    out.result()
+    out.zipWithIndex.collect {
+      case ((num, text), idx)
+          if num.forall(n => lastIdxForNum(n) == idx) => (num, text)
+    }.toSeq
   }
 
   /** The object number of an `N G obj` header whose `obj` keyword
@@ -498,17 +516,29 @@ object PdfTextPartitioner {
   }
 
   /** Indirect-object table: object number → (dict, decoded stream).
-    * Incremental-update files repeat numbers; the LAST definition
-    * wins, matching xref precedence for the linear-scan subset.
-    * Matches INSIDE a consumed object's span are skipped (the
-    * `minPos` cursor): compressed payload bytes that happen to spell
+    * Incremental-update files repeat numbers; the definition LATEST
+    * in the byte stream wins — whether top-level or inside a later
+    * `/ObjStm` — because incremental updates APPEND their replacement
+    * objects after the original body (PDF 32000-1 §7.5.6), so the
+    * visible definition is always the last one written. Matches
+    * INSIDE a consumed object's span are skipped (the `minPos`
+    * cursor): compressed payload bytes that happen to spell
     * `N M obj … endobj` must not fabricate a phantom object that
     * clobbers the real one under last-definition-wins — the same
     * skip-past-endstream discipline [[contentStreams]] applies. */
-  private[pipeline] def objects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+  private[pipeline] def objects(bytes: Array[Byte]): Map[Int, PdfObj] =
+    objectsWithPos(bytes).map { case (num, (_, o)) => num -> o }
+
+  /** [[objects]] plus each winning definition's byte position (for a
+    * contained object: the position of its enclosing ObjStm) — the
+    * order key that makes last-definition-wins hold across BOTH
+    * containers, and that [[contentStreamsWithNum]] uses to drop
+    * superseded stream bodies. */
+  private[pipeline] def objectsWithPos(
+      bytes: Array[Byte]): Map[Int, (Int, PdfObj)] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val objRe = """(?<!\d)(\d{1,9})\s+\d+\s+obj\b""".r
-    val out = scala.collection.mutable.Map.empty[Int, PdfObj]
+    val out = scala.collection.mutable.Map.empty[Int, (Int, PdfObj)]
     var minPos = 0
     for (m <- objRe.findAllMatchIn(s) if m.start >= minPos) {
       val num = m.group(1).toInt
@@ -521,23 +551,31 @@ object PdfTextPartitioner {
         val dict = s.substring(start, streamKw)
         streamSpan(s, streamKw, dict) match {
           case Some((ds, de, end)) =>
-            out(num) = PdfObj(dict, () => decodeStream(dict, bytes, ds, de))
+            out(num) = (m.start, PdfObj(dict, () => decodeStream(dict, bytes, ds, de)))
             minPos = end
           case None =>
-            out(num) = PdfObj(dict, () => None)
-            minPos = streamKw + 6
+            // an unterminated stream has no endstream anywhere after
+            // it — everything to EOF is payload; stop matching object
+            // headers inside it (they would be payload bytes)
+            out(num) = (m.start, PdfObj(dict, () => None))
+            minPos = s.length
         }
       } else if (endobj >= 0) {
-        out(num) = PdfObj(s.substring(start, endobj), () => None)
+        out(num) = (m.start, PdfObj(s.substring(start, endobj), () => None))
         minPos = endobj + 6
       }
     }
     val top = out.toMap
     // PDF 1.5+ object streams: expand objects compressed inside
-    // /Type /ObjStm payloads. Top-level definitions win on collision
-    // (`++` right bias) — incremental updates append objects at top
-    // level, so the visible definition is the newest one.
-    expandObjStm(top) ++ top
+    // /Type /ObjStm payloads, each stamped with its ObjStm's own byte
+    // position, then resolve collisions by position — an appended
+    // update wins whether the newer definition is top-level (the
+    // common writer shape) or inside a later ObjStm.
+    val merged = scala.collection.mutable.Map.empty[Int, (Int, PdfObj)]
+    merged ++= expandObjStmWithPos(top)
+    for ((num, e @ (pos, _)) <- top)
+      if (!merged.get(num).exists(_._1 > pos)) merged(num) = e
+    merged.toMap
   }
 
   /** Objects compressed inside `/Type /ObjStm` streams: the inflated
@@ -550,12 +588,17 @@ object PdfTextPartitioner {
     * stay top-level and are found by the linear scan. Malformed
     * headers (offsets past the payload, short pair lists) skip the
     * affected entries, never the document. */
-  private[pipeline] def expandObjStm(objs: Map[Int, PdfObj]): Map[Int, PdfObj] = {
+  private[pipeline] def expandObjStm(objs: Map[Int, PdfObj]): Map[Int, PdfObj] =
+    expandObjStmWithPos(objs.map { case (k, o) => k -> ((0, o)) })
+      .map { case (k, (_, o)) => k -> o }
+
+  private[pipeline] def expandObjStmWithPos(
+      objs: Map[Int, (Int, PdfObj)]): Map[Int, (Int, PdfObj)] = {
     def intKey(dict: String, key: String): Option[Int] =
       s"""$key\\s+(\\d{1,9})""".r.findFirstMatchIn(dict).map(_.group(1).toInt)
-    val extra = scala.collection.mutable.Map.empty[Int, PdfObj]
+    val extra = scala.collection.mutable.Map.empty[Int, (Int, PdfObj)]
     for {
-      o <- objs.values if o.dict.contains("/ObjStm")
+      (stmPos, o) <- objs.values if o.dict.contains("/ObjStm")
       data <- o.data
       n <- intKey(o.dict, "/N")
       first <- intKey(o.dict, "/First") if first <= data.length
@@ -570,8 +613,10 @@ object PdfTextPartitioner {
         val end =
           if (idx + 1 < pairs.length) first.toLong + pairs(idx + 1)._2
           else s.length.toLong
-        if (start >= first && start <= end && end <= s.length)
-          extra(num) = PdfObj(s.substring(start.toInt, end.toInt), () => None)
+        if (start >= first && start <= end && end <= s.length &&
+            !extra.get(num).exists(_._1 > stmPos))
+          extra(num) =
+            (stmPos, PdfObj(s.substring(start.toInt, end.toInt), () => None))
       }
     }
     extra.toMap
@@ -649,7 +694,11 @@ object PdfTextPartitioner {
     * Latin-1 fallback would emit NUL-interleaved glyph-id garbage
     * labeled pdf_text and the document would never be OCR'd).
     * Second pass so a name bound to BOTH a CMap-less and a
-    * CMap-bearing font object keeps the CMap-bearing binding. */
+    * CMap-bearing font object keeps the CMap-bearing binding. The
+    * second pass also resolves SIMPLE fonts carrying an `/Encoding`
+    * `/Differences` remap (TeX Type1 output): a 1-byte CMap applies
+    * the remap, with codes naming glyphs outside the AGL subset
+    * dropped — falling toward the OCR seam beats silent mojibake. */
   private def resolveBindings(
       objs: Map[Int, PdfObj], bindings: Seq[(String, Int)]): Map[String, CMap] = {
     val out = scala.collection.mutable.Map.empty[String, CMap]
@@ -669,9 +718,140 @@ object PdfTextPartitioner {
     for ((name, fontNum) <- bindings if !out.contains(name)) {
       objs.get(fontNum).foreach { font =>
         if (isComposite(font.dict)) out(name) = CMap(2, Map.empty)
+        else differencesMap(objs, font.dict).filter(_.nonEmpty).foreach { diff =>
+          // simple font with a /Differences-remapped encoding: decode
+          // through a 1-byte CMap — Latin-1 identity for unmapped
+          // codes, the glyph-name text (or NOTHING, for names outside
+          // the AGL subset) for remapped ones; emitting the raw byte
+          // for a remapped code would be silent mojibake
+          val base = (0 to 0xff).map(c => c -> c.toChar.toString).toMap
+          out(name) = CMap(1, base ++ diff)
+        }
       }
     }
     out.toMap
+  }
+
+  /** Adobe-Glyph-List subset: the glyph names TeX Type1 output and
+    * common Latin subsets actually use. Single ASCII letters and
+    * digits-as-words, punctuation, the f-ligatures, typographic
+    * quotes/dashes, and the Latin-1 accented range — plus the AGL
+    * algorithmic `uniXXXX` / `uXXXX[XX]` forms handled in
+    * [[glyphToText]]. Names OUTSIDE this table decode to nothing
+    * (fall toward the OCR seam): mojibake flowing into chunks and
+    * embeddings undetected is worse than a no-text fallback. */
+  private[pipeline] val GlyphNames: Map[String, String] = {
+    val punct = Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@",
+      "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+      "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+      "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+      "asciitilde" -> "~")
+    val digits = Map(
+      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+      "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+      "eight" -> "8", "nine" -> "9")
+    val typo = Map(
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+      "endash" -> "–", "emdash" -> "—",
+      "ellipsis" -> "…", "bullet" -> "•",
+      "dagger" -> "†", "daggerdbl" -> "‡",
+      "fi" -> "ﬁ", "fl" -> "ﬂ", "ff" -> "ﬀ",
+      "ffi" -> "ﬃ", "ffl" -> "ﬄ",
+      "minus" -> "−", "periodcentered" -> "·",
+      "multiply" -> "×", "divide" -> "÷",
+      "plusminus" -> "±", "degree" -> "°",
+      "section" -> "§", "paragraph" -> "¶",
+      "copyright" -> "©", "registered" -> "®",
+      "trademark" -> "™", "sterling" -> "£",
+      "yen" -> "¥", "cent" -> "¢", "Euro" -> "€",
+      "exclamdown" -> "¡", "questiondown" -> "¿",
+      "germandbls" -> "ß", "dotlessi" -> "ı",
+      "ae" -> "æ", "AE" -> "Æ", "oe" -> "œ",
+      "OE" -> "Œ", "oslash" -> "ø", "Oslash" -> "Ø",
+      "aring" -> "å", "Aring" -> "Å",
+      "eth" -> "ð", "Eth" -> "Ð",
+      "thorn" -> "þ", "Thorn" -> "Þ")
+    // Latin-1 accented block, named per AGL: <letter><accent-name>
+    val accents = Seq(
+      ("grave", "̀"), ("acute", "́"), ("circumflex", "̂"),
+      ("tilde", "̃"), ("dieresis", "̈"), ("cedilla", "̧"))
+    val accented = (for {
+      base <- "aeiouyncAEIOUYNC"
+      (acc, comb) <- accents
+      composed = java.text.Normalizer.normalize(
+        base.toString + comb, java.text.Normalizer.Form.NFC)
+      if composed.length == 1                    // real precomposed char only
+    } yield s"$base$acc" -> composed).toMap
+    // explicit zip — the codepoint run has a gap at final-sigma ς
+    val greekLower = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu",
+      "xi", "omicron", "pi", "rho", "sigma", "tau", "upsilon", "phi",
+      "chi", "psi", "omega")
+      .zip("αβγδεζηθικλμνξοπρστυφχψω".map(_.toString)).toMap
+    val letters = (('a' to 'z') ++ ('A' to 'Z'))
+      .map(c => c.toString -> c.toString).toMap
+    punct ++ digits ++ typo ++ accented ++ greekLower ++ letters
+  }
+
+  /** Glyph name → text per the AGL algorithm subset: the
+    * [[GlyphNames]] table, `uniXXXX[XXXX…]` (one or more UTF-16BE
+    * 4-hex-digit units), and `uXXXX`/`uXXXXX`/`uXXXXXX` (a single
+    * code point). None for anything else — unknown names (e.g. `gNN`
+    * subset-private glyphs) contribute NO text. */
+  private[pipeline] def glyphToText(name: String): Option[String] = {
+    def hexVal(h: String): Option[Int] =
+      if (h.nonEmpty && h.forall(c => c.isDigit || (c >= 'A' && c <= 'F')))
+        Some(Integer.parseInt(h, 16))
+      else None
+    GlyphNames.get(name).orElse {
+      if (name.startsWith("uni") && name.length >= 7 &&
+          (name.length - 3) % 4 == 0)
+        name.drop(3).grouped(4).toSeq
+          .foldLeft(Option(new StringBuilder)) { (acc, g) =>
+            for (sb <- acc; v <- hexVal(g)) yield sb.append(v.toChar)
+          }.map(_.toString)
+      else if (name.startsWith("u") && name.length >= 5 && name.length <= 7)
+        hexVal(name.drop(1)).filter(Character.isValidCodePoint)
+          .map(cp => new String(Character.toChars(cp)))
+      else None
+    }
+  }
+
+  /** A simple font's `/Encoding … /Differences [code /name …]` remap,
+    * when present: inline dict or chased through an indirect
+    * `/Encoding N 0 R`. Returns code → replacement text, where an
+    * unknown glyph name maps to "" (drop the code — fall toward OCR,
+    * never emit the raw byte as mojibake). */
+  private val encodingObjRef = """/Encoding\s+(\d+)\s+\d+\s+R""".r
+  private val inlineEncodingDict = """(?s)/Encoding\s*<<(.*?)>>""".r
+  private val differencesArr = """(?s)/Differences\s*\[(.*?)\]""".r
+  private val diffTok = """\d{1,9}|/[^\s/<>\[\]()%]+""".r
+  private[pipeline] def differencesMap(
+      objs: Map[Int, PdfObj], fontDict: String): Option[Map[Int, String]] = {
+    val encDict = inlineEncodingDict.findFirstMatchIn(fontDict).map(_.group(1))
+      .orElse(encodingObjRef.findFirstMatchIn(fontDict)
+        .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict))
+    for (m <- differencesArr.findFirstMatchIn(encDict.getOrElse(""))) yield {
+      val out = scala.collection.mutable.Map.empty[Int, String]
+      var code = 0
+      for (tok <- diffTok.findAllIn(m.group(1))) {
+        if (tok.startsWith("/")) {
+          if (code <= 0xff)
+            out(code) = glyphToText(tok.drop(1)).getOrElse("")
+          code += 1
+        } else code = tok.toInt
+      }
+      out.toMap
+    }
   }
 
   private[pipeline] def fontMap(bytes: Array[Byte]): Map[String, CMap] =
@@ -978,14 +1158,16 @@ object ExtractPath {
     * counted apart from the generic fallback. */
   val PdfImage = "pdf_image"
   /** PDF magic + `/Encrypt`, and the EMPTY user password opened it
-    * (standard handler V≤2/RC4): streams were decrypted in place and
-    * the real text layer extracted — counted apart from plain
-    * pdf_text so corpus health shows how much of the corpus is
-    * "encrypted but readable by design". */
+    * (standard handler: RC4 V1-2, V4 /AESV2 or /V2 crypt filters,
+    * AES-256 V5 R5/R6, or a V4/V5 `/StmF /Identity` file whose
+    * streams were plaintext all along): the real text layer was
+    * extracted — counted apart from plain pdf_text so corpus health
+    * shows how much of the corpus is "encrypted but readable by
+    * design". */
   val PdfDecrypted = "pdf_decrypted"
   /** PDF magic + a `/Encrypt` entry the empty-password subset cannot
-    * open (real password, AES, crypt filters) — string/stream bytes
-    * stay ciphertext, extraction never runs; routed to the base
+    * open (real passwords, out-of-subset handlers) — string/stream
+    * bytes stay ciphertext, extraction never runs; routed to the base
     * partitioner and counted as its own corpus-health bucket. */
   val PdfEncrypted = "pdf_encrypted"
   /** PDF magic but no decodable text (CMap-less composite, unknown

@@ -536,8 +536,11 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
   }
 
   test("expandObjStm: malformed headers (offset past payload, short " +
-    "pair list) skip entries, never throw; top-level wins collisions") {
-    // top-level object 5 AND an ObjStm claiming object 5: top wins
+    "pair list) skip entries, never throw; later position wins collisions") {
+    // top-level object 5 AND a LATER ObjStm claiming object 5: the
+    // definition latest in the byte stream wins (appended-update
+    // semantics; the reverse ordering is pinned in the round-15
+    // cross-container test below)
     val inner = "5 0\n<< /FromObjStm true >>"
     val first = 4                               // header "5 0\n" is 4 bytes
     val data = deflate(inner.getBytes(StandardCharsets.ISO_8859_1))
@@ -549,8 +552,8 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
     bos.write(data)
     w("\nendstream endobj\n%%EOF\n")
     val objs = PdfTextPartitioner.objects(bos.toByteArray)
-    assert(objs(5).dict.contains("/TopLevel"),
-      "top-level definition must win over the ObjStm one")
+    assert(objs(5).dict.contains("/FromObjStm"),
+      "the later (appended) definition must win, even inside an ObjStm")
     // malformed: /First beyond payload → entries skipped, no throw
     val bos2 = new java.io.ByteArrayOutputStream()
     def w2(x: String): Unit = bos2.write(x.getBytes(StandardCharsets.ISO_8859_1))
@@ -744,5 +747,212 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
     bos.write(Array[Byte](1, 2, 3, 4))
     w("\nendstream endobj\n%%EOF\n")
     assert(auto.partition(bos.toByteArray, PartitionStrategy.OcrOnly).nonEmpty)
+  }
+
+  // ---------- round 15: V5 AES-256, /StmF gating, xref-stream
+  // containers, incremental-update shadowing, /Differences ----------
+
+  private def hexStr(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+
+  test("AES-256 (V5/R6 /AESV3) empty-password PDFs decrypt and extract " +
+    "(the modern-writer default); R5 too; locked V5 stays ciphertext") {
+    val text = "aes-256 readable by design"
+    val open = PdfGen.encryptedAes256(text)
+    assert(PdfTextPartitioner.isEncrypted(open))
+    assert(p.partition(open, PartitionStrategy.OcrOnly) === Seq(text))
+    val auto = AutoPartitioner(TextPartitioner())
+    assert(auto.partitionWithPath(open, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfDecrypted)
+    // R5 (the deprecated pre-ISO revision: plain SHA-256 derivation)
+    val r5 = PdfGen.encryptedAes256("pre-iso r5 revision", r = 5)
+    assert(p.partition(r5, PartitionStrategy.OcrOnly) ===
+      Seq("pre-iso r5 revision"))
+    // a real password fails the V5 /U validation: ciphertext untouched
+    val locked = PdfGen.encryptedAes256("v5 locked secret", "hunter2")
+    assert(p.partition(locked, PartitionStrategy.OcrOnly) === Seq.empty)
+    assert(auto.partitionWithPath(locked, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfEncrypted)
+    // multi-page: one shared file key, per-stream IVs
+    assert(p.partition(PdfGen.encryptedAes256("page one\fpage two"),
+      PartitionStrategy.OcrOnly) === Seq("page one", "page two"))
+  }
+
+  test("xref-stream-only encryption container: /Encrypt lives in the " +
+    "/Type /XRef stream dict (no trailer keyword), and still decrypts") {
+    val text = "modern xref-stream container"
+    val doc = PdfGen.encryptedAes256(text, xrefTail = true)
+    assert(!new String(doc, StandardCharsets.ISO_8859_1).contains("trailer"))
+    assert(PdfTextPartitioner.isEncrypted(doc))
+    assert(PdfCrypt.parse(doc).isDefined,
+      "parse must fall back to the /XRef stream dict for /Encrypt and /ID")
+    assert(p.partition(doc, PartitionStrategy.OcrOnly) === Seq(text))
+    assert(AutoPartitioner(TextPartitioner())
+      .partitionWithPath(doc, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfDecrypted)
+  }
+
+  test("V5 derivation internals: R5 is one SHA-256, R6 hardened hash " +
+    "differs, entries round-trip, wrong password and tampered /Perms fail") {
+    import PdfCrypt._
+    val pwd = "pw".getBytes("UTF-8")
+    val salt = md5("salt".getBytes).take(8)
+    val sha256 = java.security.MessageDigest.getInstance("SHA-256")
+    sha256.update(pwd); sha256.update(salt)
+    assert(hash2B(5, pwd, salt, Array.empty).toSeq === sha256.digest().toSeq)
+    assert(hash2B(6, pwd, salt, Array.empty).length === 32)
+    assert(hash2B(6, pwd, salt, Array.empty).toSeq !==
+      hash2B(5, pwd, salt, Array.empty).toSeq)
+    val fk = Array.tabulate(32)(i => (i * 7 + 3).toByte)
+    val (u, ue, o, oe, perms) = computeV5Entries(6, fk, -44)
+    assert(u.length === 48 && ue.length === 32 &&
+      o.length === 48 && oe.length === 32 && perms.length === 16)
+    val sec = StdSecurity(6, 5, 256, o, u, -44, Array.empty,
+      aes = true, ue = ue, permsV5 = perms)
+    assert(fileKeyV5(sec).map(_.toSeq) === Some(fk.toSeq))
+    assert(emptyUserPasswordWorks(sec))
+    // built FOR a real password: the empty password must not open it
+    val (u2, ue2, o2, oe2, p2) = computeV5Entries(6, fk, -44, pwd, pwd)
+    assert(fileKeyV5(StdSecurity(6, 5, 256, o2, u2, -44, Array.empty,
+      aes = true, ue = ue2, permsV5 = p2)) === None)
+    // a tampered /Perms fails closed even when /U validates
+    assert(fileKeyV5(sec.copy(
+      permsV5 = perms.map(b => (b ^ 0x5a).toByte))) === None)
+  }
+
+  test("V4 /StmF /Identity (or absent): streams are PLAINTEXT — the " +
+    "file passes through untranscrypted and the text extracts") {
+    // r14 ADVICE: gating V4 on '/AESV2 present' alone would AES-
+    // 'decrypt' plaintext streams to blanks, losing recoverable text
+    val text = "v4 identity streams stay plaintext"
+    val plainPdf = PdfGen.simple(text)
+    val id0 = PdfCrypt.md5("v4-identity".getBytes("UTF-8"))
+    val o = PdfCrypt.computeO(Array.empty, Array.empty, r = 4, length = 128)
+    val secBase = PdfCrypt.StdSecurity(4, 4, 128, o, Array.empty, -44, id0)
+    val u = PdfCrypt.computeU(PdfCrypt.fileKey(secBase), id0, r = 4)
+    val tail =
+      "9 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+        "/CF << /StdCF << /CFM /AESV2 >> >> " +        // NO /StmF ⇒ Identity
+        s"/O <${hexStr(o)}> /U <${hexStr(u)}> >> endobj\n" +
+        "trailer << /Size 10 /Root 1 0 R /Encrypt 9 0 R " +
+        s"/ID [<${hexStr(id0)}> <${hexStr(id0)}>] >>\nstartxref\n0\n%%EOF\n"
+    val doc = new String(plainPdf, StandardCharsets.ISO_8859_1)
+      .replace("%%EOF\n", tail).getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfTextPartitioner.isEncrypted(doc))
+    val sec = PdfCrypt.parse(doc).get
+    assert(sec.streamsPlain && !sec.aes)
+    assert(p.partition(doc, PartitionStrategy.OcrOnly) === Seq(text))
+    assert(AutoPartitioner(TextPartitioner())
+      .partitionWithPath(doc, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfDecrypted)
+  }
+
+  test("V4 /StdCF /CFM /V2 (RC4 crypt filter) decrypts under the " +
+    "per-object RC4 keys") {
+    val text = "v4 rc4 crypt filter body"
+    val plainPdf = PdfGen.simple(text)
+    val id0 = PdfCrypt.md5("v4-rc4".getBytes("UTF-8"))
+    val o = PdfCrypt.computeO(Array.empty, Array.empty, r = 4, length = 128)
+    val secBase = PdfCrypt.StdSecurity(4, 4, 128, o, Array.empty, -44, id0)
+    val fk = PdfCrypt.fileKey(secBase)
+    val u = PdfCrypt.computeU(fk, id0, r = 4)
+    val tail =
+      "9 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+        "/CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen >> >> " +
+        "/StmF /StdCF /StrF /StdCF " +
+        s"/O <${hexStr(o)}> /U <${hexStr(u)}> >> endobj\n" +
+        "trailer << /Size 10 /Root 1 0 R /Encrypt 9 0 R " +
+        s"/ID [<${hexStr(id0)}> <${hexStr(id0)}>] >>\nstartxref\n0\n%%EOF\n"
+    val assembled = new String(plainPdf, StandardCharsets.ISO_8859_1)
+      .replace("%%EOF\n", tail).getBytes(StandardCharsets.ISO_8859_1)
+    val doc = PdfCrypt.encryptStreams(assembled, fk)
+    // ciphertext without the crypto path: nothing decodable
+    assert(PdfTextPartitioner.contentStreams(doc)
+      .map(PdfTextPartitioner.shownText(_)).forall(_.trim.isEmpty))
+    assert(p.partition(doc, PartitionStrategy.OcrOnly) === Seq(text))
+  }
+
+  test("incremental update: an appended redefinition of a content " +
+    "object wins — superseded page content is never extracted") {
+    val doc = PdfGen.withUpdatedContent(
+      PdfGen.simple("old stale body"), 100, "fresh replacement body")
+    assert(p.partition(doc, PartitionStrategy.OcrOnly) ===
+      Seq("fresh replacement body"))
+    // two updates: the LAST one is the visible definition
+    val doc2 = PdfGen.withUpdatedContent(doc, 100, "second revision")
+    assert(p.partition(doc2, PartitionStrategy.OcrOnly) ===
+      Seq("second revision"))
+  }
+
+  test("objects(): duplicate numbers resolve by byte position across " +
+    "containers — a LATER ObjStm beats an earlier top-level and vice versa") {
+    def objStmObj(num: Int, body: String): String = {
+      val header = s"$num 0\n"
+      val payload = header + body + "\n"
+      s"4 0 obj << /Type /ObjStm /N 1 /First ${header.length} " +
+        s"/Length ${payload.length} >>\nstream\n$payload\nendstream endobj\n"
+    }
+    // top-level first, ObjStm appended after (incremental update
+    // packing its replacements into an object stream)
+    val a = ("%PDF-1.5\n5 0 obj << /Old (stale) >> endobj\n" +
+      objStmObj(5, "<< /New (fresh) >>") + "%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfTextPartitioner.objects(a)(5).dict.contains("/New"))
+    // ObjStm first, top-level appended after (the common writer shape)
+    val b = ("%PDF-1.5\n" + objStmObj(5, "<< /Old (stale) >>") +
+      "5 0 obj << /New (fresh) >> endobj\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfTextPartitioner.objects(b)(5).dict.contains("/New"))
+  }
+
+  test("an unterminated stream (no endstream to EOF) cannot fabricate " +
+    "phantom objects from its payload bytes") {
+    val bytes = ("%PDF-1.5\n1 0 obj << /Q 1 >>\nstream\n" +
+      "GARBAGE 2 0 obj << /Evil 1 >> endobj MORE GARBAGE")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val objs = PdfTextPartitioner.objects(bytes)
+    assert(objs.contains(1))
+    assert(!objs.contains(2),
+      "payload bytes after an unterminated stream are not object headers")
+  }
+
+  test("/Differences remap: TeX-style simple fonts decode through the " +
+    "glyph-name table; unknown names drop to the OCR seam, never mojibake") {
+    val text = "remapped glyphs decode fine"
+    val doc = PdfGen.differences(text)
+    assert(p.partition(doc, PartitionStrategy.OcrOnly) === Seq(text))
+    // adversarial by construction: ignoring the remap yields high-
+    // Latin-1 mojibake, not the text
+    val raw = PdfTextPartitioner.contentStreams(doc)
+      .map(PdfTextPartitioner.shownText(_)).mkString.trim
+    assert(raw !== text)
+    // ligatures and accents through the AGL table
+    val fancy = "café ﬁne –dash– ‘quoted’"
+    assert(p.partition(PdfGen.differences(fancy),
+      PartitionStrategy.OcrOnly) === Seq(fancy))
+    // unknown subset-private names (gNN): NO text — the document
+    // falls to the OCR seam instead of emitting raw bytes
+    val bad = PdfGen.differences("cannot decode this", unknownGlyphs = true)
+    assert(p.partition(bad, PartitionStrategy.OcrOnly) === Seq.empty)
+    assert(AutoPartitioner(TextPartitioner())
+      .partitionWithPath(bad, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfFallback)
+  }
+
+  test("glyphToText: AGL table, uniXXXX (multi-unit), uXXXX[XX] code " +
+    "points, unknown names → None") {
+    import PdfTextPartitioner.glyphToText
+    assert(glyphToText("a") === Some("a"))
+    assert(glyphToText("nine") === Some("9"))
+    assert(glyphToText("fi") === Some("ﬁ"))
+    assert(glyphToText("sigma") === Some("σ"))
+    assert(glyphToText("eacute") === Some("é"))
+    assert(glyphToText("endash") === Some("–"))
+    assert(glyphToText("uni0041") === Some("A"))
+    assert(glyphToText("uni00410042") === Some("AB"))
+    assert(glyphToText("u0041") === Some("A"))
+    assert(glyphToText("u1F600") === Some(new String(Character.toChars(0x1F600))))
+    assert(glyphToText("g42") === None)
+    assert(glyphToText("uniXYZW") === None)
+    assert(glyphToText("unknownglyphname") === None)
   }
 }
