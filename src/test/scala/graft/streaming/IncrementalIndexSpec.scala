@@ -41,6 +41,61 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(fromStream.toSeq === e.embedOne("third chunk arrives later").toSeq)
   }
 
+  test("extraction → chunk → AvailableNow sync parity on a MIXED binary " +
+    "corpus (ObjStm, RC4- and AES-256-decryptable, locked, plain bytes)") {
+    import spark.implicits._
+    import graft.pipeline._
+    val base = Files.createTempDirectory("graft-stream-mixed")
+    val (chunksDir, indexDir, ckpt) = (s"$base/chunks", s"$base/index", s"$base/ckpt")
+    val e = HashingEmbedder(dim = 32)
+    def longText(tag: String) = (1 to 12).map(i =>
+      s"$tag sentence number $i with enough characters to clear the filter")
+      .mkString("\n")
+    val docs = Seq(
+      (1L, PdfGen.simple(longText("simplefont"))),
+      (2L, PdfGen.objStm(longText("objstm"))),
+      (3L, PdfGen.encrypted(longText("rcfouropen"))),      // RC4, readable by design
+      (4L, PdfGen.encryptedAes256(longText("aesvfive"),    // V5/R6 behind an
+        xrefTail = true)),                                 // xref-stream container
+      (5L, PdfGen.encrypted(longText("lockedbody"), "hunter2")), // stays ciphertext
+      (6L, longText("plainbytes").getBytes("UTF-8")))
+    val binDocs = docs.map { case (id, b) => (id, b, b.length.toLong) }
+      .toDF("doc_id", "content", "filesize")
+    val extracted = OcrPipeline.extractTextAudited(
+      spark, binDocs, AutoPartitioner(TextPartitioner()), parallelism = 4)
+    // every extraction branch fired where expected
+    val paths = extracted.select($"doc_id", $"extract_path")
+      .as[(Long, String)].collect().toMap
+    assert(paths(1L) === ExtractPath.PdfText)
+    assert(paths(2L) === ExtractPath.PdfText)
+    assert(paths(3L) === ExtractPath.PdfDecrypted)
+    assert(paths(4L) === ExtractPath.PdfDecrypted)
+    assert(paths(5L) === ExtractPath.PdfEncrypted)
+    assert(paths(6L) === ExtractPath.NonPdf)
+    val chunks = Inference.chunkDocuments(
+      spark, extracted.select($"doc_id", $"text"), width = 120)
+    // batch reference: extraction + chunking + embedding in one pass
+    val batchRef = Inference.embedChunks(chunks, e).collect()
+      .map(c => (c.chunk_id, c.chunk, c.embedding.toSeq)).toSet
+    assert(batchRef.nonEmpty)
+    // streaming: first wave, then the decrypt-leg docs arrive as a
+    // LATER delta — the sync must embed exactly the new chunks
+    chunks.filter($"doc_id" <= 2L).write.mode("append").parquet(chunksDir)
+    IncrementalIndex.syncOnce(spark, chunksDir, indexDir, ckpt, e)
+    chunks.filter($"doc_id" > 2L).write.mode("append").parquet(chunksDir)
+    IncrementalIndex.syncOnce(spark, chunksDir, indexDir, ckpt, e)
+    val streamed = spark.read.parquet(indexDir)
+      .select($"chunk_id", $"chunk", $"embedding")
+      .as[(String, String, Array[Float])]
+      .collect().map { case (id, c, v) => (id, c, v.toSeq) }.toSet
+    assert(streamed === batchRef, "stream chunk set must equal batch")
+    // the decrypted text layers really are in the index…
+    assert(streamed.exists(_._2.contains("rcfouropen")))
+    assert(streamed.exists(_._2.contains("aesvfive")))
+    // …and the locked document's plaintext is not (ciphertext only)
+    assert(!streamed.exists(_._2.contains("lockedbody")))
+  }
+
   test("windowedEventStats: streaming AvailableNow result matches batch") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-events")
