@@ -49,7 +49,7 @@ object PrefixJoin {
       textCol: String,
       threshold: Double,
       pretokenized: Option[DataFrame],
-      maxBroadcastVocab: Long): (DataFrame, Long) = {
+      maxBroadcastVocab: Long): (DataFrame, Long, Long) = {
     import spark.implicits._
 
     // id kept in its NATIVE type (string ids are legal, as in
@@ -110,13 +110,24 @@ object PrefixJoin {
       // repo-wide convention for operator-internal persists
       .persist()
     // eager count: one tokenize/rank build feeds ≥3 readers, and the
-    // doc count gates the verify-side broadcast (the r14 ×10 probe
-    // found the verify joins falling to sort-merge past the 10 MB
-    // auto threshold — two full shuffles+sorts of the candidate
-    // stream, ×43 wall for ×10 data; an explicit size-gated hint
-    // keeps the doc-sized build side broadcast while it fits)
-    (ranked, ranked.count())
+    // doc count + total token count gate the verify-side broadcast
+    // (the r14 ×10 probe found the verify joins falling to sort-merge
+    // past the 10 MB auto threshold — two full shuffles+sorts of the
+    // candidate stream, ×43 wall for ×10 data; an explicit size-gated
+    // hint keeps the doc-sized build side broadcast while it fits —
+    // and the r14 ADVICE found a row-count-only gate blind to a
+    // million docs each carrying a LARGE rank array)
+    val org.apache.spark.sql.Row(nDocs: Long, totalToks: Long) = ranked
+      .agg(count(lit(1)), coalesce(sum($"nt".cast("long")), lit(0L)))
+      .head()
+    (ranked, nDocs, totalToks)
   }
+
+  /** Estimated broadcast bytes for the ranked doc table: 8 bytes per
+    * long rank + ~64 bytes/row of array+id overhead — deliberately
+    * pessimistic (same convention as Dedup.jaccardPairs). */
+  private def estRankedBytes(nDocs: Long, totalToks: Long): Long =
+    totalToks * 8L + nDocs * 64L
 
   /** All pairs with exact Jaccard(token sets) > threshold:
     * (id_a, id_b, jaccard), r4-rounded. Output is identical to the
@@ -131,16 +142,20 @@ object PrefixJoin {
       threshold: Double,
       pretokenized: Option[DataFrame] = None,
       maxBroadcastVocab: Long = 10000000L,
-      maxBroadcastDocs: Long = 1000000L): DataFrame = {
+      maxBroadcastDocs: Long = 1000000L,
+      maxBroadcastBytes: Long = 1L << 30): DataFrame = {
     import spark.implicits._
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     graft.functions.SortedIntersectCount.register(spark)
     import graft.functions.SortedIntersectCount.sorted_intersect_count
 
-    val (ranked, nDocs) = rankedArrays(spark, docs, idCol, textCol, threshold,
-      pretokenized, maxBroadcastVocab)
+    val (ranked, nDocs, totalToks) = rankedArrays(spark, docs, idCol, textCol,
+      threshold, pretokenized, maxBroadcastVocab)
     def verifySide(df: DataFrame): DataFrame =
-      if (nDocs <= maxBroadcastDocs) broadcast(df) else df
+      if (nDocs <= maxBroadcastDocs &&
+          estRankedBytes(nDocs, totalToks) <= maxBroadcastBytes)
+        broadcast(df)
+      else df
 
     // candidate generation with EARLY pruning (the r14 ×10 probe: the
     // distinct over raw candidates dominated the build): prefix rows
@@ -203,16 +218,20 @@ object PrefixJoin {
       pretokenized: Option[DataFrame] = None,
       minSize: Int = 1,
       maxBroadcastVocab: Long = 10000000L,
-      maxBroadcastDocs: Long = 1000000L): DataFrame = {
+      maxBroadcastDocs: Long = 1000000L,
+      maxBroadcastBytes: Long = 1L << 30): DataFrame = {
     import spark.implicits._
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     graft.functions.SortedIntersectCount.register(spark)
     import graft.functions.SortedIntersectCount.sorted_intersect_count
 
-    val (ranked, nDocs) = rankedArrays(spark, docs, idCol, textCol, threshold,
-      pretokenized, maxBroadcastVocab)
+    val (ranked, nDocs, totalToks) = rankedArrays(spark, docs, idCol, textCol,
+      threshold, pretokenized, maxBroadcastVocab)
     def verifySide(df: DataFrame): DataFrame =
-      if (nDocs <= maxBroadcastDocs) broadcast(df) else df
+      if (nDocs <= maxBroadcastDocs &&
+          estRankedBytes(nDocs, totalToks) <= maxBroadcastBytes)
+        broadcast(df)
+      else df
     // the minSize floor applies to the COVEREE (A) side only: tiny
     // sets are trivially contained everywhere and would make the
     // output quadratic; the coverer (B) side stays unrestricted

@@ -11,6 +11,17 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt "runMain graft.tools.ScaleProbe 14 q346_,artifact:lpa /root/testdata/sf0.1 10"
   *
+  * `src` may also be `longtail:<nDocs>` — both scales are then
+  * SYNTHESIZED by [[LongTailCorpus]] (documents table only; probe
+  * document-family rows against it): a Zipf long-tail vocabulary
+  * with planted near-dup pairs, the selective regime the fixture's
+  * 31-word vocabulary can never produce (r14 verdict #5: the ×8.1
+  * jacpairs_prefix wall there was OUTPUT-bound — 47.6M true pairs —
+  * which also means the probe never exercised candidate pruning).
+  * An optional 6th arg labels the run: output becomes
+  * `PROBE_r<N>_<label>.json` and the JSON carries the label, so a
+  * round can publish BOTH corpus shapes side by side.
+  *
   * Per row: rows and wall at the base scale, rows and wall at ×K,
   * and the ratios. The reading discipline (r11/r13 probes): wall
   * ratio well under K means sublinear scaling (good); rows exactly
@@ -24,12 +35,19 @@ import org.apache.spark.sql.SparkSession
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ScaleProbe <roundN> <prefix1,prefix2,...> [srcDir] [k] [destDir]")
+      "usage: ScaleProbe <roundN> <prefix1,...> [srcDir|longtail:<nDocs>] [k] [destDir] [label]")
     val round = args(0).toInt
     val prefixes = args(1).split(',').toSeq
-    val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val srcArg = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val k = if (args.length > 3) args(3).toInt else 10
-    val dest = if (args.length > 4) args(4) else s"/tmp/graft-sfx$k"
+    val longtailDocs: Option[Long] =
+      if (srcArg.startsWith("longtail:")) Some(srcArg.drop(9).toLong) else None
+    val src =
+      longtailDocs.map(n => s"/tmp/graft-lt-$n").getOrElse(srcArg)
+    val dest = if (args.length > 4) args(4)
+      else longtailDocs.map(n => s"/tmp/graft-lt-$n-x$k")
+        .getOrElse(s"/tmp/graft-sfx$k")
+    val label = if (args.length > 5) Some(args(5)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,14 +59,28 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.Graft.install(spark)
 
-    // build the replica corpus once; reuse across probes of the same
-    // session/box (ScaleUp is deterministic, so staleness can only
-    // come from a regenerated source fixture — delete dest to refresh)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$dest/lineitem.parquet"))) {
-      System.err.println(s"[probe] building x$k corpus at $dest")
-      ScaleUp.build(spark, src, dest, k)
-    } else System.err.println(s"[probe] reusing x$k corpus at $dest")
+    // build the probe corpora once; reuse across probes of the same
+    // session/box (both builders are deterministic, so staleness can
+    // only come from a regenerated source fixture — delete to refresh)
+    longtailDocs match {
+      case Some(n) =>
+        def have(dir: String) = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        if (!have(src)) {
+          System.err.println(s"[probe] building long-tail base ($n docs) at $src")
+          LongTailCorpus.build(spark, src, n, 1)
+        } else System.err.println(s"[probe] reusing long-tail base at $src")
+        if (!have(dest)) {
+          System.err.println(s"[probe] building long-tail x$k at $dest")
+          LongTailCorpus.build(spark, dest, n, k)
+        } else System.err.println(s"[probe] reusing long-tail x$k at $dest")
+      case None =>
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dest/lineitem.parquet"))) {
+          System.err.println(s"[probe] building x$k corpus at $dest")
+          ScaleUp.build(spark, src, dest, k)
+        } else System.err.println(s"[probe] reusing x$k corpus at $dest")
+    }
 
     def dropBlocks(): Unit = {
       spark.catalog.clearCache()
@@ -117,10 +149,12 @@ object ScaleProbe {
         s""""rows_k":${p.rowsK},"wall_k":${fmt(p.wallK)},""" +
         s""""row_ratio":$rowRatio,"wall_ratio":$wallRatio}"""
     }.mkString(",")
+    val probeName = label.map(l => s"x$k-$l").getOrElse(s"x$k")
     val json =
-      s"""{"probe":"x$k","round":$round,"src":"$src","dest":"$dest",""" +
+      s"""{"probe":"$probeName","round":$round,"src":"$src","dest":"$dest",""" +
       s""""cpus":$cpus,"queries":{$body}}"""
-    val out = s"PROBE_r$round.json"
+    val out = label.map(l => s"PROBE_r${round}_$l.json")
+      .getOrElse(s"PROBE_r$round.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     println(json)
