@@ -537,6 +537,36 @@ object PdfGen {
         deflate(cs.getBytes(StandardCharsets.ISO_8859_1)))))
   }
 
+  /** Simple-font PDF declaring `/Encoding /WinAnsiEncoding`, show
+    * strings encoded as CP1252 bytes — typographic quotes, dashes,
+    * and the € sign land in 0x80-0x9F, where a Latin-1-only parser
+    * reads INVISIBLE control characters (silent corruption, the worst
+    * failure mode). Chars outside CP1252 fall back to '?'. */
+  def winAnsi(text: String): Array[Byte] = {
+    val cp = java.nio.charset.Charset.forName("windows-1252")
+    val enc = cp.newEncoder()
+    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    def show(l: String): String = {
+      val safe = l.map(c => if (enc.canEncode(c)) c else '?')
+      "(" + new String(safe.getBytes(cp), StandardCharsets.ISO_8859_1).flatMap {
+        case '\\' => "\\\\"
+        case '(' => "\\("
+        case ')' => "\\)"
+        case c => c.toString
+      } + ")"
+    }
+    val cs = contentOps(lines.map(show))
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+      streamObj(100, "/Filter /FlateDecode ",
+        deflate(cs.getBytes(StandardCharsets.ISO_8859_1)))))
+  }
+
   /** Append an incremental update that REDEFINES `objNum` with a new
     * Flate content stream showing `newText` — the PDF 32000-1 §7.5.6
     * shape (replacement objects appended after the original body and

@@ -718,14 +718,17 @@ object PdfTextPartitioner {
     for ((name, fontNum) <- bindings if !out.contains(name)) {
       objs.get(fontNum).foreach { font =>
         if (isComposite(font.dict)) out(name) = CMap(2, Map.empty)
-        else differencesMap(objs, font.dict).filter(_.nonEmpty).foreach { diff =>
-          // simple font with a /Differences-remapped encoding: decode
-          // through a 1-byte CMap — Latin-1 identity for unmapped
-          // codes, the glyph-name text (or NOTHING, for names outside
-          // the AGL subset) for remapped ones; emitting the raw byte
-          // for a remapped code would be silent mojibake
-          val base = (0 to 0xff).map(c => c -> c.toChar.toString).toMap
-          out(name) = CMap(1, base ++ diff)
+        else {
+          // simple font with a named base encoding (WinAnsi/MacRoman)
+          // and/or a /Differences remap: decode through a 1-byte CMap
+          // — the named base (Latin-1 identity by default) overridden
+          // by the glyph-name remap (or NOTHING, for names outside
+          // the AGL subset); emitting the raw byte for a remapped
+          // code would be silent mojibake
+          val baseEnc = baseEncodingName(objs, font.dict)
+          val diff = differencesMap(objs, font.dict).getOrElse(Map.empty)
+          if (baseEnc.isDefined || diff.nonEmpty)
+            out(name) = CMap(1, encodingBase(baseEnc) ++ diff)
         }
       }
     }
@@ -835,6 +838,48 @@ object PdfTextPartitioner {
   private val inlineEncodingDict = """(?s)/Encoding\s*<<(.*?)>>""".r
   private val differencesArr = """(?s)/Differences\s*\[(.*?)\]""".r
   private val diffTok = """\d{1,9}|/[^\s/<>\[\]()%]+""".r
+  private val namedEncoding =
+    """/(?:Base)?Encoding\s*/(WinAnsiEncoding|MacRomanEncoding)""".r
+
+  /** The named base encoding a simple font declares — directly
+    * (`/Encoding /WinAnsiEncoding`), inside an inline `/Encoding <<
+    * /BaseEncoding … >>` dict, or through an indirect encoding
+    * object. None ⇒ the Latin-1 (StandardEncoding-compatible)
+    * default. */
+  private[pipeline] def baseEncodingName(
+      objs: Map[Int, PdfObj], fontDict: String): Option[String] = {
+    val indirect = encodingObjRef.findFirstMatchIn(fontDict)
+      .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict).getOrElse("")
+    namedEncoding.findFirstMatchIn(fontDict + " " + indirect)
+      .map(_.group(1))
+  }
+
+  /** Byte → text base table for a named simple-font encoding.
+    * Latin-1 identity by default; `/WinAnsiEncoding` overrides the
+    * 0x80-0x9F block with the CP1252 typographic set (the quotes/
+    * dashes/ligatures block every Windows-authored PDF uses — under
+    * raw Latin-1 those decode to INVISIBLE control chars, i.e. silent
+    * text corruption); `/MacRomanEncoding` decodes the upper half
+    * through the JDK's own x-MacRoman charset. Codes a named encoding
+    * leaves undefined map to "" (drop toward OCR). */
+  private[pipeline] def encodingBase(name: Option[String]): Map[Int, String] = {
+    val latin1 = (0 to 0xff).map(c => c -> c.toChar.toString).toMap
+    name match {
+      case Some("WinAnsiEncoding") =>
+        val cp1252 = "€ ‚ƒ„…†‡ˆ‰Š‹Œ Ž  ‘’“”•–—˜™š›œ žŸ"
+        latin1 ++ (0x80 to 0x9f).map { c =>
+          val ch = cp1252.charAt(c - 0x80)
+          c -> (if (ch == ' ') "" else ch.toString)
+        }
+      case Some("MacRomanEncoding")
+          if java.nio.charset.Charset.isSupported("x-MacRoman") =>
+        val mac = java.nio.charset.Charset.forName("x-MacRoman")
+        latin1 ++ (0x80 to 0xff).map { c =>
+          c -> new String(Array(c.toByte), mac)
+        }
+      case _ => latin1
+    }
+  }
   private[pipeline] def differencesMap(
       objs: Map[Int, PdfObj], fontDict: String): Option[Map[Int, String]] = {
     val encDict = inlineEncodingDict.findFirstMatchIn(fontDict).map(_.group(1))

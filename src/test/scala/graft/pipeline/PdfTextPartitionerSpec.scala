@@ -938,6 +938,41 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
       ExtractPath.PdfFallback)
   }
 
+  test("/WinAnsiEncoding: CP1252 typographic block decodes (Latin-1 " +
+    "would read invisible control chars); /Differences overrides base") {
+    val text = "he said “scale” — it’s ‘fast’ … €99 – done™"
+    val doc = PdfGen.winAnsi(text)
+    assert(p.partition(doc, PartitionStrategy.OcrOnly) === Seq(text))
+    // the same bytes under a Latin-1-only walk are NOT the text
+    // (0x80-0x9F land as control chars — silent corruption)
+    val raw = PdfTextPartitioner.contentStreams(doc)
+      .map(PdfTextPartitioner.shownText(_)).mkString.trim
+    assert(raw !== text)
+    // base-table shape: exactly the CP1252 block over Latin-1
+    val win = PdfTextPartitioner.encodingBase(Some("WinAnsiEncoding"))
+    assert(win(0x93) === "“" && win(0x94) === "”")
+    assert(win(0x96) === "–" && win(0x97) === "—")
+    assert(win(0x80) === "€" && win(0x99) === "™")
+    assert(win(0x81) === "" && win(0x9d) === "")     // undefined → drop
+    assert(win(0xe9) === "é" && win(0x41) === "A")   // Latin-1 half intact
+    // MacRoman upper half through the JDK's own charset (guarded)
+    if (java.nio.charset.Charset.isSupported("x-MacRoman")) {
+      val mac = PdfTextPartitioner.encodingBase(Some("MacRomanEncoding"))
+      assert(mac(0xd2) === "“" && mac(0xd3) === "”")
+      assert(mac(0xa5) === "•")
+      assert(mac(0x41) === "A")
+    }
+    // /BaseEncoding + /Differences compose: the remap wins over base
+    val objs = Map(1 -> PdfTextPartitioner.PdfObj(
+      "<< /BaseEncoding /WinAnsiEncoding /Differences [ 147 /bullet ] >>",
+      () => None))
+    val fontDict = "<< /Subtype /Type1 /Encoding 1 0 R >>"
+    assert(PdfTextPartitioner.baseEncodingName(objs, fontDict) ===
+      Some("WinAnsiEncoding"))
+    assert(PdfTextPartitioner.differencesMap(objs, fontDict) ===
+      Some(Map(0x93 -> "•")))
+  }
+
   test("glyphToText: AGL table, uniXXXX (multi-unit), uXXXX[XX] code " +
     "points, unknown names → None") {
     import PdfTextPartitioner.glyphToText
