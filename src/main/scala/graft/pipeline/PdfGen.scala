@@ -587,7 +587,10 @@ object PdfGen {
     * simple PDF, predictor-encoded PDF, plain UTF-8 bytes,
     * object-stream PDF, filter-chain PDF (LZW/A85+Flate/AHx),
     * image-only PDF, encrypted PDF — so one run exercises every
-    * [[ExtractPath]]: mods 0-2 and 4-5 ⇒ pdf_text, 3 ⇒ non_pdf,
+    * [[ExtractPath]]: mods 0-2 and 4-5 ⇒ pdf_text (slots 1-2
+    * alternate by mod 16 into the WinAnsi and /Differences encodings
+    * — still pdf_text, so the audit oracle is unchanged while both
+    * decode legs stay live), 3 ⇒ non_pdf,
     * 6 ⇒ pdf_image; slot 7 cycles by doc_id mod 32 over BOTH crypto
     * families — empty-password RC4 (7) and empty-password AES-256
     * V5/R6 behind an xref-stream container (23), both ⇒
@@ -607,8 +610,16 @@ object PdfGen {
     val t = if (text == null || text.trim.isEmpty) s"doc $docId" else text
     (math.floorMod(docId, 8L).toInt: @unchecked) match {
       case 0 => type0(t)
-      case 1 => simple(t)
-      case 2 => predictorFlate(t)
+      // slots 1-2 alternate by mod 16 so the round-15 encoding legs
+      // (WinAnsi CP1252 block; /Differences glyph remap) run live in
+      // every demo/audit sweep — all four containers are pdf_text, so
+      // q344's routing oracle is untouched, but a decode regression
+      // in either leg empties its text and shifts the label
+      case 1 =>
+        if (math.floorMod(docId, 16L) == 9L) winAnsi(t) else simple(t)
+      case 2 =>
+        if (math.floorMod(docId, 16L) == 10L) differences(t)
+        else predictorFlate(t)
       case 3 => t.getBytes(StandardCharsets.UTF_8)
       case 4 => objStm(t)
       case 5 => filterChain(t)

@@ -1027,17 +1027,23 @@ object PdfTextPartitioner {
     tok.nonEmpty && tok.forall(c => c.isDigit || c == '.' || c == '+' || c == '-')
 
   /** Text shown by one content stream: strings of `Tj`/`TJ`/`'`/`"`
-    * in stream order; a positioning operator (`Td`/`TD`/`T*`/`ET`/
-    * line-advancing show) between two shows becomes one newline.
-    * `Tf` switches the active font: strings decode through its CMap
-    * when it has one (grouped fixed-width codes → Unicode), and
-    * byte ≡ Latin-1 char otherwise. */
+    * in stream order; a VERTICAL positioning operator between two
+    * shows becomes one newline — `Td`/`TD` break only when their ty
+    * operand is nonzero and `Tm` only when its y-translate (f)
+    * changes, so horizontal kerning moves within a line (the TeX
+    * output shape) no longer split it; `T*`/`ET` and the
+    * line-advancing shows always break. `Tf` switches the active
+    * font: strings decode through its CMap when it has one (grouped
+    * fixed-width codes → Unicode), and byte ≡ Latin-1 char
+    * otherwise. */
   private[pipeline] def shownText(
       cs: String, fonts: Map[String, CMap] = Map.empty): String = {
     val out = new StringBuilder
     val operands = scala.collection.mutable.ArrayBuffer.empty[String]
+    val nums = scala.collection.mutable.ArrayBuffer.empty[String]
     var brokeLine = false
     var curFont: Option[CMap] = None
+    var curTmY: Option[Double] = None
     var lastName = ""
     val n = cs.length
     var i = 0
@@ -1090,7 +1096,18 @@ object PdfTextPartitioner {
           tok match {
             case "Tj" | "TJ" => emit()
             case "'" | "\"" => brokeLine = true; emit()
-            case "Td" | "TD" | "T*" | "ET" => brokeLine = true
+            case "Td" | "TD" =>
+              // break only on a VERTICAL move: ty (the last numeric
+              // operand) nonzero; `10 0 Td` is in-line kerning
+              if (!nums.lastOption.flatMap(_.toDoubleOption).contains(0.0))
+                brokeLine = true
+            case "Tm" =>
+              // break only when the matrix's y-translate (f, the last
+              // operand) CHANGES — same-y Tm is horizontal placement
+              val y = nums.lastOption.flatMap(_.toDoubleOption)
+              if (y != curTmY) brokeLine = true
+              curTmY = y
+            case "T*" | "ET" => brokeLine = true
             case "Tf" => curFont = fonts.get(lastName)
             // inline image: raw pixel bytes follow ID and must never
             // reach the operand scanner (binary can spell "(…) Tj")
@@ -1098,7 +1115,8 @@ object PdfTextPartitioner {
             case _ => ()
           }
           operands.clear()
-        }
+          nums.clear()
+        } else nums += tok
       } else i += 1
     }
     out.toString

@@ -92,7 +92,11 @@ class OcrPipelineSpec extends SparkSpec {
       5L -> "first filter page here\nsecond filter page there\nthird filter page done",
       6L -> "image only scanned page with no text layer",
       7L -> "encrypted but readable by design empty password",
-      15L -> "password locked document stays ciphertext")
+      9L -> "winansi encoded document with typographic text",
+      10L -> "differences remapped document about glyph names",
+      15L -> "password locked document stays ciphertext",
+      23L -> "aes256 xref stream container readable by design",
+      31L -> "aes256 password locked document stays ciphertext")
     val bin = texts.toSeq.map { case (id, t) =>
       val b = PdfGen.demo(id, t)
       (id, b, b.length.toLong)
@@ -119,5 +123,12 @@ class OcrPipelineSpec extends SparkSpec {
     assert(got(7L) === ((texts(7L), ExtractPath.PdfDecrypted)))
     // a real password stays ciphertext, own audit bucket
     assert(got(15L)._2 === ExtractPath.PdfEncrypted)
+    // round-15 legs, live in the same cycle: WinAnsi and /Differences
+    // encodings decode to the original text under pdf_text…
+    assert(got(9L) === ((texts(9L), ExtractPath.PdfText)))
+    assert(got(10L) === ((texts(10L), ExtractPath.PdfText)))
+    // …and both AES-256 shapes take their crypto branches
+    assert(got(23L) === ((texts(23L), ExtractPath.PdfDecrypted)))
+    assert(got(31L)._2 === ExtractPath.PdfEncrypted)
   }
 }

@@ -973,6 +973,22 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
       Some(Map(0x93 -> "•")))
   }
 
+  test("line breaks track VERTICAL moves only: horizontal Td and " +
+    "same-y Tm keep the line; vertical Td / new-y Tm / T* break it") {
+    import PdfTextPartitioner.shownText
+    // horizontal kerning inside one line (the TeX output shape)
+    assert(shownText("BT (one) Tj 12 0 Td (two) Tj ET") === "onetwo")
+    assert(shownText(
+      "BT 1 0 0 1 72 700 Tm (a) Tj 1 0 0 1 120 700 Tm (b) Tj ET") === "ab")
+    // vertical moves break
+    assert(shownText("BT (one) Tj 0 -14 Td (two) Tj ET") === "one\ntwo")
+    assert(shownText(
+      "BT 1 0 0 1 72 700 Tm (a) Tj 1 0 0 1 72 686 Tm (b) Tj ET") === "a\nb")
+    assert(shownText("BT (a) Tj T* (b) Tj ET") === "a\nb")
+    // TD behaves like Td; TJ kerning numbers never leak into the test
+    assert(shownText("BT [(x) -120 (y)] TJ 8 0 TD (z) Tj ET") === "xyz")
+  }
+
   test("glyphToText: AGL table, uniXXXX (multi-unit), uXXXX[XX] code " +
     "points, unknown names → None") {
     import PdfTextPartitioner.glyphToText
