@@ -855,7 +855,10 @@ object Dedup {
     val Row(nDocs: Long, totalToks: Long) = toks
       .agg(count(lit(1)), coalesce(sum(col("nt").cast("long")), lit(0L)))
       .head()
-    val estBytes = totalToks * 48L + nDocs * 64L
+    // ×2: verifySide broadcasts TWO projections of the doc table
+    // (toks_l and toks_r are separate broadcast variables), so the
+    // memory actually materialized is twice the single-copy estimate
+    val estBytes = 2L * (totalToks * 48L + nDocs * 64L)
     def verifySide(df: DataFrame): DataFrame =
       if (nDocs <= maxBroadcastDocs && estBytes <= maxBroadcastBytes)
         broadcast(df)

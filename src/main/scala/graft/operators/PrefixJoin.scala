@@ -124,10 +124,12 @@ object PrefixJoin {
   }
 
   /** Estimated broadcast bytes for the ranked doc table: 8 bytes per
-    * long rank + ~64 bytes/row of array+id overhead — deliberately
-    * pessimistic (same convention as Dedup.jaccardPairs). */
+    * long rank + ~64 bytes/row of array+id overhead, ×2 because the
+    * verify stage broadcasts TWO projections (the _a and _b sides are
+    * separate broadcast variables) — deliberately pessimistic (same
+    * convention as Dedup.jaccardPairs). */
   private def estRankedBytes(nDocs: Long, totalToks: Long): Long =
-    totalToks * 8L + nDocs * 64L
+    2L * (totalToks * 8L + nDocs * 64L)
 
   /** All pairs with exact Jaccard(token sets) > threshold:
     * (id_a, id_b, jaccard), r4-rounded. Output is identical to the

@@ -379,6 +379,26 @@ object PdfCrypt {
     """/StmF\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(dict)
       .map(_.group(1)).getOrElse("Identity")
 
+  /** The encrypt dict with its balanced `/CF << … >>` sub-dict
+    * removed: the TOP-LEVEL `/Length` is the key length in BITS,
+    * while a crypt filter's `/Length` is in BYTES (e.g. 16) — a
+    * first-match read across both would derive a 40-bit key from a
+    * 128-bit file and fail /U validation on a readable document. */
+  private[pipeline] def withoutCfDict(dict: String): String = {
+    val at = dict.indexOf("/CF")
+    if (at < 0) return dict
+    val start = dict.indexOf("<<", at)
+    if (start < 0) return dict
+    var depth = 1
+    var j = start + 2
+    while (j < dict.length && depth > 0) {
+      if (dict.regionMatches(j, "<<", 0, 2)) { depth += 1; j += 2 }
+      else if (dict.regionMatches(j, ">>", 0, 2)) { depth -= 1; j += 2 }
+      else j += 1
+    }
+    if (depth == 0) dict.substring(0, at) + dict.substring(j) else dict
+  }
+
   /** The /StdCF crypt filter's /CFM method name, when declared. */
   private def stdCfMethod(dict: String): Option[String] =
     for {
@@ -398,28 +418,33 @@ object PdfCrypt {
   def parse(bytes: Array[Byte]): Option[StdSecurity] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val encRefRe = """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r
-    def window(at: Int, back: Int, fwd: Int): String =
-      s.substring(math.max(0, at - back), math.min(s.length, at + fwd))
+    val objs = PdfTextPartitioner.objectsWithPos(bytes)
     // encryption-dict container: last trailer carrying /Encrypt, else
-    // the last /XRef-marked window carrying it (xref-stream files)
+    // the LAST /Type /XRef STREAM DICT carrying it (xref-stream
+    // files) — the parsed dict text, never a raw byte window, whose
+    // back-span could include a preceding object's compressed payload
+    // spelling '/ID' and shadow the real trailer /ID
     val container: Option[String] = {
-      def lastWindowWith(kw: String, back: Int, fwd: Int): Option[String] = {
+      def lastTrailerWith: Option[String] = {
         var best: Option[String] = None
-        var i = s.indexOf(kw)
+        var i = s.indexOf("trailer")
         while (i >= 0) {
-          val w = window(i, back, fwd)
+          val w = s.substring(i, math.min(s.length, i + 2048))
           if (encRefRe.findFirstIn(w).isDefined) best = Some(w)
-          i = s.indexOf(kw, i + kw.length)
+          i = s.indexOf("trailer", i + 7)
         }
         best
       }
-      lastWindowWith("trailer", 0, 2048)
-        .orElse(lastWindowWith("/XRef", 2048, 2048))
+      lastTrailerWith.orElse(
+        objs.values.toSeq
+          .filter { case (_, o) =>
+            o.dict.contains("/XRef") && encRefRe.findFirstIn(o.dict).isDefined }
+          .sortBy(-_._1).headOption.map(_._2.dict))
     }
     for {
       cont <- container
       encRef <- encRefRe.findFirstMatchIn(cont)
-      encObj <- PdfTextPartitioner.objects(bytes).get(encRef.group(1).toInt)
+      encObj <- objs.get(encRef.group(1).toInt).map(_._2)
       dict = encObj.dict
       if dict.contains("/Standard")
       v = intKey(dict, "/V").getOrElse(0)
@@ -443,7 +468,8 @@ object PdfCrypt {
     } yield StdSecurity(r, v,
       if (v == 5) 256
       else if (aes) 128
-      else intKey(dict, "/Length").getOrElse(if (v == 4) 128 else 40),
+      else intKey(withoutCfDict(dict), "/Length")
+        .getOrElse(if (v == 4) 128 else 40),
       o, u, p, id0, aes,
       encryptMetadata = !dict.contains("/EncryptMetadata false"),
       streamsPlain = plainStreams,
@@ -513,17 +539,22 @@ object PdfCrypt {
     * whitespace tokens; a failed shape decrypts to nothing, never to
     * misparsed bytes). */
   def decryptStreams(bytes: Array[Byte]): Option[Array[Byte]] =
-    parse(bytes).filter(emptyUserPasswordWorks).flatMap { sec =>
-      if (sec.streamsPlain)
-        Some(bytes)      // /StmF /Identity: streams stored plaintext
-      else if (sec.r >= 5)
-        // V5: one AES-256 file key for every object — no per-object
-        // derivation (ISO 32000-2 §7.6.3.2 note 3)
+    parse(bytes).flatMap { sec =>
+      if (sec.r >= 5)
+        // V5: the /U validation IS the key derivation — derive ONCE
+        // (Algorithm 2.B is ≥64 hardened-hash rounds; a boolean
+        // pre-filter would pay it twice per document) and branch on
+        // the Option. One AES-256 file key for every object — no
+        // per-object derivation (ISO 32000-2 §7.6.3.2 note 3).
         fileKeyV5(sec).map { fk =>
-          mapStreams(bytes)((_, _, data) =>
+          if (sec.streamsPlain) bytes
+          else mapStreams(bytes)((_, _, data) =>
             aesDecrypt(fk, data)
               .getOrElse(Array.fill(data.length)(' '.toByte)))
         }
+      else if (!emptyUserPasswordWorks(sec)) None
+      else if (sec.streamsPlain)
+        Some(bytes)      // /StmF /Identity: streams stored plaintext
       else {
         val fk = fileKey(sec)
         Some(mapStreams(bytes) { (num, gen, data) =>

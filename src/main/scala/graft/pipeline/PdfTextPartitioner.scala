@@ -154,14 +154,16 @@ object PdfTextPartitioner {
     * the key per-page font scoping joins on. None when the stream has
     * no parseable header. An object number carrying MORE than one
     * stream body is an incrementally-updated file (the update appends
-    * a full replacement object); only the LAST body — the visible
-    * definition — is kept, so superseded page content is never
-    * extracted alongside its replacement. */
+    * a full replacement object); the LAST body — the visible
+    * definition — is kept AT THE SUPERSEDED STREAM'S ORIGINAL
+    * POSITION, so superseded page content is never extracted
+    * alongside its replacement and a replaced page-1 does not move
+    * behind page 2 in the output. */
   private[pipeline] def contentStreamsWithNum(
       bytes: Array[Byte]): Seq[(Option[Int], String)] = {
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Option[Int], String)]
-    val lastIdxForNum = scala.collection.mutable.Map.empty[Int, Int]
+    val firstIdxForNum = scala.collection.mutable.Map.empty[Int, Int]
     var i = s.indexOf("stream")
     while (i >= 0) {
       // skip the "stream" inside "endstream"
@@ -173,8 +175,13 @@ object PdfTextPartitioner {
           case Some((ds, de, end)) =>
             decodeStream(dict, bytes, ds, de).foreach { d =>
               val num = objNumBefore(s, objIdx)
-              num.foreach(lastIdxForNum(_) = out.length)
-              out += ((num, new String(d, StandardCharsets.ISO_8859_1)))
+              val text = new String(d, StandardCharsets.ISO_8859_1)
+              num.flatMap(firstIdxForNum.get) match {
+                case Some(at) => out(at) = ((num, text))
+                case None =>
+                  num.foreach(firstIdxForNum(_) = out.length)
+                  out += ((num, text))
+              }
             }
             end
           case None => -1
@@ -182,10 +189,7 @@ object PdfTextPartitioner {
         i = if (e < 0) -1 else s.indexOf("stream", e)
       } else i = s.indexOf("stream", i + 6)
     }
-    out.zipWithIndex.collect {
-      case ((num, text), idx)
-          if num.forall(n => lastIdxForNum(n) == idx) => (num, text)
-    }.toSeq
+    out.toSeq
   }
 
   /** The object number of an `N G obj` header whose `obj` keyword
@@ -820,10 +824,16 @@ object PdfTextPartitioner {
           (name.length - 3) % 4 == 0)
         name.drop(3).grouped(4).toSeq
           .foldLeft(Option(new StringBuilder)) { (acc, g) =>
-            for (sb <- acc; v <- hexVal(g)) yield sb.append(v.toChar)
+            // AGL excludes the surrogate block from uniXXXX — a lone
+            // surrogate would be a malformed String that downstream
+            // UTF-8 encoding turns into U+FFFD noise
+            for (sb <- acc; v <- hexVal(g)
+              if v < 0xD800 || v > 0xDFFF) yield sb.append(v.toChar)
           }.map(_.toString)
       else if (name.startsWith("u") && name.length >= 5 && name.length <= 7)
-        hexVal(name.drop(1)).filter(Character.isValidCodePoint)
+        hexVal(name.drop(1))
+          .filter(cp => Character.isValidCodePoint(cp) &&
+            (cp < 0xD800 || cp > 0xDFFF))
           .map(cp => new String(Character.toChars(cp)))
       else None
     }
@@ -1095,19 +1105,25 @@ object PdfTextPartitioner {
         if (!isNumber(tok)) {
           tok match {
             case "Tj" | "TJ" => emit()
-            case "'" | "\"" => brokeLine = true; emit()
+            case "'" | "\"" => brokeLine = true; emit(); curTmY = None
             case "Td" | "TD" =>
               // break only on a VERTICAL move: ty (the last numeric
-              // operand) nonzero; `10 0 Td` is in-line kerning
-              if (!nums.lastOption.flatMap(_.toDoubleOption).contains(0.0))
+              // operand) nonzero; `10 0 Td` is in-line kerning. A
+              // vertical move also INVALIDATES the remembered Tm
+              // y-translate — the baseline left it, so a later Tm
+              // returning to that y is a REAL line change (two-column
+              // layouts), not horizontal placement
+              if (!nums.lastOption.flatMap(_.toDoubleOption).contains(0.0)) {
                 brokeLine = true
+                curTmY = None
+              }
             case "Tm" =>
               // break only when the matrix's y-translate (f, the last
               // operand) CHANGES — same-y Tm is horizontal placement
               val y = nums.lastOption.flatMap(_.toDoubleOption)
               if (y != curTmY) brokeLine = true
               curTmY = y
-            case "T*" | "ET" => brokeLine = true
+            case "T*" | "ET" => brokeLine = true; curTmY = None
             case "Tf" => curFont = fonts.get(lastName)
             // inline image: raw pixel bytes follow ID and must never
             // reach the operand scanner (binary can spell "(…) Tj")

@@ -987,6 +987,67 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
     assert(shownText("BT (a) Tj T* (b) Tj ET") === "a\nb")
     // TD behaves like Td; TJ kerning numbers never leak into the test
     assert(shownText("BT [(x) -120 (y)] TJ 8 0 TD (z) Tj ET") === "xyz")
+    // a vertical Td INVALIDATES the remembered Tm y: a later Tm back
+    // at a previously-seen y is a REAL line change (two-column shape),
+    // not horizontal placement
+    assert(shownText(
+      "BT 1 0 0 1 72 700 Tm (a1) Tj 0 -14 Td (a2) Tj " +
+        "1 0 0 1 306 700 Tm (b1) Tj ET") === "a1\na2\nb1")
+  }
+
+  test("incremental update on a MULTI-page doc: the replacement body " +
+    "keeps the superseded stream's position — page order survives") {
+    val doc = PdfGen.withUpdatedContent(
+      PdfGen.simple("old page one\fpage two stays"), 100, "new page one")
+    assert(p.partition(doc, PartitionStrategy.OcrOnly) ===
+      Seq("new page one", "page two stays"))
+  }
+
+  test("V4 key length reads the TOP-LEVEL /Length even when the /CF " +
+    "sub-dict declares its own byte-count /Length first") {
+    val text = "cf dict length must not shadow the key bits"
+    val plainPdf = PdfGen.simple(text)
+    val id0 = PdfCrypt.md5("v4-cflen".getBytes("UTF-8"))
+    val o = PdfCrypt.computeO(Array.empty, Array.empty, r = 4, length = 128)
+    val secBase = PdfCrypt.StdSecurity(4, 4, 128, o, Array.empty, -44, id0)
+    val fk = PdfCrypt.fileKey(secBase)
+    val u = PdfCrypt.computeU(fk, id0, r = 4)
+    // adversarial ordering: the crypt filter's /Length 16 (BYTES)
+    // appears before the top-level /Length 128 (BITS)
+    val tail =
+      "9 0 obj << /Filter /Standard /V 4 /R 4 /P -44 " +
+        "/CF << /StdCF << /CFM /V2 /Length 16 /AuthEvent /DocOpen >> >> " +
+        "/StmF /StdCF /StrF /StdCF /Length 128 " +
+        s"/O <${hexStr(o)}> /U <${hexStr(u)}> >> endobj\n" +
+        "trailer << /Size 10 /Root 1 0 R /Encrypt 9 0 R " +
+        s"/ID [<${hexStr(id0)}> <${hexStr(id0)}>] >>\nstartxref\n0\n%%EOF\n"
+    val assembled = new String(plainPdf, StandardCharsets.ISO_8859_1)
+      .replace("%%EOF\n", tail).getBytes(StandardCharsets.ISO_8859_1)
+    val doc = PdfCrypt.encryptStreams(assembled, fk)
+    assert(PdfCrypt.parse(doc).map(_.length) === Some(128))
+    assert(p.partition(doc, PartitionStrategy.OcrOnly) === Seq(text))
+    assert(PdfCrypt.withoutCfDict(
+      "<< /CF << /StdCF << /Length 16 >> >> /Length 128 >>")
+      .contains("/Length 128"))
+    assert(!PdfCrypt.withoutCfDict(
+      "<< /CF << /StdCF << /Length 16 >> >> /Length 128 >>")
+      .contains("/Length 16"))
+  }
+
+  test("xref-stream container: '/ID'-spelling garbage BEFORE the xref " +
+    "object cannot shadow the dict's real /ID") {
+    val text = "poisoned back window still decrypts"
+    val doc = PdfGen.encryptedAes256(text, xrefTail = true)
+    val s = new String(doc, StandardCharsets.ISO_8859_1)
+    val at = s.indexOf("8 0 obj")
+    assert(at > 0)
+    // binary-looking junk carrying '/ID <...>' lands within what a
+    // 2048-byte back-window from '/XRef' would scan
+    val poisoned = (s.substring(0, at) +
+      "% /ID <00112233445566778899aabbccddeeff> junk\n" +
+      s.substring(at)).getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfCrypt.parse(poisoned).isDefined)
+    assert(p.partition(poisoned, PartitionStrategy.OcrOnly) === Seq(text))
   }
 
   test("glyphToText: AGL table, uniXXXX (multi-unit), uXXXX[XX] code " +
@@ -1005,5 +1066,10 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
     assert(glyphToText("g42") === None)
     assert(glyphToText("uniXYZW") === None)
     assert(glyphToText("unknownglyphname") === None)
+    // AGL excludes surrogates: a lone surrogate would be a malformed
+    // String that downstream UTF-8 turns into U+FFFD noise
+    assert(glyphToText("uniD800") === None)
+    assert(glyphToText("uniDFFF") === None)
+    assert(glyphToText("uD83D") === None)
   }
 }
