@@ -1042,14 +1042,27 @@ object PdfTextPartitioner {
     * operand is nonzero and `Tm` only when its y-translate (f)
     * changes, so horizontal kerning moves within a line (the TeX
     * output shape) no longer split it; `T*`/`ET` and the
-    * line-advancing shows always break. `Tf` switches the active
-    * font: strings decode through its CMap when it has one (grouped
-    * fixed-width codes → Unicode), and byte ≡ Latin-1 char
-    * otherwise. */
+    * line-advancing shows always break. A TJ kerning number at or
+    * below [[TjWordGap]] becomes ONE space (TeX encodes inter-word
+    * spaces as positioning gaps, not space glyphs). `Tf` switches
+    * the active font: strings decode through its CMap when it has
+    * one (grouped fixed-width codes → Unicode), and byte ≡ Latin-1
+    * char otherwise. */
+  /** TJ kerning gap that reads as a WORD SPACE: TJ numbers are
+    * thousandths of an em subtracted from the pen position, so a
+    * strongly negative one is a rightward gap — TeX-produced PDFs
+    * encode inter-word spaces this way instead of space glyphs
+    * (inter-letter kerning is typically −10..−80; word gaps −200+).
+    * Without this, TeX words silently merge: "the␣quick" extracts as
+    * "thequick". */
+  private val TjWordGap = -180.0
+
   private[pipeline] def shownText(
       cs: String, fonts: Map[String, CMap] = Map.empty): String = {
     val out = new StringBuilder
-    val operands = scala.collection.mutable.ArrayBuffer.empty[String]
+    // show operands in stream order: Right = a string, Left = a
+    // numeric token (TJ kerning when a show consumes it)
+    val operands = scala.collection.mutable.ArrayBuffer.empty[Either[Double, String]]
     val nums = scala.collection.mutable.ArrayBuffer.empty[String]
     var brokeLine = false
     var curFont: Option[CMap] = None
@@ -1072,9 +1085,26 @@ object PdfTextPartitioner {
         sb.toString
       case _ => raw
     }
-    def emit(): Unit = {
+    def emit(withGaps: Boolean = false): Unit = {
       if (operands.nonEmpty) {
-        val text = operands.map(decode).mkString
+        val sb = new StringBuilder
+        // decoded Right-operands, aligned by index — the gap rule
+        // needs one glyph lookahead (an explicit space char next to
+        // a kerning gap must not double up)
+        val decoded = operands.map {
+          case Right(s) => decode(s)
+          case Left(_) => null
+        }
+        for (idx <- operands.indices) operands(idx) match {
+          case Right(_) => sb.append(decoded(idx))
+          case Left(k)
+              if withGaps && k <= TjWordGap &&
+                sb.nonEmpty && sb.last != ' ' &&
+                !decoded.drop(idx + 1).find(_ != null)
+                  .exists(_.startsWith(" ")) => sb.append(' ')
+          case _ => ()
+        }
+        val text = sb.toString
         if (text.nonEmpty) {
           if (out.nonEmpty && brokeLine) out.append('\n')
           out.append(text)
@@ -1087,10 +1117,10 @@ object PdfTextPartitioner {
       if (c == '%') {
         while (i < n && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
       } else if (c == '(') {
-        val (str, j) = literalString(cs, i); operands += str; i = j
+        val (str, j) = literalString(cs, i); operands += Right(str); i = j
       } else if (c == '<') {
         if (i + 1 < n && cs.charAt(i + 1) == '<') i += 2
-        else { val (str, j) = hexString(cs, i); operands += str; i = j }
+        else { val (str, j) = hexString(cs, i); operands += Right(str); i = j }
       } else if (c == '>' || c == '[' || c == ']' || c == '{' || c == '}') {
         i += 1
       } else if (c == '/') {
@@ -1104,7 +1134,9 @@ object PdfTextPartitioner {
         val tok = cs.substring(start, i)
         if (!isNumber(tok)) {
           tok match {
-            case "Tj" | "TJ" => emit()
+            // TJ honors kerning word-gaps; Tj/'/" show plain strings
+            case "TJ" => emit(withGaps = true)
+            case "Tj" => emit()
             case "'" | "\"" => brokeLine = true; emit(); curTmY = None
             case "Td" | "TD" =>
               // break only on a VERTICAL move: ty (the last numeric
@@ -1132,7 +1164,10 @@ object PdfTextPartitioner {
           }
           operands.clear()
           nums.clear()
-        } else nums += tok
+        } else {
+          nums += tok
+          tok.toDoubleOption.foreach(operands += Left(_))
+        }
       } else i += 1
     }
     out.toString

@@ -995,6 +995,21 @@ class PdfTextPartitionerSpec extends AnyFunSuite {
         "1 0 0 1 306 700 Tm (b1) Tj ET") === "a1\na2\nb1")
   }
 
+  test("TJ word gaps: a kerning number ≤ −180/1000 em becomes one " +
+    "space (TeX spaces are positioning gaps, not space glyphs)") {
+    import PdfTextPartitioner.shownText
+    assert(shownText("BT [(the) -333 (quick) -290 (fox)] TJ ET") ===
+      "the quick fox")
+    // plain inter-letter kerning stays glued
+    assert(shownText("BT [(ker) -50 (ned) -120 (pair)] TJ ET") ===
+      "kernedpair")
+    // leading / doubled gaps never produce stray or double spaces
+    assert(shownText("BT [-400 (lead) -400 -400 (tail)] TJ ET") ===
+      "lead tail")
+    // Tj is gap-blind (no kerning operands by definition)
+    assert(shownText("BT (solid) Tj ET") === "solid")
+  }
+
   test("incremental update on a MULTI-page doc: the replacement body " +
     "keeps the superseded stream's position — page order survives") {
     val doc = PdfGen.withUpdatedContent(
