@@ -35,8 +35,17 @@ object ImageDedup {
   /** 56-bit difference hash of one blob: bit (y,x) = [cell(y,x) <
     * cell(y,x+1)] over the codec's 8×8 luma grid.
     */
-  def dHash(codec: Multimodal.MediaCodec, content: Array[Byte]): Long = {
-    val f = codec.features(content, Grid * Grid)
+  def dHash(codec: Multimodal.MediaCodec, content: Array[Byte]): Long =
+    dHashOfGrid(codec.features(content, Grid * Grid))
+
+  /** [[dHash]] of an already-materialized 8×8 luma grid (row-major,
+    * 64 floats) — the seam [[graft.pipeline.PdfImages]] feeds with
+    * grids pooled from raster XObjects it has decoded itself, so one
+    * extraction pass yields metadata AND the hash without a second
+    * decode behind the codec interface. */
+  def dHashOfGrid(f: Array[Float]): Long = {
+    require(f.length >= Grid * Grid,
+      s"dHashOfGrid needs a ${Grid}x$Grid grid, got ${f.length} cells")
     var h = 0L
     var bit = 0
     var y = 0

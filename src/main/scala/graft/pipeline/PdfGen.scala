@@ -342,6 +342,86 @@ object PdfGen {
       streamObj(100, "", cs)))
   }
 
+  /** Forward TIFF predictor 2 (horizontal byte differencing) at
+    * bpc 8. */
+  private def tiffEncode(data: Array[Byte], rowLen: Int, bpp: Int): Array[Byte] = {
+    require(rowLen > 0 && data.length % rowLen == 0, "rows must be whole")
+    val out = data.clone()
+    var r = 0
+    while (r < out.length) {
+      var k = rowLen - 1
+      while (k >= bpp) {
+        out(r + k) = (((data(r + k) & 0xff) - (data(r + k - bpp) & 0xff)) & 0xff).toByte
+        k -= 1
+      }
+      r += rowLen
+    }
+    out
+  }
+
+  /** Image-only PDF whose raster is REAL decodable pixel data, BY
+    * FORMULA ([[graft.operators.Sampling.hashBitsScalar]] salt 348 —
+    * the q176/q202 one-formula-zero-literals rule, so the q348
+    * oracle recomputes every pixel in SQL). One 16×16 8-bit image,
+    * encoding cycled by `docId % 4` to keep every decode leg of
+    * [[PdfImages]] live in one corpus:
+    *
+    *  - 0: DeviceGray, plain `/FlateDecode`;
+    *  - 1: DeviceGray, Flate behind a PNG Up predictor
+    *    (`/DecodeParms << /Predictor 12 /Columns 16 >>`);
+    *  - 2: DeviceGray, Flate behind TIFF horizontal differencing
+    *    (`/Predictor 2`);
+    *  - 3: DeviceRGB through a transport coat
+    *    (`/Filter [/ASCII85Decode /FlateDecode]`).
+    *
+    * The page paints the image and shows no text — the scanned-PDF
+    * shape ([[dctImageOnly]]'s routing class, `pdf_image`), but with
+    * pixels the pure-JVM path can actually recover. */
+  def rasterPdf(docId: Long): Array[Byte] = rasterImage(docId, perturb = false)
+
+  /** [[rasterPdf]]'s NEAR-DUP twin: the identical image except the
+    * very first sample bumped one level (mod 256) — at most two luma
+    * cells' gradient comparisons can move, so (original, twin) land
+    * within Hamming 2 of each other under
+    * [[graft.multimodal.ImageDedup.dHash]]. The q349 planted-pair
+    * corpus. */
+  def rasterPdfTwin(docId: Long): Array[Byte] = rasterImage(docId, perturb = true)
+
+  private def rasterImage(docId: Long, perturb: Boolean): Array[Byte] = {
+    val W = 16; val H = 16
+    val variant = math.floorMod(docId, 4L).toInt
+    val rgb = variant == 3
+    val comps = if (rgb) 3 else 1
+    val raw = Array.tabulate(W * H * comps) { q =>
+      val n = if (rgb) docId * 768L + q else docId * 256L + q
+      (graft.operators.Sampling.hashBitsScalar(n, 348L) % 256L).toByte
+    }
+    if (perturb) raw(0) = (((raw(0) & 0xff) + 1) % 256).toByte
+    val rowLen = W * comps
+    val (filterDict, payload) = variant match {
+      case 0 => ("/Filter /FlateDecode ", deflate(raw))
+      case 1 => ("/Filter /FlateDecode " +
+        s"/DecodeParms << /Predictor 12 /Columns $W >> ",
+        deflate(pngUpEncode(raw, rowLen)))
+      case 2 => ("/Filter /FlateDecode " +
+        s"/DecodeParms << /Predictor 2 /Columns $W >> ",
+        deflate(tiffEncode(raw, rowLen, 1)))
+      case _ => ("/Filter [/ASCII85Decode /FlateDecode] ",
+        ascii85Encode(deflate(raw)))
+    }
+    val cs = if (rgb) "/DeviceRGB" else "/DeviceGray"
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        s"/ColorSpace $cs /BitsPerComponent 8 $filterDict", payload),
+      streamObj(100, "", paint)))
+  }
+
   /** REAL RC4-encrypted PDF (standard security handler, V2/R3,
     * 128-bit): a [[simple]] body whose stream payloads are encrypted
     * in place under spec per-object keys — the forward pass of

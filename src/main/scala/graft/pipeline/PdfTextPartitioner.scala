@@ -140,7 +140,8 @@ object PdfTextPartitioner {
     * the object table does not re-inflate every content stream the
     * extraction pass decodes anyway. */
   private[pipeline] final case class PdfObj(
-      dict: String, dataThunk: () => Option[Array[Byte]]) {
+      dict: String, dataThunk: () => Option[Array[Byte]],
+      span: Option[(Int, Int)] = None) {
     lazy val data: Option[Array[Byte]] = dataThunk()
   }
 
@@ -370,7 +371,7 @@ object PdfTextPartitioner {
     } else None
   }
 
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+  private[pipeline] def inflate(data: Array[Byte]): Option[Array[Byte]] = {
     val inf = new Inflater()
     try {
       inf.setInput(data)
@@ -555,7 +556,9 @@ object PdfTextPartitioner {
         val dict = s.substring(start, streamKw)
         streamSpan(s, streamKw, dict) match {
           case Some((ds, de, end)) =>
-            out(num) = (m.start, PdfObj(dict, () => decodeStream(dict, bytes, ds, de)))
+            out(num) =
+              (m.start,
+                PdfObj(dict, () => decodeStream(dict, bytes, ds, de), Some((ds, de))))
             minPos = end
           case None =>
             // an unterminated stream has no endstream anywhere after

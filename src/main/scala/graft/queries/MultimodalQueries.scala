@@ -225,6 +225,157 @@ object MultimodalQueries {
              |WHERE bit_count(xor(a.phash, b.phash)) <= $MaxHamming
              |ORDER BY id_a, id_b""".stripMargin
         })
+    },
+
+    // ----- q348: embedded raster-image extraction, ORACLE-CHECKED —
+    // the scanned-PDF leg run end-to-end through REAL byte plumbing.
+    // Each document becomes an image-only PDF (PdfGen.rasterPdf:
+    // 16×16 8-bit raster, encoding cycled doc_id%4 over plain Flate,
+    // PNG-Up predictor, TIFF predictor, and an ASCII85+Flate
+    // transport coat; gray and RGB colorspaces); PdfImages walks the
+    // object table, reverses the filter/predictor chain, pools the
+    // 8×8 luma grid, and ImageDedup.dHashOfGrid packs the 56-bit
+    // perceptual hash. The oracle recomputes every PIXEL by formula
+    // (hashBits salt 348 — the q176/q202 one-formula rule) and
+    // rebuilds cells and hash in SQL: integer numerators, one double
+    // division, one float cast, so cell values are bit-identical
+    // cross-engine. Any regression in object shadowing, stream-span
+    // arithmetic, Flate/A85 decode, either predictor reversal, dict
+    // dimension/colorspace parsing, pooling, or bit packing shifts a
+    // hash and the row set stops matching — the whole extraction
+    // stack is one live tripwire.
+    {
+      val Salt = 348L
+      QueryDef(
+        "q348_pdf_image_dhash_replay",
+        (s, d) => {
+          import s.implicits._
+          val pdfs = graft.Par.spread(
+            Tables.documents(s, d).select($"doc_id").as[Long]
+              .map(id => (id, graft.pipeline.PdfGen.rasterPdf(id)))
+              .toDF("doc_id", "pdf"))
+          pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+            it.flatMap { case (id, bytes) =>
+              graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+                graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                  (id, im.objNum.toLong, im.width.toLong, im.height.toLong,
+                    im.colorSpace, ImageDedup.dHashOfGrid(g))
+                }
+              }
+            }
+          }.toDF("doc_id", "obj_num", "width", "height", "colorspace", "phash")
+            .orderBy($"doc_id")
+        },
+        Some {
+          val gmix = graft.operators.Sampling.hashBitsSql("(i.id * 256 + g.p)", Salt)
+          val rmix = graft.operators.Sampling.hashBitsSql("(i.id * 768 + q.q)", Salt)
+          s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+             |gpx AS (
+             |  SELECT i.id, g.p AS p, ($gmix) % 256 AS num
+             |  FROM ids i CROSS JOIN (SELECT unnest(range(0, 256)) AS p) g
+             |  WHERE i.id % 4 <> 3),
+             |rpx AS (
+             |  SELECT i.id, q.q // 3 AS p, SUM(($rmix) % 256) AS num
+             |  FROM ids i CROSS JOIN (SELECT unnest(range(0, 768)) AS q) q
+             |  WHERE i.id % 4 = 3
+             |  GROUP BY 1, 2),
+             |px AS (
+             |  SELECT id, p, num, 4 AS denom FROM gpx
+             |  UNION ALL
+             |  SELECT id, p, num, 12 AS denom FROM rpx),
+             |cells AS MATERIALIZED (
+             |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+             |    CAST(CAST(SUM(num) AS DOUBLE) / MAX(denom) AS FLOAT) AS cv
+             |  FROM px GROUP BY 1, 2),
+             |h AS (
+             |  SELECT l.id,
+             |    CAST(SUM(CASE WHEN l.cv < r.cv
+             |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+             |      ELSE 0 END) AS BIGINT) AS phash
+             |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+             |  WHERE l.cp % 8 < 7 GROUP BY 1)
+             |SELECT id AS doc_id, CAST(20 AS BIGINT) AS obj_num,
+             |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  CASE WHEN id % 4 = 3 THEN 'DeviceRGB'
+             |       ELSE 'DeviceGray' END AS colorspace,
+             |  phash
+             |FROM h ORDER BY doc_id""".stripMargin
+        })
+    },
+
+    // ----- q349: scanned-corpus perceptual near-dup, ORACLE-CHECKED
+    // end-to-end — every document contributes its rasterPdf AND a
+    // planted twin (same image, first sample bumped one gray level ⇒
+    // guaranteed within Hamming 2), the PdfRasterCodec bridge hashes
+    // WHOLE-PDF bytes (extract → luma grid → dHash), and the
+    // pigeonhole Hamming join recovers the pair set exactly. The
+    // oracle recomputes both versions' pixels by formula and
+    // brute-forces all pairs, so planted-pair recall AND any chance
+    // cross-document collision must both replay — this is the "dedup
+    // scans before OCRing them" pipeline (the 100 TB ordering that
+    // makes the OCR pass affordable) as one driver-checked query.
+    {
+      val Salt = 348L
+      val MaxHamming = 2
+      QueryDef(
+        "q349_scanned_pdf_neardup",
+        (s, d) => {
+          import s.implicits._
+          val pdfs = graft.Par.spread(
+            Tables.documents(s, d).select($"doc_id").as[Long]
+              .flatMap(id => Seq(
+                (id * 2, graft.pipeline.PdfGen.rasterPdf(id)),
+                (id * 2 + 1, graft.pipeline.PdfGen.rasterPdfTwin(id))))
+              .toDF("media_id", "pdf"))
+          val hashed = pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+            val codec = graft.pipeline.PdfRasterCodec()
+            it.map { case (id, b) => (id, ImageDedup.dHash(codec, b)) }
+          }.toDF("media_id", "phash")
+          ImageDedup.nearDupPairs(hashed, "media_id", maxHamming = MaxHamming)
+            .orderBy($"id_a", $"id_b")
+        },
+        Some {
+          val gmix = graft.operators.Sampling.hashBitsSql("(m.doc * 256 + g.p)", Salt)
+          val rmix = graft.operators.Sampling.hashBitsSql("(m.doc * 768 + q.q)", Salt)
+          s"""WITH m AS (
+             |  SELECT doc_id * 2 + t.t AS id, doc_id AS doc, t.t AS tw
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0, 2)) AS t) t),
+             |gpx AS (
+             |  SELECT m.id, g.p AS p,
+             |    CASE WHEN m.tw = 1 AND g.p = 0
+             |         THEN (($gmix) % 256 + 1) % 256
+             |         ELSE ($gmix) % 256 END AS num
+             |  FROM m CROSS JOIN (SELECT unnest(range(0, 256)) AS p) g
+             |  WHERE m.doc % 4 <> 3),
+             |rpx AS (
+             |  SELECT m.id, q.q // 3 AS p,
+             |    SUM(CASE WHEN m.tw = 1 AND q.q = 0
+             |          THEN (($rmix) % 256 + 1) % 256
+             |          ELSE ($rmix) % 256 END) AS num
+             |  FROM m CROSS JOIN (SELECT unnest(range(0, 768)) AS q) q
+             |  WHERE m.doc % 4 = 3
+             |  GROUP BY 1, 2),
+             |px AS (
+             |  SELECT id, p, num, 4 AS denom FROM gpx
+             |  UNION ALL
+             |  SELECT id, p, num, 12 AS denom FROM rpx),
+             |cells AS MATERIALIZED (
+             |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+             |    CAST(CAST(SUM(num) AS DOUBLE) / MAX(denom) AS FLOAT) AS cv
+             |  FROM px GROUP BY 1, 2),
+             |h AS MATERIALIZED (
+             |  SELECT l.id,
+             |    CAST(SUM(CASE WHEN l.cv < r.cv
+             |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+             |      ELSE 0 END) AS BIGINT) AS phash
+             |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+             |  WHERE l.cp % 8 < 7 GROUP BY 1)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+             |FROM h a JOIN h b ON a.id < b.id
+             |WHERE bit_count(xor(a.phash, b.phash)) <= $MaxHamming
+             |ORDER BY id_a, id_b""".stripMargin
+        })
     })
 
   private val AudioClips = 8L

@@ -1,0 +1,227 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.ImageDedup
+import graft.operators.Sampling
+
+/** Embedded raster-image extraction: every fixture is generated
+  * in-test (PdfGen.rasterPdf or a hand-assembled container), no
+  * external binaries. Covers the four rasterPdf encode legs against
+  * the pixel formula, a REAL ImageIO JPEG round-trip through the
+  * /DCTDecode payload path, transport coats, incremental-update
+  * shadowing, the unsupported-codec contract (None, never a fake
+  * grid), and the PdfRasterCodec bridge into ImageDedup.
+  */
+class PdfImagesSpec extends AnyFunSuite {
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Single-image PDF around an arbitrary image-XObject dict+payload
+    * (object 20), the PdfGen.rasterPdf container shape. */
+  private def imagePdf(dictExtra: String, payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n")
+    w("10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+      "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n")
+    w(s"20 0 obj << $dictExtra/Length ${payload.length} >>\nstream\n")
+    bos.write(payload)
+    w("\nendstream endobj\n")
+    w("100 0 obj << /Length 35 >>\nstream\nq 400 0 0 400 100 300 cm /Im1 Do Q\nendstream endobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** The rasterPdf pixel formula (salt 348), gray or RGB. */
+  private def formulaPixels(docId: Long): Array[Byte] = {
+    val rgb = math.floorMod(docId, 4L) == 3L
+    val n = if (rgb) 768 else 256
+    Array.tabulate(n) { q =>
+      val x = if (rgb) docId * 768L + q else docId * 256L + q
+      (Sampling.hashBitsScalar(x, 348L) % 256L).toByte
+    }
+  }
+
+  test("rasterPdf legs 0-3: extraction recovers the formula pixels exactly") {
+    for (id <- 0L to 7L) {
+      val imgs = PdfImages.extract(PdfGen.rasterPdf(id))
+      assert(imgs.size === 1, s"doc $id")
+      val im = imgs.head
+      assert(im.objNum === 20)
+      assert((im.width, im.height, im.bitsPerComponent) === ((16, 16, 8)))
+      assert(im.codec === "raw", s"doc $id")
+      val rgb = math.floorMod(id, 4L) == 3L
+      assert(im.colorSpace === (if (rgb) "DeviceRGB" else "DeviceGray"))
+      assert(im.data.toSeq === formulaPixels(id).toSeq,
+        s"doc $id (${if (rgb) "A85+Flate RGB" else s"variant ${id % 4}"})")
+    }
+  }
+
+  test("luma grid matches the integer-numerator pooling formula") {
+    // gray 16x16 -> 2x2 block means; verify one doc cell-by-cell
+    val im = PdfImages.extract(PdfGen.rasterPdf(1L)).head
+    val g = PdfImages.lumaGrid(im).get
+    val px = formulaPixels(1L).map(_ & 0xff)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val s = px(2 * cy * 16 + 2 * cx) + px(2 * cy * 16 + 2 * cx + 1) +
+        px((2 * cy + 1) * 16 + 2 * cx) + px((2 * cy + 1) * 16 + 2 * cx + 1)
+      assert(g(cy * 8 + cx) === (s.toDouble / 4).toFloat)
+    }
+    // rgb: denom = pixels * comps = 12
+    val imr = PdfImages.extract(PdfGen.rasterPdf(3L)).head
+    val gr = PdfImages.lumaGrid(imr).get
+    val pxr = formulaPixels(3L).map(_ & 0xff)
+    val cell0 = (0 until 2).flatMap(dy => (0 until 2).flatMap(dx =>
+      (0 until 3).map(c => pxr((dy * 16 + dx) * 3 + c)))).sum
+    assert(gr(0) === (cell0.toDouble / 12).toFloat)
+  }
+
+  test("DCTDecode payload is the stored JPEG byte-for-byte, and decodes") {
+    // a real ImageIO JPEG: 32x32 gradient
+    graft.multimodal.Multimodal.ImageIoCodec.init
+    val bi = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      bi.setRGB(x, y, (x * 8 << 16) | (y * 8 << 8) | ((x + y) * 4))
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try javax.imageio.ImageIO.write(bi, "jpg", ios) finally ios.close()
+    val jpeg = out.toByteArray
+
+    val doc = imagePdf("/Type /XObject /Subtype /Image /Width 32 /Height 32 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode ", jpeg)
+    val imgs = PdfImages.extract(doc)
+    assert(imgs.size === 1)
+    val im = imgs.head
+    assert(im.codec === "dct")
+    assert((im.width, im.height) === ((32, 32)))
+    assert(im.data.toSeq === jpeg.toSeq)       // payload untouched
+    val grid = PdfImages.lumaGrid(im)          // in-memory ImageIO decode
+    assert(grid.isDefined && grid.get.length === 64)
+    // the gradient brightens left-to-right => dHash rich in 1-bits
+    assert(java.lang.Long.bitCount(ImageDedup.dHashOfGrid(grid.get)) > 20)
+  }
+
+  test("transport coat ahead of the raster codec is stripped (AHx+DCT)") {
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3, 4,
+      0xff.toByte, 0xd9.toByte)
+    val hex = (jpeg.map(b => f"${b & 0xff}%02X").mkString + ">")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val doc = imagePdf("/Type /XObject /Subtype /Image /Width 8 /Height 8 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+      "/Filter [/ASCIIHexDecode /DCTDecode] ", hex)
+    val imgs = PdfImages.extract(doc)
+    assert(imgs.size === 1)
+    assert(imgs.head.codec === "dct")
+    assert(imgs.head.data.toSeq === jpeg.toSeq)
+  }
+
+  test("incremental update: the APPENDED image definition wins") {
+    val base = PdfGen.rasterPdf(0L)
+    val newRaw = Array.fill(256)(128.toByte)
+    val upd = deflate(newRaw)
+    val tail = (s"20 0 obj << /Type /XObject /Subtype /Image /Width 16 " +
+      s"/Height 16 /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+      s"/Filter /FlateDecode /Length ${upd.length} >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ upd ++
+      "\nendstream endobj\n%%EOF\n".getBytes(StandardCharsets.ISO_8859_1)
+    val imgs = PdfImages.extract(base ++ tail)
+    assert(imgs.size === 1)                    // one winning definition
+    assert(imgs.head.data.toSeq === newRaw.toSeq)
+  }
+
+  test("unsupported codecs and sub-8-bit rasters decline luma, never fake it") {
+    val ccitt = imagePdf("/Type /XObject /Subtype /Image /Width 64 /Height 64 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+      "/Filter /CCITTFaxDecode ", Array.tabulate(64)(_.toByte))
+    val ci = PdfImages.extract(ccitt)
+    assert(ci.size === 1 && ci.head.codec === "ccitt")
+    assert(PdfImages.lumaGrid(ci.head).isEmpty)
+
+    // 4-bit raw: decodes (Flate) but is not interpretable at bpc 8
+    val sub = imagePdf("/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 4 " +
+      "/Filter /FlateDecode ", deflate(Array.fill(128)(0x55.toByte)))
+    val si = PdfImages.extract(sub)
+    assert(si.size === 1 && si.head.codec === "opaque")
+    assert(PdfImages.lumaGrid(si.head).isEmpty)
+
+    assert(PdfImages.extract("not a pdf at all".getBytes).isEmpty)
+    assert(PdfImages.extract(Array.empty[Byte]).isEmpty)
+    // truncated mid-stream: no endstream => no phantom image
+    val trunc = PdfGen.rasterPdf(0L)
+    assert(PdfImages.extract(trunc.take(trunc.length / 2))
+      .forall(_.codec != "raw") || PdfImages.extract(trunc.take(trunc.length / 2)).isEmpty)
+  }
+
+  test("PdfRasterCodec bridges extract+lumaGrid into the MediaCodec surface") {
+    val codec = PdfRasterCodec()
+    val doc = PdfGen.rasterPdf(2L)
+    val meta = codec.decodeMeta(doc)
+    assert(meta.valid && meta.width === 16 && meta.height === 16)
+    val im = PdfImages.extract(doc).head
+    assert(codec.features(doc, 64).toSeq === PdfImages.lumaGrid(im).get.toSeq)
+    assert(ImageDedup.dHash(codec, doc) ===
+      ImageDedup.dHashOfGrid(PdfImages.lumaGrid(im).get))
+    assert(codec.frameCount(doc) === 1)
+    assert(codec.frameAt(doc, 0).toSeq === im.data.toSeq)
+    assert(codec.frameAt(doc, 3).isEmpty)
+    // no poolable image => invalid, zero features
+    val none = "%PDF-1.5\njust a header".getBytes(StandardCharsets.ISO_8859_1)
+    assert(!codec.decodeMeta(none).valid)
+    assert(codec.features(none, 64).forall(_ == 0f))
+    assert(codec.frameCount(none) === 0)
+  }
+
+  test("resize emits a GIMG gray thumbnail FakeCodec can read back") {
+    val codec = PdfRasterCodec()
+    val thumb = codec.resize(PdfGen.rasterPdf(3L), 4, 4)
+    val fake = graft.multimodal.Multimodal.FakeCodec()
+    val meta = fake.decodeMeta(thumb)
+    assert(meta.valid && meta.width === 4 && meta.height === 4)
+    assert(thumb.length === 12 + 16)
+    assert(codec.resize(PdfGen.rasterPdf(3L), 0, 4).isEmpty)
+  }
+
+  test("rasterPdfTwin: every encoding leg's twin lands within Hamming 2") {
+    val codec = PdfRasterCodec()
+    for (id <- 0L to 7L) {
+      val h1 = ImageDedup.dHash(codec, PdfGen.rasterPdf(id))
+      val h2 = ImageDedup.dHash(codec, PdfGen.rasterPdfTwin(id))
+      assert(java.lang.Long.bitCount(h1 ^ h2) <= 2, s"doc $id")
+      // the twin is the SAME formula image except sample 0
+      val a = PdfImages.extract(PdfGen.rasterPdf(id)).head.data
+      val b = PdfImages.extract(PdfGen.rasterPdfTwin(id)).head.data
+      assert(a.zip(b).count { case (x, y) => x != y } === 1, s"doc $id")
+      assert((b(0) & 0xff) === ((a(0) & 0xff) + 1) % 256, s"doc $id")
+    }
+  }
+
+  test("a near-identical raster lands within a small Hamming distance") {
+    val id = 5L
+    val px = formulaPixels(id)
+    // perturb ONE pixel by +1: at most two grid cells' comparisons move
+    val px2 = px.clone(); px2(0) = ((px2(0) + 1) & 0xff).toByte
+    def gray(p: Array[Byte]) = imagePdf(
+      "/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode ",
+      deflate(p))
+    val codec = PdfRasterCodec()
+    val h1 = ImageDedup.dHash(codec, gray(px))
+    val h2 = ImageDedup.dHash(codec, gray(px2))
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 2)
+  }
+}
