@@ -422,6 +422,35 @@ object PdfGen {
       streamObj(100, "", paint)))
   }
 
+  /** Image-only PDF carrying a REAL CCITT Group 4 scan: a 16×16
+    * bilevel bitmap BY FORMULA (hashBits salt 350, bit = parity —
+    * 1 ⇒ black), G4-encoded by [[CcittG4.encode]] and declared the
+    * way scanners/writers do (`/CCITTFaxDecode`, `/DecodeParms
+    * << /K -1 /Columns 16 /Rows 16 >>`, `/BitsPerComponent 1`). The
+    * q350 oracle recomputes the bits in SQL, so the whole
+    * encode→container→decode path is a live tripwire. */
+  def ccittPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    val px = Array.tabulate(W * H) { p =>
+      val black =
+        graft.operators.Sampling.hashBitsScalar(docId * 256L + p, 350L) % 2L == 1L
+      if (black) 0.toByte else 255.toByte
+    }
+    val payload = CcittG4.encode(px, W, H)
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        s"/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        s"/Filter /CCITTFaxDecode " +
+        s"/DecodeParms << /K -1 /Columns $W /Rows $H /BlackIs1 false >> ", payload),
+      streamObj(100, "", paint)))
+  }
+
   /** REAL RC4-encrypted PDF (standard security handler, V2/R3,
     * 128-bit): a [[simple]] body whose stream payloads are encrypted
     * in place under spec per-object keys — the forward pass of

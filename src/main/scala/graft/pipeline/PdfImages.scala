@@ -87,7 +87,7 @@ object PdfImages {
     // object's body is the integer). Image dicts are top-level stream
     // dicts, but writers do emit indirect dims.
     def intEntry(dict: String, key: String): Option[Int] = {
-      val direct = (key + """\s+(\d{1,9})(?!\d)(?!\s*\d+\s+R)""").r
+      val direct = (key + """\s+(-?\d{1,9})(?!\d)(?!\s*\d+\s+R)""").r
       val indirect = (key + """\s+(\d{1,9})\s+\d+\s+R(?![A-Za-z0-9])""").r
       direct.findFirstMatchIn(dict).map(_.group(1).toInt).orElse(
         indirect.findFirstMatchIn(dict).flatMap { m =>
@@ -116,10 +116,26 @@ object PdfImages {
         else {
           val filters = filterList(o.dict)
           val rasterIdx = filters.indexWhere(RasterCodecs.contains)
-          if (rasterIdx >= 0)
-            transportDecode(o, bytes, filters.take(rasterIdx), o.dict).map(p =>
-              PdfImage(num, w, h, bpc, cs,
-                RasterCodecs(filters(rasterIdx)), p))
+          if (rasterIdx >= 0) {
+            val tag = RasterCodecs(filters(rasterIdx))
+            transportDecode(o, bytes, filters.take(rasterIdx), o.dict).map { p =>
+              // CCITT G4 (/K < 0) has a pure-JVM decoder: scans become
+              // 8-bit gray luma (255 white / 0 black) and join the
+              // perceptual-hash path; G3 (/K >= 0) and a /Columns that
+              // contradicts /Width stay payload-passthrough
+              val k = intEntry(o.dict, "/K").getOrElse(0)
+              val cols = intEntry(o.dict, "/Columns").getOrElse(1728)
+              val rows = intEntry(o.dict, "/Rows").getOrElse(h)
+              val g4 =
+                if (tag == "ccitt" && k < 0 && cols == w && rows == h)
+                  CcittG4.decode(p, cols, rows)
+                else None
+              g4 match {
+                case Some(px) => PdfImage(num, w, h, 8, "DeviceGray", "raw", px)
+                case None => PdfImage(num, w, h, bpc, cs, tag, p)
+              }
+            }
+          }
           else
             o.data.map { px =>
               val comps = components(cs)

@@ -376,6 +376,65 @@ object MultimodalQueries {
              |WHERE bit_count(xor(a.phash, b.phash)) <= $MaxHamming
              |ORDER BY id_a, id_b""".stripMargin
         })
+    },
+
+    // ----- q350: CCITT Group 4 scans, ORACLE-CHECKED end-to-end —
+    // the fax compression real scanned PDFs carry. Each document
+    // becomes a G4-compressed bilevel scan (PdfGen.ccittPdf: 16×16
+    // bitmap by formula, hashBits salt 350, parity ⇒ black;
+    // CcittG4.encode's vertical/horizontal/pass modes and T.4 run
+    // tables produce the payload), PdfImages reverses it through the
+    // pure-JVM T.6 decoder into gray luma, and the dHash replays.
+    // The oracle recomputes the BITS in SQL (black ⇒ 0, white ⇒ 255,
+    // 2×2 block means), so a single wrong Huffman table entry, mode
+    // transition, or changing-element rule anywhere in
+    // encode→container→decode shifts a hash and the row set stops
+    // matching.
+    {
+      val Salt = 350L
+      QueryDef(
+        "q350_ccitt_scan_dhash_replay",
+        (s, d) => {
+          import s.implicits._
+          val pdfs = graft.Par.spread(
+            Tables.documents(s, d).select($"doc_id").as[Long]
+              .map(id => (id, graft.pipeline.PdfGen.ccittPdf(id)))
+              .toDF("doc_id", "pdf"))
+          pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+            it.flatMap { case (id, bytes) =>
+              graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+                graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                  (id, im.colorSpace, im.bitsPerComponent,
+                    ImageDedup.dHashOfGrid(g))
+                }
+              }
+            }
+          }.toDF("doc_id", "colorspace", "bpc", "phash")
+            .withColumn("bpc", col("bpc").cast("long"))
+            .orderBy($"doc_id")
+        },
+        Some {
+          val mix = graft.operators.Sampling.hashBitsSql("(i.id * 256 + g.p)", Salt)
+          s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+             |px AS (
+             |  SELECT i.id, g.p AS p,
+             |    CASE WHEN ($mix) % 2 = 1 THEN 0 ELSE 255 END AS num
+             |  FROM ids i CROSS JOIN (SELECT unnest(range(0, 256)) AS p) g),
+             |cells AS MATERIALIZED (
+             |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+             |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+             |  FROM px GROUP BY 1, 2),
+             |h AS (
+             |  SELECT l.id,
+             |    CAST(SUM(CASE WHEN l.cv < r.cv
+             |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+             |      ELSE 0 END) AS BIGINT) AS phash
+             |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+             |  WHERE l.cp % 8 < 7 GROUP BY 1)
+             |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+             |  CAST(8 AS BIGINT) AS bpc, phash
+             |FROM h ORDER BY doc_id""".stripMargin
+        })
     })
 
   private val AudioClips = 8L

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CCITT Group 4 codec: randomized encode→decode round trips chosen
+  * to force every coding mode (vertical ±0..3, horizontal with
+  * terminating, makeup, and extended-makeup runs, pass), structural
+  * table checks (prefix-freeness — the property a transcription typo
+  * almost always breaks), known bit vectors, and the
+  * malformed-input contract (None, never a half-decoded raster or a
+  * hang).
+  */
+class CcittG4Spec extends AnyFunSuite {
+
+  private def bitmap(w: Int, h: Int)(f: (Int, Int) => Boolean): Array[Byte] =
+    Array.tabulate(w * h)(p => if (f(p % w, p / w)) 0.toByte else 255.toByte)
+
+  private def roundTrip(px: Array[Byte], w: Int, h: Int, clue: String): Unit = {
+    val enc = CcittG4.encode(px, w, h)
+    val dec = CcittG4.decode(enc, w, h)
+    assert(dec.isDefined, clue)
+    assert(dec.get.toSeq === px.toSeq, clue)
+  }
+
+  test("round trip: dense random bitmaps (vertical/horizontal mix)") {
+    val rnd = new scala.util.Random(350)
+    for (trial <- 0 until 20) {
+      val w = Seq(8, 13, 16, 31, 64, 200)(trial % 6)
+      val h = 1 + rnd.nextInt(12)
+      roundTrip(bitmap(w, h)((_, _) => rnd.nextBoolean()), w, h, s"trial $trial ${w}x$h")
+    }
+  }
+
+  test("round trip: sparse bitmaps (long white runs, makeup codes)") {
+    val rnd = new scala.util.Random(351)
+    for (trial <- 0 until 10) {
+      val w = 400 + rnd.nextInt(300)
+      val h = 1 + rnd.nextInt(6)
+      roundTrip(bitmap(w, h)((_, _) => rnd.nextInt(40) == 0), w, h, s"sparse $trial")
+      roundTrip(bitmap(w, h)((_, _) => rnd.nextInt(40) != 0), w, h, s"dense $trial")
+    }
+  }
+
+  test("round trip: runs past 2560 take repeated extended makeups") {
+    val w = 6000
+    roundTrip(bitmap(w, 2)((_, _) => false), w, 2, "all white 6000")
+    roundTrip(bitmap(w, 2)((_, _) => true), w, 2, "all black 6000")
+    roundTrip(bitmap(w, 2)((x, _) => x >= 3000), w, 2, "half/half 6000")
+  }
+
+  test("round trip: edge shapes (single column, single row, checker)") {
+    roundTrip(bitmap(1, 8)((_, y) => y % 2 == 0), 1, 8, "1 wide")
+    roundTrip(bitmap(64, 1)((x, _) => x % 2 == 0), 64, 1, "1 tall checker")
+    roundTrip(bitmap(16, 16)((x, y) => (x + y) % 2 == 0), 16, 16, "checker")
+    roundTrip(bitmap(16, 16)((x, _) => x == 0), 16, 16, "black first col")
+    roundTrip(bitmap(16, 16)((x, _) => x == 15), 16, 16, "black last col")
+  }
+
+  test("known vector: an all-white image is V0 per pixel-column walk") {
+    // every line: b1 = columns, a1 = columns, V0 ("1") once per line?
+    // No: one V0 per LINE (a1 = b1 = columns ends the line in one code)
+    val enc = CcittG4.encode(bitmap(16, 3)((_, _) => false), 16, 3)
+    // 3 rows x V0(1 bit) + EOFB(24 bits) = 27 bits => 4 bytes:
+    // 111 000000000001 000000000001 0...
+    assert(enc.length === 4)
+    assert((enc(0) & 0xff) === Integer.parseInt("11100000", 2))
+    assert((enc(1) & 0xff) === Integer.parseInt("00000010", 2))
+    assert((enc(2) & 0xff) === Integer.parseInt("00000000", 2))
+    assert((enc(3) & 0xff) === Integer.parseInt("00100000", 2))
+  }
+
+  test("run tables are prefix-free within each color (incl. mode codes)") {
+    def prefixFree(codes: Seq[String], clue: String): Unit =
+      for (a <- codes; b <- codes if a != b)
+        assert(!b.startsWith(a), s"$clue: $a prefixes $b")
+    val modes = Seq("1", "011", "010", "001", "0001",
+      "000011", "000010", "0000011", "0000010", "000000000001")
+    prefixFree(modes, "modes")
+    for (black <- Seq(false, true)) {
+      val t = CcittG4.runTable(black)
+      assert(t.map(_._1).distinct.size === t.size, "duplicate runs")
+      assert(t.size === 64 + 27 + 13)  // terminating + makeup + extended
+      prefixFree(t.map(_._2), s"black=$black")
+    }
+  }
+
+  test("malformed input: None, not a crash or a stall") {
+    assert(CcittG4.decode(null, 16, 16).isEmpty)
+    assert(CcittG4.decode(Array.empty[Byte], 16, 16).isEmpty)
+    assert(CcittG4.decode(Array.fill(64)(0x55.toByte), 16, 16).isEmpty
+      || CcittG4.decode(Array.fill(64)(0x55.toByte), 16, 16).get.length == 256)
+    // truncated valid payload: the missing rows fail the decode
+    val full = CcittG4.encode(bitmap(64, 8)((x, y) => (x * y) % 3 == 0), 64, 8)
+    assert(CcittG4.decode(full.take(2), 64, 8).isEmpty)
+    // random garbage across seeds: never hangs, never throws
+    val rnd = new scala.util.Random(352)
+    for (_ <- 0 until 50) {
+      val junk = Array.fill(40)(rnd.nextInt(256).toByte)
+      CcittG4.decode(junk, 32, 32)  // must terminate; result may be anything
+    }
+    assert(CcittG4.decode(Array[Byte](1, 2, 3), 0, 4).isEmpty)
+    assert(CcittG4.decode(Array[Byte](1, 2, 3), -4, 4).isEmpty)
+  }
+
+  test("ccittPdf: the G4 scan extracts as real gray pixels end-to-end") {
+    for (id <- 0L to 3L) {
+      val imgs = PdfImages.extract(PdfGen.ccittPdf(id))
+      assert(imgs.size === 1, s"doc $id")
+      val im = imgs.head
+      assert(im.codec === "raw")
+      assert((im.width, im.height, im.bitsPerComponent) === ((16, 16, 8)))
+      assert(im.colorSpace === "DeviceGray")
+      val expected = Array.tabulate(256) { p =>
+        val black =
+          graft.operators.Sampling.hashBitsScalar(id * 256L + p, 350L) % 2L == 1L
+        if (black) 0 else 255
+      }
+      assert(im.data.map(_ & 0xff).toSeq === expected.toSeq, s"doc $id")
+      assert(PdfImages.lumaGrid(im).isDefined)
+    }
+  }
+
+  test("G3 (/K >= 0) stays payload passthrough — no misparse as G4") {
+    val doc = PdfGen.ccittPdf(0L)
+    val s = new String(doc, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val g3 = s.replace("/K -1", "/K 0")
+    val imgs = PdfImages.extract(g3.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(imgs.size === 1)
+    assert(imgs.head.codec === "ccitt")
+    assert(PdfImages.lumaGrid(imgs.head).isEmpty)
+  }
+}
