@@ -451,6 +451,28 @@ object PdfGen {
       streamObj(100, "", paint)))
   }
 
+  /** Image-only PDF whose raster is an INLINE image (`BI … ID … EI`,
+    * abbreviated keys, Flate-compressed data INSIDE a Flate-compressed
+    * content stream) — the second raster carrier, PDF 32000-1 §8.9.7.
+    * Pixels by formula (hashBits salt 351, gray), so the q351 oracle
+    * replays the whole nested decode in SQL. */
+  def inlineImagePdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    val px = Array.tabulate(W * H) { p =>
+      (graft.operators.Sampling.hashBitsScalar(docId * 256L + p, 351L) % 256L).toByte
+    }
+    val cs = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm " +
+      s"BI /W $W /H $H /BPC 8 /CS /G /F /Fl ID " +
+      new String(deflate(px), StandardCharsets.ISO_8859_1) +
+      " EI Q"
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R >> endobj\n",
+      streamObj(100, "/Filter /FlateDecode ",
+        deflate(cs.getBytes(StandardCharsets.ISO_8859_1)))))
+  }
+
   /** REAL RC4-encrypted PDF (standard security handler, V2/R3,
     * 128-bit): a [[simple]] body whose stream payloads are encrypted
     * in place under spec per-object keys — the forward pass of

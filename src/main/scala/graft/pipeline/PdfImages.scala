@@ -144,7 +144,181 @@ object PdfImages {
               PdfImage(num, w, h, bpc, cs, if (ok) "raw" else "opaque", px)
             }
         }
+      } ++ inlineImages(bytes)
+  }
+
+  // ---- inline images (`BI <dict> ID <data> EI`, PDF 32000-1 §8.9.7)
+  // — the second raster carrier: small images embedded directly in
+  // content streams with abbreviated keys. objNum is NEGATIVE
+  // (-1, -2, … in document order) to mark the carrier.
+
+  private val csNames = Map(
+    "G" -> "DeviceGray", "DeviceGray" -> "DeviceGray",
+    "RGB" -> "DeviceRGB", "DeviceRGB" -> "DeviceRGB",
+    "CMYK" -> "DeviceCMYK", "DeviceCMYK" -> "DeviceCMYK")
+  private val inlineFilterRe =
+    """/(?:F(?![A-Za-z])|Filter(?![A-Za-z0-9]))\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))""".r
+  private val inlineCsRe =
+    """/(?:CS(?![A-Za-z])|ColorSpace(?![A-Za-z0-9]))\s*/([A-Za-z0-9]+)""".r
+  private val inlineDpRe =
+    """/(?:DP(?![A-Za-z])|DecodeParms(?![A-Za-z0-9]))\s*<<([^>]*)>>""".r
+  private val nameToks = """/([A-Za-z0-9]+)""".r
+
+  private def inlineInt(dict: String, keys: Seq[String]): Option[Int] =
+    keys.iterator.flatMap { k =>
+      (s"""/$k(?![A-Za-z0-9])\\s+(-?\\d{1,9})(?!\\d)""").r
+        .findFirstMatchIn(dict).map(_.group(1).toInt)
+    }.nextOption()
+
+  private def isRegular(c: Char): Boolean =
+    !c.isWhitespace && !"()<>[]{}/%".contains(c)
+
+  private def inlineImages(bytes: Array[Byte]): Seq[PdfImage] = {
+    val out = Seq.newBuilder[PdfImage]
+    var idx = 0
+    for (cs <- PdfTextPartitioner.contentStreams(bytes)) {
+      var i = 0
+      val n = cs.length
+      while (i + 1 < n) {
+        val isBi = cs.charAt(i) == 'B' && cs.charAt(i + 1) == 'I' &&
+          (i == 0 || !isRegular(cs.charAt(i - 1))) &&
+          (i + 2 >= n || !isRegular(cs.charAt(i + 2)))
+        if (!isBi) i += 1
+        else {
+          // the ID token ends the parameter dict
+          var j = i + 2
+          while (j + 1 < n &&
+              !(cs.charAt(j) == 'I' && cs.charAt(j + 1) == 'D' &&
+                !isRegular(cs.charAt(j - 1)) &&
+                (j + 2 >= n || !isRegular(cs.charAt(j + 2))))) j += 1
+          if (j + 1 >= n) { i = n }
+          else {
+            val dict = cs.substring(i + 2, j)
+            val dataStart = j + 3             // ID + single separator byte
+            idx += 1
+            val end = parseInline(cs, dict, dataStart, -idx) match {
+              case Some((img, e)) => out += img; e
+              case None =>
+                // unparseable: fall back to the text side's EI scan
+                var e = dataStart
+                while (e + 1 < n &&
+                    !(cs.charAt(e) == 'E' && cs.charAt(e + 1) == 'I' &&
+                      cs.charAt(e - 1).isWhitespace &&
+                      (e + 2 >= n || !isRegular(cs.charAt(e + 2))))) e += 1
+                if (e + 1 >= n) n else e + 2
+            }
+            i = end
+          }
+        }
       }
+    }
+    out.result()
+  }
+
+  /** One inline image: (decoded PdfImage, index after EI). None when
+    * the parameters don't parse — the caller skips past EI. */
+  private def parseInline(
+      cs: String, dict: String, dataStart: Int,
+      objNum: Int): Option[(PdfImage, Int)] = {
+    val n = cs.length
+    val w = inlineInt(dict, Seq("W", "Width")).getOrElse(0)
+    val h = inlineInt(dict, Seq("H", "Height")).getOrElse(0)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    val bpc = inlineInt(dict, Seq("BPC", "BitsPerComponent")).getOrElse(8)
+    val csName = inlineCsRe.findFirstMatchIn(dict).map(_.group(1))
+      .map(nm => csNames.getOrElse(nm, nm)).getOrElse("DeviceGray")
+    val comps = components(csName)
+    val filters = inlineFilterRe.findFirstMatchIn(dict) match {
+      case None => Seq.empty
+      case Some(m) =>
+        if (m.group(2) != null) Seq(m.group(2))
+        else nameToks.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }
+    val rasterIdx = filters.indexWhere(RasterCodecs.contains)
+
+    val dp = inlineDpRe.findFirstMatchIn(dict).map(_.group(1))
+
+    def decodePayload(payload: Array[Byte]): Option[PdfImage] = {
+      if (rasterIdx >= 0) {
+        val tag = RasterCodecs(filters(rasterIdx))
+        applyCoats(payload, filters.take(rasterIdx), dict).map { p =>
+          // inline G4 faxes decode like their XObject cousins
+          val k = dp.flatMap(inlineInt(_, Seq("K"))).getOrElse(0)
+          val cols = dp.flatMap(inlineInt(_, Seq("Columns"))).getOrElse(1728)
+          val rows = dp.flatMap(inlineInt(_, Seq("Rows"))).getOrElse(h)
+          val g4 =
+            if (tag == "ccitt" && k < 0 && cols == w && rows == h)
+              CcittG4.decode(p, cols, rows)
+            else None
+          g4 match {
+            case Some(px) => PdfImage(objNum, w, h, 8, "DeviceGray", "raw", px)
+            case None => PdfImage(objNum, w, h, bpc, csName, tag, p)
+          }
+        }
+      } else {
+        applyCoats(payload, filters, dict).flatMap { d0 =>
+          // /DP predictor applies after the decompression stage
+          val d = dp match {
+            case None => Some(d0)
+            case Some(parms) =>
+              val pred = inlineInt(parms, Seq("Predictor")).getOrElse(1)
+              if (pred <= 1) Some(d0)
+              else if (bpc != 8) None
+              else PdfTextPartitioner.unpredict(d0, pred,
+                inlineInt(parms, Seq("Columns")).getOrElse(1),
+                inlineInt(parms, Seq("Colors")).getOrElse(1))
+          }
+          d.map { px =>
+            val ok = bpc == 8 && comps > 0 && px.length == w.toLong * h * comps
+            PdfImage(objNum, w, h, bpc, csName,
+              if (ok) "raw" else "opaque", px)
+          }
+        }
+      }
+    }
+
+    if (filters.isEmpty) {
+      // raw data length is derivable (rows byte-aligned per spec):
+      // no EI ambiguity, the payload is exactly len bytes
+      if (comps <= 0) return None
+      val rowBytes = (w.toLong * comps * bpc + 7) / 8
+      val len = rowBytes * h
+      if (dataStart + len > n) return None
+      var e = dataStart + len.toInt
+      while (e < n && cs.charAt(e).isWhitespace) e += 1
+      if (e + 1 >= n || cs.charAt(e) != 'E' || cs.charAt(e + 1) != 'I')
+        return None
+      val payload = cs.substring(dataStart, dataStart + len.toInt)
+        .getBytes(StandardCharsets.ISO_8859_1)
+      decodePayload(payload).map((_, e + 2))
+    } else {
+      // filtered payloads end at a whitespace-delimited EI — but the
+      // BINARY payload may contain that byte pattern, so candidate
+      // terminators are tried in order and validated by an actual
+      // successful decode (a false EI truncates the stream and the
+      // filter chain rejects it)
+      var e = dataStart + 1
+      var attempts = 0
+      var found: Option[(PdfImage, Int)] = None
+      while (found.isEmpty && attempts < 64 && e + 1 < n) {
+        while (e + 1 < n &&
+            !(cs.charAt(e) == 'E' && cs.charAt(e + 1) == 'I' &&
+              cs.charAt(e - 1).isWhitespace &&
+              (e + 2 >= n || !isRegular(cs.charAt(e + 2))))) e += 1
+        if (e + 1 < n) {
+          val payload = cs.substring(dataStart, e - 1)
+            .getBytes(StandardCharsets.ISO_8859_1)
+          // an 8-bit known-colorspace decode of the TRUE payload has
+          // exactly w*h*comps bytes — an "opaque" there is a false EI
+          found = decodePayload(payload)
+            .filter(im => im.codec != "opaque" || bpc != 8 || comps <= 0)
+            .map((_, e + 2))
+          e += 1
+          attempts += 1
+        }
+      }
+      found
+    }
   }
 
   /** Strip the transport coats AHEAD of a raster codec (e.g.
@@ -156,29 +330,30 @@ object PdfImages {
     */
   private def transportDecode(
       o: PdfObj, bytes: Array[Byte], coats: Seq[String],
-      dict: String): Option[Array[Byte]] = {
+      dict: String): Option[Array[Byte]] =
     o.span.flatMap { case (ds, de) =>
       if (de <= ds) None
-      else {
-        var cur: Option[Array[Byte]] =
-          Some(java.util.Arrays.copyOfRange(bytes, ds, de))
-        for (f <- coats if cur.isDefined) cur = f match {
-          case "FlateDecode" | "Fl" => cur.flatMap(PdfTextPartitioner.inflate)
-          case "LZWDecode" | "LZW" =>
-            val early = """/EarlyChange\s+(\d)""".r.findFirstMatchIn(dict)
-              .map(_.group(1).toInt).getOrElse(1)
-            cur.flatMap(PdfTextPartitioner.lzwDecode(_, early))
-          case "ASCIIHexDecode" | "AHx" =>
-            cur.flatMap(PdfTextPartitioner.asciiHexDecode)
-          case "ASCII85Decode" | "A85" =>
-            cur.flatMap(PdfTextPartitioner.ascii85Decode)
-          case "RunLengthDecode" | "RL" =>
-            cur.flatMap(PdfTextPartitioner.runLengthDecode)
-          case _ => None
-        }
-        cur
-      }
+      else applyCoats(java.util.Arrays.copyOfRange(bytes, ds, de), coats, dict)
     }
+
+  private def applyCoats(
+      data: Array[Byte], coats: Seq[String], dict: String): Option[Array[Byte]] = {
+    var cur: Option[Array[Byte]] = Some(data)
+    for (f <- coats if cur.isDefined) cur = f match {
+      case "FlateDecode" | "Fl" => cur.flatMap(PdfTextPartitioner.inflate)
+      case "LZWDecode" | "LZW" =>
+        val early = """/EarlyChange\s+(\d)""".r.findFirstMatchIn(dict)
+          .map(_.group(1).toInt).getOrElse(1)
+        cur.flatMap(PdfTextPartitioner.lzwDecode(_, early))
+      case "ASCIIHexDecode" | "AHx" =>
+        cur.flatMap(PdfTextPartitioner.asciiHexDecode)
+      case "ASCII85Decode" | "A85" =>
+        cur.flatMap(PdfTextPartitioner.ascii85Decode)
+      case "RunLengthDecode" | "RL" =>
+        cur.flatMap(PdfTextPartitioner.runLengthDecode)
+      case _ => None
+    }
+    cur
   }
 
   /** `grid`×`grid` luma cells of one image, row-major — the input of

@@ -314,7 +314,7 @@ object PdfTextPartitioner {
     * predictors ≥ 10 (per-row filter byte: None/Sub/Up/Average/
     * Paeth, RFC 2083). Truncated final rows fail the whole stream —
     * a malformed predictor stream is skipped, not half-decoded. */
-  private def unpredict(
+  private[pipeline] def unpredict(
       data: Array[Byte], predictor: Int, columns: Int, colors: Int): Option[Array[Byte]] = {
     val bpp = math.max(1, colors)               // bytes per pixel at bpc=8
     val rowLen = columns * colors

@@ -435,6 +435,59 @@ object MultimodalQueries {
              |  CAST(8 AS BIGINT) AS bpc, phash
              |FROM h ORDER BY doc_id""".stripMargin
         })
+    },
+
+    // ----- q351: INLINE images (BI … ID … EI), ORACLE-CHECKED —
+    // the second raster carrier: abbreviated-key parameter dicts and
+    // Flate image data nested INSIDE a Flate-compressed content
+    // stream (PdfGen.inlineImagePdf, pixel formula salt 351). The
+    // Spark side must find the content stream, inflate it, locate
+    // the BI operator, parse /W /H /BPC /CS /F abbreviations, pick
+    // the TRUE whitespace-delimited EI (binary payloads can fake
+    // one — candidates are validated by decode), inflate the nested
+    // payload, and pool+hash; the oracle recomputes the pixels in
+    // SQL. objNum -1 marks the inline carrier.
+    {
+      val Salt = 351L
+      QueryDef(
+        "q351_inline_image_dhash_replay",
+        (s, d) => {
+          import s.implicits._
+          val pdfs = graft.Par.spread(
+            Tables.documents(s, d).select($"doc_id").as[Long]
+              .map(id => (id, graft.pipeline.PdfGen.inlineImagePdf(id)))
+              .toDF("doc_id", "pdf"))
+          pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+            it.flatMap { case (id, bytes) =>
+              graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+                graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                  (id, im.objNum.toLong, ImageDedup.dHashOfGrid(g))
+                }
+              }
+            }
+          }.toDF("doc_id", "obj_num", "phash")
+            .orderBy($"doc_id")
+        },
+        Some {
+          val mix = graft.operators.Sampling.hashBitsSql("(i.id * 256 + g.p)", Salt)
+          s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+             |px AS (
+             |  SELECT i.id, g.p AS p, ($mix) % 256 AS num
+             |  FROM ids i CROSS JOIN (SELECT unnest(range(0, 256)) AS p) g),
+             |cells AS MATERIALIZED (
+             |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+             |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+             |  FROM px GROUP BY 1, 2),
+             |h AS (
+             |  SELECT l.id,
+             |    CAST(SUM(CASE WHEN l.cv < r.cv
+             |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+             |      ELSE 0 END) AS BIGINT) AS phash
+             |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+             |  WHERE l.cp % 8 < 7 GROUP BY 1)
+             |SELECT id AS doc_id, CAST(-1 AS BIGINT) AS obj_num, phash
+             |FROM h ORDER BY doc_id""".stripMargin
+        })
     })
 
   private val AudioClips = 8L

@@ -210,6 +210,77 @@ class PdfImagesSpec extends AnyFunSuite {
     }
   }
 
+  test("inline image: nested Flate decodes to the formula pixels, objNum -1") {
+    for (id <- 0L to 3L) {
+      val imgs = PdfImages.extract(PdfGen.inlineImagePdf(id))
+      assert(imgs.size === 1, s"doc $id")
+      val im = imgs.head
+      assert(im.objNum === -1)
+      assert((im.width, im.height, im.codec) === ((16, 16, "raw")))
+      assert(im.colorSpace === "DeviceGray")
+      val expected = Array.tabulate(256)(p =>
+        (graft.operators.Sampling.hashBitsScalar(id * 256L + p, 351L) % 256L).toInt)
+      assert(im.data.map(_ & 0xff).toSeq === expected.toSeq, s"doc $id")
+    }
+  }
+
+  /** Single-page PDF around a raw (uncompressed) content stream. */
+  private def contentPdf(cs: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n")
+    w("10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R >> endobj\n")
+    w(s"100 0 obj << /Length ${cs.length} >>\nstream\n")
+    w(cs)
+    w("\nendstream endobj\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("inline image: unfiltered payload uses the exact derived length") {
+    // 4x2 gray whose bytes spell things that would confuse an EI scan
+    val px = " EI Q EI"                        // 8 bytes, all printable
+    val cs = s"q BI /W 4 /H 2 /BPC 8 /CS /G ID $px EI Q"
+    val imgs = PdfImages.extract(contentPdf(cs))
+    assert(imgs.size === 1)
+    assert(imgs.head.codec === "raw")
+    assert(imgs.head.data.toSeq === px.getBytes(StandardCharsets.ISO_8859_1).toSeq)
+  }
+
+  test("inline image: a FALSE ' EI ' inside filtered data is rejected by decode") {
+    // RunLength payload crafted to contain a whitespace-delimited EI:
+    // a literal run keeps ' EI ' verbatim in the stream, so the EI
+    // scan sees ws-E-I-ws — a perfect false terminator
+    val head = " EI ".getBytes(StandardCharsets.ISO_8859_1)
+    val px = head ++ Array.tabulate(28)(i => (i * 7 + 1).toByte)
+    val rl = new java.io.ByteArrayOutputStream()
+    rl.write(head.length - 1); head.foreach(b => rl.write(b & 0xff))
+    val rest = px.drop(head.length)
+    rl.write(rest.length - 1); rest.foreach(b => rl.write(b & 0xff))
+    rl.write(128)                                              // EOD
+    val data = new String(rl.toByteArray, StandardCharsets.ISO_8859_1)
+    // sanity: the payload really does contain the trap
+    assert(data.contains(" EI "))
+    val cs = s"q BI /W 8 /H 4 /BPC 8 /CS /G /F /RL ID $data EI Q"
+    val imgs = PdfImages.extract(contentPdf(cs))
+    assert(imgs.size === 1)
+    assert(imgs.head.codec === "raw")
+    assert(imgs.head.data.take(4).toSeq === Seq(' '.toByte, 'E'.toByte, 'I'.toByte, ' '.toByte))
+    assert(imgs.head.data.toSeq === px.toSeq)
+  }
+
+  test("inline images: several in one stream get -1, -2 in order") {
+    val a = "ABCD"                             // 2x2 gray
+    val b = "WXYZ"
+    val cs = s"q BI /W 2 /H 2 /BPC 8 /CS /G ID $a EI " +
+      s"BI /W 2 /H 2 /BPC 8 /CS /G ID $b EI Q"
+    val imgs = PdfImages.extract(contentPdf(cs))
+    assert(imgs.map(_.objNum) === Seq(-1, -2))
+    assert(imgs.map(im => new String(im.data, StandardCharsets.ISO_8859_1)) ===
+      Seq(a, b))
+  }
+
   test("a near-identical raster lands within a small Hamming distance") {
     val id = 5L
     val px = formulaPixels(id)
