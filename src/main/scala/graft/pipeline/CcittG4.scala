@@ -193,21 +193,24 @@ object CcittG4 {
   private val EncBlack = runTable(black = true).toMap
 
   /** Total run of one color: zero or more makeup codes then a
-    * terminating code (< 64). None on malformed input. */
-  private def readRun(br: BitReader, black: Boolean): Option[Int] = {
+    * terminating code (< 64). None on malformed input or a run past
+    * `maxRun` — which also bounds the loop (every makeup is ≥ 64, so
+    * iterations ≤ maxRun/64 + 1; a 200k-wide all-white line is ~78
+    * consecutive 2560-makeups and must decode). */
+  private def readRun(br: BitReader, black: Boolean, maxRun: Int): Option[Int] = {
     val book = if (black) BlackBook else WhiteBook
     var total = 0
-    var guard = 0
-    while (guard < 64) {                      // a run is at most a handful of codes
+    var r = 64
+    while (r >= 64) {
       book.read(br) match {
         case None => return None
-        case Some(r) =>
-          total += r
-          if (r < 64) return Some(total)
+        case Some(v) =>
+          total += v
+          if (total > maxRun) return None
+          r = v
       }
-      guard += 1
     }
-    None
+    Some(total)
   }
 
   private def writeRun(bw: BitWriter, run0: Int, black: Boolean): Unit = {
@@ -237,18 +240,25 @@ object CcittG4 {
     out.toArray
   }
 
-  /** b1 = first changing element of `ref` strictly right of a0 whose
-    * "transition parity" is opposite to the current color: even
-    * indices flip white→black, odd black→white. Returns (b1, b2),
-    * both clamped to `columns`. */
-  private def findB(ref: Array[Int], a0: Int, colorBlack: Boolean,
-      columns: Int): (Int, Int) = {
+  /** b1 = first changing element of `ref` strictly right of `a0`
+    * whose "transition parity" is opposite to the current color:
+    * even indices flip white→black, odd black→white. `cursor` is a
+    * monotone resume index (a0 never decreases within a line, so the
+    * scan never restarts — without it a dense halftone line costs
+    * O(changes²) per row). Returns (b1, b2, newCursor), b1/b2
+    * clamped to `columns`. Transitions alternate strictly, so the
+    * first index past a0 either has the wanted parity or its
+    * successor does. */
+  private def findB(ref: Array[Int], cursor: Int, a0: Int,
+      colorBlack: Boolean, columns: Int): (Int, Int, Int) = {
     val wantParity = if (colorBlack) 1 else 0
-    var i = 0
-    while (i < ref.length && (ref(i) <= a0 || (i & 1) != wantParity)) i += 1
+    var c = cursor
+    while (c < ref.length && ref(c) <= a0) c += 1
+    var i = c
+    if (i < ref.length && (i & 1) != wantParity) i += 1
     val b1 = if (i < ref.length) ref(i) else columns
     val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
-    (b1, math.min(b2, columns))
+    (b1, math.min(b2, columns), c)
   }
 
   /** G4-encode a byte-per-pixel bitmap (0 = black, anything else
@@ -264,10 +274,12 @@ object CcittG4 {
       val cur = changesOf(pixels, row * columns, columns)
       var a0 = -1
       var black = false
+      var refCur = 0
+      var j = 0                                // monotone cursor into cur
       while (a0 < columns) {
-        val (b1, b2) = findB(ref, a0, black, columns)
+        val (b1, b2, rc) = findB(ref, refCur, a0, black, columns)
+        refCur = rc
         // a1 = next change in cur strictly right of a0
-        var j = 0
         while (j < cur.length && cur(j) <= a0) j += 1
         val a1 = if (j < cur.length) cur(j) else columns
         if (b2 < a1) {
@@ -314,8 +326,10 @@ object CcittG4 {
       var a0 = -1
       var black = false
       var bad = false
+      var refCur = 0
       while (!bad && a0 < columns) {
-        val (b1, b2) = findB(ref, a0, black, columns)
+        val (b1, b2, rc) = findB(ref, refCur, a0, black, columns)
+        refCur = rc
         ModeBook.read(br) match {
           case None => bad = true
           case Some(MEol) =>
@@ -327,7 +341,7 @@ object CcittG4 {
             a0 = b2
           case Some(MHoriz) =>
             val a0s = math.max(a0, 0)
-            (readRun(br, black), readRun(br, !black)) match {
+            (readRun(br, black, columns), readRun(br, !black, columns)) match {
               case (Some(r1), Some(r2)) =>
                 val a1 = a0s + r1
                 val a2 = a1 + r2

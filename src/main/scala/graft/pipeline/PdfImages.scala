@@ -112,7 +112,7 @@ object PdfImages {
         val bpc = intEntry(o.dict, "/BitsPerComponent").getOrElse(
           if (o.dict.contains("/ImageMask")) 1 else 8)
         val cs = colorSpaceOf(o.dict)
-        if (w <= 0 || h <= 0) None
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
         else {
           val filters = filterList(o.dict)
           val rasterIdx = filters.indexWhere(RasterCodecs.contains)
@@ -144,7 +144,7 @@ object PdfImages {
               PdfImage(num, w, h, bpc, cs, if (ok) "raw" else "opaque", px)
             }
         }
-      } ++ inlineImages(bytes)
+      } ++ inlineImages(objs)
   }
 
   // ---- inline images (`BI <dict> ID <data> EI`, PDF 32000-1 §8.9.7)
@@ -173,10 +173,35 @@ object PdfImages {
   private def isRegular(c: Char): Boolean =
     !c.isWhitespace && !"()<>[]{}/%".contains(c)
 
-  private def inlineImages(bytes: Array[Byte]): Seq[PdfImage] = {
+  private val pageType = """/Type\s*/Page(?![A-Za-z0-9])""".r
+  private val contentsRef = """/Contents\s+(\d{1,9})\s+\d+\s+R""".r
+  private val contentsArr = """/Contents\s*\[([^\]]*)\]""".r
+  private val refTok = """(\d{1,9})\s+\d+\s+R""".r
+
+  /** Content streams actually referenced by page `/Contents` — the
+    * BI scan must not run over arbitrary decodable streams (raw
+    * image pixels, CMaps, ObjStm payloads), where planted byte
+    * patterns could fabricate phantom inline images. */
+  private def pageContentStreams(
+      objs: Map[Int, (Int, PdfObj)]): Seq[String] = {
+    val pages = objs.toSeq
+      .filter { case (_, (_, o)) => pageType.findFirstIn(o.dict).isDefined }
+      .sortBy(_._2._1)
+    val refs = pages.flatMap { case (_, (_, o)) =>
+      contentsArr.findFirstMatchIn(o.dict) match {
+        case Some(m) => refTok.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq
+        case None =>
+          contentsRef.findFirstMatchIn(o.dict).map(_.group(1).toInt).toSeq
+      }
+    }.distinct
+    refs.flatMap(n => objs.get(n).flatMap(_._2.data))
+      .map(new String(_, StandardCharsets.ISO_8859_1))
+  }
+
+  private def inlineImages(objs: Map[Int, (Int, PdfObj)]): Seq[PdfImage] = {
     val out = Seq.newBuilder[PdfImage]
     var idx = 0
-    for (cs <- PdfTextPartitioner.contentStreams(bytes)) {
+    for (cs <- pageContentStreams(objs)) {
       var i = 0
       val n = cs.length
       while (i + 1 < n) {
@@ -223,7 +248,7 @@ object PdfImages {
     val n = cs.length
     val w = inlineInt(dict, Seq("W", "Width")).getOrElse(0)
     val h = inlineInt(dict, Seq("H", "Height")).getOrElse(0)
-    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
     val bpc = inlineInt(dict, Seq("BPC", "BitsPerComponent")).getOrElse(8)
     val csName = inlineCsRe.findFirstMatchIn(dict).map(_.group(1))
       .map(nm => csNames.getOrElse(nm, nm)).getOrElse("DeviceGray")
@@ -241,18 +266,25 @@ object PdfImages {
     def decodePayload(payload: Array[Byte]): Option[PdfImage] = {
       if (rasterIdx >= 0) {
         val tag = RasterCodecs(filters(rasterIdx))
-        applyCoats(payload, filters.take(rasterIdx), dict).map { p =>
-          // inline G4 faxes decode like their XObject cousins
+        applyCoats(payload, filters.take(rasterIdx), dict).flatMap { p =>
+          // inline G4 faxes decode like their XObject cousins — and
+          // for inline carriers a decode/framing check doubles as the
+          // EI-candidate validator (a false EI truncates the payload)
           val k = dp.flatMap(inlineInt(_, Seq("K"))).getOrElse(0)
           val cols = dp.flatMap(inlineInt(_, Seq("Columns"))).getOrElse(1728)
           val rows = dp.flatMap(inlineInt(_, Seq("Rows"))).getOrElse(h)
-          val g4 =
-            if (tag == "ccitt" && k < 0 && cols == w && rows == h)
+          tag match {
+            case "ccitt" if k < 0 && cols == w && rows == h =>
               CcittG4.decode(p, cols, rows)
-            else None
-          g4 match {
-            case Some(px) => PdfImage(objNum, w, h, 8, "DeviceGray", "raw", px)
-            case None => PdfImage(objNum, w, h, bpc, csName, tag, p)
+                .map(px => PdfImage(objNum, w, h, 8, "DeviceGray", "raw", px))
+            case "dct" =>
+              // SOI … EOI framing: a truncated JPEG loses its EOI
+              val framed = p.length >= 4 &&
+                (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+                (p(p.length - 2) & 0xff) == 0xff && (p(p.length - 1) & 0xff) == 0xd9
+              if (framed) Some(PdfImage(objNum, w, h, bpc, csName, tag, p))
+              else None
+            case _ => Some(PdfImage(objNum, w, h, bpc, csName, tag, p))
           }
         }
       } else {
@@ -336,25 +368,16 @@ object PdfImages {
       else applyCoats(java.util.Arrays.copyOfRange(bytes, ds, de), coats, dict)
     }
 
+  /** The image leg's decode cap is tighter than the text leg's: a
+    * 64 MB payload is far beyond any raster this subset pools, and a
+    * crafted deflate bomb must fail the IMAGE, never the task. */
+  private val MaxImagePayloadBytes: Int = 1 << 26
+  /** Dimension sanity gate (64M pixels) — shared by both carriers. */
+  private val MaxPixels: Long = 1L << 26
+
   private def applyCoats(
-      data: Array[Byte], coats: Seq[String], dict: String): Option[Array[Byte]] = {
-    var cur: Option[Array[Byte]] = Some(data)
-    for (f <- coats if cur.isDefined) cur = f match {
-      case "FlateDecode" | "Fl" => cur.flatMap(PdfTextPartitioner.inflate)
-      case "LZWDecode" | "LZW" =>
-        val early = """/EarlyChange\s+(\d)""".r.findFirstMatchIn(dict)
-          .map(_.group(1).toInt).getOrElse(1)
-        cur.flatMap(PdfTextPartitioner.lzwDecode(_, early))
-      case "ASCIIHexDecode" | "AHx" =>
-        cur.flatMap(PdfTextPartitioner.asciiHexDecode)
-      case "ASCII85Decode" | "A85" =>
-        cur.flatMap(PdfTextPartitioner.ascii85Decode)
-      case "RunLengthDecode" | "RL" =>
-        cur.flatMap(PdfTextPartitioner.runLengthDecode)
-      case _ => None
-    }
-    cur
-  }
+      data: Array[Byte], coats: Seq[String], dict: String): Option[Array[Byte]] =
+    PdfTextPartitioner.applyTextFilters(data, coats, dict, MaxImagePayloadBytes)
 
   /** `grid`×`grid` luma cells of one image, row-major — the input of
     * [[graft.multimodal.ImageDedup.dHashOfGrid]]. Pixel (py, px)

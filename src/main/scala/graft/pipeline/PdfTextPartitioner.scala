@@ -273,23 +273,41 @@ object PdfTextPartitioner {
     * optional PNG/TIFF predictors after the decompression stage. A
     * raster codec anywhere in the chain (DCT/JPX/CCITT/JBIG2) →
     * None: skipped here, routed by [[AutoPartitioner]]'s image leg. */
-  private def decodeStream(
-      dict: String, bytes: Array[Byte], ds: Int, de: Int): Option[Array[Byte]] = {
-    if (de <= ds) return None
-    val data = java.util.Arrays.copyOfRange(bytes, ds, de)
+  /** One stream-decode cap for the whole library: a crafted tiny
+    * payload must not be able to inflate to task-killing size —
+    * "fewer streams, never task failures" is the contract on
+    * untrusted corpora. No legitimate content stream, CMap, or
+    * fixture image is within two orders of magnitude of it. */
+  private[pipeline] val MaxDecodedStreamBytes: Int = 1 << 28
+
+  /** The text-side filter chain (the only dispatch of filter names
+    * to decoders — [[PdfImages]]' transport coats share it): raw, or
+    * any chain of ASCIIHex/ASCII85/LZW/Flate/RunLength, each stage
+    * capped at `maxOut` decoded bytes. A raster/unknown name → None.
+    */
+  private[pipeline] def applyTextFilters(
+      data: Array[Byte], filters: Seq[String], dict: String,
+      maxOut: Int = MaxDecodedStreamBytes): Option[Array[Byte]] = {
     var cur: Option[Array[Byte]] = Some(data)
-    for (f <- filterList(dict) if cur.isDefined) cur = f match {
-      case "FlateDecode" | "Fl" => cur.flatMap(inflate)
+    for (f <- filters if cur.isDefined) cur = (f match {
+      case "FlateDecode" | "Fl" => cur.flatMap(inflate(_, maxOut))
       case "LZWDecode" | "LZW" =>
         val early = """/EarlyChange\s+(\d)""".r.findFirstMatchIn(dict)
           .map(_.group(1).toInt).getOrElse(1)
-        cur.flatMap(lzwDecode(_, early))
+        cur.flatMap(lzwDecode(_, early, maxOut))
       case "ASCIIHexDecode" | "AHx" => cur.flatMap(asciiHexDecode)
       case "ASCII85Decode" | "A85" => cur.flatMap(ascii85Decode)
       case "RunLengthDecode" | "RL" => cur.flatMap(runLengthDecode)
       case _ => None // raster/unknown codecs: never text-misparsed
-    }
-    val inflated = cur
+    }).filter(_.length <= maxOut)
+    cur
+  }
+
+  private def decodeStream(
+      dict: String, bytes: Array[Byte], ds: Int, de: Int): Option[Array[Byte]] = {
+    if (de <= ds) return None
+    val data = java.util.Arrays.copyOfRange(bytes, ds, de)
+    val inflated = applyTextFilters(data, filterList(dict), dict)
     val hasParms =
       dict.contains("/DecodeParms") || dict.contains("/DecodeParams")
     if (!hasParms) inflated
@@ -371,7 +389,8 @@ object PdfTextPartitioner {
     } else None
   }
 
-  private[pipeline] def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+  private[pipeline] def inflate(
+      data: Array[Byte], maxOut: Int = MaxDecodedStreamBytes): Option[Array[Byte]] = {
     val inf = new Inflater()
     try {
       inf.setInput(data)
@@ -380,7 +399,10 @@ object PdfTextPartitioner {
       var ok = true
       while (ok && !inf.finished()) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) {
+          out.write(buf, 0, n)
+          if (out.size() > maxOut) ok = false   // decompression bomb
+        }
         else if (inf.needsInput() || inf.needsDictionary()) ok = false
       }
       if (ok) Some(out.toByteArray) else None
@@ -396,7 +418,8 @@ object PdfTextPartitioner {
     * (skip-not-misparse, like corrupt Flate). Pinned in the spec
     * against the PDF 1.7 §7.4.4.2 example vector. */
   private[pipeline] def lzwDecode(
-      data: Array[Byte], earlyChange: Int = 1): Option[Array[Byte]] = {
+      data: Array[Byte], earlyChange: Int = 1,
+      maxOut: Int = MaxDecodedStreamBytes): Option[Array[Byte]] = {
     val out = new ByteArrayOutputStream()
     val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
     def reset(): Unit = {
@@ -425,6 +448,7 @@ object PdfTextPartitioner {
           else if (c == table.length && prev != null) prev :+ prev(0)
           else return None                          // code ahead of the table
         out.write(entry, 0, entry.length)
+        if (out.size() > maxOut) return None        // decompression bomb
         if (prev != null && table.length < 4096) table += (prev :+ entry(0))
         prev = entry
         if (width < 12 && table.length + earlyChange >= (1 << width)) width += 1

@@ -48,6 +48,22 @@ class CcittG4Spec extends AnyFunSuite {
     roundTrip(bitmap(w, 2)((x, _) => x >= 3000), w, 2, "half/half 6000")
   }
 
+  test("round trip: a 200k-wide line needs ~78 chained 2560-makeups") {
+    roundTrip(bitmap(200000, 1)((_, _) => false), 200000, 1, "white 200k")
+    roundTrip(bitmap(200000, 1)((x, _) => x < 100000), 200000, 1, "half 200k")
+  }
+
+  test("dense fax-width checkerboard decodes fast (monotone ref cursor)") {
+    // 1728 wide (the T.4 default) x 64 rows, worst-case change density;
+    // the cursor fix keeps this linear in changes — without it each of
+    // the ~1728 modes/line rescans ~1728 reference entries
+    val px = bitmap(1728, 64)((x, y) => (x + y) % 2 == 0)
+    val t0 = System.nanoTime()
+    roundTrip(px, 1728, 64, "1728 checker")
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 5000, s"dense decode took ${ms}ms")
+  }
+
   test("round trip: edge shapes (single column, single row, checker)") {
     roundTrip(bitmap(1, 8)((_, y) => y % 2 == 0), 1, 8, "1 wide")
     roundTrip(bitmap(64, 1)((x, _) => x % 2 == 0), 64, 1, "1 tall checker")

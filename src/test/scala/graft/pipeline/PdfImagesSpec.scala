@@ -281,6 +281,33 @@ class PdfImagesSpec extends AnyFunSuite {
       Seq(a, b))
   }
 
+  test("planted BI pattern inside image pixel bytes is NOT a phantom inline image") {
+    // the BI scan is page-/Contents-scoped: a raw gray XObject whose
+    // PIXELS spell a complete inline image must contribute exactly
+    // one image (itself), not two
+    val trap = "q BI /W 2 /H 2 /BPC 8 /CS /G ID ABCD EI Q"
+    val pad = 256 - trap.length
+    val px = (trap + "x" * pad).getBytes(StandardCharsets.ISO_8859_1)
+    assert(px.length === 256)
+    val doc = imagePdf("/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 8 ", px)
+    val imgs = PdfImages.extract(doc)
+    assert(imgs.size === 1)
+    assert(imgs.head.objNum === 20 && imgs.head.codec === "raw")
+    assert(imgs.head.data.toSeq === px.toSeq)
+  }
+
+  test("a deflate bomb behind a transport coat fails the image, not the task") {
+    // ~70 MB of zeros compress to ~70 KB; the 64 MB image-payload cap
+    // rejects the inflate, the image is skipped, nothing throws
+    val bomb = deflate(new Array[Byte](70 * 1024 * 1024))
+    assert(bomb.length < 1024 * 1024)
+    val doc = imagePdf("/Type /XObject /Subtype /Image /Width 64 /Height 64 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+      "/Filter [/FlateDecode /DCTDecode] ", bomb)
+    assert(PdfImages.extract(doc).isEmpty)
+  }
+
   test("a near-identical raster lands within a small Hamming distance") {
     val id = 5L
     val px = formulaPixels(id)
