@@ -754,7 +754,14 @@ object PdfGen {
       case 3 => t.getBytes(StandardCharsets.UTF_8)
       case 4 => objStm(t)
       case 5 => filterChain(t)
-      case 6 => dctImageOnly(docId)
+      // slot 6 alternates by mod 32 so BOTH image-leg container
+      // shapes run live in every audit sweep: classify-only DCT and
+      // the REAL CCITT G4 encode→decode path — both route pdf_image,
+      // so q344's mod-8 oracle is untouched, but a G4 assembly or
+      // routing regression shifts residue class 22 across buckets
+      case 6 =>
+        if (math.floorMod(docId, 32L) == 22L) ccittPdf(docId)
+        else dctImageOnly(docId)
       case 7 => math.floorMod(docId, 32L) match {
         case 7L => encrypted(t)                     // RC4, readable by design
         case 23L => encryptedAes256(t, xrefTail = true) // V5/R6, xref-stream

@@ -130,9 +130,13 @@ object PdfImages {
                 if (tag == "ccitt" && k < 0 && cols == w && rows == h)
                   CcittG4.decode(p, cols, rows)
                 else None
-              g4 match {
-                case Some(px) => PdfImage(num, w, h, 8, "DeviceGray", "raw", px)
-                case None => PdfImage(num, w, h, bpc, cs, tag, p)
+              (g4, decodeInvert(o.dict)) match {
+                case (Some(px), Some(inv)) =>
+                  PdfImage(num, w, h, 8, "DeviceGray", "raw",
+                    if (inv) invertBytes(px) else px)
+                case (Some(px), None) =>       // exotic /Decode: no luma lie
+                  PdfImage(num, w, h, 8, "DeviceGray", "opaque", px)
+                case (None, _) => PdfImage(num, w, h, bpc, cs, tag, p)
               }
             }
           }
@@ -141,7 +145,13 @@ object PdfImages {
               val comps = components(cs)
               val ok = bpc == 8 && comps > 0 &&
                 px.length == w.toLong * h * comps
-              PdfImage(num, w, h, bpc, cs, if (ok) "raw" else "opaque", px)
+              decodeInvert(o.dict) match {
+                case Some(inv) if ok =>
+                  PdfImage(num, w, h, bpc, cs, "raw",
+                    if (inv) invertBytes(px) else px)
+                case _ =>
+                  PdfImage(num, w, h, bpc, cs, "opaque", px)
+              }
             }
         }
       } ++ inlineImages(objs)
@@ -275,8 +285,11 @@ object PdfImages {
           val rows = dp.flatMap(inlineInt(_, Seq("Rows"))).getOrElse(h)
           tag match {
             case "ccitt" if k < 0 && cols == w && rows == h =>
-              CcittG4.decode(p, cols, rows)
-                .map(px => PdfImage(objNum, w, h, 8, "DeviceGray", "raw", px))
+              for {
+                px <- CcittG4.decode(p, cols, rows)
+                inv <- decodeInvert(dict)
+              } yield PdfImage(objNum, w, h, 8, "DeviceGray", "raw",
+                if (inv) invertBytes(px) else px)
             case "dct" =>
               // SOI … EOI framing: a truncated JPEG loses its EOI
               val framed = p.length >= 4 &&
@@ -302,8 +315,12 @@ object PdfImages {
           }
           d.map { px =>
             val ok = bpc == 8 && comps > 0 && px.length == w.toLong * h * comps
-            PdfImage(objNum, w, h, bpc, csName,
-              if (ok) "raw" else "opaque", px)
+            decodeInvert(dict) match {
+              case Some(inv) if ok =>
+                PdfImage(objNum, w, h, bpc, csName, "raw",
+                  if (inv) invertBytes(px) else px)
+              case _ => PdfImage(objNum, w, h, bpc, csName, "opaque", px)
+            }
           }
         }
       }
@@ -378,6 +395,32 @@ object PdfImages {
   private def applyCoats(
       data: Array[Byte], coats: Seq[String], dict: String): Option[Array[Byte]] =
     PdfTextPartitioner.applyTextFilters(data, coats, dict, MaxImagePayloadBytes)
+
+  private val decodeArrRe =
+    """/(?:Decode(?![A-Za-z0-9])|D(?![A-Za-z0-9]))\s*\[([^\]]*)\]""".r
+  private val numTok = """-?\d+(?:\.\d+)?""".r
+
+  /** The `/Decode` (inline: `/D`) sample map, reduced to the cases
+    * with an exact byte transform: Some(false) = identity ([0 1] per
+    * component, or absent), Some(true) = full inversion ([1 0] —
+    * scanned faxes photograph this way constantly), None = any other
+    * mapping (emit nothing rather than wrong pixels). */
+  private def decodeInvert(dict: String): Option[Boolean] =
+    decodeArrRe.findFirstMatchIn(dict) match {
+      case None => Some(false)
+      case Some(m) =>
+        val nums = numTok.findAllIn(m.group(1)).map(_.toDouble).toSeq
+        if (nums.isEmpty || nums.length % 2 != 0) None
+        else {
+          val pairs = nums.grouped(2).toSeq
+          if (pairs.forall(p => p(0) == 0.0 && p(1) == 1.0)) Some(false)
+          else if (pairs.forall(p => p(0) == 1.0 && p(1) == 0.0)) Some(true)
+          else None
+        }
+    }
+
+  private def invertBytes(px: Array[Byte]): Array[Byte] =
+    px.map(b => (255 - (b & 0xff)).toByte)
 
   /** `grid`×`grid` luma cells of one image, row-major — the input of
     * [[graft.multimodal.ImageDedup.dHashOfGrid]]. Pixel (py, px)

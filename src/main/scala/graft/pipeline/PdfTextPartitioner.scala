@@ -1349,7 +1349,14 @@ final case class AutoPartitioner(base: PdfPartitioner) extends PdfPartitioner {
       } else {
         val els = pdf.partition(content, strategy)
         if (els.nonEmpty) (els, ExtractPath.PdfText)
-        else if (PdfTextPartitioner.hasRasterImage(content))
+        // image leg: raster-codec XObjects announced in dicts (cheap
+        // byte scan), or images the extraction walk actually finds —
+        // Flate-raster XObjects and inline BI images carry no raster
+        // codec name, but an image-only document holding them is
+        // still a scan, not "nothing we recognize". The extract call
+        // only runs on the already-expensive no-text path.
+        else if (PdfTextPartitioner.hasRasterImage(content) ||
+            PdfImages.extract(content).nonEmpty)
           (base.partition(content, strategy), ExtractPath.PdfImage)
         else (base.partition(content, strategy), ExtractPath.PdfFallback)
       }

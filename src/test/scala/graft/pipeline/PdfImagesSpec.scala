@@ -308,6 +308,49 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(PdfImages.extract(doc).isEmpty)
   }
 
+  test("/Decode [1 0] inverts samples; exotic arrays decline (opaque)") {
+    val px = formulaPixels(1L)
+    def gray(extra: String) = imagePdf(
+      "/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+        s"/ColorSpace /DeviceGray /BitsPerComponent 8 $extra/Filter /FlateDecode ",
+      deflate(px))
+    val inv = PdfImages.extract(gray("/Decode [1 0] ")).head
+    assert(inv.codec === "raw")
+    assert(inv.data.map(b => 255 - (b & 0xff)).toSeq === px.map(_ & 0xff).toSeq)
+    val ident = PdfImages.extract(gray("/Decode [0 1] ")).head
+    assert(ident.codec === "raw" && ident.data.toSeq === px.toSeq)
+    val weird = PdfImages.extract(gray("/Decode [0 0.5] ")).head
+    assert(weird.codec === "opaque")
+    assert(PdfImages.lumaGrid(weird).isEmpty)
+    // inline /D abbreviation inverts too
+    val cs = s"q BI /W 2 /H 2 /BPC 8 /CS /G /D [1 0] ID ABCD EI Q"
+    val ii = PdfImages.extract(contentPdf(cs)).head
+    assert(ii.data.map(b => (255 - (b & 0xff)).toChar).mkString === "ABCD")
+    // inverted G4: white paper reads black
+    val g4doc = PdfGen.ccittPdf(0L)
+    val s2 = new String(g4doc, StandardCharsets.ISO_8859_1)
+      .replace("/BlackIs1 false", "/Decode [1 0]")
+    val g4inv = PdfImages.extract(s2.getBytes(StandardCharsets.ISO_8859_1)).head
+    val g4raw = PdfImages.extract(g4doc).head
+    assert(g4inv.data.map(b => 255 - (b & 0xff)).toSeq ===
+      g4raw.data.map(_ & 0xff).toSeq)
+  }
+
+  test("image-only PDFs route to the image leg whatever the carrier") {
+    val auto = AutoPartitioner(TextPartitioner())
+    for (doc <- Seq(PdfGen.rasterPdf(0L),      // Flate XObject, no raster codec name
+        PdfGen.inlineImagePdf(1L),             // inline BI carrier only
+        PdfGen.ccittPdf(2L),                   // announced raster codec
+        PdfGen.dctImageOnly(3L)))              // classify-only DCT
+      assert(auto.partitionWithPath(doc, PartitionStrategy.OcrOnly)._2 ===
+        ExtractPath.PdfImage)
+    // no text, no images -> still the generic fallback
+    val bare = "%PDF-1.5\n1 0 obj << /Type /Catalog >> endobj\n%%EOF\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(auto.partitionWithPath(bare, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfFallback)
+  }
+
   test("a near-identical raster lands within a small Hamming distance") {
     val id = 5L
     val px = formulaPixels(id)
