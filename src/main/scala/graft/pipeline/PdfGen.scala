@@ -451,6 +451,35 @@ object PdfGen {
       streamObj(100, "", paint)))
   }
 
+  /** Image-only PDF carrying a REAL JBIG2 scan: a 16×16 bilevel
+    * bitmap BY FORMULA (hashBits salt 352, parity ⇒ black), encoded
+    * by [[Jbig2.encode]] (MQ arithmetic coder + template-0 generic
+    * region + embedded segment headers) and declared the way
+    * scanners do (`/Filter /JBIG2Decode`, `/BitsPerComponent 1`).
+    * The q352 oracle recomputes the bits in SQL — one wrong Qe-table
+    * entry, context bit, or segment offset anywhere in
+    * encode→container→decode shifts the hash. */
+  def jbig2Pdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    val px = Array.tabulate(W * H) { p =>
+      val black =
+        graft.operators.Sampling.hashBitsScalar(docId * 256L + p, 352L) % 2L == 1L
+      if (black) 1.toByte else 0.toByte
+    }
+    val payload = Jbig2.encode(px, W, H)
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        s"/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        s"/Filter /JBIG2Decode ", payload),
+      streamObj(100, "", paint)))
+  }
+
   /** Image-only PDF whose raster is an INLINE image (`BI … ID … EI`,
     * abbreviated keys, Flate-compressed data INSIDE a Flate-compressed
     * content stream) — the second raster carrier, PDF 32000-1 §8.9.7.

@@ -126,11 +126,18 @@ object PdfImages {
               val k = intEntry(o.dict, "/K").getOrElse(0)
               val cols = intEntry(o.dict, "/Columns").getOrElse(1728)
               val rows = intEntry(o.dict, "/Rows").getOrElse(h)
-              val g4 =
-                if (tag == "ccitt" && k < 0 && cols == w && rows == h)
+              val bilevel = tag match {
+                case "ccitt" if k < 0 && cols == w && rows == h =>
                   CcittG4.decode(p, cols, rows)
-                else None
-              (g4, decodeInvert(o.dict)) match {
+                case "jbig2" =>
+                  // embedded stream, no /JBIG2Globals (those carry
+                  // symbol dictionaries — out of the generic subset)
+                  Jbig2.decodeLuma(p).collect {
+                    case (dw, dh, px) if dw == w && dh == h => px
+                  }
+                case _ => None
+              }
+              (bilevel, decodeInvert(o.dict)) match {
                 case (Some(px), Some(inv)) =>
                   PdfImage(num, w, h, 8, "DeviceGray", "raw",
                     if (inv) invertBytes(px) else px)
@@ -287,6 +294,12 @@ object PdfImages {
             case "ccitt" if k < 0 && cols == w && rows == h =>
               for {
                 px <- CcittG4.decode(p, cols, rows)
+                inv <- decodeInvert(dict)
+              } yield PdfImage(objNum, w, h, 8, "DeviceGray", "raw",
+                if (inv) invertBytes(px) else px)
+            case "jbig2" =>
+              for {
+                (dw, dh, px) <- Jbig2.decodeLuma(p) if dw == w && dh == h
                 inv <- decodeInvert(dict)
               } yield PdfImage(objNum, w, h, 8, "DeviceGray", "raw",
                 if (inv) invertBytes(px) else px)

@@ -488,6 +488,60 @@ object MultimodalQueries {
              |SELECT id AS doc_id, CAST(-1 AS BIGINT) AS obj_num, phash
              |FROM h ORDER BY doc_id""".stripMargin
         })
+    },
+
+    // ----- q352: JBIG2 scans, ORACLE-CHECKED end-to-end — the MQ
+    // arithmetic coder (47-state Qe table, byte stuffing, SETBITS
+    // flush), template-0 generic-region coding, and the embedded
+    // segment layer, all round-tripped through the PDF container
+    // (PdfGen.jbig2Pdf, bitmap by formula salt 352). The oracle
+    // recomputes the BITS in SQL, so a single wrong state
+    // transition, context bit, or header offset shifts a hash and
+    // the row set stops matching.
+    {
+      val Salt = 352L
+      QueryDef(
+        "q352_jbig2_scan_dhash_replay",
+        (s, d) => {
+          import s.implicits._
+          val pdfs = graft.Par.spread(
+            Tables.documents(s, d).select($"doc_id").as[Long]
+              .map(id => (id, graft.pipeline.PdfGen.jbig2Pdf(id)))
+              .toDF("doc_id", "pdf"))
+          pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+            it.flatMap { case (id, bytes) =>
+              graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+                graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                  (id, im.colorSpace, im.bitsPerComponent.toLong,
+                    ImageDedup.dHashOfGrid(g))
+                }
+              }
+            }
+          }.toDF("doc_id", "colorspace", "bpc", "phash")
+            .orderBy($"doc_id")
+        },
+        Some {
+          val mix = graft.operators.Sampling.hashBitsSql("(i.id * 256 + g.p)", Salt)
+          s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+             |px AS (
+             |  SELECT i.id, g.p AS p,
+             |    CASE WHEN ($mix) % 2 = 1 THEN 0 ELSE 255 END AS num
+             |  FROM ids i CROSS JOIN (SELECT unnest(range(0, 256)) AS p) g),
+             |cells AS MATERIALIZED (
+             |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+             |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+             |  FROM px GROUP BY 1, 2),
+             |h AS (
+             |  SELECT l.id,
+             |    CAST(SUM(CASE WHEN l.cv < r.cv
+             |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+             |      ELSE 0 END) AS BIGINT) AS phash
+             |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+             |  WHERE l.cp % 8 < 7 GROUP BY 1)
+             |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+             |  CAST(8 AS BIGINT) AS bpc, phash
+             |FROM h ORDER BY doc_id""".stripMargin
+        })
     })
 
   private val AudioClips = 8L
