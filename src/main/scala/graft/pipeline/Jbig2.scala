@@ -74,18 +74,20 @@ object Jbig2 {
     byteIn()
     c <<= 7; ct -= 7; a = 0x8000L
 
-    /** Decode one decision under context slot `cx` = (index, mps). */
-    def decode(st: ContextState): Int = {
-      val qe = Qe(st.i)
+    /** Decode one decision under context slot `cx` of `ctx`. */
+    def decode(ctx: Contexts, cx: Int): Int = {
+      val i0 = ctx.i(cx) & 0xff
+      val mps = ctx.mps(cx).toInt
+      val qe = Qe(i0)
       a -= qe
       var d = 0
       if (((c >>> 16) & 0xffff) < qe) {
         // LPS path (with conditional exchange)
-        if (a < qe) { d = st.mps; st.i = Nmps(st.i) }
+        if (a < qe) { d = mps; ctx.i(cx) = Nmps(i0).toByte }
         else {
-          d = 1 - st.mps
-          if (Switch(st.i) == 1) st.mps = 1 - st.mps
-          st.i = Nlps(st.i)
+          d = 1 - mps
+          if (Switch(i0) == 1) ctx.mps(cx) = (1 - mps).toByte
+          ctx.i(cx) = Nlps(i0).toByte
         }
         a = qe
         renorm()
@@ -93,12 +95,12 @@ object Jbig2 {
         c -= qe.toLong << 16
         if ((a & 0x8000L) == 0) {
           if (a < qe) {
-            d = 1 - st.mps
-            if (Switch(st.i) == 1) st.mps = 1 - st.mps
-            st.i = Nlps(st.i)
-          } else { d = st.mps; st.i = Nmps(st.i) }
+            d = 1 - mps
+            if (Switch(i0) == 1) ctx.mps(cx) = (1 - mps).toByte
+            ctx.i(cx) = Nlps(i0).toByte
+          } else { d = mps; ctx.i(cx) = Nmps(i0).toByte }
           renorm()
-        } else d = st.mps
+        } else d = mps
       }
       d
     }
@@ -112,7 +114,30 @@ object Jbig2 {
     }
   }
 
-  private final class ContextState(var i: Int = 0, var mps: Int = 0)
+  /** Per-region adaptive context table: two flat byte arrays, not
+    * 2^16 heap objects — the table is reallocated per image, and on
+    * small fixture images object-per-slot allocation dominated the
+    * whole decode (the r15 ×10 probe caught it at ×4.8 wall). */
+  private final class Contexts {
+    val i = new Array[Byte](1 << 16)
+    val mps = new Array[Byte](1 << 16)
+    def reset(): Unit = {
+      java.util.Arrays.fill(i, 0.toByte)
+      java.util.Arrays.fill(mps, 0.toByte)
+    }
+  }
+
+  /** Per-thread table reuse: a 128 KB fill beats a 128 KB allocation
+    * per image under executor-thread churn (encode and decode never
+    * overlap within one thread — each resets on entry). */
+  private val ctxPool = new ThreadLocal[Contexts] {
+    override def initialValue(): Contexts = new Contexts
+  }
+  private def pooledContexts(): Contexts = {
+    val c = ctxPool.get()
+    c.reset()
+    c
+  }
 
   /** MQ encoder (T.88 Annex E: CODEMPS/CODELPS, BYTEOUT with 0xFF
     * stuffing, SETBITS flush). */
@@ -124,20 +149,22 @@ object Jbig2 {
     private var bVal = -1                      // the byte "B" (not yet in out)
     private var firstByte = true
 
-    def encode(st: ContextState, d: Int): Unit = {
-      val qe = Qe(st.i)
-      if (d == st.mps) {                       // CODEMPS
+    def encode(ctx: Contexts, cx: Int, d: Int): Unit = {
+      val i0 = ctx.i(cx) & 0xff
+      val mps = ctx.mps(cx).toInt
+      val qe = Qe(i0)
+      if (d == mps) {                          // CODEMPS
         a -= qe
         if ((a & 0x8000L) == 0) {
           if (a < qe) a = qe else c += qe
-          st.i = Nmps(st.i)
+          ctx.i(cx) = Nmps(i0).toByte
           renorm()
         } else c += qe
       } else {                                 // CODELPS
         a -= qe
         if (a < qe) c += qe else a = qe
-        if (Switch(st.i) == 1) st.mps = 1 - st.mps
-        st.i = Nlps(st.i)
+        if (Switch(i0) == 1) ctx.mps(cx) = (1 - mps).toByte
+        ctx.i(cx) = Nlps(i0).toByte
         renorm()
       }
     }
@@ -187,21 +214,16 @@ object Jbig2 {
   // TPGDON off. Context = 16 pixels, packed row-by-row (y-2 group,
   // then y-1 group, then current-row group), matching the figure
   // order of T.88 §6.2.5.3.
-  private val Template0: Array[(Int, Int)] = Array(
-    (-1, -2), (0, -2), (1, -2), (2, -2) /* A3 */, (-2, -2) /* A4 */,
-    (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
-    (3, -1) /* A1 */, (-3, -1) /* A2 */,
-    (-4, 0), (-3, 0), (-2, 0), (-1, 0))
-
-  private def contexts(): Array[ContextState] =
-    Array.fill(1 << 16)(new ContextState())
+  private val T0dx = Array(-1, 0, 1, 2 /* A3 */, -2 /* A4 */,
+    -2, -1, 0, 1, 2, 3 /* A1 */, -3 /* A2 */, -4, -3, -2, -1)
+  private val T0dy = Array(-2, -2, -2, -2, -2,
+    -1, -1, -1, -1, -1, -1, -1, 0, 0, 0, 0)
 
   private def ctxAt(px: Array[Byte], w: Int, h: Int, x: Int, y: Int): Int = {
     var cx = 0
     var k = 0
-    while (k < Template0.length) {
-      val (dx, dy) = Template0(k)
-      val xx = x + dx; val yy = y + dy
+    while (k < T0dx.length) {
+      val xx = x + T0dx(k); val yy = y + T0dy(k)
       val bit =
         if (xx < 0 || xx >= w || yy < 0) 0   // out-of-region pixels are 0
         else px(yy * w + xx) & 1
@@ -216,13 +238,13 @@ object Jbig2 {
   private def decodeGeneric(
       data: Array[Byte], start: Int, end: Int, w: Int, h: Int): Array[Byte] = {
     val mq = new MqDecoder(data, start, end)
-    val cxs = contexts()
+    val cxs = pooledContexts()
     val px = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        px(y * w + x) = mq.decode(cxs(ctxAt(px, w, h, x, y))).toByte
+        px(y * w + x) = mq.decode(cxs, ctxAt(px, w, h, x, y)).toByte
         x += 1
       }
       y += 1
@@ -232,12 +254,12 @@ object Jbig2 {
 
   private def encodeGeneric(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val mq = new MqEncoder
-    val cxs = contexts()
+    val cxs = pooledContexts()
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        mq.encode(cxs(ctxAt(px, w, h, x, y)), px(y * w + x) & 1)
+        mq.encode(cxs, ctxAt(px, w, h, x, y), px(y * w + x) & 1)
         x += 1
       }
       y += 1
