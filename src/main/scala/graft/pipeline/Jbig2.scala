@@ -233,34 +233,67 @@ object Jbig2 {
     cx
   }
 
+  /** The TPGDON pseudo-pixel context for template 0 (T.88 §6.2.5.7):
+    * one decision per row says "this row repeats the one above". */
+  private val TpgdCtx0 = 0x9b25
+
   /** Arithmetic generic-region decode: `data` is the MQ-coded pixel
-    * stream, output is one byte per pixel (1 = black). */
+    * stream, output is one byte per pixel (1 = black). With
+    * `tpgdon`, each row starts with an LTP-toggle decision under the
+    * pseudo-pixel context; a typical row copies the row above and
+    * codes no pixels. */
   private def decodeGeneric(
-      data: Array[Byte], start: Int, end: Int, w: Int, h: Int): Array[Byte] = {
+      data: Array[Byte], start: Int, end: Int, w: Int, h: Int,
+      tpgdon: Boolean): Array[Byte] = {
     val mq = new MqDecoder(data, start, end)
     val cxs = pooledContexts()
     val px = new Array[Byte](w * h)
+    var ltp = false
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        px(y * w + x) = mq.decode(cxs, ctxAt(px, w, h, x, y)).toByte
-        x += 1
+      if (tpgdon && mq.decode(cxs, TpgdCtx0) == 1) ltp = !ltp
+      if (tpgdon && ltp) {
+        if (y > 0) System.arraycopy(px, (y - 1) * w, px, y * w, w)
+        // y == 0: the row above is all-0 background; the row stays 0
+      } else {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = mq.decode(cxs, ctxAt(px, w, h, x, y)).toByte
+          x += 1
+        }
       }
       y += 1
     }
     px
   }
 
-  private def encodeGeneric(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  private def encodeGeneric(
+      px: Array[Byte], w: Int, h: Int, tpgdon: Boolean): Array[Byte] = {
     val mq = new MqEncoder
     val cxs = pooledContexts()
+    var ltp = false
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        mq.encode(cxs, ctxAt(px, w, h, x, y), px(y * w + x) & 1)
-        x += 1
+      val typical = tpgdon && {
+        var same = true
+        var x = 0
+        while (same && x < w) {
+          val above = if (y == 0) 0 else px((y - 1) * w + x) & 1
+          same = (px(y * w + x) & 1) == above
+          x += 1
+        }
+        same
+      }
+      if (tpgdon) {
+        mq.encode(cxs, TpgdCtx0, if (typical != ltp) 1 else 0)
+        ltp = typical
+      }
+      if (!typical) {
+        var x = 0
+        while (x < w) {
+          mq.encode(cxs, ctxAt(px, w, h, x, y), px(y * w + x) & 1)
+          x += 1
+        }
       }
       y += 1
     }
@@ -279,8 +312,11 @@ object Jbig2 {
 
   /** Encode a bitmap (byte-per-pixel, nonzero = black) as an
     * embedded JBIG2 stream: page info (type 48) + immediate lossless
-    * generic region (type 39), template 0, nominal ATs. */
-  def encode(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    * generic region (type 39), template 0, nominal ATs, optional
+    * typical-prediction (TPGDON — what real scanner encoders emit:
+    * blank and repeated scanlines cost one decision each). */
+  def encode(pixels: Array[Byte], w: Int, h: Int,
+      tpgdon: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length == w * h,
       s"need $w x $h pixels, got ${pixels.length}")
     val bits = pixels.map(b => (if (b != 0) 1 else 0).toByte)
@@ -288,10 +324,10 @@ object Jbig2 {
       val b = new ArrayBuffer[Byte]()
       // region segment info (§7.4.1): w, h, x, y, combination op
       be32(b, w); be32(b, h); be32(b, 0); be32(b, 0); b += 0
-      b += 0                                  // generic flags: MQ, template 0
+      b += (if (tpgdon) 8 else 0).toByte      // generic flags: MQ, template 0
       // AT pixels, nominal (signed bytes)
       b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
-      b ++= encodeGeneric(bits, w, h)
+      b ++= encodeGeneric(bits, w, h, tpgdon)
       b
     }
     val pageData = {
@@ -349,14 +385,14 @@ object Jbig2 {
         val mmr = (gflags & 1) != 0
         val template = (gflags >> 1) & 3
         val tpgdon = (gflags & 8) != 0
-        if (mmr || template != 0 || tpgdon) return None
+        if (mmr || template != 0) return None
         // AT pixels: 8 bytes for template 0; require nominal
         val at = data.slice(j + 18, j + 26)
         if (at.length < 8 ||
             at(0) != 3 || at(1) != -1 || at(2) != -3 || at(3) != -1 ||
             at(4) != 2 || at(5) != -2 || at(6) != -2 || at(7) != -2)
           return None
-        val px = decodeGeneric(data, j + 26, (j + dataLen).toInt, w, h)
+        val px = decodeGeneric(data, j + 26, (j + dataLen).toInt, w, h, tpgdon)
         return Some((w, h, px))
       }
       i = (j + dataLen).toInt

@@ -466,7 +466,10 @@ object PdfGen {
         graft.operators.Sampling.hashBitsScalar(docId * 256L + p, 352L) % 2L == 1L
       if (black) 1.toByte else 0.toByte
     }
-    val payload = Jbig2.encode(px, W, H)
+    // alternate typical-prediction by parity: both decoder paths run
+    // live under q352's pixel-level oracle (the hash only matches if
+    // the TPGDON row-copy logic reproduces the same bitmap)
+    val payload = Jbig2.encode(px, W, H, tpgdon = math.floorMod(docId, 2L) == 1L)
     val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
       .getBytes(StandardCharsets.ISO_8859_1)
     assemble(Seq(

@@ -13,13 +13,26 @@ class Jbig2Spec extends AnyFunSuite {
   private def bitmap(w: Int, h: Int)(f: (Int, Int) => Boolean): Array[Byte] =
     Array.tabulate(w * h)(p => if (f(p % w, p / w)) 1.toByte else 0.toByte)
 
-  private def roundTrip(px: Array[Byte], w: Int, h: Int, clue: String): Unit = {
-    val enc = Jbig2.encode(px, w, h)
-    val dec = Jbig2.decode(enc)
-    assert(dec.isDefined, clue)
-    val (dw, dh, out) = dec.get
-    assert((dw, dh) === ((w, h)), clue)
-    assert(out.toSeq === px.toSeq, clue)
+  private def roundTrip(px: Array[Byte], w: Int, h: Int, clue: String): Unit =
+    for (tp <- Seq(false, true)) {
+      val enc = Jbig2.encode(px, w, h, tpgdon = tp)
+      val dec = Jbig2.decode(enc)
+      assert(dec.isDefined, s"$clue tpgdon=$tp")
+      val (dw, dh, out) = dec.get
+      assert((dw, dh) === ((w, h)), s"$clue tpgdon=$tp")
+      assert(out.toSeq === px.toSeq, s"$clue tpgdon=$tp")
+    }
+
+  test("TPGDON: repeated scanlines cost a decision, not a row") {
+    // horizontal banding: rows repeat in runs of 8
+    val px = bitmap(256, 64)((x, y) => ((y / 8) + (x / 16)) % 2 == 0)
+    val plain = Jbig2.encode(px, 256, 64, tpgdon = false).length
+    val tp = Jbig2.encode(px, 256, 64, tpgdon = true).length
+    assert(tp < plain, s"tpgdon $tp vs plain $plain")
+    // an all-white page is almost free under typical prediction:
+    // the 67 bytes of segment/region headers plus a few MQ bytes
+    val blank = bitmap(512, 128)((_, _) => false)
+    assert(Jbig2.encode(blank, 512, 128, tpgdon = true).length < 80)
   }
 
   test("round trip: random bitmaps across densities and sizes") {
@@ -80,8 +93,8 @@ class Jbig2Spec extends AnyFunSuite {
     val gflagsAt = 11 + 19 + 11 + 17
     val mmr = enc.clone(); mmr(gflagsAt) = (mmr(gflagsAt) | 1).toByte
     assert(Jbig2.decode(mmr).isEmpty)
-    val tpgd = enc.clone(); tpgd(gflagsAt) = (tpgd(gflagsAt) | 8).toByte
-    assert(Jbig2.decode(tpgd).isEmpty)
+    val tmpl = enc.clone(); tmpl(gflagsAt) = (tmpl(gflagsAt) | 2).toByte
+    assert(Jbig2.decode(tmpl).isEmpty)
     val at = enc.clone(); at(gflagsAt + 1) = 5
     assert(Jbig2.decode(at).isEmpty)
     // random garbage never throws or hangs
