@@ -214,8 +214,14 @@ object Jbig2 {
   // TPGDON off. Context = 16 pixels, packed row-by-row (y-2 group,
   // then y-1 group, then current-row group), matching the figure
   // order of T.88 §6.2.5.3.
-  private val T0dx = Array(-1, 0, 1, 2 /* A3 */, -2 /* A4 */,
-    -2, -1, 0, 1, 2, 3 /* A1 */, -3 /* A2 */, -4, -3, -2, -1)
+  // Context pixels in the T.88 figure's raster order — each row
+  // sorted by x with the nominal AT positions interleaved where they
+  // sit: (y-2): A4(-2),-1,0,+1,A3(+2); (y-1): A2(-3),-2,-1,0,+1,+2,
+  // A1(+3); (y): -4,-3,-2,-1. Interoperable decoders build the
+  // 16-bit context in exactly this order; a permutation would still
+  // self-round-trip but read REAL encoders' streams as garbage.
+  private val T0dx = Array(-2 /* A4 */, -1, 0, 1, 2 /* A3 */,
+    -3 /* A2 */, -2, -1, 0, 1, 2, 3 /* A1 */, -4, -3, -2, -1)
   private val T0dy = Array(-2, -2, -2, -2, -2,
     -1, -1, -1, -1, -1, -1, -1, 0, 0, 0, 0)
 
@@ -376,8 +382,11 @@ object Jbig2 {
       j += 4
       if (dataLen == 0xffffffffL || j + dataLen > data.length) return None
       if (segType == 36 || segType == 38 || segType == 39) {
-        // region info: 17 bytes, then generic flags
-        if (dataLen < 18) return None
+        // region info (17) + generic flags (1) + template-0 AT pixels
+        // (8) must all sit INSIDE the declared segment length — a
+        // shorter declaration would make the AT check and the MQ
+        // start index read the next segment's bytes
+        if (dataLen < 26) return None
         val w = rdBe32(data, j).toInt
         val h = rdBe32(data, j + 4).toInt
         if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None

@@ -78,10 +78,42 @@ object PdfImages {
     * [[PdfCrypt.decryptStreams]] for encrypted-decryptable files —
     * the same ordering [[AutoPartitioner]] applies to the text leg.
     */
-  def extract(bytes: Array[Byte]): Seq[PdfImage] = {
-    if (bytes == null || bytes.length < 8) return Seq.empty
-    if (!PdfTextPartitioner.hasPdfMagic(bytes)) return Seq.empty
-    val objs = objectsWithPos(bytes)
+  def extract(bytes: Array[Byte]): Seq[PdfImage] =
+    withObjs(bytes) { objs =>
+      (xobjectImages(bytes, objs).flatMap(buildXObject(bytes, objs, _)) ++
+        inlineImages(objs)).toSeq
+    }.getOrElse(Seq.empty)
+
+  /** Does the document yield at least one extractable image? The
+    * routing predicate: short-circuits at the first hit instead of
+    * decoding every image the way [[extract]] does — the no-text
+    * audit path calls this per document. */
+  def hasExtractableImage(bytes: Array[Byte]): Boolean =
+    withObjs(bytes) { objs =>
+      xobjectImages(bytes, objs).iterator
+        .flatMap(buildXObject(bytes, objs, _)).hasNext ||
+        inlineImages(objs, limit = 1).nonEmpty
+    }.getOrElse(false)
+
+  private def withObjs[A](bytes: Array[Byte])(
+      f: Map[Int, (Int, PdfObj)] => A): Option[A] = {
+    if (bytes == null || bytes.length < 8) return None
+    if (!PdfTextPartitioner.hasPdfMagic(bytes)) return None
+    Some(f(objectsWithPos(bytes)))
+  }
+
+  private def xobjectImages(
+      bytes: Array[Byte],
+      objs: Map[Int, (Int, PdfObj)]): Seq[(Int, (Int, PdfObj))] =
+    objs.toSeq
+      .filter { case (_, (_, o)) => imageSubtype.findFirstIn(o.dict).isDefined }
+      .sortBy(_._2._1)
+
+  private def buildXObject(
+      bytes: Array[Byte],
+      objs: Map[Int, (Int, PdfObj)],
+      entry: (Int, (Int, PdfObj))): Option[PdfImage] = {
+    val (num, (_, o)) = entry
 
     // /Width 16  (direct)  or  /Width 9 0 R  (indirect: the referenced
     // object's body is the integer). Image dicts are top-level stream
@@ -103,10 +135,7 @@ object PdfImages {
             firstName.findFirstMatchIn(e._2.dict).map(_.group(1)))
         }).getOrElse("")
 
-    objs.toSeq
-      .filter { case (_, (_, o)) => imageSubtype.findFirstIn(o.dict).isDefined }
-      .sortBy(_._2._1)
-      .flatMap { case (num, (_, o)) =>
+    {
         val w = intEntry(o.dict, "/Width").getOrElse(0)
         val h = intEntry(o.dict, "/Height").getOrElse(0)
         val bpc = intEntry(o.dict, "/BitsPerComponent").getOrElse(
@@ -137,13 +166,12 @@ object PdfImages {
                   }
                 case _ => None
               }
-              (bilevel, decodeInvert(o.dict)) match {
-                case (Some(px), Some(inv)) =>
-                  PdfImage(num, w, h, 8, "DeviceGray", "raw",
-                    if (inv) invertBytes(px) else px)
-                case (Some(px), None) =>       // exotic /Decode: no luma lie
-                  PdfImage(num, w, h, 8, "DeviceGray", "opaque", px)
-                case (None, _) => PdfImage(num, w, h, bpc, cs, tag, p)
+              bilevel match {
+                case Some(px) =>
+                  val (codec, d) = withDecode(o.dict, px, ok = true,
+                    xorInvert = tag == "ccitt" && blackIs1(o.dict))
+                  PdfImage(num, w, h, 8, "DeviceGray", codec, d)
+                case None => PdfImage(num, w, h, bpc, cs, tag, p)
               }
             }
           }
@@ -152,16 +180,11 @@ object PdfImages {
               val comps = components(cs)
               val ok = bpc == 8 && comps > 0 &&
                 px.length == w.toLong * h * comps
-              decodeInvert(o.dict) match {
-                case Some(inv) if ok =>
-                  PdfImage(num, w, h, bpc, cs, "raw",
-                    if (inv) invertBytes(px) else px)
-                case _ =>
-                  PdfImage(num, w, h, bpc, cs, "opaque", px)
-              }
+              val (codec, d) = withDecode(o.dict, px, ok)
+              PdfImage(num, w, h, bpc, cs, codec, d)
             }
         }
-      } ++ inlineImages(objs)
+    }
   }
 
   // ---- inline images (`BI <dict> ID <data> EI`, PDF 32000-1 §8.9.7)
@@ -215,13 +238,16 @@ object PdfImages {
       .map(new String(_, StandardCharsets.ISO_8859_1))
   }
 
-  private def inlineImages(objs: Map[Int, (Int, PdfObj)]): Seq[PdfImage] = {
+  private def inlineImages(
+      objs: Map[Int, (Int, PdfObj)],
+      limit: Int = Int.MaxValue): Seq[PdfImage] = {
     val out = Seq.newBuilder[PdfImage]
+    var found = 0
     var idx = 0
-    for (cs <- pageContentStreams(objs)) {
+    for (cs <- pageContentStreams(objs) if found < limit) {
       var i = 0
       val n = cs.length
-      while (i + 1 < n) {
+      while (i + 1 < n && found < limit) {
         val isBi = cs.charAt(i) == 'B' && cs.charAt(i + 1) == 'I' &&
           (i == 0 || !isRegular(cs.charAt(i - 1))) &&
           (i + 2 >= n || !isRegular(cs.charAt(i + 2)))
@@ -239,7 +265,7 @@ object PdfImages {
             val dataStart = j + 3             // ID + single separator byte
             idx += 1
             val end = parseInline(cs, dict, dataStart, -idx) match {
-              case Some((img, e)) => out += img; e
+              case Some((img, e)) => out += img; found += 1; e
               case None =>
                 // unparseable: fall back to the text side's EI scan
                 var e = dataStart
@@ -292,17 +318,17 @@ object PdfImages {
           val rows = dp.flatMap(inlineInt(_, Seq("Rows"))).getOrElse(h)
           tag match {
             case "ccitt" if k < 0 && cols == w && rows == h =>
-              for {
-                px <- CcittG4.decode(p, cols, rows)
-                inv <- decodeInvert(dict)
-              } yield PdfImage(objNum, w, h, 8, "DeviceGray", "raw",
-                if (inv) invertBytes(px) else px)
+              CcittG4.decode(p, cols, rows).map { px =>
+                val (codec, d) = withDecode(dict, px, ok = true,
+                  xorInvert = blackIs1(dict) || dp.exists(blackIs1))
+                PdfImage(objNum, w, h, 8, "DeviceGray", codec, d)
+              }
             case "jbig2" =>
-              for {
-                (dw, dh, px) <- Jbig2.decodeLuma(p) if dw == w && dh == h
-                inv <- decodeInvert(dict)
-              } yield PdfImage(objNum, w, h, 8, "DeviceGray", "raw",
-                if (inv) invertBytes(px) else px)
+              Jbig2.decodeLuma(p).collect {
+                case (dw, dh, px) if dw == w && dh == h =>
+                  val (codec, d) = withDecode(dict, px, ok = true)
+                  PdfImage(objNum, w, h, 8, "DeviceGray", codec, d)
+              }
             case "dct" =>
               // SOI … EOI framing: a truncated JPEG loses its EOI
               val framed = p.length >= 4 &&
@@ -328,12 +354,8 @@ object PdfImages {
           }
           d.map { px =>
             val ok = bpc == 8 && comps > 0 && px.length == w.toLong * h * comps
-            decodeInvert(dict) match {
-              case Some(inv) if ok =>
-                PdfImage(objNum, w, h, bpc, csName, "raw",
-                  if (inv) invertBytes(px) else px)
-              case _ => PdfImage(objNum, w, h, bpc, csName, "opaque", px)
-            }
+            val (codec, data) = withDecode(dict, px, ok)
+            PdfImage(objNum, w, h, bpc, csName, codec, data)
           }
         }
       }
@@ -371,9 +393,12 @@ object PdfImages {
           val payload = cs.substring(dataStart, e - 1)
             .getBytes(StandardCharsets.ISO_8859_1)
           // an 8-bit known-colorspace decode of the TRUE payload has
-          // exactly w*h*comps bytes — an "opaque" there is a false EI
+          // exactly w*h*comps bytes — an "opaque" of the WRONG length
+          // there is a false EI; an opaque of the right length is a
+          // real image under an exotic /Decode map and must be kept
           found = decodePayload(payload)
-            .filter(im => im.codec != "opaque" || bpc != 8 || comps <= 0)
+            .filter(im => im.codec != "opaque" || bpc != 8 || comps <= 0 ||
+              im.data.length == w.toLong * h * comps)
             .map((_, e + 2))
           e += 1
           attempts += 1
@@ -434,6 +459,26 @@ object PdfImages {
 
   private def invertBytes(px: Array[Byte]): Array[Byte] =
     px.map(b => (255 - (b & 0xff)).toByte)
+
+  /** ONE policy for finishing decoded component bytes under the
+    * sample map (five call sites — XObject raw/bilevel, inline
+    * raw/G4/JBIG2 — must not drift): ("raw", px possibly inverted)
+    * when the mapping is exactly representable and the byte count is
+    * right, else ("opaque", px) — never dropped, never wrong pixels.
+    * `xorInvert` folds a codec-level pre-inversion into the map
+    * (CCITT `/BlackIs1 true`: black pixels are 1-samples, so the
+    * common self-canceling pair BlackIs1=true + /Decode [1 0] comes
+    * out upright). */
+  private def withDecode(dict: String, px: Array[Byte], ok: Boolean,
+      xorInvert: Boolean = false): (String, Array[Byte]) =
+    decodeInvert(dict) match {
+      case Some(inv) if ok =>
+        ("raw", if (inv ^ xorInvert) invertBytes(px) else px)
+      case _ => ("opaque", px)
+    }
+
+  private def blackIs1(dict: String): Boolean =
+    """/BlackIs1\s+true""".r.findFirstIn(dict).isDefined
 
   /** `grid`×`grid` luma cells of one image, row-major — the input of
     * [[graft.multimodal.ImageDedup.dHashOfGrid]]. Pixel (py, px)

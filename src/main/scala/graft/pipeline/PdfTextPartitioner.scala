@@ -1356,7 +1356,7 @@ final case class AutoPartitioner(base: PdfPartitioner) extends PdfPartitioner {
         // still a scan, not "nothing we recognize". The extract call
         // only runs on the already-expensive no-text path.
         else if (PdfTextPartitioner.hasRasterImage(content) ||
-            PdfImages.extract(content).nonEmpty)
+            PdfImages.hasExtractableImage(content))
           (base.partition(content, strategy), ExtractPath.PdfImage)
         else (base.partition(content, strategy), ExtractPath.PdfFallback)
       }

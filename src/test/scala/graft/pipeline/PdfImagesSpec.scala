@@ -336,6 +336,44 @@ class PdfImagesSpec extends AnyFunSuite {
       g4raw.data.map(_ & 0xff).toSeq)
   }
 
+  test("/BlackIs1 true folds into the sample map (the self-canceling pair)") {
+    val base = PdfGen.ccittPdf(1L)
+    val s = new String(base, StandardCharsets.ISO_8859_1)
+    val upright = PdfImages.extract(base).head
+    // BlackIs1=true alone: black pixels are 1-samples, identity
+    // /Decode maps them to white — the scan reads inverted
+    val b1 = s.replace("/BlackIs1 false", "/BlackIs1 true")
+    val inv = PdfImages.extract(b1.getBytes(StandardCharsets.ISO_8859_1)).head
+    assert(inv.data.map(b => 255 - (b & 0xff)).toSeq ===
+      upright.data.map(_ & 0xff).toSeq)
+    // BlackIs1=true + /Decode [1 0]: the common pair cancels — upright
+    val both = s.replace("/BlackIs1 false", "/BlackIs1 true")
+      .replace("/Filter /CCITTFaxDecode", "/Decode [1 0] /Filter /CCITTFaxDecode")
+    val canceled = PdfImages.extract(both.getBytes(StandardCharsets.ISO_8859_1)).head
+    assert(canceled.data.toSeq === upright.data.toSeq)
+  }
+
+  test("exotic /D on a FILTERED inline image stays opaque, not dropped") {
+    val px = "ABCD"
+    val cs = s"q BI /W 2 /H 2 /BPC 8 /CS /G /D [0 0.5] /F /Fl ID " +
+      new String(deflate(px.getBytes(StandardCharsets.ISO_8859_1)),
+        StandardCharsets.ISO_8859_1) + " EI Q"
+    val imgs = PdfImages.extract(contentPdf(cs))
+    assert(imgs.size === 1)
+    assert(imgs.head.codec === "opaque")
+    assert(new String(imgs.head.data, StandardCharsets.ISO_8859_1) === px)
+  }
+
+  test("hasExtractableImage agrees with extract().nonEmpty on every fixture") {
+    val docs = Seq(
+      PdfGen.rasterPdf(0L), PdfGen.inlineImagePdf(1L), PdfGen.ccittPdf(2L),
+      PdfGen.jbig2Pdf(3L), PdfGen.simple("just text"),
+      "%PDF-1.5\nnothing".getBytes(StandardCharsets.ISO_8859_1),
+      "not a pdf".getBytes(StandardCharsets.ISO_8859_1))
+    for (d <- docs)
+      assert(PdfImages.hasExtractableImage(d) === PdfImages.extract(d).nonEmpty)
+  }
+
   test("image-only PDFs route to the image leg whatever the carrier") {
     val auto = AutoPartitioner(TextPartitioner())
     for (doc <- Seq(PdfGen.rasterPdf(0L),      // Flate XObject, no raster codec name
