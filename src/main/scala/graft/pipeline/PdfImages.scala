@@ -95,6 +95,60 @@ object PdfImages {
         inlineImages(objs, limit = 1).nonEmpty
     }.getOrElse(false)
 
+  /** OCR-ready renditions of the document's images — what the image
+    * leg hands the OCR seam INSTEAD of whole-PDF bytes (tesseract
+    * reads PNG/JPEG/TIFF/BMP, not PDF): `dct` payloads pass through
+    * as the JPEG they are; decoded rasters (gray/RGB, incl. G4 and
+    * JBIG2 scans) re-encode as 24-bit BMP (pure JVM, zero deps);
+    * undecodable codecs yield nothing — the caller falls back to
+    * whole-content so today's behavior survives for them. This is
+    * the reference pipeline's hi_res shape: rasterize page images,
+    * OCR each one (`02-ocr-pdfs.py` partition step). */
+  def ocrPayloads(bytes: Array[Byte]): Seq[Array[Byte]] =
+    extract(bytes).flatMap { im =>
+      im.codec match {
+        case "dct" => Some(im.data)
+        case "raw" => toBmp(im)
+        case _ => None
+      }
+    }
+
+  /** 24-bit bottom-up BMP of a decoded raster (gray or RGB). */
+  private[pipeline] def toBmp(im: PdfImage): Option[Array[Byte]] = {
+    val comps = components(im.colorSpace)
+    if (im.codec != "raw" || (comps != 1 && comps != 3)) return None
+    if (im.data.length != im.width.toLong * im.height * comps) return None
+    val rowLen = im.width * 3
+    val pad = (4 - rowLen % 4) % 4
+    val imgSize = (rowLen + pad) * im.height
+    val fileSize = 54 + imgSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putInt(0).putInt(54)
+    b.putInt(40).putInt(im.width).putInt(im.height)
+      .putShort(1).putShort(24).putInt(0).putInt(imgSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = im.height - 1
+    while (y >= 0) {                          // bottom-up rows
+      var x = 0
+      while (x < im.width) {
+        val base = (y * im.width + x) * comps
+        val (r, g, bl) =
+          if (comps == 1) {
+            val v = im.data(base)
+            (v, v, v)
+          } else (im.data(base), im.data(base + 1), im.data(base + 2))
+        b.put(bl).put(g).put(r)               // BGR order
+        x += 1
+      }
+      var k = 0
+      while (k < pad) { b.put(0.toByte); k += 1 }
+      y -= 1
+    }
+    Some(b.array())
+  }
+
   private def withObjs[A](bytes: Array[Byte])(
       f: Map[Int, (Int, PdfObj)] => A): Option[A] = {
     if (bytes == null || bytes.length < 8) return None

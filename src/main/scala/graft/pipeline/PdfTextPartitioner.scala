@@ -1354,10 +1354,20 @@ final case class AutoPartitioner(base: PdfPartitioner) extends PdfPartitioner {
         // Flate-raster XObjects and inline BI images carry no raster
         // codec name, but an image-only document holding them is
         // still a scan, not "nothing we recognize". The extract call
-        // only runs on the already-expensive no-text path.
+        // only runs on the already-expensive no-text path. The seam
+        // gets OCR-READY renditions of the page images (JPEG
+        // pass-through, decoded rasters as BMP) — the reference's
+        // hi_res shape; whole-container bytes only when no image
+        // renders (tesseract cannot read PDF bytes anyway).
         else if (PdfTextPartitioner.hasRasterImage(content) ||
-            PdfImages.hasExtractableImage(content))
-          (base.partition(content, strategy), ExtractPath.PdfImage)
+            PdfImages.hasExtractableImage(content)) {
+          val renditions = PdfImages.ocrPayloads(content)
+          val els =
+            if (renditions.nonEmpty)
+              renditions.flatMap(base.partition(_, strategy))
+            else base.partition(content, strategy)
+          (els, ExtractPath.PdfImage)
+        }
         else (base.partition(content, strategy), ExtractPath.PdfFallback)
       }
     } else (base.partition(content, strategy), ExtractPath.NonPdf)

@@ -374,6 +374,34 @@ class PdfImagesSpec extends AnyFunSuite {
       assert(PdfImages.hasExtractableImage(d) === PdfImages.extract(d).nonEmpty)
   }
 
+  test("ocrPayloads: decoded rasters become BMPs a real decoder reads back") {
+    graft.multimodal.Multimodal.ImageIoCodec.init
+    for (doc <- Seq(PdfGen.rasterPdf(0L), PdfGen.rasterPdf(3L),
+        PdfGen.ccittPdf(1L), PdfGen.jbig2Pdf(2L))) {
+      val rends = PdfImages.ocrPayloads(doc)
+      assert(rends.size === 1)
+      val im = PdfImages.extract(doc).head
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(rends.head))
+      val bi = javax.imageio.ImageIO.read(iis)
+      assert(bi != null, "ImageIO must read the BMP")
+      assert((bi.getWidth, bi.getHeight) === ((im.width, im.height)))
+      val comps = PdfImages.components(im.colorSpace)
+      for (p <- Seq(0, 17, 255)) {
+        val (x, y) = (p % 16, p / 16)
+        val rgb = bi.getRGB(x, y)
+        val expR = im.data(p * comps) & 0xff
+        assert(((rgb >> 16) & 0xff) === expR, s"pixel $p of $doc")
+      }
+    }
+    // junk DCT payloads pass through verbatim (tesseract-readable is
+    // the CONTRACT; whether the jpeg decodes is the seam's business)
+    val dct = PdfImages.ocrPayloads(PdfGen.dctImageOnly(5L))
+    assert(dct.size === 1 && (dct.head(0) & 0xff) === 0xff)
+    // text PDFs have no renditions
+    assert(PdfImages.ocrPayloads(PdfGen.simple("hello")).isEmpty)
+  }
+
   test("image-only PDFs route to the image leg whatever the carrier") {
     val auto = AutoPartitioner(TextPartitioner())
     for (doc <- Seq(PdfGen.rasterPdf(0L),      // Flate XObject, no raster codec name
