@@ -417,6 +417,43 @@ class PdfImagesSpec extends AnyFunSuite {
       ExtractPath.PdfFallback)
   }
 
+  test("multi-image documents: byte order preserved, frames walk them") {
+    val pxA = Array.tabulate(256)(i => (i & 0xff).toByte)
+    val pxB = Array.tabulate(256)(i => (255 - (i & 0xff)).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def img(num: Int, px: Array[Byte]): Unit = {
+      val d = deflate(px)
+      w(s"$num 0 obj << /Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+        s"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode " +
+        s"/Length ${d.length} >>\nstream\n")
+      bos.write(d)
+      w("\nendstream endobj\n")
+    }
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n")
+    w("10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+      "/Resources << /XObject << /ImA 20 0 R /ImB 21 0 R >> >> >> endobj\n")
+    img(20, pxA)
+    img(21, pxB)
+    w("100 0 obj << /Length 24 >>\nstream\nq /ImA Do Q q /ImB Do Q\nendstream endobj\n")
+    w("%%EOF\n")
+    val doc = bos.toByteArray
+
+    val imgs = PdfImages.extract(doc)
+    assert(imgs.map(_.objNum) === Seq(20, 21))
+    assert(imgs(0).data.toSeq === pxA.toSeq && imgs(1).data.toSeq === pxB.toSeq)
+    val codec = PdfRasterCodec()
+    assert(codec.frameCount(doc) === 2)
+    assert(codec.frameAt(doc, 1).toSeq === pxB.toSeq)
+    assert(PdfImages.ocrPayloads(doc).size === 2)
+    // features pool the FIRST image — a deterministic choice the
+    // scaladoc documents, pinned here so it cannot drift silently
+    assert(codec.features(doc, 64).toSeq ===
+      PdfImages.lumaGrid(imgs(0)).get.toSeq)
+  }
+
   test("a near-identical raster lands within a small Hamming distance") {
     val id = 5L
     val px = formulaPixels(id)
