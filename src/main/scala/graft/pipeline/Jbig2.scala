@@ -322,18 +322,25 @@ object Jbig2 {
     * typical-prediction (TPGDON — what real scanner encoders emit:
     * blank and repeated scanlines cost one decision each). */
   def encode(pixels: Array[Byte], w: Int, h: Int,
-      tpgdon: Boolean = false): Array[Byte] = {
+      tpgdon: Boolean = false, mmr: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length == w * h,
       s"need $w x $h pixels, got ${pixels.length}")
+    require(!(tpgdon && mmr), "TPGDON is an MQ-mode flag")
     val bits = pixels.map(b => (if (b != 0) 1 else 0).toByte)
     val regionData = {
       val b = new ArrayBuffer[Byte]()
       // region segment info (§7.4.1): w, h, x, y, combination op
       be32(b, w); be32(b, h); be32(b, 0); be32(b, 0); b += 0
-      b += (if (tpgdon) 8 else 0).toByte      // generic flags: MQ, template 0
-      // AT pixels, nominal (signed bytes)
-      b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
-      b ++= encodeGeneric(bits, w, h, tpgdon)
+      if (mmr) {
+        b += 1                                // generic flags: MMR (T.6 coding)
+        b ++= CcittG4.encode(
+          bits.map(v => (if (v == 1) 0 else 255).toByte), w, h)
+      } else {
+        b += (if (tpgdon) 8 else 0).toByte    // generic flags: MQ, template 0
+        // AT pixels, nominal (signed bytes)
+        b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+        b ++= encodeGeneric(bits, w, h, tpgdon)
+      }
       b
     }
     val pageData = {
@@ -382,11 +389,10 @@ object Jbig2 {
       j += 4
       if (dataLen == 0xffffffffL || j + dataLen > data.length) return None
       if (segType == 36 || segType == 38 || segType == 39) {
-        // region info (17) + generic flags (1) + template-0 AT pixels
-        // (8) must all sit INSIDE the declared segment length — a
-        // shorter declaration would make the AT check and the MQ
-        // start index read the next segment's bytes
-        if (dataLen < 26) return None
+        // region info (17) + generic flags (1); MQ regions carry 8
+        // template-0 AT bytes after the flags, MMR regions none —
+        // everything read must sit INSIDE the declared length
+        if (dataLen < 18) return None
         val w = rdBe32(data, j).toInt
         val h = rdBe32(data, j + 4).toInt
         if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
@@ -394,7 +400,16 @@ object Jbig2 {
         val mmr = (gflags & 1) != 0
         val template = (gflags >> 1) & 3
         val tpgdon = (gflags & 8) != 0
-        if (mmr || template != 0) return None
+        if (mmr) {
+          // MMR generic region = CCITT T.6 over the region bitmap
+          // (T.88 §6.2.6) — the G4 codec this library already has;
+          // its luma output maps back to the 1=black convention
+          return CcittG4.decode(data.slice(j + 18, (j + dataLen).toInt), w, h)
+            .map(luma =>
+              (w, h, luma.map(b => (if ((b & 0xff) == 0) 1 else 0).toByte)))
+        }
+        if (template != 0) return None
+        if (dataLen < 26) return None
         // AT pixels: 8 bytes for template 0; require nominal
         val at = data.slice(j + 18, j + 26)
         if (at.length < 8 ||

@@ -466,10 +466,13 @@ object PdfGen {
         graft.operators.Sampling.hashBitsScalar(docId * 256L + p, 352L) % 2L == 1L
       if (black) 1.toByte else 0.toByte
     }
-    // alternate typical-prediction by parity: both decoder paths run
+    // cycle the coding mode by doc id so ALL THREE decoder paths run
     // live under q352's pixel-level oracle (the hash only matches if
-    // the TPGDON row-copy logic reproduces the same bitmap)
-    val payload = Jbig2.encode(px, W, H, tpgdon = math.floorMod(docId, 2L) == 1L)
+    // plain MQ, TPGDON row-copy, and MMR/T.6 each reproduce the same
+    // bitmap): 0 ⇒ plain, 2 ⇒ MMR, odd ⇒ TPGDON
+    val mode = math.floorMod(docId, 4L)
+    val payload = Jbig2.encode(px, W, H,
+      tpgdon = mode % 2 == 1, mmr = mode == 2)
     val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
       .getBytes(StandardCharsets.ISO_8859_1)
     assemble(Seq(

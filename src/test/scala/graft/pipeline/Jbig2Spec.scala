@@ -14,13 +14,13 @@ class Jbig2Spec extends AnyFunSuite {
     Array.tabulate(w * h)(p => if (f(p % w, p / w)) 1.toByte else 0.toByte)
 
   private def roundTrip(px: Array[Byte], w: Int, h: Int, clue: String): Unit =
-    for (tp <- Seq(false, true)) {
-      val enc = Jbig2.encode(px, w, h, tpgdon = tp)
+    for ((tp, mmr) <- Seq((false, false), (true, false), (false, true))) {
+      val enc = Jbig2.encode(px, w, h, tpgdon = tp, mmr = mmr)
       val dec = Jbig2.decode(enc)
-      assert(dec.isDefined, s"$clue tpgdon=$tp")
+      assert(dec.isDefined, s"$clue tpgdon=$tp mmr=$mmr")
       val (dw, dh, out) = dec.get
-      assert((dw, dh) === ((w, h)), s"$clue tpgdon=$tp")
-      assert(out.toSeq === px.toSeq, s"$clue tpgdon=$tp")
+      assert((dw, dh) === ((w, h)), s"$clue tpgdon=$tp mmr=$mmr")
+      assert(out.toSeq === px.toSeq, s"$clue tpgdon=$tp mmr=$mmr")
     }
 
   test("TPGDON: repeated scanlines cost a decision, not a row") {
@@ -91,8 +91,11 @@ class Jbig2Spec extends AnyFunSuite {
     // the SECOND segment; find it by re-parsing the layout we emit:
     // seg0 header(11) + page(19) + seg1 header(11) + region info(17)
     val gflagsAt = 11 + 19 + 11 + 17
+    // flipping the coding-mode bit hands MQ bytes to the T.6 decoder
+    // (MMR is a SUPPORTED mode now): corrupt codes must fail or
+    // differ, never silently match
     val mmr = enc.clone(); mmr(gflagsAt) = (mmr(gflagsAt) | 1).toByte
-    assert(Jbig2.decode(mmr).isEmpty)
+    assert(Jbig2.decode(mmr).forall(_._3.toSeq != px.toSeq))
     val tmpl = enc.clone(); tmpl(gflagsAt) = (tmpl(gflagsAt) | 2).toByte
     assert(Jbig2.decode(tmpl).isEmpty)
     val at = enc.clone(); at(gflagsAt + 1) = 5
