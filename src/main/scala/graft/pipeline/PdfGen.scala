@@ -519,16 +519,23 @@ object PdfGen {
     * `pdf_encrypted`. Fail-closed either way: a regression that
     * skips the crypto path finds only ciphertext and extracts
     * nothing. */
-  def encrypted(text: String, userPwd: String = ""): Array[Byte] = {
+  def encrypted(text: String, userPwd: String = ""): Array[Byte] =
+    encryptedFrom(simple(text), text, userPwd)
+
+  /** RC4-encrypt ANY assembled linear fixture (streams rewritten in
+    * place under spec per-object keys; `/Encrypt` appended as object
+    * 9 — free in every PdfGen layout). [[encrypted]] wraps the text
+    * fixture; [[encryptedRaster]] wraps the scanned shape. */
+  private def encryptedFrom(
+      plain: Array[Byte], idSeed: String, userPwd: String): Array[Byte] = {
     val r = 3; val v = 2; val len = 128; val perms = -44
-    val id0 = PdfCrypt.md5(text.getBytes(StandardCharsets.UTF_8))
+    val id0 = PdfCrypt.md5(idSeed.getBytes(StandardCharsets.UTF_8))
     val pwd = userPwd.getBytes(StandardCharsets.ISO_8859_1)
     val o = PdfCrypt.computeO(Array.empty, pwd, r, len)
     val sec = PdfCrypt.StdSecurity(r, v, len, o, Array.empty, perms, id0)
     val fk = PdfCrypt.fileKey(sec, pwd)
     val u = PdfCrypt.computeU(fk, id0, r)
     def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
-    val plain = simple(text)
     val tail =
       s"9 0 obj << /Filter /Standard /V $v /R $r /Length $len /P $perms " +
         s"/O <${hex(o)}> /U <${hex(u)}> >> endobj\n" +
@@ -539,6 +546,14 @@ object PdfGen {
         .getBytes(StandardCharsets.ISO_8859_1)
     PdfCrypt.encryptStreams(assembledPlain, fk)
   }
+
+  /** ENCRYPTED scanned document: [[rasterPdf]]'s image-only body
+    * under standard-handler RC4 — readable by design with the empty
+    * password, but carrying NO text layer, so the decrypt leg must
+    * fall through to IMAGE extraction over the decrypted bytes
+    * (routing: `pdf_image`, not `pdf_encrypted`). */
+  def encryptedRaster(docId: Long, userPwd: String = ""): Array[Byte] =
+    encryptedFrom(rasterPdf(docId), s"raster:$docId", userPwd)
 
   /** REAL AES-128-CBC encrypted PDF (standard handler V4/R4 with the
     * /AESV2 crypt filter — the most common readable-by-design

@@ -1342,10 +1342,24 @@ final case class AutoPartitioner(base: PdfPartitioner) extends PdfPartitioner {
       if (PdfTextPartitioner.isEncrypted(content)) {
         // the text partitioner decrypts in place when the empty user
         // password opens the file (PdfCrypt); text out ⇒ readable by
-        // design, otherwise the ciphertext goes to the seam untouched
+        // design. No text but the empty password OPENS the file ⇒ an
+        // encrypted SCANNED document: extract its images from the
+        // decrypted bytes (content class wins the label — pdf_image
+        // like its unencrypted siblings). Only when the empty
+        // password does not open it does ciphertext go to the seam.
         val els = pdf.partition(content, strategy)
         if (els.nonEmpty) (els, ExtractPath.PdfDecrypted)
-        else (base.partition(content, strategy), ExtractPath.PdfEncrypted)
+        else PdfCrypt.decryptStreams(content) match {
+          case Some(dec) if PdfImages.hasExtractableImage(dec) =>
+            val renditions = PdfImages.ocrPayloads(dec)
+            val imgEls =
+              if (renditions.nonEmpty)
+                renditions.flatMap(base.partition(_, strategy))
+              else base.partition(dec, strategy)
+            (imgEls, ExtractPath.PdfImage)
+          case _ =>
+            (base.partition(content, strategy), ExtractPath.PdfEncrypted)
+        }
       } else {
         val els = pdf.partition(content, strategy)
         if (els.nonEmpty) (els, ExtractPath.PdfText)

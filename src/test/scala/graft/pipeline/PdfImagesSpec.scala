@@ -454,6 +454,24 @@ class PdfImagesSpec extends AnyFunSuite {
       PdfImages.lumaGrid(imgs(0)).get.toSeq)
   }
 
+  test("encrypted scanned documents decrypt and route to the image leg") {
+    val auto = AutoPartitioner(TextPartitioner())
+    // empty password opens it; no text layer; images carry the content
+    val doc = PdfGen.encryptedRaster(2L)
+    assert(PdfTextPartitioner.isEncrypted(doc))
+    assert(auto.partitionWithPath(doc, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfImage)
+    // and the decrypted pixels are the REAL formula image
+    val dec = PdfCrypt.decryptStreams(doc).get
+    val im = PdfImages.extract(dec).head
+    assert(im.data.toSeq === formulaPixels(2L).toSeq)
+    assert(PdfImages.ocrPayloads(dec).size === 1)
+    // a real password stays ciphertext: no phantom images, own bucket
+    val locked = PdfGen.encryptedRaster(2L, "owner-locked")
+    assert(auto.partitionWithPath(locked, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfEncrypted)
+  }
+
   test("a near-identical raster lands within a small Hamming distance") {
     val id = 5L
     val px = formulaPixels(id)
