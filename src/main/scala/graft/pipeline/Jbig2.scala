@@ -25,9 +25,10 @@ import scala.collection.mutable.ArrayBuffer
   * reference JBIG2 decoder or sample corpus, so CROSS-implementation
   * conformance (exact context bit order, table transcription) is
   * pinned only by the spec text itself; the segment layer, region
-  * arithmetic, and PDF plumbing are fully exercised. Files needing
-  * `/JBIG2Globals`, MMR mode, refinement, or symbol dictionaries
-  * stay payload-passthrough (None ⇒ the OCR seam), never misparsed.
+  * arithmetic, and PDF plumbing are fully exercised. MMR-mode
+  * regions (T.6 coding) decode through [[CcittG4]]; files needing
+  * `/JBIG2Globals`, refinement, or symbol dictionaries stay
+  * payload-passthrough (None ⇒ the OCR seam), never misparsed.
   *
   * Bit convention: 1 = black (T.88 foreground), decode returns
   * byte-per-pixel luma (0 black, 255 white) — [[PdfImages.lumaGrid]]
@@ -364,8 +365,9 @@ object Jbig2 {
   }
 
   /** Decode an embedded JBIG2 stream's FIRST generic region to
-    * (width, height, byte-per-pixel 1=black). None on MMR/refinement/
-    * symbol segments, non-nominal templates, unknown lengths, or any
+    * (width, height, byte-per-pixel 1=black) — MQ-coded (plain or
+    * TPGDON) or MMR (T.6 via [[CcittG4]]). None on refinement/symbol
+    * segments, non-nominal templates, unknown lengths, or any
     * malformed header — skip-not-misparse. */
   def decode(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (data == null || data.length < 11) return None

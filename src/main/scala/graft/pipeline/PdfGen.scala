@@ -526,7 +526,7 @@ object PdfGen {
     * place under spec per-object keys; `/Encrypt` appended as object
     * 9 — free in every PdfGen layout). [[encrypted]] wraps the text
     * fixture; [[encryptedRaster]] wraps the scanned shape. */
-  private def encryptedFrom(
+  private[pipeline] def encryptedFrom(
       plain: Array[Byte], idSeed: String, userPwd: String): Array[Byte] = {
     val r = 3; val v = 2; val len = 128; val perms = -44
     val id0 = PdfCrypt.md5(idSeed.getBytes(StandardCharsets.UTF_8))

@@ -80,7 +80,7 @@ object PdfImages {
     */
   def extract(bytes: Array[Byte]): Seq[PdfImage] =
     withObjs(bytes) { objs =>
-      (xobjectImages(bytes, objs).flatMap(buildXObject(bytes, objs, _)) ++
+      (xobjectImages(objs).flatMap(buildXObject(bytes, objs, _)) ++
         inlineImages(objs)).toSeq
     }.getOrElse(Seq.empty)
 
@@ -90,7 +90,7 @@ object PdfImages {
     * audit path calls this per document. */
   def hasExtractableImage(bytes: Array[Byte]): Boolean =
     withObjs(bytes) { objs =>
-      xobjectImages(bytes, objs).iterator
+      xobjectImages(objs).iterator
         .flatMap(buildXObject(bytes, objs, _)).hasNext ||
         inlineImages(objs, limit = 1).nonEmpty
     }.getOrElse(false)
@@ -105,7 +105,13 @@ object PdfImages {
     * the reference pipeline's hi_res shape: rasterize page images,
     * OCR each one (`02-ocr-pdfs.py` partition step). */
   def ocrPayloads(bytes: Array[Byte]): Seq[Array[Byte]] =
-    extract(bytes).flatMap { im =>
+    ocrPayloads(extract(bytes))
+
+  /** [[ocrPayloads]] over ALREADY-EXTRACTED images — callers that
+    * routed on the extraction result render from it directly instead
+    * of decoding the document a second time. */
+  def ocrPayloads(images: Seq[PdfImage]): Seq[Array[Byte]] =
+    images.flatMap { im =>
       im.codec match {
         case "dct" => Some(im.data)
         case "raw" => toBmp(im)
@@ -157,7 +163,6 @@ object PdfImages {
   }
 
   private def xobjectImages(
-      bytes: Array[Byte],
       objs: Map[Int, (Int, PdfObj)]): Seq[(Int, (Int, PdfObj))] =
     objs.toSeq
       .filter { case (_, (_, o)) => imageSubtype.findFirstIn(o.dict).isDefined }

@@ -104,19 +104,32 @@ final case class PdfTextPartitioner() extends PdfPartitioner {
       val plain =
         if (!PdfTextPartitioner.isEncrypted(content)) content
         else PdfCrypt.decryptStreams(content).getOrElse(return Seq.empty)
-      // per-page font scoping: a stream claimed by a page decodes
-      // under THAT page's /Resources bindings; unclaimed streams fall
-      // back to the document-global first-binding-wins map
-      val objs = PdfTextPartitioner.objects(plain)
-      val globalFonts = PdfTextPartitioner.fontMapFrom(objs)
-      val pageFonts = PdfTextPartitioner.contentFontMapsFrom(objs)
-      PdfTextPartitioner.contentStreamsWithNum(plain)
-        .map { case (num, cs) =>
-          PdfTextPartitioner.shownText(cs,
-            num.flatMap(pageFonts.get).getOrElse(globalFonts))
-        }
-        .map(_.trim).filter(_.nonEmpty)
+      extractPlain(plain)
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
+  /** The extraction walk over ALREADY-PLAINTEXT bytes — the decrypt
+    * step skipped. [[AutoPartitioner]] decrypts once and routes the
+    * same plaintext copy through text, image, and fallback legs
+    * (running [[partition]] on a decrypted-but-still-/Encrypt-marked
+    * body would transcrypt the plaintext into garbage). */
+  private[pipeline] def partitionPlain(plain: Array[Byte]): Seq[String] =
+    try extractPlain(plain)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  private def extractPlain(plain: Array[Byte]): Seq[String] = {
+    // per-page font scoping: a stream claimed by a page decodes
+    // under THAT page's /Resources bindings; unclaimed streams fall
+    // back to the document-global first-binding-wins map
+    val objs = PdfTextPartitioner.objects(plain)
+    val globalFonts = PdfTextPartitioner.fontMapFrom(objs)
+    val pageFonts = PdfTextPartitioner.contentFontMapsFrom(objs)
+    PdfTextPartitioner.contentStreamsWithNum(plain)
+      .map { case (num, cs) =>
+        PdfTextPartitioner.shownText(cs,
+          num.flatMap(pageFonts.get).getOrElse(globalFonts))
+      }
+      .map(_.trim).filter(_.nonEmpty)
   }
 }
 
@@ -1340,51 +1353,52 @@ final case class AutoPartitioner(base: PdfPartitioner) extends PdfPartitioner {
       strategy: PartitionStrategy): (Seq[String], String) =
     if (PdfTextPartitioner.hasPdfMagic(content)) {
       if (PdfTextPartitioner.isEncrypted(content)) {
-        // the text partitioner decrypts in place when the empty user
-        // password opens the file (PdfCrypt); text out ⇒ readable by
-        // design. No text but the empty password OPENS the file ⇒ an
-        // encrypted SCANNED document: extract its images from the
-        // decrypted bytes (content class wins the label — pdf_image
-        // like its unencrypted siblings). Only when the empty
-        // password does not open it does ciphertext go to the seam.
-        val els = pdf.partition(content, strategy)
-        if (els.nonEmpty) (els, ExtractPath.PdfDecrypted)
-        else PdfCrypt.decryptStreams(content) match {
-          case Some(dec) if PdfImages.hasExtractableImage(dec) =>
-            val renditions = PdfImages.ocrPayloads(dec)
-            val imgEls =
-              if (renditions.nonEmpty)
-                renditions.flatMap(base.partition(_, strategy))
-              else base.partition(dec, strategy)
-            (imgEls, ExtractPath.PdfImage)
-          case _ =>
+        // decrypt ONCE; every leg below consumes the same plaintext
+        // copy. Empty password opens the file ⇒ readable by design:
+        // text out ⇒ pdf_decrypted; no text ⇒ the same image-or-
+        // fallback routing as unencrypted documents, over the
+        // PLAINTEXT (an encrypted scan is a scan; an encrypted
+        // unparseable doc falls back with recoverable bytes, not
+        // ciphertext). Only a file the empty password does NOT open
+        // stays ciphertext under pdf_encrypted.
+        PdfCrypt.decryptStreams(content) match {
+          case None =>
             (base.partition(content, strategy), ExtractPath.PdfEncrypted)
+          case Some(dec) =>
+            val els = pdf.partitionPlain(dec)
+            if (els.nonEmpty) (els, ExtractPath.PdfDecrypted)
+            else imageOrFallback(dec, strategy)
         }
       } else {
         val els = pdf.partition(content, strategy)
         if (els.nonEmpty) (els, ExtractPath.PdfText)
-        // image leg: raster-codec XObjects announced in dicts (cheap
-        // byte scan), or images the extraction walk actually finds —
-        // Flate-raster XObjects and inline BI images carry no raster
-        // codec name, but an image-only document holding them is
-        // still a scan, not "nothing we recognize". The extract call
-        // only runs on the already-expensive no-text path. The seam
-        // gets OCR-READY renditions of the page images (JPEG
-        // pass-through, decoded rasters as BMP) — the reference's
-        // hi_res shape; whole-container bytes only when no image
-        // renders (tesseract cannot read PDF bytes anyway).
-        else if (PdfTextPartitioner.hasRasterImage(content) ||
-            PdfImages.hasExtractableImage(content)) {
-          val renditions = PdfImages.ocrPayloads(content)
-          val els =
-            if (renditions.nonEmpty)
-              renditions.flatMap(base.partition(_, strategy))
-            else base.partition(content, strategy)
-          (els, ExtractPath.PdfImage)
-        }
-        else (base.partition(content, strategy), ExtractPath.PdfFallback)
+        else imageOrFallback(content, strategy)
       }
     } else (base.partition(content, strategy), ExtractPath.NonPdf)
+
+  /** The no-text legs, over plaintext bytes. Image leg: raster-codec
+    * XObjects announced in dicts (cheap byte scan), or images the
+    * extraction walk actually finds — Flate-raster XObjects and
+    * inline BI images carry no raster codec name, but an image-only
+    * document holding them is still a scan, not "nothing we
+    * recognize". Extraction runs ONCE (only on the already-expensive
+    * no-text path) and its images feed the renditions directly. The
+    * seam gets OCR-READY page images (JPEG pass-through, decoded
+    * rasters as BMP) — the reference's hi_res shape; whole-content
+    * bytes only when no image renders. */
+  private def imageOrFallback(
+      plain: Array[Byte],
+      strategy: PartitionStrategy): (Seq[String], String) = {
+    val imgs = PdfImages.extract(plain)
+    if (PdfTextPartitioner.hasRasterImage(plain) || imgs.nonEmpty) {
+      val renditions = PdfImages.ocrPayloads(imgs)
+      val els =
+        if (renditions.nonEmpty)
+          renditions.flatMap(base.partition(_, strategy))
+        else base.partition(plain, strategy)
+      (els, ExtractPath.PdfImage)
+    } else (base.partition(plain, strategy), ExtractPath.PdfFallback)
+  }
 
   override def partition(
       content: Array[Byte],

@@ -472,6 +472,27 @@ class PdfImagesSpec extends AnyFunSuite {
       ExtractPath.PdfEncrypted)
   }
 
+  test("decryptable but unparseable: falls back with PLAINTEXT, not ciphertext") {
+    // a CMap-less composite font decodes no text and carries no
+    // image; the empty password OPENS the file, so the label is the
+    // same generic fallback its unencrypted sibling gets — never
+    // pdf_encrypted (that bucket means "could not open")
+    val body = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = body.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("3 0 obj << /Type /Page /Contents 4 0 R /Resources << /Font " +
+      "<< /F1 5 0 R >> >> >> endobj\n")
+    val cs = "BT /F1 12 Tf <00030007> Tj ET"
+    w(s"4 0 obj << /Length ${cs.length} >>\nstream\n$cs\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H >> endobj\n")
+    w("%%EOF\n")
+    val doc = PdfGen.encryptedFrom(body.toByteArray, "cmapless", "")
+    assert(PdfTextPartitioner.isEncrypted(doc))
+    val auto = AutoPartitioner(TextPartitioner())
+    assert(auto.partitionWithPath(doc, PartitionStrategy.OcrOnly)._2 ===
+      ExtractPath.PdfFallback)
+  }
+
   test("a near-identical raster lands within a small Hamming distance") {
     val id = 5L
     val px = formulaPixels(id)
