@@ -134,6 +134,8 @@ object CcittG4 {
         i += 1
       }
     }
+    /** Zero-pad to the next byte boundary (`/EncodedByteAlign`). */
+    def alignByte(): Unit = while (nBits != 0) put("0")
     def toBytes: Array[Byte] = {
       if (nBits > 0) (buf :+ (cur << (8 - nBits)).toByte).toArray
       else buf.toArray
@@ -156,6 +158,8 @@ object CcittG4 {
       v
     }
     def skip(n: Int): Unit = pos += n
+    /** Advance to the next byte boundary (`/EncodedByteAlign`). */
+    def alignByte(): Unit = if ((pos & 7) != 0) pos += 8 - (pos & 7)
   }
 
   /** (length, code-bits) → value decoder over a code list. */
@@ -272,36 +276,7 @@ object CcittG4 {
     var row = 0
     while (row < rows) {
       val cur = changesOf(pixels, row * columns, columns)
-      var a0 = -1
-      var black = false
-      var refCur = 0
-      var j = 0                                // monotone cursor into cur
-      while (a0 < columns) {
-        val (b1, b2, rc) = findB(ref, refCur, a0, black, columns)
-        refCur = rc
-        // a1 = next change in cur strictly right of a0
-        while (j < cur.length && cur(j) <= a0) j += 1
-        val a1 = if (j < cur.length) cur(j) else columns
-        if (b2 < a1) {
-          bw.put(ModePass)
-          a0 = b2
-        } else if (math.abs(a1 - b1) <= 3) {
-          val d = a1 - b1
-          bw.put(
-            if (d == 0) ModeV0
-            else if (d > 0) ModeVR(d)
-            else ModeVL(-d))
-          a0 = a1
-          black = !black
-        } else {
-          val a2 = if (j + 1 < cur.length) cur(j + 1) else columns
-          bw.put(ModeH)
-          val a0s = math.max(a0, 0)
-          writeRun(bw, a1 - a0s, black)
-          writeRun(bw, a2 - a1, !black)
-          a0 = a2
-        }
-      }
+      encode2DLine(bw, ref, cur, columns)
       ref = cur
       row += 1
     }
@@ -322,68 +297,228 @@ object CcittG4 {
     var ref = Array.empty[Int]
     var row = 0
     while (row < rows) {
-      val cur = new ArrayBuffer[Int]()
-      var a0 = -1
-      var black = false
-      var bad = false
-      var refCur = 0
-      while (!bad && a0 < columns) {
-        val (b1, b2, rc) = findB(ref, refCur, a0, black, columns)
-        refCur = rc
-        ModeBook.read(br) match {
-          case None => bad = true
-          case Some(MEol) =>
-            // EOFB inside the image body: premature end
-            bad = true
-          case Some(MPass) =>
-            if (black) java.util.Arrays.fill(
-              out, row * columns + math.max(a0, 0), row * columns + b2, 0.toByte)
-            a0 = b2
-          case Some(MHoriz) =>
-            val a0s = math.max(a0, 0)
-            (readRun(br, black, columns), readRun(br, !black, columns)) match {
-              case (Some(r1), Some(r2)) =>
-                val a1 = a0s + r1
-                val a2 = a1 + r2
-                // a2 <= a0 would stall the line walk: two zero runs
-                // are only well-formed at the very start (a0 = -1)
-                if (a2 > columns || a1 > columns ||
-                    (a0 >= 0 && a2 <= a0)) bad = true
-                else {
-                  if (black)
-                    java.util.Arrays.fill(out, row * columns + a0s,
-                      row * columns + a1, 0.toByte)
-                  else
-                    java.util.Arrays.fill(out, row * columns + a1,
-                      row * columns + a2, 0.toByte)
-                  cur += a1; cur += a2
-                  a0 = a2
-                }
-              case _ => bad = true
-            }
-          case Some(v) =>                     // vertical modes 2..8
-            val d = v match {
-              case 2 => 0
-              case 3 => 1; case 4 => 2; case 5 => 3
-              case 6 => -1; case 7 => -2; case 8 => -3
-            }
-            val a1 = b1 + d
-            if (a1 < 0 || a1 > columns || a1 <= a0) bad = true
-            else {
-              if (black) java.util.Arrays.fill(
-                out, row * columns + math.max(a0, 0), row * columns + a1, 0.toByte)
-              cur += a1
-              a0 = a1
-              black = !black
-            }
-        }
+      decode2DLine(br, ref, columns, out, row * columns) match {
+        case None => return None
+        case Some(cur) => ref = cur
       }
-      if (bad) return None
-      // drop the sentinel "change at columns" entries: a change AT
-      // columns is the line ending, not a reference transition
-      ref = cur.filter(_ < columns).toArray
       row += 1
     }
     Some(out)
+  }
+
+  /** One 2D-coded line against reference `ref`; fills `out` from
+    * `off` (pre-filled white) and returns the line's changing
+    * elements. None on a malformed code or an in-body EOL. */
+  private def decode2DLine(
+      br: BitReader, ref: Array[Int], columns: Int,
+      out: Array[Byte], off: Int): Option[Array[Int]] = {
+    val cur = new ArrayBuffer[Int]()
+    var a0 = -1
+    var black = false
+    var bad = false
+    var refCur = 0
+    while (!bad && a0 < columns) {
+      val (b1, b2, rc) = findB(ref, refCur, a0, black, columns)
+      refCur = rc
+      ModeBook.read(br) match {
+        case None => bad = true
+        case Some(MEol) =>
+          // EOL/EOFB inside the line body: premature end
+          bad = true
+        case Some(MPass) =>
+          if (black) java.util.Arrays.fill(
+            out, off + math.max(a0, 0), off + b2, 0.toByte)
+          a0 = b2
+        case Some(MHoriz) =>
+          val a0s = math.max(a0, 0)
+          (readRun(br, black, columns), readRun(br, !black, columns)) match {
+            case (Some(r1), Some(r2)) =>
+              val a1 = a0s + r1
+              val a2 = a1 + r2
+              // a2 <= a0 would stall the line walk: two zero runs
+              // are only well-formed at the very start (a0 = -1)
+              if (a2 > columns || a1 > columns ||
+                  (a0 >= 0 && a2 <= a0)) bad = true
+              else {
+                if (black)
+                  java.util.Arrays.fill(out, off + a0s, off + a1, 0.toByte)
+                else
+                  java.util.Arrays.fill(out, off + a1, off + a2, 0.toByte)
+                cur += a1; cur += a2
+                a0 = a2
+              }
+            case _ => bad = true
+          }
+        case Some(v) =>                       // vertical modes 2..8
+          val d = v match {
+            case 2 => 0
+            case 3 => 1; case 4 => 2; case 5 => 3
+            case 6 => -1; case 7 => -2; case 8 => -3
+          }
+          val a1 = b1 + d
+          if (a1 < 0 || a1 > columns || a1 <= a0) bad = true
+          else {
+            if (black) java.util.Arrays.fill(
+              out, off + math.max(a0, 0), off + a1, 0.toByte)
+            cur += a1
+            a0 = a1
+            black = !black
+          }
+      }
+    }
+    if (bad) None
+    // drop the sentinel "change at columns" entries: a change AT
+    // columns is the line ending, not a reference transition
+    else Some(cur.filter(_ < columns).toArray)
+  }
+
+  /** One 1D (modified-Huffman) line: alternating white/black runs
+    * summing exactly to `columns`. */
+  private def decode1DLine(
+      br: BitReader, columns: Int, out: Array[Byte], off: Int): Option[Array[Int]] = {
+    var pos = 0
+    var black = false
+    while (pos < columns) {
+      readRun(br, black, columns - pos) match {
+        case None => return None
+        case Some(r) =>
+          if (black && r > 0)
+            java.util.Arrays.fill(out, off + pos, off + pos + r, 0.toByte)
+          pos += r
+          black = !black
+      }
+    }
+    // the 2D reference for the NEXT line: derive transitions from the
+    // painted pixels (zero-length runs make run boundaries and color
+    // changes diverge — the pixels are the truth)
+    Some(changesOf(out, off, columns))
+  }
+
+  /** Consume fill bits + one EOL (≥11 zeros then a 1); None when the
+    * next bits are not an EOL. */
+  private def readEolG3(br: BitReader): Boolean = {
+    var zeros = 0
+    var b = br.peek(1)
+    while (b == 0) { br.skip(1); zeros += 1; b = br.peek(1) }
+    if (b < 0 || zeros < 11) false
+    else { br.skip(1); true }
+  }
+
+  /** CCITT Group 3 decode (`/K >= 0`): `k == 0` ⇒ pure 1D
+    * modified-Huffman lines (the PDF-common shape has NO EOLs —
+    * `/EndOfLine false` — and runs just concatenate); `k > 0` ⇒ each
+    * line is EOL + a tag bit choosing 1D or 2D against the previous
+    * line (the classic fax shape, which always carries EOLs).
+    * `byteAlign` (`/EncodedByteAlign`) pads each line start to a
+    * byte boundary. Output luma bytes, 255 white / 0 black —
+    * [[decode]]'s convention. */
+  def decodeG3(
+      data: Array[Byte], columns: Int, rows: Int, k: Int,
+      endOfLine: Boolean = false,
+      byteAlign: Boolean = false): Option[Array[Byte]] = {
+    if (data == null || columns <= 0 || rows <= 0 || k < 0) return None
+    if (columns.toLong * rows > (1L << 28)) return None
+    val br = new BitReader(data)
+    val out = new Array[Byte](columns * rows)
+    java.util.Arrays.fill(out, 255.toByte)
+    var ref = Array.empty[Int]
+    var row = 0
+    while (row < rows) {
+      if (byteAlign) br.alignByte()
+      val twoDim =
+        if (k == 0) {
+          if (endOfLine && !readEolG3(br)) return None
+          false
+        } else {
+          // K > 0: EOL then the 1-bit mode tag (1 = 1D, 0 = 2D)
+          if (!readEolG3(br)) return None
+          br.peek(1) match {
+            case 1 => br.skip(1); false
+            case 0 => br.skip(1); true
+            case _ => return None
+          }
+        }
+      val line =
+        if (twoDim) decode2DLine(br, ref, columns, out, row * columns)
+        else decode1DLine(br, columns, out, row * columns)
+      line match {
+        case None => return None
+        case Some(cur) => ref = cur
+      }
+      row += 1
+    }
+    Some(out)
+  }
+
+  /** Group 3 encode: `k == 0` ⇒ 1D lines with no EOLs (the PDF
+    * default `/EndOfLine false`); `k > 0` ⇒ EOL + tag per line, a 1D
+    * line at least every `k` rows and 2D in between. */
+  def encodeG3(pixels: Array[Byte], columns: Int, rows: Int, k: Int,
+      byteAlign: Boolean = false): Array[Byte] = {
+    require(columns > 0 && rows > 0 && pixels.length == columns * rows,
+      s"need $columns x $rows pixels, got ${pixels.length}")
+    require(k >= 0, s"G3 k must be >= 0, got $k")
+    val bw = new BitWriter
+    var ref = Array.empty[Int]
+    var row = 0
+    while (row < rows) {
+      if (byteAlign) bw.alignByte()
+      val cur = changesOf(pixels, row * columns, columns)
+      val twoDim = k > 0 && row % k != 0
+      if (k > 0) {
+        bw.put(Eol)
+        bw.put(if (twoDim) "0" else "1")
+      }
+      if (twoDim) encode2DLine(bw, ref, cur, columns)
+      else {
+        // 1D: alternating runs from the changing elements
+        var pos = 0
+        var black = false
+        var ci = 0
+        while (pos < columns) {
+          val next = if (ci < cur.length) cur(ci) else columns
+          writeRun(bw, next - pos, black)
+          pos = next
+          black = !black
+          ci += 1
+        }
+      }
+      ref = cur
+      row += 1
+    }
+    bw.toBytes
+  }
+
+  private def encode2DLine(
+      bw: BitWriter, ref: Array[Int], cur: Array[Int], columns: Int): Unit = {
+    var a0 = -1
+    var black = false
+    var refCur = 0
+    var j = 0
+    while (a0 < columns) {
+      val (b1, b2, rc) = findB(ref, refCur, a0, black, columns)
+      refCur = rc
+      while (j < cur.length && cur(j) <= a0) j += 1
+      val a1 = if (j < cur.length) cur(j) else columns
+      if (b2 < a1) {
+        bw.put(ModePass)
+        a0 = b2
+      } else if (math.abs(a1 - b1) <= 3) {
+        val d = a1 - b1
+        bw.put(
+          if (d == 0) ModeV0
+          else if (d > 0) ModeVR(d)
+          else ModeVL(-d))
+        a0 = a1
+        black = !black
+      } else {
+        val a2 = if (j + 1 < cur.length) cur(j + 1) else columns
+        bw.put(ModeH)
+        val a0s = math.max(a0, 0)
+        writeRun(bw, a1 - a0s, black)
+        writeRun(bw, a2 - a1, !black)
+        a0 = a2
+      }
+    }
   }
 }

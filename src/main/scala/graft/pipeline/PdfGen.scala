@@ -436,7 +436,15 @@ object PdfGen {
         graft.operators.Sampling.hashBitsScalar(docId * 256L + p, 350L) % 2L == 1L
       if (black) 0.toByte else 255.toByte
     }
-    val payload = CcittG4.encode(px, W, H)
+    // cycle the fax GROUP by doc id so every CCITT decode leg runs
+    // live under q350's pixel-level oracle: even ⇒ G4 (/K -1),
+    // 1 mod 4 ⇒ G3 1D (/K 0, the PDF-common no-EOL shape),
+    // 3 mod 4 ⇒ G3 mixed (/K 4, EOL + tag per line)
+    val (kDecl, payload) = math.floorMod(docId, 4L) match {
+      case 1L => ("/K 0", CcittG4.encodeG3(px, W, H, 0))
+      case 3L => ("/K 4 /EndOfLine true", CcittG4.encodeG3(px, W, H, 4))
+      case _ => ("/K -1", CcittG4.encode(px, W, H))
+    }
     val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
       .getBytes(StandardCharsets.ISO_8859_1)
     assemble(Seq(
@@ -447,7 +455,7 @@ object PdfGen {
       streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
         s"/ColorSpace /DeviceGray /BitsPerComponent 1 " +
         s"/Filter /CCITTFaxDecode " +
-        s"/DecodeParms << /K -1 /Columns $W /Rows $H /BlackIs1 false >> ", payload),
+        s"/DecodeParms << $kDecl /Columns $W /Rows $H /BlackIs1 false >> ", payload),
       streamObj(100, "", paint)))
   }
 

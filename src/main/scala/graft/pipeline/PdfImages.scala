@@ -215,8 +215,11 @@ object PdfImages {
               val cols = intEntry(o.dict, "/Columns").getOrElse(1728)
               val rows = intEntry(o.dict, "/Rows").getOrElse(h)
               val bilevel = tag match {
-                case "ccitt" if k < 0 && cols == w && rows == h =>
-                  CcittG4.decode(p, cols, rows)
+                case "ccitt" if cols == w && rows == h =>
+                  if (k < 0) CcittG4.decode(p, cols, rows)
+                  else CcittG4.decodeG3(p, cols, rows, k,
+                    endOfLine = boolParm(o.dict, "EndOfLine"),
+                    byteAlign = boolParm(o.dict, "EncodedByteAlign"))
                 case "jbig2" =>
                   // embedded stream, no /JBIG2Globals (those carry
                   // symbol dictionaries — out of the generic subset)
@@ -376,8 +379,14 @@ object PdfImages {
           val cols = dp.flatMap(inlineInt(_, Seq("Columns"))).getOrElse(1728)
           val rows = dp.flatMap(inlineInt(_, Seq("Rows"))).getOrElse(h)
           tag match {
-            case "ccitt" if k < 0 && cols == w && rows == h =>
-              CcittG4.decode(p, cols, rows).map { px =>
+            case "ccitt" if cols == w && rows == h =>
+              val g3opts = dict + dp.getOrElse("")
+              val bilevel =
+                if (k < 0) CcittG4.decode(p, cols, rows)
+                else CcittG4.decodeG3(p, cols, rows, k,
+                  endOfLine = boolParm(g3opts, "EndOfLine"),
+                  byteAlign = boolParm(g3opts, "EncodedByteAlign"))
+              bilevel.map { px =>
                 val (codec, d) = withDecode(dict, px, ok = true,
                   xorInvert = blackIs1(dict) || dp.exists(blackIs1))
                 PdfImage(objNum, w, h, 8, "DeviceGray", codec, d)
@@ -536,8 +545,10 @@ object PdfImages {
       case _ => ("opaque", px)
     }
 
-  private def blackIs1(dict: String): Boolean =
-    """/BlackIs1\s+true""".r.findFirstIn(dict).isDefined
+  private def blackIs1(dict: String): Boolean = boolParm(dict, "BlackIs1")
+
+  private def boolParm(dict: String, key: String): Boolean =
+    (s"/$key\\s+true").r.findFirstIn(dict).isDefined
 
   /** `grid`×`grid` luma cells of one image, row-major — the input of
     * [[graft.multimodal.ImageDedup.dHashOfGrid]]. Pixel (py, px)

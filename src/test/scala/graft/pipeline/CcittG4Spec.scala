@@ -118,6 +118,57 @@ class CcittG4Spec extends AnyFunSuite {
     assert(CcittG4.decode(Array[Byte](1, 2, 3), -4, 4).isEmpty)
   }
 
+  private def roundTripG3(px: Array[Byte], w: Int, h: Int, k: Int,
+      byteAlign: Boolean, clue: String): Unit = {
+    val enc = CcittG4.encodeG3(px, w, h, k, byteAlign)
+    val dec = CcittG4.decodeG3(enc, w, h, k, endOfLine = false,
+      byteAlign = byteAlign)
+    assert(dec.isDefined, clue)
+    assert(dec.get.toSeq === px.toSeq, clue)
+  }
+
+  test("G3 round trips: 1D lines, mixed 2D, byte-aligned variants") {
+    val rnd = new scala.util.Random(360)
+    for (trial <- 0 until 12) {
+      val w = Seq(8, 16, 33, 200)(trial % 4)
+      val h = 2 + rnd.nextInt(10)
+      val px = bitmap(w, h)((_, _) => rnd.nextInt(4) == 0)
+      roundTripG3(px, w, h, 0, byteAlign = false, s"k0 $trial")
+      roundTripG3(px, w, h, 0, byteAlign = true, s"k0 aligned $trial")
+      roundTripG3(px, w, h, 4, byteAlign = false, s"k4 $trial")
+      roundTripG3(px, w, h, 2, byteAlign = true, s"k2 aligned $trial")
+    }
+    // black-first lines exercise the zero-length leading white run
+    roundTripG3(bitmap(16, 4)((x, _) => x < 4), 16, 4, 0, byteAlign = false, "black lead")
+    roundTripG3(bitmap(16, 4)((_, _) => true), 16, 4, 4, byteAlign = false, "all black")
+    roundTripG3(bitmap(16, 4)((_, _) => false), 16, 4, 0, byteAlign = false, "all white")
+  }
+
+  test("G3 malformed input: None, never a stall or a misparse") {
+    assert(CcittG4.decodeG3(null, 16, 16, 0).isEmpty)
+    assert(CcittG4.decodeG3(Array[Byte](1, 2), 16, 16, -1).isEmpty)
+    // K>0 requires EOLs: a payload without them fails
+    val noEol = CcittG4.encodeG3(bitmap(16, 4)((x, y) => (x + y) % 2 == 0), 16, 4, 0)
+    assert(CcittG4.decodeG3(noEol, 16, 4, 4).isEmpty)
+    val rnd = new scala.util.Random(361)
+    for (_ <- 0 until 30)
+      CcittG4.decodeG3(Array.fill(40)(rnd.nextInt(256).toByte), 32, 32, 0)
+  }
+
+  test("ccittPdf G3 legs: /K 0 and /K 4 extract the formula pixels too") {
+    for (id <- Seq(1L, 3L, 5L, 7L)) {          // 1,5 ⇒ K0; 3,7 ⇒ K4
+      val imgs = PdfImages.extract(PdfGen.ccittPdf(id))
+      assert(imgs.size === 1, s"doc $id")
+      assert(imgs.head.codec === "raw", s"doc $id")
+      val expected = Array.tabulate(256) { p =>
+        val black =
+          graft.operators.Sampling.hashBitsScalar(id * 256L + p, 350L) % 2L == 1L
+        if (black) 0 else 255
+      }
+      assert(imgs.head.data.map(_ & 0xff).toSeq === expected.toSeq, s"doc $id")
+    }
+  }
+
   test("ccittPdf: the G4 scan extracts as real gray pixels end-to-end") {
     for (id <- 0L to 3L) {
       val imgs = PdfImages.extract(PdfGen.ccittPdf(id))
