@@ -267,14 +267,17 @@ object CcittG4 {
 
   /** G4-encode a byte-per-pixel bitmap (0 = black, anything else
     * white), `rows`×`columns`, EOFB-terminated, zero-padded to a
-    * byte. */
-  def encode(pixels: Array[Byte], columns: Int, rows: Int): Array[Byte] = {
+    * byte. `byteAlign` (`/EncodedByteAlign`) pads each CODED line to
+    * start on a byte boundary. */
+  def encode(pixels: Array[Byte], columns: Int, rows: Int,
+      byteAlign: Boolean = false): Array[Byte] = {
     require(columns > 0 && rows > 0 && pixels.length == columns * rows,
       s"need $columns x $rows pixels, got ${pixels.length}")
     val bw = new BitWriter
     var ref = Array.empty[Int]                // all-white imaginary first reference
     var row = 0
     while (row < rows) {
+      if (byteAlign) bw.alignByte()
       val cur = changesOf(pixels, row * columns, columns)
       encode2DLine(bw, ref, cur, columns)
       ref = cur
@@ -287,8 +290,13 @@ object CcittG4 {
   /** Decode a G4 payload to byte-per-pixel luma (255 white, 0 black).
     * None on any malformed code, line overrun, or truncation before
     * the final row (a missing EOFB after the last row is tolerated).
+    * `byteAlign` honors `/EncodedByteAlign` — each coded line starts
+    * on a byte boundary (previously only the G3 path supported it, so
+    * a legal byte-aligned G4 stream fell to passthrough — r15
+    * ADVICE).
     */
-  def decode(data: Array[Byte], columns: Int, rows: Int): Option[Array[Byte]] = {
+  def decode(data: Array[Byte], columns: Int, rows: Int,
+      byteAlign: Boolean = false): Option[Array[Byte]] = {
     if (data == null || columns <= 0 || rows <= 0) return None
     if (columns.toLong * rows > (1L << 28)) return None  // 256M px guard
     val br = new BitReader(data)
@@ -297,6 +305,7 @@ object CcittG4 {
     var ref = Array.empty[Int]
     var row = 0
     while (row < rows) {
+      if (byteAlign) br.alignByte()
       decode2DLine(br, ref, columns, out, row * columns) match {
         case None => return None
         case Some(cur) => ref = cur
@@ -335,10 +344,19 @@ object CcittG4 {
             case (Some(r1), Some(r2)) =>
               val a1 = a0s + r1
               val a2 = a1 + r2
-              // a2 <= a0 would stall the line walk: two zero runs
-              // are only well-formed at the very start (a0 = -1)
+              // zero-length FIRST runs are only well-formed at the
+              // very start of a line (a0 = -1, a black first pixel
+              // codes white-run 0 then the black run); mid-line they
+              // would record duplicate/non-monotone changing elements
+              // and break findB's strict-alternation parity on the
+              // NEXT row — reject rather than misparse (r15 ADVICE).
+              // A zero-length SECOND run is legal exactly when the
+              // first run reaches the right edge (a1 == a2 == columns
+              // — the encoder emits it for a line ending mid-pair);
+              // both entries are then the filtered sentinel.
               if (a2 > columns || a1 > columns ||
-                  (a0 >= 0 && a2 <= a0)) bad = true
+                  (a0 >= 0 && (r1 == 0 || a2 <= a0)) ||
+                  (r2 == 0 && a2 < columns)) bad = true
               else {
                 if (black)
                   java.util.Arrays.fill(out, off + a0s, off + a1, 0.toByte)

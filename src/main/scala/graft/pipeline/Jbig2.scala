@@ -9,13 +9,22 @@ import scala.collection.mutable.ArrayBuffer
   *
   *  - the **MQ arithmetic coder** (T.88 Annex E: the 47-state Qe
   *    table shared with JPEG 2000, byte-stuffing around 0xFF,
-  *    conditional exchange, SETBITS flush);
+  *    conditional exchange, flush with trailing-ones SETBITS);
   *  - **generic region** coding (§6.2), template 0 with nominal AT
-  *    pixels, TPGDON off — the shape encoders emit for scanned
+  *    pixels, plain or TPGDON — the shape encoders emit for scanned
   *    masks;
+  *  - the **integer arithmetic decoding procedures** (Annex A:
+  *    IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT PREV-tree coding, IAID
+  *    symbol IDs) feeding **symbol dictionaries** (§6.5, arithmetic
+  *    subset: height classes, one shared GB context table across
+  *    symbols, export runs) and **text regions** (§6.4:
+  *    strip-decoded (S,T) placements, BOTTOMLEFT/TOPLEFT corners,
+  *    OR composition) — the layout real scanner encoders emit for
+  *    TEXT pages, with `/JBIG2Globals` shared dictionaries walking
+  *    first (r16);
   *  - the **embedded segment layer** (§7.2 headers as PDF carries
-  *    them: page info + immediate generic region; unknown segment
-  *    types are skipped by their declared length).
+  *    them, referred-segment resolution; unknown segment types are
+  *    skipped by their declared length).
   *
   * Like [[PdfCrypt]] and [[CcittG4]], the ENCODER exists so fixtures
   * are produced by the same public-spec arithmetic the decoder
@@ -27,8 +36,9 @@ import scala.collection.mutable.ArrayBuffer
   * pinned only by the spec text itself; the segment layer, region
   * arithmetic, and PDF plumbing are fully exercised. MMR-mode
   * regions (T.6 coding) decode through [[CcittG4]]; files needing
-  * `/JBIG2Globals`, refinement, or symbol dictionaries stay
-  * payload-passthrough (None ⇒ the OCR seam), never misparsed.
+  * refinement coding, huffman-coded dictionaries, or transposed/
+  * non-OR text regions stay payload-passthrough (None ⇒ the OCR
+  * seam), never misparsed.
   *
   * Bit convention: 1 = black (T.88 foreground), decode returns
   * byte-per-pixel luma (0 black, 255 white) — [[PdfImages.lumaGrid]]
@@ -140,6 +150,20 @@ object Jbig2 {
     c
   }
 
+  /** Second per-thread table for the INTEGER arithmetic decoding
+    * procedures (T.88 Annex A) — symbol-dictionary and text-region
+    * segments interleave IAx decisions with generic-region pixel
+    * decisions on ONE arithmetic decoder but with DISJOINT context
+    * sets, so the two tables must coexist within a segment. */
+  private val iaCtxPool = new ThreadLocal[Contexts] {
+    override def initialValue(): Contexts = new Contexts
+  }
+  private def pooledIaContexts(): Contexts = {
+    val c = iaCtxPool.get()
+    c.reset()
+    c
+  }
+
   /** MQ encoder (T.88 Annex E: CODEMPS/CODELPS, BYTEOUT with 0xFF
     * stuffing, SETBITS flush). */
   private final class MqEncoder {
@@ -198,11 +222,20 @@ object Jbig2 {
     }
 
     def flush(): Array[Byte] = {
-      // SETBITS (T.88 E.3.8): pick the in-interval value with the
-      // most trailing zeros; when the masked value falls below C the
-      // half-step above it is still inside [C, C+A)
-      val tempC = (c + a - 1) & 0xffff0000L
-      c = if (c < tempC) tempC else tempC + 0x8000L
+      // SETBITS (T.88 E.3.8): pick an in-interval final C whose
+      // trailing bits are all ONES (the OpenJPEG/mqc convention:
+      // C |= 0xFFFF, step back half an interval if that overshoots
+      // C+A). Trailing ones matter beyond spec conformance: the
+      // DECODER pads past the end of the payload with 0xFF bytes, so
+      // a flush that zeroes the tail can disagree with what the
+      // decoder reads back for the final decisions — observed as
+      // rare round-trip breaks under the r15-ADVICE flush-to-zeros
+      // variant (5/500 q352 fixtures). C | 0xFFFF ∈ [C, C+0x10000);
+      // if ≥ C+A, subtracting 0x8000 lands in [C+A−0x8000, C+A) ⊂
+      // [C, C+A) since A ≥ 0x8000 — always valid, never past C+A.
+      val tempC = c + a
+      c |= 0xffffL
+      if (c >= tempC) c -= 0x8000L
       c <<= ct; byteOut()
       c <<= ct; byteOut()
       if (!firstByte) out += bVal.toByte
@@ -244,16 +277,13 @@ object Jbig2 {
     * one decision per row says "this row repeats the one above". */
   private val TpgdCtx0 = 0x9b25
 
-  /** Arithmetic generic-region decode: `data` is the MQ-coded pixel
-    * stream, output is one byte per pixel (1 = black). With
-    * `tpgdon`, each row starts with an LTP-toggle decision under the
-    * pseudo-pixel context; a typical row copies the row above and
-    * codes no pixels. */
-  private def decodeGeneric(
-      data: Array[Byte], start: Int, end: Int, w: Int, h: Int,
+  /** Generic-region pixel decode on an EXISTING decoder + context
+    * table — symbol dictionaries decode every symbol bitmap through
+    * one shared decoder and one shared GB table (T.88 §6.5.8.1), so
+    * the procedure cannot own either. */
+  private def decodeGenericWith(
+      mq: MqDecoder, cxs: Contexts, w: Int, h: Int,
       tpgdon: Boolean): Array[Byte] = {
-    val mq = new MqDecoder(data, start, end)
-    val cxs = pooledContexts()
     val px = new Array[Byte](w * h)
     var ltp = false
     var y = 0
@@ -274,10 +304,20 @@ object Jbig2 {
     px
   }
 
-  private def encodeGeneric(
-      px: Array[Byte], w: Int, h: Int, tpgdon: Boolean): Array[Byte] = {
-    val mq = new MqEncoder
-    val cxs = pooledContexts()
+  /** Arithmetic generic-region decode: `data` is the MQ-coded pixel
+    * stream, output is one byte per pixel (1 = black). With
+    * `tpgdon`, each row starts with an LTP-toggle decision under the
+    * pseudo-pixel context; a typical row copies the row above and
+    * codes no pixels. */
+  private def decodeGeneric(
+      data: Array[Byte], start: Int, end: Int, w: Int, h: Int,
+      tpgdon: Boolean): Array[Byte] =
+    decodeGenericWith(new MqDecoder(data, start, end), pooledContexts(),
+      w, h, tpgdon)
+
+  private def encodeGenericWith(
+      mq: MqEncoder, cxs: Contexts, px: Array[Byte], w: Int, h: Int,
+      tpgdon: Boolean): Unit = {
     var ltp = false
     var y = 0
     while (y < h) {
@@ -303,6 +343,312 @@ object Jbig2 {
         }
       }
       y += 1
+    }
+  }
+
+  private def encodeGeneric(
+      px: Array[Byte], w: Int, h: Int, tpgdon: Boolean): Array[Byte] = {
+    val mq = new MqEncoder
+    encodeGenericWith(mq, pooledContexts(), px, w, h, tpgdon)
+    mq.flush()
+  }
+
+  // ---- integer arithmetic decoding procedures (T.88 Annex A): each
+  // IAx procedure owns a 512-slot context region (PREV tree, 9 bits)
+  // inside ONE shared table; IAID owns 2^(SYMCODELEN+1) slots. All
+  // procedures of a segment share a single MQ coder with the
+  // generic-region pixel contexts living in a SEPARATE table.
+
+  private val IADH = 0
+  private val IADW = 512
+  private val IAEX = 1024
+  private val IAAI = 1536
+  private val IADT = 2048
+  private val IAFS = 2560
+  private val IADS = 3072
+  private val IAIT = 3584
+  private val IAID = 8192
+  private val MaxSymCodeLen = 12              // IAID tree ≤ 8192 slots
+
+  /** Sentinel for the A.2 OOB decision (S=1, V=0). */
+  private val OOB = Int.MinValue
+
+  /** A.2 IAx decode: value or [[OOB]]. */
+  private def decodeInt(mq: MqDecoder, cx: Contexts, off: Int): Int = {
+    var prev = 1
+    def bit(): Int = {
+      val b = mq.decode(cx, off + prev)
+      prev =
+        if (prev < 256) (prev << 1) | b
+        else ((((prev << 1) | b) & 511) | 256)
+      b
+    }
+    def bits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    val s = bit()
+    val v: Long =
+      if (bit() == 0) bits(2)
+      else if (bit() == 0) bits(4) + 4
+      else if (bit() == 0) bits(6) + 20
+      else if (bit() == 0) bits(8) + 84
+      else if (bit() == 0) bits(12) + 340
+      else bits(32) + 4436
+    if (s == 1 && v == 0) OOB
+    else if (s == 1) (-v).toInt
+    else v.toInt
+  }
+
+  /** A.2 inverse for the fixture encoder. */
+  private def encodeInt(mq: MqEncoder, cx: Contexts, off: Int, value: Int): Unit = {
+    var prev = 1
+    def bit(b: Int): Unit = {
+      mq.encode(cx, off + prev, b)
+      prev =
+        if (prev < 256) (prev << 1) | b
+        else ((((prev << 1) | b) & 511) | 256)
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >> i) & 1).toInt); i -= 1 }
+    }
+    if (value == OOB) { bit(1); bit(0); bits(0, 2) }
+    else {
+      val s = if (value < 0) 1 else 0
+      val v = math.abs(value.toLong)
+      bit(s)
+      if (v < 4) { bit(0); bits(v, 2) }
+      else if (v < 20) { bit(1); bit(0); bits(v - 4, 4) }
+      else if (v < 84) { bit(1); bit(1); bit(0); bits(v - 20, 6) }
+      else if (v < 340) { bit(1); bit(1); bit(1); bit(0); bits(v - 84, 8) }
+      else if (v < 4436) { bit(1); bit(1); bit(1); bit(1); bit(0); bits(v - 340, 12) }
+      else { bit(1); bit(1); bit(1); bit(1); bit(1); bits(v - 4436, 32) }
+    }
+  }
+
+  /** A.3 IAID decode: `len` fixed bits down the PREV tree. */
+  private def decodeId(mq: MqDecoder, cx: Contexts, len: Int): Int = {
+    var prev = 1
+    var i = 0
+    while (i < len) { prev = (prev << 1) | mq.decode(cx, IAID + prev); i += 1 }
+    prev - (1 << len)
+  }
+
+  private def encodeId(mq: MqEncoder, cx: Contexts, len: Int, id: Int): Unit = {
+    var prev = 1
+    var i = len - 1
+    while (i >= 0) {
+      val b = (id >> i) & 1
+      mq.encode(cx, IAID + prev, b)
+      prev = (prev << 1) | b
+      i -= 1
+    }
+  }
+
+  /** One decoded symbol bitmap (byte-per-pixel, 1 = black). */
+  private final case class Bitmap(w: Int, h: Int, px: Array[Byte])
+
+  private def symCodeLenOf(numSyms: Int): Int = {
+    var len = 0
+    while ((1 << len) < numSyms) len += 1
+    math.max(1, len)                          // 1-symbol dicts still code 1 bit
+  }
+
+  // ---- symbol dictionary (T.88 §6.5, arithmetic subset: SDHUFF=0,
+  // SDREFAGG=0, template 0, nominal ATs). One MQ decoder for the
+  // whole segment; symbol bitmaps share one GB context table, the
+  // IAx procedures a second.
+
+  /** Decode `numNew` new symbols + export flags over
+    * `input ++ new`; returns the EXPORTED symbols in order. */
+  private def decodeSymbolDict(
+      data: Array[Byte], start: Int, end: Int,
+      numNew: Int, numEx: Int,
+      input: IndexedSeq[Bitmap]): Option[IndexedSeq[Bitmap]] = {
+    if (numNew < 0 || numNew > 4096 || numEx < 0 || numEx > 8192) return None
+    val mq = new MqDecoder(data, start, end)
+    val gb = pooledContexts()
+    val ia = pooledIaContexts()
+    val newSyms = new ArrayBuffer[Bitmap](numNew)
+    var hcHeight = 0
+    var totalPx = 0L                          // dictionary-wide allocation cap
+    while (newSyms.size < numNew) {
+      val dh = decodeInt(mq, ia, IADH)
+      if (dh == OOB) return None
+      hcHeight += dh
+      if (hcHeight <= 0 || hcHeight > 4096) return None
+      var symWidth = 0
+      var classDone = false
+      while (!classDone) {
+        val dw = decodeInt(mq, ia, IADW)
+        if (dw == OOB) classDone = true
+        else {
+          symWidth += dw
+          totalPx += symWidth.toLong * hcHeight
+          if (symWidth <= 0 || symWidth > 4096 ||
+            totalPx > (1L << 26) ||
+            newSyms.size >= numNew) return None
+          newSyms += Bitmap(symWidth, hcHeight,
+            decodeGenericWith(mq, gb, symWidth, hcHeight, tpgdon = false))
+        }
+      }
+    }
+    // export flags (§6.5.10): alternating EXRUNLENGTH runs starting
+    // with flag 0 over input ++ new
+    val all = input ++ newSyms
+    val ex = new ArrayBuffer[Bitmap](numEx)
+    var i = 0
+    var curFlag = false
+    var guard = 0
+    while (i < all.size && guard < 4096) {
+      guard += 1
+      val run = decodeInt(mq, ia, IAEX)
+      if (run == OOB || run < 0 || i + run > all.size) return None
+      if (curFlag) ex ++= all.slice(i, i + run)
+      i += run
+      curFlag = !curFlag
+    }
+    if (ex.size != numEx) return None
+    Some(ex.toIndexedSeq)
+  }
+
+  /** Encode `syms` as one height class per distinct height
+    * (ascending), exporting all of them. */
+  private def encodeSymbolDict(syms: Seq[Bitmap]): Array[Byte] = {
+    val mq = new MqEncoder
+    val gb = pooledContexts()
+    val ia = pooledIaContexts()
+    var prevH = 0
+    for ((h, group) <- syms.groupBy(_.h).toSeq.sortBy(_._1)) {
+      encodeInt(mq, ia, IADH, h - prevH)
+      prevH = h
+      var prevW = 0
+      for (sym <- group) {
+        encodeInt(mq, ia, IADW, sym.w - prevW)
+        prevW = sym.w
+        encodeGenericWith(mq, gb, sym.px, sym.w, sym.h, tpgdon = false)
+      }
+      encodeInt(mq, ia, IADW, OOB)
+    }
+    encodeInt(mq, ia, IAEX, 0)                // flag-0 run: export none…
+    encodeInt(mq, ia, IAEX, syms.size)        // …then export all new
+    mq.flush()
+  }
+
+  /** Height-class export order of [[encodeSymbolDict]] — the symbol
+    * IDs a text region must use against that dictionary. Returns for
+    * each input index its exported ID. */
+  private def exportOrder(syms: Seq[Bitmap]): Array[Int] = {
+    val order = syms.zipWithIndex.toSeq
+      .groupBy(_._1.h).toSeq.sortBy(_._1)
+      .flatMap(_._2.map(_._2))
+    val ids = new Array[Int](syms.size)
+    for ((origIdx, exId) <- order.zipWithIndex) ids(origIdx) = exId
+    ids
+  }
+
+  // ---- text region (T.88 §6.4, arithmetic subset: SBHUFF=0,
+  // SBREFINE=0, TRANSPOSED=0, SBCOMBOP=OR, REFCORNER ∈
+  // {BOTTOMLEFT, TOPLEFT}).
+
+  private def decodeTextRegion(
+      data: Array[Byte], start: Int, end: Int, w: Int, h: Int,
+      numInstances: Int, logStrips: Int, refCorner: Int, dsOffset: Int,
+      syms: IndexedSeq[Bitmap]): Option[Array[Byte]] = {
+    if (syms.isEmpty || numInstances < 0 || numInstances > (1 << 20)) return None
+    val symCodeLen = symCodeLenOf(syms.size)
+    if (symCodeLen > MaxSymCodeLen) return None
+    val strips = 1 << logStrips
+    val mq = new MqDecoder(data, start, end)
+    val ia = pooledIaContexts()
+    val px = new Array[Byte](w * h)
+    val dt0 = decodeInt(mq, ia, IADT)
+    if (dt0 == OOB) return None
+    var stript = -dt0 * strips
+    var firsts = 0
+    var inst = 0
+    var guard = 0
+    while (inst < numInstances && guard < (numInstances + 2) * 2) {
+      guard += 1
+      val dt = decodeInt(mq, ia, IADT)
+      if (dt == OOB) return None
+      stript += dt * strips
+      var curs = 0
+      var firstSym = true
+      var stripDone = false
+      while (!stripDone && inst < numInstances) {
+        if (firstSym) {
+          val dfs = decodeInt(mq, ia, IAFS)
+          if (dfs == OOB) return None
+          firsts += dfs
+          curs = firsts
+          firstSym = false
+        } else {
+          val ids = decodeInt(mq, ia, IADS)
+          if (ids == OOB) stripDone = true
+          else curs += ids + dsOffset
+        }
+        if (!stripDone) {
+          val curt = if (strips == 1) 0 else decodeInt(mq, ia, IAIT)
+          if (curt == OOB) return None
+          val ti = stript + curt
+          val id = decodeId(mq, ia, symCodeLen)
+          if (id < 0 || id >= syms.size) return None
+          val sb = syms(id)
+          // draw with OR, clipped to the region (§6.4.5 composition)
+          val top = if (refCorner == 1) ti else ti - sb.h + 1
+          var yy = 0
+          while (yy < sb.h) {
+            val py = top + yy
+            if (py >= 0 && py < h) {
+              var xx = 0
+              while (xx < sb.w) {
+                val pxx = curs + xx
+                if (pxx >= 0 && pxx < w && (sb.px(yy * sb.w + xx) & 1) == 1)
+                  px(py * w + pxx) = 1
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          curs += sb.w - 1
+          inst += 1
+        }
+      }
+    }
+    Some(px)
+  }
+
+  /** Encode TOPLEFT-cornered placements, strip height 1. */
+  private def encodeTextRegionData(
+      syms: Seq[Bitmap], placements: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val symCodeLen = symCodeLenOf(syms.size)
+    require(symCodeLen <= MaxSymCodeLen, s"too many symbols: ${syms.size}")
+    val mq = new MqEncoder
+    val ia = pooledIaContexts()
+    encodeInt(mq, ia, IADT, 0)                // STRIPT starts at 0
+    var prevT = 0
+    var firsts = 0
+    for ((t, ps0) <- placements.groupBy(_._3).toSeq.sortBy(_._1)) {
+      val ps = ps0.sortBy(_._2)
+      encodeInt(mq, ia, IADT, t - prevT)
+      prevT = t
+      var curs = 0
+      var first = true
+      for ((sym, s, _) <- ps) {
+        if (first) {
+          encodeInt(mq, ia, IAFS, s - firsts)
+          firsts = s
+          first = false
+        } else encodeInt(mq, ia, IADS, s - curs)
+        curs = s
+        encodeId(mq, ia, symCodeLen, sym)
+        curs += syms(sym).w - 1
+      }
+      encodeInt(mq, ia, IADS, OOB)
     }
     mq.flush()
   }
@@ -351,26 +697,125 @@ object Jbig2 {
       b += 0; b += 0                          // striping info
       b
     }
-    def segment(num: Long, segType: Int, data: ArrayBuffer[Byte]): ArrayBuffer[Byte] = {
-      val b = new ArrayBuffer[Byte]()
-      be32(b, num)
-      b += (segType & 0x3f).toByte            // flags: no deferred, 1-byte page assoc
-      b += 0.toByte                           // referred-to count 0 (high 3 bits)
-      b += 1.toByte                           // page association 1
-      be32(b, data.length)
-      b ++= data
-      b
-    }
     (segment(0, 48, pageData) ++ segment(1, 39, regionData)).toArray
   }
 
-  /** Decode an embedded JBIG2 stream's FIRST generic region to
-    * (width, height, byte-per-pixel 1=black) — MQ-coded (plain or
-    * TPGDON) or MMR (T.6 via [[CcittG4]]). None on refinement/symbol
-    * segments, non-nominal templates, unknown lengths, or any
-    * malformed header — skip-not-misparse. */
-  def decode(data: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  /** One segment: header (§7.2, short form — ≤ 4 referred segments,
+    * 1-byte referred numbers, 1-byte page association) + data. */
+  private def segment(num: Long, segType: Int, data: ArrayBuffer[Byte],
+      refs: Seq[Long] = Seq.empty): ArrayBuffer[Byte] = {
+    require(refs.size <= 4 && refs.forall(_ < 256), "short-form header only")
+    val b = new ArrayBuffer[Byte]()
+    be32(b, num)
+    b += (segType & 0x3f).toByte              // flags: no deferred, 1-byte page assoc
+    b += ((refs.size & 7) << 5).toByte        // referred-to count (high 3 bits)
+    refs.foreach(r => b += (r & 0xff).toByte) // 1-byte refs (num ≤ 256)
+    b += 1.toByte                             // page association 1
+    be32(b, data.length)
+    b ++= data
+    b
+  }
+
+  /** Encode a TEXT page the way real scanner encoders do (T.88 §6.4 +
+    * §6.5): a symbol DICTIONARY holding the distinct glyph bitmaps
+    * and a text REGION placing them by (symbol, x, y) with TOPLEFT
+    * reference corners — the shape that compresses a text scan 2-5×
+    * beyond even generic-region coding, and the one [[decode]] was
+    * previously payload-passthrough for (r15 "What's missing" #2).
+    *
+    * `symbols`: (w, h, byte-per-pixel bitmap, nonzero = black);
+    * `placements`: (symbol index, x, y) top-left positions.
+    * With `separateGlobals` the dictionary segment is returned as a
+    * SECOND stream — the PDF `/JBIG2Globals` layout, where shared
+    * dictionaries live in their own object referenced from
+    * `/DecodeParms`; otherwise everything is one embedded stream.
+    * Returns (embedded stream, globals stream — empty when inline).
+    */
+  def encodeText(
+      w: Int, h: Int,
+      symbols: Seq[(Int, Int, Array[Byte])],
+      placements: Seq[(Int, Int, Int)],
+      separateGlobals: Boolean = false): (Array[Byte], Array[Byte]) = {
+    require(w > 0 && h > 0 && symbols.nonEmpty, "need dimensions and symbols")
+    require(symbols.forall { case (sw, sh, px) =>
+      sw > 0 && sh > 0 && px.length == sw * sh }, "malformed symbol bitmap")
+    require(placements.forall(_._1 >= 0) &&
+      placements.forall(_._1 < symbols.size), "placement symbol out of range")
+    val bms = symbols.map { case (sw, sh, px) =>
+      Bitmap(sw, sh, px.map(b => (if (b != 0) 1 else 0).toByte))
+    }
+    val ids = exportOrder(bms)                // dictionary export order
+    val sorted = bms.zipWithIndex.sortBy(p => ids(p._2)).map(_._1)
+    val remapped = placements.map { case (s, x, y) => (ids(s), x, y) }
+
+    val dictData = {
+      val b = new ArrayBuffer[Byte]()
+      b += 0; b += 0                          // flags: SDHUFF=0, SDREFAGG=0, template 0
+      // AT pixels, nominal (template 0)
+      b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+      be32(b, sorted.size)                    // SDNUMEXSYMS
+      be32(b, sorted.size)                    // SDNUMNEWSYMS
+      b ++= encodeSymbolDict(sorted)
+      b
+    }
+    val textData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0); be32(b, 0); b += 0  // region info
+      // text flags: SBHUFF=0, SBREFINE=0, LOGSBSTRIPS=0,
+      // REFCORNER=TOPLEFT(1), TRANSPOSED=0, SBCOMBOP=OR, SBDEFPIXEL=0,
+      // SBDSOFFSET=0, SBRTEMPLATE=0
+      val flags = 1 << 4
+      b += ((flags >> 8) & 0xff).toByte; b += (flags & 0xff).toByte
+      be32(b, remapped.size)                  // SBNUMINSTANCES
+      b ++= encodeTextRegionData(sorted, remapped)
+      b
+    }
+    val pageData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0xffffffffL); be32(b, 0xffffffffL)
+      b += 0; b += 0; b += 0                  // page flags + striping
+      b
+    }
+    val dictSeg = segment(0, 0, dictData)
+    val rest = segment(1, 48, pageData) ++
+      segment(2, 6, textData, refs = Seq(0L)) // immediate text region → dict 0
+    if (separateGlobals) (rest.toArray, dictSeg.toArray)
+    else ((dictSeg ++ rest).toArray, Array.empty[Byte])
+  }
+
+  /** Decode an embedded JBIG2 stream's FIRST region to (width,
+    * height, byte-per-pixel 1=black):
+    *
+    *  - **generic regions** (36/38/39) — MQ-coded (plain or TPGDON)
+    *    or MMR (T.6 via [[CcittG4]]);
+    *  - **text regions** (4/6/7) with their referred **symbol
+    *    dictionaries** (type 0, arithmetic subset), including
+    *    dictionaries supplied via a `/JBIG2Globals` stream
+    *    (`globals`) — the shape real scanner encoders (Acrobat,
+    *    Xerox) emit for TEXT pages, previously payload-passthrough.
+    *
+    * None on refinement segments, huffman-coded dictionaries,
+    * non-nominal templates, unknown lengths, or any malformed
+    * header — skip-not-misparse. */
+  def decode(data: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decode(data, Array.empty[Byte])
+
+  def decode(data: Array[Byte],
+      globals: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (data == null || data.length < 11) return None
+    val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Bitmap]]
+    if (globals != null && globals.length >= 11) walk(globals, dicts)
+    walk(data, dicts)
+  }
+
+  /** One segment-stream pass: symbol dictionaries accumulate into
+    * `dicts` (keyed by segment number — the `/JBIG2Globals` contract:
+    * globals walk first, the embedded stream's regions refer back);
+    * the first decodable region returns. */
+  private def walk(
+      data: Array[Byte],
+      dicts: scala.collection.mutable.Map[Long, IndexedSeq[Bitmap]])
+      : Option[(Int, Int, Array[Byte])] = {
     var i = 0
     var guard = 0
     while (i + 11 <= data.length && guard < 64) {
@@ -384,13 +829,80 @@ object Jbig2 {
       if (refCount > 4) return None           // long form: out of subset
       val segNum = rdBe32(data, i)
       val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
+      if (i + 6 + refCount * refSize > data.length) return None
+      val refs = new Array[Long](refCount)
+      var k = 0
+      while (k < refCount) {
+        val o = i + 6 + k * refSize
+        refs(k) = refSize match {
+          case 1 => data(o) & 0xffL
+          case 2 => ((data(o) & 0xffL) << 8) | (data(o + 1) & 0xffL)
+          case _ => rdBe32(data, o)
+        }
+        k += 1
+      }
       var j = i + 6 + refCount * refSize
       j += (if (pageAssoc4) 4 else 1)
       if (j + 4 > data.length) return None
       val dataLen = rdBe32(data, j)
       j += 4
       if (dataLen == 0xffffffffL || j + dataLen > data.length) return None
-      if (segType == 36 || segType == 38 || segType == 39) {
+      val segEnd = (j + dataLen).toInt
+
+      if (segType == 0) {
+        // symbol dictionary (§7.4.3): flags(2) + AT(8, template 0) +
+        // SDNUMEXSYMS(4) + SDNUMNEWSYMS(4). Out-of-subset or failed
+        // dictionaries are SKIPPED (not stored): a region referring
+        // to them then fails cleanly instead of the whole stream
+        // being rejected up front.
+        if (dataLen >= 18) {
+          val sdFlags = ((data(j) & 0xff) << 8) | (data(j + 1) & 0xff)
+          val sdHuff = (sdFlags & 1) != 0
+          val sdRefAgg = (sdFlags & 2) != 0
+          val template = (sdFlags >> 10) & 3
+          val at = data.slice(j + 2, j + 10)
+          val nominal = at.length == 8 &&
+            at(0) == 3 && at(1) == -1 && at(2) == -3 && at(3) == -1 &&
+            at(4) == 2 && at(5) == -2 && at(6) == -2 && at(7) == -2
+          if (!sdHuff && !sdRefAgg && template == 0 && nominal) {
+            val numEx = rdBe32(data, j + 10)
+            val numNew = rdBe32(data, j + 14)
+            if (numEx <= 8192 && numNew <= 4096) {
+              val input = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
+              decodeSymbolDict(data, j + 18, segEnd,
+                numNew.toInt, numEx.toInt, input)
+                .foreach(ex => dicts(segNum) = ex)
+            }
+          }
+        }
+      } else if (segType == 4 || segType == 6 || segType == 7) {
+        // text region (§7.4.4): region info(17) + flags(2) +
+        // SBNUMINSTANCES(4); huffman/refinement/transposed/non-OR
+        // composition are out of subset
+        if (dataLen < 23) return None
+        val w = rdBe32(data, j).toInt
+        val h = rdBe32(data, j + 4).toInt
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+        val tf = ((data(j + 17) & 0xff) << 8) | (data(j + 18) & 0xff)
+        val sbHuff = (tf & 1) != 0
+        val sbRefine = (tf & 2) != 0
+        val logStrips = (tf >> 2) & 3
+        val refCorner = (tf >> 4) & 3
+        val transposed = (tf & 0x40) != 0
+        val combOp = (tf >> 7) & 3
+        val defPixel = (tf >> 9) & 1
+        var dsOffset = (tf >> 10) & 0x1f
+        if (dsOffset > 15) dsOffset -= 32     // signed 5-bit
+        if (sbHuff || sbRefine || transposed || combOp != 0 ||
+          defPixel != 0) return None
+        if (refCorner != 0 && refCorner != 1) return None  // BL/TL only
+        val numInstances = rdBe32(data, j + 19)
+        if (numInstances > (1L << 20)) return None
+        val syms = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
+        return decodeTextRegion(data, j + 23, segEnd, w, h,
+          numInstances.toInt, logStrips, refCorner, dsOffset, syms)
+          .map((w, h, _))
+      } else if (segType == 36 || segType == 38 || segType == 39) {
         // region info (17) + generic flags (1); MQ regions carry 8
         // template-0 AT bytes after the flags, MMR regions none —
         // everything read must sit INSIDE the declared length
@@ -406,7 +918,7 @@ object Jbig2 {
           // MMR generic region = CCITT T.6 over the region bitmap
           // (T.88 §6.2.6) — the G4 codec this library already has;
           // its luma output maps back to the 1=black convention
-          return CcittG4.decode(data.slice(j + 18, (j + dataLen).toInt), w, h)
+          return CcittG4.decode(data.slice(j + 18, segEnd), w, h)
             .map(luma =>
               (w, h, luma.map(b => (if ((b & 0xff) == 0) 1 else 0).toByte)))
         }
@@ -418,10 +930,10 @@ object Jbig2 {
             at(0) != 3 || at(1) != -1 || at(2) != -3 || at(3) != -1 ||
             at(4) != 2 || at(5) != -2 || at(6) != -2 || at(7) != -2)
           return None
-        val px = decodeGeneric(data, j + 26, (j + dataLen).toInt, w, h, tpgdon)
+        val px = decodeGeneric(data, j + 26, segEnd, w, h, tpgdon)
         return Some((w, h, px))
       }
-      i = (j + dataLen).toInt
+      i = segEnd
     }
     None
   }
@@ -429,7 +941,11 @@ object Jbig2 {
   /** [[decode]] to luma bytes (0 black, 255 white) — the
     * [[PdfImages]] convention. */
   def decodeLuma(data: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-    decode(data).map { case (w, h, px) =>
+    decodeLuma(data, Array.empty[Byte])
+
+  def decodeLuma(data: Array[Byte],
+      globals: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decode(data, globals).map { case (w, h, px) =>
       (w, h, px.map(b => (if ((b & 1) == 1) 0 else 255).toByte))
     }
 }

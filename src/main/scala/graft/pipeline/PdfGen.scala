@@ -437,11 +437,15 @@ object PdfGen {
       if (black) 0.toByte else 255.toByte
     }
     // cycle the fax GROUP by doc id so every CCITT decode leg runs
-    // live under q350's pixel-level oracle: even ⇒ G4 (/K -1),
+    // live under q350's pixel-level oracle: 0 mod 4 ⇒ G4 (/K -1),
     // 1 mod 4 ⇒ G3 1D (/K 0, the PDF-common no-EOL shape),
+    // 2 mod 4 ⇒ byte-aligned G4 (/EncodedByteAlign true — r15 ADVICE:
+    // previously only G3 honored the flag),
     // 3 mod 4 ⇒ G3 mixed (/K 4, EOL + tag per line)
     val (kDecl, payload) = math.floorMod(docId, 4L) match {
       case 1L => ("/K 0", CcittG4.encodeG3(px, W, H, 0))
+      case 2L => ("/K -1 /EncodedByteAlign true",
+        CcittG4.encode(px, W, H, byteAlign = true))
       case 3L => ("/K 4 /EndOfLine true", CcittG4.encodeG3(px, W, H, 4))
       case _ => ("/K -1", CcittG4.encode(px, W, H))
     }
@@ -491,6 +495,157 @@ object PdfGen {
       streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
         s"/ColorSpace /DeviceGray /BitsPerComponent 1 " +
         s"/Filter /JBIG2Decode ", payload),
+      streamObj(100, "", paint)))
+  }
+
+  /** Pack per-pixel sample values into the PDF §8.9.5.2 row-aligned
+    * bit layout (each row starts on a byte boundary). */
+  private def packSamples(vals: Array[Int], w: Int, h: Int, bpc: Int): Array[Byte] = {
+    val rowBytes = (w * bpc + 7) / 8
+    val out = new Array[Byte](rowBytes * h)
+    var y = 0
+    while (y < h) {
+      var i = 0
+      while (i < w) {
+        val bitPos = i * bpc
+        val idx = y * rowBytes + (bitPos >> 3)
+        out(idx) = (out(idx) |
+          ((vals(y * w + i) & ((1 << bpc) - 1)) << (8 - bpc - (bitPos & 7)))).toByte
+        i += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Image-only PDF whose raster uses SUB-8-BIT samples or an
+    * `/Indexed` palette — the r15-verdict top-next shape (TIFF→PDF
+    * converters emit 1-bit Flate bilevel; palette images are the
+    * other common non-8-bit scan). 16×16, pixels BY FORMULA
+    * (hashBits salt 353; palettes salt 354 — the q348
+    * one-formula-zero-literals rule), encoding cycled by `docId % 4`
+    * so every new decode leg runs live under one oracle:
+    *
+    *  - 0: **1-bit DeviceGray** Flate (sample v ∈ {0,1} → luma
+    *    v·255);
+    *  - 1: **4-bit DeviceGray** Flate (v ∈ [0,16) → luma v·17);
+    *  - 2: **4-bit `/Indexed [/DeviceRGB 15 <hex>]`** — direct
+    *    array, hex-string palette, RGB base;
+    *  - 3: **1-bit `/Indexed`** with the colorspace array, base, and
+    *    lookup all INDIRECT objects (array ref → base ref → stream
+    *    lookup), gray base.
+    *
+    * Every page ALSO carries an INLINE 1-bit gray image with RAW
+    * (unfiltered) data (salt 355, exact derived-length parse,
+    * objNum −1) — the inline sub-8-bit leg in the same sweep. */
+  def subbitPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val variant = math.floorMod(docId, 4L).toInt
+    val (dictExtra, payload, extraObjs) = variant match {
+      case 0 =>
+        val vals = Array.tabulate(W * H)(p => (hv(docId * 256L + p, 353L) % 2L).toInt)
+        ("/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /FlateDecode ",
+          deflate(packSamples(vals, W, H, 1)), Seq.empty[String])
+      case 1 =>
+        val vals = Array.tabulate(W * H)(p => (hv(docId * 256L + p, 353L) % 16L).toInt)
+        ("/ColorSpace /DeviceGray /BitsPerComponent 4 /Filter /FlateDecode ",
+          deflate(packSamples(vals, W, H, 4)), Seq.empty[String])
+      case 2 =>
+        val vals = Array.tabulate(W * H)(p => (hv(docId * 256L + p, 353L) % 16L).toInt)
+        val palette = Array.tabulate(48)(i => (hv(docId * 48L + i, 354L) % 256L).toInt)
+        val hex = palette.map(v => f"$v%02X").mkString
+        (s"/ColorSpace [/Indexed /DeviceRGB 15 <$hex>] " +
+          "/BitsPerComponent 4 /Filter /FlateDecode ",
+          deflate(packSamples(vals, W, H, 4)), Seq.empty[String])
+      case _ =>
+        val vals = Array.tabulate(W * H)(p => (hv(docId * 256L + p, 353L) % 2L).toInt)
+        val lut = Array.tabulate(2)(i => (hv(docId * 2L + i, 354L) % 256L).toByte)
+        ("/ColorSpace 7 0 R /BitsPerComponent 1 /Filter /FlateDecode ",
+          deflate(packSamples(vals, W, H, 1)),
+          Seq(
+            "7 0 obj [/Indexed 8 0 R 1 9 0 R] endobj\n",
+            "8 0 obj /DeviceGray endobj\n",
+            streamObj(9, "", lut)))
+    }
+    val inlineVals =
+      Array.tabulate(W * H)(p => (hv(docId * 256L + p, 355L) % 2L).toInt)
+    val inlineData =
+      new String(packSamples(inlineVals, W, H, 1), StandardCharsets.ISO_8859_1)
+    val cs = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q " +
+      s"q ${25 * W} 0 0 ${25 * H} 100 40 cm " +
+      s"BI /W $W /H $H /BPC 1 /CS /G ID $inlineData EI Q"
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      extraObjs ++ Seq(
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        dictExtra, payload),
+      streamObj(100, "/Filter /FlateDecode ",
+        deflate(cs.getBytes(StandardCharsets.ISO_8859_1)))))
+  }
+
+  /** Image-only PDF carrying a JPEG 2000 (`/JPXDecode`) payload: a
+    * REAL JP2 box stream built by [[Jp2Header.buildJp2]] (signature,
+    * ftyp, jp2h/ihdr, a stub jp2c codestream with junk entropy data —
+    * never decoded, classified + header-parsed only). The image dict
+    * deliberately carries WRONG dims and NO /ColorSpace: PDF 32000-1
+    * §7.4.9 says the codestream is authoritative for JPX, so the
+    * audit surface must report the header's 48×24 gray, not the
+    * dict's lie — a live tripwire for the header parse. */
+  def jpxPdf(docId: Long): Array[Byte] = {
+    val payload = Jp2Header.buildJp2(48, 24, 1, 8,
+      payload = Array.tabulate(64)(i => ((i * 17 + docId) & 0xff).toByte))
+    val cs = "q 480 0 0 240 50 400 cm /Im1 Do Q".getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, "/Type /XObject /Subtype /Image /Width 9 /Height 9 " +
+        "/BitsPerComponent 8 /Filter /JPXDecode ", payload),
+      streamObj(100, "", cs)))
+  }
+
+  /** Image-only PDF carrying a SYMBOL-CODED JBIG2 scan — the shape
+    * real scanner encoders (Acrobat, Xerox) emit for TEXT pages: a
+    * symbol dictionary of glyph bitmaps + a text region placing them
+    * ([[Jbig2.encodeText]]). 16×16 page as a 4×4 grid of 4×4
+    * "glyphs"; glyph pixels BY FORMULA (salt 356), glyph choice per
+    * cell BY FORMULA (salt 357), so the q354 oracle recomputes every
+    * page pixel in SQL. ODD doc ids put the dictionary in a separate
+    * `/JBIG2Globals` stream object (the shared-dictionary PDF
+    * layout); even ids embed it inline — both must decode
+    * identically. */
+  def jbig2TextPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val symbols = (0 until 4).map { s =>
+      (4, 4, Array.tabulate(16)(p =>
+        if (hv(s * 16L + p, 356L) % 2L == 1L) 1.toByte else 0.toByte))
+    }
+    val placements = for (cy <- 0 until 4; cx <- 0 until 4) yield
+      ((hv(docId * 16L + cy * 4 + cx, 357L) % 4L).toInt, cx * 4, cy * 4)
+    val globalsSep = math.floorMod(docId, 2L) == 1L
+    val (stream, globals) =
+      Jbig2.encodeText(W, H, symbols, placements, separateGlobals = globalsSep)
+    val dp =
+      if (globalsSep) "/DecodeParms << /JBIG2Globals 21 0 R >> " else ""
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      (if (globalsSep) Seq(streamObj(21, "", globals)) else Seq.empty) ++ Seq(
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        s"/Filter /JBIG2Decode $dp", stream),
       streamObj(100, "", paint)))
   }
 
@@ -812,14 +967,18 @@ object PdfGen {
       case 3 => t.getBytes(StandardCharsets.UTF_8)
       case 4 => objStm(t)
       case 5 => filterChain(t)
-      // slot 6 alternates by mod 32 so BOTH image-leg container
-      // shapes run live in every audit sweep: classify-only DCT and
-      // the REAL CCITT G4 encode→decode path — both route pdf_image,
-      // so q344's mod-8 oracle is untouched, but a G4 assembly or
-      // routing regression shifts residue class 22 across buckets
-      case 6 =>
-        if (math.floorMod(docId, 32L) == 22L) ccittPdf(docId)
-        else dctImageOnly(docId)
+      // slot 6 cycles by mod 64 so the image-leg container shapes run
+      // live in every audit sweep: classify-only DCT, the REAL CCITT
+      // encode→decode path (22), the r16 sub-8-bit//Indexed shapes
+      // (54), and the JBIG2 leg (38) — all route pdf_image, so
+      // q344's mod-8 oracle is untouched, but an assembly or routing
+      // regression shifts its residue class across buckets
+      case 6 => math.floorMod(docId, 64L) match {
+        case 22L | 30L => ccittPdf(docId)
+        case 54L => subbitPdf(docId)
+        case 38L => jbig2TextPdf(docId)
+        case _ => dctImageOnly(docId)
+      }
       case 7 => math.floorMod(docId, 32L) match {
         case 7L => encrypted(t)                     // RC4, readable by design
         case 23L => encryptedAes256(t, xrefTail = true) // V5/R6, xref-stream

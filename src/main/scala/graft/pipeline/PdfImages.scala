@@ -36,7 +36,7 @@ final case class PdfImage(
   * be perceptually deduplicated ([[graft.multimodal.ImageDedup]])
   * and measured (dims, codec mix) WITHOUT an OCR model: the reference
   * pipeline's hi_res strategy rasterizes exactly these objects before
-  * inference (reference `02-ocr-pdfs.py` partition step), so image
+  * inference (reference `02-parallel-ocr-with-ray.py` partition step), so image
   * identity/near-dup is decidable long before the expensive model
   * pass — at 100 TB that ordering (dedup first, OCR survivors) is the
   * difference between OCRing every copy of a viral scan and OCRing
@@ -61,6 +61,7 @@ object PdfImages {
     "JBIG2Decode" -> "jbig2")
 
   private val imageSubtype = """/Subtype\s*/Image(?![A-Za-z0-9])""".r
+  private val jbig2GlobalsRe = """/JBIG2Globals\s+(\d{1,9})\s+\d+\s+R""".r
   private val nameAfter = """/ColorSpace\s*/([A-Za-z0-9]+)""".r
   private val refAfter = """/ColorSpace\s+(\d{1,9})\s+\d+\s+R(?![A-Za-z0-9])""".r
   private val firstName = """/([A-Za-z0-9]+)""".r
@@ -103,7 +104,7 @@ object PdfImages {
     * undecodable codecs yield nothing — the caller falls back to
     * whole-content so today's behavior survives for them. This is
     * the reference pipeline's hi_res shape: rasterize page images,
-    * OCR each one (`02-ocr-pdfs.py` partition step). */
+    * OCR each one (`02-parallel-ocr-with-ray.py` partition step). */
   def ocrPayloads(bytes: Array[Byte]): Seq[Array[Byte]] =
     ocrPayloads(extract(bytes))
 
@@ -216,14 +217,20 @@ object PdfImages {
               val rows = intEntry(o.dict, "/Rows").getOrElse(h)
               val bilevel = tag match {
                 case "ccitt" if cols == w && rows == h =>
-                  if (k < 0) CcittG4.decode(p, cols, rows)
+                  if (k < 0) CcittG4.decode(p, cols, rows,
+                    byteAlign = boolParm(o.dict, "EncodedByteAlign"))
                   else CcittG4.decodeG3(p, cols, rows, k,
                     endOfLine = boolParm(o.dict, "EndOfLine"),
                     byteAlign = boolParm(o.dict, "EncodedByteAlign"))
                 case "jbig2" =>
-                  // embedded stream, no /JBIG2Globals (those carry
-                  // symbol dictionaries — out of the generic subset)
-                  Jbig2.decodeLuma(p).collect {
+                  // /JBIG2Globals (shared symbol dictionaries in
+                  // their own stream object) walk first; the
+                  // embedded stream's text regions refer back
+                  val globals = jbig2GlobalsRe.findFirstMatchIn(o.dict)
+                    .flatMap(m => objs.get(m.group(1).toInt))
+                    .flatMap(_._2.data)
+                    .getOrElse(Array.empty[Byte])
+                  Jbig2.decodeLuma(p, globals).collect {
                     case (dw, dh, px) if dw == w && dh == h => px
                   }
                 case _ => None
@@ -233,21 +240,241 @@ object PdfImages {
                   val (codec, d) = withDecode(o.dict, px, ok = true,
                     xorInvert = tag == "ccitt" && blackIs1(o.dict))
                   PdfImage(num, w, h, 8, "DeviceGray", codec, d)
+                case None if tag == "jpx" =>
+                  // payload stays passthrough (no JPEG 2000 entropy
+                  // decoder), but the JP2/codestream HEADER is
+                  // authoritative for metadata (PDF 32000-1 §7.4.9:
+                  // the codestream defines the image parameters;
+                  // /ColorSpace is optional for JPX) — audits see
+                  // real dims even when the dict lies or omits them
+                  Jp2Header.parse(p) match {
+                    case Some(m) =>
+                      val csName =
+                        if (cs.nonEmpty) cs
+                        else m.components match {
+                          case 1 => "DeviceGray"
+                          case 3 => "DeviceRGB"
+                          case 4 => "DeviceCMYK"
+                          case _ => ""
+                        }
+                      PdfImage(num, m.width, m.height, m.bpc, csName, tag, p)
+                    case None => PdfImage(num, w, h, bpc, cs, tag, p)
+                  }
                 case None => PdfImage(num, w, h, bpc, cs, tag, p)
               }
             }
           }
           else
-            o.data.map { px =>
-              val comps = components(cs)
-              val ok = bpc == 8 && comps > 0 &&
-                px.length == w.toLong * h * comps
-              val (codec, d) = withDecode(o.dict, px, ok)
-              PdfImage(num, w, h, bpc, cs, codec, d)
-            }
+            o.data.map(px => finishUncoded(o.dict, px, num, w, h, bpc, cs, Some(objs)))
         }
     }
   }
+
+  /** Finish an UNCODED (post-transport-filter) raster into a
+    * [[PdfImage]] — ONE policy for both carriers (XObject and
+    * inline):
+    *
+    *  - 8-bit Gray/RGB/CMYK of the right length → `raw` under the
+    *    [[withDecode]] sample map (the original fast path, no copy);
+    *  - **1/2/4-bit samples expand to 8-bit** (`v · 255 / (2^bpc−1)`,
+    *    rows byte-aligned per PDF 32000-1 §8.9.5.2) — the single most
+    *    common scan shape after G4 (TIFF→PDF converters emit 1-bit
+    *    Flate bilevel), previously stranded as `opaque` with neither
+    *    a dHash nor an OCR rendition (r15 top-next);
+    *  - **`/Indexed` palettes resolve through their base** (§8.6.6.3:
+    *    base Gray/RGB/CMYK; hex-string, literal-string, or
+    *    stream-object lookup; 1/2/4/8-bit indices, out-of-range
+    *    clamped to hival per spec) — emitted as 8-bit `raw` in the
+    *    BASE colorspace;
+    *  - anything else stays `opaque`, never wrong pixels.
+    */
+  private def finishUncoded(
+      dict: String, px: Array[Byte], objNum: Int, w: Int, h: Int,
+      bpc: Int, cs: String,
+      objs: Option[Map[Int, (Int, PdfObj)]]): PdfImage = {
+    val comps = components(cs)
+    if (comps > 0 && bpc == 8 && px.length == w.toLong * h * comps) {
+      val (codec, d) = withDecode(dict, px, ok = true)
+      PdfImage(objNum, w, h, bpc, cs, codec, d)
+    } else if (comps > 0 && (bpc == 1 || bpc == 2 || bpc == 4)) {
+      unpackSamples(px, w, h, bpc, comps) match {
+        case Some(vals) =>
+          val maxv = (1 << bpc) - 1
+          val expanded = new Array[Byte](vals.length)
+          var i = 0
+          while (i < vals.length) {
+            expanded(i) = (vals(i) * 255 / maxv).toByte
+            i += 1
+          }
+          val (codec, d) = withDecode(dict, expanded, ok = true)
+          PdfImage(objNum, w, h, 8, cs, codec, d)
+        case None => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
+      }
+    } else parseIndexed(dict, objs) match {
+      case Some((base, hival, lookup)) =>
+        val bcomps = components(base)
+        val okDecode = indexedDecodeOk(dict, bpc)
+        unpackSamples(px, w, h, bpc, 1) match {
+          case Some(idxs) if bcomps > 0 && okDecode &&
+              lookup.length >= (hival + 1) * bcomps =>
+            val out = new Array[Byte](idxs.length * bcomps)
+            var i = 0
+            while (i < idxs.length) {
+              val idx = math.min(idxs(i), hival)   // §8.6.6.3 clamp
+              var c = 0
+              while (c < bcomps) {
+                out(i * bcomps + c) = lookup(idx * bcomps + c)
+                c += 1
+              }
+              i += 1
+            }
+            PdfImage(objNum, w, h, 8, base, "raw", out)
+          case _ => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
+        }
+      case None => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
+    }
+  }
+
+  /** Packed row-aligned samples → per-sample ints (PDF 32000-1
+    * §8.9.5.2: each row starts on a byte boundary). None on a length
+    * mismatch or an unsupported depth. */
+  private def unpackSamples(
+      data: Array[Byte], w: Int, h: Int, bpc: Int,
+      comps: Int): Option[Array[Int]] = {
+    if (comps <= 0 || (bpc != 1 && bpc != 2 && bpc != 4 && bpc != 8)) return None
+    val rowBytes = ((w.toLong * comps * bpc + 7) / 8).toInt
+    if (data.length != rowBytes.toLong * h) return None
+    val perRow = w * comps
+    val maxv = (1 << bpc) - 1
+    val out = new Array[Int](perRow * h)
+    var y = 0
+    while (y < h) {
+      val base = y * rowBytes
+      var i = 0
+      while (i < perRow) {
+        val bitPos = i * bpc
+        val b = data(base + (bitPos >> 3)) & 0xff
+        out(y * perRow + i) = (b >> (8 - bpc - (bitPos & 7))) & maxv
+        i += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  // /ColorSpace [/Indexed base hival lookup] — direct array (XObject
+  // or inline /CS), or the whole array behind an object reference
+  private val indexedRe =
+    """/(?:CS(?![A-Za-z])|ColorSpace(?![A-Za-z0-9]))\s*\[\s*/(?:Indexed|I)(?![A-Za-z0-9])([\s\S]*?)\]""".r
+  private val indexedBodyRe =
+    """\[\s*/(?:Indexed|I)(?![A-Za-z0-9])([\s\S]*?)\]""".r
+  private val idxPartsName =
+    """^\s*/([A-Za-z0-9]+)\s+(\d{1,7})\s+([\s\S]*)$""".r
+  private val idxPartsRef =
+    """^\s*(\d{1,9})\s+\d+\s+R\s+(\d{1,7})\s+([\s\S]*)$""".r
+  private val hexStrRe = """^\s*<([0-9A-Fa-f\s]*)>""".r
+  private val litStrRe = """^\s*\(""".r
+  private val lookupRefRe = """^\s*(\d{1,9})\s+\d+\s+R""".r
+
+  /** Parse an `/Indexed` colorspace: (base name, hival, lookup
+    * bytes). Lookup forms: hex string, literal string (with the
+    * standard escapes), or a stream/string OBJECT reference (XObject
+    * carrier only — inline dicts cannot hold indirect refs). */
+  private def parseIndexed(
+      dict: String,
+      objs: Option[Map[Int, (Int, PdfObj)]]): Option[(String, Int, Array[Byte])] = {
+    val body: Option[String] =
+      indexedRe.findFirstMatchIn(dict).map(_.group(1)).orElse(
+        objs.flatMap(os => refAfter.findFirstMatchIn(dict).flatMap { m =>
+          os.get(m.group(1).toInt).flatMap(e =>
+            indexedBodyRe.findFirstMatchIn(e._2.dict).map(_.group(1)))
+        }))
+    body.flatMap { b =>
+      val parsed: Option[(String, Int, String)] = b match {
+        case idxPartsName(name, hival, rest) =>
+          Some((name, hival.toInt, rest))
+        case idxPartsRef(ref, hival, rest) =>
+          objs.flatMap(_.get(ref.toInt)).flatMap(e =>
+            firstName.findFirstMatchIn(e._2.dict).map(_.group(1)))
+            .map(n => (n, hival.toInt, rest))
+        case _ => None
+      }
+      parsed.flatMap { case (base, hival, rest) =>
+        if (hival < 0 || hival > 255) None
+        else lookupBytes(rest, objs).map(lk => (base, hival, lk))
+      }
+    }
+  }
+
+  private def lookupBytes(
+      rest: String,
+      objs: Option[Map[Int, (Int, PdfObj)]]): Option[Array[Byte]] =
+    hexStrRe.findFirstMatchIn(rest) match {
+      case Some(m) =>
+        val hex = m.group(1).filterNot(_.isWhitespace)
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        Some(padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+      case None =>
+        if (litStrRe.findFirstIn(rest).isDefined)
+          literalString(rest.dropWhile(_ != '('))
+        else lookupRefRe.findFirstMatchIn(rest).flatMap { m =>
+          objs.flatMap(_.get(m.group(1).toInt)).flatMap { e =>
+            e._2.data.orElse(
+              hexStrRe.findFirstMatchIn(e._2.dict).map { hm =>
+                val hex = hm.group(1).filterNot(_.isWhitespace)
+                val p = if (hex.length % 2 == 1) hex + "0" else hex
+                p.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+              })
+          }
+        }
+    }
+
+  /** PDF literal string `(...)` → bytes, standard escapes
+    * (§7.3.4.2); None when unterminated. */
+  private def literalString(s: String): Option[Array[Byte]] = {
+    if (s.isEmpty || s.charAt(0) != '(') return None
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 1
+    var depth = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        val n = s.charAt(i + 1)
+        n match {
+          case 'n' => out.write('\n'); i += 2
+          case 'r' => out.write('\r'); i += 2
+          case 't' => out.write('\t'); i += 2
+          case 'b' => out.write('\b'); i += 2
+          case 'f' => out.write('\f'); i += 2
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = 0; i += 1
+            while (k < 3 && i < s.length &&
+                s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+              v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+            }
+            out.write(v & 0xff)
+          case other => out.write(other.toInt & 0xff); i += 2
+        }
+      } else if (c == '(') { depth += 1; out.write(c.toInt); i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth == 0) return Some(out.toByteArray)
+        out.write(c.toInt); i += 1
+      } else { out.write(c.toInt & 0xff); i += 1 }
+    }
+    None
+  }
+
+  /** `/Decode` gate for Indexed rasters: absent, or exactly the
+    * default `[0 (2^bpc − 1)]` identity — anything else declines to
+    * `opaque` (index remapping has no byte-exact shortcut). */
+  private def indexedDecodeOk(dict: String, bpc: Int): Boolean =
+    decodeArrRe.findFirstMatchIn(dict) match {
+      case None => true
+      case Some(m) =>
+        val nums = numTok.findAllIn(m.group(1)).map(_.toDouble).toSeq
+        nums == Seq(0.0, ((1 << bpc) - 1).toDouble)
+    }
 
   // ---- inline images (`BI <dict> ID <data> EI`, PDF 32000-1 §8.9.7)
   // — the second raster carrier: small images embedded directly in
@@ -355,8 +582,13 @@ object PdfImages {
     val h = inlineInt(dict, Seq("H", "Height")).getOrElse(0)
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
     val bpc = inlineInt(dict, Seq("BPC", "BitsPerComponent")).getOrElse(8)
-    val csName = inlineCsRe.findFirstMatchIn(dict).map(_.group(1))
-      .map(nm => csNames.getOrElse(nm, nm)).getOrElse("DeviceGray")
+    // an /Indexed colorspace ARRAY takes priority over the name form
+    // (and over the gray default, which would mis-expand indices as
+    // gray samples)
+    val csName =
+      if (indexedRe.findFirstIn(dict).isDefined) "Indexed"
+      else inlineCsRe.findFirstMatchIn(dict).map(_.group(1))
+        .map(nm => csNames.getOrElse(nm, nm)).getOrElse("DeviceGray")
     val comps = components(csName)
     val filters = inlineFilterRe.findFirstMatchIn(dict) match {
       case None => Seq.empty
@@ -382,7 +614,8 @@ object PdfImages {
             case "ccitt" if cols == w && rows == h =>
               val g3opts = dict + dp.getOrElse("")
               val bilevel =
-                if (k < 0) CcittG4.decode(p, cols, rows)
+                if (k < 0) CcittG4.decode(p, cols, rows,
+                  byteAlign = boolParm(g3opts, "EncodedByteAlign"))
                 else CcittG4.decodeG3(p, cols, rows, k,
                   endOfLine = boolParm(g3opts, "EndOfLine"),
                   byteAlign = boolParm(g3opts, "EncodedByteAlign"))
@@ -420,20 +653,23 @@ object PdfImages {
                 inlineInt(parms, Seq("Columns")).getOrElse(1),
                 inlineInt(parms, Seq("Colors")).getOrElse(1))
           }
-          d.map { px =>
-            val ok = bpc == 8 && comps > 0 && px.length == w.toLong * h * comps
-            val (codec, data) = withDecode(dict, px, ok)
-            PdfImage(objNum, w, h, bpc, csName, codec, data)
-          }
+          // same finishing policy as the XObject carrier (8-bit pass,
+          // sub-8-bit expansion, direct-array /Indexed — inline dicts
+          // cannot hold indirect refs, so no object map)
+          d.map(px => finishUncoded(dict, px, objNum, w, h, bpc, csName, None))
         }
       }
     }
 
     if (filters.isEmpty) {
       // raw data length is derivable (rows byte-aligned per spec):
-      // no EI ambiguity, the payload is exactly len bytes
-      if (comps <= 0) return None
-      val rowBytes = (w.toLong * comps * bpc + 7) / 8
+      // no EI ambiguity, the payload is exactly len bytes. /Indexed
+      // counts ONE index sample per pixel for the length.
+      val lenComps =
+        if (comps > 0) comps
+        else if (parseIndexed(dict, None).isDefined) 1
+        else return None
+      val rowBytes = (w.toLong * lenComps * bpc + 7) / 8
       val len = rowBytes * h
       if (dataStart + len > n) return None
       var e = dataStart + len.toInt
@@ -460,13 +696,20 @@ object PdfImages {
         if (e + 1 < n) {
           val payload = cs.substring(dataStart, e - 1)
             .getBytes(StandardCharsets.ISO_8859_1)
-          // an 8-bit known-colorspace decode of the TRUE payload has
-          // exactly w*h*comps bytes — an "opaque" of the WRONG length
-          // there is a false EI; an opaque of the right length is a
-          // real image under an exotic /Decode map and must be kept
+          // a known-colorspace decode of the TRUE payload has exactly
+          // ceil(w·comps·bpc/8)·h packed bytes — an "opaque" of the
+          // WRONG length there is a false EI; an opaque of the right
+          // length is a real image under an exotic /Decode map and
+          // must be kept (the 8-bit rule of earlier rounds,
+          // generalized to the sub-8-bit depths the finisher now
+          // expands)
           found = decodePayload(payload)
-            .filter(im => im.codec != "opaque" || bpc != 8 || comps <= 0 ||
-              im.data.length == w.toLong * h * comps)
+            .filter { im =>
+              im.codec != "opaque" || comps <= 0 ||
+                !Seq(1, 2, 4, 8).contains(bpc) ||
+                im.data.length ==
+                  ((w.toLong * comps * bpc + 7) / 8) * h
+            }
             .map((_, e + 2))
           e += 1
           attempts += 1

@@ -542,7 +542,160 @@ object MultimodalQueries {
              |  CAST(8 AS BIGINT) AS bpc, phash
              |FROM h ORDER BY doc_id""".stripMargin
         })
-    })
+    },
+
+    q353,
+    q354)
+
+  /** q353: sub-8-bit and `/Indexed` rasters, ORACLE-CHECKED — the
+    * r15 top-next decode leg run end-to-end. Each document becomes
+    * PdfGen.subbitPdf (1-bit gray, 4-bit gray, 4-bit Indexed-RGB
+    * hex palette, 1-bit Indexed with indirect base+stream lookup,
+    * cycled doc_id%4) PLUS an inline 1-bit RAW carrier on the same
+    * page; PdfImages expands samples/palettes to 8-bit and the dHash
+    * replays. The oracle recomputes every pixel (salts 353/354/355:
+    * sample formula, palette formula, inline formula) and rebuilds
+    * cells and hashes in SQL, so a regression in bit unpacking, the
+    * v·255/(2^bpc−1) scale, palette resolution (hex, indirect
+    * stream), clamping, or the inline raw-length parse shifts a hash
+    * and the row set stops matching. */
+  private def q353: QueryDef = {
+    QueryDef(
+      "q353_subbit_indexed_dhash_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.subbitPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.objNum.toLong, im.colorSpace,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "obj_num", "colorspace", "phash")
+          .orderBy($"doc_id", $"obj_num")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val h353 = hashBitsSql("(i.id * 256 + g.p)", 353L)
+        val h354v3 = hashBitsSql("(s3.id * 2 + s3.hv % 2)", 354L)
+        val h354pal = hashBitsSql("(s3.id * 48 + (s3.hv % 16) * 3 + c.c)", 354L)
+        val h355 = hashBitsSql("(i.id * 256 + g.p)", 355L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |s3 AS MATERIALIZED (
+           |  SELECT i.id, g.p, ($h353) AS hv
+           |  FROM ids i CROSS JOIN g),
+           |xg AS (
+           |  SELECT id, p,
+           |    CASE id % 4
+           |      WHEN 0 THEN (hv % 2) * 255
+           |      WHEN 1 THEN (hv % 16) * 17
+           |      ELSE ($h354v3) % 256
+           |    END AS num, 4 AS denom
+           |  FROM s3 WHERE id % 4 <> 2),
+           |xr AS (
+           |  SELECT s3.id, s3.p,
+           |    SUM(($h354pal) % 256) AS num, 12 AS denom
+           |  FROM s3 CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
+           |  WHERE s3.id % 4 = 2 GROUP BY 1, 2),
+           |xo AS (
+           |  SELECT id, CAST(20 AS BIGINT) AS obj_num, p, num, denom FROM xg
+           |  UNION ALL
+           |  SELECT id, CAST(20 AS BIGINT), p, num, denom FROM xr),
+           |inl AS (
+           |  SELECT i.id, CAST(-1 AS BIGINT) AS obj_num, g.p,
+           |    (($h355) % 2) * 255 AS num, 4 AS denom
+           |  FROM ids i CROSS JOIN g),
+           |px AS (SELECT * FROM xo UNION ALL SELECT * FROM inl),
+           |cells AS MATERIALIZED (
+           |  SELECT id, obj_num, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / MAX(denom) AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2, 3),
+           |h AS (
+           |  SELECT l.id, l.obj_num,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r
+           |    ON r.id = l.id AND r.obj_num = l.obj_num AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1, 2)
+           |SELECT id AS doc_id, obj_num,
+           |  CASE WHEN obj_num = 20 AND id % 4 = 2 THEN 'DeviceRGB'
+           |       ELSE 'DeviceGray' END AS colorspace,
+           |  phash
+           |FROM h ORDER BY doc_id, obj_num""".stripMargin
+      })
+  }
+
+  /** q354: SYMBOL-CODED JBIG2 scans, ORACLE-CHECKED — the r15
+    * "What's missing" #2 leg run end-to-end: the MQ integer
+    * arithmetic procedures (IADH/IADW/IAEX/IADT/IAFS/IADS/IAID),
+    * symbol-dictionary decoding (height classes, shared GB contexts,
+    * export runs), text-region placement (strips, TOPLEFT corners),
+    * and the `/JBIG2Globals` plumbing (odd docs carry the dictionary
+    * in a separate stream object). The oracle recomputes every page
+    * pixel from the two nested formulas (glyph bitmap salt 356,
+    * per-cell glyph choice salt 357), so one wrong PREV-tree
+    * transition, export run, S/T delta, or globals hand-off shifts a
+    * hash and the row set stops matching. */
+  private def q354: QueryDef = {
+    QueryDef(
+      "q354_jbig2_symbol_text_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.jbig2TextPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val h357 = hashBitsSql(
+          "(i.id * 16 + ((g.p // 16) // 4) * 4 + (g.p % 16) // 4)", 357L)
+        val h356 = hashBitsSql(
+          "(s7.k * 16 + ((s7.p // 16) % 4) * 4 + (s7.p % 16) % 4)", 356L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |s7 AS MATERIALIZED (
+           |  SELECT i.id, g.p, ($h357) % 4 AS k
+           |  FROM ids i CROSS JOIN g),
+           |px AS (
+           |  SELECT id, p,
+           |    CASE WHEN ($h356) % 2 = 1 THEN 0 ELSE 255 END AS num
+           |  FROM s7),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
 
   private val AudioClips = 8L
   private val AudioSamples = 2048

@@ -196,4 +196,69 @@ class CcittG4Spec extends AnyFunSuite {
     assert(imgs.head.codec === "ccitt")
     assert(PdfImages.lumaGrid(imgs.head).isEmpty)
   }
+
+  test("G4 /EncodedByteAlign: per-row byte alignment round-trips") {
+    val rnd = new scala.util.Random(3616)
+    for (trial <- 0 until 10) {
+      val w = Seq(8, 13, 16, 31)(trial % 4)
+      val h = 1 + rnd.nextInt(8)
+      val px = bitmap(w, h)((_, _) => rnd.nextBoolean())
+      val enc = CcittG4.encode(px, w, h, byteAlign = true)
+      assert(CcittG4.decode(enc, w, h, byteAlign = true).isDefined, s"trial $trial")
+      assert(CcittG4.decode(enc, w, h, byteAlign = true).get.toSeq === px.toSeq,
+        s"trial $trial")
+      // regression pin: the unaligned path is untouched
+      val plain = CcittG4.encode(px, w, h)
+      assert(CcittG4.decode(plain, w, h).get.toSeq === px.toSeq, s"trial $trial")
+    }
+  }
+
+  test("ccittPdf byte-aligned G4 leg (docId % 4 == 2) extracts the formula pixels") {
+    for (id <- Seq(2L, 6L)) {
+      val imgs = PdfImages.extract(PdfGen.ccittPdf(id))
+      assert(imgs.size === 1, s"doc $id")
+      assert(imgs.head.codec === "raw", s"doc $id")
+      val expected = Array.tabulate(256) { p =>
+        val black =
+          graft.operators.Sampling.hashBitsScalar(id * 256L + p, 350L) % 2L == 1L
+        if (black) 0 else 255
+      }
+      assert(imgs.head.data.map(_ & 0xff).toSeq === expected.toSeq, s"doc $id")
+    }
+  }
+
+  test("horizontal mode with a zero-length run mid-line: rejected, not misparsed") {
+    // hand-assembled G4 single line, columns = 8:
+    // H(001) white3(1000) black2(11)        -> a0 = 5
+    // H(001) white0(00110101) black2(11)    -> zero-length run MID-line
+    val bits = "001" + "1000" + "11" + "001" + "00110101" + "11"
+    val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+    val data = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    assert(CcittG4.decode(data, 8, 1).isEmpty)
+    // the LEGAL zero-length case — line starting black — still decodes:
+    // H(001) white0(00110101) black3(10) white5(1100) -> a0 = 8 = columns
+    val ok = "001" + "00110101" + "10" + "1100"
+    val okPad = ok + "0" * ((8 - ok.length % 8) % 8)
+    val okData = okPad.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    val dec = CcittG4.decode(okData, 8, 1)
+    assert(dec.isDefined)
+    assert(dec.get.toSeq === Seq[Byte](0, 0, 0, -1, -1, -1, -1, -1))
+  }
+
+  test("q350 corpus sweep: 600 formula fixtures round-trip bit-exactly") {
+    // all four fax legs (G4, G3-1D, byte-aligned G4, G3 mixed) at
+    // beyond-driver scale — this sweep is what caught the r15-ADVICE
+    // zero-run guard over-rejecting the legal r2 == 0 line-end shape
+    for (id <- 0L until 600L) {
+      val imgs = PdfImages.extract(PdfGen.ccittPdf(id))
+      assert(imgs.size === 1, s"doc $id")
+      assert(imgs.head.codec === "raw", s"doc $id")
+      val expected = Array.tabulate(256) { p =>
+        val black =
+          graft.operators.Sampling.hashBitsScalar(id * 256L + p, 350L) % 2L == 1L
+        if (black) 0 else 255
+      }
+      assert(imgs.head.data.map(_ & 0xff).toSeq === expected.toSeq, s"doc $id")
+    }
+  }
 }

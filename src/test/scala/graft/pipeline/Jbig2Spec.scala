@@ -140,4 +140,89 @@ class Jbig2Spec extends AnyFunSuite {
     val g4 = CcittG4.encode(bits.map(b => if (b != 0) 0.toByte else 255.toByte), w, h).length
     assert(jb < g4, s"jbig2 $jb vs g4 $g4")
   }
+
+  test("q352 corpus sweep: 600 formula fixtures round-trip bit-exactly") {
+    // the driver-gate corpus at beyond-driver scale: every coding mode
+    // (plain MQ, TPGDON, MMR) across 600 ids — this sweep is what
+    // caught the r15-ADVICE flush-to-zeros variant breaking 5/500
+    // streams (the decoder pads past the payload with 0xFF, so the
+    // encoder flush must leave trailing ONES)
+    for (id <- 0L until 600L) {
+      val imgs = PdfImages.extract(PdfGen.jbig2Pdf(id))
+      assert(imgs.size === 1, s"doc $id")
+      assert(imgs.head.codec === "raw", s"doc $id")
+      val expected = Array.tabulate(256) { p =>
+        val black =
+          graft.operators.Sampling.hashBitsScalar(id * 256L + p, 352L) % 2L == 1L
+        if (black) 0 else 255
+      }
+      assert(imgs.head.data.map(_ & 0xff).toSeq === expected.toSeq, s"doc $id")
+    }
+  }
+
+  test("symbol/text round trip: random glyphs, multiple height classes") {
+    val rnd = new scala.util.Random(356)
+    for (trial <- 0 until 12) {
+      val nSyms = 1 + rnd.nextInt(6)
+      val syms = (0 until nSyms).map { _ =>
+        val sw = 2 + rnd.nextInt(6)
+        val sh = 2 + rnd.nextInt(6)
+        (sw, sh, Array.tabulate(sw * sh)(_ =>
+          if (rnd.nextBoolean()) 1.toByte else 0.toByte))
+      }
+      val W = 64; val H = 48
+      // non-overlapping grid placements so expected pixels compose by OR
+      val placements = (for (cy <- 0 until 4; cx <- 0 until 6
+          if rnd.nextInt(3) > 0) yield
+        (rnd.nextInt(nSyms), cx * 10, cy * 10)).toSeq
+      val expected = new Array[Byte](W * H)
+      for ((k, x, y) <- placements; (sw, sh, px) = syms(k);
+           dy <- 0 until sh; dx <- 0 until sw)
+        if (px(dy * sw + dx) == 1 && y + dy < H && x + dx < W)
+          expected((y + dy) * W + (x + dx)) = 1
+      for (sepGlobals <- Seq(false, true)) {
+        val (stream, globals) =
+          Jbig2.encodeText(W, H, syms, placements, separateGlobals = sepGlobals)
+        val dec = Jbig2.decode(stream, globals)
+        assert(dec.isDefined, s"trial $trial sep=$sepGlobals")
+        val (dw, dh, px) = dec.get
+        assert((dw, dh) === ((W, H)), s"trial $trial")
+        assert(px.toSeq === expected.toSeq, s"trial $trial sep=$sepGlobals")
+      }
+    }
+  }
+
+  test("jbig2TextPdf corpus sweep: 400 symbol-coded fixtures, both layouts") {
+    // odd ids route the dictionary through /JBIG2Globals, even ids
+    // embed it — identical pixels either way, pinned to the formulas
+    def hv(n: Long, salt: Long) = graft.operators.Sampling.hashBitsScalar(n, salt)
+    for (id <- 0L until 400L) {
+      val imgs = PdfImages.extract(PdfGen.jbig2TextPdf(id))
+      assert(imgs.size === 1, s"doc $id")
+      assert(imgs.head.codec === "raw", s"doc $id")
+      val expected = Array.tabulate(256) { p =>
+        val cell = (p / 16 / 4) * 4 + (p % 16) / 4
+        val k = hv(id * 16L + cell, 357L) % 4L
+        val sp = ((p / 16) % 4) * 4 + (p % 16) % 4
+        if (hv(k * 16L + sp, 356L) % 2L == 1L) 0 else 255
+      }
+      assert(imgs.head.data.map(_ & 0xff).toSeq === expected.toSeq, s"doc $id")
+    }
+  }
+
+  test("out-of-subset dictionaries skip cleanly; dangling refs decline") {
+    val syms = Seq((4, 4, Array.fill(16)(1.toByte)))
+    val (stream, globals) = Jbig2.encodeText(16, 16, syms, Seq((0, 0, 0)),
+      separateGlobals = true)
+    // text region without its dictionary: None, no crash
+    assert(Jbig2.decode(stream).isEmpty)
+    // corrupt the globals dictionary flags to SDHUFF=1: the dict is
+    // skipped (out of subset), the region then declines
+    val segDataOff = 11                      // header: 4 num + 1 flags + 1 ref + 1 page + 4 len
+    val huff = globals.clone()
+    huff(segDataOff + 1) = (huff(segDataOff + 1) | 1).toByte
+    assert(Jbig2.decode(stream, huff).isEmpty)
+    // intact globals still decode (guard the guard)
+    assert(Jbig2.decode(stream, globals).isDefined)
+  }
 }

@@ -151,13 +151,24 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(ci.size === 1 && ci.head.codec === "ccitt")
     assert(PdfImages.lumaGrid(ci.head).isEmpty)
 
-    // 4-bit raw: decodes (Flate) but is not interpretable at bpc 8
+    // 4-bit raw now EXPANDS to 8-bit (the r16 sub-8-bit decode): 0x55
+    // nibbles are sample 5 → 5·255/15 = 85 gray everywhere
     val sub = imagePdf("/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
       "/ColorSpace /DeviceGray /BitsPerComponent 4 " +
       "/Filter /FlateDecode ", deflate(Array.fill(128)(0x55.toByte)))
     val si = PdfImages.extract(sub)
-    assert(si.size === 1 && si.head.codec === "opaque")
-    assert(PdfImages.lumaGrid(si.head).isEmpty)
+    assert(si.size === 1 && si.head.codec === "raw")
+    assert(si.head.bitsPerComponent === 8)
+    assert(si.head.data.forall(_ == 85.toByte))
+    assert(PdfImages.lumaGrid(si.head).isDefined)
+
+    // …but a WRONG-LENGTH sub-8-bit payload still declines to opaque
+    val bad = imagePdf("/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 4 " +
+      "/Filter /FlateDecode ", deflate(Array.fill(100)(0x55.toByte)))
+    val bi = PdfImages.extract(bad)
+    assert(bi.size === 1 && bi.head.codec === "opaque")
+    assert(PdfImages.lumaGrid(bi.head).isEmpty)
 
     assert(PdfImages.extract("not a pdf at all".getBytes).isEmpty)
     assert(PdfImages.extract(Array.empty[Byte]).isEmpty)
@@ -506,5 +517,94 @@ class PdfImagesSpec extends AnyFunSuite {
     val h1 = ImageDedup.dHash(codec, gray(px))
     val h2 = ImageDedup.dHash(codec, gray(px2))
     assert(java.lang.Long.bitCount(h1 ^ h2) <= 2)
+  }
+
+  test("subbitPdf: 1/4-bit gray and /Indexed rasters decode to formula pixels") {
+    def hv(n: Long, salt: Long) = Sampling.hashBitsScalar(n, salt)
+    for (id <- 0L to 7L) {
+      val imgs = PdfImages.extract(PdfGen.subbitPdf(id))
+      assert(imgs.size === 2, s"doc $id")    // XObject + inline carrier
+      val xo = imgs.find(_.objNum == 20).get
+      val inl = imgs.find(_.objNum == -1).get
+      val expected: Seq[Int] = math.floorMod(id, 4L).toInt match {
+        case 0 => (0 until 256).map(p => (hv(id * 256L + p, 353L) % 2L).toInt * 255)
+        case 1 => (0 until 256).map(p => (hv(id * 256L + p, 353L) % 16L).toInt * 17)
+        case 2 => (0 until 256).flatMap { p =>
+          val idx = (hv(id * 256L + p, 353L) % 16L).toInt
+          (0 until 3).map(c => (hv(id * 48L + idx * 3 + c, 354L) % 256L).toInt)
+        }
+        case _ => (0 until 256).map { p =>
+          val idx = (hv(id * 256L + p, 353L) % 2L).toInt
+          (hv(id * 2L + idx, 354L) % 256L).toInt
+        }
+      }
+      assert(xo.codec === "raw", s"doc $id")
+      assert(xo.bitsPerComponent === 8, s"doc $id")
+      assert(xo.colorSpace ===
+        (if (math.floorMod(id, 4L) == 2L) "DeviceRGB" else "DeviceGray"), s"doc $id")
+      assert(xo.data.map(_ & 0xff).toSeq === expected, s"doc $id")
+      assert(PdfImages.lumaGrid(xo).isDefined, s"doc $id")
+      // the inline 1-bit raw carrier on the same page
+      val expInl = (0 until 256).map(p => (hv(id * 256L + p, 355L) % 2L).toInt * 255)
+      assert(inl.codec === "raw", s"doc $id inline")
+      assert(inl.data.map(_ & 0xff).toSeq === expInl, s"doc $id inline")
+    }
+  }
+
+  test("2-bit gray expands with the v*85 scale; /Indexed literal-string lookup") {
+    // 2-bit: 16 wide -> 4 bytes/row; sample p % 4
+    val vals = Array.tabulate(256)(p => p % 4)
+    val packed = {
+      val out = new Array[Byte](4 * 16)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val bit = x * 2
+        out(y * 4 + (bit >> 3)) =
+          (out(y * 4 + (bit >> 3)) | (vals(y * 16 + x) << (8 - 2 - (bit & 7)))).toByte
+      }
+      out
+    }
+    val doc = imagePdf("/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 2 /Filter /FlateDecode ",
+      deflate(packed))
+    val im = PdfImages.extract(doc).head
+    assert(im.codec === "raw")
+    assert(im.data.map(_ & 0xff).toSeq === vals.map(_ * 85).toSeq)
+
+    // literal-string palette: 8-bit indices, 2-entry gray palette with
+    // escaped bytes \( and octal \101 = 'A' = 65
+    val idxs = Array.tabulate(256)(p => (p % 2))
+    val lit = imagePdf("/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+      "/ColorSpace [/Indexed /DeviceGray 1 (\\(\\101)] " +
+      "/BitsPerComponent 8 /Filter /FlateDecode ",
+      deflate(idxs.map(_.toByte)))
+    val li = PdfImages.extract(lit).head
+    assert(li.codec === "raw")
+    assert(li.colorSpace === "DeviceGray")
+    assert(li.data.map(_ & 0xff).toSeq === idxs.map(i => if (i == 0) '('.toInt else 65).toSeq)
+  }
+
+  test("/Indexed guards: short lookup, exotic /Decode, bad hival stay opaque") {
+    val idxs = Array.tabulate(256)(p => p % 4)
+    def pdf(csDecl: String, decode: String = "") = imagePdf(
+      "/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+        s"/ColorSpace $csDecl $decode/BitsPerComponent 8 /Filter /FlateDecode ",
+      deflate(idxs.map(_.toByte)))
+    // lookup shorter than (hival+1)*comps
+    val short = PdfImages.extract(pdf("[/Indexed /DeviceRGB 3 <001122334455>]")).head
+    assert(short.codec === "opaque")
+    // non-default /Decode on an indexed image
+    val dec = PdfImages.extract(
+      pdf("[/Indexed /DeviceGray 3 <00112233>]", "/Decode [3 0] ")).head
+    assert(dec.codec === "opaque")
+    // default /Decode [0 255] at bpc 8 is identity -> decodes
+    val ok = PdfImages.extract(
+      pdf("[/Indexed /DeviceGray 3 <00112233>]", "/Decode [0 255] ")).head
+    assert(ok.codec === "raw")
+    assert(ok.data.map(_ & 0xff).toSeq === idxs.map(i => i * 0x11).toSeq)
+    // out-of-range indices clamp to hival (spec), never read past
+    val over = PdfImages.extract(
+      pdf("[/Indexed /DeviceGray 1 <00FF>]")).head
+    assert(over.codec === "raw")
+    assert(over.data.map(_ & 0xff).toSeq === idxs.map(i => if (i == 0) 0 else 255).toSeq)
   }
 }
