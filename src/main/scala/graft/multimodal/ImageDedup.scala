@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object ImageDedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val Grid = 8
   /** 8 rows × 7 horizontal comparisons. */
   val HashBits: Int = Grid * (Grid - 1)
@@ -80,7 +82,8 @@ object ImageDedup {
 
   /** Canonical (id_a < id_b) pairs with Hamming(phash_a, phash_b) ≤
     * `maxHamming`, exactly (pigeonhole blocking guarantees full
-    * recall at the threshold). Input: (idCol, phash).
+    * recall at the threshold) — up to the over-cap degradation
+    * documented below. Input: (idCol, phash).
     *
     * Skew shape: the pigeonhole join runs over DISTINCT hash values —
     * a flood of identical images (or any mass of blank/near-blank
@@ -97,32 +100,126 @@ object ImageDedup {
     * .clearCache()`, the repo-wide convention the suite and Bench
     * already follow between queries (same contract as
     * [[graft.operators.GraphOps.triangleStats]]'s caches).
+    *
+    * Mega-bucket guard (the [[graft.operators.Dedup]] star-cap
+    * discipline, r15 carried task): a corpus of NEAR-blank scans
+    * produces many DISTINCT-but-close hashes whose shared block value
+    * lands them in one (block, value) bucket — Σ d² over distinct
+    * hashes is then unbounded even though the identical-hash collapse
+    * holds. Buckets over `bucketCap` distinct hashes are sub-split
+    * EXACTLY one more pigeonhole level: their members agree on block
+    * i, so a within-`maxHamming` pair differs only in the COMPLEMENT
+    * bits — splitting the complement into `maxHamming + 1` sub-ranges
+    * guarantees agreement on one (same argument), and sub-buckets at
+    * or under the cap contribute all pairs. Only a sub-bucket STILL
+    * over the cap (doubly degenerate: thousands of distinct hashes
+    * identical on block AND sub-block) degrades to star pairs against
+    * its min hash — observable via a WARN (or an exception under
+    * `strict`), the [[graft.operators.Dedup.bucketCandidates]]
+    * convention; Hamming verification downstream stays exact, so
+    * star pairs never ADD false output, they can only miss far
+    * cross-member edges of those buckets.
     */
   def nearDupPairs(
       hashed: DataFrame,
       idCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      bucketCap: Int = 8192,
+      strict: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < HashBits,
       s"maxHamming must be in [0, $HashBits), got $maxHamming")
+    require(bucketCap > 1, s"bucketCap must exceed 1, got $bucketCap")
     val blocks = maxHamming + 1
     val base = HashBits / blocks
     // block i covers [i*base, (i+1)*base) bits; the last block absorbs
     // the remainder — any distribution works, equal-ish minimizes
     // bucket sizes
+    def blockWidth(i: Int): Int =
+      if (i == blocks - 1) HashBits - i * base else base
     val blockVal = (i: Int) => {
-      val width = if (i == blocks - 1) HashBits - i * base else base
-      val mask = (1L << width) - 1
+      val mask = (1L << blockWidth(i)) - 1
       (shiftright(col("phash"), i * base).bitwiseAND(lit(mask))).as("bval")
     }
     val uh = hashed.select(col("phash")).distinct().persist()
     val exploded = (0 until blocks).map { i =>
       uh.select(col("phash"), lit(i).as("bidx"), blockVal(i))
     }.reduce(_ unionByName _)
-    val hashPairs = exploded.select(col("phash").as("ha"), col("bidx"), col("bval"))
-      .join(exploded.select(col("phash").as("hb"), col("bidx"), col("bval")),
-        Seq("bidx", "bval"))
-      .filter(col("ha") < col("hb"))
-      .select(col("ha"), col("hb")).distinct()
+
+    // one skinny count up front (the Dedup.bucketCandidates shape):
+    // in the common regime no bucket trips and the plan below is
+    // byte-identical to the unguarded one
+    val nBig = exploded.groupBy(col("bidx"), col("bval"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > bucketCap).count()
+
+    val candidates =
+      if (nBig == 0) {
+        exploded.select(col("phash").as("ha"), col("bidx"), col("bval"))
+          .join(exploded.select(col("phash").as("hb"), col("bidx"), col("bval")),
+            Seq("bidx", "bval"))
+          .filter(col("ha") < col("hb"))
+          .select(col("ha"), col("hb"))
+      } else {
+        log.warn(s"ImageDedup.nearDupPairs: $nBig (block, value) bucket(s) " +
+          s"exceed cap=$bucketCap distinct hashes; sub-splitting one more " +
+          "pigeonhole level (exact for in-threshold pairs)")
+        val sizes = exploded.groupBy(col("bidx"), col("bval"))
+          .agg(count(lit(1)).as("__n"))
+        val tagged = exploded.join(sizes, Seq("bidx", "bval"))
+        val small = tagged.filter(col("__n") <= bucketCap).drop("__n")
+        val smallPairs = small.select(col("phash").as("ha"), col("bidx"), col("bval"))
+          .join(small.select(col("phash").as("hb"), col("bidx"), col("bval")),
+            Seq("bidx", "bval"))
+          .filter(col("ha") < col("hb"))
+          .select(col("ha"), col("hb"))
+        // level 2: members agree on block i ⇒ a within-t pair's
+        // differing bits all live in the complement; compress the
+        // complement (low bits kept, high bits shifted down past the
+        // block) and pigeonhole it into the same t+1 ranges
+        val big = (0 until blocks).map { i =>
+          val lowMask = (1L << (i * base)) - 1
+          val comp = col("phash").bitwiseAND(lit(lowMask)).bitwiseOR(
+            shiftleft(shiftright(col("phash"), i * base + blockWidth(i)),
+              i * base))
+          tagged.filter(col("__n") > bucketCap && col("bidx") === i)
+            .select(col("phash"), col("bidx"), col("bval"), comp.as("comp"))
+        }.reduce(_ unionByName _)
+        val bigSub = (0 until blocks).map { j =>
+          val mask = (1L << blockWidth(j)) - 1
+          big.select(col("phash"), col("bidx"), col("bval"),
+            lit(j).as("sidx"),
+            shiftright(col("comp"), j * base).bitwiseAND(lit(mask)).as("sval"))
+        }.reduce(_ unionByName _)
+        val subKeys = Seq("bidx", "bval", "sidx", "sval")
+        val subSizes = bigSub.groupBy(subKeys.map(col): _*)
+          .agg(count(lit(1)).as("__sn"))
+        val subTagged = bigSub.join(subSizes, subKeys)
+        val nBig2 = subSizes.filter(col("__sn") > bucketCap).count()
+        if (nBig2 > 0 && strict) throw new IllegalStateException(
+          s"$nBig2 sub-bucket(s) exceed cap=$bucketCap after one exact " +
+            "sub-split; strict mode forbids star-linking (pairwise recall " +
+            "of those buckets' far cross-member edges would be lost)")
+        if (nBig2 > 0)
+          log.warn(s"ImageDedup.nearDupPairs: $nBig2 sub-bucket(s) still " +
+            s"over cap=$bucketCap star-link to their min hash " +
+            "(component-preserving, pairwise-lossy; verification stays exact)")
+        val subSmall = subTagged.filter(col("__sn") <= bucketCap)
+        val subPairs = subSmall
+          .select((col("phash").as("ha") +: subKeys.map(col)): _*)
+          .join(subSmall.select((col("phash").as("hb") +: subKeys.map(col)): _*),
+            subKeys)
+          .filter(col("ha") < col("hb"))
+          .select(col("ha"), col("hb"))
+        val overcap = subTagged.filter(col("__sn") > bucketCap)
+        val starPairs = overcap
+          .join(overcap.groupBy(subKeys.map(col): _*)
+            .agg(min(col("phash")).as("__hmin")), subKeys)
+          .filter(col("phash") =!= col("__hmin"))
+          .select(least(col("__hmin"), col("phash")).as("ha"),
+            greatest(col("__hmin"), col("phash")).as("hb"))
+        smallPairs.unionByName(subPairs).unionByName(starPairs)
+      }
+
+    val hashPairs = candidates.distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
     val a = hashed.select(col(idCol).as("id_a"), col("phash").as("ha"))

@@ -82,11 +82,18 @@ object ScanDedupStream {
                 math.max(mid, row.media_id), d.toLong)
           }
         }
-        st = if (st.size < maxPerBucket)
-          BucketState(st.size + 1, row.media_id :: st.ids, row.phash :: st.hashes)
-        else
-          BucketState(maxPerBucket, (row.media_id :: st.ids).take(maxPerBucket),
-            (row.phash :: st.hashes).take(maxPerBucket))
+        // a re-delivered media_id must not occupy a second ring slot
+        // (at-least-once sources re-send rows; duplicates would halve
+        // the effective ring) — drop the old occurrence, then insert
+        // at the head as the freshest member (r15 ADVICE)
+        val (ids0, hashes0) =
+          if (st.ids.contains(row.media_id)) {
+            val kept = st.ids.zip(st.hashes).filter(_._1 != row.media_id)
+            (kept.map(_._1), kept.map(_._2))
+          } else (st.ids, st.hashes)
+        val ids1 = (row.media_id :: ids0).take(maxPerBucket)
+        val hashes1 = (row.phash :: hashes0).take(maxPerBucket)
+        st = BucketState(ids1.size, ids1, hashes1)
       }
       if (streaming) {
         state.update(st)

@@ -130,4 +130,67 @@ class ImageDedupSpec extends SparkSpec {
     // invalid content degrades like every codec: zero grid, not a throw
     assert(codec.features(Array[Byte](1, 2, 3), 64).forall(_ == 0f))
   }
+
+  test("mega-bucket guard: level-2 sub-split keeps brute-force recall") {
+    // the r15-flagged shape: every hash's set bits live ABOVE bit 18,
+    // so block 0 of the t=2 split holds ONE value (0) with every
+    // distinct hash — an over-cap bucket. Twins flip one bit in block
+    // 1 AND one in bits [54,56), so the ONLY agreeing full block is
+    // the over-cap one and recall depends entirely on the level-2
+    // complement sub-split (sub-range [36,54) of the original bits).
+    val rnd = new scala.util.Random(1616)
+    val rows: Seq[(Long, Long)] = (0 until 40).flatMap { i =>
+      val h = (rnd.nextLong() & ((1L << 38) - 1)) << 18
+      val twin = h ^ (1L << (18 + rnd.nextInt(18))) ^ (1L << (54 + rnd.nextInt(2)))
+      Seq((i.toLong * 2, h), (i.toLong * 2 + 1, twin))
+    }
+    val df = rows.toDF("id", "phash")
+    val got = ImageDedup.nearDupPairs(df, "id", maxHamming = 2, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === brute)
+    assert(brute.size >= 40)                 // every planted twin pair present
+  }
+
+  test("mega-bucket guard: default cap unchanged results, no trip at suite scale") {
+    val rnd = new scala.util.Random(1617)
+    val rows = (0 until 100).map(i => (i.toLong, rnd.nextLong() & ((1L << 56) - 1)))
+    val df = rows.toDF("id", "phash")
+    val guarded = ImageDedup.nearDupPairs(df, "id", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d.toLong)).toSet
+    assert(guarded === brute)
+  }
+
+  test("mega-bucket guard: doubly-degenerate corpus — strict throws, lossy warns") {
+    // bits confined to [18,36): blocks 0 and 2 are constant AND the
+    // level-2 sub-ranges outside [18,36) are constant too — the
+    // star-link regime. Non-strict output must stay a SUBSET of brute
+    // force (verification exact: no false pairs); strict must refuse.
+    val rnd = new scala.util.Random(1618)
+    val rows = (0 until 60)
+      .map(i => (i.toLong, (rnd.nextLong() & ((1L << 18) - 1)) << 18)).distinct
+    val df = rows.toDF("id", "phash")
+    val lossy = ImageDedup.nearDupPairs(df, "id", maxHamming = 2, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(lossy.subsetOf(brute))
+    assertThrows[IllegalStateException] {
+      ImageDedup.nearDupPairs(df, "id", maxHamming = 2, bucketCap = 8,
+        strict = true).collect()
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -73,4 +73,25 @@ class ScanDedupStreamSpec extends SparkSpec {
     val far = Seq(Scan(1L, 0L), Scan(2L, -1L)).toDS()   // Hamming 64
     assert(ScanDedupStream.nearDupPairs(far, maxHamming = 3).isEmpty)
   }
+
+  test("re-delivered media_id occupies ONE ring slot (no eviction by dup)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 0x123456789abcdL
+    val mem = MemoryStream[Scan]
+    val q = ScanDedupStream.nearDupPairs(mem.toDS(), maxHamming = 0,
+        maxPerBucket = 2, stateTtlMs = 0)
+      .writeStream.format("memory").queryName("scandedup_redeliver")
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      for (id <- Seq(1L, 2L, 2L, 3L)) {      // 2 is re-delivered
+        mem.addData(Scan(id, h)); q.processAllAvailable()
+      }
+      val pairs = spark.table("scandedup_redeliver")
+        .dropDuplicates("id_a", "id_b").as[(Long, Long, Long)].collect().toSet
+      // without insert-dedup the re-delivered 2 occupies a second slot
+      // of the cap-2 ring, evicting member 1 — and (1, 3) is lost
+      assert(pairs === Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)))
+    } finally q.stop()
+  }
 }
