@@ -622,29 +622,40 @@ object Jbig2 {
     Some(px)
   }
 
-  /** Encode TOPLEFT-cornered placements, strip height 1. */
+  /** Encode placements (top-left (x, y) regardless of `refCorner` —
+    * the BOTTOMLEFT T coordinate is derived per symbol height), strip
+    * height `1 << logStrips` with IAIT-coded in-strip T offsets. */
   private def encodeTextRegionData(
-      syms: Seq[Bitmap], placements: Seq[(Int, Int, Int)]): Array[Byte] = {
+      syms: Seq[Bitmap], placements: Seq[(Int, Int, Int)],
+      logStrips: Int, refCorner: Int): Array[Byte] = {
     val symCodeLen = symCodeLenOf(syms.size)
     require(symCodeLen <= MaxSymCodeLen, s"too many symbols: ${syms.size}")
+    val strips = 1 << logStrips
     val mq = new MqEncoder
     val ia = pooledIaContexts()
+    // (sym, s, T, stripT): T per the reference corner, strip = floor
+    val coords = placements.map { case (sym, x, y) =>
+      val t = if (refCorner == 1) y else y + syms(sym).h - 1
+      require(t >= 0, s"negative T for placement ($sym, $x, $y)")
+      (sym, x, t, (t / strips) * strips)
+    }
     encodeInt(mq, ia, IADT, 0)                // STRIPT starts at 0
     var prevT = 0
     var firsts = 0
-    for ((t, ps0) <- placements.groupBy(_._3).toSeq.sortBy(_._1)) {
+    for ((stripT, ps0) <- coords.groupBy(_._4).toSeq.sortBy(_._1)) {
       val ps = ps0.sortBy(_._2)
-      encodeInt(mq, ia, IADT, t - prevT)
-      prevT = t
+      encodeInt(mq, ia, IADT, (stripT - prevT) / strips)
+      prevT = stripT
       var curs = 0
       var first = true
-      for ((sym, s, _) <- ps) {
+      for ((sym, s, t, _) <- ps) {
         if (first) {
           encodeInt(mq, ia, IAFS, s - firsts)
           firsts = s
           first = false
         } else encodeInt(mq, ia, IADS, s - curs)
         curs = s
+        if (strips > 1) encodeInt(mq, ia, IAIT, t - stripT)
         encodeId(mq, ia, symCodeLen, sym)
         curs += syms(sym).w - 1
       }
@@ -735,8 +746,12 @@ object Jbig2 {
       w: Int, h: Int,
       symbols: Seq[(Int, Int, Array[Byte])],
       placements: Seq[(Int, Int, Int)],
-      separateGlobals: Boolean = false): (Array[Byte], Array[Byte]) = {
+      separateGlobals: Boolean = false,
+      logStrips: Int = 0,
+      refCorner: Int = 1): (Array[Byte], Array[Byte]) = {
     require(w > 0 && h > 0 && symbols.nonEmpty, "need dimensions and symbols")
+    require(logStrips >= 0 && logStrips <= 3, s"logStrips in [0,3]: $logStrips")
+    require(refCorner == 0 || refCorner == 1, "BOTTOMLEFT(0) or TOPLEFT(1)")
     require(symbols.forall { case (sw, sh, px) =>
       sw > 0 && sh > 0 && px.length == sw * sh }, "malformed symbol bitmap")
     require(placements.forall(_._1 >= 0) &&
@@ -761,13 +776,12 @@ object Jbig2 {
     val textData = {
       val b = new ArrayBuffer[Byte]()
       be32(b, w); be32(b, h); be32(b, 0); be32(b, 0); b += 0  // region info
-      // text flags: SBHUFF=0, SBREFINE=0, LOGSBSTRIPS=0,
-      // REFCORNER=TOPLEFT(1), TRANSPOSED=0, SBCOMBOP=OR, SBDEFPIXEL=0,
-      // SBDSOFFSET=0, SBRTEMPLATE=0
-      val flags = 1 << 4
+      // text flags: SBHUFF=0, SBREFINE=0, TRANSPOSED=0, SBCOMBOP=OR,
+      // SBDEFPIXEL=0, SBDSOFFSET=0, SBRTEMPLATE=0
+      val flags = ((logStrips & 3) << 2) | ((refCorner & 3) << 4)
       b += ((flags >> 8) & 0xff).toByte; b += (flags & 0xff).toByte
       be32(b, remapped.size)                  // SBNUMINSTANCES
-      b ++= encodeTextRegionData(sorted, remapped)
+      b ++= encodeTextRegionData(sorted, remapped, logStrips, refCorner)
       b
     }
     val pageData = {
@@ -783,8 +797,44 @@ object Jbig2 {
     else ((dictSeg ++ rest).toArray, Array.empty[Byte])
   }
 
-  /** Decode an embedded JBIG2 stream's FIRST region to (width,
-    * height, byte-per-pixel 1=black):
+  /** Encode a MULTI-REGION page: page info with real dimensions plus
+    * one immediate generic region per entry, each placed at its
+    * region-info (x, y) — the layout real encoders emit when a page
+    * splits into blocks. `regions`: (x, y, w, h, byte-per-pixel
+    * bitmap, nonzero = black); the decoder OR-composites them onto
+    * the page. */
+  def encodeRegions(
+      pageW: Int, pageH: Int,
+      regions: Seq[(Int, Int, Int, Int, Array[Byte])]): Array[Byte] = {
+    require(pageW > 0 && pageH > 0 && regions.nonEmpty, "need a page")
+    val pageData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, pageW); be32(b, pageH)
+      be32(b, 0xffffffffL); be32(b, 0xffffffffL)
+      b += 0; b += 0; b += 0                  // page flags + striping
+      b
+    }
+    var segs = segment(0, 48, pageData)
+    var num = 1L
+    for ((x, y, w, h, px) <- regions) {
+      require(w > 0 && h > 0 && px.length == w * h, s"region $num malformed")
+      require(x >= 0 && y >= 0, s"region $num offset negative")
+      val bits = px.map(b => (if (b != 0) 1 else 0).toByte)
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, x); be32(b, y); b += 0
+      b += 0                                  // generic flags: MQ, template 0
+      b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+      b ++= encodeGeneric(bits, w, h, tpgdon = false)
+      segs = segs ++ segment(num, 38, b)      // immediate generic region
+      num += 1
+    }
+    segs.toArray
+  }
+
+  /** Decode an embedded JBIG2 stream to (width, height,
+    * byte-per-pixel 1=black) — the PAGE when page info carries real
+    * dimensions (all regions OR-composited at their offsets), else
+    * the first decodable region:
     *
     *  - **generic regions** (36/38/39) — MQ-coded (plain or TPGDON)
     *    or MMR (T.6 via [[CcittG4]]);
@@ -810,12 +860,45 @@ object Jbig2 {
 
   /** One segment-stream pass: symbol dictionaries accumulate into
     * `dicts` (keyed by segment number — the `/JBIG2Globals` contract:
-    * globals walk first, the embedded stream's regions refer back);
-    * the first decodable region returns. */
+    * globals walk first, the embedded stream's regions refer back).
+    * With PAGE INFO (type 48) carrying real dimensions, every region
+    * OR-composites onto the page bitmap at its region-info (x, y)
+    * offset — the multi-region layout real encoders emit (one text
+    * region per text block, generic regions for halftones) — and the
+    * composed page returns after the walk; without usable page dims
+    * (absent, or the 0xFFFFFFFF striped-height form) the FIRST
+    * decodable region returns alone, the pre-r16 behavior. */
   private def walk(
       data: Array[Byte],
       dicts: scala.collection.mutable.Map[Long, IndexedSeq[Bitmap]])
       : Option[(Int, Int, Array[Byte])] = {
+    var page: Option[(Int, Int, Array[Byte])] = None
+    var composed = false
+    /** OR a decoded region into the page at (rx, ry), clipped; when
+      * no page exists the region IS the result. None = keep walking. */
+    def finish(rw: Int, rh: Int, rpx: Array[Byte],
+        rx: Long, ry: Long): Option[(Int, Int, Array[Byte])] =
+      page match {
+        case Some((pw, ph, ppx)) if rx >= 0 && ry >= 0 &&
+            rx <= (1L << 20) && ry <= (1L << 20) =>
+          var yy = 0
+          while (yy < rh) {
+            val py = ry.toInt + yy
+            if (py < ph) {
+              var xx = 0
+              while (xx < rw) {
+                val pxx = rx.toInt + xx
+                if (pxx < pw && (rpx(yy * rw + xx) & 1) == 1)
+                  ppx(py * pw + pxx) = 1
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          composed = true
+          None
+        case _ => Some((rw, rh, rpx))
+      }
     var i = 0
     var guard = 0
     while (i + 11 <= data.length && guard < 64) {
@@ -899,9 +982,23 @@ object Jbig2 {
         val numInstances = rdBe32(data, j + 19)
         if (numInstances > (1L << 20)) return None
         val syms = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
-        return decodeTextRegion(data, j + 23, segEnd, w, h,
-          numInstances.toInt, logStrips, refCorner, dsOffset, syms)
-          .map((w, h, _))
+        decodeTextRegion(data, j + 23, segEnd, w, h,
+          numInstances.toInt, logStrips, refCorner, dsOffset, syms) match {
+          case None => return None
+          case Some(rpx) =>
+            finish(w, h, rpx, rdBe32(data, j + 8), rdBe32(data, j + 12))
+              .foreach(r => return Some(r))
+        }
+      } else if (segType == 48) {
+        // page info (§7.4.8): width, height; the striped/unknown
+        // height form (0xFFFFFFFF) keeps first-region mode
+        if (dataLen >= 8) {
+          val pw = rdBe32(data, j)
+          val ph = rdBe32(data, j + 4)
+          if (pw > 0 && ph > 0 && pw * ph <= (1L << 26))
+            page = Some((pw.toInt, ph.toInt,
+              new Array[Byte]((pw * ph).toInt)))
+        }
       } else if (segType == 36 || segType == 38 || segType == 39) {
         // region info (17) + generic flags (1); MQ regions carry 8
         // template-0 AT bytes after the flags, MMR regions none —
@@ -918,24 +1015,30 @@ object Jbig2 {
           // MMR generic region = CCITT T.6 over the region bitmap
           // (T.88 §6.2.6) — the G4 codec this library already has;
           // its luma output maps back to the 1=black convention
-          return CcittG4.decode(data.slice(j + 18, segEnd), w, h)
-            .map(luma =>
-              (w, h, luma.map(b => (if ((b & 0xff) == 0) 1 else 0).toByte)))
+          CcittG4.decode(data.slice(j + 18, segEnd), w, h) match {
+            case None => return None
+            case Some(luma) =>
+              val rpx = luma.map(b => (if ((b & 0xff) == 0) 1 else 0).toByte)
+              finish(w, h, rpx, rdBe32(data, j + 8), rdBe32(data, j + 12))
+                .foreach(r => return Some(r))
+          }
+        } else {
+          if (template != 0) return None
+          if (dataLen < 26) return None
+          // AT pixels: 8 bytes for template 0; require nominal
+          val at = data.slice(j + 18, j + 26)
+          if (at.length < 8 ||
+              at(0) != 3 || at(1) != -1 || at(2) != -3 || at(3) != -1 ||
+              at(4) != 2 || at(5) != -2 || at(6) != -2 || at(7) != -2)
+            return None
+          val px = decodeGeneric(data, j + 26, segEnd, w, h, tpgdon)
+          finish(w, h, px, rdBe32(data, j + 8), rdBe32(data, j + 12))
+            .foreach(r => return Some(r))
         }
-        if (template != 0) return None
-        if (dataLen < 26) return None
-        // AT pixels: 8 bytes for template 0; require nominal
-        val at = data.slice(j + 18, j + 26)
-        if (at.length < 8 ||
-            at(0) != 3 || at(1) != -1 || at(2) != -3 || at(3) != -1 ||
-            at(4) != 2 || at(5) != -2 || at(6) != -2 || at(7) != -2)
-          return None
-        val px = decodeGeneric(data, j + 26, segEnd, w, h, tpgdon)
-        return Some((w, h, px))
       }
       i = segEnd
     }
-    None
+    if (composed) page else None
   }
 
   /** [[decode]] to luma bytes (0 black, 255 white) — the

@@ -588,6 +588,40 @@ object PdfGen {
         deflate(cs.getBytes(StandardCharsets.ISO_8859_1)))))
   }
 
+  /** Image-only PDF whose raster colorspace is `/ICCBased` — the
+    * wrapper real writers put around plain device spaces, resolved to
+    * the device alternate by the profile's `/N` component count
+    * (§8.6.5.5; the junk profile payload is never read). Cycled by
+    * `docId % 2`: 0 ⇒ gray behind a FULLY INDIRECT chain
+    * (`/ColorSpace 7 0 R` → `[/ICCBased 8 0 R]` → stream `/N 1`);
+    * 1 ⇒ RGB behind a direct array (`/ColorSpace [/ICCBased 8 0 R]`,
+    * `/N 3`). Pixels BY FORMULA (salt 358) for the q355 replay. */
+  def iccPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    val rgb = math.floorMod(docId, 2L) == 1L
+    val comps = if (rgb) 3 else 1
+    val raw = Array.tabulate(W * H * comps) { q =>
+      val n = if (rgb) docId * 768L + q else docId * 256L + q
+      (graft.operators.Sampling.hashBitsScalar(n, 358L) % 256L).toByte
+    }
+    val iccPayload = Array.tabulate(32)(i => ((i * 7 + docId) & 0xff).toByte)
+    val csDecl =
+      if (rgb) "/ColorSpace [/ICCBased 8 0 R] " else "/ColorSpace 7 0 R "
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      (if (!rgb) Seq("7 0 obj [/ICCBased 8 0 R] endobj\n") else Seq.empty) ++ Seq(
+      streamObj(8, s"/N $comps /Alternate ${if (rgb) "/DeviceRGB" else "/DeviceGray"} ",
+        iccPayload),
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        s"$csDecl/BitsPerComponent 8 /Filter /FlateDecode ", deflate(raw)),
+      streamObj(100, "", paint)))
+  }
+
   /** Image-only PDF carrying a JPEG 2000 (`/JPXDecode`) payload: a
     * REAL JP2 box stream built by [[Jp2Header.buildJp2]] (signature,
     * ftyp, jp2h/ihdr, a stub jp2c codestream with junk entropy data —

@@ -62,6 +62,10 @@ object PdfImages {
 
   private val imageSubtype = """/Subtype\s*/Image(?![A-Za-z0-9])""".r
   private val jbig2GlobalsRe = """/JBIG2Globals\s+(\d{1,9})\s+\d+\s+R""".r
+  private val iccBodyRe = """\[\s*/ICCBased\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
+  private val iccDirectRe =
+    """/ColorSpace\s*\[\s*/ICCBased\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
+  private val iccNRe = """/N\s+(\d{1,2})(?!\d)""".r
   private val nameAfter = """/ColorSpace\s*/([A-Za-z0-9]+)""".r
   private val refAfter = """/ColorSpace\s+(\d{1,9})\s+\d+\s+R(?![A-Za-z0-9])""".r
   private val firstName = """/([A-Za-z0-9]+)""".r
@@ -188,11 +192,30 @@ object PdfImages {
         })
     }
 
+    // /ICCBased m 0 R resolves to its device ALTERNATE by component
+    // count (/N — §8.6.5.5: the profile payload itself is never
+    // needed for sample layout): writers wrap plain device spaces in
+    // ICCBased constantly, and treating them as opaque would strand
+    // the most common real-PDF colorspace shape
+    def iccAlternate(body: String): Option[String] =
+      iccBodyRe.findFirstMatchIn(body).flatMap { m =>
+        objs.get(m.group(1).toInt).flatMap(e =>
+          iccNRe.findFirstMatchIn(e._2.dict).map(_.group(1).toInt))
+      }.collect {
+        case 1 => "DeviceGray"
+        case 3 => "DeviceRGB"
+        case 4 => "DeviceCMYK"
+      }
+
     def colorSpaceOf(dict: String): String =
       nameAfter.findFirstMatchIn(dict).map(_.group(1)).orElse(
+        iccDirectRe.findFirstMatchIn(dict).map(_.matched)
+          .flatMap(iccAlternate)).orElse(
         refAfter.findFirstMatchIn(dict).flatMap { m =>
-          objs.get(m.group(1).toInt).flatMap(e =>
-            firstName.findFirstMatchIn(e._2.dict).map(_.group(1)))
+          objs.get(m.group(1).toInt).flatMap { e =>
+            iccAlternate(e._2.dict).orElse(
+              firstName.findFirstMatchIn(e._2.dict).map(_.group(1)))
+          }
         }).getOrElse("")
 
     {
@@ -296,6 +319,16 @@ object PdfImages {
     if (comps > 0 && bpc == 8 && px.length == w.toLong * h * comps) {
       val (codec, d) = withDecode(dict, px, ok = true)
       PdfImage(objNum, w, h, bpc, cs, codec, d)
+    } else if (comps > 0 && bpc == 16 &&
+        px.length == w.toLong * h * comps * 2) {
+      // 16-bit big-endian samples (§8.9.5.1 allows bpc 16): keep the
+      // high byte — the exact v >> 8 downsample; luma pooling and OCR
+      // renditions are 8-bit surfaces
+      val out = new Array[Byte](w * h * comps)
+      var i = 0
+      while (i < out.length) { out(i) = px(i * 2); i += 1 }
+      val (codec, d) = withDecode(dict, out, ok = true)
+      PdfImage(objNum, w, h, 8, cs, codec, d)
     } else if (comps > 0 && (bpc == 1 || bpc == 2 || bpc == 4)) {
       unpackSamples(px, w, h, bpc, comps) match {
         case Some(vals) =>

@@ -545,7 +545,8 @@ object MultimodalQueries {
     },
 
     q353,
-    q354)
+    q354,
+    q355)
 
   /** q353: sub-8-bit and `/Indexed` rasters, ORACLE-CHECKED — the
     * r15 top-next decode leg run end-to-end. Each document becomes
@@ -693,6 +694,71 @@ object MultimodalQueries {
            |  WHERE l.cp % 8 < 7 GROUP BY 1)
            |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
            |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q355: `/ICCBased` colorspaces, ORACLE-CHECKED — the wrapper real
+    * writers put around device spaces, resolved to the alternate by
+    * the profile stream's `/N` component count through BOTH container
+    * shapes (fully-indirect chain for even docs, direct array for odd
+    * — PdfGen.iccPdf). The oracle recomputes pixels (salt 358) and
+    * hashes in SQL; a resolution regression strands the raster as
+    * `opaque` (no rows) or mislabels components and shifts hashes. */
+  private def q355: QueryDef = {
+    val Salt = 358L
+    QueryDef(
+      "q355_iccbased_dhash_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.iccPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val gmix = hashBitsSql("(i.id * 256 + g.p)", Salt)
+        val rmix = hashBitsSql("(i.id * 768 + q.q)", Salt)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |gpx AS (
+           |  SELECT i.id, g.p AS p, ($gmix) % 256 AS num
+           |  FROM ids i CROSS JOIN (SELECT unnest(range(0, 256)) AS p) g
+           |  WHERE i.id % 2 = 0),
+           |rpx AS (
+           |  SELECT i.id, q.q // 3 AS p, SUM(($rmix) % 256) AS num
+           |  FROM ids i CROSS JOIN (SELECT unnest(range(0, 768)) AS q) q
+           |  WHERE i.id % 2 = 1
+           |  GROUP BY 1, 2),
+           |px AS (
+           |  SELECT id, p, num, 4 AS denom FROM gpx
+           |  UNION ALL
+           |  SELECT id, p, num, 12 AS denom FROM rpx),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / MAX(denom) AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id,
+           |  CASE WHEN id % 2 = 1 THEN 'DeviceRGB'
+           |       ELSE 'DeviceGray' END AS colorspace,
+           |  phash
            |FROM h ORDER BY doc_id""".stripMargin
       })
   }

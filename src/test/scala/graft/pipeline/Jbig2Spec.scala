@@ -225,4 +225,51 @@ class Jbig2Spec extends AnyFunSuite {
     // intact globals still decode (guard the guard)
     assert(Jbig2.decode(stream, globals).isDefined)
   }
+
+  test("multi-region page: regions OR-composite at their (x, y) offsets") {
+    val rnd = new scala.util.Random(358)
+    for (trial <- 0 until 6) {
+      val (pw, ph) = (40, 30)
+      val regions = (0 until 2 + rnd.nextInt(3)).map { _ =>
+        val w = 4 + rnd.nextInt(10); val h = 4 + rnd.nextInt(8)
+        val x = rnd.nextInt(pw - w); val y = rnd.nextInt(ph - h)
+        (x, y, w, h, Array.tabulate(w * h)(_ =>
+          if (rnd.nextBoolean()) 1.toByte else 0.toByte))
+      }
+      val expected = new Array[Byte](pw * ph)
+      for ((x, y, w, h, px) <- regions; dy <- 0 until h; dx <- 0 until w)
+        if (px(dy * w + dx) == 1) expected((y + dy) * pw + (x + dx)) = 1
+      val dec = Jbig2.decode(Jbig2.encodeRegions(pw, ph, regions))
+      assert(dec.isDefined, s"trial $trial")
+      val (dw, dh, px) = dec.get
+      assert((dw, dh) === ((pw, ph)), s"trial $trial")
+      assert(px.toSeq === expected.toSeq, s"trial $trial")
+    }
+  }
+
+  test("text regions: SBSTRIPS > 1 (IAIT) and BOTTOMLEFT corners round-trip") {
+    val rnd = new scala.util.Random(359)
+    for (logStrips <- Seq(1, 2); refCorner <- Seq(0, 1)) {
+      val syms = (0 until 3).map { _ =>
+        val sw = 3 + rnd.nextInt(4); val sh = 3 + rnd.nextInt(4)
+        (sw, sh, Array.tabulate(sw * sh)(_ =>
+          if (rnd.nextBoolean()) 1.toByte else 0.toByte))
+      }
+      val W = 60; val H = 40
+      // top-left placements at arbitrary (not strip-aligned) rows
+      val placements = (for (i <- 0 until 8) yield
+        (rnd.nextInt(3), 2 + i * 7, 1 + rnd.nextInt(H - 10))).toSeq
+      val expected = new Array[Byte](W * H)
+      for ((k, x, y) <- placements; (sw, sh, px) = syms(k);
+           dy <- 0 until sh; dx <- 0 until sw)
+        if (px(dy * sw + dx) == 1 && y + dy < H && x + dx < W)
+          expected((y + dy) * W + (x + dx)) = 1
+      val (stream, _) = Jbig2.encodeText(W, H, syms, placements,
+        logStrips = logStrips, refCorner = refCorner)
+      val dec = Jbig2.decode(stream)
+      assert(dec.isDefined, s"logStrips=$logStrips corner=$refCorner")
+      assert(dec.get._3.toSeq === expected.toSeq,
+        s"logStrips=$logStrips corner=$refCorner")
+    }
+  }
 }

@@ -607,4 +607,44 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(over.codec === "raw")
     assert(over.data.map(_ & 0xff).toSeq === idxs.map(i => if (i == 0) 0 else 255).toSeq)
   }
+
+  test("iccPdf: /ICCBased colorspaces resolve to the /N alternate, both shapes") {
+    for (id <- 0L to 3L) {
+      val imgs = PdfImages.extract(PdfGen.iccPdf(id))
+      assert(imgs.size === 1, s"doc $id")
+      val im = imgs.head
+      val rgb = id % 2 == 1
+      assert(im.codec === "raw", s"doc $id")
+      assert(im.colorSpace === (if (rgb) "DeviceRGB" else "DeviceGray"), s"doc $id")
+      val comps = if (rgb) 3 else 1
+      val expected = Array.tabulate(256 * comps) { q =>
+        val n = if (rgb) id * 768L + q else id * 256L + q
+        (Sampling.hashBitsScalar(n, 358L) % 256L).toInt
+      }
+      assert(im.data.map(_ & 0xff).toSeq === expected.toSeq, s"doc $id")
+      assert(PdfImages.lumaGrid(im).isDefined, s"doc $id")
+    }
+    // an /N the subset cannot map (2-component) stays opaque
+    val doc = new String(PdfGen.iccPdf(0L),
+      java.nio.charset.StandardCharsets.ISO_8859_1).replace("/N 1 ", "/N 2 ")
+    val im2 = PdfImages.extract(
+      doc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).head
+    assert(im2.codec === "opaque")
+  }
+
+  test("16-bit samples downshift to the high byte") {
+    val vals = Array.tabulate(256)(p => (p * 257) % 65536)  // hi byte = p % 256
+    val packed = new Array[Byte](512)
+    for (i <- 0 until 256) {
+      packed(i * 2) = ((vals(i) >> 8) & 0xff).toByte
+      packed(i * 2 + 1) = (vals(i) & 0xff).toByte
+    }
+    val doc = imagePdf("/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 16 /Filter /FlateDecode ",
+      deflate(packed))
+    val im = PdfImages.extract(doc).head
+    assert(im.codec === "raw")
+    assert(im.bitsPerComponent === 8)
+    assert(im.data.map(_ & 0xff).toSeq === (0 until 256).map(p => (vals(p) >> 8) & 0xff))
+  }
 }
