@@ -145,14 +145,25 @@ object ImageDedup {
       uh.select(col("phash"), lit(i).as("bidx"), blockVal(i))
     }.reduce(_ unionByName _)
 
-    // one skinny count up front (the Dedup.bucketCandidates shape):
-    // in the common regime no bucket trips and the plan below is
-    // byte-identical to the unguarded one
-    val nBig = exploded.groupBy(col("bidx"), col("bval"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > bucketCap).count()
+    // guard trigger, cheapest-first: a bucket holds DISTINCT hashes,
+    // so no bucket can exceed the distinct-hash TOTAL — corpora under
+    // the cap skip the size aggregation entirely (their only extra
+    // cost is a count() on the already-persisted skinny hash frame,
+    // which also materializes the cache the join was about to build).
+    // Past that, one skinny aggregation (the Dedup.bucketCandidates
+    // shape), persisted across its reuses and released on the
+    // no-trip path; the guarded path's storage is caller-released
+    // with the rest (the scaladoc cache contract).
+    val nHashes = uh.count()
+    lazy val sizes = exploded.groupBy(col("bidx"), col("bval"))
+      .agg(count(lit(1)).as("__n")).persist()
+    val nBig =
+      if (nHashes <= bucketCap) 0L
+      else sizes.filter(col("__n") > bucketCap).count()
 
     val candidates =
       if (nBig == 0) {
+        if (nHashes > bucketCap) sizes.unpersist(blocking = false)
         exploded.select(col("phash").as("ha"), col("bidx"), col("bval"))
           .join(exploded.select(col("phash").as("hb"), col("bidx"), col("bval")),
             Seq("bidx", "bval"))
@@ -162,8 +173,6 @@ object ImageDedup {
         log.warn(s"ImageDedup.nearDupPairs: $nBig (block, value) bucket(s) " +
           s"exceed cap=$bucketCap distinct hashes; sub-splitting one more " +
           "pigeonhole level (exact for in-threshold pairs)")
-        val sizes = exploded.groupBy(col("bidx"), col("bval"))
-          .agg(count(lit(1)).as("__n"))
         val tagged = exploded.join(sizes, Seq("bidx", "bval"))
         val small = tagged.filter(col("__n") <= bucketCap).drop("__n")
         val smallPairs = small.select(col("phash").as("ha"), col("bidx"), col("bval"))
@@ -192,8 +201,13 @@ object ImageDedup {
         val subKeys = Seq("bidx", "bval", "sidx", "sval")
         val subSizes = bigSub.groupBy(subKeys.map(col): _*)
           .agg(count(lit(1)).as("__sn"))
-        val subTagged = bigSub.join(subSizes, subKeys)
-        val nBig2 = subSizes.filter(col("__sn") > bucketCap).count()
+        // subTagged feeds three consumers (the nBig2 count, the
+        // sub-bucket pair join twice, the star path) — persist so the
+        // bit-surgery union above it runs once (review finding; this
+        // IS the pathological-scale branch the guard exists for)
+        val subTagged = bigSub.join(subSizes, subKeys).persist()
+        val nBig2 = subTagged.filter(col("__sn") > bucketCap)
+          .select(subKeys.map(col): _*).distinct().count()
         if (nBig2 > 0 && strict) throw new IllegalStateException(
           s"$nBig2 sub-bucket(s) exceed cap=$bucketCap after one exact " +
             "sub-split; strict mode forbids star-linking (pairwise recall " +

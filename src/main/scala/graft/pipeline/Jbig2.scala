@@ -475,7 +475,14 @@ object Jbig2 {
     val newSyms = new ArrayBuffer[Bitmap](numNew)
     var hcHeight = 0
     var totalPx = 0L                          // dictionary-wide allocation cap
+    var classes = 0                           // height-class iteration guard:
+    // the MQ decoder pads past the payload with 0xFF forever, so a
+    // truncated dictionary could otherwise spin on empty height
+    // classes (dh = 0, immediate OOB width) without ever reaching
+    // numNew (review finding) — every legal class carries ≥ 1 symbol
     while (newSyms.size < numNew) {
+      classes += 1
+      if (classes > numNew + 64) return None
       val dh = decodeInt(mq, ia, IADH)
       if (dh == OOB) return None
       hcHeight += dh
@@ -874,35 +881,46 @@ object Jbig2 {
       : Option[(Int, Int, Array[Byte])] = {
     var page: Option[(Int, Int, Array[Byte])] = None
     var composed = false
+    var poisoned = false                      // hostile offsets: decline the STREAM
     /** OR a decoded region into the page at (rx, ry), clipped; when
-      * no page exists the region IS the result. None = keep walking. */
+      * no page exists the region IS the result. None = keep walking.
+      * A page WITH a region whose offset is out of sane range poisons
+      * the whole stream (review finding: falling through to "return
+      * this lone region" would silently discard the composed page). */
     def finish(rw: Int, rh: Int, rpx: Array[Byte],
         rx: Long, ry: Long): Option[(Int, Int, Array[Byte])] =
       page match {
-        case Some((pw, ph, ppx)) if rx >= 0 && ry >= 0 &&
-            rx <= (1L << 20) && ry <= (1L << 20) =>
-          var yy = 0
-          while (yy < rh) {
-            val py = ry.toInt + yy
-            if (py < ph) {
-              var xx = 0
-              while (xx < rw) {
-                val pxx = rx.toInt + xx
-                if (pxx < pw && (rpx(yy * rw + xx) & 1) == 1)
-                  ppx(py * pw + pxx) = 1
-                xx += 1
+        case Some((pw, ph, ppx)) =>
+          if (rx > (1L << 20) || ry > (1L << 20)) { poisoned = true; None }
+          else {
+            var yy = 0
+            while (yy < rh) {
+              val py = ry.toInt + yy
+              if (py < ph) {
+                var xx = 0
+                while (xx < rw) {
+                  val pxx = rx.toInt + xx
+                  if (pxx < pw && (rpx(yy * rw + xx) & 1) == 1)
+                    ppx(py * pw + pxx) = 1
+                  xx += 1
+                }
               }
+              yy += 1
             }
-            yy += 1
+            composed = true
+            None
           }
-          composed = true
-          None
-        case _ => Some((rw, rh, rpx))
+        case None => Some((rw, rh, rpx))
       }
     var i = 0
     var guard = 0
-    while (i + 11 <= data.length && guard < 64) {
+    // i strictly advances ≥ 11 bytes per segment, so the loop always
+    // terminates; the guard is a hard backstop, and EXHAUSTING it
+    // must decline rather than return a partially-composed page
+    // (review finding: silent truncation is wrong pixels, not a skip)
+    while (i + 11 <= data.length && guard < (1 << 16)) {
       guard += 1
+      if (poisoned) return None
       // segment header
       val flags = data(i + 4) & 0xff
       val segType = flags & 0x3f
@@ -1038,7 +1056,9 @@ object Jbig2 {
       }
       i = segEnd
     }
-    if (composed) page else None
+    if (poisoned || guard >= (1 << 16)) None
+    else if (composed) page
+    else None
   }
 
   /** [[decode]] to luma bytes (0 black, 255 white) — the

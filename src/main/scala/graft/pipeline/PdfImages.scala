@@ -323,12 +323,15 @@ object PdfImages {
         px.length == w.toLong * h * comps * 2) {
       // 16-bit big-endian samples (§8.9.5.1 allows bpc 16): keep the
       // high byte — the exact v >> 8 downsample; luma pooling and OCR
-      // renditions are 8-bit surfaces
+      // renditions are 8-bit surfaces. An exotic /Decode declines
+      // with the ORIGINAL bytes and depth (an opaque must never lie
+      // about its layout — review finding).
       val out = new Array[Byte](w * h * comps)
       var i = 0
       while (i < out.length) { out(i) = px(i * 2); i += 1 }
       val (codec, d) = withDecode(dict, out, ok = true)
-      PdfImage(objNum, w, h, 8, cs, codec, d)
+      if (codec == "raw") PdfImage(objNum, w, h, 8, cs, codec, d)
+      else PdfImage(objNum, w, h, bpc, cs, "opaque", px)
     } else if (comps > 0 && (bpc == 1 || bpc == 2 || bpc == 4)) {
       unpackSamples(px, w, h, bpc, comps) match {
         case Some(vals) =>
@@ -340,7 +343,12 @@ object PdfImages {
             i += 1
           }
           val (codec, d) = withDecode(dict, expanded, ok = true)
-          PdfImage(objNum, w, h, 8, cs, codec, d)
+          // opaque (exotic /Decode) carries the ORIGINAL packed bytes
+          // and TRUE depth: downstream length checks (the inline
+          // false-EI validator) and any future consumer reason about
+          // the declared layout, not the rejected expansion
+          if (codec == "raw") PdfImage(objNum, w, h, 8, cs, codec, d)
+          else PdfImage(objNum, w, h, bpc, cs, "opaque", px)
         case None => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
       }
     } else parseIndexed(dict, objs) match {
@@ -479,6 +487,13 @@ object PdfImages {
           case 't' => out.write('\t'); i += 2
           case 'b' => out.write('\b'); i += 2
           case 'f' => out.write('\f'); i += 2
+          // backslash-EOL is a LINE CONTINUATION (§7.3.4.2): the
+          // split contributes no bytes — writers wrap long palette
+          // strings this way (review finding)
+          case '\r' =>
+            i += 2
+            if (i < s.length && s.charAt(i) == '\n') i += 1
+          case '\n' => i += 2
           case d if d >= '0' && d <= '7' =>
             var v = 0; var k = 0; i += 1
             while (k < 3 && i < s.length &&
@@ -493,6 +508,11 @@ object PdfImages {
         depth -= 1
         if (depth == 0) return Some(out.toByteArray)
         out.write(c.toInt); i += 1
+      } else if (c == '\r') {
+        // an unescaped EOL in a literal string reads as 0x0A,
+        // whatever form it took in the file (§7.3.4.2)
+        out.write('\n'); i += 1
+        if (i < s.length && s.charAt(i) == '\n') i += 1
       } else { out.write(c.toInt & 0xff); i += 1 }
     }
     None

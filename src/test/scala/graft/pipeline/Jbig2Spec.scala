@@ -272,4 +272,30 @@ class Jbig2Spec extends AnyFunSuite {
         s"logStrips=$logStrips corner=$refCorner")
     }
   }
+
+  test("review pins: 70-region pages compose fully; truncation never hangs") {
+    // guard must not silently truncate a many-region page
+    val rnd = new scala.util.Random(360)
+    val regions = (0 until 70).map { k =>
+      val px = Array.tabulate(9)(_ => if (rnd.nextBoolean()) 1.toByte else 0.toByte)
+      ((k % 10) * 4, (k / 10) * 4, 3, 3, px)
+    }
+    val expected = new Array[Byte](40 * 28)
+    for ((x, y, w, h, px) <- regions; dy <- 0 until h; dx <- 0 until w)
+      if (px(dy * w + dx) == 1) expected((y + dy) * 40 + (x + dx)) = 1
+    val dec = Jbig2.decode(Jbig2.encodeRegions(40, 28, regions))
+    assert(dec.isDefined)
+    assert(dec.get._3.toSeq === expected.toSeq)
+
+    // truncated symbol dictionaries/regions: None (bounded), no spin
+    val syms = (0 until 3).map(k =>
+      (4, 4, Array.tabulate(16)(p => ((p + k) % 2).toByte)))
+    val (stream, _) = Jbig2.encodeText(16, 16, syms,
+      Seq((0, 0, 0), (1, 4, 4), (2, 8, 8)))
+    for (cut <- 12 until stream.length by 3) {
+      val t0 = System.nanoTime()
+      Jbig2.decode(stream.take(cut))          // must return, rarely Some
+      assert((System.nanoTime() - t0) / 1e9 < 5.0, s"cut $cut too slow")
+    }
+  }
 }

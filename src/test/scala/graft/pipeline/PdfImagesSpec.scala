@@ -647,4 +647,50 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(im.bitsPerComponent === 8)
     assert(im.data.map(_ & 0xff).toSeq === (0 until 256).map(p => (vals(p) >> 8) & 0xff))
   }
+
+  test("review pins: exotic /Decode on sub-8-bit keeps ORIGINAL bytes/depth") {
+    // XObject: 1-bit gray with an exotic decode array -> opaque that
+    // does not lie about its layout
+    val packed = Array.tabulate(32)(i => (i * 37).toByte)
+    val doc = imagePdf("/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 1 /Decode [0 0.5] " +
+      "/Filter /FlateDecode ", deflate(packed))
+    val im = PdfImages.extract(doc).head
+    assert(im.codec === "opaque")
+    assert(im.bitsPerComponent === 1)
+    assert(im.data.toSeq === packed.toSeq)
+
+    // inline: same shape through the false-EI validator — the image
+    // must be KEPT as opaque (packed length matches), not dropped
+    val cs = "q 400 0 0 400 100 300 cm " +
+      "BI /W 16 /H 16 /BPC 1 /CS /G /F /Fl /D [0 0.5] ID " +
+      new String(deflate(packed), StandardCharsets.ISO_8859_1) + " EI Q"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n")
+    w("10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R >> endobj\n")
+    w(s"100 0 obj << /Length ${cs.length} >>\nstream\n")
+    w(cs)
+    w("\nendstream endobj\n%%EOF\n")
+    val imgs = PdfImages.extract(bos.toByteArray)
+    assert(imgs.size === 1)
+    assert(imgs.head.codec === "opaque")
+    assert(imgs.head.bitsPerComponent === 1)
+    assert(imgs.head.data.toSeq === packed.toSeq)
+  }
+
+  test("review pins: literal-string palettes honor backslash-EOL continuation") {
+    val idxs = Array.tabulate(256)(p => (p % 2))
+    // palette (AB) split as (A\<LF>B): continuation contributes no byte
+    val lit = imagePdf("/Type /XObject /Subtype /Image /Width 16 /Height 16 " +
+      "/ColorSpace [/Indexed /DeviceGray 1 (\\101\\\nB)] " +
+      "/BitsPerComponent 8 /Filter /FlateDecode ",
+      deflate(idxs.map(_.toByte)))
+    val li = PdfImages.extract(lit).head
+    assert(li.codec === "raw")
+    assert(li.data.map(_ & 0xff).toSeq ===
+      idxs.map(i => if (i == 0) 65 else 'B'.toInt).toSeq)
+  }
 }
