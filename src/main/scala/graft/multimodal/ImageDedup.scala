@@ -124,7 +124,7 @@ object ImageDedup {
       hashed: DataFrame,
       idCol: String,
       maxHamming: Int,
-      bucketCap: Int = 8192,
+      bucketCap: Int = 16384,
       strict: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < HashBits,
       s"maxHamming must be in [0, $HashBits), got $maxHamming")

@@ -58,7 +58,13 @@ class IncrementalIndexSpec extends SparkSpec {
       (4L, PdfGen.encryptedAes256(longText("aesvfive"),    // V5/R6 behind an
         xrefTail = true)),                                 // xref-stream container
       (5L, PdfGen.encrypted(longText("lockedbody"), "hunter2")), // stays ciphertext
-      (6L, longText("plainbytes").getBytes("UTF-8")))
+      (6L, longText("plainbytes").getBytes("UTF-8")),
+      // r16 image-leg containers: no text layer, so they route to the
+      // image leg (OCR renditions feed the stand-in) — the stream
+      // parity below must hold over their chunks too
+      (7L, PdfGen.subbitPdf(7L)),             // 3 mod 4: 1-bit /Indexed
+      (8L, PdfGen.jbig2TextPdf(9L)),          // odd: /JBIG2Globals layout
+      (9L, PdfGen.iccPdf(1L)))                // ICCBased RGB
     val binDocs = docs.map { case (id, b) => (id, b, b.length.toLong) }
       .toDF("doc_id", "content", "filesize")
     val extracted = OcrPipeline.extractTextAudited(
@@ -72,6 +78,9 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(paths(4L) === ExtractPath.PdfDecrypted)
     assert(paths(5L) === ExtractPath.PdfEncrypted)
     assert(paths(6L) === ExtractPath.NonPdf)
+    assert(paths(7L) === ExtractPath.PdfImage)
+    assert(paths(8L) === ExtractPath.PdfImage)
+    assert(paths(9L) === ExtractPath.PdfImage)
     val chunks = Inference.chunkDocuments(
       spark, extracted.select($"doc_id", $"text"), width = 120)
     // batch reference: extraction + chunking + embedding in one pass
