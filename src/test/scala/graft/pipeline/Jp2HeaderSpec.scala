@@ -62,4 +62,33 @@ class Jp2HeaderSpec extends AnyFunSuite {
     assert(im.colorSpace === "DeviceGray")
     assert(im.bitsPerComponent === 8)
   }
+
+  test("XLBox (64-bit length) and length-to-EOF boxes still reach jp2h") {
+    val jp2 = Jp2Header.buildJp2(100, 50, 3, 8)
+    // rewrite the ftyp box (at offset 12) into XLBox form: len0 = 1,
+    // type, then the 64-bit length — parser must skip it correctly
+    val ftypLen = ((jp2(12) & 0xff) << 24) | ((jp2(13) & 0xff) << 16) |
+      ((jp2(14) & 0xff) << 8) | (jp2(15) & 0xff)
+    val body = jp2.slice(20, 12 + ftypLen)     // ftyp payload
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(jp2, 0, 12)                      // signature box
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    be32(1L)                                   // len0 == 1 -> XLBox
+    out.write("ftyp".getBytes, 0, 4)
+    be32(0L); be32(16L + body.length)          // 64-bit XLBox length
+    out.write(body, 0, body.length)
+    out.write(jp2, 12 + ftypLen, jp2.length - 12 - ftypLen)
+    assert(Jp2Header.parse(out.toByteArray) ===
+      Some(Jp2Header.Meta(100, 50, 3, 8)))
+
+    // a truncated XLBox header: None, not a misparse
+    assert(Jp2Header.parse(out.toByteArray.take(12 + 10)).isEmpty)
+
+    // bpc 255 ("components differ") passes through as-is
+    val varied = Jp2Header.buildJp2(8, 8, 2, 255)
+    assert(Jp2Header.parse(varied) === Some(Jp2Header.Meta(8, 8, 2, 255)))
+  }
 }
