@@ -183,20 +183,27 @@ object ImageDedup {
         // level 2: members agree on block i ⇒ a within-t pair's
         // differing bits all live in the complement; compress the
         // complement (low bits kept, high bits shifted down past the
-        // block) and pigeonhole it into the same t+1 ranges
-        val big = (0 until blocks).map { i =>
+        // block) and pigeonhole it into t+1 ranges sized from the
+        // COMPLEMENT width (HashBits − blockWidth(i)), not the
+        // full-width block ranges — otherwise the last sub-range
+        // covers only ~2 real bits and its sub-buckets go degenerate
+        // far earlier than necessary (r16 ADVICE)
+        val bigSub = (0 until blocks).flatMap { i =>
           val lowMask = (1L << (i * base)) - 1
           val comp = col("phash").bitwiseAND(lit(lowMask)).bitwiseOR(
             shiftleft(shiftright(col("phash"), i * base + blockWidth(i)),
               i * base))
-          tagged.filter(col("__n") > bucketCap && col("bidx") === i)
+          val bigI = tagged.filter(col("__n") > bucketCap && col("bidx") === i)
             .select(col("phash"), col("bidx"), col("bval"), comp.as("comp"))
-        }.reduce(_ unionByName _)
-        val bigSub = (0 until blocks).map { j =>
-          val mask = (1L << blockWidth(j)) - 1
-          big.select(col("phash"), col("bidx"), col("bval"),
-            lit(j).as("sidx"),
-            shiftright(col("comp"), j * base).bitwiseAND(lit(mask)).as("sval"))
+          val compWidth = HashBits - blockWidth(i)
+          val base2 = compWidth / blocks
+          (0 until blocks).map { j =>
+            val sw = if (j == blocks - 1) compWidth - j * base2 else base2
+            val mask = (1L << sw) - 1
+            bigI.select(col("phash"), col("bidx"), col("bval"),
+              lit(j).as("sidx"),
+              shiftright(col("comp"), j * base2).bitwiseAND(lit(mask)).as("sval"))
+          }
         }.reduce(_ unionByName _)
         val subKeys = Seq("bidx", "bval", "sidx", "sval")
         val subSizes = bigSub.groupBy(subKeys.map(col): _*)

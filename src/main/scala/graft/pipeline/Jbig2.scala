@@ -373,7 +373,15 @@ object Jbig2 {
   /** Sentinel for the A.2 OOB decision (S=1, V=0). */
   private val OOB = Int.MinValue
 
-  /** A.2 IAx decode: value or [[OOB]]. */
+  /** Sentinel for an out-of-Int-range decoded value: the 32-bit tail
+    * of A.2 can carry v ≥ 2^31, which `.toInt` would silently alias
+    * into a small valid-looking delta that passes downstream range
+    * checks (r16 ADVICE) — and `-(2^31)` would collide with [[OOB]].
+    * Every call site treats [[BAD]] as a hard decode failure, never
+    * as a legal OOB (end-of-class / end-of-strip). */
+  private val BAD = Int.MinValue + 1
+
+  /** A.2 IAx decode: value, [[OOB]], or [[BAD]]. */
   private def decodeInt(mq: MqDecoder, cx: Contexts, off: Int): Int = {
     var prev = 1
     def bit(): Int = {
@@ -398,12 +406,20 @@ object Jbig2 {
       else if (bit() == 0) bits(12) + 340
       else bits(32) + 4436
     if (s == 1 && v == 0) OOB
+    // magnitude ≥ 2^31 − 1 is BAD, not a value: v ≥ 2^31 would wrap
+    // in .toInt, and −(2^31 − 1) IS the BAD sentinel — no real
+    // segment carries deltas near 2^31 (downstream caps are ≤ 2^20),
+    // so declining the boundary value too keeps the sentinel space
+    // collision-free
+    else if (v >= Int.MaxValue) BAD
     else if (s == 1) (-v).toInt
     else v.toInt
   }
 
-  /** A.2 inverse for the fixture encoder. */
-  private def encodeInt(mq: MqEncoder, cx: Contexts, off: Int, value: Int): Unit = {
+  /** A.2 inverse for the fixture encoder. Takes Long so hostile
+    * out-of-Int-range values (the 32-bit tail reaches 2^32 + 4435)
+    * can be encoded to pin the decoder's [[BAD]] rejection. */
+  private def encodeInt(mq: MqEncoder, cx: Contexts, off: Int, value: Long): Unit = {
     var prev = 1
     def bit(b: Int): Unit = {
       mq.encode(cx, off + prev, b)
@@ -415,10 +431,10 @@ object Jbig2 {
       var i = n - 1
       while (i >= 0) { bit(((v >> i) & 1).toInt); i -= 1 }
     }
-    if (value == OOB) { bit(1); bit(0); bits(0, 2) }
+    if (value == OOB.toLong) { bit(1); bit(0); bits(0, 2) }
     else {
       val s = if (value < 0) 1 else 0
-      val v = math.abs(value.toLong)
+      val v = math.abs(value)
       bit(s)
       if (v < 4) { bit(0); bits(v, 2) }
       else if (v < 20) { bit(1); bit(0); bits(v - 4, 4) }
@@ -426,6 +442,26 @@ object Jbig2 {
       else if (v < 340) { bit(1); bit(1); bit(1); bit(0); bits(v - 84, 8) }
       else if (v < 4436) { bit(1); bit(1); bit(1); bit(1); bit(0); bits(v - 340, 12) }
       else { bit(1); bit(1); bit(1); bit(1); bit(1); bits(v - 4436, 32) }
+    }
+  }
+
+  /** Test seam: round-trip `values` through the A.2 integer coder
+    * (one shared context tree, the in-segment layout). Legal values
+    * come back `Some(v)`; values the decoder must REJECT (≥ 2^31,
+    * which `.toInt` would alias into small valid-looking deltas —
+    * r16 ADVICE) come back `None`. */
+  private[pipeline] def intCodingRoundTrip(values: Seq[Long]): Seq[Option[Int]] = {
+    val payload = {
+      val m = new MqEncoder
+      val cx = pooledIaContexts()
+      values.foreach(v => encodeInt(m, cx, IADH, v))
+      m.flush()
+    }
+    val dec = new MqDecoder(payload, 0, payload.length)
+    val cx = pooledIaContexts()               // fresh zeroed tree, like encode
+    values.map { _ =>
+      val d = decodeInt(dec, cx, IADH)
+      if (d == OOB || d == BAD) None else Some(d)
     }
   }
 
@@ -484,13 +520,14 @@ object Jbig2 {
       classes += 1
       if (classes > numNew + 64) return None
       val dh = decodeInt(mq, ia, IADH)
-      if (dh == OOB) return None
+      if (dh == OOB || dh == BAD) return None
       hcHeight += dh
       if (hcHeight <= 0 || hcHeight > 4096) return None
       var symWidth = 0
       var classDone = false
       while (!classDone) {
         val dw = decodeInt(mq, ia, IADW)
+        if (dw == BAD) return None
         if (dw == OOB) classDone = true
         else {
           symWidth += dw
@@ -573,7 +610,7 @@ object Jbig2 {
     val ia = pooledIaContexts()
     val px = new Array[Byte](w * h)
     val dt0 = decodeInt(mq, ia, IADT)
-    if (dt0 == OOB) return None
+    if (dt0 == OOB || dt0 == BAD) return None
     var stript = -dt0 * strips
     var firsts = 0
     var inst = 0
@@ -581,7 +618,7 @@ object Jbig2 {
     while (inst < numInstances && guard < (numInstances + 2) * 2) {
       guard += 1
       val dt = decodeInt(mq, ia, IADT)
-      if (dt == OOB) return None
+      if (dt == OOB || dt == BAD) return None
       stript += dt * strips
       var curs = 0
       var firstSym = true
@@ -589,18 +626,19 @@ object Jbig2 {
       while (!stripDone && inst < numInstances) {
         if (firstSym) {
           val dfs = decodeInt(mq, ia, IAFS)
-          if (dfs == OOB) return None
+          if (dfs == OOB || dfs == BAD) return None
           firsts += dfs
           curs = firsts
           firstSym = false
         } else {
           val ids = decodeInt(mq, ia, IADS)
+          if (ids == BAD) return None
           if (ids == OOB) stripDone = true
           else curs += ids + dsOffset
         }
         if (!stripDone) {
           val curt = if (strips == 1) 0 else decodeInt(mq, ia, IAIT)
-          if (curt == OOB) return None
+          if (curt == OOB || curt == BAD) return None
           val ti = stript + curt
           val id = decodeId(mq, ia, symCodeLen)
           if (id < 0 || id >= syms.size) return None
@@ -1013,7 +1051,12 @@ object Jbig2 {
         if (dataLen >= 8) {
           val pw = rdBe32(data, j)
           val ph = rdBe32(data, j + 4)
-          if (pw > 0 && ph > 0 && pw * ph <= (1L << 26))
+          // Bound each dimension BEFORE multiplying: pw/ph are
+          // untrusted unsigned 32-bit values, so pw * ph can wrap a
+          // Long negative (~2^31.5 each) and sneak past a
+          // product-only cap (r16 ADVICE)
+          if (pw > 0 && ph > 0 && pw <= (1L << 20) && ph <= (1L << 20) &&
+              pw * ph <= (1L << 26))
             page = Some((pw.toInt, ph.toInt,
               new Array[Byte]((pw * ph).toInt)))
         }

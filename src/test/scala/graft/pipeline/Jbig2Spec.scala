@@ -298,4 +298,42 @@ class Jbig2Spec extends AnyFunSuite {
       assert((System.nanoTime() - t0) / 1e9 < 5.0, s"cut $cut too slow")
     }
   }
+
+  test("r16 ADVICE pins: page-dim overflow declines; huge A.2 values reject") {
+    // page info with pw = ph = 0xFFFF0000: the Long product wraps
+    // positive-small, so a product-only cap would pass and the page
+    // allocation would throw — per-dimension bounds must decline it
+    // (and the stream, holding a lone 1x1 region, then falls back to
+    // first-region mode rather than crashing the task)
+    def be32(b: scala.collection.mutable.ArrayBuffer[Byte], v: Long): Unit = {
+      b += ((v >> 24) & 0xff).toByte; b += ((v >> 16) & 0xff).toByte
+      b += ((v >> 8) & 0xff).toByte; b += (v & 0xff).toByte
+    }
+    val good = Jbig2.encode(Array[Byte](1), 1, 1)
+    // patch the page-info segment's dims in place: encode() writes
+    // page info as segment 0 (header 11 bytes, then w at +11, h at +15)
+    val hostile = good.clone()
+    val b = new scala.collection.mutable.ArrayBuffer[Byte]()
+    be32(b, 0xFFFF0000L); be32(b, 0xFFFF0000L)
+    for (k <- b.indices) hostile(11 + k) = b(k)
+    val dec = Jbig2.decode(hostile)           // must not throw
+    dec.foreach { case (w, h, px) =>
+      assert(w == 1 && h == 1 && px.length == 1)
+    }
+
+    // A.2 integer coder: Int-range values round trip exactly; values
+    // ≥ 2^31 (the 32-bit tail reaches 2^32 + 4435) are REJECTED, not
+    // .toInt-aliased into small valid-looking deltas
+    val legal = Seq(0L, 3L, 4L, 19L, 20L, 83L, 84L, 339L, 340L, 4435L,
+      4436L, 100000L, Int.MaxValue.toLong - 1, -1L, -4436L,
+      -(Int.MaxValue.toLong - 1))
+    assert(Jbig2.intCodingRoundTrip(legal) === legal.map(v => Some(v.toInt)))
+    // magnitude ≥ 2^31 − 1 must decline: ≥ 2^31 would .toInt-wrap,
+    // and −(2^31 − 1) is the sentinel itself (−2^31 is OOB's wire
+    // encoding, so the far-negative probe uses −(2^31 + 1))
+    val hostileVals = Seq(Int.MaxValue.toLong, Int.MaxValue.toLong + 1,
+      (1L << 32) - 1, (1L << 32) + 4435, -Int.MaxValue.toLong,
+      -(Int.MaxValue.toLong + 2))
+    assert(Jbig2.intCodingRoundTrip(hostileVals) === hostileVals.map(_ => None))
+  }
 }
