@@ -160,9 +160,26 @@ object Bench {
     // artifact row is the ensure-style re-call — marker check + read
     // path, the per-query overhead every consumer pays.
     val artifactRows: Seq[(String, QueryResult)] =
-      if (only.nonEmpty) Seq.empty
-      else Artifacts.builders.map { case (aname, build) =>
-        timedRow(s"artifact:$aname", () => build(spark, sfDir))
+      only match {
+        case None =>
+          Artifacts.builders.map { case (aname, build) =>
+            timedRow(s"artifact:$aname", () => build(spark, sfDir))
+          }
+        case Some(f) if f.exists(_.startsWith("artifact:")) =>
+          // isolated adjudication of accused artifact rows (the
+          // tripwire's re-run): artifact builds only happen against a
+          // clean root, so clear it and replay the WHOLE registry in
+          // dependency order — timing only the filtered rows, running
+          // the rest untimed — so each timed build measures exactly
+          // what its full-run row measured
+          ArtifactCache.clearRoot()
+          Artifacts.builders.flatMap { case (aname, build) =>
+            val row = s"artifact:$aname"
+            if (f.exists(row.startsWith))
+              Some(timedRow(row, () => build(spark, sfDir)))
+            else { build(spark, sfDir); None }
+          }
+        case _ => Seq.empty
       }
 
     val queryRows = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -233,6 +250,16 @@ object Bench {
         java.nio.file.Files.write(
           dir.resolve(s"BENCH_full.${System.currentTimeMillis()}.json"), payload)
       } catch { case e: Throwable => System.err.println(s"[bench] history archive failed: $e") }
+    } else {
+      // partial runs never touch the default artifact path, but an
+      // EXPLICIT out path (the tripwire's isolated re-run) gets the
+      // partial map — it is marked "partial":true and lives wherever
+      // the caller pointed it, so single-writer discipline holds
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { outPath =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (fullJson + "\n").getBytes("UTF-8"))
+        catch { case e: Throwable => System.err.println(s"[bench] $outPath write failed: $e") }
+      }
     }
     println(fullJson)
     // compact final line: greedily include the heaviest cold entries

@@ -97,9 +97,9 @@ object ImageDedup {
     * is persisted across its t+1 reuses so the decode lineage above
     * it runs once; the CALLER owns releasing that storage after
     * materializing the returned (lazy) frame — `spark.catalog
-    * .clearCache()`, the repo-wide convention the suite and Bench
-    * already follow between queries (same contract as
-    * [[graft.operators.GraphOps.triangleStats]]'s caches).
+    * .clearCache()`, the caller-owned cache-release contract
+    * documented once in ARCHITECTURE.md ("Scale design" §) and shared
+    * with [[graft.operators.GraphOps.triangleStats]].
     *
     * Mega-bucket guard (the [[graft.operators.Dedup]] star-cap
     * discipline, r15 carried task): a corpus of NEAR-blank scans

@@ -81,8 +81,10 @@ object GraphOps {
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // reused by the degree pass, the degree-orientation joins, and the
-    // edge count; storage released by the caller's clearCache (the
-    // repo convention)
+    // edge count; storage released by the caller's clearCache — the
+    // caller-owned cache-release contract documented once in
+    // ARCHITECTURE.md ("Scale design" §), shared with
+    // ImageDedup.nearDupPairs
     val e = orient(edges, srcCol, dstCol).cache()
     val deg = degrees(e)
     val sa = struct(col("da").as("d"), col("a").as("n"))

@@ -35,10 +35,14 @@ import scala.collection.mutable.ArrayBuffer
   * conformance (exact context bit order, table transcription) is
   * pinned only by the spec text itself; the segment layer, region
   * arithmetic, and PDF plumbing are fully exercised. MMR-mode
-  * regions (T.6 coding) decode through [[CcittG4]]; files needing
-  * refinement coding, huffman-coded dictionaries, or transposed/
-  * non-OR text regions stay payload-passthrough (None ⇒ the OCR
-  * seam), never misparsed.
+  * regions (T.6 coding) decode through [[CcittG4]]; **HUFFMAN-coded
+  * symbol dictionaries and text regions** (SDHUFF/SBHUFF = 1, Annex B
+  * standard tables, runcode symbol-ID codes, collective height-class
+  * bitmaps — r17) and **striped pages** (§7.4.8.5 unknown-height
+  * form with end-of-stripe segments — r17) decode too; files needing
+  * refinement coding, custom Huffman tables, the B.7/B.9/B.10/B.12/
+  * B.13 alternates, or transposed/non-OR text regions stay
+  * payload-passthrough (None ⇒ the OCR seam), never misparsed.
   *
   * Bit convention: 1 = black (T.88 foreground), decode returns
   * byte-per-pixel luma (0 black, 255 white) — [[PdfImages.lumaGrid]]
@@ -487,6 +491,236 @@ object Jbig2 {
   /** One decoded symbol bitmap (byte-per-pixel, 1 = black). */
   private final case class Bitmap(w: Int, h: Int, px: Array[Byte])
 
+  // ---- T.88 Annex B: Huffman-coded integers — the OTHER coding mode
+  // real encoders emit (SDHUFF/SBHUFF=1, typical of older hardware
+  // compressors). A table is an ordered list of lines
+  // (PREFLEN, RANGELEN, RANGELOW); prefix codes are assigned
+  // canonically by the B.3 procedure (ascending code length, table
+  // order within a length). kind: 0 = normal line (value = RANGELOW +
+  // RANGELEN bits), 1 = lower range (value = RANGELOW − bits,
+  // descending), 2 = upper range (ascending), 3 = OOB.
+  // Honest caveat (same scope as the MQ tables, Jbig2.scala:33-38):
+  // the standard tables below are transcribed from the spec text with
+  // no reference decoder in the container to conformance-test
+  // against; encoder and decoder share one transcription, so round
+  // trips and oracle replays are exact regardless.
+
+  private final case class HLine(prefLen: Int, rangeLen: Int,
+      rangeLow: Long, kind: Int)
+
+  /** Huffman-decoded sentinels (Long-domain). */
+  private val HOOB = Long.MinValue
+  private val HBAD = Long.MinValue + 1
+
+  private final class HuffTable(val lines: IndexedSeq[HLine]) {
+    // B.3 canonical assignment: codes of length L are consecutive,
+    // starting from (previous length's last code + 1) << 1, walking
+    // lines in TABLE order within each length. PREFLEN 0 = unused.
+    val codes: Array[(Int, Int)] = {                 // (len, code) per line
+      val out = new Array[(Int, Int)](lines.size)
+      val maxLen = if (lines.isEmpty) 0 else lines.map(_.prefLen).max
+      var cur = 0
+      var len = 1
+      while (len <= maxLen) {
+        for (i <- lines.indices if lines(i).prefLen == len) {
+          out(i) = (len, cur)
+          cur += 1
+        }
+        cur <<= 1
+        len += 1
+      }
+      out
+    }
+
+    /** Decode one value from `r`: value, [[HOOB]], or [[HBAD]] on a
+      * code no line owns / reader overrun. */
+    def decode(r: BitReader): Long = {
+      var code = 0
+      var len = 0
+      while (len < 32) {
+        val b = r.bit()
+        if (b < 0) return HBAD
+        code = (code << 1) | b
+        len += 1
+        var i = 0
+        while (i < lines.size) {
+          val ln = lines(i)
+          if (ln.prefLen == len && codes(i) != null &&
+              codes(i)._1 == len && codes(i)._2 == code) {
+            ln.kind match {
+              case 3 => return HOOB
+              case 1 =>
+                val v = r.bits(32); if (v < 0) return HBAD
+                return ln.rangeLow - v
+              case 2 =>
+                val v = r.bits(32); if (v < 0) return HBAD
+                return ln.rangeLow + v
+              case _ =>
+                if (ln.rangeLen == 0) return ln.rangeLow
+                val v = r.bits(ln.rangeLen); if (v < 0) return HBAD
+                return ln.rangeLow + v
+            }
+          }
+          i += 1
+        }
+      }
+      HBAD
+    }
+  }
+
+
+  /** Spec pin: every admitted standard table round-trips its whole
+    * domain (normal lines, range boundaries, lower/upper 32-bit
+    * escapes, OOB) through one bit stream. */
+  private[pipeline] def stdTableRoundTrip(): Boolean = {
+    val cases = Seq(
+      (1, Seq(0L, 15L, 16L, 271L, 272L, 65807L, 65808L, 100000L)),
+      (2, Seq(0L, 1L, 2L, 3L, 10L, 11L, 74L, 75L, 1000L, HOOB)),
+      (4, Seq(1L, 2L, 3L, 4L, 11L, 12L, 75L, 76L, 5000L)),
+      (6, Seq(-2500L, -2049L, -2048L, -128L, -1L, 0L, 31L, 32L, 63L, 64L, 127L, 128L, 2047L, 2048L, 9999L)),
+      (8, Seq(-20L, -16L, -15L, -8L, -7L, -6L, -5L, -4L, -3L, -2L, -1L, 0L, 1L, 2L, 3L, 4L, 19L, 20L, 21L, 22L, 37L, 38L, 69L, 70L, 133L, 134L, 261L, 262L, 389L, 390L, 645L, 646L, 1669L, 1670L, 5000L, HOOB)),
+      (11, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 12L, 13L, 16L, 17L, 20L, 21L, 28L, 29L, 44L, 45L, 76L, 77L, 140L, 141L, 9000L)))
+    var ok = true
+    for ((tn, vals) <- cases) {
+      val t = StdTables(tn)
+      val w = new BitWriter
+      vals.foreach(v => huffEncode(w, t, v))
+      val payload = w.toArray
+      val r = new BitReader(payload, 0, payload.length)
+      val got = vals.map(_ => t.decode(r))
+      if (got != vals) { println(s"TABLE $tn: want $vals got $got"); ok = false }
+    }
+    ok
+  }
+
+  /** MSB-first bit reader over `data[start, end)`; reads past the end
+    * poison the reader (negative returns) instead of fabricating
+    * padding — Huffman mode has no 0xFF-padding convention. */
+  private final class BitReader(data: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var bitk = 0
+    def bit(): Int = {
+      if (pos >= end) return -1
+      val b = (data(pos) >> (7 - bitk)) & 1
+      bitk += 1
+      if (bitk == 8) { bitk = 0; pos += 1 }
+      b
+    }
+    /** `n` bits as a Long, MSB first; −1 on overrun (n ≤ 56). */
+    def bits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        val b = bit()
+        if (b < 0) return -1L
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+    def byteAlign(): Unit = if (bitk != 0) { bitk = 0; pos += 1 }
+    def bytePos: Int = pos
+    /** Jump to an absolute byte offset (collective-bitmap payloads
+      * are byte-counted, not bit-counted). */
+    def seekByte(p: Int): Unit = { pos = p; bitk = 0 }
+  }
+
+  private final class BitWriter {
+    private val out = new ArrayBuffer[Byte]()
+    private var cur = 0
+    private var bitk = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      bitk += 1
+      if (bitk == 8) { out += cur.toByte; cur = 0; bitk = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >> i) & 1).toInt); i -= 1 }
+    }
+    def byteAlign(): Unit = while (bitk != 0) bit(0)
+    def append(bytes: Array[Byte]): Unit = {
+      require(bitk == 0, "append requires byte alignment")
+      out ++= bytes
+    }
+    def toArray: Array[Byte] = {
+      byteAlign()
+      out.toArray
+    }
+  }
+
+  /** Encode `value` with `table` into `w` — the fixture-encoder
+    * inverse of [[HuffTable.decode]]: first line whose range holds
+    * the value wins (standard tables partition their domains). */
+  private def huffEncode(w: BitWriter, t: HuffTable, value: Long): Unit = {
+    // OOB is matched ONLY against the OOB line — the sentinel is
+    // numerically Long.MinValue and would otherwise satisfy any
+    // lower-range check
+    val idx = t.lines.indices.find { i =>
+      val ln = t.lines(i)
+      ln.prefLen > 0 && (ln.kind match {
+        case 3 => value == HOOB
+        case 1 => value != HOOB && value <= ln.rangeLow
+        case 2 => value >= ln.rangeLow
+        case _ =>
+          if (ln.rangeLen == 0) value == ln.rangeLow
+          else value >= ln.rangeLow &&
+            value < ln.rangeLow + (1L << ln.rangeLen)
+      })
+    }.getOrElse(throw new IllegalArgumentException(
+      s"value $value not encodable by this table"))
+    val ln = t.lines(idx)
+    val (len, code) = t.codes(idx)
+    w.bits(code.toLong, len)
+    ln.kind match {
+      case 3 => ()
+      case 1 => w.bits(ln.rangeLow - value, 32)
+      case 2 => w.bits(value - ln.rangeLow, 32)
+      case _ => if (ln.rangeLen > 0) w.bits(value - ln.rangeLow, ln.rangeLen)
+    }
+  }
+
+  private def hl(p: Int, r: Int, lo: Long): HLine = HLine(p, r, lo, 0)
+
+  /** T.88 Annex B standard tables B.1–B.6, B.8, B.11 — the subset the
+    * selector gates below admit (SDHUFFDH 0/1, SDHUFFDW 0/1, BMSIZE 0,
+    * SBHUFFFS 0, SBHUFFDS 0, SBHUFFDT 0); every other selector value
+    * (incl. 3 = custom table segment) declines to passthrough. */
+  private val StdTables: Map[Int, HuffTable] = Map(
+    1 -> new HuffTable(Vector(
+      hl(1, 4, 0), hl(2, 8, 16), hl(3, 16, 272),
+      HLine(3, 32, 65808L, 2))),
+    2 -> new HuffTable(Vector(
+      hl(1, 0, 0), hl(2, 0, 1), hl(3, 0, 2), hl(4, 3, 3), hl(5, 6, 11),
+      HLine(6, 32, 75, 2), HLine(6, 0, 0, 3))),
+    3 -> new HuffTable(Vector(
+      hl(8, 8, -256), hl(1, 0, 0), hl(2, 0, 1), hl(3, 0, 2), hl(4, 3, 3),
+      hl(5, 6, 11), HLine(8, 32, -257, 1), HLine(7, 32, 75, 2),
+      HLine(6, 0, 0, 3))),
+    4 -> new HuffTable(Vector(
+      hl(1, 0, 1), hl(2, 0, 2), hl(3, 0, 3), hl(4, 3, 4), hl(5, 6, 12),
+      HLine(5, 32, 76, 2))),
+    5 -> new HuffTable(Vector(
+      hl(7, 8, -255), hl(1, 0, 1), hl(2, 0, 2), hl(3, 0, 3), hl(4, 3, 4),
+      hl(5, 6, 12), HLine(7, 32, -256, 1), HLine(6, 32, 76, 2))),
+    6 -> new HuffTable(Vector(
+      hl(5, 10, -2048), hl(4, 9, -1024), hl(4, 8, -512), hl(4, 7, -256),
+      hl(5, 6, -128), hl(5, 5, -64), hl(4, 5, -32), hl(2, 7, 0),
+      hl(3, 7, 128), hl(3, 8, 256), hl(4, 9, 512), hl(4, 10, 1024),
+      HLine(6, 32, -2049, 1), HLine(6, 32, 2048, 2))),
+    8 -> new HuffTable(Vector(
+      hl(8, 3, -15), hl(9, 1, -7), hl(8, 1, -5), hl(9, 0, -3),
+      hl(7, 0, -2), hl(4, 0, -1), hl(2, 1, 0), hl(5, 0, 2), hl(6, 0, 3),
+      hl(3, 4, 4), hl(6, 1, 20), hl(4, 4, 22), hl(4, 5, 38),
+      hl(5, 6, 70), hl(5, 7, 134), hl(6, 7, 262), hl(7, 8, 390),
+      hl(6, 10, 646), HLine(9, 32, -16, 1), HLine(9, 32, 1670, 2),
+      HLine(2, 0, 0, 3))),
+    11 -> new HuffTable(Vector(
+      hl(1, 0, 1), hl(2, 1, 2), hl(4, 0, 4), hl(4, 1, 5), hl(5, 1, 7),
+      hl(5, 2, 9), hl(6, 2, 13), hl(7, 2, 17), hl(7, 3, 21),
+      hl(7, 4, 29), hl(7, 5, 45), hl(7, 6, 77),
+      HLine(7, 32, 141, 2))))
+
   private def symCodeLenOf(numSyms: Int): Int = {
     var len = 0
     while ((1 << len) < numSyms) len += 1
@@ -589,6 +823,200 @@ object Jbig2 {
     val order = syms.zipWithIndex.toSeq
       .groupBy(_._1.h).toSeq.sortBy(_._1)
       .flatMap(_._2.map(_._2))
+    val ids = new Array[Int](syms.size)
+    for ((origIdx, exId) <- order.zipWithIndex) ids(origIdx) = exId
+    ids
+  }
+
+  // ---- Huffman-coded symbol dictionary (T.88 §6.5, SDHUFF=1,
+  // SDREFAGG=0): height-class deltas and width deltas are
+  // Huffman-coded with the selected standard tables, and each height
+  // class's symbol bitmaps are decoded COLLECTIVELY (§6.5.9): BMSIZE
+  // (table B.1), byte-align, then either an UNCOMPRESSED bitmap
+  // (BMSIZE = 0: HCHEIGHT rows of ceil(TOTWIDTH/8) bytes) or an
+  // MMR-coded one (T.6 — the CcittG4 codec this library has), split
+  // into symbols by their decoded widths.
+
+  private def decodeSymbolDictHuff(
+      data: Array[Byte], start: Int, end: Int,
+      numNew: Int, numEx: Int,
+      input: IndexedSeq[Bitmap],
+      dhTab: HuffTable, dwTab: HuffTable): Option[IndexedSeq[Bitmap]] = {
+    if (numNew < 0 || numNew > 4096 || numEx < 0 || numEx > 8192) return None
+    val r = new BitReader(data, start, end)
+    val bmTab = StdTables(1)
+    val newSyms = new ArrayBuffer[Bitmap](numNew)
+    var hcHeight = 0
+    var totalPx = 0L
+    var classes = 0
+    while (newSyms.size < numNew) {
+      classes += 1
+      if (classes > numNew + 64) return None
+      val dh = dhTab.decode(r)
+      if (dh == HOOB || dh == HBAD) return None
+      hcHeight += dh.toInt
+      if (dh > 4096 || hcHeight <= 0 || hcHeight > 4096) return None
+      // width pass: collect the class's widths (bitmaps come after,
+      // collectively)
+      var symWidth = 0
+      var totWidth = 0L
+      val widths = new ArrayBuffer[Int]()
+      var classDone = false
+      while (!classDone) {
+        val dw = dwTab.decode(r)
+        if (dw == HBAD) return None
+        if (dw == HOOB) classDone = true
+        else {
+          if (dw > 4096 || dw < -4096) return None
+          symWidth += dw.toInt
+          totWidth += symWidth
+          totalPx += symWidth.toLong * hcHeight
+          if (symWidth <= 0 || symWidth > 4096 || totWidth > (1 << 20) ||
+            totalPx > (1L << 26) ||
+            newSyms.size + widths.size >= numNew + 1) return None
+          widths += symWidth
+        }
+      }
+      if (widths.isEmpty) return None         // every legal class carries >= 1
+      // collective bitmap (§6.5.9)
+      val bmSize = bmTab.decode(r)
+      if (bmSize == HOOB || bmSize == HBAD || bmSize < 0 ||
+        bmSize > (end - start)) return None
+      r.byteAlign()
+      val tw = totWidth.toInt
+      val rowBytes = (tw + 7) / 8
+      val coll: Array[Byte] =
+        if (bmSize == 0) {
+          // uncompressed, rows byte-aligned, MSB-first, 1 = black
+          if (r.bytePos + rowBytes.toLong * hcHeight > end) return None
+          val px = new Array[Byte](tw * hcHeight)
+          var y = 0
+          while (y < hcHeight) {
+            val base = r.bytePos + y * rowBytes
+            var x = 0
+            while (x < tw) {
+              px(y * tw + x) =
+                ((data(base + (x >> 3)) >> (7 - (x & 7))) & 1).toByte
+              x += 1
+            }
+            y += 1
+          }
+          r.seekByte(r.bytePos + rowBytes * hcHeight)
+          px
+        } else {
+          val from = r.bytePos
+          if (from + bmSize > end) return None
+          CcittG4.decode(
+            java.util.Arrays.copyOfRange(data, from, from + bmSize.toInt),
+            tw, hcHeight) match {
+            case None => return None
+            case Some(luma) =>
+              r.seekByte(from + bmSize.toInt)
+              luma.map(b => (if ((b & 0xff) == 0) 1 else 0).toByte)
+          }
+        }
+      // split by widths
+      var x0 = 0
+      for (w <- widths) {
+        val px = new Array[Byte](w * hcHeight)
+        var y = 0
+        while (y < hcHeight) {
+          System.arraycopy(coll, y * tw + x0, px, y * w, w)
+          y += 1
+        }
+        newSyms += Bitmap(w, hcHeight, px)
+        x0 += w
+      }
+    }
+    // export runs (§6.5.10): table B.1 in Huffman mode
+    val exTab = StdTables(1)
+    val all = input ++ newSyms
+    val ex = new ArrayBuffer[Bitmap](numEx)
+    var i = 0
+    var curFlag = false
+    var guard = 0
+    while (i < all.size && guard < 4096) {
+      guard += 1
+      val run = exTab.decode(r)
+      if (run == HOOB || run == HBAD || run < 0 || i + run > all.size)
+        return None
+      if (curFlag) ex ++= all.slice(i, i + run.toInt)
+      i += run.toInt
+      curFlag = !curFlag
+    }
+    if (ex.size != numEx) return None
+    Some(ex.toIndexedSeq)
+  }
+
+  /** Huffman fixture encoder: one height class per distinct height
+    * (ascending), widths ASCENDING within a class (table B.2 has no
+    * lower range — DW must be ≥ 0), collective bitmaps MMR-coded for
+    * even `docParity`, uncompressed for odd; DH = B.4, DW = B.2,
+    * BMSIZE = B.1. Exports all. */
+  private def encodeSymbolDictHuff(
+      syms: Seq[Bitmap], mmr: Boolean): Array[Byte] = {
+    val w = new BitWriter
+    val dhTab = StdTables(4); val dwTab = StdTables(2); val bmTab = StdTables(1)
+    var prevH = 0
+    for ((h, group0) <- syms.groupBy(_.h).toSeq.sortBy(_._1)) {
+      val group = group0.sortBy(_.w)
+      huffEncode(w, dhTab, h - prevH)
+      prevH = h
+      var prevW = 0
+      for (sym <- group) {
+        huffEncode(w, dwTab, sym.w - prevW)
+        prevW = sym.w
+      }
+      huffEncode(w, dwTab, HOOB)
+      // collective bitmap
+      val tw = group.map(_.w).sum
+      val coll = new Array[Byte](tw * h)
+      var x0 = 0
+      for (sym <- group) {
+        var y = 0
+        while (y < h) {
+          System.arraycopy(sym.px, y * sym.w, coll, y * tw + x0, sym.w)
+          y += 1
+        }
+        x0 += sym.w
+      }
+      if (mmr) {
+        val payload = CcittG4.encode(
+          coll.map(v => (if ((v & 1) == 1) 0 else 255).toByte), tw, h)
+        huffEncode(w, bmTab, payload.length.toLong)
+        w.byteAlign()
+        w.append(payload)
+      } else {
+        huffEncode(w, bmTab, 0L)
+        w.byteAlign()
+        val rowBytes = (tw + 7) / 8
+        val bytes = new Array[Byte](rowBytes * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < tw) {
+            if ((coll(y * tw + x) & 1) == 1)
+              bytes(y * rowBytes + (x >> 3)) =
+                (bytes(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+            x += 1
+          }
+          y += 1
+        }
+        w.append(bytes)
+      }
+    }
+    huffEncode(w, StdTables(1), 0L)           // flag-0 run: export none…
+    huffEncode(w, StdTables(1), syms.size.toLong) // …then export all new
+    w.toArray
+  }
+
+  /** Export order of [[encodeSymbolDictHuff]] (height asc, width asc
+    * within a class, stable) — the IDs a Huffman text region must
+    * use. */
+  private def exportOrderHuff(syms: Seq[Bitmap]): Array[Int] = {
+    val order = syms.zipWithIndex
+      .sortBy { case (b, i) => (b.h, b.w, i) }
+      .map(_._2)
     val ids = new Array[Int](syms.size)
     for ((origIdx, exId) <- order.zipWithIndex) ids(origIdx) = exId
     ids
@@ -707,6 +1135,238 @@ object Jbig2 {
       encodeInt(mq, ia, IADS, OOB)
     }
     mq.flush()
+  }
+
+  // ---- Huffman-coded text region (T.88 §6.4, SBHUFF=1): FS/DS/DT
+  // from the selected standard tables, in-strip T as raw
+  // LOG2(SBSTRIPS) bits, and symbol IDs through the RUNCODE-built
+  // Huffman table of §7.4.3.1.7 (35 runcode prefix lengths of 4 bits
+  // each; runcodes 0-31 are literal code lengths, 32 repeats the
+  // previous length 3+bits(2) times, 33 emits 3+bits(3) zero lengths,
+  // 34 emits 11+bits(7) zero lengths; then byte-align).
+
+  private def decodeSymbolIdTable(
+      r: BitReader, nsyms: Int): Option[HuffTable] = {
+    val runLines = Vector.tabulate(35) { i =>
+      val p = r.bits(4)
+      if (p < 0) return None
+      HLine(p.toInt, 0, i.toLong, 0)
+    }
+    val runTab = new HuffTable(runLines)
+    val lens = new Array[Int](nsyms)
+    var i = 0
+    var prev = -1
+    var guard = 0
+    while (i < nsyms && guard < nsyms * 4 + 64) {
+      guard += 1
+      val code = runTab.decode(r)
+      if (code == HOOB || code == HBAD || code < 0 || code > 34) return None
+      if (code < 32) { lens(i) = code.toInt; prev = code.toInt; i += 1 }
+      else {
+        val (rep, len) = code match {
+          case 32 =>
+            if (prev < 0) return None
+            val n = r.bits(2); if (n < 0) return None; (n + 3, prev)
+          case 33 =>
+            val n = r.bits(3); if (n < 0) return None; (n + 3, 0)
+          case _ =>
+            val n = r.bits(7); if (n < 0) return None; (n + 11, 0)
+        }
+        if (i + rep > nsyms) return None
+        var k = 0
+        while (k < rep) { lens(i) = len; i += 1; k += 1 }
+      }
+    }
+    if (i != nsyms) return None
+    r.byteAlign()
+    Some(new HuffTable(Vector.tabulate(nsyms)(k =>
+      HLine(lens(k), 0, k.toLong, 0))))
+  }
+
+  private def decodeTextRegionHuff(
+      data: Array[Byte], start: Int, end: Int, w: Int, h: Int,
+      numInstances: Int, logStrips: Int, refCorner: Int, dsOffset: Int,
+      syms: IndexedSeq[Bitmap],
+      fsTab: HuffTable, dsTab: HuffTable, dtTab: HuffTable)
+      : Option[Array[Byte]] = {
+    if (syms.isEmpty || numInstances < 0 || numInstances > (1 << 20)) return None
+    val strips = 1 << logStrips
+    val r = new BitReader(data, start, end)
+    val idTab = decodeSymbolIdTable(r, syms.size).getOrElse(return None)
+    val px = new Array[Byte](w * h)
+    val dt0 = dtTab.decode(r)
+    if (dt0 == HOOB || dt0 == HBAD || dt0 < -(1 << 20) || dt0 > (1 << 20))
+      return None
+    var stript = (-dt0).toInt * strips
+    var firsts = 0
+    var inst = 0
+    var guard = 0
+    while (inst < numInstances && guard < (numInstances + 2) * 2) {
+      guard += 1
+      val dt = dtTab.decode(r)
+      if (dt == HOOB || dt == HBAD || dt < 0 || dt > (1 << 20)) return None
+      stript += dt.toInt * strips
+      var curs = 0
+      var firstSym = true
+      var stripDone = false
+      while (!stripDone && inst < numInstances) {
+        if (firstSym) {
+          val dfs = fsTab.decode(r)
+          if (dfs == HOOB || dfs == HBAD ||
+            dfs < -(1 << 20) || dfs > (1 << 20)) return None
+          firsts += dfs.toInt
+          curs = firsts
+          firstSym = false
+        } else {
+          val ids = dsTab.decode(r)
+          if (ids == HBAD) return None
+          if (ids == HOOB) stripDone = true
+          else if (ids < -(1 << 20) || ids > (1 << 20)) return None
+          else curs += ids.toInt + dsOffset
+        }
+        if (!stripDone) {
+          val curt = if (strips == 1) 0L else r.bits(logStrips)
+          if (curt < 0) return None
+          val ti = stript + curt.toInt
+          val id = idTab.decode(r)
+          if (id == HOOB || id == HBAD || id < 0 || id >= syms.size) return None
+          val sb = syms(id.toInt)
+          val top = if (refCorner == 1) ti else ti - sb.h + 1
+          var yy = 0
+          while (yy < sb.h) {
+            val py = top + yy
+            if (py >= 0 && py < h) {
+              var xx = 0
+              while (xx < sb.w) {
+                val pxx = curs + xx
+                if (pxx >= 0 && pxx < w && (sb.px(yy * sb.w + xx) & 1) == 1)
+                  px(py * w + pxx) = 1
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          curs += sb.w - 1
+          inst += 1
+        }
+      }
+    }
+    Some(px)
+  }
+
+  /** Huffman fixture encoder for text-region data: fixed-length
+    * symbol codes (every symbol gets length ceil(log2 n) — emitted as
+    * one 1-bit runcode per symbol through a runcode table whose only
+    * used prefix is that literal), FS = B.6, DS = B.8, DT = B.11.
+    * B.11 carries no zero, so STRIPT initializes to −SBSTRIPS (DT0 =
+    * 1) and every strip delta is ≥ 1. */
+  private def encodeTextRegionDataHuff(
+      syms: Seq[Bitmap], placements: Seq[(Int, Int, Int)],
+      logStrips: Int, refCorner: Int): Array[Byte] = {
+    val symCodeLen = symCodeLenOf(syms.size)
+    require(symCodeLen <= MaxSymCodeLen, s"too many symbols: ${syms.size}")
+    val strips = 1 << logStrips
+    val w = new BitWriter
+    // runcode prefix lengths: only the literal `symCodeLen` is used
+    for (i <- 0 until 35) w.bits(if (i == symCodeLen) 1L else 0L, 4)
+    // every symbol: that literal (its canonical code is the single
+    // 1-bit code 0)
+    for (_ <- syms.indices) w.bit(0)
+    w.byteAlign()
+    val fsTab = StdTables(6); val dsTab = StdTables(8); val dtTab = StdTables(11)
+    val coords = placements.map { case (sym, x, y) =>
+      val t = if (refCorner == 1) y else y + syms(sym).h - 1
+      require(t >= 0, s"negative T for placement ($sym, $x, $y)")
+      (sym, x, t, (t / strips) * strips)
+    }
+    huffEncode(w, dtTab, 1L)                  // STRIPT = -SBSTRIPS
+    var prevT = -strips
+    var firsts = 0
+    for ((stripT, ps0) <- coords.groupBy(_._4).toSeq.sortBy(_._1)) {
+      val ps = ps0.sortBy(_._2)
+      huffEncode(w, dtTab, ((stripT - prevT) / strips).toLong)
+      prevT = stripT
+      var curs = 0
+      var first = true
+      for ((sym, s, t, _) <- ps) {
+        if (first) {
+          huffEncode(w, fsTab, (s - firsts).toLong)
+          firsts = s
+          first = false
+        } else huffEncode(w, dsTab, (s - curs).toLong)
+        curs = s
+        if (strips > 1) w.bits((t - stripT).toLong, logStrips)
+        w.bits(sym.toLong, symCodeLen)
+        curs += syms(sym).w - 1
+      }
+      huffEncode(w, dsTab, HOOB)
+    }
+    w.toArray
+  }
+
+  /** Encode a TEXT page in HUFFMAN mode (SDHUFF=1 / SBHUFF=1) — the
+    * layout older hardware encoders emit. Same API as [[encodeText]];
+    * `mmrCollective` picks MMR vs uncompressed height-class
+    * collective bitmaps (§6.5.9, both real shapes). Standard tables
+    * only (DH=B.4, DW=B.2, BMSIZE=B.1, EX=B.1; FS=B.6, DS=B.8,
+    * DT=B.11). */
+  def encodeTextHuff(
+      w: Int, h: Int,
+      symbols: Seq[(Int, Int, Array[Byte])],
+      placements: Seq[(Int, Int, Int)],
+      separateGlobals: Boolean = false,
+      logStrips: Int = 0,
+      refCorner: Int = 1,
+      mmrCollective: Boolean = false): (Array[Byte], Array[Byte]) = {
+    require(w > 0 && h > 0 && symbols.nonEmpty, "need dimensions and symbols")
+    require(logStrips >= 0 && logStrips <= 3, s"logStrips in [0,3]: $logStrips")
+    require(refCorner == 0 || refCorner == 1, "BOTTOMLEFT(0) or TOPLEFT(1)")
+    require(symbols.forall { case (sw, sh, px) =>
+      sw > 0 && sh > 0 && px.length == sw * sh }, "malformed symbol bitmap")
+    require(placements.forall(_._1 >= 0) &&
+      placements.forall(_._1 < symbols.size), "placement symbol out of range")
+    val bms = symbols.map { case (sw, sh, px) =>
+      Bitmap(sw, sh, px.map(b => (if (b != 0) 1 else 0).toByte))
+    }
+    val ids = exportOrderHuff(bms)
+    val sorted = bms.zipWithIndex.sortBy(p => ids(p._2)).map(_._1)
+    val remapped = placements.map { case (s, x, y) => (ids(s), x, y) }
+
+    val dictData = {
+      val b = new ArrayBuffer[Byte]()
+      // flags: SDHUFF=1, SDREFAGG=0, SDHUFFDH=0 (B.4), SDHUFFDW=0
+      // (B.2), SDHUFFBMSIZE=0 (B.1), SDHUFFAGGINST=0, template 0.
+      // No AT bytes in Huffman mode.
+      b += 0; b += 1
+      be32(b, sorted.size)                    // SDNUMEXSYMS
+      be32(b, sorted.size)                    // SDNUMNEWSYMS
+      b ++= encodeSymbolDictHuff(sorted, mmrCollective)
+      b
+    }
+    val textData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0); be32(b, 0); b += 0  // region info
+      // text flags: SBHUFF=1, rest as the arithmetic encoder
+      val flags = 1 | ((logStrips & 3) << 2) | ((refCorner & 3) << 4)
+      b += ((flags >> 8) & 0xff).toByte; b += (flags & 0xff).toByte
+      // huffman flags: SBHUFFFS=0 (B.6), SBHUFFDS=0 (B.8),
+      // SBHUFFDT=0 (B.11), refinement selectors 0
+      b += 0; b += 0
+      be32(b, remapped.size)                  // SBNUMINSTANCES
+      b ++= encodeTextRegionDataHuff(sorted, remapped, logStrips, refCorner)
+      b
+    }
+    val pageData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0xffffffffL); be32(b, 0xffffffffL)
+      b += 0; b += 0; b += 0                  // page flags + striping
+      b
+    }
+    val dictSeg = segment(0, 0, dictData)
+    val rest = segment(1, 48, pageData) ++
+      segment(2, 6, textData, refs = Seq(0L))
+    if (separateGlobals) (rest.toArray, dictSeg.toArray)
+    else ((dictSeg ++ rest).toArray, Array.empty[Byte])
   }
 
   // ---- embedded segment layer (§7.2): the PDF-stream subset.
@@ -876,6 +1536,60 @@ object Jbig2 {
     segs.toArray
   }
 
+  /** Encode a bitmap as a STRIPED page (§7.4.8.5): page info with
+    * width but UNKNOWN height (0xFFFFFFFF, striped bit + max stripe
+    * size set), one immediate generic region per `stripeH`-row
+    * stripe at its y offset, each followed by an end-of-stripe
+    * segment (type 50) carrying the stripe's last row — the layout
+    * real scanner encoders emit when the page height isn't known up
+    * front. Decodes identically to [[encode]] of the same pixels. */
+  def encodeStriped(pixels: Array[Byte], w: Int, h: Int,
+      stripeH: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h,
+      s"need $w x $h pixels, got ${pixels.length}")
+    require(stripeH > 0 && stripeH <= 0x7fff, s"stripe height: $stripeH")
+    val pageData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, 0xffffffffL)
+      be32(b, 0xffffffffL); be32(b, 0xffffffffL)
+      b += 0                                  // page flags
+      val striping = 0x8000 | stripeH
+      b += ((striping >> 8) & 0xff).toByte; b += (striping & 0xff).toByte
+      b
+    }
+    var segs = segment(0, 48, pageData)
+    var num = 1L
+    var y0 = 0
+    while (y0 < h) {
+      val sh = math.min(stripeH, h - y0)
+      val bits = new Array[Byte](w * sh)
+      var any = false
+      var i = 0
+      while (i < bits.length) {
+        if (pixels(y0 * w + i) != 0) { bits(i) = 1; any = true }
+        i += 1
+      }
+      // an all-white stripe carries NO region — just its end-of-stripe
+      // marker (what a real encoder does; the marker alone pins the
+      // page height past blank trailing stripes)
+      if (any) {
+        val b = new ArrayBuffer[Byte]()
+        be32(b, w); be32(b, sh); be32(b, 0); be32(b, y0); b += 0
+        b += 0                                // generic flags: MQ, template 0
+        b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+        b ++= encodeGeneric(bits, w, sh, tpgdon = false)
+        segs = segs ++ segment(num, 38, b)
+        num += 1
+      }
+      val eos = new ArrayBuffer[Byte]()
+      be32(eos, y0 + sh - 1)                  // last row of this stripe
+      segs = segs ++ segment(num, 50, eos)
+      num += 1
+      y0 += sh
+    }
+    segs.toArray
+  }
+
   /** Decode an embedded JBIG2 stream to (width, height,
     * byte-per-pixel 1=black) — the PAGE when page info carries real
     * dimensions (all regions OR-composited at their offsets), else
@@ -910,9 +1624,11 @@ object Jbig2 {
     * OR-composites onto the page bitmap at its region-info (x, y)
     * offset — the multi-region layout real encoders emit (one text
     * region per text block, generic regions for halftones) — and the
-    * composed page returns after the walk; without usable page dims
-    * (absent, or the 0xFFFFFFFF striped-height form) the FIRST
-    * decodable region returns alone, the pre-r16 behavior. */
+    * composed page returns after the walk. The 0xFFFFFFFF
+    * striped-height form (striped bit set) accumulates regions and
+    * end-of-stripe rows and finalizes the height at walk end (r17);
+    * with NO page info at all the first decodable region returns
+    * alone, the pre-r16 behavior. */
   private def walk(
       data: Array[Byte],
       dicts: scala.collection.mutable.Map[Long, IndexedSeq[Bitmap]])
@@ -920,6 +1636,16 @@ object Jbig2 {
     var page: Option[(Int, Int, Array[Byte])] = None
     var composed = false
     var poisoned = false                      // hostile offsets: decline the STREAM
+    // STRIPED page mode (§7.4.8.5): page info carries real width but
+    // UNKNOWN height (0xFFFFFFFF) with the striped bit set — regions
+    // accumulate with their offsets, end-of-stripe segments (type 50)
+    // pin stripe boundaries, and the final height is the max of both
+    // when the walk completes.
+    var stripedW = -1
+    var stripedPx = 0L
+    var stripedBottom = 0L
+    val stripedRegions =
+      new ArrayBuffer[(Int, Int, Array[Byte], Int, Int)]()  // (w,h,px,x,y)
     /** OR a decoded region into the page at (rx, ry), clipped; when
       * no page exists the region IS the result. None = keep walking.
       * A page WITH a region whose offset is out of sane range poisons
@@ -947,6 +1673,17 @@ object Jbig2 {
             }
             composed = true
             None
+          }
+        case None if stripedW > 0 =>
+          if (rx > (1L << 20) || ry > (1L << 20)) { poisoned = true; None }
+          else {
+            stripedPx += rw.toLong * rh
+            if (stripedPx > (1L << 26)) { poisoned = true; None }
+            else {
+              stripedRegions += ((rw, rh, rpx, rx.toInt, ry.toInt))
+              stripedBottom = math.max(stripedBottom, ry + rh)
+              None
+            }
           }
         case None => Some((rw, rh, rpx))
       }
@@ -994,23 +1731,46 @@ object Jbig2 {
         // dictionaries are SKIPPED (not stored): a region referring
         // to them then fails cleanly instead of the whole stream
         // being rejected up front.
-        if (dataLen >= 18) {
+        if (dataLen >= 10) {
           val sdFlags = ((data(j) & 0xff) << 8) | (data(j + 1) & 0xff)
           val sdHuff = (sdFlags & 1) != 0
           val sdRefAgg = (sdFlags & 2) != 0
+          val huffDH = (sdFlags >> 2) & 3
+          val huffDW = (sdFlags >> 4) & 3
+          val huffBm = (sdFlags >> 6) & 1
+          val huffAgg = (sdFlags >> 7) & 1
           val template = (sdFlags >> 10) & 3
-          val at = data.slice(j + 2, j + 10)
-          val nominal = at.length == 8 &&
-            at(0) == 3 && at(1) == -1 && at(2) == -3 && at(3) == -1 &&
-            at(4) == 2 && at(5) == -2 && at(6) == -2 && at(7) == -2
-          if (!sdHuff && !sdRefAgg && template == 0 && nominal) {
-            val numEx = rdBe32(data, j + 10)
-            val numNew = rdBe32(data, j + 14)
-            if (numEx <= 8192 && numNew <= 4096) {
-              val input = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
-              decodeSymbolDict(data, j + 18, segEnd,
-                numNew.toInt, numEx.toInt, input)
-                .foreach(ex => dicts(segNum) = ex)
+          if (sdHuff) {
+            // Huffman mode (§7.4.3.1.1): NO AT bytes; selectors must
+            // name the standard tables this subset carries (custom
+            // table segments — selector 3 / B-flag 1 — decline, the
+            // dictionary is skipped and dependent regions fail clean)
+            if (!sdRefAgg && huffDH <= 1 && huffDW <= 1 &&
+                huffBm == 0 && huffAgg == 0) {
+              val numEx = rdBe32(data, j + 2)
+              val numNew = rdBe32(data, j + 6)
+              if (numEx <= 8192 && numNew <= 4096) {
+                val input = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
+                decodeSymbolDictHuff(data, j + 10, segEnd,
+                  numNew.toInt, numEx.toInt, input,
+                  StdTables(4 + huffDH), StdTables(2 + huffDW))
+                  .foreach(ex => dicts(segNum) = ex)
+              }
+            }
+          } else if (dataLen >= 18) {
+            val at = data.slice(j + 2, j + 10)
+            val nominal = at.length == 8 &&
+              at(0) == 3 && at(1) == -1 && at(2) == -3 && at(3) == -1 &&
+              at(4) == 2 && at(5) == -2 && at(6) == -2 && at(7) == -2
+            if (!sdRefAgg && template == 0 && nominal) {
+              val numEx = rdBe32(data, j + 10)
+              val numNew = rdBe32(data, j + 14)
+              if (numEx <= 8192 && numNew <= 4096) {
+                val input = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
+                decodeSymbolDict(data, j + 18, segEnd,
+                  numNew.toInt, numEx.toInt, input)
+                  .foreach(ex => dicts(segNum) = ex)
+              }
             }
           }
         }
@@ -1032,14 +1792,35 @@ object Jbig2 {
         val defPixel = (tf >> 9) & 1
         var dsOffset = (tf >> 10) & 0x1f
         if (dsOffset > 15) dsOffset -= 32     // signed 5-bit
-        if (sbHuff || sbRefine || transposed || combOp != 0 ||
-          defPixel != 0) return None
+        if (sbRefine || transposed || combOp != 0 || defPixel != 0)
+          return None
         if (refCorner != 0 && refCorner != 1) return None  // BL/TL only
-        val numInstances = rdBe32(data, j + 19)
-        if (numInstances > (1L << 20)) return None
-        val syms = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
-        decodeTextRegion(data, j + 23, segEnd, w, h,
-          numInstances.toInt, logStrips, refCorner, dsOffset, syms) match {
+        val decoded: Option[Array[Byte]] =
+          if (sbHuff) {
+            // Huffman flags (§7.4.4.1.2, present only when SBHUFF=1):
+            // only the FIRST standard table per selector is in
+            // subset (FS=B.6, DS=B.8, DT=B.11) — the B.7/B.9/B.10/
+            // B.12/B.13 alternates and custom tables decline
+            if (dataLen < 25) return None
+            val hf = ((data(j + 19) & 0xff) << 8) | (data(j + 20) & 0xff)
+            val selFs = hf & 3
+            val selDs = (hf >> 2) & 3
+            val selDt = (hf >> 4) & 3
+            if (selFs != 0 || selDs != 0 || selDt != 0) return None
+            val numInstances = rdBe32(data, j + 21)
+            if (numInstances > (1L << 20)) return None
+            val syms = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
+            decodeTextRegionHuff(data, j + 25, segEnd, w, h,
+              numInstances.toInt, logStrips, refCorner, dsOffset, syms,
+              StdTables(6), StdTables(8), StdTables(11))
+          } else {
+            val numInstances = rdBe32(data, j + 19)
+            if (numInstances > (1L << 20)) return None
+            val syms = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
+            decodeTextRegion(data, j + 23, segEnd, w, h,
+              numInstances.toInt, logStrips, refCorner, dsOffset, syms)
+          }
+        decoded match {
           case None => return None
           case Some(rpx) =>
             finish(w, h, rpx, rdBe32(data, j + 8), rdBe32(data, j + 12))
@@ -1047,7 +1828,9 @@ object Jbig2 {
         }
       } else if (segType == 48) {
         // page info (§7.4.8): width, height; the striped/unknown
-        // height form (0xFFFFFFFF) keeps first-region mode
+        // height form (height 0xFFFFFFFF + striped bit) switches to
+        // stripe accumulation — real scanner output at large page
+        // sizes (the encoder cannot know the height up front)
         if (dataLen >= 8) {
           val pw = rdBe32(data, j)
           val ph = rdBe32(data, j + 4)
@@ -1059,6 +1842,19 @@ object Jbig2 {
               pw * ph <= (1L << 26))
             page = Some((pw.toInt, ph.toInt,
               new Array[Byte]((pw * ph).toInt)))
+          else if (pw > 0 && pw <= (1L << 20) && ph == 0xffffffffL &&
+              dataLen >= 19 &&
+              (((data(j + 17) & 0xff) << 8) | (data(j + 18) & 0xff)) >= 0x8000)
+            stripedW = pw.toInt
+        }
+      } else if (segType == 50) {
+        // end of stripe (§7.4.9): 4-byte row number of the stripe's
+        // LAST row — pins the final page height even when the last
+        // stripe's regions end short
+        if (dataLen >= 4 && stripedW > 0) {
+          val endRow = rdBe32(data, j)
+          if (endRow > (1L << 20)) return None
+          stripedBottom = math.max(stripedBottom, endRow + 1)
         }
       } else if (segType == 36 || segType == 38 || segType == 39) {
         // region info (17) + generic flags (1); MQ regions carry 8
@@ -1101,6 +1897,33 @@ object Jbig2 {
     }
     if (poisoned || guard >= (1 << 16)) None
     else if (composed) page
+    else if (stripedW > 0 && stripedBottom > 0) {
+      // finalize the striped page: height = max stripe end / region
+      // bottom, bounded like a fixed page
+      val ph = stripedBottom
+      if (ph <= 0 || ph > (1L << 20) || stripedW.toLong * ph > (1L << 26)) None
+      else {
+        val pw = stripedW
+        val ppx = new Array[Byte]((pw * ph).toInt)
+        for ((rw, rh, rpx, rx, ry) <- stripedRegions) {
+          var yy = 0
+          while (yy < rh) {
+            val py = ry + yy
+            if (py < ph) {
+              var xx = 0
+              while (xx < rw) {
+                val pxx = rx + xx
+                if (pxx < pw && (rpx(yy * rw + xx) & 1) == 1)
+                  ppx(py * pw + pxx) = 1
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+        }
+        Some((pw, ph.toInt, ppx))
+      }
+    }
     else None
   }
 

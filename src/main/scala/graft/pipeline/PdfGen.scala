@@ -588,6 +588,73 @@ object PdfGen {
         deflate(cs.getBytes(StandardCharsets.ISO_8859_1)))))
   }
 
+  /** Image-only PDF in the CIE `/Lab` colorspace (closed-form
+    * §8.6.5.4): 16×16, samples BY FORMULA (salt 359); even ids carry
+    * the `[/Lab <<…>>]` array directly (default `/Range`), odd ids
+    * behind an object reference with an explicit `/Range` — the q356
+    * oracle recomputes the full Lab → linear-sRGB conversion in SQL.
+    */
+  def labPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    val raw = Array.tabulate(W * H * 3) { q =>
+      (graft.operators.Sampling.hashBitsScalar(docId * 768L + q, 359L) % 256L).toByte
+    }
+    val indirect = math.floorMod(docId, 2L) == 1L
+    val labArr =
+      if (indirect)
+        "[/Lab << /WhitePoint [0.9505 1 1.089] /Range [-128 127 -128 127] >>]"
+      else "[/Lab << /WhitePoint [0.9505 1 1.089] >>]"
+    val csDecl =
+      if (indirect) "/ColorSpace 7 0 R " else s"/ColorSpace $labArr "
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      (if (indirect) Seq(s"7 0 obj $labArr endobj\n") else Seq.empty) ++ Seq(
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        s"$csDecl/BitsPerComponent 8 /Filter /FlateDecode ", deflate(raw)),
+      streamObj(100, "", paint)))
+  }
+
+  /** Image-only PDF whose raster carries an `/SMask` soft mask (PDF
+    * 32000-1 §11.6.5.2): the 16×16 base (gray for even ids, salt
+    * 360; RGB for odd, salt 360 over 768) composites through an
+    * 8×8 gray mask (salt 361 — half-size, exercising the
+    * nearest-neighbor sampling §11.6.5.3 allows). The q357 oracle
+    * recomputes `out = (v·m + 255·(255−m) + 127) / 255` per
+    * component in SQL. */
+  def smaskPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16; val MW = 8; val MH = 8
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val rgb = math.floorMod(docId, 2L) == 1L
+    val comps = if (rgb) 3 else 1
+    val base = Array.tabulate(W * H * comps) { q =>
+      (hv(docId * (256L * comps) + q, 360L) % 256L).toByte
+    }
+    val mask = Array.tabulate(MW * MH) { q =>
+      (hv(docId * 64L + q, 361L) % 256L).toByte
+    }
+    val cs = if (rgb) "/DeviceRGB" else "/DeviceGray"
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        s"/ColorSpace $cs /BitsPerComponent 8 /SMask 21 0 R " +
+        "/Filter /FlateDecode ", deflate(base)),
+      streamObj(21, s"/Type /XObject /Subtype /Image /Width $MW /Height $MH " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 8 " +
+        "/Filter /FlateDecode ", deflate(mask)),
+      streamObj(100, "", paint)))
+  }
+
   /** Image-only PDF whose raster colorspace is `/ICCBased` — the
     * wrapper real writers put around plain device spaces, resolved to
     * the device alternate by the profile's `/N` component count
@@ -680,6 +747,72 @@ object PdfGen {
       streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
         "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
         s"/Filter /JBIG2Decode $dp", stream),
+      streamObj(100, "", paint)))
+  }
+
+  /** Image-only PDF carrying a HUFFMAN-CODED JBIG2 text page (T.88
+    * SDHUFF=1/SBHUFF=1, standard tables — the mode older hardware
+    * encoders emit): same symbol-dictionary + text-region layout as
+    * [[jbig2TextPdf]] but with Annex B Huffman integers, runcode
+    * symbol-ID codes, and height-class COLLECTIVE bitmaps —
+    * MMR-coded for even doc ids, uncompressed for odd (§6.5.9, both
+    * real shapes); ids ≡ 2,3 (mod 4) route the dictionary through
+    * `/JBIG2Globals`. Glyph pixels BY FORMULA (salt 362), glyph
+    * choice per cell BY FORMULA (salt 363) for the q358 oracle. */
+  def jbig2HuffPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val symbols = (0 until 4).map { s =>
+      (4, 4, Array.tabulate(16)(p =>
+        if (hv(s * 16L + p, 362L) % 2L == 1L) 1.toByte else 0.toByte))
+    }
+    val placements = for (cy <- 0 until 4; cx <- 0 until 4) yield
+      ((hv(docId * 16L + cy * 4 + cx, 363L) % 4L).toInt, cx * 4, cy * 4)
+    val mmr = math.floorMod(docId, 2L) == 0L
+    val globalsSep = math.floorMod(docId, 4L) >= 2L
+    val (stream, globals) = Jbig2.encodeTextHuff(W, H, symbols, placements,
+      separateGlobals = globalsSep, mmrCollective = mmr)
+    val dp =
+      if (globalsSep) "/DecodeParms << /JBIG2Globals 21 0 R >> " else ""
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      (if (globalsSep) Seq(streamObj(21, "", globals)) else Seq.empty) ++ Seq(
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        s"/Filter /JBIG2Decode $dp", stream),
+      streamObj(100, "", paint)))
+  }
+
+  /** Image-only PDF carrying a STRIPED JBIG2 page (§7.4.8.5:
+    * unknown-height page info + per-stripe regions + end-of-stripe
+    * segments — the layout scanners emit at large page sizes).
+    * Pixels BY FORMULA (salt 364), stripe height cycles 1-6 by doc
+    * id (including heights that don't divide the page) — the q359
+    * oracle replays the pixels, so a stripe mis-composition or a
+    * height finalized short shifts the hash. */
+  def stripedJbig2Pdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    val px = Array.tabulate(W * H) { p =>
+      (graft.operators.Sampling.hashBitsScalar(docId * 256L + p, 364L) % 2L).toByte
+    }
+    val stripeH = 1 + math.floorMod(docId, 6L).toInt
+    val stream = Jbig2.encodeStriped(px, W, H, stripeH)
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        "/Filter /JBIG2Decode ", stream),
       streamObj(100, "", paint)))
   }
 
@@ -1011,6 +1144,8 @@ object PdfGen {
         case 22L | 30L => ccittPdf(docId)
         case 54L => subbitPdf(docId)
         case 38L => jbig2TextPdf(docId)
+        case 14L => jbig2HuffPdf(docId)       // r17: SDHUFF/SBHUFF leg
+        case 46L => stripedJbig2Pdf(docId)    // r17: striped-page leg
         case _ => dctImageOnly(docId)
       }
       case 7 => math.floorMod(docId, 32L) match {

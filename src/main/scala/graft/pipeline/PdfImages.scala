@@ -62,6 +62,7 @@ object PdfImages {
 
   private val imageSubtype = """/Subtype\s*/Image(?![A-Za-z0-9])""".r
   private val jbig2GlobalsRe = """/JBIG2Globals\s+(\d{1,9})\s+\d+\s+R""".r
+  private val smaskRefRe = """/SMask\s+(\d{1,9})\s+\d+\s+R""".r
   private val iccBodyRe = """\[\s*/ICCBased\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
   private val iccDirectRe =
     """/ColorSpace\s*\[\s*/ICCBased\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
@@ -85,7 +86,7 @@ object PdfImages {
     */
   def extract(bytes: Array[Byte]): Seq[PdfImage] =
     withObjs(bytes) { objs =>
-      (xobjectImages(objs).flatMap(buildXObject(bytes, objs, _)) ++
+      (standaloneImages(objs).flatMap(buildXObject(bytes, objs, _)) ++
         inlineImages(objs)).toSeq
     }.getOrElse(Seq.empty)
 
@@ -95,7 +96,7 @@ object PdfImages {
     * audit path calls this per document. */
   def hasExtractableImage(bytes: Array[Byte]): Boolean =
     withObjs(bytes) { objs =>
-      xobjectImages(objs).iterator
+      standaloneImages(objs).iterator
         .flatMap(buildXObject(bytes, objs, _)).hasNext ||
         inlineImages(objs, limit = 1).nonEmpty
     }.getOrElse(false)
@@ -173,7 +174,84 @@ object PdfImages {
       .filter { case (_, (_, o)) => imageSubtype.findFirstIn(o.dict).isDefined }
       .sortBy(_._2._1)
 
+  /** Image XObjects that are page CONTENT — soft-mask objects
+    * referenced from another image's `/SMask` are alpha channels, not
+    * pictures, and composite into their base instead of appearing as
+    * standalone rows (§11.6.5.2). */
+  private def standaloneImages(
+      objs: Map[Int, (Int, PdfObj)]): Seq[(Int, (Int, PdfObj))] = {
+    val imgs = xobjectImages(objs)
+    val maskNums: Set[Int] = imgs.iterator.flatMap { case (_, (_, o)) =>
+      smaskRefRe.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+    }.toSet
+    imgs.filterNot { case (num, _) => maskNums.contains(num) }
+  }
+
+  /** [[buildXObjectCore]] + `/SMask` soft-mask compositing: a masked
+    * raster's VISIBLE pixels are the composite onto the white page,
+    * so the perceptual hash and OCR rendition must reflect them
+    * (§11.6.5.2, luminosity). Subset: the base must have finished as
+    * `raw` and the mask decode to a `raw` single-component gray
+    * (any depth the finisher handles) — a masked base whose mask this
+    * subset cannot decode becomes `opaque` (the raw samples are NOT
+    * the visible pixels; emitting them would hash invisible content).
+    * Passthrough codecs (`dct`/`jpx`/undecoded fax) keep their
+    * payload: the mask is lost to their downstream decoder anyway,
+    * and the payload is still what the OCR seam needs. */
   private def buildXObject(
+      bytes: Array[Byte],
+      objs: Map[Int, (Int, PdfObj)],
+      entry: (Int, (Int, PdfObj))): Option[PdfImage] =
+    buildXObjectCore(bytes, objs, entry).map { img =>
+      smaskRefRe.findFirstMatchIn(entry._2._2.dict) match {
+        case None => img
+        case Some(_) if img.codec != "raw" => img
+        case Some(m) =>
+          val mask = objs.get(m.group(1).toInt)
+            .flatMap(e => buildXObjectCore(bytes, objs, (m.group(1).toInt, e)))
+          mask match {
+            case Some(mk) if mk.codec == "raw" &&
+                components(mk.colorSpace) == 1 &&
+                mk.data.length == mk.width.toLong * mk.height =>
+              compositeSMask(img, mk)
+            case _ => img.copy(codec = "opaque")
+          }
+      }
+    }
+
+  /** Composite `img` onto a white backdrop through gray mask `mk`
+    * (nearest-neighbor sampled when dims differ — §11.6.5.3 allows
+    * any mask size): per component,
+    * `out = (v·m + 255·(255−m) + 127) / 255` in integer arithmetic —
+    * exact, no floats, replayable in SQL (the q357 oracle). */
+  private def compositeSMask(img: PdfImage, mk: PdfImage): PdfImage = {
+    val comps = components(img.colorSpace)
+    if (comps < 1 ||
+        img.data.length != img.width.toLong * img.height * comps)
+      return img.copy(codec = "opaque")
+    val out = new Array[Byte](img.data.length)
+    var y = 0
+    while (y < img.height) {
+      val my = y * mk.height / img.height
+      var x = 0
+      while (x < img.width) {
+        val mx = x * mk.width / img.width
+        val m = mk.data(my * mk.width + mx) & 0xff
+        val base = (y * img.width + x) * comps
+        var c = 0
+        while (c < comps) {
+          val v = img.data(base + c) & 0xff
+          out(base + c) = ((v * m + 255 * (255 - m) + 127) / 255).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    img.copy(data = out)
+  }
+
+  private def buildXObjectCore(
       bytes: Array[Byte],
       objs: Map[Int, (Int, PdfObj)],
       entry: (Int, (Int, PdfObj))): Option[PdfImage] = {
@@ -351,7 +429,15 @@ object PdfImages {
           else PdfImage(objNum, w, h, bpc, cs, "opaque", px)
         case None => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
       }
-    } else parseIndexed(dict, objs) match {
+    } else parseLab(dict, objs) match {
+      case Some(lab) if bpc == 8 && px.length == w.toLong * h * 3 &&
+          decodeArrRe.findFirstIn(dict).isEmpty =>
+        // closed-form CIE L*a*b* (§8.6.5.4) → linear sRGB, emitted as
+        // 8-bit DeviceRGB; an explicit /Decode remaps the Lab ranges
+        // — out of subset, decline
+        PdfImage(objNum, w, h, 8, "DeviceRGB", "raw", labToRgb(px, lab))
+      case Some(_) => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
+      case None => parseIndexed(dict, objs) match {
       case Some((base, hival, lookup)) =>
         val bcomps = components(base)
         val okDecode = indexedDecodeOk(dict, bpc)
@@ -373,7 +459,86 @@ object PdfImages {
           case _ => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
         }
       case None => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
+      }
     }
+  }
+
+  // /ColorSpace [/Lab << /WhitePoint [...] /Range [...] >>] — direct
+  // array, or the whole array behind an object reference
+  private val labDirectRe =
+    """/(?:CS(?![A-Za-z])|ColorSpace(?![A-Za-z0-9]))\s*\[\s*/Lab(?![A-Za-z0-9])\s*<<([\s\S]*?)>>\s*\]""".r
+  private val labBodyRe =
+    """\[\s*/Lab(?![A-Za-z0-9])\s*<<([\s\S]*?)>>\s*\]""".r
+  private val wpRe = """/WhitePoint\s*\[([^\]]*)\]""".r
+  private val rangeArrRe = """/Range\s*\[([^\]]*)\]""".r
+
+  /** Lab colorspace parameters: (Xw, Yw, Zw, amin, amax, bmin, bmax).
+    * `/WhitePoint` is required (§8.6.5.4; Yw must be 1 — enforced
+    * loosely as > 0); `/Range` defaults to [−100 100 −100 100]. */
+  private def parseLab(
+      dict: String,
+      objs: Option[Map[Int, (Int, PdfObj)]])
+      : Option[(Double, Double, Double, Double, Double, Double, Double)] = {
+    val body: Option[String] =
+      labDirectRe.findFirstMatchIn(dict).map(_.group(1)).orElse(
+        objs.flatMap(os => refAfter.findFirstMatchIn(dict).flatMap { m =>
+          os.get(m.group(1).toInt).flatMap(e =>
+            labBodyRe.findFirstMatchIn(e._2.dict).map(_.group(1)))
+        }))
+    body.flatMap { b =>
+      val wp = wpRe.findFirstMatchIn(b)
+        .map(m => numTok.findAllIn(m.group(1)).map(_.toDouble).toSeq)
+      val rng = rangeArrRe.findFirstMatchIn(b)
+        .map(m => numTok.findAllIn(m.group(1)).map(_.toDouble).toSeq)
+        .getOrElse(Seq(-100.0, 100.0, -100.0, 100.0))
+      wp match {
+        case Some(Seq(xw, yw, zw))
+            if xw > 0 && yw > 0 && zw > 0 && rng.length == 4 &&
+              rng(0) <= rng(1) && rng(2) <= rng(3) =>
+          Some((xw, yw, zw, rng(0), rng(1), rng(2), rng(3)))
+        case _ => None
+      }
+    }
+  }
+
+  /** 8-bit Lab samples → 8-bit linear-sRGB bytes, closed form:
+    * sample decode per the Lab defaults (L ∈ [0,100], a/b ∈ Range),
+    * L*a*b* → XYZ per §8.6.5.4, XYZ → LINEAR sRGB (IEC 61966-2-1
+    * matrix), clamp, `round(255·v)`. The display gamma step is
+    * intentionally omitted: the consumers are the dHash (compares
+    * luminance GRADIENTS — monotone under the linear map) and OCR
+    * binarization, and keeping the whole chain in +,−,×,÷ IEEE
+    * arithmetic makes the bytes exactly replayable in SQL (the q356
+    * oracle) — `pow` is the one step with no cross-engine bit
+    * guarantee. */
+  private def labToRgb(
+      px: Array[Byte],
+      p: (Double, Double, Double, Double, Double, Double, Double)): Array[Byte] = {
+    val (xw, yw, zw, amin, amax, bmin, bmax) = p
+    def g(t: Double): Double =
+      if (t >= 6.0 / 29.0) t * t * t else (108.0 / 841.0) * (t - 4.0 / 29.0)
+    def byteOf(v: Double): Byte = {
+      val c = if (v < 0.0) 0.0 else if (v > 1.0) 1.0 else v
+      math.floor(255.0 * c + 0.5).toInt.toByte
+    }
+    val out = new Array[Byte](px.length)
+    var i = 0
+    while (i < px.length) {
+      val l = (px(i) & 0xff) * 100.0 / 255.0
+      val a = amin + (px(i + 1) & 0xff) * (amax - amin) / 255.0
+      val bb = bmin + (px(i + 2) & 0xff) * (bmax - bmin) / 255.0
+      val fy = (l + 16.0) / 116.0
+      val fx = fy + a / 500.0
+      val fz = fy - bb / 200.0
+      val x = xw * g(fx)
+      val y = yw * g(fy)
+      val z = zw * g(fz)
+      out(i) = byteOf(3.2406 * x - 1.5372 * y - 0.4986 * z)
+      out(i + 1) = byteOf(-0.9689 * x + 1.8758 * y + 0.0415 * z)
+      out(i + 2) = byteOf(0.0557 * x - 0.204 * y + 1.057 * z)
+      i += 3
+    }
+    out
   }
 
   /** Packed row-aligned samples → per-sample ints (PDF 32000-1

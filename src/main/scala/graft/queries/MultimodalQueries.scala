@@ -546,7 +546,11 @@ object MultimodalQueries {
 
     q353,
     q354,
-    q355)
+    q355,
+    q356,
+    q357,
+    q358,
+    q359)
 
   /** q353: sub-8-bit and `/Indexed` rasters, ORACLE-CHECKED — the
     * r15 top-next decode leg run end-to-end. Each document becomes
@@ -759,6 +763,293 @@ object MultimodalQueries {
            |  CASE WHEN id % 2 = 1 THEN 'DeviceRGB'
            |       ELSE 'DeviceGray' END AS colorspace,
            |  phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q356: CIE `/Lab` colorspace rasters, ORACLE-CHECKED — the
+    * closed-form §8.6.5.4 conversion run end-to-end: sample decode
+    * under the Lab defaults (L ∈ [0,100], a/b ∈ `/Range` — default
+    * for even docs, explicit [−128 127 −128 127] behind an object
+    * reference for odd), L*a*b* → XYZ → LINEAR sRGB (gamma omitted
+    * by design — see PdfImages.labToRgb), clamp, round. The oracle
+    * recomputes every byte of the conversion in SQL (salt 359) —
+    * pure +,−,×,÷ IEEE arithmetic on both engines, so one wrong
+    * constant, range default, or clamping bound shifts a hash and
+    * the row set stops matching. */
+  private def q356: QueryDef = {
+    QueryDef(
+      "q356_lab_colorspace_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.labPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        def smp(c: Int) = hashBitsSql(s"(i.id * 768 + g.p * 3 + $c)", 359L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |smp AS MATERIALIZED (
+           |  SELECT i.id, g.p,
+           |    (${smp(0)}) % 256 AS s0,
+           |    (${smp(1)}) % 256 AS s1,
+           |    (${smp(2)}) % 256 AS s2,
+           |    CASE WHEN i.id % 2 = 1 THEN -128.0 ELSE -100.0 END AS amin,
+           |    CASE WHEN i.id % 2 = 1 THEN 127.0 ELSE 100.0 END AS amax,
+           |    CASE WHEN i.id % 2 = 1 THEN -128.0 ELSE -100.0 END AS bmin,
+           |    CASE WHEN i.id % 2 = 1 THEN 127.0 ELSE 100.0 END AS bmax
+           |  FROM ids i CROSS JOIN g),
+           |f AS (
+           |  SELECT id, p,
+           |    (s0 * 100.0 / 255.0 + 16.0) / 116.0 AS fy,
+           |    (s0 * 100.0 / 255.0 + 16.0) / 116.0
+           |      + (amin + s1 * (amax - amin) / 255.0) / 500.0 AS fx,
+           |    (s0 * 100.0 / 255.0 + 16.0) / 116.0
+           |      - (bmin + s2 * (bmax - bmin) / 255.0) / 200.0 AS fz
+           |  FROM smp),
+           |xyz AS (
+           |  SELECT id, p,
+           |    0.9505 * (CASE WHEN fx >= 6.0 / 29.0 THEN fx * fx * fx
+           |      ELSE (108.0 / 841.0) * (fx - 4.0 / 29.0) END) AS x,
+           |    1.0 * (CASE WHEN fy >= 6.0 / 29.0 THEN fy * fy * fy
+           |      ELSE (108.0 / 841.0) * (fy - 4.0 / 29.0) END) AS y,
+           |    1.089 * (CASE WHEN fz >= 6.0 / 29.0 THEN fz * fz * fz
+           |      ELSE (108.0 / 841.0) * (fz - 4.0 / 29.0) END) AS z
+           |  FROM f),
+           |px AS (
+           |  SELECT id, p,
+           |    CAST(FLOOR(255.0 * LEAST(GREATEST(
+           |        3.2406 * x - 1.5372 * y - 0.4986 * z, 0.0), 1.0) + 0.5)
+           |      AS BIGINT)
+           |    + CAST(FLOOR(255.0 * LEAST(GREATEST(
+           |        -0.9689 * x + 1.8758 * y + 0.0415 * z, 0.0), 1.0) + 0.5)
+           |      AS BIGINT)
+           |    + CAST(FLOOR(255.0 * LEAST(GREATEST(
+           |        0.0557 * x - 0.204 * y + 1.057 * z, 0.0), 1.0) + 0.5)
+           |      AS BIGINT) AS num
+           |  FROM xyz),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 12 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceRGB' AS colorspace, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q357: `/SMask` soft-masked rasters, ORACLE-CHECKED — the
+    * §11.6.5.2 compositing leg run end-to-end: the mask XObject is
+    * excluded from standalone rows, the base (gray for even docs,
+    * RGB for odd) composites onto white through the half-size mask
+    * (nearest-neighbor sampled), and the dHash replays on the
+    * VISIBLE pixels. The oracle recomputes
+    * `(v·m + 255·(255−m) + 127) / 255` per component in integer SQL
+    * (salts 360/361) — a wrong mask sample position, rounding term,
+    * or a mask leaking through as its own row shifts the row set. */
+  private def q357: QueryDef = {
+    QueryDef(
+      "q357_smask_composite_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.smaskPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.objNum.toLong, im.colorSpace,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "obj_num", "colorspace", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val hm = hashBitsSql(
+          "(i.id * 64 + ((g.p // 16) // 2) * 8 + (g.p % 16) // 2)", 361L)
+        val hg = hashBitsSql("(i.id * 256 + g.p)", 360L)
+        val hr = hashBitsSql("(i.id * 768 + q.q)", 360L)
+        val hmr = hashBitsSql(
+          "(i.id * 64 + (((q.q // 3) // 16) // 2) * 8 + ((q.q // 3) % 16) // 2)",
+          361L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |q AS (SELECT unnest(range(0, 768)) AS q),
+           |gpx AS (
+           |  SELECT i.id, g.p,
+           |    ((($hg) % 256) * (($hm) % 256)
+           |      + 255 * (255 - ($hm) % 256) + 127) // 255 AS num,
+           |    4 AS denom
+           |  FROM ids i CROSS JOIN g WHERE i.id % 2 = 0),
+           |rpx AS (
+           |  SELECT i.id, q.q // 3 AS p,
+           |    SUM(((($hr) % 256) * (($hmr) % 256)
+           |      + 255 * (255 - ($hmr) % 256) + 127) // 255) AS num,
+           |    12 AS denom
+           |  FROM ids i CROSS JOIN q WHERE i.id % 2 = 1 GROUP BY 1, 2),
+           |px AS (
+           |  SELECT id, p, num, denom FROM gpx
+           |  UNION ALL
+           |  SELECT id, p, num, denom FROM rpx),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / MAX(denom) AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, CAST(20 AS BIGINT) AS obj_num,
+           |  CASE WHEN id % 2 = 1 THEN 'DeviceRGB'
+           |       ELSE 'DeviceGray' END AS colorspace,
+           |  phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q358: HUFFMAN-CODED JBIG2 text pages (SDHUFF=1 / SBHUFF=1),
+    * ORACLE-CHECKED — the r16 "What's missing" #1 leg run end-to-end:
+    * Annex B standard-table integers (B.1/B.2/B.4 dictionary-side,
+    * B.6/B.8/B.11 text-side), runcode-built symbol ID codes, and
+    * height-class COLLECTIVE bitmaps in both §6.5.9 shapes (MMR for
+    * even docs, uncompressed for odd), with ids ≡ 2,3 (mod 4)
+    * routing the dictionary through `/JBIG2Globals`. The oracle
+    * recomputes every page pixel from the two nested formulas
+    * (glyph bitmap salt 362, per-cell glyph choice salt 363) — one
+    * wrong table line, canonical code, runcode expansion, collective
+    * split, or globals hand-off shifts a hash and the row set stops
+    * matching. */
+  private def q358: QueryDef = {
+    QueryDef(
+      "q358_jbig2_huffman_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.jbig2HuffPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val h363 = hashBitsSql(
+          "(i.id * 16 + ((g.p // 16) // 4) * 4 + (g.p % 16) // 4)", 363L)
+        val h362 = hashBitsSql(
+          "(s7.k * 16 + ((s7.p // 16) % 4) * 4 + (s7.p % 16) % 4)", 362L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |s7 AS MATERIALIZED (
+           |  SELECT i.id, g.p, ($h363) % 4 AS k
+           |  FROM ids i CROSS JOIN g),
+           |px AS (
+           |  SELECT id, p,
+           |    CASE WHEN ($h362) % 2 = 1 THEN 0 ELSE 255 END AS num
+           |  FROM s7),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q359: STRIPED JBIG2 pages (§7.4.8.5), ORACLE-CHECKED — the
+    * unknown-height page form (0xFFFFFFFF + striped bit) with
+    * per-stripe regions and end-of-stripe segments, stripe heights
+    * cycling 1-6 (including non-dividing ones, and blank stripes
+    * carried by their end-of-stripe marker alone). The oracle
+    * recomputes every page pixel (salt 364) — a stripe composed at
+    * the wrong offset or a height finalized short shifts the hash
+    * and the row set stops matching. */
+  private def q359: QueryDef = {
+    QueryDef(
+      "q359_jbig2_striped_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.stripedJbig2Pdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val h364 = hashBitsSql("(i.id * 256 + g.p)", 364L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |px AS (
+           |  SELECT i.id, g.p,
+           |    CASE WHEN ($h364) % 2 = 1 THEN 0 ELSE 255 END AS num
+           |  FROM ids i CROSS JOIN g),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
            |FROM h ORDER BY doc_id""".stripMargin
       })
   }
