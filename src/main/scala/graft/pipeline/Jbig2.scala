@@ -168,6 +168,19 @@ object Jbig2 {
     c
   }
 
+  /** Third per-thread table for GENERIC REFINEMENT contexts (§6.3) —
+    * refinement-coded symbols (SDREFAGG=1) interleave GR pixel
+    * decisions with IAx decisions on one decoder, each with its own
+    * context set. */
+  private val grCtxPool = new ThreadLocal[Contexts] {
+    override def initialValue(): Contexts = new Contexts
+  }
+  private def pooledGrContexts(): Contexts = {
+    val c = grCtxPool.get()
+    c.reset()
+    c
+  }
+
   /** MQ encoder (T.88 Annex E: CODEMPS/CODELPS, BYTEOUT with 0xFF
     * stuffing, SETBITS flush). */
   private final class MqEncoder {
@@ -371,6 +384,8 @@ object Jbig2 {
   private val IAFS = 2560
   private val IADS = 3072
   private val IAIT = 3584
+  private val IARDX = 4096
+  private val IARDY = 4608
   private val IAID = 8192
   private val MaxSymCodeLen = 12              // IAID tree ≤ 8192 slots
 
@@ -490,6 +505,64 @@ object Jbig2 {
 
   /** One decoded symbol bitmap (byte-per-pixel, 1 = black). */
   private final case class Bitmap(w: Int, h: Int, px: Array[Byte])
+
+  // ---- generic refinement region decoding (T.88 §6.3), GRTEMPLATE 1
+  // (the AT-free template), TPGRON off: each pixel of the new bitmap
+  // is coded under a 10-bit context drawn from the already-decoded
+  // CODING neighborhood and the REFERENCE bitmap around the
+  // corresponding position (x − dx, y − dy). Context packing order
+  // (coding row above L-to-R, coding left, then reference: above,
+  // left, center, right, below, below-right) follows the T.88
+  // template figure; like the generic templates, the exact bit order
+  // is pinned by spec text only (no reference decoder in the
+  // container — encoder and decoder share one transcription).
+
+  private def refCtxAt(
+      cur: Array[Byte], w: Int, ref: Bitmap, dx: Int, dy: Int,
+      x: Int, y: Int): Int = {
+    def c(xx: Int, yy: Int): Int =
+      if (xx < 0 || xx >= w || yy < 0) 0 else cur(yy * w + xx) & 1
+    def r(xx: Int, yy: Int): Int =
+      if (xx < 0 || xx >= ref.w || yy < 0 || yy >= ref.h) 0
+      else ref.px(yy * ref.w + xx) & 1
+    val rx = x - dx
+    val ry = y - dy
+    (c(x - 1, y - 1) << 9) | (c(x, y - 1) << 8) | (c(x + 1, y - 1) << 7) |
+      (c(x - 1, y) << 6) |
+      (r(rx, ry - 1) << 5) | (r(rx - 1, ry) << 4) | (r(rx, ry) << 3) |
+      (r(rx + 1, ry) << 2) | (r(rx, ry + 1) << 1) | r(rx + 1, ry + 1)
+  }
+
+  private def decodeRefinementWith(
+      mq: MqDecoder, gr: Contexts, w: Int, h: Int,
+      ref: Bitmap, dx: Int, dy: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = mq.decode(gr, refCtxAt(px, w, ref, dx, dy, x, y)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  private def encodeRefinementWith(
+      mq: MqEncoder, gr: Contexts, target: Bitmap,
+      ref: Bitmap, dx: Int, dy: Int): Unit = {
+    var y = 0
+    while (y < target.h) {
+      var x = 0
+      while (x < target.w) {
+        mq.encode(gr, refCtxAt(target.px, target.w, ref, dx, dy, x, y),
+          target.px(y * target.w + x) & 1)
+        x += 1
+      }
+      y += 1
+    }
+  }
 
   // ---- T.88 Annex B: Huffman-coded integers — the OTHER coding mode
   // real encoders emit (SDHUFF/SBHUFF=1, typical of older hardware
@@ -733,15 +806,24 @@ object Jbig2 {
   // IAx procedures a second.
 
   /** Decode `numNew` new symbols + export flags over
-    * `input ++ new`; returns the EXPORTED symbols in order. */
+    * `input ++ new`; returns the EXPORTED symbols in order. With
+    * `refAgg` (SDREFAGG=1, §6.5.8.2) each new symbol is a
+    * REFINEMENT of an earlier one: REFAGGNINST (IAAI, only the
+    * single-instance form is in subset), reference ID (IAID over
+    * input ∪ new), RDX/RDY offsets, then the §6.3 refinement decode
+    * against that reference. */
   private def decodeSymbolDict(
       data: Array[Byte], start: Int, end: Int,
       numNew: Int, numEx: Int,
-      input: IndexedSeq[Bitmap]): Option[IndexedSeq[Bitmap]] = {
+      input: IndexedSeq[Bitmap],
+      refAgg: Boolean = false): Option[IndexedSeq[Bitmap]] = {
     if (numNew < 0 || numNew > 4096 || numEx < 0 || numEx > 8192) return None
     val mq = new MqDecoder(data, start, end)
     val gb = pooledContexts()
     val ia = pooledIaContexts()
+    val gr = if (refAgg) pooledGrContexts() else null
+    val symCodeLen = symCodeLenOf(input.size + numNew)
+    if (refAgg && symCodeLen > MaxSymCodeLen) return None
     val newSyms = new ArrayBuffer[Bitmap](numNew)
     var hcHeight = 0
     var totalPx = 0L                          // dictionary-wide allocation cap
@@ -769,7 +851,20 @@ object Jbig2 {
           if (symWidth <= 0 || symWidth > 4096 ||
             totalPx > (1L << 26) ||
             newSyms.size >= numNew) return None
-          newSyms += Bitmap(symWidth, hcHeight,
+          if (refAgg) {
+            val nInst = decodeInt(mq, ia, IAAI)
+            if (nInst != 1) return None       // multi-aggregate: out of subset
+            val id = decodeId(mq, ia, symCodeLen)
+            if (id < 0 || id >= input.size + newSyms.size) return None
+            val rdx = decodeInt(mq, ia, IARDX)
+            val rdy = decodeInt(mq, ia, IARDY)
+            if (rdx == OOB || rdx == BAD || rdy == OOB || rdy == BAD ||
+              math.abs(rdx) > 4096 || math.abs(rdy) > 4096) return None
+            val ref =
+              if (id < input.size) input(id) else newSyms(id - input.size)
+            newSyms += Bitmap(symWidth, hcHeight,
+              decodeRefinementWith(mq, gr, symWidth, hcHeight, ref, rdx, rdy))
+          } else newSyms += Bitmap(symWidth, hcHeight,
             decodeGenericWith(mq, gb, symWidth, hcHeight, tpgdon = false))
         }
       }
@@ -812,6 +907,41 @@ object Jbig2 {
       encodeInt(mq, ia, IADW, OOB)
     }
     encodeInt(mq, ia, IAEX, 0)                // flag-0 run: export none…
+    encodeInt(mq, ia, IAEX, syms.size)        // …then export all new
+    mq.flush()
+  }
+
+  /** Refined-dictionary fixture encoder (SDREFAGG=1): each entry is
+    * (target, wire reference id over input ∪ new-so-far, resolved
+    * reference bitmap, dx, dy). Entries must arrive in
+    * non-descending height order (they ARE the wire order — refined
+    * ids reference it). Exports only the new symbols. */
+  private def encodeSymbolDictRef(
+      syms: Seq[(Bitmap, Int, Bitmap, Int, Int)],
+      inputCount: Int): Array[Byte] = {
+    require(syms.map(_._1.h) == syms.map(_._1.h).sorted,
+      "refined symbols must be pre-sorted by height (wire order)")
+    val mq = new MqEncoder
+    val ia = pooledIaContexts()
+    val gr = pooledGrContexts()
+    val symCodeLen = symCodeLenOf(inputCount + syms.size)
+    var prevH = 0
+    for ((h, group) <- syms.groupBy(_._1.h).toSeq.sortBy(_._1)) {
+      encodeInt(mq, ia, IADH, h - prevH)
+      prevH = h
+      var prevW = 0
+      for ((target, refId, ref, dx, dy) <- group) {
+        encodeInt(mq, ia, IADW, target.w - prevW)
+        prevW = target.w
+        encodeInt(mq, ia, IAAI, 1)
+        encodeId(mq, ia, symCodeLen, refId)
+        encodeInt(mq, ia, IARDX, dx)
+        encodeInt(mq, ia, IARDY, dy)
+        encodeRefinementWith(mq, gr, target, ref, dx, dy)
+      }
+      encodeInt(mq, ia, IADW, OOB)
+    }
+    encodeInt(mq, ia, IAEX, inputCount)       // flag-0 run: skip the imports…
     encodeInt(mq, ia, IAEX, syms.size)        // …then export all new
     mq.flush()
   }
@@ -1502,6 +1632,92 @@ object Jbig2 {
     else ((dictSeg ++ rest).toArray, Array.empty[Byte])
   }
 
+  /** Encode a TEXT page whose glyph dictionary chain uses REFINEMENT
+    * coding (T.88 §6.3 / §6.5.8.2) — the lossy-to-lossless path real
+    * encoders emit: dictionary A holds the base glyphs
+    * (arithmetic), dictionary B (SDREFAGG=1, SDRTEMPLATE=1) refines
+    * them into variants, and the text region places symbols from
+    * BOTH (ids index A-exports ++ B-exports). `refined` entries are
+    * (w, h, px, baseIdx, dx, dy) — target bitmap, the base glyph it
+    * refines, and the reference offset. With `separateGlobals` both
+    * dictionaries travel in the `/JBIG2Globals` stream. */
+  def encodeTextRefined(
+      w: Int, h: Int,
+      symbols: Seq[(Int, Int, Array[Byte])],
+      refined: Seq[(Int, Int, Array[Byte], Int, Int, Int)],
+      placements: Seq[(Int, Int, Int)],
+      separateGlobals: Boolean = false): (Array[Byte], Array[Byte]) = {
+    require(w > 0 && h > 0 && symbols.nonEmpty && refined.nonEmpty,
+      "need dimensions, base symbols, and refined symbols")
+    require(refined.forall { case (rw, rh, px, bi, _, _) =>
+      rw > 0 && rh > 0 && px.length == rw * rh &&
+        bi >= 0 && bi < symbols.size }, "malformed refined entry")
+    val total = symbols.size + refined.size
+    require(placements.forall(p => p._1 >= 0 && p._1 < total),
+      "placement symbol out of range")
+    val bms = symbols.map { case (sw, sh, px) =>
+      Bitmap(sw, sh, px.map(b => (if (b != 0) 1 else 0).toByte))
+    }
+    val ids = exportOrder(bms)                // dict A export order
+    val sortedA = bms.zipWithIndex.sortBy(p => ids(p._2)).map(_._1)
+    val nA = sortedA.size
+    // dict B wire order: height-ascending (stable)
+    val refBms = refined.map { case (rw, rh, px, bi, dx, dy) =>
+      (Bitmap(rw, rh, px.map(b => (if (b != 0) 1 else 0).toByte)),
+        ids(bi), bms(bi), dx, dy)
+    }
+    val wireOrder = refBms.zipWithIndex.sortBy { case ((t, _, _, _, _), i) =>
+      (t.h, i) }
+    val wireEntries = wireOrder.map(_._1)
+    val wirePos = new Array[Int](refined.size)
+    for ((origIdx, pos) <- wireOrder.map(_._2).zipWithIndex)
+      wirePos(origIdx) = pos
+    val remapped = placements.map { case (s, x, y) =>
+      (if (s < symbols.size) ids(s) else nA + wirePos(s - symbols.size), x, y)
+    }
+    val allSyms = sortedA ++ wireEntries.map(_._1)
+
+    val dictAData = {
+      val b = new ArrayBuffer[Byte]()
+      b += 0; b += 0
+      b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+      be32(b, nA); be32(b, nA)
+      b ++= encodeSymbolDict(sortedA)
+      b
+    }
+    val dictBData = {
+      val b = new ArrayBuffer[Byte]()
+      // flags: SDHUFF=0, SDREFAGG=1 (bit 1), template 0, SDRTEMPLATE=1
+      // (bit 12) — refinement template 1 carries no AT bytes; the GB
+      // ATs are present (SDHUFF=0) though unused
+      val flags = 2 | (1 << 12)
+      b += ((flags >> 8) & 0xff).toByte; b += (flags & 0xff).toByte
+      b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+      be32(b, wireEntries.size); be32(b, wireEntries.size)
+      b ++= encodeSymbolDictRef(wireEntries, nA)
+      b
+    }
+    val textData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0); be32(b, 0); b += 0
+      b += 0; b += (1 << 4).toByte            // SBHUFF=0, TOPLEFT corner
+      be32(b, remapped.size)
+      b ++= encodeTextRegionData(allSyms, remapped, 0, 1)
+      b
+    }
+    val pageData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0xffffffffL); be32(b, 0xffffffffL)
+      b += 0; b += 0; b += 0
+      b
+    }
+    val dicts = segment(0, 0, dictAData) ++ segment(1, 0, dictBData, refs = Seq(0L))
+    val rest = segment(2, 48, pageData) ++
+      segment(3, 6, textData, refs = Seq(0L, 1L))
+    if (separateGlobals) (rest.toArray, dicts.toArray)
+    else ((dicts ++ rest).toArray, Array.empty[Byte])
+  }
+
   /** Encode a MULTI-REGION page: page info with real dimensions plus
     * one immediate generic region per entry, each placed at its
     * region-info (x, y) — the layout real encoders emit when a page
@@ -1762,13 +1978,18 @@ object Jbig2 {
             val nominal = at.length == 8 &&
               at(0) == 3 && at(1) == -1 && at(2) == -3 && at(3) == -1 &&
               at(4) == 2 && at(5) == -2 && at(6) == -2 && at(7) == -2
-            if (!sdRefAgg && template == 0 && nominal) {
+            // SDREFAGG=1 is in subset with SDRTEMPLATE=1 (the AT-free
+            // refinement template — r17); rtemplate 0 would carry
+            // refinement AT bytes this layout doesn't parse: decline
+            val rtemplate = (sdFlags >> 12) & 1
+            if (template == 0 && nominal &&
+                (!sdRefAgg || rtemplate == 1)) {
               val numEx = rdBe32(data, j + 10)
               val numNew = rdBe32(data, j + 14)
               if (numEx <= 8192 && numNew <= 4096) {
                 val input = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
                 decodeSymbolDict(data, j + 18, segEnd,
-                  numNew.toInt, numEx.toInt, input)
+                  numNew.toInt, numEx.toInt, input, refAgg = sdRefAgg)
                   .foreach(ex => dicts(segNum) = ex)
               }
             }

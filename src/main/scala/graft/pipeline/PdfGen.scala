@@ -789,6 +789,50 @@ object PdfGen {
       streamObj(100, "", paint)))
   }
 
+  /** Image-only PDF carrying a REFINEMENT-CODED JBIG2 text page
+    * (SDREFAGG=1, §6.3 template 1 — the lossy-to-lossless chain):
+    * dictionary A holds 4 base glyphs (salt 365), dictionary B
+    * refines each into a variant (pixels flipped where salt-366
+    * mix ≡ 0 mod 4), and the text region places among all 8 (choice
+    * salt 367 mod 8). Odd doc ids route BOTH dictionaries through
+    * `/JBIG2Globals`. The q360 oracle replays every page pixel. */
+  def jbig2RefinedPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val base = (0 until 4).map { s =>
+      (4, 4, Array.tabulate(16)(p =>
+        if (hv(s * 16L + p, 365L) % 2L == 1L) 1.toByte else 0.toByte))
+    }
+    val refined = (0 until 4).map { s =>
+      val bpx = base(s)._3
+      val t = Array.tabulate(16) { p =>
+        val flip = if (hv(s * 16L + p, 366L) % 4L == 0L) 1 else 0
+        (((bpx(p) & 1) + flip) % 2).toByte
+      }
+      (4, 4, t, s, (s % 3) - 1, (s % 2))      // varied reference offsets
+    }
+    val placements = for (cy <- 0 until 4; cx <- 0 until 4) yield
+      ((hv(docId * 16L + cy * 4 + cx, 367L) % 8L).toInt, cx * 4, cy * 4)
+    val globalsSep = math.floorMod(docId, 2L) == 1L
+    val (stream, globals) = Jbig2.encodeTextRefined(W, H, base, refined,
+      placements, separateGlobals = globalsSep)
+    val dp =
+      if (globalsSep) "/DecodeParms << /JBIG2Globals 21 0 R >> " else ""
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      (if (globalsSep) Seq(streamObj(21, "", globals)) else Seq.empty) ++ Seq(
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        s"/Filter /JBIG2Decode $dp", stream),
+      streamObj(100, "", paint)))
+  }
+
   /** Image-only PDF carrying a STRIPED JBIG2 page (§7.4.8.5:
     * unknown-height page info + per-stripe regions + end-of-stripe
     * segments — the layout scanners emit at large page sizes).
@@ -1146,6 +1190,7 @@ object PdfGen {
         case 38L => jbig2TextPdf(docId)
         case 14L => jbig2HuffPdf(docId)       // r17: SDHUFF/SBHUFF leg
         case 46L => stripedJbig2Pdf(docId)    // r17: striped-page leg
+        case 62L => jbig2RefinedPdf(docId)    // r17: SDREFAGG leg
         case _ => dctImageOnly(docId)
       }
       case 7 => math.floorMod(docId, 32L) match {

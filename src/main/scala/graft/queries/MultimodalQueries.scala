@@ -550,7 +550,8 @@ object MultimodalQueries {
     q356,
     q357,
     q358,
-    q359)
+    q359,
+    q360)
 
   /** q353: sub-8-bit and `/Indexed` rasters, ORACLE-CHECKED — the
     * r15 top-next decode leg run end-to-end. Each document becomes
@@ -1037,6 +1038,73 @@ object MultimodalQueries {
            |  SELECT i.id, g.p,
            |    CASE WHEN ($h364) % 2 = 1 THEN 0 ELSE 255 END AS num
            |  FROM ids i CROSS JOIN g),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q360: REFINEMENT-CODED JBIG2 (SDREFAGG=1, §6.3 template 1),
+    * ORACLE-CHECKED — the last arithmetic branch run end-to-end: a
+    * base dictionary, a refining dictionary (REFAGGNINST=1 ids +
+    * RDX/RDY offsets + the 10-bit refinement contexts), and a text
+    * region placing among BOTH dictionaries' exports, with odd docs
+    * routing the whole chain through `/JBIG2Globals`. The oracle
+    * recomputes every page pixel (base salt 365, flip-mask salt 366,
+    * choice salt 367 over 8 symbols) — a wrong refinement context
+    * bit, reference id, or offset shifts a hash and the row set
+    * stops matching. */
+  private def q360: QueryDef = {
+    QueryDef(
+      "q360_jbig2_refined_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.jbig2RefinedPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val h367 = hashBitsSql(
+          "(i.id * 16 + ((g.p // 16) // 4) * 4 + (g.p % 16) // 4)", 367L)
+        val gq = "((s7.k % 4) * 16 + ((s7.p // 16) % 4) * 4 + (s7.p % 16) % 4)"
+        val h365 = hashBitsSql(gq, 365L)
+        val h366 = hashBitsSql(gq, 366L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |s7 AS MATERIALIZED (
+           |  SELECT i.id, g.p, ($h367) % 8 AS k
+           |  FROM ids i CROSS JOIN g),
+           |px AS (
+           |  SELECT id, p,
+           |    CASE WHEN (($h365) % 2
+           |      + CASE WHEN s7.k >= 4 AND ($h366) % 4 = 0
+           |             THEN 1 ELSE 0 END) % 2 = 1
+           |      THEN 0 ELSE 255 END AS num
+           |  FROM s7),
            |cells AS MATERIALIZED (
            |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
            |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv

@@ -162,7 +162,8 @@ def main() -> int:
               + (f"  [{'; '.join(ctx)}]" if ctx else ""))
 
     trips = []
-    if accused and not no_rerun and not update:
+    exonerated = set()
+    if accused and not no_rerun:
         iso = rerun_isolated([n for n, _, _ in accused],
                              bench.get("sf", "/root/testdata/sf0.1"),
                              rerun_cmd)
@@ -183,11 +184,13 @@ def main() -> int:
                 if it is None:
                     trips.append((name, b, t, "row missing from re-run"))
                 elif not cold_trip(b, it):
+                    exonerated.add(name)
                     print(f"EXONERATED  {name}: isolated cold {it:.1f}s "
                           f"({it / b:.1f}x baseline{ldtxt}) — in-suite "
                           f"{t:.1f}s was box contention")
                 elif (iw is not None and bw is not None and bw > 0 and
                       not (iw >= WARM_RATIO * bw and iw - bw >= WARM_FLOOR)):
+                    exonerated.add(name)
                     print(f"EXONERATED  {name}: isolated cold {it:.1f}s "
                           f"still {it / b:.1f}x (partial-run JIT bias) but "
                           f"isolated WARM {iw:.1f}s vs base {bw:.1f}s is "
@@ -223,8 +226,15 @@ def main() -> int:
             old = merged_warm.get(name)
             merged_warm[name] = w if old is None else min(old, w)
         merged_warm = {n: w for n, w in merged_warm.items() if n in cold}
+        # rows the isolated re-run exonerated keep their OLD baseline
+        # cold — baking the load-inflated in-suite number would loosen
+        # the wire exactly where contention already fooled it once
+        merged_cold = dict(cold)
+        for name in exonerated:
+            if name in base:
+                merged_cold[name] = base[name]
         BASELINE.write_text(json.dumps(
-            {"source": str(bench_path), "queries": cold,
+            {"source": str(bench_path), "queries": merged_cold,
              "queries_warm": merged_warm},
             indent=1, sort_keys=True) + "\n")
         print(f"baseline updated from {bench_path}: {len(cold)} queries")
