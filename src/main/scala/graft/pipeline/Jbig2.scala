@@ -38,10 +38,20 @@ import scala.collection.mutable.ArrayBuffer
   * regions (T.6 coding) decode through [[CcittG4]]; **HUFFMAN-coded
   * symbol dictionaries and text regions** (SDHUFF/SBHUFF = 1, Annex B
   * standard tables, runcode symbol-ID codes, collective height-class
-  * bitmaps — r17) and **striped pages** (§7.4.8.5 unknown-height
-  * form with end-of-stripe segments — r17) decode too; files needing
-  * refinement coding, custom Huffman tables, the B.7/B.9/B.10/B.12/
-  * B.13 alternates, or transposed/non-OR text regions stay
+  * bitmaps — r17), **CUSTOM Huffman tables** (§7.4.13 type-53
+  * segments, §B.2 assembly, selector-3 consumption order — r17),
+  * **striped pages** (§7.4.8.5 unknown-height form with
+  * end-of-stripe segments — r17), **refinement coding under both
+  * GRTEMPLATEs** (§6.3, nominal ATs — r17) including **per-instance
+  * refined text regions** (SBREFINE=1, §6.4.11) and
+  * **multi-aggregate dictionary symbols** (REFAGGNINST > 1,
+  * §6.5.8.2.2: an embedded text region on the dictionary's own
+  * arithmetic stream), **all text-region placement modes** (§6.4.5:
+  * TRANSPOSED, four REFCORNERs, the four SBCOMBOPs, SBDEFPIXEL —
+  * r17), and **external region composition operators + the page
+  * default pixel** (§7.4.8.5 — r17) decode too; files needing the
+  * untranscribed B.7/B.9/B.10/B.12/B.13 standard-table alternates,
+  * Huffman-mode refinement, TPGRON, or non-nominal AT pixels stay
   * payload-passthrough (None ⇒ the OCR seam), never misparsed.
   *
   * Bit convention: 1 = black (T.88 foreground), decode returns
@@ -386,6 +396,9 @@ object Jbig2 {
   private val IAIT = 3584
   private val IARDX = 4096
   private val IARDY = 4608
+  private val IARI = 5120
+  private val IARDW = 5632
+  private val IARDH = 6144
   private val IAID = 8192
   private val MaxSymCodeLen = 12              // IAID tree ≤ 8192 slots
 
@@ -533,15 +546,44 @@ object Jbig2 {
       (r(rx + 1, ry) << 2) | (r(rx, ry + 1) << 1) | r(rx + 1, ry + 1)
   }
 
+  /** GRTEMPLATE 0 (§6.3.5.3, r17): 13-bit context — 3 coding pixels
+    * + the A1 adaptive pixel (nominal (−1, −1)) over the new bitmap,
+    * 8 reference pixels + A2 (nominal (−1, −1)) around the shifted
+    * position. Packing follows the template figure's raster order
+    * with each AT appended to its group; only the NOMINAL AT shape is
+    * admitted (the segment's AT bytes are checked by the caller), so
+    * encoder and decoder share one transcription. */
+  private def refCtxAt0(
+      cur: Array[Byte], w: Int, ref: Bitmap, dx: Int, dy: Int,
+      x: Int, y: Int): Int = {
+    def c(xx: Int, yy: Int): Int =
+      if (xx < 0 || xx >= w || yy < 0) 0 else cur(yy * w + xx) & 1
+    def r(xx: Int, yy: Int): Int =
+      if (xx < 0 || xx >= ref.w || yy < 0 || yy >= ref.h) 0
+      else ref.px(yy * ref.w + xx) & 1
+    val rx = x - dx
+    val ry = y - dy
+    (c(x, y - 1) << 12) | (c(x + 1, y - 1) << 11) | (c(x - 1, y) << 10) |
+      (c(x - 1, y - 1) << 9) |                 // A1 nominal (−1, −1)
+      (r(rx, ry - 1) << 8) | (r(rx + 1, ry - 1) << 7) |
+      (r(rx - 1, ry) << 6) | (r(rx, ry) << 5) | (r(rx + 1, ry) << 4) |
+      (r(rx - 1, ry + 1) << 3) | (r(rx, ry + 1) << 2) |
+      (r(rx + 1, ry + 1) << 1) |
+      r(rx - 1, ry - 1)                        // A2 nominal (−1, −1)
+  }
+
   private def decodeRefinementWith(
       mq: MqDecoder, gr: Contexts, w: Int, h: Int,
-      ref: Bitmap, dx: Int, dy: Int): Array[Byte] = {
+      ref: Bitmap, dx: Int, dy: Int, template: Int): Array[Byte] = {
     val px = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        px(y * w + x) = mq.decode(gr, refCtxAt(px, w, ref, dx, dy, x, y)).toByte
+        val cx =
+          if (template == 0) refCtxAt0(px, w, ref, dx, dy, x, y)
+          else refCtxAt(px, w, ref, dx, dy, x, y)
+        px(y * w + x) = mq.decode(gr, cx).toByte
         x += 1
       }
       y += 1
@@ -551,13 +593,15 @@ object Jbig2 {
 
   private def encodeRefinementWith(
       mq: MqEncoder, gr: Contexts, target: Bitmap,
-      ref: Bitmap, dx: Int, dy: Int): Unit = {
+      ref: Bitmap, dx: Int, dy: Int, template: Int): Unit = {
     var y = 0
     while (y < target.h) {
       var x = 0
       while (x < target.w) {
-        mq.encode(gr, refCtxAt(target.px, target.w, ref, dx, dy, x, y),
-          target.px(y * target.w + x) & 1)
+        val cx =
+          if (template == 0) refCtxAt0(target.px, target.w, ref, dx, dy, x, y)
+          else refCtxAt(target.px, target.w, ref, dx, dy, x, y)
+        mq.encode(gr, cx, target.px(y * target.w + x) & 1)
         x += 1
       }
       y += 1
@@ -578,31 +622,40 @@ object Jbig2 {
   // against; encoder and decoder share one transcription, so round
   // trips and oracle replays are exact regardless.
 
-  private final case class HLine(prefLen: Int, rangeLen: Int,
+  private[pipeline] final case class HLine(prefLen: Int, rangeLen: Int,
       rangeLow: Long, kind: Int)
 
   /** Huffman-decoded sentinels (Long-domain). */
   private val HOOB = Long.MinValue
   private val HBAD = Long.MinValue + 1
 
-  private final class HuffTable(val lines: IndexedSeq[HLine]) {
+  private[pipeline] final class HuffTable(val lines: IndexedSeq[HLine]) {
     // B.3 canonical assignment: codes of length L are consecutive,
     // starting from (previous length's last code + 1) << 1, walking
     // lines in TABLE order within each length. PREFLEN 0 = unused.
+    // `valid` = the assignment never overflowed a length's code space
+    // (Kraft ≤ 1) — standard tables are spec-pinned, but CUSTOM table
+    // segments (§7.4.13) carry untrusted prefix lengths and an
+    // overflowed assignment would alias two lines onto one code.
+    var valid: Boolean = true
     val codes: Array[(Int, Int)] = {                 // (len, code) per line
       val out = new Array[(Int, Int)](lines.size)
       val maxLen = if (lines.isEmpty) 0 else lines.map(_.prefLen).max
-      var cur = 0
-      var len = 1
-      while (len <= maxLen) {
-        for (i <- lines.indices if lines(i).prefLen == len) {
-          out(i) = (len, cur)
-          cur += 1
+      if (maxLen > 24) { valid = false; out }       // hostile widths
+      else {
+        var cur = 0
+        var len = 1
+        while (len <= maxLen) {
+          for (i <- lines.indices if lines(i).prefLen == len) {
+            out(i) = (len, cur)
+            cur += 1
+          }
+          if (cur > (1 << len)) valid = false
+          cur <<= 1
+          len += 1
         }
-        cur <<= 1
-        len += 1
+        out
       }
-      out
     }
 
     /** Decode one value from `r`: value, [[HOOB]], or [[HBAD]] on a
@@ -794,6 +847,116 @@ object Jbig2 {
       hl(7, 4, 29), hl(7, 5, 45), hl(7, 6, 77),
       HLine(7, 32, 141, 2))))
 
+  /** Decode a CUSTOM Huffman table segment (§7.4.13, assembled by the
+    * §B.2 procedure): flags byte (bit 0 HTOOB, bits 1-3 HTPS−1, bits
+    * 4-6 HTRS−1), signed 32-bit HTLOW/HTHIGH, then (PREFLEN, RANGELEN)
+    * line pairs walking [HTLOW, HTHIGH), a lower-range line at
+    * HTLOW−1, an upper-range line at HTHIGH, and an OOB line when
+    * flagged. None on reader overrun, a non-constructible prefix code
+    * (Kraft overflow), or hostile line counts — the table is skipped
+    * and selectors referring to it fail clean. */
+  private def decodeTableSegment(
+      data: Array[Byte], start: Int, end: Int): Option[HuffTable] = {
+    if (end - start < 9) return None
+    val flags = data(start) & 0xff
+    val htoob = (flags & 1) != 0
+    val htps = ((flags >> 1) & 7) + 1
+    val htrs = ((flags >> 4) & 7) + 1
+    val htlow = rdBe32(data, start + 1).toInt       // signed per §B.2
+    val hthigh = rdBe32(data, start + 5).toInt
+    if (htlow >= hthigh) return None
+    val r = new BitReader(data, start + 9, end)
+    val lines = new ArrayBuffer[HLine]()
+    var cur = htlow.toLong
+    var guard = 0
+    while (cur < hthigh && guard < 4096) {
+      guard += 1
+      val p = r.bits(htps)
+      val rl = r.bits(htrs)
+      if (p < 0 || rl < 0 || rl > 32) return None
+      lines += HLine(p.toInt, rl.toInt, cur, 0)
+      cur += (1L << rl)
+    }
+    if (cur < hthigh) return None                   // guard exhausted
+    val pl = r.bits(htps); if (pl < 0) return None
+    lines += HLine(pl.toInt, 32, htlow - 1L, 1)
+    val pu = r.bits(htps); if (pu < 0) return None
+    lines += HLine(pu.toInt, 32, hthigh.toLong, 2)
+    if (htoob) {
+      val po = r.bits(htps); if (po < 0) return None
+      lines += HLine(po.toInt, 0, 0, 3)
+    }
+    val t = new HuffTable(lines.toIndexedSeq)
+    if (t.valid) Some(t) else None
+  }
+
+  /** Fixture-encoder inverse of [[decodeTableSegment]]: emit the
+    * table segment DATA for `ranges` (PREFLEN, RANGELEN) lines
+    * walking [htlow, hthigh), plus the lower/upper(/OOB) prefix
+    * lengths. Returns (segment data, the table it decodes to). */
+  private[pipeline] def encodeTableSegment(
+      htlow: Int, hthigh: Int,
+      ranges: Seq[(Int, Int)],
+      lowerPref: Int, upperPref: Int,
+      oobPref: Int = 0): (Array[Byte], HuffTable) = {
+    require(htlow < hthigh, "HTLOW must be below HTHIGH")
+    // smallest field widths that hold every emitted value
+    def widthFor(maxV: Int): Int = {
+      var w = 1
+      while ((1 << w) - 1 < maxV) w += 1
+      w
+    }
+    val htps = widthFor(
+      ranges.map(_._1).max.max(lowerPref).max(upperPref).max(oobPref))
+    val htrs = widthFor(ranges.map(_._2).max)
+    require(htps <= 8 && htrs <= 8, "HTPS/HTRS fit 3-bit fields + 1")
+    val b = new ArrayBuffer[Byte]()
+    b += (((if (oobPref > 0) 1 else 0) |
+      ((htps - 1) << 1) | ((htrs - 1) << 4)) & 0xff).toByte
+    be32(b, htlow.toLong & 0xffffffffL)
+    be32(b, hthigh.toLong & 0xffffffffL)
+    val w = new BitWriter
+    val lines = new ArrayBuffer[HLine]()
+    var cur = htlow.toLong
+    for ((p, rl) <- ranges) {
+      w.bits(p.toLong, htps); w.bits(rl.toLong, htrs)
+      lines += HLine(p, rl, cur, 0)
+      cur += (1L << rl)
+    }
+    require(cur >= hthigh, "ranges must cover [htlow, hthigh)")
+    w.bits(lowerPref.toLong, htps)
+    lines += HLine(lowerPref, 32, htlow - 1L, 1)
+    w.bits(upperPref.toLong, htps)
+    lines += HLine(upperPref, 32, hthigh.toLong, 2)
+    if (oobPref > 0) {
+      w.bits(oobPref.toLong, htps)
+      lines += HLine(oobPref, 0, 0, 3)
+    }
+    b ++= w.toArray
+    val t = new HuffTable(lines.toIndexedSeq)
+    require(t.valid, "fixture table must be a constructible prefix code")
+    (b.toArray, t)
+  }
+
+  /** Test seam for [[decodeTableSegment]]. */
+  private[pipeline] def tableSegmentRoundTrip(
+      htlow: Int, hthigh: Int, ranges: Seq[(Int, Int)],
+      lowerPref: Int, upperPref: Int, oobPref: Int,
+      values: Seq[Long]): Option[Seq[Option[Long]]] = {
+    val (data, enc) = encodeTableSegment(htlow, hthigh, ranges,
+      lowerPref, upperPref, oobPref)
+    decodeTableSegment(data, 0, data.length).map { dec =>
+      val w = new BitWriter
+      values.foreach(v => huffEncode(w, enc, v))
+      val payload = w.toArray
+      val r = new BitReader(payload, 0, payload.length)
+      values.map { _ =>
+        val d = dec.decode(r)
+        if (d == HOOB || d == HBAD) None else Some(d)
+      }
+    }
+  }
+
   private def symCodeLenOf(numSyms: Int): Int = {
     var len = 0
     while ((1 << len) < numSyms) len += 1
@@ -816,7 +979,8 @@ object Jbig2 {
       data: Array[Byte], start: Int, end: Int,
       numNew: Int, numEx: Int,
       input: IndexedSeq[Bitmap],
-      refAgg: Boolean = false): Option[IndexedSeq[Bitmap]] = {
+      refAgg: Boolean = false,
+      rtemplate: Int = 1): Option[IndexedSeq[Bitmap]] = {
     if (numNew < 0 || numNew > 4096 || numEx < 0 || numEx > 8192) return None
     val mq = new MqDecoder(data, start, end)
     val gb = pooledContexts()
@@ -853,17 +1017,37 @@ object Jbig2 {
             newSyms.size >= numNew) return None
           if (refAgg) {
             val nInst = decodeInt(mq, ia, IAAI)
-            if (nInst != 1) return None       // multi-aggregate: out of subset
-            val id = decodeId(mq, ia, symCodeLen)
-            if (id < 0 || id >= input.size + newSyms.size) return None
-            val rdx = decodeInt(mq, ia, IARDX)
-            val rdy = decodeInt(mq, ia, IARDY)
-            if (rdx == OOB || rdx == BAD || rdy == OOB || rdy == BAD ||
-              math.abs(rdx) > 4096 || math.abs(rdy) > 4096) return None
-            val ref =
-              if (id < input.size) input(id) else newSyms(id - input.size)
-            newSyms += Bitmap(symWidth, hcHeight,
-              decodeRefinementWith(mq, gr, symWidth, hcHeight, ref, rdx, rdy))
+            if (nInst == OOB || nInst == BAD || nInst < 1 || nInst > 64)
+              return None
+            if (nInst == 1) {
+              // §6.5.8.2.1 single-instance DIRECT refinement
+              val id = decodeId(mq, ia, symCodeLen)
+              if (id < 0 || id >= input.size + newSyms.size) return None
+              val rdx = decodeInt(mq, ia, IARDX)
+              val rdy = decodeInt(mq, ia, IARDY)
+              if (rdx == OOB || rdx == BAD || rdy == OOB || rdy == BAD ||
+                math.abs(rdx) > 4096 || math.abs(rdy) > 4096) return None
+              val ref =
+                if (id < input.size) input(id) else newSyms(id - input.size)
+              newSyms += Bitmap(symWidth, hcHeight,
+                decodeRefinementWith(mq, gr, symWidth, hcHeight, ref, rdx, rdy,
+                  rtemplate))
+            } else {
+              // §6.5.8.2.2 MULTI-AGGREGATE (r17): the symbol is a
+              // TEXT REGION of its own size decoded on THIS segment's
+              // arithmetic stream — SBSTRIPS=1, TOPLEFT, OR onto a 0
+              // default, SBREFINE=1 with this dictionary's refinement
+              // template, symbols = input ∪ new-so-far under the
+              // dictionary-wide code length
+              val avail = (input ++ newSyms).toIndexedSeq
+              decodeTextRegionWith(mq, ia, gr, symWidth, hcHeight,
+                nInst, 0, 1, 0, avail, symCodeLen,
+                transposed = false, combOp = 0, defPixel = 0,
+                refine = true, rtemplate = rtemplate) match {
+                case None => return None
+                case Some(bm) => newSyms += Bitmap(symWidth, hcHeight, bm)
+              }
+            }
           } else newSyms += Bitmap(symWidth, hcHeight,
             decodeGenericWith(mq, gb, symWidth, hcHeight, tpgdon = false))
         }
@@ -918,7 +1102,8 @@ object Jbig2 {
     * ids reference it). Exports only the new symbols. */
   private def encodeSymbolDictRef(
       syms: Seq[(Bitmap, Int, Bitmap, Int, Int)],
-      inputCount: Int): Array[Byte] = {
+      inputCount: Int,
+      rtemplate: Int = 1): Array[Byte] = {
     require(syms.map(_._1.h) == syms.map(_._1.h).sorted,
       "refined symbols must be pre-sorted by height (wire order)")
     val mq = new MqEncoder
@@ -937,7 +1122,7 @@ object Jbig2 {
         encodeId(mq, ia, symCodeLen, refId)
         encodeInt(mq, ia, IARDX, dx)
         encodeInt(mq, ia, IARDY, dy)
-        encodeRefinementWith(mq, gr, target, ref, dx, dy)
+        encodeRefinementWith(mq, gr, target, ref, dx, dy, rtemplate)
       }
       encodeInt(mq, ia, IADW, OOB)
     }
@@ -971,10 +1156,10 @@ object Jbig2 {
       data: Array[Byte], start: Int, end: Int,
       numNew: Int, numEx: Int,
       input: IndexedSeq[Bitmap],
-      dhTab: HuffTable, dwTab: HuffTable): Option[IndexedSeq[Bitmap]] = {
+      dhTab: HuffTable, dwTab: HuffTable,
+      bmTab: HuffTable): Option[IndexedSeq[Bitmap]] = {
     if (numNew < 0 || numNew > 4096 || numEx < 0 || numEx > 8192) return None
     val r = new BitReader(data, start, end)
-    val bmTab = StdTables(1)
     val newSyms = new ArrayBuffer[Bitmap](numNew)
     var hcHeight = 0
     var totalPx = 0L
@@ -1084,9 +1269,13 @@ object Jbig2 {
     * even `docParity`, uncompressed for odd; DH = B.4, DW = B.2,
     * BMSIZE = B.1. Exports all. */
   private def encodeSymbolDictHuff(
-      syms: Seq[Bitmap], mmr: Boolean): Array[Byte] = {
+      syms: Seq[Bitmap], mmr: Boolean,
+      dhTab0: HuffTable = null, dwTab0: HuffTable = null,
+      bmTab0: HuffTable = null): Array[Byte] = {
     val w = new BitWriter
-    val dhTab = StdTables(4); val dwTab = StdTables(2); val bmTab = StdTables(1)
+    val dhTab = if (dhTab0 != null) dhTab0 else StdTables(4)
+    val dwTab = if (dwTab0 != null) dwTab0 else StdTables(2)
+    val bmTab = if (bmTab0 != null) bmTab0 else StdTables(1)
     var prevH = 0
     for ((h, group0) <- syms.groupBy(_.h).toSeq.sortBy(_._1)) {
       val group = group0.sortBy(_.w)
@@ -1152,21 +1341,81 @@ object Jbig2 {
     ids
   }
 
-  // ---- text region (T.88 §6.4, arithmetic subset: SBHUFF=0,
-  // SBREFINE=0, TRANSPOSED=0, SBCOMBOP=OR, REFCORNER ∈
-  // {BOTTOMLEFT, TOPLEFT}).
+  // ---- text region (T.88 §6.4, subset: SBHUFF ∈ {0, 1}, SBREFINE=0,
+  // TRANSPOSED ∈ {0, 1}, REFCORNER all four, SBCOMBOP all four
+  // (OR/AND/XOR/XNOR), SBDEFPIXEL ∈ {0, 1} — r17 widened from the
+  // TOPLEFT/BOTTOMLEFT OR-only shape).
 
-  private def decodeTextRegion(
-      data: Array[Byte], start: Int, end: Int, w: Int, h: Int,
+  /** §6.4.5 steps (vi)-(xii): place one symbol instance at strip
+    * coordinate `ti`, S-cursor `curs0`, under the placement mode —
+    * the corner at the FAR end of the advancing S axis pre-advances
+    * CURS (right corners when S runs across, bottom corners when
+    * transposed S runs down), the near corner post-advances; the
+    * symbol composes under `combOp` clipped to the region. Returns
+    * the updated CURS. ONE implementation for the arithmetic and
+    * Huffman decoders and the (inverted) encoder-side geometry. */
+  private def placeSymbol(
+      px: Array[Byte], w: Int, h: Int, sb: Bitmap,
+      curs0: Int, ti: Int, transposed: Boolean, refCorner: Int,
+      combOp: Int): Int = {
+    var curs = curs0
+    if (!transposed && (refCorner == 2 || refCorner == 3)) curs += sb.w - 1
+    if (transposed && (refCorner == 0 || refCorner == 2)) curs += sb.h - 1
+    val si = curs
+    val cx = if (transposed) ti else si       // corner pixel (x, y)
+    val cy = if (transposed) si else ti
+    val left = if (refCorner == 0 || refCorner == 1) cx else cx - sb.w + 1
+    val top = if (refCorner == 1 || refCorner == 3) cy else cy - sb.h + 1
+    var yy = 0
+    while (yy < sb.h) {
+      val py = top + yy
+      if (py >= 0 && py < h) {
+        var xx = 0
+        while (xx < sb.w) {
+          val pxx = left + xx
+          if (pxx >= 0 && pxx < w) {
+            val s = sb.px(yy * sb.w + xx) & 1
+            val d = px(py * w + pxx) & 1
+            px(py * w + pxx) = (combOp match {
+              case 0 => d | s
+              case 1 => d & s
+              case 2 => d ^ s
+              case _ => 1 - (d ^ s)            // XNOR
+            }).toByte
+          }
+          xx += 1
+        }
+      }
+      yy += 1
+    }
+    if (!transposed && (refCorner == 0 || refCorner == 1)) curs += sb.w - 1
+    if (transposed && (refCorner == 1 || refCorner == 3)) curs += sb.h - 1
+    curs
+  }
+
+  /** Arithmetic text-region body over an EXISTING decoder and
+    * context tables — the §6.5.8.2.2 MULTI-AGGREGATE path decodes a
+    * text region INSIDE a symbol-dictionary segment sharing its one
+    * arithmetic decoder, so the procedure cannot own them (same
+    * shape as [[decodeGenericWith]]). With `refine` (SBREFINE=1,
+    * §6.4.11), each instance carries an IARI decision; refined
+    * instances decode RDW/RDH/RDX/RDY and a §6.3 refinement of the
+    * symbol at `(⌊RDW/2⌋ + RDX, ⌊RDH/2⌋ + RDY)` — the refined bitmap
+    * places instead of the symbol. `symCodeLen` is caller-supplied:
+    * the aggregate path sizes it over the dictionary's FULL
+    * input+new count, not the so-far-decoded prefix. */
+  private def decodeTextRegionWith(
+      mq: MqDecoder, ia: Contexts, gr: Contexts,
+      w: Int, h: Int,
       numInstances: Int, logStrips: Int, refCorner: Int, dsOffset: Int,
-      syms: IndexedSeq[Bitmap]): Option[Array[Byte]] = {
+      syms: IndexedSeq[Bitmap], symCodeLen: Int,
+      transposed: Boolean, combOp: Int, defPixel: Int,
+      refine: Boolean, rtemplate: Int): Option[Array[Byte]] = {
     if (syms.isEmpty || numInstances < 0 || numInstances > (1 << 20)) return None
-    val symCodeLen = symCodeLenOf(syms.size)
     if (symCodeLen > MaxSymCodeLen) return None
     val strips = 1 << logStrips
-    val mq = new MqDecoder(data, start, end)
-    val ia = pooledIaContexts()
     val px = new Array[Byte](w * h)
+    if (defPixel == 1) java.util.Arrays.fill(px, 1.toByte)
     val dt0 = decodeInt(mq, ia, IADT)
     if (dt0 == OOB || dt0 == BAD) return None
     var stript = -dt0 * strips
@@ -1181,7 +1430,12 @@ object Jbig2 {
       var curs = 0
       var firstSym = true
       var stripDone = false
-      while (!stripDone && inst < numInstances) {
+      // each strip runs to ITS OOB — including the last one (§6.4.5
+      // step 3c: the strip loop ends on OOB, the instance count ends
+      // the region loop). Leaving the final OOB unread breaks the
+      // EMBEDDED use (§6.5.8.2.2 aggregates share the dictionary's
+      // arithmetic stream, which continues after the region).
+      while (!stripDone) {
         if (firstSym) {
           val dfs = decodeInt(mq, ia, IAFS)
           if (dfs == OOB || dfs == BAD) return None
@@ -1195,29 +1449,36 @@ object Jbig2 {
           else curs += ids + dsOffset
         }
         if (!stripDone) {
+          if (inst >= numInstances) return None  // over-declared strip
           val curt = if (strips == 1) 0 else decodeInt(mq, ia, IAIT)
           if (curt == OOB || curt == BAD) return None
           val ti = stript + curt
           val id = decodeId(mq, ia, symCodeLen)
           if (id < 0 || id >= syms.size) return None
-          val sb = syms(id)
-          // draw with OR, clipped to the region (§6.4.5 composition)
-          val top = if (refCorner == 1) ti else ti - sb.h + 1
-          var yy = 0
-          while (yy < sb.h) {
-            val py = top + yy
-            if (py >= 0 && py < h) {
-              var xx = 0
-              while (xx < sb.w) {
-                val pxx = curs + xx
-                if (pxx >= 0 && pxx < w && (sb.px(yy * sb.w + xx) & 1) == 1)
-                  px(py * w + pxx) = 1
-                xx += 1
-              }
+          var sb = syms(id)
+          if (refine) {
+            val ri = decodeInt(mq, ia, IARI)
+            if (ri == OOB || ri == BAD) return None
+            if (ri != 0) {
+              val rdw = decodeInt(mq, ia, IARDW)
+              val rdh = decodeInt(mq, ia, IARDH)
+              val rdx = decodeInt(mq, ia, IARDX)
+              val rdy = decodeInt(mq, ia, IARDY)
+              if (rdw == OOB || rdw == BAD || rdh == OOB || rdh == BAD ||
+                rdx == OOB || rdx == BAD || rdy == OOB || rdy == BAD)
+                return None
+              val tw = sb.w + rdw
+              val th = sb.h + rdh
+              if (tw <= 0 || tw > 4096 || th <= 0 || th > 4096 ||
+                math.abs(rdx) > 4096 || math.abs(rdy) > 4096) return None
+              sb = Bitmap(tw, th,
+                decodeRefinementWith(mq, gr, tw, th, sb,
+                  Math.floorDiv(rdw, 2) + rdx, Math.floorDiv(rdh, 2) + rdy,
+                  rtemplate))
             }
-            yy += 1
           }
-          curs += sb.w - 1
+          curs = placeSymbol(px, w, h, sb, curs, ti,
+            transposed, refCorner, combOp)
           inst += 1
         }
       }
@@ -1225,22 +1486,54 @@ object Jbig2 {
     Some(px)
   }
 
-  /** Encode placements (top-left (x, y) regardless of `refCorner` —
-    * the BOTTOMLEFT T coordinate is derived per symbol height), strip
-    * height `1 << logStrips` with IAIT-coded in-strip T offsets. */
-  private def encodeTextRegionData(
+  private def decodeTextRegion(
+      data: Array[Byte], start: Int, end: Int, w: Int, h: Int,
+      numInstances: Int, logStrips: Int, refCorner: Int, dsOffset: Int,
+      syms: IndexedSeq[Bitmap],
+      transposed: Boolean, combOp: Int, defPixel: Int,
+      refine: Boolean = false, rtemplate: Int = 1): Option[Array[Byte]] = {
+    if (syms.isEmpty) return None
+    decodeTextRegionWith(
+      new MqDecoder(data, start, end), pooledIaContexts(),
+      if (refine) pooledGrContexts() else null,
+      w, h, numInstances, logStrips, refCorner, dsOffset,
+      syms, symCodeLenOf(syms.size),
+      transposed, combOp, defPixel, refine, rtemplate)
+  }
+
+  /** Encode placements (top-left (x, y) regardless of `refCorner` or
+    * `transposed` — the wire T coordinate is derived per corner and
+    * axis), strip height `1 << logStrips` with IAIT-coded in-strip T
+    * offsets. The wire S chain always runs on the MIN edge entering
+    * and MAX edge leaving each symbol (the corner pre/post CURS
+    * updates of §6.4.5 cancel into exactly that — see
+    * [[placeSymbol]]). */
+  /** Text-region body on an EXISTING encoder/context tables — the
+    * inverse of [[decodeTextRegionWith]], shared by standalone text
+    * segments and the §6.5.8.2.2 aggregate path (which runs INSIDE a
+    * dictionary's arithmetic stream). `variants(i)` refines
+    * placement i: (target bitmap, RDX, RDY) — RDW/RDH derive from
+    * the target dims; None emits IARI=0 when `refine`. */
+  private def encodeTextRegionDataWith(
+      mq: MqEncoder, ia: Contexts, gr: Contexts,
       syms: Seq[Bitmap], placements: Seq[(Int, Int, Int)],
-      logStrips: Int, refCorner: Int): Array[Byte] = {
-    val symCodeLen = symCodeLenOf(syms.size)
-    require(symCodeLen <= MaxSymCodeLen, s"too many symbols: ${syms.size}")
+      variants: Seq[Option[(Bitmap, Int, Int)]],
+      logStrips: Int, refCorner: Int, transposed: Boolean,
+      refine: Boolean, rtemplate: Int, symCodeLen: Int): Unit = {
     val strips = 1 << logStrips
-    val mq = new MqEncoder
-    val ia = pooledIaContexts()
-    // (sym, s, T, stripT): T per the reference corner, strip = floor
-    val coords = placements.map { case (sym, x, y) =>
-      val t = if (refCorner == 1) y else y + syms(sym).h - 1
+    // (sym, s, T, stripT, idx): T per the reference corner over the
+    // INSTANCE dims (a refined instance advances by ITS size)
+    val coords = placements.zipWithIndex.map { case ((sym, x, y), i) =>
+      val inst = variants(i).map(_._1).getOrElse(syms(sym))
+      val t =
+        if (!transposed) {
+          if (refCorner == 1 || refCorner == 3) y else y + inst.h - 1
+        } else {
+          if (refCorner == 0 || refCorner == 1) x else x + inst.w - 1
+        }
+      val sEntry = if (transposed) y else x
       require(t >= 0, s"negative T for placement ($sym, $x, $y)")
-      (sym, x, t, (t / strips) * strips)
+      (sym, sEntry, t, (t / strips) * strips, i)
     }
     encodeInt(mq, ia, IADT, 0)                // STRIPT starts at 0
     var prevT = 0
@@ -1251,7 +1544,7 @@ object Jbig2 {
       prevT = stripT
       var curs = 0
       var first = true
-      for ((sym, s, t, _) <- ps) {
+      for ((sym, s, t, _, i) <- ps) {
         if (first) {
           encodeInt(mq, ia, IAFS, s - firsts)
           firsts = s
@@ -1260,10 +1553,38 @@ object Jbig2 {
         curs = s
         if (strips > 1) encodeInt(mq, ia, IAIT, t - stripT)
         encodeId(mq, ia, symCodeLen, sym)
-        curs += syms(sym).w - 1
+        val inst = variants(i).map(_._1).getOrElse(syms(sym))
+        if (refine) variants(i) match {
+          case None => encodeInt(mq, ia, IARI, 0)
+          case Some((target, rdx, rdy)) =>
+            encodeInt(mq, ia, IARI, 1)
+            val rdw = target.w - syms(sym).w
+            val rdh = target.h - syms(sym).h
+            encodeInt(mq, ia, IARDW, rdw)
+            encodeInt(mq, ia, IARDH, rdh)
+            encodeInt(mq, ia, IARDX, rdx)
+            encodeInt(mq, ia, IARDY, rdy)
+            encodeRefinementWith(mq, gr, target, syms(sym),
+              Math.floorDiv(rdw, 2) + rdx, Math.floorDiv(rdh, 2) + rdy,
+              rtemplate)
+        }
+        curs += (if (transposed) inst.h else inst.w) - 1
       }
       encodeInt(mq, ia, IADS, OOB)
     }
+  }
+
+  private def encodeTextRegionData(
+      syms: Seq[Bitmap], placements: Seq[(Int, Int, Int)],
+      logStrips: Int, refCorner: Int,
+      transposed: Boolean = false): Array[Byte] = {
+    val symCodeLen = symCodeLenOf(syms.size)
+    require(symCodeLen <= MaxSymCodeLen, s"too many symbols: ${syms.size}")
+    val mq = new MqEncoder
+    encodeTextRegionDataWith(mq, pooledIaContexts(), null,
+      syms, placements, placements.map(_ => None),
+      logStrips, refCorner, transposed,
+      refine = false, rtemplate = 1, symCodeLen = symCodeLen)
     mq.flush()
   }
 
@@ -1317,13 +1638,15 @@ object Jbig2 {
       data: Array[Byte], start: Int, end: Int, w: Int, h: Int,
       numInstances: Int, logStrips: Int, refCorner: Int, dsOffset: Int,
       syms: IndexedSeq[Bitmap],
-      fsTab: HuffTable, dsTab: HuffTable, dtTab: HuffTable)
+      fsTab: HuffTable, dsTab: HuffTable, dtTab: HuffTable,
+      transposed: Boolean, combOp: Int, defPixel: Int)
       : Option[Array[Byte]] = {
     if (syms.isEmpty || numInstances < 0 || numInstances > (1 << 20)) return None
     val strips = 1 << logStrips
     val r = new BitReader(data, start, end)
     val idTab = decodeSymbolIdTable(r, syms.size).getOrElse(return None)
     val px = new Array[Byte](w * h)
+    if (defPixel == 1) java.util.Arrays.fill(px, 1.toByte)
     val dt0 = dtTab.decode(r)
     if (dt0 == HOOB || dt0 == HBAD || dt0 < -(1 << 20) || dt0 > (1 << 20))
       return None
@@ -1339,7 +1662,9 @@ object Jbig2 {
       var curs = 0
       var firstSym = true
       var stripDone = false
-      while (!stripDone && inst < numInstances) {
+      // run each strip to its OOB (incl. the last) — see the
+      // arithmetic twin above
+      while (!stripDone) {
         if (firstSym) {
           val dfs = fsTab.decode(r)
           if (dfs == HOOB || dfs == HBAD ||
@@ -1355,28 +1680,14 @@ object Jbig2 {
           else curs += ids.toInt + dsOffset
         }
         if (!stripDone) {
+          if (inst >= numInstances) return None  // over-declared strip
           val curt = if (strips == 1) 0L else r.bits(logStrips)
           if (curt < 0) return None
           val ti = stript + curt.toInt
           val id = idTab.decode(r)
           if (id == HOOB || id == HBAD || id < 0 || id >= syms.size) return None
-          val sb = syms(id.toInt)
-          val top = if (refCorner == 1) ti else ti - sb.h + 1
-          var yy = 0
-          while (yy < sb.h) {
-            val py = top + yy
-            if (py >= 0 && py < h) {
-              var xx = 0
-              while (xx < sb.w) {
-                val pxx = curs + xx
-                if (pxx >= 0 && pxx < w && (sb.px(yy * sb.w + xx) & 1) == 1)
-                  px(py * w + pxx) = 1
-                xx += 1
-              }
-            }
-            yy += 1
-          }
-          curs += sb.w - 1
+          curs = placeSymbol(px, w, h, syms(id.toInt), curs, ti,
+            transposed, refCorner, combOp)
           inst += 1
         }
       }
@@ -1392,7 +1703,9 @@ object Jbig2 {
     * 1) and every strip delta is ≥ 1. */
   private def encodeTextRegionDataHuff(
       syms: Seq[Bitmap], placements: Seq[(Int, Int, Int)],
-      logStrips: Int, refCorner: Int): Array[Byte] = {
+      logStrips: Int, refCorner: Int,
+      fsTab0: HuffTable = null, dsTab0: HuffTable = null,
+      dtTab0: HuffTable = null): Array[Byte] = {
     val symCodeLen = symCodeLenOf(syms.size)
     require(symCodeLen <= MaxSymCodeLen, s"too many symbols: ${syms.size}")
     val strips = 1 << logStrips
@@ -1403,14 +1716,20 @@ object Jbig2 {
     // 1-bit code 0)
     for (_ <- syms.indices) w.bit(0)
     w.byteAlign()
-    val fsTab = StdTables(6); val dsTab = StdTables(8); val dtTab = StdTables(11)
+    val fsTab = if (fsTab0 != null) fsTab0 else StdTables(6)
+    val dsTab = if (dsTab0 != null) dsTab0 else StdTables(8)
+    val dtTab = if (dtTab0 != null) dtTab0 else StdTables(11)
+    // a custom DT table that carries 0 lets STRIPT start at 0; B.11
+    // has no zero, so the standard path initializes STRIPT to
+    // -SBSTRIPS with DT0 = 1 and every strip delta stays >= 1
+    val dtZero = dtTab0 != null
     val coords = placements.map { case (sym, x, y) =>
       val t = if (refCorner == 1) y else y + syms(sym).h - 1
       require(t >= 0, s"negative T for placement ($sym, $x, $y)")
       (sym, x, t, (t / strips) * strips)
     }
-    huffEncode(w, dtTab, 1L)                  // STRIPT = -SBSTRIPS
-    var prevT = -strips
+    huffEncode(w, dtTab, if (dtZero) 0L else 1L)
+    var prevT = if (dtZero) 0 else -strips
     var firsts = 0
     for ((stripT, ps0) <- coords.groupBy(_._4).toSeq.sortBy(_._1)) {
       val ps = ps0.sortBy(_._2)
@@ -1447,7 +1766,8 @@ object Jbig2 {
       separateGlobals: Boolean = false,
       logStrips: Int = 0,
       refCorner: Int = 1,
-      mmrCollective: Boolean = false): (Array[Byte], Array[Byte]) = {
+      mmrCollective: Boolean = false,
+      customTables: Boolean = false): (Array[Byte], Array[Byte]) = {
     require(w > 0 && h > 0 && symbols.nonEmpty, "need dimensions and symbols")
     require(logStrips >= 0 && logStrips <= 3, s"logStrips in [0,3]: $logStrips")
     require(refCorner == 0 || refCorner == 1, "BOTTOMLEFT(0) or TOPLEFT(1)")
@@ -1462,15 +1782,43 @@ object Jbig2 {
     val sorted = bms.zipWithIndex.sortBy(p => ids(p._2)).map(_._1)
     val remapped = placements.map { case (s, x, y) => (ids(s), x, y) }
 
+    // CUSTOM-table mode (r17): six type-53 table segments replace the
+    // standard selections — DH/DW/BMSIZE on the dictionary (selector
+    // 3 / B-flag 1, consumed in that order) and FS/DS/DT on the text
+    // region. The dimensions here bound every emitted value: symbol
+    // dims ≤ 16-ish heights/widths, BMSIZE < 2^16, deltas in [0, 16).
+    require(!customTables || (w <= 4096 && h <= 4096 &&
+      symbols.forall(s => s._1 < 16 && s._2 < 16)),
+      "custom-table fixture mode bounds symbol dims to < 16")
+    val custDh = if (customTables)
+      Some(encodeTableSegment(0, 16, Seq((1, 4)), 2, 2)) else None
+    val custDw = if (customTables)
+      Some(encodeTableSegment(0, 16, Seq((2, 4)), 3, 3, oobPref = 1)) else None
+    val custBm = if (customTables)
+      Some(encodeTableSegment(0, 65536, Seq((1, 16)), 2, 2)) else None
+    val custFs = if (customTables)
+      Some(encodeTableSegment(0, 1 << widthOf(w), Seq((1, widthOf(w))), 2, 2))
+      else None
+    val custDs = if (customTables)
+      Some(encodeTableSegment(0, 1 << widthOf(w), Seq((2, widthOf(w))), 3, 3,
+        oobPref = 1)) else None
+    val custDt = if (customTables)
+      Some(encodeTableSegment(0, 1 << widthOf(h), Seq((1, widthOf(h))), 2, 2))
+      else None
+
     val dictData = {
       val b = new ArrayBuffer[Byte]()
-      // flags: SDHUFF=1, SDREFAGG=0, SDHUFFDH=0 (B.4), SDHUFFDW=0
-      // (B.2), SDHUFFBMSIZE=0 (B.1), SDHUFFAGGINST=0, template 0.
-      // No AT bytes in Huffman mode.
-      b += 0; b += 1
+      // flags: SDHUFF=1, SDREFAGG=0, then either all-standard
+      // selectors (DH=B.4, DW=B.2, BMSIZE=B.1) or all-custom
+      // (DH=3, DW=3, BMSIZE flag 1); template 0, no AT bytes.
+      val flags =
+        if (customTables) 1 | (3 << 2) | (3 << 4) | (1 << 6) else 1
+      b += ((flags >> 8) & 0xff).toByte; b += (flags & 0xff).toByte
       be32(b, sorted.size)                    // SDNUMEXSYMS
       be32(b, sorted.size)                    // SDNUMNEWSYMS
-      b ++= encodeSymbolDictHuff(sorted, mmrCollective)
+      b ++= encodeSymbolDictHuff(sorted, mmrCollective,
+        custDh.map(_._2).orNull, custDw.map(_._2).orNull,
+        custBm.map(_._2).orNull)
       b
     }
     val textData = {
@@ -1479,11 +1827,14 @@ object Jbig2 {
       // text flags: SBHUFF=1, rest as the arithmetic encoder
       val flags = 1 | ((logStrips & 3) << 2) | ((refCorner & 3) << 4)
       b += ((flags >> 8) & 0xff).toByte; b += (flags & 0xff).toByte
-      // huffman flags: SBHUFFFS=0 (B.6), SBHUFFDS=0 (B.8),
-      // SBHUFFDT=0 (B.11), refinement selectors 0
-      b += 0; b += 0
+      // huffman flags: FS/DS/DT either the first standard tables
+      // (B.6/B.8/B.11, selectors 0) or custom (selectors 3)
+      val hf = if (customTables) 3 | (3 << 2) | (3 << 4) else 0
+      b += ((hf >> 8) & 0xff).toByte; b += (hf & 0xff).toByte
       be32(b, remapped.size)                  // SBNUMINSTANCES
-      b ++= encodeTextRegionDataHuff(sorted, remapped, logStrips, refCorner)
+      b ++= encodeTextRegionDataHuff(sorted, remapped, logStrips, refCorner,
+        custFs.map(_._2).orNull, custDs.map(_._2).orNull,
+        custDt.map(_._2).orNull)
       b
     }
     val pageData = {
@@ -1492,11 +1843,36 @@ object Jbig2 {
       b += 0; b += 0; b += 0                  // page flags + striping
       b
     }
-    val dictSeg = segment(0, 0, dictData)
-    val rest = segment(1, 48, pageData) ++
-      segment(2, 6, textData, refs = Seq(0L))
-    if (separateGlobals) (rest.toArray, dictSeg.toArray)
-    else ((dictSeg ++ rest).toArray, Array.empty[Byte])
+    if (!customTables) {
+      val dictSeg = segment(0, 0, dictData)
+      val rest = segment(1, 48, pageData) ++
+        segment(2, 6, textData, refs = Seq(0L))
+      if (separateGlobals) (rest.toArray, dictSeg.toArray)
+      else ((dictSeg ++ rest).toArray, Array.empty[Byte])
+    } else {
+      // segments 0-2: the dictionary's tables; 3: the dictionary
+      // (refs in DH, DW, BMSIZE order); 4: page info; 5-7: the text
+      // region's tables; 8: the text region (refs: dict + FS/DS/DT)
+      def tseg(num: Long, t: Option[(Array[Byte], HuffTable)]) = {
+        val b = new ArrayBuffer[Byte]()
+        b ++= t.get._1
+        segment(num, 53, b)
+      }
+      val dictPart = tseg(0, custDh) ++ tseg(1, custDw) ++ tseg(2, custBm) ++
+        segment(3, 0, dictData, refs = Seq(0L, 1L, 2L))
+      val rest = segment(4, 48, pageData) ++
+        tseg(5, custFs) ++ tseg(6, custDs) ++ tseg(7, custDt) ++
+        segment(8, 6, textData, refs = Seq(3L, 5L, 6L, 7L))
+      if (separateGlobals) (rest.toArray, dictPart.toArray)
+      else ((dictPart ++ rest).toArray, Array.empty[Byte])
+    }
+  }
+
+  /** Smallest RANGELEN that covers [0, v]. */
+  private def widthOf(v: Int): Int = {
+    var b = 1
+    while ((1 << b) - 1 < v) b += 1
+    b
   }
 
   // ---- embedded segment layer (§7.2): the PDF-stream subset.
@@ -1583,10 +1959,15 @@ object Jbig2 {
       placements: Seq[(Int, Int, Int)],
       separateGlobals: Boolean = false,
       logStrips: Int = 0,
-      refCorner: Int = 1): (Array[Byte], Array[Byte]) = {
+      refCorner: Int = 1,
+      transposed: Boolean = false,
+      combOp: Int = 0,
+      defPixel: Int = 0): (Array[Byte], Array[Byte]) = {
     require(w > 0 && h > 0 && symbols.nonEmpty, "need dimensions and symbols")
     require(logStrips >= 0 && logStrips <= 3, s"logStrips in [0,3]: $logStrips")
-    require(refCorner == 0 || refCorner == 1, "BOTTOMLEFT(0) or TOPLEFT(1)")
+    require(refCorner >= 0 && refCorner <= 3, "REFCORNER in [0,3]")
+    require(combOp >= 0 && combOp <= 3, "SBCOMBOP: OR/AND/XOR/XNOR")
+    require(defPixel == 0 || defPixel == 1, "SBDEFPIXEL is one bit")
     require(symbols.forall { case (sw, sh, px) =>
       sw > 0 && sh > 0 && px.length == sw * sh }, "malformed symbol bitmap")
     require(placements.forall(_._1 >= 0) &&
@@ -1611,12 +1992,14 @@ object Jbig2 {
     val textData = {
       val b = new ArrayBuffer[Byte]()
       be32(b, w); be32(b, h); be32(b, 0); be32(b, 0); b += 0  // region info
-      // text flags: SBHUFF=0, SBREFINE=0, TRANSPOSED=0, SBCOMBOP=OR,
-      // SBDEFPIXEL=0, SBDSOFFSET=0, SBRTEMPLATE=0
-      val flags = ((logStrips & 3) << 2) | ((refCorner & 3) << 4)
+      // text flags: SBHUFF=0, SBREFINE=0, SBDSOFFSET=0, SBRTEMPLATE=0
+      val flags = ((logStrips & 3) << 2) | ((refCorner & 3) << 4) |
+        ((if (transposed) 1 else 0) << 6) | ((combOp & 3) << 7) |
+        ((defPixel & 1) << 9)
       b += ((flags >> 8) & 0xff).toByte; b += (flags & 0xff).toByte
       be32(b, remapped.size)                  // SBNUMINSTANCES
-      b ++= encodeTextRegionData(sorted, remapped, logStrips, refCorner)
+      b ++= encodeTextRegionData(sorted, remapped, logStrips, refCorner,
+        transposed)
       b
     }
     val pageData = {
@@ -1646,7 +2029,9 @@ object Jbig2 {
       symbols: Seq[(Int, Int, Array[Byte])],
       refined: Seq[(Int, Int, Array[Byte], Int, Int, Int)],
       placements: Seq[(Int, Int, Int)],
-      separateGlobals: Boolean = false): (Array[Byte], Array[Byte]) = {
+      separateGlobals: Boolean = false,
+      rtemplate: Int = 1): (Array[Byte], Array[Byte]) = {
+    require(rtemplate == 0 || rtemplate == 1, "GRTEMPLATE is one bit")
     require(w > 0 && h > 0 && symbols.nonEmpty && refined.nonEmpty,
       "need dimensions, base symbols, and refined symbols")
     require(refined.forall { case (rw, rh, px, bi, _, _) =>
@@ -1687,14 +2072,16 @@ object Jbig2 {
     }
     val dictBData = {
       val b = new ArrayBuffer[Byte]()
-      // flags: SDHUFF=0, SDREFAGG=1 (bit 1), template 0, SDRTEMPLATE=1
-      // (bit 12) — refinement template 1 carries no AT bytes; the GB
-      // ATs are present (SDHUFF=0) though unused
-      val flags = 2 | (1 << 12)
+      // flags: SDHUFF=0, SDREFAGG=1 (bit 1), template 0, SDRTEMPLATE
+      // (bit 12) — refinement template 1 carries no refinement AT
+      // bytes, template 0 carries the nominal (−1,−1)/(−1,−1) pair
+      // after the GB ATs (which are present since SDHUFF=0)
+      val flags = 2 | (rtemplate << 12)
       b += ((flags >> 8) & 0xff).toByte; b += (flags & 0xff).toByte
       b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+      if (rtemplate == 0) { b += -1; b += -1; b += -1; b += -1 }
       be32(b, wireEntries.size); be32(b, wireEntries.size)
-      b ++= encodeSymbolDictRef(wireEntries, nA)
+      b ++= encodeSymbolDictRef(wireEntries, nA, rtemplate)
       b
     }
     val textData = {
@@ -1718,6 +2105,194 @@ object Jbig2 {
     else ((dicts ++ rest).toArray, Array.empty[Byte])
   }
 
+  /** Encode a TEXT page whose region refines PER INSTANCE
+    * (SBREFINE=1, §6.4.11 — r17): `variants(i)` replaces placement
+    * i's glyph with a SAME-SIZE refinement target (RDW = RDH = 0)
+    * coded against the glyph at reference offset (rdx, rdy); None
+    * places the glyph unrefined (IARI = 0). TOPLEFT corners,
+    * `rtemplate` picks the §6.3 template (0 carries the nominal GR
+    * AT bytes). */
+  def encodeTextInstRefined(
+      w: Int, h: Int,
+      symbols: Seq[(Int, Int, Array[Byte])],
+      placements: Seq[(Int, Int, Int)],
+      variants: Seq[Option[(Array[Byte], Int, Int)]],
+      rtemplate: Int = 1,
+      separateGlobals: Boolean = false): (Array[Byte], Array[Byte]) = {
+    require(w > 0 && h > 0 && symbols.nonEmpty, "need dimensions and symbols")
+    require(variants.size == placements.size, "one variant slot per placement")
+    require(rtemplate == 0 || rtemplate == 1, "GRTEMPLATE is one bit")
+    require(symbols.forall { case (sw, sh, px) =>
+      sw > 0 && sh > 0 && px.length == sw * sh }, "malformed symbol bitmap")
+    require(placements.forall(p => p._1 >= 0 && p._1 < symbols.size),
+      "placement symbol out of range")
+    placements.zip(variants).foreach { case ((si, _, _), v) =>
+      v.foreach { case (px, _, _) =>
+        require(px.length == symbols(si)._1 * symbols(si)._2,
+          "variant must have the placed symbol's dims") }
+    }
+    val bms = symbols.map { case (sw, sh, px) =>
+      Bitmap(sw, sh, px.map(b => (if (b != 0) 1 else 0).toByte))
+    }
+    val ids = exportOrder(bms)
+    val sorted = bms.zipWithIndex.sortBy(p => ids(p._2)).map(_._1)
+    val remapped = placements.map { case (s, x, y) => (ids(s), x, y) }
+    val varBms = placements.zip(variants).map { case ((si, _, _), v) =>
+      v.map { case (px, rdx, rdy) =>
+        (Bitmap(symbols(si)._1, symbols(si)._2,
+          px.map(b => (if (b != 0) 1 else 0).toByte)), rdx, rdy)
+      }
+    }
+    val dictData = {
+      val b = new ArrayBuffer[Byte]()
+      b += 0; b += 0
+      b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+      be32(b, sorted.size); be32(b, sorted.size)
+      b ++= encodeSymbolDict(sorted)
+      b
+    }
+    val textData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0); be32(b, 0); b += 0
+      // SBHUFF=0, SBREFINE=1 (bit 1), TOPLEFT, SBRTEMPLATE at bit 15
+      val flags = 2 | (1 << 4) | (rtemplate << 15)
+      b += ((flags >> 8) & 0xff).toByte; b += (flags & 0xff).toByte
+      if (rtemplate == 0) { b += -1; b += -1; b += -1; b += -1 }
+      be32(b, remapped.size)
+      val mq = new MqEncoder
+      encodeTextRegionDataWith(mq, pooledIaContexts(), pooledGrContexts(),
+        sorted, remapped, varBms, logStrips = 0, refCorner = 1,
+        transposed = false, refine = true, rtemplate = rtemplate,
+        symCodeLen = symCodeLenOf(sorted.size))
+      b ++= mq.flush()
+      b
+    }
+    val pageData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0xffffffffL); be32(b, 0xffffffffL)
+      b += 0; b += 0; b += 0
+      b
+    }
+    val dictSeg = segment(0, 0, dictData)
+    val rest = segment(1, 48, pageData) ++
+      segment(2, 6, textData, refs = Seq(0L))
+    if (separateGlobals) (rest.toArray, dictSeg.toArray)
+    else ((dictSeg ++ rest).toArray, Array.empty[Byte])
+  }
+
+  /** Encode a TEXT page whose glyph dictionary uses MULTI-AGGREGATE
+    * refinement (REFAGGNINST > 1, §6.5.8.2.2 — r17): dictionary A
+    * holds the base glyphs; each dictionary-B symbol is an
+    * AGGREGATE — a text region of the symbol's own size whose
+    * instances each place a refined base glyph. `aggregates`:
+    * (aw, ah, instances) with instance = (base index, x, y, variant
+    * bitmap of the base's dims). The page's text region places the
+    * aggregates. */
+  def encodeTextAggregate(
+      w: Int, h: Int,
+      symbols: Seq[(Int, Int, Array[Byte])],
+      aggregates: Seq[(Int, Int, Seq[(Int, Int, Int, Array[Byte])])],
+      placements: Seq[(Int, Int, Int)],
+      rtemplate: Int = 1,
+      separateGlobals: Boolean = false): (Array[Byte], Array[Byte]) = {
+    require(w > 0 && h > 0 && symbols.nonEmpty && aggregates.nonEmpty,
+      "need dimensions, base symbols, and aggregates")
+    require(rtemplate == 0 || rtemplate == 1, "GRTEMPLATE is one bit")
+    require(aggregates.forall { case (aw, ah, insts) =>
+      aw > 0 && ah > 0 && insts.size >= 2 && insts.size <= 64 &&
+        insts.forall { case (bi, _, _, px) =>
+          bi >= 0 && bi < symbols.size &&
+            px.length == symbols(bi)._1 * symbols(bi)._2 }
+    }, "malformed aggregate")
+    require(placements.forall(p => p._1 >= 0 && p._1 < aggregates.size),
+      "placement aggregate out of range")
+    val bms = symbols.map { case (sw, sh, px) =>
+      Bitmap(sw, sh, px.map(b => (if (b != 0) 1 else 0).toByte))
+    }
+    val ids = exportOrder(bms)                // dict A export order
+    val sortedA = bms.zipWithIndex.sortBy(p => ids(p._2)).map(_._1)
+    val nA = sortedA.size
+    // dict B wire order: height ascending, stable
+    val aggOrder = aggregates.zipWithIndex.sortBy { case ((_, ah, _), i) =>
+      (ah, i) }
+    val wirePos = new Array[Int](aggregates.size)
+    for ((origIdx, pos) <- aggOrder.map(_._2).zipWithIndex)
+      wirePos(origIdx) = pos
+    val remapped = placements.map { case (s, x, y) => (wirePos(s), x, y) }
+    val symCodeLen = symCodeLenOf(nA + aggregates.size)
+
+    val dictAData = {
+      val b = new ArrayBuffer[Byte]()
+      b += 0; b += 0
+      b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+      be32(b, nA); be32(b, nA)
+      b ++= encodeSymbolDict(sortedA)
+      b
+    }
+    val dictBData = {
+      val b = new ArrayBuffer[Byte]()
+      val flags = 2 | (rtemplate << 12)       // SDHUFF=0, SDREFAGG=1
+      b += ((flags >> 8) & 0xff).toByte; b += (flags & 0xff).toByte
+      b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+      if (rtemplate == 0) { b += -1; b += -1; b += -1; b += -1 }
+      be32(b, aggregates.size); be32(b, aggregates.size)
+      val mq = new MqEncoder
+      val ia = pooledIaContexts()
+      val gr = pooledGrContexts()
+      var prevH = 0
+      for ((ah, group) <- aggOrder.map(_._1).groupBy(_._2).toSeq.sortBy(_._1)) {
+        encodeInt(mq, ia, IADH, ah - prevH)
+        prevH = ah
+        var prevW = 0
+        for ((aw, _, insts) <- group) {
+          encodeInt(mq, ia, IADW, aw - prevW)
+          prevW = aw
+          encodeInt(mq, ia, IAAI, insts.size)
+          val instPlacements = insts.map { case (bi, x, y, _) =>
+            (ids(bi), x, y) }
+          val instVariants = insts.map { case (bi, _, _, px) =>
+            Some((Bitmap(symbols(bi)._1, symbols(bi)._2,
+              px.map(v => (if (v != 0) 1 else 0).toByte)), 0, 0))
+          }
+          encodeTextRegionDataWith(mq, ia, gr, sortedA,
+            instPlacements, instVariants, logStrips = 0, refCorner = 1,
+            transposed = false, refine = true, rtemplate = rtemplate,
+            symCodeLen = symCodeLen)
+        }
+        encodeInt(mq, ia, IADW, OOB)
+      }
+      encodeInt(mq, ia, IAEX, nA)             // flag-0 run: skip imports…
+      encodeInt(mq, ia, IAEX, aggregates.size) // …export all aggregates
+      b ++= mq.flush()
+      b
+    }
+    val textData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0); be32(b, 0); b += 0
+      b += 0; b += (1 << 4).toByte            // SBHUFF=0, TOPLEFT
+      be32(b, remapped.size)
+      // dims-only stand-ins: the encoder needs the aggregates' sizes
+      // for CURS advances, never their pixels
+      b ++= encodeTextRegionData(
+        aggOrder.map(_._1).map { case (aw, ah, _) =>
+          Bitmap(aw, ah, new Array[Byte](aw * ah)) },
+        remapped, 0, 1)
+      b
+    }
+    val pageData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0xffffffffL); be32(b, 0xffffffffL)
+      b += 0; b += 0; b += 0
+      b
+    }
+    val dicts = segment(0, 0, dictAData) ++
+      segment(1, 0, dictBData, refs = Seq(0L))
+    val rest = segment(2, 48, pageData) ++
+      segment(3, 6, textData, refs = Seq(1L)) // places dict B exports only
+    if (separateGlobals) (rest.toArray, dicts.toArray)
+    else ((dicts ++ rest).toArray, Array.empty[Byte])
+  }
+
   /** Encode a MULTI-REGION page: page info with real dimensions plus
     * one immediate generic region per entry, each placed at its
     * region-info (x, y) — the layout real encoders emit when a page
@@ -1726,23 +2301,34 @@ object Jbig2 {
     * the page. */
   def encodeRegions(
       pageW: Int, pageH: Int,
-      regions: Seq[(Int, Int, Int, Int, Array[Byte])]): Array[Byte] = {
+      regions: Seq[(Int, Int, Int, Int, Array[Byte])],
+      ops: Seq[Int] = Seq.empty,
+      pageDefPixel: Int = 0): Array[Byte] = {
     require(pageW > 0 && pageH > 0 && regions.nonEmpty, "need a page")
+    require(ops.isEmpty || ops.size == regions.size,
+      "one external op per region (or none for all-OR)")
+    require(ops.forall(o => o >= 0 && o <= 4), "ops: OR/AND/XOR/XNOR/REPLACE")
+    require(pageDefPixel == 0 || pageDefPixel == 1, "default pixel is one bit")
     val pageData = {
       val b = new ArrayBuffer[Byte]()
       be32(b, pageW); be32(b, pageH)
       be32(b, 0xffffffffL); be32(b, 0xffffffffL)
-      b += 0; b += 0; b += 0                  // page flags + striping
+      // page flags: default pixel at bit 2; the "combination operator
+      // may be overridden" bit (6) set when any region op is non-OR
+      val anyOp = ops.exists(_ != 0)
+      b += (((pageDefPixel & 1) << 2) | (if (anyOp) 1 << 6 else 0)).toByte
+      b += 0; b += 0                          // striping
       b
     }
     var segs = segment(0, 48, pageData)
     var num = 1L
-    for ((x, y, w, h, px) <- regions) {
+    for (((x, y, w, h, px), idx) <- regions.zipWithIndex) {
       require(w > 0 && h > 0 && px.length == w * h, s"region $num malformed")
       require(x >= 0 && y >= 0, s"region $num offset negative")
       val bits = px.map(b => (if (b != 0) 1 else 0).toByte)
       val b = new ArrayBuffer[Byte]()
-      be32(b, w); be32(b, h); be32(b, x); be32(b, y); b += 0
+      be32(b, w); be32(b, h); be32(b, x); be32(b, y)
+      b += (ops.lift(idx).getOrElse(0) & 7).toByte  // external comb op
       b += 0                                  // generic flags: MQ, template 0
       b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
       b ++= encodeGeneric(bits, w, h, tpgdon = false)
@@ -1829,8 +2415,9 @@ object Jbig2 {
       globals: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (data == null || data.length < 11) return None
     val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Bitmap]]
-    if (globals != null && globals.length >= 11) walk(globals, dicts)
-    walk(data, dicts)
+    val tables = scala.collection.mutable.Map.empty[Long, HuffTable]
+    if (globals != null && globals.length >= 11) walk(globals, dicts, tables)
+    walk(data, dicts, tables)
   }
 
   /** One segment-stream pass: symbol dictionaries accumulate into
@@ -1847,7 +2434,8 @@ object Jbig2 {
     * alone, the pre-r16 behavior. */
   private def walk(
       data: Array[Byte],
-      dicts: scala.collection.mutable.Map[Long, IndexedSeq[Bitmap]])
+      dicts: scala.collection.mutable.Map[Long, IndexedSeq[Bitmap]],
+      tables: scala.collection.mutable.Map[Long, HuffTable])
       : Option[(Int, Int, Array[Byte])] = {
     var page: Option[(Int, Int, Array[Byte])] = None
     var composed = false
@@ -1858,17 +2446,29 @@ object Jbig2 {
     // pin stripe boundaries, and the final height is the max of both
     // when the walk completes.
     var stripedW = -1
+    var stripedDef = 0
     var stripedPx = 0L
     var stripedBottom = 0L
     val stripedRegions =
-      new ArrayBuffer[(Int, Int, Array[Byte], Int, Int)]()  // (w,h,px,x,y)
-    /** OR a decoded region into the page at (rx, ry), clipped; when
-      * no page exists the region IS the result. None = keep walking.
-      * A page WITH a region whose offset is out of sane range poisons
-      * the whole stream (review finding: falling through to "return
-      * this lone region" would silently discard the composed page). */
+      new ArrayBuffer[(Int, Int, Array[Byte], Int, Int, Int)]() // (w,h,px,x,y,op)
+    /** One pixel under the EXTERNAL combination operator (§7.4.8.5
+      * region-info bits 0-2): OR/AND/XOR/XNOR/REPLACE — previously
+      * the byte was ignored and everything OR-composed (r17). */
+    def extCompose(d: Int, s: Int, op: Int): Byte = (op match {
+      case 0 => d | s
+      case 1 => d & s
+      case 2 => d ^ s
+      case 3 => 1 - (d ^ s)
+      case _ => s                              // REPLACE
+    }).toByte
+    /** Compose a decoded region into the page at (rx, ry) under
+      * `extOp`, clipped; when no page exists the region IS the
+      * result. None = keep walking. A page WITH a region whose offset
+      * is out of sane range poisons the whole stream (review finding:
+      * falling through to "return this lone region" would silently
+      * discard the composed page). */
     def finish(rw: Int, rh: Int, rpx: Array[Byte],
-        rx: Long, ry: Long): Option[(Int, Int, Array[Byte])] =
+        rx: Long, ry: Long, extOp: Int): Option[(Int, Int, Array[Byte])] =
       page match {
         case Some((pw, ph, ppx)) =>
           if (rx > (1L << 20) || ry > (1L << 20)) { poisoned = true; None }
@@ -1880,8 +2480,9 @@ object Jbig2 {
                 var xx = 0
                 while (xx < rw) {
                   val pxx = rx.toInt + xx
-                  if (pxx < pw && (rpx(yy * rw + xx) & 1) == 1)
-                    ppx(py * pw + pxx) = 1
+                  if (pxx < pw)
+                    ppx(py * pw + pxx) = extCompose(
+                      ppx(py * pw + pxx) & 1, rpx(yy * rw + xx) & 1, extOp)
                   xx += 1
                 }
               }
@@ -1896,7 +2497,7 @@ object Jbig2 {
             stripedPx += rw.toLong * rh
             if (stripedPx > (1L << 26)) { poisoned = true; None }
             else {
-              stripedRegions += ((rw, rh, rpx, rx.toInt, ry.toInt))
+              stripedRegions += ((rw, rh, rpx, rx.toInt, ry.toInt, extOp))
               stripedBottom = math.max(stripedBottom, ry + rh)
               None
             }
@@ -1957,19 +2558,39 @@ object Jbig2 {
           val huffAgg = (sdFlags >> 7) & 1
           val template = (sdFlags >> 10) & 3
           if (sdHuff) {
-            // Huffman mode (§7.4.3.1.1): NO AT bytes; selectors must
-            // name the standard tables this subset carries (custom
-            // table segments — selector 3 / B-flag 1 — decline, the
-            // dictionary is skipped and dependent regions fail clean)
-            if (!sdRefAgg && huffDH <= 1 && huffDW <= 1 &&
-                huffBm == 0 && huffAgg == 0) {
+            // Huffman mode (§7.4.3.1.1): NO AT bytes; selectors name
+            // either a transcribed standard table (DH 0/1 → B.4/B.5,
+            // DW 0/1 → B.2/B.3, BMSIZE 0 → B.1) or — selector 3 /
+            // B-flag 1 — a CUSTOM table carried by a referred type-53
+            // segment (r17), consumed in DH, DW, BMSIZE order per
+            // §7.4.3.1.6. Unresolvable selectors skip the dictionary
+            // and dependent regions fail clean.
+            if (!sdRefAgg && huffAgg == 0) {
+              val custom = refs.toSeq.flatMap(tables.get)
+              var cursor = 0
+              def nextCustom(): Option[HuffTable] = {
+                val t = custom.lift(cursor); cursor += 1; t
+              }
+              val dhTab = huffDH match {
+                case 0 | 1 => Some(StdTables(4 + huffDH))
+                case 3 => nextCustom()
+                case _ => None
+              }
+              val dwTab = huffDW match {
+                case 0 | 1 => Some(StdTables(2 + huffDW))
+                case 3 => nextCustom()
+                case _ => None
+              }
+              val bmTab =
+                if (huffBm == 0) Some(StdTables(1)) else nextCustom()
               val numEx = rdBe32(data, j + 2)
               val numNew = rdBe32(data, j + 6)
-              if (numEx <= 8192 && numNew <= 4096) {
+              if (numEx <= 8192 && numNew <= 4096 &&
+                  dhTab.isDefined && dwTab.isDefined && bmTab.isDefined) {
                 val input = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
                 decodeSymbolDictHuff(data, j + 10, segEnd,
                   numNew.toInt, numEx.toInt, input,
-                  StdTables(4 + huffDH), StdTables(2 + huffDW))
+                  dhTab.get, dwTab.get, bmTab.get)
                   .foreach(ex => dicts(segNum) = ex)
               }
             }
@@ -1978,18 +2599,24 @@ object Jbig2 {
             val nominal = at.length == 8 &&
               at(0) == 3 && at(1) == -1 && at(2) == -3 && at(3) == -1 &&
               at(4) == 2 && at(5) == -2 && at(6) == -2 && at(7) == -2
-            // SDREFAGG=1 is in subset with SDRTEMPLATE=1 (the AT-free
-            // refinement template — r17); rtemplate 0 would carry
-            // refinement AT bytes this layout doesn't parse: decline
+            // SDREFAGG=1 decodes under BOTH refinement templates:
+            // SDRTEMPLATE=1 carries no refinement ATs; SDRTEMPLATE=0
+            // (r17) carries 4 GR AT bytes after the GB ATs, admitted
+            // in their NOMINAL (−1,−1)/(−1,−1) shape only
             val rtemplate = (sdFlags >> 12) & 1
-            if (template == 0 && nominal &&
-                (!sdRefAgg || rtemplate == 1)) {
-              val numEx = rdBe32(data, j + 10)
-              val numNew = rdBe32(data, j + 14)
+            val grAts = sdRefAgg && rtemplate == 0
+            val grNominal = !grAts || (dataLen >= 22 &&
+              data(j + 10) == -1 && data(j + 11) == -1 &&
+              data(j + 12) == -1 && data(j + 13) == -1)
+            if (template == 0 && nominal && grNominal) {
+              val base = if (grAts) j + 14 else j + 10
+              val numEx = rdBe32(data, base)
+              val numNew = rdBe32(data, base + 4)
               if (numEx <= 8192 && numNew <= 4096) {
                 val input = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
-                decodeSymbolDict(data, j + 18, segEnd,
-                  numNew.toInt, numEx.toInt, input, refAgg = sdRefAgg)
+                decodeSymbolDict(data, base + 8, segEnd,
+                  numNew.toInt, numEx.toInt, input, refAgg = sdRefAgg,
+                  rtemplate = rtemplate)
                   .foreach(ex => dicts(segNum) = ex)
               }
             }
@@ -1997,8 +2624,9 @@ object Jbig2 {
         }
       } else if (segType == 4 || segType == 6 || segType == 7) {
         // text region (§7.4.4): region info(17) + flags(2) +
-        // SBNUMINSTANCES(4); huffman/refinement/transposed/non-OR
-        // composition are out of subset
+        // SBNUMINSTANCES(4); refinement (SBREFINE=1) stays out of
+        // subset — all four corners, transposed placement, the four
+        // SBCOMBOPs, and SBDEFPIXEL decode (r17)
         if (dataLen < 23) return None
         val w = rdBe32(data, j).toInt
         val h = rdBe32(data, j + 4).toInt
@@ -2013,38 +2641,69 @@ object Jbig2 {
         val defPixel = (tf >> 9) & 1
         var dsOffset = (tf >> 10) & 0x1f
         if (dsOffset > 15) dsOffset -= 32     // signed 5-bit
-        if (sbRefine || transposed || combOp != 0 || defPixel != 0)
-          return None
-        if (refCorner != 0 && refCorner != 1) return None  // BL/TL only
+        val sbRtemplate = (tf >> 15) & 1
+        // refined text regions (SBREFINE=1, §6.4.11) decode on the
+        // arithmetic path (r17); the Huffman+refine combination
+        // stays out of subset (its RDW/RDH/RDX/RDY table selectors
+        // are untranscribed)
+        if (sbRefine && sbHuff) return None
         val decoded: Option[Array[Byte]] =
           if (sbHuff) {
             // Huffman flags (§7.4.4.1.2, present only when SBHUFF=1):
-            // only the FIRST standard table per selector is in
-            // subset (FS=B.6, DS=B.8, DT=B.11) — the B.7/B.9/B.10/
-            // B.12/B.13 alternates and custom tables decline
+            // selector 0 is the first transcribed standard table
+            // (FS=B.6, DS=B.8, DT=B.11), selector 3 a CUSTOM table
+            // from the referred type-53 segments consumed in FS, DS,
+            // DT order (r17); the untranscribed B.7/B.9/B.10/B.12/
+            // B.13 alternates (selectors 1/2) decline
             if (dataLen < 25) return None
             val hf = ((data(j + 19) & 0xff) << 8) | (data(j + 20) & 0xff)
             val selFs = hf & 3
             val selDs = (hf >> 2) & 3
             val selDt = (hf >> 4) & 3
-            if (selFs != 0 || selDs != 0 || selDt != 0) return None
+            val custom = refs.toSeq.flatMap(tables.get)
+            var cursor = 0
+            def nextCustom(): Option[HuffTable] = {
+              val t = custom.lift(cursor); cursor += 1; t
+            }
+            def sel(s: Int, std: Int): Option[HuffTable] = s match {
+              case 0 => Some(StdTables(std))
+              case 3 => nextCustom()
+              case _ => None
+            }
+            val fsTab = sel(selFs, 6)
+            val dsTab = sel(selDs, 8)
+            val dtTab = sel(selDt, 11)
+            if (fsTab.isEmpty || dsTab.isEmpty || dtTab.isEmpty) return None
             val numInstances = rdBe32(data, j + 21)
             if (numInstances > (1L << 20)) return None
             val syms = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
             decodeTextRegionHuff(data, j + 25, segEnd, w, h,
               numInstances.toInt, logStrips, refCorner, dsOffset, syms,
-              StdTables(6), StdTables(8), StdTables(11))
+              fsTab.get, dsTab.get, dtTab.get,
+              transposed, combOp, defPixel)
           } else {
-            val numInstances = rdBe32(data, j + 19)
+            // refinement AT bytes (4, nominal only) sit between the
+            // flags and SBNUMINSTANCES when SBREFINE=1 and
+            // SBRTEMPLATE=0 (§7.4.4.1.4)
+            val grAts = sbRefine && sbRtemplate == 0
+            if (grAts && (dataLen < 27 ||
+                data(j + 19) != -1 || data(j + 20) != -1 ||
+                data(j + 21) != -1 || data(j + 22) != -1)) return None
+            val base = if (grAts) j + 23 else j + 19
+            val numInstances = rdBe32(data, base)
             if (numInstances > (1L << 20)) return None
             val syms = refs.toSeq.flatMap(dicts.get).flatten.toIndexedSeq
-            decodeTextRegion(data, j + 23, segEnd, w, h,
-              numInstances.toInt, logStrips, refCorner, dsOffset, syms)
+            decodeTextRegion(data, base + 4, segEnd, w, h,
+              numInstances.toInt, logStrips, refCorner, dsOffset, syms,
+              transposed, combOp, defPixel,
+              refine = sbRefine, rtemplate = sbRtemplate)
           }
+        val extOp = data(j + 16) & 7
+        if (extOp > 4) return None            // reserved values
         decoded match {
           case None => return None
           case Some(rpx) =>
-            finish(w, h, rpx, rdBe32(data, j + 8), rdBe32(data, j + 12))
+            finish(w, h, rpx, rdBe32(data, j + 8), rdBe32(data, j + 12), extOp)
               .foreach(r => return Some(r))
         }
       } else if (segType == 48) {
@@ -2055,19 +2714,34 @@ object Jbig2 {
         if (dataLen >= 8) {
           val pw = rdBe32(data, j)
           val ph = rdBe32(data, j + 4)
+          // page default pixel (§7.4.8.5 flags bit 2): AND/XNOR
+          // region composition needs the real initial page value
+          val pDef =
+            if (dataLen >= 17) (data(j + 16) >> 2) & 1 else 0
           // Bound each dimension BEFORE multiplying: pw/ph are
           // untrusted unsigned 32-bit values, so pw * ph can wrap a
           // Long negative (~2^31.5 each) and sneak past a
           // product-only cap (r16 ADVICE)
           if (pw > 0 && ph > 0 && pw <= (1L << 20) && ph <= (1L << 20) &&
-              pw * ph <= (1L << 26))
-            page = Some((pw.toInt, ph.toInt,
-              new Array[Byte]((pw * ph).toInt)))
+              pw * ph <= (1L << 26)) {
+            val ppx = new Array[Byte]((pw * ph).toInt)
+            if (pDef == 1) java.util.Arrays.fill(ppx, 1.toByte)
+            page = Some((pw.toInt, ph.toInt, ppx))
+          }
           else if (pw > 0 && pw <= (1L << 20) && ph == 0xffffffffL &&
               dataLen >= 19 &&
-              (((data(j + 17) & 0xff) << 8) | (data(j + 18) & 0xff)) >= 0x8000)
+              (((data(j + 17) & 0xff) << 8) | (data(j + 18) & 0xff)) >= 0x8000) {
             stripedW = pw.toInt
+            stripedDef = pDef
+          }
         }
+      } else if (segType == 53) {
+        // custom Huffman table (§7.4.13): parsed and stored by
+        // segment number; dictionaries and text regions whose
+        // selectors say 3 consume referred tables in order (r17).
+        // Malformed tables are skipped, never misparsed — dependent
+        // selectors then fail to resolve and their segment declines.
+        decodeTableSegment(data, j, segEnd).foreach(t => tables(segNum) = t)
       } else if (segType == 50) {
         // end of stripe (§7.4.9): 4-byte row number of the stripe's
         // LAST row — pins the final page height even when the last
@@ -2085,6 +2759,8 @@ object Jbig2 {
         val w = rdBe32(data, j).toInt
         val h = rdBe32(data, j + 4).toInt
         if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+        val extOp = data(j + 16) & 7
+        if (extOp > 4) return None            // reserved values
         val gflags = data(j + 17) & 0xff
         val mmr = (gflags & 1) != 0
         val template = (gflags >> 1) & 3
@@ -2097,7 +2773,7 @@ object Jbig2 {
             case None => return None
             case Some(luma) =>
               val rpx = luma.map(b => (if ((b & 0xff) == 0) 1 else 0).toByte)
-              finish(w, h, rpx, rdBe32(data, j + 8), rdBe32(data, j + 12))
+              finish(w, h, rpx, rdBe32(data, j + 8), rdBe32(data, j + 12), extOp)
                 .foreach(r => return Some(r))
           }
         } else {
@@ -2110,7 +2786,7 @@ object Jbig2 {
               at(4) != 2 || at(5) != -2 || at(6) != -2 || at(7) != -2)
             return None
           val px = decodeGeneric(data, j + 26, segEnd, w, h, tpgdon)
-          finish(w, h, px, rdBe32(data, j + 8), rdBe32(data, j + 12))
+          finish(w, h, px, rdBe32(data, j + 8), rdBe32(data, j + 12), extOp)
             .foreach(r => return Some(r))
         }
       }
@@ -2126,7 +2802,8 @@ object Jbig2 {
       else {
         val pw = stripedW
         val ppx = new Array[Byte]((pw * ph).toInt)
-        for ((rw, rh, rpx, rx, ry) <- stripedRegions) {
+        if (stripedDef == 1) java.util.Arrays.fill(ppx, 1.toByte)
+        for ((rw, rh, rpx, rx, ry, op) <- stripedRegions) {
           var yy = 0
           while (yy < rh) {
             val py = ry + yy
@@ -2134,8 +2811,9 @@ object Jbig2 {
               var xx = 0
               while (xx < rw) {
                 val pxx = rx + xx
-                if (pxx < pw && (rpx(yy * rw + xx) & 1) == 1)
-                  ppx(py * pw + pxx) = 1
+                if (pxx < pw)
+                  ppx(py * pw + pxx) = extCompose(
+                    ppx(py * pw + pxx) & 1, rpx(yy * rw + xx) & 1, op)
                 xx += 1
               }
             }

@@ -689,6 +689,79 @@ object PdfGen {
       streamObj(100, "", paint)))
   }
 
+  /** Image-only PDF whose raster colorspace is a single-colorant
+    * `/Separation` or `/DeviceN` with a tint-transform function (PDF
+    * 32000-1 §8.6.6.4-5 + §7.10) — the spot-color scan shape that
+    * previously stranded as `opaque`. Cycled by `docId % 3`:
+    *
+    *  - 0 ⇒ `/Separation` → DeviceRGB through a TYPE 2 exponential
+    *    (N=1; C0/C1 components `hash(id·8+j, 369) % 256 / 255`);
+    *  - 1 ⇒ `/Separation /All` → DeviceGray through a TYPE 3
+    *    stitching of two type-2 halves (`/Bounds [0.5]`, constants
+    *    salt 370);
+    *  - 2 ⇒ single-name `/DeviceN` → DeviceRGB through a TYPE 0
+    *    sampled stream (`/Size [17]`, 8-bit, samples
+    *    `hash(id·64 + k·3+j, 371) % 256` — 16 ≠ a multiple of 255,
+    *    so interpolation exercises REAL fractions).
+    *
+    * Odd ids put the colorspace array behind an object reference.
+    * Tint pixels BY FORMULA (salt 368); every function constant is
+    * written as `Double.toString` of the salt-derived value, which
+    * round-trips exactly through the text parse — the q361 oracle
+    * replays each evaluation step in SQL. */
+  def sepPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val tint = Array.tabulate(W * H) { p =>
+      (hv(docId * 256L + p, 368L) % 256L).toByte
+    }
+    val leg = math.floorMod(docId, 3L).toInt
+    def frac(n: Long, salt: Long): String =
+      java.lang.Double.toString((hv(n, salt) % 256L) / 255.0)
+    val (csArr, fnObjs) = leg match {
+      case 0 =>
+        val c0 = (0 until 3).map(j => frac(docId * 8L + j, 369L)).mkString(" ")
+        val c1 = (0 until 3).map(j => frac(docId * 8L + 4 + j, 369L)).mkString(" ")
+        ("[/Separation /Spot0 /DeviceRGB 30 0 R]",
+          Seq(s"30 0 obj << /FunctionType 2 /Domain [0 1] " +
+            s"/C0 [$c0] /C1 [$c1] /N 1 >> endobj\n"))
+      case 1 =>
+        val a0 = frac(docId * 8L, 370L); val a1 = frac(docId * 8L + 1, 370L)
+        val b0 = frac(docId * 8L + 2, 370L); val b1 = frac(docId * 8L + 3, 370L)
+        ("[/Separation /All /DeviceGray 30 0 R]",
+          Seq(
+            "30 0 obj << /FunctionType 3 /Domain [0 1] " +
+              "/Functions [31 0 R 32 0 R] /Bounds [0.5] " +
+              "/Encode [0 1 0 1] >> endobj\n",
+            s"31 0 obj << /FunctionType 2 /Domain [0 1] /C0 [$a0] " +
+              s"/C1 [$a1] /N 1 >> endobj\n",
+            s"32 0 obj << /FunctionType 2 /Domain [0 1] /C0 [$b0] " +
+              s"/C1 [$b1] /N 1 >> endobj\n"))
+      case _ =>
+        val samples = Array.tabulate(17 * 3)(i =>
+          (hv(docId * 64L + i, 371L) % 256L).toByte)
+        ("[/DeviceN [/Ink0] /DeviceRGB 30 0 R]",
+          Seq(streamObj(30, "/FunctionType 0 /Domain [0 1] " +
+            "/Range [0 1 0 1 0 1] /Size [17] /BitsPerSample 8 ", samples)))
+    }
+    val indirect = math.floorMod(docId, 2L) == 1L
+    val csDecl =
+      if (indirect) "/ColorSpace 7 0 R " else s"/ColorSpace $csArr "
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      (if (indirect) Seq(s"7 0 obj $csArr endobj\n") else Seq.empty) ++
+      fnObjs ++ Seq(
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        s"$csDecl/BitsPerComponent 8 /Filter /FlateDecode ", deflate(tint)),
+      streamObj(100, "", paint)))
+  }
+
   /** Image-only PDF carrying a JPEG 2000 (`/JPXDecode`) payload: a
     * REAL JP2 box stream built by [[Jp2Header.buildJp2]] (signature,
     * ftyp, jp2h/ihdr, a stub jp2c codestream with junk entropy data —
@@ -789,6 +862,123 @@ object PdfGen {
       streamObj(100, "", paint)))
   }
 
+  /** Image-only PDF carrying a JBIG2 page whose regions compose
+    * under EXTERNAL combination operators (§7.4.8.5 region-info
+    * bits 0-2 — r17, previously ignored as OR): region A (rows 0-11,
+    * salt 379) REPLACEs, region B (rows 8-15, salt 380) XORs, region
+    * C (the 8×8 center box, salt 381) ANDs, applied in segment order
+    * onto a page whose DEFAULT PIXEL is docId % 2 (page flags bit 2).
+    * The q364 oracle replays the full sequential composition —
+    * a region treated as OR, a skipped default fill, or a wrong
+    * application order shifts pixels in the overlap bands. */
+  def regionOpsPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    def bit(n: Long, salt: Long): Byte = (hv(n, salt) % 2L).toByte
+    val a = Array.tabulate(16 * 12)(p => bit(docId * 192L + p, 379L))
+    val b = Array.tabulate(16 * 8)(p => bit(docId * 128L + p, 380L))
+    val c = Array.tabulate(8 * 8)(p => bit(docId * 64L + p, 381L))
+    val defPx = math.floorMod(docId, 2L).toInt
+    val stream = Jbig2.encodeRegions(W, H,
+      Seq((0, 0, 16, 12, a), (0, 8, 16, 8, b), (4, 4, 8, 8, c)),
+      ops = Seq(4, 2, 1), pageDefPixel = defPx)
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        "/Filter /JBIG2Decode ", stream),
+      streamObj(100, "", paint)))
+  }
+
+  /** Image-only PDF carrying a JBIG2 text page exercising the §6.4.5
+    * PLACEMENT MODES (r17): transposed placement and all four
+    * reference corners (mode = docId % 8: transposed = mode ≥ 4,
+    * corner = mode % 4), XOR composition over an OVERLAPPING 5×5
+    * glyph grid (stride 3, so interior pixels are covered twice and
+    * the op algebra is observable), SBDEFPIXEL = (docId >> 3) & 1,
+    * strip height cycling by (docId >> 4) % 4. The decoded page is
+    * the same whatever the mode — the WIRE encoding differs
+    * completely — so the q363 oracle replays pure geometry:
+    * pixel = (defpixel + Σ covering glyph bits) mod 2 (glyph salt
+    * 374, choice salt 375). */
+  def jbig2ModesPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val symbols = (0 until 4).map { s =>
+      (4, 4, Array.tabulate(16)(p =>
+        if (hv(s * 16L + p, 374L) % 2L == 1L) 1.toByte else 0.toByte))
+    }
+    val placements = for (gy <- 0 until 5; gx <- 0 until 5) yield
+      ((hv(docId * 32L + gy * 5 + gx, 375L) % 4L).toInt, gx * 3, gy * 3)
+    val mode = math.floorMod(docId, 8L).toInt
+    val transposed = mode >= 4
+    val corner = mode % 4
+    val defPixel = math.floorMod(docId >> 3, 2L).toInt
+    val logStrips = math.floorMod(docId >> 4, 4L).toInt
+    val (stream, _) = Jbig2.encodeText(W, H, symbols, placements,
+      logStrips = logStrips, refCorner = corner, transposed = transposed,
+      combOp = 2, defPixel = defPixel)
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        "/Filter /JBIG2Decode ", stream),
+      streamObj(100, "", paint)))
+  }
+
+  /** Image-only PDF carrying a JBIG2 text page whose Huffman tables
+    * are CUSTOM (T.88 §7.4.13 type-53 table segments, the §B.2
+    * assembly): all six selectable tables — DH/DW/BMSIZE on the
+    * dictionary, FS/DS/DT on the text region — arrive as referred
+    * table segments with selector 3 (B-flag 1 for BMSIZE), the shape
+    * [[Jbig2.decode]] previously declined. Same page layout as
+    * [[jbig2HuffPdf]]; collective bitmaps MMR for even ids,
+    * uncompressed for odd; ids ≡ 2,3 (mod 4) route the dictionary
+    * AND its tables through `/JBIG2Globals`. Glyph pixels BY FORMULA
+    * (salt 372), glyph choice per cell BY FORMULA (salt 373) for the
+    * q362 oracle. */
+  def jbig2CustomTablePdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val symbols = (0 until 4).map { s =>
+      (4, 4, Array.tabulate(16)(p =>
+        if (hv(s * 16L + p, 372L) % 2L == 1L) 1.toByte else 0.toByte))
+    }
+    val placements = for (cy <- 0 until 4; cx <- 0 until 4) yield
+      ((hv(docId * 16L + cy * 4 + cx, 373L) % 4L).toInt, cx * 4, cy * 4)
+    val mmr = math.floorMod(docId, 2L) == 0L
+    val globalsSep = math.floorMod(docId, 4L) >= 2L
+    val (stream, globals) = Jbig2.encodeTextHuff(W, H, symbols, placements,
+      separateGlobals = globalsSep, mmrCollective = mmr, customTables = true)
+    val dp =
+      if (globalsSep) "/DecodeParms << /JBIG2Globals 21 0 R >> " else ""
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      (if (globalsSep) Seq(streamObj(21, "", globals)) else Seq.empty) ++ Seq(
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        s"/Filter /JBIG2Decode $dp", stream),
+      streamObj(100, "", paint)))
+  }
+
   /** Image-only PDF carrying a REFINEMENT-CODED JBIG2 text page
     * (SDREFAGG=1, §6.3 template 1 — the lossy-to-lossless chain):
     * dictionary A holds 4 base glyphs (salt 365), dictionary B
@@ -815,8 +1005,112 @@ object PdfGen {
     val placements = for (cy <- 0 until 4; cx <- 0 until 4) yield
       ((hv(docId * 16L + cy * 4 + cx, 367L) % 8L).toInt, cx * 4, cy * 4)
     val globalsSep = math.floorMod(docId, 2L) == 1L
+    // ids ≡ 2,3 (mod 4) code the refining dictionary under GRTEMPLATE
+    // 0 (the 13-bit AT-carrying context — r17); others template 1.
+    // Same pixels either way: the q360 oracle is template-blind.
+    val rtemplate = if (math.floorMod(docId, 4L) >= 2L) 0 else 1
     val (stream, globals) = Jbig2.encodeTextRefined(W, H, base, refined,
-      placements, separateGlobals = globalsSep)
+      placements, separateGlobals = globalsSep, rtemplate = rtemplate)
+    val dp =
+      if (globalsSep) "/DecodeParms << /JBIG2Globals 21 0 R >> " else ""
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      (if (globalsSep) Seq(streamObj(21, "", globals)) else Seq.empty) ++ Seq(
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        s"/Filter /JBIG2Decode $dp", stream),
+      streamObj(100, "", paint)))
+  }
+
+  /** Image-only PDF carrying a JBIG2 text page with PER-INSTANCE
+    * refinement (SBREFINE=1, §6.4.11 — r17): each 4×4 cell places a
+    * glyph (choice salt 384) either directly (IARI=0) or refined
+    * into its variant (refine flag salt 385; variant = glyph XOR
+    * flips where salt-383 mix ≡ 0 mod 4; reference offsets vary by
+    * glyph). GRTEMPLATE = docId % 2; ids with bit 1 set route the
+    * dictionary through `/JBIG2Globals`. Glyph pixels salt 382. The
+    * q365 oracle replays every page pixel. */
+  def jbig2InstRefinedPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val symbols = (0 until 4).map { s =>
+      (4, 4, Array.tabulate(16)(p =>
+        if (hv(s * 16L + p, 382L) % 2L == 1L) 1.toByte else 0.toByte))
+    }
+    val cells = for (cy <- 0 until 4; cx <- 0 until 4) yield (cx, cy)
+    val placements = cells.map { case (cx, cy) =>
+      ((hv(docId * 16L + cy * 4 + cx, 384L) % 4L).toInt, cx * 4, cy * 4)
+    }
+    val variants = cells.zip(placements).map { case ((cx, cy), (k, _, _)) =>
+      if (hv(docId * 16L + cy * 4 + cx, 385L) % 2L == 1L) {
+        val g = symbols(k)._3
+        val v = Array.tabulate(16) { p =>
+          val flip = if (hv(k * 16L + p, 383L) % 4L == 0L) 1 else 0
+          (((g(p) & 1) + flip) % 2).toByte
+        }
+        Some((v, (k % 3) - 1, k % 2))
+      } else None
+    }
+    val rtemplate = math.floorMod(docId, 2L).toInt
+    val globalsSep = math.floorMod(docId >> 1, 2L) == 1L
+    val (stream, globals) = Jbig2.encodeTextInstRefined(W, H, symbols,
+      placements, variants, rtemplate, globalsSep)
+    val dp =
+      if (globalsSep) "/DecodeParms << /JBIG2Globals 21 0 R >> " else ""
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      (if (globalsSep) Seq(streamObj(21, "", globals)) else Seq.empty) ++ Seq(
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        s"/Filter /JBIG2Decode $dp", stream),
+      streamObj(100, "", paint)))
+  }
+
+  /** Image-only PDF carrying a JBIG2 text page whose dictionary uses
+    * MULTI-AGGREGATE refinement (REFAGGNINST = 2, §6.5.8.2.2 — r17):
+    * aggregate j is a 4×4 text region OR-ing two refined instances —
+    * base glyph j (flips salt 387) and base glyph (j+1) mod 4 (flips
+    * salt 388) — both at (0,0); the page places aggregates by cell
+    * choice salt 389. GRTEMPLATE = docId % 2; ids with bit 1 set
+    * route both dictionaries through `/JBIG2Globals`. Base glyph
+    * pixels salt 386. The q366 oracle replays every page pixel. */
+  def jbig2AggPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val base = (0 until 4).map { s =>
+      (4, 4, Array.tabulate(16)(p =>
+        if (hv(s * 16L + p, 386L) % 2L == 1L) 1.toByte else 0.toByte))
+    }
+    val aggregates = (0 until 4).map { j =>
+      def variant(bi: Int, salt: Long): Array[Byte] = {
+        val g = base(bi)._3
+        Array.tabulate(16) { p =>
+          val flip = if (hv(j * 16L + p, salt) % 4L == 0L) 1 else 0
+          (((g(p) & 1) + flip) % 2).toByte
+        }
+      }
+      (4, 4, Seq(
+        (j, 0, 0, variant(j, 387L)),
+        ((j + 1) % 4, 0, 0, variant((j + 1) % 4, 388L))))
+    }
+    val placements = for (cy <- 0 until 4; cx <- 0 until 4) yield
+      ((hv(docId * 16L + cy * 4 + cx, 389L) % 4L).toInt, cx * 4, cy * 4)
+    val rtemplate = math.floorMod(docId, 2L).toInt
+    val globalsSep = math.floorMod(docId >> 1, 2L) == 1L
+    val (stream, globals) = Jbig2.encodeTextAggregate(W, H, base,
+      aggregates, placements, rtemplate, globalsSep)
     val dp =
       if (globalsSep) "/DecodeParms << /JBIG2Globals 21 0 R >> " else ""
     val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
@@ -1187,10 +1481,27 @@ object PdfGen {
       case 6 => math.floorMod(docId, 64L) match {
         case 22L | 30L => ccittPdf(docId)
         case 54L => subbitPdf(docId)
-        case 38L => jbig2TextPdf(docId)
-        case 14L => jbig2HuffPdf(docId)       // r17: SDHUFF/SBHUFF leg
-        case 46L => stripedJbig2Pdf(docId)    // r17: striped-page leg
-        case 62L => jbig2RefinedPdf(docId)    // r17: SDREFAGG leg
+        // thematic slots split once more by mod 128 so the r17
+        // continuation legs run live in every audit sweep without
+        // evicting their parents: custom Huffman tables share the
+        // huffman slot, placement modes the symbol-text slot, region
+        // ops the page-structure slot, and the tint-transform leg
+        // (Separation/DeviceN through PdfFunction) the DCT default
+        case 38L =>
+          if (math.floorMod(docId, 128L) == 102L) jbig2ModesPdf(docId)
+          else jbig2TextPdf(docId)
+        case 14L =>
+          if (math.floorMod(docId, 128L) == 78L) jbig2CustomTablePdf(docId)
+          else jbig2HuffPdf(docId)            // r17: SDHUFF/SBHUFF leg
+        case 46L =>
+          if (math.floorMod(docId, 128L) == 110L) regionOpsPdf(docId)
+          else stripedJbig2Pdf(docId)         // r17: striped-page leg
+        case 62L => math.floorMod(docId, 256L) match {
+          case 126L => jbig2InstRefinedPdf(docId) // r17: SBREFINE leg
+          case 190L => jbig2AggPdf(docId)         // r17: multi-aggregate leg
+          case _ => jbig2RefinedPdf(docId)        // r17: SDREFAGG leg
+        }
+        case 6L if math.floorMod(docId, 128L) == 70L => sepPdf(docId)
         case _ => dctImageOnly(docId)
       }
       case 7 => math.floorMod(docId, 32L) match {

@@ -387,6 +387,10 @@ object PdfImages {
     *    stream-object lookup; 1/2/4/8-bit indices, out-of-range
     *    clamped to hival per spec) — emitted as 8-bit `raw` in the
     *    BASE colorspace;
+    *  - **single-colorant `/Separation` / `/DeviceN` tints map
+    *    through their transform function** (§8.6.6.4-5, function
+    *    types 0/2/3 — [[PdfFunction]]) into the device alternate,
+    *    emitted as 8-bit `raw` in the ALTERNATE space (r17);
     *  - anything else stays `opaque`, never wrong pixels.
     */
   private def finishUncoded(
@@ -437,6 +441,17 @@ object PdfImages {
         // — out of subset, decline
         PdfImage(objNum, w, h, 8, "DeviceRGB", "raw", labToRgb(px, lab))
       case Some(_) => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
+      case None => parseSepDeviceN(dict, objs) match {
+      case Some((alt, fn)) if bpc == 8 && px.length == w.toLong * h &&
+          decodeArrRe.findFirstIn(dict).isEmpty =>
+        // single-colorant /Separation or /DeviceN: tint samples map
+        // through the transform into the device alternate — emitted
+        // as 8-bit raw in the ALTERNATE space (spot-color scans
+        // previously stranded as opaque). An explicit /Decode remaps
+        // the tint domain — out of subset, decline below.
+        PdfImage(objNum, w, h, 8, alt, "raw",
+          tintToAlternate(px, fn, components(alt)))
+      case Some(_) => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
       case None => parseIndexed(dict, objs) match {
       case Some((base, hival, lookup)) =>
         val bcomps = components(base)
@@ -460,7 +475,82 @@ object PdfImages {
         }
       case None => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
       }
+      }
     }
+  }
+
+  // /ColorSpace [/Separation /Ink alt fn] or [/DeviceN [/Ink] alt fn]
+  // — direct array, or the whole array behind an object reference.
+  // Subset: ONE colorant (Separation always is; single-name DeviceN),
+  // a device alternate BY NAME, and the tint-transform function as an
+  // indirect object [[PdfFunction.parse]] admits (types 0/2/3).
+  // Multi-colorant DeviceN and type-4 transforms decline to opaque.
+  private val sepDirectRe =
+    """/(?:CS(?![A-Za-z])|ColorSpace(?![A-Za-z0-9]))\s*\[\s*/Separation(?![A-Za-z0-9])\s*/[^\s/\]\[()<>]+\s*/([A-Za-z0-9]+)\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
+  private val sepBodyRe =
+    """\[\s*/Separation(?![A-Za-z0-9])\s*/[^\s/\]\[()<>]+\s*/([A-Za-z0-9]+)\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
+  private val devnDirectRe =
+    """/(?:CS(?![A-Za-z])|ColorSpace(?![A-Za-z0-9]))\s*\[\s*/DeviceN(?![A-Za-z0-9])\s*\[\s*/[^\s/\]\[()<>]+\s*\]\s*/([A-Za-z0-9]+)\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
+  private val devnBodyRe =
+    """\[\s*/DeviceN(?![A-Za-z0-9])\s*\[\s*/[^\s/\]\[()<>]+\s*\]\s*/([A-Za-z0-9]+)\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
+
+  /** Parse a single-colorant `/Separation` / `/DeviceN` colorspace:
+    * (device alternate name, tint-transform function). The function
+    * must emit exactly the alternate's component count. */
+  private def parseSepDeviceN(
+      dict: String,
+      objs: Option[Map[Int, (Int, PdfObj)]])
+      : Option[(String, PdfFunction.Fn)] = {
+    val hit: Option[(String, Int)] =
+      sepDirectRe.findFirstMatchIn(dict)
+        .orElse(devnDirectRe.findFirstMatchIn(dict))
+        .map(m => (m.group(1), m.group(2).toInt))
+        .orElse(objs.flatMap(os => refAfter.findFirstMatchIn(dict).flatMap { m =>
+          os.get(m.group(1).toInt).flatMap { e =>
+            sepBodyRe.findFirstMatchIn(e._2.dict)
+              .orElse(devnBodyRe.findFirstMatchIn(e._2.dict))
+              .map(mm => (mm.group(1), mm.group(2).toInt))
+          }
+        }))
+    hit.flatMap { case (alt, fnRef) =>
+      if (components(alt) <= 0) None
+      else objs.flatMap(_.get(fnRef))
+        .flatMap(e => PdfFunction.parse(e._2, objs.get))
+        .filter(_.nOut == components(alt))
+        .map(fn => (alt, fn))
+    }
+  }
+
+  /** 8-bit tint samples → 8-bit alternate-space bytes through the
+    * tint transform. The 256 possible tints evaluate ONCE into a LUT
+    * (the function runs 256 times per image, not W·H times — tint
+    * evaluation is the expensive step and inputs are bytes). Sample
+    * decode is the function DOMAIN (§8.9.5.2 default for Separation/
+    * DeviceN): `t = d0 + v · (d1 − d0) / 255`; output components
+    * clamp to [0, 1] and round (`⌊255·c + 0.5⌋`) — every step plain
+    * IEEE doubles, replayed bit-for-bit by the q361 oracle. */
+  private def tintToAlternate(
+      px: Array[Byte], fn: PdfFunction.Fn, bcomps: Int): Array[Byte] = {
+    val lut = new Array[Byte](256 * bcomps)
+    var v = 0
+    while (v < 256) {
+      val t = fn.d0 + v * (fn.d1 - fn.d0) / 255.0
+      val y = fn(t)
+      var c = 0
+      while (c < bcomps) {
+        val cv = if (y(c) < 0.0) 0.0 else if (y(c) > 1.0) 1.0 else y(c)
+        lut(v * bcomps + c) = math.floor(255.0 * cv + 0.5).toInt.toByte
+        c += 1
+      }
+      v += 1
+    }
+    val out = new Array[Byte](px.length * bcomps)
+    var i = 0
+    while (i < px.length) {
+      System.arraycopy(lut, (px(i) & 0xff) * bcomps, out, i * bcomps, bcomps)
+      i += 1
+    }
+    out
   }
 
   // /ColorSpace [/Lab << /WhitePoint [...] /Range [...] >>] — direct

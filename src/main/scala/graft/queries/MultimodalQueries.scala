@@ -551,7 +551,13 @@ object MultimodalQueries {
     q357,
     q358,
     q359,
-    q360)
+    q360,
+    q361,
+    q362,
+    q363,
+    q364,
+    q365,
+    q366)
 
   /** q353: sub-8-bit and `/Indexed` rasters, ORACLE-CHECKED — the
     * r15 top-next decode leg run end-to-end. Each document becomes
@@ -1104,6 +1110,456 @@ object MultimodalQueries {
            |      + CASE WHEN s7.k >= 4 AND ($h366) % 4 = 0
            |             THEN 1 ELSE 0 END) % 2 = 1
            |      THEN 0 ELSE 255 END AS num
+           |  FROM s7),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q361: `/Separation` and `/DeviceN` spot-color rasters,
+    * ORACLE-CHECKED — the tint-transform leg (PDF 32000-1 §8.6.6.4-5
+    * + §7.10) run end-to-end across all three in-subset function
+    * types: TYPE 2 exponential → DeviceRGB (docs ≡ 0 mod 3), TYPE 3
+    * stitching of two type-2 halves → DeviceGray (≡ 1), and a TYPE 0
+    * sampled stream with REAL fractional interpolation → DeviceRGB
+    * (≡ 2, `/Size [17]`); odd docs route the colorspace array behind
+    * an object reference. The oracle recomputes every evaluation
+    * step — domain decode, interpolation, clamp, rounding — in the
+    * same IEEE double order (salts 368-371), so one re-associated
+    * expression, wrong stitch bound, or off-by-one sample index
+    * shifts a hash and the row set stops matching. */
+  private def q361: QueryDef = {
+    QueryDef(
+      "q361_separation_tint_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.sepPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val hv = hashBitsSql("(i.id * 256 + g.p)", 368L)
+        def c369(off: Int) = s"(CAST((${hashBitsSql(s"(i.id * 8 + $off)", 369L)}) % 256 AS DOUBLE) / 255.0)"
+        def c370(off: Int) = s"(CAST((${hashBitsSql(s"(i.id * 8 + $off)", 370L)}) % 256 AS DOUBLE) / 255.0)"
+        def s371(kExpr: String, j: Int) =
+          s"CAST((${hashBitsSql(s"(i.id * 64 + ($kExpr) * 3 + $j)", 371L)}) % 256 AS DOUBLE)"
+        // one byte of the type-2 leg: floor(255·clamp01(c0 + t(c1−c0)) + 0.5)
+        def t2byte(j: Int) =
+          s"""CAST(FLOOR(255.0 * LEAST(GREATEST(
+             |      ${c369(j)} + t * (${c369(4 + j)} - ${c369(j)}),
+             |      0.0), 1.0) + 0.5) AS BIGINT)""".stripMargin
+        // one byte of the type-0 leg: sample interp then decode map
+        def t0byte(j: Int) =
+          s"""CAST(FLOOR(255.0 * LEAST(GREATEST(
+             |      ((${s371("k", j)} + (e - CAST(k AS DOUBLE)) *
+             |        (${s371("k + 1", j)} - ${s371("k", j)})) - 0.0)
+             |        * 1.0 / 255.0,
+             |      0.0), 1.0) + 0.5) AS BIGINT)""".stripMargin
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |tin AS MATERIALIZED (
+           |  SELECT i.id, g.p,
+           |    0.0 + (CAST(($hv) % 256 AS DOUBLE) * (1.0 - 0.0)) / 255.0 AS t
+           |  FROM ids i CROSS JOIN g),
+           |p2 AS (
+           |  SELECT i.id, p, t,
+           |    ${t2byte(0)} + ${t2byte(1)} + ${t2byte(2)} AS num, 12 AS denom
+           |  FROM tin JOIN ids i ON i.id = tin.id WHERE i.id % 3 = 0),
+           |p3 AS (
+           |  SELECT i.id, p,
+           |    CAST(FLOOR(255.0 * LEAST(GREATEST(
+           |      CASE WHEN t >= 0.5
+           |        THEN ${c370(2)} + ((t - 0.5) * (1.0 - 0.0) / (1.0 - 0.5))
+           |          * (${c370(3)} - ${c370(2)})
+           |        ELSE ${c370(0)} + ((t - 0.0) * (1.0 - 0.0) / (0.5 - 0.0))
+           |          * (${c370(1)} - ${c370(0)})
+           |      END, 0.0), 1.0) + 0.5) AS BIGINT) AS num, 4 AS denom
+           |  FROM tin JOIN ids i ON i.id = tin.id WHERE i.id % 3 = 1),
+           |d0 AS (
+           |  SELECT i.id, p,
+           |    0.0 + ((t - 0.0) * (16.0 - 0.0)) / (1.0 - 0.0) AS e
+           |  FROM tin JOIN ids i ON i.id = tin.id WHERE i.id % 3 = 2),
+           |p0 AS (
+           |  SELECT i.id, p, e,
+           |    ${t0byte(0)} + ${t0byte(1)} + ${t0byte(2)} AS num, 12 AS denom
+           |  FROM (SELECT id, p, e,
+           |          LEAST(CAST(FLOOR(e) AS BIGINT), 15) AS k FROM d0) d
+           |    JOIN ids i ON i.id = d.id),
+           |px AS (
+           |  SELECT id, p, num, denom FROM p2
+           |  UNION ALL SELECT id, p, num, denom FROM p3
+           |  UNION ALL SELECT id, p, num, denom FROM p0),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / MAX(denom) AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id,
+           |  CASE WHEN id % 3 = 1 THEN 'DeviceGray'
+           |       ELSE 'DeviceRGB' END AS colorspace,
+           |  phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q362: CUSTOM-Huffman-table JBIG2 text pages (T.88 §7.4.13
+    * type-53 segments, §B.2 assembly), ORACLE-CHECKED — all six
+    * selectable tables (DH/DW/BMSIZE dictionary-side, FS/DS/DT
+    * text-side) arrive as referred table segments with selector 3,
+    * previously a clean decline. Collective bitmaps MMR for even
+    * docs, uncompressed for odd; ids ≡ 2,3 (mod 4) route dictionary
+    * + tables through `/JBIG2Globals`. The oracle recomputes every
+    * page pixel from the two formulas (glyph salt 372, choice salt
+    * 373) — a wrong table line, canonical code, or cursor order in
+    * the custom-table hand-off shifts a hash and the row set stops
+    * matching. */
+  private def q362: QueryDef = {
+    QueryDef(
+      "q362_jbig2_custom_table_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.jbig2CustomTablePdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val h373 = hashBitsSql(
+          "(i.id * 16 + ((g.p // 16) // 4) * 4 + (g.p % 16) // 4)", 373L)
+        val h372 = hashBitsSql(
+          "(s7.k * 16 + ((s7.p // 16) % 4) * 4 + (s7.p % 16) % 4)", 372L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |s7 AS MATERIALIZED (
+           |  SELECT i.id, g.p, ($h373) % 4 AS k
+           |  FROM ids i CROSS JOIN g),
+           |px AS (
+           |  SELECT id, p,
+           |    CASE WHEN ($h372) % 2 = 1 THEN 0 ELSE 255 END AS num
+           |  FROM s7),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q363: JBIG2 text-region PLACEMENT MODES (§6.4.5 — r17),
+    * ORACLE-CHECKED — transposed placement, all four reference
+    * corners, XOR composition over an overlapping glyph grid, and
+    * SBDEFPIXEL, cycling with strip height by doc id. The decoded
+    * page must be mode-INVARIANT (the wire encoding is completely
+    * different per mode: corner-derived T coordinates, pre/post CURS
+    * updates, strip grouping), so the oracle replays pure geometry —
+    * pixel = (defpixel + Σ covering glyph bits) mod 2 (salts
+    * 374/375). A wrong corner edge, a missed pre-advance, or a
+    * defpixel fill leak shifts a hash and the row set stops
+    * matching. */
+  private def q363: QueryDef = {
+    QueryDef(
+      "q363_jbig2_text_modes_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.jbig2ModesPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val h375 = hashBitsSql("(i.id * 32 + pl.gy * 5 + pl.gx)", 375L)
+        val h374 = hashBitsSql(
+          "(cov.k * 16 + (cov.y - cov.gy * 3) * 4 + (cov.x - cov.gx * 3))",
+          374L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |pl AS (SELECT a.gx, b.gy
+           |  FROM (SELECT unnest(range(0, 5)) AS gx) a
+           |  CROSS JOIN (SELECT unnest(range(0, 5)) AS gy) b),
+           |cov AS MATERIALIZED (
+           |  SELECT i.id, g.p, g.p % 16 AS x, g.p // 16 AS y,
+           |    pl.gx, pl.gy, ($h375) % 4 AS k
+           |  FROM ids i CROSS JOIN g JOIN pl
+           |    ON (g.p % 16) BETWEEN pl.gx * 3 AND pl.gx * 3 + 3
+           |   AND (g.p // 16) BETWEEN pl.gy * 3 AND pl.gy * 3 + 3),
+           |px AS (
+           |  SELECT id, p,
+           |    CASE WHEN (MAX(id // 8) % 2 + SUM(($h374) % 2)) % 2 = 1
+           |         THEN 0 ELSE 255 END AS num
+           |  FROM cov GROUP BY id, p),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q364: EXTERNAL region composition operators + page default
+    * pixel (§7.4.8.5 — r17), ORACLE-CHECKED — three overlapping
+    * generic regions compose sequentially as REPLACE, XOR, AND onto
+    * a page whose default pixel alternates by doc id. The oracle
+    * replays the exact sequential algebra per pixel (salts
+    * 379/380/381): rows 0-7 carry A (through the AND box), rows 8-11
+    * carry A⊕B (through the box), rows 12-15 carry default⊕B — one
+    * region composed as OR, one missed default fill, or a swapped
+    * application order shifts the overlap bands and the row set
+    * stops matching. */
+  private def q364: QueryDef = {
+    QueryDef(
+      "q364_jbig2_region_ops_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.regionOpsPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val ha = hashBitsSql("(i.id * 192 + (g.p // 16) * 16 + g.p % 16)", 379L)
+        val hb = hashBitsSql("(i.id * 128 + ((g.p // 16) - 8) * 16 + g.p % 16)", 380L)
+        val hc = hashBitsSql("(i.id * 64 + ((g.p // 16) - 4) * 8 + (g.p % 16) - 4)", 381L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |bits AS MATERIALIZED (
+           |  SELECT i.id, g.p, g.p % 16 AS x, g.p // 16 AS y,
+           |    ($ha) % 2 AS a, ($hb) % 2 AS b, ($hc) % 2 AS c,
+           |    i.id % 2 AS dp
+           |  FROM ids i CROSS JOIN g),
+           |seq AS (
+           |  SELECT id, p,
+           |    CASE WHEN y < 12 THEN a ELSE dp END AS p1,
+           |    x, y, b, c
+           |  FROM bits),
+           |seq2 AS (
+           |  SELECT id, p,
+           |    CASE WHEN y >= 8 THEN (p1 + b) % 2 ELSE p1 END AS p2,
+           |    x, y, c
+           |  FROM seq),
+           |px AS (
+           |  SELECT id, p,
+           |    CASE WHEN (CASE WHEN x BETWEEN 4 AND 11 AND y BETWEEN 4 AND 11
+           |                    THEN p2 * c ELSE p2 END) = 1
+           |         THEN 0 ELSE 255 END AS num
+           |  FROM seq2),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q365: PER-INSTANCE refined JBIG2 text regions (SBREFINE=1,
+    * §6.4.11 — r17), ORACLE-CHECKED — each cell's IARI decision
+    * (salt 385) either places the dictionary glyph or refines it
+    * in-line through RDW/RDH/RDX/RDY and the §6.3 procedure, under
+    * BOTH GRTEMPLATEs (docId parity) and the globals split. The
+    * oracle recomputes every pixel (glyph salt 382, flip salt 383,
+    * choice salt 384) — a wrong refinement context, a missed IARI,
+    * or an unconsumed strip terminator shifts a hash and the row
+    * set stops matching. */
+  private def q365: QueryDef = {
+    QueryDef(
+      "q365_jbig2_inst_refined_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.jbig2InstRefinedPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val cell = "(i.id * 16 + ((g.p // 16) // 4) * 4 + (g.p % 16) // 4)"
+        val h384 = hashBitsSql(cell, 384L)
+        val h385 = hashBitsSql(cell, 385L)
+        val gp = "(s7.k * 16 + ((s7.p // 16) % 4) * 4 + (s7.p % 16) % 4)"
+        val h382 = hashBitsSql(gp, 382L)
+        val h383 = hashBitsSql(gp, 383L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |s7 AS MATERIALIZED (
+           |  SELECT i.id, g.p, ($h384) % 4 AS k, ($h385) % 2 AS rf
+           |  FROM ids i CROSS JOIN g),
+           |px AS (
+           |  SELECT id, p,
+           |    CASE WHEN (($h382) % 2
+           |      + CASE WHEN s7.rf = 1 AND ($h383) % 4 = 0
+           |             THEN 1 ELSE 0 END) % 2 = 1
+           |      THEN 0 ELSE 255 END AS num
+           |  FROM s7),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q366: MULTI-AGGREGATE JBIG2 dictionaries (REFAGGNINST = 2,
+    * §6.5.8.2.2 — r17), ORACLE-CHECKED — each dictionary symbol is
+    * an embedded TEXT REGION on the dictionary's own arithmetic
+    * stream, OR-ing two refined base-glyph instances, under both
+    * GRTEMPLATEs and the globals split. The oracle recomputes every
+    * pixel (base salt 386, flip salts 387/388, choice salt 389) —
+    * a wrong shared-stream hand-off, aggregate code length, or
+    * refinement bit shifts a hash and the row set stops matching. */
+  private def q366: QueryDef = {
+    QueryDef(
+      "q366_jbig2_aggregate_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.jbig2AggPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val cell = "(i.id * 16 + ((g.p // 16) // 4) * 4 + (g.p % 16) // 4)"
+        val h389 = hashBitsSql(cell, 389L)
+        val gpK = "(s7.k * 16 + ((s7.p // 16) % 4) * 4 + (s7.p % 16) % 4)"
+        val gpK1 = "(((s7.k + 1) % 4) * 16 + ((s7.p // 16) % 4) * 4 + (s7.p % 16) % 4)"
+        val ga = hashBitsSql(gpK, 386L)
+        val gb = hashBitsSql(gpK1, 386L)
+        val fa = hashBitsSql(gpK, 387L)
+        val fb = hashBitsSql(gpK, 388L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |s7 AS MATERIALIZED (
+           |  SELECT i.id, g.p, ($h389) % 4 AS k
+           |  FROM ids i CROSS JOIN g),
+           |px AS (
+           |  SELECT id, p,
+           |    CASE WHEN GREATEST(
+           |      (($ga) % 2 + CASE WHEN ($fa) % 4 = 0 THEN 1 ELSE 0 END) % 2,
+           |      (($gb) % 2 + CASE WHEN ($fb) % 4 = 0 THEN 1 ELSE 0 END) % 2
+           |    ) = 1 THEN 0 ELSE 255 END AS num
            |  FROM s7),
            |cells AS MATERIALIZED (
            |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,

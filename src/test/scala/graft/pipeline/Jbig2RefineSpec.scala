@@ -2,11 +2,11 @@ package graft.pipeline
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** JBIG2 refinement coding (SDREFAGG=1, §6.3 template 1): refined
-  * dictionary chains round-trip pixel-exactly across reference
-  * offsets and the globals split, and the decline pins — rtemplate 0,
-  * multi-aggregate instances, transposed / non-OR text regions —
-  * stay skip-not-misparse. */
+/** JBIG2 refinement coding (SDREFAGG=1, §6.3 — BOTH refinement
+  * templates since r17): refined dictionary chains round-trip
+  * pixel-exactly across reference offsets, the globals split, and
+  * GRTEMPLATE 0/1; multi-aggregate instances and non-nominal
+  * refinement ATs stay skip-not-misparse. */
 class Jbig2RefineSpec extends AnyFunSuite {
 
   private def glyph(rnd: scala.util.Random, w: Int, h: Int): (Int, Int, Array[Byte]) = {
@@ -56,16 +56,111 @@ class Jbig2RefineSpec extends AnyFunSuite {
         (rnd.nextInt(all.size), rnd.nextInt(w - 8), rnd.nextInt(h - 8))
       }
       val sep = rnd.nextBoolean()
+      val rtemplate = rnd.nextInt(2)          // r17: template 0 decodes too
       val (stream, globals) = Jbig2.encodeTextRefined(
-        w, h, base, refined, placements, separateGlobals = sep)
+        w, h, base, refined, placements, separateGlobals = sep,
+        rtemplate = rtemplate)
       val dec = Jbig2.decode(stream, globals)
-      assert(dec.isDefined, s"trial $trial sep=$sep")
+      assert(dec.isDefined, s"trial $trial sep=$sep rt=$rtemplate")
       assert(dec.get._3.toSeq === expected(w, h, all, placements).toSeq,
-        s"trial $trial sep=$sep")
+        s"trial $trial sep=$sep rt=$rtemplate")
     }
   }
 
-  test("decline pins: rtemplate 0, transposed, non-OR, multi-aggregate") {
+  test("instance-refined text regions round-trip (SBREFINE=1, §6.4.11)") {
+    val rnd = new scala.util.Random(382)
+    for (trial <- 0 until 12) {
+      val w = 24 + rnd.nextInt(32)
+      val h = 24 + rnd.nextInt(32)
+      val syms = (0 until 1 + rnd.nextInt(5)).map(_ =>
+        glyph(rnd, 2 + rnd.nextInt(5), 2 + rnd.nextInt(5)))
+      val placements = (0 until 2 + rnd.nextInt(8)).map { _ =>
+        (rnd.nextInt(syms.size), rnd.nextInt(w - 8), rnd.nextInt(h - 8))
+      }
+      // refine roughly half the instances: same-dims variant with a
+      // few flips, varied reference offsets
+      val variants = placements.map { case (si, _, _) =>
+        if (rnd.nextBoolean()) None
+        else {
+          val (sw, sh, px) = syms(si)
+          val v = px.map(b =>
+            (if (rnd.nextInt(4) == 0) 1 - (b & 1) else b & 1).toByte)
+          Some((v, rnd.nextInt(3) - 1, rnd.nextInt(3) - 1))
+        }
+      }
+      val rtemplate = rnd.nextInt(2)
+      val sep = rnd.nextBoolean()
+      val (stream, globals) = Jbig2.encodeTextInstRefined(
+        w, h, syms, placements, variants, rtemplate, sep)
+      val dec = Jbig2.decode(stream, globals)
+      assert(dec.isDefined, s"trial $trial rt=$rtemplate sep=$sep")
+      // model: refined instances place their VARIANT bitmap
+      val effective = placements.zip(variants).map { case ((si, x, y), v) =>
+        val (sw, sh, px) = syms(si)
+        (sw, sh, v.map(_._1).getOrElse(px), x, y)
+      }
+      val want = new Array[Byte](w * h)
+      for ((sw, sh, px, x, y) <- effective; yy <- 0 until sh; xx <- 0 until sw)
+        if (y + yy < h && x + xx < w && px(yy * sw + xx) != 0)
+          want((y + yy) * w + (x + xx)) = 1
+      assert(dec.get._3.toSeq === want.toSeq, s"trial $trial rt=$rtemplate")
+    }
+  }
+
+  test("multi-aggregate dictionaries round-trip (REFAGGNINST > 1)") {
+    val rnd = new scala.util.Random(383)
+    for (trial <- 0 until 12) {
+      val w = 28 + rnd.nextInt(24)
+      val h = 28 + rnd.nextInt(24)
+      val base = (0 until 2 + rnd.nextInt(3)).map(_ =>
+        glyph(rnd, 2 + rnd.nextInt(4), 2 + rnd.nextInt(4)))
+      // each aggregate: 2-3 refined instances of base glyphs placed
+      // inside its own box
+      val aggregates = (0 until 1 + rnd.nextInt(3)).map { _ =>
+        val aw = 6 + rnd.nextInt(5)
+        val ah = 6 + rnd.nextInt(5)
+        val insts = (0 until 2 + rnd.nextInt(2)).map { _ =>
+          val bi = rnd.nextInt(base.size)
+          val (bw, bh, bpx) = base(bi)
+          val v = bpx.map(b =>
+            (if (rnd.nextInt(4) == 0) 1 - (b & 1) else b & 1).toByte)
+          (bi, rnd.nextInt(math.max(1, aw - bw + 1)),
+            rnd.nextInt(math.max(1, ah - bh + 1)), v)
+        }
+        (aw, ah, insts)
+      }
+      val placements = (0 until 2 + rnd.nextInt(6)).map { _ =>
+        (rnd.nextInt(aggregates.size), rnd.nextInt(w - 12), rnd.nextInt(h - 12))
+      }
+      val rtemplate = rnd.nextInt(2)
+      val sep = rnd.nextBoolean()
+      val (stream, globals) = Jbig2.encodeTextAggregate(
+        w, h, base, aggregates, placements, rtemplate, sep)
+      val dec = Jbig2.decode(stream, globals)
+      assert(dec.isDefined, s"trial $trial rt=$rtemplate sep=$sep")
+      // model: aggregate bitmap = OR of its variant instances
+      val aggBms = aggregates.map { case (aw, ah, insts) =>
+        val bm = new Array[Byte](aw * ah)
+        for ((bi, x, y, v) <- insts) {
+          val (bw, bh, _) = base(bi)
+          for (yy <- 0 until bh; xx <- 0 until bw)
+            if (y + yy < ah && x + xx < aw && v(yy * bw + xx) != 0)
+              bm((y + yy) * aw + (x + xx)) = 1
+        }
+        (aw, ah, bm)
+      }
+      val want = new Array[Byte](w * h)
+      for ((ai, x, y) <- placements) {
+        val (aw, ah, bm) = aggBms(ai)
+        for (yy <- 0 until ah; xx <- 0 until aw)
+          if (y + yy < h && x + xx < w && bm(yy * aw + xx) != 0)
+            want((y + yy) * w + (x + xx)) = 1
+      }
+      assert(dec.get._3.toSeq === want.toSeq, s"trial $trial rt=$rtemplate")
+    }
+  }
+
+  test("decline pins: rtemplate 0 declines; r17 text modes decode") {
     val base = Seq((4, 4, Array.fill(16)(1.toByte)))
     val refined = Seq((4, 4, Array.tabulate(16)(p => (p % 2).toByte), 0, 0, 0))
     val placements = Seq((0, 2, 2), (1, 9, 9))
@@ -82,7 +177,11 @@ class Jbig2RefineSpec extends AnyFunSuite {
       stream(i) == 0x10.toByte && stream(i + 1) == 0x02.toByte).get
     val rt0 = stream.clone()
     rt0(idx) = 0x00                           // SDRTEMPLATE=0: refinement ATs
-    assert(Jbig2.decode(rt0).isEmpty, "rtemplate-0 dictionary must decline")
+    // r17: rtemplate 0 is in subset WITH its 4 nominal GR AT bytes —
+    // this mutation flips the flag without adding them, so the bytes
+    // read as ATs are really SDNUMEXSYMS: non-nominal ⇒ still declines
+    assert(Jbig2.decode(rt0).isEmpty,
+      "flag-flipped rtemplate-0 dictionary (no AT bytes) must decline")
 
     // transposed text region: set bit 6 of the text flags (the
     // 2-byte field right after the region-info 17 bytes of segment 3)
@@ -100,9 +199,13 @@ class Jbig2RefineSpec extends AnyFunSuite {
       out(fo + 1) = (nf & 0xff).toByte
       out
     }
-    assert(Jbig2.decode(flipTextFlag(0x40)).isEmpty, "TRANSPOSED declines")
-    assert(Jbig2.decode(flipTextFlag(1 << 7)).isEmpty, "non-OR comb op declines")
-    assert(Jbig2.decode(flipTextFlag(1 << 9)).isEmpty, "defpixel=1 declines")
+    // r17: transposed / non-OR / defpixel are IN subset now — the
+    // flipped streams must still DECODE (the wire deltas reinterpret
+    // under the new mode, clipped — never a crash or a spin); their
+    // semantics are pinned against the model in Jbig2TextModesSpec
+    assert(Jbig2.decode(flipTextFlag(0x40)).isDefined, "TRANSPOSED decodes")
+    assert(Jbig2.decode(flipTextFlag(1 << 7)).isDefined, "AND comb op decodes")
+    assert(Jbig2.decode(flipTextFlag(1 << 9)).isDefined, "defpixel=1 decodes")
 
     // truncation never spins
     for (cut <- 12 until stream.length by 5) {

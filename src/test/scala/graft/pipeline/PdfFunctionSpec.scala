@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The /Separation / /DeviceN tint-transform leg (r17): happy-path
+  * parity with the q361 oracle formulas across all three function
+  * types, plus the decline contract — type 4, multi-colorant
+  * DeviceN, explicit /Decode, and output-arity mismatches must never
+  * emit wrong pixels. */
+class PdfFunctionSpec extends AnyFunSuite {
+  private def hv(n: Long, s: Long) = graft.operators.Sampling.hashBitsScalar(n, s)
+  private def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  private def text(b: Array[Byte]) = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private def clamp01(v: Double) = if (v < 0.0) 0.0 else if (v > 1.0) 1.0 else v
+  private def byteOf(v: Double): Int = math.floor(255.0 * clamp01(v) + 0.5).toInt
+
+  test("sepPdf extraction matches the oracle formula for all three legs") {
+    for (id <- 0L to 11L) {
+      val imgs = PdfImages.extract(PdfGen.sepPdf(id))
+      assert(imgs.size == 1, s"id $id images ${imgs.size}")
+      val im = imgs.head
+      val leg = (id % 3).toInt
+      val comps = if (leg == 1) 1 else 3
+      assert(im.codec == "raw" && im.bitsPerComponent == 8, s"id $id ${im.codec}")
+      assert(im.colorSpace == (if (leg == 1) "DeviceGray" else "DeviceRGB"),
+        s"id $id got ${im.colorSpace}")
+      assert(im.data.length == 256 * comps)
+      for (p <- 0 until 256) {
+        val v = (hv(id * 256 + p, 368L) % 256).toInt
+        val t = 0.0 + v * (1.0 - 0.0) / 255.0
+        val want: Seq[Int] = leg match {
+          case 0 =>
+            (0 until 3).map { j =>
+              val c0 = (hv(id * 8 + j, 369L) % 256) / 255.0
+              val c1 = (hv(id * 8 + 4 + j, 369L) % 256) / 255.0
+              byteOf(c0 + t * (c1 - c0))
+            }
+          case 1 =>
+            val a0 = (hv(id * 8, 370L) % 256) / 255.0
+            val a1 = (hv(id * 8 + 1, 370L) % 256) / 255.0
+            val b0 = (hv(id * 8 + 2, 370L) % 256) / 255.0
+            val b1 = (hv(id * 8 + 3, 370L) % 256) / 255.0
+            val y =
+              if (t >= 0.5) b0 + ((t - 0.5) * (1.0 - 0.0) / (1.0 - 0.5)) * (b1 - b0)
+              else a0 + ((t - 0.0) * (1.0 - 0.0) / (0.5 - 0.0)) * (a1 - a0)
+            Seq(byteOf(y))
+          case _ =>
+            val e = 0.0 + (t - 0.0) * (16.0 - 0.0) / (1.0 - 0.0)
+            val k = math.min(e.toInt, 15)
+            val frac = e - k
+            (0 until 3).map { j =>
+              val s0 = (hv(id * 64 + k * 3 + j, 371L) % 256).toDouble
+              val s1 = (hv(id * 64 + (k + 1) * 3 + j, 371L) % 256).toDouble
+              val r = s0 + frac * (s1 - s0)
+              byteOf((r - 0.0) * (1.0 - 0.0) / (255.0 - 0.0))
+            }
+        }
+        val got = (0 until comps).map(c => im.data(p * comps + c) & 0xff)
+        assert(got == want, s"id $id pixel $p (leg $leg)")
+      }
+      assert(PdfImages.lumaGrid(im).isDefined)
+    }
+  }
+
+  test("decline: type 4 transform, multi-colorant DeviceN, /Decode") {
+    // type 4 (PostScript calculator) is out of subset
+    val t4 = text(PdfGen.sepPdf(0L))
+      .replace("/FunctionType 2", "/FunctionType 4")
+    val im4 = PdfImages.extract(bytes(t4)).head
+    assert(im4.codec == "opaque", "type-4 transform must decline")
+    // two-colorant DeviceN: no single-name match
+    val multi = text(PdfGen.sepPdf(2L))
+      .replace("[/DeviceN [/Ink0]", "[/DeviceN [/Ink0 /Ink1]")
+    assert(PdfImages.extract(bytes(multi)).head.codec == "opaque")
+    // an explicit /Decode remaps the tint domain — out of subset
+    val withDecode = text(PdfGen.sepPdf(0L)).replace(
+      "/BitsPerComponent 8 ", "/BitsPerComponent 8 /Decode [1 0] ")
+    assert(PdfImages.extract(bytes(withDecode)).head.codec == "opaque")
+    // function arity must equal the alternate's component count
+    val wrongAlt = text(PdfGen.sepPdf(0L))
+      .replace("/DeviceRGB 30 0 R", "/DeviceGray 30 0 R")
+    assert(PdfImages.extract(bytes(wrongAlt)).head.codec == "opaque")
+    // a dangling function reference declines
+    val dangling = text(PdfGen.sepPdf(0L))
+      .replace("/DeviceRGB 30 0 R", "/DeviceRGB 99 0 R")
+    assert(PdfImages.extract(bytes(dangling)).head.codec == "opaque")
+  }
+
+  test("decline: malformed type-0 and type-3 parameter shapes") {
+    // sub-byte BitsPerSample is out of subset
+    val bps4 = text(PdfGen.sepPdf(2L))
+      .replace("/BitsPerSample 8", "/BitsPerSample 4")
+    assert(PdfImages.extract(bytes(bps4)).head.codec == "opaque")
+    // type 0 without /Range fails the parse (Range is REQUIRED)
+    val noRange = text(PdfGen.sepPdf(2L))
+      .replace("/Range [0 1 0 1 0 1] ", "")
+    assert(PdfImages.extract(bytes(noRange)).head.codec == "opaque")
+    // a /Bounds value outside the domain fails the stitch parse
+    val badBounds = text(PdfGen.sepPdf(1L))
+      .replace("/Bounds [0.5]", "/Bounds [1.5]")
+    assert(PdfImages.extract(bytes(badBounds)).head.codec == "opaque")
+    // a stitching function referring to ITSELF must not recurse
+    val selfRef = text(PdfGen.sepPdf(1L))
+      .replace("/Functions [31 0 R 32 0 R]", "/Functions [30 0 R 32 0 R]")
+    assert(PdfImages.extract(bytes(selfRef)).head.codec == "opaque")
+  }
+
+  test("type-0 /Encode override and 16-bit samples evaluate per spec") {
+    // Size 2, BitsPerSample 16, Encode [1 0] (REVERSED): e runs from
+    // 1 down to 0 as the tint rises, so the two samples swap roles.
+    val hi = Array[Byte](0xff.toByte, 0xff.toByte, 0, 0) // s0=65535, s1=0
+    val pdf = text(PdfGen.sepPdf(1L))
+      .replace("[/Separation /All /DeviceGray 30 0 R]",
+        "[/Separation /All /DeviceGray 40 0 R]") +
+      "\n40 0 obj << /FunctionType 0 /Domain [0 1] /Range [0 1] " +
+      "/Size [2] /BitsPerSample 16 /Encode [1 0] /Length 4 >>\nstream\n" +
+      new String(hi.map(b => (b & 0xff).toChar)) + "\nendstream endobj\n"
+    val im = PdfImages.extract(bytes(pdf)).head
+    assert(im.codec == "raw" && im.colorSpace == "DeviceGray",
+      s"got ${im.codec}/${im.colorSpace}")
+    for (p <- 0 until 256) {
+      val v = (hv(1L * 256 + p, 368L) % 256).toInt
+      val t = 0.0 + v * (1.0 - 0.0) / 255.0
+      val e = 1.0 + (t - 0.0) * (0.0 - 1.0) / (1.0 - 0.0) // Encode [1 0]
+      val k = math.min(e.toInt, 0)
+      val frac = e - k
+      val r = 65535.0 + frac * (0.0 - 65535.0)
+      val want = byteOf(0.0 + (r - 0.0) * (1.0 - 0.0) / 65535.0)
+      assert((im.data(p) & 0xff) == want, s"pixel $p")
+    }
+  }
+}
