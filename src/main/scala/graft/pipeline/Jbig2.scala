@@ -572,18 +572,53 @@ object Jbig2 {
       r(rx - 1, ry - 1)                        // A2 nominal (−1, −1)
   }
 
+  /** TPGRON pseudo-pixel contexts (§6.3.5.6): one decision per row
+    * says "typical prediction active toggles"; under active LTP a
+    * pixel whose 3×3 REFERENCE neighborhood is uniform takes that
+    * value without a coded decision. */
+  private val TpgrCtx0 = 0x0100
+  private val TpgrCtx1 = 0x0080
+
+  /** −1 when the 3×3 reference neighborhood around (rx, ry) is
+    * mixed, else the uniform value (out-of-bounds reads 0). */
+  private def uniformRef(ref: Bitmap, rx: Int, ry: Int): Int = {
+    def r(xx: Int, yy: Int): Int =
+      if (xx < 0 || xx >= ref.w || yy < 0 || yy >= ref.h) 0
+      else ref.px(yy * ref.w + xx) & 1
+    val v = r(rx - 1, ry - 1)
+    var dy0 = -1
+    while (dy0 <= 1) {
+      var dx0 = -1
+      while (dx0 <= 1) {
+        if (r(rx + dx0, ry + dy0) != v) return -1
+        dx0 += 1
+      }
+      dy0 += 1
+    }
+    v
+  }
+
   private def decodeRefinementWith(
       mq: MqDecoder, gr: Contexts, w: Int, h: Int,
-      ref: Bitmap, dx: Int, dy: Int, template: Int): Array[Byte] = {
+      ref: Bitmap, dx: Int, dy: Int, template: Int,
+      tpgron: Boolean = false): Array[Byte] = {
     val px = new Array[Byte](w * h)
+    var ltp = false
     var y = 0
     while (y < h) {
+      if (tpgron && mq.decode(gr,
+          if (template == 0) TpgrCtx0 else TpgrCtx1) == 1) ltp = !ltp
       var x = 0
       while (x < w) {
-        val cx =
-          if (template == 0) refCtxAt0(px, w, ref, dx, dy, x, y)
-          else refCtxAt(px, w, ref, dx, dy, x, y)
-        px(y * w + x) = mq.decode(gr, cx).toByte
+        val u = if (ltp) uniformRef(ref, x - dx, y - dy) else -1
+        px(y * w + x) =
+          if (u >= 0) u.toByte
+          else {
+            val cx =
+              if (template == 0) refCtxAt0(px, w, ref, dx, dy, x, y)
+              else refCtxAt(px, w, ref, dx, dy, x, y)
+            mq.decode(gr, cx).toByte
+          }
         x += 1
       }
       y += 1
@@ -593,15 +628,35 @@ object Jbig2 {
 
   private def encodeRefinementWith(
       mq: MqEncoder, gr: Contexts, target: Bitmap,
-      ref: Bitmap, dx: Int, dy: Int, template: Int): Unit = {
+      ref: Bitmap, dx: Int, dy: Int, template: Int,
+      tpgron: Boolean = false): Unit = {
+    var ltp = false
     var y = 0
     while (y < target.h) {
+      if (tpgron) {
+        // a row is typical-codable when every uniform-reference pixel
+        // already equals its uniform value — then LTP=1 skips them
+        var typical = true
+        var x = 0
+        while (typical && x < target.w) {
+          val u = uniformRef(ref, x - dx, y - dy)
+          if (u >= 0 && (target.px(y * target.w + x) & 1) != u)
+            typical = false
+          x += 1
+        }
+        mq.encode(gr, if (template == 0) TpgrCtx0 else TpgrCtx1,
+          if (typical != ltp) 1 else 0)
+        ltp = typical
+      }
       var x = 0
       while (x < target.w) {
-        val cx =
-          if (template == 0) refCtxAt0(target.px, target.w, ref, dx, dy, x, y)
-          else refCtxAt(target.px, target.w, ref, dx, dy, x, y)
-        mq.encode(gr, cx, target.px(y * target.w + x) & 1)
+        val skip = ltp && uniformRef(ref, x - dx, y - dy) >= 0
+        if (!skip) {
+          val cx =
+            if (template == 0) refCtxAt0(target.px, target.w, ref, dx, dy, x, y)
+            else refCtxAt(target.px, target.w, ref, dx, dy, x, y)
+          mq.encode(gr, cx, target.px(y * target.w + x) & 1)
+        }
         x += 1
       }
       y += 1
@@ -2338,6 +2393,60 @@ object Jbig2 {
     segs.toArray
   }
 
+  /** Encode a page whose content arrives in TWO passes (§7.4.7 —
+    * r17): the base bitmap as a generic region, then a REFINEMENT
+    * REGION (type 40) that REPLACES the (x, y, bw, bh) box with
+    * `target`, coded against the composed page beneath it —
+    * the progressive/lossy-to-lossless layout. `template` picks the
+    * §6.3 context (0 carries nominal AT bytes); `tpgron` turns on
+    * typical prediction (rows whose uniform-reference pixels already
+    * match cost one decision). */
+  def encodeWithRefinementRegion(
+      pixels: Array[Byte], w: Int, h: Int,
+      x: Int, y: Int, bw: Int, bh: Int, target: Array[Byte],
+      template: Int = 1, tpgron: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h, "malformed page")
+    require(bw > 0 && bh > 0 && target.length == bw * bh, "malformed box")
+    require(x >= 0 && y >= 0 && x + bw <= w && y + bh <= h, "box outside page")
+    require(template == 0 || template == 1, "GRTEMPLATE is one bit")
+    val bits = pixels.map(b => (if (b != 0) 1 else 0).toByte)
+    val pageData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0xffffffffL); be32(b, 0xffffffffL)
+      b += 0; b += 0; b += 0
+      b
+    }
+    val baseData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, w); be32(b, h); be32(b, 0); be32(b, 0); b += 0
+      b += 0
+      b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
+      b ++= encodeGeneric(bits, w, h, tpgdon = false)
+      b
+    }
+    val refData = {
+      val b = new ArrayBuffer[Byte]()
+      be32(b, bw); be32(b, bh); be32(b, x); be32(b, y)
+      b += 4                                  // external op: REPLACE
+      b += ((template & 1) | (if (tpgron) 2 else 0)).toByte
+      if (template == 0) { b += -1; b += -1; b += -1; b += -1 }
+      val ref = new Array[Byte](bw * bh)
+      var yy = 0
+      while (yy < bh) {
+        System.arraycopy(bits, (y + yy) * w + x, ref, yy * bw, bw)
+        yy += 1
+      }
+      val mq = new MqEncoder
+      encodeRefinementWith(mq, pooledGrContexts(),
+        Bitmap(bw, bh, target.map(v => (if (v != 0) 1 else 0).toByte)),
+        Bitmap(bw, bh, ref), 0, 0, template, tpgron)
+      b ++= mq.flush()
+      b
+    }
+    (segment(0, 48, pageData) ++ segment(1, 38, baseData) ++
+      segment(2, 40, refData)).toArray
+  }
+
   /** Encode a bitmap as a STRIPED page (§7.4.8.5): page info with
     * width but UNKNOWN height (0xFFFFFFFF, striped bit + max stripe
     * size set), one immediate generic region per `stripeH`-row
@@ -2750,6 +2859,51 @@ object Jbig2 {
           val endRow = rdBe32(data, j)
           if (endRow > (1L << 20)) return None
           stripedBottom = math.max(stripedBottom, endRow + 1)
+        }
+      } else if (segType == 40 || segType == 41 || segType == 42) {
+        // refinement region (§7.4.7 — r17): refines the PAGE area
+        // under its region box (reference = the composed page so
+        // far), GRTEMPLATE 0/1 with nominal ATs, TPGRON honored.
+        // Previously these segments were SKIPPED — a page missing
+        // its refinement pass is wrong pixels, not a decline. Out of
+        // subset (referred intermediate regions, non-nominal ATs, a
+        // box outside the page, no page at all) declines the stream.
+        if (dataLen < 18) return None
+        val w = rdBe32(data, j).toInt
+        val h = rdBe32(data, j + 4).toInt
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+        val rx = rdBe32(data, j + 8)
+        val ry = rdBe32(data, j + 12)
+        val extOp = data(j + 16) & 7
+        if (extOp > 4) return None
+        val gflags = data(j + 17) & 0xff
+        val template = gflags & 1
+        val tpgron = (gflags & 2) != 0
+        if (refCount > 0) return None         // intermediate refs: out of subset
+        val base =
+          if (template == 0) {
+            if (dataLen < 22 ||
+              data(j + 18) != -1 || data(j + 19) != -1 ||
+              data(j + 20) != -1 || data(j + 21) != -1) return None
+            j + 22
+          } else j + 18
+        page match {
+          case Some((pw, ph, ppx))
+              if rx + w <= pw && ry + h <= ph && rx >= 0 && ry >= 0 =>
+            val ref = new Array[Byte](w * h)
+            var yy = 0
+            while (yy < h) {
+              System.arraycopy(ppx, (ry.toInt + yy) * pw + rx.toInt,
+                ref, yy * w, w)
+              yy += 1
+            }
+            val mq = new MqDecoder(data, base, segEnd)
+            val gr = pooledGrContexts()
+            val decoded = decodeRefinementWith(mq, gr, w, h,
+              Bitmap(w, h, ref), 0, 0, template, tpgron)
+            finish(w, h, decoded, rx, ry, extOp)
+              .foreach(r => return Some(r))
+          case _ => return None
         }
       } else if (segType == 36 || segType == 38 || segType == 39) {
         // region info (17) + generic flags (1); MQ regions carry 8

@@ -762,6 +762,67 @@ object PdfGen {
       streamObj(100, "", paint)))
   }
 
+  /** Image-only PDF whose tint transform is a TYPE 4 PostScript
+    * calculator (PDF 32000-1 §7.10.5 — r17), the most common real
+    * tint-transform shape. Cycled by `docId % 2`:
+    *
+    *  - 0 ⇒ `/Separation` → DeviceRGB, 1-in program exercising
+    *    dup/exch/roll/mul/sub: `(t·C0, t·C1, 1 − t·C2)`;
+    *  - 1 ⇒ TWO-ink `/DeviceN` → DeviceGray, 2-in program:
+    *    `1 − (t1·C1 + t0·C0)` — multi-colorant DeviceN, previously
+    *    a decline.
+    *
+    * Ink pixels BY FORMULA (salts 390/391, interleaved for the 2-ink
+    * leg), constants salt 392 written as `Double.toString`; ids with
+    * bit 1 set route the colorspace array behind an object
+    * reference. The q367 oracle replays every program step in SQL. */
+  def tintCalcPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    def frac(n: Long): String =
+      java.lang.Double.toString((hv(n, 392L) % 256L) / 255.0)
+    val leg = math.floorMod(docId, 2L).toInt
+    val (csArr, fnObjs, raw) = if (leg == 0) {
+      val c0 = frac(docId * 8L); val c1 = frac(docId * 8L + 1)
+      val c2 = frac(docId * 8L + 2)
+      val prog = s"{ dup dup $c0 mul exch $c1 mul 3 2 roll $c2 mul 1 exch sub }"
+        .getBytes(StandardCharsets.ISO_8859_1)
+      ("[/Separation /Spot0 /DeviceRGB 30 0 R]",
+        Seq(streamObj(30, "/FunctionType 4 /Domain [0 1] " +
+          "/Range [0 1 0 1 0 1] ", prog)),
+        Array.tabulate(W * H)(p =>
+          (hv(docId * 256L + p, 390L) % 256L).toByte))
+    } else {
+      val c0 = frac(docId * 8L + 4); val c1 = frac(docId * 8L + 5)
+      val prog = s"{ $c1 mul exch $c0 mul add 1 exch sub }"
+        .getBytes(StandardCharsets.ISO_8859_1)
+      ("[/DeviceN [/I0 /I1] /DeviceGray 30 0 R]",
+        Seq(streamObj(30, "/FunctionType 4 /Domain [0 1 0 1] " +
+          "/Range [0 1] ", prog)),
+        Array.tabulate(W * H * 2) { q =>
+          val p = q / 2
+          val salt = if (q % 2 == 0) 390L else 391L
+          (hv(docId * 256L + p, salt) % 256L).toByte
+        })
+    }
+    val indirect = math.floorMod(docId >> 1, 2L) == 1L
+    val csDecl =
+      if (indirect) "/ColorSpace 7 0 R " else s"/ColorSpace $csArr "
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n") ++
+      (if (indirect) Seq(s"7 0 obj $csArr endobj\n") else Seq.empty) ++
+      fnObjs ++ Seq(
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        s"$csDecl/BitsPerComponent 8 /Filter /FlateDecode ", deflate(raw)),
+      streamObj(100, "", paint)))
+  }
+
   /** Image-only PDF carrying a JPEG 2000 (`/JPXDecode`) payload: a
     * REAL JP2 box stream built by [[Jp2Header.buildJp2]] (signature,
     * ftyp, jp2h/ihdr, a stub jp2c codestream with junk entropy data —
@@ -1124,6 +1185,44 @@ object PdfGen {
       streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
         "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
         s"/Filter /JBIG2Decode $dp", stream),
+      streamObj(100, "", paint)))
+  }
+
+  /** Image-only PDF carrying a TWO-PASS JBIG2 page (§7.4.7 — r17):
+    * a 16×16 base raster (salt 393) followed by a REFINEMENT REGION
+    * segment that replaces the 8×8 center box with a variant (flips
+    * where salt-394 mix ≡ 0 mod 4), coded against the composed page
+    * beneath it — the progressive layout real encoders emit for
+    * lossy-to-lossless. TPGRON on for odd ids; GRTEMPLATE cycles by
+    * bit 1. The q368 oracle replays the final page: skipping the
+    * refinement pass (the old behavior) leaves base pixels in the
+    * box and every odd hash shifts. */
+  def jbig2RefineRegionPdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    def hv(n: Long, salt: Long): Long =
+      graft.operators.Sampling.hashBitsScalar(n, salt)
+    val base = Array.tabulate(W * H) { p =>
+      (hv(docId * 256L + p, 393L) % 2L).toByte
+    }
+    val target = Array.tabulate(8 * 8) { q =>
+      val p = (4 + q / 8) * W + (4 + q % 8)
+      val flip = if (hv(docId * 64L + q, 394L) % 4L == 0L) 1 else 0
+      (((base(p) & 1) + flip) % 2).toByte
+    }
+    val tpgron = math.floorMod(docId, 2L) == 1L
+    val template = math.floorMod(docId >> 1, 2L).toInt
+    val stream = Jbig2.encodeWithRefinementRegion(base, W, H,
+      4, 4, 8, 8, target, template, tpgron)
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        "/Filter /JBIG2Decode ", stream),
       streamObj(100, "", paint)))
   }
 
@@ -1493,15 +1592,18 @@ object PdfGen {
         case 14L =>
           if (math.floorMod(docId, 128L) == 78L) jbig2CustomTablePdf(docId)
           else jbig2HuffPdf(docId)            // r17: SDHUFF/SBHUFF leg
-        case 46L =>
-          if (math.floorMod(docId, 128L) == 110L) regionOpsPdf(docId)
-          else stripedJbig2Pdf(docId)         // r17: striped-page leg
+        case 46L => math.floorMod(docId, 256L) match {
+          case 110L | 238L => regionOpsPdf(docId)
+          case 174L => jbig2RefineRegionPdf(docId) // r17: two-pass page leg
+          case _ => stripedJbig2Pdf(docId)    // r17: striped-page leg
+        }
         case 62L => math.floorMod(docId, 256L) match {
           case 126L => jbig2InstRefinedPdf(docId) // r17: SBREFINE leg
           case 190L => jbig2AggPdf(docId)         // r17: multi-aggregate leg
           case _ => jbig2RefinedPdf(docId)        // r17: SDREFAGG leg
         }
         case 6L if math.floorMod(docId, 128L) == 70L => sepPdf(docId)
+        case 6L if math.floorMod(docId, 256L) == 134L => tintCalcPdf(docId)
         case _ => dctImageOnly(docId)
       }
       case 7 => math.floorMod(docId, 32L) match {

@@ -442,15 +442,19 @@ object PdfImages {
         PdfImage(objNum, w, h, 8, "DeviceRGB", "raw", labToRgb(px, lab))
       case Some(_) => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
       case None => parseSepDeviceN(dict, objs) match {
-      case Some((alt, fn)) if bpc == 8 && px.length == w.toLong * h &&
+      case Some((alt, nInks, fn)) if bpc == 8 &&
+          px.length == w.toLong * h * nInks &&
           decodeArrRe.findFirstIn(dict).isEmpty =>
-        // single-colorant /Separation or /DeviceN: tint samples map
-        // through the transform into the device alternate — emitted
-        // as 8-bit raw in the ALTERNATE space (spot-color scans
+        // /Separation or /DeviceN: per-pixel ink tuples map through
+        // the tint transform into the device alternate — emitted as
+        // 8-bit raw in the ALTERNATE space (spot-color scans
         // previously stranded as opaque). An explicit /Decode remaps
-        // the tint domain — out of subset, decline below.
-        PdfImage(objNum, w, h, 8, alt, "raw",
-          tintToAlternate(px, fn, components(alt)))
+        // the tint domain, and a calculator fault poisons the map —
+        // both decline below, never wrong pixels.
+        tintToAlternate(px, fn, components(alt)) match {
+          case null => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
+          case out => PdfImage(objNum, w, h, 8, alt, "raw", out)
+        }
       case Some(_) => PdfImage(objNum, w, h, bpc, cs, "opaque", px)
       case None => parseIndexed(dict, objs) match {
       case Some((base, hival, lookup)) =>
@@ -479,78 +483,127 @@ object PdfImages {
     }
   }
 
-  // /ColorSpace [/Separation /Ink alt fn] or [/DeviceN [/Ink] alt fn]
-  // — direct array, or the whole array behind an object reference.
-  // Subset: ONE colorant (Separation always is; single-name DeviceN),
-  // a device alternate BY NAME, and the tint-transform function as an
-  // indirect object [[PdfFunction.parse]] admits (types 0/2/3).
-  // Multi-colorant DeviceN and type-4 transforms decline to opaque.
+  // /ColorSpace [/Separation /Ink alt fn] or [/DeviceN [/inks…] alt
+  // fn] — direct array, or the whole array behind an object
+  // reference. The device alternate must be BY NAME; the
+  // tint-transform function is an indirect object
+  // [[PdfFunction.parse]] admits (types 0/2/3 for one colorant,
+  // type 4 for any ink count ≤ 8 — r17). The function's input arity
+  // must equal the ink count and its output arity the alternate's.
   private val sepDirectRe =
     """/(?:CS(?![A-Za-z])|ColorSpace(?![A-Za-z0-9]))\s*\[\s*/Separation(?![A-Za-z0-9])\s*/[^\s/\]\[()<>]+\s*/([A-Za-z0-9]+)\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
   private val sepBodyRe =
     """\[\s*/Separation(?![A-Za-z0-9])\s*/[^\s/\]\[()<>]+\s*/([A-Za-z0-9]+)\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
   private val devnDirectRe =
-    """/(?:CS(?![A-Za-z])|ColorSpace(?![A-Za-z0-9]))\s*\[\s*/DeviceN(?![A-Za-z0-9])\s*\[\s*/[^\s/\]\[()<>]+\s*\]\s*/([A-Za-z0-9]+)\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
+    """/(?:CS(?![A-Za-z])|ColorSpace(?![A-Za-z0-9]))\s*\[\s*/DeviceN(?![A-Za-z0-9])\s*\[((?:\s*/[^\s/\]\[()<>]+)+)\s*\]\s*/([A-Za-z0-9]+)\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
   private val devnBodyRe =
-    """\[\s*/DeviceN(?![A-Za-z0-9])\s*\[\s*/[^\s/\]\[()<>]+\s*\]\s*/([A-Za-z0-9]+)\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
+    """\[\s*/DeviceN(?![A-Za-z0-9])\s*\[((?:\s*/[^\s/\]\[()<>]+)+)\s*\]\s*/([A-Za-z0-9]+)\s+(\d{1,9})\s+\d+\s+R\s*\]""".r
+  private val inkNameRe = """/[^\s/\]\[()<>]+""".r
 
-  /** Parse a single-colorant `/Separation` / `/DeviceN` colorspace:
-    * (device alternate name, tint-transform function). The function
-    * must emit exactly the alternate's component count. */
+  /** Parse a `/Separation` / `/DeviceN` colorspace: (device
+    * alternate name, ink count, tint-transform function). */
   private def parseSepDeviceN(
       dict: String,
       objs: Option[Map[Int, (Int, PdfObj)]])
-      : Option[(String, PdfFunction.Fn)] = {
-    val hit: Option[(String, Int)] =
-      sepDirectRe.findFirstMatchIn(dict)
-        .orElse(devnDirectRe.findFirstMatchIn(dict))
-        .map(m => (m.group(1), m.group(2).toInt))
+      : Option[(String, Int, PdfFunction.Fn)] = {
+    def sep(s: String): Option[(String, Int, Int)] =
+      sepBodyRe.findFirstMatchIn(s).map(m =>
+        (m.group(1), 1, m.group(2).toInt))
+    def devn(s: String): Option[(String, Int, Int)] =
+      devnBodyRe.findFirstMatchIn(s).map(m =>
+        (m.group(2), inkNameRe.findAllIn(m.group(1)).size, m.group(3).toInt))
+    val hit: Option[(String, Int, Int)] =
+      sepDirectRe.findFirstMatchIn(dict).map(m =>
+        (m.group(1), 1, m.group(2).toInt))
+        .orElse(devnDirectRe.findFirstMatchIn(dict).map(m =>
+          (m.group(2), inkNameRe.findAllIn(m.group(1)).size, m.group(3).toInt)))
         .orElse(objs.flatMap(os => refAfter.findFirstMatchIn(dict).flatMap { m =>
-          os.get(m.group(1).toInt).flatMap { e =>
-            sepBodyRe.findFirstMatchIn(e._2.dict)
-              .orElse(devnBodyRe.findFirstMatchIn(e._2.dict))
-              .map(mm => (mm.group(1), mm.group(2).toInt))
-          }
+          os.get(m.group(1).toInt).flatMap(e =>
+            sep(e._2.dict).orElse(devn(e._2.dict)))
         }))
-    hit.flatMap { case (alt, fnRef) =>
-      if (components(alt) <= 0) None
+    hit.flatMap { case (alt, nInks, fnRef) =>
+      if (components(alt) <= 0 || nInks < 1 || nInks > 8) None
       else objs.flatMap(_.get(fnRef))
         .flatMap(e => PdfFunction.parse(e._2, objs.get))
-        .filter(_.nOut == components(alt))
-        .map(fn => (alt, fn))
+        .filter(fn => fn.nOut == components(alt) && fn.nIn == nInks)
+        .map(fn => (alt, nInks, fn))
     }
   }
 
   /** 8-bit tint samples → 8-bit alternate-space bytes through the
-    * tint transform. The 256 possible tints evaluate ONCE into a LUT
-    * (the function runs 256 times per image, not W·H times — tint
-    * evaluation is the expensive step and inputs are bytes). Sample
+    * tint transform. One colorant evaluates the 256 possible tints
+    * ONCE into a LUT; multi-ink DeviceN memoizes per distinct ink
+    * tuple (pages carry few distinct colors — the map is bounded by
+    * the pixel count and keyed by the packed ink bytes). Sample
     * decode is the function DOMAIN (§8.9.5.2 default for Separation/
-    * DeviceN): `t = d0 + v · (d1 − d0) / 255`; output components
-    * clamp to [0, 1] and round (`⌊255·c + 0.5⌋`) — every step plain
-    * IEEE doubles, replayed bit-for-bit by the q361 oracle. */
+    * DeviceN): `t_i = dom_2i + v_i · (dom_2i+1 − dom_2i) / 255`;
+    * output components clamp to [0, 1] and round (`⌊255·c + 0.5⌋`) —
+    * every step plain IEEE doubles, replayed bit-for-bit by the
+    * q361/q367 oracles. Null (calculator fault) → null out — the
+    * caller declines to opaque. */
   private def tintToAlternate(
       px: Array[Byte], fn: PdfFunction.Fn, bcomps: Int): Array[Byte] = {
-    val lut = new Array[Byte](256 * bcomps)
-    var v = 0
-    while (v < 256) {
-      val t = fn.d0 + v * (fn.d1 - fn.d0) / 255.0
-      val y = fn(t)
+    val nIn = fn.nIn
+    def evalBytes(vs: Array[Int]): Array[Byte] = {
+      val ts = new Array[Double](nIn)
+      var i = 0
+      while (i < nIn) {
+        ts(i) = fn.domain(2 * i) +
+          vs(i) * (fn.domain(2 * i + 1) - fn.domain(2 * i)) / 255.0
+        i += 1
+      }
+      val y = fn(ts)
+      if (y == null) return null
+      val out = new Array[Byte](bcomps)
       var c = 0
       while (c < bcomps) {
         val cv = if (y(c) < 0.0) 0.0 else if (y(c) > 1.0) 1.0 else y(c)
-        lut(v * bcomps + c) = math.floor(255.0 * cv + 0.5).toInt.toByte
+        out(c) = math.floor(255.0 * cv + 0.5).toInt.toByte
         c += 1
       }
-      v += 1
+      out
     }
-    val out = new Array[Byte](px.length * bcomps)
-    var i = 0
-    while (i < px.length) {
-      System.arraycopy(lut, (px(i) & 0xff) * bcomps, out, i * bcomps, bcomps)
-      i += 1
+    if (nIn == 1) {
+      val lut = new Array[Byte](256 * bcomps)
+      var v = 0
+      while (v < 256) {
+        val b = evalBytes(Array(v))
+        if (b == null) return null
+        System.arraycopy(b, 0, lut, v * bcomps, bcomps)
+        v += 1
+      }
+      val out = new Array[Byte](px.length * bcomps)
+      var i = 0
+      while (i < px.length) {
+        System.arraycopy(lut, (px(i) & 0xff) * bcomps, out, i * bcomps, bcomps)
+        i += 1
+      }
+      out
+    } else {
+      val nPx = px.length / nIn
+      val out = new Array[Byte](nPx * bcomps)
+      val memo = new java.util.HashMap[Long, Array[Byte]]()
+      val vs = new Array[Int](nIn)
+      var i = 0
+      while (i < nPx) {
+        var key = 0L
+        var c = 0
+        while (c < nIn) {
+          vs(c) = px(i * nIn + c) & 0xff
+          key = (key << 8) | vs(c)
+          c += 1
+        }
+        var b = memo.get(key)
+        if (b == null) {
+          b = evalBytes(vs)
+          if (b == null) return null
+          memo.put(key, b)
+        }
+        System.arraycopy(b, 0, out, i * bcomps, bcomps)
+        i += 1
+      }
+      out
     }
-    out
   }
 
   // /ColorSpace [/Lab << /WhitePoint [...] /Range [...] >>] — direct

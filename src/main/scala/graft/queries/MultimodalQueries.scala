@@ -557,7 +557,9 @@ object MultimodalQueries {
     q363,
     q364,
     q365,
-    q366)
+    q366,
+    q367,
+    q368)
 
   /** q353: sub-8-bit and `/Indexed` rasters, ORACLE-CHECKED — the
     * r15 top-next decode leg run end-to-end. Each document becomes
@@ -1561,6 +1563,144 @@ object MultimodalQueries {
            |      (($gb) % 2 + CASE WHEN ($fb) % 4 = 0 THEN 1 ELSE 0 END) % 2
            |    ) = 1 THEN 0 ELSE 255 END AS num
            |  FROM s7),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q367: TYPE 4 (PostScript calculator) tint transforms +
+    * multi-colorant `/DeviceN` (§7.10.5 — r17), ORACLE-CHECKED — a
+    * 1-in Separation program (dup/exch/roll/mul/sub → RGB) for even
+    * docs, a 2-in two-ink DeviceN program (→ gray) for odd, both
+    * previously declines. The oracle replays every program step as
+    * plain SQL arithmetic (ink salts 390/391, constant salt 392) —
+    * a wrong stack rotation, operand order, or domain decode shifts
+    * a hash and the row set stops matching. */
+  private def q367: QueryDef = {
+    QueryDef(
+      "q367_tint_calculator_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.tintCalcPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val v0 = hashBitsSql("(i.id * 256 + g.p)", 390L)
+        val v1 = hashBitsSql("(i.id * 256 + g.p)", 391L)
+        def c392(off: Int) =
+          s"(CAST((${hashBitsSql(s"(i.id * 8 + $off)", 392L)}) % 256 AS DOUBLE) / 255.0)"
+        def byteOf(expr: String) =
+          s"CAST(FLOOR(255.0 * LEAST(GREATEST($expr, 0.0), 1.0) + 0.5) AS BIGINT)"
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |tin AS MATERIALIZED (
+           |  SELECT i.id, g.p,
+           |    0.0 + (CAST(($v0) % 256 AS DOUBLE) * (1.0 - 0.0)) / 255.0 AS t0,
+           |    0.0 + (CAST(($v1) % 256 AS DOUBLE) * (1.0 - 0.0)) / 255.0 AS t1
+           |  FROM ids i CROSS JOIN g),
+           |p0 AS (
+           |  SELECT i.id, p,
+           |    ${byteOf(s"t0 * ${c392(0)}")} +
+           |    ${byteOf(s"t0 * ${c392(1)}")} +
+           |    ${byteOf(s"1.0 - t0 * ${c392(2)}")} AS num, 12 AS denom
+           |  FROM tin JOIN ids i ON i.id = tin.id WHERE i.id % 2 = 0),
+           |p1 AS (
+           |  SELECT i.id, p,
+           |    ${byteOf(s"1.0 - (t1 * ${c392(5)} + t0 * ${c392(4)})")} AS num,
+           |    4 AS denom
+           |  FROM tin JOIN ids i ON i.id = tin.id WHERE i.id % 2 = 1),
+           |px AS (
+           |  SELECT id, p, num, denom FROM p0
+           |  UNION ALL SELECT id, p, num, denom FROM p1),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / MAX(denom) AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id,
+           |  CASE WHEN id % 2 = 1 THEN 'DeviceGray'
+           |       ELSE 'DeviceRGB' END AS colorspace,
+           |  phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q368: REFINEMENT REGION segments + TPGRON (§7.4.7 / §6.3.5.6 —
+    * r17), ORACLE-CHECKED — the two-pass progressive page: a base
+    * raster composed first, then a type-40 segment that REPLACES the
+    * center box with a refinement coded against the page beneath,
+    * typical prediction on for odd docs. These segments were
+    * previously SKIPPED — wrong pixels, not a decline — so the
+    * oracle's final-page replay (base salt 393, flip salt 394) is
+    * the regression tripwire for the whole pass. */
+  private def q368: QueryDef = {
+    QueryDef(
+      "q368_jbig2_refine_region_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.jbig2RefineRegionPdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val hb = hashBitsSql("(i.id * 256 + g.p)", 393L)
+        val hf = hashBitsSql(
+          "(i.id * 64 + ((g.p // 16) - 4) * 8 + (g.p % 16) - 4)", 394L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |px AS (
+           |  SELECT i.id, g.p,
+           |    CASE WHEN (($hb) % 2
+           |      + CASE WHEN (g.p % 16) BETWEEN 4 AND 11
+           |                  AND (g.p // 16) BETWEEN 4 AND 11
+           |                  AND ($hf) % 4 = 0
+           |             THEN 1 ELSE 0 END) % 2 = 1
+           |      THEN 0 ELSE 255 END AS num
+           |  FROM ids i CROSS JOIN g),
            |cells AS MATERIALIZED (
            |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
            |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv

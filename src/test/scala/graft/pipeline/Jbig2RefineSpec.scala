@@ -160,6 +160,55 @@ class Jbig2RefineSpec extends AnyFunSuite {
     }
   }
 
+  test("refinement region segments refine the page; TPGRON round-trips") {
+    val rnd = new scala.util.Random(393)
+    for (trial <- 0 until 16) {
+      val w = 16 + rnd.nextInt(24)
+      val h = 16 + rnd.nextInt(24)
+      val base = Array.tabulate(w * h)(_ => rnd.nextInt(2).toByte)
+      val bw = 4 + rnd.nextInt(math.max(1, w - 6))
+      val bh = 4 + rnd.nextInt(math.max(1, h - 6))
+      val x = rnd.nextInt(w - bw + 1)
+      val y = rnd.nextInt(h - bh + 1)
+      // sparse flips so TPGRON's typical rows actually occur
+      val target = Array.tabulate(bw * bh) { q =>
+        val v = base((y + q / bw) * w + (x + q % bw)) & 1
+        (if (rnd.nextInt(6) == 0) 1 - v else v).toByte
+      }
+      val template = rnd.nextInt(2)
+      val tpgron = rnd.nextBoolean()
+      val stream = Jbig2.encodeWithRefinementRegion(
+        base, w, h, x, y, bw, bh, target, template, tpgron)
+      val dec = Jbig2.decode(stream)
+      assert(dec.isDefined, s"trial $trial t=$template tp=$tpgron")
+      val want = base.clone()
+      for (q <- 0 until bw * bh)
+        want((y + q / bw) * w + (x + q % bw)) = target(q)
+      assert(dec.get._3.toSeq === want.toSeq,
+        s"trial $trial t=$template tp=$tpgron box=($x,$y,$bw,$bh)")
+    }
+    // a refinement region with NO page beneath declines (never the
+    // old silent skip)
+    val lone = Jbig2.encodeWithRefinementRegion(
+      Array.fill(64)(1.toByte), 8, 8, 0, 0, 4, 4,
+      Array.fill(16)(0.toByte))
+    // strip the page + base segments: keep only the type-40 segment
+    val refStart = {
+      // walk the two leading segments by their declared lengths
+      def segLen(off: Int): Int = {
+        val refC = (lone(off + 5) >> 5) & 7
+        val hdr = 6 + refC + 1 + 4
+        val dl = ((lone(off + hdr - 4) & 0xff) << 24) |
+          ((lone(off + hdr - 3) & 0xff) << 16) |
+          ((lone(off + hdr - 2) & 0xff) << 8) | (lone(off + hdr - 1) & 0xff)
+        hdr + dl
+      }
+      segLen(0) + segLen(segLen(0))
+    }
+    assert(Jbig2.decode(lone.drop(refStart)).isEmpty,
+      "page-less refinement region must decline")
+  }
+
   test("decline pins: rtemplate 0 declines; r17 text modes decode") {
     val base = Seq((4, 4, Array.fill(16)(1.toByte)))
     val refined = Seq((4, 4, Array.tabulate(16)(p => (p % 2).toByte), 0, 0, 0))

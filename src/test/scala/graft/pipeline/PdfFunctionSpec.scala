@@ -63,13 +63,14 @@ class PdfFunctionSpec extends AnyFunSuite {
     }
   }
 
-  test("decline: type 4 transform, multi-colorant DeviceN, /Decode") {
-    // type 4 (PostScript calculator) is out of subset
+  test("decline: malformed type 4, ink-arity mismatch, /Decode") {
+    // a type-4 flag on a DICT-ONLY object (no program stream) is
+    // malformed — type 4 itself is in subset since r17 (q367)
     val t4 = text(PdfGen.sepPdf(0L))
       .replace("/FunctionType 2", "/FunctionType 4")
     val im4 = PdfImages.extract(bytes(t4)).head
-    assert(im4.codec == "opaque", "type-4 transform must decline")
-    // two-colorant DeviceN: no single-name match
+    assert(im4.codec == "opaque", "streamless type-4 must decline")
+    // two-colorant DeviceN over a 1-in function: arity mismatch
     val multi = text(PdfGen.sepPdf(2L))
       .replace("[/DeviceN [/Ink0]", "[/DeviceN [/Ink0 /Ink1]")
     assert(PdfImages.extract(bytes(multi)).head.codec == "opaque")
@@ -104,6 +105,89 @@ class PdfFunctionSpec extends AnyFunSuite {
     val selfRef = text(PdfGen.sepPdf(1L))
       .replace("/Functions [31 0 R 32 0 R]", "/Functions [30 0 R 32 0 R]")
     assert(PdfImages.extract(bytes(selfRef)).head.codec == "opaque")
+  }
+
+  test("tintCalcPdf (type 4 + two-ink DeviceN) matches the oracle formula") {
+    for (id <- 0L to 7L) {
+      val imgs = PdfImages.extract(PdfGen.tintCalcPdf(id))
+      assert(imgs.size == 1, s"id $id")
+      val im = imgs.head
+      val leg = (id % 2).toInt
+      val comps = if (leg == 1) 1 else 3
+      assert(im.codec == "raw", s"id $id ${im.codec}")
+      assert(im.colorSpace == (if (leg == 1) "DeviceGray" else "DeviceRGB"))
+      def c(off: Int) = (hv(id * 8 + off, 392L) % 256) / 255.0
+      for (p <- 0 until 256) {
+        val t0 = 0.0 + (hv(id * 256 + p, 390L) % 256) * (1.0 - 0.0) / 255.0
+        val t1 = 0.0 + (hv(id * 256 + p, 391L) % 256) * (1.0 - 0.0) / 255.0
+        val want: Seq[Int] =
+          if (leg == 0) Seq(
+            byteOf(t0 * c(0)), byteOf(t0 * c(1)), byteOf(1.0 - t0 * c(2)))
+          else Seq(byteOf(1.0 - (t1 * c(5) + t0 * c(4))))
+        val got = (0 until comps).map(q => im.data(p * comps + q) & 0xff)
+        assert(got == want, s"id $id pixel $p leg $leg")
+      }
+    }
+  }
+
+  test("calculator operators evaluate per the PostScript semantics") {
+    // drive programs through the Separation plumbing: a 1-in gray
+    // calculator over the salt-390 tint pixels; the decoded byte at
+    // every pixel must equal the reference evaluation of the program
+    def decodeWith(prog: String): Option[PdfImage] = {
+      val pdf = text(PdfGen.tintCalcPdf(0L))
+        .replace("[/Separation /Spot0 /DeviceRGB 30 0 R]",
+          "[/Separation /T /DeviceGray 40 0 R]") +
+        s"\n40 0 obj << /FunctionType 4 /Domain [0 1] /Range [0 1] " +
+        s"/Length ${prog.length} >>\nstream\n$prog\nendstream endobj\n"
+      PdfImages.extract(bytes(pdf)).headOption.filter(_.codec == "raw")
+    }
+    def expectEq(prog: String, f: Double => Double): Unit = {
+      val im = decodeWith(prog).getOrElse(fail(s"$prog did not decode"))
+      for (p <- 0 until 256) {
+        val t = 0.0 + (hv(0L * 256 + p, 390L) % 256) * (1.0 - 0.0) / 255.0
+        assert((im.data(p) & 0xff) == byteOf(f(t)), s"$prog pixel $p")
+      }
+    }
+    expectEq("{ }", x => x)
+    expectEq("{ neg abs }", x => math.abs(-x))
+    expectEq("{ dup mul }", x => x * x)
+    expectEq("{ 2 div }", x => x / 2)
+    expectEq("{ 1 exch sub }", x => 1.0 - x)
+    expectEq("{ dup sqrt exch 3 mul add 4 div }",
+      x => (math.sqrt(x) + 3 * x) / 4)
+    expectEq("{ dup dup mul exch 1 index pop pop }", x => x * x)
+    expectEq("{ 0.25 0.5 2 copy pop pop pop pop }", x => x)
+    expectEq("{ dup 0.5 gt { 0.25 mul } { 0.75 mul } ifelse }",
+      x => if (x > 0.5) x * 0.25 else x * 0.75)
+    expectEq("{ dup 0.5 le { 1 add 2 div } if }",
+      x => if (x <= 0.5) (x + 1) / 2 else x)
+    expectEq("{ 0.25 0.5 3 2 roll pop pop }", _ => 0.25)
+    expectEq("{ truncate }", x => x.toLong.toDouble)
+    expectEq("{ 10 mul floor 10 div }", x => math.floor(10 * x) / 10)
+  }
+
+  test("calculator faults decline to opaque, never wrong pixels") {
+    def withProg(prog: String): Seq[PdfImage] = {
+      val pdf = text(PdfGen.tintCalcPdf(0L))
+        .replace("[/Separation /Spot0 /DeviceRGB 30 0 R]",
+          "[/Separation /T /DeviceGray 40 0 R]") +
+        s"\n40 0 obj << /FunctionType 4 /Domain [0 1] /Range [0 1] " +
+        s"/Length ${prog.length} >>\nstream\n$prog\nendstream endobj\n"
+      PdfImages.extract(bytes(pdf))
+    }
+    // stack underflow
+    assert(withProg("{ add }").head.codec == "opaque")
+    // unknown operator
+    assert(withProg("{ frobnicate }").head.codec == "opaque")
+    // unbalanced braces
+    assert(withProg("{ dup { mul }").head.codec == "opaque")
+    // orphan procedure (no if/ifelse)
+    assert(withProg("{ { dup } pop }").head.codec == "opaque")
+    // leftover arity below /Range's demand is a fault; extra stack
+    // depth is fine (outputs are the top values)
+    assert(withProg("{ pop }").head.codec == "opaque")
+    assert(withProg("{ dup }").head.codec == "raw")
   }
 
   test("type-0 /Encode override and 16-bit samples evaluate per spec") {
