@@ -575,9 +575,14 @@ object Jbig2 {
   /** TPGRON pseudo-pixel contexts (§6.3.5.6): one decision per row
     * says "typical prediction active toggles"; under active LTP a
     * pixel whose 3×3 REFERENCE neighborhood is uniform takes that
-    * value without a coded decision. */
-  private val TpgrCtx0 = 0x0100
-  private val TpgrCtx1 = 0x0080
+    * value without a coded decision. The context is the template
+    * pattern with ONLY the reference-center pixel set — under this
+    * file's packing that is bit 5 (template 0) / bit 3 (template 1);
+    * a review pass caught the first draft using slots that aliased
+    * other pattern bits (self-consistent, but a conformant encoder's
+    * LTP decisions would have trained the wrong adaptive state). */
+  private val TpgrCtx0 = 0x0020
+  private val TpgrCtx1 = 0x0008
 
   /** −1 when the 3×3 reference neighborhood around (rx, ry) is
     * mixed, else the uniform value (out-of-bounds reads 0). */
@@ -956,14 +961,9 @@ object Jbig2 {
       oobPref: Int = 0): (Array[Byte], HuffTable) = {
     require(htlow < hthigh, "HTLOW must be below HTHIGH")
     // smallest field widths that hold every emitted value
-    def widthFor(maxV: Int): Int = {
-      var w = 1
-      while ((1 << w) - 1 < maxV) w += 1
-      w
-    }
-    val htps = widthFor(
+    val htps = widthOf(
       ranges.map(_._1).max.max(lowerPref).max(upperPref).max(oobPref))
-    val htrs = widthFor(ranges.map(_._2).max)
+    val htrs = widthOf(ranges.map(_._2).max)
     require(htps <= 8 && htrs <= 8, "HTPS/HTRS fit 3-bit fields + 1")
     val b = new ArrayBuffer[Byte]()
     b += (((if (oobPref > 0) 1 else 0) |
@@ -1095,10 +1095,15 @@ object Jbig2 {
               // template, symbols = input ∪ new-so-far under the
               // dictionary-wide code length
               val avail = (input ++ newSyms).toIndexedSeq
+              // per-symbol refinement budget far below the global cap:
+              // a dictionary can hold 4096 aggregates, so a hostile
+              // stream must not get 2^26 refinement pixels EACH
               decodeTextRegionWith(mq, ia, gr, symWidth, hcHeight,
                 nInst, 0, 1, 0, avail, symCodeLen,
                 transposed = false, combOp = 0, defPixel = 0,
-                refine = true, rtemplate = rtemplate) match {
+                refine = true, rtemplate = rtemplate,
+                refBudget = math.min(1L << 26,
+                  16L * symWidth * hcHeight + 65536L)) match {
                 case None => return None
                 case Some(bm) => newSyms += Bitmap(symWidth, hcHeight, bm)
               }
@@ -1465,12 +1470,17 @@ object Jbig2 {
       numInstances: Int, logStrips: Int, refCorner: Int, dsOffset: Int,
       syms: IndexedSeq[Bitmap], symCodeLen: Int,
       transposed: Boolean, combOp: Int, defPixel: Int,
-      refine: Boolean, rtemplate: Int): Option[Array[Byte]] = {
+      refine: Boolean, rtemplate: Int,
+      refBudget: Long = 1L << 26): Option[Array[Byte]] = {
     if (syms.isEmpty || numInstances < 0 || numInstances > (1 << 20)) return None
     if (symCodeLen > MaxSymCodeLen) return None
     val strips = 1 << logStrips
     val px = new Array[Byte](w * h)
     if (defPixel == 1) java.util.Arrays.fill(px, 1.toByte)
+    // cumulative refinement allocation cap (review finding): without
+    // it, 2^20 instances × 4096² targets let a few-KB hostile stream
+    // run ~10^13 MQ decisions — MQ padding sustains decisions forever
+    var refPx = 0L
     val dt0 = decodeInt(mq, ia, IADT)
     if (dt0 == OOB || dt0 == BAD) return None
     var stript = -dt0 * strips
@@ -1526,6 +1536,8 @@ object Jbig2 {
               val th = sb.h + rdh
               if (tw <= 0 || tw > 4096 || th <= 0 || th > 4096 ||
                 math.abs(rdx) > 4096 || math.abs(rdy) > 4096) return None
+              refPx += tw.toLong * th
+              if (refPx > refBudget) return None
               sb = Bitmap(tw, th,
                 decodeRefinementWith(mq, gr, tw, th, sb,
                   Math.floorDiv(rdw, 2) + rdx, Math.floorDiv(rdh, 2) + rdy,

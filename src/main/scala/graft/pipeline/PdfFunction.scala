@@ -350,12 +350,15 @@ object PdfFunction {
     "index", "roll", "eq", "ne", "gt", "ge", "lt", "le", "and", "or",
     "xor", "not", "bitshift", "true", "false")
 
-  private val numTok = """-?\d+(?:\.\d+)?""".r
+  // PDF reals may omit the integer part (".5", "-.5" — §7.3.3); a
+  // digits-only pattern would read "/C1 [.5]" as 5.0 and emit WRONG
+  // raw pixels instead of either right ones or a decline
+  private val numTok = """-?(?:\d+(?:\.\d+)?|\.\d+)""".r
   private def arr(dict: String, key: String): Option[Array[Double]] =
     (s"""/$key\\s*\\[([^\\]\\[]*)\\]""").r.findFirstMatchIn(dict)
       .map(m => numTok.findAllIn(m.group(1)).map(_.toDouble).toArray)
   private def num(dict: String, key: String): Option[Double] =
-    (s"""/$key\\s+(-?\\d+(?:\\.\\d+)?)""").r.findFirstMatchIn(dict)
+    (s"""/$key\\s+(-?(?:\\d+(?:\\.\\d+)?|\\.\\d+))""").r.findFirstMatchIn(dict)
       .map(_.group(1).toDouble)
   private val fnRefs = """(\d{1,9})\s+\d+\s+R""".r
 
@@ -420,9 +423,13 @@ object PdfFunction {
         if (fns.map(_.nOut).distinct.size != 1) return None
         val bounds = arr(dict, "Bounds").getOrElse(Array.empty[Double])
         if (bounds.length != subs.size - 1) return None
-        if (!bounds.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+        if (!bounds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
           return None
-        if (bounds.exists(b => b < dom(0) || b > dom(1))) return None
+        // §7.10.4 requires STRICT Domain0 < Bounds… < Domain1: a
+        // bound touching a domain edge makes a zero-width subdomain
+        // whose encode interpolation divides by zero (NaN → byte 0 —
+        // wrong pixels, review finding)
+        if (bounds.exists(b => b <= dom(0) || b >= dom(1))) return None
         val enc = arr(dict, "Encode").getOrElse(return None)
         if (enc.length != subs.size * 2) return None
         Some(Stitching(dom, bounds, enc, fns, range))

@@ -1571,41 +1571,55 @@ object PdfGen {
       case 3 => t.getBytes(StandardCharsets.UTF_8)
       case 4 => objStm(t)
       case 5 => filterChain(t)
-      // slot 6 cycles by mod 64 so the image-leg container shapes run
-      // live in every audit sweep: classify-only DCT, the REAL CCITT
-      // encode→decode path (22), the r16 sub-8-bit//Indexed shapes
-      // (54), and the JBIG2 leg (38) — all route pdf_image, so
-      // q344's mod-8 oracle is untouched, but an assembly or routing
-      // regression shifts its residue class across buckets
-      case 6 => math.floorMod(docId, 64L) match {
-        case 22L | 30L => ccittPdf(docId)
-        case 54L => subbitPdf(docId)
-        // thematic slots split once more by mod 128 so the r17
-        // continuation legs run live in every audit sweep without
-        // evicting their parents: custom Huffman tables share the
-        // huffman slot, placement modes the symbol-text slot, region
-        // ops the page-structure slot, and the tint-transform leg
-        // (Separation/DeviceN through PdfFunction) the DCT default
-        case 38L =>
-          if (math.floorMod(docId, 128L) == 102L) jbig2ModesPdf(docId)
-          else jbig2TextPdf(docId)
-        case 14L =>
-          if (math.floorMod(docId, 128L) == 78L) jbig2CustomTablePdf(docId)
-          else jbig2HuffPdf(docId)            // r17: SDHUFF/SBHUFF leg
-        case 46L => math.floorMod(docId, 256L) match {
-          case 110L | 238L => regionOpsPdf(docId)
-          case 174L => jbig2RefineRegionPdf(docId) // r17: two-pass page leg
-          case _ => stripedJbig2Pdf(docId)    // r17: striped-page leg
+      // slot 6 cycles by mod 64 (mod 128/256 for the r17 thematic
+      // splits) so the image-leg container shapes run live in every
+      // audit sweep: classify-only DCT, the REAL CCITT path, the r16
+      // sub-8-bit//Indexed shapes, and the JBIG2 + tint-transform
+      // legs — all route pdf_image, so q344's mod-8 oracle is
+      // untouched, but an assembly or routing regression shifts its
+      // residue class across buckets. Each generator receives
+      // docId DIV M (its slot's modulus), not docId: selecting on a
+      // residue pins docId's low bits, which would FREEZE every
+      // generator-internal "cycles by id % 2/4/8" leg to one value
+      // (review finding) — the division hands each slot's members
+      // consecutive generator ids, so all internal legs cycle
+      case 6 =>
+        val m64 = math.floorMod(docId, 64L)
+        val m128 = math.floorMod(docId, 128L)
+        val m256 = math.floorMod(docId, 256L)
+        val d64 = math.floorDiv(docId, 64L)
+        val d128 = math.floorDiv(docId, 128L)
+        val d256 = math.floorDiv(docId, 256L)
+        m64 match {
+          case 22L => ccittPdf(d64 * 2)
+          case 30L => ccittPdf(d64 * 2 + 1)
+          case 54L => subbitPdf(d64)
+          case 38L =>
+            if (m128 == 102L) jbig2ModesPdf(d128)
+            else jbig2TextPdf(d128)
+          case 14L =>
+            if (m128 == 78L) jbig2CustomTablePdf(d128)
+            else jbig2HuffPdf(d128)           // r17: SDHUFF/SBHUFF leg
+          case 46L => m256 match {
+            case 110L => regionOpsPdf(d256 * 2)
+            case 238L => regionOpsPdf(d256 * 2 + 1)
+            case 174L => jbig2RefineRegionPdf(d256) // r17: two-pass leg
+            case _ => stripedJbig2Pdf(d256)   // r17: striped-page leg
+          }
+          case 62L => m256 match {
+            case 126L => jbig2InstRefinedPdf(d256)  // r17: SBREFINE leg
+            case 190L => jbig2AggPdf(d256)          // r17: multi-aggregate
+            case 62L => jbig2RefinedPdf(d256 * 2)   // r17: SDREFAGG leg
+            case _ => jbig2RefinedPdf(d256 * 2 + 1) // (residue 254)
+          }
+          case 6L => m256 match {
+            case 70L => sepPdf(d256 * 2)
+            case 198L => sepPdf(d256 * 2 + 1)
+            case 134L => tintCalcPdf(d256)
+            case _ => dctImageOnly(docId)
+          }
+          case _ => dctImageOnly(docId)
         }
-        case 62L => math.floorMod(docId, 256L) match {
-          case 126L => jbig2InstRefinedPdf(docId) // r17: SBREFINE leg
-          case 190L => jbig2AggPdf(docId)         // r17: multi-aggregate leg
-          case _ => jbig2RefinedPdf(docId)        // r17: SDREFAGG leg
-        }
-        case 6L if math.floorMod(docId, 128L) == 70L => sepPdf(docId)
-        case 6L if math.floorMod(docId, 256L) == 134L => tintCalcPdf(docId)
-        case _ => dctImageOnly(docId)
-      }
       case 7 => math.floorMod(docId, 32L) match {
         case 7L => encrypted(t)                     // RC4, readable by design
         case 23L => encryptedAes256(t, xrefTail = true) // V5/R6, xref-stream

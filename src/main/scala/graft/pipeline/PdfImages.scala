@@ -597,7 +597,10 @@ object PdfImages {
         if (b == null) {
           b = evalBytes(vs)
           if (b == null) return null
-          memo.put(key, b)
+          // a noisy many-ink image can carry millions of distinct
+          // tuples: past the cap, evaluate directly (CPU for memory —
+          // the map must never grow toward the pixel count)
+          if (memo.size < 65536) memo.put(key, b)
         }
         System.arraycopy(b, 0, out, i * bcomps, bcomps)
         i += 1
@@ -1108,7 +1111,10 @@ object PdfImages {
 
   private val decodeArrRe =
     """/(?:Decode(?![A-Za-z0-9])|D(?![A-Za-z0-9]))\s*\[([^\]]*)\]""".r
-  private val numTok = """-?\d+(?:\.\d+)?""".r
+  // PDF reals may omit the integer part (".5", "-.5" — §7.3.3):
+  // digits-only parsing would read "/Range [.5 1 ...]" as [5, 1, …]
+  // and push WRONG values into the Lab conversion
+  private val numTok = """-?(?:\d+(?:\.\d+)?|\.\d+)""".r
 
   /** The `/Decode` (inline: `/D`) sample map, reduced to the cases
     * with an exact byte transform: Some(false) = identity ([0 1] per

@@ -101,6 +101,19 @@ class PdfFunctionSpec extends AnyFunSuite {
     val badBounds = text(PdfGen.sepPdf(1L))
       .replace("/Bounds [0.5]", "/Bounds [1.5]")
     assert(PdfImages.extract(bytes(badBounds)).head.codec == "opaque")
+    // a /Bounds value ON a domain edge makes a zero-width subdomain
+    // whose encode interpolation is 0/0 — must decline, not NaN→0
+    val edgeBounds = text(PdfGen.sepPdf(1L))
+      .replace("/Bounds [0.5]", "/Bounds [1]")
+    assert(PdfImages.extract(bytes(edgeBounds)).head.codec == "opaque")
+    // PDF reals may omit the integer part: "/Bounds [.5]" must parse
+    // as 0.5 (identical pixels), not 5.0 (out-of-domain → decline)
+    val dotBounds = text(PdfGen.sepPdf(1L))
+      .replace("/Bounds [0.5]", "/Bounds [.5]")
+    val dotIm = PdfImages.extract(bytes(dotBounds)).head
+    val refIm = PdfImages.extract(PdfGen.sepPdf(1L)).head
+    assert(dotIm.codec == "raw" && dotIm.data.toSeq == refIm.data.toSeq,
+      "'.5' must read as 0.5")
     // a stitching function referring to ITSELF must not recurse
     val selfRef = text(PdfGen.sepPdf(1L))
       .replace("/Functions [31 0 R 32 0 R]", "/Functions [30 0 R 32 0 R]")
