@@ -10,9 +10,9 @@ import scala.collection.mutable.ArrayBuffer
   *  - the **MQ arithmetic coder** (T.88 Annex E: the 47-state Qe
   *    table shared with JPEG 2000, byte-stuffing around 0xFF,
   *    conditional exchange, flush with trailing-ones SETBITS);
-  *  - **generic region** coding (§6.2), template 0 with nominal AT
-  *    pixels, plain or TPGDON — the shape encoders emit for scanned
-  *    masks;
+  *  - **generic region** coding (§6.2), ALL FOUR GBTEMPLATEs with
+  *    nominal AT pixels (r17 — 1-3 were declines), plain or TPGDON —
+  *    the shapes encoders emit for scanned masks;
   *  - the **integer arithmetic decoding procedures** (Annex A:
   *    IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT PREV-tree coding, IAID
   *    symbol IDs) feeding **symbol dictionaries** (§6.5, arithmetic
@@ -286,11 +286,31 @@ object Jbig2 {
   private val T0dy = Array(-2, -2, -2, -2, -2,
     -1, -1, -1, -1, -1, -1, -1, 0, 0, 0, 0)
 
-  private def ctxAt(px: Array[Byte], w: Int, h: Int, x: Int, y: Int): Int = {
+  // GBTEMPLATE 1-3 (§6.2.5.3 — r17): the smaller contexts real
+  // encoders pick for speed, nominal A1 interleaved at its raster
+  // slot like template 0 above (A1 = (+3,−1) for template 1,
+  // (+2,−1) for 2 and 3; template 3 has NO y−2 row).
+  private val T1dx = Array(-1, 0, 1, 2,
+    -2, -1, 0, 1, 2, 3 /* A1 */, -3, -2, -1)
+  private val T1dy = Array(-2, -2, -2, -2,
+    -1, -1, -1, -1, -1, -1, 0, 0, 0)
+  private val T2dx = Array(-1, 0, 1,
+    -2, -1, 0, 1, 2 /* A1 */, -2, -1)
+  private val T2dy = Array(-2, -2, -2,
+    -1, -1, -1, -1, -1, 0, 0)
+  private val T3dx = Array(-3, -2, -1, 0, 1, 2 /* A1 */, -4, -3, -2, -1)
+  private val T3dy = Array(-1, -1, -1, -1, -1, -1, 0, 0, 0, 0)
+  private val Tdx = Array(T0dx, T1dx, T2dx, T3dx)
+  private val Tdy = Array(T0dy, T1dy, T2dy, T3dy)
+
+  private def ctxAt(px: Array[Byte], w: Int, h: Int, x: Int, y: Int,
+      template: Int = 0): Int = {
+    val dxs = Tdx(template)
+    val dys = Tdy(template)
     var cx = 0
     var k = 0
-    while (k < T0dx.length) {
-      val xx = x + T0dx(k); val yy = y + T0dy(k)
+    while (k < dxs.length) {
+      val xx = x + dxs(k); val yy = y + dys(k)
       val bit =
         if (xx < 0 || xx >= w || yy < 0) 0   // out-of-region pixels are 0
         else px(yy * w + xx) & 1
@@ -300,9 +320,9 @@ object Jbig2 {
     cx
   }
 
-  /** The TPGDON pseudo-pixel context for template 0 (T.88 §6.2.5.7):
+  /** The TPGDON pseudo-pixel contexts per template (T.88 §6.2.5.7):
     * one decision per row says "this row repeats the one above". */
-  private val TpgdCtx0 = 0x9b25
+  private val TpgdCtx = Array(0x9b25, 0x0795, 0x00e5, 0x0195)
 
   /** Generic-region pixel decode on an EXISTING decoder + context
     * table — symbol dictionaries decode every symbol bitmap through
@@ -310,19 +330,19 @@ object Jbig2 {
     * the procedure cannot own either. */
   private def decodeGenericWith(
       mq: MqDecoder, cxs: Contexts, w: Int, h: Int,
-      tpgdon: Boolean): Array[Byte] = {
+      tpgdon: Boolean, template: Int = 0): Array[Byte] = {
     val px = new Array[Byte](w * h)
     var ltp = false
     var y = 0
     while (y < h) {
-      if (tpgdon && mq.decode(cxs, TpgdCtx0) == 1) ltp = !ltp
+      if (tpgdon && mq.decode(cxs, TpgdCtx(template)) == 1) ltp = !ltp
       if (tpgdon && ltp) {
         if (y > 0) System.arraycopy(px, (y - 1) * w, px, y * w, w)
         // y == 0: the row above is all-0 background; the row stays 0
       } else {
         var x = 0
         while (x < w) {
-          px(y * w + x) = mq.decode(cxs, ctxAt(px, w, h, x, y)).toByte
+          px(y * w + x) = mq.decode(cxs, ctxAt(px, w, h, x, y, template)).toByte
           x += 1
         }
       }
@@ -338,13 +358,13 @@ object Jbig2 {
     * codes no pixels. */
   private def decodeGeneric(
       data: Array[Byte], start: Int, end: Int, w: Int, h: Int,
-      tpgdon: Boolean): Array[Byte] =
+      tpgdon: Boolean, template: Int = 0): Array[Byte] =
     decodeGenericWith(new MqDecoder(data, start, end), pooledContexts(),
-      w, h, tpgdon)
+      w, h, tpgdon, template)
 
   private def encodeGenericWith(
       mq: MqEncoder, cxs: Contexts, px: Array[Byte], w: Int, h: Int,
-      tpgdon: Boolean): Unit = {
+      tpgdon: Boolean, template: Int = 0): Unit = {
     var ltp = false
     var y = 0
     while (y < h) {
@@ -359,13 +379,13 @@ object Jbig2 {
         same
       }
       if (tpgdon) {
-        mq.encode(cxs, TpgdCtx0, if (typical != ltp) 1 else 0)
+        mq.encode(cxs, TpgdCtx(template), if (typical != ltp) 1 else 0)
         ltp = typical
       }
       if (!typical) {
         var x = 0
         while (x < w) {
-          mq.encode(cxs, ctxAt(px, w, h, x, y), px(y * w + x) & 1)
+          mq.encode(cxs, ctxAt(px, w, h, x, y, template), px(y * w + x) & 1)
           x += 1
         }
       }
@@ -374,9 +394,10 @@ object Jbig2 {
   }
 
   private def encodeGeneric(
-      px: Array[Byte], w: Int, h: Int, tpgdon: Boolean): Array[Byte] = {
+      px: Array[Byte], w: Int, h: Int, tpgdon: Boolean,
+      template: Int = 0): Array[Byte] = {
     val mq = new MqEncoder
-    encodeGenericWith(mq, pooledContexts(), px, w, h, tpgdon)
+    encodeGenericWith(mq, pooledContexts(), px, w, h, tpgdon, template)
     mq.flush()
   }
 
@@ -1958,10 +1979,13 @@ object Jbig2 {
     * typical-prediction (TPGDON — what real scanner encoders emit:
     * blank and repeated scanlines cost one decision each). */
   def encode(pixels: Array[Byte], w: Int, h: Int,
-      tpgdon: Boolean = false, mmr: Boolean = false): Array[Byte] = {
+      tpgdon: Boolean = false, mmr: Boolean = false,
+      template: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length == w * h,
       s"need $w x $h pixels, got ${pixels.length}")
     require(!(tpgdon && mmr), "TPGDON is an MQ-mode flag")
+    require(template >= 0 && template <= 3, "GBTEMPLATE in [0,3]")
+    require(!mmr || template == 0, "MMR carries no template")
     val bits = pixels.map(b => (if (b != 0) 1 else 0).toByte)
     val regionData = {
       val b = new ArrayBuffer[Byte]()
@@ -1972,10 +1996,18 @@ object Jbig2 {
         b ++= CcittG4.encode(
           bits.map(v => (if (v == 1) 0 else 255).toByte), w, h)
       } else {
-        b += (if (tpgdon) 8 else 0).toByte    // generic flags: MQ, template 0
-        // AT pixels, nominal (signed bytes)
-        b += 3; b += -1; b += -3; b += -1; b += 2; b += -2; b += -2; b += -2
-        b ++= encodeGeneric(bits, w, h, tpgdon)
+        // generic flags: MQ, GBTEMPLATE at bits 1-2, TPGDON at bit 3
+        b += ((template << 1) | (if (tpgdon) 8 else 0)).toByte
+        // AT pixels, nominal (signed bytes): 4 pairs for template 0,
+        // one pair for 1-3 (A1 = (3,−1) for 1; (2,−1) for 2 and 3)
+        template match {
+          case 0 =>
+            b += 3; b += -1; b += -3; b += -1
+            b += 2; b += -2; b += -2; b += -2
+          case 1 => b += 3; b += -1
+          case _ => b += 2; b += -1
+        }
+        b ++= encodeGeneric(bits, w, h, tpgdon, template)
       }
       b
     }
@@ -2943,15 +2975,22 @@ object Jbig2 {
                 .foreach(r => return Some(r))
           }
         } else {
-          if (template != 0) return None
-          if (dataLen < 26) return None
-          // AT pixels: 8 bytes for template 0; require nominal
-          val at = data.slice(j + 18, j + 26)
-          if (at.length < 8 ||
-              at(0) != 3 || at(1) != -1 || at(2) != -3 || at(3) != -1 ||
-              at(4) != 2 || at(5) != -2 || at(6) != -2 || at(7) != -2)
-            return None
-          val px = decodeGeneric(data, j + 26, segEnd, w, h, tpgdon)
+          // GBTEMPLATE 0-3 (r17: 1-3 were declines), nominal ATs
+          // only: 4 pairs for template 0, one pair for the rest
+          val atLen = if (template == 0) 8 else 2
+          if (dataLen < 18 + atLen + 0) return None
+          if (j + 18 + atLen > segEnd) return None
+          val at = data.slice(j + 18, j + 18 + atLen)
+          val nominal = template match {
+            case 0 => at.length == 8 &&
+              at(0) == 3 && at(1) == -1 && at(2) == -3 && at(3) == -1 &&
+              at(4) == 2 && at(5) == -2 && at(6) == -2 && at(7) == -2
+            case 1 => at.length == 2 && at(0) == 3 && at(1) == -1
+            case _ => at.length == 2 && at(0) == 2 && at(1) == -1
+          }
+          if (!nominal) return None
+          val px = decodeGeneric(data, j + 18 + atLen, segEnd, w, h,
+            tpgdon, template)
           finish(w, h, px, rdBe32(data, j + 8), rdBe32(data, j + 12), extOp)
             .foreach(r => return Some(r))
         }

@@ -498,6 +498,34 @@ object PdfGen {
       streamObj(100, "", paint)))
   }
 
+  /** Image-only PDF carrying a JBIG2 scan coded under GBTEMPLATE
+    * 1, 2, or 3 (§6.2.5.3 — r17, previously declines): the smaller
+    * generic contexts real encoders pick for speed. Template cycles
+    * `1 + docId % 3`, TPGDON by bit 2. Pixels BY FORMULA (salt 395)
+    * so the q369 oracle replays them — a wrong context pixel, AT
+    * slot, or TPGD pseudo-context in ANY of the three templates
+    * shifts the hash. */
+  def jbig2TemplatePdf(docId: Long): Array[Byte] = {
+    val W = 16; val H = 16
+    val px = Array.tabulate(W * H) { p =>
+      (graft.operators.Sampling.hashBitsScalar(docId * 256L + p, 395L) % 2L).toByte
+    }
+    val template = 1 + math.floorMod(docId, 3L).toInt
+    val tpgdon = math.floorMod(docId >> 2, 2L) == 1L
+    val payload = Jbig2.encode(px, W, H, tpgdon = tpgdon, template = template)
+    val paint = s"q ${25 * W} 0 0 ${25 * H} 100 300 cm /Im1 Do Q"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assemble(Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [10 0 R] /Count 1 >> endobj\n",
+      "10 0 obj << /Type /Page /Parent 2 0 R /Contents 100 0 R " +
+        "/Resources << /XObject << /Im1 20 0 R >> >> >> endobj\n",
+      streamObj(20, s"/Type /XObject /Subtype /Image /Width $W /Height $H " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+        "/Filter /JBIG2Decode ", payload),
+      streamObj(100, "", paint)))
+  }
+
   /** Pack per-pixel sample values into the PDF §8.9.5.2 row-aligned
     * bit layout (each row starts on a byte boundary). */
   private def packSamples(vals: Array[Int], w: Int, h: Int, bpc: Int): Array[Byte] = {
@@ -1616,6 +1644,10 @@ object PdfGen {
             case 70L => sepPdf(d256 * 2)
             case 198L => sepPdf(d256 * 2 + 1)
             case 134L => tintCalcPdf(d256)
+            // residue 6 splits once more so the GBTEMPLATE 1-3 leg
+            // runs live without evicting the classify-only DCT default
+            case 6L if math.floorMod(docId, 512L) == 262L =>
+              jbig2TemplatePdf(math.floorDiv(docId, 512L))
             case _ => dctImageOnly(docId)
           }
           case _ => dctImageOnly(docId)

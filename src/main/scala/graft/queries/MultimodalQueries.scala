@@ -559,7 +559,8 @@ object MultimodalQueries {
     q365,
     q366,
     q367,
-    q368)
+    q368,
+    q369)
 
   /** q353: sub-8-bit and `/Indexed` rasters, ORACLE-CHECKED — the
     * r15 top-next decode leg run end-to-end. Each document becomes
@@ -1700,6 +1701,60 @@ object MultimodalQueries {
            |                  AND ($hf) % 4 = 0
            |             THEN 1 ELSE 0 END) % 2 = 1
            |      THEN 0 ELSE 255 END AS num
+           |  FROM ids i CROSS JOIN g),
+           |cells AS MATERIALIZED (
+           |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,
+           |    CAST(CAST(SUM(num) AS DOUBLE) / 4 AS FLOAT) AS cv
+           |  FROM px GROUP BY 1, 2),
+           |h AS (
+           |  SELECT l.id,
+           |    CAST(SUM(CASE WHEN l.cv < r.cv
+           |      THEN (1::BIGINT << ((l.cp // 8) * 7 + (l.cp % 8)))
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM cells l JOIN cells r ON r.id = l.id AND r.cp = l.cp + 1
+           |  WHERE l.cp % 8 < 7 GROUP BY 1)
+           |SELECT id AS doc_id, 'DeviceGray' AS colorspace,
+           |  CAST(8 AS BIGINT) AS bpc, phash
+           |FROM h ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  /** q369: generic-region GBTEMPLATEs 1-3 (§6.2.5.3 — r17),
+    * ORACLE-CHECKED — the smaller coding contexts real encoders pick
+    * for speed, previously declines. Template cycles by doc id with
+    * TPGDON on bit 2; the oracle recomputes every pixel (salt 395),
+    * so a wrong context-pixel slot, nominal-AT position, or TPGD
+    * pseudo-context in any template shifts a hash and the row set
+    * stops matching. */
+  private def q369: QueryDef = {
+    QueryDef(
+      "q369_jbig2_templates_replay",
+      (s, d) => {
+        import s.implicits._
+        val pdfs = graft.Par.spread(
+          Tables.documents(s, d).select($"doc_id").as[Long]
+            .map(id => (id, graft.pipeline.PdfGen.jbig2TemplatePdf(id)))
+            .toDF("doc_id", "pdf"))
+        pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.pipeline.PdfImages.extract(bytes).flatMap { im =>
+              graft.pipeline.PdfImages.lumaGrid(im).map { g =>
+                (id, im.colorSpace, im.bitsPerComponent.toLong,
+                  ImageDedup.dHashOfGrid(g))
+              }
+            }
+          }
+        }.toDF("doc_id", "colorspace", "bpc", "phash")
+          .orderBy($"doc_id")
+      },
+      Some {
+        import graft.operators.Sampling.hashBitsSql
+        val h395 = hashBitsSql("(i.id * 256 + g.p)", 395L)
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents),
+           |g AS (SELECT unnest(range(0, 256)) AS p),
+           |px AS (
+           |  SELECT i.id, g.p,
+           |    CASE WHEN ($h395) % 2 = 1 THEN 0 ELSE 255 END AS num
            |  FROM ids i CROSS JOIN g),
            |cells AS MATERIALIZED (
            |  SELECT id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS cp,

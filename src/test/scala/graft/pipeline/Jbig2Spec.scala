@@ -13,7 +13,7 @@ class Jbig2Spec extends AnyFunSuite {
   private def bitmap(w: Int, h: Int)(f: (Int, Int) => Boolean): Array[Byte] =
     Array.tabulate(w * h)(p => if (f(p % w, p / w)) 1.toByte else 0.toByte)
 
-  private def roundTrip(px: Array[Byte], w: Int, h: Int, clue: String): Unit =
+  private def roundTrip(px: Array[Byte], w: Int, h: Int, clue: String): Unit = {
     for ((tp, mmr) <- Seq((false, false), (true, false), (false, true))) {
       val enc = Jbig2.encode(px, w, h, tpgdon = tp, mmr = mmr)
       val dec = Jbig2.decode(enc)
@@ -22,6 +22,15 @@ class Jbig2Spec extends AnyFunSuite {
       assert((dw, dh) === ((w, h)), s"$clue tpgdon=$tp mmr=$mmr")
       assert(out.toSeq === px.toSeq, s"$clue tpgdon=$tp mmr=$mmr")
     }
+    // GBTEMPLATE 1-3 (r17): the smaller contexts round-trip the same
+    // pixels, plain and TPGDON
+    for (template <- 1 to 3; tp <- Seq(false, true)) {
+      val enc = Jbig2.encode(px, w, h, tpgdon = tp, template = template)
+      val dec = Jbig2.decode(enc)
+      assert(dec.isDefined, s"$clue template=$template tpgdon=$tp")
+      assert(dec.get._3.toSeq === px.toSeq, s"$clue template=$template tpgdon=$tp")
+    }
+  }
 
   test("TPGDON: repeated scanlines cost a decision, not a row") {
     // horizontal banding: rows repeat in runs of 8
@@ -96,8 +105,11 @@ class Jbig2Spec extends AnyFunSuite {
     // differ, never silently match
     val mmr = enc.clone(); mmr(gflagsAt) = (mmr(gflagsAt) | 1).toByte
     assert(Jbig2.decode(mmr).forall(_._3.toSeq != px.toSeq))
+    // r17: GBTEMPLATE 1 is a SUPPORTED mode now — flipping the
+    // template bit on a template-0 stream misreads the AT layout and
+    // payload: must fail or differ, never silently match
     val tmpl = enc.clone(); tmpl(gflagsAt) = (tmpl(gflagsAt) | 2).toByte
-    assert(Jbig2.decode(tmpl).isEmpty)
+    assert(Jbig2.decode(tmpl).forall(_._3.toSeq != px.toSeq))
     val at = enc.clone(); at(gflagsAt + 1) = 5
     assert(Jbig2.decode(at).isEmpty)
     // random garbage never throws or hangs
