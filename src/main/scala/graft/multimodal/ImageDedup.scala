@@ -131,14 +131,21 @@ object ImageDedup {
     require(bucketCap > 1, s"bucketCap must exceed 1, got $bucketCap")
     val blocks = maxHamming + 1
     val base = HashBits / blocks
-    // block i covers [i*base, (i+1)*base) bits; the last block absorbs
-    // the remainder — any distribution works, equal-ish minimizes
-    // bucket sizes
-    def blockWidth(i: Int): Int =
-      if (i == blocks - 1) HashBits - i * base else base
+    val rem = HashBits % blocks
+    // block widths BALANCED (r18): the first `rem` blocks take the
+    // remainder bit each — ⌈56/19⌉ = 3-bit blocks instead of the old
+    // floor-width 2-bit blocks with one 20-bit leftover. Bucket count
+    // per block goes 2^w, so the old floor widths made every remainder
+    // bit a ×2 candidate blowup on the 18 narrow blocks (measured at
+    // q202's maxHamming=18: Σ bucket² ≈ 4.5·n² → 2.5·n²). Any split
+    // into `blocks` contiguous ranges keeps the pigeonhole guarantee,
+    // so candidates stay a superset of the true pairs and the exact
+    // Hamming verify downstream pins identical output.
+    def blockWidth(i: Int): Int = base + (if (i < rem) 1 else 0)
+    def blockOffset(i: Int): Int = i * base + math.min(i, rem)
     val blockVal = (i: Int) => {
       val mask = (1L << blockWidth(i)) - 1
-      (shiftright(col("phash"), i * base).bitwiseAND(lit(mask))).as("bval")
+      (shiftright(col("phash"), blockOffset(i)).bitwiseAND(lit(mask))).as("bval")
     }
     val uh = hashed.select(col("phash")).distinct().persist()
     val exploded = (0 until blocks).map { i =>
@@ -161,15 +168,53 @@ object ImageDedup {
       if (nHashes <= bucketCap) 0L
       else sizes.filter(col("__n") > bucketCap).count()
 
-    val candidates =
-      if (nBig == 0) {
-        if (nHashes > bucketCap) sizes.unpersist(blocking = false)
-        exploded.select(col("phash").as("ha"), col("bidx"), col("bval"))
-          .join(exploded.select(col("phash").as("hb"), col("bidx"), col("bval")),
-            Seq("bidx", "bval"))
-          .filter(col("ha") < col("hb"))
-          .select(col("ha"), col("hb"))
-      } else {
+    if (nBig == 0) {
+      if (nHashes > bucketCap) sizes.unpersist(blocking = false)
+      // Fast path (every non-degenerate corpus), r18 shape: the old
+      // join emitted one candidate row per SHARED block and
+      // `distinct()`-ed — at q202's parameters (19 narrow blocks,
+      // maxHamming 18/56) a random pair collides in ~2 blocks and
+      // ~90% of ALL pairs collide somewhere, so the distinct shuffled
+      // a multiple of the full pair count. Two fixes, both
+      // output-invariant:
+      //  - FIRST-COLLISION dedup (the Dedup.bandedCandidates /
+      //    first_band_collision machinery): each pair is emitted from
+      //    exactly its first shared block, in-task, so no duplicate
+      //    row ever exists and the distinct disappears;
+      //  - the Hamming verify is FUSED INTO THE JOIN CONDITION
+      //    (bit_count(ha^hb) ≤ t): the join's only output is the true
+      //    pair set — nothing candidate-sized is ever materialized or
+      //    shuffled. (Unlike the token-set joins, the verify input IS
+      //    the join key source, so fusing costs one popcount per
+      //    bucket pair and saves the entire candidate stream.)
+      // Block keys as ints: widths ≤ 31 bits always (blocks ≥ 2 ⇒
+      // width ≤ ⌈56/2⌉; the blocks = 1 case folds through xor — a fold
+      // collision only adds a candidate the fused verify drops).
+      graft.functions.FirstBandCollision.register(hashed.sparkSession)
+      import graft.functions.FirstBandCollision.first_band_collision
+      val keyOf = (i: Int) => {
+        val w = blockWidth(i)
+        val v = shiftright(col("phash"), blockOffset(i))
+        if (w <= 31) v.bitwiseAND(lit((1L << w) - 1)).cast("int")
+        else v.bitwiseXOR(shiftright(v, 31)).bitwiseAND(lit(0x7fffffffL)).cast("int")
+      }
+      val keyed = uh.select(col("phash"),
+        array((0 until blocks).map(keyOf): _*).as("keys"),
+        array_repeat(lit(false), lit(blocks)).as("megas"))
+      val rows = keyed.select(col("phash"), col("keys"), col("megas"),
+          posexplode(col("keys")).as(Seq("bidx", "bval")))
+        .repartition(col("bidx"), col("bval"))
+      val verified = rows.as("l").join(rows.as("r"),
+          col("l.bidx") === col("r.bidx") && col("l.bval") === col("r.bval") &&
+            col("l.phash") < col("r.phash") &&
+            expr("bit_count(l.phash ^ r.phash)") <= maxHamming &&
+            first_band_collision(col("l.keys"), col("r.keys"),
+              col("l.megas"), col("l.bidx")))
+        .select(col("l.phash").as("ha"), col("r.phash").as("hb"))
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      return expandPairs(hashed, idCol, verified)
+    }
+    val candidates = {
         log.warn(s"ImageDedup.nearDupPairs: $nBig (block, value) bucket(s) " +
           s"exceed cap=$bucketCap distinct hashes; sub-splitting one more " +
           "pigeonhole level (exact for in-threshold pairs)")
@@ -189,10 +234,10 @@ object ImageDedup {
         // covers only ~2 real bits and its sub-buckets go degenerate
         // far earlier than necessary (r16 ADVICE)
         val bigSub = (0 until blocks).flatMap { i =>
-          val lowMask = (1L << (i * base)) - 1
+          val lowMask = (1L << blockOffset(i)) - 1
           val comp = col("phash").bitwiseAND(lit(lowMask)).bitwiseOR(
-            shiftleft(shiftright(col("phash"), i * base + blockWidth(i)),
-              i * base))
+            shiftleft(shiftright(col("phash"), blockOffset(i) + blockWidth(i)),
+              blockOffset(i)))
           val bigI = tagged.filter(col("__n") > bucketCap && col("bidx") === i)
             .select(col("phash"), col("bidx"), col("bval"), comp.as("comp"))
           val compWidth = HashBits - blockWidth(i)
@@ -243,6 +288,16 @@ object ImageDedup {
     val hashPairs = candidates.distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
+    expandPairs(hashed, idCol, hashPairs)
+  }
+
+  /** Expand verified (ha, hb, hamming) DISTINCT-hash pairs to id pairs:
+    * cross-hash members via the two id joins, identical-hash members
+    * (Hamming 0) via the within self-join. Both expansions are
+    * output-bound — they emit exactly the true pair set.
+    */
+  private def expandPairs(
+      hashed: DataFrame, idCol: String, hashPairs: DataFrame): DataFrame = {
     val a = hashed.select(col(idCol).as("id_a"), col("phash").as("ha"))
     val b = hashed.select(col(idCol).as("id_b"), col("phash").as("hb"))
     val cross = hashPairs.join(a, "ha").join(b, "hb")

@@ -440,7 +440,11 @@ object Dedup {
       .join(toks.select($"id".as("id_a"), $"toks".as("toks_a"), $"nt".as("nt_a")), "id_a")
       .join(toks.select($"id".as("id_b"), $"toks".as("toks_b"), $"nt".as("nt_b")), "id_b")
       // size-ratio prune (see jaccardPairs proof) before the O(|toks|) merge
-      .filter(least($"nt_a", $"nt_b") > lit(threshold) * greatest($"nt_a", $"nt_b"))
+      // (an early-abort merge variant — bail once the remaining
+      // elements cannot reach the threshold — measured SLOWER here,
+      // r18: 23.4 s vs 17.5 s isolated; the fixture's ~23-token sets
+      // make the merge 46 cheap steps, and the per-iteration bound
+      // check cost more than the aborted tail saved)
       .withColumn("inter", sorted_intersect_count($"toks_a", $"toks_b").cast("double"))
       .withColumn("jaccard", $"inter" / ($"nt_a" + $"nt_b" - $"inter"))
       .filter($"jaccard" > threshold)
