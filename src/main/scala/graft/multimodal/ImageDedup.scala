@@ -143,14 +143,23 @@ object ImageDedup {
     // Hamming verify downstream pins identical output.
     def blockWidth(i: Int): Int = base + (if (i < rem) 1 else 0)
     def blockOffset(i: Int): Int = i * base + math.min(i, rem)
-    val blockVal = (i: Int) => {
-      val mask = (1L << blockWidth(i)) - 1
-      (shiftright(col("phash"), blockOffset(i)).bitwiseAND(lit(mask))).as("bval")
+    graft.functions.FirstBandCollision.register(hashed.sparkSession)
+    import graft.functions.FirstBandCollision.first_band_collision
+    // Block keys as ints: widths ≤ 31 bits always (blocks ≥ 2 ⇒
+    // width ≤ ⌈56/2⌉; the blocks = 1 case folds through xor — a fold
+    // collision only adds a candidate the fused verify drops, and can
+    // only make the bucket-size guard trip EARLIER, never later).
+    val keyOf = (i: Int) => {
+      val w = blockWidth(i)
+      val v = shiftright(col("phash"), blockOffset(i))
+      if (w <= 31) v.bitwiseAND(lit((1L << w) - 1)).cast("int")
+      else v.bitwiseXOR(shiftright(v, 31)).bitwiseAND(lit(0x7fffffffL)).cast("int")
     }
     val uh = hashed.select(col("phash")).distinct().persist()
-    val exploded = (0 until blocks).map { i =>
-      uh.select(col("phash"), lit(i).as("bidx"), blockVal(i))
-    }.reduce(_ unionByName _)
+    val keyed = uh.select(col("phash"),
+      array((0 until blocks).map(keyOf): _*).as("keys"))
+    val rows0 = keyed.select(col("phash"), col("keys"),
+      posexplode(col("keys")).as(Seq("bidx", "bval")))
 
     // guard trigger, cheapest-first: a bucket holds DISTINCT hashes,
     // so no bucket can exceed the distinct-hash TOTAL — corpora under
@@ -162,7 +171,7 @@ object ImageDedup {
     // no-trip path; the guarded path's storage is caller-released
     // with the rest (the scaladoc cache contract).
     val nHashes = uh.count()
-    lazy val sizes = exploded.groupBy(col("bidx"), col("bval"))
+    lazy val sizes = rows0.groupBy(col("bidx"), col("bval"))
       .agg(count(lit(1)).as("__n")).persist()
     val nBig =
       if (nHashes <= bucketCap) 0L
@@ -187,22 +196,8 @@ object ImageDedup {
       //    shuffled. (Unlike the token-set joins, the verify input IS
       //    the join key source, so fusing costs one popcount per
       //    bucket pair and saves the entire candidate stream.)
-      // Block keys as ints: widths ≤ 31 bits always (blocks ≥ 2 ⇒
-      // width ≤ ⌈56/2⌉; the blocks = 1 case folds through xor — a fold
-      // collision only adds a candidate the fused verify drops).
-      graft.functions.FirstBandCollision.register(hashed.sparkSession)
-      import graft.functions.FirstBandCollision.first_band_collision
-      val keyOf = (i: Int) => {
-        val w = blockWidth(i)
-        val v = shiftright(col("phash"), blockOffset(i))
-        if (w <= 31) v.bitwiseAND(lit((1L << w) - 1)).cast("int")
-        else v.bitwiseXOR(shiftright(v, 31)).bitwiseAND(lit(0x7fffffffL)).cast("int")
-      }
-      val keyed = uh.select(col("phash"),
-        array((0 until blocks).map(keyOf): _*).as("keys"),
-        array_repeat(lit(false), lit(blocks)).as("megas"))
-      val rows = keyed.select(col("phash"), col("keys"), col("megas"),
-          posexplode(col("keys")).as(Seq("bidx", "bval")))
+      val rows = rows0
+        .withColumn("megas", array_repeat(lit(false), lit(blocks)))
         .repartition(col("bidx"), col("bval"))
       val verified = rows.as("l").join(rows.as("r"),
           col("l.bidx") === col("r.bidx") && col("l.bval") === col("r.bval") &&
@@ -214,67 +209,122 @@ object ImageDedup {
         .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
       return expandPairs(hashed, idCol, verified)
     }
-    val candidates = {
-        log.warn(s"ImageDedup.nearDupPairs: $nBig (block, value) bucket(s) " +
-          s"exceed cap=$bucketCap distinct hashes; sub-splitting one more " +
-          "pigeonhole level (exact for in-threshold pairs)")
-        val tagged = exploded.join(sizes, Seq("bidx", "bval"))
-        val small = tagged.filter(col("__n") <= bucketCap).drop("__n")
-        val smallPairs = small.select(col("phash").as("ha"), col("bidx"), col("bval"))
-          .join(small.select(col("phash").as("hb"), col("bidx"), col("bval")),
-            Seq("bidx", "bval"))
-          .filter(col("ha") < col("hb"))
-          .select(col("ha"), col("hb"))
-        // level 2: members agree on block i ⇒ a within-t pair's
-        // differing bits all live in the complement; compress the
-        // complement (low bits kept, high bits shifted down past the
-        // block) and pigeonhole it into t+1 ranges sized from the
-        // COMPLEMENT width (HashBits − blockWidth(i)), not the
-        // full-width block ranges — otherwise the last sub-range
-        // covers only ~2 real bits and its sub-buckets go degenerate
-        // far earlier than necessary (r16 ADVICE)
-        val bigSub = (0 until blocks).flatMap { i =>
-          val lowMask = (1L << blockOffset(i)) - 1
-          val comp = col("phash").bitwiseAND(lit(lowMask)).bitwiseOR(
-            shiftleft(shiftright(col("phash"), blockOffset(i) + blockWidth(i)),
-              blockOffset(i)))
-          val bigI = tagged.filter(col("__n") > bucketCap && col("bidx") === i)
-            .select(col("phash"), col("bidx"), col("bval"), comp.as("comp"))
-          val compWidth = HashBits - blockWidth(i)
-          val base2 = compWidth / blocks
-          (0 until blocks).map { j =>
-            val sw = if (j == blocks - 1) compWidth - j * base2 else base2
-            val mask = (1L << sw) - 1
-            bigI.select(col("phash"), col("bidx"), col("bval"),
-              lit(j).as("sidx"),
-              shiftright(col("comp"), j * base2).bitwiseAND(lit(mask)).as("sval"))
-          }
-        }.reduce(_ unionByName _)
-        val subKeys = Seq("bidx", "bval", "sidx", "sval")
-        val subSizes = bigSub.groupBy(subKeys.map(col): _*)
-          .agg(count(lit(1)).as("__sn"))
-        // subTagged feeds three consumers (the nBig2 count, the
-        // sub-bucket pair join twice, the star path) — persist so the
-        // bit-surgery union above it runs once (review finding; this
-        // IS the pathological-scale branch the guard exists for)
-        val subTagged = bigSub.join(subSizes, subKeys).persist()
-        val nBig2 = subTagged.filter(col("__sn") > bucketCap)
-          .select(subKeys.map(col): _*).distinct().count()
-        if (nBig2 > 0 && strict) throw new IllegalStateException(
-          s"$nBig2 sub-bucket(s) exceed cap=$bucketCap after one exact " +
-            "sub-split; strict mode forbids star-linking (pairwise recall " +
-            "of those buckets' far cross-member edges would be lost)")
-        if (nBig2 > 0)
-          log.warn(s"ImageDedup.nearDupPairs: $nBig2 sub-bucket(s) still " +
-            s"over cap=$bucketCap star-link to their min hash " +
-            "(component-preserving, pairwise-lossy; verification stays exact)")
-        val subSmall = subTagged.filter(col("__sn") <= bucketCap)
-        val subPairs = subSmall
-          .select((col("phash").as("ha") +: subKeys.map(col)): _*)
-          .join(subSmall.select((col("phash").as("hb") +: subKeys.map(col)): _*),
-            subKeys)
-          .filter(col("ha") < col("hb"))
-          .select(col("ha"), col("hb"))
+
+    // Mega-bucket branch, r19: the same first-collision + fused-verify
+    // shape one pigeonhole level down. The r18 version emitted one
+    // candidate row per shared (sub-)bucket and `distinct()`-ed the
+    // full candidate stream — by construction this branch handles the
+    // WORST (near-blank-scan) corpora, exactly where that stream
+    // explodes. Now every leg fuses `bit_count ≤ t` into its join and
+    // emits each pair from a single canonical bucket:
+    //  - SMALL leg: first agreeing under-cap block (first_band_collision
+    //    over the per-hash mega flags — identical to the fast path);
+    //  - SUB leg (pairs whose every agreement is an over-cap block):
+    //    first agreeing block overall (zeros-FBC: no agreement at all
+    //    before it) + no under-cap agreement anywhere (megas-FBC over
+    //    the full width keeps it disjoint from the SMALL leg) + first
+    //    agreeing sub-bucket within that block. A within-t pair in an
+    //    over-cap block agrees on ≥1 sub-range of the complement
+    //    (pigeonhole), so when no sub-bucket is over cap (nBig2 == 0)
+    //    the two legs emit exactly the true pair set — NO distinct.
+    //  - Only the doubly-degenerate star regime (nBig2 > 0) keeps a
+    //    distinct, and it now runs over VERIFIED output-bound pairs,
+    //    not the candidate stream: the canonical-emission proof needs
+    //    every sub-bucket under cap, so the SUB leg drops its two
+    //    cross-block FBC guards (old all-agreements semantics) and the
+    //    three legs reconcile by distinct, preserving r18 output.
+    log.warn(s"ImageDedup.nearDupPairs: $nBig (block, value) bucket(s) " +
+      s"exceed cap=$bucketCap distinct hashes; sub-splitting one more " +
+      "pigeonhole level (exact for in-threshold pairs)")
+    val flagged = rows0.join(sizes, Seq("bidx", "bval"))
+    val megasDf = flagged.groupBy(col("phash")).agg(
+      transform(array_sort(collect_list(struct(col("bidx"), (col("__n") > bucketCap).as("m")))),
+        s => s.getField("m")).as("megas"))
+    // memberships + per-hash mega flags, shared by both legs
+    val tagged = flagged.join(megasDf, "phash").persist()
+
+    val small = tagged.filter(col("__n") <= bucketCap)
+      .repartition(col("bidx"), col("bval"))
+    val smallVerified = small.as("l").join(small.as("r"),
+        col("l.bidx") === col("r.bidx") && col("l.bval") === col("r.bval") &&
+          col("l.phash") < col("r.phash") &&
+          expr("bit_count(l.phash ^ r.phash)") <= maxHamming &&
+          first_band_collision(col("l.keys"), col("r.keys"),
+            col("l.megas"), col("l.bidx")))
+      .select(col("l.phash").as("ha"), col("r.phash").as("hb"))
+
+    // level 2: members agree on block i ⇒ a within-t pair's
+    // differing bits all live in the complement; compress the
+    // complement (low bits kept, high bits shifted down past the
+    // block) and pigeonhole it into t+1 ranges sized from the
+    // COMPLEMENT width (HashBits − blockWidth(i)), not the
+    // full-width block ranges — otherwise the last sub-range
+    // covers only ~2 real bits and its sub-buckets go degenerate
+    // far earlier than necessary (r16 ADVICE)
+    val bigSub = (0 until blocks).map { i =>
+      val lowMask = (1L << blockOffset(i)) - 1
+      val comp = col("phash").bitwiseAND(lit(lowMask)).bitwiseOR(
+        shiftleft(shiftright(col("phash"), blockOffset(i) + blockWidth(i)),
+          blockOffset(i)))
+      val compWidth = HashBits - blockWidth(i)
+      val base2 = compWidth / blocks
+      val subValOf = (j: Int) => {
+        val sw = if (j == blocks - 1) compWidth - j * base2 else base2
+        val v = shiftright(comp, j * base2)
+        if (sw <= 31) v.bitwiseAND(lit((1L << sw) - 1)).cast("int")
+        else v.bitwiseXOR(shiftright(v, 31)).bitwiseAND(lit(0x7fffffffL)).cast("int")
+      }
+      tagged.filter(col("__n") > bucketCap && col("bidx") === i)
+        .select(col("phash"), col("keys"), col("megas"), col("bidx"), col("bval"),
+          array((0 until blocks).map(subValOf): _*).as("skeys"))
+    }.reduce(_ unionByName _)
+      .select(col("phash"), col("keys"), col("megas"), col("bidx"), col("bval"),
+        col("skeys"), posexplode(col("skeys")).as(Seq("sidx", "sval")))
+    val subKeys = Seq("bidx", "bval", "sidx", "sval")
+    val subSizes = bigSub.groupBy(subKeys.map(col): _*)
+      .agg(count(lit(1)).as("__sn"))
+    // subTagged feeds three consumers (the nBig2 count, the
+    // sub-bucket pair join twice, the star path) — persist so the
+    // bit-surgery union above it runs once (review finding; this
+    // IS the pathological-scale branch the guard exists for)
+    val subTagged = bigSub.join(subSizes, subKeys).persist()
+    val nBig2 = subTagged.filter(col("__sn") > bucketCap)
+      .select(subKeys.map(col): _*).distinct().count()
+    if (nBig2 > 0 && strict) throw new IllegalStateException(
+      s"$nBig2 sub-bucket(s) exceed cap=$bucketCap after one exact " +
+        "sub-split; strict mode forbids star-linking (pairwise recall " +
+        "of those buckets' far cross-member edges would be lost)")
+    if (nBig2 > 0)
+      log.warn(s"ImageDedup.nearDupPairs: $nBig2 sub-bucket(s) still " +
+        s"over cap=$bucketCap star-link to their min hash " +
+        "(component-preserving, pairwise-lossy; verification stays exact)")
+
+    val smegasDf = subTagged.groupBy(col("phash"), col("bidx")).agg(
+      transform(array_sort(collect_list(struct(col("sidx"), (col("__sn") > bucketCap).as("m")))),
+        s => s.getField("m")).as("smegas"))
+    val subAll = subTagged.join(smegasDf, Seq("phash", "bidx"))
+    val subSmall = subAll.filter(col("__sn") <= bucketCap)
+      .repartition(subKeys.map(col): _*)
+    val zeros = array_repeat(lit(false), lit(blocks))
+    val subBase = col("l.bidx") === col("r.bidx") && col("l.bval") === col("r.bval") &&
+      col("l.sidx") === col("r.sidx") && col("l.sval") === col("r.sval") &&
+      col("l.phash") < col("r.phash") &&
+      expr("bit_count(l.phash ^ r.phash)") <= maxHamming &&
+      first_band_collision(col("l.skeys"), col("r.skeys"),
+        col("l.smegas"), col("l.sidx"))
+    val subCond =
+      if (nBig2 == 0)
+        subBase &&
+          first_band_collision(col("l.keys"), col("r.keys"), zeros, col("l.bidx")) &&
+          first_band_collision(col("l.keys"), col("r.keys"), col("l.megas"), lit(blocks))
+      else subBase
+    val subVerified = subSmall.as("l").join(subSmall.as("r"), subCond)
+      .select(col("l.phash").as("ha"), col("r.phash").as("hb"))
+
+    val exact = smallVerified.unionByName(subVerified)
+    val hashPairs0 =
+      if (nBig2 == 0) exact
+      else {
         val overcap = subTagged.filter(col("__sn") > bucketCap)
         val starPairs = overcap
           .join(overcap.groupBy(subKeys.map(col): _*)
@@ -282,12 +332,11 @@ object ImageDedup {
           .filter(col("phash") =!= col("__hmin"))
           .select(least(col("__hmin"), col("phash")).as("ha"),
             greatest(col("__hmin"), col("phash")).as("hb"))
-        smallPairs.unionByName(subPairs).unionByName(starPairs)
+          .filter(expr("bit_count(ha ^ hb)") <= maxHamming)
+        exact.unionByName(starPairs).distinct()
       }
-
-    val hashPairs = candidates.distinct()
+    val hashPairs = hashPairs0
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
     expandPairs(hashed, idCol, hashPairs)
   }
 

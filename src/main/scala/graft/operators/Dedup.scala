@@ -436,7 +436,7 @@ object Dedup {
     // joins below stay per-run against the fused `toks`
     val keyed = prekeyed.getOrElse(bandKeys(toks, hasher, bands))
 
-    bandedCandidates(keyed, bucketCap, strict)
+    val hydrated = bandedCandidates(keyed, bucketCap, strict)
       .join(toks.select($"id".as("id_a"), $"toks".as("toks_a"), $"nt".as("nt_a")), "id_a")
       .join(toks.select($"id".as("id_b"), $"toks".as("toks_b"), $"nt".as("nt_b")), "id_b")
       // size-ratio prune (see jaccardPairs proof) before the O(|toks|) merge
@@ -445,9 +445,34 @@ object Dedup {
       // r18: 23.4 s vs 17.5 s isolated; the fixture's ~23-token sets
       // make the merge 46 cheap steps, and the per-iteration bound
       // check cost more than the aborted tail saved)
-      .withColumn("inter", sorted_intersect_count($"toks_a", $"toks_b").cast("double"))
-      .withColumn("jaccard", $"inter" / ($"nt_a" + $"nt_b" - $"inter"))
-      .filter($"jaccard" > threshold)
+      .filter(least($"nt_a", $"nt_b") > lit(threshold) * greatest($"nt_a", $"nt_b"))
+
+    // Threshold test with ONE merge per candidate. The naive shape —
+    // withColumn("jaccard", inter/(na+nb-inter)).filter($"jaccard" > t)
+    // — gets alias-substituted and pushed into the join CONDITION,
+    // where the division's two `inter` occurrences are codegen'd as
+    // two independent sorted-merge loops, plus a third in the
+    // surviving projection (r19 plan audit: 3 merges/candidate).
+    // For t = k/10 (every declared threshold) the double comparison
+    // i/(s-i) > t is EQUIVALENT to the integer test (10+k)·i > k·s:
+    // when i/(s-i) ≠ k/10 the rational margin is ≥ 1/(10(s-i)),
+    // ~1e-7 even at a million tokens, dwarfing the ≤1-ulp division
+    // error; when equal, the correctly-rounded division yields
+    // exactly double(k/10) and the strict > is false on both sides.
+    val k10 = math.round(threshold * 10)
+    val filtered =
+      if (k10 / 10.0 == threshold)
+        hydrated.filter(
+          lit(10 + k10) * sorted_intersect_count($"toks_a", $"toks_b") >
+            lit(k10) * ($"nt_a" + $"nt_b"))
+      else
+        hydrated
+          .withColumn("inter", sorted_intersect_count($"toks_a", $"toks_b").cast("double"))
+          .filter($"inter" / ($"nt_a" + $"nt_b" - $"inter") > threshold)
+
+    filtered
+      .withColumn("inter2", sorted_intersect_count($"toks_a", $"toks_b").cast("double"))
+      .withColumn("jaccard", $"inter2" / ($"nt_a" + $"nt_b" - $"inter2"))
       .select($"id_a", $"id_b", r4($"jaccard").as("jaccard"))
   }
 
