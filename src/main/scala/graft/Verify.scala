@@ -28,6 +28,15 @@ object Verify {
     // them mid-suite
     Graft.install(spark)
     new java.io.File(outDir).mkdirs()
+    // reliable checkpoint dir: the iterative loops' Iterate.truncate
+    // then truncates lineage through recoverable checkpoint FILES
+    // instead of localCheckpoint blocks — the cluster-safe path
+    // (executor loss mid-loop cannot destroy locally-checkpointed
+    // partitions), and the dump runs exactly the plans a checkpoint-
+    // dir-configured production session would run. Also silences the
+    // "locally checkpointed RDD cannot be recomputed" unpersist
+    // warnings that used to fill this tool's output.
+    spark.sparkContext.setCheckpointDir(s"$outDir/_ckpt")
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -69,7 +69,7 @@ object AdaBoost {
     val spark = embs.sparkSession
     import spark.implicits._
     val quant = quantized(embs, idCol, vecCol, labelCol)
-      .localCheckpoint(true) // 3 rounds re-read rows, not the scan plan
+      .transform(graft.operators.Iterate.truncate) // 3 rounds re-read rows, not the scan plan
     val n = embs.count()
     // the scaladoc headroom proof (w·2^16·n ≤ n²·2^33 < 2^63) is only
     // valid to ~3·10^4 rows at this weight quantum — ENFORCED, not
@@ -79,7 +79,7 @@ object AdaBoost {
         "lower the weight scale for larger corpora")
     val th = DecisionTree.Thresholds.toDF("t")
     var weights = embs.select(col(idCol), lit(WScale).as("w"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Iterate.truncate)
     val rounds = (0 until iterations).map { _ =>
       val wTot = weights.agg(sum($"w")).head.getLong(0)
       val errs = quant.join(weights, idCol)
@@ -110,7 +110,7 @@ object AdaBoost {
             expr(s"w * ${WScale * n} DIV ${2L * err}"))
             .otherwise(expr(s"w * ${WScale * n} DIV ${2L * (wTot - err)}"))
             .as("w"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Iterate.truncate)
       Round(j, t, if (p == 0) 1 else -1, err, wTot, alphaQ)
     }
     Model(rounds)

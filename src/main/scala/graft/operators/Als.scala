@@ -47,22 +47,22 @@ object Als {
     import spark.implicits._
     val cells = cells0.select(col(cCol).cast("long").as("c"),
         col(pCol).cast("long").as("p"), col(rCol).cast("long").as("r"))
-      .localCheckpoint(true)          // consumed 3× per round
+      .transform(graft.operators.Iterate.truncate)          // consumed 3× per round
     var v = cells.select($"p").distinct()
       .withColumn("vm", lit(1000L))
-      .localCheckpoint(true)
+      .transform(graft.operators.Iterate.truncate)
     val out = Seq.newBuilder[(Long, Long, Long, Long)]
     for (t <- 1 to rounds) {
       val u = cells.join(v, "p")
         .groupBy($"c")
         .agg(sum($"r" * $"vm").as("num"), sum($"vm" * $"vm").as("den"))
         .select($"c", expr("(num * 1000000) DIV den").as("um"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Iterate.truncate)
       v = cells.join(u, "c")
         .groupBy($"p")
         .agg(sum($"r" * $"um").as("num"), sum($"um" * $"um").as("den"))
         .select($"p", expr("(num * 1000000) DIV den").as("vm"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Iterate.truncate)
       val su = u.agg(sum($"um")).head().getLong(0)
       val sv = v.agg(sum($"vm")).head().getLong(0)
       val sse = cells.join(u, "c").join(v, "p")

@@ -148,7 +148,14 @@ object Bpe {
           // they are retained until training ends (≤ numMerges/5
           // vocab-sized generations).
           mapped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          if ((rank + 1) % 5 == 0) { mapped.localCheckpoint(); checkpointed += mapped }
+          if ((rank + 1) % 5 == 0) {
+            // reliable checkpoint when a dir is configured (cluster-
+            // safe truncation — the Iterate.truncate convention),
+            // local blocks otherwise
+            if (mapped.sparkContext.getCheckpointDir.isDefined) mapped.checkpoint()
+            else mapped.localCheckpoint()
+            checkpointed += mapped
+          }
           mapped.count()
           cur = mapped
           if (!checkpointed.contains(prev)) prev.unpersist(blocking = false)

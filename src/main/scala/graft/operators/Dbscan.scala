@@ -57,7 +57,7 @@ object Dbscan {
     }
     val pairs = rawPairs
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true) // one materialization feeds degree, CC, border
+      .transform(graft.operators.Iterate.truncate) // one materialization feeds degree, CC, border
     val ids = embs.select(col(idCol).cast("long").as("id"))
     val adj = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))

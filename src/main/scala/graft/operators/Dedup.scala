@@ -629,10 +629,10 @@ object Dedup {
     import spark.implicits._
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint(true)        // materialize once, cut the pair-gen lineage
+      .transform(graft.operators.Iterate.truncate)        // materialize once, cut the pair-gen lineage
 
     var labels = ids.select(col(idCol).cast("long").as("id"))
-      .withColumn("rep", col("id")).localCheckpoint(true)
+      .withColumn("rep", col("id")).transform(graft.operators.Iterate.truncate)
     // convergence signal: reps only ever DECREASE, so Σrep strictly
     // drops on any change — one scalar aggregate per round instead
     // of a next-vs-previous join. (Σ of n ids fits a long well past
@@ -648,7 +648,7 @@ object Dedup {
         .groupBy($"u").agg(min($"vrep").as("nrep"))
       val next = labels.join(nbrMin.select($"u".as("id"), $"nrep"), Seq("id"), "left")
         .select($"id", least($"rep", coalesce($"nrep", $"rep")).as("rep"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Iterate.truncate)
       val nextSum = repSum(next)
       labels = next
       done = nextSum == prevSum
@@ -700,7 +700,7 @@ object Dedup {
         .filter($"u" =!= $"v").distinct()
     var edges = canon(pairs.select(
         col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v")))
-      .localCheckpoint(true)
+      .transform(graft.operators.Iterate.truncate)
     var iter = 0
     var done = edges.isEmpty
     while (!done && iter < maxIter) {
@@ -720,7 +720,7 @@ object Dedup {
         oriented.join(mins2, "u")
           .select($"v".as("u"), $"m".as("v"))
           .union(mins2.select($"u", $"m".as("v"))))
-        .localCheckpoint(true)
+        .transform(graft.operators.Iterate.truncate)
       done = next.except(edges).isEmpty && edges.except(next).isEmpty
       edges = next
       iter += 1
@@ -770,7 +770,7 @@ object Dedup {
     // similarity join (the documented production entry point) must
     // not pay the multi-second blocked self-join twice — the chosen
     // algorithm below re-reads the checkpointed rows, not the plan
-    val mat = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val mat = pairs.select(col("id_a"), col("id_b")).transform(graft.operators.Iterate.truncate)
     val st = mat
       .select(explode(array(col("id_a").cast("long"), col("id_b").cast("long"))).as("n"))
       .agg(count(lit(1)).as("ends"), approx_count_distinct(col("n")).as("nv"))

@@ -65,7 +65,7 @@ object GradientBoost {
 
     var state = rows.select(
       (dims.map(col) :+ col(target).cast("long").as("r")): _*)
-      .localCheckpoint(true)
+      .transform(graft.operators.Iterate.truncate)
     val out = Seq.newBuilder[(Round, Long)]
 
     for (it <- 1 to iterations) {
@@ -100,7 +100,7 @@ object GradientBoost {
       state = state.withColumn("r",
           when(col(dims(dim)) <= thr, $"r" - gammaL)
             .otherwise($"r" - gammaR))
-        .localCheckpoint(true)
+        .transform(graft.operators.Iterate.truncate)
       val sse = state
         .agg(sum(($"r" * $"r").cast("decimal(38,0)")).as("ss")).head()
         .getDecimal(0)

@@ -256,32 +256,37 @@ object GraphOps {
       dstCol: String,
       iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "iterations >= 1")
-    val und = orient(edges, srcCol, dstCol)
-    // hash-partition the symmetric edge list by src ONCE before the
-    // checkpoint: every round's labels-onto-adjacency join then
+    // hash-partition the symmetric edge list by src ONCE (persisted,
+    // sorted — see Iterate.symmetricBySrc for why persist, not
+    // localCheckpoint): every round's labels-onto-adjacency join then
     // shuffles only the NODE-sized label frame, never the edges (the
     // pageRank partition-once discipline, kept in DataFrame form —
     // without this the r9 bench showed each round re-shuffling the
     // edge frame, 16.8 s at sf0.1; with it 3 rounds ride one edge
     // layout)
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint(true)       // reused by every iteration's join
-    var lbl = dir.select(col("src").cast("long").as("id")).distinct()
+    val dir = Iterate.symmetricBySrc(edges, srcCol, dstCol)
+    var lbl = dir.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to iterations) {
+      // One shuffle for BOTH aggregations (r19): repartition the join
+      // output by id before the (id, lbl) count — HashPartitioning(id)
+      // satisfies the (id, lbl) clustering, so the count AND the argmax
+      // run exchange-free on it. The old groupBy(id, lbl) then
+      // groupBy(id) shape paid two near-edge-sized exchanges per round
+      // (in round 1 every neighbor label is distinct, so the map-side
+      // partial aggregation reduced nothing).
       val counts = dir
         .join(lbl.select(col("id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst").cast("long").as("id"), col("lbl"))
+        .select(col("dst").as("id"), col("lbl"))
+        .repartition(col("id"))
+        .groupBy(col("id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       // argmax by (count, then MIN label): lexicographic max over
       // (c, −label) — deterministic, layout-independent
-      lbl = counts
+      lbl = Iterate.truncate(counts
         .groupBy(col("id"))
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("id"), (-col("m.neg")).as("lbl"))
-        .localCheckpoint(true)
+        .select(col("id"), (-col("m.neg")).as("lbl")))
     }
     lbl.select(col("id"), col("lbl").as("community"))
   }
@@ -314,23 +319,18 @@ object GraphOps {
       rounds: Int = 12): DataFrame = {
     require(k >= 1, "k >= 1")
     require(rounds >= 1, "rounds >= 1")
-    val und = orient(edges, srcCol, dstCol)
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint(true)        // one edge shuffle, reused per round
+    val dir = Iterate.symmetricBySrc(edges, srcCol, dstCol)
     // degree of dst over surviving src, membership-filtered on both
     // endpoints; symmetric graph ⇒ this IS the induced-subgraph degree
     def coreDeg(surv: DataFrame): DataFrame = dir
       .join(surv.select(col("v").as("src")), "src")
-      .groupBy(col("dst").cast("long").as("v"))
+      .groupBy(col("dst").as("v"))
       .agg(count(lit(1)).as("deg"))
       .join(surv, "v")
-    var surv = dir.select(col("src").cast("long").as("v")).distinct()
-      .localCheckpoint(true)
+    var surv = Iterate.truncate(dir.select(col("src").as("v")).distinct())
     for (_ <- 1 to rounds)
-      surv = coreDeg(surv).filter(col("deg") >= k)
-        .select(col("v")).localCheckpoint(true)
+      surv = Iterate.truncate(coreDeg(surv).filter(col("deg") >= k)
+        .select(col("v")))
     // final deg >= k guard: if `rounds` stopped short of fixpoint (a
     // pendant chain longer than the unroll), the projection must still
     // never emit a row violating the core_deg >= k invariant — the
@@ -366,26 +366,20 @@ object GraphOps {
       rounds: Int = 12): DataFrame = {
     require(kMin >= 1 && kMax >= kMin, "1 <= kMin <= kMax")
     require(rounds >= 1, "rounds >= 1")
-    val und = orient(edges, srcCol, dstCol)
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint(true)        // one edge shuffle, reused by all peels
+    val dir = Iterate.symmetricBySrc(edges, srcCol, dstCol)
     def coreDeg(surv: DataFrame): DataFrame = dir
       .join(surv.select(col("v").as("src")), "src")
-      .groupBy(col("dst").cast("long").as("v"))
+      .groupBy(col("dst").as("v"))
       .agg(count(lit(1)).as("deg"))
       .join(surv, "v")
-    var seed = dir.select(col("src").cast("long").as("v")).distinct()
-      .localCheckpoint(true)
+    var seed = Iterate.truncate(dir.select(col("src").as("v")).distinct())
     (kMin to kMax).map { k =>
       var surv = seed
       for (_ <- 1 to rounds)
-        surv = coreDeg(surv).filter(col("deg") >= k)
-          .select(col("v")).localCheckpoint(true)
-      val core = coreDeg(surv).filter(col("deg") >= k)
-        .select(col("v").as("id"), col("deg").as("core_deg"))
-        .localCheckpoint(true)
+        surv = Iterate.truncate(coreDeg(surv).filter(col("deg") >= k)
+          .select(col("v")))
+      val core = Iterate.truncate(coreDeg(surv).filter(col("deg") >= k)
+        .select(col("v").as("id"), col("deg").as("core_deg")))
       seed = core.select(col("id").as("v"))
       core.select(lit(k.toLong).as("k"), col("id"), col("core_deg"))
     }.reduce(_ unionAll _)
@@ -416,14 +410,17 @@ object GraphOps {
       iterations: Int = 5): DataFrame = {
     require(iterations >= 1, "iterations >= 1")
     val Q = 1099511627776L          // 2^40
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
-    val dirS = e.repartition(col("src")).localCheckpoint(true)
-    val dirD = e.repartition(col("dst")).localCheckpoint(true)
+    val dirS = Iterate.directedBy(edges, "src", srcCol, dstCol)
+    val dirD = Iterate.directedBy(edges, "dst", srcCol, dstCol)
     // quantized order-free sum of a double column (the q99 contract)
     def qsum(c: org.apache.spark.sql.Column) =
       sum(floor(c * Q)).cast("double") / Q
-    def normalized(raw: DataFrame): DataFrame = {
+    // raw feeds BOTH the normalizer aggregate and the per-node
+    // quotient: truncate it first so each half-step's edge join+agg
+    // runs once, not once per consumer (r19: the duplicated subtree
+    // also raced the lazy edge-cache build, 6 copies in one job)
+    def normalized(raw0: DataFrame): DataFrame = {
+      val raw = Iterate.truncate(raw0)
       val s = raw.agg(qsum(col("raw")).as("s"))
       raw.crossJoin(s).select(col("id"), (col("raw") / col("s")).as("val"))
     }
@@ -431,7 +428,7 @@ object GraphOps {
     // ≤ ~avg-degree·2^40 regardless of |E|, so the order-free long
     // sums can't overflow on a 100× graph (Σ over edges of hub(u) is
     // ≈ avg out-degree, not |E|)
-    val hubIds = dirS.select(col("src").as("id")).distinct()
+    val hubIds = Iterate.truncate(dirS.select(col("src").as("id")).distinct())
     var hub = hubIds.crossJoin(hubIds.agg(count(lit(1)).as("h")))
       .select(col("id"), (lit(1.0) / col("h")).as("val"))
     var auth: DataFrame = null
@@ -440,12 +437,10 @@ object GraphOps {
         .join(hub.select(col("id").as("src"), col("val")), "src")
         .groupBy(col("dst").as("id"))
         .agg(qsum(col("val")).as("raw")))
-        .localCheckpoint(true)      // iteration-constant plan (q99 lesson)
       hub = normalized(dirD
         .join(auth.select(col("id").as("dst"), col("val")), "dst")
         .groupBy(col("src").as("id"))
         .agg(qsum(col("val")).as("raw")))
-        .localCheckpoint(true)
     }
     hub.select(lit("hub").as("side"), col("id"), col("val"))
       .unionAll(auth.select(lit("auth").as("side"), col("id"), col("val")))
@@ -481,19 +476,23 @@ object GraphOps {
     require(hops >= 2)
     val spark = edges.sparkSession
     import spark.implicits._
-    val dir = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // multiplicity-preserving symmetrization (σ counts walk edges, so
+    // no dedup here): stationary persisted layout, the Iterate shape
+    val dir = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionAll(edges.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .sortWithinPartitions("src")
+      .persist()
     // one checkpoint PER LAYER, never of the growing union — the
     // union-per-round form holds O(rounds) copies of the whole reach
     // set in block storage and OOM'd the full-suite bench at sf0.1
     val layers = scala.collection.mutable.ArrayBuffer(
-      dir.select(col("src").cast("long").as("v")).distinct()
+      Iterate.truncate(dir.select(col("src").as("v")).distinct()
         .filter(col("v") % seedMod === 0)
         .select(col("v").as("sd"), col("v"), lit(0L).as("dist"),
-          lit(1L).as("sigma"))
-        .localCheckpoint(true))
+          lit(1L).as("sigma"))))
     for (i <- 1 to hops) {
       val seen = layers.map(_.select(col("sd"), col("v")))
         .reduce(_ unionAll _)
@@ -504,12 +503,11 @@ object GraphOps {
         .agg(sum(col("sigma")).as("sigma"))
         .join(seen, Seq("sd", "v"), "left_anti")
         .select(col("sd"), col("v"), lit(i.toLong).as("dist"), col("sigma"))
-      layers += next.localCheckpoint(true)
+      layers += Iterate.truncate(next)
     }
     // backward dependency accumulation, deepest layer first
-    var delta = layers(hops)
-      .select(col("sd"), col("v"), lit(0L).as("dq"))
-      .localCheckpoint(true)
+    var delta = Iterate.truncate(layers(hops)
+      .select(col("sd"), col("v"), lit(0L).as("dq")))
     val deps = Seq.newBuilder[DataFrame]
     for (l <- (hops - 1) to 1 by -1) {
       val lower = layers(l)
@@ -528,7 +526,7 @@ object GraphOps {
             (col("sigma") * (lit(1000000L) + col("dqw"))).cast("double")
               / col("sw").cast("double")).cast("long"))
           .as("dq"))
-      delta = dl.localCheckpoint(true)
+      delta = Iterate.truncate(dl)
       deps += delta
     }
     deps.result().reduce(_ unionAll _)
@@ -563,23 +561,17 @@ object GraphOps {
       alpha: Double = 0.01): DataFrame = {
     require(iterations >= 1, "iterations >= 1")
     val Q = 1099511627776L           // 2^40
-    val und = orient(edges, srcCol, dstCol)
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    var x = dir.select(col("src").cast("long").as("v")).distinct()
-      .withColumn("x", lit(1.0).cast("double"))
-      .localCheckpoint(true)
+    val dir = Iterate.symmetricBySrc(edges, srcCol, dstCol)
+    var x = Iterate.truncate(dir.select(col("src").as("v")).distinct()
+      .withColumn("x", lit(1.0).cast("double")))
     for (_ <- 1 to iterations) {
       // symmetric graph ⇒ every node is some edge's dst: the groupBy
       // covers the full node set, no left join needed
-      x = dir.join(x.select(col("x"), col("v").as("src")), "src")
-        .groupBy(col("dst").cast("long").as("v"))
+      x = Iterate.truncate(dir.join(x.select(col("x"), col("v").as("src")), "src")
+        .groupBy(col("dst").as("v"))
         .agg(sum(floor(col("x") * Q).cast("long")).as("c"))
         .select(col("v"),
-          (lit(1.0) + lit(alpha) * (col("c").cast("double") / Q)).as("x"))
-        .localCheckpoint(true)
+          (lit(1.0) + lit(alpha) * (col("c").cast("double") / Q)).as("x")))
     }
     x.select(col("v").as("id"), col("x").as("katz"))
   }
@@ -612,26 +604,24 @@ object GraphOps {
       iterations: Int = 4): DataFrame = {
     require(iterations >= 1, "iterations >= 1")
     val Q = 1073741824L              // 2^30
-    val und = orient(edges, srcCol, dstCol)
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    val nodes = dir.select(col("src").cast("long").as("v")).distinct()
-    val nCnt = nodes.agg(count(lit(1)).as("nn"))
-      .localCheckpoint(true)         // 1 row, re-read every round
-    var x = nodes.withColumn("x", lit(1.0).cast("double"))
-      .localCheckpoint(true)
+    val dir = Iterate.symmetricBySrc(edges, srcCol, dstCol)
+    val nodes = dir.select(col("src").as("v")).distinct()
+    val nCnt = Iterate.truncate(nodes.agg(count(lit(1)).as("nn")))
+      // 1 row, re-read every round
+    var x = Iterate.truncate(nodes.withColumn("x", lit(1.0).cast("double")))
     for (_ <- 1 to iterations) {
-      val c = dir.join(x.select(col("x"), col("v").as("src")), "src")
-        .groupBy(col("dst").cast("long").as("v"))
-        .agg(sum(floor(col("x") * Q).cast("long")).as("c"))
+      // the contribution aggregate feeds both the normalizer and the
+      // per-node quotient: truncate it once so the join+aggregate runs
+      // once per round, not once per consumer
+      val c = Iterate.truncate(
+        dir.join(x.select(col("x"), col("v").as("src")), "src")
+          .groupBy(col("dst").as("v"))
+          .agg(sum(floor(col("x") * Q).cast("long")).as("c")))
       val sTot = c.agg(sum(col("c").cast("decimal(38,0)")).as("s"))
       x = c.crossJoin(sTot).crossJoin(nCnt)
         .select(col("v"),
           (col("c").cast("double") / col("s").cast("double")
             * col("nn").cast("double")).as("x"))
-        .localCheckpoint(true)
     }
     x.select(col("v").as("id"), col("x").as("eig"))
   }
@@ -655,10 +645,17 @@ object GraphOps {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
-    val e0 = orient(edges, srcCol, dstCol).localCheckpoint(true)
+    // persist + eager count, not localCheckpoint: same multi-consumer
+    // reuse, but the cached plan keeps its partitioning metadata,
+    // storage is released by the catalog-clearCache contract, and the
+    // frame stays recomputable on a cluster (Iterate scaladoc); eager
+    // because the wedge join references `dir` twice in one job
+    // (Iterate.materialized rationale)
+    val e0 = orient(edges, srcCol, dstCol).persist()
     val dir = e0.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)         // degree pass + two wedge sides
+      .persist()                     // degree pass + two wedge sides
+    dir.count()                      // materializes e0's cache too
     val deg = dir.groupBy(col("src").cast("long").as("v"))
       .agg(count(lit(1)).as("deg"))
     val tri = dir.as("n1")
@@ -698,38 +695,32 @@ object GraphOps {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations >= 1")
     val Q = 1099511627776L
-    val und = orient(edges, srcCol, dstCol)
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    val deg = dir.groupBy(col("src").cast("long").as("v"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val seeded = deg.join(seeds.select(col("v").cast("long").as("v")), "v")
-      .localCheckpoint(true)
+    val dir = Iterate.symmetricBySrc(edges, srcCol, dstCol)
+    // groupBy(src) rides dir's cached src-partitioning: no exchange
+    val deg = Iterate.truncate(dir.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg")))
+    val seeded = Iterate.truncate(
+      deg.join(seeds.select(col("v").cast("long").as("v")), "v"))
     val ns = seeded.count()          // driver scalar: seed count, bounded
     require(ns > 0, "no seeds present in the graph")
     val base = (1.0 - damping) / ns
-    var pr = seeded.select(col("v"), col("deg"),
-        (lit(1.0) / ns).as("pr"))
-      .localCheckpoint(true)
+    var pr = Iterate.truncate(seeded.select(col("v"), col("deg"),
+      (lit(1.0) / ns).as("pr")))
     for (_ <- 1 to iterations) {
       val m = dir
         .join(pr.select(col("v").as("src"),
           floor(col("pr") / col("deg") * Q).cast("long").as("cq")), "src")
-        .groupBy(col("dst").cast("long").as("v"))
+        .groupBy(col("dst").as("v"))
         .agg(sum(col("cq")).as("cq"))
         .select(col("v"), (col("cq").cast("double") / Q).as("m"))
       // all nodes carrying mass this round: seeds (base term) ∪ m
-      pr = deg
+      pr = Iterate.truncate(deg
         .join(m, Seq("v"), "left")
         .join(seeded.select(col("v"), lit(1).as("isSeed")), Seq("v"), "left")
         .select(col("v"), col("deg"),
           (when(col("isSeed").isNotNull, lit(base)).otherwise(lit(0.0)) +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
-        .filter(col("pr") > 0.0)
-        .localCheckpoint(true)
+        .filter(col("pr") > 0.0))
     }
     pr.select(col("v").as("id"), col("pr").as("ppr"))
   }
@@ -750,32 +741,31 @@ object GraphOps {
       seeds: DataFrame,              // one column `v`
       rounds: Int = 6): DataFrame = {
     require(rounds >= 1, "rounds >= 1")
+    // weighted (multi-)edge list: stationary persisted src layout, no
+    // dedup (parallel edges legitimately offer separate costs)
     val dir = weighted.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("cost").cast("long").as("cost"))
       .repartition(col("src"))
-      .localCheckpoint(true)
-    var dist = seeds.select(col("v").cast("long").as("v"))
+      .sortWithinPartitions("src")
+      .persist()
+    var dist = Iterate.truncate(seeds.select(col("v").cast("long").as("v"))
       .distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .withColumn("dist", lit(0L)))
     var frontier = dist
     for (_ <- 1 to rounds) {
       val cand = dir
         .join(frontier.select(col("v").as("src"), col("dist")), "src")
         .groupBy(col("dst").as("v"))
         .agg(min(col("dist") + col("cost")).as("cand"))
-      val joined = dist.join(cand, Seq("v"), "full_outer")
-        .select(col("v"), col("dist"), col("cand"))
-        .localCheckpoint(true)
+      val joined = Iterate.truncate(dist.join(cand, Seq("v"), "full_outer")
+        .select(col("v"), col("dist"), col("cand")))
       frontier = joined
         .filter(col("dist").isNull || col("cand") < col("dist"))
         .select(col("v"), col("cand").as("dist"))
-        .localCheckpoint(true)
       dist = joined
         .select(col("v"),
           least(coalesce(col("dist"), col("cand")),
             coalesce(col("cand"), col("dist"))).as("dist"))
-        .localCheckpoint(true)
     }
     dist.select(col("v").as("id"), col("dist").as("dist_q"))
   }

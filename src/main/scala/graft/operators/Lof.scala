@@ -64,7 +64,7 @@ object Lof {
       .withColumn("rk", row_number.over(
         Window.partitionBy(col("ia")).orderBy(col("dist"), col("ib"))))
       .filter(col("rk") <= k)
-      .localCheckpoint(true)        // consumed three times below
+      .transform(graft.operators.Iterate.truncate)        // consumed three times below
     val kd = knn.groupBy(col("ia"))
       .agg(max(col("dist")).as("kdist"), count(lit(1)).as("cnt"))
     val reach = knn

@@ -69,7 +69,7 @@ object NaiveBayes {
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cdw"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Iterate.truncate)
     val labels = docs.select(col(idCol), col(labelCol).as("c"))
     val wc = dt.join(labels, idCol)
       .groupBy(col("c"), col("w")).agg(sum(col("cdw")).as("cnt"))

@@ -46,7 +46,7 @@ object RankTests {
       // support-sized frame consumed twice downstream (totals + the
       // main read) — materialize once instead of re-running the
       // groupBy + two prefix-sum passes
-      .localCheckpoint(true)
+      .transform(graft.operators.Iterate.truncate)
   }
 
   /** One-row KS report: (v_at, n1, n2, d_num, d_den, ks_micro) with

@@ -52,7 +52,7 @@ object Survival {
     val spans = events
       .groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("fd"), max(to_date(col(tsCol))).as("ld"))
-      .localCheckpoint(true) // horizon + lifetimes read it; scan events once
+      .transform(graft.operators.Iterate.truncate) // horizon + lifetimes read it; scan events once
     val endd = spans.agg(max(col("ld"))).head.getDate(0)
     val lif = spans
       .select(
@@ -167,7 +167,7 @@ object Survival {
       .groupBy(col(userCol))
       .agg(min(to_date(col(tsCol))).as("fd"), max(to_date(col(tsCol))).as("ld"))
       .withColumn("grp", grpOf(col(userCol)).cast("long"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Iterate.truncate)
     val endd = spans.agg(max(col("ld"))).head.getDate(0)
     val lif = spans.select(col("grp"),
       datediff(col("ld"), col("fd")).cast("long").as("t"),
@@ -336,7 +336,7 @@ object Survival {
     val km = kaplanMeier(events, userCol, tsCol)
       .select(col("t_day").cast("long").as("t0"), col("surv_milli").as("sv"))
     val ranked = GlobalOrder.zipRank(km.sort(col("t0")), "rk")
-      .localCheckpoint(true) // both sides of the shift join read it
+      .transform(graft.operators.Iterate.truncate) // both sides of the shift join read it
     val nxt = ranked.select(col("rk").as("rk2"), col("t0").as("t1"))
     val segs = ranked
       .join(nxt, col("rk2") === col("rk") + 1L, "left")

@@ -465,7 +465,7 @@ object AnalyticsQueries {
         val docs = graft.Par.spread(Tables.documents(s, d))
         val toks = docs.select($"doc_id", explode(
             graft.functions.TextFunctions.spaceTokens($"text")).as("w"))
-          .localCheckpoint(true) // feeds both the tc and first-occ legs
+          .transform(graft.operators.Iterate.truncate) // feeds both the tc and first-occ legs
         val tcd = toks.groupBy($"doc_id").agg(count(lit(1)).as("tc"))
         val firstW = toks.groupBy($"w").agg(min($"doc_id").as("fd"))
         val n = docs.count()
@@ -1581,7 +1581,7 @@ object AnalyticsQueries {
         val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
           .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
           .filter($"w" >= 2).select($"pa", $"pb")
-          .localCheckpoint(true)   // feeds dir twice + the anti-join
+          .transform(graft.operators.Iterate.truncate)   // feeds dir twice + the anti-join
         val dir = e0.select($"pa".as("src"), $"pb".as("dst"))
           .unionAll(e0.select($"pb".as("src"), $"pa".as("dst")))
         val deg = dir.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -1654,17 +1654,17 @@ object AnalyticsQueries {
         val dir = e0.select($"pa".as("src"), $"pb".as("dst"))
           .unionAll(e0.select($"pb".as("src"), $"pa".as("dst")))
           .repartition($"src")
-          .localCheckpoint(true)   // one edge layout, reused per round
+          .transform(graft.operators.Iterate.truncate)   // one edge layout, reused per round
         val nodes = dir.select($"src".cast("long").as("v")).distinct()
         var reached = nodes.filter($"v" % 97 === 0)
-          .select($"v", lit(0L).as("dist")).localCheckpoint(true)
+          .select($"v", lit(0L).as("dist")).transform(graft.operators.Iterate.truncate)
         for (i <- 1 to 4) {
           val next = dir
             .join(reached.filter($"dist" === i - 1).select($"v".as("src")), "src")
             .select($"dst".cast("long").as("v")).distinct()
             .join(reached.select($"v"), Seq("v"), "left_anti")
             .select($"v", lit(i.toLong).as("dist"))
-          reached = reached.unionAll(next).localCheckpoint(true)
+          reached = reached.unionAll(next).transform(graft.operators.Iterate.truncate)
         }
         val unreached = nodes.join(reached.select($"v"), Seq("v"), "left_anti")
           .select($"v", lit(-1L).as("dist"))
@@ -1792,10 +1792,10 @@ object AnalyticsQueries {
         val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
           .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
           .filter($"w" >= 2).select($"pa", $"pb")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val deg = e0.select($"pa".as("v")).unionAll(e0.select($"pb".as("v")))
           .groupBy($"v").agg(count(lit(1)).as("deg"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val em = e0
           .join(deg.select($"v".as("pa"), $"deg".as("da")), "pa")
           .join(deg.select($"v".as("pb"), $"deg".as("db")), "pb")
@@ -1858,7 +1858,7 @@ object AnalyticsQueries {
         val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
           .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
           .filter($"w" >= 2).select($"pa", $"pb")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val deg = e0.select($"pa".as("v")).unionAll(e0.select($"pb".as("v")))
           .groupBy($"v").agg(count(lit(1)).as("deg"))
         val dd = e0
@@ -1927,13 +1927,13 @@ object AnalyticsQueries {
         val e0 = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
           .groupBy($"pa", $"pb").agg(count(lit(1)).as("w"))
           .filter($"w" >= 2).select($"pa", $"pb")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val deg = e0.select($"pa".as("v")).unionAll(e0.select($"pb".as("v")))
           .groupBy($"v").agg(count(lit(1)).as("deg"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         Seq(0, 5, 10, 20).map { h =>
           val hubs = deg.orderBy($"deg".desc, $"v").limit(h)
-            .select($"v").localCheckpoint(true)
+            .select($"v").transform(graft.operators.Iterate.truncate)
           val surv = e0
             .join(hubs.select($"v".as("pa")), Seq("pa"), "left_anti")
             .join(hubs.select($"v".as("pb")), Seq("pb"), "left_anti")
@@ -2004,14 +2004,14 @@ object AnalyticsQueries {
         val dir = e0.select($"pa".as("src"), $"pb".as("dst"))
           .unionAll(e0.select($"pb".as("src"), $"pa".as("dst")))
           .repartition($"src")
-          .localCheckpoint(true)   // one edge layout, reused per round
+          .transform(graft.operators.Iterate.truncate)   // one edge layout, reused per round
         // layer-wise checkpoints (not the growing union) — the q277
         // block-storage discipline
         val layers = scala.collection.mutable.ArrayBuffer(
           dir.select($"src".cast("long").as("v")).distinct()
             .filter($"v" % 97 === 0)
             .select($"v".as("sd"), $"v", lit(0L).as("dist"))
-            .localCheckpoint(true))
+            .transform(graft.operators.Iterate.truncate))
         for (i <- 1 to 4) {
           val seen = layers.map(_.select($"sd", $"v")).reduce(_ unionAll _)
           val next = dir
@@ -2019,7 +2019,7 @@ object AnalyticsQueries {
             .select($"sd", $"dst".cast("long").as("v")).distinct()
             .join(seen, Seq("sd", "v"), "left_anti")
             .select($"sd", $"v", lit(i.toLong).as("dist"))
-          layers += next.localCheckpoint(true)
+          layers += next.transform(graft.operators.Iterate.truncate)
         }
         layers.drop(1).reduce(_ unionAll _)
           .groupBy($"sd")
@@ -2149,7 +2149,7 @@ object AnalyticsQueries {
         val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
         val e = GraphOps.coOccurrencePairs(li, "l_orderkey", "l_partkey")
         val lab = lpaLabels(s, d)
-        val eDist = e.select($"pa", $"pb").distinct().localCheckpoint(true)
+        val eDist = e.select($"pa", $"pb").distinct().transform(graft.operators.Iterate.truncate)
         val mm = eDist.agg(count(lit(1)).as("m"))
         val eLab = eDist
           .join(lab.select($"id".as("pa"), $"community".as("ca")), "pa")
@@ -2169,7 +2169,7 @@ object AnalyticsQueries {
               - ($"d_tot".cast("double") / (lit(2.0) * $"m".cast("double")))
                 * ($"d_tot".cast("double") / (lit(2.0) * $"m".cast("double"))))
               * 1000000000.0 + lit(0.5)).cast("long"))
-          .localCheckpoint(true)   // top-10 + Q total read it
+          .transform(graft.operators.Iterate.truncate)   // top-10 + Q total read it
         val qn = terms.agg(sum($"term_nano").as("q_nano"))
         terms.select($"community", $"n_nodes", $"e_in", $"d_tot", $"term_nano")
           .crossJoin(qn)

@@ -701,7 +701,7 @@ object BusinessQueries {
           .groupBy($"user_id")
           .agg(sum(when($"pre", $"vm").otherwise(0L)).as("x"),
             sum(when(!$"pre", $"vm").otherwise(0L)).as("y"))
-          .localCheckpoint(true)   // feeds moments + the adjusted scan
+          .transform(graft.operators.Iterate.truncate)   // feeds moments + the adjusted scan
         val mom = per.agg(count(lit(1)).as("n"),
           sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
@@ -826,7 +826,7 @@ object BusinessQueries {
             datediff(to_date($"o_orderdate"), lit("1995-01-01").cast("date"))
               .cast("long").as("day"))
           .distinct()
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val ncust = po.select($"cust").distinct().count()
         val supp = po.groupBy($"part")
           .agg(countDistinct($"cust").as("n_supp"))
@@ -897,7 +897,7 @@ object BusinessQueries {
             sum($"tp").as("mon"))
           .select($"o_custkey", $"rec_days", $"n_orders",
             ($"mon" * 100).cast("long").as("mon_cents"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val withR = graft.operators.GlobalOrder.ntileRank(
           base, Seq($"rec_days".desc, $"o_custkey"), 5, "r")
         val withF = graft.operators.GlobalOrder.ntileRank(
@@ -960,7 +960,7 @@ object BusinessQueries {
           .filter($"event_type" =!= "purchase"
             && ($"prn".isNull || $"rn" < $"prn"))
           .withColumn("conv", $"prn".isNotNull)
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val w2 = Window.partitionBy($"user_id").orderBy($"rn")
         val inner = j.select(
             coalesce(lag($"event_type", 1).over(w2), lit("START")).as("src"),
@@ -1168,7 +1168,7 @@ object BusinessQueries {
         val ord = Tables.orders(s, d).select($"o_custkey",
           trunc(to_date($"o_orderdate"), "month").as("m"),
           floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
-          .localCheckpoint(true) // cohort-assign + activity legs read it
+          .transform(graft.operators.Iterate.truncate) // cohort-assign + activity legs read it
         val fm = ord.groupBy($"o_custkey").agg(min($"m").as("cohort"))
         val sizes = fm.groupBy($"cohort")
           .agg(count(lit(1)).as("cohort_size"))
@@ -1234,7 +1234,7 @@ object BusinessQueries {
         val per = Tables.events(s, d).groupBy($"user_id").agg(
           min(when($"event_type" === "signup", $"ts")).as("s"),
           min(when($"event_type" === "purchase", $"ts")).as("p"))
-          .localCheckpoint(true) // signup-count + converter legs read it
+          .transform(graft.operators.Iterate.truncate) // signup-count + converter legs read it
         val conv = per
           .filter($"s".isNotNull && $"p".isNotNull && $"p" >= $"s")
           .select(datediff(to_date($"p"), to_date($"s"))
@@ -1292,17 +1292,17 @@ object BusinessQueries {
           to_date($"o_orderdate").as("dt"))
         val rn = ords.withColumn("rn", row_number().over(
             Window.partitionBy($"cust").orderBy($"dt".desc, $"ok".desc)))
-          .localCheckpoint(true) // holdout + train legs read it
+          .transform(graft.operators.Iterate.truncate) // holdout + train legs read it
         val nOrd = rn.groupBy($"cust").agg(max($"rn").as("n_orders"))
         val evalUsers = nOrd.filter($"n_orders" >= 2).select($"cust")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val li = Tables.lineitem(s, d)
           .select($"l_orderkey".as("ok"), $"l_partkey".as("part")).distinct()
         val hold = rn.filter($"rn" === 1).join(li, "ok")
           .join(evalUsers, "cust")
           .select($"cust", $"part").distinct()
         val train = rn.filter($"rn" > 1).join(li, "ok")
-          .localCheckpoint(true) // co-occurrence + baskets read it
+          .transform(graft.operators.Iterate.truncate) // co-occurrence + baskets read it
         // support floor ≥ 2 (the q99/q209 thinning convention): the
         // weight-1 co-occurrence tail is ~90% of pairs and pure noise
         // for ranking — dropping it keeps the candidate frame
@@ -1314,7 +1314,7 @@ object BusinessQueries {
           .filter(col("w") >= 2)
         val basket = train.join(evalUsers, "cust")
           .select($"cust", $"part").distinct()
-          .localCheckpoint(true) // score + new-item filter read it
+          .transform(graft.operators.Iterate.truncate) // score + new-item filter read it
         val scored = basket.join(co, basket("part") === co("pa"))
           .groupBy($"cust", $"pb").agg(sum($"w").as("score"))
         val fresh = scored.join(

@@ -883,7 +883,7 @@ object ClassifierQueries {
         val model = LogReg.train(embs, "embedding", "y", Iters, EtaDen, PosWeight)
         val scored = LogReg.scoreAll(embs, "vec_id", "embedding", "y", model)
           .withColumn("bin", least(floor($"score" / 128.0).cast("long"), lit(7L)))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val bins = scored.groupBy($"bin")
           .agg(count(lit(1)).as("nk"), sum($"score").as("ssk"),
             sum($"y").as("syk"))
@@ -973,7 +973,7 @@ object ClassifierQueries {
           Seq($"score".desc, $"vec_id"), 10, "decile")
         val dec = ranked.groupBy($"decile")
           .agg(count(lit(1)).as("n"), sum($"y").as("pos"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val tot = dec.agg(sum($"n").as("sn"), sum($"pos").as("spos"))
         val cum = dec.as("a").join(dec.as("b"), $"b.decile" <= $"a.decile")
           .groupBy($"a.decile".as("decile"))
@@ -1041,7 +1041,7 @@ object ClassifierQueries {
           .groupBy($"user_id")
           .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"),
             sum(when($"event_type" === "view", 1L).otherwise(0L)).as("z"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val zb = users.agg(count(lit(1)).as("n"), sum($"y").as("sy"),
             sum($"z").as("sz"))
           .select($"n", $"sy",
@@ -1050,11 +1050,11 @@ object ClassifierQueries {
         val u2 = users.crossJoin(zb)
           .select($"user_id", $"y", ($"z" * lit(1000L) - $"zbarm").as("zcm"),
             $"n", $"sy")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         var par = zb.select(
           floor(log($"sy".cast("double") / $"n") * 1000000.0 + lit(0.5))
             .cast("long").as("b0m"),
-          lit(0L).as("b1m")).localCheckpoint(true)
+          lit(0L).as("b1m")).transform(graft.operators.Iterate.truncate)
         for (_ <- 1 to 4) {
           val lam = floor(exp($"b0m".cast("double") / 1000000.0
             + $"b1m".cast("double") / 1000000.0 * ($"zcm".cast("double") / 1000.0))
@@ -1070,7 +1070,7 @@ object ClassifierQueries {
               .cast("long")).as("b0m"),
             ($"b1m" + floor(lit(0.002) * $"g1".cast("double")
               / (lit(1000.0) * $"n") + lit(0.5)).cast("long")).as("b1m"))
-            .localCheckpoint(true)
+            .transform(graft.operators.Iterate.truncate)
         }
         par.crossJoin(zb.select($"n".as("n_users"), $"sy"))
           .select($"n_users", $"sy", $"b0m".as("b0_micro"),

@@ -545,7 +545,7 @@ object ClusterQueries {
         import s.implicits._
         val xs = Tables.customer(s, d)
           .select(floor($"c_acctbal").cast("long").as("x"))
-          .localCheckpoint(true)  // 1 + 3 scans: init split + per-round E-steps
+          .transform(graft.operators.Iterate.truncate)  // 1 + 3 scans: init split + per-round E-steps
         val mom = xs.agg(count(lit(1)).as("n"),
           sum($"x").as("sx"), sum($"x" * $"x").as("sxx"))
         val m0 = mom.select($"n", $"sx", $"sxx",
@@ -568,7 +568,7 @@ object ClusterQueries {
               - ($"sx".cast("double") / $"n") * ($"sx".cast("double") / $"n"))
             * 1000000.0 + lit(0.5)).cast("long"), lit(1L)).as("s1m"))
           .select($"p1m", $"mu1m", $"mu2m", $"s1m", $"s1m".as("s2m"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         for (_ <- 1 to 3) {
           val a = log($"p1m".cast("double") / 1000000.0) -
             log((lit(1000000.0) - $"p1m".cast("double")) / 1000000.0) -
@@ -608,7 +608,7 @@ object ClusterQueries {
                 - ($"swx2".cast("double") / greatest($"sw2", lit(1L)))
                   * ($"swx2".cast("double") / greatest($"sw2", lit(1L))))
               * 1000000.0 + lit(0.5)).cast("long"), lit(1L)).as("s2m"))
-            .localCheckpoint(true)
+            .transform(graft.operators.Iterate.truncate)
         }
         par.select(lit(1L).as("component"), $"p1m".as("pi_micro"),
             $"mu1m".as("mu_micro"), $"s1m".as("var_micro"))
@@ -729,12 +729,12 @@ object ClusterQueries {
             .agg(count(lit(1)).as("oc"))
             .select($"o_custkey".as("id"), $"oc"), Seq("id"), "left")
           .select($"id", $"f1", coalesce($"oc", lit(0L)).as("f2"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val trees = s.range(0, T).toDF("t")
         var assign = rows.crossJoin(broadcast(trees))
           .select($"t", $"id", $"f1", $"f2", lit(1L).as("nid"),
             lit(null).cast("long").as("depth"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         for (l <- 0 until D) {
           val stats = assign.filter($"depth".isNull)
             .groupBy($"t", $"nid")
@@ -760,7 +760,7 @@ object ClusterQueries {
               when($"depth".isNotNull, $"depth")
                 .when($"cnt" === 1 || $"mx" === $"mn", lit(l.toLong))
                 .otherwise(lit(null).cast("long")).as("depth"))
-            .localCheckpoint(true)
+            .transform(graft.operators.Iterate.truncate)
         }
         assign
           .select($"t", $"id", coalesce($"depth", lit(D.toLong)).as("depth"))
@@ -845,7 +845,7 @@ object ClusterQueries {
             .cast("long").as("x2"),
           floor(element_at($"embedding", 3).cast("double") * 1000 + lit(0.5))
             .cast("long").as("x3"))
-          .localCheckpoint(true) // moments + scoring read it
+          .transform(graft.operators.Iterate.truncate) // moments + scoring read it
         val aggs = Seq(count(lit(1)).as("n")) ++
           (1 to 3).map(i => sum(col(s"x$i")).as(s"s$i")) ++
           (for { i <- 1 to 3; j <- i to 3 }

@@ -1020,7 +1020,7 @@ object DedupQueries {
                 |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
                 |END""".stripMargin)).as("bigram"))
           .distinct()
-          .localCheckpoint(true) // both pair sides + size pass read it
+          .transform(graft.operators.Iterate.truncate) // both pair sides + size pass read it
         val sz = bg.groupBy($"doc_id").agg(count(lit(1)).as("nb"))
         val ov = bg.as("a")
           .join(bg.as("b"),

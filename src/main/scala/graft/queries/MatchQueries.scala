@@ -238,7 +238,7 @@ object MatchQueries {
         val p = graft.Par.spread(Tables.part(s, d))
           .select($"p_partkey", $"p_name", $"p_size",
             split($"p_name", " ").getItem(0).as("blk"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val jw = graft.functions.GraftFunctions
           .jaro_winkler($"a.p_name", $"b.p_name")
         val coarse = p.as("a").join(p.as("b"),

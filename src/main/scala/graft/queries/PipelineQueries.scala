@@ -675,7 +675,7 @@ object PipelineQueries {
                 graft.pipeline.PartitionStrategy.OcrOnly)._2)
             }
           }.toDF("doc_id", "extract_path")
-          .localCheckpoint(true)      // pool-size + per-path legs read it
+          .transform(graft.operators.Iterate.truncate)      // pool-size + per-path legs read it
         val poolSz = ext.agg(count(lit(1)).cast("long").as("pn"))
         val extRows = ext
           .groupBy(concat(lit("extract:"), $"extract_path").as("stage"))

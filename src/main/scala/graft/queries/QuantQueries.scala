@@ -574,7 +574,7 @@ object QuantQueries {
           .withColumn("hf", Sampling.hashFraction($"rk", 196L))
           .orderBy($"hf", $"rk").limit(1000)
           .select($"rk", $"x")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val a = sample.select($"rk".as("ra"), $"x".as("xa"))
         val b = sample.select($"rk".as("rb"), $"x".as("xb"))
         val walsh = a.join(broadcast(b), $"ra" <= $"rb")
@@ -630,7 +630,7 @@ object QuantQueries {
           .withColumn("hf", Sampling.hashFraction($"rk", 195L))
           .orderBy($"hf", $"rk").limit(1000)
           .select($"rk", $"x", $"y")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val a = sample.select($"rk".as("ra"), $"x".as("xa"), $"y".as("ya"))
         val b = sample.select($"rk".as("rb"), $"x".as("xb"), $"y".as("yb"))
         val slopes = a.join(broadcast(b), $"ra" < $"rb" && $"xa" =!= $"xb")
@@ -738,7 +738,7 @@ object QuantQueries {
         val ev = Tables.events(s, d)
           .select($"user_id", unix_micros($"ts").as("us"),
             ($"event_type" === "purchase" && $"value" > 300).as("p"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val mm = ev.agg(min($"us").as("mn"), max($"us").as("mx")).head()
         val mid = graft.operators.LogReg.fdiv(mm.getLong(0) + mm.getLong(1), 2L)
         val perUser = ev.groupBy($"user_id").agg(
@@ -805,7 +805,7 @@ object QuantQueries {
         val cells = Tables.lineitem(s, d)
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(count(lit(1)).as("o"))
-          .localCheckpoint(true) // margins + terms read it
+          .transform(graft.operators.Iterate.truncate) // margins + terms read it
         val rowT = cells.groupBy($"l_returnflag").agg(sum($"o").as("rt"))
         val colT = cells.groupBy($"l_linestatus").agg(sum($"o").as("ct"))
         val nn = cells.agg(sum($"o").as("n"),
@@ -885,7 +885,7 @@ object QuantQueries {
           .select(to_date($"o_orderdate").as("day"),
             floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
           .groupBy($"day").agg(sum($"cents").as("xq"))
-          .localCheckpoint(true) // median leg + runs leg share it
+          .transform(graft.operators.Iterate.truncate) // median leg + runs leg share it
         val n = daily.count()
         val med = graft.operators.GlobalOrder
           .zipRank(daily.sort($"xq".asc, $"day".asc), "vr")
@@ -894,7 +894,7 @@ object QuantQueries {
         val byDay = graft.operators.GlobalOrder
           .zipRank(daily.sort($"day"), "rn")
           .select($"rn", ($"xq" > med).as("hi"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val counts = byDay.agg(
           sum(when($"hi", 1L).otherwise(0L)).as("n1"),
           sum(when(!$"hi", 1L).otherwise(0L)).as("n2"))
@@ -1011,7 +1011,7 @@ object QuantQueries {
           .withColumn("hf", Sampling.hashFraction($"rk", 189L))
           .orderBy($"hf", $"rk").limit(2000)
           .select($"rk", $"x", $"y")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val a = sample.select($"rk".as("ra"), $"x".as("xa"), $"y".as("ya"))
         val b = sample.select($"rk".as("rb"), $"x".as("xb"), $"y".as("yb"))
         val pairs = a.join(broadcast(b), $"ra" < $"rb")
@@ -1085,7 +1085,7 @@ object QuantQueries {
           .groupBy($"o_custkey").agg(sum($"cents").as("rev"))
         val ranked = graft.operators.GlobalOrder
           .zipRank(rev.sort($"rev".asc, $"o_custkey".asc), "i")
-          .localCheckpoint(true) // totals + decile rows read it
+          .transform(graft.operators.Iterate.truncate) // totals + decile rows read it
         val tot = ranked.agg(count(lit(1)).as("n"),
           sum($"rev".cast("decimal(38,0)")).as("sx"),
           sum(($"i" * $"rev").cast("decimal(38,0)")).as("six"))
@@ -1425,7 +1425,7 @@ object QuantQueries {
           .agg(sum($"cents").as("xq"), count(lit(1)).as("cnt"))
         val ranked = graft.operators.GlobalOrder
           .zipRank(daily.sort($"day"), "rn")
-          .localCheckpoint(true) // both sides of the lag join read it
+          .transform(graft.operators.Iterate.truncate) // both sides of the lag join read it
         val lags = s.range(0, 8).toDF("lag")
         val m = ranked.select($"rn", $"xq").crossJoin(broadcast(lags))
           .withColumn("rn2", $"rn" + $"lag")
@@ -1875,7 +1875,7 @@ object QuantQueries {
           .groupBy($"o_orderdate".cast("date").as("day"))
           .agg(sum(floor($"o_totalprice" * 100 + lit(0.5)).cast("long"))
             .as("xq"))
-          .localCheckpoint(true)   // three consumers: pairs×2 sides, ties
+          .transform(graft.operators.Iterate.truncate)   // three consumers: pairs×2 sides, ties
         val sPairs = ser.as("a").join(ser.as("b"), $"a.day" < $"b.day")
           .agg(coalesce(sum(
             when($"b.xq" > $"a.xq", 1L)
@@ -1945,7 +1945,7 @@ object QuantQueries {
           .select(year($"day").cast("long").as("yr"),
             datediff($"day", lit("1995-01-01").cast("date")).cast("long").as("di"),
             $"rev")
-          .localCheckpoint(true)   // feeds the self-join twice + n_days
+          .transform(graft.operators.Iterate.truncate)   // feeds the self-join twice + n_days
         val pairs = daily.as("a").join(daily.as("b"),
             $"a.yr" === $"b.yr" && $"a.di" < $"b.di")
           .select($"a.yr".as("yr"),
@@ -2007,14 +2007,14 @@ object QuantQueries {
           .groupBy($"day").agg(sum($"vd").as("rev"))
           .select(datediff($"day", lit("1995-01-01").cast("date"))
             .cast("long").as("di"), $"rev")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val ms = daily.agg(count(lit(1)).as("n"), sum($"rev").as("srev"))
           .select($"n",
             floor($"srev".cast("double") / $"n" + lit(0.5)).cast("long")
               .as("rbar"))
         val cent = daily.crossJoin(ms)
           .select($"di", ($"rev" - $"rbar").as("c"), $"n")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val g0 = cent.agg(sum($"c" * $"c").as("g0"), max($"n").as("n"))
         val lags = s.range(1, 15).toDF("lag")
         val gl = cent.as("a")
@@ -2029,7 +2029,7 @@ object QuantQueries {
             floor(($"gl".cast("double") / $"g0") * ($"gl".cast("double") / $"g0")
               / ($"n" - $"lag") * 1.0e9 + lit(0.5)).cast("long").as("tnano"),
             $"n")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val cum = terms.as("a")
           .join(terms.as("b").select($"lag".as("blag"), $"tnano".as("btn")),
             $"blag" <= $"a.lag")
@@ -2103,7 +2103,7 @@ object QuantQueries {
           .groupBy($"day").agg(sum($"vd").as("rev"))
           .select(datediff($"day", lit("1995-01-01").cast("date"))
             .cast("long").as("di"), $"rev")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val out = (1 to 3).map { r =>
           val m = surv.agg(count(lit(1)).as("n"), sum($"rev").as("sx"),
             sum($"rev" * $"rev").as("sxx"))
@@ -2115,9 +2115,9 @@ object QuantQueries {
                 / sqrt(($"sxx".cast("double")
                   - $"sx".cast("double") * $"sx" / $"n") / ($"n" - 1))
                 * 1000000.0 + lit(0.5)).cast("long").as("g_micro"))
-            .localCheckpoint(true)
+            .transform(graft.operators.Iterate.truncate)
           surv = surv.join(pick.select($"di"), Seq("di"), "left_anti")
-            .localCheckpoint(true)
+            .transform(graft.operators.Iterate.truncate)
           pick
         }.reduce(_ unionAll _)
         out.orderBy($"round")
@@ -2176,24 +2176,24 @@ object QuantQueries {
           .select($"l_partkey".as("part"))
         val opt = op.join(broadcast(top12), $"l_partkey" === $"part")
           .select($"l_orderkey", $"part", $"q")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val wins = opt.as("a").join(opt.as("b"),
             $"a.l_orderkey" === $"b.l_orderkey" && $"a.part" =!= $"b.part"
               && $"a.q" > $"b.q")
           .groupBy($"a.part".as("wi"), $"b.part".as("lo"))
           .agg(count(lit(1)).as("w"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         // symmetric comparison counts n_ij and per-part total wins
         val nij = wins.select($"wi".as("i"), $"lo".as("j"), $"w")
           .unionAll(wins.select($"lo".as("i"), $"wi".as("j"), $"w"))
           .groupBy($"i", $"j").agg(sum($"w").as("nij"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val tw = top12.select($"part".as("i"))
           .join(wins.groupBy($"wi".as("i")).agg(sum($"w").as("wi_tot")),
             Seq("i"), "left")
           .select($"i", coalesce($"wi_tot", lit(0L)).as("wins"))
-          .localCheckpoint(true)
-        var pi = tw.select($"i", lit(1000000L).as("pim")).localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
+        var pi = tw.select($"i", lit(1000000L).as("pim")).transform(graft.operators.Iterate.truncate)
         for (_ <- 1 to 3) {
           val terms = nij
             .join(pi.select($"i", $"pim".as("pii")), Seq("i"))
@@ -2216,7 +2216,7 @@ object QuantQueries {
             .select($"i", when($"sp" === 0L, lit(1000000L))
               .otherwise(floor($"praw".cast("double") * 12000000.0 / $"sp"
                 + lit(0.5)).cast("long")).as("pim"))
-            .localCheckpoint(true)
+            .transform(graft.operators.Iterate.truncate)
         }
         tw.join(pi, "i")
           .select($"i".as("part"), $"wins", $"pim".as("pi_micro"))
@@ -2313,7 +2313,7 @@ object QuantQueries {
             Seq($"i"), "v", "cum")
           .select($"i", $"cum".cast("long").as("lf"))
         val lf = lfPos.unionAll(Seq((0L, 0L)).toDF("i", "lf"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         // every 1-row const frame MUST carry a broadcast hint: these
         // are filters over an RDD-backed frame (no stats), so the
         // planner would otherwise pick CartesianProduct — whose
@@ -2501,7 +2501,7 @@ object QuantQueries {
             ranked.select($"di", $"r", $"rev".cast("decimal(38,0)").as("v")),
             Seq($"di"), "v", "cum")
           .select($"di", $"r".as("t"), $"cum".cast("long").as("st"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val nf = cum.agg(max($"t").as("n"), max($"st").as("sn"))
         cum.crossJoin(nf)
           .filter($"t" < $"n")
@@ -2567,7 +2567,7 @@ object QuantQueries {
         val diffs = per.select(($"y" - $"x").as("dd"))
           .filter($"dd" =!= 0L)
           .select($"dd", abs($"dd").as("ad"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val byVal = diffs.groupBy($"ad").agg(count(lit(1)).as("t"),
           sum(when($"dd" > 0, 1L).otherwise(0L)).as("tp"))
         val cum = graft.operators.GlobalOrder.runningSum(
@@ -3753,7 +3753,7 @@ object QuantQueries {
           .withColumn("hf", Sampling.hashFraction($"rk", 315L))
           .orderBy($"hf", $"rk").limit(2000)
           .select($"rk", $"x", $"y")
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val a = sample.select($"rk".as("ra"), $"x".as("xa"), $"y".as("ya"))
         val b = sample.select($"rk".as("rb"), $"x".as("xb"), $"y".as("yb"))
         val agg = a.join(broadcast(b), $"ra" < $"rb").agg(
@@ -4201,7 +4201,7 @@ object QuantQueries {
         val sm = graft.operators.Holt.smooth(daily, "day", "xq",
           HoltAlphaDen, HoltBetaDen).select($"day", $"xq", $"forecast")
         val rk = graft.operators.GlobalOrder.zipRank(sm.sort($"day"), "rk")
-          .localCheckpoint(true) // both sides of the shift join read it
+          .transform(graft.operators.Iterate.truncate) // both sides of the shift join read it
         val nxt = rk.select($"rk".as("r2"), $"xq".as("x_next"))
         val errs = rk.join(nxt, $"r2" === $"rk" + 1L)
           .select(
@@ -4299,7 +4299,7 @@ object QuantQueries {
           .select($"r_name", $"ni", $"si",
             floor(db($"ni".cast("decimal(38,0)") * $"ssi" - $"si" * $"si")
               / db($"ni") + lit(0.5)).cast("long").as("wp"))
-          .localCheckpoint(true) // pooled-MSW + pair legs read it
+          .transform(graft.operators.Iterate.truncate) // pooled-MSW + pair legs read it
         val msw = grp.agg(count(lit(1)).as("k"), sum($"ni").as("ntot"),
           sum($"wp").as("sw"))
         val a = grp.select($"r_name".as("ra"), $"ni".as("na"), $"si".as("sa"))

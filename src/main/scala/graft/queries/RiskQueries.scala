@@ -43,7 +43,7 @@ object RiskQueries {
       .select($"n_name", to_date($"o_orderdate").as("day"),
         floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy($"n_name", $"day").agg(sum($"cents").as("xq"))
-      .localCheckpoint(true) // grid + distinct legs read it
+      .transform(graft.operators.Iterate.truncate) // grid + distinct legs read it
     val days = rev.select($"day").distinct()
     val nats = rev.select($"n_name").distinct()
     (rev, broadcast(nats).crossJoin(days)
@@ -150,7 +150,7 @@ object RiskQueries {
           .select($"n_name", to_date($"o_orderdate").as("day"),
             floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
           .groupBy($"n_name", $"day").agg(sum($"cents").as("xq"))
-          .localCheckpoint(true) // grid + distinct legs read it
+          .transform(graft.operators.Iterate.truncate) // grid + distinct legs read it
         val days = rev.select($"day").distinct()
         val nats = rev.select($"n_name").distinct()
         val grid = broadcast(nats).crossJoin(days)
@@ -854,7 +854,7 @@ object RiskQueries {
         val sym = binned.select($"day",
           expr("substring('abcd', CAST(g AS INT), 1)").as("sy"))
         val rk = graft.operators.GlobalOrder.zipRank(sym.sort($"day"), "rk")
-          .localCheckpoint(true) // three shifted copies read it
+          .transform(graft.operators.Iterate.truncate) // three shifted copies read it
         val s1 = rk.select($"rk".as("r1"), $"sy".as("sy1"))
         val s2 = rk.select($"rk".as("r2"), $"sy".as("sy2"))
         rk.join(s1, $"r1" === $"rk" + 1L)
@@ -1055,7 +1055,7 @@ object RiskQueries {
               + " / CAST(n AS DOUBLE)) AS BIGINT)")).as("c"))
         val rk = graft.operators.GlobalOrder.zipRank(cen.sort($"day"), "rk")
           .select($"rk", $"c")
-          .localCheckpoint(true) // four shifted copies read it
+          .transform(graft.operators.Iterate.truncate) // four shifted copies read it
         def lagSum(k: Int) = rk.as("a")
           .join(rk.as("b").select($"rk".as("rk2"), $"c".as("c2")),
             $"rk2" === $"rk" + k.toLong)
@@ -1154,7 +1154,7 @@ object RiskQueries {
           .select($"day", $"xq".as("x"))
         val ys = grid.filter($"n_name" === natY)
           .select($"day", $"xq".as("y"))
-        val xy = xs.join(ys, "day").localCheckpoint(true) // two passes
+        val xy = xs.join(ys, "day").transform(graft.operators.Iterate.truncate) // two passes
         val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
         val mo = xy.agg(count(lit(1)).as("n"),
           sum($"x").as("sx"), sum($"y").as("sy"),

@@ -322,7 +322,7 @@ object SamplingQueries {
         val docs = Tables.documents(s, d).select($"doc_id", $"n_chars",
           size(expr("filter(split(text, ' '), x -> x != '')")).cast("long")
             .as("w"))
-          .localCheckpoint(true) // max + truth + sample legs read it
+          .transform(graft.operators.Iterate.truncate) // max + truth + sample legs read it
         val mx = docs.agg(max($"n_chars").as("mx"),
           count(lit(1)).as("n_docs"), sum($"w").as("true_words"))
         def db(c: org.apache.spark.sql.Column) = c.cast("double")

@@ -527,7 +527,7 @@ object ScaleQueries {
         val li = Tables.lineitem(s, d)
         def leg(key: String, exactName: String, estName: String) = {
           val ks = graft.Par.spread(li.select(col(key).cast("long").as("k")))
-            .distinct().localCheckpoint(true) // exact + sketch legs
+            .distinct().transform(graft.operators.Iterate.truncate) // exact + sketch legs
           val mins = ks
             .select(graft.operators.Sampling.hashBits($"k").as("h"))
             .distinct()

@@ -441,7 +441,7 @@ object SequenceQueries {
         val grid = s.range(0, D).toDF("di")
           .join(counts, Seq("di"), "left")
           .select($"di", coalesce($"n", lit(0L)).as("n"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val par = grid.agg(sum($"n").as("tt"))
           .select(
             floor($"tt".cast("double") * 1000000.0 / D + lit(0.5))
@@ -454,12 +454,12 @@ object SequenceQueries {
               .cast("long").as("lr1m"),
             floor(log(lit(D.toDouble)) * 1000000.0 + lit(0.5))
               .cast("long").as("trm"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         var v = grid.filter($"di" === 0).crossJoin(par)
           .select($"di", $"n",
             ($"r0m" - $"n" * $"lr0m").as("v0"),
             ($"trm" + $"r1m" - $"n" * $"lr1m").as("v1"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         val days = scala.collection.mutable.ArrayBuffer(v)
         for (di <- 1 until D) {
           v = v.select($"v0".as("p0"), $"v1".as("p1"))
@@ -469,7 +469,7 @@ object SequenceQueries {
               (least($"p0", $"p1") + ($"r0m" - $"n" * $"lr0m")).as("v0"),
               (least($"p0" + $"trm", $"p1")
                 + ($"r1m" - $"n" * $"lr1m")).as("v1"))
-            .localCheckpoint(true)
+            .transform(graft.operators.Iterate.truncate)
           days += v
         }
         days.reduce(_ unionAll _)

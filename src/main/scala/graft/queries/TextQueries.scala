@@ -787,7 +787,7 @@ object TextQueries {
           (a, b) => concat(a, lit(" "), b))).as("bg"))
         val counts = bi.groupBy($"bg").agg(count(lit(1)).as("r"))
         val fof = counts.groupBy($"r").agg(count(lit(1)).as("nr"))
-          .localCheckpoint(true)   // three consumers: N, n1, the band
+          .transform(graft.operators.Iterate.truncate)   // three consumers: N, n1, the band
         val tot = fof.agg(sum($"r" * $"nr").as("n_bigrams"))
         val n1 = fof.agg(coalesce(sum(when($"r" === 1, $"nr")), lit(0L))
           .as("n_1"))
@@ -843,7 +843,7 @@ object TextQueries {
           .agg(sum(floor($"l_extendedprice" * 100 + lit(0.5)).cast("long"))
             .as("x"))
         val top = x.orderBy($"x".desc, $"l_partkey").limit(k + 1)
-          .localCheckpoint(true)
+          .transform(graft.operators.Iterate.truncate)
         // the (k+1)-th row in (x desc, key asc) order = min x, then
         // max key among min-x rows: min of (x, −key)
         val ref = top.agg(min(struct($"x", (-$"l_partkey").as("nk"))).as("m"))
@@ -967,7 +967,7 @@ object TextQueries {
             explode(TextFunctions.tokens($"text")).as("w"))
         val cnt = toks.groupBy($"source", $"w").agg(count(lit(1)).as("n"))
         val tot = cnt.groupBy($"source").agg(sum($"n").as("nn"))
-        val cw = cnt.join(tot, "source").localCheckpoint(true)
+        val cw = cnt.join(tot, "source").transform(graft.operators.Iterate.truncate)
         val p = $"na".cast("double") / $"nna".cast("double")
         val q = $"nb".cast("double") / $"nnb".cast("double")
         val shared = cw.as("a").join(cw.as("b"),
@@ -1225,7 +1225,7 @@ object TextQueries {
                 |    ' ', element_at(ws, i + 2)))
                 |END""".stripMargin)).as("gram"))
           .distinct()
-          .localCheckpoint(true) // gram-count + rollup legs read it
+          .transform(graft.operators.Iterate.truncate) // gram-count + rollup legs read it
         val ns = tg.groupBy($"gram").agg(count(lit(1)).as("n_sources"))
         tg.join(ns, "gram")
           .groupBy($"source").agg(
@@ -1285,7 +1285,7 @@ object TextQueries {
               .as("w"))
         val tf = docs.groupBy($"doc_id", $"lang", $"w")
           .agg(count(lit(1)).as("tf"))
-          .localCheckpoint(true) // df + weight legs read it
+          .transform(graft.operators.Iterate.truncate) // df + weight legs read it
         val nDocs = tf.select($"doc_id").distinct()
           .agg(count(lit(1)).as("nd"))
         val dfreq = tf.groupBy($"w").agg(count(lit(1)).as("df"))
@@ -1294,7 +1294,7 @@ object TextQueries {
             * 1000000 + lit(0.5)).cast("long").as("idf"))
         val wts = tf.join(idf, "w")
           .select($"doc_id", $"lang", $"w", ($"tf" * $"idf").as("wt"))
-          .localCheckpoint(true) // norm + pair legs read it
+          .transform(graft.operators.Iterate.truncate) // norm + pair legs read it
         val norms = wts.groupBy($"doc_id").agg(
           sum($"wt".cast("decimal(38,0)") * $"wt").as("n2"))
         val dot = wts.as("a").join(wts.as("b"),
