@@ -150,52 +150,66 @@ object PrefixJoin {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     graft.functions.SortedIntersectCount.register(spark)
     import graft.functions.SortedIntersectCount.sorted_intersect_count
+    graft.functions.FirstCommonBounded.register(spark)
+    import graft.functions.FirstCommonBounded.first_common_bounded
 
-    val (ranked, nDocs, totalToks) = rankedArrays(spark, docs, idCol, textCol,
+    val (ranked, _, _) = rankedArrays(spark, docs, idCol, textCol,
       threshold, pretokenized, maxBroadcastVocab)
-    def verifySide(df: DataFrame): DataFrame =
-      if (nDocs <= maxBroadcastDocs &&
-          estRankedBytes(nDocs, totalToks) <= maxBroadcastBytes)
-        broadcast(df)
-      else df
 
-    // candidate generation with EARLY pruning (the r14 ×10 probe: the
-    // distinct over raw candidates dominated the build): prefix rows
-    // carry (nt, pos) so two filters run INSIDE the join, before any
-    // candidate row exists downstream —
-    //  - size band: least(na,nb) > t·greatest(na,nb), the same bound
-    //    the verify stage applies (J > t forces it);
+    // FULLY FUSED candidate + verify join (r19; supersedes the r14
+    // hydrate-then-verify shape — maxBroadcastDocs/Bytes kept in the
+    // signature for callers but no longer consulted, there is no
+    // verify join left to broadcast). Prefix rows carry their doc's
+    // whole rank array (the array rides the SKINNY pre-join stream —
+    // Σ prefix rows, linear — never the quadratic candidate stream),
+    // so every filter runs INSIDE the join, cheapest first:
+    //  - size band: least(na,nb) > t·greatest(na,nb) (J > t forces it);
     //  - PPJoin position filter: a shared token at 1-based positions
     //    (ia, ib) caps the overlap at ub = 1 + min(na−ia, nb−ib); for
     //    the FIRST shared token of a qualifying pair ub ≥ |A∩B| >
     //    t·(na+nb)/(1+t), so pruning rows with
     //    ub·(1+t) < t·(na+nb) − ε loses nothing (ε absorbs the
     //    double-arithmetic edge; a pruned row is strictly below the
-    //    bound, so the pair it came from cannot verify).
+    //    bound, so the pair it came from cannot verify);
+    //  - FIRST-COLLISION dedup (first_common_bounded === current
+    //    token): each pair is emitted from exactly its first shared
+    //    prefix token — the old emit-everywhere + distinct() shuffled
+    //    the full candidate stream (the r14 ×10 probe's dominant
+    //    cost); a qualifying pair's first-common row always survives
+    //    the position filter (the lemma above), so recall is intact;
+    //  - the EXACT verify, one sorted merge per surviving row: for
+    //    t = k/10 the double test i/(s−i) > t equals the integer test
+    //    (10+k)·i > k·s (the minhashPairsExact proof — margins ≥
+    //    1/(10(s−i)) dwarf the 1-ulp division error, equality rounds
+    //    to the same double on both sides). Non-decimal thresholds
+    //    fall back to the double comparison.
     val prefixes = ranked
-      .select($"id", $"nt", posexplode(slice($"ranks", lit(1), col("p"))))
+      .select($"id", $"nt", $"p", $"ranks",
+        posexplode(slice($"ranks", lit(1), col("p"))))
       .withColumnRenamed("col", "r")
       .withColumn("pos", $"pos" + 1)      // 1-based position in ranks
-    val cands = prefixes.as("l").join(prefixes.as("r"),
+    val k10 = math.round(threshold * 10)
+    val thresholdTest =
+      if (k10 / 10.0 == threshold)
+        lit(10 + k10) * sorted_intersect_count($"l.ranks", $"r.ranks") >
+          lit(k10) * ($"l.nt" + $"r.nt")
+      else {
+        val sic = sorted_intersect_count($"l.ranks", $"r.ranks").cast("double")
+        sic / (($"l.nt" + $"r.nt") - sic) > threshold
+      }
+    prefixes.as("l").join(prefixes.as("r"),
         $"l.r" === $"r.r" && $"l.id" < $"r.id" &&
         least($"l.nt", $"r.nt") > lit(threshold) * greatest($"l.nt", $"r.nt") &&
         (lit(1.0) + least($"l.nt" - $"l.pos", $"r.nt" - $"r.pos")) *
           lit(1.0 + threshold) >=
-          lit(threshold) * ($"l.nt" + $"r.nt") - lit(1e-7))
-      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
-      .distinct()
-
-    cands
-      .join(verifySide(
-        ranked.select($"id".as("id_a"), $"ranks".as("ra"), $"nt".as("na"))), "id_a")
-      .join(verifySide(
-        ranked.select($"id".as("id_b"), $"ranks".as("rb"), $"nt".as("nb"))), "id_b")
-      .filter(least($"na", $"nb") > lit(threshold) * greatest($"na", $"nb"))
-      .withColumn("inter", sorted_intersect_count($"ra", $"rb").cast("double"))
-      .withColumn("jaccard", $"inter" / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" > threshold)
+          lit(threshold) * ($"l.nt" + $"r.nt") - lit(1e-7) &&
+        first_common_bounded($"l.ranks", $"r.ranks", $"l.p", $"r.p") === $"l.r" &&
+        thresholdTest)
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"),
+        sorted_intersect_count($"l.ranks", $"r.ranks").cast("double").as("inter"),
+        ($"l.nt" + $"r.nt").as("s"))
       .select($"id_a", $"id_b",
-        graft.functions.TextFunctions.r4($"jaccard").as("jaccard"))
+        graft.functions.TextFunctions.r4($"inter" / ($"s" - $"inter")).as("jaccard"))
   }
 
   /** All DIRECTED pairs with exact containment |A∩B| / |A| >
@@ -227,50 +241,57 @@ object PrefixJoin {
     graft.functions.SortedIntersectCount.register(spark)
     import graft.functions.SortedIntersectCount.sorted_intersect_count
 
-    val (ranked, nDocs, totalToks) = rankedArrays(spark, docs, idCol, textCol,
+    graft.functions.FirstCommonBounded.register(spark)
+    import graft.functions.FirstCommonBounded.first_common_bounded
+    val (ranked, _, _) = rankedArrays(spark, docs, idCol, textCol,
       threshold, pretokenized, maxBroadcastVocab)
-    def verifySide(df: DataFrame): DataFrame =
-      if (nDocs <= maxBroadcastDocs &&
-          estRankedBytes(nDocs, totalToks) <= maxBroadcastBytes)
-        broadcast(df)
-      else df
     // the minSize floor applies to the COVEREE (A) side only: tiny
     // sets are trivially contained everywhere and would make the
     // output quadratic; the coverer (B) side stays unrestricted
     val rankedA = ranked.filter($"nt" >= minSize)
 
-    // early pruning inside the candidate join (the jaccard leg's r14
-    // discipline): size prune nb ≥ ⌈t·na⌉ and the containment
-    // position filter — a shared token at 1-based positions (ia, jb)
-    // caps |A∩B| at ub = 1 + min(na−ia, nb−jb); a qualifying pair's
-    // FIRST shared token has ub ≥ |A∩B| > t·na, so pruning
-    // ub < t·na − ε loses nothing
+    // FULLY FUSED candidate + verify join — the jaccardPairsPrefix r19
+    // shape, asymmetric: A-prefix tokens against B's FULL posting
+    // list, every filter inside the join, cheapest first —
+    //  - size prune nb ≥ ⌈t·na⌉;
+    //  - containment position filter: a shared token at 1-based
+    //    positions (ia, jb) caps |A∩B| at ub = 1 + min(na−ia, nb−jb);
+    //    a qualifying pair's FIRST shared token has ub ≥ |A∩B| > t·na,
+    //    so pruning ub < t·na − ε loses nothing;
+    //  - first-collision dedup: emit only from A-prefix-vs-B-full's
+    //    first common token (first_common_bounded over (A's prefix,
+    //    B's whole array) — replaces the candidate-stream distinct());
+    //  - exact verify, one merge per surviving row: containment
+    //    i/na > k/10 ⟺ 10·i > k·na (the integer-test proof), double
+    //    fallback for non-decimal thresholds.
     val prefixes = rankedA
-      .select($"id", $"nt", posexplode(slice($"ranks", lit(1), col("p"))))
+      .select($"id", $"nt", $"p", $"ranks",
+        posexplode(slice($"ranks", lit(1), col("p"))))
       .withColumnRenamed("col", "r")
       .withColumn("pos", $"pos" + 1)
     val full = ranked
-      .select($"id", $"nt", posexplode($"ranks"))
+      .select($"id", $"nt", $"ranks", posexplode($"ranks"))
       .withColumnRenamed("col", "r")
       .withColumn("pos", $"pos" + 1)
-    val cands = prefixes.as("l").join(full.as("r"),
+    val k10 = math.round(threshold * 10)
+    val thresholdTest =
+      if (k10 / 10.0 == threshold)
+        lit(10L) * sorted_intersect_count($"l.ranks", $"r.ranks") >
+          lit(k10) * $"l.nt"
+      else
+        sorted_intersect_count($"l.ranks", $"r.ranks").cast("double") / $"l.nt" >
+          threshold
+    prefixes.as("l").join(full.as("r"),
         $"l.r" === $"r.r" && $"l.id" =!= $"r.id" &&
         $"r.nt" >= ceil(lit(threshold) * $"l.nt") &&
         lit(1.0) + least($"l.nt" - $"l.pos", $"r.nt" - $"r.pos") >=
-          lit(threshold) * $"l.nt" - lit(1e-7))
-      .select($"l.id".as("id_a"), $"r.id".as("id_b"))
-      .distinct()
-
-    cands
-      .join(verifySide(
-        rankedA.select($"id".as("id_a"), $"ranks".as("ra"), $"nt".as("na"))), "id_a")
-      .join(verifySide(
-        ranked.select($"id".as("id_b"), $"ranks".as("rb"), $"nt".as("nb"))), "id_b")
-      .filter($"nb" >= ceil(lit(threshold) * $"na"))
-      .withColumn("inter", sorted_intersect_count($"ra", $"rb").cast("double"))
-      .withColumn("containment", $"inter" / $"na")
-      .filter($"containment" > threshold)
+          lit(threshold) * $"l.nt" - lit(1e-7) &&
+        first_common_bounded($"l.ranks", $"r.ranks", $"l.p", $"r.nt") === $"l.r" &&
+        thresholdTest)
+      .select($"l.id".as("id_a"), $"r.id".as("id_b"),
+        sorted_intersect_count($"l.ranks", $"r.ranks").cast("double").as("inter"),
+        $"l.nt".as("na"))
       .select($"id_a", $"id_b",
-        graft.functions.TextFunctions.r4($"containment").as("containment"))
+        graft.functions.TextFunctions.r4($"inter" / $"na").as("containment"))
   }
 }

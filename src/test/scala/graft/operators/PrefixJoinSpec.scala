@@ -97,4 +97,36 @@ class PrefixJoinSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === Set(("doc-a", "doc-b")))
   }
+
+  test("first_common_bounded: bounded sorted-merge first match, null when disjoint") {
+    import spark.implicits._
+    graft.functions.FirstCommonBounded.register(spark)
+    import graft.functions.FirstCommonBounded.first_common_bounded
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq(1L, 4L, 7L, 9L), Seq(2L, 4L, 7L), 4, 3),  // first common 4
+      (Seq(1L, 4L, 7L, 9L), Seq(2L, 4L, 7L), 1, 3),  // bound cuts a: none in a[0,1)
+      (Seq(1L, 4L, 7L, 9L), Seq(2L, 4L, 7L), 4, 1),  // bound cuts b: none vs b[0,1)
+      (Seq(3L, 5L), Seq(1L, 2L), 2, 2)               // disjoint
+    ).toDF("a", "b", "na", "nb")
+    val got = df.select(
+      first_common_bounded(col("a"), col("b"), col("na"), col("nb"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got === Seq(Some(4L), None, None, None))
+    // exhaustive vs brute force on random sorted-distinct arrays
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 200).map { _ =>
+      val a = rnd.shuffle((0L until 30L).toList).take(rnd.nextInt(10) + 1).sorted
+      val b = rnd.shuffle((0L until 30L).toList).take(rnd.nextInt(10) + 1).sorted
+      (a, b, rnd.nextInt(a.size + 1), rnd.nextInt(b.size + 1))
+    }
+    val exp = rows.map { case (a, b, na, nb) =>
+      val bs = b.take(nb).toSet
+      a.take(na).find(bs.contains)
+    }
+    val out = rows.toDF("a", "b", "na", "nb").select(
+      first_common_bounded(col("a"), col("b"), col("na"), col("nb"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(out === exp)
+  }
 }
