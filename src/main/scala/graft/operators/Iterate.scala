@@ -71,6 +71,16 @@ object Iterate {
       .sortWithinPartitions("src"))
   }
 
+  /** persist + eager materialization for a multi-consumer REUSE frame
+    * (not a loop-truncation point): unlike [[truncate]] the cached
+    * plan keeps its output partitioning and ordering, so a downstream
+    * join/aggregate keyed like the frame's producing exchange reuses
+    * it instead of re-shuffling (r19 q335: the train-leg self-join on
+    * the join key it was already partitioned by). Eager for the same
+    * reason as [[materialized]].
+    */
+  def reuse(df: DataFrame): DataFrame = materialized(df)
+
   /** persist + EAGER materialization. A lazily-persisted layout that a
     * first-round plan references more than once (the normalizer /
     * initial-state subtrees of the loops do) is built CONCURRENTLY by

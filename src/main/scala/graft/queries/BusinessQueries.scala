@@ -1292,17 +1292,23 @@ object BusinessQueries {
           to_date($"o_orderdate").as("dt"))
         val rn = ords.withColumn("rn", row_number().over(
             Window.partitionBy($"cust").orderBy($"dt".desc, $"ok".desc)))
-          .transform(graft.operators.Iterate.truncate) // holdout + train legs read it
+          .transform(graft.operators.Iterate.reuse) // holdout + train legs read it
         val nOrd = rn.groupBy($"cust").agg(max($"rn").as("n_orders"))
         val evalUsers = nOrd.filter($"n_orders" >= 2).select($"cust")
-          .transform(graft.operators.Iterate.truncate)
+          .transform(graft.operators.Iterate.reuse)
+        // hold + train each consume the distinct: one build, reused
         val li = Tables.lineitem(s, d)
           .select($"l_orderkey".as("ok"), $"l_partkey".as("part")).distinct()
+          .transform(graft.operators.Iterate.reuse)
         val hold = rn.filter($"rn" === 1).join(li, "ok")
           .join(evalUsers, "cust")
           .select($"cust", $"part").distinct()
+        // reuse, not truncate: the cached join output keeps its hash(ok)
+        // partitioning + ordering, so the co-occurrence SELF-join below
+        // re-reads it with no fresh exchange on either side (r19:
+        // shuffle 63 -> 41 MB at sf0.1)
         val train = rn.filter($"rn" > 1).join(li, "ok")
-          .transform(graft.operators.Iterate.truncate) // co-occurrence + baskets read it
+          .transform(graft.operators.Iterate.reuse) // co-occurrence + baskets read it
         // support floor ≥ 2 (the q99/q209 thinning convention): the
         // weight-1 co-occurrence tail is ~90% of pairs and pure noise
         // for ranking — dropping it keeps the candidate frame
@@ -1314,7 +1320,7 @@ object BusinessQueries {
           .filter(col("w") >= 2)
         val basket = train.join(evalUsers, "cust")
           .select($"cust", $"part").distinct()
-          .transform(graft.operators.Iterate.truncate) // score + new-item filter read it
+          .transform(graft.operators.Iterate.reuse) // score + new-item filter read it
         val scored = basket.join(co, basket("part") === co("pa"))
           .groupBy($"cust", $"pb").agg(sum($"w").as("score"))
         val fresh = scored.join(
