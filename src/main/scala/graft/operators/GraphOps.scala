@@ -328,9 +328,25 @@ object GraphOps {
       .agg(count(lit(1)).as("deg"))
       .join(surv, "v")
     var surv = Iterate.truncate(dir.select(col("src").as("v")).distinct())
-    for (_ <- 1 to rounds)
+    // EXACT early stop (r19): the peel is MONOTONE (surv only ever
+    // shrinks) and idempotent at fixpoint, so an unchanged survivor
+    // COUNT proves an unchanged survivor SET — every remaining round
+    // of the fixed unroll would be a no-op. Output is therefore
+    // bit-identical to running all `rounds` (the oracle's full CTE
+    // unroll), while the loop stops paying for rounds past fixpoint
+    // (at sf0.1 fixpoint lands in 2-4 of the 12 budgeted rounds). The
+    // count reads the just-truncated node-sized frame — one cheap job.
+    var nSurv = surv.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       surv = Iterate.truncate(coreDeg(surv).filter(col("deg") >= k)
         .select(col("v")))
+      val n = surv.count()
+      converged = n == nSurv
+      nSurv = n
+      r += 1
+    }
     // final deg >= k guard: if `rounds` stopped short of fixpoint (a
     // pendant chain longer than the unroll), the projection must still
     // never emit a row violating the core_deg >= k invariant — the
@@ -373,13 +389,28 @@ object GraphOps {
       .agg(count(lit(1)).as("deg"))
       .join(surv, "v")
     var seed = Iterate.truncate(dir.select(col("src").as("v")).distinct())
+    var nSeed = seed.count()
     (kMin to kMax).map { k =>
       var surv = seed
-      for (_ <- 1 to rounds)
+      // the kCore exact early stop (monotone peel: equal count ⇒ equal
+      // set ⇒ every further round is a no-op; output identical to the
+      // full unroll the oracle replays)
+      var nSurv = nSeed
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
         surv = Iterate.truncate(coreDeg(surv).filter(col("deg") >= k)
           .select(col("v")))
+        val n = surv.count()
+        converged = n == nSurv
+        nSurv = n
+        r += 1
+      }
       val core = Iterate.truncate(coreDeg(surv).filter(col("deg") >= k)
         .select(col("v").as("id"), col("deg").as("core_deg")))
+      // at fixpoint the final guard is a no-op, so |core| == |surv|;
+      // only the rounds-exhausted regime needs the explicit count
+      nSeed = if (converged) nSurv else core.count()
       seed = core.select(col("id").as("v"))
       core.select(lit(k.toLong).as("k"), col("id"), col("core_deg"))
     }.reduce(_ unionAll _)

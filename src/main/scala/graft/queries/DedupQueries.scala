@@ -394,17 +394,21 @@ object DedupQueries {
       "q28_minhash_pairs",
       (s, d) => {
         import s.implicits._
-        // persist() the verified pairs before the global sort: the
-        // range-exchange runs a boundary-SAMPLING job over its child
-        // first, and without the cache that job re-executes the whole
-        // Σ bucket² probe + merge pipeline a second time (r19 audit:
-        // orderBy accounted for ~7 s of 15.7 s at sf0.1). The cache
-        // lives only inside this run; Bench/Verify drop all blocks
-        // between runs.
+        // A shuffle barrier before the global sort: the range-exchange
+        // runs a boundary-SAMPLING job over its child first, and
+        // without a materialization point that job re-executes the
+        // whole Σ bucket² probe + merge pipeline a second time (r19
+        // audit: orderBy accounted for ~7 s of 15.7 s at sf0.1). The
+        // repartition materializes the verified pairs to shuffle files
+        // exactly once (an AQE query stage); the sampler and the sort
+        // both re-read those files. Chosen over persist(): same
+        // single-compute guarantee, but no ~150 MB storage-memory
+        // churn mid-suite (a cached variant measured warm 21 s
+        // in-suite from eviction/GC pressure vs 7 s isolated).
         Dedup.minhashPairsExact(s, Tables.documents(s, d), "doc_id", "text",
             bands = 32, threshold = 0.7,
             prekeyed = Some(mhKeysArtifact(s, d)))
-          .persist()
+          .repartition($"id_a")
           .orderBy($"id_a", $"id_b")
       },
       // r4 floor convention on both sides (see q26 note)
